@@ -1,13 +1,220 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.TextFunctions
+import graft.mr.MapReduce
+import graft.multimodal.Media
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY.md §2 / the
+  * north-star extension list; `oracleSql` holds the equivalent DuckDB SQL
+  * for the driver's differential check (omitted only for the approximate
+  * operators — MinHash LSH, SimHash, hyperplane ANN — whose outputs are
+  * not SQL-expressible; those are covered by the ScalaTest suite against
+  * their exact counterparts instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    CoreQueries.wc(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- reference parity (wc, ii + the generic MapReduce plugin surface) --
+    "wc" -> ((s, d) => CoreQueries.wc(s, d)),
+    "ii" -> ((s, d) => CoreQueries.ii(s, d)),
+    "mr_wc" -> ((s, d) => MapReduce.runOnDocuments(s, d,
+      (id, text) => TextFunctions.tokenizeScala(text).iterator
+        .map(w => MapReduce.KeyValue(w, "1")),
+      (_, vs) => vs.size.toString)),
+    "mr_ii" -> ((s, d) => MapReduce.runOnDocuments(s, d,
+      (id, text) => TextFunctions.tokenizeScala(text).iterator
+        .map(w => MapReduce.KeyValue(w, id)),
+      (_, vs) => vs.toSeq.distinct.sorted.mkString(","))),
+    // -- relational breadth --
+    "grep_filter" -> ((s, d) => CoreQueries.grepFilter(s, d)),
+    "topk_words" -> ((s, d) => CoreQueries.topkWords(s, d)),
+    "agg_pricing" -> ((s, d) => Relational.aggPricing(s, d)),
+    "distinct_users" -> ((s, d) => Relational.distinctUsers(s, d)),
+    "join_orders_customers" -> ((s, d) => Relational.joinOrdersCustomers(s, d)),
+    "multi_join_agg" -> ((s, d) => Relational.multiJoinAgg(s, d)),
+    "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
+    "tumbling_window" -> ((s, d) => Relational.tumblingWindow(s, d)),
+    "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
+    // -- text analysis (north star) --
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
+    "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // -- dedup (north star) --
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
+    "dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
+    // -- similarity search (north star) --
+    "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
+    "similarity_ann" -> ((s, d) => Similarity.annHyperplane(s, d)),
+    // -- multimodal plumbing (north star) --
+    "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
+    "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted: dedup_minhash, dedup_simhash,
+    * similarity_ann (approximate — no SQL-expressible oracle). */
+  def oracleSql: Map[String, String] = Map(
+    "wc" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents)
+        |SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "ii" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents) WHERE word <> '')
+        |SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS docs
+        |FROM toks GROUP BY word ORDER BY word""".stripMargin,
+    "mr_wc" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents)
+        |SELECT word AS "key", CAST(count(*) AS VARCHAR) AS "value" FROM toks WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "mr_ii" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents) WHERE word <> '')
+        |SELECT word AS "key", string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS "value"
+        |FROM toks GROUP BY word ORDER BY word""".stripMargin,
+    "grep_filter" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE text LIKE '%spark%' AND text LIKE '%stream%' ORDER BY doc_id""".stripMargin,
+    "topk_words" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents)
+        |SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word
+        |ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "join_orders_customers" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "multi_join_agg" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "sessionize" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events),
+        |y AS (SELECT user_id, CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x)
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "text_stats" ->
+      """WITH d AS (SELECT lang, n_chars, len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS n_words FROM documents)
+        |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(n_words), 4) AS avg_words, CAST(sum(n_words) AS BIGINT) AS total_words
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "token_count" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws,
+        |  list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ts FROM documents)
+        |SELECT doc_id, len(ws) AS ws_tokens,
+        |  CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS bpe_tokens
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS nw,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) AS nstop,
+        |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) AS totlen FROM d)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(totlen / nw, 4) AS avg_word_len,
+        |  round(nstop / nw, 4) AS stopword_ratio,
+        |  round(least(nw / 50.0, 1.0) * 0.5 + least(nstop / nw * 5.0, 1.0) * 0.3 +
+        |        CASE WHEN totlen / nw BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) AS quality
+        |FROM e WHERE nw > 0 ORDER BY doc_id""".stripMargin,
+    "classify_docs" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(ws, w -> w IN ('stream','window','event'))) AS s_stream,
+        |  len(list_filter(ws, w -> w IN ('table','row','column'))) AS s_table,
+        |  len(list_filter(ws, w -> w IN ('join','merge','hash'))) AS s_join FROM d)
+        |SELECT doc_id, s_stream, s_table, s_join,
+        |  CASE WHEN s_stream >= s_table AND s_stream >= s_join THEN 'streaming'
+        |       WHEN s_table >= s_join THEN 'tabular' ELSE 'relational' END AS pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp FROM f GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |  array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_cosine_similarity(a.emb, b.emb) AS cos
+        |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "similarity_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id < 10),
+        |s AS (SELECT probe_id, vec_id AS neighbor_id, list_cosine_similarity(probe_emb, emb) AS cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, emb) DESC, vec_id) AS rn
+        |  FROM p, e WHERE vec_id <> probe_id)
+        |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "media_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  strlen(text) AS len FROM documents)
+        |SELECT media_id, kind, CAST(len AS BIGINT) AS n_bytes,
+        |  CAST(64 + (len * 7) % 1216 AS INTEGER) AS width,
+        |  CAST(64 + (len * 13) % 656 AS INTEGER) AS height,
+        |  CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + len % 240 END AS INTEGER) AS n_frames
+        |FROM m ORDER BY media_id""".stripMargin,
+    "media_stats" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  strlen(text) AS len FROM documents),
+        |d AS (SELECT kind, CAST(len AS BIGINT) AS n_bytes,
+        |  CAST(64 + (len * 7) % 1216 AS INTEGER) AS width,
+        |  CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + len % 240 END AS INTEGER) AS n_frames FROM m)
+        |SELECT kind, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  max(width) AS max_width, max(n_frames) AS max_frames
+        |FROM d GROUP BY kind ORDER BY kind""".stripMargin,
+  )
 }

@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, processed batch-at-a-time with
+  * `mapPartitions` (the Scala analogue of `mapInPandas` — one decoder
+  * instance per partition, rows streamed through it, no per-row
+  * setup cost).
+  *
+  * The actual codec is STUBBED (`FakeDecoder`): no image/audio libraries
+  * exist in this environment, so decode derives deterministic pseudo-metadata
+  * from the bytes. The Spark-side plumbing — schema, binary column handling,
+  * partition-wise batching, decoder lifecycle — is real and tested; swapping
+  * `FakeDecoder` for a JNI/javacv decoder is a one-class change.
+  */
+object Media {
+
+  /** One media asset: opaque payload + envelope metadata. */
+  final case class MediaAsset(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded metadata (what a real decoder would surface). */
+  final case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+                             width: Int, height: Int, n_frames: Int)
+
+  /** Decoder contract: one instance per partition, rows streamed through.
+    * Implementations may hold native handles; `close` runs per partition. */
+  trait MediaDecoder extends Serializable {
+    def decode(asset: MediaAsset): MediaMeta
+    def close(): Unit = ()
+  }
+
+  /** Deterministic stand-in for a real codec: metadata is a pure function of
+    * payload length and kind, so tests (and the SQL oracle) can predict it.
+    * width = 64 + 7·len mod 1216, height = 64 + 13·len mod 656,
+    * frames = 1 for images else 1 + len mod 240. */
+  object FakeDecoder extends MediaDecoder {
+    def decode(a: MediaAsset): MediaMeta = {
+      val len = a.payload.length.toLong
+      MediaMeta(a.media_id, a.kind, len,
+        width = (64 + (len * 7) % 1216).toInt,
+        height = (64 + (len * 13) % 656).toInt,
+        n_frames = if (a.kind == "image") 1 else (1 + len % 240).toInt)
+    }
+  }
+
+  /** Build a media-asset table from the driver's documents table: payload =
+    * UTF-8 bytes of the text (an opaque blob as far as this module is
+    * concerned), kind cycled deterministically. Stands in for
+    * `spark.read.format("binaryFile")` at scale. */
+  def assetsFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("media_id"),
+              element_at(typedLit(Seq("image", "audio", "video")),
+                         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+              col("text").cast("binary").as("payload"))
+      .as[MediaAsset]
+  }
+
+  /** Decode a partition of assets with one decoder instance — the
+    * mapPartitions batch shape a real codec needs (amortized init, streamed
+    * rows, explicit close). */
+  def decodeAll(assets: Dataset[MediaAsset], decoder: MediaDecoder): Dataset[MediaMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      new Iterator[MediaMeta] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) decoder.close(); h }
+        def next(): MediaMeta = decoder.decode(it.next())
+      }
+    }
+  }
+
+  /** End-to-end media metadata query (driver-verified): decode every asset,
+    * emit envelope + decoded dims, ordered by id. */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    decodeAll(assetsFromDocuments(spark, sfDir), FakeDecoder)
+      .toDF()
+      .orderBy("media_id")
+
+  /** Per-kind rollup over decoded metadata. */
+  def mediaStats(spark: SparkSession, sfDir: String): DataFrame =
+    decodeAll(assetsFromDocuments(spark, sfDir), FakeDecoder)
+      .toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_assets"),
+           sum("n_bytes").as("total_bytes"),
+           max("width").as("max_width"),
+           max("n_frames").as("max_frames"))
+      .orderBy("kind")
+}

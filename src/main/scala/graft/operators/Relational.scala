@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.NumericFunctions.duckRound
+import graft.sources.Tables
+
+/** Relational breadth beyond the reference's map/shuffle/reduce shape:
+  * predicates, distinct aggregation, equi joins, multi-way joins, window
+  * functions, time bucketing, sessionization, JSON extraction.
+  *
+  * Scale design (100 TB):
+  *  - Dimension tables (`customer`, `nation`, `region`) are broadcast —
+  *    the fact-side scan never shuffles for those joins.
+  *  - Fact-fact joins shuffle on join keys once; aggregations ride the same
+  *    partitioning where possible.
+  *  - Window functions partition by high-cardinality keys (customer, user),
+  *    so no single-partition sort bottleneck.
+  *  - All double-valued aggregates are rounded at the output edge: summation
+  *    order across partitions is nondeterministic, so raw low-order bits are
+  *    not reproducible — rounding makes results stable for differential
+  *    testing without changing the plan.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary over lineitem: the canonical
+    * map-side-combinable multi-aggregate. */
+  def aggPricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        duckRound(sum("l_quantity"), 2).as("sum_qty"),
+        duckRound(sum("l_extendedprice"), 2).as("sum_base_price"),
+        duckRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        duckRound(avg("l_quantity"), 4).as("avg_qty"),
+        duckRound(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** COUNT(DISTINCT user_id) per event type. Spark plans this as a two-phase
+    * expand + partial agg — no driver-side distinct. */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Equi join orders ⋈ customer (dim side broadcast) + aggregate per market
+    * segment. */
+  def joinOrdersCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(duckRound(sum("o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  /** 3-way join + aggregate (TPC-H Q3/Q5 flavor): revenue per nation for one
+    * market segment. customer and nation broadcast; lineitem⋈orders shuffles
+    * once on the order key. */
+  def multiJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(duckRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy("n_name")
+  }
+
+  /** Window function: top-3 orders per customer by total price.
+    * row_number (not rank) with an orderkey tie-break for determinism. */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+              duckRound(col("o_totalprice"), 2).as("totalprice"), col("rnk"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Tumbling one-hour window over the event stream (batch form; the
+    * streaming form with watermarks is in graft.streaming.EventStreams).
+    * Window start rendered as a string so the oracle compare is precision-
+    * agnostic (events.ts is ns in parquet, µs in Spark). */
+  def tumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           duckRound(sum("value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization via window functions: a new session starts
+    * after >30 min of user inactivity. Pure window-function form — runs
+    * distributed, partitioned by user. */
+  def sessionize(spark: SparkSession, sfDir: String, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** JSON extraction from the event payload (`props` is a JSON object like
+    * `{"k": 87}`): per-k event count and value stats. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+              col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+           duckRound(sum("value"), 4).as("sum_value"))
+      .orderBy("k")
+}

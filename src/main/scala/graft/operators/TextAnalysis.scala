@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.NumericFunctions.duckRound
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline: corpus statistics,
+  * token counting, quality scoring, marker-based document classification,
+  * and content fingerprinting.
+  *
+  * Everything here is pure Catalyst built-ins (array higher-order functions),
+  * so the whole pipeline stays in WholeStageCodegen — no UDF per row, no
+  * driver round-trips; it scales linearly with corpus bytes.
+  */
+object TextAnalysis {
+
+  /** Per-language corpus statistics. Averages are over integer columns
+    * (exact long sums), so results are deterministic across partitionings. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"), size(tokenize(col("text"))).cast("bigint").as("n_words"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           duckRound(avg("n_chars"), 4).as("avg_chars"),
+           duckRound(avg("n_words"), 4).as("avg_words"),
+           sum("n_words").as("total_words"))
+      .orderBy("lang")
+
+  /** Token counts per document: whitespace tokens and a BPE-ish subword
+    * estimate (ceil(len/4) pieces per word). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              wsTokenCount(col("text")).as("ws_tokens"),
+              bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /** Document quality scoring from length / word-shape / stopword ratios —
+    * the standard cheap filters applied before LLM training. All ratios are
+    * quotients of exact integer counts, rounded at the edge. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = tokenize(col("text"))
+    val nWords = size(ws).cast("double")
+    val nStop = size(filter(ws, w => w.isin(Stopwords: _*))).cast("double")
+    val totalLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("bigint")).cast("double")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        nWords.cast("bigint").as("n_words"),
+        duckRound(totalLen / nWords, 4).as("avg_word_len"),
+        duckRound(nStop / nWords, 4).as("stopword_ratio"),
+        // score: reward stopword presence and moderate word length;
+        // penalize very short documents.
+        duckRound(least(nWords / lit(50.0), lit(1.0)) * lit(0.5)
+          + least(nStop / nWords * lit(5.0), lit(1.0)) * lit(0.3)
+          + when(totalLen / nWords between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0)), 4)
+          .as("quality"))
+      .filter(col("n_words") > 0)
+      .orderBy("doc_id")
+  }
+
+  private val StreamMarkers = Seq("stream", "window", "event")
+  private val TableMarkers = Seq("table", "row", "column")
+  private val JoinMarkers = Seq("join", "merge", "hash")
+
+  /** Marker-word document classifier (the n-gram-heuristic language-ID
+    * shape: count marker hits per class, argmax with a deterministic tie
+    * order). Classes here are topical since the corpus is synthetic
+    * English word-soup, but the operator shape is exactly a language
+    * identifier's. */
+  def classifyDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = tokenize(col("text"))
+    def score(markers: Seq[String]) =
+      size(filter(ws, w => w.isin(markers: _*))).cast("bigint")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              score(StreamMarkers).as("s_stream"),
+              score(TableMarkers).as("s_table"),
+              score(JoinMarkers).as("s_join"))
+      .withColumn("pred",
+        when(col("s_stream") >= col("s_table") && col("s_stream") >= col("s_join"), "streaming")
+          .when(col("s_table") >= col("s_join"), "tabular")
+          .otherwise("relational"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint per document: md5 of whitespace-normalized text.
+    * The join key for exact dedup at scale (fingerprint once, shuffle the
+    * 32-byte digest instead of the document). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Karp-Rabin rolling polynomial hash over the token stream — a
+    * locality-sensitive fingerprint family (used for chunk-level dedup).
+    * Deterministic; exposed as a Scala function for the typed API and tests.
+    * Returns the set of hashes of every `window`-token chunk. */
+  def rollingHashes(tokens: IndexedSeq[String], window: Int, base: Long = 1000003L): Set[Long] = {
+    if (tokens.length < window) return Set.empty
+    val hs = tokens.map(stringHash64)
+    var pow = 1L // base^(window-1), for removing the outgoing token
+    var i = 1
+    while (i < window) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * base + hs(i); i += 1 }
+    var out = Set(h)
+    var j = window
+    while (j < tokens.length) {
+      h = (h - hs(j - window) * pow) * base + hs(j)
+      out += h
+      j += 1
+    }
+    out
+  }
+
+  /** Deterministic 64-bit FNV-1a string hash (no JVM hash dependence). */
+  def stringHash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
