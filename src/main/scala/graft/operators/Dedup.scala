@@ -61,7 +61,7 @@ object Dedup {
     * mod p over a 64-bit base hash of the shingle. Fixed seed → stable
     * signatures across runs and executors. */
   private val MinhashPrime = 2305843009213693951L // 2^61 - 1
-  private[operators] def minhashParams(numHashes: Int, seed: Long = 42L): Array[(Long, Long)] = {
+  private[graft] def minhashParams(numHashes: Int, seed: Long = 42L): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numHashes)((math.abs(rnd.nextLong()) % (MinhashPrime - 1) + 1,
                            math.abs(rnd.nextLong()) % MinhashPrime))
@@ -69,7 +69,7 @@ object Dedup {
 
   /** MinHash signature of a shingle set (library form, used by tests and the
     * typed API). */
-  private[operators] def minhashSignature(shingles: Iterable[String],
+  private[graft] def minhashSignature(shingles: Iterable[String],
                                           params: Array[(Long, Long)]): Array[Long] = {
     val sig = Array.fill(params.length)(Long.MaxValue)
     shingles.foreach { s =>
@@ -163,7 +163,7 @@ object Dedup {
 
   /** 64-bit SimHash of a token multiset: per-bit vote of FNV-1a token
     * hashes. Deterministic. */
-  private[operators] def simhash64(tokens: Iterable[String]): Long = {
+  private[graft] def simhash64(tokens: Iterable[String]): Long = {
     val votes = new Array[Int](64)
     tokens.foreach { t =>
       val h = TextAnalysis.stringHash64(t)

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpecBase {
+
+  test("exact ngram-jaccard and minhash-LSH agree on the planted near-dups") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH output is always a subset of exact (verification step), and at
+    // b=32/r=4 the miss probability at j≥0.8 is ~1e-4 per pair.
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty)
+    assert(lsh.size >= exact.size - 1, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("minhash signature similarity estimates jaccard") {
+    val params = Dedup.minhashParams(128)
+    val a = (1 to 100).map(i => s"sh$i")
+    val b = (21 to 120).map(i => s"sh$i") // |∩|=80, |∪|=120 → j=2/3
+    val sa = Dedup.minhashSignature(a, params)
+    val sb = Dedup.minhashSignature(b, params)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+    assert(math.abs(est - 2.0 / 3.0) < 0.15, s"estimate $est far from 2/3")
+  }
+
+  test("minhash signatures are order- and duplicate-insensitive (set semantics)") {
+    val params = Dedup.minhashParams(64)
+    val a = Seq("x", "y", "z")
+    assert(Dedup.minhashSignature(a, params).toSeq ===
+           Dedup.minhashSignature(a.reverse ++ Seq("x"), params).toSeq)
+  }
+
+  test("simhash: near-identical token sets → small hamming distance") {
+    val base = (1 to 200).map(i => s"w$i")
+    val near = base.drop(2) ++ Seq("other", "words")
+    val far = (1 to 200).map(i => s"v$i")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (hBase, hNear, hFar) =
+      (Dedup.simhash64(base), Dedup.simhash64(near), Dedup.simhash64(far))
+    assert(ham(hBase, hNear) < ham(hBase, hFar))
+    assert(ham(hBase, hBase) === 0)
+  }
+
+  test("dedup_exact keeps one row per distinct normalized text") {
+    val out = Dedup.dedupExact(spark, sf0001)
+    val total = out.agg(sum("n_dups")).collect()(0).getLong(0)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(total === docs) // every doc accounted for exactly once
+  }
+
+  test("embedding dedup pairs are within-bucket and above threshold") {
+    val rows = Dedup.embeddingDedupPairs(spark, sf0001, threshold = 0.2).collect()
+    assert(rows.forall(_.getDouble(2) >= 0.2))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for the suite (one JVM-wide session — Spark
+  * sessions are expensive; ScalaTest suites run sequentially under sbt's
+  * forked JVM). Config mirrors Verify/Bench. */
+object SparkSpecBase {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-tests")
+    .getOrCreate()
+}
+
+abstract class SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpecBase.spark
+  val sf0001 = "/root/testdata/sf0.001"
+  spark.sparkContext.setLogLevel("WARN")
+}

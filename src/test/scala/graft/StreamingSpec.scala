@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming tumbling window matches batch aggregation semantics") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val df = src.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.startMemorySink(
+      EventStreams.tumblingCounts(df, "1 hour", "10 minutes"), "tumbling_test")
+    try {
+      src.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "click", 4.0),
+        (ts("2024-01-01 10:30:00"), "view", 8.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test")
+        .select(col("window_start").cast("string"), col("event_type"),
+                col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got === Set(
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00", "click", 1L, 4.0),
+        ("2024-01-01 10:00:00", "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("stateful session counting via mapGroupsWithState") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp)]
+    val df = src.toDF().toDF("user_id", "ts")
+    val out = EventStreams.sessionCounts(spark, df, gapSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1: two events 10 min apart (1 session) then one 2h later (2nd).
+      src.addData((1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 09:10:00")))
+      q.processAllAvailable()
+      src.addData((1L, ts("2024-01-01 11:30:00")), (2L, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sessions_test")
+        .groupBy("user_id").agg(max("n_sessions").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 2L, 2L -> 1L))
+    } finally q.stop()
+  }
+
+  test("file-backed events stream plans as a streaming source") {
+    val df = EventStreams.eventsStream(spark, sf0001)
+    assert(df.isStreaming)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tok(s: String): Seq[String] = {
+    val df = Seq(s).toDF("text").select(TextFunctions.tokenize(col("text")).as("t"))
+    df.collect()(0).getSeq[String](0)
+  }
+
+  test("column tokenizer and Scala tokenizer are bit-identical") {
+    val cases = Seq("hola don pepito", "HOla dON!  seniOR", ",,hola!!. chau!$$",
+                    "", "   ", "único niño café", "a1b2c3", "ñandú über")
+    cases.foreach { s =>
+      assert(tok(s) === TextFunctions.tokenizeScala(s).toSeq, s"input: '$s'")
+    }
+  }
+
+  test("tokenizer drops empties and non-letters, keeps unicode letters") {
+    assert(tok("hola,,, hola!!. chau!$$") === Seq("hola", "hola", "chau"))
+    assert(tok("único ñandú") === Seq("único", "ñandú"))
+    assert(tok("12 34") === Seq.empty)
+  }
+
+  test("shingles: n-grams of the token sequence") {
+    val df = Seq("a b c d").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("s"))
+    assert(df.collect()(0).getSeq[String](0) === Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("s"))
+    assert(short.collect()(0).getSeq[String](0) === Seq.empty)
+  }
+
+  test("bpe token count: ceil(len/4) per word") {
+    val df = Seq("abcd abcde a").toDF("text")
+      .select(TextFunctions.bpeTokenCount(col("text")).as("n"))
+    assert(df.collect()(0).getLong(0) === (1 + 2 + 1))
+  }
+
+  test("rolling hashes: shifted windows share hashes, changed content doesn't") {
+    val t1 = "one two three four five six".split(" ").toIndexedSeq
+    val t2 = ("zero " + t1.mkString(" ")).split(" ").toIndexedSeq // shifted by 1
+    val h1 = TextAnalysis.rollingHashes(t1, 3)
+    val h2 = TextAnalysis.rollingHashes(t2, 3)
+    assert((h1 intersect h2) === h1) // every window of t1 appears in t2
+    val t3 = "one two CHANGED four five six".split(" ").toIndexedSeq
+    val h3 = TextAnalysis.rollingHashes(t3, 3)
+    assert((h1 intersect h3).size < h1.size)
+    assert(TextAnalysis.rollingHashes(IndexedSeq("a"), 3) === Set.empty[Long])
+  }
+
+  test("stringHash64 is deterministic and spreads") {
+    assert(TextAnalysis.stringHash64("hola") === TextAnalysis.stringHash64("hola"))
+    val hs = (1 to 1000).map(i => TextAnalysis.stringHash64(s"w$i")).toSet
+    assert(hs.size === 1000)
+  }
+}
