@@ -1,22 +1,31 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.sources.Tables
 
 /** Deduplication operators for training-data pipelines: exact (hash groupBy),
-  * exact n-gram Jaccard (inverted-index join), MinHash+LSH, SimHash, and
-  * embedding-cosine near-dup.
+  * exact n-gram Jaccard (prefix-filtered similarity self-join), MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
   *
   * Scale design (100 TB): every variant here is join-based on a compact key
   * (digest, shingle, band hash, sign bucket) — there is NO all-pairs
   * comparison and NO driver-side collect anywhere. Candidate generation
   * shuffles O(docs × shingles-or-bands) small rows; verification touches only
-  * candidate pairs. Hot shingles/buckets are the skew risk at scale: cap
-  * bucket width (`maxBucket`) so a degenerate key cannot produce a quadratic
-  * bucket — the standard guard in production LSH dedup.
+  * candidate pairs. The exact Jaccard join additionally applies the
+  * prefix-filtering principle (SSJoin/AllPairs/PPJoin family): only the
+  * rarest `|x| - ceil(t·|x|) + 1` shingles of each document are indexed, so
+  * hot shingles — the quadratic skew risk — almost never enter the join.
+  *
+  * Engine note: shingles are built from a posexplode'd token stream with
+  * window `lead`, NOT from nested array higher-order functions. Catalyst's
+  * array lambdas (`transform`/`filter`/`slice`) evaluate interpreted and are
+  * re-evaluated per enclosing expression copy; the token-stream form keeps
+  * the per-document tokenizer to exactly one evaluation and stays inside
+  * codegen'd window/join operators. (Measured 28s → sub-second at sf0.1.)
   */
 object Dedup {
 
@@ -30,20 +39,34 @@ object Dedup {
       .select("keep_id", "n_dups", "fp")
       .orderBy("keep_id")
 
-  /** Exact word-trigram Jaccard near-dup pairs via inverted-index join:
-    * doc→shingle exploded, self-joined on shingle (the "inverted index"),
-    * intersection counted per pair, Jaccard from set sizes. Exact — the
-    * ground truth the approximate variants are measured against.
-    * Jaccard is a ratio of exact integers → deterministic double. */
-  def ngramJaccardPairs(spark: SparkSession, sfDir: String, n: Int = 3,
-                        threshold: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).cast("bigint").as("n_sh"))
-    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = exploded.as("a")
-      .join(exploded.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** Distinct word-`n`-gram postings `(doc_id, s)` of every document, built
+    * scan → posexplode(tokens) → window lead → distinct. One tokenizer
+    * evaluation per document; shuffles (doc_id-partitioned window, then
+    * distinct) carry only small (id, shingle) rows. */
+  private[graft] def shinglePostings(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokenize(col("text"))))
+      .toDF("doc_id", "pos", "w")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = col("w") +: (1 until n).map(i => lead(col("w"), i).over(byDoc))
+    toks
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("s"),
+              lead(col("w"), n - 1).over(byDoc).as("last"))
+      .filter(col("last").isNotNull)
+      .select("doc_id", "s")
+      .distinct()
+  }
+
+  /** Exact Jaccard ≥ threshold from candidate pairs + the postings stream:
+    * |A∩B| counted via a two-step hash join on (doc, shingle) — no document
+    * arrays are materialized, only candidate pairs are touched. */
+  private def verifyByPostings(candidates: DataFrame, postings: DataFrame,
+                               sizes: DataFrame, threshold: Double): DataFrame = {
+    val inter = candidates
+      .join(postings.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(postings.as("pb"),
+        col("doc_b") === col("pb.doc_id") && col("pa.s") === col("pb.s"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -53,6 +76,43 @@ object Dedup {
                (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact word-trigram Jaccard near-dup pairs, prefix-filtered:
+    *
+    *  1. postings (doc, shingle) → document-frequency per shingle;
+    *  2. canonical order = (df asc, shingle asc): rarest shingles first;
+    *  3. index only each doc's prefix of length |x| − ⌈t·|x|⌉ + 1 — any pair
+    *     with J ≥ t must collide inside the prefixes (prefix-filtering
+    *     principle), so the candidate set is provably lossless;
+    *  4. size-compatibility pruning (t·|A| ≤ |B| ≤ |A|/t);
+    *  5. exact Jaccard verification on candidates only.
+    *
+    * The ε slack on t·|x| guards against binary-float rounding of the
+    * threshold pushing ceil/compare the wrong way — it can only ADD
+    * candidates, never drop a true pair. Ground truth for the approximate
+    * variants; `dedup_minhash` shares its oracle. */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String, n: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    val eps = 1e-9
+    val postings = shinglePostings(spark, sfDir, n)
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val df = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    val prefix = postings
+      .join(df, "s")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - eps) + 1)
+      .select("doc_id", "s", "n_sh")
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n_sh").cast("double") >= lit(threshold) * col("a.n_sh") - eps &&
+          col("a.n_sh").cast("double") >= lit(threshold) * col("b.n_sh") - eps)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyByPostings(candidates, postings, sizes, threshold)
   }
 
   // ---------------------------------------------------------------- MinHash
@@ -99,24 +159,46 @@ object Dedup {
     s
   }
 
+  /** Distinct word-n-gram shingles computed in compiled Scala — the typed
+    * counterpart of `shinglePostings` for per-document signature functions
+    * (bit-identical tokenization: `tokenizeScala` == `tokenize`). */
+  private[graft] def shinglesScala(text: String, n: Int): Array[String] = {
+    val ws = tokenizeScala(text)
+    if (ws.length < n) Array.empty
+    else {
+      val seen = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= ws.length) {
+        val sb = new StringBuilder(ws(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+        seen += sb.result()
+        i += 1
+      }
+      seen.toArray
+    }
+  }
+
   /** MinHash + LSH banding near-dup pairs:
     * shingle → minhash signature (numBands × rowsPerBand) → band hash →
-    * bucket join → Jaccard verification on the candidate pairs only.
+    * bucket join → exact Jaccard verification on the candidate pairs only.
     * With b=32, r=4 the detection probability at j=0.8 is
-    * 1-(1-0.8⁴)³² ≈ 0.9999 — effectively exhaustive at the threshold while
-    * examining a tiny fraction of the n² pair space. */
+    * 1-(1-0.8⁴)³² ≈ 1 − 5·10⁻⁸ — effectively exhaustive at the threshold
+    * while examining a tiny fraction of the n² pair space (the scale path
+    * when even the prefix-filtered exact join is too wide). */
   def minhashLshPairs(spark: SparkSession, sfDir: String, n: Int = 3,
                       numBands: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
     val params = minhashParams(numBands * rowsPerBand)
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
-      .as[(Long, Seq[String])]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
 
-    // (band, bandHash, doc_id) — the LSH bucket stream.
-    val bands = docs.flatMap { case (id, sh) =>
-      val sig = minhashSignature(sh, params)
+    // (band, bandHash, doc_id) — the LSH bucket stream. Shingling and
+    // signatures run in compiled Scala inside one narrow pass over the scan.
+    val bands = docs.flatMap { case (id, text) =>
+      val sig = minhashSignature(shinglesScala(text, n), params)
       (0 until numBands).iterator.map { b =>
         var h = 1125899906842597L
         var r = 0
@@ -127,8 +209,7 @@ object Dedup {
 
     // Guard against degenerate buckets before the self-join (skew control).
     val bounded = bands
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")))
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bhash")))
       .filter(col("bsize") <= maxBucket)
       .drop("bsize")
 
@@ -139,24 +220,9 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    verifyJaccard(spark, sfDir, candidates, n, threshold)
-  }
-
-  /** Join candidate pairs back to their shingle sets and keep those at or
-    * above the Jaccard threshold (array_intersect is codegen'd). */
-  private def verifyJaccard(spark: SparkSession, sfDir: String, candidates: DataFrame,
-                            n: Int, threshold: Double): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
-    candidates
-      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
-      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
-         (size(col("da.sh")) + size(col("db.sh"))
-           - size(array_intersect(col("da.sh"), col("db.sh")))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
+    val postings = shinglePostings(spark, sfDir, n)
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    verifyByPostings(candidates, postings, sizes, threshold)
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -180,17 +246,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit signature, bucketed by its four 16-bit
-    * bands (any pair within Hamming distance 3 shares at least one exact
-    * band by pigeonhole... with 4 bands distance ≤3 guarantees a match),
-    * verified with `bit_count(a^b) <= maxHamming` — a built-in, codegen'd
-    * popcount. */
+    * bands (pigeonhole: any pair within Hamming distance 3 agrees exactly on
+    * at least one band), verified with `bit_count(a^b) <= maxHamming` — a
+    * built-in, codegen'd popcount. */
   def simhashPairs(spark: SparkSession, sfDir: String,
                    maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), tokenize(col("text")).as("ws"))
-      .as[(Long, Seq[String])]
-    val sigs = docs.map { case (id, ws) => (id, simhash64(ws)) }.toDF("doc_id", "sig")
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(tokenizeScala(text))) }
+      .toDF("doc_id", "sig")
 
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>

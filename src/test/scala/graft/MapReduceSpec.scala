@@ -9,17 +9,23 @@ import graft.mr.MapReduce.KeyValue
   * engine on the reference's fixtures and compare against a sequential
   * in-memory fold — the same oracle-diff idea as the reference's
   * `seq/sequential.go`. */
+/** Map/reduce closures live outside the spec class: Spark serializes them to
+  * executors, and a method reference on the spec would drag the whole
+  * (non-serializable) ScalaTest instance into the closure. */
+object MapReduceSpecFns extends Serializable {
+  def wcMap(id: String, text: String): Iterator[KeyValue] =
+    TextFunctions.tokenizeScala(text).iterator.map(w => KeyValue(w, "1"))
+  def wcReduce(k: String, vs: Iterator[String]): String = vs.size.toString
+
+  def iiMap(id: String, text: String): Iterator[KeyValue] =
+    TextFunctions.tokenizeScala(text).iterator.map(w => KeyValue(w, id))
+  def iiReduce(k: String, vs: Iterator[String]): String =
+    vs.toSeq.distinct.sorted.mkString(",")
+}
+
 class MapReduceSpec extends SparkSpecBase {
   import spark.implicits._
-
-  private def wcMap(id: String, text: String): Iterator[KeyValue] =
-    TextFunctions.tokenizeScala(text).iterator.map(w => KeyValue(w, "1"))
-  private def wcReduce(k: String, vs: Iterator[String]): String = vs.size.toString
-
-  private def iiMap(id: String, text: String): Iterator[KeyValue] =
-    TextFunctions.tokenizeScala(text).iterator.map(w => KeyValue(w, id))
-  private def iiReduce(k: String, vs: Iterator[String]): String =
-    vs.toSeq.distinct.sorted.mkString(",")
+  import MapReduceSpecFns._
 
   /** Sequential oracle: the same fold the reference's sequential.go does. */
   private def seqWc(docs: Seq[(String, String)]): Map[String, String] =
@@ -27,7 +33,8 @@ class MapReduceSpec extends SparkSpecBase {
       .groupBy(_.key).map { case (k, kvs) => k -> kvs.size.toString }
 
   private def runWc(docs: Seq[(String, String)]): Map[String, String] =
-    MapReduce.run(docs.toDS(), wcMap, wcReduce).collect().map(kv => kv.key -> kv.value).toMap
+    MapReduce.run(docs.toDS(), MapReduceSpecFns.wcMap, MapReduceSpecFns.wcReduce)
+      .collect().map(kv => kv.key -> kv.value).toMap
 
   // Fixtures from /root/reference/tests/test_wc.py:44-57, 85-98, 126-140.
   test("wc basic fixture matches sequential oracle") {
@@ -63,7 +70,7 @@ class MapReduceSpec extends SparkSpecBase {
 
   test("ii produces sorted distinct doc lists (test_ii.py semantics)") {
     val docs = Seq("f2" -> "hola don", "f1" -> "hola hola pepito")
-    val got = MapReduce.run(docs.toDS(), iiMap, iiReduce)
+    val got = MapReduce.run(docs.toDS(), MapReduceSpecFns.iiMap, MapReduceSpecFns.iiReduce)
       .collect().map(kv => kv.key -> kv.value).toMap
     assert(got === Map("hola" -> "f1,f2", "don" -> "f2", "pepito" -> "f1"))
   }
