@@ -10,10 +10,12 @@ import graft.operators._
   *
   * Every entry in `queries` is one operator from SURVEY.md §2 / the
   * north-star extension list; `oracleSql` holds the equivalent DuckDB SQL
-  * for the driver's differential check (omitted only for the approximate
-  * operators — MinHash LSH, SimHash, hyperplane ANN — whose outputs are
-  * not SQL-expressible; those are covered by the ScalaTest suite against
-  * their exact counterparts instead).
+  * for the driver's differential check. The only query without an oracle is
+  * `similarity_ann` (random-hyperplane LSH — covered by a recall spec
+  * against `similarity_knn` instead); every other operator, including the
+  * approximate dedup sketches, is differentially checked: MinHash verifies
+  * candidates to exact Jaccard (output == the exact join), and SimHash's
+  * token hash is md5_number_lower on both engines.
   */
 object SparkEntry {
 
@@ -59,6 +61,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
+    "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
     "similarity_ann" -> ((s, d) => Similarity.annHyperplane(s, d)),
     // -- multimodal plumbing (north star) --
     "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
@@ -66,8 +69,8 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted: dedup_minhash, dedup_simhash,
-    * similarity_ann (approximate — no SQL-expressible oracle). */
+    * the same parquet tables. Omitted: similarity_ann only (random
+    * projections — covered by the recall spec vs similarity_knn). */
   def oracleSql: Map[String, String] = Map(
     "wc" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents)
@@ -181,6 +184,53 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // dedup_minhash: with b=32 bands × r=4 rows the LSH candidate set
+    // provably contains every pair with J ≥ 0.8 except with prob ~5e-8 per
+    // pair, and candidates are verified with exact Jaccard — so the output
+    // equals the exact n-gram join's and shares its oracle (equality
+    // asserted empirically at sf0.01/sf0.1 and in DedupSpec).
+    "dedup_minhash" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // dedup_simhash: token hash = md5_number_lower on both sides, so the
+    // whole sketch (bit votes → 64-bit signature → hamming ≤ 3) is exactly
+    // expressible in DuckDB. The banding in the Spark plan is pure candidate
+    // pruning (pigeonhole: hamming ≤ 3 pairs always share a 16-bit band).
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS w FROM documents),
+        |h AS (SELECT doc_id, md5_number_lower(w) AS h FROM toks),
+        |bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h, range(64) t(i) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS UBIGINT) << i) ELSE 0 END) AS UBIGINT) AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, emb, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY list_cosine_similarity(emb, cent_emb) DESC, cent_id) AS rn
+        |  FROM e, c),
+        |cell AS (SELECT vec_id, emb, cent_id AS cell FROM asg WHERE rn = 1),
+        |p AS (SELECT vec_id AS probe_id, emb AS probe_emb, cell FROM cell WHERE vec_id < 10),
+        |s AS (SELECT probe_id, a.vec_id AS neighbor_id, list_cosine_similarity(probe_emb, a.emb) AS cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, a.emb) DESC, a.vec_id) AS rn
+        |  FROM cell a JOIN p ON a.cell = p.cell AND a.vec_id <> p.probe_id)
+        |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt

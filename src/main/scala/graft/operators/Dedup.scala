@@ -227,12 +227,13 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of a token multiset: per-bit vote of FNV-1a token
-    * hashes. Deterministic. */
+  /** 64-bit SimHash of a token multiset: per-bit vote of the tokens' MD5
+    * lower halves (`md5Low64` == DuckDB `md5_number_lower`, which makes the
+    * whole sketch SQL-oracle-expressible). Deterministic. */
   private[graft] def simhash64(tokens: Iterable[String]): Long = {
     val votes = new Array[Int](64)
     tokens.foreach { t =>
-      val h = TextAnalysis.stringHash64(t)
+      val h = TextAnalysis.md5Low64(t)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

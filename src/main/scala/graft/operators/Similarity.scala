@@ -41,6 +41,42 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors — the classic
+    * coarse-quantizer ANN layout: every vector is assigned to its nearest
+    * centroid cell (centroids = the first `numCentroids` vectors, a
+    * deterministic training-free codebook); a probe scans only its own cell.
+    * At scale the corpus is partitioned BY cell, so a probe touches one
+    * partition instead of the whole corpus — the standard billion-vector
+    * layout (IVF from the FAISS lineage). nprobe=1 here; recall vs
+    * `knnBrute` is measured in the test suite. Fully deterministic
+    * (cosine ties broken by centroid id, then vec_id) → SQL-oracle-checked. */
+  def ivfSearch(spark: SparkSession, sfDir: String,
+                numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cc").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+              VectorFunctions.cosine(col("embedding"), col("cent_emb")).as("cc"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val probes = assigned.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+              VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Approximate nearest neighbors via random-hyperplane LSH: corpus and
     * probes are bucketed by the sign pattern of `bits` random projections
     * (deterministic seed); each probe scans only its bucket

@@ -119,6 +119,24 @@ object TextAnalysis {
     out
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower 64 bits of MD5(s): digest bytes 8..15 read little-endian — the
+    * exact value of DuckDB's `md5_number_lower`, so sketches built on this
+    * hash are SQL-oracle-expressible (used by SimHash). */
+  def md5Low64(s: String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 7
+    while (i >= 0) { h = (h << 8) | (d(8 + i) & 0xffL); i -= 1 }
+    h
+  }
+
   /** Deterministic 64-bit FNV-1a string hash (no JVM hash dependence). */
   def stringHash64(s: String): Long = {
     var h = 0xcbf29ce484222325L

@@ -10,11 +10,17 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLshPairs(spark, sf0001)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // LSH output is always a subset of exact (verification step), and at
-    // b=32/r=4 the miss probability at j≥0.8 is ~1e-4 per pair.
-    assert(lsh.subsetOf(exact))
+    // LSH output is always a subset of exact (verification step); at
+    // b=32/r=4 the miss probability at j≥0.8 is ~5e-8 per pair and the
+    // pipeline is deterministic (fixed seed), so the outputs are EQUAL —
+    // which is why dedup_minhash shares dedup_ngram's DuckDB oracle.
     assert(exact.nonEmpty)
-    assert(lsh.size >= exact.size - 1, s"LSH recall too low: ${lsh.size}/${exact.size}")
+    assert(lsh === exact)
+  }
+
+  test("md5Low64 equals DuckDB md5_number_lower (known vector)") {
+    // duckdb: SELECT md5_number_lower('hola') → 4661870554814853716
+    assert(graft.operators.TextAnalysis.md5Low64("hola") === 4661870554814853716L)
   }
 
   test("minhash signature similarity estimates jaccard") {

@@ -46,6 +46,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ann.nonEmpty)
   }
 
+  test("ivfSearch: deterministic cells, k ranked neighbors, decent recall vs brute") {
+    val exact = Similarity.knnBrute(spark, sf0001, numProbes = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfSearch(spark, sf0001, numProbes = 10, k = 5).collect()
+    val pairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe=1 over 16 cells scans ~1/16 of the corpus; recall must beat
+    // chance (≈1%) by a wide margin, and ranks must be 1..k dense per probe.
+    val recall = (pairs intersect exact).size.toDouble / exact.size
+    assert(recall > 0.15, s"IVF recall $recall suspiciously low")
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length))
+    }
+    // repeated run is bit-identical (deterministic assignment + tie-breaks)
+    val again = Similarity.ivfSearch(spark, sf0001, numProbes = 10, k = 5).collect()
+    assert(again.map(_.toString).sorted.toSeq === ivf.map(_.toString).sorted.toSeq)
+  }
+
   test("signBucket produces one bit per leading dimension") {
     val df = Seq(Seq(1.0f, -2.0f, 0.0f, 5.0f)).toDF("v")
       .select(VectorFunctions.signBucket(col("v"), 4).as("b"))
