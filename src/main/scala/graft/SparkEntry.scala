@@ -47,6 +47,9 @@ object SparkEntry {
     "tumbling_window" -> ((s, d) => Relational.tumblingWindow(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
+    // -- structured streaming (bounded replay through real streaming queries) --
+    "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
+    "stream_dedup" -> ((s, d) => graft.streaming.EventStreams.streamDedupQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -133,6 +136,13 @@ object SparkEntry {
     "json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
     "text_stats" ->
       """WITH d AS (SELECT lang, n_chars, len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS n_words FROM documents)
         |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,

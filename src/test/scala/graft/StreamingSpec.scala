@@ -60,4 +60,21 @@ class StreamingSpec extends SparkSpecBase {
     val df = EventStreams.eventsStream(spark, sf0001)
     assert(df.isStreaming)
   }
+
+  test("bounded replay: stream_tumbling materialization equals the batch query") {
+    val streamed = EventStreams.streamTumblingQuery(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.Relational.tumblingWindow(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
+
+  test("bounded replay: stream_dedup emits exactly the distinct fingerprints") {
+    val streamed = EventStreams.streamDedupQuery(spark, sf0001)
+      .collect().map(_.getString(0)).toSeq
+    val batch = graft.operators.TextAnalysis.fingerprint(spark, sf0001)
+      .select("fp").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed === streamed.sorted)
+  }
 }
