@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.expressions.{CosineSimilarity, ShingleArray}
+
+/** Engine extension point, registered via
+  * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
+  * Verify, Bench, Explore, the test base — sets it). Injects the native
+  * codegen expressions as SQL-callable functions, so both the DataFrame API
+  * (`functions.call_function`) and `spark.sql(...)` reach them:
+  *
+  *  - `graft_cosine(array<float>, array<float>) → double`
+  *  - `graft_shingles(string, n) → array<string>`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(a, b) takes two array<float> columns")
+        CosineSimilarity(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(text, n) takes a string column and an int literal")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval().asInstanceOf[Number].intValue()
+        }
+        ShingleArray(args.head, n)
+      }))
+  }
+}

@@ -39,23 +39,14 @@ object Dedup {
       .select("keep_id", "n_dups", "fp")
       .orderBy("keep_id")
 
-  /** Distinct word-`n`-gram postings `(doc_id, s)` of every document, built
-    * scan → posexplode(tokens) → window lead → distinct. One tokenizer
-    * evaluation per document; shuffles (doc_id-partitioned window, then
-    * distinct) carry only small (id, shingle) rows. */
-  private[graft] def shinglePostings(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), posexplode(tokenize(col("text"))))
-      .toDF("doc_id", "pos", "w")
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val parts = col("w") +: (1 until n).map(i => lead(col("w"), i).over(byDoc))
-    toks
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("s"),
-              lead(col("w"), n - 1).over(byDoc).as("last"))
-      .filter(col("last").isNotNull)
-      .select("doc_id", "s")
-      .distinct()
-  }
+  /** Distinct word-`n`-gram postings `(doc_id, s)` of every document:
+    * scan → `graft_shingles` (native codegen kernel, one compiled pass per
+    * document, already distinct) → explode. Zero shuffles — the postings
+    * stream comes straight off the scan. */
+  private[graft] def shinglePostings(spark: SparkSession, sfDir: String, n: Int): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              explode(call_function("graft_shingles", col("text"), lit(n))).as("s"))
 
   /** Exact Jaccard ≥ threshold from candidate pairs + the postings stream:
     * |A∩B| counted via a two-step hash join on (doc, shingle) — no document

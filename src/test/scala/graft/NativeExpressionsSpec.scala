@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Differential tests of the native codegen expressions against their
+  * reference formulations (the interpreted HOF compositions they replaced).
+  * Bit-exact equality is the contract — the DuckDB oracle hashes rely on it. */
+class NativeExpressionsSpec extends SparkSpecBase {
+
+  test("native graft_cosine is bit-identical to the HOF fold on real embeddings") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(5000)
+    val diff = pairs.select(
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        VectorFunctions.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .filter(col("native") =!= col("hof"))  // bitwise double inequality
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("native graft_shingles equals the HOF shingleSet on the corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val diff = docs.select(
+        call_function("graft_shingles", col("text"), lit(3)).as("native"),
+        TextFunctions.shingleSet(col("text"), 3).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("graft_shingles edge cases: short docs, leading punctuation, empty") {
+    val rows = Seq("", "!!!", "one two", "  a b c  ", "x!y?z", "a a a a")
+    import spark.implicits._
+    val got = rows.toDF("text")
+      .select(call_function("graft_shingles", col("text"), lit(3)).as("s"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) === Nil)                       // empty text
+    assert(got(1) === Nil)                       // delimiters only
+    assert(got(2) === Nil)                       // fewer than n tokens
+    assert(got(3) === List("a b c"))             // leading/trailing delimiters
+    assert(got(4) === List("x y z"))             // punctuation as separators
+    assert(got(5) === List("a a a"))             // distinct-set semantics
+  }
+
+  test("native expressions are SQL-callable via GraftExtensions") {
+    spark.read.parquet(s"$sf0001/embeddings.parquet").limit(2)
+      .createOrReplaceTempView("emb_tmp")
+    val n = spark.sql(
+      "SELECT graft_cosine(a.embedding, b.embedding) c FROM emb_tmp a, emb_tmp b").count()
+    assert(n === 4)
+  }
+}
