@@ -47,6 +47,8 @@ object SparkEntry {
     "tumbling_window" -> ((s, d) => Relational.tumblingWindow(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
+    "asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
+    "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.EventStreams.streamDedupQuery(s, d)),
@@ -55,6 +57,7 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // -- dedup (north star) --
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -136,6 +139,41 @@ object SparkEntry {
     "json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |c AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tsu FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(c.tsu) AS click_us, epoch_us(p.tsu) AS purchase_us
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.tsu <= c.tsu
+        |ORDER BY c.event_id""".stripMargin,
+    "rollup_pricing" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST((length(t)-length(replace(t,'the','')))/3 + (length(t)-length(replace(t,'ing','')))/3
+        |     + (length(t)-length(replace(t,'and','')))/3 + (length(t)-length(replace(t,' th','')))/3
+        |     + (length(t)-length(replace(t,'ion','')))/3 AS BIGINT) AS s_en,
+        |  CAST((length(t)-length(replace(t,' de','')))/3 + (length(t)-length(replace(t,'que','')))/3
+        |     + (length(t)-length(replace(t,'los','')))/3 + (length(t)-length(replace(t,'ión','')))/3
+        |     + (length(t)-length(replace(t,'ent','')))/3 AS BIGINT) AS s_es,
+        |  CAST((length(t)-length(replace(t,'der','')))/3 + (length(t)-length(replace(t,'ein','')))/3
+        |     + (length(t)-length(replace(t,'sch','')))/3 + (length(t)-length(replace(t,'ich','')))/3
+        |     + (length(t)-length(replace(t,'den','')))/3 AS BIGINT) AS s_de,
+        |  CAST((length(t)-length(replace(t,' de','')))/3 + (length(t)-length(replace(t,'les','')))/3
+        |     + (length(t)-length(replace(t,'ent','')))/3 + (length(t)-length(replace(t,'une','')))/3
+        |     + (length(t)-length(replace(t,'ais','')))/3 AS BIGINT) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred
+        |FROM s ORDER BY doc_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value

@@ -117,6 +117,53 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** As-of join — the temporal operator Spark's built-in joins lack: for
+    * every click event, the most recent purchase of the same user at or
+    * before the click. Implemented as union-tag → single window pass
+    * (`last(purchase_ts) ignoreNulls` over rows-unbounded-preceding), which
+    * shuffles each side ONCE on the join key and never materializes the
+    * range-join pair space — the scale-out formulation (a range join would
+    * explode on hot users; the merge-scan here is O(n log n) per user).
+    * Purchases sort before clicks at equal timestamps → inclusive `<=`
+    * semantics, matching DuckDB's `ASOF LEFT JOIN ... ON b.ts <= a.ts`
+    * oracle. Timestamps exported as epoch micros for dialect-free compare. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val tagged = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
+      .unionByName(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+                  lit(0).as("tag")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("purchase_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("click_us"),
+              unix_micros(col("purchase_ts")).as("purchase_us"))
+      .orderBy("event_id")
+  }
+
+  /** Hierarchical aggregate (ROLLUP): pricing totals at (flag, status),
+    * per-flag subtotal, and grand total in one pass — Catalyst plans a
+    * single Expand + partial/final hash aggregate, no re-scan per level.
+    * Subtotal slots surface as 'ALL' so the differential compare is
+    * null-free. */
+  def rollupPricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(duckRound(sum("l_quantity"), 2).as("sum_qty"),
+           duckRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+           count(lit(1)).as("count_order"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("sum_disc_price"), col("count_order"))
+      .orderBy("returnflag", "linestatus")
+
   /** JSON extraction from the event payload (`props` is a JSON object like
     * `{"k": 87}`): per-k event count and value stats. */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =

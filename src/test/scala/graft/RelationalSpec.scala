@@ -40,6 +40,45 @@ class RelationalSpec extends SparkSpecBase {
     assert(rows.forall(_.getDouble(1) > 0))
   }
 
+  test("asofJoin: every click matched to the latest purchase at or before it") {
+    val out = Relational.asofJoin(spark, sf0001).collect()
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val purchasesByUser = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val clicks = ev.count(_._2 == "click")
+    assert(out.length === clicks)
+    out.foreach { r =>
+      val (user, clickUs) = (r.getLong(1), r.getLong(2))
+      val expected = purchasesByUser.getOrElse(user, Seq.empty[Long])
+        .filter(_ <= clickUs).lastOption
+      val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(got === expected, s"user=$user click=$clickUs")
+    }
+  }
+
+  test("rollupPricing: subtotals and grand total are consistent") {
+    val rows = Relational.rollupPricing(spark, sf0001).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1)
+    val leafCount = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+      .map(_.getLong(4)).sum
+    assert(grand(0).getLong(4) === leafCount)
+    assert(grand(0).getLong(4) === Tables.lineitem(spark, sf0001).count())
+  }
+
+  test("langId: deterministic integer scores, argmax prediction") {
+    val rows = graft.operators.TextAnalysis.langId(spark, sf0001).collect()
+    assert(rows.length === spark.read.parquet(s"$sf0001/documents.parquet").count())
+    rows.foreach { r =>
+      val scores = Map("en" -> r.getLong(1), "es" -> r.getLong(2),
+                       "de" -> r.getLong(3), "fr" -> r.getLong(4))
+      val best = scores.values.max
+      assert(scores(r.getString(5)) === best, s"pred not argmax in $r")
+    }
+  }
+
   test("events loader yields proper timestamps from nanos parquet") {
     val ts = Tables.events(spark, sf0001).select("ts")
     assert(ts.schema("ts").dataType.typeName === "timestamp")
