@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CosineSimilarity, ShingleArray}
+import graft.functions.expressions.{BandHashes, CosineSimilarity, MinHashAgg, ShingleArray}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -35,5 +35,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ShingleArray(args.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash(shingle, numHashes) — aggregate")
+        MinHashAgg(args.head, intArg(args(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bands"),
+      new ExpressionInfo(classOf[BandHashes].getName, "graft_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_bands(signature, numBands, rowsPerBand)")
+        BandHashes(args.head, intArg(args(1)), intArg(args(2)))
+      }))
+  }
+
+  private def intArg(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => other.eval().asInstanceOf[Number].intValue()
   }
 }

@@ -118,22 +118,28 @@ object Dedup {
                            math.abs(rnd.nextLong()) % MinhashPrime))
   }
 
+  /** Fold ONE shingle into a running MinHash signature (the `update` step of
+    * the `graft_minhash` Catalyst aggregate — elementwise min keeps it
+    * associative/commutative for partial aggregation). */
+  private[graft] def minhashUpdate(sig: Array[Long], s: String,
+                                   params: Array[(Long, Long)]): Unit = {
+    val h = TextAnalysis.stringHash64(s) & Long.MaxValue
+    var i = 0
+    while (i < params.length) {
+      val (a, b) = params(i)
+      var v = mulModMersenne61(a, h % MinhashPrime) + b
+      if (v >= MinhashPrime) v -= MinhashPrime
+      if (v < sig(i)) sig(i) = v
+      i += 1
+    }
+  }
+
   /** MinHash signature of a shingle set (library form, used by tests and the
     * typed API). */
   private[graft] def minhashSignature(shingles: Iterable[String],
                                           params: Array[(Long, Long)]): Array[Long] = {
     val sig = Array.fill(params.length)(Long.MaxValue)
-    shingles.foreach { s =>
-      val h = TextAnalysis.stringHash64(s) & Long.MaxValue
-      var i = 0
-      while (i < params.length) {
-        val (a, b) = params(i)
-        var v = mulModMersenne61(a, h % MinhashPrime) + b
-        if (v >= MinhashPrime) v -= MinhashPrime
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-    }
+    shingles.foreach(minhashUpdate(sig, _, params))
     sig
   }
 
@@ -171,8 +177,10 @@ object Dedup {
   }
 
   /** MinHash + LSH banding near-dup pairs:
-    * shingle → minhash signature (numBands × rowsPerBand) → band hash →
-    * bucket join → exact Jaccard verification on the candidate pairs only.
+    * shingle postings → `graft_minhash` AGGREGATE (per-doc signature with
+    * map-side partial aggregation — the shuffle carries 128-long sketches,
+    * not shingles) → `graft_bands` band hashes → bucket join → exact
+    * Jaccard verification on the candidate pairs only.
     * With b=32, r=4 the detection probability at j=0.8 is
     * 1-(1-0.8⁴)³² ≈ 1 − 5·10⁻⁸ — effectively exhaustive at the threshold
     * while examining a tiny fraction of the n² pair space (the scale path
@@ -180,23 +188,18 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, sfDir: String, n: Int = 3,
                       numBands: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
-    import spark.implicits._
-    val params = minhashParams(numBands * rowsPerBand)
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+    val postings = shinglePostings(spark, sfDir, n)
 
-    // (band, bandHash, doc_id) — the LSH bucket stream. Shingling and
-    // signatures run in compiled Scala inside one narrow pass over the scan.
-    val bands = docs.flatMap { case (id, text) =>
-      val sig = minhashSignature(shinglesScala(text, n), params)
-      (0 until numBands).iterator.map { b =>
-        var h = 1125899906842597L
-        var r = 0
-        while (r < rowsPerBand) { h = h * 31 + sig(b * rowsPerBand + r); r += 1 }
-        (b, h, id)
-      }
-    }.toDF("band", "bhash", "doc_id")
+    // (band, bandHash, doc_id) — the LSH bucket stream, fully relational:
+    // aggregate to signatures, band-hash with the compiled kernel, explode.
+    val bands = postings
+      .groupBy("doc_id")
+      .agg(call_function("graft_minhash", col("s"),
+             lit(numBands * rowsPerBand)).as("sig"))
+      .select(col("doc_id"),
+              posexplode(call_function("graft_bands", col("sig"),
+                lit(numBands), lit(rowsPerBand))))
+      .toDF("doc_id", "band", "bhash")
 
     // Guard against degenerate buckets before the self-join (skew control).
     val bounded = bands
@@ -211,7 +214,6 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val postings = shinglePostings(spark, sfDir, n)
     val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     verifyByPostings(candidates, postings, sizes, threshold)
   }

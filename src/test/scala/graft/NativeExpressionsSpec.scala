@@ -44,6 +44,25 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(got(5) === List("a a a"))             // distinct-set semantics
   }
 
+  test("graft_minhash aggregate equals the library signature, with partial aggregation") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val params = Dedup.minhashParams(16)
+    val agg = Dedup.shinglePostings(spark, sf0001, 3)
+      .groupBy("doc_id")
+      .agg(call_function("graft_minhash", col("s"), lit(16)).as("sig"))
+    // partial aggregation planned (ObjectHashAggregate partial + final)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_minhash"), s"no partial agg in:\n$plan")
+    agg.collect().take(50).foreach { r =>
+      val expected = Dedup.minhashSignature(
+        Dedup.shinglesScala(docs(r.getLong(0)), 3), params).toSeq
+      assert(r.getSeq[Long](1).toSeq === expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("native expressions are SQL-callable via GraftExtensions") {
     spark.read.parquet(s"$sf0001/embeddings.parquet").limit(2)
       .createOrReplaceTempView("emb_tmp")
