@@ -43,6 +43,8 @@ object SparkEntry {
     "distinct_users" -> ((s, d) => Relational.distinctUsers(s, d)),
     "join_orders_customers" -> ((s, d) => Relational.joinOrdersCustomers(s, d)),
     "multi_join_agg" -> ((s, d) => Relational.multiJoinAgg(s, d)),
+    "q5_region" -> ((s, d) => Relational.regionRevenue(s, d)),
+    "sliding_window" -> ((s, d) => Relational.slidingWindow(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "tumbling_window" -> ((s, d) => Relational.tumblingWindow(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
@@ -121,6 +123,23 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q5_region" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+        |x AS (SELECT epoch_us(tsu) // 900000000 * 900000000 AS grid, event_type, value FROM e),
+        |w AS (SELECT make_timestamp(grid - i * 900000000) AS ws, event_type, value
+        |      FROM x, range(4) t(i))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

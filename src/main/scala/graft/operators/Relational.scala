@@ -117,6 +117,47 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** TPC-H Q5-flavor 6-table join: local-supplier revenue per nation within
+    * one region. Exercises every remaining TPC-H-ish table (supplier,
+    * region). Join strategy at scale: lineitem⋈orders shuffles once on the
+    * order key; supplier, customer, nation, region are dimensions →
+    * broadcast, so the fact side never reshuffles for them; the
+    * customer-nation == supplier-nation "local" predicate collapses into
+    * the broadcast join conditions. Region filter reaches the region scan
+    * (PushedFilters) and prunes the broadcast build sides transitively. */
+  def regionRevenue(spark: SparkSession, sfDir: String, region: String = "ASIA"): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir).filter(col("r_name") === region)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(duckRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy("n_name")
+  }
+
+  /** Sliding (hopping) window: hourly aggregates advancing every 15 minutes
+    * — each event lands in 4 overlapping windows. Spark's `window()` plans
+    * this as a 4-way Expand before the aggregate (no self-join, single
+    * shuffle), the same shape its streaming engine uses. */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           duckRound(sum("value"), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   /** As-of join — the temporal operator Spark's built-in joins lack: for
     * every click event, the most recent purchase of the same user at or
     * before the click. Implemented as union-tag → single window pass
