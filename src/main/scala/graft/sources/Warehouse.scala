@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical-layout sinks — the storage-side half of the 100 TB design:
+  *
+  *  - **Bucketed tables**: pre-shuffle a fact table by its join key once at
+  *    write time; every later equi-join/aggregation on that key reads
+  *    co-located buckets and plans with NO Exchange. This is how repeated
+  *    joins amortize their shuffle at scale (the plan-level proof lives in
+  *    WarehouseSpec: SortMergeJoin over two bucketed scans, zero shuffles).
+  *  - **Partitioned layout**: directory partitioning by a low-cardinality
+  *    column; predicate → partition pruning at planning time, so a filter on
+  *    the partition column reads only its directories.
+  */
+object Warehouse {
+
+  /** Write `df` as a bucketed+sorted managed table on `key` — the join key
+    * pays its shuffle exactly once, here. */
+  def writeBucketed(df: DataFrame, key: String, table: String, buckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Equi-join of two tables bucketed on the join keys: with matching
+    * bucket counts Catalyst plans bucket-local SortMergeJoin, no Exchange
+    * on either side. */
+  def cogroupJoin(spark: SparkSession, left: String, right: String,
+                  leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+
+  /** Write `df` directory-partitioned by `partCol`. */
+  def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+}
