@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, CosineSimilarity, MinHashAgg, ShingleArray}
+import graft.functions.expressions.{BandHashes, ChunkStats, CosineSimilarity, MinHashAgg, ShingleArray}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_bands(signature, numBands, rowsPerBand)")
         BandHashes(args.head, intArg(args(1)), intArg(args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chunkstats"),
+      new ExpressionInfo(classOf[ChunkStats].getName, "graft_chunkstats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_chunkstats(text, window)")
+        ChunkStats(args.head, intArg(args(1)))
       }))
   }
 

@@ -61,6 +61,7 @@ object SparkEntry {
     "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     // -- dedup (north star) --
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -235,6 +236,15 @@ object SparkEntry {
     "fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "chunk_fingerprint" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),
+        |c AS (SELECT doc_id, CASE WHEN len(hs) >= 8
+        |      THEN list_transform(range(1, len(hs) - 6), i -> list_reduce(hs[i:i+7], (a, b) -> (a * 1000003 + b) % 4294967296))
+        |      ELSE CAST([] AS BIGINT[]) END AS ch FROM h)
+        |SELECT doc_id, len(ch) AS n_chunks, list_min(ch) AS fp_min, list_max(ch) AS fp_max,
+        |  CAST(list_sum(ch) AS BIGINT) AS fp_sum
+        |FROM c ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp FROM f GROUP BY fp ORDER BY keep_id""".stripMargin,

@@ -131,6 +131,19 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Rolling-hash chunk fingerprint summary per document (`graft_chunkstats`
+    * native kernel): every 8-token Karp–Rabin chunk hash, summarized as
+    * (count, min, max, sum) — the chunk-level-dedup fingerprint, 32-bit
+    * arithmetic pinned so DuckDB expresses the identical computation. */
+  def chunkFingerprint(spark: SparkSession, sfDir: String, window: Int = 8): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              call_function("graft_chunkstats", col("text"), lit(window)).as("cs"))
+      .select(col("doc_id"), col("cs.n_chunks").as("n_chunks"),
+              col("cs.fp_min").as("fp_min"), col("cs.fp_max").as("fp_max"),
+              col("cs.fp_sum").as("fp_sum"))
+      .orderBy("doc_id")
+
   /** Karp-Rabin rolling polynomial hash over the token stream — a
     * locality-sensitive fingerprint family (used for chunk-level dedup).
     * Deterministic; exposed as a Scala function for the typed API and tests.

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.ChunkKernel
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ScalaCheck properties over the compiled kernels — the reference's
+  * differential-testing spirit (SURVEY.md §5) applied to the scalar layer:
+  * algebraic identities that must hold for ANY input, not just fixtures. */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val word: Gen[String] = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+  private val words: Gen[List[String]] = Gen.listOf(word)
+  private val text: Gen[String] = for {
+    ws <- words
+    sep <- Gen.listOfN(math.max(ws.length - 1, 0), Gen.oneOf(" ", ", ", "! ", "\n", "  "))
+  } yield ws.zipAll(sep, "", "").map { case (w, s) => w + s }.mkString
+
+  property("tokenize: no empty tokens, all lowercase") = forAll(text) { t =>
+    val toks = TextFunctions.tokenizeScala(t)
+    toks.forall(w => w.nonEmpty && w == w.toLowerCase)
+  }
+
+  property("tokenize of space-joined words preserves the word count") =
+    forAll(words) { ws =>
+      TextFunctions.tokenizeScala(ws.mkString(" ")).length == ws.count(_.nonEmpty)
+    }
+
+  property("shingles: every n-gram has n tokens; count bounded by tokens-n+1") =
+    forAll(text, Gen.choose(2, 4)) { (t, n) =>
+      val toks = TextFunctions.tokenizeScala(t)
+      val sh = Dedup.shinglesScala(t, n)
+      sh.forall(_.split(" ").length == n) &&
+        sh.length <= math.max(toks.length - n + 1, 0) &&
+        sh.toSet.size == sh.length // distinct
+    }
+
+  property("minhash: sig(A ∪ B) = elementwise min(sig(A), sig(B)) — merge law") =
+    forAll(words, words) { (a, b) =>
+      val params = Dedup.minhashParams(32)
+      val sa = Dedup.minhashSignature(a.filter(_.nonEmpty), params)
+      val sb = Dedup.minhashSignature(b.filter(_.nonEmpty), params)
+      val su = Dedup.minhashSignature((a ++ b).filter(_.nonEmpty), params)
+      su.toSeq == sa.zip(sb).map { case (x, y) => math.min(x, y) }.toSeq
+    }
+
+  property("minhash: identical sets → identical signatures regardless of order") =
+    forAll(words) { ws =>
+      val params = Dedup.minhashParams(16)
+      Dedup.minhashSignature(ws, params).toSeq ==
+        Dedup.minhashSignature(scala.util.Random.shuffle(ws), params).toSeq
+    }
+
+  property("simhash: self-distance 0; bitwise stability") = forAll(words) { ws =>
+    val h = Dedup.simhash64(ws)
+    java.lang.Long.bitCount(h ^ Dedup.simhash64(ws)) == 0
+  }
+
+  property("chunk stats: count = max(0, tokens - w + 1); 32-bit range; sum bounds") =
+    forAll(text, Gen.choose(2, 10)) { (t, w) =>
+      val row = ChunkKernel.chunkStats(UTF8String.fromString(t), w)
+      val toks = TextFunctions.tokenizeScala(t)
+      val n = row.getLong(0)
+      val expected = math.max(toks.length - w + 1, 0)
+      if (expected == 0) n == 0L && row.isNullAt(1)
+      else {
+        val (min, max, sum) = (row.getLong(1), row.getLong(2), row.getLong(3))
+        n == expected && min >= 0 && max < ChunkKernel.Mod && min <= max &&
+          sum >= min + (n - 1) * 0 && sum <= n * (ChunkKernel.Mod - 1)
+      }
+    }
+
+  property("rollingHashes agrees with ChunkKernel count") =
+    forAll(words.suchThat(_.nonEmpty), Gen.choose(2, 6)) { (ws, w) =>
+      val clean = ws.filter(_.nonEmpty).map(_.toLowerCase)
+      val rh = TextAnalysis.rollingHashes(clean.toIndexedSeq, w)
+      // rollingHashes returns a SET (distinct) → bounded by the chunk count.
+      rh.size <= math.max(clean.length - w + 1, 0)
+    }
+
+  property("md5Low64: deterministic, matches DuckDB known vector") =
+    Prop(TextAnalysis.md5Low64("hola") == 4661870554814853716L) &&
+      forAll(word) { w => TextAnalysis.md5Low64(w) == TextAnalysis.md5Low64(w) }
+}
