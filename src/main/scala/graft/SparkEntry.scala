@@ -75,6 +75,8 @@ object SparkEntry {
     // -- multimodal plumbing (north star) --
     "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
     "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
+    "media_resize" -> ((s, d) => Media.mediaResize(s, d)),
+    "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -333,6 +335,21 @@ object SparkEntry {
         |  CAST(64 + (len * 13) % 656 AS INTEGER) AS height,
         |  CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + len % 240 END AS INTEGER) AS n_frames
         |FROM m ORDER BY media_id""".stripMargin,
+    "media_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS len FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0),
+        |d AS (SELECT media_id, CAST(64 + (len * 7) % 1216 AS BIGINT) AS width,
+        |             CAST(64 + (len * 13) % 656 AS BIGINT) AS height FROM m)
+        |SELECT media_id, width, height,
+        |  (width * 224) // greatest(width, height) AS out_w,
+        |  (height * 224) // greatest(width, height) AS out_h
+        |FROM d ORDER BY media_id""".stripMargin,
+    "media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS len FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+        |d AS (SELECT media_id, CAST(1 + len % 240 AS BIGINT) AS n_frames FROM m),
+        |f AS (SELECT media_id, n_frames, unnest(CASE WHEN n_frames <= 4 THEN range(n_frames)
+        |       ELSE list_transform(range(4), i -> i * (n_frames - 1) // 3) END) AS frame_idx FROM d)
+        |SELECT media_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "media_stats" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -79,6 +79,52 @@ object Media {
       .toDF()
       .orderBy("media_id")
 
+  /** Resize plan for image assets: fit into `target`×`target` preserving
+    * aspect ratio, integer-exact (`out = dim·target div max(w,h)`), so the
+    * transform is oracle-checkable. A real pipeline feeds (payload, out_w,
+    * out_h) to the codec; the geometry is the Spark-side contract. */
+  def mediaResize(spark: SparkSession, sfDir: String, target: Int = 224): DataFrame =
+    decodeAll(assetsFromDocuments(spark, sfDir), FakeDecoder)
+      .toDF()
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("width").cast("bigint").as("width"),
+              col("height").cast("bigint").as("height"),
+              expr(s"(width * $target) div greatest(width, height)").as("out_w"),
+              expr(s"(height * $target) div greatest(width, height)").as("out_h"))
+      .orderBy("media_id")
+
+  /** Uniform frame sampling for video assets: k frames spread over
+    * [0, n_frames): all frames when n ≤ k, else idx_i = ⌊i·(n−1)/(k−1)⌋ —
+    * integer-exact and strictly increasing for n > k. One row per sampled
+    * frame (the batch shape a frame decoder consumes). */
+  def mediaFrames(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame =
+    decodeAll(assetsFromDocuments(spark, sfDir), FakeDecoder)
+      .toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("n_frames").cast("bigint").as("n_frames"))
+      .select(col("media_id"), col("n_frames"),
+        explode(when(col("n_frames") <= k,
+            sequence(lit(0L), col("n_frames") - 1))
+          .otherwise(transform(sequence(lit(0), lit(k - 1)),
+            i => floor(i.cast("bigint") * (col("n_frames") - 1) /
+                       lit((k - 1).toDouble)).cast("bigint"))))
+          .as("frame_idx"))
+      .orderBy("media_id", "frame_idx")
+
+  /** Feature extraction: 32-bucket byte-value histogram per asset, one
+    * decoder pass per partition (`mapPartitions` batch shape). The histogram
+    * IS the (stub) feature vector a real extractor would emit. */
+  def byteHistogram(assets: Dataset[MediaAsset]): Dataset[(Long, Seq[Long])] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val hist = new Array[Long](32)
+        a.payload.foreach(b => hist((b & 0xff) >> 3) += 1)
+        (a.media_id, hist.toSeq)
+      }
+    }
+  }
+
   /** Per-kind rollup over decoded metadata. */
   def mediaStats(spark: SparkSession, sfDir: String): DataFrame =
     decodeAll(assetsFromDocuments(spark, sfDir), FakeDecoder)
