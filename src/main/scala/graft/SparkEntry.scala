@@ -44,6 +44,7 @@ object SparkEntry {
     "join_orders_customers" -> ((s, d) => Relational.joinOrdersCustomers(s, d)),
     "multi_join_agg" -> ((s, d) => Relational.multiJoinAgg(s, d)),
     "q5_region" -> ((s, d) => Relational.regionRevenue(s, d)),
+    "anti_join" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "sliding_window" -> ((s, d) => Relational.slidingWindow(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "tumbling_window" -> ((s, d) => Relational.tumblingWindow(s, d)),
@@ -126,6 +127,10 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
     "q5_region" ->
       """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_lineitems
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -117,6 +117,18 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Anti join: customers with no large order (totalprice > threshold) —
+    * the non-matching side of the join surface. Plans as LEFT ANTI with the
+    * price filter pushed below the join (no materialized nulls, no
+    * post-filter). */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String,
+                             minPrice: Double = 400000.0): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > minPrice),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
   /** TPC-H Q5-flavor 6-table join: local-supplier revenue per nation within
     * one region. Exercises every remaining TPC-H-ish table (supplier,
     * region). Join strategy at scale: lineitem⋈orders shuffles once on the

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.sources.Tables
+
+class SkewAndFormatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("salted collect_list equals direct collect_list (hot-key split is lossless)") {
+    // one pathologically hot key + normal keys
+    val df = ((1 to 5000).map(i => ("hot", s"v$i")) ++
+              (1 to 50).map(i => (s"k$i", s"w$i"))).toDF("k", "v")
+    val salted = Skew.saltedCollectList(df, col("k"), col("v"), salts = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    val direct = df.groupBy("k").agg(sort_array(collect_list("v")).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(salted === direct)
+    assert(salted("hot").length === 5000)
+  }
+
+  test("salted exact distinct count equals count_distinct") {
+    val ev = Tables.events(spark, sf0001)
+    val salted = Skew.saltedCountDistinct(ev, col("event_type"), col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("event_type").agg(count_distinct(col("user_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === direct)
+  }
+
+  test("csv and json sinks round-trip the events table") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    ev.write.mode("overwrite").json(s"$base/json")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/csv")
+    val json = spark.read.json(s"$base/json")
+    assert(csv.count() === ev.count())
+    assert(json.count() === ev.count())
+    val expectedSum = ev.agg(sum("user_id")).collect()(0).getLong(0)
+    assert(csv.agg(sum("user_id")).collect()(0).getLong(0) === expectedSum)
+    assert(json.agg(sum("user_id")).collect()(0).getLong(0) === expectedSum)
+  }
+}
