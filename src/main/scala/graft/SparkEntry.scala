@@ -50,6 +50,7 @@ object SparkEntry {
     "tumbling_window" -> ((s, d) => Relational.tumblingWindow(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
+    "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -166,6 +167,12 @@ object SparkEntry {
     "json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
         |c AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),

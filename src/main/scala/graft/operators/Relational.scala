@@ -217,6 +217,21 @@ object Relational {
               col("sum_qty"), col("sum_disc_price"), col("count_order"))
       .orderBy("returnflag", "linestatus")
 
+  /** Exact interpolated percentiles per event type (holistic aggregate:
+    * Spark sorts each group's values — the one aggregate family where
+    * map-side combine can't apply; at scale prefer approx_percentile's
+    * mergeable sketch, which trades the oracle for a bound). */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.9))").as("pct"),
+           count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+              duckRound(element_at(col("pct"), 1), 4).as("p50"),
+              duckRound(element_at(col("pct"), 2), 4).as("p90"),
+              col("n_events"))
+      .orderBy("event_type")
+
   /** JSON extraction from the event payload (`props` is a JSON object like
     * `{"k": 87}`): per-k event count and value stats. */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =

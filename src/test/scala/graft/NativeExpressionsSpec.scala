@@ -63,6 +63,20 @@ class NativeExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("spark.sql entry point: SQL wc equals the DataFrame wc") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("documents_v")
+    val sqlWc = spark.sql(
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT explode(filter(split(lower(text), '[^\\p{L}]+'), w -> length(w) > 0)) AS word
+        |      FROM documents_v)
+        |GROUP BY word ORDER BY word""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val dfWc = graft.operators.CoreQueries.wc(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(sqlWc === dfWc)
+  }
+
   test("native expressions are SQL-callable via GraftExtensions") {
     spark.read.parquet(s"$sf0001/embeddings.parquet").limit(2)
       .createOrReplaceTempView("emb_tmp")
