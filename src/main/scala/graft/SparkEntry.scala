@@ -51,6 +51,8 @@ object SparkEntry {
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
+    "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
+    "except_vocab" -> ((s, d) => Relational.vocabExcept(s, d)),
     "asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -167,6 +169,20 @@ object SparkEntry {
     "json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "except_vocab" ->
+      """WITH d AS (SELECT lang, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |g AS (SELECT lang, unnest(CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) ELSE CAST([] AS VARCHAR[]) END) AS phrase FROM d),
+        |en AS (SELECT DISTINCT phrase FROM g WHERE lang = 'en'),
+        |fr AS (SELECT DISTINCT phrase FROM g WHERE lang = 'fr')
+        |SELECT phrase FROM en EXCEPT SELECT phrase FROM fr ORDER BY phrase""".stripMargin,
     "percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,

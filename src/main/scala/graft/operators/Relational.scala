@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokenize
 import graft.functions.NumericFunctions.duckRound
 import graft.sources.Tables
 
@@ -216,6 +217,32 @@ object Relational {
               coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
               col("sum_qty"), col("sum_disc_price"), col("count_order"))
       .orderBy("returnflag", "linestatus")
+
+  /** Pivot: per-user event counts spread into one column per event type —
+    * plans as a single groupBy with conditional aggregates (no join, one
+    * shuffle), the relational transpose. Pivot values are enumerated
+    * explicitly, as a 100 TB pipeline must (value discovery would be a
+    * second scan + a driver-side collect). */
+  def pivotEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Set operation (EXCEPT): distinct bigram phrases of English-labelled
+    * documents minus those of French-labelled ones (single words are
+    * useless here — the synthetic vocabulary is shared — but phrase sets
+    * differ). EXCEPT plans as a left-anti hash join on the whole row — no
+    * driver-side sets. */
+  def vocabExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    def phrases(lang: String) = Tables.documents(spark, sfDir)
+      .filter(col("lang") === lang)
+      .select(explode(call_function("graft_shingles", col("text"), lit(2))).as("phrase"))
+      .distinct()
+    phrases("en").except(phrases("fr")).orderBy("phrase")
+  }
 
   /** Exact interpolated percentiles per event type (holistic aggregate:
     * Spark sorts each group's values — the one aggregate family where
