@@ -29,11 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_shingles(text, n) takes a string column and an int literal")
-        val n = args(1) match {
-          case Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Number].intValue()
-        }
-        ShingleArray(args.head, n)
+        ShingleArray(args.head, intArg(args(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),

@@ -184,10 +184,18 @@ object Dedup {
     * With b=32, r=4 the detection probability at j=0.8 is
     * 1-(1-0.8⁴)³² ≈ 1 − 5·10⁻⁸ — effectively exhaustive at the threshold
     * while examining a tiny fraction of the n² pair space (the scale path
-    * when even the prefix-filtered exact join is too wide). */
+    * when even the prefix-filtered exact join is too wide).
+    *
+    * `maxBucket` is the skew guard for degenerate band buckets. The pair
+    * OUTPUT of a duplicate cluster is inherently quadratic (the exact
+    * oracle's too), so the default cap is high enough never to engage on
+    * realistic duplication — which is what keeps this query's output equal
+    * to the exact n-gram join (the shared-oracle precondition). Lowering it
+    * bounds worst-case work on adversarial corpora at the cost of dropping
+    * the capped buckets' pairs. */
   def minhashLshPairs(spark: SparkSession, sfDir: String, n: Int = 3,
                       numBands: Int = 32, rowsPerBand: Int = 4,
-                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+                      threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
     val postings = shinglePostings(spark, sfDir, n)
 
     // (band, bandHash, doc_id) — the LSH bucket stream, fully relational:
@@ -242,9 +250,15 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signature, bucketed by its four 16-bit
     * bands (pigeonhole: any pair within Hamming distance 3 agrees exactly on
     * at least one band), verified with `bit_count(a^b) <= maxHamming` — a
-    * built-in, codegen'd popcount. */
+    * built-in, codegen'd popcount.
+    *
+    * `maxBucket` caps a band bucket before the self-join (skew guard). The
+    * pair OUTPUT of any within-distance cluster is inherently quadratic (the
+    * oracle's too), so the default cap is high enough to never engage on
+    * realistic duplication; lowering it trades completeness (and oracle
+    * equality) for bounded work on adversarial corpora. */
   def simhashPairs(spark: SparkSession, sfDir: String,
-                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     import spark.implicits._
     val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
@@ -252,14 +266,23 @@ object Dedup {
       .map { case (id, text) => (id, simhash64(tokenizeScala(text))) }
       .toDF("doc_id", "sig")
 
+    // Band key must be the UNSIGNED low 16 bits: a signed `% 65536` would
+    // give negative keys for negative signatures in band 0 (shift 0 is a
+    // no-op), silently dropping qualifying pairs that differ in bit 63.
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), (shiftrightunsigned(col("sig"), b * 16) % 65536).as("bhash"))
+        struct(lit(b).as("band"),
+               shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bhash"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
 
-    val pairs = bands.as("x")
-      .join(bands.as("y"),
+    val bounded = bands
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bhash")))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+
+    val pairs = bounded.as("x")
+      .join(bounded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.tokenize
 import graft.functions.NumericFunctions.duckRound
 import graft.sources.Tables
 

@@ -27,9 +27,14 @@ object Warehouse {
     * bucket counts Catalyst plans bucket-local SortMergeJoin, no Exchange
     * on either side. */
   def cogroupJoin(spark: SparkSession, left: String, right: String,
-                  leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+                  leftKey: String, rightKey: String): DataFrame = {
+    // bind each side once: the join condition must reference the SAME
+    // Dataset instances that feed the join (fresh spark.table calls would
+    // only resolve via the relation cache keeping exprIds stable)
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   /** Write `df` directory-partitioned by `partCol`. */
   def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =

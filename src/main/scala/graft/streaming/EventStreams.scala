@@ -94,8 +94,12 @@ object EventStreams {
     // FileStreamSource only accepts directories; the driver testdata is one
     // parquet FILE per table → stage a symlink inside a temp dir.
     val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
+    val link = dir.resolve(s"$name.parquet")
+    java.nio.file.Files.createSymbolicLink(link, src)
+    // deleteOnExit runs LIFO: register the dir first so the link (deleted
+    // first) leaves it empty and the dir delete succeeds
     dir.toFile.deleteOnExit()
-    java.nio.file.Files.createSymbolicLink(dir.resolve(s"$name.parquet"), src)
+    link.toFile.deleteOnExit()
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val st = spark.readStream.schema(raw.schema).parquet(dir.toString)
     if (name == "events" && st.schema("ts").dataType == LongType)
@@ -114,6 +118,11 @@ object EventStreams {
     * return the final memory-sink table. */
   private def runToCompletion(spark: SparkSession, streamed: DataFrame,
                               prefix: String, mode: OutputMode): DataFrame = {
+    // drop earlier runs' memory-sink tables (full materialized results
+    // pinned in driver memory) — keep at most the table being created
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith(s"${prefix}_"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
     val name = s"${prefix}_${runSeq.incrementAndGet()}"
     val q = streamed.writeStream
       .format("memory")
