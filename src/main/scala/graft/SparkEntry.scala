@@ -58,6 +58,7 @@ object SparkEntry {
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.EventStreams.streamDedupQuery(s, d)),
+    "stream_enrich" -> ((s, d) => graft.streaming.EventStreams.streamEnrichQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -231,6 +232,10 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
+    "stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "text_stats" ->
       """WITH d AS (SELECT lang, n_chars, len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS n_words FROM documents)
         |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,

@@ -149,6 +149,27 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** Driver-verified: stream-static enrichment join — the events STREAM
+    * joined against the static customer dimension (broadcast per
+    * micro-batch; the static side is re-resolvable, so at scale it can be
+    * a slowly-changing table) and aggregated per market segment. Inner
+    * equi-join + commutative aggregates keep the end-of-stream complete-
+    * mode table batch-identical. */
+  def streamEnrichQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val customers = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("value"))
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    val result = runToCompletion(spark, joined, "stream_enrich", OutputMode.Complete())
+    result
+      .select(col("c_mktsegment"), col("n_events"),
+              duckRound(col("sum_value"), 4).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Driver-verified: streaming exact dedup — `dropDuplicates` on the
     * content fingerprint over the documents stream, emitting each distinct
     * fingerprint once (append mode). The emitted SET is order-independent

@@ -69,6 +69,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("bounded replay: stream-static enrich join equals the batch join") {
+    val streamed = EventStreams.streamEnrichQuery(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val cust = graft.sources.Tables.customer(spark, sf0001)
+    val batch = ev.select(col("user_id"), col("value"))
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+           graft.functions.NumericFunctions.duckRound(sum("value"), 4).as("sum_value"))
+      .orderBy("c_mktsegment")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
+
+  test("approx_count_distinct (HLL) lands within 5% of exact per event type") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val both = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+           countDistinct(col("user_id")).as("exact"))
+      .collect()
+    both.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: approx=$a exact=$e")
+    }
+  }
+
   test("bounded replay: stream_dedup emits exactly the distinct fingerprints") {
     val streamed = EventStreams.streamDedupQuery(spark, sf0001)
       .collect().map(_.getString(0)).toSeq
