@@ -44,6 +44,7 @@ object SparkEntry {
     "join_orders_customers" -> ((s, d) => Relational.joinOrdersCustomers(s, d)),
     "multi_join_agg" -> ((s, d) => Relational.multiJoinAgg(s, d)),
     "q5_region" -> ((s, d) => Relational.regionRevenue(s, d)),
+    "brand_revenue" -> ((s, d) => Relational.brandRevenue(s, d)),
     "anti_join" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "sliding_window" -> ((s, d) => Relational.slidingWindow(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
@@ -170,6 +171,10 @@ object SparkEntry {
     "json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "brand_revenue" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "pivot_events" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -217,6 +217,18 @@ object Relational {
               col("sum_qty"), col("sum_disc_price"), col("count_order"))
       .orderBy("returnflag", "linestatus")
 
+  /** Revenue per part brand (lineitem ⋈ part): the last TPC-H-ish table in
+    * the fixture set. part is a dimension → broadcast; lineitem never
+    * shuffles for the join, only for the brand aggregate. */
+  def brandRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(duckRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy("p_brand")
+
   /** Pivot: per-user event counts spread into one column per event type —
     * plans as a single groupBy with conditional aggregates (no join, one
     * shuffle), the relational transpose. Pivot values are enumerated

@@ -84,6 +84,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("graft_minhash aggregates correctly under streaming partial merges") {
+    // The TypedImperativeAggregate's merge (elementwise min) must hold when
+    // a group's rows arrive across MULTIPLE micro-batches — the condition
+    // for using the sketch in streaming dedup.
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val agg = src.toDF().toDF("doc_id", "s")
+      .groupBy("doc_id")
+      .agg(call_function("graft_minhash", col("s"), lit(16)).as("sig"))
+    val q = agg.writeStream.format("memory").queryName("minhash_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      src.addData((1L, "alpha beta"), (1L, "beta gamma"), (2L, "x y"))
+      q.processAllAvailable()
+      src.addData((1L, "delta"), (2L, "x y")) // doc 1 grows across batches
+      q.processAllAvailable()
+      val got = spark.table("minhash_stream").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val params = graft.operators.Dedup.minhashParams(16)
+      val exp1 = graft.operators.Dedup.minhashSignature(
+        Seq("alpha beta", "beta gamma", "delta"), params).toSeq
+      val exp2 = graft.operators.Dedup.minhashSignature(Seq("x y"), params).toSeq
+      assert(got === Map(1L -> exp1, 2L -> exp2))
+    } finally q.stop()
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact per event type") {
     val ev = graft.sources.Tables.events(spark, sf0001)
     val both = ev.groupBy("event_type")
