@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope probe: replicate the driver tables k× (ids offset per copy so
+  * keys stay distinct and near-dup pairs don't explode combinatorially) into
+  * a temp dir, then time selected queries at 1× and k×. A super-linear slope
+  * flags an operator that would not survive the 100 TB scale-up (e.g. an
+  * accidental quadratic join); near-linear slopes back the design claims.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [mult] [query,query,...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.length > 0) args(0).toInt else 10
+    val queries = (if (args.length > 1) args(1).split(",").toSeq
+                   else Seq("wc", "dedup_ngram", "dedup_minhash", "dedup_simhash",
+                            "similarity_knn", "similarity_ivf", "topk_words")).toList
+    val srcDir = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaled = java.nio.file.Files.createTempDirectory(s"graft_scale_x$mult").toString
+    // documents: replica 0 is the original corpus; replicas ≥1 keep each
+    // doc's token MULTISET but shuffle the order with a per-(doc, replica)
+    // seed. Word-level trigram shingles are order-dependent, so replicas
+    // are decorrelated from their originals and from each other — the
+    // near-dup PAIR STRUCTURE stays that of the 1× corpus while the corpus
+    // mass grows k×. (Naive replication — identical or padded copies —
+    // makes every replica a true near-dup / rare-shingle twin of its
+    // original, and the pair output itself grows quadratically, drowning
+    // the algorithmic slope this probe is after.)
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
+    (0 until mult).map { i =>
+      if (i == 0) docs
+      else docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+        .as[(Long, String, String, Long, String)]
+        .map { case (id, lang, src, nc, text) =>
+          val rnd = new scala.util.Random(id * 1000003L + i)
+          val shuffled = rnd.shuffle(text.split("\\s+").toVector).mkString(" ")
+          (id + i * maxDoc, lang, src, nc, shuffled)
+        }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    }
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaled/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
+    (0 until mult).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaled/embeddings.parquet")
+
+    def time(dir: String, q: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"query"}%-18s ${"t_1x"}%8s ${"t_" + mult + "x"}%8s ${"slope"}%7s  (slope = t_kx / (k * t_1x); ≤1 ≈ linear)")
+    queries.foreach { q =>
+      time(srcDir, q) // warmup (JIT + codegen for this plan)
+      val t1 = time(srcDir, q)
+      val tk = time(scaled, q)
+      println(f"$q%-18s $t1%8.2f $tk%8.2f ${tk / (mult * t1)}%7.2f")
+    }
+    spark.stop()
+  }
+}
