@@ -10,12 +10,11 @@ import graft.operators._
   *
   * Every entry in `queries` is one operator from SURVEY.md §2 / the
   * north-star extension list; `oracleSql` holds the equivalent DuckDB SQL
-  * for the driver's differential check. The only query without an oracle is
-  * `similarity_ann` (random-hyperplane LSH — covered by a recall spec
-  * against `similarity_knn` instead); every other operator, including the
-  * approximate dedup sketches, is differentially checked: MinHash verifies
-  * candidates to exact Jaccard (output == the exact join), and SimHash's
-  * token hash is md5_number_lower on both engines.
+  * for the driver's differential check. EVERY query is oracle-checked,
+  * including the approximate ones: MinHash verifies candidates to exact
+  * Jaccard (output == the exact join), SimHash's token hash is
+  * md5_number_lower on both engines, and the hyperplane-ANN oracle embeds
+  * the deterministic codebook as SQL literals (see `annOracle`).
   */
 object SparkEntry {
 
@@ -85,9 +84,28 @@ object SparkEntry {
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
   )
 
+  /** similarity_ann's oracle is generated, not hand-written: the fixed
+    * random-hyperplane codebook (Similarity.hyperplanes, seed 42) is
+    * embedded as SQL double literals (shortest round-trip decimal, exact),
+    * and DuckDB's `list_dot_product` folds left-to-right exactly like the
+    * engine's projection, so sign buckets — and therefore the scanned
+    * cells and the top-k — agree bit for bit. */
+  private def annOracle: String = {
+    val bucketExpr = operators.Similarity.hyperplanes()
+      .map(p => s"(CASE WHEN list_dot_product(emb, [${p.mkString(",")}]) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, $bucketExpr AS bkt FROM e),
+       |p AS (SELECT vec_id AS probe_id, emb AS probe_emb, bkt FROM b WHERE vec_id < 10),
+       |s AS (SELECT probe_id, a.vec_id AS neighbor_id, list_cosine_similarity(probe_emb, a.emb) AS cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, a.emb) DESC, a.vec_id) AS rn
+       |  FROM b a JOIN p ON a.bkt = p.bkt AND a.vec_id <> p.probe_id)
+       |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted: similarity_ann only (random
-    * projections — covered by the recall spec vs similarity_knn). */
+    * the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
     "wc" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents)
@@ -335,6 +353,7 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "similarity_ann" -> annOracle,
     "similarity_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id < 16),

@@ -83,11 +83,19 @@ object Similarity {
     * (~N/2^bits vectors) and takes exact cosine top-k within it.
     * Trades recall for a 2^bits scan reduction — the scale path when the
     * probe set is itself large. */
+  /** The fixed random-hyperplane codebook (deterministic seed). Shared by
+    * `annHyperplane` and the DuckDB oracle generator in SparkEntry, which
+    * embeds these exact doubles as SQL literals (shortest round-trip
+    * decimal form), so both engines compute identical sign buckets. */
+  def hyperplanes(bits: Int = 6, dim: Int = 64, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   def annHyperplane(spark: SparkSession, sfDir: String,
                     numProbes: Int = 10, k: Int = 5,
                     bits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes = hyperplanes(bits, dim, seed)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
               VectorFunctions.hyperplaneBucket(col("embedding"), planes).as("bkt"))
