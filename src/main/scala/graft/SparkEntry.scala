@@ -55,6 +55,7 @@ object SparkEntry {
     "except_vocab" -> ((s, d) => Relational.vocabExcept(s, d)),
     "asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
+    "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.EventStreams.streamDedupQuery(s, d)),
@@ -220,6 +221,11 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, epoch_us(c.tsu) AS click_us, epoch_us(p.tsu) AS purchase_us
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.tsu <= c.tsu
         |ORDER BY c.event_id""".stripMargin,
+    "cube_pricing" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS count_order
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "rollup_pricing" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -217,6 +217,18 @@ object Relational {
               col("sum_qty"), col("sum_disc_price"), col("count_order"))
       .orderBy("returnflag", "linestatus")
 
+  /** CUBE: all 2^2 grouping sets of (returnflag, linestatus) in one Expand
+    * pass — rollup plus the per-status cross-section. */
+  def cubePricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(duckRound(sum("l_quantity"), 2).as("sum_qty"),
+           count(lit(1)).as("count_order"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("count_order"))
+      .orderBy("returnflag", "linestatus")
+
   /** Revenue per part brand (lineitem ⋈ part): the last TPC-H-ish table in
     * the fixture set. part is a dimension → broadcast; lineitem never
     * shuffles for the join, only for the brand aggregate. */

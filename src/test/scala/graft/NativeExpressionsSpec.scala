@@ -63,6 +63,19 @@ class NativeExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("tokenizer unicode parity: \\p{L} keeps accented/non-latin letters") {
+    import graft.functions.TextFunctions
+    val t = "Über café naïve 東京 word2vec łódź!"
+    val scalaToks = TextFunctions.tokenizeScala(t).toSeq
+    assert(scalaToks === Seq("über", "café", "naïve", "東京", "word", "vec", "łódź"))
+    // column tokenizer and compiled shingle kernel agree on the same text
+    import spark.implicits._
+    val colToks = Seq(t).toDF("text")
+      .select(TextFunctions.tokenize(col("text")).as("ws"))
+      .collect()(0).getSeq[String](0).toSeq
+    assert(colToks === scalaToks)
+  }
+
   test("spark.sql entry point: SQL wc equals the DataFrame wc") {
     spark.read.parquet(s"$sf0001/documents.parquet")
       .createOrReplaceTempView("documents_v")
