@@ -45,6 +45,7 @@ object SparkEntry {
     "q5_region" -> ((s, d) => Relational.regionRevenue(s, d)),
     "brand_revenue" -> ((s, d) => Relational.brandRevenue(s, d)),
     "anti_join" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "fuzzy_names" -> ((s, d) => Relational.fuzzyNames(s, d)),
     "sliding_window" -> ((s, d) => Relational.slidingWindow(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "tumbling_window" -> ((s, d) => Relational.tumblingWindow(s, d)),
@@ -151,6 +152,13 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "fuzzy_names" ->
+      """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey AND length(a.c_name) = length(b.c_name)
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY cust_a, cust_b""".stripMargin,
     "anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)

@@ -217,6 +217,37 @@ object Relational {
               col("sum_qty"), col("sum_disc_price"), col("count_order"))
       .orderBy("returnflag", "linestatus")
 
+  /** Fuzzy string self-match: same-length customer-name pairs within edit
+    * distance 1. Equal length means the single edit must be a substitution
+    * (Hamming-1), so blocking is lossless with wildcard-position keys: for
+    * each of the L positions emit the string with that position masked out;
+    * a Hamming-1 pair collides on exactly the key for its differing
+    * position, an identical pair on all L. The bucket key carries the WHOLE
+    * string minus one char, so selectivity survives low-entropy regions
+    * (shared prefixes, zero-padded ids) that defeat parity- or half-split
+    * blocking — max bucket size is |alphabet| no matter where the entropy
+    * sits. Cost is a constant L-fold row blowup, linear at any scale;
+    * codegen'd `levenshtein` re-checks candidates (and yields `dist`). */
+  def fuzzyNames(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), length(col("c_name")).as("len"))
+    val masked = c
+      .select(col("c_custkey"), col("c_name"),
+              explode(sequence(lit(1), col("len"))).as("pos"))
+      .select(col("c_custkey"), col("c_name"), col("pos"),
+        concat(expr("substring(c_name, 1, pos - 1)"),
+               expr("substring(c_name, pos + 1, length(c_name))")).as("key"))
+    masked.as("a")
+      .join(masked.as("b"),
+        col("a.pos") === col("b.pos") && col("a.key") === col("b.key") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("cust_a"), col("b.c_custkey").as("cust_b"),
+              levenshtein(col("a.c_name"), col("b.c_name")).cast("bigint").as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct()
+      .orderBy("cust_a", "cust_b")
+  }
+
   /** CUBE: all 2^2 grouping sets of (returnflag, linestatus) in one Expand
     * pass — rollup plus the per-status cross-section. */
   def cubePricing(spark: SparkSession, sfDir: String): DataFrame =
