@@ -45,6 +45,8 @@ object SparkEntry {
     "q5_region" -> ((s, d) => Relational.regionRevenue(s, d)),
     "brand_revenue" -> ((s, d) => Relational.brandRevenue(s, d)),
     "anti_join" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "semi_join" -> ((s, d) => Relational.customersWithLargeOrders(s, d)),
+    "full_outer" -> ((s, d) => Relational.clicksVsPurchases(s, d)),
     "fuzzy_names" -> ((s, d) => Relational.fuzzyNames(s, d)),
     "sliding_window" -> ((s, d) => Relational.slidingWindow(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
@@ -75,6 +77,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -105,6 +108,23 @@ object SparkEntry {
        |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
        |ORDER BY probe_id, rnk""".stripMargin
   }
+
+  /** The exact word-trigram Jaccard ≥ 0.8 pair join — the oracle for
+    * `dedup_ngram`, for `dedup_minhash` (LSH + exact verification provably
+    * equals the exact join at the threshold, see the inline note), and the
+    * edge list under `dedup_clusters`' connected components. */
+  private val ngramPairsSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -163,6 +183,18 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "full_outer" ->
+      """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, count(*) AS n_clicks
+        |           FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, count(*) AS n_purchases
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(c.hour, p.hour) AS hour, COALESCE(n_clicks, 0) AS n_clicks,
+        |  COALESCE(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.hour = p.hour ORDER BY hour""".stripMargin,
     "q5_region" ->
       """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_lineitems
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -320,37 +352,27 @@ object SparkEntry {
     "dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp FROM f GROUP BY fp ORDER BY keep_id""".stripMargin,
-    "dedup_ngram" ->
-      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
-        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram" -> s"$ngramPairsSql\nORDER BY doc_a, doc_b",
     // dedup_minhash: with b=32 bands × r=4 rows the LSH candidate set
     // provably contains every pair with J ≥ 0.8 except with prob ~5e-8 per
     // pair, and candidates are verified with exact Jaccard — so the output
     // equals the exact n-gram join's and shares its oracle (equality
     // asserted empirically at sf0.01/sf0.1 and in DedupSpec).
-    "dedup_minhash" ->
-      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
-        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash" -> s"$ngramPairsSql\nORDER BY doc_a, doc_b",
+    // dedup_clusters: transitive closure over the same pair graph via a
+    // recursive CTE, cluster = min reachable doc_id (∪ self), singletons
+    // filled from the documents table.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE np AS ($ngramPairsSql),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
+        |reach AS (SELECT a AS v, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
+        |lbl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
+        |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lbl ORDER BY doc_id""".stripMargin,
     // dedup_simhash: token hash = md5_number_lower on both sides, so the
     // whole sketch (bit votes → 64-bit signature → hamming ≤ 3) is exactly
     // expressible in DuckDB. The banding in the Spark plan is pure candidate

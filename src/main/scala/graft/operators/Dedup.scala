@@ -66,7 +66,6 @@ object Dedup {
               (col("inter").cast("double") /
                (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact word-trigram Jaccard near-dup pairs, prefix-filtered:
@@ -84,7 +83,13 @@ object Dedup {
     * candidates, never drop a true pair. Ground truth for the approximate
     * variants; `dedup_minhash` shares its oracle. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String, n: Int = 3,
-                        threshold: Double = 0.8): DataFrame = {
+                        threshold: Double = 0.8): DataFrame =
+    ngramPairsUnordered(spark, sfDir, n, threshold).orderBy("doc_a", "doc_b")
+
+  /** [[ngramJaccardPairs]] without the presentation sort — the form other
+    * operators (clustering) consume, so no global sort runs below a join. */
+  private[graft] def ngramPairsUnordered(spark: SparkSession, sfDir: String, n: Int = 3,
+                                         threshold: Double = 0.8): DataFrame = {
     val eps = 1e-9
     val postings = shinglePostings(spark, sfDir, n)
     val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -224,6 +229,69 @@ object Dedup {
 
     val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     verifyByPostings(candidates, postings, sizes, threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------- Connected components
+
+  /** Connected components of an undirected edge list: every vertex labeled
+    * with the smallest vertex id reachable from it. Iterative minimum-label
+    * propagation — each round is one shuffle join (neighbor labels) plus one
+    * shuffle aggregate (per-vertex min), and convergence is detected with a
+    * distributed count of changed labels, never a collect. Lineage is
+    * truncated per round (`localCheckpoint`) so the plan doesn't grow with
+    * the iteration count — the standard requirement for iterative DataFrame
+    * algorithms (on a cluster, `spark.cleaner` reclaims the shipped blocks).
+    *
+    * Rounds are bounded by the component diameter. Near-dup graphs are
+    * clique-ish (diameter 2–3) so this converges in a handful of rounds; for
+    * adversarial long-chain graphs, the same per-round join shape extends to
+    * the large-star/small-star rounds of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC'14), which need O(log² n)
+    * rounds. Throws if `maxIter` is hit before fixpoint rather than return
+    * a wrong labeling. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e.union(e.select(col("dst"), col("src")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("l", col("v"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIter) {
+      val nbrMin = sym.join(labels, col("dst") === col("v"))
+        .groupBy("src").agg(min("l").as("nl"))
+      val step = labels.join(nbrMin, col("v") === col("src"), "left")
+        .select(col("v"), col("l"),
+                least(col("l"), coalesce(col("nl"), col("l"))).as("l2"))
+        .localCheckpoint(true)
+      changed = step.filter(col("l2") < col("l")).count()
+      labels = step.select(col("v"), col("l2").as("l"))
+      rounds += 1
+    }
+    require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
+
+  /** Duplicate-cluster assignment — the step after pair finding in any real
+    * dedup pipeline: connected components over the exact near-dup pair graph
+    * ([[ngramJaccardPairs]]), every document labeled with its cluster's
+    * canonical representative (smallest reachable doc_id; edge-less
+    * documents are their own singleton cluster) and the cluster size. */
+  def dedupClusters(spark: SparkSession, sfDir: String, n: Int = 3,
+                    threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramPairsUnordered(spark, sfDir, n, threshold)
+    val labels = connectedComponents(pairs, "doc_a", "doc_b")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -129,6 +129,35 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
+  /** Semi join: customers WITH at least one large order — EXISTS as LEFT
+    * SEMI, the dual of [[customersWithoutOrders]]. A semi join never
+    * duplicates probe rows however many orders match, and the build side
+    * carries only the join key. */
+  def customersWithLargeOrders(spark: SparkSession, sfDir: String,
+                               minPrice: Double = 400000.0): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > minPrice),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Full outer join: hourly click volume against hourly purchase volume,
+    * zero-filled where only one side has activity. Both sides aggregate
+    * BEFORE the join, so the shuffle moves one row per hour, not one per
+    * event — the pre-aggregated outer join is the scale-safe shape. */
+  def clicksVsPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def hourly(t: String, out: String) = ev.filter(col("event_type") === t)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"))
+      .agg(count(lit(1)).as(out))
+    hourly("click", "n_clicks")
+      .join(hourly("purchase", "n_purchases"), Seq("hour"), "full_outer")
+      .select(col("hour"),
+              coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+              coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("hour")
+  }
+
   /** TPC-H Q5-flavor 6-table join: local-supplier revenue per nation within
     * one region. Exercises every remaining TPC-H-ish table (supplier,
     * region). Join strategy at scale: lineitem⋈orders shuffles once on the
@@ -228,24 +257,32 @@ object Relational {
     * blocking — max bucket size is |alphabet| no matter where the entropy
     * sits. Cost is a constant L-fold row blowup, linear at any scale;
     * codegen'd `levenshtein` re-checks candidates (and yields `dist`). */
-  def fuzzyNames(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_name"), length(col("c_name")).as("len"))
-    val masked = c
-      .select(col("c_custkey"), col("c_name"),
-              explode(sequence(lit(1), col("len"))).as("pos"))
-      .select(col("c_custkey"), col("c_name"), col("pos"),
-        concat(expr("substring(c_name, 1, pos - 1)"),
-               expr("substring(c_name, pos + 1, length(c_name))")).as("key"))
+  def fuzzyNames(spark: SparkSession, sfDir: String): DataFrame =
+    hamming1Pairs(
+      Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name")
+      .toDF("cust_a", "cust_b", "dist")
+      .orderBy("cust_a", "cust_b")
+
+  /** Generic core of [[fuzzyNames]]: all (id_a, id_b, dist) pairs of rows
+    * whose strings are equal length and within edit distance 1, id_a < id_b.
+    * Output columns: (a, b, dist) on the id column's type. */
+  def hamming1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val masked = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"),
+              explode(sequence(lit(1), length(col("s")))).as("pos"))
+      .select(col("id"), col("s"), col("pos"),
+        concat(expr("substring(s, 1, pos - 1)"),
+               expr("substring(s, pos + 1, length(s))")).as("key"))
     masked.as("a")
       .join(masked.as("b"),
         col("a.pos") === col("b.pos") && col("a.key") === col("b.key") &&
-          col("a.c_custkey") < col("b.c_custkey"))
-      .select(col("a.c_custkey").as("cust_a"), col("b.c_custkey").as("cust_b"),
-              levenshtein(col("a.c_name"), col("b.c_name")).cast("bigint").as("dist"))
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+              levenshtein(col("a.s"), col("b.s")).cast("bigint").as("dist"))
       .filter(col("dist") <= 1)
       .distinct()
-      .orderBy("cust_a", "cust_b")
   }
 
   /** CUBE: all 2^2 grouping sets of (returnflag, linestatus) in one Expand

@@ -63,4 +63,20 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.forall(_.getDouble(2) >= 0.2))
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("connectedComponents labels chains, cliques, and crossing edges correctly") {
+    import spark.implicits._
+    // A 12-vertex path (diameter 11 — forces many propagation rounds), a
+    // triangle, one extra edge merging the triangle with a 2-cycle, and an
+    // isolated edge. Min-reachable-id is the expected label everywhere.
+    val chain = (100L until 111L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 20L), (20L, 21L),
+                              (50L, 51L))).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (100L to 111L).foreach(v => assert(got(v) === 100L, s"chain vertex $v"))
+    Seq(1L, 2L, 3L, 20L, 21L).foreach(v => assert(got(v) === 1L, s"merged vertex $v"))
+    assert(got(50L) === 50L && got(51L) === 50L)
+    assert(got.size === 12 + 5 + 2)
+  }
 }

@@ -85,4 +85,27 @@ class RelationalSpec extends SparkSpecBase {
     val r = ts.agg(min("ts").cast("string"), max("ts").cast("string")).collect()(0)
     assert(r.getString(0).startsWith("2024-01-01"))
   }
+
+  test("hamming1Pairs equals brute force on adversarial strings (odd lengths, low entropy)") {
+    // Low-entropy alphabet + shared prefixes + odd/even lengths — exactly
+    // the regimes where position-subset blocking schemes silently lose
+    // recall. Differential oracle: the O(n²) scan.
+    val rnd = new scala.util.Random(7)
+    val strs = (0 until 120).map { i =>
+      val len = 3 + rnd.nextInt(6) // 3..8, mixed parity
+      val body = (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      (i.toLong, if (i % 2 == 0) "id#" + body else body)
+    }
+    import spark.implicits._
+    val df = strs.toDF("id", "s")
+    val got = Relational.hamming1Pairs(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lev1(a: String, b: String): Boolean =
+      a.length == b.length && a.zip(b).count { case (x, y) => x != y } <= 1
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && lev1(sa, sb)
+    } yield (ia, ib)).toSet
+    assert(got === want)
+  }
 }
