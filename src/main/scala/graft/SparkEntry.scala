@@ -63,6 +63,7 @@ object SparkEntry {
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.EventStreams.streamDedupQuery(s, d)),
     "stream_enrich" -> ((s, d) => graft.streaming.EventStreams.streamEnrichQuery(s, d)),
+    "stream_sliding" -> ((s, d) => graft.streaming.EventStreams.streamSlidingQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -70,6 +71,7 @@ object SparkEntry {
     "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     // -- dedup (north star) --
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -125,6 +127,18 @@ object SparkEntry {
       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+
+  /** Hopping-window aggregate — the oracle for both the batch
+    * (`sliding_window`) and streaming (`stream_sliding`) forms, which are
+    * the same logical plan over different sources. */
+  private val slidingSql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+      |x AS (SELECT epoch_us(tsu) // 900000000 * 900000000 AS grid, event_type, value FROM e),
+      |w AS (SELECT make_timestamp(grid - i * 900000000) AS ws, event_type, value
+      |      FROM x, range(4) t(i))
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -204,14 +218,8 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "sliding_window" ->
-      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
-        |x AS (SELECT epoch_us(tsu) // 900000000 * 900000000 AS grid, event_type, value FROM e),
-        |w AS (SELECT make_timestamp(grid - i * 900000000) AS ws, event_type, value
-        |      FROM x, range(4) t(i))
-        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    "sliding_window" -> slidingSql,
+    "stream_sliding" -> slidingSql,
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -340,6 +348,16 @@ object SparkEntry {
     "fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "scrub_pii" ->
+      """WITH t AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |  || CASE WHEN doc_id % 2 = 0 THEN ' admin@corp.io' ELSE '' END
+        |  || ' via https://host.example/p/' || CAST(doc_id AS VARCHAR) || ' end' AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g')) AS scrub_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
     "chunk_fingerprint" ->
       """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
         |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),

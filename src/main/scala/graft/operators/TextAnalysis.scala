@@ -131,6 +131,34 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before anything else sees the text. Emails and URLs are detected with
+    * dialect-portable regexes (no lookaround — Java and RE2 agree), counted,
+    * and replaced with typed placeholder tags; the output carries the counts
+    * plus a digest of the scrubbed text, so the differential gate checks the
+    * full redacted content without shipping it. The corpus contains no PII,
+    * so a deterministic synthetic tail (derived from doc_id — varying email
+    * counts, a path-bearing URL) is appended before scrubbing to make the
+    * check non-vacuous. Pure per-row codegen'd expressions: scales with the
+    * scan, no shuffle until the presentation sort. */
+  def scrubPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          when(col("doc_id") % 2 === 0, lit(" admin@corp.io")).otherwise(lit("")),
+          lit(" via https://host.example/p/"), col("doc_id").cast("string"),
+          lit(" end")).as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(email)).cast("bigint").as("n_emails"),
+        regexp_count(col("t"), lit(url)).cast("bigint").as("n_urls"),
+        md5(regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+                           url, "<URL>")).as("scrub_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash chunk fingerprint summary per document (`graft_chunkstats`
     * native kernel): every 8-token Karp–Rabin chunk hash, summarized as
     * (count, min, max, sum) — the chunk-level-dedup fingerprint, 32-bit

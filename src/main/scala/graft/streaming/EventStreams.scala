@@ -149,6 +149,22 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** Driver-verified: the HOPPING (sliding) window aggregation as a real
+    * streaming query — hourly aggregates advancing every 15 minutes, each
+    * event entering 4 overlapping windows via the same Expand the batch
+    * form plans. Watermark bounds state to the trailing window span. */
+  def streamSlidingQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    runToCompletion(spark, agg, "stream_sliding", OutputMode.Complete())
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+              col("event_type"), col("n_events"),
+              duckRound(col("sum_value"), 4).as("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Driver-verified: stream-static enrichment join — the events STREAM
     * joined against the static customer dimension (broadcast per
     * micro-batch; the static side is re-resolvable, so at scale it can be

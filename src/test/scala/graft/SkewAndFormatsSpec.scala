@@ -43,4 +43,18 @@ class SkewAndFormatsSpec extends SparkSpecBase {
     assert(csv.agg(sum("user_id")).collect()(0).getLong(0) === expectedSum)
     assert(json.agg(sum("user_id")).collect()(0).getLong(0) === expectedSum)
   }
+
+  test("orc sink round-trips the events table losslessly (schema included)") {
+    // ORC keeps types in-file (unlike csv/json), so compare full row sets,
+    // not just counts and sums.
+    val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+              col("value"), col("ts"))
+    ev.write.mode("overwrite").orc(s"$base/orc")
+    val orc = spark.read.orc(s"$base/orc")
+    assert(orc.schema === ev.schema)
+    assert(orc.exceptAll(ev).count() === 0)
+    assert(ev.exceptAll(orc).count() === 0)
+  }
 }
