@@ -56,6 +56,8 @@ object SparkEntry {
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
     "except_vocab" -> ((s, d) => Relational.vocabExcept(s, d)),
+    "intersect_vocab" -> ((s, d) => Relational.vocabIntersect(s, d)),
+    "histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
     "asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
@@ -72,6 +74,8 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
+    "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
+    "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     // -- dedup (north star) --
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -256,6 +260,22 @@ object SparkEntry {
         |en AS (SELECT DISTINCT phrase FROM g WHERE lang = 'en'),
         |fr AS (SELECT DISTINCT phrase FROM g WHERE lang = 'fr')
         |SELECT phrase FROM en EXCEPT SELECT phrase FROM fr ORDER BY phrase""".stripMargin,
+    "intersect_vocab" ->
+      """WITH d AS (SELECT lang, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |g AS (SELECT lang, unnest(CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) ELSE CAST([] AS VARCHAR[]) END) AS phrase FROM d),
+        |en AS (SELECT DISTINCT phrase FROM g WHERE lang = 'en'),
+        |fr AS (SELECT DISTINCT phrase FROM g WHERE lang = 'fr')
+        |SELECT phrase FROM en INTERSECT SELECT phrase FROM fr ORDER BY phrase""".stripMargin,
+    "histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+    "sample_hash" ->
+      """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
+        |SELECT doc_id, fp FROM f WHERE substring(fp, 1, 1) <= '1' ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """WITH f AS (SELECT doc_id, lang, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents),
+        |r AS (SELECT lang, doc_id, fp, row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk FROM f)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, fp FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,

@@ -129,6 +129,15 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
+  /** Fixed-width histogram of the event value distribution: bin =
+    * floor(value / width). A single map-side-combinable aggregate — the
+    * scan-shaped data-profiling op, linear at any scale. */
+  def valueHistogram(spark: SparkSession, sfDir: String, width: Double = 50.0): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(floor(col("value") / width).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"), duckRound(sum("value"), 4).as("sum_value"))
+      .orderBy("bin")
+
   /** Semi join: customers WITH at least one large order — EXISTS as LEFT
     * SEMI, the dual of [[customersWithoutOrders]]. A semi join never
     * duplicates probe rows however many orders match, and the build side
@@ -333,6 +342,18 @@ object Relational {
       .select(explode(call_function("graft_shingles", col("text"), lit(2))).as("phrase"))
       .distinct()
     phrases("en").except(phrases("fr")).orderBy("phrase")
+  }
+
+  /** INTERSECT — bigram phrases attested in BOTH the en and fr slices:
+    * completes the set-operation family (union: asof/streams, EXCEPT:
+    * [[vocabExcept]]). Catalyst plans INTERSECT as a left-semi join over
+    * distinct inputs — one shuffle per side on the full row as key. */
+  def vocabIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    def phrases(lang: String) = Tables.documents(spark, sfDir)
+      .filter(col("lang") === lang)
+      .select(explode(call_function("graft_shingles", col("text"), lit(2))).as("phrase"))
+      .distinct()
+    phrases("en").intersect(phrases("fr")).orderBy("phrase")
   }
 
   /** Exact interpolated percentiles per event type (holistic aggregate:

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.NumericFunctions.duckRound
@@ -130,6 +131,33 @@ object TextAnalysis {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** Deterministic content-hash sampling — the reproducible way to
+    * subsample a 100 TB corpus: keep a document iff the leading hex nibble
+    * of its content digest clears the rate (here 2/16 = 12.5%). No RNG and
+    * no seed plumbing; membership is a pure function of content, so the
+    * same sample falls out on any cluster, partitioning, or rerun — and the
+    * filter runs scan-side with zero shuffle. */
+  def sampleHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      .filter(substring(col("fp"), 1, 1) <= "1")
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sample: k documents per language stratum,
+    * picked by content-digest order — per-group quotas without an RNG, so
+    * quota membership is engine- and run-independent. One shuffle on the
+    * stratum key; Catalyst's WindowGroupLimit pushes the k-cutoff below the
+    * full sort. */
+  def stratifiedSample(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("fp").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), fingerprintMd5(col("text")).as("fp"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "doc_id", "fp")
+      .orderBy("lang", "rk")
+  }
 
   /** PII scrubbing — the redaction pass every training-data pipeline runs
     * before anything else sees the text. Emails and URLs are detected with
