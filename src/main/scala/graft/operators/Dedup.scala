@@ -252,7 +252,11 @@ object Dedup {
     * a wrong labeling. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50): DataFrame = {
+    // Materialize the edge list BEFORE the symmetrizing self-union: `e`
+    // appears twice in the union, and without this the (possibly expensive)
+    // upstream pair join would execute twice.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     val sym = e.union(e.select(col("dst"), col("src")))
       .distinct()
       .localCheckpoint(true)

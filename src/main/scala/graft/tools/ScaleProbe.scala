@@ -16,7 +16,9 @@ object ScaleProbe {
     val mult = if (args.length > 0) args(0).toInt else 10
     val queries = (if (args.length > 1) args(1).split(",").toSeq
                    else Seq("wc", "dedup_ngram", "dedup_minhash", "dedup_simhash",
-                            "similarity_knn", "similarity_ivf", "topk_words")).toList
+                            "similarity_knn", "similarity_ivf", "topk_words",
+                            "fuzzy_names", "dedup_clusters", "scrub_pii",
+                            "sample_hash")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -60,6 +62,20 @@ object ScaleProbe {
     (0 until mult).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * maxVec)))
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaled/embeddings.parquet")
+    // customer: offset keys AND regenerate the key-derived name — replicas
+    // with the original names would be exact name-duplicates of their
+    // originals, making the fuzzy-match pair OUTPUT itself quadratic in k
+    // and drowning the algorithmic slope.
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    val maxCust = cust.agg(max("c_custkey")).collect()(0).getLong(0) + 1
+    (0 until mult).map { i =>
+      val shifted = cust.withColumn("c_custkey", col("c_custkey") + lit(i * maxCust))
+      if (i == 0) shifted
+      else shifted.withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+    }
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaled/customer.parquet")
 
     def time(dir: String, q: String): Double = {
       val t0 = System.nanoTime()
