@@ -74,6 +74,45 @@ object EventStreams {
       .toDF()
   }
 
+  final case class OpenSession(startMicros: Long, lastMicros: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Per-user COMPLETED-session emission via flatMapGroupsWithState — the
+    * 0..n-rows-per-group stateful shape `mapGroupsWithState` cannot express:
+    * each micro-batch emits one row per session closed by a later event
+    * (gap > `gapSeconds`), while the still-open session rides in state.
+    * State per user is one fixed-size record regardless of history length —
+    * the bound a 100 TB stream needs. */
+  def completedSessions(spark: SparkSession, events: DataFrame,
+                        gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .as[(Long, java.sql.Timestamp)]
+    def update(userId: Long, batch: Iterator[(Long, java.sql.Timestamp)],
+               state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var st = state.getOption
+      batch.toSeq.sortBy(_._2.getTime).foreach { case (_, ts) =>
+        val us = ts.getTime * 1000L
+        st match {
+          case Some(s) if us - s.lastMicros <= gapSeconds * 1000000L =>
+            st = Some(s.copy(lastMicros = us, n = s.n + 1))
+          case Some(s) =>
+            out += SessionOut(userId, s.startMicros, s.lastMicros, s.n)
+            st = Some(OpenSession(us, us, 1))
+          case None =>
+            st = Some(OpenSession(us, us, 1))
+        }
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+      .toDF()
+  }
+
   /** Wire a streaming frame to an in-memory sink (testing / demo).
     * Returns the running query; results land in table `queryName`. */
   def startMemorySink(df: DataFrame, queryName: String,

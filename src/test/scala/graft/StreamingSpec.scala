@@ -56,6 +56,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("completed-session emission via flatMapGroupsWithState") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp)]
+    val df = src.toDF().toDF("user_id", "ts")
+    val out = EventStreams.completedSessions(spark, df, gapSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("fsessions_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1: 9:00 + 9:10 open one session; 11:30 closes it (emit) and
+      // opens a second; 14:00 closes the second (emit). user 2 stays open
+      // (no emission).
+      src.addData((1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 09:10:00")),
+                  (2L, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      src.addData((1L, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      src.addData((1L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      def us(s: String) = ts(s).getTime * 1000L
+      val got = spark.table("fsessions_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set(
+        (1L, us("2024-01-01 09:00:00"), us("2024-01-01 09:10:00"), 2L),
+        (1L, us("2024-01-01 11:30:00"), us("2024-01-01 11:30:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("file-backed events stream plans as a streaming source") {
     val df = EventStreams.eventsStream(spark, sf0001)
     assert(df.isStreaming)
