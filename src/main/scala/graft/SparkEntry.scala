@@ -59,6 +59,12 @@ object SparkEntry {
     "intersect_vocab" -> ((s, d) => Relational.vocabIntersect(s, d)),
     "histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
     "asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
+    "range_join" -> ((s, d) => Analytics.rangeJoinTiers(s, d)),
+    "event_funnel" -> ((s, d) => Analytics.eventFunnel(s, d)),
+    "ntile_spend" -> ((s, d) => Analytics.ntileSpend(s, d)),
+    "user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
+    "top_supplier" -> ((s, d) => Analytics.topSupplierPerNation(s, d)),
+    "order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -66,6 +72,7 @@ object SparkEntry {
     "stream_dedup" -> ((s, d) => graft.streaming.EventStreams.streamDedupQuery(s, d)),
     "stream_enrich" -> ((s, d) => graft.streaming.EventStreams.streamEnrichQuery(s, d)),
     "stream_sliding" -> ((s, d) => graft.streaming.EventStreams.streamSlidingQuery(s, d)),
+    "stream_join" -> ((s, d) => graft.streaming.EventStreams.streamStreamJoinQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -77,6 +84,9 @@ object SparkEntry {
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
+    "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
+    "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
+    "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
     // -- dedup (north star) --
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -289,6 +299,112 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, epoch_us(c.tsu) AS click_us, epoch_us(p.tsu) AS purchase_us
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.tsu <= c.tsu
         |ORDER BY c.event_id""".stripMargin,
+    "range_join" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  ('T1_budget', 0.0, 50000.0), ('T2_mid', 50000.0, 150000.0),
+        |  ('T3_high', 150000.0, 300000.0), ('T4_premium', 300000.0, 450000.0),
+        |  ('T5_whale', 450000.0, 1000000000.0))
+        |SELECT tier, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s1 AS (SELECT user_id, event_type, us,
+        |  min(CASE WHEN event_type = 'view' THEN us END) OVER (PARTITION BY user_id) AS t1 FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t1 THEN us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END) OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3 FROM s3 GROUP BY user_id)
+        |SELECT count(t1) AS n_view, count(t2) AS n_view_click, count(t3) AS n_view_click_purchase FROM u""".stripMargin,
+    "ntile_spend" ->
+      """WITH t AS (SELECT o_orderpriority, o_totalprice,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS q FROM orders)
+        |SELECT o_orderpriority, CAST(q AS BIGINT) AS quartile, count(*) AS n_orders,
+        |  round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM t GROUP BY o_orderpriority, q ORDER BY o_orderpriority, q""".stripMargin,
+    "user_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events)
+        |SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS path, count(*) AS n_path_events
+        |FROM e WHERE rn <= 10 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // DuckDB's arg_max can't take a composite ordering value, so the oracle
+    // expresses the same argmax (max balance, suppkey-descending tie-break)
+    // as a window top-1.
+    "top_supplier" ->
+      """WITH s AS (SELECT n_name, s_name, s_acctbal,
+        |  row_number() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey DESC) AS rn,
+        |  count(*) OVER (PARTITION BY n_name) AS n_suppliers,
+        |  max(s_acctbal) OVER (PARTITION BY n_name) AS mx
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, s_name AS top_supplier, round(mx, 2) AS top_acctbal, n_suppliers
+        |FROM s WHERE rn = 1 ORDER BY n_name""".stripMargin,
+    "order_gaps" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+        |  lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev FROM orders),
+        |g AS (SELECT o_custkey, epoch_us(o_orderdate) - epoch_us(prev) AS gap_us FROM o)
+        |SELECT o_custkey, count(gap_us) AS n_gaps,
+        |  round(avg(gap_us) / 3600000000.0, 4) AS avg_gap_hours,
+        |  round(CAST(max(gap_us) AS DOUBLE) / 3600000000.0, 4) AS max_gap_hours
+        |FROM g GROUP BY o_custkey HAVING count(gap_us) > 0 ORDER BY o_custkey""".stripMargin,
+    "tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tf.word AS word, tf,
+        |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN df ON tf.word = df.word, n),
+        |r AS (SELECT doc_id, word, tf, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, tf, round(tfidf, 6) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "bm25_search" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(ws) AS word FROM d),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks WHERE word IN ('stream', 'join', 'window') GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |sc AS (SELECT tf.doc_id AS doc_id, tf.word AS word,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS contrib
+        |  FROM tf JOIN df ON tf.word = df.word JOIN dl ON tf.doc_id = dl.doc_id, st),
+        |p AS (SELECT doc_id,
+        |    COALESCE(max(CASE WHEN word = 'stream' THEN contrib END), 0.0) AS c_stream,
+        |    COALESCE(max(CASE WHEN word = 'join' THEN contrib END), 0.0) AS c_join,
+        |    COALESCE(max(CASE WHEN word = 'window' THEN contrib END), 0.0) AS c_window
+        |  FROM sc GROUP BY doc_id),
+        |r AS (SELECT doc_id, c_stream + c_join + c_window AS score FROM p),
+        |t AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM r)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, round(score, 4) AS score
+        |FROM t WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+        |  || 'Shard' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM'
+        |  || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+        |  || '/Data/set' || CAST(doc_id % 20 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR)
+        |           WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+        |  || (CASE WHEN doc_id % 7 = 0 THEN '#Top' ELSE '' END) AS url FROM documents),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+        |  || regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\.', ''), ':443$', '')
+        |  || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |       regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+        |       'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', ''), '/$', ''), '/\?', '?') AS canon_url FROM u)
+        |SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_variants
+        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    "stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, tsu AS c_ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, tsu AS p_ts FROM e WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, c.user_id AS user_id,
+        |  epoch_us(c_ts) AS click_us, epoch_us(p_ts) AS purchase_us
+        |FROM c JOIN p ON c.user_id = p.user_id AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "cube_pricing" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS count_order

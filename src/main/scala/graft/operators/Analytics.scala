@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.NumericFunctions.duckRound
+import graft.sources.Tables
+
+/** Behavioral / sequence analytics over the event stream and order book:
+  * range joins, funnel analysis, distribution tiles, ordered path
+  * extraction, argmax aggregates. These extend the reference's query
+  * surface (reference has only word-count-shaped queries —
+  * /root/reference/plugins/wc/wc.go:12-24, plugins/ii/ii.go:12-30) with the
+  * operators a production analytics engine layers on the same shuffle
+  * substrate.
+  *
+  * Scale notes per operator are inline; the shared principles:
+  *  - windows partition on high-cardinality keys (user_id, customer) so no
+  *    single sort dominates;
+  *  - chained windows over the SAME partitioning reuse one exchange+sort;
+  *  - interval/range joins keep the tiny side broadcast, never the pair
+  *    space materialized.
+  */
+object Analytics {
+
+  /** Interval (range) join: orders priced into irregular, non-computable
+    * price tiers via `lo <= p < hi`. The tier table is a handful of rows →
+    * `broadcast` makes this a BroadcastNestedLoopJoin, which is THE right
+    * plan when one side is tiny: the fact scan streams through codegen'd
+    * predicates, no shuffle at all. (For big-big range joins the play is
+    * binning both sides to convert to equi-join — see the bin variant in
+    * [[Relational.valueHistogram]].) */
+  def rangeJoinTiers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      ("T1_budget", 0.0, 50000.0),
+      ("T2_mid", 50000.0, 150000.0),
+      ("T3_high", 150000.0, 300000.0),
+      ("T4_premium", 300000.0, 450000.0),
+      ("T5_whale", 450000.0, 1e9)
+    ).toDF("tier", "lo", "hi")
+    Tables.orders(spark, sfDir)
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_orders"),
+           duckRound(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("tier")
+  }
+
+  /** Funnel analysis: how many users progress view → click (after the first
+    * view) → purchase (after that click). Stage timestamps are chained
+    * conditional-min WINDOW aggregates over the same user partitioning —
+    * Catalyst plans ONE exchange+sort and evaluates the three window frames
+    * in sequence on it, so the events table shuffles exactly once however
+    * many stages the funnel has (vs the naive per-stage self-join, which
+    * shuffles per stage). Microsecond integer timestamps end-to-end — no
+    * float drift in the differential check. */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("us") > col("t1"), col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("us") > col("t2"), col("us"))).over(w))
+    staged.groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .agg(count(col("t1")).as("n_view"),
+           count(col("t2")).as("n_view_click"),
+           count(col("t3")).as("n_view_click_purchase"))
+  }
+
+  /** Distribution tiles: quartile buckets of order value WITHIN each order
+    * priority class (`ntile` over a partitioned window). Partitioning by
+    * priority keeps the sort distributed; a GLOBAL ntile would be a total
+    * order — at 100 TB that becomes approx_percentile cut points (mergeable
+    * sketch) applied as filters, not a single-partition sort. */
+  def ntileSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n_orders"),
+           duckRound(min("o_totalprice"), 2).as("min_price"),
+           duckRound(max("o_totalprice"), 2).as("max_price"),
+           duckRound(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
+  /** Ordered event-type path per user (first 10 events by time): the
+    * sequence feature a behavioral model trains on. collect_list gives NO
+    * ordering guarantee after a shuffle, so the sort is done INSIDE the
+    * group: collect structs keyed by (ts, event_id), `array_sort`, then
+    * project the types — deterministic on any partitioning. The row_number
+    * prefilter caps the per-user state the aggregate carries. */
+  def userPaths(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= k)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("evs"))
+      .select(col("user_id"),
+              concat_ws(",", transform(col("evs"), e => e("event_type"))).as("path"),
+              size(col("evs")).cast("bigint").as("n_path_events"))
+      .orderBy("user_id")
+  }
+
+  /** Argmax aggregate: the top-balance supplier per nation via `max_by`
+    * with a composite (balance, key) ordering struct — ties broken by
+    * supplier key, so the answer is deterministic. max_by is a regular
+    * mergeable aggregate (partial argmax per partition, merge keeps the
+    * larger) — one combiner-friendly shuffle, no window sort at all. */
+  def topSupplierPerNation(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(expr("max_by(s_name, struct(s_acctbal, s_suppkey))").as("top_supplier"),
+           duckRound(max("s_acctbal"), 2).as("top_acctbal"),
+           count(lit(1)).as("n_suppliers"))
+      .orderBy("n_name")
+
+  /** Inter-order gap statistics per customer: `lag` over the per-customer
+    * order timeline → mean/max gap in hours. The window and the subsequent
+    * aggregate share the customer partitioning (one exchange). Gaps are
+    * integer microsecond diffs; only the final mean divides, rounded at the
+    * output edge. */
+  def orderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      // o_orderdate is TIMESTAMP_NTZ on disk (no UTC adjustment flag);
+      // cast under the session's UTC zone before epoch arithmetic
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"),
+              col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("o_orderdate")) - unix_micros(col("prev")))
+      .groupBy("o_custkey")
+      .agg(count(col("gap_us")).as("n_gaps"),
+           // average the INTEGER micros (order-independent below 2^53),
+           // divide once at the edge — bit-identical on any partitioning
+           duckRound(avg(col("gap_us")) / lit(3600000000.0), 4).as("avg_gap_hours"),
+           duckRound(max(col("gap_us")).cast("double") / lit(3600000000.0), 4).as("max_gap_hours"))
+      .filter(col("n_gaps") > 0)
+      .orderBy("o_custkey")
+  }
+}

@@ -200,6 +200,52 @@ object TextAnalysis {
               col("cs.fp_sum").as("fp_sum"))
       .orderBy("doc_id")
 
+  /** URL canonicalization + dedup — the web-crawl dedup pass that catches
+    * the SAME resource crawled under cosmetically different URLs. The
+    * corpus has no URL column, so a deterministic synthetic URL is derived
+    * from doc_id (mixed-case host, optional default port / tracking params
+    * / fragment / trailing slash — the variants real crawls produce), then
+    * canonicalized: scheme+host lowercased (path case PRESERVED — it is
+    * significant), `www.` and `:443` stripped, `utm_*` params and fragments
+    * dropped, trailing slash removed. Groups on the canonical form count
+    * how many crawl variants collapse. Pure codegen'd regex/string ops,
+    * scan-shaped; the only shuffle is the canonical-key groupBy — at 100 TB
+    * this is exactly exact-dedup's shape with the canonicalizer fused into
+    * the scan. */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val synth = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Shard"), (col("doc_id") % 5).cast("string"), lit(".Example.COM"),
+      when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Data/set"), (col("doc_id") % 20).cast("string"),
+      when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+           concat(lit("?utm_source=feed&id="), (col("doc_id") % 4).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+           concat(lit("?id="), (col("doc_id") % 4).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#Top")).otherwise(lit("")))
+    val hostRaw = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
+    val canon = concat(
+      lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)), lit("://"),
+      regexp_replace(regexp_replace(hostRaw, "^www\\.", ""), ":443$", ""),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^#]*)", 1),
+              "utm_[a-z]+=[^&#]*&?", ""),
+            "[?&]$", ""),
+          "/$", ""),
+        "/\\?", "?"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), synth.as("url"))
+      .select(col("doc_id"), canon.as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_variants"))
+      .orderBy("canon_url")
+  }
+
   /** Karp-Rabin rolling polynomial hash over the token stream — a
     * locality-sensitive fingerprint family (used for chunk-level dedup).
     * Deterministic; exposed as a Scala function for the typed API and tests.

@@ -225,6 +225,35 @@ object EventStreams {
       .orderBy("c_mktsegment")
   }
 
+  /** Driver-verified: STREAM-STREAM inner join — clicks joined to the same
+    * user's purchases within the following 30 minutes, both sides unbounded.
+    * The event-time bound (`p_ts ∈ [c_ts, c_ts + 30 min]`) plus watermarks
+    * is what makes this feasible on infinite streams: each side buffers
+    * only rows younger than watermark + range, so join state is bounded by
+    * rate × window, not by history. Emitted pairs are a pure set (append
+    * mode, no aggregate), so arrival order never shows in the result — the
+    * batch SQL join is the exact oracle. */
+  def streamStreamJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    val result = runToCompletion(spark, joined, "stream_join", OutputMode.Append())
+    result.select(col("click_id"), col("purchase_id"), col("user_id"),
+                  unix_micros(col("c_ts")).as("click_us"),
+                  unix_micros(col("p_ts")).as("purchase_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Driver-verified: streaming exact dedup — `dropDuplicates` on the
     * content fingerprint over the documents stream, emitting each distinct
     * fingerprint once (append mode). The emitted SET is order-independent

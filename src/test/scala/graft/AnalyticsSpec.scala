@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Ranking, TextAnalysis}
+
+/** Behavioral-analytics and ranking operators: invariants that don't need
+  * the DuckDB oracle (the differential gate covers exact values; these
+  * specs pin the semantic properties that must survive refactors). */
+class AnalyticsSpec extends SparkSpecBase {
+
+  test("range_join tiers partition orders completely and disjointly") {
+    val n = graft.sources.Tables.orders(spark, sf0001).count()
+    val tiers = Analytics.rangeJoinTiers(spark, sf0001).collect()
+    assert(tiers.map(_.getLong(1)).sum == n,
+      "every order lands in exactly one tier (cover + disjoint)")
+  }
+
+  test("event_funnel stages are monotonically non-increasing") {
+    val r = Analytics.eventFunnel(spark, sf0001).collect().head
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel must narrow: $v >= $c >= $p")
+    assert(v > 0, "fixture has viewers")
+  }
+
+  test("ntile quartiles are balanced within each priority class") {
+    val rows = Analytics.ntileSpend(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, qs) =>
+      val counts = qs.map(_.getLong(2))
+      assert(counts.max - counts.min <= 1, "ntile splits differ by at most 1")
+      // quartile value ranges must not overlap: q(i).max <= q(i+1).min
+      val ordered = qs.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(4) <= b.getDouble(3) + 0.011,
+            "quartiles ordered by value (rounding slack)")
+        case _ =>
+      }
+    }
+  }
+
+  test("user_paths emits at most 10 steps, comma-joined, per user") {
+    val rows = Analytics.userPaths(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val path = r.getString(1)
+      val n = r.getLong(2)
+      assert(n <= 10 && path.split(",").length.toLong == n)
+    }
+  }
+
+  test("top_supplier agrees with a brute-force argmax") {
+    val suppliers = graft.sources.Tables.supplier(spark, sf0001)
+      .join(graft.sources.Tables.nation(spark, sf0001),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("n_name", "s_name", "s_acctbal", "s_suppkey").collect()
+    val expected = suppliers.groupBy(_.getString(0)).map { case (nn, rs) =>
+      nn -> rs.maxBy(r => (r.getDouble(2), r.getLong(3)))
+    }
+    Analytics.topSupplierPerNation(spark, sf0001).collect().foreach { r =>
+      assert(expected(r.getString(0)).getString(1) == r.getString(1))
+    }
+  }
+
+  test("order_gaps: only multi-order customers, non-negative gaps") {
+    val rows = Analytics.orderGaps(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getDouble(3) >= r.getDouble(2) - 1e-9, "max gap >= avg gap")
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("tfidf: rank-1 term per doc has the doc's max tf*idf; ranks dense") {
+    val rows = Ranking.tfidfTerms(spark, sf0001).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq)
+      // scores non-increasing down the ranks
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) >= b.getDouble(4) - 1e-6)
+        case _ =>
+      }
+    }
+  }
+
+  test("bm25: exactly top-10, scores non-increasing, all positive") {
+    val rows = Ranking.bm25Search(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val scores = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    scores.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 1e-9)
+      case _ =>
+    }
+    assert(scores.forall(_ > 0.0), "query terms occur in the corpus")
+  }
+
+  test("url dedup: canonical forms are lowercase-host, no tracking debris") {
+    val rows = TextAnalysis.urlDedup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(u.startsWith("https://shard"), s"scheme+host lowercased: $u")
+      assert(!u.contains("www.") && !u.contains(":443") &&
+             !u.contains("utm_") && !u.contains("#") && !u.endsWith("/"), u)
+    }
+    assert(rows.exists(_.getLong(2) > 1), "crawl variants collapsed")
+    // canonicalization is idempotent on the synthetic corpus: variant count
+    // equals the documents count
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.sources.Tables.documents(spark, sf0001).count())
+  }
+}
