@@ -23,15 +23,22 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // A failing query must be VISIBLE in the output, not a fast time: its
+    // entry becomes "err:<class>" and the failure count is reported at the
+    // top level, so a regression can't masquerade as a speedup.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      name -> (err, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, (None, v)) => s"\"" + k + "\":" + v
+      case (k, (Some(e), _)) => s"\"" + k + "\":\"err:" + e + "\""
+    }.mkString("{", ",", "}")
+    val failed = results.count { case (_, (err, _)) => err.isDefined }
+    val total = results.collect { case (_, (None, v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, ChunkStats, CosineSimilarity, MinHashAgg, ShingleArray}
+import graft.functions.expressions.{BandHashes, ChunkStats, CosineSimilarity, MinHashAgg, ShingleArray, SimHash}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_bands(signature, numBands, rowsPerBand)")
         BandHashes(args.head, intArg(args(1)), intArg(args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash(text) takes one string column")
+        SimHash(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_chunkstats"),

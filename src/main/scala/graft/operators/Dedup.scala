@@ -215,10 +215,7 @@ object Dedup {
       .toDF("doc_id", "band", "bhash")
 
     // Guard against degenerate buckets before the self-join (skew control).
-    val bounded = bands
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bhash")))
-      .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
+    val bounded = dropOversizedBuckets(bands, maxBucket)
 
     val candidates = bounded.as("x")
       .join(bounded.as("y"),
@@ -232,52 +229,127 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Skew guard for LSH band buckets: drop every row of a (band, bhash)
+    * bucket larger than `maxBucket`. A groupBy-count of the bucket keys
+    * broadcast-anti-joined back onto the stream — a cheap partial-aggregated
+    * count instead of a per-row window count, which forced a full sort of
+    * the bands stream. The oversized-key set is tiny by construction (only
+    * degenerate buckets qualify), so the broadcast is bytes, not data. */
+  private def dropOversizedBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val oversized = bands.groupBy("band", "bhash")
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucket)
+      .select("band", "bhash")
+    bands.join(broadcast(oversized), Seq("band", "bhash"), "left_anti")
+  }
+
   // ------------------------------------------------- Connected components
 
-  /** Connected components of an undirected edge list: every vertex labeled
-    * with the smallest vertex id reachable from it. Iterative minimum-label
-    * propagation — each round is one shuffle join (neighbor labels) plus one
-    * shuffle aggregate (per-vertex min), and convergence is detected with a
-    * distributed count of changed labels, never a collect. Lineage is
-    * truncated per round (`localCheckpoint`) so the plan doesn't grow with
-    * the iteration count — the standard requirement for iterative DataFrame
-    * algorithms (on a cluster, `spark.cleaner` reclaims the shipped blocks).
+  /** Per-round lineage truncation for iterative DataFrame algorithms,
+    * selected by session conf `graft.iter.checkpoint`. Every mode TRUNCATES
+    * the logical plan — mandatory here, because each star round references
+    * its input several times, so an untruncated plan grows exponentially
+    * with the round count (a mere `persist` caches blocks but lets the plan
+    * explode; measured as an OOM in plan stringification within ~8 rounds).
     *
-    * Rounds are bounded by the component diameter. Near-dup graphs are
-    * clique-ish (diameter 2–3) so this converges in a handful of rounds; for
-    * adversarial long-chain graphs, the same per-round join shape extends to
-    * the large-star/small-star rounds of Kiveris et al., "Connected
-    * Components in MapReduce and Beyond" (SoCC'14), which need O(log² n)
-    * rounds. Throws if `maxIter` is hit before fixpoint rather than return
-    * a wrong labeling. */
+    *  - `"local"` (default): `localCheckpoint(eager)` — fastest, but the
+    *    truncated blocks live only on their executors (memory+disk) and die
+    *    with them. Right for local[n] runs and tests.
+    *  - `"disk"`: `localCheckpoint(eager, DISK_ONLY)` — same executor-local
+    *    truncation without pinning round state in executor memory.
+    *  - `"reliable"`: `checkpoint(eager)` to the SparkContext checkpoint
+    *    directory (set from `graft.iter.checkpointDir` if unset) — blocks
+    *    survive executor loss, so a lost executor costs a task retry, not a
+    *    whole-job restart. The cluster setting for long iterations.
+    */
+  private final class RoundCheckpointer(spark: SparkSession) {
+    private val mode = spark.conf.get("graft.iter.checkpoint", "local")
+    def apply(df: DataFrame): DataFrame = mode match {
+      case "reliable" =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(
+            spark.conf.get("graft.iter.checkpointDir",
+              new java.io.File(sys.props("java.io.tmpdir"), "graft-checkpoints").getPath))
+        df.checkpoint(eager = true)
+      case "disk" =>
+        df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case _ => df.localCheckpoint(true)
+    }
+  }
+
+  /** Connected components of an undirected edge list: every vertex labeled
+    * with the smallest vertex id reachable from it.
+    *
+    * Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    * O(log² n) rounds on ANY graph, long chains included, where plain
+    * min-label propagation needs O(diameter). Each half-round is one shuffle
+    * aggregate (per-vertex neighborhood min) plus one shuffle join (attach
+    * that min back to the edges); convergence is a distributed fixed-point
+    * check (edge set unchanged), never a collect. The fixed point is a union
+    * of stars centered at each component's minimum vertex, which IS the
+    * labeling. Lineage is truncated per round via [[RoundCheckpointer]] so
+    * the plan doesn't grow with the iteration count.
+    *
+    * Throws if `maxIter` is hit before the fixed point rather than return a
+    * wrong labeling. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50): DataFrame = {
-    // Materialize the edge list BEFORE the symmetrizing self-union: `e`
-    // appears twice in the union, and without this the (possibly expensive)
-    // upstream pair join would execute twice.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
-    val sym = e.union(e.select(col("dst"), col("src")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("v")).distinct()
-      .withColumn("l", col("v"))
-      .localCheckpoint(true)
-    var changed = 1L
+    val ckpt = new RoundCheckpointer(edges.sparkSession)
+    // Canonical directed form (u > v), self-loops dropped, dedup'd.
+    // Materialized BEFORE the first round: every round references its input
+    // twice (symmetrize + min-join), and without truncation the (possibly
+    // expensive) upstream pair join would execute twice.
+    var cur = ckpt(edges
+      .select(greatest(col(srcCol), col(dstCol)).as("u"),
+              least(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    var nCur = cur.count()
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < maxIter) {
-      val nbrMin = sym.join(labels, col("dst") === col("v"))
-        .groupBy("src").agg(min("l").as("nl"))
-      val step = labels.join(nbrMin, col("v") === col("src"), "left")
-        .select(col("v"), col("l"),
-                least(col("l"), coalesce(col("nl"), col("l"))).as("l2"))
-        .localCheckpoint(true)
-      changed = step.filter(col("l2") < col("l")).count()
-      labels = step.select(col("v"), col("l2").as("l"))
+    while (!converged && rounds < maxIter) {
+      val next = ckpt(smallStar(ckpt(largeStar(cur))))
+      val nNext = next.count()
+      // Both sides are distinct canonical sets: equal size + empty
+      // left-anti difference ⟺ identical edge sets ⟺ star fixed point.
+      converged = nNext == nCur &&
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
+      cur = next
+      nCur = nNext
       rounds += 1
     }
-    require(changed == 0, s"connectedComponents: no fixpoint after $maxIter rounds")
-    labels
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    // Star state: every edge is (member, center). Centers label themselves.
+    cur.select(col("u").as("v"), col("v").as("l"))
+      .union(cur.select(col("v").as("v"), col("v").as("l")))
+      .distinct()
+  }
+
+  /** Large-star round: every vertex connects its strictly-larger neighbors
+    * to the minimum of its closed neighborhood. Input and output are
+    * canonical (u > v) distinct edge sets. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u").as("x"), least(col("u"), col("mn")).as("m"))
+    // (y, m(x)) for y ∈ Γ(x), y > x; m(x) ≤ x < y keeps it canonical and
+    // self-loop-free by construction.
+    sym.join(m, col("u") === col("x"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every vertex connects its smaller neighbors (and
+    * itself) to the minimum of that set. Canonical in, canonical out. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("u").agg(min("v").as("m"))
+    val nbr = edges.join(m, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v")) // v > m: m is the min
+    nbr.union(m.select(col("u"), col("m").as("v"))) // u > m likewise
+      .distinct()
   }
 
   /** Duplicate-cluster assignment — the step after pair finding in any real
@@ -331,12 +403,16 @@ object Dedup {
     * equality) for bounded work on adversarial corpora. */
   def simhashPairs(spark: SparkSession, sfDir: String,
                    maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
-    import spark.implicits._
+    // `graft_simhash` is a native codegen kernel (one compiled pass per
+    // document, fused into the scan) — the typed Dataset.map it replaced
+    // deserialized every row and ran interpreted outside codegen. The
+    // signature table (16 bytes/row) is persisted because the plan reads it
+    // four times (skew guard + both self-join sides) and nothing else makes
+    // those subtrees shareable once one join side broadcasts; re-running the
+    // MD5 tokenizer per read would quadruple the dominant scan cost.
     val sigs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, simhash64(tokenizeScala(text))) }
-      .toDF("doc_id", "sig")
+      .select(col("doc_id"), call_function("graft_simhash", col("text")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Band key must be the UNSIGNED low 16 bits: a signed `% 65536` would
     // give negative keys for negative signatures in band 0 (shift 0 is a
@@ -348,10 +424,7 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
 
-    val bounded = bands
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bhash")))
-      .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
+    val bounded = dropOversizedBuckets(bands, maxBucket)
 
     val pairs = bounded.as("x")
       .join(bounded.as("y"),

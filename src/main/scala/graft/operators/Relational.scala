@@ -280,7 +280,11 @@ object Relational {
     val masked = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"),
-              explode(sequence(lit(1), length(col("s")))).as("pos"))
+              // sequence(1, 0) auto-reverses to [1, 0] — an empty string
+              // must yield NO mask rows, not two spurious ones.
+              explode(when(length(col("s")) > 0,
+                           sequence(lit(1), length(col("s"))))
+                        .otherwise(array().cast("array<int>"))).as("pos"))
       .select(col("id"), col("s"), col("pos"),
         concat(expr("substring(s, 1, pos - 1)"),
                expr("substring(s, pos + 1, length(s))")).as("key"))

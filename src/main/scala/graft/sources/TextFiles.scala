@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   *  - source: a directory of text files, one document per file, document id
   *    = file name (`/root/reference/cmd/worker/worker.go:41-48` reads one
   *    whole file per map task; `plugins/ii/ii.go:20-21` uses the filename as
-  *    provenance). Line-granular reading (`spark.read.text`) + grouping by
-  *    `input_file_name()` preserves whole-file semantics while letting Spark
-  *    split large files across partitions for the line-level queries that
-  *    don't need document boundaries.
+  *    provenance). Read via `wholeTextFiles` — one file = one record, the
+  *    exact analogue of the reference's one-file-per-map-task granularity
+  *    (see `readDocumentsDir` for why a line read + regroup would not
+  *    preserve line order).
   *  - sink: `"key value"` lines sorted ascending by key
   *    (`worker.go:121-132,171-182` — the `mr-out-*` format).
   */

@@ -41,6 +41,12 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** True microseconds of a Timestamp: `getTime` is millisecond-resolution
+    * (the sub-ms part lives only in `getNanos`), so `getTime * 1000` alone
+    * would silently truncate micro-precision events. */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+
   /** Per-user running session state via mapGroupsWithState: counts sessions
     * separated by >`gapSeconds` of inactivity. Custom state machine — the
     * shape Structured Streaming's built-in windows can't express. */
@@ -59,8 +65,8 @@ object EventStreams {
                state: GroupState[SessionState]): UserSessions = {
       var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
       // Process in event-time order within the batch for deterministic gaps.
-      batch.toSeq.sortBy(_._2.getTime).foreach { case (_, ts) =>
-        val micros = ts.getTime * 1000L
+      batch.toSeq.sortBy(t => tsMicros(t._2)).foreach { case (_, ts) =>
+        val micros = tsMicros(ts)
         val isNew = st.lastTsMicros == Long.MinValue ||
           micros - st.lastTsMicros > gapSeconds * 1000000L
         st = SessionState(micros, st.nSessions + (if (isNew) 1 else 0))
@@ -93,8 +99,8 @@ object EventStreams {
                state: GroupState[OpenSession]): Iterator[SessionOut] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       var st = state.getOption
-      batch.toSeq.sortBy(_._2.getTime).foreach { case (_, ts) =>
-        val us = ts.getTime * 1000L
+      batch.toSeq.sortBy(t => tsMicros(t._2)).foreach { case (_, ts) =>
+        val us = tsMicros(ts)
         st match {
           case Some(s) if us - s.lastMicros <= gapSeconds * 1000000L =>
             st = Some(s.copy(lastMicros = us, n = s.n + 1))

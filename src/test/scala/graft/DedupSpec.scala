@@ -79,4 +79,19 @@ class DedupSpec extends SparkSpecBase {
     assert(got(50L) === 50L && got(51L) === 50L)
     assert(got.size === 12 + 5 + 2)
   }
+
+  test("connectedComponents is identical under every checkpoint mode") {
+    import spark.implicits._
+    val edges = ((100L until 111L).map(i => (i, i + 1)) ++
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 20L), (50L, 51L))).toDF("a", "b")
+    def run(): Set[(Long, Long)] =
+      Dedup.connectedComponents(edges, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run()
+    for (mode <- Seq("disk", "reliable")) {
+      spark.conf.set("graft.iter.checkpoint", mode)
+      try assert(run() === local, s"mode=$mode")
+      finally spark.conf.unset("graft.iter.checkpoint")
+    }
+  }
 }

@@ -30,6 +30,21 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(diff === 0L)
   }
 
+  test("native graft_simhash equals the library simhash on the corpus + edge cases") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text").cast("string").as("t"))
+      .union(Seq("", "!!!", "one two one", "  a b c  ").toDF("t"))
+    val diff = docs
+      .select(col("t"), call_function("graft_simhash", col("t")).as("native"))
+      .as[(String, Long)]
+      .collect()
+      .count { case (t, native) =>
+        native != graft.operators.Dedup.simhash64(TextFunctions.tokenizeScala(t).toSeq)
+      }
+    assert(diff === 0)
+  }
+
   test("graft_shingles edge cases: short docs, leading punctuation, empty") {
     val rows = Seq("", "!!!", "one two", "  a b c  ", "x!y?z", "a a a a")
     import spark.implicits._
