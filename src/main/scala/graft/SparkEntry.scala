@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -527,6 +528,23 @@ object SparkEntry {
         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
         |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lbl ORDER BY doc_id""".stripMargin,
+    // dedup_incremental: delta shard (doc_id % 10 = 0) near-dup'd against
+    // the persisted corpus index. LSH candidates + exact verification equal
+    // the exact cross-split trigram-Jaccard join (same argument as
+    // dedup_minhash), which is directly expressible in DuckDB.
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // dedup_simhash: token hash = md5_number_lower on both sides, so the
     // whole sketch (bit votes → 64-bit signature → hamming ≤ 3) is exactly
     // expressible in DuckDB. The banding in the Spark plan is pure candidate

@@ -18,10 +18,27 @@ object Warehouse {
   /** Write `df` as a bucketed+sorted managed table on `key` — the join key
     * pays its shuffle exactly once, here. */
   def writeBucketed(df: DataFrame, key: String, table: String, buckets: Int = 8): Unit =
+    writeBucketed(df, Seq(key), table, buckets)
+
+  /** Multi-column bucketing: a bucket-local join requires the bucket
+    * columns to EQUAL the join keys (the planner disables the bucketed read
+    * on a subset match), so index tables bucket on the full key tuple. */
+  def writeBucketed(df: DataFrame, keys: Seq[String], table: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A fresh session doesn't know tables a previous JVM wrote: the catalog
+    // entry is gone but the managed location survives, and CTAS refuses a
+    // non-empty location. Drop whatever the catalog has, then clear any
+    // orphaned directory, so Overwrite means overwrite across sessions too.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Equi-join of two tables bucketed on the join keys: with matching
     * bucket counts Catalyst plans bucket-local SortMergeJoin, no Exchange

@@ -29,6 +29,49 @@ class WarehouseSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("incremental dedup store side reads bucket-local: no Exchange above a store scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    graft.operators.IncrementalDedup.buildIndex(spark, sf0001)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Force SMJ so the assert exercises the bucketed layout, not the
+      // tiny-data broadcast path.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.IncrementalDedup.deltaAgainstIndex(spark, sf0001)
+      df.collect() // finalize the AQE plan before reading it
+      // AQE nests finalized stages as leaf nodes — flatten through them.
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }).flatMap(flatten)
+      // A store scan is "before a join" if it is reachable without passing
+      // through a join node — i.e. the store STREAM itself, pre-join.
+      def storeScanBeforeJoin(p: SparkPlan): Boolean = p match {
+        case j if j.nodeName.contains("Join") => false
+        case s if s.nodeName.contains("Scan") &&
+          s.toString.contains("graft_corpus_") => true
+        case a: AdaptiveSparkPlanExec => storeScanBeforeJoin(a.executedPlan)
+        case q: QueryStageExec => storeScanBeforeJoin(q.plan)
+        case r: ReusedExchangeExec => storeScanBeforeJoin(r.child)
+        case other => other.children.exists(storeScanBeforeJoin)
+      }
+      // Shuffling a JOIN RESULT (candidate dedup, final sort) is the
+      // delta/candidate side paying its cost — fine. A shuffle between a
+      // store scan and its consuming join means the bucketed layout failed
+      // to carry its partitioning into the join.
+      val offenders = flatten(df.queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeLike if storeScanBeforeJoin(e.child) => e
+      }
+      assert(offenders.isEmpty,
+        s"store-side shuffle present:\n${offenders.map(_.treeString).mkString}")
+      assert(df.count() > 0) // the split plants cross-split near-dups
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("partitioned parquet layout prunes partitions for a partition-column filter") {
     val path = java.nio.file.Files.createTempDirectory("graft_part").toString
     Warehouse.writePartitioned(
