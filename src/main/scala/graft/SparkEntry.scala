@@ -126,6 +126,49 @@ object SparkEntry {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** similarity_ivf's oracle re-runs the SAME deterministic k-means in
+    * DuckDB: integer-exact dimension sums (floor(x·2^20) longs — integer
+    * adds commute, so the mean is partitioning-independent), means
+    * re-quantized to FLOAT, cosine ties broken by centroid id. Iterations
+    * are unrolled into CTE blocks; both engines converge to bit-identical
+    * codebooks, so even the TRAINED approximate index is exactly checked. */
+  private def ivfOracle(numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
+                        iters: Int = 3, nprobe: Int = 2): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |iv AS (SELECT vec_id, i, CAST(floor(emb[i+1] * 1048576.0) AS BIGINT) AS ivx FROM e, range(64) t(i)),
+      |cents0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, emb AS cemb FROM e WHERE vec_id < $numCentroids),
+      |""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s"""asg$t AS (SELECT vec_id, cell FROM (
+        |  SELECT e.vec_id, c.cent_id AS cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
+        |  FROM e, cents${t - 1} c) WHERE rn = 1),
+        |dims$t AS (SELECT cell, i,
+        |    CAST(CAST(CAST(sum(ivx) AS DOUBLE) / (1048576.0 * CAST(count(*) AS DOUBLE)) AS FLOAT) AS DOUBLE) AS cv
+        |  FROM iv JOIN asg$t USING (vec_id) GROUP BY cell, i),
+        |reb$t AS (SELECT cell, list(cv ORDER BY i) AS cemb FROM dims$t GROUP BY cell),
+        |cents$t AS (SELECT c.cent_id, COALESCE(r.cemb, c.cemb) AS cemb
+        |  FROM cents${t - 1} c LEFT JOIN reb$t r ON c.cent_id = r.cell),
+        |""".stripMargin
+    }
+    sb ++= s"""asgF AS (SELECT vec_id, cell FROM (
+      |  SELECT e.vec_id, c.cent_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
+      |  FROM e, cents$iters c) WHERE rn = 1),
+      |cellv AS (SELECT e.vec_id, e.emb, a.cell FROM e JOIN asgF a USING (vec_id)),
+      |pc AS (SELECT probe_id, probe_emb, cell FROM (
+      |  SELECT e.vec_id AS probe_id, e.emb AS probe_emb, c.cent_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
+      |  FROM e, cents$iters c WHERE e.vec_id < $numProbes) WHERE rn <= $nprobe),
+      |s AS (SELECT probe_id, a.vec_id AS neighbor_id, list_cosine_similarity(probe_emb, a.emb) AS cos,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, a.emb) DESC, a.vec_id) AS rn
+      |  FROM cellv a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= $k
+      |ORDER BY probe_id, rnk""".stripMargin
+    sb.result()
+  }
+
   /** The exact word-trigram Jaccard ≥ 0.8 pair join — the oracle for
     * `dedup_ngram`, for `dedup_minhash` (LSH + exact verification provably
     * equals the exact join at the threshold, see the inline note), and the
@@ -562,19 +605,7 @@ object SparkEntry {
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "similarity_ann" -> annOracle,
-    "similarity_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id < 16),
-        |asg AS (SELECT vec_id, emb, cent_id,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY list_cosine_similarity(emb, cent_emb) DESC, cent_id) AS rn
-        |  FROM e, c),
-        |cell AS (SELECT vec_id, emb, cent_id AS cell FROM asg WHERE rn = 1),
-        |p AS (SELECT vec_id AS probe_id, emb AS probe_emb, cell FROM cell WHERE vec_id < 10),
-        |s AS (SELECT probe_id, a.vec_id AS neighbor_id, list_cosine_similarity(probe_emb, a.emb) AS cos,
-        |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, a.emb) DESC, a.vec_id) AS rn
-        |  FROM cell a JOIN p ON a.cell = p.cell AND a.vec_id <> p.probe_id)
-        |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
-        |ORDER BY probe_id, rnk""".stripMargin,
+    "similarity_ivf" -> ivfOracle(),
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt

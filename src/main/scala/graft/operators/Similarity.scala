@@ -41,31 +41,88 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
-  /** IVF (inverted-file) approximate nearest neighbors — the classic
-    * coarse-quantizer ANN layout: every vector is assigned to its nearest
-    * centroid cell (centroids = the first `numCentroids` vectors, a
-    * deterministic training-free codebook); a probe scans only its own cell.
-    * At scale the corpus is partitioned BY cell, so a probe touches one
-    * partition instead of the whole corpus — the standard billion-vector
-    * layout (IVF from the FAISS lineage). nprobe=1 here; recall vs
-    * `knnBrute` is measured in the test suite. Fully deterministic
-    * (cosine ties broken by centroid id, then vec_id) → SQL-oracle-checked. */
-  def ivfSearch(spark: SparkSession, sfDir: String,
-                numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val cents = e.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+  /** Fixed-point scale for integer-exact centroid sums: components are
+    * quantized to `floor(x · 2^20)` longs before summation, so the mean is
+    * order-independent (integer adds commute) and bit-identical across
+    * engines — the property that lets a TRAINED codebook stay
+    * SQL-oracle-checkable. 2^20 keeps unit-norm components well inside
+    * long range at any corpus size. */
+  private val KmeansScale = 1048576.0 // 2^20
+
+  /** Nearest-centroid assignment `(vec_id, embedding, cell)` — cosine ties
+    * broken by centroid id, so it is deterministic on both engines. */
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("cc").desc, col("cent_id").asc)
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
-              VectorFunctions.cosine(col("embedding"), col("cent_emb")).as("cc"))
+              VectorFunctions.cosine(col("embedding"), col("cemb")).as("cc"))
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val probes = assigned.filter(col("vec_id") < numProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"), col("cell"))
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+  }
+
+  /** K-means codebook: `iters` Lloyd rounds from the first-`k` seed, fully
+    * distributed (assignment = broadcast crossJoin + window argmax, update =
+    * one shuffle aggregate over exploded dimensions) and fully deterministic:
+    * integer-exact dimension sums (see [[KmeansScale]]), means re-quantized
+    * to FLOAT so both engines compare bit-identical centroid arrays. Empty
+    * cells keep their previous centroid. Returns `(cent_id, cemb float[])`.
+    * The per-round `localCheckpoint` truncates the loop-carried plan (16
+    * rows — the blocks are trivially rebuilt on loss). */
+  private[graft] def kmeansCodebook(e: DataFrame, numCentroids: Int,
+                                    iters: Int): DataFrame = {
+    val iv = e.select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "i", "x")
+      .select(col("vec_id"), col("i"),
+              floor(col("x").cast("double") * lit(KmeansScale)).cast("long").as("ivx"))
+    var cents = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cemb"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val asg = assignCells(e, cents).select("vec_id", "cell")
+      val dims = iv.join(asg, "vec_id")
+        .groupBy("cell", "i")
+        .agg(sum("ivx").as("s"), count(lit(1)).as("cnt"))
+        .select(col("cell"), col("i"),
+          (col("s").cast("double") / (lit(KmeansScale) * col("cnt").cast("double")))
+            .cast("float").as("cv"))
+      val rebuilt = dims.groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("a"))
+        .select(col("cell"), expr("transform(a, s -> s.cv)").as("cemb2"))
+      cents = cents.join(rebuilt, col("cent_id") === col("cell"), "left")
+        .select(col("cent_id"), coalesce(col("cemb2"), col("cemb")).as("cemb"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate nearest neighbors — the classic
+    * coarse-quantizer ANN layout: a TRAINED k-means codebook
+    * ([[kmeansCodebook]], `iters` deterministic Lloyd rounds) partitions the
+    * corpus into cells; each probe scans its `nprobe` nearest cells instead
+    * of the whole corpus. At scale the corpus is partitioned BY cell, so a
+    * probe touches `nprobe` partitions — the standard billion-vector layout
+    * (IVF from the FAISS lineage); nprobe>1 is what keeps recall up when a
+    * probe sits near a cell boundary (measured vs `knnBrute` in the test
+    * suite). Fully deterministic → SQL-oracle-checked, k-means included. */
+  def ivfSearch(spark: SparkSession, sfDir: String,
+                numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
+                iters: Int = 3, nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = kmeansCodebook(e, numCentroids, iters)
+    val assigned = assignCells(e, cents)
+    val byProbe = Window.partitionBy("probe_id")
+      .orderBy(col("pc").desc, col("cent_id").asc)
+    val probeCells = e.filter(col("vec_id") < numProbes)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+              col("cent_id"),
+              VectorFunctions.cosine(col("embedding"), col("cemb")).as("pc"))
+      .withColumn("rn", row_number().over(byProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("probe_emb"), col("cent_id").as("cell"))
+    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
               VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))

@@ -46,19 +46,48 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ann.nonEmpty)
   }
 
-  test("ivfSearch: deterministic cells, k ranked neighbors, decent recall vs brute") {
+  test("ivfSearch: trained codebook + nprobe=2 beats the untrained nprobe=1 recall") {
     val exact = Similarity.knnBrute(spark, sf0001, numProbes = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(iters: Int, nprobe: Int): Double = {
+      val got = Similarity.ivfSearch(spark, sf0001, numProbes = 10, k = 5,
+          iters = iters, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    // nprobe=2 must recover neighbors a single cell misses (same codebook).
+    val oneCell = recallOf(iters = 3, nprobe = 1)
+    val twoCells = recallOf(iters = 3, nprobe = 2)
+    assert(twoCells >= oneCell,
+      s"nprobe=2 regressed recall: $twoCells < $oneCell")
+    assert(twoCells > 0.3, s"trained IVF recall $twoCells suspiciously low")
+
+    // Training must BALANCE the partition: the untrained first-16 codebook
+    // leaves degenerate cells (one near-corpus-sized cell makes nprobe=1
+    // recall look great while scanning half the data — the anti-scale
+    // shape). The bound that matters at 100 TB is the max cell fraction,
+    // i.e. the worst-case per-probe scan cost.
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    def maxCellFraction(iters: Int): Double = {
+      val cents =
+        if (iters == 0)
+          e.filter(col("vec_id") < 16)
+            .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cemb"))
+        else Similarity.kmeansCodebook(e, 16, iters)
+      val sizes = Similarity.assignCells(e, cents)
+        .groupBy("cell").count().collect().map(_.getLong(1))
+      sizes.max.toDouble / sizes.sum
+    }
+    val untrainedMax = maxCellFraction(0)
+    val trainedMax = maxCellFraction(3)
+    assert(trainedMax < untrainedMax,
+      s"k-means failed to balance cells: max fraction $trainedMax >= $untrainedMax")
+
     val ivf = Similarity.ivfSearch(spark, sf0001, numProbes = 10, k = 5).collect()
-    val pairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
-    // nprobe=1 over 16 cells scans ~1/16 of the corpus; recall must beat
-    // chance (≈1%) by a wide margin, and ranks must be 1..k dense per probe.
-    val recall = (pairs intersect exact).size.toDouble / exact.size
-    assert(recall > 0.15, s"IVF recall $recall suspiciously low")
     ivf.groupBy(_.getLong(0)).values.foreach { rows =>
       assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length))
     }
-    // repeated run is bit-identical (deterministic assignment + tie-breaks)
+    // repeated run is bit-identical (deterministic k-means + tie-breaks)
     val again = Similarity.ivfSearch(spark, sf0001, numProbes = 10, k = 5).collect()
     assert(again.map(_.toString).sorted.toSeq === ivf.map(_.toString).sorted.toSeq)
   }
