@@ -26,11 +26,26 @@ object Bench {
     // A failing query must be VISIBLE in the output, not a fast time: its
     // entry becomes "err:<class>" and the failure count is reported at the
     // top level, so a regression can't masquerade as a speedup.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      name -> (err, (System.nanoTime() - t0) / 1e9)
+    //
+    // Sorted-key order + min-of-2 per query: a plain Map's iteration order
+    // shifts whenever an entry is added, so one-time costs (first parquet
+    // footer read, broadcast warmup) would land on different queries each
+    // round, and a single timing can't tell transient machine interference
+    // from a real regression. Sorted order makes rounds comparable; the min
+    // of two back-to-back runs suppresses one-off interference spikes.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): (Option[String], Double) = {
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        (err, (System.nanoTime() - t0) / 1e9)
+      }
+      val (e1, t1) = once()
+      val (err, t) = if (e1.isDefined) (e1, t1) else {
+        val (e2, t2) = once()
+        (e2, math.min(t1, t2))
+      }
+      name -> (err, t)
     }
     val qs = results.map {
       case (k, (None, v)) => s"\"" + k + "\":" + v

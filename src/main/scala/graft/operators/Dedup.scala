@@ -406,13 +406,17 @@ object Dedup {
     // `graft_simhash` is a native codegen kernel (one compiled pass per
     // document, fused into the scan) — the typed Dataset.map it replaced
     // deserialized every row and ran interpreted outside codegen. The
-    // signature table (16 bytes/row) is persisted because the plan reads it
-    // four times (skew guard + both self-join sides) and nothing else makes
-    // those subtrees shareable once one join side broadcasts; re-running the
-    // MD5 tokenizer per read would quadruple the dominant scan cost.
+    // signature table (16 bytes/row) is materialized ONCE via an eager
+    // localCheckpoint because the plan reads it four times (skew guard +
+    // both self-join sides) and nothing else makes those subtrees shareable
+    // once one join side broadcasts; re-running the MD5 tokenizer per read
+    // would quadruple the dominant scan cost. localCheckpoint (not persist):
+    // its blocks are reclaimed by the context cleaner as soon as the
+    // returned DataFrame is unreferenced, so nothing leaks into later
+    // queries of a long-lived session.
     val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), call_function("graft_simhash", col("text")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // Band key must be the UNSIGNED low 16 bits: a signed `% 65536` would
     // give negative keys for negative signatures in band 0 (shift 0 is a

@@ -62,26 +62,20 @@ class SimilaritySpec extends SparkSpecBase {
       s"nprobe=2 regressed recall: $twoCells < $oneCell")
     assert(twoCells > 0.3, s"trained IVF recall $twoCells suspiciously low")
 
-    // Training must BALANCE the partition: the untrained first-16 codebook
-    // leaves degenerate cells (one near-corpus-sized cell makes nprobe=1
-    // recall look great while scanning half the data — the anti-scale
-    // shape). The bound that matters at 100 TB is the max cell fraction,
-    // i.e. the worst-case per-probe scan cost.
+    // The bound that matters at 100 TB is the max cell fraction — the
+    // worst-case per-probe scan cost. On this near-uniform random corpus
+    // the untrained first-16 codebook is ALREADY balanced (max ≈ 1/16), so
+    // a strict trained-beats-untrained comparison is Lloyd-noise coin-flip;
+    // instead assert the trained partition's max cell stays within 2× of
+    // ideal — the property a probe's cost model actually relies on.
+    // (The comparative "training balances" claim is tested below on a
+    // skewed fixture where its premise holds.)
     val e = graft.sources.Tables.embeddings(spark, sf0001)
-    def maxCellFraction(iters: Int): Double = {
-      val cents =
-        if (iters == 0)
-          e.filter(col("vec_id") < 16)
-            .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cemb"))
-        else Similarity.kmeansCodebook(e, 16, iters)
-      val sizes = Similarity.assignCells(e, cents)
-        .groupBy("cell").count().collect().map(_.getLong(1))
-      sizes.max.toDouble / sizes.sum
-    }
-    val untrainedMax = maxCellFraction(0)
-    val trainedMax = maxCellFraction(3)
-    assert(trainedMax < untrainedMax,
-      s"k-means failed to balance cells: max fraction $trainedMax >= $untrainedMax")
+    val trainedSizes = Similarity.assignCells(e, Similarity.kmeansCodebook(e, 16, 3))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val trainedMax = trainedSizes.max.toDouble / trainedSizes.sum
+    assert(trainedMax < 2.0 / 16,
+      s"trained max cell fraction $trainedMax >= 2/k — degenerate partition")
 
     val ivf = Similarity.ivfSearch(spark, sf0001, numProbes = 10, k = 5).collect()
     ivf.groupBy(_.getLong(0)).values.foreach { rows =>
@@ -90,6 +84,39 @@ class SimilaritySpec extends SparkSpecBase {
     // repeated run is bit-identical (deterministic k-means + tie-breaks)
     val again = Similarity.ivfSearch(spark, sf0001, numProbes = 10, k = 5).collect()
     assert(again.map(_.toString).sorted.toSeq === ivf.map(_.toString).sorted.toSeq)
+  }
+
+  test("kmeansCodebook balances a SKEWED corpus: trained max cell < untrained") {
+    // Fixture where the comparative claim's premise actually holds: 4
+    // orthogonal clusters of 40, all seeds (vec_id < 4) inside cluster A,
+    // and clusters B/C/D each pulled slightly toward one distinct seed so
+    // the untrained partition is provably skewed (cells 10/50/50/50).
+    // Lloyd then pulls each captured centroid to its foreign cluster and
+    // the A members migrate home → 40/40/40/40. Margins at every argmax
+    // decision are wide (cos 0.8 vs 0.52 etc.), so this is deterministic.
+    val dim = 16
+    def v(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      parts.foreach { case (i, x) => a(i) += x.toFloat }
+      a.toSeq
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    for (i <- 0 until 4)  rows += ((i.toLong, v(0 -> 1.0, (4 + i) -> 0.5)))
+    for (i <- 4 until 40) rows += ((i.toLong, v(0 -> 1.0, (4 + i % 4) -> 0.5)))
+    for ((axis, base) <- Seq((1, 40), (2, 80), (3, 120)); i <- 0 until 40)
+      rows += (((base + i).toLong, v(axis -> 1.0, 0 -> 0.3, (4 + axis) -> 0.15)))
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    def maxFrac(cents: org.apache.spark.sql.DataFrame): Double = {
+      val sizes = Similarity.assignCells(e, cents)
+        .groupBy("cell").count().collect().map(_.getLong(1))
+      sizes.max.toDouble / sizes.sum
+    }
+    val untrained = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cemb"))
+    val um = maxFrac(untrained)
+    val tm = maxFrac(Similarity.kmeansCodebook(e, 4, 3))
+    assert(um > 0.3, s"fixture sanity: untrained partition should be skewed, got $um")
+    assert(tm < um, s"k-means failed to balance the skewed corpus: $tm >= $um")
   }
 
   test("signBucket produces one bit per leading dimension") {
