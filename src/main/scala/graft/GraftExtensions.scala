@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, ChunkStats, CosineSimilarity, MinHashAgg, ShingleArray, SimHash}
+import graft.functions.expressions.{BandHashes, ChunkStats, CosineSimilarity, MinHashAgg, MinHashArr, ShingleArray, SimHash}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_minhash(shingle, numHashes) — aggregate")
         MinHashAgg(args.head, intArg(args(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_arr"),
+      new ExpressionInfo(classOf[MinHashArr].getName, "graft_minhash_arr"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash_arr(shingle_array, numHashes) — per-row scalar")
+        MinHashArr(args.head, intArg(args(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_bands"),

@@ -73,6 +73,7 @@ object SparkEntry {
     "stream_enrich" -> ((s, d) => graft.streaming.EventStreams.streamEnrichQuery(s, d)),
     "stream_sliding" -> ((s, d) => graft.streaming.EventStreams.streamSlidingQuery(s, d)),
     "stream_join" -> ((s, d) => graft.streaming.EventStreams.streamStreamJoinQuery(s, d)),
+    "stream_dedup_near" -> ((s, d) => graft.streaming.EventStreams.streamNearDupQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -185,6 +186,25 @@ object SparkEntry {
       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+
+  /** The exact cross-split (delta = doc_id % 10 = 0 vs corpus) trigram
+    * Jaccard ≥ 0.8 join — the oracle for `dedup_incremental` AND its
+    * streaming twin `stream_dedup_near`: both run LSH candidates + exact
+    * verification against the persisted index, so both equal the exact
+    * join (same lossless-at-threshold argument as `dedup_minhash`). */
+  private val incrementalOracle: String =
+    """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Hopping-window aggregate — the oracle for both the batch
     * (`sliding_window`) and streaming (`stream_sliding`) forms, which are
@@ -575,19 +595,12 @@ object SparkEntry {
     // the persisted corpus index. LSH candidates + exact verification equal
     // the exact cross-split trigram-Jaccard join (same argument as
     // dedup_minhash), which is directly expressible in DuckDB.
-    "dedup_incremental" ->
-      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
-        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_incremental" -> incrementalOracle,
+    // stream_dedup_near: the SAME incremental pipeline run as a streaming
+    // query (stateless per-row signatures + stream-static index join +
+    // dropDuplicates + array-intersect verification) — the emitted verified
+    // pair set is order-independent, so the batch oracle is exact.
+    "stream_dedup_near" -> incrementalOracle,
     // dedup_simhash: token hash = md5_number_lower on both sides, so the
     // whole sketch (bit votes → 64-bit signature → hamming ≤ 3) is exactly
     // expressible in DuckDB. The banding in the Spark plan is pure candidate

@@ -76,6 +76,54 @@ case class MinHashAgg(
     copy(child = newChild)
 }
 
+/** Compiled kernel for the per-ROW signature form: the whole shingle array
+  * of one document folded in a single call. Hash-family parameters are the
+  * same fixed-seed [[Dedup.minhashParams]] as the aggregate, cached per
+  * signature width, so `graft_minhash_arr(shingles, k)` ==
+  * `graft_minhash(shingle, k)` aggregated over the exploded array. */
+object MinHashRowKernel {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
+  def signature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val params = cache.computeIfAbsent(numHashes, k => Dedup.minhashParams(k))
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      Dedup.minhashUpdate(sig, arr.getUTF8String(i).toString, params)
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `graft_minhash_arr(shingle_array, numHashes)` — MinHash signature as a
+  * per-row SCALAR over a document's shingle array. The streaming-ingest
+  * form: a stream computes each arriving document's signature with zero
+  * state and zero shuffle (the aggregate form would be a stateful streaming
+  * aggregation, which cannot precede the pipeline's one allowed stateful
+  * dedup operator). */
+case class MinHashArr(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_arr"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashRowKernel.signature(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.MinHashRowKernel.signature($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashArr =
+    copy(child = newChild)
+}
+
 /** `graft_bands(signature, numBands, rowsPerBand)` — LSH band hashes of a
   * MinHash signature: band b hashes signature rows [b·r, (b+1)·r). Compiled
   * kernel call from codegen (Java long wrap-around arithmetic — an

@@ -10,40 +10,57 @@ import graft.sources.{Tables, Warehouse}
   * bucket-locally and only the delta pays a shuffle. One-shot self-join
   * dedup ([[Dedup]]) re-pays the whole corpus's shuffle on every run; at
   * 100 TB the index is the amortization that makes daily ingest affordable.
+  * [[appendToIndex]] closes the production loop: after a delta is dedup'd
+  * its fingerprints are appended into the same bucketed tables (new
+  * per-bucket files, no rewrite), so the NEXT ingest dedups against
+  * corpus + all prior deltas.
   *
   * Store layout (all via [[Warehouse.writeBucketed]], so every table's
   * bucket hash IS the later join's partitioning — zero Exchange on the
   * store side, plan-asserted in WarehouseSpec):
   *
-  *  - `graft_corpus_bands(band, bhash, doc_id)` bucketed by (band, bhash):
+  *  - `<prefix>_bands(band, bhash, doc_id)` bucketed by (band, bhash):
   *    the MinHash-LSH candidate index (b=32 bands × r=4 rows, the
   *    [[Dedup.minhashLshPairs]] configuration — detection probability at
   *    J=0.8 is 1−5·10⁻⁸, which is what lets the exact-join oracle stand).
-  *  - `graft_corpus_postings(doc_id, s)` bucketed by (doc_id, s): shingle
+  *  - `<prefix>_postings(doc_id, s)` bucketed by (doc_id, s): shingle
   *    postings for exact-Jaccard verification of candidates.
-  *  - `graft_corpus_sizes(doc_id, n_sh)` bucketed by doc_id: per-doc
+  *  - `<prefix>_sizes(doc_id, n_sh)` bucketed by doc_id: per-doc
   *    distinct-shingle counts for the Jaccard denominator.
+  *  - `<prefix>_sharr(doc_id, s_arr)` bucketed by doc_id (built on demand,
+  *    [[ensureShingleArrays]]): per-doc shingle ARRAYS, the layout the
+  *    STREAMING ingest path verifies against — one codegen'd
+  *    `array_intersect` per candidate row instead of a stateful
+  *    count-distinct the streaming engine can't chain.
   *
-  * The delta/corpus split is deterministic (`doc_id % 10 == 0` is the
-  * incoming delta) so the result is DuckDB-oracle-checkable: the output
-  * equals the exact cross-split trigram-Jaccard join at the threshold.
+  * Index identity: the table prefix carries the corpus directory's full
+  * canonical-path hash plus all sketch parameters, and every table is
+  * stamped with a file-level fingerprint of the source parquet
+  * (names/sizes/mtimes — [[Warehouse.sourceFingerprint]]). Reuse requires
+  * BOTH to match, so neither a same-basename different corpus nor data
+  * regenerated in place can be silently read; a mismatch rebuilds.
+  *
+  * The delta/corpus split of the driver-contract query is deterministic
+  * (`doc_id % 10 == 0` is the incoming delta) so the result is
+  * DuckDB-oracle-checkable: the output equals the exact cross-split
+  * trigram-Jaccard join at the threshold.
   */
 object IncrementalDedup {
 
-  private val DeltaMod = 10
+  private[graft] val DeltaMod = 10
 
-  /** Index tables are named by corpus + parameters, so an existing index is
-    * reused (the production semantics — the build amortizes over every
-    * ingest) and a different corpus/config can never be silently read.
-    * Catalog entries are session-scoped (in-memory catalog), so a fresh JVM
-    * rebuilds once; [[Warehouse.writeBucketed]] clears orphaned locations. */
-  private def tableName(base: String, sfDir: String, n: Int,
-                        numBands: Int, rowsPerBand: Int, buckets: Int): String = {
+  /** Sketch/layout parameters of one index instance. */
+  final case class IndexParams(n: Int = 3, numBands: Int = 32,
+                               rowsPerBand: Int = 4, buckets: Int = 8)
+
+  /** Table-name prefix for the index over `sfDir`'s documents: corpus
+    * basename (readability) + canonical-path hash (identity) + params. */
+  def indexPrefix(sfDir: String, p: IndexParams): String = {
     val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    s"${base}_${sf}_n${n}b${numBands}r${rowsPerBand}x$buckets"
+    s"graft_corpus_${sf}_${Warehouse.pathToken(sfDir)}_n${p.n}b${p.numBands}r${p.rowsPerBand}x${p.buckets}"
   }
 
-  /** Distinct word-n-gram postings of one side of the split. */
+  /** Distinct word-n-gram postings of one document set. */
   private def postingsOf(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       explode(call_function("graft_shingles", col("text"), lit(n))).as("s"))
@@ -51,69 +68,67 @@ object IncrementalDedup {
   /** LSH band-bucket stream `(band, bhash, doc_id)` from a postings stream:
     * `graft_minhash` aggregate (map-side partials — the shuffle carries
     * 128-long sketches, not shingles) → `graft_bands` → posexplode. */
-  private def bandsOf(postings: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+  private def bandsOf(postings: DataFrame, p: IndexParams): DataFrame =
     postings
       .groupBy("doc_id")
       .agg(call_function("graft_minhash", col("s"),
-             lit(numBands * rowsPerBand)).as("sig"))
+             lit(p.numBands * p.rowsPerBand)).as("sig"))
       .select(col("doc_id"),
               posexplode(call_function("graft_bands", col("sig"),
-                lit(numBands), lit(rowsPerBand))))
+                lit(p.numBands), lit(p.rowsPerBand))))
       .toDF("doc_id", "band", "bhash")
 
-  /** Build (or rebuild) the persisted corpus index: everything that is NOT
-    * the delta shard, fingerprinted once, bucketed on its future join keys.
-    * In production this runs at corpus-build time and is amortized over
-    * every later ingest; here it runs in-query so the driver contract stays
-    * self-contained. */
-  def buildIndex(spark: SparkSession, sfDir: String, n: Int = 3,
-                 numBands: Int = 32, rowsPerBand: Int = 4,
-                 buckets: Int = 8): Unit = {
-    def name(base: String) = tableName(base, sfDir, n, numBands, rowsPerBand, buckets)
-    val allExist = Seq("graft_corpus_bands", "graft_corpus_postings", "graft_corpus_sizes")
-      .forall(b => spark.catalog.tableExists(name(b)))
-    if (allExist) return // this exact corpus+config is already indexed
-    val corpus = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % DeltaMod =!= 0)
-    val postings = postingsOf(corpus, n)
-    Warehouse.writeBucketed(bandsOf(postings, numBands, rowsPerBand),
-      Seq("band", "bhash"), name("graft_corpus_bands"), buckets)
+  /** Build the three index tables from an explicit document set. */
+  def buildIndexFrom(docs: DataFrame, prefix: String, p: IndexParams): Unit = {
+    val postings = postingsOf(docs, p.n)
+    Warehouse.writeBucketed(bandsOf(postings, p),
+      Seq("band", "bhash"), s"${prefix}_bands", p.buckets)
     // Bucketed on BOTH columns: the verification join's keys are exactly
     // (doc_id, s), and Spark only plans a bucket-local join when the bucket
     // columns equal the join keys (a subset match makes the planner disable
     // the bucketed read and shuffle the store).
-    Warehouse.writeBucketed(postings, Seq("doc_id", "s"), name("graft_corpus_postings"), buckets)
+    Warehouse.writeBucketed(postings, Seq("doc_id", "s"), s"${prefix}_postings", p.buckets)
     Warehouse.writeBucketed(
       postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
-      Seq("doc_id"), name("graft_corpus_sizes"), buckets)
+      Seq("doc_id"), s"${prefix}_sizes", p.buckets)
+  }
+
+  /** Append a dedup'd delta's fingerprints INTO the index — the maintenance
+    * half of the ingest cycle (ingest → dedup → extend index). Bucketed
+    * appends: new files per bucket, the bucket-local join property is
+    * untouched, nothing is rewritten. */
+  def appendToIndex(docs: DataFrame, prefix: String, p: IndexParams): Unit = {
+    val postings = postingsOf(docs, p.n)
+    Warehouse.appendBucketed(bandsOf(postings, p),
+      Seq("band", "bhash"), s"${prefix}_bands", p.buckets)
+    Warehouse.appendBucketed(postings, Seq("doc_id", "s"), s"${prefix}_postings", p.buckets)
+    Warehouse.appendBucketed(
+      postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+      Seq("doc_id"), s"${prefix}_sizes", p.buckets)
   }
 
   /** The delta-vs-store near-dup join, given an already-built index:
     *
-    *  1. delta band hashes join `graft_corpus_bands` on (band, bhash) —
+    *  1. delta band hashes join `<prefix>_bands` on (band, bhash) —
     *     the store side reads its buckets in place;
     *  2. candidate pairs verified to exact Jaccard against
-    *     `graft_corpus_postings`/`graft_corpus_sizes` (store side again
+    *     `<prefix>_postings`/`<prefix>_sizes` (store side again
     *     bucket-local on doc_id), delta postings computed on the fly.
     *
-    * Output: `(doc_a = delta id, doc_b = corpus id, jaccard)`, J ≥ t. */
-  def deltaAgainstIndex(spark: SparkSession, sfDir: String, n: Int = 3,
-                        numBands: Int = 32, rowsPerBand: Int = 4,
-                        threshold: Double = 0.8, buckets: Int = 8): DataFrame = {
-    def name(base: String) = tableName(base, sfDir, n, numBands, rowsPerBand, buckets)
-    val delta = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % DeltaMod === 0)
-    val dPostings = postingsOf(delta, n)
-    val dBands = bandsOf(dPostings, numBands, rowsPerBand)
+    * Output: `(doc_a = delta id, doc_b = store id, jaccard)`, J ≥ t. */
+  def deltaAgainst(spark: SparkSession, delta: DataFrame, prefix: String,
+                   p: IndexParams, threshold: Double): DataFrame = {
+    val dPostings = postingsOf(delta, p.n)
+    val dBands = bandsOf(dPostings, p)
 
     val candidates = dBands.as("d")
-      .join(spark.table(name("graft_corpus_bands")).as("c"), Seq("band", "bhash"))
+      .join(spark.table(s"${prefix}_bands").as("c"), Seq("band", "bhash"))
       .select(col("d.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
       .distinct()
 
     val inter = candidates
       .join(dPostings.as("pa"), col("doc_a") === col("pa.doc_id"))
-      .join(spark.table(name("graft_corpus_postings")).as("pb"),
+      .join(spark.table(s"${prefix}_postings").as("pb"),
         col("doc_b") === col("pb.doc_id") && col("pa.s") === col("pb.s"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
@@ -121,13 +136,70 @@ object IncrementalDedup {
     val dSizes = dPostings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     inter
       .join(dSizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(spark.table(name("graft_corpus_sizes")).as("sb"),
+      .join(spark.table(s"${prefix}_sizes").as("sb"),
         col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
               (col("inter").cast("double") /
                (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Fingerprint the corpus+params identity of the `sfDir` index. */
+  private def corpusFingerprint(sfDir: String, p: IndexParams): String =
+    Warehouse.sourceFingerprint(sfDir, "documents") +
+      s"|n${p.n}b${p.numBands}r${p.rowsPerBand}x${p.buckets}"
+
+  /** True iff every `tables` entry exists AND carries the expected source
+    * fingerprint — the reuse gate for all sfDir-derived index tables. */
+  private[graft] def indexCurrent(spark: SparkSession, tables: Seq[String],
+                                  fp: String): Boolean =
+    tables.forall(t => spark.catalog.tableExists(t) &&
+      Warehouse.storedFingerprint(spark, t).contains(fp))
+
+  /** Build (or reuse) the persisted corpus index over `sfDir`: everything
+    * that is NOT the delta shard, fingerprinted once, bucketed on its
+    * future join keys. In production this runs at corpus-build time and is
+    * amortized over every later ingest; here it runs in-query so the
+    * driver contract stays self-contained. Reuse is fingerprint-gated (see
+    * class doc) — stale or foreign data rebuilds instead of being read. */
+  def buildIndex(spark: SparkSession, sfDir: String,
+                 p: IndexParams = IndexParams()): Unit = {
+    val prefix = indexPrefix(sfDir, p)
+    val fp = corpusFingerprint(sfDir, p)
+    val tables = Seq("bands", "postings", "sizes").map(s => s"${prefix}_$s")
+    if (indexCurrent(spark, tables, fp)) return
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % DeltaMod =!= 0)
+    buildIndexFrom(corpus, prefix, p)
+    tables.foreach(t => Warehouse.stampFingerprint(spark, t, fp))
+  }
+
+  /** Build (or reuse) the `<prefix>_sharr` shingle-array table the
+    * STREAMING verification path joins against. Kept out of [[buildIndex]]
+    * so the batch query doesn't pay for a layout only streams read. */
+  def ensureShingleArrays(spark: SparkSession, sfDir: String,
+                          p: IndexParams = IndexParams()): String = {
+    val prefix = indexPrefix(sfDir, p)
+    val table = s"${prefix}_sharr"
+    val fp = corpusFingerprint(sfDir, p)
+    if (indexCurrent(spark, Seq(table), fp)) return table
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % DeltaMod =!= 0)
+      .select(col("doc_id"),
+              call_function("graft_shingles", col("text"), lit(p.n)).as("s_arr"))
+    Warehouse.writeBucketed(corpus, Seq("doc_id"), table, p.buckets)
+    Warehouse.stampFingerprint(spark, table, fp)
+    table
+  }
+
+  /** Driver-contract delta join over the `sfDir` mod-split. */
+  def deltaAgainstIndex(spark: SparkSession, sfDir: String,
+                        p: IndexParams = IndexParams(),
+                        threshold: Double = 0.8): DataFrame = {
+    val delta = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % DeltaMod === 0)
+    deltaAgainst(spark, delta, indexPrefix(sfDir, p), p, threshold)
   }
 
   /** Driver-contract form: build the index, then run the delta against it. */

@@ -27,18 +27,70 @@ object Warehouse {
     val spark = df.sparkSession
     // A fresh session doesn't know tables a previous JVM wrote: the catalog
     // entry is gone but the managed location survives, and CTAS refuses a
-    // non-empty location. Drop whatever the catalog has, then clear any
-    // orphaned directory, so Overwrite means overwrite across sessions too.
+    // non-empty location. Drop whatever the catalog has (a managed-table
+    // DROP removes its own data at its catalog-recorded location), then
+    // clear any orphaned default-db directory — but only after verifying it
+    // actually is a Spark-written dataset (parquet part files / _SUCCESS),
+    // never an unrelated directory that happens to share the name.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      val entries = fs.listStatus(loc).map(_.getPath.getName)
+      val looksLikeTable = entries.isEmpty ||
+        entries.exists(n => n == "_SUCCESS" || n.startsWith("part-"))
+      require(looksLikeTable,
+        s"refusing to clear orphaned table location $loc: contents ${entries.take(5).mkString(",")} " +
+          "do not look like a Spark-written table")
+      fs.delete(loc, true)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Append into an existing bucketed table with the SAME bucket spec — the
+    * index-maintenance write: new per-bucket files land next to the old
+    * ones, the bucket hash (and therefore every bucket-local join) is
+    * preserved, and nothing is rewritten. Spark validates that the spec
+    * matches the table's; a mismatch is an error, not silent corruption. */
+  def appendBucketed(df: DataFrame, keys: Seq[String], table: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Short token identifying a corpus DIRECTORY by its full canonical path —
+    * two corpora whose directories merely share a basename get different
+    * derived table names. */
+  def pathToken(sfDir: String): String =
+    md5Hex(new java.io.File(sfDir).getCanonicalPath).take(8)
+
+  /** Cheap content identity of one source parquet table: file names, sizes
+    * and mtimes — no data scan. Detects data regenerated in place at the
+    * same path, which a name-only identity would silently reuse. */
+  def sourceFingerprint(sfDir: String, table: String): String = {
+    val f = new java.io.File(sfDir, s"$table.parquet")
+    val entries = if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
+    md5Hex(entries.map(e => s"${e.getName}:${e.length}:${e.lastModified}").mkString("|"))
+  }
+
+  private val FingerprintKey = "graft.fingerprint"
+
+  /** Record the source fingerprint a derived table was built from. */
+  def stampFingerprint(spark: SparkSession, table: String, fp: String): Unit =
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('$FingerprintKey' = '$fp')")
+
+  /** The fingerprint a derived table was stamped with, if any. */
+  def storedFingerprint(spark: SparkSession, table: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+      .collectFirst { case r if r.getString(0) == FingerprintKey => r.getString(1) }
 
   /** Equi-join of two tables bucketed on the join keys: with matching
     * bucket counts Catalyst plans bucket-local SortMergeJoin, no Exchange

@@ -274,4 +274,56 @@ object EventStreams {
     runToCompletion(spark, distinctFps, "stream_dedup", OutputMode.Append())
       .orderBy("fp")
   }
+
+  /** Driver-verified: streaming NEAR-dup dedup — the incremental-ingest
+    * pipeline ([[graft.operators.IncrementalDedup]]) run as a real
+    * streaming query. Each arriving delta document is fingerprinted
+    * STATELESSLY in the stream (`graft_minhash_arr` per-row signature →
+    * `graft_bands`, zero shuffle), candidates come from a stream-static
+    * join against the persisted bucketed band index, the single stateful
+    * operator is `dropDuplicates(doc_a, doc_b)` (candidate pairs found via
+    * several bands emit once), and verification is one codegen'd
+    * `array_intersect` per pair against the store's shingle-array table —
+    * exact Jaccard, no streaming aggregate needed. The emitted verified
+    * pair set is order-independent, so the batch incremental-dedup oracle
+    * is the exact oracle. State = one (doc_a, doc_b) key per candidate
+    * pair; at production scale the watermark on ingest time bounds it. */
+  def streamNearDupQuery(spark: SparkSession, sfDir: String,
+                         threshold: Double = 0.8): DataFrame = {
+    import graft.operators.IncrementalDedup
+    val p = IncrementalDedup.IndexParams()
+    IncrementalDedup.buildIndex(spark, sfDir, p)
+    val sharr = IncrementalDedup.ensureShingleArrays(spark, sfDir, p)
+    val prefix = IncrementalDedup.indexPrefix(sfDir, p)
+    val deltaBands = tableStream(spark, sfDir, "documents")
+      .filter(col("doc_id") % IncrementalDedup.DeltaMod === 0)
+      .select(col("doc_id").as("doc_a"),
+              call_function("graft_shingles", col("text"), lit(p.n)).as("s_arr"))
+      .select(col("doc_a"), col("s_arr"),
+              posexplode(call_function("graft_bands",
+                call_function("graft_minhash_arr", col("s_arr"),
+                  lit(p.numBands * p.rowsPerBand)),
+                lit(p.numBands), lit(p.rowsPerBand))))
+      .toDF("doc_a", "s_arr", "band", "bhash")
+    val candidates = deltaBands
+      .join(spark.table(s"${prefix}_bands").withColumnRenamed("doc_id", "doc_b"),
+            Seq("band", "bhash"))
+      .select("doc_a", "doc_b", "s_arr")
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = candidates
+      .join(spark.table(sharr)
+              .withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("s_arr", "s_arr_b"),
+            Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("s_arr"), col("s_arr_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (size(col("s_arr")) + size(col("s_arr_b")) - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // prefix deliberately NOT "stream_dedup_*": runToCompletion clears old
+    // sink tables by prefix, and a shared prefix would cross-delete.
+    runToCompletion(spark, verified, "stream_neardup", OutputMode.Append())
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -78,6 +78,29 @@ class NativeExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("graft_minhash_arr per-row scalar equals the graft_minhash aggregate") {
+    // The streaming-ingest path computes signatures per row from the
+    // shingle ARRAY; the batch index aggregates exploded shingles. Both
+    // must emit bit-identical signatures or the stream would probe the
+    // wrong LSH buckets.
+    val viaAgg = graft.operators.Dedup.shinglePostings(spark, sf0001, 3)
+      .groupBy("doc_id")
+      .agg(call_function("graft_minhash", col("s"), lit(128)).as("sig"))
+    val viaRow = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        call_function("graft_minhash_arr",
+          call_function("graft_shingles", col("text"), lit(3)), lit(128)).as("sig"))
+    assert(viaAgg.join(viaRow, "doc_id")
+      .filter(viaAgg("sig") =!= viaRow("sig")).count() === 0)
+    // empty shingle set → all-MaxValue signature, not null/crash
+    import spark.implicits._
+    val empty = Seq("???").toDF("text")
+      .select(call_function("graft_minhash_arr",
+        call_function("graft_shingles", col("text"), lit(3)), lit(4)).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(empty === Seq.fill(4)(Long.MaxValue))
+  }
+
   test("tokenizer unicode parity: \\p{L} keeps accented/non-latin letters") {
     import graft.functions.TextFunctions
     val t = "Über café naïve 東京 word2vec łódź!"

@@ -157,4 +157,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
     assert(streamed === streamed.sorted)
   }
+
+  test("bounded replay: stream_dedup_near equals the batch incremental dedup") {
+    // Streaming near-dup ingest (stateless per-row minhash + stream-static
+    // index join + dropDuplicates + array-intersect verification) must emit
+    // exactly the batch incremental pipeline's verified pair set — jaccard
+    // values included (both are the same int/int division).
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamed = EventStreams.streamNearDupQuery(spark, sf0001)
+      .collect().map(key).toSet
+    val batch = graft.operators.IncrementalDedup.incrementalDedup(spark, sf0001)
+      .collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty) // the split plants cross-split near-dups
+  }
 }

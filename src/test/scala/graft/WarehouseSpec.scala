@@ -29,10 +29,44 @@ class WarehouseSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+
+  // AQE nests finalized stages as leaf nodes — flatten through them.
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec => Seq(q.plan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case _ => p.children
+  }).flatMap(flatten)
+
+  // A store scan is "before a join" if it is reachable without passing
+  // through a join node — i.e. the store STREAM itself, pre-join.
+  private def storeScanBeforeJoin(p: SparkPlan): Boolean = p match {
+    case j if j.nodeName.contains("Join") => false
+    case s if s.nodeName.contains("Scan") &&
+      s.toString.contains("graft_corpus_") => true
+    case a: AdaptiveSparkPlanExec => storeScanBeforeJoin(a.executedPlan)
+    case q: QueryStageExec => storeScanBeforeJoin(q.plan)
+    case r: ReusedExchangeExec => storeScanBeforeJoin(r.child)
+    case other => other.children.exists(storeScanBeforeJoin)
+  }
+
+  // Shuffling a JOIN RESULT (candidate dedup, final sort) is the
+  // delta/candidate side paying its cost — fine. A shuffle between a
+  // store scan and its consuming join means the bucketed layout failed
+  // to carry its partitioning into the join.
+  private def assertNoStoreSideShuffle(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.collect() // finalize the AQE plan before reading it
+    val offenders = flatten(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike if storeScanBeforeJoin(e.child) => e
+    }
+    assert(offenders.isEmpty,
+      s"store-side shuffle present:\n${offenders.map(_.treeString).mkString}")
+  }
+
   test("incremental dedup store side reads bucket-local: no Exchange above a store scan") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     graft.operators.IncrementalDedup.buildIndex(spark, sf0001)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -40,35 +74,37 @@ class WarehouseSpec extends SparkSpecBase {
       // tiny-data broadcast path.
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val df = graft.operators.IncrementalDedup.deltaAgainstIndex(spark, sf0001)
-      df.collect() // finalize the AQE plan before reading it
-      // AQE nests finalized stages as leaf nodes — flatten through them.
-      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case _ => p.children
-      }).flatMap(flatten)
-      // A store scan is "before a join" if it is reachable without passing
-      // through a join node — i.e. the store STREAM itself, pre-join.
-      def storeScanBeforeJoin(p: SparkPlan): Boolean = p match {
-        case j if j.nodeName.contains("Join") => false
-        case s if s.nodeName.contains("Scan") &&
-          s.toString.contains("graft_corpus_") => true
-        case a: AdaptiveSparkPlanExec => storeScanBeforeJoin(a.executedPlan)
-        case q: QueryStageExec => storeScanBeforeJoin(q.plan)
-        case r: ReusedExchangeExec => storeScanBeforeJoin(r.child)
-        case other => other.children.exists(storeScanBeforeJoin)
-      }
-      // Shuffling a JOIN RESULT (candidate dedup, final sort) is the
-      // delta/candidate side paying its cost — fine. A shuffle between a
-      // store scan and its consuming join means the bucketed layout failed
-      // to carry its partitioning into the join.
-      val offenders = flatten(df.queryExecution.executedPlan).collect {
-        case e: ShuffleExchangeLike if storeScanBeforeJoin(e.child) => e
-      }
-      assert(offenders.isEmpty,
-        s"store-side shuffle present:\n${offenders.map(_.treeString).mkString}")
+      assertNoStoreSideShuffle(df)
       assert(df.count() > 0) // the split plants cross-split near-dups
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("appendToIndex closes the ingest loop: delta 2 detects a near-dup of delta 1") {
+    import spark.implicits._
+    import graft.operators.IncrementalDedup
+    import graft.operators.IncrementalDedup.IndexParams
+    val p = IndexParams(buckets = 4)
+    // prefix matches the storeScanBeforeJoin "graft_corpus_" marker
+    val prefix = "graft_corpus_apploop"
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.buildIndexFrom(base, prefix, p)
+    val text1 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val delta1 = Seq((100L, text1)).toDF("doc_id", "text")
+    // nothing in the base corpus resembles delta 1
+    assert(IncrementalDedup.deltaAgainst(spark, delta1, prefix, p, 0.8).count() === 0)
+    IncrementalDedup.appendToIndex(delta1, prefix, p)
+    val delta2 = Seq((200L, text1)).toDF("doc_id", "text")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val r2 = IncrementalDedup.deltaAgainst(spark, delta2, prefix, p, 0.8)
+      // appended files keep the bucket layout: still no store-side Exchange
+      assertNoStoreSideShuffle(r2)
+      val pairs = r2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs === Seq((200L, 100L)))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
