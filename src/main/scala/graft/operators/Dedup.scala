@@ -231,16 +231,19 @@ object Dedup {
 
   /** Skew guard for LSH band buckets: drop every row of a (band, bhash)
     * bucket larger than `maxBucket`. A groupBy-count of the bucket keys
-    * broadcast-anti-joined back onto the stream — a cheap partial-aggregated
-    * count instead of a per-row window count, which forced a full sort of
-    * the bands stream. The oversized-key set is tiny by construction (only
-    * degenerate buckets qualify), so the broadcast is bytes, not data. */
+    * anti-joined back onto the stream — a cheap partial-aggregated count
+    * instead of a per-row window count, which forced a full sort of the
+    * bands stream. The oversized-key set is usually empty/tiny, but on an
+    * adversarial corpus it can reach rows/maxBucket keys — so the join
+    * strategy is left to AQE, which broadcasts when the runtime size is
+    * small and falls back to a shuffled anti-join when it is not, instead
+    * of a hint that could OOM the driver at 100 TB. */
   private def dropOversizedBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
     val oversized = bands.groupBy("band", "bhash")
       .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > maxBucket)
       .select("band", "bhash")
-    bands.join(broadcast(oversized), Seq("band", "bhash"), "left_anti")
+    bands.join(oversized, Seq("band", "bhash"), "left_anti")
   }
 
   // ------------------------------------------------- Connected components

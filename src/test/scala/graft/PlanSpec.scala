@@ -1,0 +1,81 @@
+package graft
+
+/** Plan-regression gate over the most expensive queries: the plan shapes
+  * the 100 TB design depends on — no cartesian products, dimension joins
+  * broadcast, filters reaching the parquet scan, top-k as
+  * TakeOrderedAndProject — are asserted here, so a regression fails
+  * `sbt test` instead of only showing up in a benchmark read.
+  *
+  * Plans are read AFTER `collect()`: AQE only finalizes a plan when the
+  * DataFrame itself executes, so the string rendered before execution
+  * would show the un-replanned initial stages.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // The load-bearing batch queries (streaming plans carry micro-batch
+  // machinery and are covered by StreamingSpec's semantic equalities).
+  private val heavy = Seq(
+    "dedup_simhash", "dedup_ngram", "dedup_minhash", "dedup_incremental",
+    "dedup_clusters", "fuzzy_names", "join_orders_customers", "q5_region",
+    "multi_join_agg", "brand_revenue", "similarity_ivf", "tfidf_terms",
+    "bm25_search", "grep_filter", "topk_words")
+
+  private lazy val plans: Map[String, String] =
+    heavy.map(n => n -> finalPlan(n)).toMap
+
+  test("no expensive query plans a CartesianProduct") {
+    plans.foreach { case (name, plan) =>
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("BroadcastNestedLoopJoin appears only where a tiny frame is the build side") {
+    // probe sets / one-row stats frames crossJoin the corpus by design;
+    // anywhere else a BNLJ is a missed equi-join key.
+    val allowed = Set("similarity_ivf", "tfidf_terms", "bm25_search")
+    plans.foreach { case (name, plan) =>
+      if (!allowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected BNLJ:\n$plan")
+    }
+  }
+
+  test("dimension and candidate joins broadcast the small side") {
+    val wantBhj = Seq("join_orders_customers", "q5_region", "multi_join_agg",
+      "brand_revenue", "fuzzy_names", "dedup_ngram", "dedup_minhash",
+      "dedup_incremental", "dedup_simhash", "dedup_clusters")
+    wantBhj.foreach { name =>
+      assert(plans(name).contains("BroadcastHashJoin"),
+        s"$name lost its broadcast join:\n${plans(name)}")
+    }
+  }
+
+  test("filters reach the parquet scan (PushedFilters non-empty)") {
+    val wantPushed = Seq("grep_filter", "q5_region", "join_orders_customers",
+      "brand_revenue")
+    wantPushed.foreach { name =>
+      val plan = plans(name)
+      val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(plan)
+      assert(pushed.isDefined, s"$name pushes no filters to its scan:\n$plan")
+    }
+  }
+
+  test("top-k is a TakeOrderedAndProject, not a global sort") {
+    assert(plans("topk_words").contains("TakeOrderedAndProject"),
+      plans("topk_words"))
+  }
+
+  test("ranking queries read persisted statistics tables, not corpus re-scans") {
+    Seq("tfidf_terms", "bm25_search").foreach { name =>
+      assert(plans(name).contains("graft_rankstats_"),
+        s"$name does not scan the persisted stats tables:\n${plans(name)}")
+    }
+  }
+}
