@@ -99,6 +99,7 @@ object SparkEntry {
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
+    "similarity_ivf_indexed" -> ((s, d) => Similarity.ivfSearchIndexed(s, d)),
     "similarity_ann" -> ((s, d) => Similarity.annHyperplane(s, d)),
     // -- multimodal plumbing (north star) --
     "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
@@ -619,6 +620,10 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "similarity_ann" -> annOracle,
     "similarity_ivf" -> ivfOracle(),
+    // similarity_ivf_indexed: the stored codebook/assignment are the SAME
+    // deterministic k-means (bit-identical centroids), so the persisted-
+    // index search returns exactly ivfSearch's rows — one oracle for both.
+    "similarity_ivf_indexed" -> ivfOracle(),
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt

@@ -152,6 +152,70 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Build (or fingerprint-validated reuse) the PERSISTED IVF index over
+    * `sfDir`'s embeddings — the production vector-search layout:
+    *
+    *  - `<prefix>_cents(cent_id, cemb)`: the trained codebook (the same
+    *    deterministic [[kmeansCodebook]], so the stored centroids are
+    *    bit-identical to an in-query training run);
+    *  - `<prefix>_cells(vec_id, embedding)` PARTITIONED BY `cell`: the
+    *    corpus laid out one directory per inverted list.
+    *
+    * The partition layout is the point: a probe's cell set arrives as a
+    * broadcast join on the partition column, so DYNAMIC PARTITION PRUNING
+    * restricts the scan to the `nprobe` probed directories — at 100 TB a
+    * query reads nprobe/k of the corpus from disk, instead of scanning
+    * everything and discarding (plan-asserted in PlanSpec). */
+  def ensureIvfIndex(spark: SparkSession, sfDir: String,
+                     numCentroids: Int = 16, iters: Int = 3): String = {
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val prefix = s"graft_ivf_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_k${numCentroids}i$iters"
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "embeddings")
+    val tables = Seq(s"${prefix}_cents", s"${prefix}_cells")
+    if (IncrementalDedup.indexCurrent(spark, tables, fp)) return prefix
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = kmeansCodebook(e, numCentroids, iters)
+    graft.sources.Warehouse.writeBucketed(cents, Seq("cent_id"), s"${prefix}_cents", 1)
+    graft.sources.Warehouse.writePartitionedTable(
+      assignCells(e, cents), "cell", s"${prefix}_cells")
+    tables.foreach(t => graft.sources.Warehouse.stampFingerprint(spark, t, fp))
+    prefix
+  }
+
+  /** IVF search against the PERSISTED index ([[ensureIvfIndex]]): probes
+    * rank the stored codebook, and the corpus side is the partitioned cell
+    * table — dynamic partition pruning turns `nprobe` into an I/O bound.
+    * The stored codebook equals the in-query trained one bit for bit, so
+    * this returns exactly [[ivfSearch]]'s rows and shares its oracle. */
+  def ivfSearchIndexed(spark: SparkSession, sfDir: String,
+                       numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
+                       iters: Int = 3, nprobe: Int = 2): DataFrame = {
+    val prefix = ensureIvfIndex(spark, sfDir, numCentroids, iters)
+    val cents = spark.table(s"${prefix}_cents")
+    val byProbe = Window.partitionBy("probe_id")
+      .orderBy(col("pc").desc, col("cent_id").asc)
+    val probeCells = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < numProbes)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+              col("cent_id"),
+              VectorFunctions.cosine(col("embedding"), col("cemb")).as("pc"))
+      .withColumn("rn", row_number().over(byProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("probe_emb"), col("cent_id").as("cell"))
+    val scored = spark.table(s"${prefix}_cells")
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+              VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Approximate nearest neighbors via random-hyperplane LSH: corpus and
     * probes are bucketed by the sign pattern of `bits` random projections
     * (deterministic seed); each probe scans only its bucket

@@ -108,4 +108,27 @@ object Warehouse {
   /** Write `df` directory-partitioned by `partCol`. */
   def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+
+  /** Write `df` as a MANAGED directory-partitioned table — the layout
+    * dynamic partition pruning needs: a broadcast join on `partCol` prunes
+    * the scan to exactly the joined partitions at runtime. Same cross-
+    * session orphan handling as [[writeBucketed]]. */
+  def writePartitionedTable(df: DataFrame, partCol: String, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) {
+      val entries = fs.listStatus(loc).map(_.getPath.getName)
+      val looksLikeTable = entries.isEmpty ||
+        entries.exists(n => n == "_SUCCESS" || n.startsWith("part-") ||
+          n.startsWith(s"$partCol="))
+      require(looksLikeTable,
+        s"refusing to clear orphaned table location $loc: contents ${entries.take(5).mkString(",")} " +
+          "do not look like a Spark-written table")
+      fs.delete(loc, true)
+    }
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).saveAsTable(table)
+  }
 }

@@ -78,4 +78,13 @@ class PlanSpec extends SparkSpecBase {
         s"$name does not scan the persisted stats tables:\n${plans(name)}")
     }
   }
+
+  test("indexed IVF search prunes cell partitions dynamically") {
+    // The IVF property at scale: the corpus scan must carry a runtime
+    // partition filter fed by the probed cells, so a query reads nprobe
+    // directories — not everything-then-filter.
+    val plan = finalPlan("similarity_ivf_indexed")
+    assert(plan.contains("dynamicpruning"),
+      s"cell scan is not dynamically pruned:\n$plan")
+  }
 }

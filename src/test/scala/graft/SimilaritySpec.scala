@@ -86,6 +86,15 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again.map(_.toString).sorted.toSeq === ivf.map(_.toString).sorted.toSeq)
   }
 
+  test("ivfSearchIndexed: persisted-index search equals the in-query ivfSearch") {
+    val live = Similarity.ivfSearch(spark, sf0001).collect().map(_.toString).sorted
+    val indexed = Similarity.ivfSearchIndexed(spark, sf0001).collect().map(_.toString).sorted
+    assert(indexed.toSeq === live.toSeq)
+    // and a second call reuses the stored index (fingerprint match, no rebuild)
+    val again = Similarity.ivfSearchIndexed(spark, sf0001).collect().map(_.toString).sorted
+    assert(again.toSeq === live.toSeq)
+  }
+
   test("kmeansCodebook balances a SKEWED corpus: trained max cell < untrained") {
     // Fixture where the comparative claim's premise actually holds: 4
     // orthogonal clusters of 40, all seeds (vec_id < 4) inside cluster A,
