@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
+    "decontaminate" -> ((s, d) => Dedup.decontaminationPairs(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -602,6 +603,22 @@ object SparkEntry {
     // dropDuplicates + array-intersect verification) — the emitted verified
     // pair set is order-independent, so the batch oracle is exact.
     "stream_dedup_near" -> incrementalOracle,
+    // decontaminate: exact containment |A∩B|/|A| of eval-shard n-grams in
+    // train docs; the prefix filter is lossless at the threshold, so the
+    // direct exact join is the oracle.
+    "decontaminate" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2)
+        |SELECT eval_id, train_id, CAST(inter AS DOUBLE) / sa.n AS containment
+        |FROM pairs JOIN sizes sa ON eval_id = sa.doc_id
+        |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.6
+        |ORDER BY eval_id, train_id""".stripMargin,
     // dedup_simhash: token hash = md5_number_lower on both sides, so the
     // whole sketch (bit votes → 64-bit signature → hamming ≤ 3) is exactly
     // expressible in DuckDB. The banding in the Spark plan is pure candidate

@@ -111,6 +111,56 @@ object Dedup {
     verifyByPostings(candidates, postings, sizes, threshold)
   }
 
+  /** Benchmark decontamination — the train/eval overlap check every LLM
+    * data pipeline runs before training: for each EVAL document (the
+    * deterministic `doc_id % 10 == 0` shard, standing in for a benchmark
+    * set), find TRAIN documents containing ≥ `threshold` of its distinct
+    * word-n-grams. CONTAINMENT |A∩B|/|A| — asymmetric, unlike Jaccard: a
+    * short eval prompt buried in a long train document is exactly what must
+    * be caught, and symmetric similarity misses it.
+    *
+    * Scale shape: prefix filtering adapts to the containment bound — if
+    * |A∩B|/|A| ≥ t then B must hit the first |A| − ⌈t·|A|⌉ + 1 of A's
+    * shingles in a global canonical order, so only that prefix of the eval
+    * side is indexed. Order = train document-frequency ascending (rarest
+    * first): hot shingles stay out of the candidate join, and eval shingles
+    * ABSENT from train (df 0, sorted first) consume prefix slots while
+    * generating zero candidates. Verification touches candidates only.
+    * Output: `(eval_id, train_id, containment)`. */
+  def decontaminationPairs(spark: SparkSession, sfDir: String, n: Int = 3,
+                           threshold: Double = 0.6): DataFrame = {
+    val eps = 1e-9
+    val postings = shinglePostings(spark, sfDir, n)
+    val evalP = postings.filter(col("doc_id") % 10 === 0)
+    val trainP = postings.filter(col("doc_id") % 10 =!= 0)
+    val evalSizes = evalP.groupBy("doc_id").agg(count(lit(1)).as("n_ev"))
+    val trainDf = trainP.groupBy("s").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    val prefix = evalP
+      .join(trainDf, Seq("s"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("rk", row_number().over(byRarity))
+      .join(evalSizes, "doc_id")
+      .filter(col("rk") <= col("n_ev") - ceil(lit(threshold) * col("n_ev") - eps) + 1)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val candidates = prefix
+      .join(trainP.select(col("doc_id").as("train_id"), col("s")), "s")
+      .select("eval_id", "train_id")
+      .distinct()
+    val inter = candidates
+      .join(evalP.as("pa"), col("eval_id") === col("pa.doc_id"))
+      .join(trainP.as("pb"),
+        col("train_id") === col("pb.doc_id") && col("pa.s") === col("pb.s"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(evalSizes, col("eval_id") === evalSizes("doc_id"))
+      .select(col("eval_id"), col("train_id"),
+              (col("inter").cast("double") / col("n_ev").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("eval_id", "train_id")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic MinHash permutation parameters: h_i(x) = (a_i·x + b_i)

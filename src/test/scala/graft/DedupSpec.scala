@@ -18,6 +18,27 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh === exact)
   }
 
+  test("decontamination pairs equal brute-force containment over the corpus") {
+    // Containment is ASYMMETRIC (|A∩B| / |A|, eval side only) — the prefix
+    // filter must stay lossless under that bound, so compare against the
+    // all-pairs truth computed in plain Scala.
+    val t = 0.6
+    val sets = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Dedup.shinglesScala(r.getString(1), 3).toSet)
+      .toMap
+    val expected = (for {
+      (a, sa) <- sets if a % 10 == 0 && sa.nonEmpty
+      (b, sb) <- sets if b % 10 != 0
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= t
+    } yield (a, b, c)).toSet
+    val got = Dedup.decontaminationPairs(spark, sf0001, threshold = t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty) // planted cross-split near-dups guarantee hits
+  }
+
   test("md5Low64 equals DuckDB md5_number_lower (known vector)") {
     // duckdb: SELECT md5_number_lower('hola') → 4661870554814853716
     assert(graft.operators.TextAnalysis.md5Low64("hola") === 4661870554814853716L)
