@@ -78,6 +78,7 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -537,6 +538,15 @@ object SparkEntry {
         |  round(least(nw / 50.0, 1.0) * 0.5 + least(nstop / nw * 5.0, 1.0) * 0.3 +
         |        CASE WHEN totlen / nw BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) AS quality
         |FROM e WHERE nw > 0 ORDER BY doc_id""".stripMargin,
+    "repetition_score" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |g AS (SELECT doc_id, greatest(len(ws) - 2, 0) AS n_grams,
+        |  len(list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END)) AS n_distinct FROM d)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CASE WHEN n_grams > 0 THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "classify_docs" ->
       """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
         |s AS (SELECT doc_id,

@@ -29,6 +29,26 @@ object TextAnalysis {
            sum("n_words").as("total_words"))
       .orderBy("lang")
 
+  /** Within-document repetition score — the boilerplate/duplication signal
+    * corpus quality filters cut on: 1 − distinct/total word-trigrams. A
+    * document that repeats itself (template spam, boilerplate, looped
+    * generation) has few distinct n-grams relative to its length. Total
+    * trigram count is `max(|tokens| − 2, 0)` (positional), distinct comes
+    * from the codegen'd `graft_shingles` kernel — one compiled pass per
+    * document, zero shuffles before the presentation sort. */
+  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        greatest(size(tokenize(col("text"))) - 2, lit(0)).cast("bigint").as("n_grams"),
+        size(call_function("graft_shingles", col("text"), lit(3)))
+          .cast("bigint").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+             duckRound(lit(1.0) - col("n_distinct").cast("double") /
+               col("n_grams").cast("double"), 4))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+
   /** Token counts per document: whitespace tokens and a BPE-ish subword
     * estimate (ceil(len/4) pieces per word). */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
