@@ -74,6 +74,7 @@ object SparkEntry {
     "stream_sliding" -> ((s, d) => graft.streaming.EventStreams.streamSlidingQuery(s, d)),
     "stream_join" -> ((s, d) => graft.streaming.EventStreams.streamStreamJoinQuery(s, d)),
     "stream_dedup_near" -> ((s, d) => graft.streaming.EventStreams.streamNearDupQuery(s, d)),
+    "stream_sessions" -> ((s, d) => graft.streaming.EventStreams.streamSessionsQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -516,6 +517,18 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // stream_sessions: island detection per user. Boundary convention
+    // matches session_window's half-open [ts, ts+gap): diff >= gap starts
+    // a new session.
+    "stream_sessions" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev FROM events),
+        |y AS (SELECT user_id, tsu,
+        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, tsu, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y)
+        |SELECT user_id, epoch_us(min(tsu)) AS start_us, count(*) AS n_events
+        |FROM z GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "text_stats" ->
       """WITH d AS (SELECT lang, n_chars, len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS n_words FROM documents)
         |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,

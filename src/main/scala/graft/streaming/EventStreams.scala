@@ -275,6 +275,30 @@ object EventStreams {
       .orderBy("fp")
   }
 
+  /** Driver-verified: MERGING session windows via the native
+    * `session_window` streaming aggregate — dynamic-gap windows that the
+    * fixed tumbling/hopping grids can't express: each event opens a
+    * [ts, ts+gap) interval and overlapping intervals merge, so a session's
+    * extent is data-driven. State per (user, open session) is one window
+    * struct; the watermark closes and evicts sessions whose interval falls
+    * fully behind it. End-of-stream materialization is arrival-order
+    * independent (merge is associative+commutative over intervals), so the
+    * batch island-detection SQL is the exact oracle. Session boundary is
+    * HALF-OPEN ([ts, ts+gap)): an event exactly `gap` after the previous
+    * one starts a NEW session — the oracle's `>=` mirrors this. */
+  def streamSessionsQuery(spark: SparkSession, sfDir: String,
+                          gap: String = "30 minutes"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+    runToCompletion(spark, agg, "stream_sessions", OutputMode.Complete())
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("start_us"),
+              col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   /** Driver-verified: streaming NEAR-dup dedup — the incremental-ingest
     * pipeline ([[graft.operators.IncrementalDedup]]) run as a real
     * streaming query. Each arriving delta document is fingerprinted
