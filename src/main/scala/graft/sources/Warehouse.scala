@@ -62,6 +62,45 @@ object Warehouse {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** Compact a bucketed table back to ONE file per bucket — the
+    * maintenance pass that keeps read fan-in bounded after many
+    * [[appendBucketed]] deltas (every append adds a file per bucket; at
+    * daily-ingest cadence a year is 365 files per bucket). Rows are
+    * repartitioned on the EXPLICIT bucket-id expression
+    * `pmod(hash(keys), buckets)` — `hash` is the same seed-42 murmur the
+    * bucketed write assigns files with, so every bucket's rows land in
+    * exactly one task and the write emits exactly one file per bucket.
+    * (Repartitioning by the raw keys does NOT guarantee this: the write
+    * side re-buckets within whatever task layout the optimizer kept.)
+    * The rewrite goes through a temp table + RENAME (a table cannot be
+    * overwritten while being read), and the fingerprint stamp survives. */
+  def compactBucketed(spark: SparkSession, table: String,
+                      keys: Seq[String], buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val tmp = s"${table}__compact"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    val fp = storedFingerprint(spark, table)
+    spark.table(table)
+      .repartition(buckets, pmod(hash(keys.map(col): _*), lit(buckets)))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    fp.foreach(stampFingerprint(spark, table, _))
+  }
+
+  /** Data files of a managed table's location (for compaction asserts /
+    * observability; excludes markers like _SUCCESS). */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) 0
+    else fs.listStatus(loc).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

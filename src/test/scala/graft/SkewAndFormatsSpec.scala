@@ -28,6 +28,41 @@ class SkewAndFormatsSpec extends SparkSpecBase {
     assert(salted === direct)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // The runtime half of skew control (operators.Skew salting is the
+    // static half): one hot key dominating a shuffle partition is split by
+    // OptimizeSkewedJoin into sub-partitions, each joined against a
+    // duplicated copy of the other side. Thresholds are lowered so the
+    // small fixture trips the same code path a 100 TB hot key would.
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val pad = "x" * 200
+      val fact = (0 until 40000)
+        .map(i => (if (i % 2 == 0) 0L else (i % 97).toLong, s"$pad$i"))
+        .toDF("k", "v")
+      val dim = (0L until 97L).map(k => (k, s"d$k")).toDF("k", "d")
+      val joined = fact.join(dim, "k")
+      // collect() drives THIS df's QueryExecution (count() would spawn a
+      // fresh one whose AQE plan never finalizes on `joined`)
+      assert(joined.collect().length === 40000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in final plan:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("csv and json sinks round-trip the events table") {
     val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val ev = Tables.events(spark, sf0001)

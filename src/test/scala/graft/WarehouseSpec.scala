@@ -108,6 +108,34 @@ class WarehouseSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("compactBucketed: appends pile up files, compaction returns to one per bucket") {
+    import spark.implicits._
+    val buckets = 4
+    val t = "compact_t"
+    def chunk(from: Int, to: Int) =
+      (from until to).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Warehouse.writeBucketed(chunk(0, 100), Seq("k"), t, buckets)
+    Warehouse.appendBucketed(chunk(100, 200), Seq("k"), t, buckets)
+    Warehouse.appendBucketed(chunk(200, 300), Seq("k"), t, buckets)
+    val before = Warehouse.dataFileCount(spark, t)
+    assert(before > buckets, s"appends should add files per bucket, got $before")
+    val expected = spark.table(t).collect().map(_.toString).sorted
+    Warehouse.compactBucketed(spark, t, Seq("k"), buckets)
+    val after = Warehouse.dataFileCount(spark, t)
+    assert(after === buckets, s"expected one file per bucket, got $after")
+    // contents identical, and the bucket layout still joins with no Exchange
+    assert(spark.table(t).collect().map(_.toString).sorted.toSeq === expected.toSeq)
+    Warehouse.writeBucketed(chunk(0, 50), Seq("k"), "compact_probe", buckets)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Warehouse.cogroupJoin(spark, t, "compact_probe", "k", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"), plan)
+      assert(joined.count() === 50)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("partitioned parquet layout prunes partitions for a partition-column filter") {
     val path = java.nio.file.Files.createTempDirectory("graft_part").toString
     Warehouse.writePartitioned(
