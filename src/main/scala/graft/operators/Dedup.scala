@@ -129,10 +129,19 @@ object Dedup {
     * Output: `(eval_id, train_id, containment)`. */
   def decontaminationPairs(spark: SparkSession, sfDir: String, n: Int = 3,
                            threshold: Double = 0.6): DataFrame = {
-    val eps = 1e-9
     val postings = shinglePostings(spark, sfDir, n)
-    val evalP = postings.filter(col("doc_id") % 10 === 0)
-    val trainP = postings.filter(col("doc_id") % 10 =!= 0)
+    decontaminationFor(
+      postings.filter(col("doc_id") % 10 === 0),
+      postings.filter(col("doc_id") % 10 =!= 0),
+      threshold)
+  }
+
+  /** Generic core of [[decontaminationPairs]] over explicit eval/train
+    * shingle-posting streams `(doc_id, s)` — the form property tests and
+    * bring-your-own-split pipelines call. */
+  private[graft] def decontaminationFor(evalP: DataFrame, trainP: DataFrame,
+                                        threshold: Double): DataFrame = {
+    val eps = 1e-9
     val evalSizes = evalP.groupBy("doc_id").agg(count(lit(1)).as("n_ev"))
     val trainDf = trainP.groupBy("s").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)

@@ -39,6 +39,41 @@ class DedupSpec extends SparkSpecBase {
     assert(got.nonEmpty) // planted cross-split near-dups guarantee hits
   }
 
+  test("decontamination prefix filter is lossless on random open-vocab corpora") {
+    // The corpus differential test runs in the closed-vocab regime where
+    // the prefix barely prunes; this one exercises the regime the filter
+    // is designed for — open vocabulary, selective rare shingles — across
+    // seeded random corpora with a planted contamination.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, explode, lit}
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val vocab = Vector.fill(120)(rnd.alphanumeric.filter(_.isLetter).take(6).mkString.toLowerCase)
+      def doc() = Seq.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = (0L until 40L).map(i => (i, doc()))
+      // eval doc 20 embeds train doc 7 verbatim plus a little extra noise
+      val planted = base.map { case (i, t) =>
+        if (i == 20L) (i, base(7)._2 + " " + vocab(rnd.nextInt(vocab.size))) else (i, t)
+      }
+      val postings = planted.toDF("doc_id", "text")
+        .select($"doc_id", explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
+      val got = Dedup.decontaminationFor(
+          postings.filter($"doc_id" % 10 === 0),
+          postings.filter($"doc_id" % 10 =!= 0), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = planted.map { case (i, t) => i -> Dedup.shinglesScala(t, 3).toSet }.toMap
+      val expected = (for {
+        (a, sa) <- sets if a % 10 == 0 && sa.nonEmpty
+        (b, sb) <- sets if b % 10 != 0
+        c = sa.intersect(sb).size.toDouble / sa.size
+        if c >= 0.5
+      } yield (a, b, c)).toSet
+      assert(got === expected, s"round $round")
+      assert(expected.exists(p => p._1 == 20L && p._2 == 7L),
+        s"planted contamination missing from the truth set in round $round")
+    }
+  }
+
   test("md5Low64 equals DuckDB md5_number_lower (known vector)") {
     // duckdb: SELECT md5_number_lower('hola') → 4661870554814853716
     assert(graft.operators.TextAnalysis.md5Low64("hola") === 4661870554814853716L)
