@@ -160,7 +160,17 @@ object EventStreams {
   private val runSeq = new AtomicInteger(0)
 
   /** Replay a bounded source through a streaming query to completion and
-    * return the final memory-sink table. */
+    * return the final memory-sink table.
+    *
+    * Stateful streaming cost scales with SHUFFLE PARTITIONS, not data: a
+    * stream-stream join commits 4 state stores per partition per
+    * micro-batch, so the batch-oriented partition count (sized for scan
+    * parallelism) multiplies pure fixed overhead — measured 6.2s for a
+    * near-empty micro-batch at 32 partitions. Streaming queries therefore
+    * plan with their own partition count (`graft.stream.shufflePartitions`,
+    * default 8, never raising the session value) — at production rates you
+    * size this to sustained throughput, because it also fixes the state
+    * parallelism for the checkpoint's lifetime. */
   private def runToCompletion(spark: SparkSession, streamed: DataFrame,
                               prefix: String, mode: OutputMode): DataFrame = {
     // drop earlier runs' memory-sink tables (full materialized results
@@ -169,13 +179,19 @@ object EventStreams {
       .filter(_.name.startsWith(s"${prefix}_"))
       .foreach(t => spark.catalog.dropTempView(t.name))
     val name = s"${prefix}_${runSeq.incrementAndGet()}"
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val streamParts = math.min(prevParts.toInt,
+      spark.conf.get("graft.stream.shufflePartitions", "8").toInt)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
 
