@@ -87,6 +87,7 @@ object SparkEntry {
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
+    "bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
     "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
@@ -658,6 +659,11 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // bpe_train: the whole training loop is deterministic (integer pair
+    // counts, lexicographic tie-break, literal-replace merge whose
+    // left-to-right non-overlap semantics agree across engines), so the
+    // oracle re-runs it in unrolled CTEs — same technique as k-means.
+    "bpe_train" -> graft.operators.Bpe.bpeOracle(),
     "similarity_ann" -> annOracle,
     "similarity_ivf" -> ivfOracle(),
     // similarity_ivf_indexed: the stored codebook/assignment are the SAME

@@ -324,7 +324,7 @@ object Dedup {
     *    survive executor loss, so a lost executor costs a task retry, not a
     *    whole-job restart. The cluster setting for long iterations.
     */
-  private final class RoundCheckpointer(spark: SparkSession) {
+  private[graft] final class RoundCheckpointer(spark: SparkSession) {
     private val mode = spark.conf.get("graft.iter.checkpoint", "local")
     def apply(df: DataFrame): DataFrame = mode match {
       case "reliable" =>

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Known-vector test of the BPE training loop: a two-word vocabulary whose
+  * merge sequence is hand-computable, exercising both subtleties the
+  * differential oracle depends on — greedy left-to-right overlap
+  * resolution ("a a a" + rule (a,a) → "aa a", NOT "a aa") and the
+  * lexicographic tie-break between equal-count pairs. */
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("bpe merges follow counts, greedy overlap, and lexicographic ties") {
+    val wc = Seq(("aaab", 4L), ("aab", 3L)).toDF("word", "wcnt")
+    val got = Bpe.bpeTrainFromCounts(wc, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1: pairs (a,a)=2*4+1*3=11, (a,b)=4+3=7 → merge (a,a)
+    //   "a a a b"→"aa a b" (greedy: leftmost pair only), "a a b"→"aa b"
+    // round 2: (aa,a)=4, (a,b)=4, (aa,b)=3 → count tie, "a" < "aa" → (a,b)
+    //   rule rewrites " a b "→" ab ": "aa a b"→"aa ab", "aa b" unchanged
+    // round 3: (aa,ab)=4, (aa,b)=3 → (aa,ab)
+    assert(got === Seq(
+      (1L, "a", "a", 11L),
+      (2L, "a", "b", 4L),
+      (3L, "aa", "ab", 4L)))
+  }
+
+  test("bpe_train on the corpus is deterministic across invocations") {
+    val a = Bpe.bpeTrain(spark, sf0001, merges = 4).collect().map(_.toString).toSeq
+    val b = Bpe.bpeTrain(spark, sf0001, merges = 4).collect().map(_.toString).toSeq
+    assert(a === b)
+    assert(a.length === 4)
+  }
+}
