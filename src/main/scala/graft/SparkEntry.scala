@@ -88,6 +88,7 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     "bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
+    "bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
     "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
@@ -664,6 +665,7 @@ object SparkEntry {
     // left-to-right non-overlap semantics agree across engines), so the
     // oracle re-runs it in unrolled CTEs — same technique as k-means.
     "bpe_train" -> graft.operators.Bpe.bpeOracle(),
+    "bpe_encode" -> graft.operators.Bpe.bpeEncodeOracle(),
     "similarity_ann" -> annOracle,
     "similarity_ivf" -> ivfOracle(),
     // similarity_ivf_indexed: the stored codebook/assignment are the SAME

@@ -41,9 +41,30 @@ object Bpe {
     bpeTrainFromCounts(wc, merges)
   }
 
+  /** Apply the learned merges back to the vocabulary: each word's subword
+    * segmentation after `merges` rounds — the encode half of the
+    * tokenizer, `(word, wcnt, n_subwords, seg)`. Shares the training
+    * CTE chain in the oracle (the segmentation IS the final round's
+    * state), so it is exactly checked too. */
+  def bpeEncode(spark: SparkSession, sfDir: String, merges: Int = 6): DataFrame = {
+    val wc = Tables.documents(spark, sfDir)
+      .select(explode(TextFunctions.tokenize(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("wcnt"))
+    trainLoop(wc, merges)._2
+      .select(col("word"), col("wcnt"),
+        size(split(trim(col("seq")), " ")).cast("bigint").as("n_subwords"),
+        trim(col("seq")).as("seg"))
+      .orderBy("word")
+  }
+
   /** Core loop over an explicit `(word, wcnt)` frame — the form tests and
     * bring-your-own-counts pipelines call. */
-  def bpeTrainFromCounts(wc: DataFrame, merges: Int): DataFrame = {
+  def bpeTrainFromCounts(wc: DataFrame, merges: Int): DataFrame =
+    trainLoop(wc, merges)._1
+
+  /** Runs the merge loop; returns (learned rules, final symbol state). */
+  private def trainLoop(wc: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     val ckpt = new Dedup.RoundCheckpointer(wc.sparkSession)
     // symbol sequence per word: characters space-joined, wrapped in single
     // spaces so a merge rule ' p1 p2 ' matches on symbol boundaries only
@@ -72,13 +93,14 @@ object Bpe {
           expr("replace(seq, concat(' ', p1, ' ', p2, ' '), concat(' ', p1, p2, ' '))"))
         .select("word", "wcnt", "seq"))
     }
-    rules.select(col("step"), col("p1"), col("p2"), col("pcnt"))
-      .orderBy("step")
+    (rules.select(col("step"), col("p1"), col("p2"), col("pcnt"))
+       .orderBy("step"),
+     seqs)
   }
 
-  /** The unrolled-CTE DuckDB oracle for [[bpeTrain]] — generated, one
-    * block per merge round, mirroring the engine's operation order. */
-  def bpeOracle(merges: Int = 6): String = {
+  /** Shared CTE chain of the DuckDB oracle — generated, one block per
+    * merge round, mirroring the engine's operation order. */
+  private def bpeCtes(merges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS word FROM documents),
              |wc AS (SELECT word, count(*) AS wcnt FROM toks GROUP BY word),
@@ -91,9 +113,20 @@ object Bpe {
                 |t$k AS (SELECT a, b, pcnt FROM p$k ORDER BY pcnt DESC, a, b LIMIT 1),
                 |s$k AS (SELECT word, wcnt, replace(seq, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS seq FROM s${k - 1}, t$k)""".stripMargin
     }
-    sb ++= (1 to merges)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS step, a AS p1, b AS p2, pcnt FROM t$k")
-      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
     sb.result()
   }
+
+  /** The [[bpeTrain]] oracle: the learned rule list. */
+  def bpeOracle(merges: Int = 6): String =
+    bpeCtes(merges) + (1 to merges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, a AS p1, b AS p2, pcnt FROM t$k")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** The [[bpeEncode]] oracle: the final round's segmentation state. */
+  def bpeEncodeOracle(merges: Int = 6): String =
+    bpeCtes(merges) +
+      s"""
+         |SELECT word, wcnt, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_subwords,
+         |  trim(seq) AS seg
+         |FROM s$merges ORDER BY word""".stripMargin
 }

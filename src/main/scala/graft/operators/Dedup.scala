@@ -259,6 +259,14 @@ object Dedup {
     * the capped buckets' pairs. */
   def minhashLshPairs(spark: SparkSession, sfDir: String, n: Int = 3,
                       numBands: Int = 32, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame =
+    minhashPairsUnordered(spark, sfDir, n, numBands, rowsPerBand, threshold, maxBucket)
+      .orderBy("doc_a", "doc_b")
+
+  /** [[minhashLshPairs]] without the presentation sort — the form other
+    * operators (clustering) consume, so no global sort runs below a join. */
+  private[graft] def minhashPairsUnordered(spark: SparkSession, sfDir: String, n: Int = 3,
+                      numBands: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
     val postings = shinglePostings(spark, sfDir, n)
 
@@ -285,7 +293,6 @@ object Dedup {
 
     val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     verifyByPostings(candidates, postings, sizes, threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Skew guard for LSH band buckets: drop every row of a (band, bhash)
@@ -421,7 +428,12 @@ object Dedup {
     * documents are their own singleton cluster) and the cluster size. */
   def dedupClusters(spark: SparkSession, sfDir: String, n: Int = 3,
                     threshold: Double = 0.8): DataFrame = {
-    val pairs = ngramPairsUnordered(spark, sfDir, n, threshold)
+    // Pair source = MinHash LSH + exact verification, whose output equals
+    // the exact prefix-filtered join at the threshold (the dedup_minhash /
+    // dedup_ngram shared-oracle argument) — and whose measured scale slope
+    // is ~10× better on closed-vocabulary corpora where prefix selectivity
+    // collapses (SURVEY §6.1). Same clusters, the scale-path generator.
+    val pairs = minhashPairsUnordered(spark, sfDir, n, threshold = threshold)
     val labels = connectedComponents(pairs, "doc_a", "doc_b")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"))
