@@ -16,9 +16,11 @@ object ScaleProbe {
     val mult = if (args.length > 0) args(0).toInt else 10
     val queries = (if (args.length > 1) args(1).split(",").toSeq
                    else Seq("wc", "dedup_ngram", "dedup_minhash", "dedup_simhash",
-                            "similarity_knn", "similarity_ivf", "topk_words",
-                            "fuzzy_names", "dedup_clusters", "scrub_pii",
-                            "sample_hash")).toList
+                            "similarity_knn", "similarity_ivf", "similarity_ivf_indexed",
+                            "topk_words", "fuzzy_names", "dedup_clusters", "scrub_pii",
+                            "sample_hash", "dedup_incremental", "decontaminate",
+                            "repetition_score", "bpe_train", "tfidf_terms",
+                            "bm25_search", "stream_dedup_near")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -22,9 +22,10 @@ class PlanSpec extends SparkSpecBase {
   // machinery and are covered by StreamingSpec's semantic equalities).
   private val heavy = Seq(
     "dedup_simhash", "dedup_ngram", "dedup_minhash", "dedup_incremental",
-    "dedup_clusters", "fuzzy_names", "join_orders_customers", "q5_region",
-    "multi_join_agg", "brand_revenue", "similarity_ivf", "tfidf_terms",
-    "bm25_search", "grep_filter", "topk_words")
+    "dedup_clusters", "decontaminate", "fuzzy_names", "join_orders_customers",
+    "q5_region", "multi_join_agg", "brand_revenue", "similarity_ivf",
+    "similarity_ivf_indexed", "tfidf_terms", "bm25_search", "grep_filter",
+    "topk_words")
 
   private lazy val plans: Map[String, String] =
     heavy.map(n => n -> finalPlan(n)).toMap
@@ -39,7 +40,8 @@ class PlanSpec extends SparkSpecBase {
   test("BroadcastNestedLoopJoin appears only where a tiny frame is the build side") {
     // probe sets / one-row stats frames crossJoin the corpus by design;
     // anywhere else a BNLJ is a missed equi-join key.
-    val allowed = Set("similarity_ivf", "tfidf_terms", "bm25_search")
+    val allowed = Set("similarity_ivf", "similarity_ivf_indexed",
+      "tfidf_terms", "bm25_search")
     plans.foreach { case (name, plan) =>
       if (!allowed(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -50,7 +52,7 @@ class PlanSpec extends SparkSpecBase {
   test("dimension and candidate joins broadcast the small side") {
     val wantBhj = Seq("join_orders_customers", "q5_region", "multi_join_agg",
       "brand_revenue", "fuzzy_names", "dedup_ngram", "dedup_minhash",
-      "dedup_incremental", "dedup_simhash", "dedup_clusters")
+      "dedup_incremental", "dedup_simhash", "dedup_clusters", "decontaminate")
     wantBhj.foreach { name =>
       assert(plans(name).contains("BroadcastHashJoin"),
         s"$name lost its broadcast join:\n${plans(name)}")

@@ -79,6 +79,36 @@ class SkewAndFormatsSpec extends SparkSpecBase {
     assert(json.agg(sum("user_id")).collect()(0).getLong(0) === expectedSum)
   }
 
+  test("malformed ingest: PERMISSIVE mode routes corrupt rows to _corrupt_record") {
+    // Real ingest is never clean: the engine must keep good rows, quarantine
+    // bad ones for inspection, and never silently drop or crash — Spark's
+    // PERMISSIVE parse mode with a corrupt-record column is that contract.
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    java.nio.file.Files.write(dir.resolve("data.json"),
+      """{"id": 1, "v": 10.5}
+        |{"id": 2, "v": "not-a-number"}
+        |{broken json!!
+        |{"id": 4, "v": 2.25}
+        |""".stripMargin.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // corrupt-record queries require a materialized parse
+    try {
+      val good = df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      val bad = df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+      assert(good.count() === 2) // rows 1 and 4
+      assert(bad.count() === 2)  // type mismatch + broken syntax, both preserved
+      assert(good.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 4L))
+      assert(bad.collect().forall(r => r.getString(2) != null))
+    } finally df.unpersist()
+  }
+
   test("orc sink round-trips the events table losslessly (schema included)") {
     // ORC keeps types in-file (unlike csv/json), so compare full row sets,
     // not just counts and sums.
