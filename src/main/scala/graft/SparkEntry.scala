@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminationPairs(s, d)),
+    "corpus_export" -> ((s, d) => Pipeline.corpusExport(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -211,6 +212,34 @@ object SparkEntry {
       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Quality scoring (sans presentation sort) — standalone oracle for
+    * `quality_score` and a stage of the composed `corpus_export`. */
+  private val qualityScoreSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+      |e AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS nw,
+      |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) AS nstop,
+      |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) AS totlen FROM d)
+      |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(totlen / nw, 4) AS avg_word_len,
+      |  round(nstop / nw, 4) AS stopword_ratio,
+      |  round(least(nw / 50.0, 1.0) * 0.5 + least(nstop / nw * 5.0, 1.0) * 0.3 +
+      |        CASE WHEN totlen / nw BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) AS quality
+      |FROM e WHERE nw > 0""".stripMargin
+
+  /** Eval-in-train containment (sans presentation sort) — standalone
+    * oracle for `decontaminate` and a stage of `corpus_export`. */
+  private val decontaminateSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2)
+      |SELECT eval_id, train_id, CAST(inter AS DOUBLE) / sa.n AS containment
+      |FROM pairs JOIN sizes sa ON eval_id = sa.doc_id
+      |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.6""".stripMargin
 
   /** Hopping-window aggregate — the oracle for both the batch
     * (`sliding_window`) and streaming (`stream_sliding`) forms, which are
@@ -543,16 +572,7 @@ object SparkEntry {
         |SELECT doc_id, len(ws) AS ws_tokens,
         |  CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS bpe_tokens
         |FROM d ORDER BY doc_id""".stripMargin,
-    "quality_score" ->
-      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
-        |e AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS nw,
-        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) AS nstop,
-        |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) AS totlen FROM d)
-        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(totlen / nw, 4) AS avg_word_len,
-        |  round(nstop / nw, 4) AS stopword_ratio,
-        |  round(least(nw / 50.0, 1.0) * 0.5 + least(nstop / nw * 5.0, 1.0) * 0.3 +
-        |        CASE WHEN totlen / nw BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) AS quality
-        |FROM e WHERE nw > 0 ORDER BY doc_id""".stripMargin,
+    "quality_score" -> s"$qualityScoreSql\nORDER BY doc_id",
     "repetition_score" ->
       """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
         |g AS (SELECT doc_id, greatest(len(ws) - 2, 0) AS n_grams,
@@ -631,19 +651,26 @@ object SparkEntry {
     // decontaminate: exact containment |A∩B|/|A| of eval-shard n-grams in
     // train docs; the prefix filter is lossless at the threshold, so the
     // direct exact join is the oracle.
-    "decontaminate" ->
-      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
-        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2)
-        |SELECT eval_id, train_id, CAST(inter AS DOUBLE) / sa.n AS containment
-        |FROM pairs JOIN sizes sa ON eval_id = sa.doc_id
-        |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.6
-        |ORDER BY eval_id, train_id""".stripMargin,
+    "decontaminate" -> s"$decontaminateSql\nORDER BY eval_id, train_id",
+    // corpus_export: the composed pipeline — each stage's standalone
+    // oracle joined into one WITH chain (nested-WITH blocks for the
+    // self-contained stages), so the composition is exactly checked too.
+    "corpus_export" ->
+      s"""WITH RECURSIVE np AS ($ngramPairsSql),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
+         |reach AS (SELECT a AS v, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
+         |lbl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+         |q AS ($qualityScoreSql),
+         |cont AS (SELECT DISTINCT train_id AS doc_id FROM ($decontaminateSql) dc)
+         |SELECT l.doc_id, q.quality
+         |FROM lbl l JOIN q ON l.doc_id = q.doc_id
+         |WHERE l.doc_id % 10 <> 0 AND l.cluster_id = l.doc_id AND q.quality >= 0.7
+         |  AND l.doc_id NOT IN (SELECT doc_id FROM cont)
+         |ORDER BY l.doc_id""".stripMargin,
     // dedup_simhash: token hash = md5_number_lower on both sides, so the
     // whole sketch (bit votes → 64-bit signature → hamming ≤ 3) is exactly
     // expressible in DuckDB. The banding in the Spark plan is pure candidate
