@@ -29,18 +29,22 @@ object Pipeline {
 
   def corpusExport(spark: SparkSession, sfDir: String,
                    qualityMin: Double = 0.7): DataFrame = {
-    val canonical = Dedup.dedupClusters(spark, sfDir)
-      .filter(col("cluster_id") === col("doc_id"))
-      .select("doc_id")
+    // Non-canonical = labeled with a smaller reachable doc_id. Using the
+    // raw component labels (not dedupClusters' presentation output) skips
+    // a full-corpus cluster_size window this query would discard.
+    val pairs = Dedup.minhashPairsUnordered(spark, sfDir)
+    val nonCanonical = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("l") =!= col("v"))
+      .select(col("v").as("doc_id"))
     val quality = TextAnalysis.qualityScore(spark, sfDir)
       .select(col("doc_id"), col("quality"))
     val contaminated = Dedup.decontaminationPairs(spark, sfDir)
       .select(col("train_id").as("doc_id"))
       .distinct()
-    canonical
+    quality
       .filter(col("doc_id") % 10 =!= 0)
-      .join(quality, "doc_id")
       .filter(col("quality") >= qualityMin)
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
