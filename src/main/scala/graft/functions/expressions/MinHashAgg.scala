@@ -88,7 +88,9 @@ object MinHashRowKernel {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      Dedup.minhashUpdate(sig, arr.getUTF8String(i).toString, params)
+      // null elements are skipped, mirroring the aggregate's null handling
+      val s = arr.getUTF8String(i)
+      if (s != null) Dedup.minhashUpdate(sig, s.toString, params)
       i += 1
     }
     new GenericArrayData(sig)

@@ -7,99 +7,108 @@ import graft.functions.TextFunctions
 import graft.sources.Tables
 
 /** BPE tokenizer induction over the corpus — the vocabulary-training step
-  * of an LLM data pipeline: learn the `merges` highest-count byte-pair
-  * merge rules from corpus word frequencies (Sennrich et al., "Neural
+  * of an LLM data pipeline: learn up to `merges` highest-count pair merge
+  * rules from corpus word frequencies (after Sennrich et al., "Neural
   * Machine Translation of Rare Words with Subword Units", ACL 2016).
   *
   * Scale shape: the DISTRIBUTED work is the corpus word count (the same
-  * map-side-combined aggregate as `wc`); every merge round then operates
-  * on the VOCABULARY (words × current symbol splits), which is orders of
-  * magnitude smaller than the corpus and shrinks no further — so rounds
-  * cost one vocabulary-sized aggregate each, never a corpus re-scan. The
-  * per-round argmax is a 1-row frame crossJoined back (broadcast), keeping
-  * the loop fully declarative — no driver-side collect. Lineage is
-  * truncated per round via the shared [[Dedup.RoundCheckpointer]]
-  * (config-selectable local/disk/reliable, like connected components).
+  * map-side-combined aggregate as `wc`) and the per-round pair count over
+  * the vocabulary; the winning rule — a single row, the argmax of that
+  * distributed aggregate — is collected to the driver and applied as a
+  * literal (the k-means-codebook pattern: tiny loop-carried state lives on
+  * the driver, heavy state stays distributed). Rounds cost one
+  * vocabulary-sized aggregate each, never a corpus re-scan; vocabulary
+  * lineage is truncated per round via the shared
+  * [[Dedup.RoundCheckpointer]]. Training stops early when no pair is left
+  * to merge — an exhausted round cannot wipe or corrupt the state.
   *
-  * Determinism (differential gate): pair counts are integer sums; the
-  * winning pair breaks ties by (count desc, p1 asc, p2 asc); merges apply
-  * via literal string `replace` on the space-joined symbol sequence, whose
-  * left-to-right non-overlapping semantics are identical in Java and
-  * DuckDB — so greedy overlap resolution (`a a a` + rule `a a` → `aa a`)
-  * agrees bit for bit and the whole training loop is SQL-oracle-checkable
-  * (unrolled CTEs, one block per round — same technique as the k-means
-  * oracle).
+  * Merge convention (differential gate): pair counts are integer sums over
+  * ALL adjacent positions (overlap counted); the winning pair breaks ties
+  * by (count desc, p1 asc, p2 asc); the rule is applied as a literal
+  * string `replace` on the space-joined symbol sequence, TWICE per round —
+  * `replace`'s left-to-right non-overlapping scan plus a second pass
+  * merges every non-overlapping occurrence including those sharing a
+  * separator space in a repeated-symbol run (`a a a a` → `aa aa`, matching
+  * canonical greedy BPE; odd runs leave their unpaired symbol at the
+  * position the scan isolates, which may differ from the canonical
+  * sequential scan). Both engines implement identical literal-replace
+  * semantics, so the whole loop is SQL-oracle-checkable (unrolled CTEs,
+  * one block per round — the k-means oracle technique).
   *
   * Output: one row per learned rule `(step, p1, p2, pcnt)`. */
 object Bpe {
 
-  def bpeTrain(spark: SparkSession, sfDir: String, merges: Int = 6): DataFrame = {
-    val wc = Tables.documents(spark, sfDir)
-      .select(explode(TextFunctions.tokenize(col("text"))).as("word"))
-      .groupBy("word")
-      .agg(count(lit(1)).as("wcnt"))
-    bpeTrainFromCounts(wc, merges)
-  }
+  def bpeTrain(spark: SparkSession, sfDir: String, merges: Int = 6): DataFrame =
+    bpeTrainFromCounts(corpusCounts(spark, sfDir), merges)
 
   /** Apply the learned merges back to the vocabulary: each word's subword
-    * segmentation after `merges` rounds — the encode half of the
-    * tokenizer, `(word, wcnt, n_subwords, seg)`. Shares the training
-    * CTE chain in the oracle (the segmentation IS the final round's
-    * state), so it is exactly checked too. */
-  def bpeEncode(spark: SparkSession, sfDir: String, merges: Int = 6): DataFrame = {
-    val wc = Tables.documents(spark, sfDir)
+    * segmentation after training — the encode half of the tokenizer,
+    * `(word, wcnt, n_subwords, seg)`. Shares the training CTE chain in
+    * the oracle (the segmentation IS the final round's state). */
+  def bpeEncode(spark: SparkSession, sfDir: String, merges: Int = 6): DataFrame =
+    bpeSegmentsFromCounts(corpusCounts(spark, sfDir), merges)
+
+  private def corpusCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(explode(TextFunctions.tokenize(col("text"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("wcnt"))
+
+  /** Learned rules over an explicit `(word, wcnt)` frame. */
+  def bpeTrainFromCounts(wc: DataFrame, merges: Int): DataFrame =
+    trainLoop(wc, merges)._1
+
+  /** Final segmentations over an explicit `(word, wcnt)` frame. */
+  def bpeSegmentsFromCounts(wc: DataFrame, merges: Int): DataFrame =
     trainLoop(wc, merges)._2
       .select(col("word"), col("wcnt"),
         size(split(trim(col("seq")), " ")).cast("bigint").as("n_subwords"),
         trim(col("seq")).as("seg"))
       .orderBy("word")
-  }
-
-  /** Core loop over an explicit `(word, wcnt)` frame — the form tests and
-    * bring-your-own-counts pipelines call. */
-  def bpeTrainFromCounts(wc: DataFrame, merges: Int): DataFrame =
-    trainLoop(wc, merges)._1
 
   /** Runs the merge loop; returns (learned rules, final symbol state). */
   private def trainLoop(wc: DataFrame, merges: Int): (DataFrame, DataFrame) = {
-    val ckpt = new Dedup.RoundCheckpointer(wc.sparkSession)
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val ckpt = new Dedup.RoundCheckpointer(spark)
     // symbol sequence per word: characters space-joined, wrapped in single
     // spaces so a merge rule ' p1 p2 ' matches on symbol boundaries only
     var seqs = ckpt(wc.select(col("word"), col("wcnt"),
       concat(lit(" "),
         trim(regexp_replace(col("word"), "(.)", "$1 ")),
         lit(" ")).as("seq")))
-    var rules: DataFrame = null
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     val byWord = Window.partitionBy("word").orderBy("i")
-    for (step <- 1 to merges) {
-      val pairs = seqs
+    var exhausted = false
+    for (step <- 1 to merges if !exhausted) {
+      val top = seqs
         .select(col("word"), col("wcnt"), posexplode(split(trim(col("seq")), " ")))
         .toDF("word", "wcnt", "i", "t")
         .withColumn("nxt", lead("t", 1).over(byWord))
         .filter(col("nxt").isNotNull)
         .groupBy("t", "nxt")
         .agg(sum("wcnt").as("pcnt"))
-      val top = pairs
         .orderBy(col("pcnt").desc, col("t").asc, col("nxt").asc)
         .limit(1)
-        .select(col("t").as("p1"), col("nxt").as("p2"), col("pcnt"))
-      val ruleRow = top.withColumn("step", lit(step).cast("bigint"))
-      rules = if (rules == null) ruleRow else rules.union(ruleRow)
-      seqs = ckpt(seqs.crossJoin(broadcast(top))
-        .withColumn("seq",
-          expr("replace(seq, concat(' ', p1, ' ', p2, ' '), concat(' ', p1, p2, ' '))"))
-        .select("word", "wcnt", "seq"))
+        .collect() // ≤ 1 row: the argmax of a distributed aggregate
+      if (top.isEmpty) exhausted = true // nothing left to merge — stop
+      else {
+        val (p1, p2, pcnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((step.toLong, p1, p2, pcnt))
+        val pat = lit(s" $p1 $p2 ")
+        val rep = lit(s" $p1$p2 ")
+        seqs = ckpt(seqs.withColumn("seq",
+          call_function("replace",
+            call_function("replace", col("seq"), pat, rep), pat, rep)))
+      }
     }
-    (rules.select(col("step"), col("p1"), col("p2"), col("pcnt"))
-       .orderBy("step"),
-     seqs)
+    (rules.toSeq.toDF("step", "p1", "p2", "pcnt").orderBy("step"), seqs)
   }
 
   /** Shared CTE chain of the DuckDB oracle — generated, one block per
-    * merge round, mirroring the engine's operation order. */
+    * merge round, mirroring the engine's operation order. An exhausted
+    * round has an empty `t$k`, which the LEFT JOIN turns into a no-op
+    * round (state preserved), matching the engine's early stop. */
   private def bpeCtes(merges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS word FROM documents),
@@ -108,10 +117,15 @@ object Bpe {
     for (k <- 1 to merges) {
       sb ++= s""",
                 |p$k AS (SELECT lst[i] AS a, lst[i+1] AS b, CAST(sum(wcnt) AS BIGINT) AS pcnt
-                |  FROM (SELECT wcnt, string_split(trim(seq), ' ') AS lst FROM s${k - 1}) x
-                |  CROSS JOIN range(1, 1000) r(i) WHERE i < len(lst) GROUP BY 1, 2),
+                |  FROM (SELECT wcnt, lst, unnest(range(1, len(lst))) AS i
+                |        FROM (SELECT wcnt, string_split(trim(seq), ' ') AS lst FROM s${k - 1}) y) x
+                |  GROUP BY 1, 2),
                 |t$k AS (SELECT a, b, pcnt FROM p$k ORDER BY pcnt DESC, a, b LIMIT 1),
-                |s$k AS (SELECT word, wcnt, replace(seq, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS seq FROM s${k - 1}, t$k)""".stripMargin
+                |s$k AS (SELECT word, wcnt,
+                |  CASE WHEN t.a IS NULL THEN seq
+                |       ELSE replace(replace(seq, ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' '),
+                |                    ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ') END AS seq
+                |  FROM s${k - 1} LEFT JOIN t$k t ON TRUE)""".stripMargin
     }
     sb.result()
   }

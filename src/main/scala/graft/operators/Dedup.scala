@@ -480,17 +480,19 @@ object Dedup {
     // `graft_simhash` is a native codegen kernel (one compiled pass per
     // document, fused into the scan) — the typed Dataset.map it replaced
     // deserialized every row and ran interpreted outside codegen. The
-    // signature table (16 bytes/row) is materialized ONCE via an eager
-    // localCheckpoint because the plan reads it four times (skew guard +
-    // both self-join sides) and nothing else makes those subtrees shareable
-    // once one join side broadcasts; re-running the MD5 tokenizer per read
-    // would quadruple the dominant scan cost. localCheckpoint (not persist):
-    // its blocks are reclaimed by the context cleaner as soon as the
-    // returned DataFrame is unreferenced, so nothing leaks into later
-    // queries of a long-lived session.
-    val sigs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), call_function("graft_simhash", col("text")).as("sig"))
-      .localCheckpoint(true)
+    // signature table (16 bytes/row) is materialized ONCE because the plan
+    // reads it four times (skew guard + both self-join sides) and nothing
+    // else makes those subtrees shareable once one join side broadcasts;
+    // re-running the MD5 tokenizer per read would quadruple the dominant
+    // scan cost. Checkpointed (not persisted): blocks are reclaimed by the
+    // context cleaner when the DataFrame is unreferenced, so nothing leaks
+    // into later queries. The mode is the shared `graft.iter.checkpoint`
+    // conf — default executor-local (fastest; an executor loss mid-query
+    // re-runs the query), `reliable` for clusters where a lost executor
+    // must cost a task retry, not the job.
+    val sigs = new RoundCheckpointer(spark)(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), call_function("graft_simhash", col("text")).as("sig")))
 
     // Band key must be the UNSIGNED low 16 bits: a signed `% 65536` would
     // give negative keys for negative signatures in band 0 (shift 0 is a

@@ -78,7 +78,11 @@ object IncrementalDedup {
                 lit(p.numBands), lit(p.rowsPerBand))))
       .toDF("doc_id", "band", "bhash")
 
-  /** Build the three index tables from an explicit document set. */
+  /** Build the four index tables from an explicit document set. `_sharr`
+    * (per-doc shingle arrays, the STREAMING verification layout) is part of
+    * the index proper — if it were built lazily on the side, a delta
+    * appended before its creation could never be reconstructed and the
+    * stream would silently miss near-dups of appended documents. */
   def buildIndexFrom(docs: DataFrame, prefix: String, p: IndexParams): Unit = {
     val postings = postingsOf(docs, p.n)
     Warehouse.writeBucketed(bandsOf(postings, p),
@@ -91,12 +95,18 @@ object IncrementalDedup {
     Warehouse.writeBucketed(
       postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
       Seq("doc_id"), s"${prefix}_sizes", p.buckets)
+    Warehouse.writeBucketed(sharrOf(docs, p), Seq("doc_id"), s"${prefix}_sharr", p.buckets)
   }
+
+  private def sharrOf(docs: DataFrame, p: IndexParams): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("graft_shingles", col("text"), lit(p.n)).as("s_arr"))
 
   /** Append a dedup'd delta's fingerprints INTO the index — the maintenance
     * half of the ingest cycle (ingest → dedup → extend index). Bucketed
     * appends: new files per bucket, the bucket-local join property is
-    * untouched, nothing is rewritten. */
+    * untouched, nothing is rewritten. ALL four tables extend together, so
+    * the batch and streaming verification paths stay coherent. */
   def appendToIndex(docs: DataFrame, prefix: String, p: IndexParams): Unit = {
     val postings = postingsOf(docs, p.n)
     Warehouse.appendBucketed(bandsOf(postings, p),
@@ -105,6 +115,7 @@ object IncrementalDedup {
     Warehouse.appendBucketed(
       postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
       Seq("doc_id"), s"${prefix}_sizes", p.buckets)
+    Warehouse.appendBucketed(sharrOf(docs, p), Seq("doc_id"), s"${prefix}_sharr", p.buckets)
   }
 
   /** The delta-vs-store near-dup join, given an already-built index:
@@ -167,7 +178,7 @@ object IncrementalDedup {
                  p: IndexParams = IndexParams()): Unit = {
     val prefix = indexPrefix(sfDir, p)
     val fp = corpusFingerprint(sfDir, p)
-    val tables = Seq("bands", "postings", "sizes").map(s => s"${prefix}_$s")
+    val tables = Seq("bands", "postings", "sizes", "sharr").map(s => s"${prefix}_$s")
     if (indexCurrent(spark, tables, fp)) return
     val corpus = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % DeltaMod =!= 0)
@@ -175,22 +186,12 @@ object IncrementalDedup {
     tables.foreach(t => Warehouse.stampFingerprint(spark, t, fp))
   }
 
-  /** Build (or reuse) the `<prefix>_sharr` shingle-array table the
-    * STREAMING verification path joins against. Kept out of [[buildIndex]]
-    * so the batch query doesn't pay for a layout only streams read. */
+  /** The `<prefix>_sharr` shingle-array table the STREAMING verification
+    * path joins against — built with the rest of the index. */
   def ensureShingleArrays(spark: SparkSession, sfDir: String,
                           p: IndexParams = IndexParams()): String = {
-    val prefix = indexPrefix(sfDir, p)
-    val table = s"${prefix}_sharr"
-    val fp = corpusFingerprint(sfDir, p)
-    if (indexCurrent(spark, Seq(table), fp)) return table
-    val corpus = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % DeltaMod =!= 0)
-      .select(col("doc_id"),
-              call_function("graft_shingles", col("text"), lit(p.n)).as("s_arr"))
-    Warehouse.writeBucketed(corpus, Seq("doc_id"), table, p.buckets)
-    Warehouse.stampFingerprint(spark, table, fp)
-    table
+    buildIndex(spark, sfDir, p)
+    s"${indexPrefix(sfDir, p)}_sharr"
   }
 
   /** Driver-contract delta join over the `sfDir` mod-split. */

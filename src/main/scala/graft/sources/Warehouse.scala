@@ -78,14 +78,16 @@ object Warehouse {
                       keys: Seq[String], buckets: Int): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val tmp = s"${table}__compact"
-    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
     val fp = storedFingerprint(spark, table)
-    spark.table(table)
-      .repartition(buckets, pmod(hash(keys.map(col): _*), lit(buckets)))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(tmp)
+    // writeBucketed (not a bare CTAS) so a tmp directory orphaned by a
+    // crashed prior compaction is cleared instead of failing every future
+    // compaction of this table. The DROP→RENAME window below is the one
+    // non-atomic step this catalog offers; a crash inside it loses only
+    // the catalog entry — the compacted data survives under the tmp name.
+    writeBucketed(
+      spark.table(table)
+        .repartition(buckets, pmod(hash(keys.map(col): _*), lit(buckets))),
+      keys, tmp, buckets)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     fp.foreach(stampFingerprint(spark, table, _))

@@ -25,6 +25,31 @@ class BpeSpec extends SparkSpecBase {
       (3L, "aa", "ab", 4L)))
   }
 
+  test("bpe merges a repeated-symbol run fully within one round") {
+    // "a a a a" + rule (a,a): the first replace pass leaves the second
+    // occurrence unmerged (its leading space was consumed), the second
+    // pass completes it → "aa aa", matching canonical greedy BPE.
+    val wc = Seq(("aaaa", 1L)).toDF("word", "wcnt")
+    val rules = Bpe.bpeTrainFromCounts(wc, merges = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rules === Seq((1L, "a", "a", 3L))) // 3 adjacent positions counted
+    val seg = Bpe.bpeSegmentsFromCounts(wc, merges = 1).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSeq
+    assert(seg === Seq(("aaaa", 2L, "aa aa")))
+  }
+
+  test("bpe stops early when pairs are exhausted instead of wiping the vocabulary") {
+    val wc = Seq(("ab", 2L)).toDF("word", "wcnt")
+    // round 1 merges (a,b); round 2 has no pairs left → stop, state intact
+    val rules = Bpe.bpeTrainFromCounts(wc, merges = 3).collect()
+    assert(rules.length === 1)
+    val seg = Bpe.bpeSegmentsFromCounts(wc, merges = 3).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSeq
+    assert(seg === Seq(("ab", 1L, "ab")))
+    // merges = 0 is a no-op training run, not an error
+    assert(Bpe.bpeTrainFromCounts(wc, merges = 0).collect().isEmpty)
+  }
+
   test("bpe_train on the corpus is deterministic across invocations") {
     val a = Bpe.bpeTrain(spark, sf0001, merges = 4).collect().map(_.toString).toSeq
     val b = Bpe.bpeTrain(spark, sf0001, merges = 4).collect().map(_.toString).toSeq

@@ -105,6 +105,10 @@ class WarehouseSpec extends SparkSpecBase {
       assertNoStoreSideShuffle(r2)
       val pairs = r2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(pairs === Seq((200L, 100L)))
+      // the STREAMING verification table extended too — an appended doc's
+      // shingle array must be joinable or the stream silently misses it
+      assert(spark.table(s"${prefix}_sharr")
+        .filter(col("doc_id") === 100L).count() === 1)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
