@@ -75,6 +75,7 @@ object SparkEntry {
     "stream_join" -> ((s, d) => graft.streaming.EventStreams.streamStreamJoinQuery(s, d)),
     "stream_dedup_near" -> ((s, d) => graft.streaming.EventStreams.streamNearDupQuery(s, d)),
     "stream_sessions" -> ((s, d) => graft.streaming.EventStreams.streamSessionsQuery(s, d)),
+    "stream_export" -> ((s, d) => graft.streaming.EventStreams.streamExportQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -548,6 +549,14 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // stream_export: distinct (fp, quality) of documents passing the
+    // quality floor — equal fingerprints imply equal normalized text and
+    // equal scores, so the emitted set is arrival-order independent.
+    "stream_export" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents)
+         |SELECT DISTINCT fp, quality FROM q JOIN f USING (doc_id)
+         |WHERE quality >= 0.7 ORDER BY fp""".stripMargin,
     // stream_sessions: island detection per user. Boundary convention
     // matches session_window's half-open [ts, ts+gap): diff >= gap starts
     // a new session.

@@ -291,6 +291,29 @@ object EventStreams {
       .orderBy("fp")
   }
 
+  /** Driver-verified: streaming QUALITY-GATED export — the ingest-side
+    * composition of a stateless quality gate and stateful exact dedup in
+    * ONE streaming query: score each arriving document (identical
+    * expression tree to the batch `quality_score`), drop below-floor docs
+    * before they reach state, dedup survivors on the content fingerprint.
+    * Emitted set is (fp, quality) — order-insensitive because equal
+    * fingerprints imply equal normalized text and therefore equal
+    * scores — so the batch SQL is the exact oracle. State = one digest
+    * per distinct KEPT document: the quality gate shrinks streaming state,
+    * which is the point of filtering before deduplicating at ingest. */
+  def streamExportQuery(spark: SparkSession, sfDir: String,
+                        qualityMin: Double = 0.7): DataFrame = {
+    val (nWords, quality) = graft.operators.TextAnalysis.qualityCols
+    val kept = tableStream(spark, sfDir, "documents")
+      .select(TextFunctions.fingerprintMd5(col("text")).as("fp"),
+              nWords.as("n_words"), quality.as("quality"))
+      .filter(col("n_words") > 0 && col("quality") >= qualityMin)
+      .select("fp", "quality")
+      .dropDuplicates("fp")
+    runToCompletion(spark, kept, "stream_export", OutputMode.Append())
+      .orderBy("fp")
+  }
+
   /** Driver-verified: MERGING session windows via the native
     * `session_window` streaming aggregate — dynamic-gap windows that the
     * fixed tumbling/hopping grids can't express: each event opens a
