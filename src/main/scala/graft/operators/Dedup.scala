@@ -128,7 +128,14 @@ object Dedup {
     * generating zero candidates. Verification touches candidates only.
     * Output: `(eval_id, train_id, containment)`. */
   def decontaminationPairs(spark: SparkSession, sfDir: String, n: Int = 3,
-                           threshold: Double = 0.6): DataFrame = {
+                           threshold: Double = 0.6): DataFrame =
+    decontaminationUnordered(spark, sfDir, n, threshold)
+      .orderBy("eval_id", "train_id")
+
+  /** [[decontaminationPairs]] without the presentation sort — the form
+    * compositions (corpus_export) consume below further joins. */
+  private[graft] def decontaminationUnordered(spark: SparkSession, sfDir: String,
+                                              n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val postings = shinglePostings(spark, sfDir, n)
     decontaminationFor(
       postings.filter(col("doc_id") % 10 === 0),
@@ -138,7 +145,7 @@ object Dedup {
 
   /** Generic core of [[decontaminationPairs]] over explicit eval/train
     * shingle-posting streams `(doc_id, s)` — the form property tests and
-    * bring-your-own-split pipelines call. */
+    * bring-your-own-split pipelines call. Unordered. */
   private[graft] def decontaminationFor(evalP: DataFrame, trainP: DataFrame,
                                         threshold: Double): DataFrame = {
     val eps = 1e-9
@@ -167,7 +174,6 @@ object Dedup {
       .select(col("eval_id"), col("train_id"),
               (col("inter").cast("double") / col("n_ev").cast("double")).as("containment"))
       .filter(col("containment") >= threshold)
-      .orderBy("eval_id", "train_id")
   }
 
   // ---------------------------------------------------------------- MinHash

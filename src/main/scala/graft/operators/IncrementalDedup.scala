@@ -106,8 +106,22 @@ object IncrementalDedup {
     * half of the ingest cycle (ingest → dedup → extend index). Bucketed
     * appends: new files per bucket, the bucket-local join property is
     * untouched, nothing is rewritten. ALL four tables extend together, so
-    * the batch and streaming verification paths stay coherent. */
+    * the batch and streaming verification paths stay coherent.
+    *
+    * The four appends are not atomic, so the fingerprint stamps are
+    * cleared to an in-flight marker first and restored only after every
+    * append commits: a crash mid-append leaves the marker, the reuse gate
+    * ([[indexCurrent]]) fails, and the next [[buildIndex]] rebuilds from
+    * the corpus instead of reading a half-extended index (appended deltas
+    * must then be re-appended by the ingest pipeline — a re-run, never a
+    * silent wrong answer). */
   def appendToIndex(docs: DataFrame, prefix: String, p: IndexParams): Unit = {
+    val spark = docs.sparkSession
+    val tables = Seq("bands", "postings", "sizes", "sharr").map(s => s"${prefix}_$s")
+    val stamps = tables.map(t => t -> Warehouse.storedFingerprint(spark, t)).toMap
+    tables.foreach(t =>
+      if (spark.catalog.tableExists(t))
+        Warehouse.stampFingerprint(spark, t, "append-in-flight"))
     val postings = postingsOf(docs, p.n)
     Warehouse.appendBucketed(bandsOf(postings, p),
       Seq("band", "bhash"), s"${prefix}_bands", p.buckets)
@@ -116,6 +130,7 @@ object IncrementalDedup {
       postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
       Seq("doc_id"), s"${prefix}_sizes", p.buckets)
     Warehouse.appendBucketed(sharrOf(docs, p), Seq("doc_id"), s"${prefix}_sharr", p.buckets)
+    tables.foreach(t => stamps(t).foreach(fp => Warehouse.stampFingerprint(spark, t, fp)))
   }
 
   /** The delta-vs-store near-dup join, given an already-built index:
@@ -161,12 +176,10 @@ object IncrementalDedup {
     Warehouse.sourceFingerprint(sfDir, "documents") +
       s"|n${p.n}b${p.numBands}r${p.rowsPerBand}x${p.buckets}"
 
-  /** True iff every `tables` entry exists AND carries the expected source
-    * fingerprint — the reuse gate for all sfDir-derived index tables. */
+  /** Reuse gate for sfDir-derived index tables ([[Warehouse.tablesCurrent]]). */
   private[graft] def indexCurrent(spark: SparkSession, tables: Seq[String],
                                   fp: String): Boolean =
-    tables.forall(t => spark.catalog.tableExists(t) &&
-      Warehouse.storedFingerprint(spark, t).contains(fp))
+    Warehouse.tablesCurrent(spark, tables, fp)
 
   /** Build (or reuse) the persisted corpus index over `sfDir`: everything
     * that is NOT the delta shard, fingerprinted once, bucketed on its

@@ -36,9 +36,10 @@ object Pipeline {
     val nonCanonical = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .filter(col("l") =!= col("v"))
       .select(col("v").as("doc_id"))
-    val quality = TextAnalysis.qualityScore(spark, sfDir)
-      .select(col("doc_id"), col("quality"))
-    val contaminated = Dedup.decontaminationPairs(spark, sfDir)
+    // unordered stage forms throughout: presentation sorts below the
+    // export's joins/distinct would be pure wasted work
+    val quality = TextAnalysis.qualityUnordered(spark, sfDir)
+    val contaminated = Dedup.decontaminationUnordered(spark, sfDir)
       .select(col("train_id").as("doc_id"))
       .distinct()
     quality

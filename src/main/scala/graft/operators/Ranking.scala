@@ -53,7 +53,7 @@ object Ranking {
     val prefix = s"graft_rankstats_${sf}_${Warehouse.pathToken(sfDir)}"
     val fp = Warehouse.sourceFingerprint(sfDir, "documents")
     val tables = Seq("termdf", "doclen", "corpus").map(s => s"${prefix}_$s")
-    if (IncrementalDedup.indexCurrent(spark, tables, fp)) return prefix
+    if (Warehouse.tablesCurrent(spark, tables, fp)) return prefix
     val tf = termFreqs(spark, sfDir)
     Warehouse.writeBucketed(
       tf.groupBy("word").agg(count(lit(1)).as("df")),

@@ -172,7 +172,7 @@ object Similarity {
     val prefix = s"graft_ivf_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_k${numCentroids}i$iters"
     val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "embeddings")
     val tables = Seq(s"${prefix}_cents", s"${prefix}_cells")
-    if (IncrementalDedup.indexCurrent(spark, tables, fp)) return prefix
+    if (graft.sources.Warehouse.tablesCurrent(spark, tables, fp)) return prefix
     val e = Tables.embeddings(spark, sfDir)
     val cents = kmeansCodebook(e, numCentroids, iters)
     graft.sources.Warehouse.writeBucketed(cents, Seq("cent_id"), s"${prefix}_cents", 1)

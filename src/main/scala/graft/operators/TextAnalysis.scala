@@ -80,6 +80,16 @@ object TextAnalysis {
        + when(totalLen / nWords between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0)), 4))
   }
 
+  /** `(doc_id, quality)` without the presentation sort — the form
+    * compositions (corpus_export) consume below further joins. */
+  private[graft] def qualityUnordered(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nWords, quality) = qualityCols
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nWords.as("n_words"), quality.as("quality"))
+      .filter(col("n_words") > 0)
+      .select("doc_id", "quality")
+  }
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val ws = tokenize(col("text"))
     val nWords = size(ws).cast("double")

@@ -133,6 +133,13 @@ object Warehouse {
     spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
       .collectFirst { case r if r.getString(0) == FingerprintKey => r.getString(1) }
 
+  /** True iff every `tables` entry exists AND carries the expected source
+    * fingerprint — the shared reuse gate for every fingerprint-stamped
+    * derived table family (dedup index, ranking stats, IVF index). */
+  def tablesCurrent(spark: SparkSession, tables: Seq[String], fp: String): Boolean =
+    tables.forall(t => spark.catalog.tableExists(t) &&
+      storedFingerprint(spark, t).contains(fp))
+
   /** Equi-join of two tables bucketed on the join keys: with matching
     * bucket counts Catalyst plans bucket-local SortMergeJoin, no Exchange
     * on either side. */

@@ -319,10 +319,14 @@ object EventStreams {
     * fixed tumbling/hopping grids can't express: each event opens a
     * [ts, ts+gap) interval and overlapping intervals merge, so a session's
     * extent is data-driven. State per (user, open session) is one window
-    * struct; the watermark closes and evicts sessions whose interval falls
-    * fully behind it. End-of-stream materialization is arrival-order
-    * independent (merge is associative+commutative over intervals), so the
-    * batch island-detection SQL is the exact oracle. Session boundary is
+    * struct. NOTE the output mode: this bounded-replay form materializes
+    * in Complete mode, where state is retained regardless of the watermark
+    * (complete output re-emits everything); the PRODUCTION form of this
+    * query is Update/Append mode, where the declared watermark is what
+    * closes and evicts sessions falling fully behind it. End-of-stream
+    * materialization is arrival-order independent (merge is
+    * associative+commutative over intervals), so the batch
+    * island-detection SQL is the exact oracle. Session boundary is
     * HALF-OPEN ([ts, ts+gap)): an event exactly `gap` after the previous
     * one starts a NEW session — the oracle's `>=` mirrors this. */
   def streamSessionsQuery(spark: SparkSession, sfDir: String,
@@ -355,7 +359,7 @@ object EventStreams {
                          threshold: Double = 0.8): DataFrame = {
     import graft.operators.IncrementalDedup
     val p = IncrementalDedup.IndexParams()
-    IncrementalDedup.buildIndex(spark, sfDir, p)
+    // ensureShingleArrays builds-or-reuses the WHOLE index (sharr included)
     val sharr = IncrementalDedup.ensureShingleArrays(spark, sfDir, p)
     val prefix = IncrementalDedup.indexPrefix(sfDir, p)
     val deltaBands = tableStream(spark, sfDir, "documents")
