@@ -25,7 +25,7 @@ class PlanSpec extends SparkSpecBase {
     "dedup_clusters", "decontaminate", "fuzzy_names", "join_orders_customers",
     "q5_region", "multi_join_agg", "brand_revenue", "similarity_ivf",
     "similarity_ivf_indexed", "tfidf_terms", "bm25_search", "grep_filter",
-    "topk_words")
+    "topk_words", "corpus_export")
 
   private lazy val plans: Map[String, String] =
     heavy.map(n => n -> finalPlan(n)).toMap
