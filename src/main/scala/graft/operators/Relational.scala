@@ -288,13 +288,19 @@ object Relational {
       .select(col("id"), col("s"), col("pos"),
         concat(expr("substring(s, 1, pos - 1)"),
                expr("substring(s, pos + 1, length(s))")).as("key"))
+    // The blocking is EXACT, not a candidate filter: equal length (same
+    // positions masked), same masked position and same masked key mean the
+    // strings can differ only at that position — hamming ≤ 1 by
+    // construction, so no edit-distance verification is needed and
+    // dist = 0 iff the strings are equal, else 1. (A levenshtein in the
+    // join condition would run an O(L²) DP per hash-matched row only to
+    // return that same 0/1.)
     masked.as("a")
       .join(masked.as("b"),
         col("a.pos") === col("b.pos") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a"), col("b.id").as("b"),
-              levenshtein(col("a.s"), col("b.s")).cast("bigint").as("dist"))
-      .filter(col("dist") <= 1)
+              when(col("a.s") === col("b.s"), 0L).otherwise(1L).as("dist"))
       .distinct()
   }
 
