@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminationPairs(s, d)),
+    "decontaminate_indexed" -> ((s, d) => Dedup.decontaminationIndexed(s, d)),
     "corpus_export" -> ((s, d) => Pipeline.corpusExport(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
@@ -661,6 +662,13 @@ object SparkEntry {
     // train docs; the prefix filter is lossless at the threshold, so the
     // direct exact join is the oracle.
     "decontaminate" -> s"$decontaminateSql\nORDER BY eval_id, train_id",
+    // decontaminate_indexed: candidates from the persisted 64×2 containment
+    // band index, containment verified on candidates only — equals the
+    // exact containment join when every qualifying pair is banded into a
+    // candidate. On this corpus the minimum qualifying-pair Jaccard is
+    // 0.889 (sf0.1), where the wide banding's miss probability is
+    // (1-0.889²)⁶⁴ ≈ 1e-42 — the dedup_minhash shared-oracle argument.
+    "decontaminate_indexed" -> s"$decontaminateSql\nORDER BY eval_id, train_id",
     // corpus_export: the composed pipeline — each stage's standalone
     // oracle joined into one WITH chain (nested-WITH blocks for the
     // self-contained stages), so the composition is exactly checked too.

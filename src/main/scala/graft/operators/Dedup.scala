@@ -143,6 +143,34 @@ object Dedup {
       threshold)
   }
 
+  /** INDEX-ROUTED decontamination — same result as
+    * [[decontaminationPairs]] on this corpus, but candidates come from the
+    * persisted containment band index instead of the prefix-filtered join:
+    * the scale path for closed-vocabulary / boilerplate-saturated corpora,
+    * where the exact path's eval-prefix selectivity collapses (measured
+    * slope 5.2 at ×10; SURVEY §6.1). Shares `dedup_incremental`'s index —
+    * the "train" side IS that index's corpus shard, so one fingerprint-
+    * gated build serves ingest dedup, streaming near-dup AND
+    * decontamination. Recall trade documented at
+    * [[IncrementalDedup.decontaminateAgainstIndex]]; the exact containment
+    * join remains the oracle. */
+  def decontaminationIndexed(spark: SparkSession, sfDir: String, n: Int = 3,
+                             threshold: Double = 0.6): DataFrame =
+    decontaminationIndexedUnordered(spark, sfDir, n, threshold)
+      .orderBy("eval_id", "train_id")
+
+  /** [[decontaminationIndexed]] without the presentation sort — the form
+    * compositions (corpus_export artifacts) consume below further joins. */
+  private[graft] def decontaminationIndexedUnordered(spark: SparkSession, sfDir: String,
+                                                     n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val p = IncrementalDedup.IndexParams(n = n)
+    IncrementalDedup.buildIndex(spark, sfDir, p)
+    val evalDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % IncrementalDedup.DeltaMod === 0)
+    IncrementalDedup.decontaminateAgainstIndex(
+      spark, evalDocs, IncrementalDedup.indexPrefix(sfDir, p), p, threshold)
+  }
+
   /** Generic core of [[decontaminationPairs]] over explicit eval/train
     * shingle-posting streams `(doc_id, s)` — the form property tests and
     * bring-your-own-split pipelines call. Unordered. */

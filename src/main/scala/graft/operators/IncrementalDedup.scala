@@ -23,6 +23,16 @@ import graft.sources.{Tables, Warehouse}
   *    the MinHash-LSH candidate index (b=32 bands × r=4 rows, the
   *    [[Dedup.minhashLshPairs]] configuration — detection probability at
   *    J=0.8 is 1−5·10⁻⁸, which is what lets the exact-join oracle stand).
+  *  - `<prefix>_cbands(band, bhash, doc_id)` bucketed by (band, bhash):
+  *    the SAME 128 MinHash values banded WIDE (64 bands × 2 rows) — the
+  *    CONTAINMENT-routing index. A containment-qualifying pair can sit at
+  *    a much lower Jaccard than a dedup pair (J = c/(1+ρ−c) for
+  *    containment c and train/eval size ratio ρ), so the dedup banding
+  *    would miss exactly the short-prompt-in-long-document case the
+  *    asymmetric measure exists for. At (64,2) the candidate probability
+  *    1−(1−J²)⁶⁴ is ≥0.999 for J ≥ 0.3 and ≈0.88 even at J = 0.18
+  *    (c = 0.6, ρ = 3). Costs nothing extra to maintain: both band tables
+  *    explode from one signature aggregate.
   *  - `<prefix>_postings(doc_id, s)` bucketed by (doc_id, s): shingle
   *    postings for exact-Jaccard verification of candidates.
   *  - `<prefix>_sizes(doc_id, n_sh)` bucketed by doc_id: per-doc
@@ -49,44 +59,64 @@ object IncrementalDedup {
 
   private[graft] val DeltaMod = 10
 
-  /** Sketch/layout parameters of one index instance. */
+  /** Sketch/layout parameters of one index instance. The containment
+    * banding (cBands × cRows) must consume exactly the same signature
+    * length as the dedup banding, so one aggregate feeds both tables. */
   final case class IndexParams(n: Int = 3, numBands: Int = 32,
-                               rowsPerBand: Int = 4, buckets: Int = 8)
+                               rowsPerBand: Int = 4, buckets: Int = 8,
+                               cBands: Int = 64, cRows: Int = 2) {
+    require(cBands * cRows == numBands * rowsPerBand,
+      s"containment banding ${cBands}x$cRows must reuse the ${numBands * rowsPerBand}-hash signature")
+  }
 
   /** Table-name prefix for the index over `sfDir`'s documents: corpus
     * basename (readability) + canonical-path hash (identity) + params. */
   def indexPrefix(sfDir: String, p: IndexParams): String = {
     val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    s"graft_corpus_${sf}_${Warehouse.pathToken(sfDir)}_n${p.n}b${p.numBands}r${p.rowsPerBand}x${p.buckets}"
+    s"graft_corpus_${sf}_${Warehouse.pathToken(sfDir)}_n${p.n}b${p.numBands}r${p.rowsPerBand}x${p.buckets}c${p.cBands}x${p.cRows}"
   }
+
+  private val TableSuffixes = Seq("bands", "cbands", "postings", "sizes", "sharr")
 
   /** Distinct word-n-gram postings of one document set. */
   private def postingsOf(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       explode(call_function("graft_shingles", col("text"), lit(n))).as("s"))
 
-  /** LSH band-bucket stream `(band, bhash, doc_id)` from a postings stream:
-    * `graft_minhash` aggregate (map-side partials — the shuffle carries
-    * 128-long sketches, not shingles) → `graft_bands` → posexplode. */
-  private def bandsOf(postings: DataFrame, p: IndexParams): DataFrame =
+  /** Per-doc MinHash signatures from a postings stream: `graft_minhash`
+    * aggregate (map-side partials — the shuffle carries 128-long sketches,
+    * not shingles). */
+  private def sigsOf(postings: DataFrame, p: IndexParams): DataFrame =
     postings
       .groupBy("doc_id")
       .agg(call_function("graft_minhash", col("s"),
              lit(p.numBands * p.rowsPerBand)).as("sig"))
-      .select(col("doc_id"),
-              posexplode(call_function("graft_bands", col("sig"),
-                lit(p.numBands), lit(p.rowsPerBand))))
+
+  /** Band-bucket stream `(band, bhash, doc_id)` at an explicit banding —
+    * both the dedup (32×4) and containment (64×2) tables explode from the
+    * same signature frame. */
+  private def bandsFromSigs(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        posexplode(call_function("graft_bands", col("sig"), lit(bands), lit(rows))))
       .toDF("doc_id", "band", "bhash")
 
-  /** Build the four index tables from an explicit document set. `_sharr`
+  private def bandsOf(postings: DataFrame, p: IndexParams): DataFrame =
+    bandsFromSigs(sigsOf(postings, p), p.numBands, p.rowsPerBand)
+
+  /** Build the five index tables from an explicit document set. `_sharr`
     * (per-doc shingle arrays, the STREAMING verification layout) is part of
     * the index proper — if it were built lazily on the side, a delta
     * appended before its creation could never be reconstructed and the
-    * stream would silently miss near-dups of appended documents. */
+    * stream would silently miss near-dups of appended documents. The
+    * signature aggregate is checkpointed so both band tables explode from
+    * ONE computation (blocks reclaimed by the context cleaner). */
   def buildIndexFrom(docs: DataFrame, prefix: String, p: IndexParams): Unit = {
     val postings = postingsOf(docs, p.n)
-    Warehouse.writeBucketed(bandsOf(postings, p),
+    val sigs = new Dedup.RoundCheckpointer(docs.sparkSession)(sigsOf(postings, p))
+    Warehouse.writeBucketed(bandsFromSigs(sigs, p.numBands, p.rowsPerBand),
       Seq("band", "bhash"), s"${prefix}_bands", p.buckets)
+    Warehouse.writeBucketed(bandsFromSigs(sigs, p.cBands, p.cRows),
+      Seq("band", "bhash"), s"${prefix}_cbands", p.buckets)
     // Bucketed on BOTH columns: the verification join's keys are exactly
     // (doc_id, s), and Spark only plans a bucket-local join when the bucket
     // columns equal the join keys (a subset match makes the planner disable
@@ -117,14 +147,17 @@ object IncrementalDedup {
     * silent wrong answer). */
   def appendToIndex(docs: DataFrame, prefix: String, p: IndexParams): Unit = {
     val spark = docs.sparkSession
-    val tables = Seq("bands", "postings", "sizes", "sharr").map(s => s"${prefix}_$s")
+    val tables = TableSuffixes.map(s => s"${prefix}_$s")
     val stamps = tables.map(t => t -> Warehouse.storedFingerprint(spark, t)).toMap
     tables.foreach(t =>
       if (spark.catalog.tableExists(t))
         Warehouse.stampFingerprint(spark, t, "append-in-flight"))
     val postings = postingsOf(docs, p.n)
-    Warehouse.appendBucketed(bandsOf(postings, p),
+    val sigs = new Dedup.RoundCheckpointer(spark)(sigsOf(postings, p))
+    Warehouse.appendBucketed(bandsFromSigs(sigs, p.numBands, p.rowsPerBand),
       Seq("band", "bhash"), s"${prefix}_bands", p.buckets)
+    Warehouse.appendBucketed(bandsFromSigs(sigs, p.cBands, p.cRows),
+      Seq("band", "bhash"), s"${prefix}_cbands", p.buckets)
     Warehouse.appendBucketed(postings, Seq("doc_id", "s"), s"${prefix}_postings", p.buckets)
     Warehouse.appendBucketed(
       postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
@@ -171,10 +204,52 @@ object IncrementalDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Index-routed DECONTAMINATION — the scale path for the containment
+    * check ([[Dedup.decontaminationPairs]] is the exact form): eval→train
+    * candidates come from the persisted WIDE band table (`_cbands`, 64×2 —
+    * see the class doc for why the dedup banding can't route containment),
+    * and asymmetric containment |eval ∩ train| / |eval| is verified on
+    * candidates only against `_postings`, bucket-local on the store side.
+    *
+    * Why this scales where the prefix filter doesn't: the exact path's
+    * candidate count tracks eval-prefix selectivity, which COLLAPSES on
+    * closed-vocabulary / boilerplate-saturated corpora (every shingle's
+    * train-df grows with corpus mass — measured slope 5.2 at ×10, SURVEY
+    * §6.1). The band route's candidate count tracks the number of truly
+    * similar pairs instead: band collisions are signature collisions, not
+    * feature-frequency collisions, so saturation doesn't widen the join.
+    * The trade is probabilistic recall on extreme size ratios (candidate
+    * probability 1−(1−J²)⁶⁴ with J = c/(1+ρ−c)): ≈1 at ρ ≤ 2, ~0.88 at
+    * ρ = 3, degrading beyond — the exact prefix-filtered path remains the
+    * lossless form (and the oracle) for open-vocabulary corpora.
+    * Output: unordered `(eval_id, train_id, containment)`, c ≥ t. */
+  def decontaminateAgainstIndex(spark: SparkSession, evalDocs: DataFrame,
+                                prefix: String, p: IndexParams,
+                                threshold: Double): DataFrame = {
+    val evalP = postingsOf(evalDocs, p.n)
+    val evalBands = bandsFromSigs(sigsOf(evalP, p), p.cBands, p.cRows)
+    val candidates = evalBands.as("d")
+      .join(spark.table(s"${prefix}_cbands").as("c"), Seq("band", "bhash"))
+      .select(col("d.doc_id").as("eval_id"), col("c.doc_id").as("train_id"))
+      .distinct()
+    val inter = candidates
+      .join(evalP.as("pa"), col("eval_id") === col("pa.doc_id"))
+      .join(spark.table(s"${prefix}_postings").as("pb"),
+        col("train_id") === col("pb.doc_id") && col("pa.s") === col("pb.s"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("inter"))
+    val evalSizes = evalP.groupBy("doc_id").agg(count(lit(1)).as("n_ev"))
+    inter
+      .join(evalSizes, col("eval_id") === evalSizes("doc_id"))
+      .select(col("eval_id"), col("train_id"),
+              (col("inter").cast("double") / col("n_ev").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Fingerprint the corpus+params identity of the `sfDir` index. */
   private def corpusFingerprint(sfDir: String, p: IndexParams): String =
     Warehouse.sourceFingerprint(sfDir, "documents") +
-      s"|n${p.n}b${p.numBands}r${p.rowsPerBand}x${p.buckets}"
+      s"|n${p.n}b${p.numBands}r${p.rowsPerBand}x${p.buckets}c${p.cBands}x${p.cRows}"
 
   /** Reuse gate for sfDir-derived index tables ([[Warehouse.tablesCurrent]]). */
   private[graft] def indexCurrent(spark: SparkSession, tables: Seq[String],
@@ -191,7 +266,7 @@ object IncrementalDedup {
                  p: IndexParams = IndexParams()): Unit = {
     val prefix = indexPrefix(sfDir, p)
     val fp = corpusFingerprint(sfDir, p)
-    val tables = Seq("bands", "postings", "sizes", "sharr").map(s => s"${prefix}_$s")
+    val tables = TableSuffixes.map(s => s"${prefix}_$s")
     if (indexCurrent(spark, tables, fp)) return
     val corpus = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % DeltaMod =!= 0)

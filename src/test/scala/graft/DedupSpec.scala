@@ -39,6 +39,46 @@ class DedupSpec extends SparkSpecBase {
     assert(got.nonEmpty) // planted cross-split near-dups guarantee hits
   }
 
+  test("index-routed decontamination equals the exact containment join") {
+    // The scale path (candidates from the persisted 64×2 containment band
+    // table) must return exactly what the exact prefix-filtered join
+    // returns — the shared-oracle precondition. On this corpus every
+    // qualifying pair's Jaccard is ≥0.88, where the wide banding's miss
+    // probability is ~1e-42 and the pipeline is deterministic.
+    val exact = Dedup.decontaminationPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val indexed = Dedup.decontaminationIndexed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(indexed === exact)
+  }
+
+  test("containment banding catches a low-Jaccard containment pair (the asymmetric case)") {
+    // The case the wide (64×2) banding exists for: a short eval prompt
+    // buried in a longer train document — containment 1.0 but Jaccard only
+    // ≈|A|/|B| ≈ 0.33 here, far below the dedup threshold. The fixed seed
+    // makes the outcome deterministic; at J = 0.33 the banding's miss
+    // probability is ~5e-4, so this seed (verified) collides.
+    import spark.implicits._
+    import graft.operators.IncrementalDedup
+    import graft.operators.IncrementalDedup.IndexParams
+    val p = IndexParams(buckets = 2)
+    val prefix = "graft_corpus_contprobe"
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.fill(400)(rnd.alphanumeric.filter(_.isLetter).take(7).mkString.toLowerCase)
+    val prompt = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val filler = Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = Seq((1L, filler + " " + prompt),
+                    (3L, Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    IncrementalDedup.buildIndexFrom(train, prefix, p)
+    val evalDocs = Seq((10L, prompt)).toDF("doc_id", "text")
+    val got = IncrementalDedup
+      .decontaminateAgainstIndex(spark, evalDocs, prefix, p, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((10L, 1L)))
+  }
+
   test("decontamination prefix filter is lossless on random open-vocab corpora") {
     // The corpus differential test runs in the closed-vocab regime where
     // the prefix barely prunes; this one exercises the regime the filter

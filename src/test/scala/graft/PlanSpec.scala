@@ -22,10 +22,10 @@ class PlanSpec extends SparkSpecBase {
   // machinery and are covered by StreamingSpec's semantic equalities).
   private val heavy = Seq(
     "dedup_simhash", "dedup_ngram", "dedup_minhash", "dedup_incremental",
-    "dedup_clusters", "decontaminate", "fuzzy_names", "join_orders_customers",
-    "q5_region", "multi_join_agg", "brand_revenue", "similarity_ivf",
-    "similarity_ivf_indexed", "tfidf_terms", "bm25_search", "grep_filter",
-    "topk_words", "corpus_export")
+    "dedup_clusters", "decontaminate", "decontaminate_indexed", "fuzzy_names",
+    "join_orders_customers", "q5_region", "multi_join_agg", "brand_revenue",
+    "similarity_ivf", "similarity_ivf_indexed", "tfidf_terms", "bm25_search",
+    "grep_filter", "topk_words", "corpus_export")
 
   private lazy val plans: Map[String, String] =
     heavy.map(n => n -> finalPlan(n)).toMap
@@ -79,6 +79,21 @@ class PlanSpec extends SparkSpecBase {
       assert(plans(name).contains("graft_rankstats_"),
         s"$name does not scan the persisted stats tables:\n${plans(name)}")
     }
+  }
+
+  test("index-routed decontamination reads the persisted containment band store") {
+    assert(plans("decontaminate_indexed").contains("graft_corpus_"),
+      s"decontaminate_indexed does not scan the persisted index:\n${plans("decontaminate_indexed")}")
+  }
+
+  test("corpus_export reads persisted exclusion tables, not the dedup pipeline") {
+    val plan = plans("corpus_export")
+    assert(plan.contains("graft_export_"),
+      s"corpus_export does not scan the persisted artifacts:\n$plan")
+    // the expensive stages must NOT be in the export plan: no LSH band
+    // self-join (graft_bands kernel) and no CC-round machinery
+    assert(!plan.contains("graft_bands"),
+      s"corpus_export still computes LSH bands inline:\n$plan")
   }
 
   test("indexed IVF search prunes cell partitions dynamically") {
