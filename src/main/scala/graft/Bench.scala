@@ -41,22 +41,27 @@ object Bench {
         (err, (System.nanoTime() - t0) / 1e9)
       }
       val (e1, t1) = once()
-      val (err, t) = if (e1.isDefined) (e1, t1) else {
+      val (err, t, flaky) = if (e1.isDefined) (e1, t1, false) else {
         val (e2, t2) = once()
         // a failing SECOND run must not mask the successful first one —
         // that would convert the very interference min-of-2 exists to
-        // suppress into a reported failure
-        if (e2.isDefined) (None, t1) else (None, math.min(t1, t2))
+        // suppress into a reported failure. It must not vanish either: a
+        // consistently-flaky query surfaces through the `flaky` count.
+        if (e2.isDefined) {
+          System.err.println(s"[bench] $name: second run failed (${e2.get}); reporting first-run time")
+          (None, t1, true)
+        } else (None, math.min(t1, t2), false)
       }
-      name -> (err, t)
+      (name, err, t, flaky)
     }
     val qs = results.map {
-      case (k, (None, v)) => s"\"" + k + "\":" + v
-      case (k, (Some(e), _)) => s"\"" + k + "\":\"err:" + e + "\""
+      case (k, None, v, _) => s"\"" + k + "\":" + v
+      case (k, Some(e), _, _) => s"\"" + k + "\":\"err:" + e + "\""
     }.mkString("{", ",", "}")
-    val failed = results.count { case (_, (err, _)) => err.isDefined }
-    val total = results.collect { case (_, (None, v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2.isDefined)
+    val flaky = results.count(_._4)
+    val total = results.collect { case (_, None, v, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

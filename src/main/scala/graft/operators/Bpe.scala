@@ -66,8 +66,147 @@ object Bpe {
         trim(col("seq")).as("seg"))
       .orderBy("word")
 
-  /** Runs the merge loop; returns (learned rules, final symbol state). */
+  /** Runs the merge loop; returns (learned rules, final symbol state).
+    *
+    * Two strategies, picked by vocabulary size:
+    *
+    *  - **Driver loop** (vocab ≤ `graft.bpe.maxDriverVocab`, default 2M
+    *    distinct words): ONE distributed job — the corpus word count, the
+    *    only step whose cost scales with corpus mass — then the whole merge
+    *    loop runs driver-side over the (small) vocabulary with incremental
+    *    pair-count maintenance: a pair→words inverted index plus a
+    *    lazy-deletion max-heap, so each round touches only the words
+    *    containing the merged pair. A 30k-merge production vocabulary costs
+    *    30k heap pops, not 30k Spark jobs. This is how reference BPE
+    *    trainers work, and it is exact — no re-sync recount needed, the
+    *    counts are maintained, not approximated.
+    *  - **Distributed loop** (larger vocabularies): the original
+    *    one-aggregate-per-round form — each round is a vocabulary-sized
+    *    aggregate plus a 1-row argmax collect.
+    *
+    * Both apply the identical per-word merge (literal double `replace`) and
+    * the identical argmax tie-break (count desc, then UTF-8-byte-ascending
+    * pair — Spark's UTF8String and DuckDB's VARCHAR comparisons are both
+    * binary, so the driver loop compares UTF-8 bytes, NOT Java's UTF-16
+    * `compareTo`), so the two strategies and the SQL oracle stay in
+    * lockstep — asserted at merges=64 in BpeSpec. */
   private def trainLoop(wc: DataFrame, merges: Int): (DataFrame, DataFrame) = {
+    val maxDriver = wc.sparkSession.conf
+      .get("graft.bpe.maxDriverVocab", "2000000").toLong
+    if (wc.count() <= maxDriver) trainLoopDriver(wc, merges)
+    else trainLoopDistributed(wc, merges)
+  }
+
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Initial symbol state of one word: code points space-joined, wrapped in
+    * single spaces — the same form `regexp_replace(word, "(.)", "$1 ")`
+    * builds (Java regex `.` matches a code POINT, so the driver split must
+    * too). */
+  private def initialSeq(word: String): String =
+    word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+      .mkString(" ", " ", " ")
+
+  /** Adjacent-pair multiset of a symbol sequence (overlap counted — the
+    * same semantics as the posexplode+lead distributed count). */
+  private def pairMultiset(seq: String): scala.collection.mutable.HashMap[(String, String), Long] = {
+    val toks = seq.trim.split(" ")
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    var i = 0
+    while (i + 1 < toks.length) {
+      val k = (toks(i), toks(i + 1))
+      m.update(k, m.getOrElse(k, 0L) + 1L)
+      i += 1
+    }
+    m
+  }
+
+  /** Driver-side merge loop over a collected vocabulary. */
+  private[graft] def trainLoopDriver(wc: DataFrame, merges: Int): (DataFrame, DataFrame) = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val rows = wc.select(col("word"), col("wcnt")).as[(String, Long)].collect()
+    val words = rows.map(_._1)
+    val wcnt = rows.map(_._2)
+    val seqs = words.map(initialSeq)
+
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    // Max-heap with lazy deletion: entries are (count, p1, p2) snapshots;
+    // a popped entry is valid only if it matches the CURRENT count.
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val c1 = utf8Cmp(b._2, a._2) // smaller pair wins ties → "greater"
+          if (c1 != 0) c1 else utf8Cmp(b._3, a._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+
+    def bump(pr: (String, String), delta: Long, wi: Int, inWord: Boolean): Unit = {
+      val next = pairCount.getOrElse(pr, 0L) + delta
+      if (next <= 0L) pairCount.remove(pr) else pairCount.update(pr, next)
+      val set = pairWords.getOrElseUpdate(pr, scala.collection.mutable.BitSet.empty)
+      if (inWord) set.add(wi) else set.remove(wi)
+      if (next > 0L) heap.enqueue((next, pr._1, pr._2))
+    }
+
+    words.indices.foreach { wi =>
+      pairMultiset(seqs(wi)).foreach { case (pr, m) => bump(pr, m * wcnt(wi), wi, inWord = true) }
+    }
+
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      // pop stale snapshots until the head reflects a live count
+      while (heap.nonEmpty &&
+             !pairCount.get((heap.head._2, heap.head._3)).contains(heap.head._1))
+        heap.dequeue()
+      if (heap.isEmpty) exhausted = true
+      else {
+        val (pcnt, p1, p2) = heap.dequeue()
+        rules += ((step.toLong, p1, p2, pcnt))
+        val pat = s" $p1 $p2 "
+        val rep = s" $p1$p2 "
+        // only words containing the merged pair are touched this round
+        pairWords.getOrElse((p1, p2), scala.collection.mutable.BitSet.empty)
+          .toArray.foreach { wi =>
+            val before = seqs(wi)
+            val after = before.replace(pat, rep).replace(pat, rep)
+            if (after != before) {
+              // full-multiset diff: subtract every old pair, add every new
+              // one — net (neu − old)·wcnt per pair, membership from neu.
+              // Intermediate heap snapshots are discarded lazily.
+              val old = pairMultiset(before)
+              val neu = pairMultiset(after)
+              old.foreach { case (pr, m) =>
+                bump(pr, -m * wcnt(wi), wi, inWord = neu.contains(pr))
+              }
+              neu.foreach { case (pr, m) =>
+                bump(pr, m * wcnt(wi), wi, inWord = true)
+              }
+              seqs(wi) = after
+            }
+          }
+        step += 1
+      }
+    }
+    val state = words.indices.map(i => (words(i), wcnt(i), seqs(i)))
+      .toDF("word", "wcnt", "seq")
+    (rules.toSeq.toDF("step", "p1", "p2", "pcnt").orderBy("step"), state)
+  }
+
+  /** Distributed merge loop — one vocabulary-sized aggregate + 1-row argmax
+    * collect per round; the form for vocabularies too large to collect. */
+  private[graft] def trainLoopDistributed(wc: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     val spark = wc.sparkSession
     import spark.implicits._
     val ckpt = new Dedup.RoundCheckpointer(spark)

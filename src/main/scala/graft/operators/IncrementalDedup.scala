@@ -78,6 +78,9 @@ object IncrementalDedup {
 
   private val TableSuffixes = Seq("bands", "cbands", "postings", "sizes", "sharr")
 
+  /** The five table names of one index instance. */
+  def tableNames(prefix: String): Seq[String] = TableSuffixes.map(s => s"${prefix}_$s")
+
   /** Distinct word-n-gram postings of one document set. */
   private def postingsOf(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),

@@ -173,33 +173,58 @@ object Similarity {
     val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "embeddings")
     val tables = Seq(s"${prefix}_cents", s"${prefix}_cells")
     if (graft.sources.Warehouse.tablesCurrent(spark, tables, fp)) return prefix
-    val e = Tables.embeddings(spark, sfDir)
-    val cents = kmeansCodebook(e, numCentroids, iters)
-    graft.sources.Warehouse.writeBucketed(cents, Seq("cent_id"), s"${prefix}_cents", 1)
-    graft.sources.Warehouse.writePartitionedTable(
-      assignCells(e, cents), "cell", s"${prefix}_cells")
+    buildIvfIndexFrom(Tables.embeddings(spark, sfDir), prefix, numCentroids, iters)
     tables.foreach(t => graft.sources.Warehouse.stampFingerprint(spark, t, fp))
     prefix
   }
 
-  /** IVF search against the PERSISTED index ([[ensureIvfIndex]]): probes
-    * rank the stored codebook, and the corpus side is the partitioned cell
-    * table — dynamic partition pruning turns `nprobe` into an I/O bound.
-    * The stored codebook equals the in-query trained one bit for bit, so
-    * this returns exactly [[ivfSearch]]'s rows and shares its oracle. */
-  def ivfSearchIndexed(spark: SparkSession, sfDir: String,
-                       numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
-                       iters: Int = 3, nprobe: Int = 2): DataFrame = {
-    val prefix = ensureIvfIndex(spark, sfDir, numCentroids, iters)
+  /** Build the two IVF tables from an explicit `(vec_id, embedding)` frame
+    * — the form index-maintenance tests and bring-your-own-corpus
+    * pipelines call. */
+  def buildIvfIndexFrom(e: DataFrame, prefix: String,
+                        numCentroids: Int, iters: Int): Unit = {
+    val cents = kmeansCodebook(e, numCentroids, iters)
+    graft.sources.Warehouse.writeBucketed(cents, Seq("cent_id"), s"${prefix}_cents", 1)
+    graft.sources.Warehouse.writePartitionedTable(
+      assignCells(e, cents), "cell", s"${prefix}_cells")
+  }
+
+  /** Append an embeddings DELTA into the persisted IVF index — the
+    * maintenance half of the vector-ingest cycle, mirroring
+    * [[graft.operators.IncrementalDedup.appendToIndex]]: new vectors are
+    * assigned against the STORED codebook (no retraining — the standard
+    * IVF maintenance trade: cell balance drifts as the corpus grows and a
+    * periodic re-train/rebuild restores it) and appended into the
+    * partitioned cells table as new per-partition files, so the dynamic-
+    * partition-pruned probe layout is untouched and nothing is rewritten.
+    * The fingerprint stamps are cleared to an in-flight marker around the
+    * append: a crash mid-append fails the reuse gate and the next
+    * [[ensureIvfIndex]] rebuilds, never reads a half-extended index. */
+  def appendIvfIndex(spark: SparkSession, delta: DataFrame, prefix: String): Unit = {
+    val tables = Seq(s"${prefix}_cents", s"${prefix}_cells")
+    val stamps = tables.map(t =>
+      t -> graft.sources.Warehouse.storedFingerprint(spark, t)).toMap
+    tables.foreach(t => graft.sources.Warehouse.stampFingerprint(spark, t, "append-in-flight"))
+    val cents = spark.table(s"${prefix}_cents")
+    assignCells(delta, cents).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${prefix}_cells")
+    tables.foreach(t =>
+      stamps(t).foreach(fp => graft.sources.Warehouse.stampFingerprint(spark, t, fp)))
+  }
+
+  /** IVF probe against an explicit index prefix: rank the stored codebook
+    * per probe, scan the `nprobe` probed cells of the partitioned store
+    * (dynamic partition pruning), exact cosine top-k within them. */
+  private[graft] def searchIvfIndex(spark: SparkSession, prefix: String,
+                                    probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val cents = spark.table(s"${prefix}_cents")
     val byProbe = Window.partitionBy("probe_id")
       .orderBy(col("pc").desc, col("cent_id").asc)
-    val probeCells = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") < numProbes)
+    val probeCells = probes
       .crossJoin(broadcast(cents))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-              col("cent_id"),
-              VectorFunctions.cosine(col("embedding"), col("cemb")).as("pc"))
+      .select(col("probe_id"), col("probe_emb"), col("cent_id"),
+              VectorFunctions.cosine(col("probe_emb"), col("cemb")).as("pc"))
       .withColumn("rn", row_number().over(byProbe))
       .filter(col("rn") <= nprobe)
       .select(col("probe_id"), col("probe_emb"), col("cent_id").as("cell"))
@@ -214,6 +239,21 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .orderBy("probe_id", "rnk")
+  }
+
+  /** IVF search against the PERSISTED index ([[ensureIvfIndex]]): probes
+    * rank the stored codebook, and the corpus side is the partitioned cell
+    * table — dynamic partition pruning turns `nprobe` into an I/O bound.
+    * The stored codebook equals the in-query trained one bit for bit, so
+    * this returns exactly [[ivfSearch]]'s rows and shares its oracle. */
+  def ivfSearchIndexed(spark: SparkSession, sfDir: String,
+                       numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
+                       iters: Int = 3, nprobe: Int = 2): DataFrame = {
+    val prefix = ensureIvfIndex(spark, sfDir, numCentroids, iters)
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    searchIvfIndex(spark, prefix, probes, k, nprobe)
   }
 
   /** Approximate nearest neighbors via random-hyperplane LSH: corpus and

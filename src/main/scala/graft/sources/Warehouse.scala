@@ -118,6 +118,9 @@ object Warehouse {
     * same path, which a name-only identity would silently reuse. */
   def sourceFingerprint(sfDir: String, table: String): String = {
     val f = new java.io.File(sfDir, s"$table.parquet")
+    require(f.exists,
+      s"sourceFingerprint: source table '$table' not found at $f — " +
+        "cannot fingerprint a derived table against a missing source")
     val entries = if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
     md5Hex(entries.map(e => s"${e.getName}:${e.length}:${e.lastModified}").mkString("|"))
   }

@@ -134,18 +134,28 @@ object EventStreams {
     * bus). Schema is taken from the files themselves (a batch peek), so the
     * nanos-timestamp `events.ts` arrives as the on-disk long and is
     * converted exactly like `Tables.events` does. */
+  // One staged stream directory per (sfDir, table) per JVM: repeated
+  // invocations (bench warm+timed, verify, specs) reuse the same symlink
+  // dir instead of leaking a fresh temp dir each call.
+  private val streamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def tableStream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val src = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
+    val srcPath = s"$sfDir/$name.parquet"
     // FileStreamSource only accepts directories; the driver testdata is one
-    // parquet FILE per table → stage a symlink inside a temp dir.
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
-    val link = dir.resolve(s"$name.parquet")
-    java.nio.file.Files.createSymbolicLink(link, src)
-    // deleteOnExit runs LIFO: register the dir first so the link (deleted
-    // first) leaves it empty and the dir delete succeeds
-    dir.toFile.deleteOnExit()
-    link.toFile.deleteOnExit()
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // parquet FILE per table → stage a symlink inside a temp dir (cached
+    // per source file, cleaned at JVM exit).
+    val dir = streamDirs.computeIfAbsent(srcPath, { key =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
+      val link = d.resolve(s"$name.parquet")
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(key))
+      // deleteOnExit runs LIFO: register the dir first so the link (deleted
+      // first) leaves it empty and the dir delete succeeds
+      d.toFile.deleteOnExit()
+      link.toFile.deleteOnExit()
+      d
+    })
+    val raw = spark.read.parquet(srcPath)
     val st = spark.readStream.schema(raw.schema).parquet(dir.toString)
     if (name == "events" && st.schema("ts").dataType == LongType)
       st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -392,5 +402,55 @@ object EventStreams {
     // sink tables by prefix, and a shared prefix would cross-delete.
     runToCompletion(spark, verified, "stream_neardup", OutputMode.Append())
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Streaming ingest loop WITH index extension — the closed production
+    * cycle [[streamNearDupQuery]] only detects half of: per micro-batch,
+    * arriving documents are verified against the persisted index
+    * ([[graft.operators.IncrementalDedup.deltaAgainst]] — LSH candidates,
+    * exact-Jaccard verification, store side bucket-local), verified pairs
+    * land in the durable `pairsTable`, and the batch's CLEAN survivors are
+    * appended into the index ([[graft.operators.IncrementalDedup
+    * .appendToIndex]], in-flight-marker protected). A later delta — next
+    * micro-batch, next stream, or the batch path — then detects near-dups
+    * of earlier streamed documents.
+    *
+    * `foreachBatch` is the right streaming construct here: index
+    * maintenance is a per-micro-batch transactional side effect (append
+    * five bucketed tables + restore fingerprints) that no declarative sink
+    * can express, while everything inside the batch function stays plain
+    * DataFrame code shared with the batch path. Within one micro-batch,
+    * documents are compared against the index as it stood at batch start
+    * (deltaAgainst semantics); cross-batch dups are caught because each
+    * batch's survivors extend the index before the next batch runs.
+    * Returns the accumulated verified-pair table. */
+  def streamIngestToIndex(spark: SparkSession, docs: DataFrame, prefix: String,
+                          p: graft.operators.IncrementalDedup.IndexParams,
+                          threshold: Double, pairsTable: String): DataFrame = {
+    import graft.operators.IncrementalDedup
+    val q = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // checkpointed: read twice (pair sink + clean-side anti join), and
+        // the blocks are reclaimed by the context cleaner afterwards
+        val pairs = IncrementalDedup
+          .deltaAgainst(spark, batch, prefix, p, threshold)
+          .localCheckpoint(true)
+        pairs.write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(pairsTable)
+        val clean = batch.join(
+          pairs.select(col("doc_a").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        IncrementalDedup.appendToIndex(clean, prefix, p)
+        // foreachBatch executes under a CLONED SparkSession: the appends
+        // above refresh the clone's relation cache only, so the calling
+        // session — whose `spark.table` handles serve the next batch's
+        // candidate join — must be refreshed explicitly or it keeps the
+        // pre-append file listing and silently misses streamed documents.
+        IncrementalDedup.tableNames(prefix).foreach(spark.catalog.refreshTable)
+      }
+      .start()
+    q.awaitTermination()
+    if (spark.catalog.tableExists(pairsTable)) spark.table(pairsTable)
+    else spark.emptyDataFrame
   }
 }

@@ -50,6 +50,27 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.bpeTrainFromCounts(wc, merges = 0).collect().isEmpty)
   }
 
+  test("driver and distributed merge loops are in lockstep at merges=64") {
+    // The production-vocab strategy: the driver loop (incremental pair
+    // counts + lazy-deletion heap) must produce EXACTLY the distributed
+    // loop's rules and final segmentations, deep into the merge sequence
+    // where exhaustion, ties and run-merging have all occurred. The
+    // distributed loop is what the SQL oracle mirrors, so this equality
+    // extends the oracle's reach to the driver path at any merge count.
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val wc = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("wcnt"))
+    val (dRules, dState) = Bpe.trainLoopDriver(wc, 64)
+    val (xRules, xState) = Bpe.trainLoopDistributed(wc, 64)
+    val dr = dRules.collect().map(_.toString).toSeq
+    assert(dr === xRules.collect().map(_.toString).toSeq)
+    assert(dr.nonEmpty)
+    assert(dState.orderBy("word").collect().map(_.toString).toSeq ===
+           xState.orderBy("word").collect().map(_.toString).toSeq)
+  }
+
   test("bpe_train on the corpus is deterministic across invocations") {
     val a = Bpe.bpeTrain(spark, sf0001, merges = 4).collect().map(_.toString).toSeq
     val b = Bpe.bpeTrain(spark, sf0001, merges = 4).collect().map(_.toString).toSeq

@@ -95,6 +95,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again.toSeq === live.toSeq)
   }
 
+  test("appendIvfIndex: a post-append probe finds the delta vector, scan still DPP-pruned") {
+    val prefix = "graft_ivf_apptest"
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndexFrom(e, prefix, numCentroids = 8, iters = 2)
+    // delta = vector 3 re-ingested under a new id: identical floats, so it
+    // lands in vector 3's cell under the STORED codebook and scores cos=1.0
+    val delta = e.filter(col("vec_id") === 3)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfIndex(spark, delta, prefix)
+    val probes = e.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val res = Similarity.searchIvfIndex(spark, prefix, probes, k = 3, nprobe = 2)
+    val rows = res.collect() // also finalizes AQE before reading the plan
+    val twin = rows.find(_.getLong(1) === 900000L)
+    assert(twin.isDefined && math.abs(twin.get.getDouble(2) - 1.0) < 1e-9,
+      s"appended twin not found at cos≈1.0 in top-3: ${rows.mkString(";")}")
+    // appended per-partition files keep the layout: probes still prune cells
+    assert(res.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "appended cells table lost dynamic partition pruning")
+  }
+
   test("kmeansCodebook balances a SKEWED corpus: trained max cell < untrained") {
     // Fixture where the comparative claim's premise actually holds: 4
     // orthogonal clusters of 40, all seeds (vec_id < 4) inside cluster A,

@@ -171,4 +171,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
     assert(streamed.nonEmpty) // the split plants cross-split near-dups
   }
+
+  test("streaming ingest extends the index: delta 2 detects a near-dup of streamed delta 1") {
+    // The closed ingest loop: clean survivors of each streamed batch are
+    // appended to the index via foreachBatch, so a LATER stream detects
+    // near-dups of EARLIER streamed documents — the streaming twin of
+    // WarehouseSpec's batch append-loop test.
+    import graft.operators.IncrementalDedup
+    import graft.operators.IncrementalDedup.IndexParams
+    implicit val sc = spark.sqlContext
+    val p = IndexParams(buckets = 2)
+    val prefix = "graft_corpus_streamloop"
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.buildIndexFrom(base, prefix, p)
+    val text1 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    // delta 1 is novel: no pairs, appended clean into the index
+    val src1 = MemoryStream[(Long, String)]
+    src1.addData((100L, text1))
+    val out1 = EventStreams.streamIngestToIndex(spark,
+      src1.toDF().toDF("doc_id", "text"), prefix, p, 0.8, "stream_ingest_pairs1")
+    assert(out1.count() === 0)
+    // delta 2 duplicates delta 1 — only the STREAMED append can catch it
+    val src2 = MemoryStream[(Long, String)]
+    src2.addData((200L, text1))
+    val out2 = EventStreams.streamIngestToIndex(spark,
+      src2.toDF().toDF("doc_id", "text"), prefix, p, 0.8, "stream_ingest_pairs2")
+    assert(out2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((200L, 100L)))
+    // and the near-dup delta 2 was NOT appended (it is not a clean survivor)
+    assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 200L).count() === 0)
+    assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 100L).count() === 1)
+  }
 }
