@@ -455,13 +455,22 @@ object Dedup {
       .distinct()
   }
 
-  /** Duplicate-cluster assignment — the step after pair finding in any real
-    * dedup pipeline: connected components over the exact near-dup pair graph
-    * ([[ngramJaccardPairs]]), every document labeled with its cluster's
-    * canonical representative (smallest reachable doc_id; edge-less
-    * documents are their own singleton cluster) and the cluster size. */
-  def dedupClusters(spark: SparkSession, sfDir: String, n: Int = 3,
-                    threshold: Double = 0.8): DataFrame = {
+  /** Build (or fingerprint-validated reuse) the PERSISTED cluster-label
+    * table over `sfDir`'s documents: connected components over the LSH
+    * near-dup pair graph, stored as `(v, l)` — vertex → smallest reachable
+    * doc_id, non-singleton vertices only. The labels are the shared
+    * artifact under every cluster consumer ([[dedupClusters]], the export
+    * pipeline's canonical-document filter): pair generation + CC are the
+    * two most expensive stages in the family, and they depend only on the
+    * corpus state — so they run once per corpus, not once per query.
+    * Returns the table name. */
+  def ensureClusterLabels(spark: SparkSession, sfDir: String, n: Int = 3,
+                          threshold: Double = 0.8): String = {
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_clusters_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}" +
+      s"_n${n}j${(threshold * 100).round}_labels"
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")
+    if (graft.sources.Warehouse.tablesCurrent(spark, Seq(table), fp)) return table
     // Pair source = MinHash LSH + exact verification, whose output equals
     // the exact prefix-filtered join at the threshold (the dedup_minhash /
     // dedup_ngram shared-oracle argument) — and whose measured scale slope
@@ -469,6 +478,21 @@ object Dedup {
     // collapses (SURVEY §6.1). Same clusters, the scale-path generator.
     val pairs = minhashPairsUnordered(spark, sfDir, n, threshold = threshold)
     val labels = connectedComponents(pairs, "doc_a", "doc_b")
+    graft.sources.Warehouse.writeBucketed(labels, Seq("v"), table, 8)
+    graft.sources.Warehouse.stampFingerprint(spark, table, fp)
+    table
+  }
+
+  /** Duplicate-cluster assignment — the step after pair finding in any real
+    * dedup pipeline: every document labeled with its cluster's canonical
+    * representative (smallest reachable doc_id; edge-less documents are
+    * their own singleton cluster) and the cluster size. Reads the
+    * PERSISTED label table ([[ensureClusterLabels]]) — a repeat run, or
+    * any other cluster consumer, costs a label-table join instead of the
+    * LSH self-join + CC rounds. */
+  def dedupClusters(spark: SparkSession, sfDir: String, n: Int = 3,
+                    threshold: Double = 0.8): DataFrame = {
+    val labels = spark.table(ensureClusterLabels(spark, sfDir, n, threshold))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"))
       .join(labels, col("doc_id") === col("v"), "left")

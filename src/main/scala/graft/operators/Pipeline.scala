@@ -24,9 +24,10 @@ import graft.sources.Warehouse
   *
   * Scale: the expensive stages — LSH pair generation, connected
   * components, decontamination — run ONCE per corpus state, persisted as
-  * fingerprint-gated exclusion tables ([[ensureExportArtifacts]]); the
-  * export itself is a quality scan plus two left-anti joins against those
-  * (small) id sets, which AQE broadcasts. At 100 TB an export re-run (new
+  * fingerprint-gated tables ([[Dedup.ensureClusterLabels]],
+  * [[ensureContaminationTable]]); the export itself is a quality scan
+  * plus two left-anti joins against those (small) id sets, which AQE
+  * broadcasts. At 100 TB an export re-run (new
   * quality floor, restarted job, downstream re-pull) costs a corpus scan,
   * not a dedup-pipeline re-run; a changed corpus fails the fingerprint
   * gate and rebuilds the artifacts. Decontamination inside the artifact
@@ -35,53 +36,44 @@ import graft.sources.Warehouse
   */
 object Pipeline {
 
-  /** Build (or fingerprint-validated reuse) the persisted exclusion sets
-    * the export consumes:
-    *
-    *  - `<prefix>_noncanon(doc_id)`: documents labeled with a smaller
-    *    reachable doc_id by connected components over the LSH pair graph —
-    *    every cluster member except its canonical representative;
-    *  - `<prefix>_contam(doc_id)`: train documents containing ≥
-    *    `contThreshold` of some eval document's distinct n-grams
-    *    (index-routed containment).
-    *
-    * The artifacts are independent of the quality floor, so re-exporting
-    * at a different floor reuses them. Returns the table prefix. */
-  def ensureExportArtifacts(spark: SparkSession, sfDir: String, n: Int = 3,
-                            jaccThreshold: Double = 0.8,
-                            contThreshold: Double = 0.6): String = {
+  /** Build (or fingerprint-validated reuse) the persisted contamination
+    * exclusion set `<prefix>_contam(doc_id)`: train documents containing
+    * ≥ `contThreshold` of some eval document's distinct n-grams
+    * (index-routed containment). The cluster-side exclusion is NOT
+    * duplicated here — it reads the shared [[Dedup.ensureClusterLabels]]
+    * artifact. Both are independent of the quality floor, so re-exporting
+    * at a different floor reuses everything. Returns the table name. */
+  def ensureContaminationTable(spark: SparkSession, sfDir: String, n: Int = 3,
+                               contThreshold: Double = 0.6): String = {
     val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val prefix = s"graft_export_${sf}_${Warehouse.pathToken(sfDir)}" +
-      s"_n${n}j${(jaccThreshold * 100).round}c${(contThreshold * 100).round}"
+    val table = s"graft_export_${sf}_${Warehouse.pathToken(sfDir)}" +
+      s"_n${n}c${(contThreshold * 100).round}_contam"
     val fp = Warehouse.sourceFingerprint(sfDir, "documents")
-    val tables = Seq(s"${prefix}_noncanon", s"${prefix}_contam")
-    if (Warehouse.tablesCurrent(spark, tables, fp)) return prefix
-    // Non-canonical = labeled with a smaller reachable doc_id. Using the
-    // raw component labels (not dedupClusters' presentation output) skips
-    // a full-corpus cluster_size window the export would discard.
-    val pairs = Dedup.minhashPairsUnordered(spark, sfDir, n, threshold = jaccThreshold)
-    val nonCanonical = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .filter(col("l") =!= col("v"))
-      .select(col("v").as("doc_id"))
-    Warehouse.writeBucketed(nonCanonical, Seq("doc_id"), s"${prefix}_noncanon", 8)
+    if (Warehouse.tablesCurrent(spark, Seq(table), fp)) return table
     val contaminated = Dedup.decontaminationIndexedUnordered(spark, sfDir, n, contThreshold)
       .select(col("train_id").as("doc_id"))
       .distinct()
-    Warehouse.writeBucketed(contaminated, Seq("doc_id"), s"${prefix}_contam", 8)
-    tables.foreach(t => Warehouse.stampFingerprint(spark, t, fp))
-    prefix
+    Warehouse.writeBucketed(contaminated, Seq("doc_id"), table, 8)
+    Warehouse.stampFingerprint(spark, table, fp)
+    table
   }
 
   def corpusExport(spark: SparkSession, sfDir: String,
                    qualityMin: Double = 0.7): DataFrame = {
-    val prefix = ensureExportArtifacts(spark, sfDir)
+    val labelsTable = Dedup.ensureClusterLabels(spark, sfDir)
+    val contamTable = ensureContaminationTable(spark, sfDir)
+    // Non-canonical = labeled with a smaller reachable doc_id — a filter
+    // over the (tiny) persisted label table, not a recomputed CC run.
+    val nonCanonical = spark.table(labelsTable)
+      .filter(col("l") =!= col("v"))
+      .select(col("v").as("doc_id"))
     // unordered stage form: a presentation sort below the export's joins
     // would be pure wasted work
     TextAnalysis.qualityUnordered(spark, sfDir)
       .filter(col("doc_id") % 10 =!= 0)
       .filter(col("quality") >= qualityMin)
-      .join(spark.table(s"${prefix}_noncanon"), Seq("doc_id"), "left_anti")
-      .join(spark.table(s"${prefix}_contam"), Seq("doc_id"), "left_anti")
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .join(spark.table(contamTable), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 }

@@ -88,12 +88,20 @@ class PlanSpec extends SparkSpecBase {
 
   test("corpus_export reads persisted exclusion tables, not the dedup pipeline") {
     val plan = plans("corpus_export")
-    assert(plan.contains("graft_export_"),
+    assert(plan.contains("graft_export_") && plan.contains("graft_clusters_"),
       s"corpus_export does not scan the persisted artifacts:\n$plan")
     // the expensive stages must NOT be in the export plan: no LSH band
     // self-join (graft_bands kernel) and no CC-round machinery
     assert(!plan.contains("graft_bands"),
       s"corpus_export still computes LSH bands inline:\n$plan")
+  }
+
+  test("dedup_clusters reads the persisted label table, not a CC re-run") {
+    val plan = plans("dedup_clusters")
+    assert(plan.contains("graft_clusters_"),
+      s"dedup_clusters does not scan the persisted labels:\n$plan")
+    assert(!plan.contains("graft_bands"),
+      s"dedup_clusters still computes LSH bands inline:\n$plan")
   }
 
   test("indexed IVF search prunes cell partitions dynamically") {
