@@ -91,9 +91,17 @@ object Bpe {
     * `compareTo`), so the two strategies and the SQL oracle stay in
     * lockstep — asserted at merges=64 in BpeSpec. */
   private def trainLoop(wc: DataFrame, merges: Int): (DataFrame, DataFrame) = {
-    val maxDriver = wc.sparkSession.conf
-      .get("graft.bpe.maxDriverVocab", "2000000").toLong
-    if (wc.count() <= maxDriver) trainLoopDriver(wc, merges)
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val maxDriver = math.min(
+      spark.conf.get("graft.bpe.maxDriverVocab", "2000000").toLong,
+      Int.MaxValue - 1L).toInt
+    // ONE run of the corpus aggregate both decides the strategy and feeds
+    // the driver loop: take maxDriver+1 rows — if the vocabulary fits, we
+    // already hold all of it (a separate count() would re-run the corpus
+    // scan, the only corpus-mass-scaled step, twice).
+    val head = wc.select(col("word"), col("wcnt")).as[(String, Long)].take(maxDriver + 1)
+    if (head.length <= maxDriver) trainLoopDriverFromRows(spark, head, merges)
     else trainLoopDistributed(wc, merges)
   }
 
@@ -125,11 +133,19 @@ object Bpe {
     m
   }
 
-  /** Driver-side merge loop over a collected vocabulary. */
+  /** Driver-side merge loop over a collected vocabulary (spec/library
+    * entry point; [[trainLoop]] hands over already-collected rows). */
   private[graft] def trainLoopDriver(wc: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     val spark = wc.sparkSession
     import spark.implicits._
-    val rows = wc.select(col("word"), col("wcnt")).as[(String, Long)].collect()
+    trainLoopDriverFromRows(spark,
+      wc.select(col("word"), col("wcnt")).as[(String, Long)].collect(), merges)
+  }
+
+  private def trainLoopDriverFromRows(spark: SparkSession,
+                                      rows: Array[(String, Long)],
+                                      merges: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val words = rows.map(_._1)
     val wcnt = rows.map(_._2)
     val seqs = words.map(initialSeq)

@@ -469,17 +469,21 @@ object Dedup {
     val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
     val table = s"graft_clusters_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}" +
       s"_n${n}j${(threshold * 100).round}_labels"
-    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")
-    if (graft.sources.Warehouse.tablesCurrent(spark, Seq(table), fp)) return table
-    // Pair source = MinHash LSH + exact verification, whose output equals
-    // the exact prefix-filtered join at the threshold (the dedup_minhash /
-    // dedup_ngram shared-oracle argument) — and whose measured scale slope
-    // is ~10× better on closed-vocabulary corpora where prefix selectivity
-    // collapses (SURVEY §6.1). Same clusters, the scale-path generator.
-    val pairs = minhashPairsUnordered(spark, sfDir, n, threshold = threshold)
-    val labels = connectedComponents(pairs, "doc_a", "doc_b")
-    graft.sources.Warehouse.writeBucketed(labels, Seq("v"), table, 8)
-    graft.sources.Warehouse.stampFingerprint(spark, table, fp)
+    // full-precision params in the FINGERPRINT (the name's rounded form is
+    // readability only — thresholds rounding to the same integer must not
+    // silently share a table)
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents") +
+      s"|n${n}j$threshold"
+    graft.sources.Warehouse.ensureDerivedTables(spark, Seq(table), fp) {
+      // Pair source = MinHash LSH + exact verification, whose output equals
+      // the exact prefix-filtered join at the threshold (the dedup_minhash /
+      // dedup_ngram shared-oracle argument) — and whose measured scale slope
+      // is ~10× better on closed-vocabulary corpora where prefix selectivity
+      // collapses (SURVEY §6.1). Same clusters, the scale-path generator.
+      val pairs = minhashPairsUnordered(spark, sfDir, n, threshold = threshold)
+      val labels = connectedComponents(pairs, "doc_a", "doc_b")
+      graft.sources.Warehouse.writeBucketed(labels, Seq("v"), table, 8)
+    }
     table
   }
 

@@ -144,7 +144,7 @@ object IncrementalDedup {
     * The four appends are not atomic, so the fingerprint stamps are
     * cleared to an in-flight marker first and restored only after every
     * append commits: a crash mid-append leaves the marker, the reuse gate
-    * ([[indexCurrent]]) fails, and the next [[buildIndex]] rebuilds from
+    * ([[Warehouse.tablesCurrent]]) fails, and the next [[buildIndex]] rebuilds from
     * the corpus instead of reading a half-extended index (appended deltas
     * must then be re-appended by the ingest pipeline — a re-run, never a
     * silent wrong answer). */
@@ -254,11 +254,6 @@ object IncrementalDedup {
     Warehouse.sourceFingerprint(sfDir, "documents") +
       s"|n${p.n}b${p.numBands}r${p.rowsPerBand}x${p.buckets}c${p.cBands}x${p.cRows}"
 
-  /** Reuse gate for sfDir-derived index tables ([[Warehouse.tablesCurrent]]). */
-  private[graft] def indexCurrent(spark: SparkSession, tables: Seq[String],
-                                  fp: String): Boolean =
-    Warehouse.tablesCurrent(spark, tables, fp)
-
   /** Build (or reuse) the persisted corpus index over `sfDir`: everything
     * that is NOT the delta shard, fingerprinted once, bucketed on its
     * future join keys. In production this runs at corpus-build time and is
@@ -269,12 +264,11 @@ object IncrementalDedup {
                  p: IndexParams = IndexParams()): Unit = {
     val prefix = indexPrefix(sfDir, p)
     val fp = corpusFingerprint(sfDir, p)
-    val tables = TableSuffixes.map(s => s"${prefix}_$s")
-    if (indexCurrent(spark, tables, fp)) return
-    val corpus = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % DeltaMod =!= 0)
-    buildIndexFrom(corpus, prefix, p)
-    tables.foreach(t => Warehouse.stampFingerprint(spark, t, fp))
+    Warehouse.ensureDerivedTables(spark, tableNames(prefix), fp) {
+      val corpus = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % DeltaMod =!= 0)
+      buildIndexFrom(corpus, prefix, p)
+    }
   }
 
   /** The `<prefix>_sharr` shingle-array table the STREAMING verification

@@ -48,13 +48,15 @@ object Pipeline {
     val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
     val table = s"graft_export_${sf}_${Warehouse.pathToken(sfDir)}" +
       s"_n${n}c${(contThreshold * 100).round}_contam"
-    val fp = Warehouse.sourceFingerprint(sfDir, "documents")
-    if (Warehouse.tablesCurrent(spark, Seq(table), fp)) return table
-    val contaminated = Dedup.decontaminationIndexedUnordered(spark, sfDir, n, contThreshold)
-      .select(col("train_id").as("doc_id"))
-      .distinct()
-    Warehouse.writeBucketed(contaminated, Seq("doc_id"), table, 8)
-    Warehouse.stampFingerprint(spark, table, fp)
+    // full-precision params in the fingerprint; the name's rounded form is
+    // readability only (see Warehouse.ensureDerivedTables)
+    val fp = Warehouse.sourceFingerprint(sfDir, "documents") + s"|n${n}c$contThreshold"
+    Warehouse.ensureDerivedTables(spark, Seq(table), fp) {
+      val contaminated = Dedup.decontaminationIndexedUnordered(spark, sfDir, n, contThreshold)
+        .select(col("train_id").as("doc_id"))
+        .distinct()
+      Warehouse.writeBucketed(contaminated, Seq("doc_id"), table, 8)
+    }
     table
   }
 

@@ -171,10 +171,10 @@ object Similarity {
     val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
     val prefix = s"graft_ivf_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_k${numCentroids}i$iters"
     val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "embeddings")
-    val tables = Seq(s"${prefix}_cents", s"${prefix}_cells")
-    if (graft.sources.Warehouse.tablesCurrent(spark, tables, fp)) return prefix
-    buildIvfIndexFrom(Tables.embeddings(spark, sfDir), prefix, numCentroids, iters)
-    tables.foreach(t => graft.sources.Warehouse.stampFingerprint(spark, t, fp))
+    graft.sources.Warehouse.ensureDerivedTables(spark,
+      Seq(s"${prefix}_cents", s"${prefix}_cells"), fp) {
+      buildIvfIndexFrom(Tables.embeddings(spark, sfDir), prefix, numCentroids, iters)
+    }
     prefix
   }
 

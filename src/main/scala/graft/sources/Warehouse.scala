@@ -143,6 +143,21 @@ object Warehouse {
     tables.forall(t => spark.catalog.tableExists(t) &&
       storedFingerprint(spark, t).contains(fp))
 
+  /** THE fingerprint-gated ensure pattern, in one place: if every table in
+    * `tables` already carries `fp`, reuse; otherwise run `build` (which
+    * must create all of them) and stamp. The fingerprint should encode the
+    * full identity — source-data fingerprint AND every parameter the build
+    * depends on, at full precision. Parameters that only appear rounded in
+    * a table NAME do not disambiguate (two thresholds rounding to the same
+    * integer would silently share a table); the stamped fingerprint is
+    * what the gate compares, so it must carry them exactly. */
+  def ensureDerivedTables(spark: SparkSession, tables: Seq[String], fp: String)
+                         (build: => Unit): Unit = {
+    if (tablesCurrent(spark, tables, fp)) return
+    build
+    tables.foreach(stampFingerprint(spark, _, fp))
+  }
+
   /** Equi-join of two tables bucketed on the join keys: with matching
     * bucket counts Catalyst plans bucket-local SortMergeJoin, no Exchange
     * on either side. */

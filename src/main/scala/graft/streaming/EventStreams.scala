@@ -450,7 +450,18 @@ object EventStreams {
       }
       .start()
     q.awaitTermination()
-    if (spark.catalog.tableExists(pairsTable)) spark.table(pairsTable)
-    else spark.emptyDataFrame
+    if (spark.catalog.tableExists(pairsTable)) {
+      // the pair appends also happened under the cloned session — refresh
+      // the calling session's relation before serving it (same staleness
+      // mechanism as the index tables above; matters when one pairsTable
+      // accumulates across several ingest runs)
+      spark.catalog.refreshTable(pairsTable)
+      spark.table(pairsTable)
+    } else {
+      // no batch ever fired: an EMPTY pair frame with the real schema, so
+      // downstream projections/unions resolve instead of throwing
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+    }
   }
 }

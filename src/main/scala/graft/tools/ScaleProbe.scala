@@ -89,6 +89,10 @@ object ScaleProbe {
     // index/artifact build at k× (fresh path → fresh fingerprint), the
     // SECOND is the amortized steady state those artifacts exist for. For
     // queries without persisted state the two are the same measurement.
+    // CAVEAT: artifacts are SHARED (fingerprint-gated), so a build is
+    // attributed to whichever listed query reaches it first — to measure a
+    // specific query's full build cost, list it before its co-tenants
+    // (e.g. decontaminate_indexed before dedup_incremental).
     println(f"${"query"}%-22s ${"t_1x"}%8s ${"t_" + mult + "x_c"}%8s ${"t_" + mult + "x_w"}%8s ${"sl_cold"}%7s ${"sl_warm"}%7s  (slope = t_kx / (k * t_1x); ≤1 ≈ linear; _c first run incl. builds, _w steady)")
     queries.foreach { q =>
       time(srcDir, q) // warmup (JIT + codegen for this plan)
