@@ -88,6 +88,7 @@ object SparkEntry {
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
+    "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
     "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
@@ -583,6 +584,20 @@ object SparkEntry {
         |  CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS bpe_tokens
         |FROM d ORDER BY doc_id""".stripMargin,
     "quality_score" -> s"$qualityScoreSql\nORDER BY doc_id",
+    // pack_sequences: concatenate-and-chunk training layout — per-lang
+    // prefix sums over the same BPE-ish token count as token_count; both
+    // engines compute identical integer cumsums and floor-divisions.
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ts FROM documents),
+        |t AS (SELECT doc_id, lang, CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS n_tokens FROM d),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+        |      FROM t WHERE n_tokens > 0)
+        |SELECT lang, doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+        |  CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+        |  CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
     "repetition_score" ->
       """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
         |g AS (SELECT doc_id, greatest(len(ws) - 2, 0) AS n_grams,

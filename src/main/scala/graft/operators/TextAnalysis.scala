@@ -49,6 +49,34 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
 
+  /** LLM training-sequence packing — the layout step between a cleaned
+    * corpus and a trainer: per language (in doc_id order) the documents'
+    * token streams are concatenated and cut into fixed-`budget` sequences,
+    * and each document maps to the sequence range it spans —
+    * `(lang, doc_id, n_tokens, start_seq, end_seq, n_seqs)`. This is the
+    * concatenate-and-chunk packing real LLM training uses (documents span
+    * sequence boundaries; no padding waste), so the mapping is a pure
+    * prefix-sum: start_seq = ⌊(cum − n)/budget⌋, end_seq = ⌊(cum − 1)/budget⌋.
+    *
+    * Scale shape: ONE window aggregate partitioned by `lang` — the
+    * per-partition running sum parallelizes across languages and shuffles
+    * each doc once; token counting is scan-side. At production shard
+    * counts the partition key is (lang, shard) and sequence ids get a
+    * shard offset — same plan, finer parallelism. Zero-token documents
+    * are excluded (they occupy no sequence). */
+  def packSequences(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), bpeTokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("start_seq"),
+        expr(s"(cum - 1) div $budget").as("end_seq"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + 1)
+      .orderBy("lang", "doc_id")
+  }
+
   /** Token counts per document: whitespace tokens and a BPE-ish subword
     * estimate (ceil(len/4) pieces per word). */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =

@@ -93,6 +93,30 @@ object Warehouse {
     fp.foreach(stampFingerprint(spark, table, _))
   }
 
+  /** Compact a directory-PARTITIONED managed table to one file per
+    * partition — the maintenance pass for partitioned stores extended by
+    * appends (e.g. the IVF cells table after [[graft.operators.Similarity
+    * .appendIvfIndex]] deltas): every append lands a file per touched
+    * partition, and read fan-in grows with ingest cadence. Repartitioning
+    * BY the partition column puts each partition value wholly in one task,
+    * so the dynamic-partitioned write emits exactly one file per
+    * directory. Same temp-table + RENAME shape as [[compactBucketed]];
+    * the fingerprint stamp survives. */
+  def compactPartitioned(spark: SparkSession, table: String, partCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmp = s"${table}__compact"
+    val fp = storedFingerprint(spark, table)
+    writePartitionedTable(
+      spark.table(table).repartition(col(partCol)), partCol, tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    // RENAME moves the table directory but the catalog's PARTITION entries
+    // still carry absolute locations under the old tmp path — without
+    // recovery the renamed table scans zero files.
+    spark.sql(s"MSCK REPAIR TABLE `$table`")
+    fp.foreach(stampFingerprint(spark, table, _))
+  }
+
   /** Data files of a managed table's location (for compaction asserts /
     * observability; excludes markers like _SUCCESS). */
   def dataFileCount(spark: SparkSession, table: String): Int = {

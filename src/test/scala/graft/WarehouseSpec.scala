@@ -140,6 +140,32 @@ class WarehouseSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("compactPartitioned: appended partition files collapse to one per directory") {
+    import spark.implicits._
+    val t = "compact_part_t"
+    def chunk(from: Int, to: Int) =
+      (from until to).map(i => (i.toLong, s"v$i", i % 4)).toDF("id", "v", "k")
+    Warehouse.writePartitionedTable(chunk(0, 100), "k", t)
+    chunk(100, 200).write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(t)
+    chunk(200, 300).write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(t)
+    def filesPerPartition: Seq[Int] = {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t.toLowerCase)
+      loc.listFiles().filter(_.isDirectory).toSeq
+        .map(_.listFiles().count(f => f.isFile && f.getName.startsWith("part-")))
+    }
+    assert(filesPerPartition.exists(_ > 1), s"appends should add files, got $filesPerPartition")
+    val expected = spark.table(t).collect().map(_.toString).sorted.toSeq
+    Warehouse.compactPartitioned(spark, t, "k")
+    assert(filesPerPartition === Seq(1, 1, 1, 1), s"got $filesPerPartition")
+    assert(spark.table(t).collect().map(_.toString).sorted.toSeq === expected)
+    // partition pruning still applies after the rewrite
+    val one = spark.table(t).filter(col("k") === 2)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(k"),
+      one.queryExecution.executedPlan.toString)
+    assert(one.count() === 75)
+  }
+
   test("partitioned parquet layout prunes partitions for a partition-column filter") {
     val path = java.nio.file.Files.createTempDirectory("graft_part").toString
     Warehouse.writePartitioned(
