@@ -110,6 +110,7 @@ object SparkEntry {
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
     "similarity_ivf_indexed" -> ((s, d) => Similarity.ivfSearchIndexed(s, d)),
     "similarity_ann" -> ((s, d) => Similarity.annHyperplane(s, d)),
+    "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // -- multimodal plumbing (north star) --
     "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
     "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
@@ -137,14 +138,15 @@ object SparkEntry {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
-  /** similarity_ivf's oracle re-runs the SAME deterministic k-means in
-    * DuckDB: integer-exact dimension sums (floor(x·2^20) longs — integer
-    * adds commute, so the mean is partitioning-independent), means
-    * re-quantized to FLOAT, cosine ties broken by centroid id. Iterations
-    * are unrolled into CTE blocks; both engines converge to bit-identical
-    * codebooks, so even the TRAINED approximate index is exactly checked. */
-  private def ivfOracle(numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
-                        iters: Int = 3, nprobe: Int = 2): String = {
+  /** The shared CTE chain of every IVF oracle: the SAME deterministic
+    * k-means re-run in DuckDB — integer-exact dimension sums
+    * (floor(x·2^20) longs — integer adds commute, so the mean is
+    * partitioning-independent), means re-quantized to FLOAT, cosine ties
+    * broken by centroid id. Iterations are unrolled into CTE blocks; both
+    * engines converge to bit-identical codebooks, so even the TRAINED
+    * approximate index is exactly checked. Ends with `cellv(vec_id, emb,
+    * cell)` — the final assignment — and `cents$iters` in scope. */
+  private def ivfCtes(numCentroids: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |iv AS (SELECT vec_id, i, CAST(floor(emb[i+1] * 1048576.0) AS BIGINT) AS ivx FROM e, range(64) t(i)),
@@ -167,7 +169,13 @@ object SparkEntry {
       |  SELECT e.vec_id, c.cent_id AS cell,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
       |  FROM e, cents$iters c) WHERE rn = 1),
-      |cellv AS (SELECT e.vec_id, e.emb, a.cell FROM e JOIN asgF a USING (vec_id)),
+      |cellv AS (SELECT e.vec_id, e.emb, a.cell FROM e JOIN asgF a USING (vec_id))""".stripMargin
+    sb.result()
+  }
+
+  private def ivfOracle(numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
+                        iters: Int = 3, nprobe: Int = 2): String =
+    ivfCtes(numCentroids, iters) + s""",
       |pc AS (SELECT probe_id, probe_emb, cell FROM (
       |  SELECT e.vec_id AS probe_id, e.emb AS probe_emb, c.cent_id AS cell,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
@@ -177,8 +185,18 @@ object SparkEntry {
       |  FROM cellv a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
       |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= $k
       |ORDER BY probe_id, rnk""".stripMargin
-    sb.result()
-  }
+
+  /** knn_join's oracle: the same CTE chain, then the within-cell self-join
+    * — the stored assignment is bit-identical to the re-derived one, so
+    * the persisted-index join is exactly checked too. */
+  private def knnJoinOracle(k: Int = 3, numCentroids: Int = 16, iters: Int = 3): String =
+    ivfCtes(numCentroids, iters) + s""",
+      |s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    list_cosine_similarity(a.emb, b.emb) AS cos,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id) AS rn
+      |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+      |SELECT vec_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= $k
+      |ORDER BY vec_id, rnk""".stripMargin
 
   /** The exact word-trigram Jaccard ≥ 0.8 pair join — the oracle for
     * `dedup_ngram`, for `dedup_minhash` (LSH + exact verification provably
@@ -731,6 +749,7 @@ object SparkEntry {
     // deterministic k-means (bit-identical centroids), so the persisted-
     // index search returns exactly ivfSearch's rows — one oracle for both.
     "similarity_ivf_indexed" -> ivfOracle(),
+    "knn_join" -> knnJoinOracle(),
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt

@@ -256,6 +256,35 @@ object Similarity {
     searchIvfIndex(spark, prefix, probes, k, nprobe)
   }
 
+  /** Approximate k-NN JOIN — EVERY vector's top-k neighbors, not a probe
+    * set's: the IVF-blocked self-join that turns an embedding column into
+    * a neighborhood graph (near-dup clustering, graph-based diversity
+    * sampling, retrieval-graph construction). Vectors compare only within
+    * their coarse cell, so the work is Σ|cell|² instead of N² — at scale
+    * the cell count grows ~√N (the standard IVF sizing), holding per-cell
+    * work flat, and the join reads the PERSISTED partitioned cells table
+    * co-blocked on both sides. Semantics: top-k among SAME-CELL vectors
+    * (the standard blocked-ANN trade, same as `dedup_embedding`'s
+    * sign-bucket blocking); vectors alone in their cell emit no rows. The
+    * stored assignment is deterministic k-means, so the whole join —
+    * training included — is SQL-oracle-checked. */
+  def knnJoin(spark: SparkSession, sfDir: String, k: Int = 3,
+              numCentroids: Int = 16, iters: Int = 3): DataFrame = {
+    val prefix = ensureIvfIndex(spark, sfDir, numCentroids, iters)
+    val cells = spark.table(s"${prefix}_cells")
+    val scored = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+              VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .orderBy("vec_id", "rnk")
+  }
+
   /** Approximate nearest neighbors via random-hyperplane LSH: corpus and
     * probes are bucketed by the sign pattern of `bits` random projections
     * (deterministic seed); each probe scans only its bucket

@@ -19,7 +19,7 @@ object ScaleProbe {
                             "similarity_knn", "similarity_ivf", "similarity_ivf_indexed",
                             "topk_words", "fuzzy_names", "dedup_clusters", "scrub_pii",
                             "sample_hash", "dedup_incremental", "decontaminate",
-                            "decontaminate_indexed", "corpus_export",
+                            "decontaminate_indexed", "corpus_export", "knn_join",
                             "repetition_score", "bpe_train", "tfidf_terms",
                             "bm25_search", "stream_dedup_near")).toList
     val srcDir = "/root/testdata/sf0.1"
