@@ -89,6 +89,7 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
     "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
@@ -616,6 +617,17 @@ object SparkEntry {
         |  CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
         |  CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    // mixture_sample: per-source weighted rates in content-hash order;
+    // quota arithmetic is pure integers so both engines agree exactly.
+    "mixture_sample" ->
+      """WITH f AS (SELECT source, doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents),
+        |w AS (SELECT source, doc_id, fp,
+        |        CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4 + 1 AS wt,
+        |        row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY source) AS cnt
+        |      FROM f)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, fp
+        |FROM w WHERE rk <= (cnt * wt + 3) // 4 ORDER BY source, rk""".stripMargin,
     "repetition_score" ->
       """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
         |g AS (SELECT doc_id, greatest(len(ws) - 2, 0) AS n_grams,

@@ -77,6 +77,30 @@ object TextAnalysis {
       .orderBy("lang", "doc_id")
   }
 
+  /** Training-data MIXING — the source-reweighting step between a cleaned
+    * corpus and sequence packing: each source contributes a deterministic
+    * fraction of its documents (rate = weight/4, weight = source number
+    * mod 4 + 1 standing in for an external mixture config), selected by
+    * content-hash order so the sample is reproducible, shard-independent
+    * and RNG-free (the `sample_hash` principle applied per stratum with
+    * non-uniform rates — unlike `stratified_sample`'s constant quota).
+    * Quotas are integer-exact: ⌈cnt·w/4⌉ as `(cnt·w + 3) div 4`, no float
+    * ceil (binary-inexact thresholds are the known cross-engine trap).
+    * Scale shape: one window rank per source partition over scan-side
+    * fingerprints — parallel across sources, no collect, no RNG state. */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySource = Window.partitionBy("source")
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      .withColumn("weight",
+        regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1)
+      .withColumn("rk", row_number().over(bySource.orderBy("fp", "doc_id")))
+      .withColumn("cnt", count(lit(1)).over(bySource))
+      .filter(col("rk") <= expr("(cnt * weight + 3) div 4"))
+      .select(col("source"), col("rk").cast("bigint").as("rk"), col("doc_id"), col("fp"))
+      .orderBy("source", "rk")
+  }
+
   /** Token counts per document: whitespace tokens and a BPE-ish subword
     * estimate (ceil(len/4) pieces per word). */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =

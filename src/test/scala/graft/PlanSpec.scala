@@ -24,8 +24,8 @@ class PlanSpec extends SparkSpecBase {
     "dedup_simhash", "dedup_ngram", "dedup_minhash", "dedup_incremental",
     "dedup_clusters", "decontaminate", "decontaminate_indexed", "fuzzy_names",
     "join_orders_customers", "q5_region", "multi_join_agg", "brand_revenue",
-    "similarity_ivf", "similarity_ivf_indexed", "tfidf_terms", "bm25_search",
-    "grep_filter", "topk_words", "corpus_export")
+    "similarity_ivf", "similarity_ivf_indexed", "knn_join", "tfidf_terms",
+    "bm25_search", "grep_filter", "topk_words", "corpus_export")
 
   private lazy val plans: Map[String, String] =
     heavy.map(n => n -> finalPlan(n)).toMap
