@@ -622,7 +622,7 @@ object SparkEntry {
     "mixture_sample" ->
       """WITH f AS (SELECT source, doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents),
         |w AS (SELECT source, doc_id, fp,
-        |        CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4 + 1 AS wt,
+        |        COALESCE(TRY_CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER), 0) % 4 + 1 AS wt,
         |        row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rk,
         |        count(*) OVER (PARTITION BY source) AS cnt
         |      FROM f)

@@ -20,6 +20,22 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** THE rank/tie-break contract every similarity operator shares — and
+    * the invariant each one's SQL oracle mirrors: per `partCol`, neighbors
+    * ranked by cosine descending with ties broken by ascending
+    * neighbor_id, rank emitted as bigint `rnk`, top-k kept, presentation
+    * order (partCol, rnk). Encoded once so a tweak cannot silently break
+    * one operator's oracle equality. Expects columns
+    * `(partCol, neighbor_id, cos)`. */
+  private def topKByCosine(scored: DataFrame, partCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(partCol)
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .orderBy(partCol, "rnk")
+  }
+
   /** Exact cosine top-k for each probe vector (probes = lowest `numProbes`
     * vec_ids, a stand-in for an external query set). The probe side is tiny
     * → broadcast; the join is a BroadcastNestedLoopJoin over the corpus with
@@ -33,12 +49,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
               VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .orderBy("probe_id", "rnk")
+    topKByCosine(scored, "probe_id", k)
   }
 
   /** Fixed-point scale for integer-exact centroid sums: components are
@@ -144,12 +155,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
               VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .orderBy("probe_id", "rnk")
+    topKByCosine(scored, "probe_id", k)
   }
 
   /** Build (or fingerprint-validated reuse) the PERSISTED IVF index over
@@ -233,12 +239,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
               VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .orderBy("probe_id", "rnk")
+    topKByCosine(scored, "probe_id", k)
   }
 
   /** IVF search against the PERSISTED index ([[ensureIvfIndex]]): probes
@@ -277,12 +278,7 @@ object Similarity {
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
               VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .orderBy("vec_id", "rnk")
+    topKByCosine(scored, "vec_id", k)
   }
 
   /** Approximate nearest neighbors via random-hyperplane LSH: corpus and
@@ -313,11 +309,6 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
               VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .orderBy("probe_id", "rnk")
+    topKByCosine(scored, "probe_id", k)
   }
 }

@@ -92,8 +92,13 @@ object TextAnalysis {
     val bySource = Window.partitionBy("source")
     Tables.documents(spark, sfDir)
       .select(col("source"), col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      // try_cast + coalesce keeps the operator TOTAL: a source name with
+      // no digit run (e.g. 'webcrawl') gets the default weight instead of
+      // an ANSI cast error — regexp_extract returns '' there and a plain
+      // cast throws on both engines.
       .withColumn("weight",
-        regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1)
+        coalesce(regexp_extract(col("source"), "(\\d+)", 1).try_cast("int"),
+                 lit(0)) % 4 + 1)
       .withColumn("rk", row_number().over(bySource.orderBy("fp", "doc_id")))
       .withColumn("cnt", count(lit(1)).over(bySource))
       .filter(col("rk") <= expr("(cnt * weight + 3) div 4"))
