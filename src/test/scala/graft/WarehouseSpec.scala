@@ -109,6 +109,13 @@ class WarehouseSpec extends SparkSpecBase {
       // shingle array must be joinable or the stream silently misses it
       assert(spark.table(s"${prefix}_sharr")
         .filter(col("doc_id") === 100L).count() === 1)
+      // and the CONTAINMENT band table: an eval probe containing delta-1
+      // text must route through _cbands against the APPENDED document
+      val evalDocs = Seq((500L, text1)).toDF("doc_id", "text")
+      val cont = IncrementalDedup
+        .decontaminateAgainstIndex(spark, evalDocs, prefix, p, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(cont.toSeq === Seq((500L, 100L)))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
