@@ -65,10 +65,15 @@ object Media {
   def decodeAll(assets: Dataset[MediaAsset], decoder: MediaDecoder): Dataset[MediaMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      new Iterator[MediaMeta] {
-        def hasNext: Boolean = { val h = it.hasNext; if (!h) decoder.close(); h }
-        def next(): MediaMeta = decoder.decode(it.next())
-      }
+      // close on TASK COMPLETION, not on iterator exhaustion: a plan that
+      // stops early (limit/take, mid-partition failure) abandons the
+      // iterator without draining it, and exhaustion-triggered close would
+      // leak a real codec's native handles — while repeated hasNext polls
+      // after the end would double-close a non-idempotent decoder. The
+      // completion listener fires exactly once per task either way.
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => decoder.close())
+      it.map(decoder.decode)
     }
   }
 

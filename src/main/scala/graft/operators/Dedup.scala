@@ -212,8 +212,18 @@ object Dedup {
   private val MinhashPrime = 2305843009213693951L // 2^61 - 1
   private[graft] def minhashParams(numHashes: Int, seed: Long = 42L): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(numHashes)((math.abs(rnd.nextLong()) % (MinhashPrime - 1) + 1,
-                           math.abs(rnd.nextLong()) % MinhashPrime))
+    // re-draw on Long.MinValue: math.abs(Long.MinValue) is NEGATIVE, which
+    // would put a multiplier/offset outside [0, p) and break the hash
+    // contract for that seed. Re-drawing (not masking) keeps the parameter
+    // stream — and therefore every persisted signature — identical to the
+    // historical values for all seeds that never hit the edge case.
+    def absDraw(): Long = {
+      var x = rnd.nextLong()
+      while (x == Long.MinValue) x = rnd.nextLong()
+      math.abs(x)
+    }
+    Array.fill(numHashes)((absDraw() % (MinhashPrime - 1) + 1,
+                           absDraw() % MinhashPrime))
   }
 
   /** Fold ONE shingle into a running MinHash signature (the `update` step of

@@ -151,10 +151,12 @@ object IncrementalDedup {
   def appendToIndex(docs: DataFrame, prefix: String, p: IndexParams): Unit = {
     val spark = docs.sparkSession
     val tables = TableSuffixes.map(s => s"${prefix}_$s")
+    val missing = tables.filterNot(spark.catalog.tableExists)
+    require(missing.isEmpty,
+      s"appendToIndex: index '$prefix' is incomplete (missing ${missing.mkString(", ")}) — " +
+        "build it first (buildIndex / buildIndexFrom)")
     val stamps = tables.map(t => t -> Warehouse.storedFingerprint(spark, t)).toMap
-    tables.foreach(t =>
-      if (spark.catalog.tableExists(t))
-        Warehouse.stampFingerprint(spark, t, "append-in-flight"))
+    tables.foreach(t => Warehouse.stampFingerprint(spark, t, "append-in-flight"))
     val postings = postingsOf(docs, p.n)
     val sigs = new Dedup.RoundCheckpointer(spark)(sigsOf(postings, p))
     Warehouse.appendBucketed(bandsFromSigs(sigs, p.numBands, p.rowsPerBand),

@@ -53,18 +53,18 @@ object Ranking {
     val prefix = s"graft_rankstats_${sf}_${Warehouse.pathToken(sfDir)}"
     val fp = Warehouse.sourceFingerprint(sfDir, "documents")
     val tables = Seq("termdf", "doclen", "corpus").map(s => s"${prefix}_$s")
-    if (Warehouse.tablesCurrent(spark, tables, fp)) return prefix
-    val tf = termFreqs(spark, sfDir)
-    Warehouse.writeBucketed(
-      tf.groupBy("word").agg(count(lit(1)).as("df")),
-      Seq("word"), s"${prefix}_termdf", buckets)
-    val dl = Tables.documents(spark, sfDir).select(col("doc_id"),
-      size(TextFunctions.tokenize(col("text"))).cast("bigint").as("dl"))
-    Warehouse.writeBucketed(dl, Seq("doc_id"), s"${prefix}_doclen", buckets)
-    Warehouse.writeBucketed(
-      dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl")),
-      Seq("n_docs"), s"${prefix}_corpus", 1)
-    tables.foreach(t => Warehouse.stampFingerprint(spark, t, fp))
+    Warehouse.ensureDerivedTables(spark, tables, fp) {
+      val tf = termFreqs(spark, sfDir)
+      Warehouse.writeBucketed(
+        tf.groupBy("word").agg(count(lit(1)).as("df")),
+        Seq("word"), s"${prefix}_termdf", buckets)
+      val dl = Tables.documents(spark, sfDir).select(col("doc_id"),
+        size(TextFunctions.tokenize(col("text"))).cast("bigint").as("dl"))
+      Warehouse.writeBucketed(dl, Seq("doc_id"), s"${prefix}_doclen", buckets)
+      Warehouse.writeBucketed(
+        dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl")),
+        Seq("n_docs"), s"${prefix}_corpus", 1)
+    }
     prefix
   }
 

@@ -208,11 +208,20 @@ object Similarity {
     * [[ensureIvfIndex]] rebuilds, never reads a half-extended index. */
   def appendIvfIndex(spark: SparkSession, delta: DataFrame, prefix: String): Unit = {
     val tables = Seq(s"${prefix}_cents", s"${prefix}_cells")
+    val missing = tables.filterNot(spark.catalog.tableExists)
+    require(missing.isEmpty,
+      s"appendIvfIndex: index '$prefix' is incomplete (missing ${missing.mkString(", ")}) — " +
+        "build it first (ensureIvfIndex / buildIvfIndexFrom)")
     val stamps = tables.map(t =>
       t -> graft.sources.Warehouse.storedFingerprint(spark, t)).toMap
     tables.foreach(t => graft.sources.Warehouse.stampFingerprint(spark, t, "append-in-flight"))
     val cents = spark.table(s"${prefix}_cents")
-    assignCells(delta, cents).write
+    // replay safety: a re-run delta (crash before acknowledge, retried
+    // ingest job) must not duplicate vectors in the cells table — duplicate
+    // neighbor rows would silently diverge from the shared oracle
+    val fresh = delta.join(
+      spark.table(s"${prefix}_cells").select(col("vec_id")), Seq("vec_id"), "left_anti")
+    assignCells(fresh, cents).write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto(s"${prefix}_cells")
     tables.foreach(t =>

@@ -120,21 +120,31 @@ object TextAnalysis {
   /** Document quality scoring from length / word-shape / stopword ratios —
     * the standard cheap filters applied before LLM training. All ratios are
     * quotients of exact integer counts, rounded at the edge. */
-  /** (word count, rounded quality score) of the `text` column — one
-    * expression tree shared by the batch query and the streaming export,
-    * so both engines and both execution modes evaluate identical IEEE
-    * doubles. */
-  private[graft] def qualityCols: (Column, Column) = {
+  /** The quality-scoring expression trees over the `text` column — built
+    * in exactly ONE place so the batch query, the streaming export and the
+    * export pipeline all evaluate identical IEEE doubles (fold order
+    * included); a divergent copy would silently split the engines. */
+  private[graft] final case class QualityExprs(nWords: Column, nStop: Column,
+                                               totalLen: Column, quality: Column)
+
+  private[graft] def qualityExprs: QualityExprs = {
     val ws = tokenize(col("text"))
     val nWords = size(ws).cast("double")
     val nStop = size(filter(ws, w => w.isin(Stopwords: _*))).cast("double")
     val totalLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("bigint")).cast("double")
     // score: reward stopword presence and moderate word length;
     // penalize very short documents.
-    (nWords,
-     duckRound(least(nWords / lit(50.0), lit(1.0)) * lit(0.5)
-       + least(nStop / nWords * lit(5.0), lit(1.0)) * lit(0.3)
-       + when(totalLen / nWords between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0)), 4))
+    QualityExprs(nWords, nStop, totalLen,
+      duckRound(least(nWords / lit(50.0), lit(1.0)) * lit(0.5)
+        + least(nStop / nWords * lit(5.0), lit(1.0)) * lit(0.3)
+        + when(totalLen / nWords between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0)), 4))
+  }
+
+  /** (word count, rounded quality score) — the pair the streaming export
+    * consumes. */
+  private[graft] def qualityCols: (Column, Column) = {
+    val q = qualityExprs
+    (q.nWords, q.quality)
   }
 
   /** `(doc_id, quality)` without the presentation sort — the form
@@ -148,18 +158,14 @@ object TextAnalysis {
   }
 
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val ws = tokenize(col("text"))
-    val nWords = size(ws).cast("double")
-    val nStop = size(filter(ws, w => w.isin(Stopwords: _*))).cast("double")
-    val totalLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("bigint")).cast("double")
-    val (_, quality) = qualityCols
+    val q = qualityExprs
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
-        nWords.cast("bigint").as("n_words"),
-        duckRound(totalLen / nWords, 4).as("avg_word_len"),
-        duckRound(nStop / nWords, 4).as("stopword_ratio"),
-        quality.as("quality"))
+        q.nWords.cast("bigint").as("n_words"),
+        duckRound(q.totalLen / q.nWords, 4).as("avg_word_len"),
+        duckRound(q.nStop / q.nWords, 4).as("stopword_ratio"),
+        q.quality.as("quality"))
       .filter(col("n_words") > 0)
       .orderBy("doc_id")
   }

@@ -123,8 +123,14 @@ object Warehouse {
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(loc)) 0
-    else fs.listStatus(loc).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    // recurse: a directory-partitioned table keeps its part- files under
+    // <col>=<value>/ subdirectories, so a top-level-only count reads 0
+    def countIn(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).map { s =>
+        if (s.isFile) { if (s.getPath.getName.startsWith("part-")) 1 else 0 }
+        else countIn(s.getPath)
+      }.sum
+    if (!fs.exists(loc)) 0 else countIn(loc)
   }
 
   private def md5Hex(s: String): String =

@@ -431,13 +431,23 @@ object EventStreams {
     val q = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // checkpointed: read twice (pair sink + clean-side anti join), and
-        // the blocks are reclaimed by the context cleaner afterwards
+        // REPLAY SAFETY: a retried micro-batch or a restarted stream must
+        // not re-append documents the index already holds — duplicated
+        // postings would inflate every later intersection count, a silent
+        // wrong Jaccard. The index's own `_sizes` table is the
+        // processed-document ledger: filtering the batch against it makes
+        // the append idempotent at document granularity with or without a
+        // configured checkpoint location. (Checkpointed because it is
+        // read twice: verification and the clean-side anti join.)
+        val fresh = batch.join(
+          spark.table(s"${prefix}_sizes").select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
         val pairs = IncrementalDedup
-          .deltaAgainst(spark, batch, prefix, p, threshold)
+          .deltaAgainst(spark, fresh, prefix, p, threshold)
           .localCheckpoint(true)
         pairs.write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(pairsTable)
-        val clean = batch.join(
+        val clean = fresh.join(
           pairs.select(col("doc_a").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         IncrementalDedup.appendToIndex(clean, prefix, p)
@@ -456,7 +466,11 @@ object EventStreams {
       // mechanism as the index tables above; matters when one pairsTable
       // accumulates across several ingest runs)
       spark.catalog.refreshTable(pairsTable)
-      spark.table(pairsTable)
+      // distinct: a DUP document is never appended to the index, so a
+      // replayed batch containing it re-verifies and re-writes its pairs;
+      // the pair set is unique by construction, so distinct-on-read
+      // restores exactly-once semantics for the served result
+      spark.table(pairsTable).distinct()
     } else {
       // no batch ever fired: an EMPTY pair frame with the real schema, so
       // downstream projections/unions resolve instead of throwing
