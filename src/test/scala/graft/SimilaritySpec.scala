@@ -114,6 +114,10 @@ class SimilaritySpec extends SparkSpecBase {
     // appended per-partition files keep the layout: probes still prune cells
     assert(res.queryExecution.executedPlan.toString.contains("dynamicpruning"),
       "appended cells table lost dynamic partition pruning")
+    // replay safety: re-appending the same delta must not duplicate it
+    Similarity.appendIvfIndex(spark, delta, prefix)
+    assert(spark.table(s"${prefix}_cells")
+      .filter(col("vec_id") === 900000L).count() === 1)
   }
 
   test("kmeansCodebook balances a SKEWED corpus: trained max cell < untrained") {

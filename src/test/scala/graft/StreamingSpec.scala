@@ -203,5 +203,18 @@ class StreamingSpec extends SparkSpecBase {
     // and the near-dup delta 2 was NOT appended (it is not a clean survivor)
     assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 200L).count() === 0)
     assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 100L).count() === 1)
+    // REPLAY SAFETY: re-ingesting delta 1 (a retried batch / restarted
+    // stream without checkpoint progress) must be a no-op — the ledger
+    // filter keeps already-indexed docs out of both the append and the
+    // pair sink, so the index holds ONE copy and Jaccard stays exact.
+    val src3 = MemoryStream[(Long, String)]
+    src3.addData((100L, text1))
+    val out3 = EventStreams.streamIngestToIndex(spark,
+      src3.toDF().toDF("doc_id", "text"), prefix, p, 0.8, "stream_ingest_pairs3")
+    assert(out3.count() === 0)
+    assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 100L).count() === 1)
+    assert(spark.table(s"${prefix}_postings").filter(col("doc_id") === 100L).count() ===
+           spark.table(s"${prefix}_sizes").filter(col("doc_id") === 100L)
+             .collect().head.getLong(1))
   }
 }
