@@ -106,6 +106,7 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => Dedup.decontaminationPairs(s, d)),
     "decontaminate_indexed" -> ((s, d) => Dedup.decontaminationIndexed(s, d)),
     "corpus_export" -> ((s, d) => Pipeline.corpusExport(s, d)),
+    "export_shards" -> ((s, d) => Pipeline.exportShards(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -262,6 +263,24 @@ object SparkEntry {
       |SELECT eval_id, train_id, CAST(inter AS DOUBLE) / sa.n AS containment
       |FROM pairs JOIN sizes sa ON eval_id = sa.doc_id
       |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.6""".stripMargin
+
+  /** The export pipeline's CTE chain, ending in `exp(doc_id, quality)` —
+    * shared by the corpus_export and export_shards oracles. */
+  private def exportCtes: String =
+    s"""WITH RECURSIVE np AS ($ngramPairsSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
+       |reach AS (SELECT a AS v, b AS r FROM edges
+       |  UNION
+       |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
+       |lbl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+       |q AS ($qualityScoreSql),
+       |cont AS (SELECT DISTINCT train_id AS doc_id FROM ($decontaminateSql) dc),
+       |exp AS (SELECT l.doc_id, q.quality
+       |  FROM lbl l JOIN q ON l.doc_id = q.doc_id
+       |  WHERE l.doc_id % 10 <> 0 AND l.cluster_id = l.doc_id AND q.quality >= 0.7
+       |    AND l.doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
 
   /** Hopping-window aggregate — the oracle for both the batch
     * (`sliding_window`) and streaming (`stream_sliding`) forms, which are
@@ -717,22 +736,18 @@ object SparkEntry {
     // corpus_export: the composed pipeline — each stage's standalone
     // oracle joined into one WITH chain (nested-WITH blocks for the
     // self-contained stages), so the composition is exactly checked too.
-    "corpus_export" ->
-      s"""WITH RECURSIVE np AS ($ngramPairsSql),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
-         |reach AS (SELECT a AS v, b AS r FROM edges
-         |  UNION
-         |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
-         |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
-         |lbl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
-         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
-         |q AS ($qualityScoreSql),
-         |cont AS (SELECT DISTINCT train_id AS doc_id FROM ($decontaminateSql) dc)
-         |SELECT l.doc_id, q.quality
-         |FROM lbl l JOIN q ON l.doc_id = q.doc_id
-         |WHERE l.doc_id % 10 <> 0 AND l.cluster_id = l.doc_id AND q.quality >= 0.7
-         |  AND l.doc_id NOT IN (SELECT doc_id FROM cont)
-         |ORDER BY l.doc_id""".stripMargin,
+    "corpus_export" -> s"$exportCtes\nSELECT doc_id, quality FROM exp ORDER BY doc_id",
+    // export_shards: the export's data-loader handoff — deterministic
+    // doc_id-mod sharding with per-shard doc/token/quality accounting.
+    "export_shards" ->
+      s"""$exportCtes,
+         |tok AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
+         |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> ''),
+         |    w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS bpe_tokens FROM documents)
+         |SELECT doc_id % 16 AS shard, count(*) AS n_docs,
+         |  CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
+         |  round(avg(quality), 4) AS avg_quality
+         |FROM exp JOIN tok USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
     // dedup_simhash: token hash = md5_number_lower on both sides, so the
     // whole sketch (bit votes → 64-bit signature → hamming ≤ 3) is exactly
     // expressible in DuckDB. The banding in the Spark plan is pure candidate

@@ -60,8 +60,10 @@ object Pipeline {
     table
   }
 
-  def corpusExport(spark: SparkSession, sfDir: String,
-                   qualityMin: Double = 0.7): DataFrame = {
+  /** The export row set `(doc_id, quality)` without the presentation sort
+    * — the form downstream compositions ([[exportShards]]) consume. */
+  private[graft] def exportUnordered(spark: SparkSession, sfDir: String,
+                                     qualityMin: Double): DataFrame = {
     val labelsTable = Dedup.ensureClusterLabels(spark, sfDir)
     val contamTable = ensureContaminationTable(spark, sfDir)
     // Non-canonical = labeled with a smaller reachable doc_id — a filter
@@ -69,13 +71,37 @@ object Pipeline {
     val nonCanonical = spark.table(labelsTable)
       .filter(col("l") =!= col("v"))
       .select(col("v").as("doc_id"))
-    // unordered stage form: a presentation sort below the export's joins
-    // would be pure wasted work
     TextAnalysis.qualityUnordered(spark, sfDir)
       .filter(col("doc_id") % 10 =!= 0)
       .filter(col("quality") >= qualityMin)
       .join(nonCanonical, Seq("doc_id"), "left_anti")
       .join(spark.table(contamTable), Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
+  }
+
+  def corpusExport(spark: SparkSession, sfDir: String,
+                   qualityMin: Double = 0.7): DataFrame =
+    exportUnordered(spark, sfDir, qualityMin).orderBy("doc_id")
+
+  /** Shard accounting for the export — the handoff to a trainer's data
+    * loader: every exported document lands in a deterministic shard
+    * (`doc_id mod nShards`, stable under re-export and shard-count-
+    * independent of cluster layout), and each shard reports its document
+    * count, total token budget and mean quality. At 100 TB this frame is
+    * what the writer uses to emit one file group per shard and what the
+    * training job reads to plan its epoch; the aggregation is one shuffle
+    * over nShards groups. */
+  def exportShards(spark: SparkSession, sfDir: String, nShards: Int = 16,
+                   qualityMin: Double = 0.7): DataFrame = {
+    import graft.functions.TextFunctions.bpeTokenCount
+    import graft.functions.NumericFunctions.duckRound
+    val tokens = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), bpeTokenCount(col("text")).as("bpe_tokens"))
+    exportUnordered(spark, sfDir, qualityMin)
+      .join(tokens, Seq("doc_id"))
+      .groupBy((col("doc_id") % nShards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum("bpe_tokens").as("total_tokens"),
+           duckRound(avg("quality"), 4).as("avg_quality"))
+      .orderBy("shard")
   }
 }
