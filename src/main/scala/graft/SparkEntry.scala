@@ -37,6 +37,7 @@ object SparkEntry {
       (_, vs) => vs.toSeq.distinct.sorted.mkString(","))),
     // -- relational breadth --
     "grep_filter" -> ((s, d) => CoreQueries.grepFilter(s, d)),
+    "grep_indexed" -> ((s, d) => CoreQueries.grepIndexed(s, d)),
     "topk_words" -> ((s, d) => CoreQueries.topkWords(s, d)),
     "agg_pricing" -> ((s, d) => Relational.aggPricing(s, d)),
     "distinct_users" -> ((s, d) => Relational.distinctUsers(s, d)),
@@ -314,6 +315,13 @@ object SparkEntry {
     "grep_filter" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE text LIKE '%spark%' AND text LIKE '%stream%' ORDER BY doc_id""".stripMargin,
+    // grep_indexed: TOKEN search (posting-list intersection), not
+    // substring match — 'spark' the word, not 'sparkly'.
+    "grep_indexed" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM t WHERE list_contains(ws, 'spark') AND list_contains(ws, 'stream'))
+        |ORDER BY doc_id""".stripMargin,
     "topk_words" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents)
         |SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word

@@ -51,6 +51,47 @@ object CoreQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Build (or fingerprint-validated reuse) the persisted INVERTED
+    * POSTINGS index `(word, doc_id)` over the corpus, bucketed by word —
+    * the text-selection accelerator: an equality filter on the bucket
+    * column reads ONE bucket of the index (bucket pruning, plan-asserted),
+    * so a term lookup is a point read instead of a corpus scan. */
+  def ensurePostingsIndex(spark: SparkSession, sfDir: String,
+                          buckets: Int = 8): String = {
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_textidx_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_postings"
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")
+    graft.sources.Warehouse.ensureDerivedTables(spark, Seq(table), fp) {
+      graft.sources.Warehouse.writeBucketed(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), explode(tokenize(col("text"))).as("word"))
+          .distinct(),
+        Seq("word"), table, buckets)
+    }
+    table
+  }
+
+  /** Index-accelerated multi-term SEARCH: documents containing EVERY query
+    * term as a token, answered from the persisted postings index — each
+    * term lookup bucket-prunes to one index bucket, the per-term posting
+    * lists intersect on doc_id, and only the (tiny) surviving id set
+    * touches the documents table. At 100 TB this is the difference between
+    * a full-corpus substring scan ([[grepFilter]] — still the right tool
+    * for arbitrary substrings) and reading two posting lists. TOKEN
+    * semantics, not substring: 'spark' matches the word, not 'sparkly' —
+    * which is what makes posting-list candidates exact, not heuristic. */
+  def grepIndexed(spark: SparkSession, sfDir: String,
+                  terms: Seq[String] = Seq("spark", "stream")): DataFrame = {
+    val idx = spark.table(ensurePostingsIndex(spark, sfDir))
+    val hits = terms
+      .map(t => idx.filter(col("word") === t).select("doc_id"))
+      .reduce((a, b) => a.join(b, Seq("doc_id")))
+    Tables.documents(spark, sfDir)
+      .join(hits, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k words by count (sort + limit on top of wc). The limit is pushed
     * into a TakeOrderedAndProject — no global sort at scale. */
   def topkWords(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =

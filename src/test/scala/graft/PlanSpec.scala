@@ -25,7 +25,7 @@ class PlanSpec extends SparkSpecBase {
     "dedup_clusters", "decontaminate", "decontaminate_indexed", "fuzzy_names",
     "join_orders_customers", "q5_region", "multi_join_agg", "brand_revenue",
     "similarity_ivf", "similarity_ivf_indexed", "knn_join", "tfidf_terms",
-    "bm25_search", "grep_filter", "topk_words", "corpus_export")
+    "bm25_search", "grep_filter", "grep_indexed", "topk_words", "corpus_export")
 
   private lazy val plans: Map[String, String] =
     heavy.map(n => n -> finalPlan(n)).toMap
@@ -102,6 +102,15 @@ class PlanSpec extends SparkSpecBase {
       s"dedup_clusters does not scan the persisted labels:\n$plan")
     assert(!plan.contains("graft_bands"),
       s"dedup_clusters still computes LSH bands inline:\n$plan")
+  }
+
+  test("indexed grep bucket-prunes each term lookup to one index bucket") {
+    // The text-selection accelerator at scale: an equality filter on the
+    // bucketed word column must read ONE bucket of the postings index,
+    // not scan it — a term lookup is a point read.
+    val plan = plans("grep_indexed")
+    assert("SelectedBucketsCount: 1 out of \\d+".r.findFirstIn(plan).isDefined,
+      s"grep_indexed does not bucket-prune its index scans:\n$plan")
   }
 
   test("indexed IVF search prunes cell partitions dynamically") {
