@@ -108,6 +108,7 @@ object SparkEntry {
     "decontaminate_indexed" -> ((s, d) => Dedup.decontaminationIndexed(s, d)),
     "corpus_export" -> ((s, d) => Pipeline.corpusExport(s, d)),
     "export_shards" -> ((s, d) => Pipeline.exportShards(s, d)),
+    "export_write" -> ((s, d) => Pipeline.exportWrite(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -149,11 +150,18 @@ object SparkEntry {
     * engines converge to bit-identical codebooks, so even the TRAINED
     * approximate index is exactly checked. Ends with `cellv(vec_id, emb,
     * cell)` — the final assignment — and `cents$iters` in scope. */
-  private def ivfCtes(numCentroids: Int, iters: Int): String = {
+  private def ivfCtes(numCentroids: Int, iters: Int): String =
+    ivfCtesExpr(numCentroids.toString, iters)
+
+  /** `ncExpr` is any SQL scalar expression for the centroid count — a
+    * literal for fixed-size indexes, or a subquery against the corpus for
+    * auto-sized ones ([[autoCellCte]]). */
+  private def ivfCtesExpr(ncExpr: String, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |iv AS (SELECT vec_id, i, CAST(floor(emb[i+1] * 1048576.0) AS BIGINT) AS ivx FROM e, range(64) t(i)),
-      |cents0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, emb AS cemb FROM e WHERE vec_id < $numCentroids),
+      |ncell AS ($autoCellCte),
+      |cents0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, emb AS cemb FROM e WHERE vec_id < $ncExpr),
       |""".stripMargin
     for (t <- 1 to iters) {
       sb ++= s"""asg$t AS (SELECT vec_id, cell FROM (
@@ -189,11 +197,23 @@ object SparkEntry {
       |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= $k
       |ORDER BY probe_id, rnk""".stripMargin
 
-  /** knn_join's oracle: the same CTE chain, then the within-cell self-join
-    * — the stored assignment is bit-identical to the re-derived one, so
-    * the persisted-index join is exactly checked too. */
-  private def knnJoinOracle(k: Int = 3, numCentroids: Int = 16, iters: Int = 3): String =
-    ivfCtes(numCentroids, iters) + s""",
+  /** The auto-sizing grid of [[graft.operators.Similarity.ivfCellGrid]]
+    * re-stated in integer-exact SQL: smallest power of two `p` with
+    * `p² ≥ count(*)` — bit shifts and integer compares only, so both
+    * engines compute the identical count from the data with no float
+    * `sqrt`/`log2` boundary to diverge on. */
+  private val autoCellCte: String =
+    "SELECT CAST(min(p) AS INTEGER) AS nc FROM " +
+      "(SELECT CAST(1 AS BIGINT) << g AS p FROM range(21) t(g)) " +
+      "WHERE p * p >= (SELECT count(*) FROM e)"
+
+  /** knn_join's oracle: the same CTE chain — with the centroid count
+    * derived from the corpus exactly as the Spark side derives it
+    * ([[autoCellCte]]) — then the within-cell self-join. The stored
+    * assignment is bit-identical to the re-derived one, so the
+    * persisted-index join AND the auto-sizing are exactly checked. */
+  private def knnJoinOracle(k: Int = 3, iters: Int = 3): String =
+    ivfCtesExpr("(SELECT nc FROM ncell)", iters) + s""",
       |s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
       |    list_cosine_similarity(a.emb, b.emb) AS cos,
       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id) AS rn
@@ -748,6 +768,18 @@ object SparkEntry {
     // export_shards: the export's data-loader handoff — deterministic
     // doc_id-mod sharding with per-shard doc/token/quality accounting.
     "export_shards" ->
+      s"""$exportCtes,
+         |tok AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
+         |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> ''),
+         |    w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS bpe_tokens FROM documents)
+         |SELECT doc_id % 16 AS shard, count(*) AS n_docs,
+         |  CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
+         |  round(avg(quality), 4) AS avg_quality
+         |FROM exp JOIN tok USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
+    // export_write: the SAME accounting recomputed from the WRITTEN shard
+    // files (Pipeline.exportWrite round-trips through parquet on disk), so
+    // a matching hash proves the files hold exactly the export.
+    "export_write" ->
       s"""$exportCtes,
          |tok AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
          |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> ''),

@@ -209,6 +209,41 @@ object IncrementalDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup pairs WITHIN one document set — the batch-local self-join the
+    * streaming ingest loop runs on each micro-batch BEFORE consulting the
+    * index: two near-dup documents arriving in the same batch are invisible
+    * to the index check (the index predates the batch), and once both are
+    * appended as clean, the `_sizes` replay ledger shields them from every
+    * later delta — a permanent recall hole unless caught here. Same
+    * LSH-candidates + exact-Jaccard-verify shape as [[deltaAgainst]], both
+    * sides the (small) batch, so the cost is batch-local. Output
+    * `(doc_a, doc_b, jaccard)` with `doc_a > doc_b`: doc_a is the document
+    * the ingest loop DROPS, keeping the smaller id as canonical — the same
+    * keep-the-smaller convention as [[Dedup.dedupClusters]]. */
+  def selfPairs(docs: DataFrame, p: IndexParams, threshold: Double): DataFrame = {
+    val postings = postingsOf(docs, p.n)
+    val bands = bandsOf(postings, p)
+    val candidates = bands.as("a")
+      .join(bands.as("b"), Seq("band", "bhash"))
+      .filter(col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = candidates
+      .join(postings.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(postings.as("pb"),
+        col("doc_b") === col("pb.doc_id") && col("pa.s") === col("pb.s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+              (col("inter").cast("double") /
+               (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Index-routed DECONTAMINATION — the scale path for the containment
     * check ([[Dedup.decontaminationPairs]] is the exact form): eval→train
     * candidates come from the persisted WIDE band table (`_cbands`, 64×2 —

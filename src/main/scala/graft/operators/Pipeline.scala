@@ -104,4 +104,47 @@ object Pipeline {
            duckRound(avg("quality"), 4).as("avg_quality"))
       .orderBy("shard")
   }
+
+  /** WRITE the export as real per-shard parquet file groups — the step
+    * [[exportShards]] only accounts for: one directory per shard
+    * (`shard=<n>/`), each holding exactly ONE file, carrying
+    * `(doc_id, quality, text, bpe_tokens)` — what a training data loader
+    * streams per worker. `repartition` on the shard column puts each
+    * shard's rows wholly in one task, so the dynamic-partitioned write
+    * emits one file per directory (the [[Warehouse.compactPartitioned]]
+    * argument); at 100 TB you'd repartition on (shard, file_seq) to bound
+    * file sizes, which only multiplies files per directory, never
+    * cross-shard reads. */
+  def writeExportShards(spark: SparkSession, sfDir: String, outDir: String,
+                        nShards: Int = 16, qualityMin: Double = 0.7): Unit = {
+    import graft.functions.TextFunctions.bpeTokenCount
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), bpeTokenCount(col("text")).as("bpe_tokens"))
+    exportUnordered(spark, sfDir, qualityMin)
+      .join(docs, Seq("doc_id"))
+      .withColumn("shard", col("doc_id") % nShards)
+      .repartition(col("shard"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(outDir)
+  }
+
+  /** Driver-contract round trip of the written export: write the shard
+    * files, then recompute the accounting FROM THE FILES — sharing
+    * [[exportShards]]'s oracle, so the bytes on disk (not the frame that
+    * produced them) are what the correctness gate checks. */
+  def exportWrite(spark: SparkSession, sfDir: String, nShards: Int = 16,
+                  qualityMin: Double = 0.7): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_export_${Warehouse.pathToken(sfDir)}_s${nShards}q${(qualityMin * 100).round}").getPath
+    writeExportShards(spark, sfDir, out, nShards, qualityMin)
+    spark.read.parquet(out)
+      // the partition-directory column reads back as INT; the oracle's
+      // doc_id % 16 is BIGINT
+      .groupBy(col("shard").cast("bigint").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum("bpe_tokens").as("total_tokens"),
+           duckRound(avg("quality"), 4).as("avg_quality"))
+      .orderBy("shard")
+  }
 }

@@ -206,7 +206,7 @@ object Similarity {
     * The fingerprint stamps are cleared to an in-flight marker around the
     * append: a crash mid-append fails the reuse gate and the next
     * [[ensureIvfIndex]] rebuilds, never reads a half-extended index. */
-  def appendIvfIndex(spark: SparkSession, delta: DataFrame, prefix: String): Unit = {
+  def appendIvfIndex(spark: SparkSession, delta: DataFrame, prefix: String): IvfDriftReport = {
     val tables = Seq(s"${prefix}_cents", s"${prefix}_cells")
     val missing = tables.filterNot(spark.catalog.tableExists)
     require(missing.isEmpty,
@@ -226,7 +226,43 @@ object Similarity {
       .insertInto(s"${prefix}_cells")
     tables.foreach(t =>
       stamps(t).foreach(fp => graft.sources.Warehouse.stampFingerprint(spark, t, fp)))
+    // measure what the class doc only promised: appends assign against a
+    // FROZEN codebook, so balance drifts — report it per append instead of
+    // letting the probe cost model silently rot
+    val report = ivfDrift(spark, prefix)
+    System.err.println(s"[ivf] $prefix post-append drift: $report")
+    report
   }
+
+  /** Cell-occupancy drift of a persisted IVF index. `skew` is
+    * max-cell / mean-cell with the mean over ALL trained cells (empty ones
+    * included — a codebook whose cells empty out is drifting just as surely
+    * as one whose max cell balloons). Both the probe cost model (a probe
+    * scans its nprobe cells → worst case tracks the max cell) and
+    * [[knnJoin]]'s Σ|cell|² degrade with skew², so past `skewBound` the
+    * report recommends retraining ([[ensureIvfIndex]] after invalidating,
+    * or a scheduled rebuild). The histogram is deciles of per-cell counts —
+    * k ≈ √N values summarized in 11, safe to log at any scale. */
+  def ivfDrift(spark: SparkSession, prefix: String,
+               skewBound: Double = 4.0): IvfDriftReport = {
+    val k = spark.table(s"${prefix}_cents").count().toInt
+    val filled = spark.table(s"${prefix}_cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val counts = (filled ++ Array.fill(k - filled.length)(0L)).sorted
+    val vecs = counts.sum
+    val mean = vecs.toDouble / k
+    val deciles = (0 to 10).map(d => counts(((counts.length - 1) * d) / 10))
+    val skew = if (mean == 0) 0.0 else counts.last / mean
+    IvfDriftReport(k, filled.length, vecs, counts.last, mean, skew, deciles,
+      rebuildRecommended = skew > skewBound)
+  }
+
+  /** See [[ivfDrift]]. `deciles(i)` is the i·10th percentile per-cell count
+    * (empty trained cells included), `deciles(10)` = the max cell. */
+  final case class IvfDriftReport(cells: Int, nonEmpty: Int, vecs: Long,
+                                  maxCell: Long, meanCell: Double, skew: Double,
+                                  deciles: Seq[Long], rebuildRecommended: Boolean)
 
   /** IVF probe against an explicit index prefix: rank the stored codebook
     * per probe, scan the `nprobe` probed cells of the partitioned store
@@ -266,21 +302,43 @@ object Similarity {
     searchIvfIndex(spark, prefix, probes, k, nprobe)
   }
 
+  /** The √N cell-count grid: smallest power of two `p` with `p² ≥ n`.
+    * This is the standard IVF sizing made DETERMINISTIC AND PORTABLE —
+    * integer shifts and an integer comparison only, so the SQL oracle
+    * computes the identical count with `1 << g` / `p*p >= count(*)` and no
+    * engine can diverge on a float `sqrt`/`log2` boundary. Snapping to
+    * powers of two keeps the count (and with it the index fingerprint and
+    * every cell assignment) stable under small corpus growth — it moves
+    * only when the corpus quadruples. Capped at 2^20 cells (10^12 vectors
+    * — beyond any single index shard). */
+  def ivfCellGrid(n: Long): Int = {
+    var p = 1L
+    while (p * p < n && p < (1L << 20)) p <<= 1
+    p.toInt
+  }
+
   /** Approximate k-NN JOIN — EVERY vector's top-k neighbors, not a probe
     * set's: the IVF-blocked self-join that turns an embedding column into
     * a neighborhood graph (near-dup clustering, graph-based diversity
     * sampling, retrieval-graph construction). Vectors compare only within
-    * their coarse cell, so the work is Σ|cell|² instead of N² — at scale
-    * the cell count grows ~√N (the standard IVF sizing), holding per-cell
-    * work flat, and the join reads the PERSISTED partitioned cells table
-    * co-blocked on both sides. Semantics: top-k among SAME-CELL vectors
-    * (the standard blocked-ANN trade, same as `dedup_embedding`'s
-    * sign-bucket blocking); vectors alone in their cell emit no rows. The
-    * stored assignment is deterministic k-means, so the whole join —
-    * training included — is SQL-oracle-checked. */
+    * their coarse cell, so the work is Σ|cell|² instead of N² — the cell
+    * count is derived from the corpus count via [[ivfCellGrid]] (~√N,
+    * snapped to a power of two), holding per-cell work ~flat at any corpus
+    * size: Σ|cell|² ≈ N²/p ≤ 4·N^1.5 on balanced cells, where a FIXED
+    * count degrades quadratically. The join reads the PERSISTED
+    * partitioned cells table co-blocked on both sides. Semantics: top-k
+    * among SAME-CELL vectors (the standard blocked-ANN trade, same as
+    * `dedup_embedding`'s sign-bucket blocking); vectors alone in their
+    * cell emit no rows. The stored assignment is deterministic k-means, so
+    * the whole join — training AND auto-sizing — is SQL-oracle-checked.
+    * `numCentroids = 0` (the default) means auto-size; an explicit count
+    * pins it (tests, tuning). */
   def knnJoin(spark: SparkSession, sfDir: String, k: Int = 3,
-              numCentroids: Int = 16, iters: Int = 3): DataFrame = {
-    val prefix = ensureIvfIndex(spark, sfDir, numCentroids, iters)
+              numCentroids: Int = 0, iters: Int = 3): DataFrame = {
+    val nc =
+      if (numCentroids > 0) numCentroids
+      else ivfCellGrid(Tables.embeddings(spark, sfDir).count())
+    val prefix = ensureIvfIndex(spark, sfDir, nc, iters)
     val cells = spark.table(s"${prefix}_cells")
     val scored = cells.as("a")
       .join(cells.as("b"),

@@ -77,20 +77,24 @@ object Warehouse {
   def compactBucketed(spark: SparkSession, table: String,
                       keys: Seq[String], buckets: Int): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    recoverStrandedCompaction(spark, table)
     val tmp = s"${table}__compact"
     val fp = storedFingerprint(spark, table)
     // writeBucketed (not a bare CTAS) so a tmp directory orphaned by a
     // crashed prior compaction is cleared instead of failing every future
     // compaction of this table. The DROP→RENAME window below is the one
     // non-atomic step this catalog offers; a crash inside it loses only
-    // the catalog entry — the compacted data survives under the tmp name.
+    // the catalog entry — the compacted data survives under the tmp name,
+    // fingerprint INCLUDED (stamped on the tmp table before the DROP, so
+    // [[recoverStrandedCompaction]] restores a reuse-gate-passing table by
+    // rename alone, never a rebuild).
     writeBucketed(
       spark.table(table)
         .repartition(buckets, pmod(hash(keys.map(col): _*), lit(buckets))),
       keys, tmp, buckets)
+    fp.foreach(stampFingerprint(spark, tmp, _))
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-    fp.foreach(stampFingerprint(spark, table, _))
   }
 
   /** Compact a directory-PARTITIONED managed table to one file per
@@ -104,17 +108,47 @@ object Warehouse {
     * the fingerprint stamp survives. */
   def compactPartitioned(spark: SparkSession, table: String, partCol: String): Unit = {
     import org.apache.spark.sql.functions.col
+    recoverStrandedCompaction(spark, table)
     val tmp = s"${table}__compact"
     val fp = storedFingerprint(spark, table)
     writePartitionedTable(
       spark.table(table).repartition(col(partCol)), partCol, tmp)
+    // fingerprint onto the tmp table BEFORE the DROP→RENAME window (same
+    // crash-recovery contract as compactBucketed)
+    fp.foreach(stampFingerprint(spark, tmp, _))
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-    // RENAME moves the table directory but the catalog's PARTITION entries
-    // still carry absolute locations under the old tmp path — without
-    // recovery the renamed table scans zero files.
-    spark.sql(s"MSCK REPAIR TABLE `$table`")
-    fp.foreach(stampFingerprint(spark, table, _))
+    repairPartitions(spark, table)
+  }
+
+  /** RENAME moves a partitioned table's directory but the catalog's
+    * PARTITION entries still carry absolute locations under the old path —
+    * without recovery the renamed table scans zero files. SYNC PARTITIONS
+    * (not plain MSCK REPAIR, which only ADDs missing entries) also DROPS
+    * stale entries, so a catalog that retained partition rows pointing at
+    * the vanished tmp location cannot leave them shadowing the real ones. */
+  private def repairPartitions(spark: SparkSession, table: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE `$table` SYNC PARTITIONS")
+
+  /** Finish a compaction that crashed inside its DROP→RENAME window: the
+    * canonical name is gone but the fully-written (and already
+    * fingerprint-stamped) data sits under the `__compact` twin. Completing
+    * the rename restores the table — including its reuse-gate stamp — so
+    * consumers whose `tableExists` check would otherwise trigger a full
+    * rebuild (losing the compacted work and any appended-only state) get
+    * the real table back for the price of a catalog op. A twin alongside a
+    * LIVE canonical table is NOT recovered — that is pre-DROP debris, and
+    * the next compaction's [[writeBucketed]]/[[writePartitionedTable]]
+    * clears it. Returns true iff a stranded twin was recovered. */
+  def recoverStrandedCompaction(spark: SparkSession, table: String): Boolean = {
+    val tmp = s"${table}__compact"
+    if (spark.catalog.tableExists(table) || !spark.catalog.tableExists(tmp)) false
+    else {
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      if (spark.catalog.listColumns(table).collect().exists(_.isPartition))
+        repairPartitions(spark, table)
+      true
+    }
   }
 
   /** Data files of a managed table's location (for compaction asserts /
@@ -168,10 +202,15 @@ object Warehouse {
 
   /** True iff every `tables` entry exists AND carries the expected source
     * fingerprint — the shared reuse gate for every fingerprint-stamped
-    * derived table family (dedup index, ranking stats, IVF index). */
+    * derived table family (dedup index, ranking stats, IVF index). A table
+    * stranded mid-compaction is first recovered ([[recoverStrandedCompaction]])
+    * — the twin carries the same stamp, so a crash between DROP and RENAME
+    * costs a rename here, not a rebuild. */
   def tablesCurrent(spark: SparkSession, tables: Seq[String], fp: String): Boolean =
-    tables.forall(t => spark.catalog.tableExists(t) &&
-      storedFingerprint(spark, t).contains(fp))
+    tables.forall { t =>
+      if (!spark.catalog.tableExists(t)) recoverStrandedCompaction(spark, t)
+      spark.catalog.tableExists(t) && storedFingerprint(spark, t).contains(fp)
+    }
 
   /** THE fingerprint-gated ensure pattern, in one place: if every table in
     * `tables` already carries `fp`, reuse; otherwise run `build` (which

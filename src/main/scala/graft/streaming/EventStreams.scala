@@ -169,6 +169,24 @@ object EventStreams {
   // Verify/Bench (warmup + timed) invocations independent.
   private val runSeq = new AtomicInteger(0)
 
+  // Every prefix that ever got a memory-sink table, so a harness can drop
+  // them ALL between measurements — each sink pins its full materialized
+  // result in driver memory for as long as its temp view exists.
+  private val sinkPrefixes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drop every memory-sink temp view this object has created — the
+    * between-queries hygiene hook for harnesses (Bench): sink data stays
+    * reachable through the session's temp-view registry until dropped, so a
+    * long run accumulates one full result set per streaming query. */
+  def dropSinkTables(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val prefixes = sinkPrefixes.asScala.toSet
+    if (prefixes.nonEmpty)
+      spark.catalog.listTables().collect()
+        .filter(t => prefixes.exists(p => t.name.startsWith(s"${p}_")))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+  }
+
   /** Replay a bounded source through a streaming query to completion and
     * return the final memory-sink table.
     *
@@ -188,6 +206,7 @@ object EventStreams {
     spark.catalog.listTables().collect()
       .filter(_.name.startsWith(s"${prefix}_"))
       .foreach(t => spark.catalog.dropTempView(t.name))
+    sinkPrefixes.add(prefix)
     val name = s"${prefix}_${runSeq.incrementAndGet()}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val streamParts = math.min(prevParts.toInt,
@@ -420,9 +439,13 @@ object EventStreams {
     * five bucketed tables + restore fingerprints) that no declarative sink
     * can express, while everything inside the batch function stays plain
     * DataFrame code shared with the batch path. Within one micro-batch,
-    * documents are compared against the index as it stood at batch start
-    * (deltaAgainst semantics); cross-batch dups are caught because each
-    * batch's survivors extend the index before the next batch runs.
+    * documents are checked BOTH against the index as it stood at batch
+    * start (deltaAgainst) AND against each other
+    * ([[graft.operators.IncrementalDedup.selfPairs]]) — without the
+    * intra-batch pass, two near-dups arriving together would both append
+    * as clean and the `_sizes` ledger would shield them from detection
+    * forever. Cross-batch dups are caught because each batch's survivors
+    * extend the index before the next batch runs.
     * Returns the accumulated verified-pair table. */
   def streamIngestToIndex(spark: SparkSession, docs: DataFrame, prefix: String,
                           p: graft.operators.IncrementalDedup.IndexParams,
@@ -431,6 +454,10 @@ object EventStreams {
     val q = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the batch's localCheckpoint truncation blocks are released at
+        // batch end — an unbounded stream must not accumulate one block
+        // set per micro-batch for the checkpoint's lifetime
+        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
         // REPLAY SAFETY: a retried micro-batch or a restarted stream must
         // not re-append documents the index already holds — duplicated
         // postings would inflate every later intersection count, a silent
@@ -443,10 +470,24 @@ object EventStreams {
           spark.table(s"${prefix}_sizes").select(col("doc_id")),
           Seq("doc_id"), "left_anti")
           .localCheckpoint(true)
+        // index pairs (batch vs store) ∪ intra-batch pairs (batch vs
+        // itself, doc_a > doc_b so doc_a is the dropped side in both)
         val pairs = IncrementalDedup
           .deltaAgainst(spark, fresh, prefix, p, threshold)
+          .unionByName(IncrementalDedup.selfPairs(fresh, p, threshold))
           .localCheckpoint(true)
-        pairs.write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(pairsTable)
+        // IDEMPOTENT append: a replayed batch's documents fail the ledger
+        // filter and never reach the index, but their pairs would be
+        // re-verified and re-written — anti-join against the stored pair
+        // KEYS first, so the table itself stays duplicate-free and serving
+        // it needs no distinct-on-read (which over an ever-growing append
+        // table is a deferred cost that compounds with stream lifetime).
+        val newPairs =
+          if (spark.catalog.tableExists(pairsTable))
+            pairs.join(spark.table(pairsTable).select("doc_a", "doc_b"),
+              Seq("doc_a", "doc_b"), "left_anti")
+          else pairs
+        newPairs.write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(pairsTable)
         val clean = fresh.join(
           pairs.select(col("doc_a").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
@@ -456,21 +497,22 @@ object EventStreams {
         // session — whose `spark.table` handles serve the next batch's
         // candidate join — must be refreshed explicitly or it keeps the
         // pre-append file listing and silently misses streamed documents.
-        IncrementalDedup.tableNames(prefix).foreach(spark.catalog.refreshTable)
+        (IncrementalDedup.tableNames(prefix) :+ pairsTable)
+          .foreach(spark.catalog.refreshTable)
+        (spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore)
+          .foreach(id => spark.sparkContext.getPersistentRDDs
+            .get(id).foreach(_.unpersist(blocking = false)))
       }
       .start()
     q.awaitTermination()
     if (spark.catalog.tableExists(pairsTable)) {
-      // the pair appends also happened under the cloned session — refresh
-      // the calling session's relation before serving it (same staleness
-      // mechanism as the index tables above; matters when one pairsTable
-      // accumulates across several ingest runs)
+      // the pair appends also happened under the cloned session; the
+      // per-batch refresh above covers batches that fired, but a run whose
+      // batches all no-op'd still needs a current relation here
       spark.catalog.refreshTable(pairsTable)
-      // distinct: a DUP document is never appended to the index, so a
-      // replayed batch containing it re-verifies and re-writes its pairs;
-      // the pair set is unique by construction, so distinct-on-read
-      // restores exactly-once semantics for the served result
-      spark.table(pairsTable).distinct()
+      // no distinct: the anti-joined append keeps the stored pair set
+      // unique by construction (spec-asserted on the TABLE, not the read)
+      spark.table(pairsTable)
     } else {
       // no batch ever fired: an EMPTY pair frame with the real schema, so
       // downstream projections/unions resolve instead of throwing

@@ -20,6 +20,7 @@ object ScaleProbe {
                             "topk_words", "fuzzy_names", "dedup_clusters", "scrub_pii",
                             "sample_hash", "dedup_incremental", "decontaminate",
                             "decontaminate_indexed", "corpus_export", "knn_join",
+                            "grep_indexed", "export_shards",
                             "pack_sequences", "mixture_sample",
                             "repetition_score", "bpe_train", "tfidf_terms",
                             "bm25_search", "stream_dedup_near")).toList

@@ -120,6 +120,31 @@ class SimilaritySpec extends SparkSpecBase {
       .filter(col("vec_id") === 900000L).count() === 1)
   }
 
+  test("ivfDrift: a skewed delta trips the rebuild-recommended signal") {
+    import spark.implicits._
+    val dim = 16
+    def axis(i: Int): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f); a(i) = 1.0f; a.toSeq
+    }
+    // 8 orthogonal seed vectors, one per cell: 1 Lloyd round keeps each
+    // centroid on its axis, so the built index is perfectly balanced
+    val base = (0 until 8).map(i => (i.toLong, axis(i))).toDF("vec_id", "embedding")
+    val prefix = "graft_ivf_drifttest"
+    Similarity.buildIvfIndexFrom(base, prefix, numCentroids = 8, iters = 1)
+    val before = Similarity.ivfDrift(spark, prefix)
+    assert(!before.rebuildRecommended && math.abs(before.skew - 1.0) < 1e-9, s"$before")
+    // delta: 92 vectors all along axis 0 — the FROZEN codebook piles every
+    // one into cell 0 (cos 1.0 vs 0.0, tie-free), exactly the drift mode
+    // the monitor exists for: 93 of 100 vectors in one cell, skew 7.44
+    val delta = (100 until 192).map(i => (i.toLong, axis(0))).toDF("vec_id", "embedding")
+    val after = Similarity.appendIvfIndex(spark, delta, prefix)
+    assert(after.rebuildRecommended, s"signal must fire on a skewed append: $after")
+    assert(after.maxCell === 93 && after.vecs === 100, s"$after")
+    assert(after.skew > 4.0, s"$after")
+    // deciles summarize the histogram: median cell is still tiny, max is the pile
+    assert(after.deciles.last === 93 && after.deciles(5) === 1, s"$after")
+  }
+
   test("kmeansCodebook balances a SKEWED corpus: trained max cell < untrained") {
     // Fixture where the comparative claim's premise actually holds: 4
     // orthogonal clusters of 40, all seeds (vec_id < 4) inside cluster A,

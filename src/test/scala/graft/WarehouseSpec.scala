@@ -173,6 +173,58 @@ class WarehouseSpec extends SparkSpecBase {
     assert(one.count() === 75)
   }
 
+  test("compaction crash between DROP and RENAME recovers by rename, not rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val t = "crash_compact_t"
+    val buckets = 4
+    Warehouse.writeBucketed(
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), Seq("k"), t, buckets)
+    Warehouse.stampFingerprint(spark, t, "fp1")
+    val expected = spark.table(t).collect().map(_.toString).sorted.toSeq
+    // Simulate compactBucketed dying INSIDE its DROP→RENAME window: the
+    // twin is fully written and fingerprint-stamped (compactBucketed stamps
+    // before the DROP for exactly this reason), the canonical entry is gone.
+    Warehouse.writeBucketed(
+      spark.table(t).repartition(buckets, pmod(hash(col("k")), lit(buckets))),
+      Seq("k"), s"${t}__compact", buckets)
+    Warehouse.stampFingerprint(spark, s"${t}__compact", "fp1")
+    spark.sql(s"DROP TABLE `$t`")
+    assert(!spark.catalog.tableExists(t))
+    // the shared reuse gate recovers — the build closure must NOT run
+    var rebuilt = false
+    Warehouse.ensureDerivedTables(spark, Seq(t), "fp1") { rebuilt = true }
+    assert(!rebuilt, "recovery must complete the rename, not rebuild")
+    assert(Warehouse.storedFingerprint(spark, t).contains("fp1"))
+    assert(spark.table(t).collect().map(_.toString).sorted.toSeq === expected)
+    assert(Warehouse.dataFileCount(spark, t) === buckets)
+    assert(!spark.catalog.tableExists(s"${t}__compact"))
+  }
+
+  test("partitioned compaction crash recovery repairs partition locations") {
+    import spark.implicits._
+    val t = "crash_compact_part_t"
+    Warehouse.writePartitionedTable(
+      (0 until 100).map(i => (i.toLong, s"v$i", i % 4)).toDF("id", "v", "k"), "k", t)
+    Warehouse.stampFingerprint(spark, t, "fp2")
+    val expected = spark.table(t).collect().map(_.toString).sorted.toSeq
+    Warehouse.writePartitionedTable(
+      spark.table(t).repartition(col("k")), "k", s"${t}__compact")
+    Warehouse.stampFingerprint(spark, s"${t}__compact", "fp2")
+    spark.sql(s"DROP TABLE `$t`")
+    assert(Warehouse.recoverStrandedCompaction(spark, t))
+    // partition entries must point at the RENAMED location: a stale-located
+    // partition scans zero files, so row equality is the real proof
+    assert(spark.table(t).collect().map(_.toString).sorted.toSeq === expected)
+    assert(Warehouse.storedFingerprint(spark, t).contains("fp2"))
+    assert(spark.table(t).filter(col("k") === 2).count() === 25)
+    // a twin next to a LIVE canonical is pre-DROP debris: not recovered
+    Warehouse.writePartitionedTable(
+      spark.table(t).repartition(col("k")), "k", s"${t}__compact")
+    assert(!Warehouse.recoverStrandedCompaction(spark, t))
+    spark.sql(s"DROP TABLE `${t}__compact`")
+  }
+
   test("partitioned parquet layout prunes partitions for a partition-column filter") {
     val path = java.nio.file.Files.createTempDirectory("graft_part").toString
     Warehouse.writePartitioned(
