@@ -28,10 +28,14 @@ import graft.sources.Tables
   * string `replace` on the space-joined symbol sequence, TWICE per round —
   * `replace`'s left-to-right non-overlapping scan plus a second pass
   * merges every non-overlapping occurrence including those sharing a
-  * separator space in a repeated-symbol run (`a a a a` → `aa aa`, matching
-  * canonical greedy BPE; odd runs leave their unpaired symbol at the
-  * position the scan isolates, which may differ from the canonical
-  * sequential scan). Both engines implement identical literal-replace
+  * separator space in a repeated-symbol run. Fidelity to canonical greedy
+  * BPE is bounded, and by run length of identical symbols: even runs ≤ 4
+  * match exactly (`a a a a` → `aa aa`); odd runs produce the canonical
+  * MULTISET but can place the leftover single elsewhere (`5×a` →
+  * `aa a aa`, canonical `aa aa a`); even runs ≥ 6 diverge outright — the
+  * non-overlapping scan strands interior singles (`6×a` → `aa a aa a`,
+  * canonical `aa aa aa`). The actual contract is not tokenizer fidelity
+  * but ENGINE LOCKSTEP: both sides implement the identical literal-replace
   * semantics, so the whole loop is SQL-oracle-checkable (unrolled CTEs,
   * one block per round — the k-means oracle technique).
   *

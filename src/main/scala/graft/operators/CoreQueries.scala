@@ -59,8 +59,12 @@ object CoreQueries {
   def ensurePostingsIndex(spark: SparkSession, sfDir: String,
                           buckets: Int = 8): String = {
     val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val table = s"graft_textidx_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_postings"
-    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")
+    // bucket count in BOTH the name and the fingerprint (the full-identity
+    // rule of Warehouse.ensureDerivedTables): a later call with a different
+    // count must get its own table, not silently reuse this layout — the
+    // bucket-pruning plan contract depends on the count it was built with
+    val table = s"graft_textidx_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_x${buckets}_postings"
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents") + s"|x$buckets"
     graft.sources.Warehouse.ensureDerivedTables(spark, Seq(table), fp) {
       graft.sources.Warehouse.writeBucketed(
         Tables.documents(spark, sfDir)

@@ -217,4 +217,41 @@ class StreamingSpec extends SparkSpecBase {
            spark.table(s"${prefix}_sizes").filter(col("doc_id") === 100L)
              .collect().head.getLong(1))
   }
+
+  test("streamed ingest: intra-batch near-dups caught, stored pairs table duplicate-free under replay") {
+    import graft.operators.IncrementalDedup
+    import graft.operators.IncrementalDedup.IndexParams
+    implicit val sc = spark.sqlContext
+    val p = IndexParams(buckets = 2)
+    val prefix = "graft_corpus_streamintra"
+    IncrementalDedup.buildIndexFrom(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"), prefix, p)
+    val text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val pairsTable = "stream_ingest_pairs_intra"
+    spark.sql(s"DROP TABLE IF EXISTS `$pairsTable`")
+    // ONE batch carrying both near-dups: the index predates the batch, so
+    // only the intra-batch self-join can see this pair — without it both
+    // docs append as clean and the ledger shields them forever
+    val src1 = MemoryStream[(Long, String)]
+    src1.addData((300L, text), (301L, text))
+    val out1 = EventStreams.streamIngestToIndex(spark,
+      src1.toDF().toDF("doc_id", "text"), prefix, p, 0.8, pairsTable)
+    assert(out1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((301L, 300L)))
+    // keep-the-smaller convention: 300 enters the index, 301 does not
+    assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 300L).count() === 1)
+    assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 301L).count() === 0)
+    // REPLAY into the SAME pairs table: 301 re-arrives (retried shard), its
+    // pair re-verifies — now against the index, which holds 300 — but the
+    // anti-joined append must keep the STORED table itself duplicate-free;
+    // serving reads the table directly, with no distinct-on-read to hide
+    // accumulation behind
+    val src2 = MemoryStream[(Long, String)]
+    src2.addData((301L, text))
+    EventStreams.streamIngestToIndex(spark,
+      src2.toDF().toDF("doc_id", "text"), prefix, p, 0.8, pairsTable)
+    val stored = spark.table(pairsTable).collect()
+    assert(stored.length === 1, s"stored pairs not unique: ${stored.mkString(";")}")
+    assert((stored.head.getLong(0), stored.head.getLong(1)) === ((301L, 300L)))
+  }
 }
