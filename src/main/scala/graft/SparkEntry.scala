@@ -35,6 +35,9 @@ object SparkEntry {
       (id, text) => TextFunctions.tokenizeScala(text).iterator
         .map(w => MapReduce.KeyValue(w, id)),
       (_, vs) => vs.toSeq.distinct.sorted.mkString(","))),
+    // -- text-interchange sources (JSONL/CSV round-trips vs the parquet oracle) --
+    "jsonl_scan" -> ((s, d) => graft.sources.Formats.jsonlScan(s, d)),
+    "csv_scan" -> ((s, d) => graft.sources.Formats.csvScan(s, d)),
     // -- relational breadth --
     "grep_filter" -> ((s, d) => CoreQueries.grepFilter(s, d)),
     "grep_indexed" -> ((s, d) => CoreQueries.grepIndexed(s, d)),
@@ -115,12 +118,36 @@ object SparkEntry {
     "similarity_ivf_indexed" -> ((s, d) => Similarity.ivfSearchIndexed(s, d)),
     "similarity_ann" -> ((s, d) => Similarity.annHyperplane(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     // -- multimodal plumbing (north star) --
     "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
     "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
     "media_resize" -> ((s, d) => Media.mediaResize(s, d)),
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
   )
+
+  private val knnBruteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id < 10),
+      |s AS (SELECT probe_id, vec_id AS neighbor_id, list_cosine_similarity(probe_emb, emb) AS cos,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, emb) DESC, vec_id) AS rn
+      |  FROM p, e WHERE vec_id <> probe_id)
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  /** recall@k of `approxSql` against `truthSql` — both nested verbatim as
+    * WITH-subqueries, so each recall oracle is literally the composition
+    * of the two search oracles it measures. */
+  private def recallOracle(truthSql: String, approxSql: String): String =
+    s"""WITH truth AS (SELECT probe_id, neighbor_id FROM ($truthSql) t),
+       |approx AS (SELECT probe_id, neighbor_id FROM ($approxSql) a),
+       |hit AS (SELECT truth.probe_id, count(*) AS n_hit
+       |  FROM truth JOIN approx USING (probe_id, neighbor_id) GROUP BY 1),
+       |tot AS (SELECT probe_id, count(*) AS n_true FROM truth GROUP BY 1)
+       |SELECT tot.probe_id AS probe_id, round(COALESCE(n_hit, 0) / CAST(n_true AS DOUBLE), 4) AS recall
+       |FROM tot LEFT JOIN hit ON tot.probe_id = hit.probe_id
+       |ORDER BY tot.probe_id""".stripMargin
 
   /** similarity_ann's oracle is generated, not hand-written: the fixed
     * random-hyperplane codebook (Similarity.hyperplanes, seed 42) is
@@ -321,6 +348,14 @@ object SparkEntry {
     "wc" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents)
         |SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    // jsonl_scan / csv_scan: the Spark side reads every document THROUGH a
+    // staged JSONL / RFC-4180 CSV encoding; the oracle reads the parquet
+    // directly — a hash match proves the text codec round-trips the whole
+    // corpus byte-faithfully (md5 crosses the staged format).
+    "jsonl_scan" ->
+      "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+    "csv_scan" ->
+      "SELECT doc_id, source, n_chars, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
     "ii" ->
       """WITH toks AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents) WHERE word <> '')
         |SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS docs
@@ -825,14 +860,13 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
-    "similarity_knn" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id < 10),
-        |s AS (SELECT probe_id, vec_id AS neighbor_id, list_cosine_similarity(probe_emb, emb) AS cos,
-        |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, emb) DESC, vec_id) AS rn
-        |  FROM p, e WHERE vec_id <> probe_id)
-        |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
-        |ORDER BY probe_id, rnk""".stripMargin,
+    "similarity_knn" -> knnBruteSql,
+    // recall harness: approximate result ∩ exact truth per probe — the
+    // truth/approx sides are each their full standalone oracle nested as a
+    // WITH-subquery (the corpus_export composition technique), so the
+    // METRIC is exactly checked on top of two exactly-checked searches.
+    "ann_recall" -> recallOracle(knnBruteSql, annOracle),
+    "ivf_recall" -> recallOracle(knnBruteSql, ivfOracle()),
     "media_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

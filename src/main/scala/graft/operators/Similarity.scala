@@ -363,6 +363,40 @@ object Similarity {
     Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Recall of an approximate search against the exact truth — the
+    * measurement every ANN deployment is tuned by (bits/nprobe trade
+    * recall for scan fraction; without measuring it the trade is blind).
+    * Per probe: |approx ∩ truth| / |truth| over the (probe_id,
+    * neighbor_id) pairs. Both inputs are deterministic here, so the
+    * metric itself is SQL-oracle-checked — the recall HARNESS is proven
+    * correct, not just the searches it measures. Cost: two semi-joined
+    * aggregates over k·|probes| rows — negligible next to the searches. */
+  def searchRecall(truth: DataFrame, approx: DataFrame): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    val t = truth.select("probe_id", "neighbor_id")
+    val tot = t.groupBy("probe_id").agg(count(lit(1)).as("n_true"))
+    val hit = t.join(approx.select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        duckRound(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_true").cast("double"), 4).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  /** Recall@k of the hyperplane-LSH search vs brute force. */
+  def annRecall(spark: SparkSession, sfDir: String,
+                numProbes: Int = 10, k: Int = 5): DataFrame =
+    searchRecall(knnBrute(spark, sfDir, numProbes, k),
+                 annHyperplane(spark, sfDir, numProbes, k))
+
+  /** Recall@k of the trained-IVF search (nprobe cells) vs brute force. */
+  def ivfRecall(spark: SparkSession, sfDir: String,
+                numProbes: Int = 10, k: Int = 5): DataFrame =
+    searchRecall(knnBrute(spark, sfDir, numProbes, k),
+                 ivfSearch(spark, sfDir, numProbes, k))
+
   def annHyperplane(spark: SparkSession, sfDir: String,
                     numProbes: Int = 10, k: Int = 5,
                     bits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {

@@ -167,6 +167,37 @@ object Warehouse {
     if (!fs.exists(loc)) 0 else countIn(loc)
   }
 
+  /** One table's file-count health: `units` is the table's natural file
+    * quantum (bucket count for bucketed tables, live partition count for
+    * partitioned ones, 1 otherwise), so `files/units` is the read fan-in
+    * multiplier appends have accumulated since the last compaction. */
+  final case class TableHealth(table: String, files: Int, units: Int,
+                               compactRecommended: Boolean)
+
+  /** Compaction-health report over persisted table families — the
+    * monitoring half of the append-based maintenance story (the
+    * storage-layout sibling of [[graft.operators.Similarity.ivfDrift]]):
+    * every [[appendBucketed]] / partition append
+    * adds a file per touched unit, and read fan-in grows with ingest
+    * cadence until a compaction ([[compactBucketed]] /
+    * [[compactPartitioned]]) resets it. A table whose file count exceeds
+    * `factor`× its unit count is flagged. Pure catalog/filesystem metadata
+    * — no data scan, safe to run on every ingest tick. */
+  def maintenanceReport(spark: SparkSession, tables: Seq[String],
+                        factor: Int = 4): Seq[TableHealth] =
+    tables.map { t =>
+      val files = dataFileCount(spark, t)
+      val buckets = spark.sql(s"DESCRIBE FORMATTED `$t`").collect()
+        .collectFirst { case r if r.getString(0).trim == "Num Buckets" =>
+          r.getString(1).trim.toInt }
+      val units = buckets.getOrElse {
+        if (spark.catalog.listColumns(t).collect().exists(_.isPartition))
+          math.max(spark.sql(s"SHOW PARTITIONS `$t`").count().toInt, 1)
+        else 1
+      }
+      TableHealth(t, files, units, files > units.toLong * factor)
+    }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -120,6 +120,17 @@ class SimilaritySpec extends SparkSpecBase {
       .filter(col("vec_id") === 900000L).count() === 1)
   }
 
+  test("searchRecall: truth-vs-itself is 1.0; approximate recalls are sane and deterministic") {
+    val truth = Similarity.knnBrute(spark, sf0001)
+    val self = Similarity.searchRecall(truth, truth).collect()
+    assert(self.length === 10 && self.forall(_.getDouble(1) === 1.0))
+    val ann = Similarity.annRecall(spark, sf0001).collect()
+    assert(ann.length === 10, "one recall row per probe, misses included (left join)")
+    assert(ann.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    val again = Similarity.annRecall(spark, sf0001).collect()
+    assert(again.map(_.toString).toSeq === ann.map(_.toString).toSeq)
+  }
+
   test("ivfDrift: a skewed delta trips the rebuild-recommended signal") {
     import spark.implicits._
     val dim = 16

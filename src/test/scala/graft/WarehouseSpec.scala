@@ -225,6 +225,29 @@ class WarehouseSpec extends SparkSpecBase {
     spark.sql(s"DROP TABLE `${t}__compact`")
   }
 
+  test("maintenanceReport flags append fan-in and clears after compaction") {
+    import spark.implicits._
+    val buckets = 4
+    val t = "health_t"
+    def chunk(from: Int, to: Int) =
+      (from until to).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Warehouse.writeBucketed(chunk(0, 40), Seq("k"), t, buckets)
+    // five appends: fan-in grows to ~6 files per bucket — past factor 4
+    (1 to 5).foreach(i => Warehouse.appendBucketed(chunk(i * 40, i * 40 + 40), Seq("k"), t, buckets))
+    val before = Warehouse.maintenanceReport(spark, Seq(t)).head
+    assert(before.units === buckets)
+    assert(before.compactRecommended, s"$before")
+    Warehouse.compactBucketed(spark, t, Seq("k"), buckets)
+    val after = Warehouse.maintenanceReport(spark, Seq(t)).head
+    assert(!after.compactRecommended && after.files === buckets, s"$after")
+    // partitioned tables report live partition count as their unit
+    val pt = "health_part_t"
+    Warehouse.writePartitionedTable(
+      (0 until 40).map(i => (i.toLong, i % 4)).toDF("id", "k"), "k", pt)
+    val p = Warehouse.maintenanceReport(spark, Seq(pt)).head
+    assert(p.units === 4 && !p.compactRecommended, s"$p")
+  }
+
   test("partitioned parquet layout prunes partitions for a partition-column filter") {
     val path = java.nio.file.Files.createTempDirectory("graft_part").toString
     Warehouse.writePartitioned(
