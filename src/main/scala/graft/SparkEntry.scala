@@ -69,6 +69,7 @@ object SparkEntry {
     "user_paths" -> ((s, d) => Analytics.userPaths(s, d)),
     "top_supplier" -> ((s, d) => Analytics.topSupplierPerNation(s, d)),
     "order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
+    "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -80,6 +81,7 @@ object SparkEntry {
     "stream_dedup_near" -> ((s, d) => graft.streaming.EventStreams.streamNearDupQuery(s, d)),
     "stream_sessions" -> ((s, d) => graft.streaming.EventStreams.streamSessionsQuery(s, d)),
     "stream_export" -> ((s, d) => graft.streaming.EventStreams.streamExportQuery(s, d)),
+    "stream_ingest" -> ((s, d) => graft.streaming.EventStreams.streamIngestQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -93,6 +95,7 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "pack_sequences_sharded" -> ((s, d) => TextAnalysis.packSequencesSharded(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
@@ -495,6 +498,20 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // quantile_sketch: the binned-histogram sketch re-run in integer-exact
+    // SQL — cents quantization, integer-division bin ids, integer quantile
+    // targets, midpoint estimate. Every arithmetic step is integral, so
+    // the approximate sketch hash-matches exactly (the dedup_minhash
+    // philosophy applied to numeric sketching).
+    "quantile_sketch" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx, count(*) AS n FROM c),
+        |h AS (SELECT (cents - mn) * 1024 // (mx - mn + 1) AS bin, count(*) AS cnt FROM c, b GROUP BY 1),
+        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+        |qv AS (SELECT unnest([50, 90, 95, 99]) AS q),
+        |t AS (SELECT q, min(bin) AS bin FROM qv, cum, b WHERE cum >= (q * n + 99) // 100 GROUP BY q)
+        |SELECT q, CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_price
+        |FROM t, b ORDER BY q""".stripMargin,
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
         |c AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
@@ -699,6 +716,27 @@ object SparkEntry {
         |  CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
         |  CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    // pack_sequences_sharded: the production-shard-count form — local
+    // prefix sums per (lang, shard), shard bases from an exclusive running
+    // sum of per-shard sequence counts; identical integer arithmetic on
+    // both engines, window frames stated explicitly.
+    "pack_sequences_sharded" ->
+      """WITH d AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ts FROM documents),
+        |t AS (SELECT doc_id, lang, CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS n_tokens FROM d),
+        |c AS (SELECT lang, doc_id % 4 AS shard, doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id) AS BIGINT) AS cum
+        |      FROM t WHERE n_tokens > 0),
+        |l AS (SELECT lang, shard, doc_id, n_tokens,
+        |        CAST((cum - n_tokens) // 2048 AS BIGINT) AS ls,
+        |        CAST((cum - 1) // 2048 AS BIGINT) AS le
+        |      FROM c),
+        |b AS (SELECT lang, shard, CAST(COALESCE(sum(n_seq) OVER (PARTITION BY lang ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+        |      FROM (SELECT lang, shard, max(le) + 1 AS n_seq FROM l GROUP BY lang, shard) s)
+        |SELECT l.lang, l.shard, doc_id, n_tokens,
+        |  base + ls AS start_seq, base + le AS end_seq, le - ls + 1 AS n_seqs
+        |FROM l JOIN b ON l.lang = b.lang AND l.shard = b.shard
+        |ORDER BY l.lang, doc_id""".stripMargin,
     // mixture_sample: per-source weighted rates in content-hash order;
     // quota arithmetic is pure integers so both engines agree exactly.
     "mixture_sample" ->
@@ -780,6 +818,35 @@ object SparkEntry {
     // the exact cross-split trigram-Jaccard join (same argument as
     // dedup_minhash), which is directly expressible in DuckDB.
     "dedup_incremental" -> incrementalOracle,
+    // stream_ingest: the closed ingest loop's exact operational semantics
+    // as sequential CTEs — batch 0 pairs vs corpus + intra-batch (larger
+    // id flagged), clean batch-0 survivors extend the index, batch 1 pairs
+    // vs corpus ∪ clean batch 0 + intra-batch. LSH candidates + exact
+    // verification equal the exact Jaccard join at the threshold (the
+    // standing dedup_minhash argument), so the loop is exactly checkable.
+    "stream_ingest" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |jp AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT x, y, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+        |  FROM jp JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |grp AS (SELECT doc_id, CASE WHEN doc_id % 10 <> 0 THEN -1 ELSE (doc_id // 10) % 2 END AS g FROM documents),
+        |p0 AS (SELECT j.x AS doc_a, j.y AS doc_b, j.j FROM jac j
+        |  JOIN grp ga ON j.x = ga.doc_id JOIN grp gb ON j.y = gb.doc_id
+        |  WHERE ga.g = 0 AND (gb.g = -1 OR (gb.g = 0 AND j.x > j.y))),
+        |c0 AS (SELECT doc_id FROM grp WHERE g = 0 AND doc_id NOT IN (SELECT doc_a FROM p0)),
+        |p1 AS (SELECT j.x AS doc_a, j.y AS doc_b, j.j FROM jac j
+        |  JOIN grp ga ON j.x = ga.doc_id JOIN grp gb ON j.y = gb.doc_id
+        |  WHERE ga.g = 1 AND (gb.g = -1 OR gb.doc_id IN (SELECT doc_id FROM c0)
+        |                      OR (gb.g = 1 AND j.x > j.y)))
+        |SELECT doc_a, doc_b, j AS jaccard FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1) u
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // stream_dedup_near: the SAME incremental pipeline run as a streaming
     // query (stateless per-row signatures + stream-static index join +
     // dropDuplicates + array-intersect verification) — the emitted verified

@@ -145,4 +145,43 @@ object Analytics {
       .filter(col("n_gaps") > 0)
       .orderBy("o_custkey")
   }
+
+  /** Fixed-bin HISTOGRAM quantiles over `l_extendedprice` — the sketch
+    * that replaces `percentile` at scale: exact percentiles need the
+    * column sorted (a global shuffle of every row), while this is two
+    * map-side-combined aggregates whose shuffled state is ≤ `bins` rows
+    * regardless of corpus size. Error is bounded by the bin width
+    * ((max−min)/bins — ~0.1% of the range at 1024 bins), which is the
+    * standard monitoring/tuning trade.
+    *
+    * Every step is INTEGER-exact so the sketch differentially checks
+    * against DuckDB: prices quantized to cents (2-decimal data, so the
+    * float round is unambiguous), bin ids and quantile targets computed in
+    * integer division, the estimate emitted as the bin's midpoint cents.
+    * The 1-row bounds frame joins in via broadcast — no driver collect.
+    * Output: `(q, est_price)` for q ∈ {50, 90, 95, 99}. */
+  def quantileSketch(spark: SparkSession, sfDir: String,
+                     bins: Int = 1024, qs: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min("cents").as("mn"), max("cents").as("mx"),
+                           count(lit(1)).as("n"))
+    val binned = cents.crossJoin(broadcast(bounds))
+      .select(expr(s"(cents - mn) * $bins div (mx - mn + 1)").as("bin"),
+              col("mn"), col("mx"), col("n"))
+      .groupBy("bin", "mn", "mx", "n").agg(count(lit(1)).as("cnt"))
+    // ≤ bins rows from here on: the global-order window is over the sketch,
+    // not the data
+    val withCum = binned.withColumn("cum",
+      sum("cnt").over(Window.orderBy("bin")))
+    withCum.join(broadcast(qs.toDF("q")),
+        col("cum") >= expr("(q * n + 99) div 100"))
+      .groupBy("q").agg(min("bin").as("bin"),
+                        first("mn").as("mn"), first("mx").as("mx"))
+      .select(col("q"),
+        (expr(s"mn + (2 * bin + 1) * (mx - mn + 1) div ${2L * bins}")
+          .cast("double") / 100.0).as("est_price"))
+      .orderBy("q")
+  }
 }

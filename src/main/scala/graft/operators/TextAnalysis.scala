@@ -77,6 +77,47 @@ object TextAnalysis {
       .orderBy("lang", "doc_id")
   }
 
+  /** [[packSequences]] at PRODUCTION shard counts — the refinement the
+    * per-lang form's doc promises: a language's whole token stream through
+    * one window partition caps parallelism at the language count (and the
+    * largest language IS most of a web corpus), so here documents are
+    * sharded (`doc_id mod nShards`), each (lang, shard) packs its own
+    * stream independently, and sequence ids are offset by the shard's BASE
+    * (running total of preceding shards' sequence counts within the lang,
+    * each shard padding its tail sequence rather than spanning into the
+    * next — the property that makes shards independently writable and
+    * re-packable). The base computation is a window over nShards rows per
+    * language — the heavy prefix-sum runs at lang×shard parallelism, the
+    * cross-shard coupling is metadata-sized. Output adds `shard`; sequence
+    * ids stay globally unique and dense per language. */
+  def packSequencesSharded(spark: SparkSession, sfDir: String,
+                           budget: Int = 2048, nShards: Int = 4): DataFrame = {
+    val perShard = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    val local = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), bpeTokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", col("doc_id") % nShards)
+      .withColumn("cum", sum("n_tokens").over(perShard))
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("ls"),
+        expr(s"(cum - 1) div $budget").as("le"))
+    // per-(lang, shard) sequence counts → exclusive running base per lang;
+    // nShards rows per language, metadata-sized at any corpus scale
+    val byLangShard = Window.partitionBy("lang").orderBy("shard")
+    val bases = local.groupBy("lang", "shard")
+      .agg((max("le") + 1).as("n_seq"))
+      .withColumn("base", coalesce(
+        sum("n_seq").over(byLangShard.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("lang"), col("shard"), col("base"))
+    local.join(broadcast(bases), Seq("lang", "shard"))
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+        (col("base") + col("ls")).as("start_seq"),
+        (col("base") + col("le")).as("end_seq"),
+        (col("le") - col("ls") + 1).as("n_seqs"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Training-data MIXING — the source-reweighting step between a cleaned
     * corpus and sequence packing: each source contributes a deterministic
     * fraction of its documents (rate = weight/4, weight = source number

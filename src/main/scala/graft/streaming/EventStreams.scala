@@ -423,6 +423,60 @@ object EventStreams {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Driver-contract form of the closed ingest loop ([[streamIngestToIndex]])
+    * — the whole cycle as ONE oracle-checked query: the corpus index is
+    * (re)built from the non-delta shard, the delta shard arrives as a real
+    * file stream in TWO micro-batches (`(doc_id div 10) % 2` split, file
+    * mtimes forcing batch order, `maxFilesPerTrigger=1` forcing the cut),
+    * and the returned frame is the accumulated verified-pair table.
+    *
+    * What the oracle must therefore model — and does, as sequential CTEs:
+    * batch-0 docs pair against the corpus AND each other (intra-batch,
+    * larger id flagged); batch-0's clean survivors join the index; batch-1
+    * docs pair against corpus ∪ clean batch-0 AND each other. A batch-1
+    * near-dup of a FLAGGED batch-0 doc is correctly absent (the dup never
+    * entered the index) — the oracle states the loop's exact operational
+    * semantics, not a batch approximation of them.
+    *
+    * The private `graft_ingest_*` tables are dropped and rebuilt at entry:
+    * the loop MUTATES its index, so deterministic replay requires starting
+    * from the corpus-only state (idempotence of a re-run against the
+    * mutated index is spec-covered separately; the driver gate wants the
+    * same rows every invocation). */
+  def streamIngestQuery(spark: SparkSession, sfDir: String,
+                        threshold: Double = 0.8): DataFrame = {
+    import graft.operators.IncrementalDedup
+    val p = IncrementalDedup.IndexParams()
+    val prefix = s"graft_ingest_${graft.sources.Warehouse.pathToken(sfDir)}"
+    val pairsTable = s"${prefix}_pairs"
+    (IncrementalDedup.tableNames(prefix) :+ pairsTable)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    IncrementalDedup.buildIndexFrom(
+      docs.filter(col("doc_id") % 10 =!= 0), prefix, p)
+    val delta = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    // two single-file parquet drops with ordered mtimes: FileStreamSource
+    // processes oldest-first, maxFilesPerTrigger=1 cuts one batch per file
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_stream")
+    dir.toFile.deleteOnExit()
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = dir.resolve(s"${name}_w")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+      val dest = dir.resolve(s"$name.parquet").toFile
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
+      dest.deleteOnExit()
+    }
+    stage(delta.filter(expr("(doc_id div 10) % 2 = 0")), "b0", 1000000L)
+    stage(delta.filter(expr("(doc_id div 10) % 2 = 1")), "b1", 2000000L)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    streamIngestToIndex(spark, stream, prefix, p, threshold, pairsTable)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Streaming ingest loop WITH index extension — the closed production
     * cycle [[streamNearDupQuery]] only detects half of: per micro-batch,
     * arriving documents are verified against the persisted index

@@ -8,6 +8,57 @@ import graft.operators.{Analytics, Ranking, TextAnalysis}
   * specs pin the semantic properties that must survive refactors). */
 class AnalyticsSpec extends SparkSpecBase {
 
+  test("quantileSketch: binned estimates track exact percentiles within one bin width") {
+    import spark.implicits._
+    val est = Analytics.quantileSketch(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(est.keySet === Set(50, 90, 95, 99))
+    val prices = graft.sources.Tables.lineitem(spark, sf0001)
+      .select("l_extendedprice").as[Double].collect().sorted
+    val n = prices.length
+    val width = (prices.last - prices.head) / 1024
+    est.foreach { case (q, e) =>
+      // same target rank the sketch uses: smallest index with cum ≥ ⌈qn/100⌉
+      val exact = prices(((q * n + 99) / 100 - 1).max(0).min(n - 1))
+      assert(math.abs(e - exact) <= width + 0.01,
+        s"q$q: est $e vs exact $exact exceeds bin width $width")
+    }
+    // determinism: the sketch is integer-exact, so re-runs are identical
+    val again = Analytics.quantileSketch(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(again === est)
+  }
+
+  test("packSequencesSharded: per-lang ids dense from 0, shard blocks contiguous and disjoint") {
+    val rows = TextAnalysis.packSequencesSharded(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      // every shard owns one contiguous id block; blocks tile [0, total)
+      val blocks = rs.groupBy(_._2).values
+        .map(ss => (ss.map(_._5).min, ss.map(_._6).max)).toSeq.sorted
+      assert(blocks.head._1 === 0L, s"$lang ids must start at 0: $blocks")
+      blocks.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) =>
+          assert(s2 === e1 + 1, s"$lang shard blocks not abutting: $blocks")
+        case _ =>
+      }
+      // within a shard, consecutive docs abut or share a boundary sequence
+      rs.groupBy(_._2).values.foreach { ss =>
+        ss.sortBy(_._3).toSeq.sliding(2).foreach {
+          case Seq(a, b) => assert(b._5 - a._6 <= 1 && b._5 >= a._5,
+            s"$lang shard ${a._2}: doc ranges tear between $a and $b")
+          case _ =>
+        }
+      }
+    }
+    // doc set and token counts agree with the unsharded form
+    val unsharded = graft.operators.TextAnalysis.packSequences(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows.map(r => (r._1, r._3, r._4)).sorted.toSeq === unsharded)
+  }
+
   test("range_join tiers partition orders completely and disjointly") {
     val n = graft.sources.Tables.orders(spark, sf0001).count()
     val tiers = Analytics.rangeJoinTiers(spark, sf0001).collect()

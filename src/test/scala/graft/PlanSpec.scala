@@ -30,6 +30,12 @@ class PlanSpec extends SparkSpecBase {
   private lazy val plans: Map[String, String] =
     heavy.map(n => n -> finalPlan(n)).toMap
 
+  test("quantile_sketch combines map-side: the shuffle carries the sketch, not the rows") {
+    val plan = finalPlan("quantile_sketch")
+    assert(plan.contains("partial_count"),
+      s"bin histogram lost its partial aggregation (every row would shuffle):\n$plan")
+  }
+
   test("no expensive query plans a CartesianProduct") {
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),
