@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, ChunkStats, CosineSimilarity, MinHashAgg, MinHashArr, ShingleArray, SimHash}
+import graft.functions.expressions.{BandHashes, ChunkStats, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -51,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_bands(signature, numBands, rowsPerBand)")
         BandHashes(args.head, intArg(args(1)), intArg(args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kmv(value, k) — distinct-count sketch aggregate")
+        KmvAgg(args.head, intArg(args(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),

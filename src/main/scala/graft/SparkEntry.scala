@@ -44,6 +44,7 @@ object SparkEntry {
     "topk_words" -> ((s, d) => CoreQueries.topkWords(s, d)),
     "agg_pricing" -> ((s, d) => Relational.aggPricing(s, d)),
     "distinct_users" -> ((s, d) => Relational.distinctUsers(s, d)),
+    "distinct_sketch" -> ((s, d) => Relational.distinctSketch(s, d)),
     "join_orders_customers" -> ((s, d) => Relational.joinOrdersCustomers(s, d)),
     "multi_join_agg" -> ((s, d) => Relational.multiJoinAgg(s, d)),
     "q5_region" -> ((s, d) => Relational.regionRevenue(s, d)),
@@ -396,6 +397,19 @@ object SparkEntry {
     "distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // distinct_sketch: the KMV estimator replayed exactly — same 63-bit
+    // md5 hash (md5_number_lower mod 2^63), same k-th-smallest selection,
+    // same one-division estimate ((k−1)·2⁶³ is a 6-significant-bit double,
+    // exact) — so the approximate count hash-matches bit for bit.
+    "distinct_sketch" ->
+      """WITH h AS (SELECT event_type, CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS hv FROM events),
+        |d AS (SELECT DISTINCT event_type, hv FROM h),
+        |r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS nd FROM d)
+        |SELECT event_type, round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |    ELSE 63.0 * 9223372036854775808.0 / CAST(hv AS DOUBLE) END, 4) AS est_users
+        |FROM r WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END
+        |ORDER BY event_type""".stripMargin,
     "join_orders_customers" ->
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey

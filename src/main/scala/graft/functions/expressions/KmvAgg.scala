@@ -1,0 +1,98 @@
+package graft.functions.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TextAnalysis
+
+/** `graft_kmv(value, k)` — K-Minimum-Values distinct-count sketch as a
+  * first-class Catalyst AGGREGATE (Bar-Yossef et al., RANDOM'02): keep the
+  * `k` smallest distinct hash values seen; if fewer than `k` were ever
+  * held, that count IS the exact distinct count, otherwise the k-th
+  * smallest hash `h_k` estimates the cardinality as `(k−1)·2⁶³ / h_k`
+  * (hashes uniform on [0, 2⁶³)). Standard error ≈ 1/√(k−2) — ~13% at the
+  * default k=64 for 520 bytes of state.
+  *
+  * The scale contract mirrors [[MinHashAgg]]: `merge` (union, re-trim to
+  * the k smallest) is associative and commutative, so Catalyst plans
+  * partial_kmv → shuffle-by-group → final_kmv and the shuffle carries one
+  * ≤k-long buffer per group per map partition — where `count(DISTINCT x)`
+  * shuffles every distinct value. The same property makes it legal in
+  * streaming aggregations.
+  *
+  * Differential gate: the hash is [[TextAnalysis.md5Low64]] masked to 63
+  * bits — DuckDB's `md5_number_lower(v) % 2⁶³` exactly — and the estimate
+  * arithmetic is one exact integer-product double division, so this
+  * APPROXIMATE sketch hash-matches its SQL oracle bit for bit (the
+  * dedup_minhash philosophy: approximate in cost, exact in check). */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k >= 2, s"graft_kmv needs k >= 2, got $k")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], hv: Long): Unit = {
+    buf.add(hv)
+    if (buf.size > k) buf.pollLast() // keep the k smallest
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      add(buf, TextAnalysis.md5Low64(v.asInstanceOf[UTF8String].toString) & Long.MaxValue)
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+                     b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble * 9223372036854775808.0 / buf.last().toDouble
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvAgg =
+    copy(child = newChild)
+}

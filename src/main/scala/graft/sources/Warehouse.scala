@@ -24,14 +24,23 @@ object Warehouse {
     * columns to EQUAL the join keys (the planner disables the bucketed read
     * on a subset match), so index tables bucket on the full key tuple. */
   def writeBucketed(df: DataFrame, keys: Seq[String], table: String, buckets: Int): Unit = {
-    val spark = df.sparkSession
-    // A fresh session doesn't know tables a previous JVM wrote: the catalog
-    // entry is gone but the managed location survives, and CTAS refuses a
-    // non-empty location. Drop whatever the catalog has (a managed-table
-    // DROP removes its own data at its catalog-recorded location), then
-    // clear any orphaned default-db directory — but only after verifying it
-    // actually is a Spark-written dataset (parquet part files / _SUCCESS),
-    // never an unrelated directory that happens to share the name.
+    dropTableAndLocation(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Drop a managed table AND its on-disk location, cross-JVM safe: a
+    * fresh session doesn't know tables a previous JVM wrote — the catalog
+    * entry is gone (so `DROP TABLE IF EXISTS` no-ops) but the managed
+    * location survives, and the next `saveAsTable` refuses the non-empty
+    * directory (`LOCATION_ALREADY_EXISTS`). Clear the orphaned default-db
+    * directory too — but only after verifying it actually is a
+    * Spark-written dataset (parquet part files / _SUCCESS / partition
+    * dirs), never an unrelated directory that happens to share the name. */
+  def dropTableAndLocation(spark: SparkSession, table: String,
+                           partCol: Option[String] = None): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
@@ -39,16 +48,13 @@ object Warehouse {
     if (fs.exists(loc)) {
       val entries = fs.listStatus(loc).map(_.getPath.getName)
       val looksLikeTable = entries.isEmpty ||
-        entries.exists(n => n == "_SUCCESS" || n.startsWith("part-"))
+        entries.exists(n => n == "_SUCCESS" || n.startsWith("part-") ||
+          partCol.exists(c => n.startsWith(s"$c=")))
       require(looksLikeTable,
         s"refusing to clear orphaned table location $loc: contents ${entries.take(5).mkString(",")} " +
           "do not look like a Spark-written table")
       fs.delete(loc, true)
     }
-    df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
   }
 
   /** Append into an existing bucketed table with the SAME bucket spec — the
@@ -280,21 +286,7 @@ object Warehouse {
     * the scan to exactly the joined partitions at runtime. Same cross-
     * session orphan handling as [[writeBucketed]]. */
   def writePartitionedTable(df: DataFrame, partCol: String, table: String): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) {
-      val entries = fs.listStatus(loc).map(_.getPath.getName)
-      val looksLikeTable = entries.isEmpty ||
-        entries.exists(n => n == "_SUCCESS" || n.startsWith("part-") ||
-          n.startsWith(s"$partCol="))
-      require(looksLikeTable,
-        s"refusing to clear orphaned table location $loc: contents ${entries.take(5).mkString(",")} " +
-          "do not look like a Spark-written table")
-      fs.delete(loc, true)
-    }
+    dropTableAndLocation(df.sparkSession, table, Some(partCol))
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol).saveAsTable(table)
   }
 }

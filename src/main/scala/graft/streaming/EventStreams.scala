@@ -449,8 +449,12 @@ object EventStreams {
     val p = IncrementalDedup.IndexParams()
     val prefix = s"graft_ingest_${graft.sources.Warehouse.pathToken(sfDir)}"
     val pairsTable = s"${prefix}_pairs"
+    // dropTableAndLocation, not bare DROP: a previous JVM's pairs table is
+    // invisible to this catalog but its location survives, and the first
+    // in-stream saveAsTable would refuse it (the index tables go through
+    // writeBucketed, which clears its own orphans)
     (IncrementalDedup.tableNames(prefix) :+ pairsTable)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      .foreach(t => graft.sources.Warehouse.dropTableAndLocation(spark, t))
     val docs = graft.sources.Tables.documents(spark, sfDir)
     IncrementalDedup.buildIndexFrom(
       docs.filter(col("doc_id") % 10 =!= 0), prefix, p)
@@ -459,22 +463,27 @@ object EventStreams {
     // processes oldest-first, maxFilesPerTrigger=1 cuts one batch per file
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_stream")
     dir.toFile.deleteOnExit()
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = dir.resolve(s"${name}_w")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
-      val dest = dir.resolve(s"$name.parquet").toFile
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(mtime)
-      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
-      dest.deleteOnExit()
-    }
-    stage(delta.filter(expr("(doc_id div 10) % 2 = 0")), "b0", 1000000L)
-    stage(delta.filter(expr("(doc_id div 10) % 2 = 1")), "b1", 2000000L)
+    stageStreamFile(delta.filter(expr("(doc_id div 10) % 2 = 0")), dir, "b0", 1000000L)
+    stageStreamFile(delta.filter(expr("(doc_id div 10) % 2 = 1")), dir, "b1", 2000000L)
     val stream = spark.readStream.schema(delta.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     streamIngestToIndex(spark, stream, prefix, p, threshold, pairsTable)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Drop one single-file parquet batch into a file-stream directory with
+    * a controlled modification time — FileStreamSource processes files
+    * oldest-first, so staged mtimes define micro-batch order exactly. */
+  private[graft] def stageStreamFile(df: DataFrame, dir: java.nio.file.Path,
+                                     name: String, mtime: Long): Unit = {
+    val tmp = dir.resolve(s"${name}_w")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+    val dest = dir.resolve(s"$name.parquet").toFile
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    dest.setLastModified(mtime)
+    tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
+    dest.deleteOnExit()
   }
 
   /** Streaming ingest loop WITH index extension — the closed production
@@ -503,11 +512,21 @@ object EventStreams {
     * Returns the accumulated verified-pair table. */
   def streamIngestToIndex(spark: SparkSession, docs: DataFrame, prefix: String,
                           p: graft.operators.IncrementalDedup.IndexParams,
-                          threshold: Double, pairsTable: String): DataFrame = {
+                          threshold: Double, pairsTable: String,
+                          checkpointDir: Option[String] = None,
+                          onBatchCommitted: Long => Unit = _ => ()): DataFrame = {
     import graft.operators.IncrementalDedup
-    val q = docs.writeStream
+    val writer = docs.writeStream
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    // checkpointDir makes the stream RESTARTABLE: a crash between the
+    // batch's table writes and the checkpoint commit replays the batch on
+    // restart, and the ledger filter + anti-joined pair append make the
+    // replay a no-op (spec: injected crash via onBatchCommitted — the
+    // fault-injection seam, called after state is applied but before the
+    // engine records the batch — then restart from the same checkpoint).
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the batch's localCheckpoint truncation blocks are released at
         // batch end — an unbounded stream must not accumulate one block
         // set per micro-batch for the checkpoint's lifetime
@@ -556,6 +575,7 @@ object EventStreams {
         (spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore)
           .foreach(id => spark.sparkContext.getPersistentRDDs
             .get(id).foreach(_.unpersist(blocking = false)))
+        onBatchCommitted(batchId)
       }
       .start()
     q.awaitTermination()

@@ -101,6 +101,24 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(empty === Seq.fill(4)(Long.MaxValue))
   }
 
+  test("graft_kmv: exact below k, within error bound above, partitioning-independent") {
+    import spark.implicits._
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      df.groupBy("g").agg(call_function("graft_kmv", col("v"), lit(64)).as("e"))
+        .collect().head.getAs[Double]("e")
+    // below k the buffer holds every distinct hash → the count is EXACT
+    val small = (1 to 40).flatMap(i => Seq(("g", s"u$i"), ("g", s"u$i"))).toDF("g", "v")
+    assert(est(small) === 40.0)
+    // above k: KMV standard error ≈ 1/√62 ≈ 13%; assert a ~3σ bound
+    val big = (1 to 5000).map(i => ("g", s"user$i")).toDF("g", "v")
+    val e = est(big)
+    assert(math.abs(e / 5000.0 - 1.0) < 0.4, s"estimate $e too far from 5000")
+    // merge is associative+commutative: any partitioning gives the same
+    // buffer, so the estimate is bit-identical across shuffles
+    assert(est(big.repartition(13)) === e)
+    assert(est(big.repartition(3)) === e)
+  }
+
   test("tokenizer unicode parity: \\p{L} keeps accented/non-latin letters") {
     import graft.functions.TextFunctions
     val t = "Über café naïve 東京 word2vec łódź!"

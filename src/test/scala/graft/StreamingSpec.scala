@@ -254,4 +254,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(stored.length === 1, s"stored pairs not unique: ${stored.mkString(";")}")
     assert((stored.head.getLong(0), stored.head.getLong(1)) === ((301L, 300L)))
   }
+
+  test("ingest crash AFTER state commit, BEFORE checkpoint: restart replays to the clean-run state") {
+    // The worst crash window for exactly-once: batch 0's five index appends
+    // and pair writes are all durable, but the streaming engine never
+    // recorded the batch — a restart MUST replay it, and the ledger filter
+    // + anti-joined pair append must make that replay a no-op. This is the
+    // streaming half of the reference's kill-the-worker test
+    // (tests/test_wc.py:165-251): inject the failure, rerun, demand the
+    // clean run's exact state.
+    import graft.operators.IncrementalDedup
+    import graft.operators.IncrementalDedup.IndexParams
+    val p = IndexParams(buckets = 2)
+    val text1 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    def stagedDir(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_crash_stream")
+      EventStreams.stageStreamFile(
+        Seq((100L, text1), (101L, text1)).toDF("doc_id", "text"), dir, "b0", 1000000L)
+      EventStreams.stageStreamFile(
+        Seq((200L, text1)).toDF("doc_id", "text"), dir, "b1", 2000000L)
+      dir.toString
+    }
+    def fileStream(dir: String) = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
+    // clean, uninterrupted run → the expected end state
+    val cleanPrefix = "graft_corpus_crashclean"
+    IncrementalDedup.buildIndexFrom(base, cleanPrefix, p)
+    val cleanPairs = EventStreams.streamIngestToIndex(spark, fileStream(stagedDir()),
+        cleanPrefix, p, 0.8, "crash_clean_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cleanPairs === Set((101L, 100L), (200L, 100L)))
+
+    // crashed run: die right after batch 0's state is fully applied
+    val prefix = "graft_corpus_crashtest"
+    IncrementalDedup.buildIndexFrom(base, prefix, p)
+    val dataDir = stagedDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_crash_ckpt").toString
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.streamIngestToIndex(spark, fileStream(dataDir), prefix, p, 0.8,
+        "crash_pairs", Some(ckpt),
+        _ => if (!failed.getAndSet(true)) throw new RuntimeException("injected crash"))
+    }
+    // the crash window is real: batch 0's survivor IS durable already
+    assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 100L).count() === 1)
+    // restart from the same checkpoint: batch 0 replays as a no-op, batch 1 runs
+    val out = EventStreams.streamIngestToIndex(spark, fileStream(dataDir), prefix, p, 0.8,
+      "crash_pairs", Some(ckpt))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === cleanPairs)
+    // and the whole index state equals the clean run's — no doubled postings
+    Seq("_sizes", "_postings", "_bands").foreach { suf =>
+      assert(spark.table(s"$prefix$suf").count() === spark.table(s"$cleanPrefix$suf").count(),
+        s"$suf diverged from the clean run after replay")
+    }
+  }
 }
