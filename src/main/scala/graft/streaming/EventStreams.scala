@@ -456,8 +456,6 @@ object EventStreams {
     (IncrementalDedup.tableNames(prefix) :+ pairsTable)
       .foreach(t => graft.sources.Warehouse.dropTableAndLocation(spark, t))
     val docs = graft.sources.Tables.documents(spark, sfDir)
-    IncrementalDedup.buildIndexFrom(
-      docs.filter(col("doc_id") % 10 =!= 0), prefix, p)
     val delta = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
     // two single-file parquet drops with ordered mtimes: FileStreamSource
     // processes oldest-first, maxFilesPerTrigger=1 cuts one batch per file
@@ -467,8 +465,24 @@ object EventStreams {
     stageStreamFile(delta.filter(expr("(doc_id div 10) % 2 = 1")), dir, "b1", 2000000L)
     val stream = spark.readStream.schema(delta.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-    streamIngestToIndex(spark, stream, prefix, p, threshold, pairsTable)
-      .orderBy("doc_a", "doc_b")
+    // the corpus-side index build is REAL work (shingle explode + minhash
+    // aggregate over the whole corpus) — it keeps the session's scan-sized
+    // parallelism
+    IncrementalDedup.buildIndexFrom(
+      docs.filter(col("doc_id") % 10 =!= 0), prefix, p)
+    // ...the micro-batches are a few hundred docs each, where scan-sized
+    // shuffle partitions multiply pure fixed overhead — same argument as
+    // runToCompletion: streaming-scoped work plans at the streaming
+    // partition count. (Bucket counts are unaffected; every result here is
+    // partition-independent.)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val streamParts = math.min(prevParts.toInt,
+      spark.conf.get("graft.stream.shufflePartitions", "8").toInt)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      streamIngestToIndex(spark, stream, prefix, p, threshold, pairsTable)
+        .orderBy("doc_a", "doc_b")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Drop one single-file parquet batch into a file-stream directory with

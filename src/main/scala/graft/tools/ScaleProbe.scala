@@ -21,6 +21,8 @@ object ScaleProbe {
                             "sample_hash", "dedup_incremental", "decontaminate",
                             "decontaminate_indexed", "corpus_export", "knn_join",
                             "grep_indexed", "export_shards",
+                            "distinct_sketch", "quantile_sketch",
+                            "jsonl_scan", "csv_scan", "stream_ingest",
                             "pack_sequences", "mixture_sample",
                             "repetition_score", "bpe_train", "tfidf_terms",
                             "bm25_search", "stream_dedup_near")).toList
@@ -81,6 +83,25 @@ object ScaleProbe {
     }
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaled/customer.parquet")
+
+    // events: ids and users offset per replica (distinct-count mass grows
+    // k×, the sketch's workload); timestamps/types/values unchanged so the
+    // distributional shape holds
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val maxEvent = ev.agg(max("event_id")).collect()(0).getLong(0) + 1
+    val maxUser = ev.agg(max("user_id")).collect()(0).getLong(0) + 1
+    (0 until mult).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * maxEvent))
+        .withColumn("user_id", col("user_id") + lit(i * maxUser)))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaled/events.parquet")
+    // lineitem: order keys offset, measures unchanged — the quantile
+    // sketch sees k× rows over the same price distribution
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val maxOrder = li.agg(max("l_orderkey")).collect()(0).getLong(0) + 1
+    (0 until mult).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder)))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaled/lineitem.parquet")
 
     def time(dir: String, q: String): Double = {
       val t0 = System.nanoTime()
