@@ -57,6 +57,7 @@ object SparkEntry {
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "tumbling_window" -> ((s, d) => Relational.tumblingWindow(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "session_window_agg" -> ((s, d) => Relational.sessionWindowAgg(s, d)),
     "json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
@@ -472,6 +473,21 @@ object SparkEntry {
     "json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    // session_window_agg: gap-merged islands per user, half-open windows
+    // (diff >= gap starts a new session — the stream_sessions convention);
+    // end = last event + gap, exactly session_window's definition.
+    // event_id tiebreaks make the cumulative session id deterministic for
+    // same-timestamp events (which Spark merges into one window regardless).
+    "session_window_agg" ->
+      """WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events),
+        |y AS (SELECT user_id, event_id, tsu, value,
+        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, tsu, value, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y)
+        |SELECT user_id, epoch_us(min(tsu)) AS start_us, epoch_us(max(tsu)) + 1800000000 AS end_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM z GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "brand_revenue" ->
       """SELECT p_brand, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_lineitems
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -132,6 +132,26 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Native SESSION WINDOWS (`functions.session_window`) — the generator
+    * form of [[sessionize]]: gap-merged `[first_ts, last_ts + gap)`
+    * windows per user with per-session aggregates, the same construct the
+    * streaming engine maintains as state. Catalyst plans one shuffle on
+    * user_id and merges windows within the partition — no self-join, no
+    * window-function chain. Boundary convention (shared with the
+    * stream_sessions oracle): half-open windows, so a gap of EXACTLY the
+    * threshold starts a new session. */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String,
+                       gap: String = "30 minutes"): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+           duckRound(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("start_us"),
+              unix_micros(col("session_window.end")).as("end_us"),
+              col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   /** Anti join: customers with no large order (totalprice > threshold) —
     * the non-matching side of the join surface. Plans as LEFT ANTI with the
     * price filter pushed below the join (no materialized nulls, no
