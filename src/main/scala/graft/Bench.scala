@@ -33,6 +33,29 @@ object Bench {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
+  /** Fixed CPU workload, timed — the host-noise detector: bench numbers
+    * from a contended host (CPU steal, co-tenant load) inflate uniformly
+    * and are indistinguishable from code regressions after the fact
+    * (measured drift up to 1.4× across identical-code runs). A
+    * deterministic busy-loop timed at run START and END puts the machine
+    * state in the output: calib ≈ its quiet-host value ⇒ trust the run;
+    * calib inflated ⇒ scale expectations accordingly. `threads` > 1 probes
+    * parallel contention the way the local[n] executor experiences it.
+    * Quiet-host reference on this image: ~0.55–0.65s single / ~1.0s at 16. */
+  private def calibrate(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => {
+        var s = 0L; var i = 0L
+        while (i < 1500000000L) { s += i; i += 1 }
+        if (s == 42L) System.err.print("") // defeat dead-code elimination
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -67,6 +90,8 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     if (isolate) isolateQueryState(spark)
+    val calibStart1 = calibrate(1)
+    val calibStart16 = calibrate(16)
     // A failing query must be VISIBLE in the output, not a fast time: its
     // entry becomes "err:<class>" and the failure count is reported at the
     // top level, so a regression can't masquerade as a speedup.
@@ -112,10 +137,12 @@ object Bench {
     val failed = results.count(_._2.isDefined)
     val flaky = results.count(_._4)
     val total = results.collect { case (_, None, v, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,"queries":$qs,"sf":"$sfDir"}""")
+    val calibEnd1 = calibrate(1)
+    val calib = f""""calib":{"start1":$calibStart1%.3f,"start16":$calibStart16%.3f,"end1":$calibEnd1%.3f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,$calib,"queries":$qs,"sf":"$sfDir"}""")
     // Compact trailer for harnesses that capture only the LAST lines of
     // output (the per-query map above can exceed a log tail's budget).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
