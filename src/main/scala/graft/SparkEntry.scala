@@ -187,19 +187,26 @@ object SparkEntry {
 
   /** `ncExpr` is any SQL scalar expression for the centroid count — a
     * literal for fixed-size indexes, or a subquery against the corpus for
-    * auto-sized ones ([[autoCellCte]]). */
+    * auto-sized ones ([[autoCellCte]]). Lloyd training runs over the
+    * SAMPLE `et` (every stride-th vector, stride =
+    * `Similarity.ivfSampleStride` re-derived in integer SQL); the final
+    * assignment `asgF`/`cellv` covers the whole corpus — exactly the
+    * engine's split. */
   private def ivfCtesExpr(ncExpr: String, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |iv AS (SELECT vec_id, i, CAST(floor(emb[i+1] * 1048576.0) AS BIGINT) AS ivx FROM e, range(64) t(i)),
       |ncell AS ($autoCellCte),
-      |cents0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, emb AS cemb FROM e WHERE vec_id < $ncExpr),
+      |strd AS (SELECT greatest(1, (SELECT count(*) FROM e) // (4 * $ncExpr)) AS s),
+      |et AS (SELECT vec_id, emb FROM e WHERE vec_id % (SELECT s FROM strd) = 0),
+      |cents0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, emb AS cemb FROM et
+      |  WHERE vec_id < $ncExpr * (SELECT s FROM strd)),
       |""".stripMargin
     for (t <- 1 to iters) {
       sb ++= s"""asg$t AS (SELECT vec_id, cell FROM (
         |  SELECT e.vec_id, c.cent_id AS cell,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
-        |  FROM e, cents${t - 1} c) WHERE rn = 1),
+        |  FROM et e, cents${t - 1} c) WHERE rn = 1),
         |dims$t AS (SELECT cell, i,
         |    CAST(CAST(CAST(sum(ivx) AS DOUBLE) / (1048576.0 * CAST(count(*) AS DOUBLE)) AS FLOAT) AS DOUBLE) AS cv
         |  FROM iv JOIN asg$t USING (vec_id) GROUP BY cell, i),

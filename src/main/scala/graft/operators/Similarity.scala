@@ -92,25 +92,46 @@ object Similarity {
       java.util.Arrays.asList(df.collect(): _*), df.schema)
   }
 
-  /** K-means codebook: `iters` Lloyd rounds from the first-`k` seed, fully
-    * distributed (assignment = broadcast crossJoin + map-side `max_by`
-    * argmax, update = one shuffle aggregate over exploded dimensions) and
-    * fully deterministic: integer-exact dimension sums (see
-    * [[KmeansScale]]), means re-quantized to FLOAT so both engines compare
-    * bit-identical centroid arrays. Empty cells keep their previous
-    * centroid. Returns `(cent_id, cemb float[])`. Between rounds the
-    * k-row codebook lives on the DRIVER ([[driverLocal]]) — plan
-    * truncation without any recovery dependence on executor-local blocks. */
+  /** Training-sample stride for a codebook over `n` vectors: every
+    * `stride`-th vec_id trains, giving ~`perCentroid`·k training points —
+    * Lloyd's loop then costs sample·k per round instead of n·k, which is
+    * what keeps the one-time index BUILD from scaling as n^1.5 once the
+    * cell count itself grows ~√n (the final full-corpus assignment stays
+    * n·k, paid once, not per round). Integer division only, so the SQL
+    * oracle derives the identical stride from the data. `perCentroid` = 4
+    * here (oracle-exercised even at the small driver SFs); production
+    * guidance is 32–256 points per centroid — a parameter, not a design
+    * change. */
+  def ivfSampleStride(n: Long, numCentroids: Int, perCentroid: Int = 4): Int =
+    math.max(1L, n / (perCentroid.toLong * numCentroids)).toInt
+
+  /** K-means codebook: `iters` Lloyd rounds from the first-`k`-of-sample
+    * seed, fully distributed (assignment = broadcast crossJoin + map-side
+    * `max_by` argmax, update = one shuffle aggregate over exploded
+    * dimensions) and fully deterministic: integer-exact dimension sums
+    * (see [[KmeansScale]]), means re-quantized to FLOAT so both engines
+    * compare bit-identical centroid arrays. Empty cells keep their
+    * previous centroid. `sampleStride` > 1 trains on every stride-th
+    * vector ([[ivfSampleStride]]); seeds are the first `k` SAMPLE ids
+    * (`vec_id % stride = 0 AND vec_id < k·stride` — dense ids make the
+    * two forms coincide at stride 1). Returns `(cent_id, cemb float[])`.
+    * Between rounds the k-row codebook lives on the DRIVER
+    * ([[driverLocal]]) — plan truncation without any recovery dependence
+    * on executor-local blocks. */
   private[graft] def kmeansCodebook(e: DataFrame, numCentroids: Int,
-                                    iters: Int): DataFrame = {
+                                    iters: Int, sampleStride: Int = 1): DataFrame = {
+    val eTrain =
+      if (sampleStride > 1) e.filter(col("vec_id") % sampleStride === 0) else e
     val iv = e.select(col("vec_id"), posexplode(col("embedding")))
       .toDF("vec_id", "i", "x")
       .select(col("vec_id"), col("i"),
               floor(col("x").cast("double") * lit(KmeansScale)).cast("long").as("ivx"))
-    var cents = driverLocal(e.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cemb")))
+    var cents = driverLocal(
+      eTrain.filter(col("vec_id") < numCentroids.toLong * sampleStride)
+        .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cemb")))
     for (_ <- 1 to iters) {
-      val asg = assignCells(e, cents).select("vec_id", "cell")
+      // assignment over the SAMPLE only — the per-round n·k term
+      val asg = assignCells(eTrain, cents).select("vec_id", "cell")
       val dims = iv.join(asg, "vec_id")
         .groupBy("cell", "i")
         .agg(sum("ivx").as("s"), count(lit(1)).as("cnt"))
@@ -139,7 +160,8 @@ object Similarity {
                 numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
                 iters: Int = 3, nprobe: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val cents = kmeansCodebook(e, numCentroids, iters)
+    val cents = kmeansCodebook(e, numCentroids, iters,
+      ivfSampleStride(e.count(), numCentroids))
     val assigned = assignCells(e, cents)
     val byProbe = Window.partitionBy("probe_id")
       .orderBy(col("pc").desc, col("cent_id").asc)
@@ -189,7 +211,8 @@ object Similarity {
     * pipelines call. */
   def buildIvfIndexFrom(e: DataFrame, prefix: String,
                         numCentroids: Int, iters: Int): Unit = {
-    val cents = kmeansCodebook(e, numCentroids, iters)
+    val cents = kmeansCodebook(e, numCentroids, iters,
+      ivfSampleStride(e.count(), numCentroids))
     graft.sources.Warehouse.writeBucketed(cents, Seq("cent_id"), s"${prefix}_cents", 1)
     graft.sources.Warehouse.writePartitionedTable(
       assignCells(e, cents), "cell", s"${prefix}_cells")
