@@ -125,8 +125,7 @@ object IncrementalDedup {
     // columns equal the join keys (a subset match makes the planner disable
     // the bucketed read and shuffle the store).
     Warehouse.writeBucketed(postings, Seq("doc_id", "s"), s"${prefix}_postings", p.buckets)
-    Warehouse.writeBucketed(
-      postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+    Warehouse.writeBucketed(sizesOf(docs, postings),
       Seq("doc_id"), s"${prefix}_sizes", p.buckets)
     Warehouse.writeBucketed(sharrOf(docs, p), Seq("doc_id"), s"${prefix}_sharr", p.buckets)
   }
@@ -134,6 +133,19 @@ object IncrementalDedup {
   private def sharrOf(docs: DataFrame, p: IndexParams): DataFrame =
     docs.select(col("doc_id"),
       call_function("graft_shingles", col("text"), lit(p.n)).as("s_arr"))
+
+  /** Per-doc distinct-shingle counts — from the DOCS frame, not the bare
+    * postings aggregate: `_sizes` doubles as the streaming replay LEDGER
+    * (every indexed doc_id must have a row), and a zero-shingle document
+    * (fewer than n words) has no postings rows, so the aggregate-only form
+    * would omit it and every stream replay would re-append its `_sharr`
+    * row forever. n_sh = 0 rows are harmless on the Jaccard side: no
+    * postings → no candidates → never a denominator. */
+  private def sizesOf(docs: DataFrame, postings: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_sh"))
 
   /** Append a dedup'd delta's fingerprints INTO the index — the maintenance
     * half of the ingest cycle (ingest → dedup → extend index). Bucketed
@@ -164,8 +176,7 @@ object IncrementalDedup {
     Warehouse.appendBucketed(bandsFromSigs(sigs, p.cBands, p.cRows),
       Seq("band", "bhash"), s"${prefix}_cbands", p.buckets)
     Warehouse.appendBucketed(postings, Seq("doc_id", "s"), s"${prefix}_postings", p.buckets)
-    Warehouse.appendBucketed(
-      postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+    Warehouse.appendBucketed(sizesOf(docs, postings),
       Seq("doc_id"), s"${prefix}_sizes", p.buckets)
     Warehouse.appendBucketed(sharrOf(docs, p), Seq("doc_id"), s"${prefix}_sharr", p.buckets)
     tables.foreach(t => stamps(t).foreach(fp => Warehouse.stampFingerprint(spark, t, fp)))

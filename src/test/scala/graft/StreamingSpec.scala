@@ -255,6 +255,33 @@ class StreamingSpec extends SparkSpecBase {
     assert((stored.head.getLong(0), stored.head.getLong(1)) === ((301L, 300L)))
   }
 
+  test("zero-shingle documents enter the replay ledger: a replayed short doc is not re-appended") {
+    // A doc with fewer than n words has NO postings rows, so a sizes table
+    // built from the postings aggregate alone would omit it — invisible to
+    // the replay ledger, its _sharr row re-appends on every replay. The
+    // ledger is built from the docs frame (n_sh = 0) precisely for this.
+    import graft.operators.IncrementalDedup
+    import graft.operators.IncrementalDedup.IndexParams
+    implicit val sc = spark.sqlContext
+    val p = IndexParams(buckets = 2)
+    val prefix = "graft_corpus_zeroshingle"
+    IncrementalDedup.buildIndexFrom(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), prefix, p)
+    def ingest(tbl: String): Unit = {
+      val src = MemoryStream[(Long, String)]
+      src.addData((400L, "two words"))
+      EventStreams.streamIngestToIndex(spark,
+        src.toDF().toDF("doc_id", "text"), prefix, p, 0.8, tbl)
+    }
+    ingest("zs_pairs1")
+    val sizes = spark.table(s"${prefix}_sizes").filter(col("doc_id") === 400L).collect()
+    assert(sizes.length === 1 && sizes.head.getLong(1) === 0L,
+      s"zero-shingle doc must hold an n_sh=0 ledger row: ${sizes.mkString}")
+    ingest("zs_pairs2") // replay: ledger row must block the re-append
+    assert(spark.table(s"${prefix}_sharr").filter(col("doc_id") === 400L).count() === 1)
+    assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 400L).count() === 1)
+  }
+
   test("ingest crash AFTER state commit, BEFORE checkpoint: restart replays to the clean-run state") {
     // The worst crash window for exactly-once: batch 0's five index appends
     // and pair writes are all durable, but the streaming engine never
