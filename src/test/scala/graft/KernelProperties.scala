@@ -85,4 +85,20 @@ object KernelProperties extends Properties("graft.kernels") {
   property("md5Low64: deterministic, matches DuckDB known vector") =
     Prop(TextAnalysis.md5Low64("hola") == 4661870554814853716L) &&
       forAll(word) { w => TextAnalysis.md5Low64(w) == TextAnalysis.md5Low64(w) }
+
+  property("ivfCellGrid: smallest power of two whose square covers n") =
+    forAll(Gen.choose(1L, 1L << 40)) { n =>
+      val p = graft.operators.Similarity.ivfCellGrid(n)
+      val pow2 = (p & (p - 1)) == 0 && p >= 1
+      val covers = p.toLong * p >= n || p == (1 << 20) // capped at 2^20
+      val minimal = p == 1 || (p.toLong / 2) * (p / 2) < n
+      pow2 && covers && minimal
+    }
+
+  property("ivfSampleStride: >=1, and the implied sample is ~perCentroid*k") =
+    forAll(Gen.choose(1L, 1L << 32), Gen.choose(1, 4096)) { (n, k) =>
+      val s = graft.operators.Similarity.ivfSampleStride(n, k)
+      // sample size n/s is at least perCentroid*k whenever n allows it
+      s >= 1 && (s == 1 || n / s >= 4L * k)
+    }
 }
