@@ -41,6 +41,7 @@ object SparkEntry {
     // -- relational breadth --
     "grep_filter" -> ((s, d) => CoreQueries.grepFilter(s, d)),
     "grep_indexed" -> ((s, d) => CoreQueries.grepIndexed(s, d)),
+    "phrase_search" -> ((s, d) => CoreQueries.phraseSearch(s, d)),
     "topk_words" -> ((s, d) => CoreQueries.topkWords(s, d)),
     "agg_pricing" -> ((s, d) => Relational.aggPricing(s, d)),
     "distinct_users" -> ((s, d) => Relational.distinctUsers(s, d)),
@@ -389,6 +390,16 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT doc_id FROM t WHERE list_contains(ws, 'spark') AND list_contains(ws, 'stream'))
         |ORDER BY doc_id""".stripMargin,
+    // phrase_search: exact token-SEQUENCE match ("table hash" as adjacent
+    // tokens) with per-doc occurrence counts — the oracle scans bigram
+    // positions directly; the engine answers from the positional index
+    // (aligned posting-list intersection). Position semantics: overlapping
+    // occurrences each count.
+    "phrase_search" ->
+      """WITH d AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |o AS (SELECT doc_id, lang,
+        |  len(list_filter(range(1, len(ws)), i -> ws[i] = 'table' AND ws[i+1] = 'hash')) AS n_occ FROM d)
+        |SELECT doc_id, lang, CAST(n_occ AS BIGINT) AS n_occ FROM o WHERE n_occ > 0 ORDER BY doc_id""".stripMargin,
     "topk_words" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents)
         |SELECT word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY word

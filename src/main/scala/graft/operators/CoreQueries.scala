@@ -96,6 +96,48 @@ object CoreQueries {
       .orderBy("doc_id")
   }
 
+  /** Build (or fingerprint-validated reuse) the POSITIONS-extended
+    * postings index `(word, doc_id, pos)`, bucketed by word — what
+    * [[ensurePostingsIndex]] cannot answer: ORDER. Same bucket-pruned
+    * point-read property per term; ~tokens rows instead of ~distinct
+    * (word, doc) pairs, the standard positional-index trade. */
+  def ensurePositionsIndex(spark: SparkSession, sfDir: String,
+                           buckets: Int = 8): String = {
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_textidx_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_x${buckets}_positions"
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents") + s"|pos|x$buckets"
+    graft.sources.Warehouse.ensureDerivedTables(spark, Seq(table), fp) {
+      graft.sources.Warehouse.writeBucketed(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), posexplode(tokenize(col("text"))))
+          .toDF("doc_id", "pos", "word"),
+        Seq("word"), table, buckets)
+    }
+    table
+  }
+
+  /** Exact PHRASE search off the positions index: each term's posting list
+    * is one bucket-pruned point read, shifted by its offset in the phrase
+    * (`pos − i`), and the occurrence join intersects on (doc_id, start) —
+    * a phrase occurrence IS an aligned start across every term. At 100 TB
+    * this reads k posting lists (bucket-pruned) and joins them on
+    * (doc_id, start) — join size tracks TERM FREQUENCY, not corpus size —
+    * and the documents table is touched only by surviving doc_ids.
+    * Output: `(doc_id, lang, n_occ)` per matching document. */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+                   phrase: Seq[String] = Seq("table", "hash")): DataFrame = {
+    val idx = spark.table(ensurePositionsIndex(spark, sfDir))
+    val aligned = phrase.zipWithIndex
+      .map { case (t, i) => idx.filter(col("word") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start")) }
+      .reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    val occ = aligned.groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+    Tables.documents(spark, sfDir)
+      .join(occ, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_occ"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k words by count (sort + limit on top of wc). The limit is pushed
     * into a TakeOrderedAndProject — no global sort at scale. */
   def topkWords(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =

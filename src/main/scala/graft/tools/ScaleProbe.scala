@@ -20,7 +20,7 @@ object ScaleProbe {
                             "topk_words", "fuzzy_names", "dedup_clusters", "scrub_pii",
                             "sample_hash", "dedup_incremental", "decontaminate",
                             "decontaminate_indexed", "corpus_export", "knn_join",
-                            "grep_indexed", "export_shards",
+                            "grep_indexed", "phrase_search", "export_shards",
                             "distinct_sketch", "quantile_sketch",
                             "jsonl_scan", "csv_scan", "stream_ingest",
                             "pack_sequences", "mixture_sample",

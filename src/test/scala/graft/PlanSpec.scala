@@ -119,6 +119,16 @@ class PlanSpec extends SparkSpecBase {
       s"grep_indexed does not bucket-prune its index scans:\n$plan")
   }
 
+  test("phrase search bucket-prunes each term's positional lookup") {
+    // Same point-read contract as grep_indexed, on the positional index:
+    // every phrase term's posting-list read is one bucket.
+    val plan = finalPlan("phrase_search")
+    assert("SelectedBucketsCount: 1 out of \\d+".r.findFirstIn(plan).isDefined,
+      s"phrase_search does not bucket-prune its index scans:\n$plan")
+    // and the result is non-trivial on the fixture corpus
+    assert(SparkEntry.queries("phrase_search")(spark, sf0001).count() > 0)
+  }
+
   test("indexed IVF search prunes cell partitions dynamically") {
     // The IVF property at scale: the corpus scan must carry a runtime
     // partition filter fed by the probed cells, so a query reads nprobe
