@@ -85,6 +85,7 @@ object SparkEntry {
     "stream_sessions" -> ((s, d) => graft.streaming.EventStreams.streamSessionsQuery(s, d)),
     "stream_export" -> ((s, d) => graft.streaming.EventStreams.streamExportQuery(s, d)),
     "stream_ingest" -> ((s, d) => graft.streaming.EventStreams.streamIngestQuery(s, d)),
+    "stream_distinct_sketch" -> ((s, d) => graft.streaming.EventStreams.streamDistinctSketchQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -132,6 +133,19 @@ object SparkEntry {
     "media_resize" -> ((s, d) => Media.mediaResize(s, d)),
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
   )
+
+  /** The KMV distinct-count oracle, shared by the batch and streaming
+    * forms (the sketch's merge is order-independent, so one SQL truth
+    * serves both execution modes). */
+  private val kmvSketchSql: String =
+    """WITH h AS (SELECT event_type, CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS hv FROM events),
+      |d AS (SELECT DISTINCT event_type, hv FROM h),
+      |r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+      |        count(*) OVER (PARTITION BY event_type) AS nd FROM d)
+      |SELECT event_type, round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+      |    ELSE 63.0 * 9223372036854775808.0 / CAST(hv AS DOUBLE) END, 4) AS est_users
+      |FROM r WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END
+      |ORDER BY event_type""".stripMargin
 
   private val knnBruteSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -420,15 +434,11 @@ object SparkEntry {
     // md5 hash (md5_number_lower mod 2^63), same k-th-smallest selection,
     // same one-division estimate ((k−1)·2⁶³ is a 6-significant-bit double,
     // exact) — so the approximate count hash-matches bit for bit.
-    "distinct_sketch" ->
-      """WITH h AS (SELECT event_type, CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS hv FROM events),
-        |d AS (SELECT DISTINCT event_type, hv FROM h),
-        |r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
-        |        count(*) OVER (PARTITION BY event_type) AS nd FROM d)
-        |SELECT event_type, round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-        |    ELSE 63.0 * 9223372036854775808.0 / CAST(hv AS DOUBLE) END, 4) AS est_users
-        |FROM r WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END
-        |ORDER BY event_type""".stripMargin,
+    "distinct_sketch" -> kmvSketchSql,
+    // stream_distinct_sketch: the SAME sketch maintained as streaming
+    // state — the buffer merge is bit-deterministic under any micro-batch
+    // split, so the complete-mode final equals the batch sketch exactly.
+    "stream_distinct_sketch" -> kmvSketchSql,
     "join_orders_customers" ->
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey

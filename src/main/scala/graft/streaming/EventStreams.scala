@@ -343,6 +343,25 @@ object EventStreams {
       .orderBy("fp")
   }
 
+  /** Driver-verified: the KMV distinct-count SKETCH as a STREAMING
+    * aggregate — the claim [[graft.functions.expressions.KmvAgg]] makes
+    * ("associative merge → streaming-legal") executed, not asserted: the
+    * engine carries one ≤k-value buffer per event type in the state store
+    * across micro-batches, exactly the fixed-size state a 100 TB stream
+    * needs where a streaming `count(DISTINCT)` is unbounded. The buffer
+    * merge is bit-deterministic under any batch split, so the final
+    * complete-mode table equals the batch sketch and SHARES its oracle. */
+  def streamDistinctSketchQuery(spark: SparkSession, sfDir: String,
+                                k: Int = 64): DataFrame = {
+    val est = tableStream(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .groupBy("event_type")
+      .agg(call_function("graft_kmv", col("uid"), lit(k)).as("est_raw"))
+    runToCompletion(spark, est, "stream_distinct_sketch", OutputMode.Complete())
+      .select(col("event_type"), duckRound(col("est_raw"), 4).as("est_users"))
+      .orderBy("event_type")
+  }
+
   /** Driver-verified: MERGING session windows via the native
     * `session_window` streaming aggregate — dynamic-gap windows that the
     * fixed tumbling/hopping grids can't express: each event opens a
