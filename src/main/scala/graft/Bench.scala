@@ -96,39 +96,53 @@ object Bench {
     // entry becomes "err:<class>" and the failure count is reported at the
     // top level, so a regression can't masquerade as a speedup.
     //
-    // Sorted-key order + min-of-2 per query: a plain Map's iteration order
-    // shifts whenever an entry is added, so one-time costs (first parquet
-    // footer read, broadcast warmup) would land on different queries each
-    // round, and a single timing can't tell transient machine interference
-    // from a real regression. Sorted order makes rounds comparable; the min
-    // of two back-to-back runs suppresses one-off interference spikes.
+    // Sorted-key order + min over TWO FULL PASSES per query: a plain Map's
+    // iteration order shifts whenever an entry is added, so one-time costs
+    // (first parquet footer read, broadcast warmup) would land on different
+    // queries each round, and a single timing can't tell transient machine
+    // interference from a real regression. Sorted order makes rounds
+    // comparable. The two samples come from two passes over the WHOLE query
+    // list — NOT back-to-back repeats: r6's driver run showed two queries
+    // 4–6× slower that were unreproducible on a calibration-quiet host with
+    // identical code (repetition_score 0.557s driver vs 0.106s local,
+    // range_join 0.773s vs 0.206s), i.e. a multi-second host-interference
+    // window taxing BOTH back-to-back samples of whichever query it landed
+    // on. Pass-separated samples are ~40s apart, so one interference window
+    // can inflate at most one of them and the min stays clean.
     val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = if (reversed) ordered0.reverse else ordered0
-    val results = ordered.map { case (name, fn) =>
-      def once(): (Option[String], Double) = {
+    def runPass(pass: Int): Map[String, (Option[String], Double)] =
+      ordered.map { case (name, fn) =>
+        val gc0 = gcMillis
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        (err, (System.nanoTime() - t0) / 1e9)
+        val t = (System.nanoTime() - t0) / 1e9
+        // per-query telemetry BEFORE isolation, so the cost a query leaves
+        // behind (heap growth, GC tax it caused) is attributed to it
+        System.err.println(f"[bench:p$pass] $name%-28s t=$t%7.3fs gc=+${gcMillis - gc0}%4dms heap=${usedHeapMb}%5dMB")
+        if (isolate) isolateQueryState(spark)
+        name -> (err, t)
+      }.toMap
+    val pass1 = runPass(1)
+    val pass2 = runPass(2)
+    val results = ordered.map { case (name, _) =>
+      val (e1, t1) = pass1(name)
+      val (e2, t2) = pass2(name)
+      // one failing pass must not mask the other's success (that would
+      // convert the interference this design suppresses into a reported
+      // failure) — but it must not vanish either: it counts as `flaky`.
+      // Both passes failing is a real failure.
+      (e1, e2) match {
+        case (None, None)    => (name, None: Option[String], math.min(t1, t2), false)
+        case (None, Some(e)) =>
+          System.err.println(s"[bench] $name: pass-2 run failed ($e); reporting pass-1 time")
+          (name, None: Option[String], t1, true)
+        case (Some(e), None) =>
+          System.err.println(s"[bench] $name: pass-1 run failed ($e); reporting pass-2 time")
+          (name, None: Option[String], t2, true)
+        case (Some(e), Some(_)) => (name, Some(e): Option[String], t1, false)
       }
-      val gc0 = gcMillis
-      val (e1, t1) = once()
-      val (err, t, flaky) = if (e1.isDefined) (e1, t1, false) else {
-        val (e2, t2) = once()
-        // a failing SECOND run must not mask the successful first one —
-        // that would convert the very interference min-of-2 exists to
-        // suppress into a reported failure. It must not vanish either: a
-        // consistently-flaky query surfaces through the `flaky` count.
-        if (e2.isDefined) {
-          System.err.println(s"[bench] $name: second run failed (${e2.get}); reporting first-run time")
-          (None, t1, true)
-        } else (None, math.min(t1, t2), false)
-      }
-      // per-query telemetry BEFORE isolation, so the cost a query leaves
-      // behind (heap growth, GC tax it caused) is attributed to it
-      System.err.println(f"[bench] $name%-28s t=$t%7.3fs gc=+${gcMillis - gc0}%4dms heap=${usedHeapMb}%5dMB")
-      if (isolate) isolateQueryState(spark)
-      (name, err, t, flaky)
     }
     val qs = results.map {
       case (k, None, v, _) => s"\"" + k + "\":" + v
@@ -140,8 +154,21 @@ object Bench {
     val calibEnd1 = calibrate(1)
     val calib = f""""calib":{"start1":$calibStart1%.3f,"start16":$calibStart16%.3f,"end1":$calibEnd1%.3f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,$calib,"queries":$qs,"sf":"$sfDir"}""")
+    // The single-line map above can exceed a log tail's budget (r6 lost the
+    // head of the per-query map: dedup_* through full_outer were
+    // unrecoverable). Re-emit the SAME data in sorted ~20-entry chunks, one
+    // self-describing JSON line each, so ANY captured tail window contains
+    // whole parseable lines covering a known key range.
+    val chunkEntries = results.sortBy(_._1).map {
+      case (k, None, v, _) => s"\"" + k + "\":" + v
+      case (k, Some(e), _, _) => s"\"" + k + "\":\"err:" + e + "\""
+    }
+    val chunks = chunkEntries.grouped(20).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_chunk","chunk":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+    }
     // Compact trailer for harnesses that capture only the LAST lines of
-    // output (the per-query map above can exceed a log tail's budget).
+    // output.
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
