@@ -182,6 +182,18 @@ object IncrementalDedup {
     tables.foreach(t => stamps(t).foreach(fp => Warehouse.stampFingerprint(spark, t, fp)))
   }
 
+  /** Append into `prefix` if all five tables exist, else create them from
+    * `docs` — the OVERLAY index write: the streaming ingest loop keeps the
+    * (fingerprint-gated, shared, immutable) corpus index separate from the
+    * mutable overlay that accumulates streamed survivors, and the overlay's
+    * first batch must create what later batches extend. A partially-created
+    * overlay (crash mid-build) rebuilds wholesale: [[buildIndexFrom]] goes
+    * through [[Warehouse.writeBucketed]], which clears orphaned locations. */
+  def appendOrCreate(docs: DataFrame, prefix: String, p: IndexParams): Unit =
+    if (tableNames(prefix).forall(docs.sparkSession.catalog.tableExists))
+      appendToIndex(docs, prefix, p)
+    else buildIndexFrom(docs, prefix, p)
+
   /** The delta-vs-store near-dup join, given an already-built index:
     *
     *  1. delta band hashes join `<prefix>_bands` on (band, bhash) —

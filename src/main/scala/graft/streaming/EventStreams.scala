@@ -457,22 +457,28 @@ object EventStreams {
     * entered the index) — the oracle states the loop's exact operational
     * semantics, not a batch approximation of them.
     *
-    * The private `graft_ingest_*` tables are dropped and rebuilt at entry:
-    * the loop MUTATES its index, so deterministic replay requires starting
-    * from the corpus-only state (idempotence of a re-run against the
-    * mutated index is spec-covered separately; the driver gate wants the
-    * same rows every invocation). */
+    * Deterministic replay without the 8-second tax: the loop MUTATES an
+    * index, so every invocation must start from the corpus-only state —
+    * but the corpus side is a pure function of the (unchanging) non-delta
+    * shard, so it lives in the SHARED fingerprint-gated corpus index
+    * ([[graft.operators.IncrementalDedup.buildIndex]], reused across
+    * invocations and across the `dedup_incremental`/`stream_neardup`
+    * family; a corpus regenerated in place fails the fingerprint gate and
+    * rebuilds — spec-asserted). The streamed survivors go to a separate
+    * OVERLAY index instead, and only that overlay plus the pairs table —
+    * both O(delta) — are dropped and rebuilt per invocation. */
   def streamIngestQuery(spark: SparkSession, sfDir: String,
                         threshold: Double = 0.8): DataFrame = {
     import graft.operators.IncrementalDedup
     val p = IncrementalDedup.IndexParams()
-    val prefix = s"graft_ingest_${graft.sources.Warehouse.pathToken(sfDir)}"
-    val pairsTable = s"${prefix}_pairs"
+    val prefix = IncrementalDedup.indexPrefix(sfDir, p)
+    val overlay = s"graft_ingest_${graft.sources.Warehouse.pathToken(sfDir)}_ov"
+    val pairsTable = s"${overlay.stripSuffix("_ov")}_pairs"
     // dropTableAndLocation, not bare DROP: a previous JVM's pairs table is
     // invisible to this catalog but its location survives, and the first
     // in-stream saveAsTable would refuse it (the index tables go through
     // writeBucketed, which clears its own orphans)
-    (IncrementalDedup.tableNames(prefix) :+ pairsTable)
+    (IncrementalDedup.tableNames(overlay) :+ pairsTable)
       .foreach(t => graft.sources.Warehouse.dropTableAndLocation(spark, t))
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val delta = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
@@ -484,11 +490,10 @@ object EventStreams {
     stageStreamFile(delta.filter(expr("(doc_id div 10) % 2 = 1")), dir, "b1", 2000000L)
     val stream = spark.readStream.schema(delta.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-    // the corpus-side index build is REAL work (shingle explode + minhash
-    // aggregate over the whole corpus) — it keeps the session's scan-sized
-    // parallelism
-    IncrementalDedup.buildIndexFrom(
-      docs.filter(col("doc_id") % 10 =!= 0), prefix, p)
+    // the corpus-side index build (shingle explode + minhash aggregate over
+    // the whole corpus) runs at the session's scan-sized parallelism — but
+    // only when the fingerprint gate says the persisted index is stale
+    IncrementalDedup.buildIndex(spark, sfDir, p)
     // ...the micro-batches are a few hundred docs each, where scan-sized
     // shuffle partitions multiply pure fixed overhead — same argument as
     // runToCompletion: streaming-scoped work plans at the streaming
@@ -499,7 +504,8 @@ object EventStreams {
       spark.conf.get("graft.stream.shufflePartitions", "8").toInt)
     try {
       spark.conf.set("spark.sql.shuffle.partitions", streamParts)
-      streamIngestToIndex(spark, stream, prefix, p, threshold, pairsTable)
+      streamIngestToIndex(spark, stream, prefix, p, threshold, pairsTable,
+        overlayPrefix = Some(overlay))
         .orderBy("doc_a", "doc_b")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -547,8 +553,21 @@ object EventStreams {
                           p: graft.operators.IncrementalDedup.IndexParams,
                           threshold: Double, pairsTable: String,
                           checkpointDir: Option[String] = None,
-                          onBatchCommitted: Long => Unit = _ => ()): DataFrame = {
+                          onBatchCommitted: Long => Unit = _ => (),
+                          overlayPrefix: Option[String] = None): DataFrame = {
     import graft.operators.IncrementalDedup
+    // overlayPrefix splits the index into an IMMUTABLE read-only base
+    // (`prefix` — shareable, fingerprint-gated elsewhere) and a mutable
+    // overlay that receives every append; verification reads base ∪
+    // overlay by running the bucket-local candidate join against EACH
+    // (a union of the two bucketed scans would lose the outputPartitioning
+    // and re-shuffle the corpus-sized store per micro-batch — two
+    // bucket-local joins cost only the O(batch) probe side twice, and a
+    // doc lives in exactly one index so no pair is double-counted).
+    // None = classic mode: `prefix` itself is appended to.
+    val writeTo = overlayPrefix.getOrElse(prefix)
+    def readPrefixes: Seq[String] = prefix +: overlayPrefix.filter(ov =>
+      IncrementalDedup.tableNames(ov).forall(spark.catalog.tableExists)).toSeq
     val writer = docs.writeStream
       .trigger(Trigger.AvailableNow())
     // checkpointDir makes the stream RESTARTABLE: a crash between the
@@ -572,14 +591,19 @@ object EventStreams {
         // the append idempotent at document granularity with or without a
         // configured checkpoint location. (Checkpointed because it is
         // read twice: verification and the clean-side anti join.)
+        // base and (if created yet) overlay — resolved per batch, because
+        // the overlay typically comes into existence at batch 0's append
+        val pfxs = readPrefixes
         val fresh = batch.join(
-          spark.table(s"${prefix}_sizes").select(col("doc_id")),
+          pfxs.map(pfx => spark.table(s"${pfx}_sizes").select(col("doc_id")))
+            .reduce(_ unionByName _),
           Seq("doc_id"), "left_anti")
           .localCheckpoint(true)
-        // index pairs (batch vs store) ∪ intra-batch pairs (batch vs
+        // index pairs (batch vs each store) ∪ intra-batch pairs (batch vs
         // itself, doc_a > doc_b so doc_a is the dropped side in both)
-        val pairs = IncrementalDedup
-          .deltaAgainst(spark, fresh, prefix, p, threshold)
+        val pairs = pfxs
+          .map(pfx => IncrementalDedup.deltaAgainst(spark, fresh, pfx, p, threshold))
+          .reduce(_ unionByName _)
           .unionByName(IncrementalDedup.selfPairs(fresh, p, threshold))
           .localCheckpoint(true)
         // IDEMPOTENT append: a replayed batch's documents fail the ledger
@@ -597,13 +621,13 @@ object EventStreams {
         val clean = fresh.join(
           pairs.select(col("doc_a").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-        IncrementalDedup.appendToIndex(clean, prefix, p)
+        IncrementalDedup.appendOrCreate(clean, writeTo, p)
         // foreachBatch executes under a CLONED SparkSession: the appends
         // above refresh the clone's relation cache only, so the calling
         // session — whose `spark.table` handles serve the next batch's
         // candidate join — must be refreshed explicitly or it keeps the
         // pre-append file listing and silently misses streamed documents.
-        (IncrementalDedup.tableNames(prefix) :+ pairsTable)
+        (IncrementalDedup.tableNames(writeTo) :+ pairsTable)
           .foreach(spark.catalog.refreshTable)
         (spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore)
           .foreach(id => spark.sparkContext.getPersistentRDDs

@@ -282,6 +282,123 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 400L).count() === 1)
   }
 
+  test("stream_ingest reuses the fingerprint-gated corpus index; corpus mutation rebuilds") {
+    // The driver-gate query must NOT pay the corpus-side index build per
+    // invocation: the corpus index is a pure function of the non-delta
+    // shard, streamed appends go to a droppable overlay, and reuse is
+    // gated on the source fingerprint — so an identical re-run keeps the
+    // exact same index files, while a corpus regenerated in place (same
+    // path, new mtime) fails the gate and rebuilds.
+    import graft.operators.IncrementalDedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_fp")
+    val src = new java.io.File(s"$sf0001/documents.parquet")
+    val dst = new java.io.File(tmp.toFile, "documents.parquet")
+    java.nio.file.Files.copy(src.toPath, dst.toPath)
+    val sfDir = tmp.toString
+    val p = IncrementalDedup.IndexParams()
+    val prefix = IncrementalDedup.indexPrefix(sfDir, p)
+    def bandFiles: Set[String] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${prefix}_bands".toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+    }
+    def run(): Seq[(Long, Long)] =
+      EventStreams.streamIngestQuery(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val r1 = run()
+    assert(r1.nonEmpty) // the mod-10 split plants cross-split near-dups
+    val files1 = bandFiles
+    // identical re-run: deterministic result AND zero corpus-index rebuild
+    // (rewritten tables get fresh job-UUID part file names, so identical
+    // file names prove the table bytes were reused, not rebuilt)
+    val r2 = run()
+    assert(r2 === r1, "stream_ingest must replay deterministically")
+    assert(bandFiles === files1, "unchanged corpus must reuse the index files")
+    // the shared corpus index is never mutated by streaming: no streamed
+    // delta doc (doc_id % 10 == 0) may appear in the BASE index ledger
+    assert(spark.table(s"${prefix}_sizes")
+      .filter(col("doc_id") % 10 === 0).count() === 0,
+      "streamed docs leaked into the immutable corpus index")
+    // corpus regenerated in place: same bytes, new mtime → gate must fail
+    assert(dst.setLastModified(dst.lastModified() + 60000))
+    val r3 = run()
+    assert(r3 === r1)
+    assert(bandFiles !== files1, "mutated corpus must rebuild the index")
+  }
+
+  test("sustained ingest cadence: 5 micro-batches keep state bounded and compaction restores file fan-in") {
+    // The ingest loop at daily-drop cadence: each batch appends one file
+    // per touched bucket per index table, so fan-in grows linearly with
+    // batch count until compaction resets it — prove the loop survives ≥5
+    // batches with correct cross-batch detection, zero leaked persisted
+    // blocks, and a compaction pass that restores one-file-per-bucket.
+    import graft.operators.IncrementalDedup
+    import graft.operators.IncrementalDedup.IndexParams
+    val p = IndexParams(buckets = 2)
+    val prefix = "graft_corpus_cadence"
+    val overlay = "graft_ingest_cadence_ov"
+    val pairsTable = "cadence_pairs"
+    (IncrementalDedup.tableNames(prefix) ++ IncrementalDedup.tableNames(overlay) :+ pairsTable)
+      .foreach(t => graft.sources.Warehouse.dropTableAndLocation(spark, t))
+    IncrementalDedup.buildIndexFrom(
+      Seq((999L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"), prefix, p)
+    // 5 batches: batch k carries one novel doc (10k) and, from batch 1 on,
+    // one near-dup of the PREVIOUS batch's novel doc (10(k-1)+1) — every
+    // batch must detect against survivors streamed ≥1 batch earlier.
+    // Letter-only vocab: the tokenizer drops non-letters, so a digit-based
+    // batch marker would collapse every batch to the same token stream.
+    val vocab = Seq("lorem", "ipsum", "dolor", "sit", "amet",
+      "consectetur", "adipiscing", "elit", "sed", "dolore")
+    def novel(k: Int) = vocab.map(w => s"$w${('a' + k).toChar}").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cadence_stream")
+    (0 until 5).foreach { k =>
+      val rows = Seq((10L * k, novel(k))) ++
+        (if (k > 0) Seq((10L * (k - 1) + 1, novel(k - 1))) else Nil)
+      EventStreams.stageStreamFile(rows.toDF("doc_id", "text"), dir,
+        s"b$k", 1000000L * (k + 1))
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val out = EventStreams.streamIngestToIndex(spark, stream, prefix, p, 0.8,
+      pairsTable, overlayPrefix = Some(overlay))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === (1 until 5).map(k => (10L * (k - 1) + 1, 10L * (k - 1))).toSet,
+      s"every batch must catch the near-dup of the previous batch's survivor: $out")
+    // per-batch localCheckpoint blocks must be released, not accumulated
+    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore,
+      "ingest leaked persisted RDD blocks across micro-batches")
+    // base index untouched; overlay holds exactly the 5 clean survivors
+    assert(spark.table(s"${prefix}_sizes").count() === 1)
+    assert(spark.table(s"${overlay}_sizes").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === (0 until 5).map(10L * _).toSet)
+    // fan-in grew with cadence (4 appends after the creating batch) —
+    // compaction restores the bucket quantum on every overlay table
+    val sizesFiles = graft.sources.Warehouse.dataFileCount(spark, s"${overlay}_sizes")
+    assert(sizesFiles > p.buckets,
+      s"expected append-accumulated fan-in, got $sizesFiles files")
+    val keysOf = Map("bands" -> Seq("band", "bhash"), "cbands" -> Seq("band", "bhash"),
+      "postings" -> Seq("doc_id", "s"), "sizes" -> Seq("doc_id"), "sharr" -> Seq("doc_id"))
+    keysOf.foreach { case (suf, keys) =>
+      graft.sources.Warehouse.compactBucketed(spark, s"${overlay}_$suf", keys, p.buckets)
+      val files = graft.sources.Warehouse.dataFileCount(spark, s"${overlay}_$suf")
+      assert(files <= p.buckets, s"${overlay}_$suf: $files files after compaction")
+    }
+    // and the compacted overlay still serves: one more batch with a dup of
+    // batch 4's survivor must detect it
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_cadence_stream2")
+    EventStreams.stageStreamFile(Seq((41L, novel(4))).toDF("doc_id", "text"),
+      dir2, "b5", 7000000L)
+    val out2 = EventStreams.streamIngestToIndex(spark,
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(dir2.toString),
+      prefix, p, 0.8, pairsTable, overlayPrefix = Some(overlay))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2.contains((41L, 40L)), s"compacted overlay must still serve: $out2")
+  }
+
   test("ingest crash AFTER state commit, BEFORE checkpoint: restart replays to the clean-run state") {
     // The worst crash window for exactly-once: batch 0's five index appends
     // and pair writes are all durable, but the streaming engine never
