@@ -138,7 +138,8 @@ object SparkEntry {
     * forms (the sketch's merge is order-independent, so one SQL truth
     * serves both execution modes). */
   private val kmvSketchSql: String =
-    """WITH h AS (SELECT event_type, CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS hv FROM events),
+    """WITH h AS (SELECT event_type, CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS hv FROM events
+      |       WHERE user_id IS NOT NULL),
       |d AS (SELECT DISTINCT event_type, hv FROM h),
       |r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
       |        count(*) OVER (PARTITION BY event_type) AS nd FROM d)
@@ -255,9 +256,12 @@ object SparkEntry {
     * re-stated in integer-exact SQL: smallest power of two `p` with
     * `p² ≥ count(*)` — bit shifts and integer compares only, so both
     * engines compute the identical count from the data with no float
-    * `sqrt`/`log2` boundary to diverge on. */
+    * `sqrt`/`log2` boundary to diverge on. COALESCE mirrors the engine's
+    * 2^20-cell clamp: past p²=2^40 vectors no grid entry qualifies and
+    * `min(p)` is NULL, which without the clamp would silently diverge
+    * from ivfCellGrid's documented cap instead of matching it. */
   private val autoCellCte: String =
-    "SELECT CAST(min(p) AS INTEGER) AS nc FROM " +
+    "SELECT CAST(COALESCE(min(p), 1 << 20) AS INTEGER) AS nc FROM " +
       "(SELECT CAST(1 AS BIGINT) << g AS p FROM range(21) t(g)) " +
       "WHERE p * p >= (SELECT count(*) FROM e)"
 
@@ -992,14 +996,23 @@ object SparkEntry {
     // METRIC is exactly checked on top of two exactly-checked searches.
     "ann_recall" -> recallOracle(knnBruteSql, annOracle),
     "ivf_recall" -> recallOracle(knnBruteSql, ivfOracle()),
+    // media_meta: the engine PARSES real container headers (PNG IHDR /
+    // JPEG SOF / WAV fmt+data / AVI avih — Media.HeaderDecoder); the
+    // oracle predicts what those headers declare from the generator's
+    // deterministic encoding (dims from text length, n_bytes = data +
+    // exact container overhead: PNG 57, JPEG 41, WAV 44, AVI 100 bytes).
+    // A match proves decode(encode(len)) round-trips through real bytes.
     "media_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(doc_id % 2 AS INTEGER) AS par,
         |  strlen(text) AS len FROM documents)
-        |SELECT media_id, kind, CAST(len AS BIGINT) AS n_bytes,
-        |  CAST(64 + (len * 7) % 1216 AS INTEGER) AS width,
-        |  CAST(64 + (len * 13) % 656 AS INTEGER) AS height,
-        |  CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + len % 240 END AS INTEGER) AS n_frames
+        |SELECT media_id, kind,
+        |  CAST(len + CASE WHEN kind = 'image' THEN CASE WHEN par = 0 THEN 57 ELSE 41 END
+        |             WHEN kind = 'audio' THEN 44 ELSE 100 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (len * 7) % 1216 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (len * 13) % 656 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN kind = 'image' THEN 1 WHEN kind = 'audio' THEN len ELSE 1 + len % 240 END AS INTEGER) AS n_frames
         |FROM m ORDER BY media_id""".stripMargin,
     "media_resize" ->
       """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS len FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0),
@@ -1019,10 +1032,13 @@ object SparkEntry {
     "media_stats" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(doc_id % 2 AS INTEGER) AS par,
         |  strlen(text) AS len FROM documents),
-        |d AS (SELECT kind, CAST(len AS BIGINT) AS n_bytes,
-        |  CAST(64 + (len * 7) % 1216 AS INTEGER) AS width,
-        |  CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + len % 240 END AS INTEGER) AS n_frames FROM m)
+        |d AS (SELECT kind,
+        |  CAST(len + CASE WHEN kind = 'image' THEN CASE WHEN par = 0 THEN 57 ELSE 41 END
+        |             WHEN kind = 'audio' THEN 44 ELSE 100 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (len * 7) % 1216 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN kind = 'image' THEN 1 WHEN kind = 'audio' THEN len ELSE 1 + len % 240 END AS INTEGER) AS n_frames FROM m)
         |SELECT kind, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  max(width) AS max_width, max(n_frames) AS max_frames
         |FROM d GROUP BY kind ORDER BY kind""".stripMargin,

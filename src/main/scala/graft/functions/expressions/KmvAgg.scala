@@ -3,10 +3,10 @@ package graft.functions.expressions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.TextAnalysis
@@ -37,9 +37,14 @@ case class KmvAgg(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression] with ImplicitCastInputTypes {
 
   require(k >= 2, s"graft_kmv needs k >= 2, got $k")
+
+  // registered for arbitrary SQL use: coerce (or reject) non-string input
+  // at ANALYSIS time instead of a ClassCastException at execution — the
+  // update path blindly reads the child as UTF8String
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()

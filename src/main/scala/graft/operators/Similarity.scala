@@ -228,8 +228,15 @@ object Similarity {
     * partition-pruned probe layout is untouched and nothing is rewritten.
     * The fingerprint stamps are cleared to an in-flight marker around the
     * append: a crash mid-append fails the reuse gate and the next
-    * [[ensureIvfIndex]] rebuilds, never reads a half-extended index. */
-  def appendIvfIndex(spark: SparkSession, delta: DataFrame, prefix: String): IvfDriftReport = {
+    * [[ensureIvfIndex]] rebuilds, never reads a half-extended index.
+    *
+    * `driftProbe` is OPT-IN: [[ivfDrift]] aggregates the whole cells table
+    * and collects every per-cell count to the driver — O(N) work that
+    * would turn the O(|delta|) append path quadratic-in-aggregate under
+    * high-cadence ingest. Callers sample it on their own schedule (every
+    * Nth append, a daily monitor tick) rather than paying it per append. */
+  def appendIvfIndex(spark: SparkSession, delta: DataFrame, prefix: String,
+                     driftProbe: Boolean = false): Option[IvfDriftReport] = {
     val tables = Seq(s"${prefix}_cents", s"${prefix}_cells")
     val missing = tables.filterNot(spark.catalog.tableExists)
     require(missing.isEmpty,
@@ -250,11 +257,12 @@ object Similarity {
     tables.foreach(t =>
       stamps(t).foreach(fp => graft.sources.Warehouse.stampFingerprint(spark, t, fp)))
     // measure what the class doc only promised: appends assign against a
-    // FROZEN codebook, so balance drifts — report it per append instead of
-    // letting the probe cost model silently rot
-    val report = ivfDrift(spark, prefix)
-    System.err.println(s"[ivf] $prefix post-append drift: $report")
-    report
+    // FROZEN codebook, so balance drifts — but only when asked (see above)
+    if (driftProbe) {
+      val report = ivfDrift(spark, prefix)
+      System.err.println(s"[ivf] $prefix post-append drift: $report")
+      Some(report)
+    } else None
   }
 
   /** Cell-occupancy drift of a persisted IVF index. `skew` is

@@ -5,26 +5,106 @@ import graft.multimodal.Media
 
 class MediaSpec extends SparkSpecBase {
 
-  test("decode plumbing: meta is the deterministic function of payload bytes") {
+  test("decode plumbing: header fields parsed back out of real container bytes") {
     val out = Media.mediaMeta(spark, sf0001)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     assert(out.count() === docs.count())
-    // Cross-check one row end-to-end against the FakeDecoder contract.
-    val r = out.filter(col("media_id") === 7).collect()(0)
-    val text = docs.filter(col("doc_id") === 7).select("text").collect()(0).getString(0)
-    val len = text.getBytes("UTF-8").length.toLong
-    assert(r.getAs[Long]("n_bytes") === len)
-    assert(r.getAs[Int]("width") === (64 + (len * 7) % 1216).toInt)
-    assert(r.getAs[Int]("height") === (64 + (len * 13) % 656).toInt)
-    assert(r.getAs[String]("kind") === Seq("image", "audio", "video")((7 % 3).toInt))
+    def lenOf(id: Long): Long = docs.filter(col("doc_id") === id)
+      .select("text").collect()(0).getString(0).getBytes("UTF-8").length.toLong
+    // PNG image (even id, id%3==0): dims from IHDR, 57 container bytes
+    val png = out.filter(col("media_id") === 6).collect()(0)
+    val lp = lenOf(6)
+    assert(png.getAs[String]("kind") === "image")
+    assert(png.getAs[Long]("n_bytes") === lp + 57)
+    assert(png.getAs[Int]("width") === (64 + (lp * 7) % 1216).toInt)
+    assert(png.getAs[Int]("height") === (64 + (lp * 13) % 656).toInt)
+    // JPEG image (odd id, id%3==0): dims from the SOF0 scan, 41 bytes
+    val jpg = out.filter(col("media_id") === 3).collect()(0)
+    val lj = lenOf(3)
+    assert(jpg.getAs[Long]("n_bytes") === lj + 41)
+    assert(jpg.getAs[Int]("width") === (64 + (lj * 7) % 1216).toInt)
+    // WAV audio (id%3==1): 44-byte canonical header, sample frames =
+    // data size / block align (8-bit mono ⇒ = data size), no raster dims
+    val wav = out.filter(col("media_id") === 7).collect()(0)
+    val lw = lenOf(7)
+    assert(wav.getAs[String]("kind") === "audio")
+    assert(wav.getAs[Long]("n_bytes") === lw + 44)
+    assert(wav.getAs[Int]("width") === 0 && wav.getAs[Int]("height") === 0)
+    assert(wav.getAs[Int]("n_frames") === lw.toInt)
+    // AVI video (id%3==2): avih dwTotalFrames/dwWidth/dwHeight, 100 bytes
+    val avi = out.filter(col("media_id") === 8).collect()(0)
+    val la = lenOf(8)
+    assert(avi.getAs[String]("kind") === "video")
+    assert(avi.getAs[Long]("n_bytes") === la + 100)
+    assert(avi.getAs[Int]("n_frames") === (1 + la % 240).toInt)
+    assert(avi.getAs[Int]("width") === (64 + (la * 7) % 1216).toInt)
   }
 
   test("decoder runs once per partition stream (mapPartitions shape)") {
     import spark.implicits._
     val assets = Media.assetsFromDocuments(spark, sf0001).repartition(3)
-    val metas = Media.decodeAll(assets, Media.FakeDecoder)
+    val metas = Media.decodeAll(assets, Media.HeaderDecoder)
     assert(metas.count() === 500)
     assert(metas.filter(_.kind == "image").head().n_frames === 1)
+  }
+
+  test("HeaderDecoder reads a genuine in-the-wild PNG, not just its own encoder's output") {
+    // canonical 1×1 transparent PNG as produced by real tooling — proves
+    // the IHDR walk parses foreign files (different color type, real IDAT)
+    val realPng = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val m = Media.HeaderDecoder.decode(Media.MediaAsset(1L, "image", realPng))
+    assert(m.width === 1 && m.height === 1 && m.n_frames === 1)
+    assert(m.n_bytes === realPng.length.toLong)
+  }
+
+  test("HeaderDecoder scans JPEG marker segments it did not emit: DQT/COM before progressive SOF2") {
+    // segment order and SOF flavor differ from encodeJpeg's APP0+SOF0
+    // layout, so only a real marker walk (skip-by-length, SOFn range
+    // check) finds the dimensions
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val com = Array(0xff, 0xfe).map(_.toByte) ++ be16(9) ++ "comment".getBytes("US-ASCII")
+    val dqt = Array(0xff, 0xdb).map(_.toByte) ++ be16(67) ++ Array.fill[Byte](65)(1)
+    val sof2 = Array(0xff, 0xc2).map(_.toByte) ++ be16(11) ++ Array[Byte](8) ++
+      be16(123) ++ be16(321) ++ Array[Byte](1, 1, 0x11, 0)
+    val bytes = Array(0xff, 0xd8).map(_.toByte) ++ com ++ dqt ++ sof2 ++
+      Array(0xff, 0xd9).map(_.toByte)
+    val m = Media.HeaderDecoder.decode(Media.MediaAsset(2L, "image", bytes))
+    assert(m.width === 321 && m.height === 123)
+  }
+
+  test("HeaderDecoder walks RIFF chunk trees with foreign chunks and odd-size padding") {
+    // WAV with a LIST chunk ahead of fmt, and an ODD-sized extra chunk
+    // (RIFF pads to even — an off-by-one walk would desync and miss data)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val junk = ascii("LIST") ++ le32(5) ++ ascii("INFO") ++ Array[Byte](7) ++
+      Array[Byte](0) // 5-byte chunk + 1 pad byte
+    val fmt = ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16) // stereo 16-bit: block align 4
+    val data = ascii("data") ++ le32(20) ++ Array.fill[Byte](20)(0)
+    val body = junk ++ fmt ++ data
+    val wav = ascii("RIFF") ++ le32(4 + body.length) ++ ascii("WAVE") ++ body
+    val m = Media.HeaderDecoder.decode(Media.MediaAsset(3L, "audio", wav))
+    assert(m.n_frames === 5, s"20 bytes / block align 4 must be 5 frames: $m") // 20 / 4
+    assert(m.width === 0 && m.height === 0)
+  }
+
+  test("encode/decode round-trips dimensions exactly at the format boundaries") {
+    val cases = Seq((1, 1), (1279, 719), (64, 656), (800, 600))
+    cases.foreach { case (w, h) =>
+      val p = Media.HeaderDecoder.decode(
+        Media.MediaAsset(0L, "image", Media.encodePng(w, h, "x".getBytes)))
+      assert((p.width, p.height) === ((w, h)), s"png $w x $h")
+      val j = Media.HeaderDecoder.decode(
+        Media.MediaAsset(0L, "image", Media.encodeJpeg(w, h, "x".getBytes)))
+      assert((j.width, j.height) === ((w, h)), s"jpeg $w x $h")
+      val a = Media.HeaderDecoder.decode(
+        Media.MediaAsset(0L, "video", Media.encodeAvi(w, h, 239, "x".getBytes)))
+      assert((a.width, a.height, a.n_frames) === ((w, h, 239)), s"avi $w x $h")
+    }
   }
 
   test("resize preserves aspect ratio and fits the target box") {

@@ -103,7 +103,8 @@ class SimilaritySpec extends SparkSpecBase {
     // lands in vector 3's cell under the STORED codebook and scores cos=1.0
     val delta = e.filter(col("vec_id") === 3)
       .select(lit(900000L).as("vec_id"), col("embedding"))
-    Similarity.appendIvfIndex(spark, delta, prefix)
+    // drift probe is opt-in: the plain append path must stay O(|delta|)
+    assert(Similarity.appendIvfIndex(spark, delta, prefix).isEmpty)
     val probes = e.filter(col("vec_id") === 3)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
     val res = Similarity.searchIvfIndex(spark, prefix, probes, k = 3, nprobe = 2)
@@ -148,7 +149,8 @@ class SimilaritySpec extends SparkSpecBase {
     // one into cell 0 (cos 1.0 vs 0.0, tie-free), exactly the drift mode
     // the monitor exists for: 93 of 100 vectors in one cell, skew 7.44
     val delta = (100 until 192).map(i => (i.toLong, axis(0))).toDF("vec_id", "embedding")
-    val after = Similarity.appendIvfIndex(spark, delta, prefix)
+    val after = Similarity.appendIvfIndex(spark, delta, prefix, driftProbe = true)
+      .getOrElse(fail("driftProbe = true must return a report"))
     assert(after.rebuildRecommended, s"signal must fire on a skewed append: $after")
     assert(after.maxCell === 93 && after.vecs === 100, s"$after")
     assert(after.skew > 4.0, s"$after")
