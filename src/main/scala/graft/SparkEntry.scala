@@ -90,6 +90,7 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(s, d)),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -764,6 +765,27 @@ object SparkEntry {
         |  CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS bpe_tokens
         |FROM d ORDER BY doc_id""".stripMargin,
     "quality_score" -> s"$qualityScoreSql\nORDER BY doc_id",
+    // perplexity_score: corpus-trained bigram LM surprisal in WHOLE BITS —
+    // per-token bits = length(bin(c(w1))) − length(bin(c(w1,w2))), the
+    // integer ⌊log2⌋ both engines compute identically on binary-string
+    // length, so the LM score hash-matches with no float dynamic range.
+    // SCALAR range()+unnest, not the range() table function: the table
+    // form rejects lateral column arguments, while the scalar form maps
+    // len(ws) < 2 to an empty list (zero pair rows) instead of erroring.
+    "perplexity_score" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |pairs AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+        |          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM big GROUP BY 1),
+        |sc AS (SELECT doc_id, count(*) AS n_big,
+        |         sum(length(bin(c1)) - length(bin(c2))) AS bits
+        |       FROM pairs JOIN big USING (w1, w2) JOIN ctx USING (w1) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(n_big, 0) AS BIGINT) AS n_big,
+        |  CAST(COALESCE(bits, 0) AS BIGINT) AS bits,
+        |  round(CASE WHEN COALESCE(n_big, 0) = 0 THEN 0.0
+        |        ELSE CAST(bits AS DOUBLE) / n_big END, 4) AS ppl_bits
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     // pack_sequences: concatenate-and-chunk training layout — per-lang
     // prefix sums over the same BPE-ish token count as token_count; both
     // engines compute identical integer cumsums and floor-divisions.

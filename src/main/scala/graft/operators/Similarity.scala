@@ -41,8 +41,12 @@ object Similarity {
     * → broadcast; the join is a BroadcastNestedLoopJoin over the corpus with
     * rank pruned per probe partition. Self-matches excluded. */
   def knnBrute(spark: SparkSession, sfDir: String,
-               numProbes: Int = 10, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+               numProbes: Int = 10, k: Int = 5): DataFrame =
+    knnBruteFrom(Tables.embeddings(spark, sfDir), numProbes, k)
+
+  /** [[knnBrute]] over an explicit `(vec_id, embedding)` frame — the form
+    * recall fixtures and bring-your-own-corpus pipelines call. */
+  def knnBruteFrom(e: DataFrame, numProbes: Int = 10, k: Int = 5): DataFrame = {
     val probes = e.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
     val scored = e.crossJoin(broadcast(probes))
@@ -158,8 +162,14 @@ object Similarity {
     * suite). Fully deterministic → SQL-oracle-checked, k-means included. */
   def ivfSearch(spark: SparkSession, sfDir: String,
                 numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
-                iters: Int = 3, nprobe: Int = 2): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+                iters: Int = 3, nprobe: Int = 2): DataFrame =
+    ivfSearchFrom(Tables.embeddings(spark, sfDir), numProbes, k,
+      numCentroids, iters, nprobe)
+
+  /** [[ivfSearch]] over an explicit `(vec_id, embedding)` frame. */
+  def ivfSearchFrom(e: DataFrame,
+                    numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
+                    iters: Int = 3, nprobe: Int = 2): DataFrame = {
     val cents = kmeansCodebook(e, numCentroids, iters,
       ivfSampleStride(e.count(), numCentroids))
     val assigned = assignCells(e, cents)
@@ -430,9 +440,15 @@ object Similarity {
 
   def annHyperplane(spark: SparkSession, sfDir: String,
                     numProbes: Int = 10, k: Int = 5,
-                    bits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
+                    bits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame =
+    annHyperplaneFrom(Tables.embeddings(spark, sfDir), numProbes, k, bits, dim, seed)
+
+  /** [[annHyperplane]] over an explicit `(vec_id, embedding)` frame. */
+  def annHyperplaneFrom(e0: DataFrame,
+                        numProbes: Int = 10, k: Int = 5,
+                        bits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bits, dim, seed)
-    val e = Tables.embeddings(spark, sfDir)
+    val e = e0
       .select(col("vec_id"), col("embedding"),
               VectorFunctions.hyperplaneBucket(col("embedding"), planes).as("bkt"))
     val probes = e.filter(col("vec_id") < numProbes)

@@ -156,6 +156,65 @@ object TextAnalysis {
               bpeTokenCount(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Model-based quality signal: corpus-trained word-BIGRAM language-model
+    * surprisal, integer-exact — the standard LM pillar next to the
+    * rule-based [[qualityScore]] filters (C4/Gopher-style rules catch
+    * shape; an LM score catches boilerplate that is well-formed but
+    * predictable). Dirty-vs-clean perplexity filtering is the CCNet/
+    * Wenzek-et-al. recipe; this is its distributed, oracle-checkable core.
+    *
+    * The model IS the corpus (train = score set): bigram counts c(w1,w2)
+    * and context counts c(w1) = Σ_w2 c(w1,w2) from one exploded-pairs
+    * aggregate. Per-token surprisal uses the INTEGER log2 both engines
+    * compute identically as `length(bin(x))` (= ⌊log2 x⌋ + 1 for x ≥ 1):
+    * bits(w2|w1) = width(c(w1)) − width(c(w1,w2)) ∈ [0, 64] — the
+    * whole-bit form of log2(c(w1)/c(w1,w2)), exact in integers, so this
+    * LM score hash-matches DuckDB with no float-product dynamic-range
+    * problem (the quantile_sketch philosophy: approximate in modeling,
+    * exact in arithmetic). Every scored bigram occurs in the corpus, so
+    * counts are ≥ 1 and no smoothing is needed.
+    *
+    * 100 TB story: tokens explode scan-side; the model is two hash
+    * aggregates (bounded by distinct-bigram mass, partial-agg'd map-side);
+    * scoring is a shuffle join of doc pairs against the model ON THE
+    * BIGRAM KEY — model sharded like any fact table, no driver state, no
+    * broadcast of an unbounded vocabulary. `ppl_bits` = mean bits/token;
+    * 2^ppl_bits would be the perplexity (kept in bits to stay exact). */
+  def perplexityScore(spark: SparkSession, sfDir: String): DataFrame =
+    perplexityScoreFrom(Tables.documents(spark, sfDir))
+
+  /** [[perplexityScore]] over an explicit `(doc_id, text)` frame. */
+  def perplexityScoreFrom(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), tokenize(col("text")).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        // adjacent-pair stream; CASE keeps sequence() off the size<2 branch
+        // (Spark's sequence(1,0) would count DOWN, not return empty)
+        """CASE WHEN size(ws) >= 2
+          |THEN transform(sequence(1, size(ws) - 1),
+          |       i -> named_struct('w1', element_at(ws, CAST(i AS INT)),
+          |                         'w2', element_at(ws, CAST(i + 1 AS INT))))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val contexts = bigrams.groupBy("w1").agg(sum("c2").as("c1"))
+    val perDoc = pairs
+      .join(bigrams, Seq("w1", "w2"))
+      .join(contexts, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"),
+           sum(length(bin(col("c1"))) - length(bin(col("c2")))).as("bits"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_big", "bits"))
+      .select(col("doc_id"), col("n_big").cast("bigint").as("n_big"),
+        col("bits").cast("bigint").as("bits"),
+        duckRound(when(col("n_big") === 0, lit(0.0))
+          .otherwise(col("bits").cast("double") / col("n_big").cast("double")), 4)
+          .as("ppl_bits"))
+      .orderBy("doc_id")
+  }
+
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
   /** Document quality scoring from length / word-shape / stopword ratios —

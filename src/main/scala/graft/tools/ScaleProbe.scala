@@ -25,7 +25,11 @@ object ScaleProbe {
                             "jsonl_scan", "csv_scan", "stream_ingest",
                             "pack_sequences", "mixture_sample",
                             "repetition_score", "bpe_train", "tfidf_terms",
-                            "bm25_search", "stream_dedup_near")).toList
+                            "bm25_search", "stream_dedup_near",
+                            "perplexity_score", "phrase_search",
+                            "session_window_agg", "stream_distinct_sketch",
+                            "pack_sequences_sharded", "ann_recall",
+                            "ivf_recall")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -196,4 +196,72 @@ class SimilaritySpec extends SparkSpecBase {
       .select(VectorFunctions.signBucket(col("v"), 4).as("b"))
     assert(df.collect()(0).getString(0) === "1011") // 0.0 counts as positive
   }
+
+  test("planted clusters: ANN and IVF recall sit far ABOVE the scan-fraction floor") {
+    // On the driver's isotropic synthetic embeddings every bucketing is a
+    // uniform sampler, so measured recall ~ scan fraction — that FLOOR says
+    // nothing about whether the searches work as ANN. This fixture plants
+    // real cluster structure (16 one-hot-axis centers, 40 points each,
+    // 1e-3-scale deterministic perturbations), where a working ANN keeps a
+    // probe's true neighbors (its own cluster) in the scanned buckets:
+    // recall must approach 1 while the scan fraction stays ~1/16.
+    import spark.implicits._
+    val dim = 64
+    val clusters = 16
+    val n = 640 // 40 per cluster
+    // cluster(id) = (id div 10) mod 16: ids 0..9 are all cluster 0 (the
+    // probe set), AND the ivfSampleStride(640,16)=10 training sample
+    // (id % 10 == 0) then seeds one centroid per cluster with 4 training
+    // points each — the planted structure is visible to Lloyd's seeding,
+    // so the trained cells recover the 16 planted clusters
+    val rows = (0 until n).map { id =>
+      val c = (id / 10) % clusters
+      val v = Array.fill(dim)(0.0f)
+      v(c * 4) = 1.0f
+      // deterministic tiny perturbation: distinct per point, too small to
+      // flip a hyperplane sign except on a measure-zero-ish boundary
+      v((c * 4 + 1 + (id % 7)) % dim) += (0.0005f * ((id % 11) + 1))
+      v((c * 4 + 9 + (id % 5)) % dim) -= (0.0004f * ((id % 13) + 1))
+      (id.toLong, v.toSeq)
+    }
+    val perCluster = n / clusters
+    val e = rows.toDF("vec_id", "embedding")
+    val truth = Similarity.knnBruteFrom(e, numProbes = 10, k = 5)
+    assert(truth.collect().forall(r => (r.getLong(1) / 10) % clusters === 0L),
+      "fixture sanity: every true neighbor of a cluster-0 probe is cluster-0")
+
+    // hyperplane-LSH: recall and the fraction of the corpus its buckets scan
+    val planes = Similarity.hyperplanes(bits = 6, dim = dim, seed = 42L)
+    val bkts = e.select(col("vec_id"),
+      graft.functions.VectorFunctions.hyperplaneBucket(col("embedding"), planes).as("bkt"))
+    val bktSizes = bkts.groupBy("bkt").count()
+    val annScanFrac = bkts.filter(col("vec_id") < 10).join(bktSizes, "bkt")
+      .agg(avg(col("count"))).collect()(0).getDouble(0) / rows.length
+    val annRec = Similarity.searchRecall(truth,
+        Similarity.annHyperplaneFrom(e, numProbes = 10, k = 5, dim = dim))
+      .agg(avg("recall")).collect()(0).getDouble(0)
+    assert(annScanFrac < 0.25, s"clustered corpus must bucket tightly, scanned $annScanFrac")
+    assert(annRec >= 0.8, s"ANN recall on planted clusters must approach 1, got $annRec")
+    assert(annRec > 3 * annScanFrac,
+      s"recall $annRec must clear the uniform-sampler floor $annScanFrac")
+
+    // trained IVF at the driver defaults (16 cells, nprobe 2)
+    val cents = Similarity.kmeansCodebook(e, 16, 3,
+      Similarity.ivfSampleStride(rows.length, 16))
+    val cellSizes = Similarity.assignCells(e, cents).groupBy("cell").count()
+    // seeds cover every planted cluster, so training must RECOVER them:
+    // 16 balanced cells, and a probe's nprobe=2 cells scan ≤ 2·max/N
+    val maxCell = cellSizes.agg(max("count")).collect()(0).getLong(0)
+    assert(maxCell === perCluster.toLong,
+      s"k-means must recover the planted 16x$perCluster cells, max cell $maxCell")
+    val ivfScanFracBound = 2.0 * maxCell / rows.length
+    val ivfRec = Similarity.searchRecall(truth,
+        Similarity.ivfSearchFrom(e, numProbes = 10, k = 5))
+      .agg(avg("recall")).collect()(0).getDouble(0)
+    assert(ivfRec >= 0.8, s"IVF recall on planted clusters must approach 1, got $ivfRec")
+    assert(ivfRec > 3 * ivfScanFracBound,
+      s"recall $ivfRec must clear the scan-fraction bound $ivfScanFracBound")
+    System.err.println(f"[planted] ann recall=$annRec%.3f scan=$annScanFrac%.3f; " +
+      f"ivf recall=$ivfRec%.3f scanBound=$ivfScanFracBound%.3f")
+  }
 }

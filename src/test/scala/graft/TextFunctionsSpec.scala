@@ -58,4 +58,34 @@ class TextFunctionsSpec extends SparkSpecBase {
     val hs = (1 to 1000).map(i => TextAnalysis.stringHash64(s"w$i")).toSet
     assert(hs.size === 1000)
   }
+
+  test("perplexity_score: boilerplate scores predictable, natural text scores surprising") {
+    // The LM signal the rule-based quality filters can't see: boilerplate
+    // is WELL-FORMED (passes length/stopword/word-shape rules) but its
+    // bigrams repeat across the corpus, so a corpus-trained bigram LM
+    // assigns it low surprisal. 20 boilerplate docs share one template
+    // sentence; 20 natural docs each use distinct word pairs.
+    import spark.implicits._
+    val boiler = (0 until 20).map { i =>
+      (i.toLong, "click here to subscribe to our newsletter and never miss an update from our team")
+    }
+    val vocabA = Seq("river", "mountain", "quiet", "sudden", "amber", "glass",
+      "window", "harbor", "letter", "evening", "stone", "garden", "winter",
+      "copper", "signal", "meadow", "lantern", "orchard", "timber", "harvest")
+    val natural = (0 until 20).map { i =>
+      // rotate the vocabulary so each doc's adjacent PAIRS are distinct
+      val ws = (0 until 14).map(j => vocabA((i * 7 + j * (i + 3)) % vocabA.length))
+      (100L + i, ws.mkString(" "))
+    }
+    val docs = (boiler ++ natural).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityScoreFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val boilerAvg = boiler.map(b => out(b._1)).sum / boiler.size
+    val naturalAvg = natural.map(n => out(n._1)).sum / natural.size
+    assert(boilerAvg < naturalAvg - 1.0,
+      s"boilerplate must score ≥1 bit/token more predictable: boiler=$boilerAvg natural=$naturalAvg")
+    // the template doc's bigrams each occur ≥20 times out of ≤a-few-dozen
+    // context occurrences: near-zero whole-bit surprisal
+    assert(boilerAvg < 1.5, s"shared-template surprisal should be near 0 bits, got $boilerAvg")
+  }
 }
