@@ -36,6 +36,14 @@ class PlanSpec extends SparkSpecBase {
       s"bin histogram lost its partial aggregation (every row would shuffle):\n$plan")
   }
 
+  test("perplexity_score: LM training aggregates combine map-side, scoring join is not cartesian") {
+    val plan = finalPlan("perplexity_score")
+    assert(plan.contains("partial_count"),
+      s"bigram model lost its partial aggregation (every token pair would shuffle raw):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"perplexity scoring join degenerated to a cartesian product:\n$plan")
+  }
+
   test("no expensive query plans a CartesianProduct") {
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),
