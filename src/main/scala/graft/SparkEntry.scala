@@ -91,6 +91,7 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(s, d)),
+    "heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -769,6 +770,15 @@ object SparkEntry {
     // per-token bits = length(bin(c(w1))) − length(bin(c(w1,w2))), the
     // integer ⌊log2⌋ both engines compute identically on binary-string
     // length, so the LM score hash-matches with no float dynamic range.
+    // heavy_hitters: the Misra-Gries candidate phase is pure pruning — the
+    // exact-recount phase defines the output, so the oracle is the direct
+    // exact form. Integer threshold cnt*s > total (no division to diverge).
+    "heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS word FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word)
+        |SELECT word, cnt FROM c
+        |WHERE cnt * 200 > (SELECT count(*) FROM toks)
+        |ORDER BY word""".stripMargin,
     // SCALAR range()+unnest, not the range() table function: the table
     // form rejects lateral column arguments, while the scalar form maps
     // len(ws) < 2 to an empty list (zero pair rows) instead of erroring.

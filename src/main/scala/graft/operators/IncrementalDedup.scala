@@ -106,29 +106,68 @@ object IncrementalDedup {
   private def bandsOf(postings: DataFrame, p: IndexParams): DataFrame =
     bandsFromSigs(sigsOf(postings, p), p.numBands, p.rowsPerBand)
 
+  /** Dedicated pool for the five independent per-table index writes: the
+    * tables share no state (distinct names, distinct locations) and their
+    * inputs are checkpoint-truncated, so the writes are submitted as
+    * CONCURRENT Spark jobs — the documented multi-threaded-scheduling
+    * pattern. On tiny ingest batches this collapses five serial rounds of
+    * job-scheduling + commit-protocol latency into one; on a cluster the
+    * overlap keeps executors busy across stage boundaries. */
+  @transient private lazy val indexWriteEc =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(5, r => {
+        val t = new Thread(r, "graft-index-write")
+        t.setDaemon(true)
+        t
+      }))
+
+  private def inParallel(writes: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = indexWriteEc
+    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+  }
+
+  /** The five per-table writes of one index extension, shared by build
+    * (overwrite) and append. `cacheInput` truncates the docs frame first —
+    * right for O(batch) streaming deltas whose lineage (anti-joins over
+    * checkpoints) would otherwise re-run per write; WRONG for a corpus-mass
+    * build, where caching the whole input would cost more than the extra
+    * scans it saves (the corpus path re-reads the parquet scan instead). */
+  private def writeIndexTables(docs: DataFrame, prefix: String, p: IndexParams,
+                               append: Boolean, cacheInput: Boolean): Unit = {
+    val spark = docs.sparkSession
+    val d = if (cacheInput) docs.localCheckpoint(true) else docs
+    val postings = postingsOf(d, p.n)
+    val sigs = new Dedup.RoundCheckpointer(spark)(sigsOf(postings, p))
+    def write(df: DataFrame, keys: Seq[String], table: String): Unit =
+      if (append) Warehouse.appendBucketed(df, keys, table, p.buckets)
+      else Warehouse.writeBucketed(df, keys, table, p.buckets)
+    inParallel(Seq(
+      () => write(bandsFromSigs(sigs, p.numBands, p.rowsPerBand),
+        Seq("band", "bhash"), s"${prefix}_bands"),
+      () => write(bandsFromSigs(sigs, p.cBands, p.cRows),
+        Seq("band", "bhash"), s"${prefix}_cbands"),
+      // Bucketed on BOTH columns: the verification join's keys are exactly
+      // (doc_id, s), and Spark only plans a bucket-local join when the bucket
+      // columns equal the join keys (a subset match makes the planner disable
+      // the bucketed read and shuffle the store).
+      () => write(postings, Seq("doc_id", "s"), s"${prefix}_postings"),
+      () => write(sizesOf(d, postings), Seq("doc_id"), s"${prefix}_sizes"),
+      () => write(sharrOf(d, p), Seq("doc_id"), s"${prefix}_sharr")))
+  }
+
   /** Build the five index tables from an explicit document set. `_sharr`
     * (per-doc shingle arrays, the STREAMING verification layout) is part of
     * the index proper — if it were built lazily on the side, a delta
     * appended before its creation could never be reconstructed and the
     * stream would silently miss near-dups of appended documents. The
     * signature aggregate is checkpointed so both band tables explode from
-    * ONE computation (blocks reclaimed by the context cleaner). */
-  def buildIndexFrom(docs: DataFrame, prefix: String, p: IndexParams): Unit = {
-    val postings = postingsOf(docs, p.n)
-    val sigs = new Dedup.RoundCheckpointer(docs.sparkSession)(sigsOf(postings, p))
-    Warehouse.writeBucketed(bandsFromSigs(sigs, p.numBands, p.rowsPerBand),
-      Seq("band", "bhash"), s"${prefix}_bands", p.buckets)
-    Warehouse.writeBucketed(bandsFromSigs(sigs, p.cBands, p.cRows),
-      Seq("band", "bhash"), s"${prefix}_cbands", p.buckets)
-    // Bucketed on BOTH columns: the verification join's keys are exactly
-    // (doc_id, s), and Spark only plans a bucket-local join when the bucket
-    // columns equal the join keys (a subset match makes the planner disable
-    // the bucketed read and shuffle the store).
-    Warehouse.writeBucketed(postings, Seq("doc_id", "s"), s"${prefix}_postings", p.buckets)
-    Warehouse.writeBucketed(sizesOf(docs, postings),
-      Seq("doc_id"), s"${prefix}_sizes", p.buckets)
-    Warehouse.writeBucketed(sharrOf(docs, p), Seq("doc_id"), s"${prefix}_sharr", p.buckets)
-  }
+    * ONE computation (blocks reclaimed by the context cleaner); the five
+    * table writes then run as concurrent jobs ([[indexWriteEc]]). */
+  def buildIndexFrom(docs: DataFrame, prefix: String, p: IndexParams,
+                     cacheInput: Boolean = false): Unit =
+    writeIndexTables(docs, prefix, p, append = false, cacheInput = cacheInput)
 
   private def sharrOf(docs: DataFrame, p: IndexParams): DataFrame =
     docs.select(col("doc_id"),
@@ -160,7 +199,8 @@ object IncrementalDedup {
     * the corpus instead of reading a half-extended index (appended deltas
     * must then be re-appended by the ingest pipeline — a re-run, never a
     * silent wrong answer). */
-  def appendToIndex(docs: DataFrame, prefix: String, p: IndexParams): Unit = {
+  def appendToIndex(docs: DataFrame, prefix: String, p: IndexParams,
+                    cacheInput: Boolean = true): Unit = {
     val spark = docs.sparkSession
     val tables = TableSuffixes.map(s => s"${prefix}_$s")
     val missing = tables.filterNot(spark.catalog.tableExists)
@@ -169,16 +209,8 @@ object IncrementalDedup {
         "build it first (buildIndex / buildIndexFrom)")
     val stamps = tables.map(t => t -> Warehouse.storedFingerprint(spark, t)).toMap
     tables.foreach(t => Warehouse.stampFingerprint(spark, t, "append-in-flight"))
-    val postings = postingsOf(docs, p.n)
-    val sigs = new Dedup.RoundCheckpointer(spark)(sigsOf(postings, p))
-    Warehouse.appendBucketed(bandsFromSigs(sigs, p.numBands, p.rowsPerBand),
-      Seq("band", "bhash"), s"${prefix}_bands", p.buckets)
-    Warehouse.appendBucketed(bandsFromSigs(sigs, p.cBands, p.cRows),
-      Seq("band", "bhash"), s"${prefix}_cbands", p.buckets)
-    Warehouse.appendBucketed(postings, Seq("doc_id", "s"), s"${prefix}_postings", p.buckets)
-    Warehouse.appendBucketed(sizesOf(docs, postings),
-      Seq("doc_id"), s"${prefix}_sizes", p.buckets)
-    Warehouse.appendBucketed(sharrOf(docs, p), Seq("doc_id"), s"${prefix}_sharr", p.buckets)
+    // deltas are O(batch) → cache the input by default (see writeIndexTables)
+    writeIndexTables(docs, prefix, p, append = true, cacheInput = cacheInput)
     tables.foreach(t => stamps(t).foreach(fp => Warehouse.stampFingerprint(spark, t, fp)))
   }
 
@@ -192,7 +224,7 @@ object IncrementalDedup {
   def appendOrCreate(docs: DataFrame, prefix: String, p: IndexParams): Unit =
     if (tableNames(prefix).forall(docs.sparkSession.catalog.tableExists))
       appendToIndex(docs, prefix, p)
-    else buildIndexFrom(docs, prefix, p)
+    else buildIndexFrom(docs, prefix, p, cacheInput = true) // O(batch) input
 
   /** The delta-vs-store near-dup join, given an already-built index:
     *

@@ -432,11 +432,16 @@ object Similarity {
     searchRecall(knnBrute(spark, sfDir, numProbes, k),
                  annHyperplane(spark, sfDir, numProbes, k))
 
-  /** Recall@k of the trained-IVF search (nprobe cells) vs brute force. */
+  /** Recall@k of the trained-IVF search (nprobe cells) vs brute force —
+    * measured against the PERSISTED index ([[ivfSearchIndexed]]): the
+    * stored codebook is the same deterministic k-means bit for bit, so the
+    * rows (and the oracle) are identical to the in-query [[ivfSearch]]
+    * form, but the instrument measures the production search path and
+    * reuses the fingerprint-gated index instead of re-training per call. */
   def ivfRecall(spark: SparkSession, sfDir: String,
                 numProbes: Int = 10, k: Int = 5): DataFrame =
     searchRecall(knnBrute(spark, sfDir, numProbes, k),
-                 ivfSearch(spark, sfDir, numProbes, k))
+                 ivfSearchIndexed(spark, sfDir, numProbes, k))
 
   def annHyperplane(spark: SparkSession, sfDir: String,
                     numProbes: Int = 10, k: Int = 5,

@@ -215,6 +215,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** EXACT heavy hitters at a fraction threshold — every word occurring
+    * MORE than `total/s` times — via the two-phase shape that scales where
+    * a full `groupBy(word)` shuffle does not: a 100 TB corpus has billions
+    * of distinct words (typos, ids, urls), and shuffling every (word,
+    * partial-count) pair builds a hash table of the entire vocabulary just
+    * to discard all but the few hundred frequent entries.
+    *
+    *  1. CANDIDATES: per-partition Misra–Gries summaries (s counters,
+    *     classic decrement-all, `mapPartitions` — the one imperative loop,
+    *     justified because no Catalyst aggregate expresses "bounded
+    *     counters with eviction"). MG guarantees any item with partition
+    *     count > partCount/s survives its partition's summary; a global
+    *     count > total/s implies that bound in ≥1 partition (pigeonhole),
+    *     so the candidate union is a SUPERSET of the true heavy hitters
+    *     at ≤ s·partitions rows — broadcastable by construction.
+    *  2. EXACT RECOUNT: one aggregation over tokens semi-joined (broadcast)
+    *     to the candidate set, then the exact integer threshold
+    *     `cnt · s > total`. Only candidate-matching tokens shuffle.
+    *
+    * The candidate SET varies with partitioning (MG is order-sensitive);
+    * the OUTPUT does not — supersets all recount to the same exact answer,
+    * which is what makes this approximate-candidates/exact-verify pipeline
+    * DuckDB-checkable (the dedup_minhash philosophy on frequency). */
+  def heavyHitters(spark: SparkSession, sfDir: String, s: Int = 200): DataFrame =
+    heavyHittersFrom(Tables.documents(spark, sfDir), s)
+
+  /** [[heavyHitters]] over an explicit `(doc_id, text)` frame. */
+  def heavyHittersFrom(docs: DataFrame, s: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(tokenize(col("text"))).as("word"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        if (counters.contains(w)) counters(w) += 1
+        else if (counters.size < s) counters(w) = 1
+        else {
+          // decrement-all: drop zeroed counters (amortized O(1)/token)
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { k =>
+            val c = counters(k) - 1
+            if (c == 0) dead += k else counters(k) = c
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("word").distinct()
+    val total = toks.count()
+    toks.join(broadcast(candidates), Seq("word"), "left_semi")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * s > total)
+      .orderBy("word")
+  }
+
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
   /** Document quality scoring from length / word-shape / stopword ratios —

@@ -117,6 +117,10 @@ class NativeExpressionsSpec extends SparkSpecBase {
     // buffer, so the estimate is bit-identical across shuffles
     assert(est(big.repartition(13)) === e)
     assert(est(big.repartition(3)) === e)
+    // ImplicitCastInputTypes: a non-string argument coerces at ANALYSIS
+    // (pre-fix this threw ClassCastException at execution)
+    val ints = (1 to 40).map(i => ("g", i)).toDF("g", "v")
+    assert(est(ints) === 40.0)
   }
 
   test("tokenizer unicode parity: \\p{L} keeps accented/non-latin letters") {

@@ -88,4 +88,31 @@ class TextFunctionsSpec extends SparkSpecBase {
     // context occurrences: near-zero whole-bit surprisal
     assert(boilerAvg < 1.5, s"shared-template surprisal should be near 0 bits, got $boilerAvg")
   }
+
+  test("heavy_hitters: output is exact and invariant to partitioning (MG candidates are a superset)") {
+    import spark.implicits._
+    // 3 planted heavy words + a long tail of singletons; s=50 → threshold
+    // = total/50. Misra-Gries candidate sets differ per partitioning, but
+    // the exact-recount output must not.
+    // tail words are LETTER-ONLY: a digit suffix would be stripped by the
+    // tokenizer and collapse the whole tail into one (heavy!) token
+    val words = Seq.fill(300)("alpha") ++ Seq.fill(200)("beta") ++
+      Seq.fill(120)("gamma") ++
+      (0 until 400).map(i => s"t${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val docs = words.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val total = words.length // 1020; threshold cnt*50 > 1020 → cnt >= 21
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.heavyHittersFrom(df, s = 50).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = Seq(("alpha", 300L), ("beta", 200L), ("gamma", 120L))
+    assert(run(docs) === expected)
+    assert(run(docs.repartition(7)) === expected)
+    assert(run(docs.repartition(1)) === expected)
+    // the exact threshold semantics: a word at exactly total/s does NOT
+    // qualify (strict >); verify against a full exact count
+    val exact = docs.select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("w"))
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.foreach { case (w, c) => assert(exact(w) === c && c * 50 > total) }
+  }
 }
