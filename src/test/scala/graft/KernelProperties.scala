@@ -101,4 +101,17 @@ object KernelProperties extends Properties("graft.kernels") {
       // sample size n/s is at least perCentroid*k whenever n allows it
       s >= 1 && (s == 1 || n / s >= 4L * k)
     }
+
+  property("perplexity whole-bit surprisal: width(c1)-width(c2) within 1 bit of log2(c1/c2)") =
+    // the fidelity bound perplexity_score's integer arithmetic rests on:
+    // bit width is floor(log2 x)+1, so the width DIFFERENCE brackets the
+    // real log-ratio within one bit either side for any 1 <= c2 <= c1
+    forAll(Gen.choose(1L, Long.MaxValue / 2), Gen.choose(1L, Long.MaxValue / 2)) { (a, b) =>
+      val c1 = math.max(a, b)
+      val c2 = math.min(a, b)
+      val widthBits = java.lang.Long.toBinaryString(c1).length -
+        java.lang.Long.toBinaryString(c2).length
+      val exact = math.log(c1.toDouble / c2.toDouble) / math.log(2.0)
+      widthBits >= exact - 1.0 - 1e-9 && widthBits <= exact + 1.0 + 1e-9
+    }
 }

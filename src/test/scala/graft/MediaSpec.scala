@@ -92,6 +92,23 @@ class MediaSpec extends SparkSpecBase {
     assert(m.width === 0 && m.height === 0)
   }
 
+  test("corrupt containers THROW instead of returning silent zero metadata") {
+    // a real pipeline must quarantine undecodable assets, which requires
+    // the decode error to surface — not a (0, 0, 0) row that aggregates
+    def deco(bytes: Array[Byte]) =
+      Media.HeaderDecoder.decode(Media.MediaAsset(9L, "image", bytes))
+    // unknown magic
+    intercept[IllegalArgumentException](deco("not a media file".getBytes))
+    // PNG signature but the chunk stream never reaches an IHDR
+    intercept[IllegalArgumentException](deco(
+      Media.encodePng(4, 4, "x".getBytes).take(8) ++ "garbagegarbage".getBytes))
+    // JPEG SOI but truncated before any SOF marker
+    intercept[IllegalArgumentException](deco(Array(0xff, 0xd8).map(_.toByte)))
+    // RIFF/WAVE missing its fmt/data chunks
+    intercept[IllegalArgumentException](deco(
+      "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "WAVE".getBytes))
+  }
+
   test("encode/decode round-trips dimensions exactly at the format boundaries") {
     val cases = Seq((1, 1), (1279, 719), (64, 656), (800, 600))
     cases.foreach { case (w, h) =>
