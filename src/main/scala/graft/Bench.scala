@@ -7,6 +7,23 @@ import org.apache.spark.sql.SparkSession
   * (the generated code per plan is identical across scale factors). */
 object Bench {
 
+  /** The one local-session recipe every measurement tool shares (Bench,
+    * QueryTimer, ScaleProbe): identical configs are what make their
+    * numbers comparable — a flag added in one tool but not another would
+    * make cross-tool deltas measurement artifacts. */
+  def localSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   /** Release session state one query can leave behind for the next — the
     * r5 bench-tail diagnosis: queries are correct and their plans are
     * gated, but a single shared session accumulates (a) RDD-level persisted
@@ -75,15 +92,7 @@ object Bench {
     //  ISOLATE=0 disables the per-query state release (default on).
     val reversed = sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reversed")
     val isolate = !sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("0")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = localSession(cpus)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (_, fn) =>

@@ -146,12 +146,24 @@ object Media {
     private def isRiff(b: Array[Byte], form: String): Boolean =
       b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == form
 
+    /** A declared chunk/segment length must be non-negative — a corrupt
+      * (high-bit-set) length read as a negative Int would otherwise drive
+      * the walk's stride to zero or backwards and spin the task forever;
+      * corrupt bytes must THROW, not hang an executor. */
+    private def checkLen(len: Int, what: String): Int =
+      if (len < 0)
+        throw new IllegalArgumentException(s"$what declares negative length $len")
+      else len
+
     private def parsePng(b: Array[Byte]): (Int, Int, Int) = {
       var o = 8
       while (o + 8 <= b.length) {
-        val len = rbe32(b, o)
-        if (fourcc(b, o + 4) == "IHDR")
+        val len = checkLen(rbe32(b, o), "PNG chunk")
+        if (fourcc(b, o + 4) == "IHDR") {
+          if (o + 16 > b.length)
+            throw new IllegalArgumentException("PNG truncated inside IHDR")
           return (rbe32(b, o + 8), rbe32(b, o + 12), 1)
+        }
         o += 12 + len // length + type + data + CRC
       }
       throw new IllegalArgumentException("PNG without IHDR")
@@ -159,14 +171,22 @@ object Media {
 
     private def parseJpeg(b: Array[Byte]): (Int, Int, Int) = {
       var o = 2
-      while (o + 4 <= b.length) {
+      while (o + 2 <= b.length) {
         if (u8(b, o) != 0xff)
           throw new IllegalArgumentException(f"JPEG marker expected at $o, got 0x${u8(b, o)}%02x")
         val m = u8(b, o + 1)
-        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
-          return (rbe16(b, o + 7), rbe16(b, o + 5), 1) // SOFn: (.., height@5, width@7)
-        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) o += 2
-        else o += 2 + rbe16(b, o + 2)
+        if (m == 0xff) o += 1 // spec-legal fill byte (T.81 B.1.1.2): skip
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOFn: length(2) precision(1) height(2)@+5 width(2)@+7
+          if (o + 9 > b.length)
+            throw new IllegalArgumentException("JPEG truncated inside SOF header")
+          return (rbe16(b, o + 7), rbe16(b, o + 5), 1)
+        }
+        else if (m == 0xd9)
+          throw new IllegalArgumentException("JPEG reached EOI without an SOF frame header")
+        else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) o += 2
+        else if (o + 4 <= b.length) o += 2 + math.max(rbe16(b, o + 2), 2)
+        else throw new IllegalArgumentException("JPEG truncated inside marker segment")
       }
       throw new IllegalArgumentException("JPEG without SOF frame header")
     }
@@ -177,7 +197,7 @@ object Media {
       var dataSize = -1
       while (o + 8 <= b.length && (blockAlign == 0 || dataSize < 0)) {
         val id = fourcc(b, o)
-        val sz = rle32(b, o + 4)
+        val sz = checkLen(rle32(b, o + 4), "RIFF chunk")
         if (id == "fmt ") blockAlign = rle16(b, o + 8 + 12)
         else if (id == "data") dataSize = sz
         o += 8 + sz + (sz & 1) // RIFF chunks pad to even
@@ -190,14 +210,17 @@ object Media {
     private def parseAvi(b: Array[Byte]): (Int, Int, Int) = {
       var o = 12
       while (o + 12 <= b.length) {
-        val sz = rle32(b, o + 4)
+        val sz = checkLen(rle32(b, o + 4), "RIFF chunk")
         if (fourcc(b, o) == "LIST" && fourcc(b, o + 8) == "hdrl") {
           var p = o + 12
-          val end = o + 8 + sz
+          val end = math.min(o + 8 + sz, b.length)
           while (p + 8 <= end) {
-            val csz = rle32(b, p + 4)
-            if (fourcc(b, p) == "avih")
+            val csz = checkLen(rle32(b, p + 4), "AVI hdrl chunk")
+            if (fourcc(b, p) == "avih") {
+              if (p + 8 + 40 > b.length)
+                throw new IllegalArgumentException("AVI truncated inside avih")
               return (rle32(b, p + 8 + 32), rle32(b, p + 8 + 36), rle32(b, p + 8 + 16))
+            }
             p += 8 + csz + (csz & 1)
           }
         }

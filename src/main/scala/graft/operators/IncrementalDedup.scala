@@ -125,7 +125,12 @@ object IncrementalDedup {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec = indexWriteEc
-    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+    // Try-wrapped so a failure is reported only after EVERY sibling write
+    // has finished — a fail-fast await would return while sibling jobs are
+    // still committing, racing any recovery drop/rebuild of those tables
+    val outcomes = Await.result(
+      Future.sequence(writes.map(w => Future(scala.util.Try(w())))), Duration.Inf)
+    outcomes.foreach(_.get) // rethrow the first failure, siblings quiesced
   }
 
   /** The five per-table writes of one index extension, shared by build
@@ -133,7 +138,17 @@ object IncrementalDedup {
     * right for O(batch) streaming deltas whose lineage (anti-joins over
     * checkpoints) would otherwise re-run per write; WRONG for a corpus-mass
     * build, where caching the whole input would cost more than the extra
-    * scans it saves (the corpus path re-reads the parquet scan instead). */
+    * scans it saves (the corpus path re-reads the parquet scan instead).
+    *
+    * Write ORDER is load-bearing: the four content tables go concurrently,
+    * then `_sizes` — the streaming replay LEDGER — commits alone, LAST. A
+    * crash anywhere before the ledger write leaves the batch's docs out of
+    * the ledger, so a replay re-processes them in full; a ledger that
+    * could commit while a sibling content write failed would instead make
+    * the replay anti-join skip docs whose bands/postings never landed — a
+    * silent permanent recall hole. (Content tables committed before a
+    * pre-ledger crash are recovered by the in-flight fingerprint marker:
+    * the reuse gate fails and the index rebuilds — loud, never wrong.) */
   private def writeIndexTables(docs: DataFrame, prefix: String, p: IndexParams,
                                append: Boolean, cacheInput: Boolean): Unit = {
     val spark = docs.sparkSession
@@ -153,8 +168,8 @@ object IncrementalDedup {
       // columns equal the join keys (a subset match makes the planner disable
       // the bucketed read and shuffle the store).
       () => write(postings, Seq("doc_id", "s"), s"${prefix}_postings"),
-      () => write(sizesOf(d, postings), Seq("doc_id"), s"${prefix}_sizes"),
       () => write(sharrOf(d, p), Seq("doc_id"), s"${prefix}_sharr")))
+    write(sizesOf(d, postings), Seq("doc_id"), s"${prefix}_sizes")
   }
 
   /** Build the five index tables from an explicit document set. `_sharr`
@@ -208,10 +223,35 @@ object IncrementalDedup {
       s"appendToIndex: index '$prefix' is incomplete (missing ${missing.mkString(", ")}) — " +
         "build it first (buildIndex / buildIndexFrom)")
     val stamps = tables.map(t => t -> Warehouse.storedFingerprint(spark, t)).toMap
-    tables.foreach(t => Warehouse.stampFingerprint(spark, t, "append-in-flight"))
+    tables.foreach(t => Warehouse.stampFingerprint(spark, t, InFlightMarker))
     // deltas are O(batch) → cache the input by default (see writeIndexTables)
     writeIndexTables(docs, prefix, p, append = true, cacheInput = cacheInput)
-    tables.foreach(t => stamps(t).foreach(fp => Warehouse.stampFingerprint(spark, t, fp)))
+    // restore SOMETHING on every table — a never-stamped table (e.g. a
+    // streaming overlay) that kept the marker after a SUCCESSFUL append
+    // would be indistinguishable from a crashed one, and the crash check
+    // below ([[requireNotMidAppend]]) would refuse a healthy index
+    tables.foreach(t =>
+      Warehouse.stampFingerprint(spark, t, stamps(t).getOrElse("unstamped")))
+  }
+
+  private[graft] val InFlightMarker = "append-in-flight"
+
+  /** Refuse to serve an index whose tables carry the in-flight append
+    * marker: a crash mid-append leaves SOME tables extended and some not
+    * (the five writes are not atomic), and every answer computed against
+    * that state is silently wrong — duplicated postings double Jaccard
+    * intersections on replay, missing bands hide near-dups. The recovery
+    * is a rebuild ([[buildIndex]]'s fingerprint gate does it
+    * automatically); this check turns "serve wrong answers" into a loud
+    * error for paths that reuse a prefix WITHOUT re-running the gate
+    * (e.g. a checkpoint-restarted stream). */
+  def requireNotMidAppend(spark: SparkSession, prefix: String): Unit = {
+    val marked = tableNames(prefix)
+      .filter(t => spark.catalog.tableExists(t) &&
+        Warehouse.storedFingerprint(spark, t).contains(InFlightMarker))
+    require(marked.isEmpty,
+      s"index '$prefix' has a half-committed append (in-flight marker on " +
+        s"${marked.mkString(", ")}) — rebuild it (buildIndex/buildIndexFrom) before serving")
   }
 
   /** Append into `prefix` if all five tables exist, else create them from

@@ -264,11 +264,16 @@ object TextAnalysis {
       }
       counters.keysIterator
     }.toDF("word").distinct()
-    val total = toks.count()
+    // total as a broadcast one-row frame, NOT a driver-side count(): the
+    // query must stay LAZY like every other entry (constructing the frame
+    // runs no jobs), and the threshold compare folds into the plan
+    val total = toks.agg(count(lit(1)).as("hh_total"))
     toks.join(broadcast(candidates), Seq("word"), "left_semi")
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * s > total)
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * s > col("hh_total"))
+      .drop("hh_total")
       .orderBy("word")
   }
 

@@ -566,6 +566,11 @@ object EventStreams {
     // doc lives in exactly one index so no pair is double-counted).
     // None = classic mode: `prefix` itself is appended to.
     val writeTo = overlayPrefix.getOrElse(prefix)
+    // a checkpoint-restarted stream reuses its prefix WITHOUT re-running
+    // the fingerprint gate — refuse a half-committed index loudly instead
+    // of silently double-counting replayed postings
+    IncrementalDedup.requireNotMidAppend(spark, prefix)
+    overlayPrefix.foreach(ov => IncrementalDedup.requireNotMidAppend(spark, ov))
     def readPrefixes: Seq[String] = prefix +: overlayPrefix.filter(ov =>
       IncrementalDedup.tableNames(ov).forall(spark.catalog.tableExists)).toSeq
     // per-step stderr timing, off unless SPARK_GRAFT_INGEST_PROFILE=1 —

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 /** Scale-slope probe: replicate the driver tables k× (ids offset per copy so
@@ -26,21 +26,13 @@ object ScaleProbe {
                             "pack_sequences", "mixture_sample",
                             "repetition_score", "bpe_train", "tfidf_terms",
                             "bm25_search", "stream_dedup_near",
-                            "perplexity_score", "phrase_search",
+                            "perplexity_score", "heavy_hitters",
                             "session_window_agg", "stream_distinct_sketch",
                             "pack_sequences_sharded", "ann_recall",
                             "ivf_recall")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Bench.localSession(cpus)
 
     val scaled = java.nio.file.Files.createTempDirectory(s"graft_scale_x$mult").toString
     // documents: replica 0 is the original corpus; replicas ≥1 keep each

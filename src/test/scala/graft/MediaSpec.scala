@@ -107,6 +107,29 @@ class MediaSpec extends SparkSpecBase {
     // RIFF/WAVE missing its fmt/data chunks
     intercept[IllegalArgumentException](deco(
       "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "WAVE".getBytes))
+    // NEGATIVE declared chunk lengths (high bit set) must throw, not spin:
+    // a zero/backwards walk stride would hang the executor task forever
+    val negPng = Media.encodePng(4, 4, "x".getBytes).take(8) ++
+      Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xf4.toByte) ++
+      "JUNK".getBytes ++ Array.fill[Byte](8)(0)
+    intercept[IllegalArgumentException](deco(negPng))
+    val negWav = "RIFF".getBytes ++ Array[Byte](40, 0, 0, 0) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      Array.fill[Byte](8)(0)
+    intercept[IllegalArgumentException](deco(negWav))
+    // JPEG truncated INSIDE the SOF header: the contracted error type,
+    // not an ArrayIndexOutOfBounds from an unguarded field read
+    intercept[IllegalArgumentException](deco(
+      Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte)))
+  }
+
+  test("HeaderDecoder tolerates spec-legal JPEG fill bytes before markers") {
+    // ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    // marker — in-the-wild encoders emit them, a naive walk desyncs
+    val base = Media.encodeJpeg(77, 55, "x".getBytes)
+    val padded = base.take(2) ++ Array.fill[Byte](3)(0xff.toByte) ++ base.drop(2)
+    val m = Media.HeaderDecoder.decode(Media.MediaAsset(4L, "image", padded))
+    assert(m.width === 77 && m.height === 55)
   }
 
   test("encode/decode round-trips dimensions exactly at the format boundaries") {

@@ -399,6 +399,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(out2.contains((41L, 40L)), s"compacted overlay must still serve: $out2")
   }
 
+  test("a half-committed append refuses to serve: in-flight marker blocks the stream loudly") {
+    // The five index-table appends are not atomic; a crash mid-append
+    // leaves some tables extended and some not, and every answer computed
+    // against that state is silently wrong (doubled postings on replay,
+    // missing bands). A restarted stream reuses its prefix WITHOUT the
+    // fingerprint gate, so streamIngestToIndex itself must refuse.
+    import graft.operators.IncrementalDedup
+    import graft.operators.IncrementalDedup.IndexParams
+    implicit val sc = spark.sqlContext
+    val p = IndexParams(buckets = 2)
+    val prefix = "graft_corpus_midappend"
+    IncrementalDedup.buildIndexFrom(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), prefix, p)
+    // healthy appends must NOT trip the check: marker restored after success
+    val src0 = MemoryStream[(Long, String)]
+    src0.addData((500L, "lorem ipsum dolor sit amet consectetur"))
+    EventStreams.streamIngestToIndex(spark,
+      src0.toDF().toDF("doc_id", "text"), prefix, p, 0.8, "midappend_pairs0")
+    IncrementalDedup.tableNames(prefix).foreach { t =>
+      assert(!graft.sources.Warehouse.storedFingerprint(spark, t)
+        .contains(IncrementalDedup.InFlightMarker),
+        s"$t kept the in-flight marker after a successful append")
+    }
+    // simulate the crash window: marker left on one table
+    graft.sources.Warehouse.stampFingerprint(spark, s"${prefix}_bands",
+      IncrementalDedup.InFlightMarker)
+    val src1 = MemoryStream[(Long, String)]
+    src1.addData((501L, "one two three four five six"))
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.streamIngestToIndex(spark,
+        src1.toDF().toDF("doc_id", "text"), prefix, p, 0.8, "midappend_pairs1")
+    }
+    assert(e.getMessage.contains("half-committed"), e.getMessage)
+    // recovery is a rebuild, after which the stream serves again
+    IncrementalDedup.buildIndexFrom(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), prefix, p)
+    val src2 = MemoryStream[(Long, String)]
+    src2.addData((502L, "seven eight nine ten eleven twelve"))
+    EventStreams.streamIngestToIndex(spark,
+      src2.toDF().toDF("doc_id", "text"), prefix, p, 0.8, "midappend_pairs2")
+    assert(spark.table(s"${prefix}_sizes").filter(col("doc_id") === 502L).count() === 1)
+  }
+
   test("ingest crash AFTER state commit, BEFORE checkpoint: restart replays to the clean-run state") {
     // The worst crash window for exactly-once: batch 0's five index appends
     // and pair writes are all durable, but the streaming engine never
