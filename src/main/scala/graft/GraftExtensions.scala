@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, ChunkStats, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash}
+import graft.functions.expressions.{BandHashes, ChunkHashes, ChunkStats, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -72,6 +72,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_chunkstats(text, window)")
         ChunkStats(args.head, intArg(args(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chunks"),
+      new ExpressionInfo(classOf[ChunkHashes].getName, "graft_chunks"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_chunks(text, window)")
+        ChunkHashes(args.head, intArg(args(1)))
       }))
   }
 

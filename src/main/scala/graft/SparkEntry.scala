@@ -92,6 +92,7 @@ object SparkEntry {
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(s, d)),
     "heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "common_passages" -> ((s, d) => TextAnalysis.commonPassages(s, d)),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -883,6 +884,20 @@ object SparkEntry {
         |SELECT doc_id, len(ch) AS n_chunks, list_min(ch) AS fp_min, list_max(ch) AS fp_max,
         |  CAST(list_sum(ch) AS BIGINT) AS fp_sum
         |FROM c ORDER BY doc_id""".stripMargin,
+    // common_passages: the same chunk-hash chain as chunk_fingerprint,
+    // exploded instead of summarized, grouped on the hash — passages
+    // repeated across >=2 DISTINCT documents.
+    "common_passages" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),
+        |c AS (SELECT doc_id, CASE WHEN len(hs) >= 8
+        |      THEN list_transform(range(1, len(hs) - 6), i -> list_reduce(hs[i:i+7], (a, b) -> (a * 1000003 + b) % 4294967296))
+        |      ELSE CAST([] AS BIGINT[]) END AS ch FROM h),
+        |e AS (SELECT doc_id, unnest(ch) AS chunk_fp FROM c)
+        |SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_occurrences, min(doc_id) AS first_doc
+        |FROM e GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_fp""".stripMargin,
     "dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp FROM f GROUP BY fp ORDER BY keep_id""".stripMargin,

@@ -51,6 +51,50 @@ object ChunkKernel {
   }
 }
 
+object ChunkKernel2 {
+  /** The ordered chunk-hash SERIES (one hash per window position) — the
+    * per-chunk form [[ChunkKernel.chunkStats]] summarizes; shared
+    * arithmetic, so the two are oracle-compatible by construction. */
+  def chunkHashes(text: UTF8String, window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import ChunkKernel.{Base, Mod, tokenHash}
+    val ws = graft.functions.TextFunctions.tokenizeScala(text.toString)
+    if (ws.length < window)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.emptyLongArray)
+    val hs = ws.map(tokenHash)
+    val out = new Array[Long](hs.length - window + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 0L
+      var j = 0
+      while (j < window) { h = (h * Base + hs(i + j)) % Mod; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** `graft_chunks(text, window)` → array<long> of every `window`-token
+  * chunk's rolling hash, in order — the per-chunk layout cross-document
+  * passage mining groups on. */
+case class ChunkHashes(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    ChunkKernel2.chunkHashes(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.ChunkKernel2.chunkHashes($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
+    copy(child = newChild)
+}
+
 /** `graft_chunkstats(text, window)` → struct(n_chunks, fp_min, fp_max,
   * fp_sum): whole-stage-codegen call into [[ChunkKernel]]. */
 case class ChunkStats(child: Expression, window: Int)

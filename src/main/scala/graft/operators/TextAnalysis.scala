@@ -468,6 +468,38 @@ object TextAnalysis {
               col("cs.fp_sum").as("fp_sum"))
       .orderBy("doc_id")
 
+  /** Cross-document repeated-PASSAGE mining — sub-document granularity
+    * dedup analysis (the Lee et al. "Deduplicating Training Data" signal:
+    * corpora repeat boilerplate passages inside otherwise-distinct
+    * documents, and document-level dedup cannot see them). Every
+    * `window`-token chunk's Karp–Rabin rolling hash ([[graft.functions
+    * .expressions.ChunkKernel]] arithmetic — codegen'd scan-side kernel,
+    * shared with `chunk_fingerprint` so the oracle replays it exactly)
+    * explodes to `(chunk_fp, doc_id)` rows; grouping on the hash yields,
+    * for every passage seen in ≥ `minDocs` DISTINCT documents, the
+    * document reach, total occurrence count, and the canonical first doc.
+    *
+    * 100 TB story: the hash explode is scan-shaped; the shuffle carries
+    * (hash, doc_id) pairs with map-side partial aggregation, and the
+    * output is only the repeated tail — the same shape as exact dedup one
+    * granularity down. Windows overlap, so a shared k-token passage with
+    * k > window appears as k−window+1 consecutive shared chunks. */
+  def commonPassages(spark: SparkSession, sfDir: String,
+                     window: Int = 8, minDocs: Int = 2): DataFrame =
+    commonPassagesFrom(Tables.documents(spark, sfDir), window, minDocs)
+
+  /** [[commonPassages]] over an explicit `(doc_id, text)` frame. */
+  def commonPassagesFrom(docs: DataFrame, window: Int, minDocs: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(call_function("graft_chunks", col("text"), lit(window))).as("chunk_fp"))
+      .groupBy("chunk_fp")
+      .agg(countDistinct("doc_id").as("n_docs"),
+           count(lit(1)).as("n_occurrences"),
+           min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy("chunk_fp")
+
   /** URL canonicalization + dedup — the web-crawl dedup pass that catches
     * the SAME resource crawled under cosmetically different URLs. The
     * corpus has no URL column, so a deterministic synthetic URL is derived

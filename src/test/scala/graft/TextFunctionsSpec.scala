@@ -115,4 +115,30 @@ class TextFunctionsSpec extends SparkSpecBase {
       .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     expected.foreach { case (w, c) => assert(exact(w) === c && c * 50 > total) }
   }
+
+  test("common_passages: shared passages found across docs, within-doc repeats excluded") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"intro one two three $passage outro closing words here now"),
+      (2L, s"different opening sentence entirely $passage and a different ending too"),
+      // doc 3 repeats ITS OWN passage twice — n_docs is 1, must not appear
+      (3L, "self repeat block lorem ipsum dolor sit amet consectetur " +
+           "self repeat block lorem ipsum dolor sit amet consectetur"),
+      (4L, "wholly unrelated content with no shared chunks at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.commonPassagesFrom(docs, window = 8, minDocs = 2).collect()
+    assert(out.nonEmpty, "the planted cross-doc passage must surface")
+    // every reported passage spans docs 1 and 2 only (n_docs = 2,
+    // first_doc = 1); doc 3's self-repeat never reaches the output
+    out.foreach { r =>
+      assert(r.getLong(1) === 2L && r.getLong(3) === 1L, r.toString)
+    }
+    // the planted 8-token passage is ONE window: its chunk hash appears
+    // with exactly 2 occurrences across the two docs; and the result is
+    // partitioning-invariant
+    assert(out.exists(_.getLong(2) === 2L))
+    val again = TextAnalysis.commonPassagesFrom(docs.repartition(5), 8, 2).collect()
+    assert(again.map(_.toString).sorted === out.map(_.toString).sorted)
+  }
 }
