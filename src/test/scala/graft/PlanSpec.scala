@@ -44,6 +44,21 @@ class PlanSpec extends SparkSpecBase {
       s"perplexity scoring join degenerated to a cartesian product:\n$plan")
   }
 
+  test("heavy_hitters: candidate semi-join broadcasts, recount combines map-side") {
+    val plan = finalPlan("heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate filter must be a broadcast semi-join (candidates are <= s*partitions rows):\n$plan")
+    assert(plan.contains("partial_count"),
+      s"exact recount lost its map-side combine:\n$plan")
+  }
+
+  test("common_passages: chunk-hash aggregation combines map-side") {
+    val plan = finalPlan("common_passages")
+    assert(plan.contains("partial_count"),
+      s"passage grouping lost its partial aggregation (every chunk row would shuffle raw):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
   test("no expensive query plans a CartesianProduct") {
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),
