@@ -498,5 +498,37 @@ class StreamingSpec extends SparkSpecBase {
       assert(spark.table(s"$prefix$suf").count() === spark.table(s"$cleanPrefix$suf").count(),
         s"$suf diverged from the clean run after replay")
     }
+
+    // the same worst-case window in OVERLAY mode (the driver-gate shape:
+    // immutable base + droppable overlay): batch 0's overlay append and
+    // pair write are durable, the checkpoint never recorded the batch —
+    // restart must replay it as a no-op against the base ∪ overlay ledger
+    val ovBase = "graft_corpus_crashovbase"
+    val overlay = "graft_ingest_crashov_ov"
+    (IncrementalDedup.tableNames(overlay) :+ "crash_ov_pairs")
+      .foreach(t => graft.sources.Warehouse.dropTableAndLocation(spark, t))
+    IncrementalDedup.buildIndexFrom(base, ovBase, p)
+    val ovData = stagedDir()
+    val ovCkpt = java.nio.file.Files.createTempDirectory("graft_crash_ov_ckpt").toString
+    val ovFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.streamIngestToIndex(spark, fileStream(ovData), ovBase, p, 0.8,
+        "crash_ov_pairs", Some(ovCkpt),
+        _ => if (!ovFailed.getAndSet(true)) throw new RuntimeException("injected crash"),
+        overlayPrefix = Some(overlay))
+    }
+    // the crash window is real: the survivor reached the OVERLAY, base untouched
+    assert(spark.table(s"${overlay}_sizes").filter(col("doc_id") === 100L).count() === 1)
+    assert(spark.table(s"${ovBase}_sizes").count() === 1)
+    val ovOut = EventStreams.streamIngestToIndex(spark, fileStream(ovData), ovBase, p, 0.8,
+        "crash_ov_pairs", Some(ovCkpt), overlayPrefix = Some(overlay))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ovOut === cleanPairs)
+    // overlay state equals the clean run's index delta — no doubled postings
+    Seq("_sizes", "_postings", "_bands").foreach { suf =>
+      assert(spark.table(s"$overlay$suf").count() ===
+             spark.table(s"$cleanPrefix$suf").count() - spark.table(s"$ovBase$suf").count(),
+        s"overlay$suf diverged from the clean run's streamed delta after replay")
+    }
   }
 }
