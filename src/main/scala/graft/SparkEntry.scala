@@ -130,6 +130,7 @@ object SparkEntry {
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
+    "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
     // -- multimodal plumbing (north star) --
     "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
     "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
@@ -1043,6 +1044,24 @@ object SparkEntry {
     // METRIC is exactly checked on top of two exactly-checked searches.
     "ann_recall" -> recallOracle(knnBruteSql, annOracle),
     "ivf_recall" -> recallOracle(knnBruteSql, ivfOracle()),
+    // quantize_embeddings: per-element double arithmetic + floor on both
+    // sides (the cosine-parity discipline), SSE as the same left fold with
+    // 0.0 init (list_reduce's first-element init equals it exactly:
+    // 0.0 + e1 == e1 in IEEE), so the lossy codec hash-checks exactly.
+    "quantize_embeddings" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |m AS (SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) AS maxabs FROM e),
+        |q AS (SELECT vec_id, x, maxabs, maxabs / 127.0 AS scale,
+        |  CASE WHEN maxabs = 0 THEN list_transform(x, v -> 0)
+        |       ELSE list_transform(x, v -> CAST(floor(v * 127.0 / maxabs + 0.5) AS INTEGER)) END AS qs FROM m)
+        |SELECT vec_id, list_min(qs) AS q_min, list_max(qs) AS q_max,
+        |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  round(list_reduce(
+        |    list_transform(range(1, len(x) + 1),
+        |      i -> (x[CAST(i AS INT)] - qs[CAST(i AS INT)] * scale) *
+        |           (x[CAST(i AS INT)] - qs[CAST(i AS INT)] * scale)),
+        |    (a, b) -> a + b), 9) AS recon_sse
+        |FROM q ORDER BY vec_id""".stripMargin,
     // media_meta: the engine PARSES real container headers (PNG IHDR /
     // JPEG SOF / WAV fmt+data / AVI avih — Media.HeaderDecoder); the
     // oracle predicts what those headers declare from the generator's

@@ -404,6 +404,45 @@ object Similarity {
     Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Symmetric per-vector INT8 quantization — the 4× storage/bandwidth
+    * lever a 100 TB embedding corpus ships with (FAISS SQ8 / product-DB
+    * style): per vector, scale = max|xᵢ|/127 and qᵢ = ⌊xᵢ·127/max|x| + ½⌋
+    * ∈ [−127, 127], so dequantization is qᵢ·scale with error ≤ scale/2
+    * per component (spec-proven bound). All arithmetic is elementwise
+    * double ops + floor — both engines fold identically (the cosine-parity
+    * discipline), so this LOSSY codec is still hash-checked exactly:
+    * emitted per vector are the int8 range/sum and the sequential-fold
+    * reconstruction SSE. Zero vectors quantize to zeros (scale 0 guard).
+    * Pure scan-side HOF codegen — no shuffle before the presentation
+    * sort; the production form writes `(q tinyint[], scale)` columns. */
+  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    quantizeEmbeddingsFrom(Tables.embeddings(spark, sfDir))
+
+  /** [[quantizeEmbeddings]] over an explicit `(vec_id, embedding)` frame. */
+  def quantizeEmbeddingsFrom(e: DataFrame): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    val x = transform(col("embedding"), v => v.cast("double"))
+    val withQ = e
+      .withColumn("x", x)
+      .withColumn("maxabs", array_max(transform(col("x"), v => abs(v))))
+      .withColumn("scale", col("maxabs") / lit(127.0))
+      .withColumn("qs",
+        when(col("maxabs") === 0.0, transform(col("x"), _ => lit(0)))
+          .otherwise(transform(col("x"),
+            v => floor(v * lit(127.0) / col("maxabs") + lit(0.5)).cast("int"))))
+    withQ
+      .select(col("vec_id"),
+        array_min(col("qs")).as("q_min"),
+        array_max(col("qs")).as("q_max"),
+        aggregate(col("qs"), lit(0L), (acc, q) => acc + q.cast("long")).as("q_sum"),
+        duckRound(aggregate(
+          zip_with(col("x"), col("qs"),
+            (xv, qv) => (xv - qv.cast("double") * col("scale")) *
+                        (xv - qv.cast("double") * col("scale"))),
+          lit(0.0), (acc, err) => acc + err), 9).as("recon_sse"))
+      .orderBy("vec_id")
+  }
+
   /** Recall of an approximate search against the exact truth — the
     * measurement every ANN deployment is tuned by (bits/nprobe trade
     * recall for scan fraction; without measuring it the trade is blind).

@@ -197,6 +197,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(df.collect()(0).getString(0) === "1011") // 0.0 counts as positive
   }
 
+  test("int8 quantization: per-component error bounded by scale/2, range respected, zero vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),       // maxabs = 1.0
+      (2L, Seq(0.003f, -0.001f, 0.002f, 0.004f)), // tiny magnitudes
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),          // zero vector: scale 0
+      (4L, Seq(-2.5f, 2.5f, 1.25f, -1.25f)))      // symmetric extremes
+    val e = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbeddingsFrom(e).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // int8 range respected, extremes hit ±127 exactly
+    vecs.foreach { case (id, _) =>
+      assert(out(id).getInt(1) >= -127 && out(id).getInt(2) <= 127) }
+    assert(out(4L).getInt(1) === -127 && out(4L).getInt(2) === 127)
+    // zero vector: all-zero codes, zero reconstruction error
+    assert(out(3L).getInt(1) === 0 && out(3L).getInt(2) === 0 &&
+           out(3L).getDouble(4) === 0.0)
+    // the quantization bound: SSE <= dim * (scale/2)^2 for every vector
+    vecs.filter(_._1 != 3L).foreach { case (id, xs) =>
+      val maxabs = xs.map(v => math.abs(v.toDouble)).max
+      val halfStep = maxabs / 127.0 / 2.0
+      val bound = xs.length * halfStep * halfStep + 1e-12
+      assert(out(id).getDouble(4) <= bound,
+        s"vec $id SSE ${out(id).getDouble(4)} exceeds bound $bound")
+    }
+    // round-trip sanity on a known vector: 0.5 at maxabs 1.0 → q = 64
+    // (floor(63.5 + 0.5)), -1.0 → -127, 0.25 → 32, 0.0 → 0 → sum -31
+    assert(out(1L).getLong(3) === -31L)
+  }
+
   test("planted clusters: ANN and IVF recall sit far ABOVE the scan-fraction floor") {
     // On the driver's isotropic synthetic embeddings every bucketing is a
     // uniform sampler, so measured recall ~ scan fraction — that FLOOR says
