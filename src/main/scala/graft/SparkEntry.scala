@@ -93,6 +93,7 @@ object SparkEntry {
     "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(s, d)),
     "heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "common_passages" -> ((s, d) => TextAnalysis.commonPassages(s, d)),
+    "dedup_passages" -> ((s, d) => TextAnalysis.dedupPassages(s, d)),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -116,12 +117,14 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminationPairs(s, d)),
     "decontaminate_indexed" -> ((s, d) => Dedup.decontaminationIndexed(s, d)),
     "corpus_export" -> ((s, d) => Pipeline.corpusExport(s, d)),
     "export_shards" -> ((s, d) => Pipeline.exportShards(s, d)),
     "export_write" -> ((s, d) => Pipeline.exportWrite(s, d)),
+    "export_sorted" -> ((s, d) => Pipeline.exportSorted(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -899,6 +902,27 @@ object SparkEntry {
         |  count(*) AS n_occurrences, min(doc_id) AS first_doc
         |FROM e GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_fp""".stripMargin,
+    // dedup_passages: the chunk-hash chain with POSITIONS — duplicated
+    // chunk starts explode to their window-token spans, the per-doc
+    // DISTINCT covered-position count is exactly what an excision pass
+    // would remove. range()'s start>end guard (empty ch → zero rows)
+    // follows the scalar-unnest pattern.
+    "dedup_passages" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),
+        |c AS (SELECT doc_id, CASE WHEN len(hs) >= 8
+        |      THEN list_transform(range(1, len(hs) - 6), i -> list_reduce(hs[i:i+7], (a, b) -> (a * 1000003 + b) % 4294967296))
+        |      ELSE CAST([] AS BIGINT[]) END AS ch FROM h),
+        |e AS (SELECT doc_id, unnest(range(1, len(ch) + 1)) AS pos, ch FROM c),
+        |ch1 AS (SELECT doc_id, pos, ch[pos] AS chunk_fp FROM e),
+        |dup AS (SELECT chunk_fp FROM ch1 GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT c1.doc_id, c1.pos + o.k AS p
+        |        FROM ch1 c1 JOIN dup USING (chunk_fp), (SELECT unnest(range(0, 8)) AS k) o),
+        |ct AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM d)
+        |SELECT n.doc_id, n.n_tokens, COALESCE(ct.dup_tokens, 0) AS dup_tokens,
+        |  round(CAST(COALESCE(ct.dup_tokens, 0) AS DOUBLE) / CAST(greatest(n.n_tokens, 1) AS DOUBLE), 4) AS dup_ratio
+        |FROM n LEFT JOIN ct ON n.doc_id = ct.doc_id ORDER BY n.doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp FROM f GROUP BY fp ORDER BY keep_id""".stripMargin,
@@ -923,6 +947,27 @@ object SparkEntry {
         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
         |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lbl ORDER BY doc_id""".stripMargin,
+    // cluster_canonical: the same recursive-CTE closure as dedup_clusters,
+    // joined to the quality oracle; survivor = row_number over
+    // (quality DESC, doc_id) — the engine's max(struct(q, -doc_id)) argmax
+    // stated as a window.
+    "cluster_canonical" ->
+      s"""WITH RECURSIVE np AS ($ngramPairsSql),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
+        |reach AS (SELECT a AS v, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
+        |q AS ($qualityScoreSql),
+        |a AS (SELECT c.cluster AS cluster_id, c.v AS doc_id, COALESCE(q.quality, 0.0) AS qq
+        |      FROM comp c LEFT JOIN q ON c.v = q.doc_id),
+        |r AS (SELECT cluster_id, doc_id, qq,
+        |      row_number() OVER (PARTITION BY cluster_id ORDER BY qq DESC, doc_id) AS rn FROM a),
+        |s AS (SELECT cluster_id, count(*) AS cluster_size FROM a GROUP BY cluster_id)
+        |SELECT s.cluster_id, s.cluster_size, r.doc_id AS keep_id, r.qq AS keep_quality,
+        |  s.cluster_size - 1 AS n_dropped
+        |FROM s JOIN r ON s.cluster_id = r.cluster_id AND r.rn = 1
+        |ORDER BY s.cluster_id""".stripMargin,
     // dedup_incremental: delta shard (doc_id % 10 = 0) near-dup'd against
     // the persisted corpus index. LSH candidates + exact verification equal
     // the exact cross-split trigram-Jaccard join (same argument as
@@ -1000,6 +1045,23 @@ object SparkEntry {
          |  CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
          |  round(avg(quality), 4) AS avg_quality
          |FROM exp JOIN tok USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
+    // export_sorted: the histogram-cut range bucketing replayed exactly —
+    // 1024 equal-width integer bins over event micros, cumulative counts,
+    // cut bins at ceil(k·n/8) ranks, bucket = cuts ≤ a row's bin. DuckDB
+    // `//` = Spark `div` on BIGINT; the engine side reports FROM the
+    // written files, so this checks the on-disk layout.
+    "export_sorted" ->
+      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |b AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx, count(*) AS n FROM e),
+        |f AS (SELECT e.event_id, e.ts_us, (e.ts_us - b.mn) * 1024 // (b.mx - b.mn + 1) AS bin, b.n FROM e, b),
+        |h AS (SELECT bin, n, count(*) AS cnt FROM f GROUP BY bin, n),
+        |w AS (SELECT bin, n, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+        |ks AS (SELECT unnest(range(1, 8)) AS k),
+        |cuts AS (SELECT ks.k, min(w.bin) AS cut FROM w JOIN ks ON w.cum >= (ks.k * w.n + 7) // 8 GROUP BY ks.k),
+        |cl AS (SELECT COALESCE(list(cut ORDER BY cut), []) AS cs FROM cuts),
+        |a AS (SELECT f.ts_us, len(list_filter(cl.cs, c -> f.bin >= c)) AS bucket FROM f, cl)
+        |SELECT bucket, count(*) AS n_events, min(ts_us) AS min_ts, max(ts_us) AS max_ts
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
     // dedup_simhash: token hash = md5_number_lower on both sides, so the
     // whole sketch (bit votes → 64-bit signature → hamming ≤ 3) is exactly
     // expressible in DuckDB. The banding in the Spark plan is pure candidate

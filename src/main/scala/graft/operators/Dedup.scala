@@ -516,6 +516,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical-SURVIVOR selection — the decision step a real dedup pipeline
+    * runs after clustering: from every non-singleton duplicate cluster,
+    * keep the HIGHEST-QUALITY member (rule-based [[TextAnalysis
+    * .qualityUnordered]] score; ties broken by smallest doc_id so the
+    * choice is deterministic), not merely the smallest id. "Which copy
+    * survives" matters at training time: near-dup clusters routinely mix a
+    * clean original with truncated or boilerplate-wrapped variants, and
+    * min-id keeps whichever happened to be crawled first.
+    *
+    * Output: one row per non-singleton cluster — size, surviving doc, its
+    * quality, and the drop count. Singletons are implicitly kept and
+    * carry no decision, so they stay out of the report.
+    *
+    * 100 TB story: reads the PERSISTED label table (pairs + connected
+    * components are paid once per corpus, [[ensureClusterLabels]]); the
+    * quality join touches only clustered vertices (the duplicated tail,
+    * not the corpus); the argmax is a single `max(struct(quality,
+    * −doc_id))` hash aggregate — map-side partial, no window, one shuffle
+    * on cluster_id. */
+  def clusterCanonical(spark: SparkSession, sfDir: String, n: Int = 3,
+                       threshold: Double = 0.8): DataFrame = {
+    val labels = spark.table(ensureClusterLabels(spark, sfDir, n, threshold))
+    // Left join: a clustered doc below the quality filter's word floor
+    // (zero words) still needs a defined score for the argmax.
+    val quality = TextAnalysis.qualityUnordered(spark, sfDir)
+    labels
+      .join(quality, labels("v") === quality("doc_id"), "left")
+      .select(col("l").as("cluster_id"), col("v"),
+              coalesce(col("quality"), lit(0.0)).as("q"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+           max(struct(col("q"), (-col("v")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("cluster_size"),
+              (-col("best.neg_id")).as("keep_id"),
+              col("best.q").as("keep_quality"),
+              (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token multiset: per-bit vote of the tokens' MD5

@@ -128,6 +128,73 @@ object Pipeline {
       .partitionBy("shard").parquet(outDir)
   }
 
+  /** Range-bucketed SORTED export of the event log — the time-ordered file
+    * layout a 100 TB event store ships with (range pruning: a time-window
+    * read opens only the files whose [min,max] overlap). Spark's own
+    * `repartitionByRange` draws its boundaries from a reservoir SAMPLE —
+    * nondeterministic run to run — so the boundaries here come instead
+    * from the [[Analytics.quantileSketch]] discipline: a `bins`-bin
+    * integer histogram (two tiny aggregates + a ≤bins-row cumulative
+    * window), cut at ceil(k·n/B) ranks. Deterministic, mergeable at any
+    * executor count, and exactly replayable in SQL — which is what makes
+    * a WRITTEN layout oracle-checkable at all.
+    *
+    * Each bucket lands as one sorted parquet file group
+    * (`bucket=<k>/`): rows shuffle ONCE on the bucket id, sort locally
+    * per task (the distributed-total-sort shape — no single-partition
+    * global window), and the report is recomputed FROM THE FILES, so the
+    * gate checks the bytes on disk. Equal-width fine bins degrade under
+    * extreme key skew (mass collapsing into one bin caps the split
+    * resolution); event time is near-uniform, and at 100 TB the fix is
+    * more bins (the histogram stays ≤bins rows regardless of data mass),
+    * not a different algorithm. */
+  def writeSortedExport(spark: SparkSession, sfDir: String, outDir: String,
+                        buckets: Int = 8, bins: Int = 1024): Unit = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+              unix_micros(col("ts")).as("ts_us"))
+    val bounds = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx"),
+                        count(lit(1)).as("n"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"(ts_us - mn) * $bins div (mx - mn + 1)"))
+    val hist = binned.groupBy("bin", "n").agg(count(lit(1)).as("cnt"))
+    val withCum = hist.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window.orderBy("bin")))
+    val cuts = withCum
+      .join(broadcast((1 until buckets).toDF("k")),
+            col("cum") >= expr(s"(k * n + ${buckets - 1}) div $buckets"))
+      .groupBy("k").agg(min("bin").as("cut"))
+      .agg(sort_array(collect_list("cut")).as("cuts"))
+    binned.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        size(filter(col("cuts"), c => col("bin") >= c)).cast("bigint"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+              col("ts_us"), col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "ts_us", "event_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(outDir)
+  }
+
+  /** Driver-contract round trip of [[writeSortedExport]]: write the sorted
+    * range buckets, then recompute the per-bucket accounting FROM THE
+    * FILES — count and [min,max] key range per bucket, the exact metadata
+    * a range-pruning reader consults. The oracle replays the histogram
+    * cuts in SQL, so disjointness AND the balanced split are checked
+    * against the bytes on disk. */
+  def exportSorted(spark: SparkSession, sfDir: String,
+                   buckets: Int = 8, bins: Int = 1024): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sorted_${Warehouse.pathToken(sfDir)}_b${buckets}x$bins").getPath
+    writeSortedExport(spark, sfDir, out, buckets, bins)
+    spark.read.parquet(out)
+      .groupBy(col("bucket").cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+           min("ts_us").as("min_ts"), max("ts_us").as("max_ts"))
+      .orderBy("bucket")
+  }
+
   /** Driver-contract round trip of the written export: write the shard
     * files, then recompute the accounting FROM THE FILES — sharing
     * [[exportShards]]'s oracle, so the bytes on disk (not the frame that

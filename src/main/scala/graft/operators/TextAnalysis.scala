@@ -500,6 +500,54 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
       .orderBy("chunk_fp")
 
+  /** Per-document repeated-passage COVERAGE — the measurement half of the
+    * Lee et al. exact-substring-dedup transform: for every document, how
+    * many of its tokens sit inside at least one `window`-token chunk whose
+    * Karp–Rabin hash also appears in another document ([[commonPassages]]'
+    * duplicated tail). A chunk starting at token position i covers
+    * positions i..i+window−1; overlapping duplicated chunks cover the
+    * UNION of their windows, so `dup_tokens` is exactly the token count an
+    * excision pass would remove. `dup_ratio` is the per-doc boilerplate
+    * fraction — the filter signal ("drop docs that are mostly shared
+    * passages") that doc-level dedup cannot produce.
+    *
+    * 100 TB story: chunk hashing is the scan-fused [[graft.functions
+    * .expressions.ChunkKernel]] codegen kernel; the duplicated-fp set is a
+    * (fp → distinct-doc reach) hash aggregate with map-side partials; the
+    * join back is fp-keyed (compact integers); and the window explode
+    * multiplies only DUPLICATED chunk starts by `window` — work scales
+    * with the duplication tail, not the corpus. The per-position distinct
+    * is bounded by window × duplicated-chunks and collapses map-side. */
+  def dedupPassages(spark: SparkSession, sfDir: String,
+                    window: Int = 8, minDocs: Int = 2): DataFrame =
+    dedupPassagesFrom(Tables.documents(spark, sfDir), window, minDocs)
+
+  /** [[dedupPassages]] over an explicit `(doc_id, text)` frame. */
+  def dedupPassagesFrom(docs: DataFrame, window: Int, minDocs: Int): DataFrame = {
+    val chunks = docs.select(col("doc_id"),
+      posexplode(call_function("graft_chunks", col("text"), lit(window)))
+        .as(Seq("pos", "chunk_fp")))
+    val dupFps = chunks.groupBy("chunk_fp")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("chunk_fp")
+    val covered = chunks
+      .join(dupFps, Seq("chunk_fp"))
+      .select(col("doc_id"),
+              explode(sequence(col("pos"), col("pos") + lit(window - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(countDistinct("p").as("dup_tokens"))
+    docs
+      .select(col("doc_id"), size(tokenize(col("text"))).cast("bigint").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+              coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        duckRound(col("dup_tokens").cast("double")
+                    / greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   /** URL canonicalization + dedup — the web-crawl dedup pass that catches
     * the SAME resource crawled under cosmetically different URLs. The
     * corpus has no URL column, so a deterministic synthetic URL is derived

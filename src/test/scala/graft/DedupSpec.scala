@@ -176,6 +176,34 @@ class DedupSpec extends SparkSpecBase {
     assert(got.size === 12 + 5 + 2)
   }
 
+  test("cluster_canonical keeps the highest-quality member of every non-singleton cluster") {
+    // Derive the expected survivors independently: cluster membership from
+    // dedupClusters (every doc → cluster_id), quality from qualityScore,
+    // argmax by (quality DESC, doc_id ASC), non-singleton clusters only.
+    val membership = Dedup.dedupClusters(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, sf0001)
+      .select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = membership.groupBy(_._2)
+      .filter(_._2.length >= 2)
+      .map { case (cid, members) =>
+        val best = members.map(_._1)
+          .minBy(d => (-quality.getOrElse(d, 0.0), d))
+        cid -> ((members.length.toLong, best, quality.getOrElse(best, 0.0)))
+      }
+    val got = Dedup.clusterCanonical(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(expected.nonEmpty, "the corpus plants near-dup clusters")
+    assert(got === expected)
+    // the survivor is NOT always the min-id member — the quality argmax
+    // must be doing real work on at least one cluster (otherwise this test
+    // could pass with keep_id = cluster_id everywhere)
+    val minIdOnly = got.forall { case (cid, (_, keep, _)) => keep == cid }
+    assert(!minIdOnly, "expected at least one cluster whose best member is not the min id")
+  }
+
   test("connectedComponents is identical under every checkpoint mode") {
     import spark.implicits._
     val edges = ((100L until 111L).map(i => (i, i + 1)) ++

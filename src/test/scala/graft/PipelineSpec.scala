@@ -39,4 +39,42 @@ class PipelineSpec extends SparkSpecBase {
       .collect().map(_.toString).toSeq
     assert(fromFiles === accounted)
   }
+
+  test("writeSortedExport: buckets are disjoint ranges, each file internally sorted, split balanced") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sorted_spec").toString
+    val buckets = 8
+    Pipeline.writeSortedExport(spark, sf0001, out, buckets)
+    val bucketDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).toSeq
+    assert(bucketDirs.nonEmpty)
+    // one sorted file group per bucket directory
+    bucketDirs.foreach { d =>
+      val files = d.listFiles().count(f => f.isFile && f.getName.startsWith("part-"))
+      assert(files === 1, s"${d.getName}: expected 1 file, found $files")
+    }
+    // each file is internally ASCENDING in the sort key — the property a
+    // range reader relies on (read row order as written, no re-sort)
+    val perBucket = bucketDirs.map { d =>
+      val b = d.getName.stripPrefix("bucket=").toLong
+      val ts = spark.read.parquet(d.getPath).select("ts_us")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ts === ts.sorted, s"bucket $b not written in ts order")
+      b -> ts
+    }.sortBy(_._1)
+    // bucket key ranges are totally ordered and non-overlapping: a range
+    // prune can bisect on per-file [min,max] metadata
+    perBucket.sliding(2).foreach {
+      case Seq((a, tsA), (b, tsB)) =>
+        assert(tsA.max <= tsB.min, s"buckets $a and $b overlap")
+      case _ =>
+    }
+    // no written row lost, and the histogram cuts split the mass within
+    // sketch resolution: no bucket exceeds 2x the ideal share
+    val sizes = perBucket.map(_._2.length)
+    val total = sizes.sum
+    assert(total === spark.read.parquet(s"$sf0001/events.parquet").count())
+    val ideal = total.toDouble / buckets
+    assert(sizes.max <= 2 * ideal,
+      s"split unbalanced: sizes=$sizes vs ideal=$ideal")
+  }
 }

@@ -59,6 +59,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("dedup_passages: coverage explode joins on the chunk hash, aggregates combine map-side") {
+    val plan = finalPlan("dedup_passages")
+    assert(!plan.contains("CartesianProduct"),
+      s"duplicated-fp join degenerated to a cartesian product:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"reach/coverage aggregation lost its map-side combine:\n$plan")
+  }
+
+  test("cluster_canonical: argmax is a hash aggregate over the persisted labels, not a window") {
+    val plan = finalPlan("cluster_canonical")
+    assert(!plan.contains("Window"),
+      s"survivor argmax must be max(struct(...)), not a per-cluster window sort:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial_count"),
+      s"argmax aggregate lost its map-side combine:\n$plan")
+    assert(plan.contains("graft_clusters"),
+      s"must read the persisted cluster-label table:\n$plan")
+  }
+
   test("no expensive query plans a CartesianProduct") {
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),

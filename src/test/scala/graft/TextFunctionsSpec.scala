@@ -141,4 +141,29 @@ class TextFunctionsSpec extends SparkSpecBase {
     val again = TextAnalysis.commonPassagesFrom(docs.repartition(5), 8, 2).collect()
     assert(again.map(_.toString).sorted === out.map(_.toString).sorted)
   }
+
+  test("dedup_passages: coverage is the UNION of overlapping duplicated windows") {
+    import spark.implicits._
+    // A 10-token passage shared by docs 1 and 2: its 3 interior 8-token
+    // chunks overlap, so covered tokens must count 10 — not 3 × 8 = 24.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"unique opening words here $passage closing"), // 4 + 10 + 1 = 15 tokens
+      (2L, s"different prefix tokens completely unlike $passage another suffix"),
+      // doc 3 repeats ITS OWN 8-token block — single-doc chunks are not dups
+      (3L, "selfrepeat block lorem ipsum dolor sit amet consectetur " +
+           "selfrepeat block lorem ipsum dolor sit amet consectetur"),
+      (4L, "tiny doc") // below the window: zero chunks, zero coverage
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupPassagesFrom(docs, window = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((15L, 10L, 0.6667)))
+    assert(out(2L)._2 === 10L)
+    assert(out(3L)._2 === 0L, "within-doc repeats must not count as duplicated passages")
+    assert(out(4L) === ((2L, 0L, 0.0)))
+    // partitioning-invariant (the distinct-position union is exact)
+    val again = TextAnalysis.dedupPassagesFrom(docs.repartition(5), 8, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(again === out)
+  }
 }
