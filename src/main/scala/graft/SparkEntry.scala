@@ -134,6 +134,8 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
+    "pq_encode" -> ((s, d) => Similarity.pqEncode(s, d)),
+    "pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
     // -- multimodal plumbing (north star) --
     "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
     "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
@@ -285,6 +287,71 @@ object SparkEntry {
       |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
       |SELECT vec_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= $k
       |ORDER BY vec_id, rnk""".stripMargin
+
+  /** Product-quantization CTE chain — [[graft.operators.Similarity
+    * .pqCodebooks]] replayed in SQL: the (vec_id, s) subvector split, the
+    * stride-derived training sample, per-subspace first-k seeds, `iters`
+    * Lloyd rounds with argmin-L2 assignment (`row_number` over distance
+    * ASC, cent_id ASC) and integer-exact float-requantized means, ending
+    * in `asgF(vec_id, s, cell, d)` over the whole corpus. The L2 is the
+    * same squared-diff left fold as the engine's `l2sq` (list_reduce's
+    * first-element init is exact because squares are never -0.0). */
+  private def pqCtes(m: Int = 8, subDim: Int = 8, k: Int = 16,
+                     iters: Int = 2): String = {
+    def l2(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
+        s"q -> ($a[CAST(q AS INT)] - $b[CAST(q AS INT)]) * " +
+        s"($a[CAST(q AS INT)] - $b[CAST(q AS INT)])), (x, y) -> x + y)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |sv AS (SELECT vec_id, s, emb[s*$subDim+1 : s*$subDim+$subDim] AS emb8 FROM e, range($m) t(s)),
+      |strd AS (SELECT greatest(1, (SELECT count(*) FROM e) // ${4 * k}) AS st),
+      |svt AS (SELECT vec_id, s, emb8 FROM sv WHERE vec_id % (SELECT st FROM strd) = 0),
+      |iv AS (SELECT vec_id, s, i, CAST(floor(emb8[i+1] * 1048576.0) AS BIGINT) AS ivx FROM svt, range($subDim) u(i)),
+      |cents0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cent_id, emb8 AS cemb FROM svt
+      |  WHERE vec_id < $k * (SELECT st FROM strd)),
+      |""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s"""asg$t AS (SELECT vec_id, s, cell FROM (
+        |  SELECT v.vec_id, v.s, c.cent_id AS cell,
+        |    row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY ${l2("v.emb8", "c.cemb")} ASC, c.cent_id) AS rn
+        |  FROM svt v JOIN cents${t - 1} c ON v.s = c.s) WHERE rn = 1),
+        |dims$t AS (SELECT a.s, a.cell, i.i,
+        |    CAST(CAST(CAST(sum(i.ivx) AS DOUBLE) / (1048576.0 * CAST(count(*) AS DOUBLE)) AS FLOAT) AS DOUBLE) AS cv
+        |  FROM iv i JOIN asg$t a ON i.vec_id = a.vec_id AND i.s = a.s GROUP BY a.s, a.cell, i.i),
+        |reb$t AS (SELECT s, cell, list(cv ORDER BY i) AS cemb FROM dims$t GROUP BY s, cell),
+        |cents$t AS (SELECT c.s, c.cent_id, COALESCE(r.cemb, c.cemb) AS cemb
+        |  FROM cents${t - 1} c LEFT JOIN reb$t r ON c.s = r.s AND c.cent_id = r.cell),
+        |""".stripMargin
+    }
+    sb ++= s"""asgF AS (SELECT vec_id, s, cell, d FROM (
+      |  SELECT v.vec_id, v.s, c.cent_id AS cell, ${l2("v.emb8", "c.cemb")} AS d,
+      |    row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY ${l2("v.emb8", "c.cemb")} ASC, c.cent_id) AS rn
+      |  FROM sv v JOIN cents$iters c ON v.s = c.s) WHERE rn = 1)""".stripMargin
+    sb.result()
+  }
+
+  private def pqEncodeOracle(m: Int = 8): String =
+    pqCtes() + s"""
+      |SELECT vec_id,
+      |  array_to_string(list(CAST(cell AS VARCHAR) ORDER BY s), '-') AS codes,
+      |  round(list_reduce(list(d ORDER BY s), (x, y) -> x + y), 9) AS recon_sse
+      |FROM asgF GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  private def pqSearchOracle(numProbes: Int = 10, k: Int = 5): String =
+    pqCtes() + s""",
+      |dt AS (SELECT p.vec_id AS probe_id, p.s, c.cent_id AS code,
+      |    list_reduce(list_transform(range(1, 9), q -> (p.emb8[CAST(q AS INT)] - c.cemb[CAST(q AS INT)]) * (p.emb8[CAST(q AS INT)] - c.cemb[CAST(q AS INT)])), (x, y) -> x + y) AS d
+      |  FROM sv p JOIN cents2 c ON p.s = c.s WHERE p.vec_id < $numProbes),
+      |sc AS (SELECT dt.probe_id, a.vec_id AS neighbor_id,
+      |    list_reduce(list(dt.d ORDER BY dt.s), (x, y) -> x + y) AS adist
+      |  FROM asgF a JOIN dt ON a.s = dt.s AND a.cell = dt.code
+      |  WHERE a.vec_id <> dt.probe_id
+      |  GROUP BY dt.probe_id, a.vec_id),
+      |r AS (SELECT probe_id, neighbor_id, adist,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY adist ASC, neighbor_id) AS rn FROM sc)
+      |SELECT probe_id, neighbor_id, round(adist, 9) AS adist, CAST(rn AS BIGINT) AS rnk
+      |FROM r WHERE rn <= $k ORDER BY probe_id, rnk""".stripMargin
 
   /** The exact word-trigram Jaccard ≥ 0.8 pair join — the oracle for
     * `dedup_ngram`, for `dedup_minhash` (LSH + exact verification provably
@@ -1124,6 +1191,12 @@ object SparkEntry {
         |           (x[CAST(i AS INT)] - qs[CAST(i AS INT)] * scale)),
         |    (a, b) -> a + b), 9) AS recon_sse
         |FROM q ORDER BY vec_id""".stripMargin,
+    // pq_encode / pq_search: the full PQ training replayed in SQL
+    // (pqCtes) — codes, reconstruction SSE, and ADC ranking are all
+    // exactly checked, lossy codec included (the quantize_embeddings
+    // discipline applied to a TRAINED codec).
+    "pq_encode" -> pqEncodeOracle(),
+    "pq_search" -> pqSearchOracle(),
     // media_meta: the engine PARSES real container headers (PNG IHDR /
     // JPEG SOF / WAV fmt+data / AVI avih — Media.HeaderDecoder); the
     // oracle predicts what those headers declare from the generator's

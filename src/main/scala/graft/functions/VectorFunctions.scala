@@ -27,6 +27,16 @@ object VectorFunctions {
   def norm2(a: Column): Column =
     aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x)
 
+  /** Sequential-fold squared Euclidean distance — the PQ assignment/ADC
+    * metric. No sqrt: every consumer compares distances, and the square is
+    * monotone; staying in plain double sums keeps DuckDB parity (the
+    * oracle's `list_reduce` over squared diffs is the identical left fold —
+    * its first-element init equals the 0.0 init exactly because squares
+    * are never -0.0). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x)
+
   /** Cosine similarity: dot / (sqrt(|a|²) · sqrt(|b|²)) — the exact
     * operation order of DuckDB's list_cosine_similarity. Dispatches to the
     * native codegen expression `graft.functions.expressions.CosineSimilarity`

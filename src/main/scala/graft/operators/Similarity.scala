@@ -443,6 +443,149 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ------------------------------------------------- Product quantization
+
+  /** PQ geometry: 64 dims = `PqM` subspaces × `PqSubDim` dims, `PqK`
+    * centroids per subspace (codes fit 4 bits → a vector compresses
+    * 64 × 4 B to 8 × ½ B, the 64× shrink that lets a 100 TB corpus's codes
+    * sit in executor memory), `PqIters` Lloyd rounds per codebook. */
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqK = 16
+  private[graft] val PqIters = 2
+
+  /** `(vec_id, s, emb)` — every vector split into its `m` subvectors in
+    * ONE scan-side explode, so all `m` codebooks train and encode in the
+    * same distributed passes, keyed by the subspace id. */
+  private def subvectors(e: DataFrame, m: Int = PqM,
+                         subDim: Int = PqSubDim): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+               slice(col("embedding"), s * subDim + 1, subDim).as("emb"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.s").as("s"), col("sv.emb").as("emb"))
+
+  /** Argmin-L2 subspace assignment: broadcast the (m·k)-row codebook, join
+    * on the subspace key, one map-side `max_by` argmin — ties to the
+    * smallest cent_id (the IVF tie discipline, inverted for distance).
+    * Keeps the per-(vector, subspace) distance: folded in s order it IS
+    * the reconstruction SSE, and ADC scoring reuses the shape. */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), "s")
+      .select(col("vec_id"), col("s"), col("cent_id"),
+              VectorFunctions.l2sq(col("emb"), col("cemb")).as("d"))
+      .groupBy("vec_id", "s")
+      .agg(max_by(struct(col("cent_id"), col("d")),
+                  struct(-col("d"), -col("cent_id"))).as("b"))
+      .select(col("vec_id"), col("s"),
+              col("b.cent_id").as("code"), col("b.d").as("d"))
+
+  /** All `m` PQ codebooks trained SIMULTANEOUSLY — the Lloyd loop runs
+    * over the (vec_id, s) subvector frame, so each round costs one
+    * distributed assignment pass + one update shuffle regardless of m
+    * (m sequential loops would scan the corpus m× per round). Sample-
+    * strided training, integer-exact dimension sums, and float
+    * re-quantized means exactly as [[kmeansCodebook]]; between rounds the
+    * (m·k)-row codebook lives on the driver ([[driverLocal]]).
+    * Returns `(s, cent_id, cemb)`. */
+  private[graft] def pqCodebooks(e: DataFrame, m: Int = PqM,
+                                 subDim: Int = PqSubDim, k: Int = PqK,
+                                 iters: Int = PqIters,
+                                 sampleStride: Int = 1): DataFrame = {
+    val subs = subvectors(e, m, subDim)
+    val subsT =
+      if (sampleStride > 1) subs.filter(col("vec_id") % sampleStride === 0)
+      else subs
+    val iv = subsT
+      .select(col("vec_id"), col("s"), posexplode(col("emb")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("s"), col("i"),
+              floor(col("x").cast("double") * lit(KmeansScale)).cast("long").as("ivx"))
+    var cents = driverLocal(
+      subsT.filter(col("vec_id") < k.toLong * sampleStride)
+        .select(col("s"), col("vec_id").cast("int").as("cent_id"),
+                col("emb").as("cemb")))
+    for (_ <- 1 to iters) {
+      val asg = pqAssign(subsT, cents).select("vec_id", "s", "code")
+      val dims = iv.join(asg, Seq("vec_id", "s"))
+        .groupBy("s", "code", "i")
+        .agg(sum("ivx").as("sm"), count(lit(1)).as("cnt"))
+        .select(col("s"), col("code"), col("i"),
+          (col("sm").cast("double") / (lit(KmeansScale) * col("cnt").cast("double")))
+            .cast("float").as("cv"))
+      val rebuilt = dims.groupBy("s", "code")
+        .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("a"))
+        .select(col("s").as("rs"), col("code"),
+                expr("transform(a, t -> t.cv)").as("cemb2"))
+      cents = driverLocal(cents.join(rebuilt,
+          cents("s") === rebuilt("rs") && cents("cent_id") === rebuilt("code"),
+          "left")
+        .select(cents("s"), col("cent_id"),
+                coalesce(col("cemb2"), col("cemb")).as("cemb")))
+    }
+    cents
+  }
+
+  /** `pq_encode`: product-quantization codes + exact reconstruction SSE
+    * per vector — the FAISS-lineage compression step after the scalar
+    * [[quantizeEmbeddingsFrom]] (SQ8 shrinks 4×; PQ at these parameters
+    * 64×, trading elementwise fidelity for codebook fidelity). The s-
+    * ordered sequential fold of per-subspace distances keeps the SSE
+    * deterministic under any partitioning, so the LOSSY codec still
+    * hash-checks exactly against the SQL-replayed training. */
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame =
+    pqEncodeFrom(Tables.embeddings(spark, sfDir))
+
+  /** [[pqEncode]] over an explicit `(vec_id, embedding)` frame. */
+  def pqEncodeFrom(e: DataFrame): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    val cents = pqCodebooks(e, sampleStride = ivfSampleStride(e.count(), PqK))
+    pqAssign(subvectors(e), cents)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("code"), col("d")))).as("a"))
+      .select(col("vec_id"),
+        concat_ws("-", expr("transform(a, t -> cast(t.code as string))")).as("codes"),
+        duckRound(expr("aggregate(a, 0.0d, (acc, t) -> acc + t.d)"), 9).as("recon_sse"))
+      .orderBy("vec_id")
+  }
+
+  /** `pq_search`: asymmetric-distance (ADC) top-k — the probe is compared
+    * to each vector's RECONSTRUCTION, never the raw vector: the scan
+    * reads m 4-bit codes per vector plus a broadcast distance TABLE
+    * (|probes|·m·k entries, each probe subvector scored against every
+    * centroid exactly once), so the corpus-mass term of the scan is code
+    * lookups + an s-ordered fold. Ranking by squared distance (monotone
+    * in L2), ties to the smaller neighbor_id; self-matches excluded
+    * before ranking. */
+  def pqSearch(spark: SparkSession, sfDir: String,
+               numProbes: Int = 10, k: Int = 5): DataFrame =
+    pqSearchFrom(Tables.embeddings(spark, sfDir), numProbes, k)
+
+  /** [[pqSearch]] over an explicit frame. */
+  def pqSearchFrom(e: DataFrame, numProbes: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    val cents = pqCodebooks(e, sampleStride = ivfSampleStride(e.count(), PqK))
+    val codes = pqAssign(subvectors(e), cents).select("vec_id", "s", "code")
+    // the ADC distance table: tiny (probes × m × k), computed once
+    val dt = subvectors(e.filter(col("vec_id") < numProbes))
+      .select(col("vec_id").as("probe_id"), col("s"), col("emb").as("pemb"))
+      .join(cents.withColumnRenamed("cent_id", "code"), Seq("s"))
+      .select(col("probe_id"), col("s"), col("code"),
+              VectorFunctions.l2sq(col("pemb"), col("cemb")).as("d"))
+    val scored = codes
+      .join(broadcast(dt), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("a"))
+      .select(col("probe_id"), col("neighbor_id"),
+              expr("aggregate(a, 0.0d, (acc, t) -> acc + t.d)").as("adist"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+              duckRound(col("adist"), 9).as("adist"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Recall of an approximate search against the exact truth — the
     * measurement every ANN deployment is tuned by (bits/nprobe trade
     * recall for scan fraction; without measuring it the trade is blind).

@@ -77,6 +77,14 @@ class PlanSpec extends SparkSpecBase {
       s"must read the persisted cluster-label table:\n$plan")
   }
 
+  test("pq_search: codes join the broadcast distance table, folds aggregate partially") {
+    val plan = finalPlan("pq_search")
+    assert(!plan.contains("CartesianProduct"),
+      s"ADC lookup degenerated to a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (probes x m x k) distance table must broadcast against the code scan:\n$plan")
+  }
+
   test("no expensive query plans a CartesianProduct") {
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),

@@ -227,6 +227,47 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(1L).getLong(3) === -31L)
   }
 
+  test("PQ on planted clusters: codebooks recover structure, ADC search stays in-cluster") {
+    // Same planted fixture as the recall test below: 16 one-hot-axis
+    // clusters, 40 points each, tiny deterministic perturbations. The
+    // stride-10 training sample seeds one centroid per cluster, so the
+    // per-subspace codebooks must RECOVER the planted patterns — which
+    // shows up as (a) near-zero reconstruction SSE and (b) every ADC
+    // neighbor of a probe landing in the probe's own cluster. (Recall@k
+    // against exact cosine is NOT asserted: same-cluster members share
+    // codes, so their ADC distances tie exactly and the id tiebreak picks
+    // a valid but arbitrary subset of the cluster.)
+    val dim = 64
+    val clusters = 16
+    val n = 640
+    val rows = (0 until n).map { id =>
+      val c = (id / 10) % clusters
+      val v = Array.fill(dim)(0.0f)
+      v(c * 4) = 1.0f
+      v((c * 4 + 1 + (id % 7)) % dim) += (0.0005f * ((id % 11) + 1))
+      v((c * 4 + 9 + (id % 5)) % dim) -= (0.0004f * ((id % 13) + 1))
+      (id.toLong, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncodeFrom(e).collect()
+    assert(enc.length === n)
+    val maxSse = enc.map(_.getDouble(2)).max
+    assert(maxSse < 1e-4,
+      s"codebooks must reconstruct the planted clusters almost exactly, worst SSE $maxSse")
+    // every ADC neighbor is a same-cluster member — the region-finding
+    // property PQ exists for
+    val found = Similarity.pqSearchFrom(e, numProbes = 10, k = 5).collect()
+    assert(found.length === 50)
+    found.foreach { r =>
+      assert((r.getLong(1) / 10) % clusters === 0L,
+        s"probe ${r.getLong(0)} got out-of-cluster neighbor ${r.getLong(1)}")
+    }
+    // the lossy codec is partitioning-invariant (s-ordered sequential
+    // folds): identical bytes under a different physical layout
+    val again = Similarity.pqEncodeFrom(e.repartition(7)).collect()
+    assert(again.map(_.toString).sorted === enc.map(_.toString).sorted)
+  }
+
   test("planted clusters: ANN and IVF recall sit far ABOVE the scan-fraction floor") {
     // On the driver's isotropic synthetic embeddings every bucketing is a
     // uniform sampler, so measured recall ~ scan fraction — that FLOOR says
