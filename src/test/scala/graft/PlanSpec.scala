@@ -83,6 +83,8 @@ class PlanSpec extends SparkSpecBase {
       s"ADC lookup degenerated to a cartesian product:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"the (probes x m x k) distance table must broadcast against the code scan:\n$plan")
+    assert(plan.contains("graft_pq"),
+      s"search must read the persisted code/codebook tables, not retrain:\n$plan")
   }
 
   test("no expensive query plans a CartesianProduct") {
