@@ -136,6 +136,7 @@ object SparkEntry {
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
     "pq_encode" -> ((s, d) => Similarity.pqEncode(s, d)),
     "pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
+    "ivfpq_search" -> ((s, d) => Similarity.ivfpqSearch(s, d)),
     // -- multimodal plumbing (north star) --
     "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
     "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
@@ -297,37 +298,46 @@ object SparkEntry {
     * same squared-diff left fold as the engine's `l2sq` (list_reduce's
     * first-element init is exact because squares are never -0.0). */
   private def pqCtes(m: Int = 8, subDim: Int = 8, k: Int = 16,
-                     iters: Int = 2): String = {
+                     iters: Int = 2, prefix: String = "",
+                     withE: Boolean = true): String = {
     def l2(a: String, b: String): String =
       s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
         s"q -> ($a[CAST(q AS INT)] - $b[CAST(q AS INT)]) * " +
         s"($a[CAST(q AS INT)] - $b[CAST(q AS INT)])), (x, y) -> x + y)"
+    // every internal CTE name carries `prefix` so the chain composes with
+    // ivfCtes (which owns the unprefixed e/iv/asg/cents names) in one WITH
+    val (sv, strd, svt, iv, asgF) =
+      (s"${prefix}sv", s"${prefix}strd", s"${prefix}svt", s"${prefix}iv",
+       s"${prefix}asgF")
+    def cents(t: Int) = s"${prefix}cents$t"
+    def asg(t: Int) = s"${prefix}asg$t"
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |sv AS (SELECT vec_id, s, emb[s*$subDim+1 : s*$subDim+$subDim] AS emb8 FROM e, range($m) t(s)),
-      |strd AS (SELECT greatest(1, (SELECT count(*) FROM e) // ${4 * k}) AS st),
-      |svt AS (SELECT vec_id, s, emb8 FROM sv WHERE vec_id % (SELECT st FROM strd) = 0),
-      |iv AS (SELECT vec_id, s, i, CAST(floor(emb8[i+1] * 1048576.0) AS BIGINT) AS ivx FROM svt, range($subDim) u(i)),
-      |cents0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cent_id, emb8 AS cemb FROM svt
-      |  WHERE vec_id < $k * (SELECT st FROM strd)),
+    if (withE)
+      sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),\n"
+    sb ++= s"""$sv AS (SELECT vec_id, s, emb[s*$subDim+1 : s*$subDim+$subDim] AS emb8 FROM e, range($m) t(s)),
+      |$strd AS (SELECT greatest(1, (SELECT count(*) FROM e) // ${4 * k}) AS st),
+      |$svt AS (SELECT vec_id, s, emb8 FROM $sv WHERE vec_id % (SELECT st FROM $strd) = 0),
+      |$iv AS (SELECT vec_id, s, i, CAST(floor(emb8[i+1] * 1048576.0) AS BIGINT) AS ivx FROM $svt, range($subDim) u(i)),
+      |${cents(0)} AS (SELECT s, CAST(vec_id AS INTEGER) AS cent_id, emb8 AS cemb FROM $svt
+      |  WHERE vec_id < $k * (SELECT st FROM $strd)),
       |""".stripMargin
     for (t <- 1 to iters) {
-      sb ++= s"""asg$t AS (SELECT vec_id, s, cell FROM (
+      sb ++= s"""${asg(t)} AS (SELECT vec_id, s, cell FROM (
         |  SELECT v.vec_id, v.s, c.cent_id AS cell,
         |    row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY ${l2("v.emb8", "c.cemb")} ASC, c.cent_id) AS rn
-        |  FROM svt v JOIN cents${t - 1} c ON v.s = c.s) WHERE rn = 1),
-        |dims$t AS (SELECT a.s, a.cell, i.i,
+        |  FROM $svt v JOIN ${cents(t - 1)} c ON v.s = c.s) WHERE rn = 1),
+        |${prefix}dims$t AS (SELECT a.s, a.cell, i.i,
         |    CAST(CAST(CAST(sum(i.ivx) AS DOUBLE) / (1048576.0 * CAST(count(*) AS DOUBLE)) AS FLOAT) AS DOUBLE) AS cv
-        |  FROM iv i JOIN asg$t a ON i.vec_id = a.vec_id AND i.s = a.s GROUP BY a.s, a.cell, i.i),
-        |reb$t AS (SELECT s, cell, list(cv ORDER BY i) AS cemb FROM dims$t GROUP BY s, cell),
-        |cents$t AS (SELECT c.s, c.cent_id, COALESCE(r.cemb, c.cemb) AS cemb
-        |  FROM cents${t - 1} c LEFT JOIN reb$t r ON c.s = r.s AND c.cent_id = r.cell),
+        |  FROM $iv i JOIN ${asg(t)} a ON i.vec_id = a.vec_id AND i.s = a.s GROUP BY a.s, a.cell, i.i),
+        |${prefix}reb$t AS (SELECT s, cell, list(cv ORDER BY i) AS cemb FROM ${prefix}dims$t GROUP BY s, cell),
+        |${cents(t)} AS (SELECT c.s, c.cent_id, COALESCE(r.cemb, c.cemb) AS cemb
+        |  FROM ${cents(t - 1)} c LEFT JOIN ${prefix}reb$t r ON c.s = r.s AND c.cent_id = r.cell),
         |""".stripMargin
     }
-    sb ++= s"""asgF AS (SELECT vec_id, s, cell, d FROM (
+    sb ++= s"""$asgF AS (SELECT vec_id, s, cell, d FROM (
       |  SELECT v.vec_id, v.s, c.cent_id AS cell, ${l2("v.emb8", "c.cemb")} AS d,
       |    row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY ${l2("v.emb8", "c.cemb")} ASC, c.cent_id) AS rn
-      |  FROM sv v JOIN cents$iters c ON v.s = c.s) WHERE rn = 1)""".stripMargin
+      |  FROM $sv v JOIN ${cents(iters)} c ON v.s = c.s) WHERE rn = 1)""".stripMargin
     sb.result()
   }
 
@@ -348,6 +358,35 @@ object SparkEntry {
       |  FROM asgF a JOIN dt ON a.s = dt.s AND a.cell = dt.code
       |  WHERE a.vec_id <> dt.probe_id
       |  GROUP BY dt.probe_id, a.vec_id),
+      |r AS (SELECT probe_id, neighbor_id, adist,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY adist ASC, neighbor_id) AS rn FROM sc)
+      |SELECT probe_id, neighbor_id, round(adist, 9) AS adist, CAST(rn AS BIGINT) AS rnk
+      |FROM r WHERE rn <= $k ORDER BY probe_id, rnk""".stripMargin
+
+  /** IVF-PQ: the coarse-quantizer chain (ivfCtes — unprefixed names) and
+    * the PQ chain (pqCtes, prefix `p`, sharing `e`) composed in one WITH;
+    * candidates = vectors in each probe's `nprobe` nearest cells, ranked
+    * by the PQ codes' ADC distance. Exactly the engine's two persisted
+    * indexes joined at query time. */
+  private def ivfpqOracle(numProbes: Int = 10, k: Int = 5,
+                          numCentroids: Int = 16, ivfIters: Int = 3,
+                          nprobe: Int = 2): String =
+    ivfCtes(numCentroids, ivfIters) + ",\n" +
+      pqCtes(prefix = "p", withE = false) + s""",
+      |pc AS (SELECT probe_id, cell FROM (
+      |  SELECT e.vec_id AS probe_id, c.cent_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
+      |  FROM e, cents$ivfIters c WHERE e.vec_id < $numProbes) WHERE rn <= $nprobe),
+      |cand AS (SELECT pc.probe_id, v.vec_id FROM cellv v JOIN pc ON v.cell = pc.cell
+      |  WHERE v.vec_id <> pc.probe_id),
+      |dt AS (SELECT p.vec_id AS probe_id, p.s, c.cent_id AS code,
+      |    list_reduce(list_transform(range(1, 9), q -> (p.emb8[CAST(q AS INT)] - c.cemb[CAST(q AS INT)]) * (p.emb8[CAST(q AS INT)] - c.cemb[CAST(q AS INT)])), (x, y) -> x + y) AS d
+      |  FROM psv p JOIN pcents2 c ON p.s = c.s WHERE p.vec_id < $numProbes),
+      |sc AS (SELECT ca.probe_id, a.vec_id AS neighbor_id,
+      |    list_reduce(list(dt.d ORDER BY dt.s), (x, y) -> x + y) AS adist
+      |  FROM pasgF a JOIN cand ca ON a.vec_id = ca.vec_id
+      |  JOIN dt ON dt.probe_id = ca.probe_id AND dt.s = a.s AND dt.code = a.cell
+      |  GROUP BY ca.probe_id, a.vec_id),
       |r AS (SELECT probe_id, neighbor_id, adist,
       |    row_number() OVER (PARTITION BY probe_id ORDER BY adist ASC, neighbor_id) AS rn FROM sc)
       |SELECT probe_id, neighbor_id, round(adist, 9) AS adist, CAST(rn AS BIGINT) AS rnk
@@ -1197,6 +1236,9 @@ object SparkEntry {
     // discipline applied to a TRAINED codec).
     "pq_encode" -> pqEncodeOracle(),
     "pq_search" -> pqSearchOracle(),
+    // ivfpq_search: both trainings composed in one WITH — candidates from
+    // the coarse cells, ranking from the codes' ADC distances.
+    "ivfpq_search" -> ivfpqOracle(),
     // media_meta: the engine PARSES real container headers (PNG IHDR /
     // JPEG SOF / WAV fmt+data / AVI avih — Media.HeaderDecoder); the
     // oracle predicts what those headers declare from the generator's

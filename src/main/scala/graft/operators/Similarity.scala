@@ -632,6 +632,80 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Persisted IVF-PQ layout: the PQ code table re-partitioned BY IVF CELL
+    * (`cell=<id>/` directories of 4-bit codes) — FAISS's per-cell posting
+    * lists of codes as a Spark-native partitioned table. A pure function
+    * of the two parent indexes, fingerprint-gated like them; at query
+    * time dynamic partition pruning reduces corpus I/O to `nprobe` cells
+    * of codes — neither raw vectors nor out-of-cell codes are read. */
+  def ensureIvfPqIndex(spark: SparkSession, sfDir: String,
+                       numCentroids: Int = 16, iters: Int = 3): String = {
+    val ivfPrefix = ensureIvfIndex(spark, sfDir, numCentroids, iters)
+    val (_, codesT) = ensurePqIndex(spark, sfDir)
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_ivfpq_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}" +
+      s"_c${numCentroids}i${iters}m${PqM}k$PqK"
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "embeddings") +
+      s"|ivf${numCentroids}i$iters|pq${PqM}x${PqSubDim}k${PqK}i$PqIters"
+    graft.sources.Warehouse.ensureDerivedTables(spark, Seq(table), fp) {
+      val withCell = spark.table(codesT)
+        .join(spark.table(s"${ivfPrefix}_cells").select("vec_id", "cell"), "vec_id")
+      graft.sources.Warehouse.writePartitionedTable(withCell, "cell", table)
+    }
+    table
+  }
+
+  /** `ivfpq_search`: the full FAISS-lineage composition — the IVF coarse
+    * quantizer prunes the corpus to each probe's `nprobe` nearest cells,
+    * and PQ ADC ranks the survivors from their 4-bit codes. Query-time
+    * corpus I/O is `nprobe` partitions of the cell-partitioned code table
+    * (dynamic partition pruning, plan-asserted); raw vectors are never
+    * read. This is the shape a billion-vector index actually serves:
+    * cells bound the scan, codes bound the bytes. */
+  def ivfpqSearch(spark: SparkSession, sfDir: String, numProbes: Int = 10,
+                  k: Int = 5, numCentroids: Int = 16, iters: Int = 3,
+                  nprobe: Int = 2): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    val codesT = ensureIvfPqIndex(spark, sfDir, numCentroids, iters)
+    val ivfPrefix = ensureIvfIndex(spark, sfDir, numCentroids, iters)
+    val (pqCentsT, _) = ensurePqIndex(spark, sfDir)
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < numProbes)
+      .select(col("vec_id"), col("embedding"))
+    // coarse: nprobe nearest cells per probe against the stored codebook
+    val byProbe = Window.partitionBy("probe_id")
+      .orderBy(col("pc").desc, col("cent_id").asc)
+    val probeCells = probes
+      .crossJoin(broadcast(spark.table(s"${ivfPrefix}_cents")))
+      .select(col("vec_id").as("probe_id"), col("cent_id"),
+              VectorFunctions.cosine(col("embedding"), col("cemb")).as("pc"))
+      .withColumn("rn", row_number().over(byProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("cent_id").as("cell"))
+    // refine: the ADC distance table against the stored PQ codebook
+    val dt = subvectors(probes)
+      .select(col("vec_id").as("probe_id"), col("s"), col("emb").as("pemb"))
+      .join(spark.table(pqCentsT).withColumnRenamed("cent_id", "code"), Seq("s"))
+      .select(col("probe_id"), col("s"), col("code"),
+              VectorFunctions.l2sq(col("pemb"), col("cemb")).as("d"))
+    val scored = spark.table(codesT)
+      .select("cell", "vec_id", "s", "code") // drop the stored d: dt's d is the ADC term
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(dt), Seq("probe_id", "s", "code"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("a"))
+      .select(col("probe_id"), col("neighbor_id"),
+              expr("aggregate(a, 0.0d, (acc, t) -> acc + t.d)").as("adist"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+              duckRound(col("adist"), 9).as("adist"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Recall of an approximate search against the exact truth — the
     * measurement every ANN deployment is tuned by (bits/nprobe trade
     * recall for scan fraction; without measuring it the trade is blind).

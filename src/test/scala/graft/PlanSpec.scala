@@ -188,4 +188,13 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("dynamicpruning"),
       s"cell scan is not dynamically pruned:\n$plan")
   }
+
+  test("ivfpq_search reads nprobe cells of the partitioned CODE table, pruned dynamically") {
+    val plan = finalPlan("ivfpq_search")
+    assert(plan.contains("graft_ivfpq"),
+      s"must read the persisted cell-partitioned code table:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"code scan is not dynamically pruned to the probed cells:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
 }

@@ -268,6 +268,53 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again.map(_.toString).sorted === enc.map(_.toString).sorted)
   }
 
+  test("ivfpq composes its parents exactly: cell-bounded candidates, PQ-identical distances") {
+    // Cross-operator consistency on the real corpus: every IVF-PQ
+    // neighbor must (a) lie in one of its probe's nprobe coarse cells —
+    // the candidate bound — and (b) carry EXACTLY the ADC distance the
+    // global PQ search computes for the same (probe, neighbor) pair —
+    // same codes, same codebook, same fold.
+    val nprobe = 2
+    val out = Similarity.ivfpqSearch(spark, sf0001, numProbes = 10, k = 5,
+                                     nprobe = nprobe).collect()
+    assert(out.length === 50)
+    val prefix = Similarity.ensureIvfIndex(spark, sf0001)
+    val cells = spark.table(s"${prefix}_cells").select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = spark.table(s"${prefix}_cents").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    val probeEmb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCellsOf = probeEmb.map { case (p, emb) =>
+      p -> cents.map { case (cid, c) => (cid, cos(emb, c)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
+    }
+    out.foreach { r =>
+      val (p, n) = (r.getLong(0), r.getLong(1))
+      assert(probeCellsOf(p).contains(cells(n)),
+        s"neighbor $n of probe $p is outside the probed cells")
+    }
+    // distances equal the global PQ search's for shared pairs
+    val pqDist = Similarity.pqSearch(spark, sf0001, numProbes = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = out.flatMap { r =>
+      pqDist.get((r.getLong(0), r.getLong(1))).map(d => (r.getDouble(2), d))
+    }
+    assert(shared.nonEmpty, "the two searches must overlap on some pairs")
+    shared.foreach { case (a, b) => assert(a === b) }
+  }
+
   test("planted clusters: ANN and IVF recall sit far ABOVE the scan-fraction floor") {
     // On the driver's isotropic synthetic embeddings every bucketing is a
     // uniform sampler, so measured recall ~ scan fraction — that FLOOR says
