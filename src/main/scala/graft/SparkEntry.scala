@@ -108,6 +108,7 @@ object SparkEntry {
     "bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
     "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
+    "link_rank" -> ((s, d) => Ranking.linkRank(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
     // -- dedup (north star) --
@@ -391,6 +392,34 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY probe_id ORDER BY adist ASC, neighbor_id) AS rn FROM sc)
       |SELECT probe_id, neighbor_id, round(adist, 9) AS adist, CAST(rn AS BIGINT) AS rnk
       |FROM r WHERE rn <= $k ORDER BY probe_id, rnk""".stripMargin
+
+  /** [[graft.operators.Ranking.linkRank]]'s fixed-point iteration as
+    * chained CTEs: synthetic affine-map edges, `rank div outdeg`
+    * contributions, `(15·base + 85·inflow) div 100` damping — integers
+    * end to end. */
+  private def linkRankOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0),
+      |ed AS (SELECT DISTINCT src, dst FROM t WHERE src <> dst),
+      |od AS (SELECT src, count(*) AS odeg FROM ed GROUP BY src),
+      |b AS (SELECT 1099511627776 // n AS base FROM nn),
+      |r0 AS (SELECT doc_id, (SELECT base FROM b) AS r FROM documents),
+      |""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s"""c$t AS (SELECT ed.dst, CAST(sum(r.r // od.odeg) AS BIGINT) AS m
+        |  FROM ed JOIN r${t - 1} r ON ed.src = r.doc_id JOIN od ON ed.src = od.src GROUP BY ed.dst),
+        |r$t AS (SELECT d.doc_id, CAST((15 * (SELECT base FROM b) + 85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+        |  FROM documents d LEFT JOIN c$t c ON d.doc_id = c.dst),
+        |""".stripMargin
+    }
+    sb ++= s"""ind AS (SELECT dst, count(*) AS n_in FROM ed GROUP BY dst)
+      |SELECT r.doc_id, CAST(COALESCE(ind.n_in, 0) AS BIGINT) AS in_links, r.r AS rank_scaled
+      |FROM r$iters r LEFT JOIN ind ON r.doc_id = ind.dst ORDER BY r.doc_id""".stripMargin
+    sb.result()
+  }
 
   /** The exact word-trigram Jaccard ≥ 0.8 pair join — the oracle for
     * `dedup_ngram`, for `dedup_minhash` (LSH + exact verification provably
@@ -741,6 +770,11 @@ object SparkEntry {
         |  round(avg(gap_us) / 3600000000.0, 4) AS avg_gap_hours,
         |  round(CAST(max(gap_us) AS DOUBLE) / 3600000000.0, 4) AS max_gap_hours
         |FROM g GROUP BY o_custkey HAVING count(gap_us) > 0 ORDER BY o_custkey""".stripMargin,
+    // link_rank: the synthetic edge derivation, out/in degrees, and three
+    // fixed-point damping rounds replayed verbatim — every operation is
+    // integer (% , //, exact long sums), so the iterative kernel
+    // hash-matches with no float boundary.
+    "link_rank" -> linkRankOracle(3),
     "tfidf_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),

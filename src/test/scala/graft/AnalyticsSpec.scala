@@ -146,6 +146,45 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(scores.forall(_ > 0.0), "query terms occur in the corpus")
   }
 
+  test("linkRank equals an exact scalar fixed-point replication, any partitioning") {
+    import spark.implicits._
+    // 40 docs — the scalar model mirrors the engine's integer arithmetic
+    // operation for operation, so equality is EXACT, not approximate.
+    val n = 40L
+    val ids = (0L until n)
+    val scale = 1099511627776L
+    val base = scale / n
+    val edges = ids.flatMap { i =>
+      Seq((i * 7 + 3) % n, (i * 13 + 5) % n) ++
+        (if (i % 3 == 0) Seq((i * 31 + 11) % n) else Seq())
+    }.zip(ids.flatMap(i => Seq.fill(if (i % 3 == 0) 3 else 2)(i)))
+      .map { case (dst, src) => (src, dst) }.filter { case (s, d) => s != d }
+      .distinct
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = ids.map(_ -> base).toMap
+    for (_ <- 1 to 3) {
+      val inflow = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / odeg(s) }.sum
+      }
+      r = ids.map(i => i -> (15L * base + 85L * inflow.getOrElse(i, 0L)) / 100L).toMap
+    }
+    val indeg = edges.groupBy(_._2).map { case (d, es) => d -> es.size.toLong }
+    val expected = ids.map(i => (i, indeg.getOrElse(i, 0L), r(i))).toSet
+    val docs = ids.toDF("doc_id")
+    val got = graft.operators.Ranking.linkRankFrom(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got === expected)
+    val again = graft.operators.Ranking.linkRankFrom(docs.repartition(7)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(again === expected)
+    // sanity: damping floor holds and rank mass is conserved up to
+    // integer-floor leakage (flooring only ever loses mass)
+    assert(r.values.forall(_ >= (15L * base) / 100L))
+    assert(r.values.sum <= scale)
+    // the graph must actually differentiate documents
+    assert(r.values.toSet.size > 1)
+  }
+
   test("url dedup: canonical forms are lowercase-host, no tracking debris") {
     val rows = TextAnalysis.urlDedup(spark, sf0001).collect()
     assert(rows.nonEmpty)
