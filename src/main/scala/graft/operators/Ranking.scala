@@ -169,6 +169,8 @@ object Ranking {
   /** [[linkRank]] over an explicit `(doc_id)` frame. */
   def linkRankFrom(docs: DataFrame, iters: Int = 3): DataFrame = {
     val n = docs.count()
+    require(n > 0, "linkRankFrom: empty corpus — the affine edge maps and " +
+      "the base rank 2^40/n are undefined at n = 0")
     val scale = 1099511627776L // 2^40
     val base = scale / n
     val t12 = docs.select(col("doc_id").as("src"),

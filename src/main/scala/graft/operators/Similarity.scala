@@ -560,9 +560,16 @@ object Similarity {
     * PERSISTED index ([[ensurePqIndex]]) — a repeat run, or any other PQ
     * consumer, costs a code-table rollup instead of retraining. */
   def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.NumericFunctions.duckRound
     val (_, codesT) = ensurePqIndex(spark, sfDir)
-    spark.table(codesT)
+    pqCodesRollup(spark.table(codesT))
+  }
+
+  /** The oracle-checked encode report over a `(vec_id, s, code, d)` code
+    * frame: s-ordered code string + SSE fold, defined ONCE so the
+    * persisted-index path and the inline spec path cannot diverge. */
+  private def pqCodesRollup(codes: DataFrame): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    codes
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("s"), col("code"), col("d")))).as("a"))
       .select(col("vec_id"),
@@ -573,15 +580,8 @@ object Similarity {
 
   /** [[pqEncode]] over an explicit `(vec_id, embedding)` frame. */
   def pqEncodeFrom(e: DataFrame): DataFrame = {
-    import graft.functions.NumericFunctions.duckRound
     val cents = pqCodebooks(e, sampleStride = ivfSampleStride(e.count(), PqK))
-    pqAssign(subvectors(e), cents)
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("s"), col("code"), col("d")))).as("a"))
-      .select(col("vec_id"),
-        concat_ws("-", expr("transform(a, t -> cast(t.code as string))")).as("codes"),
-        duckRound(expr("aggregate(a, 0.0d, (acc, t) -> acc + t.d)"), 9).as("recon_sse"))
-      .orderBy("vec_id")
+    pqCodesRollup(pqAssign(subvectors(e), cents))
   }
 
   /** `pq_search`: asymmetric-distance (ADC) top-k — the probe is compared
@@ -606,9 +606,14 @@ object Similarity {
           pqAssign(subvectors(e), cents), k)
   }
 
-  /** The ADC core: probe vectors × a codebook × a code table → top-k. */
-  private def pqAdc(probes: DataFrame, cents: DataFrame,
-                    codes: DataFrame, k: Int): DataFrame = {
+  /** The ADC core: probe vectors × a codebook × a code table → top-k.
+    * The fold, rounding, and tie discipline live HERE only — both the
+    * global search and the IVF-restricted one are oracle-matched against
+    * this exact shape. With `probeCells` (probe_id → coarse cell), the
+    * code frame must carry a `cell` column and candidates are restricted
+    * per probe to its cells BEFORE the distance-table join. */
+  private def pqAdc(probes: DataFrame, cents: DataFrame, codes: DataFrame,
+                    k: Int, probeCells: Option[DataFrame] = None): DataFrame = {
     import graft.functions.NumericFunctions.duckRound
     // the ADC distance table: tiny (probes × m × k), computed once
     val dt = subvectors(probes)
@@ -616,8 +621,16 @@ object Similarity {
       .join(cents.withColumnRenamed("cent_id", "code"), Seq("s"))
       .select(col("probe_id"), col("s"), col("code"),
               VectorFunctions.l2sq(col("pemb"), col("cemb")).as("d"))
-    val scored = codes.select("vec_id", "s", "code")
-      .join(broadcast(dt), Seq("s", "code"))
+    val joined = probeCells match {
+      case Some(pc) =>
+        codes.select("cell", "vec_id", "s", "code") // drop any stored d: dt's d is the ADC term
+          .join(broadcast(pc), Seq("cell"))
+          .join(broadcast(dt), Seq("probe_id", "s", "code"))
+      case None =>
+        codes.select("vec_id", "s", "code")
+          .join(broadcast(dt), Seq("s", "code"))
+    }
+    val scored = joined
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
       .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("a"))
@@ -665,7 +678,6 @@ object Similarity {
   def ivfpqSearch(spark: SparkSession, sfDir: String, numProbes: Int = 10,
                   k: Int = 5, numCentroids: Int = 16, iters: Int = 3,
                   nprobe: Int = 2): DataFrame = {
-    import graft.functions.NumericFunctions.duckRound
     val codesT = ensureIvfPqIndex(spark, sfDir, numCentroids, iters)
     val ivfPrefix = ensureIvfIndex(spark, sfDir, numCentroids, iters)
     val (pqCentsT, _) = ensurePqIndex(spark, sfDir)
@@ -682,28 +694,8 @@ object Similarity {
       .withColumn("rn", row_number().over(byProbe))
       .filter(col("rn") <= nprobe)
       .select(col("probe_id"), col("cent_id").as("cell"))
-    // refine: the ADC distance table against the stored PQ codebook
-    val dt = subvectors(probes)
-      .select(col("vec_id").as("probe_id"), col("s"), col("emb").as("pemb"))
-      .join(spark.table(pqCentsT).withColumnRenamed("cent_id", "code"), Seq("s"))
-      .select(col("probe_id"), col("s"), col("code"),
-              VectorFunctions.l2sq(col("pemb"), col("cemb")).as("d"))
-    val scored = spark.table(codesT)
-      .select("cell", "vec_id", "s", "code") // drop the stored d: dt's d is the ADC term
-      .join(broadcast(probeCells), Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .join(broadcast(dt), Seq("probe_id", "s", "code"))
-      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
-      .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("a"))
-      .select(col("probe_id"), col("neighbor_id"),
-              expr("aggregate(a, 0.0d, (acc, t) -> acc + t.d)").as("adist"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("neighbor_id"),
-              duckRound(col("adist"), 9).as("adist"), col("rnk"))
-      .orderBy("probe_id", "rnk")
+    pqAdc(probes, spark.table(pqCentsT), spark.table(codesT), k,
+          probeCells = Some(probeCells))
   }
 
   /** Recall of an approximate search against the exact truth — the

@@ -524,9 +524,15 @@ object TextAnalysis {
 
   /** [[dedupPassages]] over an explicit `(doc_id, text)` frame. */
   def dedupPassagesFrom(docs: DataFrame, window: Int, minDocs: Int): DataFrame = {
-    val chunks = docs.select(col("doc_id"),
-      posexplode(call_function("graft_chunks", col("text"), lit(window)))
-        .as(Seq("pos", "chunk_fp")))
+    // The exploded chunk frame feeds BOTH the reach aggregate and the
+    // coverage join, and the two subtrees can't share an exchange — so the
+    // (dominant) full-corpus Karp–Rabin pass is materialized once instead
+    // of evaluated twice (the simhashPairs discipline; blocks are
+    // reclaimed when the frame is unreferenced).
+    val chunks = new Dedup.RoundCheckpointer(docs.sparkSession)(
+      docs.select(col("doc_id"),
+        posexplode(call_function("graft_chunks", col("text"), lit(window)))
+          .as(Seq("pos", "chunk_fp"))))
     val dupFps = chunks.groupBy("chunk_fp")
       .agg(countDistinct("doc_id").as("n_docs"))
       .filter(col("n_docs") >= minDocs)
