@@ -138,6 +138,7 @@ object SparkEntry {
     "pq_encode" -> ((s, d) => Similarity.pqEncode(s, d)),
     "pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
     "ivfpq_search" -> ((s, d) => Similarity.ivfpqSearch(s, d)),
+    "pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     // -- multimodal plumbing (north star) --
     "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
     "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
@@ -166,6 +167,18 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, emb) DESC, vec_id) AS rn
       |  FROM p, e WHERE vec_id <> probe_id)
       |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Exact squared-L2 top-k — the truth side of `pq_recall` (same
+    * sequential squared-diff fold as the engine's `l2sq`). */
+  private val l2BruteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id < 10),
+      |s AS (SELECT probe_id, vec_id AS neighbor_id,
+      |    list_reduce(list_transform(range(1, 65), q -> (probe_emb[CAST(q AS INT)] - emb[CAST(q AS INT)]) * (probe_emb[CAST(q AS INT)] - emb[CAST(q AS INT)])), (x, y) -> x + y) AS d2,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY list_reduce(list_transform(range(1, 65), q -> (probe_emb[CAST(q AS INT)] - emb[CAST(q AS INT)]) * (probe_emb[CAST(q AS INT)] - emb[CAST(q AS INT)])), (x, y) -> x + y) ASC, vec_id) AS rn
+      |  FROM p, e WHERE vec_id <> probe_id)
+      |SELECT probe_id, neighbor_id, round(d2, 9) AS d2, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
       |ORDER BY probe_id, rnk""".stripMargin
 
   /** recall@k of `approxSql` against `truthSql` — both nested verbatim as
@@ -1246,6 +1259,11 @@ object SparkEntry {
     // METRIC is exactly checked on top of two exactly-checked searches.
     "ann_recall" -> recallOracle(knnBruteSql, annOracle),
     "ivf_recall" -> recallOracle(knnBruteSql, ivfOracle()),
+    // pq_recall: ADC approximates L2, so the truth is the exact L2 top-k
+    // (a cosine truth would conflate metric disagreement with
+    // quantization loss); both searches and the metric are composed
+    // oracles.
+    "pq_recall" -> recallOracle(l2BruteSql, pqSearchOracle()),
     // quantize_embeddings: per-element double arithmetic + floor on both
     // sides (the cosine-parity discipline), SSE as the same left fold with
     // 0.0 init (list_reduce's first-element init equals it exactly:

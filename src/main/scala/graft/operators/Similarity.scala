@@ -720,6 +720,38 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** Exact squared-L2 top-k per probe — the truth side for the PQ recall
+    * instrument ([[pqRecall]]): ADC approximates L2, so measuring it
+    * against the cosine truth would conflate metric disagreement with
+    * quantization loss. Same shape as [[knnBruteFrom]], ascending
+    * distance, id tiebreak. */
+  def knnBruteL2From(e: DataFrame, numProbes: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    val probes = e.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+              VectorFunctions.l2sq(col("probe_emb"), col("embedding")).as("d2"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+              duckRound(col("d2"), 9).as("d2"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Recall@k of the persisted-index ADC search vs the exact L2 truth —
+    * the quantization-loss instrument (codes with 64× compression cannot
+    * rank like raw vectors; this measures exactly how much ranking
+    * fidelity the codec spends, the number PQ deployments tune m/k by).
+    * Both sides and the metric itself are oracle-checked. */
+  def pqRecall(spark: SparkSession, sfDir: String,
+               numProbes: Int = 10, k: Int = 5): DataFrame =
+    searchRecall(knnBruteL2From(Tables.embeddings(spark, sfDir), numProbes, k),
+                 pqSearch(spark, sfDir, numProbes, k))
+
   /** Recall@k of the hyperplane-LSH search vs brute force. */
   def annRecall(spark: SparkSession, sfDir: String,
                 numProbes: Int = 10, k: Int = 5): DataFrame =

@@ -130,6 +130,14 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ann.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
     val again = Similarity.annRecall(spark, sf0001).collect()
     assert(again.map(_.toString).toSeq === ann.map(_.toString).toSeq)
+    // pq_recall: the L2 truth against itself is exact; the ADC search's
+    // recall is a valid fraction per probe (codec loss, not search bugs)
+    val l2Truth = Similarity.knnBruteL2From(graft.sources.Tables.embeddings(spark, sf0001))
+    val l2Self = Similarity.searchRecall(l2Truth, l2Truth).collect()
+    assert(l2Self.length === 10 && l2Self.forall(_.getDouble(1) === 1.0))
+    val pq = Similarity.pqRecall(spark, sf0001).collect()
+    assert(pq.length === 10, "one recall row per probe, misses included")
+    assert(pq.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
   test("ivfDrift: a skewed delta trips the rebuild-recommended signal") {
