@@ -94,6 +94,7 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "common_passages" -> ((s, d) => TextAnalysis.commonPassages(s, d)),
     "dedup_passages" -> ((s, d) => TextAnalysis.dedupPassages(s, d)),
+    "excise_passages" -> ((s, d) => TextAnalysis.excisePassages(s, d)),
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -1076,6 +1077,31 @@ object SparkEntry {
         |SELECT n.doc_id, n.n_tokens, COALESCE(ct.dup_tokens, 0) AS dup_tokens,
         |  round(CAST(COALESCE(ct.dup_tokens, 0) AS DOUBLE) / CAST(greatest(n.n_tokens, 1) AS DOUBLE), 4) AS dup_ratio
         |FROM n LEFT JOIN ct ON n.doc_id = ct.doc_id ORDER BY n.doc_id""".stripMargin,
+    // excise_passages: dedup_passages' coverage chain, inverted — kept
+    // positions anti-join the covered set, the clean document is the
+    // position-ordered string_agg of surviving tokens.
+    "excise_passages" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),
+        |c AS (SELECT doc_id, CASE WHEN len(hs) >= 8
+        |      THEN list_transform(range(1, len(hs) - 6), i -> list_reduce(hs[i:i+7], (a, b) -> (a * 1000003 + b) % 4294967296))
+        |      ELSE CAST([] AS BIGINT[]) END AS ch FROM h),
+        |e AS (SELECT doc_id, unnest(range(1, len(ch) + 1)) AS pos, ch FROM c),
+        |ch1 AS (SELECT doc_id, pos, ch[pos] AS chunk_fp FROM e),
+        |dup AS (SELECT chunk_fp FROM ch1 GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT c1.doc_id, c1.pos + o.k AS p
+        |        FROM ch1 c1 JOIN dup USING (chunk_fp), (SELECT unnest(range(0, 8)) AS k) o),
+        |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM d),
+        |t1 AS (SELECT doc_id, pos, ws[pos] AS tok FROM tok),
+        |kept AS (SELECT t1.doc_id, t1.pos, t1.tok FROM t1
+        |         LEFT JOIN cov ON t1.doc_id = cov.doc_id AND t1.pos = cov.p
+        |         WHERE cov.p IS NULL),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        |             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |      FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.kept_tokens, 0) AS kept_tokens,
+        |  COALESCE(r.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN r ON d.doc_id = r.doc_id ORDER BY d.doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp FROM f GROUP BY fp ORDER BY keep_id""".stripMargin,

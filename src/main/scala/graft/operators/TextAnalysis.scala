@@ -554,6 +554,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring EXCISION — the transform half of the Lee et al.
+    * dedup pass ([[dedupPassages]] is the measurement half): rewrite every
+    * document's token stream with all cross-document repeated passages
+    * removed, keeping surviving tokens in their original order. Output is
+    * the token-normalized clean document (the unit the rest of the dedup
+    * pipeline already works in) plus its surviving-token count; documents
+    * whose every token is duplicated excise to the empty string.
+    *
+    * 100 TB story: the duplicated-fp detection is [[dedupPassages]]'
+    * fp-keyed aggregate, and the per-doc covered-position SETS that shuffle
+    * are bounded by window × duplicated chunk starts — the duplication
+    * tail, not the corpus. The rewrite itself never shuffles tokens: the
+    * kept-position list is `array_except(sequence, cov)` (hash lookup,
+    * order of the first argument preserved) and the rebuild is
+    * `element_at` over the scan-side token array — all codegen'd
+    * higher-order functions fused into the document scan. */
+  def excisePassages(spark: SparkSession, sfDir: String,
+                     window: Int = 8, minDocs: Int = 2): DataFrame =
+    excisePassagesFrom(Tables.documents(spark, sfDir), window, minDocs)
+
+  /** [[excisePassages]] over an explicit `(doc_id, text)` frame. */
+  def excisePassagesFrom(docs: DataFrame, window: Int, minDocs: Int): DataFrame = {
+    // same shared-chunk-frame materialization as dedupPassagesFrom: the
+    // Karp–Rabin pass feeds both the reach aggregate and the coverage join
+    val chunks = new Dedup.RoundCheckpointer(docs.sparkSession)(
+      docs.select(col("doc_id"),
+        posexplode(call_function("graft_chunks", col("text"), lit(window)))
+          .as(Seq("pos", "chunk_fp"))))
+    val dupFps = chunks.groupBy("chunk_fp")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("chunk_fp")
+    val covSets = chunks.join(dupFps, Seq("chunk_fp"))
+      .select(col("doc_id"),
+              explode(sequence(col("pos"), col("pos") + lit(window - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("cov"))
+    // Spark's sequence(1, 0) counts DOWN — guard the empty-token case
+    val allPos = when(size(col("ws")) > 0,
+                      sequence(lit(0), size(col("ws")) - 1))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .join(covSets, Seq("doc_id"), "left")
+      .select(col("doc_id"), tokenize(col("text")).as("ws"),
+              coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"),
+              array_except(allPos, col("cov")).as("kept"), col("ws"))
+      .select(col("doc_id"),
+              size(col("kept")).cast("bigint").as("kept_tokens"),
+              concat_ws(" ",
+                transform(col("kept"), i => element_at(col("ws"), i + 1)))
+                .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** URL canonicalization + dedup — the web-crawl dedup pass that catches
     * the SAME resource crawled under cosmetically different URLs. The
     * corpus has no URL column, so a deterministic synthetic URL is derived

@@ -166,4 +166,33 @@ class TextFunctionsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(again === out)
   }
+
+  test("excise_passages: removes exactly the shared passage, preserves order, keeps clean docs intact") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"unique opening words here $passage closing"),
+      (2L, s"different prefix tokens completely unlike $passage another suffix"),
+      // self-repeats are not cross-doc duplicates: doc 3 must be untouched
+      (3L, "selfrepeat block lorem ipsum dolor sit amet consectetur " +
+           "selfrepeat block lorem ipsum dolor sit amet consectetur"),
+      (4L, "tiny doc"),
+      // doc 5 IS the passage and nothing else — excises to empty
+      (5L, passage)
+    ).toDF("doc_id", "text")
+    // doc 5 makes the passage 3-doc duplicated; its own 3 chunks all dup
+    val out = TextAnalysis.excisePassagesFrom(docs, window = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === ((5L, "unique opening words here closing")),
+      "surviving tokens must keep original order across the excised gap")
+    assert(out(2L) === ((7L, "different prefix tokens completely unlike another suffix")))
+    assert(out(3L)._2 === docs.filter($"doc_id" === 3L)
+      .select(concat_ws(" ", graft.functions.TextFunctions.tokenize($"text")))
+      .head().getString(0), "no cross-doc dup: the token stream is unchanged")
+    assert(out(4L) === ((2L, "tiny doc")))
+    assert(out(5L) === ((0L, "")), "a fully-duplicated doc excises to empty")
+    val again = TextAnalysis.excisePassagesFrom(docs.repartition(5), 8, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again === out)
+  }
 }
