@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, ChunkHashes, ChunkStats, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash}
+import graft.functions.expressions.{BandHashes, ChunkHashes, ChunkStats, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -58,6 +58,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_kmv(value, k) — distinct-count sketch aggregate")
         KmvAgg(args.head, intArg(args(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "graft_cms"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_cms(value, weight, depth, width) — frequency sketch aggregate")
+        CmsAgg(args.head, args(1), intArg(args(2)), intArg(args(3)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_bucket"),
+      new ExpressionInfo(classOf[CmsBucket].getName, "graft_cms_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_cms_bucket(value, row, width) — the sketch's cell hash")
+        CmsBucket(args.head, intArg(args(1)), intArg(args(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),

@@ -46,6 +46,7 @@ object SparkEntry {
     "agg_pricing" -> ((s, d) => Relational.aggPricing(s, d)),
     "distinct_users" -> ((s, d) => Relational.distinctUsers(s, d)),
     "distinct_sketch" -> ((s, d) => Relational.distinctSketch(s, d)),
+    "freq_sketch" -> ((s, d) => TextAnalysis.freqSketch(s, d)),
     "join_orders_customers" -> ((s, d) => Relational.joinOrdersCustomers(s, d)),
     "multi_join_agg" -> ((s, d) => Relational.multiJoinAgg(s, d)),
     "q5_region" -> ((s, d) => Relational.regionRevenue(s, d)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "stream_export" -> ((s, d) => graft.streaming.EventStreams.streamExportQuery(s, d)),
     "stream_ingest" -> ((s, d) => graft.streaming.EventStreams.streamIngestQuery(s, d)),
     "stream_distinct_sketch" -> ((s, d) => graft.streaming.EventStreams.streamDistinctSketchQuery(s, d)),
+    "stream_freq_sketch" -> ((s, d) => graft.streaming.EventStreams.streamFreqSketchQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -160,6 +162,27 @@ object SparkEntry {
       |    ELSE 63.0 * 9223372036854775808.0 / CAST(hv AS DOUBLE) END, 4) AS est_users
       |FROM r WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END
       |ORDER BY event_type""".stripMargin
+
+  /** The Count-Min sketch oracle, shared by the batch (weighted updates
+    * over word counts) and streaming (weight-1 updates over raw tokens)
+    * forms — counter addition is associative, so both build the identical
+    * grid and one SQL truth serves both. The grid is replayed as a GROUP
+    * BY over (row, salted-hash bucket); a word's estimate is the min of
+    * its depth cells — same md5-mod-2⁶³-mod-width hash as `CmsKernel`. */
+  private val cmsSketchSql: String =
+    """WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+      |t AS (SELECT unnest(ws) AS word FROM d),
+      |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_count FROM t GROUP BY word),
+      |cells AS (SELECT i, CAST((md5_number_lower(CAST(i AS VARCHAR) || ':' || word) % 9223372036854775808) % 256 AS BIGINT) AS b,
+      |                 CAST(sum(exact_count) AS BIGINT) AS cell
+      |          FROM wc, range(4) r(i) GROUP BY 1, 2),
+      |probes AS (SELECT word, exact_count FROM wc ORDER BY exact_count DESC, word LIMIT 20),
+      |pb AS (SELECT p.word, p.exact_count, r.i,
+      |              CAST((md5_number_lower(CAST(r.i AS VARCHAR) || ':' || p.word) % 9223372036854775808) % 256 AS BIGINT) AS b
+      |       FROM probes p, range(4) r(i)),
+      |est AS (SELECT pb.word, pb.exact_count, min(c.cell) AS est_count
+      |        FROM pb JOIN cells c ON c.i = pb.i AND c.b = pb.b GROUP BY 1, 2)
+      |SELECT word, exact_count, est_count FROM est ORDER BY exact_count DESC, word""".stripMargin
 
   private val knnBruteSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -599,6 +622,14 @@ object SparkEntry {
     // state — the buffer merge is bit-deterministic under any micro-batch
     // split, so the complete-mode final equals the batch sketch exactly.
     "stream_distinct_sketch" -> kmvSketchSql,
+    // freq_sketch: the Count-Min grid replayed exactly — salted md5 cell
+    // hash, exact long counter sums, min-over-depth estimate; the
+    // APPROXIMATE frequency sketch hash-matches bit for bit.
+    "freq_sketch" -> cmsSketchSql,
+    // stream_freq_sketch: the SAME grid built as streaming state from
+    // raw weight-1 token updates — counter addition is associative, so
+    // the complete-mode final equals the batch weighted build exactly.
+    "stream_freq_sketch" -> cmsSketchSql,
     "join_orders_customers" ->
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey

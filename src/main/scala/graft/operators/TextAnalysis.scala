@@ -277,6 +277,54 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** Count-Min frequency estimation over the corpus vocabulary — the
+    * bounded-state complement of [[heavyHitters]]: MG answers "which words
+    * are frequent" with a candidate set that must be exactly recounted;
+    * the CMS grid answers "how often does THIS word occur" for ANY word
+    * from a fixed `depth × width` counter grid (8 KiB at the defaults),
+    * no recount pass. Output: the top-`topn` words with their exact count
+    * next to the sketch estimate — est ≥ exact always (counters only
+    * overcount), est − exact bounded by colliding mass.
+    *
+    * 100 TB story: the word-count aggregate partial-aggregates map-side;
+    * the grid is ONE fixed-size buffer per map partition in the shuffle
+    * (`graft_cms` is a TypedImperativeAggregate with associative merge —
+    * the [[graft.functions.expressions.KmvAgg]] contract); probes are a
+    * TakeOrderedAndProject; estimation is a broadcast of the one-row grid.
+    * Feeding the aggregate pre-counted `(word, count)` rows with weighted
+    * updates produces the bit-identical grid that raw weight-1 token
+    * updates produce (counter addition is associative), which is what lets
+    * the STREAMING twin ([[graft.streaming.EventStreams
+    * .streamFreqSketchQuery]]) share this oracle exactly. */
+  def freqSketch(spark: SparkSession, sfDir: String,
+                 depth: Int = 4, width: Int = 256, topn: Int = 20): DataFrame = {
+    val wc = wordCounts(Tables.documents(spark, sfDir))
+    val grid = wc.agg(call_function("graft_cms",
+      col("word"), col("exact_count"), lit(depth), lit(width)).as("grid"))
+    cmsEstimates(wc, grid, depth, width, topn)
+  }
+
+  /** Per-word corpus counts `(word, exact_count)` — the CMS build input. */
+  private[graft] def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokenize(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("exact_count"))
+
+  /** Present a materialized CMS `grid` (one row, `array<bigint>` of
+    * `depth·width` cells): top-`topn` words by exact count with the grid's
+    * estimate read back through the SAME salted hash the build used
+    * (`graft_cms_bucket`), min over the word's `depth` cells. */
+  private[graft] def cmsEstimates(wc: DataFrame, grid: DataFrame,
+                                  depth: Int, width: Int, topn: Int): DataFrame = {
+    val est = least((0 until depth).map { i =>
+      element_at(col("grid"), lit(i * width) +
+        call_function("graft_cms_bucket", col("word"), lit(i), lit(width)) + lit(1))
+    }: _*)
+    wc.orderBy(col("exact_count").desc, col("word").asc).limit(topn)
+      .crossJoin(broadcast(grid))
+      .select(col("word"), col("exact_count"), est.as("est_count"))
+      .orderBy(col("exact_count").desc, col("word").asc)
+  }
+
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
   /** Document quality scoring from length / word-shape / stopword ratios —

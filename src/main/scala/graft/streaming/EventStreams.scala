@@ -362,6 +362,33 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Driver-verified: the Count-Min frequency sketch as STREAMING state —
+    * `graft_cms` in a complete-mode global aggregation over the RAW token
+    * stream (weight 1 per token), one fixed `depth·width` counter grid in
+    * the state store across micro-batches. The batch twin
+    * ([[graft.operators.TextAnalysis.freqSketch]]) feeds the same
+    * aggregate pre-counted `(word, count)` rows; counter addition is
+    * associative and commutative, so both grids are bit-identical under
+    * any batch split or arrival order and the streaming final shares the
+    * batch form's SQL oracle exactly. Probe selection (top-n by exact
+    * count) is corpus metadata, not stream state — it reads the batch
+    * side, mirroring how a deployed sketch is queried: the grid absorbs
+    * the stream, questions arrive out of band. */
+  def streamFreqSketchQuery(spark: SparkSession, sfDir: String,
+                            depth: Int = 4, width: Int = 256,
+                            topn: Int = 20): DataFrame = {
+    import graft.operators.TextAnalysis
+    val toks = tableStream(spark, sfDir, "documents")
+      .select(explode(TextFunctions.tokenize(col("text"))).as("word"))
+    val agg = toks.groupBy()
+      .agg(call_function("graft_cms",
+        col("word"), lit(1L), lit(depth), lit(width)).as("grid"))
+    val grid = runToCompletion(spark, agg, "stream_freq_sketch", OutputMode.Complete())
+    val wc = TextAnalysis.wordCounts(
+      graft.sources.Tables.documents(spark, sfDir))
+    TextAnalysis.cmsEstimates(wc, grid, depth, width, topn)
+  }
+
   /** Driver-verified: MERGING session windows via the native
     * `session_window` streaming aggregate — dynamic-gap windows that the
     * fixed tumbling/hopping grids can't express: each event opens a

@@ -123,6 +123,59 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(est(ints) === 40.0)
   }
 
+  test("graft_cms: overestimates only, weighted == raw build, partitioning-independent") {
+    import spark.implicits._
+    import graft.functions.expressions.CmsKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    val depth = 4; val width = 64
+    def grid(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(call_function("graft_cms", col("v"), col("wt"), lit(depth), lit(width)).as("g"))
+        .collect().head.getSeq[Long](0)
+    // a skewed vocabulary: word i appears i times (letter-suffix fixture —
+    // the tokenizer convention, though the aggregate sees values verbatim)
+    val raw = (1 to 60).flatMap(i => Seq.fill(i)(s"word${('a' + i % 26).toChar}$i"))
+    val rawDf = raw.map(v => (v, 1L)).toDF("v", "wt")
+    val weightedDf = raw.groupBy(identity).map { case (v, vs) => (v, vs.size.toLong) }
+      .toSeq.toDF("v", "wt")
+    val g = grid(rawDf)
+    assert(g.length === depth * width)
+    // counter addition is associative: pre-aggregated weighted updates and
+    // raw weight-1 updates build the IDENTICAL grid (what lets the batch
+    // and streaming forms share one oracle), under any partitioning
+    assert(grid(weightedDf) === g)
+    assert(grid(rawDf.repartition(13)) === g)
+    assert(grid(weightedDf.repartition(3)) === g)
+    // each row's cells sum to the total mass; estimates never undercount
+    val total = raw.size.toLong
+    (0 until depth).foreach { i =>
+      assert(g.slice(i * width, (i + 1) * width).sum === total)
+    }
+    val exact = raw.groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+    exact.foreach { case (v, cnt) =>
+      val est = (0 until depth).map { i =>
+        g(i * width + CmsKernel.bucket(UTF8String.fromString(v), i, width))
+      }.min
+      assert(est >= cnt, s"CMS undercounted $v: $est < $cnt")
+    }
+    // width 2 forces collisions: SOME estimate must strictly overcount —
+    // proves the sketch is a real lossy summary, not an exact count
+    val tiny = grid(rawDf.withColumn("wt", lit(1L)))
+    assert(tiny.length === depth * width)
+    val tinyG = rawDf.agg(call_function("graft_cms", col("v"), col("wt"), lit(4), lit(2)).as("g"))
+      .collect().head.getSeq[Long](0)
+    val overcounts = exact.count { case (v, cnt) =>
+      (0 until 4).map(i => tinyG(i * 2 + CmsKernel.bucket(UTF8String.fromString(v), i, 2))).min > cnt
+    }
+    assert(overcounts > 0, "width-2 grid cannot count 60 keys exactly")
+    // graft_cms_bucket (the probe-side read hash) equals the kernel's
+    val b = rawDf.limit(10)
+      .select(col("v"), call_function("graft_cms_bucket", col("v"), lit(2), lit(width)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    b.foreach { case (v, bk) =>
+      assert(bk === CmsKernel.bucket(UTF8String.fromString(v), 2, width))
+    }
+  }
+
   test("tokenizer unicode parity: \\p{L} keeps accented/non-latin letters") {
     import graft.functions.TextFunctions
     val t = "Über café naïve 東京 word2vec łódź!"
