@@ -129,6 +129,7 @@ object SparkEntry {
     "export_shards" -> ((s, d) => Pipeline.exportShards(s, d)),
     "export_write" -> ((s, d) => Pipeline.exportWrite(s, d)),
     "export_sorted" -> ((s, d) => Pipeline.exportSorted(s, d)),
+    "export_zorder" -> ((s, d) => Pipeline.exportZorder(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -1272,6 +1273,33 @@ object SparkEntry {
         |a AS (SELECT f.ts_us, len(list_filter(cl.cs, c -> f.bin >= c)) AS bucket FROM f, cl)
         |SELECT bucket, count(*) AS n_events, min(ts_us) AS min_ts, max(ts_us) AS max_ts
         |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // export_zorder: both dims' rank cuts replayed (the export_sorted
+    // machinery twice), then the Morton bucket = the top 2 bits of each
+    // dim's cell number interleaved — z div 16 with the low bits dropped.
+    "export_zorder" ->
+      """WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS uid, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |tb AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx, count(*) AS n FROM e),
+        |tf AS (SELECT e.event_id, e.ts_us, e.uid, (e.ts_us - tb.mn) * 1024 // (tb.mx - tb.mn + 1) AS tbin, tb.n FROM e, tb),
+        |th AS (SELECT tbin, n, count(*) AS cnt FROM tf GROUP BY tbin, n),
+        |tw AS (SELECT tbin, n, sum(cnt) OVER (ORDER BY tbin) AS cum FROM th),
+        |ks AS (SELECT unnest(range(1, 16)) AS k),
+        |tcuts AS (SELECT ks.k, min(tw.tbin) AS cut FROM tw JOIN ks ON tw.cum >= (ks.k * tw.n + 15) // 16 GROUP BY ks.k),
+        |tcl AS (SELECT COALESCE(list(cut ORDER BY cut), []) AS cs FROM tcuts),
+        |ub AS (SELECT min(uid) AS mn, max(uid) AS mx, count(*) AS n FROM e),
+        |uf AS (SELECT e.event_id, (e.uid - ub.mn) * 1024 // (ub.mx - ub.mn + 1) AS ubin, ub.n FROM e, ub),
+        |uh AS (SELECT ubin, n, count(*) AS cnt FROM uf GROUP BY ubin, n),
+        |uw AS (SELECT ubin, n, sum(cnt) OVER (ORDER BY ubin) AS cum FROM uh),
+        |ucuts AS (SELECT ks.k, min(uw.ubin) AS cut FROM uw JOIN ks ON uw.cum >= (ks.k * uw.n + 15) // 16 GROUP BY ks.k),
+        |ucl AS (SELECT COALESCE(list(cut ORDER BY cut), []) AS cs FROM ucuts),
+        |a AS (SELECT tf.ts_us, tf.uid,
+        |        len(list_filter(tcl.cs, c -> tf.tbin >= c)) AS tc,
+        |        len(list_filter(ucl.cs, c -> uf.ubin >= c)) AS uc
+        |      FROM tf JOIN uf USING (event_id) CROSS JOIN tcl CROSS JOIN ucl),
+        |bkt AS (SELECT ts_us, uid,
+        |        ((tc // 8) & 1) * 8 + ((uc // 8) & 1) * 4 + ((tc // 4) & 1) * 2 + ((uc // 4) & 1) AS bucket FROM a)
+        |SELECT bucket, count(*) AS n_events, min(ts_us) AS min_ts, max(ts_us) AS max_ts,
+        |  min(uid) AS min_user, max(uid) AS max_user
+        |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin,
     // dedup_simhash: token hash = md5_number_lower on both sides, so the
     // whole sketch (bit votes → 64-bit signature → hamming ≤ 3) is exactly
     // expressible in DuckDB. The banding in the Spark plan is pure candidate

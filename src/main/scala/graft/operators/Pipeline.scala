@@ -177,6 +177,99 @@ object Pipeline {
       .partitionBy("bucket").parquet(outDir)
   }
 
+  /** Z-ORDER (Morton-curve) export of the event log — the
+    * MULTI-dimensional file-pruning layout [[writeSortedExport]]'s
+    * one-key sort can't provide: a time-sorted store prunes time
+    * predicates but every file spans all users; interleaving the bits of
+    * BOTH dims' rank-quantized cells makes each written bucket an aligned
+    * rectangle of (time, user) space, so a reader consulting per-file
+    * min/max prunes on EITHER dim or both (the Delta/Iceberg OPTIMIZE
+    * ZORDER layout, built from first principles).
+    *
+    * Each dim maps to a `2^dimBits`-cell equal-MASS grid via the same
+    * deterministic fine-histogram cuts the sorted export uses (≤1024-row
+    * sketch state per dim at any data mass — never a global sort); the
+    * Morton code interleaves the two cell numbers bit by bit and the top
+    * 4 interleaved bits pick one of 16 buckets, so every bucket is
+    * exactly one cell of the 4×4 (dim-quartile × dim-quartile) grid.
+    * Rows shuffle ONCE on the bucket id and sort locally by full Morton
+    * code (within-file locality for finer-grained page pruning).
+    * Equal-mass cells per dim do NOT guarantee equal-mass quadrants
+    * under cross-dim correlation (a diagonal ridge piles into diagonal
+    * quadrants); event time × user id is uncorrelated, and the honest
+    * contract is the rectangle property, not balance. */
+  def writeZorderExport(spark: SparkSession, sfDir: String, outDir: String,
+                        dimBits: Int = 4, bins: Int = 1024): Unit = {
+    require(dimBits >= 2 && dimBits <= 8,
+      s"zorder needs 2 <= dimBits <= 8 (bucket = top 4 interleaved bits), got $dimBits")
+    import spark.implicits._
+    val cells = 1 << dimBits
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id").cast("long").as("uid"),
+              col("event_type"), col("value"),
+              unix_micros(col("ts")).as("ts_us"))
+    // per-dim deterministic rank cuts: fine equal-width histogram →
+    // cumulative mass → boundary fine-bin at each ceil(k·n/cells) rank
+    def dimCuts(dim: String, cutsName: String): DataFrame = {
+      val bounds = ev.agg(min(dim).as("mn"), max(dim).as("mx"),
+                          count(lit(1)).as("n"))
+      val binned = ev.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr(s"($dim - mn) * $bins div (mx - mn + 1)"))
+      val hist = binned.groupBy("bin", "n").agg(count(lit(1)).as("cnt"))
+      hist.withColumn("cum",
+          sum("cnt").over(org.apache.spark.sql.expressions.Window.orderBy("bin")))
+        .join(broadcast((1 until cells).toDF("k")),
+              col("cum") >= expr(s"(k * n + ${cells - 1}) div $cells"))
+        .groupBy("k").agg(min("bin").as("cut"))
+        .agg(sort_array(collect_list("cut")).as(cutsName))
+    }
+    val tCuts = dimCuts("ts_us", "tcuts")
+    val uCuts = dimCuts("uid", "ucuts")
+    val bounds = ev.agg(min("ts_us").as("tmn"), max("ts_us").as("tmx"),
+                        min("uid").as("umn"), max("uid").as("umx"))
+    val celled = ev.crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(tCuts)).crossJoin(broadcast(uCuts))
+      .withColumn("tbin", expr(s"(ts_us - tmn) * $bins div (tmx - tmn + 1)"))
+      .withColumn("ubin", expr(s"(uid - umn) * $bins div (umx - umn + 1)"))
+      .withColumn("tc", size(filter(col("tcuts"), c => col("tbin") >= c)))
+      .withColumn("uc", size(filter(col("ucuts"), c => col("ubin") >= c)))
+    // Morton code: time bits odd positions, user bits even — z is what the
+    // within-file sort orders by; the bucket is its top 4 bits
+    val z = (0 until dimBits).map { k =>
+      shiftleft(shiftright(col("tc"), k).bitwiseAND(lit(1)), 2 * k + 1) +
+        shiftleft(shiftright(col("uc"), k).bitwiseAND(lit(1)), 2 * k)
+    }.reduce(_ + _)
+    celled
+      .withColumn("z", z.cast("long"))
+      .withColumn("bucket", expr(s"z div ${1 << (2 * dimBits - 4)}"))
+      .select(col("event_id"), col("uid").as("user_id"), col("event_type"),
+              col("value"), col("ts_us"), col("z"), col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "z", "event_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(outDir)
+  }
+
+  /** Driver-contract round trip of [[writeZorderExport]]: write the
+    * Morton-bucketed layout, then recompute the per-bucket accounting
+    * FROM THE FILES — count plus [min,max] of BOTH pruning dims, the
+    * metadata a two-dimensional file skip consults. The oracle replays
+    * both dims' histogram cuts and the bit interleave in SQL, so the
+    * rectangle assignment itself is checked against the bytes on disk. */
+  def exportZorder(spark: SparkSession, sfDir: String,
+                   dimBits: Int = 4, bins: Int = 1024): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_zorder_${Warehouse.pathToken(sfDir)}_d${dimBits}x$bins").getPath
+    writeZorderExport(spark, sfDir, out, dimBits, bins)
+    spark.read.parquet(out)
+      .groupBy(col("bucket").cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+           min("ts_us").as("min_ts"), max("ts_us").as("max_ts"),
+           min("user_id").cast("bigint").as("min_user"),
+           max("user_id").cast("bigint").as("max_user"))
+      .orderBy("bucket")
+  }
+
   /** Driver-contract round trip of [[writeSortedExport]]: write the sorted
     * range buckets, then recompute the per-bucket accounting FROM THE
     * FILES — count and [min,max] key range per bucket, the exact metadata

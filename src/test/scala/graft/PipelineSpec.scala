@@ -77,4 +77,64 @@ class PipelineSpec extends SparkSpecBase {
     assert(sizes.max <= 2 * ideal,
       s"split unbalanced: sizes=$sizes vs ideal=$ideal")
   }
+
+  test("writeZorderExport: buckets are aligned rectangles, two-dim pruning beats the one-dim sort") {
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder_spec").toString
+    Pipeline.writeZorderExport(spark, sf0001, out)
+    val bucketDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).toSeq
+    assert(bucketDirs.size === 16, s"expected 16 Morton buckets, found ${bucketDirs.size}")
+    // one file group per bucket; every row's bucket is its z's top 4 bits;
+    // files are written in ascending Morton order (page-level locality)
+    val perBucket = bucketDirs.map { d =>
+      val b = d.getName.stripPrefix("bucket=").toLong
+      assert(d.listFiles().count(f => f.isFile && f.getName.startsWith("part-")) === 1)
+      val rows = spark.read.parquet(d.getPath)
+        .select("z", "ts_us", "user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      rows.foreach { case (z, _, _) => assert(z / 16 === b, s"z=$z filed under bucket $b") }
+      assert(rows.map(_._1) === rows.map(_._1).sorted, s"bucket $b not in Morton order")
+      b -> rows
+    }.toMap
+    val total = perBucket.valuesIterator.map(_.size).sum
+    assert(total === spark.read.parquet(s"$sf0001/events.parquet").count())
+    // the Morton bucket encodes (time quartile, user quartile): bits 3,1
+    // are the time cell's top bits, bits 2,0 the user cell's — so the 4
+    // buckets sharing a user quartile hold user ranges DISJOINT from the
+    // other 12 (same value -> same fine bin -> same cell; distinct cells
+    // cover disjoint value ranges)
+    def qu(b: Long): Long = 2 * ((b >> 2) & 1) + (b & 1)
+    def qt(b: Long): Long = 2 * ((b >> 3) & 1) + ((b >> 1) & 1)
+    val uRange = perBucket.map { case (b, rows) => b -> (rows.map(_._3).min, rows.map(_._3).max) }
+    val tRange = perBucket.map { case (b, rows) => b -> (rows.map(_._2).min, rows.map(_._2).max) }
+    // a reader's file skip: which buckets' [min,max] intersect the probe?
+    def touched(ranges: Map[Long, (Long, Long)], lo: Long, hi: Long): Set[Long] =
+      ranges.filter { case (_, (mn, mx)) => mx >= lo && mn <= hi }.keySet
+    // user-quartile-0 box: exactly the 4 buckets with that quartile
+    val u0 = (0L until 16L).filter(b => qu(b) === 0L)
+    val u0lo = u0.map(uRange(_)._1).min
+    val u0hi = u0.map(uRange(_)._2).max
+    assert(touched(uRange, u0lo, u0hi) === u0.toSet,
+      "a user-range predicate must prune to its quartile's 4 files")
+    // conjunctive (time q0 AND user q0) box: exactly ONE file survives
+    // both skips — the two-dimensional win
+    val b0 = (0L until 16L).filter(b => qt(b) === 0L && qu(b) === 0L)
+    assert(b0.size === 1)
+    val tSet = touched(tRange, tRange(b0.head)._1, tRange(b0.head)._2)
+    val uSet = touched(uRange, u0lo, u0hi)
+    assert((tSet intersect uSet) === Set(b0.head),
+      s"conjunctive skip kept ${tSet intersect uSet}, expected ${Set(b0.head)}")
+    // contrast: the one-key TIME-sorted layout cannot prune a user
+    // predicate at all — every file's user range intersects the same box
+    val sortedOut = java.nio.file.Files.createTempDirectory("graft_zorder_vs").toString
+    Pipeline.writeSortedExport(spark, sf0001, sortedOut, 8)
+    val sortedU = new java.io.File(sortedOut).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map { d =>
+        val u = spark.read.parquet(d.getPath).select("user_id")
+          .collect().map(_.getLong(0))
+        d.getName.stripPrefix("bucket=").toLong -> (u.min, u.max)
+      }.toMap
+    assert(touched(sortedU, u0lo, u0hi).size === sortedU.size,
+      "time-sorted files should all intersect the user box (nothing prunes)")
+  }
 }
