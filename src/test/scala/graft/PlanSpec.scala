@@ -67,6 +67,24 @@ class PlanSpec extends SparkSpecBase {
       s"reach/coverage aggregation lost its map-side combine:\n$plan")
   }
 
+  test("freq_sketch: the CMS grid partial-aggregates, estimation broadcasts the one-row grid") {
+    val plan = finalPlan("freq_sketch")
+    assert(plan.contains("partial_graft_cms"),
+      s"the CMS aggregate lost partial aggregation (every word-count row would shuffle raw " +
+        s"instead of one fixed grid per map partition):\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the one-row grid must broadcast to the probes:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("excise_passages: rewrite joins on the chunk hash, no cartesian, aggregates combine") {
+    val plan = finalPlan("excise_passages")
+    assert(!plan.contains("CartesianProduct"),
+      s"coverage join degenerated to a cartesian product:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"duplicated-fp aggregation lost its map-side combine:\n$plan")
+  }
+
   test("cluster_canonical: argmax is a hash aggregate over the persisted labels, not a window") {
     val plan = finalPlan("cluster_canonical")
     assert(!plan.contains("Window"),
