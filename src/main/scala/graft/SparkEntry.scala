@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
+    "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
@@ -1329,6 +1330,15 @@ object SparkEntry {
     // index search returns exactly ivfSearch's rows — one oracle for both.
     "similarity_ivf_indexed" -> ivfOracle(),
     "knn_join" -> knnJoinOracle(),
+    // semdedup: the same auto-sized k-means chain, then the survivor rule
+    // — each dropped vector's dup_of is its smallest same-cell id above
+    // the cosine threshold; training, sizing, and decision all replayed.
+    "semdedup" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3) + """,
+      |p AS (SELECT b.vec_id AS vec_id, CAST(b.cell AS INTEGER) AS cell, a.vec_id AS keeper
+      |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3)
+      |SELECT vec_id, cell, min(keeper) AS dup_of FROM p GROUP BY vec_id, cell
+      |ORDER BY vec_id""".stripMargin),
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt

@@ -389,6 +389,48 @@ object Similarity {
     topKByCosine(scored, "vec_id", k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup over
+    * the embedding space — cluster the corpus, then within each cluster
+    * drop every vector that has a more-canonical semantic duplicate
+    * (cosine ≥ `threshold` to a smaller-id same-cell vector). Catches
+    * paraphrases and re-renderings that share no n-grams, the layer of
+    * duplication [[graft.operators.Dedup]]'s lexical passes cannot see;
+    * differs from `dedup_embedding` in both blocking (LEARNED k-means
+    * cells vs fixed sign buckets) and output (the drop DECISION — who is
+    * removed and who keeps them — vs a raw pair list). Emits one row per
+    * dropped vector: `(vec_id, cell, dup_of)`, `dup_of` = the smallest
+    * same-cell id above threshold (deterministic survivor rule; min-id is
+    * SemDeDup's "keep one per group" with ties broken by id).
+    *
+    * Scale shape = [[knnJoin]]'s: the persisted auto-sized cell layout
+    * (√N cells, Σ|cell|² ≈ N^1.5 bounded same-cell work), one shuffle per
+    * side on the cell id, never all-pairs; the blocked-trade caveat is
+    * SemDeDup's own — cross-cluster duplicates are out of contract by
+    * design. Training, auto-sizing, assignment, and the survivor rule all
+    * replay in the SQL oracle. */
+  def semDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.3,
+               numCentroids: Int = 0, iters: Int = 3): DataFrame = {
+    val nc =
+      if (numCentroids > 0) numCentroids
+      else ivfCellGrid(Tables.embeddings(spark, sfDir).count())
+    val prefix = ensureIvfIndex(spark, sfDir, nc, iters)
+    semDedupFrom(spark.table(s"${prefix}_cells"), threshold)
+  }
+
+  /** [[semDedup]] over an explicit assigned `(vec_id, embedding, cell)`
+    * frame (the persisted cells layout, or any bring-your-own blocking). */
+  def semDedupFrom(cells: DataFrame, threshold: Double): DataFrame =
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("b.cell").cast("int").as("cell"),
+              col("a.vec_id").as("keeper"),
+              VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_id", "cell")
+      .agg(min("keeper").as("dup_of"))
+      .orderBy("vec_id")
+
   /** Approximate nearest neighbors via random-hyperplane LSH: corpus and
     * probes are bucketed by the sign pattern of `bits` random projections
     * (deterministic seed); each probe scans only its bucket

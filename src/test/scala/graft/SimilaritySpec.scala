@@ -323,6 +323,49 @@ class SimilaritySpec extends SparkSpecBase {
     shared.foreach { case (a, b) => assert(a === b) }
   }
 
+  test("semdedup on planted clusters: every non-canonical member drops to the cluster minimum") {
+    import spark.implicits._
+    // the PQ/recall planted fixture: 16 one-hot-axis clusters, 40 points
+    // each, mutual in-cluster cosine ~1 — plus one orthogonal singleton
+    // (axis 2, off every cluster's main axis) that must survive
+    val dim = 64
+    val clusters = 16
+    val n = 640
+    val rows = (0 until n).map { id =>
+      val c = (id / 10) % clusters
+      val v = Array.fill(dim)(0.0f)
+      v(c * 4) = 1.0f
+      v((c * 4 + 1 + (id % 7)) % dim) += (0.0005f * ((id % 11) + 1))
+      v((c * 4 + 9 + (id % 5)) % dim) -= (0.0004f * ((id % 13) + 1))
+      (id.toLong, v.toSeq)
+    } :+ (1000L, Array.fill(dim)(0.0f).updated(2, 1.0f).toSeq)
+    val e = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCodebook(e, clusters, 3,
+      Similarity.ivfSampleStride(rows.length.toLong, clusters))
+    val cells = Similarity.assignCells(e, cents)
+    val out = Similarity.semDedupFrom(cells, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the trained cells recover the planted clusters (proven by the recall
+    // test), so within each cluster exactly the min id survives and every
+    // other member names it
+    assert(out.size === n - clusters,
+      s"expected ${n - clusters} dropped vectors, got ${out.size}")
+    out.foreach { case (vecId, dupOf) =>
+      assert(dupOf === 10L * ((vecId / 10) % clusters),
+        s"vec $vecId must dup to its cluster minimum, named $dupOf")
+    }
+    (0 until clusters).foreach { c =>
+      assert(!out.contains(10L * c), s"cluster minimum ${10 * c} must survive")
+    }
+    // the orthogonal singleton has no same-cell neighbor above threshold
+    assert(!out.contains(1000L), "a semantically unique vector must survive")
+    // deterministic under partitioning (exact cosine + integer-exact
+    // training; the survivor rule is a min)
+    val again = Similarity.semDedupFrom(cells.repartition(7), 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === out)
+  }
+
   test("planted clusters: ANN and IVF recall sit far ABOVE the scan-fraction floor") {
     // On the driver's isotropic synthetic embeddings every bucketing is a
     // uniform sampler, so measured recall ~ scan fraction — that FLOOR says
