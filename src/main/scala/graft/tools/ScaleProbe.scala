@@ -28,7 +28,7 @@ object ScaleProbe {
                             "bm25_search", "stream_dedup_near",
                             "perplexity_score", "heavy_hitters", "common_passages",
                             "excise_passages", "freq_sketch", "stream_freq_sketch",
-                            "export_zorder",
+                            "export_zorder", "semdedup",
                             "session_window_agg", "stream_distinct_sketch",
                             "pack_sequences_sharded", "ann_recall",
                             "ivf_recall")).toList
