@@ -131,6 +131,7 @@ object SparkEntry {
     "export_write" -> ((s, d) => Pipeline.exportWrite(s, d)),
     "export_sorted" -> ((s, d) => Pipeline.exportSorted(s, d)),
     "export_zorder" -> ((s, d) => Pipeline.exportZorder(s, d)),
+    "merge_upsert" -> ((s, d) => Pipeline.mergeUpsert(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -1274,6 +1275,24 @@ object SparkEntry {
         |a AS (SELECT f.ts_us, len(list_filter(cl.cs, c -> f.bin >= c)) AS bucket FROM f, cl)
         |SELECT bucket, count(*) AS n_events, min(ts_us) AS min_ts, max(ts_us) AS max_ts
         |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // merge_upsert: the same derived changelog and the same one-pass
+    // full-outer merge semantics, replayed over the raw source (the
+    // bucketed snapshot is a pure function of it).
+    "merge_upsert" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st, CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |mx AS (SELECT max(k) AS mxk FROM b),
+        |chg AS (
+        |  SELECT k, 'D' AS op, st, c FROM b WHERE k % 13 = 5
+        |  UNION ALL SELECT k, 'U', st, c + 100 FROM b WHERE k % 13 <> 5 AND k % 7 = 3
+        |  UNION ALL SELECT b.k + mx.mxk, 'I', st, c FROM b, mx WHERE b.k % 11 = 2),
+        |m AS (SELECT COALESCE(g.st, s.st) AS st, COALESCE(g.c, s.c) AS c,
+        |        CASE WHEN g.op IS NOT NULL THEN 1 ELSE 0 END AS from_chg, g.op AS op
+        |      FROM b s FULL OUTER JOIN chg g ON s.k = g.k)
+        |SELECT st AS o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(from_chg) AS BIGINT) AS n_from_changelog,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM m WHERE op IS NULL OR op <> 'D'
+        |GROUP BY st ORDER BY st""".stripMargin,
     // export_zorder: both dims' rank cuts replayed (the export_sorted
     // machinery twice), then the Morton bucket = the top 2 bits of each
     // dim's cell number interleaved — z div 16 with the low bits dropped.

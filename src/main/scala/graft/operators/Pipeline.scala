@@ -177,6 +177,71 @@ object Pipeline {
       .partitionBy("bucket").parquet(outDir)
   }
 
+  /** CDC MERGE — `MERGE INTO snapshot USING changelog` re-expressed
+    * Spark-first: upserts and deletes from a keyed changelog applied over
+    * a persisted snapshot in ONE full-outer join pass (match+D drops the
+    * row, match+U takes the changelog values, unmatched-I inserts,
+    * everything else keeps the snapshot row). The snapshot is a
+    * fingerprint-gated BUCKETED table on the merge key, so the big side
+    * of the join never shuffles (plan-asserted zero store-side Exchange
+    * — the [[graft.operators.IncrementalDedup]] discipline); only the
+    * changelog, sized by the delta not the corpus, repartitions to the
+    * bucket layout. At 100 TB that asymmetry IS the operator: a merge
+    * that re-shuffles the snapshot is a rewrite of the warehouse.
+    *
+    * The testdata ships no CDC feed, so the changelog derives
+    * deterministically from the source (the `dedup_url` synthetic-
+    * derivation convention): keys ≡5 (mod 13) delete, remaining keys
+    * ≡3 (mod 7) update (price +100 cents), keys ≡2 (mod 11) insert as
+    * fresh keys offset past max. Money is integer cents throughout
+    * (the quantile_sketch discipline). Output: per-status accounting of
+    * the MERGED state — row count, rows-from-changelog, cents sum — so
+    * the oracle checks the merge's effect, not just its row count. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val snapTable = s"graft_orders_snap_${Warehouse.pathToken(sfDir)}"
+    val fp = Warehouse.sourceFingerprint(sfDir, "orders")
+    val base = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              round(col("o_totalprice") * 100).cast("long").as("snap_cents"))
+    Warehouse.ensureDerivedTables(spark, Seq(snapTable), fp) {
+      Warehouse.writeBucketed(base, Seq("o_orderkey"), snapTable, 8)
+    }
+    val mx = base.agg(max("o_orderkey").as("mxk"))
+    val chg = base.filter(col("o_orderkey") % 13 === 5)
+      .select(col("o_orderkey"), lit("D").as("op"),
+              col("o_orderstatus").as("chg_status"), col("snap_cents").as("chg_cents"))
+      .unionByName(base
+        .filter(col("o_orderkey") % 13 =!= 5 && col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), lit("U").as("op"),
+                col("o_orderstatus").as("chg_status"),
+                (col("snap_cents") + 100).as("chg_cents")))
+      .unionByName(base.filter(col("o_orderkey") % 11 === 2)
+        .crossJoin(broadcast(mx))
+        .select((col("o_orderkey") + col("mxk")).as("o_orderkey"), lit("I").as("op"),
+                col("o_orderstatus").as("chg_status"), col("snap_cents").as("chg_cents")))
+    applyChangelog(spark.table(snapTable), chg)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("from_chg").cast("long")).as("n_from_changelog"),
+           sum("cents").as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The one-pass merge core over explicit frames:
+    * `snap(o_orderkey, o_orderstatus, snap_cents)` merged with
+    * `chg(o_orderkey, op ∈ D|U|I, chg_status, chg_cents)` → the merged
+    * row set `(o_orderkey, o_orderstatus, cents, from_chg)`. Changelog
+    * values are ABSOLUTE (not increments), which is what makes a replayed
+    * changelog idempotent — re-applying yields the same state
+    * (spec-asserted), the property a crash-retried CDC consumer needs. */
+  def applyChangelog(snap: DataFrame, chg: DataFrame): DataFrame =
+    snap.join(chg, Seq("o_orderkey"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("o_orderkey"),
+              coalesce(col("chg_status"), col("o_orderstatus")).as("o_orderstatus"),
+              coalesce(col("chg_cents"), col("snap_cents")).as("cents"),
+              col("op").isNotNull.as("from_chg"))
+
   /** Z-ORDER (Morton-curve) export of the event log — the
     * MULTI-dimensional file-pruning layout [[writeSortedExport]]'s
     * one-key sort can't provide: a time-sorted store prunes time

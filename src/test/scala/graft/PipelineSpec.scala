@@ -78,6 +78,35 @@ class PipelineSpec extends SparkSpecBase {
       s"split unbalanced: sizes=$sizes vs ideal=$ideal")
   }
 
+  test("applyChangelog: upsert/delete/insert semantics, untouched rows intact, replay idempotent") {
+    import spark.implicits._
+    val snap = Seq(
+      (1L, "O", 1000L), // updated below
+      (2L, "F", 2000L), // deleted below
+      (3L, "P", 3000L)  // untouched
+    ).toDF("o_orderkey", "o_orderstatus", "snap_cents")
+    val chg = Seq(
+      (1L, "U", "F", 1100L), // status flip + price change
+      (2L, "D", "F", 2000L),
+      (9L, "I", "O", 9900L)  // fresh key
+    ).toDF("o_orderkey", "op", "chg_status", "chg_cents")
+    def state(s: org.apache.spark.sql.DataFrame) =
+      Pipeline.applyChangelog(s, chg).orderBy("o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val merged = state(snap)
+    assert(merged === Seq(
+      (1L, "F", 1100L, true),  // update takes the changelog values
+      (3L, "P", 3000L, false), // untouched row survives verbatim
+      (9L, "O", 9900L, true)), // insert lands; key 2 is gone
+      s"merge semantics broken: $merged")
+    // replay: absolute changelog values make a second apply a no-op on
+    // the state (delete of a gone key vanishes, update/insert rewrite
+    // their own values) — the crash-retried-consumer property
+    val once = Pipeline.applyChangelog(snap, chg)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents").as("snap_cents"))
+    assert(state(once).map(t => (t._1, t._2, t._3)) === merged.map(t => (t._1, t._2, t._3)))
+  }
+
   test("writeZorderExport: buckets are aligned rectangles, two-dim pruning beats the one-dim sort") {
     val out = java.nio.file.Files.createTempDirectory("graft_zorder_spec").toString
     Pipeline.writeZorderExport(spark, sf0001, out)

@@ -43,27 +43,41 @@ class WarehouseSpec extends SparkSpecBase {
 
   // A store scan is "before a join" if it is reachable without passing
   // through a join node — i.e. the store STREAM itself, pre-join.
-  private def storeScanBeforeJoin(p: SparkPlan): Boolean = p match {
+  private def storeScanBeforeJoin(p: SparkPlan,
+                                  marker: String = "graft_corpus_"): Boolean = p match {
     case j if j.nodeName.contains("Join") => false
     case s if s.nodeName.contains("Scan") &&
-      s.toString.contains("graft_corpus_") => true
-    case a: AdaptiveSparkPlanExec => storeScanBeforeJoin(a.executedPlan)
-    case q: QueryStageExec => storeScanBeforeJoin(q.plan)
-    case r: ReusedExchangeExec => storeScanBeforeJoin(r.child)
-    case other => other.children.exists(storeScanBeforeJoin)
+      s.toString.contains(marker) => true
+    case a: AdaptiveSparkPlanExec => storeScanBeforeJoin(a.executedPlan, marker)
+    case q: QueryStageExec => storeScanBeforeJoin(q.plan, marker)
+    case r: ReusedExchangeExec => storeScanBeforeJoin(r.child, marker)
+    case other => other.children.exists(storeScanBeforeJoin(_, marker))
   }
 
   // Shuffling a JOIN RESULT (candidate dedup, final sort) is the
   // delta/candidate side paying its cost — fine. A shuffle between a
   // store scan and its consuming join means the bucketed layout failed
   // to carry its partitioning into the join.
-  private def assertNoStoreSideShuffle(df: org.apache.spark.sql.DataFrame): Unit = {
+  private def assertNoStoreSideShuffle(df: org.apache.spark.sql.DataFrame,
+                                       marker: String = "graft_corpus_"): Unit = {
     df.collect() // finalize the AQE plan before reading it
     val offenders = flatten(df.queryExecution.executedPlan).collect {
-      case e: ShuffleExchangeLike if storeScanBeforeJoin(e.child) => e
+      case e: ShuffleExchangeLike if storeScanBeforeJoin(e.child, marker) => e
     }
     assert(offenders.isEmpty,
       s"store-side shuffle present:\n${offenders.map(_.treeString).mkString}")
+  }
+
+  test("merge_upsert: the bucketed snapshot side of the merge never shuffles") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force SMJ so the assert exercises the bucketed layout, not the
+      // tiny-data broadcast path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Pipeline.mergeUpsert(spark, sf0001)
+      assertNoStoreSideShuffle(df, "graft_orders_snap_")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("incremental dedup store side reads bucket-local: no Exchange above a store scan") {
