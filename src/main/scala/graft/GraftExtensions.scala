@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, ChunkHashes, ChunkStats, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash}
+import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -72,6 +72,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_cms_bucket(value, row, width) — the sketch's cell hash")
         CmsBucket(args.head, intArg(args(1)), intArg(args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_bloom(value, numBits, numHashes) — filter-build aggregate")
+        BloomAgg(args.head, intArg(args(1)), intArg(args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_bloom_might_contain(filter, value, numHashes)")
+        BloomMightContain(args.head, args(1), intArg(args(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),

@@ -53,6 +53,7 @@ object SparkEntry {
     "brand_revenue" -> ((s, d) => Relational.brandRevenue(s, d)),
     "anti_join" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "semi_join" -> ((s, d) => Relational.customersWithLargeOrders(s, d)),
+    "bloom_join" -> ((s, d) => Relational.bloomJoin(s, d)),
     "full_outer" -> ((s, d) => Relational.clicksVsPurchases(s, d)),
     "fuzzy_names" -> ((s, d) => Relational.fuzzyNames(s, d)),
     "sliding_window" -> ((s, d) => Relational.slidingWindow(s, d)),
@@ -132,6 +133,7 @@ object SparkEntry {
     "export_sorted" -> ((s, d) => Pipeline.exportSorted(s, d)),
     "export_zorder" -> ((s, d) => Pipeline.exportZorder(s, d)),
     "merge_upsert" -> ((s, d) => Pipeline.mergeUpsert(s, d)),
+    "scd2_history" -> ((s, d) => Pipeline.scd2History(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -658,6 +660,14 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
+    // bloom_join: the Bloom filter is exact-in-result (no false negatives;
+    // false positives die in the join), so the oracle is the PLAIN join.
+    "bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "full_outer" ->
       """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, count(*) AS n_clicks
         |           FROM events WHERE event_type = 'click' GROUP BY 1),
@@ -1293,6 +1303,19 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) AS sum_cents
         |FROM m WHERE op IS NULL OR op <> 'D'
         |GROUP BY st ORDER BY st""".stripMargin,
+    // scd2_history: same change-collapse then interval windows, µs-integer
+    // dwell arithmetic; ties broken by event_id in BOTH window orders.
+    "scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |x AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |c AS (SELECT user_id, event_id, event_type, us FROM x WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT event_type, us AS f,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t FROM c)
+        |SELECT event_type, count(*) AS n_versions,
+        |  CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+        |  CAST(sum(CASE WHEN t IS NULL THEN 0 ELSE t - f END) AS BIGINT) AS dwell_us
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
     // export_zorder: both dims' rank cuts replayed (the export_sorted
     // machinery twice), then the Morton bucket = the top 2 bits of each
     // dim's cell number interleaved — z div 16 with the low bits dropped.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Warehouse
 
@@ -241,6 +242,50 @@ object Pipeline {
               coalesce(col("chg_status"), col("o_orderstatus")).as("o_orderstatus"),
               coalesce(col("chg_cents"), col("snap_cents")).as("cents"),
               col("op").isNotNull.as("from_chg"))
+
+  /** SCD TYPE-2 derivation — the other half of the CDC family next to
+    * [[mergeUpsert]]: where MERGE keeps only the LATEST state, a type-2
+    * dimension keeps every version with its validity interval. The event
+    * stream is read as a change feed of each user's tracked attribute
+    * (`event_type`); consecutive duplicates collapse (a change record that
+    * doesn't change anything creates no version — the SCD2 contract), and
+    * each surviving version gets `[valid_from, valid_to)` from its own and
+    * its successor's change time, open (`valid_to` null) for the current
+    * version.
+    *
+    * Scale shape: BOTH window passes (change-collapse `lag`, interval
+    * `lead`) partition by `user_id`, so Catalyst plans ONE Exchange and
+    * reuses the partitioning for the second sort — history derivation at
+    * 100 TB is one shuffle of the change feed, never a self-join. Interval
+    * arithmetic is integer µs (the quantile_sketch discipline), so the
+    * differential check is exact. Output: per-attribute version
+    * accounting — versions, open versions, closed-interval dwell total. */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Versions(graft.sources.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_versions"),
+           sum(when(col("valid_to_us").isNull, 1L).otherwise(0L)).as("n_current"),
+           sum(when(col("valid_to_us").isNull, 0L)
+             .otherwise(col("valid_to_us") - col("valid_from_us"))).as("dwell_us"))
+      .orderBy("event_type")
+
+  /** The SCD2 core over an explicit change feed
+    * `(user_id, event_id, ts, event_type)` → version rows
+    * `(user_id, event_id, event_type, valid_from_us, valid_to_us)` with
+    * half-open µs validity and null `valid_to_us` on the current version.
+    * Both windows key on `user_id` with `event_id` tie-breaks, so version
+    * derivation is deterministic and single-shuffle (plan-asserted). */
+  def scd2Versions(changeFeed: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changeFeed
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("valid_from_us"), col("event_type"))
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(
+        Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")))
+  }
 
   /** Z-ORDER (Morton-curve) export of the event log — the
     * MULTI-dimensional file-pruning layout [[writeSortedExport]]'s

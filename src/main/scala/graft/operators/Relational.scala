@@ -185,6 +185,43 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
+  /** Bloom-filtered semi-join reduction — the 100 TB join pattern where the
+    * fact side is too big to shuffle in full and the dim side's key set is
+    * too big (or the store too remote) for a plain IN-list: build a Bloom
+    * filter over the qualifying dim keys in ONE small aggregation
+    * ([[graft.functions.expressions.BloomAgg]] — partial buffers are fixed
+    * 128 KiB bytes, merged bytewise-OR), collect it to the driver, and
+    * re-plant it as a LITERAL codegen predicate on the fact scan
+    * ([[graft.functions.expressions.BloomMightContain]]). Fact rows that
+    * cannot join die inside the scan stage, BEFORE the shuffle (the spec
+    * plan-asserts the predicate below the Exchange), so shuffle volume
+    * tracks the MATCHING rows, not the table. This is the explicit,
+    * store-agnostic form of Spark's own `InjectRuntimeFilter` — which only
+    * fires inside one query's shuffle-join planning; a collected filter
+    * also serves repeated queries, streams, and persisted-index probes.
+    *
+    * Exactness: the filter has no false negatives (spec-asserted), and the
+    * exact join right after removes any false positives — approximate in
+    * cost, exact in result, so the oracle is the PLAIN join SQL. */
+  def bloomJoin(spark: SparkSession, sfDir: String,
+                segment: String = "BUILDING",
+                numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === segment)
+    val filterBytes = cust
+      .agg(call_function("graft_bloom",
+        col("c_custkey").cast("string"), lit(numBits), lit(numHashes)).as("f"))
+      .head().getAs[Array[Byte]](0)
+    Tables.orders(spark, sfDir)
+      .filter(call_function("graft_bloom_might_contain",
+        lit(filterBytes), col("o_custkey").cast("string"), lit(numHashes)))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Full outer join: hourly click volume against hourly purchase volume,
     * zero-filled where only one side has activity. Both sides aggregate
     * BEFORE the join, so the shuffle moves one row per hour, not one per

@@ -203,6 +203,50 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(sqlWc === dfWc)
   }
 
+  test("graft_bloom: zero false negatives, FPR tracks the sizing formula") {
+    import spark.implicits._
+    import graft.functions.expressions.BloomFns
+    val keys = (0 until 2000).map(i => s"key$i")
+    def build(numBits: Int): Array[Byte] = keys.toDF("k")
+      .agg(call_function("graft_bloom", col("k"), lit(numBits), lit(5)).as("f"))
+      .head().getAs[Array[Byte]](0)
+    // tight filter (8 KiB bits for 2000 keys): every inserted key MUST hit
+    val tight = build(8192)
+    val misses = keys.count(k =>
+      !BloomFns.mightContain(tight, org.apache.spark.unsafe.types.UTF8String.fromString(k), 5))
+    assert(misses === 0, s"$misses false negatives — the filter contract is broken")
+    // FPR on 20k absent keys: theory (1-e^{-kn/m})^k ≈ 0.17 here; bound loosely
+    val absent = (0 until 20000).map(i => s"other$i")
+    val fpTight = absent.count(k =>
+      BloomFns.mightContain(tight, org.apache.spark.unsafe.types.UTF8String.fromString(k), 5))
+    assert(fpTight < 6000, s"tight-filter FPR implausibly high: $fpTight/20000")
+    assert(fpTight > 0, "tight filter shows zero false positives — hashing suspect")
+    // production sizing (2^20 bits): FPR collapses to ~1e-10
+    val wide = build(1 << 20)
+    val fpWide = absent.count(k =>
+      BloomFns.mightContain(wide, org.apache.spark.unsafe.types.UTF8String.fromString(k), 5))
+    assert(fpWide === 0, s"wide-filter false positives: $fpWide/20000")
+  }
+
+  test("graft_bloom_might_contain codegen path agrees with the driver-side kernel") {
+    import spark.implicits._
+    import graft.functions.expressions.BloomFns
+    val keys = (0 until 500).map(i => s"doc$i")
+    val filter = keys.toDF("k")
+      .agg(call_function("graft_bloom", col("k"), lit(8192), lit(5)).as("f"))
+      .head().getAs[Array[Byte]](0)
+    val probes = (0 until 500).map(i => s"doc$i") ++ (0 until 500).map(i => s"miss$i")
+    val sqlSide = probes.toDF("k")
+      .select(col("k"), call_function("graft_bloom_might_contain",
+        lit(filter), col("k"), lit(5)).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    probes.foreach { k =>
+      val direct = BloomFns.mightContain(
+        filter, org.apache.spark.unsafe.types.UTF8String.fromString(k), 5)
+      assert(sqlSide(k) === direct, s"codegen/driver disagree on $k")
+    }
+  }
+
   test("native expressions are SQL-callable via GraftExtensions") {
     spark.read.parquet(s"$sf0001/embeddings.parquet").limit(2)
       .createOrReplaceTempView("emb_tmp")

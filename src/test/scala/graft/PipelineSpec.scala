@@ -107,6 +107,46 @@ class PipelineSpec extends SparkSpecBase {
     assert(state(once).map(t => (t._1, t._2, t._3)) === merged.map(t => (t._1, t._2, t._3)))
   }
 
+  test("scd2Versions: duplicate changes collapse, intervals chain half-open, current is open") {
+    import spark.implicits._
+    // user 10: A, A(dup), B, A — expect A[100,300) B[300,400) A[400,∞)
+    // user 20: single C — one open version
+    val feed = Seq(
+      (10L, 1L, 100L, "A"), (10L, 2L, 200L, "A"),
+      (10L, 3L, 300L, "B"), (10L, 4L, 400L, "A"),
+      (20L, 5L, 150L, "C")
+    ).toDF("user_id", "event_id", "us", "event_type")
+      .select(col("user_id"), col("event_id"),
+              timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val versions = Pipeline.scd2Versions(feed)
+      .orderBy("user_id", "valid_from_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(2),
+                 if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toSeq
+    assert(versions === Seq(
+      (10L, "A", 100L, 300L),  // the duplicate A at 200 created no version
+      (10L, "B", 300L, 400L),
+      (10L, "A", 400L, -1L),   // re-entering a value is a NEW version
+      (20L, "C", 150L, -1L)),
+      s"SCD2 intervals wrong: $versions")
+  }
+
+  test("scd2Versions plans ONE exchange: both windows ride the same user partitioning") {
+    import spark.implicits._
+    val feed = (1 to 100).map(i => ((i % 7).toLong, i.toLong, i.toLong * 1000, s"t${i % 3}"))
+      .toDF("user_id", "event_id", "us", "event_type")
+      .select(col("user_id"), col("event_id"),
+              timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val df = Pipeline.scd2Versions(feed)
+    df.collect()
+    // count in the FINAL plan only — the AQE string repeats the tree under
+    // "== Initial Plan ==", which would double-count the one real shuffle
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected one window shuffle, got $exchanges:\n$plan")
+  }
+
   test("writeZorderExport: buckets are aligned rectangles, two-dim pruning beats the one-dim sort") {
     val out = java.nio.file.Files.createTempDirectory("graft_zorder_spec").toString
     Pipeline.writeZorderExport(spark, sf0001, out)

@@ -30,6 +30,42 @@ class PlanSpec extends SparkSpecBase {
   private lazy val plans: Map[String, String] =
     heavy.map(n => n -> finalPlan(n)).toMap
 
+  test("bloom_join: the membership predicate filters the fact scan BELOW the shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }).flatMap(flatten)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle join: the claim under test is that the bloom
+      // probe kills fact rows before the Exchange, not that AQE broadcasts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Relational.bloomJoin(spark, sf0001)
+      df.collect()
+      val reduced = flatten(df.queryExecution.executedPlan).exists {
+        case e: ShuffleExchangeLike =>
+          val sub = e.child.toString
+          sub.contains("graft_bloom_might_contain") && sub.contains("orders")
+        case _ => false
+      }
+      assert(reduced, "bloom predicate not below the fact-side Exchange:\n" +
+        df.queryExecution.executedPlan.toString)
+      // exact-in-result: bloomed plan equals the plain join, row for row
+      val plain = graft.sources.Tables.orders(spark, sf0001)
+        .join(graft.sources.Tables.customer(spark, sf0001)
+          .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+        .count()
+      assert(df.agg(org.apache.spark.sql.functions.sum("n_orders")).head().getLong(0) === plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("quantile_sketch combines map-side: the shuffle carries the sketch, not the rows") {
     val plan = finalPlan("quantile_sketch")
     assert(plan.contains("partial_count"),
