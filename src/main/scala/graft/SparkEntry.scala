@@ -42,6 +42,7 @@ object SparkEntry {
     "grep_filter" -> ((s, d) => CoreQueries.grepFilter(s, d)),
     "grep_indexed" -> ((s, d) => CoreQueries.grepIndexed(s, d)),
     "phrase_search" -> ((s, d) => CoreQueries.phraseSearch(s, d)),
+    "boolean_search" -> ((s, d) => CoreQueries.booleanSearch(s, d)),
     "topk_words" -> ((s, d) => CoreQueries.topkWords(s, d)),
     "agg_pricing" -> ((s, d) => Relational.aggPricing(s, d)),
     "distinct_users" -> ((s, d) => Relational.distinctUsers(s, d)),
@@ -591,6 +592,17 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT doc_id FROM t WHERE list_contains(ws, 'spark') AND list_contains(ws, 'stream'))
+        |ORDER BY doc_id""".stripMargin,
+    // boolean_search: (spark OR vector) AND table AND join AND NOT slow,
+    // token semantics — the oracle evaluates the boolean over each doc's
+    // token set; the engine answers it from bucket-pruned posting lists.
+    "boolean_search" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM t
+        |                 WHERE (list_contains(ws, 'spark') OR list_contains(ws, 'vector'))
+        |                   AND list_contains(ws, 'table') AND list_contains(ws, 'join')
+        |                   AND NOT list_contains(ws, 'slow'))
         |ORDER BY doc_id""".stripMargin,
     // phrase_search: exact token-SEQUENCE match ("table hash" as adjacent
     // tokens) with per-doc occurrence counts — the oracle scans bigram

@@ -147,4 +147,30 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
+
+  /** Full BOOLEAN retrieval off the postings index — the general query form
+    * the AND-only [[grepIndexed]] and sequence-only [[phraseSearch]] are
+    * special cases of: `(ANY of any) AND (ALL of all) AND (NONE of none)`.
+    * Every branch is answered from posting lists, each term one
+    * bucket-pruned point read: OR is a posting-list UNION (distinct on
+    * doc_id), AND the usual intersection join, and NOT an ANTI-join against
+    * the union of the excluded terms' lists — exclusion never scans the
+    * corpus, it reads exactly the excluded terms' postings. At 100 TB the
+    * whole query touches k posting lists and the surviving doc_ids; the
+    * documents table contributes only the final semi-join projection.
+    * Token semantics throughout (the [[grepIndexed]] exactness contract). */
+  def booleanSearch(spark: SparkSession, sfDir: String,
+                    any: Seq[String] = Seq("spark", "vector"),
+                    all: Seq[String] = Seq("table", "join"),
+                    none: Seq[String] = Seq("slow")): DataFrame = {
+    val idx = spark.table(ensurePostingsIndex(spark, sfDir))
+    def posting(t: String) = idx.filter(col("word") === t).select("doc_id")
+    val anyHits = any.map(posting).reduce(_.union(_)).distinct()
+    val withAll = all.map(posting).foldLeft(anyHits)((acc, p) => acc.join(p, Seq("doc_id")))
+    val excluded = none.map(posting).reduce(_.union(_))
+    Tables.documents(spark, sfDir)
+      .join(withAll.join(excluded, Seq("doc_id"), "left_anti"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
 }

@@ -234,6 +234,18 @@ class PlanSpec extends SparkSpecBase {
     assert(SparkEntry.queries("phrase_search")(spark, sf0001).count() > 0)
   }
 
+  test("boolean search answers every branch from bucket-pruned posting reads") {
+    // The general retrieval form: OR/AND/NOT must all be posting-list
+    // reads — FIVE term lookups (2 any + 2 all + 1 none), each pruned to
+    // one bucket, and the NOT branch an anti-join, never a corpus scan.
+    val df = SparkEntry.queries("boolean_search")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val pruned = "SelectedBucketsCount: 1 out of \\d+".r.findAllIn(plan).size
+    assert(pruned >= 5, s"expected >=5 bucket-pruned term reads, got $pruned:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT branch is not an anti-join:\n$plan")
+  }
+
   test("indexed IVF search prunes cell partitions dynamically") {
     // The IVF property at scale: the corpus scan must carry a runtime
     // partition filter fed by the probed cells, so a query reads nprobe
