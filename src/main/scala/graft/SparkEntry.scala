@@ -76,6 +76,7 @@ object SparkEntry {
     "top_supplier" -> ((s, d) => Analytics.topSupplierPerNation(s, d)),
     "order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
+    "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -786,6 +787,17 @@ object SparkEntry {
         |t AS (SELECT q, min(bin) AS bin FROM qv, cum, b WHERE cum >= (q * n + 99) // 100 GROUP BY q)
         |SELECT q, CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_price
         |FROM t, b ORDER BY q""".stripMargin,
+    // cohort_retention: quarter index = year*4 + quarter-1, integer
+    // end-to-end; activity collapses to distinct (customer, quarter)
+    // before any join, matching the engine's shrink-before-join shape.
+    "cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT o_custkey,
+        |             year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS qidx FROM orders),
+        |c AS (SELECT o_custkey, min(qidx) AS cq FROM a GROUP BY o_custkey)
+        |SELECT concat(cq // 4, '-Q', cq % 4 + 1) AS cohort, a.qidx - cq AS q_offset,
+        |  count(*) AS n_active
+        |FROM a JOIN c USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY cohort, q_offset""".stripMargin,
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
         |c AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),

@@ -184,4 +184,30 @@ object Analytics {
           .cast("double") / 100.0).as("est_price"))
       .orderBy("q")
   }
+
+  /** COHORT RETENTION — the acquisition-quality matrix every growth/usage
+    * dashboard is built on: customers cohorted by the QUARTER of their
+    * first order, each cohort's surviving actives counted at every
+    * quarter offset since. The scale discipline is shrink-before-join:
+    * the order book first collapses to DISTINCT (customer, quarter)
+    * activity rows (one row per active customer-quarter, however many
+    * orders), cohorts derive from a min over that same small set, and
+    * the activity×cohort join keys on customer — so every shuffle after
+    * the first moves activity rows, never orders. Quarter arithmetic is
+    * an integer index (year·4 + quarter−1) end-to-end: offsets are exact
+    * subtractions, and the differential check has no date-diff convention
+    * to disagree on. Output: `(cohort, q_offset, n_active)` — `n_active`
+    * at offset 0 is the cohort's size. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val activity = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1).as("qidx"))
+      .distinct()
+    val cohorts = activity.groupBy("o_custkey").agg(min("qidx").as("cq"))
+    activity.join(cohorts, Seq("o_custkey"))
+      .groupBy(concat(expr("cq div 4"), lit("-Q"), expr("cq % 4 + 1")).as("cohort"),
+               (col("qidx") - col("cq")).as("q_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "q_offset")
+  }
 }
