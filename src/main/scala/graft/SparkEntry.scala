@@ -90,6 +90,7 @@ object SparkEntry {
     "stream_export" -> ((s, d) => graft.streaming.EventStreams.streamExportQuery(s, d)),
     "stream_ingest" -> ((s, d) => graft.streaming.EventStreams.streamIngestQuery(s, d)),
     "stream_distinct_sketch" -> ((s, d) => graft.streaming.EventStreams.streamDistinctSketchQuery(s, d)),
+    "stream_quantile_sketch" -> ((s, d) => graft.streaming.EventStreams.streamQuantileSketchQuery(s, d)),
     "stream_freq_sketch" -> ((s, d) => graft.streaming.EventStreams.streamFreqSketchQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
@@ -640,6 +641,18 @@ object SparkEntry {
     // state — the buffer merge is bit-deterministic under any micro-batch
     // split, so the complete-mode final equals the batch sketch exactly.
     "stream_distinct_sketch" -> kmvSketchSql,
+    // stream_quantile_sketch: the batch quantile-sketch arithmetic over
+    // the event value column — the streaming histogram is bit-identical
+    // to the batch binning, so the oracle is the same equi-width SQL.
+    "stream_quantile_sketch" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx, count(*) AS n FROM c),
+        |h AS (SELECT (cents - mn) * 1024 // (mx - mn + 1) AS bin, count(*) AS cnt FROM c, b GROUP BY 1),
+        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+        |qv AS (SELECT unnest([50, 90, 95, 99]) AS q),
+        |t AS (SELECT q, min(bin) AS bin FROM qv, cum, b WHERE cum >= (q * n + 99) // 100 GROUP BY q)
+        |SELECT q, CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_value
+        |FROM t, b ORDER BY q""".stripMargin,
     // freq_sketch: the Count-Min grid replayed exactly — salted md5 cell
     // hash, exact long counter sums, min-over-depth estimate; the
     // APPROXIMATE frequency sketch hash-matches bit for bit.

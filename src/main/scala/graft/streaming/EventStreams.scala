@@ -389,6 +389,47 @@ object EventStreams {
     TextAnalysis.cmsEstimates(wc, grid, depth, width, topn)
   }
 
+  /** Driver-verified: the equi-width QUANTILE sketch as streaming state —
+    * completing the sketch trio next to [[streamDistinctSketchQuery]] (KMV)
+    * and [[streamFreqSketchQuery]] (CMS). Data-dependent binning needs the
+    * bounds before the histogram, so the bounded stream is absorbed TWICE
+    * — phase 1 a complete-mode global (min, max, n) aggregate (three longs
+    * of state), phase 2 the bin histogram parameterized by those bounds
+    * (≤`bins` rows of state) — the standard re-scan trade for
+    * data-dependent binning; a production deployment seeds the bounds from
+    * the previous sketch instead of a first pass. Bin counting is
+    * associative/commutative, so the phase-2 state is bit-identical under
+    * any batch split and the final histogram equals the batch form's —
+    * quantile extraction then runs batch-side over the ≤`bins`-row
+    * completed table, integer-exact end-to-end (the
+    * [[graft.operators.Analytics.quantileSketch]] discipline), sharing its
+    * oracle structure over the event `value` column. */
+  def streamQuantileSketchQuery(spark: SparkSession, sfDir: String,
+                                bins: Int = 1024,
+                                qs: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def cents(df: DataFrame) =
+      df.select(round(col("value") * 100).cast("long").as("cents"))
+    val b = runToCompletion(spark,
+      cents(tableStream(spark, sfDir, "events"))
+        .agg(min("cents").as("mn"), max("cents").as("mx"), count(lit(1)).as("n")),
+      "stream_qsk_bounds", OutputMode.Complete()).head()
+    val (mn, mx, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val hist = runToCompletion(spark,
+      cents(tableStream(spark, sfDir, "events"))
+        .select(expr(s"(cents - ${mn}L) * $bins div (${mx}L - ${mn}L + 1)").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt")),
+      "stream_quantile_sketch", OutputMode.Complete())
+    hist.withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+      .join(broadcast(qs.toDF("q")), col("cum") >= expr(s"(q * ${n}L + 99) div 100"))
+      .groupBy("q").agg(min("bin").as("bin"))
+      .select(col("q"),
+        (expr(s"${mn}L + (2 * bin + 1) * (${mx}L - ${mn}L + 1) div ${2L * bins}")
+          .cast("double") / 100.0).as("est_value"))
+      .orderBy("q")
+  }
+
   /** Driver-verified: MERGING session windows via the native
     * `session_window` streaming aggregate — dynamic-gap windows that the
     * fixed tumbling/hopping grids can't express: each event opens a

@@ -158,6 +158,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === streamed.sorted)
   }
 
+  test("stream quantile sketch: state stays <= bins rows, result is integer-exact quantiles") {
+    val res = EventStreams.streamQuantileSketchQuery(spark, sf0001, bins = 64)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(res.map(_._1).toSeq === Seq(50, 90, 95, 99))
+    // phase-2 streaming state is the bin histogram: <= bins rows however
+    // many events streamed through it
+    assert(spark.table(spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("stream_quantile_sketch_")).max).count() <= 64)
+    // each estimate must land inside the observed value range
+    val (mn, mx) = (0.0, 1e7)
+    res.foreach { case (_, v) => assert(v >= mn && v <= mx) }
+    // midpoint estimates of an equi-width histogram are monotone in q
+    assert(res.map(_._2).toSeq === res.map(_._2).sorted.toSeq)
+  }
+
   test("bounded replay: stream_dedup_near equals the batch incremental dedup") {
     // Streaming near-dup ingest (stateless per-row minhash + stream-static
     // index join + dropDuplicates + array-intersect verification) must emit
