@@ -137,6 +137,7 @@ object SparkEntry {
     "export_zorder" -> ((s, d) => Pipeline.exportZorder(s, d)),
     "merge_upsert" -> ((s, d) => Pipeline.mergeUpsert(s, d)),
     "scd2_history" -> ((s, d) => Pipeline.scd2History(s, d)),
+    "agg_incremental" -> ((s, d) => Pipeline.aggIncremental(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -1353,6 +1354,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
         |  CAST(sum(CASE WHEN t IS NULL THEN 0 ELSE t - f END) AS BIGINT) AS dwell_us
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // agg_incremental: the oracle RECOMPUTES the view from the changelog-
+    // applied fact rows — the incremental path must equal the recompute,
+    // which is the IVM correctness contract. Same mod-class derivation as
+    // merge_upsert; inserts offset custkey past max (new groups).
+    "agg_incremental" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |m AS (SELECT max(o_custkey) AS mxc FROM b),
+        |f AS (SELECT o_custkey,
+        |        cents + CASE WHEN o_orderkey % 7 = 3 THEN 100 ELSE 0 END AS cents
+        |      FROM b WHERE o_orderkey % 13 <> 5
+        |      UNION ALL
+        |      SELECT o_custkey + mxc AS o_custkey, cents FROM b, m WHERE o_orderkey % 11 = 2)
+        |SELECT o_custkey, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // export_zorder: both dims' rank cuts replayed (the export_sorted
     // machinery twice), then the Morton bucket = the top 2 bits of each
     // dim's cell number interleaved — z div 16 with the low bits dropped.

@@ -243,6 +243,69 @@ object Pipeline {
               coalesce(col("chg_cents"), col("snap_cents")).as("cents"),
               col("op").isNotNull.as("from_chg"))
 
+  /** INCREMENTAL VIEW MAINTENANCE — the third member of the CDC family
+    * ([[mergeUpsert]] keeps latest state, [[scd2History]] keeps history;
+    * this keeps a derived AGGREGATE current): a persisted per-customer
+    * order aggregate `(o_custkey, n_orders, sum_cents)` maintained from a
+    * changelog by DELTA APPLICATION, never recomputed from the fact table.
+    * Algebraic aggregates are delta-maintainable: each change contributes
+    * `(key, ±1, ±cents)` partials (D negates the before-image, U
+    * contributes the increment, I the after-image); partials aggregate at
+    * O(|delta|) and merge into the view in one full-outer join. The view
+    * is a fingerprint-gated table BUCKETED on the group key, so the big
+    * side never shuffles (plan-asserted; the [[mergeUpsert]] asymmetry) —
+    * at 100 TB the maintenance cost tracks the CHANGE RATE, not the
+    * corpus, which is the entire point of IVM. Groups whose count reaches
+    * zero leave the view, and delta-produced NEW groups enter through the
+    * join's unmatched side.
+    *
+    * Honesty note vs [[applyChangelog]]: increments are NOT idempotent —
+    * replaying a delta double-applies it. A production feed pairs this
+    * with exactly-once delivery or a ledger of applied sequence numbers
+    * (the [[graft.operators.IncrementalDedup]] `_sizes` discipline); the
+    * absolute-valued MERGE is the replay-safe sibling. The changelog here
+    * derives deterministically from the source (the [[mergeUpsert]]
+    * convention, same mod classes) with before-images carried on D/U rows
+    * as a Debezium-style feed would. */
+  def aggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val viewTable = s"graft_custagg_snap_${Warehouse.pathToken(sfDir)}"
+    val fp = Warehouse.sourceFingerprint(sfDir, "orders")
+    val base = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+    Warehouse.ensureDerivedTables(spark, Seq(viewTable), fp) {
+      Warehouse.writeBucketed(
+        base.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents")),
+        Seq("o_custkey"), viewTable, 8)
+    }
+    val mxc = base.agg(max("o_custkey").as("mxc"))
+    val deltas = base.filter(col("o_orderkey") % 13 === 5)
+        .select(col("o_custkey"), lit(-1L).as("dn"), (-col("cents")).as("dc"))
+      .unionByName(base
+        .filter(col("o_orderkey") % 13 =!= 5 && col("o_orderkey") % 7 === 3)
+        .select(col("o_custkey"), lit(0L).as("dn"), lit(100L).as("dc")))
+      .unionByName(base.filter(col("o_orderkey") % 11 === 2)
+        .crossJoin(broadcast(mxc))
+        .select((col("o_custkey") + col("mxc")).as("o_custkey"),
+                lit(1L).as("dn"), col("cents").as("dc")))
+    applyAggDelta(spark.table(viewTable),
+        deltas.groupBy("o_custkey").agg(sum("dn").as("dn"), sum("dc").as("dc")))
+      .orderBy("o_custkey")
+  }
+
+  /** The IVM merge core over explicit frames: view
+    * `(o_custkey, n_orders, sum_cents)` + aggregated delta partials
+    * `(o_custkey, dn, dc)` → the maintained view. One full-outer join:
+    * matched groups add increments, unmatched-delta groups insert,
+    * count-zero groups drop. */
+  def applyAggDelta(view: DataFrame, partials: DataFrame): DataFrame =
+    view.join(partials, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sum_cents"))
+      .filter(col("n_orders") > 0)
+
   /** SCD TYPE-2 derivation — the other half of the CDC family next to
     * [[mergeUpsert]]: where MERGE keeps only the LATEST state, a type-2
     * dimension keeps every version with its validity interval. The event

@@ -107,6 +107,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(state(once).map(t => (t._1, t._2, t._3)) === merged.map(t => (t._1, t._2, t._3)))
   }
 
+  test("applyAggDelta: increments apply, new groups insert, count-zero groups drop") {
+    import spark.implicits._
+    val view = Seq((1L, 2L, 200L), (2L, 1L, 50L), (3L, 3L, 900L))
+      .toDF("o_custkey", "n_orders", "sum_cents")
+    // cust 1: +1 order +100c; cust 2: delete its only order (drops);
+    // cust 9: brand new group; cust 3: untouched (no partial row)
+    val partials = Seq((1L, 1L, 100L), (2L, -1L, -50L), (9L, 2L, 70L))
+      .toDF("o_custkey", "dn", "dc")
+    val out = Pipeline.applyAggDelta(view, partials)
+      .orderBy("o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 3L, 300L), (3L, 3L, 900L), (9L, 2L, 70L)))
+  }
+
+  test("aggIncremental equals the recompute: delta application is exact IVM") {
+    // the differential contract stated locally: incremental == full
+    // recompute over the changelog-applied facts
+    import spark.implicits._
+    val base = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"),
+              org.apache.spark.sql.functions.round(col("o_totalprice") * 100)
+                .cast("long").as("cents"))
+    val mxc = base.agg(max("o_custkey")).head().getLong(0)
+    val recompute = base.filter(col("o_orderkey") % 13 =!= 5)
+        .select(col("o_custkey"),
+          (col("cents") + when(col("o_orderkey") % 7 === 3, 100L).otherwise(0L)).as("cents"))
+      .unionByName(base.filter(col("o_orderkey") % 11 === 2)
+        .select((col("o_custkey") + mxc).as("o_custkey"), col("cents")))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+      .orderBy("o_custkey").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val incremental = Pipeline.aggIncremental(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(incremental === recompute)
+  }
+
   test("scd2Versions: duplicate changes collapse, intervals chain half-open, current is open") {
     import spark.implicits._
     // user 10: A, A(dup), B, A — expect A[100,300) B[300,400) A[400,∞)

@@ -80,6 +80,16 @@ class WarehouseSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("agg_incremental: the bucketed view side of the IVM merge never shuffles") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Pipeline.aggIncremental(spark, sf0001)
+      assertNoStoreSideShuffle(df, "graft_custagg_snap_")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("incremental dedup store side reads bucket-local: no Exchange above a store scan") {
     graft.operators.IncrementalDedup.buildIndex(spark, sf0001)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
