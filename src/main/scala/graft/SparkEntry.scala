@@ -46,6 +46,12 @@ object SparkEntry {
     "topk_words" -> ((s, d) => CoreQueries.topkWords(s, d)),
     "agg_pricing" -> ((s, d) => Relational.aggPricing(s, d)),
     "distinct_users" -> ((s, d) => Relational.distinctUsers(s, d)),
+    "salted_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Skew.saltedCountDistinct(
+          graft.sources.Tables.events(s, d), col("event_type"), col("user_id"))
+        .orderBy("k")
+    }),
     "distinct_sketch" -> ((s, d) => Relational.distinctSketch(s, d)),
     "freq_sketch" -> ((s, d) => TextAnalysis.freqSketch(s, d)),
     "join_orders_customers" -> ((s, d) => Relational.joinOrdersCustomers(s, d)),
@@ -633,6 +639,12 @@ object SparkEntry {
     "distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // salted_distinct: the two-stage salted exact-distinct must equal the
+    // plain count(DISTINCT) — salting is a physical-plan choice (hot-key
+    // spreading), not a semantic one, and the gate proves it.
+    "salted_distinct" ->
+      """SELECT event_type AS k, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY k""".stripMargin,
     // distinct_sketch: the KMV estimator replayed exactly — same 63-bit
     // md5 hash (md5_number_lower mod 2^63), same k-th-smallest selection,
     // same one-division estimate ((k−1)·2⁶³ is a 6-significant-bit double,
