@@ -142,10 +142,17 @@ object EventStreams {
 
   def tableStream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val srcPath = s"$sfDir/$name.parquet"
-    // FileStreamSource only accepts directories; the driver testdata is one
+    // FileStreamSource only accepts directories. The driver testdata is one
     // parquet FILE per table → stage a symlink inside a temp dir (cached
-    // per source file, cleaned at JVM exit).
-    val dir = streamDirs.computeIfAbsent(srcPath, { key =>
+    // per source file, cleaned at JVM exit). A Spark-WRITTEN table
+    // (ScaleProbe's k× replicas) is already a directory → stream it
+    // directly; symlinking a directory would put the part files one level
+    // below the source's non-recursive listing, and the stream silently
+    // reads ZERO files — a complete-mode aggregate then returns an empty
+    // table, so the probe "measures" an empty stream.
+    val dir = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(srcPath)))
+      java.nio.file.Paths.get(srcPath)
+    else streamDirs.computeIfAbsent(srcPath, { key =>
       val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
       val link = d.resolve(s"$name.parquet")
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(key))

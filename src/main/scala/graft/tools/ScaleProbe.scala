@@ -82,6 +82,19 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaled/customer.parquet")
 
+    // orders: order keys offset per replica; customer keys offset by the
+    // SAME maxCust stride as the customer replicas so the fact↔dim key
+    // relationship holds at k× (bloom_join, cohort_retention, the CDC
+    // family). Dates/prices unchanged — the cohort/quarter structure and
+    // the mod-class changelog derivation repeat per replica.
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val maxOrd = ord.agg(max("o_orderkey")).collect()(0).getLong(0) + 1
+    (0 until mult).map(i => ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * maxCust)))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaled/orders.parquet")
+
     // events: ids and users offset per replica (distinct-count mass grows
     // k×, the sketch's workload); timestamps/types/values unchanged so the
     // distributional shape holds

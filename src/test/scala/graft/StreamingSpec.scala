@@ -158,6 +158,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === streamed.sorted)
   }
 
+  test("tableStream reads a Spark-written parquet DIRECTORY source in full") {
+    // regression: the symlink staging assumed a single parquet file; a
+    // directory source (ScaleProbe's k-times replicas) silently streamed
+    // ZERO files, so scale slopes timed an empty stream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirstream").toString
+    val out = s"$dir/events.parquet"
+    graft.sources.Tables.events(spark, sf0001).write.parquet(out)
+    val n = spark.read.parquet(out).count()
+    val streamed = EventStreams.tableStream(spark, dir, "events")
+      .groupBy().agg(count(lit(1)).as("n"))
+    val q = streamed.writeStream.format("memory").queryName("dirstream_probe")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dirstream_probe").head().getLong(0)
+    spark.catalog.dropTempView("dirstream_probe")
+    assert(got === n, s"directory stream carried $got of $n rows")
+  }
+
   test("stream quantile sketch: state stays <= bins rows, result is integer-exact quantiles") {
     val res = EventStreams.streamQuantileSketchQuery(spark, sf0001, bins = 64)
       .collect().map(r => (r.getInt(0), r.getDouble(1)))
