@@ -38,6 +38,7 @@ object SparkEntry {
     // -- text-interchange sources (JSONL/CSV round-trips vs the parquet oracle) --
     "jsonl_scan" -> ((s, d) => graft.sources.Formats.jsonlScan(s, d)),
     "csv_scan" -> ((s, d) => graft.sources.Formats.csvScan(s, d)),
+    "orc_scan" -> ((s, d) => graft.sources.Formats.orcScan(s, d)),
     // -- relational breadth --
     "grep_filter" -> ((s, d) => CoreQueries.grepFilter(s, d)),
     "grep_indexed" -> ((s, d) => CoreQueries.grepIndexed(s, d)),
@@ -83,6 +84,7 @@ object SparkEntry {
     "order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
+    "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -581,6 +583,8 @@ object SparkEntry {
       "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
     "csv_scan" ->
       "SELECT doc_id, source, n_chars, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+    "orc_scan" ->
+      "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
     "ii" ->
       """WITH toks AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word FROM documents) WHERE word <> '')
         |SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS docs
@@ -813,6 +817,18 @@ object SparkEntry {
         |t AS (SELECT q, min(bin) AS bin FROM qv, cum, b WHERE cum >= (q * n + 99) // 100 GROUP BY q)
         |SELECT q, CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_price
         |FROM t, b ORDER BY q""".stripMargin,
+    // outlier_events: |v - mean| > 3sigma cleared of denominators —
+    // (n*v - s)^2 > 9*(n*q - s^2) — exact integers both sides (DuckDB
+    // computes in HUGEINT, the engine in decimal(38,0)).
+    "outlier_events" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |st AS (SELECT event_type, count(*) AS n, sum(v) AS s, sum(v * v) AS q FROM c GROUP BY event_type)
+        |SELECT c.event_type, count(*) AS n_outliers,
+        |  CAST(sum(v) AS BIGINT) AS sum_outlier_cents,
+        |  CAST(max(v) AS BIGINT) AS max_outlier_cents
+        |FROM c JOIN st USING (event_type)
+        |WHERE (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
     // cohort_retention: quarter index = year*4 + quarter-1, integer
     // end-to-end; activity collapses to distinct (customer, quarter)
     // before any join, matching the engine's shrink-before-join shape.

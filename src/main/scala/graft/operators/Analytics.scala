@@ -185,6 +185,37 @@ object Analytics {
       .orderBy("q")
   }
 
+  /** 3-SIGMA OUTLIER DETECTION — the data-cleaning pass every training
+    * pipeline runs before trusting a numeric column: per-group (event
+    * type) mean/variance from ONE partial-aggregated pass, then each row
+    * tested scan-side against its group's threshold via a BROADCAST of
+    * the per-group stats (a handful of rows) — the fact table is scanned
+    * twice and SHUFFLED never, which is the 100 TB shape (a window over
+    * the whole table would shuffle everything to sort it).
+    *
+    * Integer-exact despite the variance: the test
+    * `|v − s/n| > 3σ  ⟺  (n·v − s)² > 9·(n·q − s²)` clears denominators
+    * (s = Σv, q = Σv² in cents), so both sides are exact integers —
+    * evaluated in decimal(38,0) because the squared left side overflows
+    * int64 already at 100k rows (DuckDB's comparison runs in int128);
+    * no float epsilon, boundary rows decided identically on both sides. */
+  def outlierEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+    val d = col("v").cast("decimal(38,0)")
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(d).as("s"), sum(d * d).as("q"))
+    val dev = col("n") * col("v") - col("s")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(dev * dev > lit(9) * (col("n") * col("q") - col("s") * col("s")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_outliers"),
+           sum("v").as("sum_outlier_cents"),
+           max("v").as("max_outlier_cents"))
+      .orderBy("event_type")
+  }
+
   /** COHORT RETENTION — the acquisition-quality matrix every growth/usage
     * dashboard is built on: customers cohorted by the QUARTER of their
     * first order, each cohort's surviving actives counted at every

@@ -104,6 +104,19 @@ object Formats {
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
+  /** Staged ORC path — the columnar interchange sibling (Hive-ecosystem
+    * deliveries arrive as ORC the way crawler dumps arrive as JSONL).
+    * Spark's ORC support is native; the staging/reuse contract is the
+    * same fingerprint gate as the text formats. */
+  def stageDocumentsOrc(spark: SparkSession, sfDir: String): String =
+    ensureStaged(spark, sfDir, "orc") { (docs, path) =>
+      docs.write.mode(SaveMode.Overwrite).orc(path)
+    }
+
+  /** Schema-explicit ORC read. */
+  def readDocumentsOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema).orc(path)
+
   /** Driver query: every document read THROUGH the staged JSONL, reduced
     * to `(doc_id, lang, text_md5)` — the md5 travels through the JSON
     * string codec, so a hash match against the parquet-side oracle proves
@@ -119,6 +132,15 @@ object Formats {
   def csvScan(spark: SparkSession, sfDir: String): DataFrame =
     readDocumentsCsv(spark, stageDocumentsCsv(spark, sfDir))
       .select(col("doc_id"), col("source"), col("n_chars"),
+              md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+
+  /** Driver query: the ORC member of the round-trip family — binary
+    * columnar codec under test (string encoding + dictionary paths)
+    * instead of text quoting; every column type crosses the format. */
+  def orcScan(spark: SparkSession, sfDir: String): DataFrame =
+    readDocumentsOrc(spark, stageDocumentsOrc(spark, sfDir))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
               md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
 }
