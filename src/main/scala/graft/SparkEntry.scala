@@ -85,6 +85,7 @@ object SparkEntry {
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
+    "triangle_count" -> ((s, d) => Ranking.triangleCount(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -899,6 +900,28 @@ object SparkEntry {
     // integer (% , //, exact long sums), so the iterative kernel
     // hash-matches with no float boundary.
     "link_rank" -> linkRankOracle(3),
+    // triangle_count: same affine edge derivation, symmetrized; the
+    // oracle replays the degree orientation and both joins.
+    "triangle_count" ->
+      """WITH d0 AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM d0),
+        |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst FROM d0, nn
+        |       UNION ALL SELECT doc_id, (doc_id * 13 + 5) % n FROM d0, nn
+        |       UNION ALL SELECT doc_id, (doc_id * 31 + 11) % n FROM d0, nn WHERE doc_id % 3 = 0),
+        |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0 WHERE src <> dst),
+        |deg AS (SELECT v, count(*) AS d FROM (SELECT a AS v FROM ue UNION ALL SELECT b AS v FROM ue) z GROUP BY v),
+        |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b) THEN ue.a ELSE ue.b END AS u,
+        |             CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b) THEN ue.b ELSE ue.a END AS w,
+        |             CASE WHEN da.d < db.d OR (da.d = db.d AND ue.a < ue.b) THEN db.d ELSE da.d END AS dw
+        |      FROM ue JOIN deg da ON ue.a = da.v JOIN deg db ON ue.b = db.v),
+        |wj AS (SELECT x.w AS p, y.w AS q FROM o x JOIN o y
+        |       ON x.u = y.u AND (x.dw < y.dw OR (x.dw = y.dw AND x.w < y.w))),
+        |tri AS (SELECT count(*) AS n_triangles FROM wj
+        |        WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wj.p AND o.w = wj.q)),
+        |em AS (SELECT count(*) AS n_edges FROM ue),
+        |wm AS (SELECT CAST(sum(dd * (dd - 1) // 2) AS BIGINT) AS n_wedges
+        |       FROM (SELECT count(*) AS dd FROM o GROUP BY u) z)
+        |SELECT n_edges, n_wedges, n_triangles FROM em, wm, tri""".stripMargin,
     "tfidf_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),

@@ -146,6 +146,35 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(scores.forall(_ > 0.0), "query terms occur in the corpus")
   }
 
+  test("triangleCountEdges: known graphs count exactly, orientation counts each triangle once") {
+    import spark.implicits._
+    // K4 (4 triangles, 6 edges, every triple closed) + a pendant path that
+    // adds edges/wedges but no triangles
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val path = Seq((3L, 10L), (10L, 11L))
+    val out = graft.operators.Ranking.triangleCountEdges(
+      (k4 ++ path).toDF("a", "b")).head()
+    assert((out.getLong(0), out.getLong(2)) === (8L, 4L),
+      s"K4+path: edges/triangles wrong: $out")
+    // brute-force differential on the derived corpus graph: every triple
+    // (x<y<z) with all three edges present, counted from the full edge set
+    val docs = (0L until 60L).toDF("doc_id")
+    val oriented = graft.operators.Ranking.triangleCountFrom(docs).head()
+    val n = 60L
+    val es = (0L until n).flatMap { s =>
+      Seq((s * 7 + 3) % n, (s * 13 + 5) % n) ++
+        (if (s % 3 == 0) Seq((s * 31 + 11) % n) else Nil) map (d => (s, d))
+    }.filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.toSet
+    val brute = (for {
+      x <- 0L until n; y <- (x + 1) until n; z <- (y + 1) until n
+      if es((x, y)) && es((x, z)) && es((y, z))
+    } yield 1).size.toLong
+    assert(oriented.getLong(2) === brute,
+      s"oriented count ${oriented.getLong(2)} != brute $brute")
+    assert(oriented.getLong(0) === es.size.toLong)
+  }
+
   test("linkRank equals an exact scalar fixed-point replication, any partitioning") {
     import spark.implicits._
     // 40 docs — the scalar model mirrors the engine's integer arithmetic
