@@ -100,6 +100,7 @@ object SparkEntry {
     "stream_ingest" -> ((s, d) => graft.streaming.EventStreams.streamIngestQuery(s, d)),
     "stream_distinct_sketch" -> ((s, d) => graft.streaming.EventStreams.streamDistinctSketchQuery(s, d)),
     "stream_quantile_sketch" -> ((s, d) => graft.streaming.EventStreams.streamQuantileSketchQuery(s, d)),
+    "stream_upsert" -> ((s, d) => graft.streaming.EventStreams.streamUpsertQuery(s, d)),
     "stream_freq_sketch" -> ((s, d) => graft.streaming.EventStreams.streamFreqSketchQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
@@ -1383,6 +1384,25 @@ object SparkEntry {
         |chg AS (
         |  SELECT k, 'D' AS op, st, c FROM b WHERE k % 13 = 5
         |  UNION ALL SELECT k, 'U', st, c + 100 FROM b WHERE k % 13 <> 5 AND k % 7 = 3
+        |  UNION ALL SELECT b.k + mx.mxk, 'I', st, c FROM b, mx WHERE b.k % 11 = 2),
+        |m AS (SELECT COALESCE(g.st, s.st) AS st, COALESCE(g.c, s.c) AS c,
+        |        CASE WHEN g.op IS NOT NULL THEN 1 ELSE 0 END AS from_chg, g.op AS op
+        |      FROM b s FULL OUTER JOIN chg g ON s.k = g.k)
+        |SELECT st AS o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(from_chg) AS BIGINT) AS n_from_changelog,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM m WHERE op IS NULL OR op <> 'D'
+        |GROUP BY st ORDER BY st""".stripMargin,
+    // stream_upsert: merge_upsert's semantics with batch-1 corrections —
+    // even U keys end at +200 (last write wins), odd at +100.
+    "stream_upsert" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st, CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |mx AS (SELECT max(k) AS mxk FROM b),
+        |chg AS (
+        |  SELECT k, 'D' AS op, st, c FROM b WHERE k % 13 = 5
+        |  UNION ALL SELECT k, 'U', st,
+        |    c + CASE WHEN k % 2 = 0 THEN 200 ELSE 100 END
+        |    FROM b WHERE k % 13 <> 5 AND k % 7 = 3
         |  UNION ALL SELECT b.k + mx.mxk, 'I', st, c FROM b, mx WHERE b.k % 11 = 2),
         |m AS (SELECT COALESCE(g.st, s.st) AS st, COALESCE(g.c, s.c) AS c,
         |        CASE WHEN g.op IS NOT NULL THEN 1 ELSE 0 END AS from_chg, g.op AS op

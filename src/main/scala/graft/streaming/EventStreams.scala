@@ -517,6 +517,88 @@ object EventStreams {
       .orderBy("doc_a", "doc_b")
   }
 
+  final case class CdcRow(k: Long, op: String, st: String, c: Long, seq: Long)
+  final case class CdcState(op: String, st: String, c: Long, version: Long)
+  final case class CdcOut(k: Long, op: String, st: String, c: Long, version: Long)
+
+  /** Driver-verified: CDC consumed THROUGH a streaming query — the
+    * Kafka-changelog-consumer production shape next to the batch
+    * [[graft.operators.Pipeline.mergeUpsert]]: the changelog arrives in
+    * micro-batches (two ordered file drops; batch 1 carries CORRECTIONS
+    * that override batch 0's updates for half the updated keys), a
+    * `flatMapGroupsWithState` state machine keeps LAST-WRITE-WINS state
+    * per key (seq order within a batch, arrival order across batches —
+    * exactly a compacted-topic consumer), and each batch emits the key's
+    * post-batch state with a monotone version. The stream's state is
+    * DELTA-sized (changed keys only), never the snapshot — the merge with
+    * the full corpus happens once at read time against the bucketed
+    * snapshot table ([[graft.operators.Pipeline.applyChangelog]], big
+    * side never shuffles), which is how a 100 TB warehouse consumes CDC:
+    * bounded stream state, snapshot join deferred to the query.
+    * Output: the merged per-status accounting; the oracle replays the
+    * net changelog (corrections applied) over the raw source. */
+  def streamUpsertQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+              round(col("o_totalprice") * 100).cast("long").as("c"))
+    // the same fingerprint-gated bucketed snapshot mergeUpsert uses
+    val snapTable = s"graft_orders_snap_${graft.sources.Warehouse.pathToken(sfDir)}"
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "orders")
+    graft.sources.Warehouse.ensureDerivedTables(spark, Seq(snapTable), fp) {
+      graft.sources.Warehouse.writeBucketed(
+        base.select(col("k").as("o_orderkey"), col("st").as("o_orderstatus"),
+                    col("c").as("snap_cents")),
+        Seq("o_orderkey"), snapTable, 8)
+    }
+    val mxk = base.agg(max("k")).head().getLong(0)
+    val chg0 = base.filter(col("k") % 13 === 5)
+        .select(col("k"), lit("D").as("op"), col("st"), col("c"), lit(0L).as("seq"))
+      .unionByName(base.filter(col("k") % 13 =!= 5 && col("k") % 7 === 3)
+        .select(col("k"), lit("U").as("op"), col("st"),
+                (col("c") + 100).as("c"), lit(1L).as("seq")))
+      .unionByName(base.filter(col("k") % 11 === 2)
+        .select((col("k") + mxk).as("k"), lit("I").as("op"), col("st"),
+                col("c"), lit(2L).as("seq")))
+    // batch-1 corrections: half the updated keys get a LATER absolute value
+    val chg1 = base.filter(col("k") % 13 =!= 5 && col("k") % 7 === 3 && col("k") % 2 === 0)
+      .select(col("k"), lit("U").as("op"), col("st"),
+              (col("c") + 200).as("c"), lit(3L).as("seq"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+    dir.toFile.deleteOnExit()
+    stageStreamFile(chg0, dir, "b0", 1000000L)
+    stageStreamFile(chg1, dir, "b1", 2000000L)
+    val stream = spark.readStream.schema(chg0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    def update(key: Long, rows: Iterator[org.apache.spark.sql.Row],
+               state: GroupState[CdcState]): Iterator[CdcOut] = {
+      var st = state.getOption.getOrElse(CdcState(null, null, 0L, 0L))
+      rows.toSeq.sortBy(_.getLong(4)).foreach { r =>
+        st = CdcState(r.getString(1), r.getString(2), r.getLong(3), st.version + 1)
+      }
+      state.update(st)
+      Iterator.single(CdcOut(key, st.op, st.st, st.c, st.version))
+    }
+    val applied = stream.groupByKey(_.getLong(0))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+    val emitted = runToCompletion(spark, applied.toDF(), "stream_upsert",
+                                  OutputMode.Update())
+    // net changelog = each key's highest-version emission (delta-sized)
+    val net = emitted
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+      .select(col("k").as("o_orderkey"), col("op"),
+              col("st").as("chg_status"), col("c").as("chg_cents"))
+    graft.operators.Pipeline.applyChangelog(spark.table(snapTable), net)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("from_chg").cast("long")).as("n_from_changelog"),
+           sum("cents").as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Driver-contract form of the closed ingest loop ([[streamIngestToIndex]])
     * — the whole cycle as ONE oracle-checked query: the corpus index is
     * (re)built from the non-delta shard, the delta shard arrives as a real

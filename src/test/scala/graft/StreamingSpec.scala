@@ -178,6 +178,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === n, s"directory stream carried $got of $n rows")
   }
 
+  test("stream_upsert: a later batch's correction overrides, emissions stay delta-sized") {
+    import spark.implicits._
+    EventStreams.streamUpsertQuery(spark, sf0001).collect()
+    val emitted = spark.table(spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("stream_upsert_")).max)
+    val base = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("k"),
+              org.apache.spark.sql.functions.round(col("o_totalprice") * 100)
+                .cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val correctedKeys = base.keySet.filter(k => k % 13 != 5 && k % 7 == 3 && k % 2 == 0)
+    // corrected keys: exactly two versions (batch 0 update, batch 1
+    // override) ending at +200; uncorrected updates stay one version, +100
+    val byKey = emitted.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    correctedKeys.foreach { k =>
+      val vs = byKey(k).sortBy(_._4)
+      assert(vs.length === 2, s"key $k expected 2 emissions, got ${vs.length}")
+      assert(vs.last._3 === base(k) + 200, s"key $k final cents wrong: ${vs.last._3}")
+      assert(vs.head._3 === base(k) + 100)
+    }
+    val plainUpdated = base.keySet.filter(k => k % 13 != 5 && k % 7 == 3 && k % 2 != 0)
+    plainUpdated.foreach { k =>
+      assert(byKey(k).length === 1 && byKey(k).head._3 === base(k) + 100)
+    }
+    // stream state is delta-sized: every emission belongs to a changed key
+    val changed = base.keySet.filter(k => k % 13 == 5 || k % 7 == 3) ++
+      base.keySet.filter(_ % 11 == 2).map(_ + base.keySet.max)
+    assert(byKey.keySet.subsetOf(changed), "emissions outside the changelog key set")
+  }
+
   test("stream quantile sketch: state stays <= bins rows, result is integer-exact quantiles") {
     val res = EventStreams.streamQuantileSketchQuery(spark, sf0001, bins = 64)
       .collect().map(r => (r.getInt(0), r.getDouble(1)))
