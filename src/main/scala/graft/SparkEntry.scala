@@ -86,6 +86,7 @@ object SparkEntry {
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
     "triangle_count" -> ((s, d) => Ranking.triangleCount(s, d)),
+    "rolling_features" -> ((s, d) => Analytics.rollingFeatures(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -819,6 +820,23 @@ object SparkEntry {
         |t AS (SELECT q, min(bin) AS bin FROM qv, cum, b WHERE cum >= (q * n + 99) // 100 GROUP BY q)
         |SELECT q, CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_price
         |FROM t, b ORDER BY q""".stripMargin,
+    // rolling_features: trailing [t-3600s+1us, t] per-user frame — the
+    // inclusive boundary stated identically on both sides; RANGE peers
+    // (equal us) included by both engines.
+    "rolling_features" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT event_type,
+        |        count(*) OVER (PARTITION BY user_id ORDER BY us
+        |          RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS trail_n,
+        |        sum(cents) OVER (PARTITION BY user_id ORDER BY us
+        |          RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS trail_cents
+        |      FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN trail_n >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursty,
+        |  CAST(max(trail_n) AS BIGINT) AS max_trail_n,
+        |  CAST(sum(trail_cents) AS BIGINT) AS sum_trail_cents
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     // outlier_events: |v - mean| > 3sigma cleared of denominators —
     // (n*v - s)^2 > 9*(n*q - s^2) — exact integers both sides (DuckDB
     // computes in HUGEINT, the engine in decimal(38,0)).

@@ -185,6 +185,36 @@ object Analytics {
       .orderBy("q")
   }
 
+  /** TRAILING-WINDOW FEATURE BACKFILL — the feature-store pattern: for
+    * every event, its user's activity over the PRECEDING hour (count,
+    * cents sum) as a point-in-time-correct feature — the training-serving
+    * skew killer is computing these with a leak (future rows) or a
+    * re-scan per event; the RANGE-frame window computes all of them in
+    * ONE shuffle on user_id + one in-partition sort, each row's frame
+    * sliding over its neighbors. Frame arithmetic is integer µs with an
+    * explicit inclusive `[t−3600s+1µs, t]` convention stated on both
+    * sides (range-frame boundary semantics are where engines silently
+    * disagree). Output rolls up per event type: burst events (trailing
+    * count ≥ 5), the max trailing count, and the total trailing cents
+    * mass — exact integers. */
+  def rollingFeatures(spark: SparkSession, sfDir: String,
+                      windowUs: Long = 3600L * 1000000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-(windowUs - 1), 0)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_cents", sum("cents").over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("trail_n") >= 5, 1L).otherwise(0L)).as("n_bursty"),
+           max("trail_n").as("max_trail_n"),
+           sum("trail_cents").as("sum_trail_cents"))
+      .orderBy("event_type")
+  }
+
   /** 3-SIGMA OUTLIER DETECTION — the data-cleaning pass every training
     * pipeline runs before trusting a numeric column: per-group (event
     * type) mean/variance from ONE partial-aggregated pass, then each row
