@@ -156,6 +156,7 @@ object SparkEntry {
     "similarity_ann" -> ((s, d) => Similarity.annHyperplane(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     "ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
     "pq_encode" -> ((s, d) => Similarity.pqEncode(s, d)),
@@ -1531,6 +1532,19 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
     "similarity_knn" -> knnBruteSql,
+    // knn_classify: exact cosine top-5 from the labeled pool, majority
+    // vote with (votes desc, label asc) tie-break — fully deterministic.
+    "knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, emb AS probe_emb, label AS true_label FROM e WHERE vec_id < 20),
+        |s AS (SELECT probe_id, true_label, e.vec_id AS neighbor_id, e.label,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY list_cosine_similarity(probe_emb, emb) DESC, e.vec_id) AS rnk
+        |  FROM p, e WHERE e.vec_id >= 20),
+        |v AS (SELECT probe_id, true_label, label, count(*) AS votes FROM s WHERE rnk <= 5 GROUP BY probe_id, true_label, label),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS vr FROM v)
+        |SELECT probe_id, true_label, label AS pred_label, CAST(votes AS BIGINT) AS votes
+        |FROM w WHERE vr = 1 ORDER BY probe_id""".stripMargin,
     // recall harness: approximate result ∩ exact truth per probe — the
     // truth/approx sides are each their full standalone oracle nested as a
     // WITH-subquery (the corpus_export composition technique), so the

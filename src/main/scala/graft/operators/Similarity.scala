@@ -56,6 +56,44 @@ object Similarity {
     topKByCosine(scored, "probe_id", k)
   }
 
+  /** k-NN CLASSIFICATION — the similarity family's downstream consumer
+    * (label propagation from a labeled pool to incoming vectors: spam
+    * triage, language routing, topic bucketing). Probes (the unlabeled
+    * set) broadcast against the labeled pool, exact cosine top-k, then a
+    * MAJORITY VOTE with a total tie-break (votes desc, label asc) so the
+    * prediction is deterministic — an ML-adjacent op kept oracle-exact:
+    * every step (ranking, vote counts, tie-breaks) replays in SQL, and
+    * `true_label` rides along so the output doubles as an accuracy
+    * readout. Scale shape: the pool never shuffles (broadcast probes,
+    * rank pruned per probe partition — the [[knnBrute]] plan); at
+    * production probe counts the IVF route swaps in for the scan. */
+  def knnClassify(spark: SparkSession, sfDir: String,
+                  numProbes: Int = 20, k: Int = 5): DataFrame =
+    knnClassifyFrom(Tables.embeddings(spark, sfDir), numProbes, k)
+
+  /** [[knnClassify]] over an explicit `(vec_id, embedding, label)` frame. */
+  def knnClassifyFrom(e: DataFrame, numProbes: Int = 20, k: Int = 5): DataFrame = {
+    val probes = e.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+              col("label").as("true_label"))
+    val scored = e.filter(col("vec_id") >= numProbes).crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("true_label"), col("vec_id").as("neighbor_id"),
+              col("label"),
+              VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .groupBy("probe_id", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("votes").desc, col("label").asc)))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("true_label"), col("label").as("pred_label"),
+              col("votes"))
+      .orderBy("probe_id")
+  }
+
   /** Fixed-point scale for integer-exact centroid sums: components are
     * quantized to `floor(x · 2^20)` longs before summation, so the mean is
     * order-independent (integer adds commute) and bit-identical across

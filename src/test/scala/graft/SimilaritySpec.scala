@@ -235,6 +235,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(1L).getLong(3) === -31L)
   }
 
+  test("knnClassify on planted clusters: every probe takes its cluster's label unanimously") {
+    // 16 one-hot-axis clusters (the PQ fixture's construction), label =
+    // cluster id. Probes are the first 20 ids; their 5-NN must all come
+    // from their own cluster, so the vote is unanimous and the prediction
+    // exact — and a deliberately mislabeled probe still predicts its
+    // GEOMETRIC cluster (the pool's labels win, not the probe's).
+    import spark.implicits._
+    val dim = 64
+    val clusters = 16
+    val rows = (0 until 640).map { id =>
+      val c = (id / 10) % clusters
+      val v = Array.fill(dim)(0.0f)
+      v(c * 4) = 1.0f
+      v((c * 4 + 1 + (id % 7)) % dim) += (0.0005f * ((id % 11) + 1))
+      v((c * 4 + 9 + (id % 5)) % dim) -= (0.0004f * ((id % 13) + 1))
+      // probes carry a poisoned true_label (99) — prediction must ignore it
+      (id.toLong, v.toSeq, if (id < 20) 99 else c)
+    }
+    val out = Similarity.knnClassifyFrom(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(out.length === 20)
+    out.foreach { case (probeId, pred, votes) =>
+      val geo = (probeId / 10) % clusters
+      assert(pred === geo.toInt, s"probe $probeId predicted $pred, cluster $geo")
+      assert(votes === 5L, s"probe $probeId vote not unanimous: $votes")
+    }
+  }
+
   test("PQ on planted clusters: codebooks recover structure, ADC search stays in-cluster") {
     // Same planted fixture as the recall test below: 16 one-hot-axis
     // clusters, 40 points each, tiny deterministic perturbations. The
