@@ -141,6 +141,37 @@ class PlanSpec extends SparkSpecBase {
       s"search must read the persisted code/codebook tables, not retrain:\n$plan")
   }
 
+  test("outlier_events: stats broadcast onto the scan, the fact table never sort-merge-joins") {
+    val plan = finalPlan("outlier_events")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-group stats (a handful of rows) must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact table must not shuffle for the stats join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"stats aggregation lost its map-side combine:\n$plan")
+  }
+
+  test("cohort_retention / triangle_count / knn_classify: equi-join shapes, no cartesian, partial aggs") {
+    Seq("cohort_retention", "triangle_count", "knn_classify").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial_min") ||
+             plan.contains("partial_sum"),
+        s"$q lost map-side partial aggregation:\n$plan")
+    }
+  }
+
+  test("rolling_features: one user shuffle feeds the window, the rollup combines map-side") {
+    val df = SparkEntry.queries("rolling_features")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // exactly two hash exchanges: user_id -> window, event_type -> rollup
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 shuffles (window + rollup), got $exchanges:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"final rollup lost its map-side combine:\n$plan")
+  }
+
   test("no expensive query plans a CartesianProduct") {
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),
