@@ -102,6 +102,7 @@ object SparkEntry {
     "stream_distinct_sketch" -> ((s, d) => graft.streaming.EventStreams.streamDistinctSketchQuery(s, d)),
     "stream_quantile_sketch" -> ((s, d) => graft.streaming.EventStreams.streamQuantileSketchQuery(s, d)),
     "stream_upsert" -> ((s, d) => graft.streaming.EventStreams.streamUpsertQuery(s, d)),
+    "stream_scd2" -> ((s, d) => graft.streaming.EventStreams.streamScd2Query(s, d)),
     "stream_freq_sketch" -> ((s, d) => graft.streaming.EventStreams.streamFreqSketchQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
@@ -1431,6 +1432,17 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) AS sum_cents
         |FROM m WHERE op IS NULL OR op <> 'D'
         |GROUP BY st ORDER BY st""".stripMargin,
+    // stream_scd2: the batch SCD2 derivation restricted to CLOSED versions
+    // (a stream never emits its open tail) — same collapse + lead chain.
+    "stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |x AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |c AS (SELECT user_id, event_id, event_type, us FROM x WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT event_type, us AS f,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t FROM c)
+        |SELECT event_type, count(*) AS n_versions, CAST(sum(t - f) AS BIGINT) AS dwell_us
+        |FROM v WHERE t IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
     // scd2_history: same change-collapse then interval windows, µs-integer
     // dwell arithmetic; ties broken by event_id in BOTH window orders.
     "scd2_history" ->

@@ -517,6 +517,60 @@ object EventStreams {
       .orderBy("doc_a", "doc_b")
   }
 
+  final case class Scd2St(lastType: String, fromUs: Long)
+  final case class Scd2Out(event_type: String, valid_from_us: Long, valid_to_us: Long)
+
+  /** Driver-verified: SCD TYPE-2 versions derived IN-STREAM — the
+    * streaming twin of [[graft.operators.Pipeline.scd2History]], closing
+    * the CDC×streaming matrix (merge has [[streamUpsertQuery]], history
+    * has this): the event feed arrives in two time-split micro-batches,
+    * per-user `flatMapGroupsWithState` keeps ONE fixed-size record (the
+    * open version) regardless of history length, consecutive duplicate
+    * changes collapse in-state, and a version row is EMITTED the moment a
+    * later change closes it — including versions opened in batch 0 and
+    * closed in batch 1, the cross-batch case a per-batch window can't
+    * see. Open versions ride in state and are never emitted (a stream has
+    * no end), so the contract is the batch derivation restricted to
+    * CLOSED versions — exactly what the shared oracle selects
+    * (`valid_to IS NOT NULL`). Order: (us, event_id) within a batch by
+    * explicit sort, across batches by the time split. */
+  def streamScd2Query(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("us"), col("event_type"))
+    val b = ev.agg(min("us").as("mn"), max("us").as("mx")).head()
+    val split = (b.getLong(0) + b.getLong(1)) / 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_stream")
+    dir.toFile.deleteOnExit()
+    stageStreamFile(ev.filter(col("us") <= split), dir, "b0", 1000000L)
+    stageStreamFile(ev.filter(col("us") > split), dir, "b1", 2000000L)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    def update(userId: Long, rows: Iterator[org.apache.spark.sql.Row],
+               state: GroupState[Scd2St]): Iterator[Scd2Out] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+      var st = state.getOption.orNull
+      rows.toSeq.sortBy(r => (r.getLong(2), r.getLong(1))).foreach { r =>
+        val (us, tpe) = (r.getLong(2), r.getString(3))
+        if (st == null) st = Scd2St(tpe, us)
+        else if (st.lastType != tpe) {
+          out += Scd2Out(st.lastType, st.fromUs, us)
+          st = Scd2St(tpe, us)
+        } // duplicate change: collapses, no version
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+    val versions = stream.groupByKey(_.getLong(0))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+    runToCompletion(spark, versions.toDF(), "stream_scd2", OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_versions"),
+           sum(col("valid_to_us") - col("valid_from_us")).as("dwell_us"))
+      .orderBy("event_type")
+  }
+
   final case class CdcRow(k: Long, op: String, st: String, c: Long, seq: Long)
   final case class CdcState(op: String, st: String, c: Long, version: Long)
   final case class CdcOut(k: Long, op: String, st: String, c: Long, version: Long)

@@ -178,6 +178,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === n, s"directory stream carried $got of $n rows")
   }
 
+  test("stream_scd2: versions close across the batch boundary, open tails never emit") {
+    import spark.implicits._
+    EventStreams.streamScd2Query(spark, sf0001).collect()
+    val emitted = spark.table(spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("stream_scd2_")).max)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(emitted.nonEmpty)
+    // recompute the split the query used
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+    val b = ev.agg(min("us"), max("us")).head()
+    val split = (b.getLong(0) + b.getLong(1)) / 2
+    // the cross-batch case: opened in batch 0, closed in batch 1
+    val crossers = emitted.count { case (_, f, t) => f <= split && t > split }
+    assert(crossers > 0, "no version spanned the micro-batch boundary — the cross-batch path went untested")
+    // every emission is CLOSED (to > from); the open tail stays in state
+    emitted.foreach { case (tpe, f, t) => assert(t > f, s"non-closed emission ($tpe, $f, $t)") }
+  }
+
   test("stream_upsert: a later batch's correction overrides, emissions stay delta-sized") {
     import spark.implicits._
     EventStreams.streamUpsertQuery(spark, sf0001).collect()
