@@ -87,6 +87,7 @@ object SparkEntry {
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
     "triangle_count" -> ((s, d) => Ranking.triangleCount(s, d)),
     "rolling_features" -> ((s, d) => Analytics.rollingFeatures(s, d)),
+    "profile_table" -> ((s, d) => Analytics.profileTable(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -184,6 +185,29 @@ object SparkEntry {
       |    ELSE 63.0 * 9223372036854775808.0 / CAST(hv AS DOUBLE) END, 4) AS est_users
       |FROM r WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END
       |ORDER BY event_type""".stripMargin
+
+  /** The table-profile oracle: one UNION ALL branch per profiled column,
+    * each pairing exact null/min/max aggregates with the KMV estimate
+    * replay (the kmvSketchSql structure, ungrouped). */
+  private val profileOracleSql: String = {
+    val cols = Seq("event_id", "user_id", "event_type", "value_cents", "props")
+    val branches = cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls, k.est_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+         |FROM src, (
+         |  SELECT round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+         |      ELSE 63.0 * 9223372036854775808.0 / CAST(hv AS DOUBLE) END, 4) AS est_distinct
+         |  FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn, count(*) OVER () AS nd
+         |        FROM (SELECT DISTINCT CAST(md5_number_lower(CAST($c AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS hv
+         |              FROM src WHERE $c IS NOT NULL) d) r
+         |  WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END) k
+         |GROUP BY k.est_distinct""".stripMargin
+    }
+    "WITH src AS (SELECT event_id, user_id, event_type, " +
+      "CAST(round(value * 100) AS BIGINT) AS value_cents, props FROM events)\n" +
+      branches.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+  }
 
   /** The Count-Min sketch oracle, shared by the batch (weighted updates
     * over word counts) and streaming (weight-1 updates over raw tokens)
@@ -822,6 +846,7 @@ object SparkEntry {
         |t AS (SELECT q, min(bin) AS bin FROM qv, cum, b WHERE cum >= (q * n + 99) // 100 GROUP BY q)
         |SELECT q, CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_price
         |FROM t, b ORDER BY q""".stripMargin,
+    "profile_table" -> profileOracleSql,
     // rolling_features: trailing [t-3600s+1us, t] per-user frame — the
     // inclusive boundary stated identically on both sides; RANGE peers
     // (equal us) included by both engines.

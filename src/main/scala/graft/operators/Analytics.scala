@@ -185,6 +185,41 @@ object Analytics {
       .orderBy("q")
   }
 
+  /** TABLE PROFILE (the "dataset card" pass) — per-column null count,
+    * KMV distinct ESTIMATE, and min/max, for every column in ONE scan:
+    * all per-column aggregates evaluate in a single hash-aggregate row
+    * (no shuffle per column, no column-at-a-time re-scans — at 100 TB a
+    * profiler that scans per column costs |columns|× the table), then
+    * `stack` unpivots the 1-row result into the per-column report.
+    * Distinct counts use `graft_kmv` (fixed ≤k state per column — exact
+    * below k, estimator above, hash-replayable in SQL); the float `value`
+    * column is profiled as integer cents (the repo-wide money convention)
+    * so min/max/hash cross the engines without float-format divergence. */
+  def profileTable(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"), col("props"))
+    val cols = ev.columns.toSeq
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      call_function("graft_kmv", col(c).cast("string"), lit(k)).as(s"${c}__kmv"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = ev.agg(aggs.head, aggs.tail: _*)
+      .select(cols.flatMap { c => Seq(
+        col(s"${c}__nulls"), duckRound(col(s"${c}__kmv"), 4).as(s"${c}__est"),
+        col(s"${c}__min"), col(s"${c}__max"))
+      }: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}__nulls, ${c}__est, ${c}__min, ${c}__max")
+      .mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(column_name, n_nulls, est_distinct, min_s, max_s)")
+      .orderBy("column_name")
+  }
+
   /** TRAILING-WINDOW FEATURE BACKFILL — the feature-store pattern: for
     * every event, its user's activity over the PRECEDING hour (count,
     * cents sum) as a point-in-time-correct feature — the training-serving
