@@ -161,6 +161,18 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("profile_table: one scan, sketches combine map-side, no per-column re-scan") {
+    val plan = finalPlan("profile_table")
+    assert(plan.contains("partial_graft_kmv"),
+      s"per-column KMV sketches lost map-side partial aggregation:\n$plan")
+    // one source scan: a per-column profiler would show one FileScan per
+    // column; this one reads the parquet exactly once (count the FINAL
+    // plan only — the AQE string repeats the tree under "Initial Plan")
+    val finalOnly = plan.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalOnly).size
+    assert(scans == 1, s"expected ONE events scan, got $scans:\n$finalOnly")
+  }
+
   test("rolling_features: one user shuffle feeds the window, the rollup combines map-side") {
     val df = SparkEntry.queries("rolling_features")(spark, sf0001)
     df.collect()
