@@ -111,6 +111,7 @@ object SparkEntry {
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(s, d)),
     "heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "common_passages" -> ((s, d) => TextAnalysis.commonPassages(s, d)),
     "dedup_passages" -> ((s, d) => TextAnalysis.dedupPassages(s, d)),
     "excise_passages" -> ((s, d) => TextAnalysis.excisePassages(s, d)),
@@ -1117,6 +1118,20 @@ object SparkEntry {
         |SELECT word, cnt FROM c
         |WHERE cnt * 200 > (SELECT count(*) FROM toks)
         |ORDER BY word""".stripMargin,
+    // Lift = exp(PMI) as a single divide of exact integer products — no
+    // transcendental to diverge; ORDER BY the rounded score + word tiebreak.
+    "collocations" ->
+      """WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |toks AS (SELECT unnest(ws) AS word FROM d),
+        |uni AS (SELECT word, count(*) AS c_w FROM toks GROUP BY word),
+        |tot AS (SELECT sum(c_w) AS n_tokens FROM uni),
+        |bi AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg FROM d),
+        |bc AS (SELECT bg, count(*) AS c_ab FROM bi GROUP BY bg HAVING count(*) >= 5),
+        |bs AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c_ab FROM bc)
+        |SELECT bs.w1, bs.w2, CAST(bs.c_ab AS BIGINT) AS c_ab,
+        |  round(CAST(t.n_tokens AS DOUBLE) * bs.c_ab / (u1.c_w * u2.c_w), 4) AS lift
+        |FROM bs JOIN uni u1 ON bs.w1 = u1.word JOIN uni u2 ON bs.w2 = u2.word CROSS JOIN tot t
+        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
     // SCALAR range()+unnest, not the range() table function: the table
     // form rejects lateral column arguments, while the scalar form maps
     // len(ws) < 2 to an empty list (zero pair rows) instead of erroring.

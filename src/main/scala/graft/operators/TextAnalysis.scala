@@ -309,6 +309,49 @@ object TextAnalysis {
     docs.select(explode(tokenize(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("exact_count"))
 
+  /** Collocation mining — the statistical-phrase step of a tokenizer /
+    * vocab pipeline (the word2vec "phrase" pass): adjacent word pairs
+    * scored by LIFT = N·c(ab) / (c(a)·c(b)), the exp of PMI. PMI itself is
+    * log(lift); log is monotone, so ranking by the rational lift IS the
+    * PMI ranking while keeping the score a single divide of exact integer
+    * products — bit-identical across engines (no transcendental, the
+    * [[perplexityScore]] philosophy). Bigrams that merely ride two frequent
+    * unigrams ("of the") score ~1; true collocations score ≫ 1.
+    *
+    * Scale shape: bigram generation is scan-side (slice+zip, no shuffle);
+    * one groupBy per n-gram order (vocab-sized, sublinear in corpus);
+    * `c_ab >= minCount` prunes the bigram tail BEFORE the two unigram
+    * joins (Heaps' law: most bigrams are hapax — the filter drops the
+    * bulk); the N-row total is a 1-row broadcast. Final top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def collocations(spark: SparkSession, sfDir: String,
+                   minCount: Int = 5, k: Int = 50): DataFrame =
+    collocationsFrom(Tables.documents(spark, sfDir), minCount, k)
+
+  /** [[collocations]] over an explicit frame with a `text` column. */
+  def collocationsFrom(docsIn: DataFrame, minCount: Int, k: Int): DataFrame = {
+    val docs = docsIn.select(tokenize(col("text")).as("ws"))
+    val uni = docs.select(explode(col("ws")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_w"))
+    val totals = uni.agg(sum("c_w").as("n_tokens"))
+    val n = size(col("ws"))
+    val bi = docs.where(n >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), n - 1), slice(col("ws"), lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    bi.join(uni.select(col("word").as("w1"), col("c_w").as("c_w1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("c_w").as("c_w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        duckRound(col("n_tokens").cast("double") * col("c_ab") /
+          (col("c_w1") * col("c_w2")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Present a materialized CMS `grid` (one row, `array<bigint>` of
     * `depth·width` cells): top-`topn` words by exact count with the grid's
     * estimate read back through the SAME salted hash the build used

@@ -80,6 +80,16 @@ class PlanSpec extends SparkSpecBase {
       s"perplexity scoring join degenerated to a cartesian product:\n$plan")
   }
 
+  test("collocations: n-gram counts combine map-side, totals broadcast, top-k never global-sorts") {
+    val plan = finalPlan("collocations")
+    assert(plan.contains("partial_count"),
+      s"bigram/unigram counting lost its map-side combine (raw token pairs would shuffle):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k degenerated to a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row totals join must broadcast, not cartesian:\n$plan")
+  }
+
   test("heavy_hitters: candidate semi-join broadcasts, recount combines map-side") {
     val plan = finalPlan("heavy_hitters")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),

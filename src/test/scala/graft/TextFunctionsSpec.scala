@@ -195,4 +195,33 @@ class TextFunctionsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     assert(again === out)
   }
+
+  test("collocations: planted phrase tops the lift ranking; independent pairs score near 1") {
+    import spark.implicits._
+    // "zig zag" ALWAYS co-occur (the collocation); "aa"/"bb" are frequent
+    // both together and apart (independent pair — lift stays small); the
+    // lone "qq ww" bigram sits below minCount and must be pruned.
+    // Counts: zig=zag=20, aa=bb=100, N=242 tokens (incl. qq ww).
+    //   lift(zig,zag) = 242·20/(20·20)  = 12.1   (the planted phrase)
+    //   lift(aa,bb)   = 242·100/(100·100) = 2.42
+    //   lift(bb,aa)   = 242·80/(100·100)  = 1.936
+    //   lift(zag,aa)  = 242·20/(20·100)   = 2.42  (doc-boundary bigram)
+    val docs = ((0 until 20).map(i => (i.toLong, "zig zag " + "aa bb " * 5)) :+
+      (99L, "qq ww")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocationsFrom(docs, minCount = 5, k = 50).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.head === (("zig", "zag", 20L, 12.1)),
+      s"the always-adjacent pair must rank first: ${out.toSeq}")
+    val byPair = out.map(t => (t._1, t._2) -> t._4).toMap
+    assert(byPair(("aa", "bb")) === 2.42, "independent frequent pair scores ~ N·c/(c·c)")
+    assert(!byPair.contains(("qq", "ww")), "sub-minCount bigram must be pruned")
+    assert(out.map(_._4).toSeq === out.map(_._4).sortBy(-_).toSeq, "descending lift order")
+    // equal-lift ties break on (w1, w2): (aa,bb) sorts before (zag,aa) at 2.42
+    val ties = out.filter(_._4 == 2.42).map(t => (t._1, t._2)).toSeq
+    assert(ties === Seq(("aa", "bb"), ("zag", "aa")), s"tie order: $ties")
+    // partitioning-invariant (the whole pipeline is agg/join, no order dependence)
+    val again = TextAnalysis.collocationsFrom(docs.repartition(7), 5, 50).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq === out.toSeq)
+  }
 }
