@@ -22,6 +22,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Preflight: every declared query must run. A failure is recorded in
+    // errors.json (class + message) so a regression shows up as a named
+    // error artifact rather than a silently-missing key in the driver's
+    // correctness report (round-7 lesson: 13 queries vanished when the
+    // events.ts parquet type drifted).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,6 +35,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(400)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +53,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

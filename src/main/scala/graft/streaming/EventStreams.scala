@@ -164,9 +164,10 @@ object EventStreams {
     })
     val raw = spark.read.parquet(srcPath)
     val st = spark.readStream.schema(raw.schema).parquet(dir.toString)
-    if (name == "events" && st.schema("ts").dataType == LongType)
-      st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else st
+    // Same ts-vintage normalization as the batch loader (Tables.events):
+    // long-nanos and TIMESTAMP_NTZ both become TimestampType, which
+    // watermarks/window() require.
+    if (name == "events") graft.sources.Tables.normalizeEventTs(st) else st
   }
 
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame =

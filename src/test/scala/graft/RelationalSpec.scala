@@ -79,11 +79,25 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
-  test("events loader yields proper timestamps from nanos parquet") {
+  test("events loader normalizes every ts vintage to TimestampType") {
+    // The driver has shipped events.ts as long-nanos, TIMESTAMP_NTZ, and
+    // plain TIMESTAMP across testdata regenerations (FIXTURES.md); the
+    // loader must yield µs TimestampType for all of them so event-time
+    // queries (window/session_window/watermark) analyze.
+    import org.apache.spark.sql.types._
+    val raw = spark.read.parquet(s"$sf0001/events.parquet").schema("ts").dataType
+    assert(Set[DataType](LongType, TimestampNTZType, TimestampType).contains(raw),
+      s"unknown events.ts vintage $raw — extend Tables.normalizeEventTs")
     val ts = Tables.events(spark, sf0001).select("ts")
-    assert(ts.schema("ts").dataType.typeName === "timestamp")
+    assert(ts.schema("ts").dataType === TimestampType)
     val r = ts.agg(min("ts").cast("string"), max("ts").cast("string")).collect()(0)
     assert(r.getString(0).startsWith("2024-01-01"))
+    // Instant preservation: the NTZ→LTZ cast under the session's pinned UTC
+    // must not shift values — cross-check against a tz-independent read.
+    val rawMicros = graft.sources.Tables.normalizeEventTs(
+      spark.read.parquet(s"$sf0001/events.parquet"))
+      .agg(min(unix_micros(col("ts")))).collect()(0).getLong(0)
+    assert(rawMicros >= 1704067200000000L, s"min ts $rawMicros before 2024-01-01 UTC")
   }
 
   test("hamming1Pairs equals brute force on adversarial strings (odd lengths, low entropy)") {
