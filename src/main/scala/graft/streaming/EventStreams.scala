@@ -193,7 +193,25 @@ object EventStreams {
       spark.catalog.listTables().collect()
         .filter(t => prefixes.exists(p => t.name.startsWith(s"${p}_")))
         .foreach(t => spark.catalog.dropTempView(t.name))
+    unloadStateStores()
   }
+
+  /** Unload every cached state-store provider. A finished bounded-replay
+    * query leaves its providers (full HDFSBackedStateStore version maps —
+    * the whole aggregate state, in memory) loaded in the executor until the
+    * 60s maintenance cycle evicts them; a back-to-back measurement then
+    * runs under the previous run's heap, reading GC pressure as query time
+    * (observed: stream_sessions ×10 warm 16.5s vs 9.4s cold). Local-mode
+    * only concern — a real cluster's checkpoints live across executors and
+    * runs don't share a JVM. `StateStore.unloadAll` is `private[sql]`, so
+    * reach it reflectively; if the internals move, skip silently (hygiene,
+    * not correctness). */
+  def unloadStateStores(): Unit =
+    try {
+      val cls = Class.forName("org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val obj = cls.getField("MODULE$").get(null)
+      cls.getMethod("unloadAll").invoke(obj)
+    } catch { case _: Throwable => () }
 
   /** Replay a bounded source through a streaming query to completion and
     * return the final memory-sink table.

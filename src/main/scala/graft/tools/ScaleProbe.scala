@@ -117,7 +117,13 @@ object ScaleProbe {
     def time(dir: String, q: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Streaming queries pin each run's full memory-sink result in driver
+      // memory until its temp view is dropped — without this, a 10× warm
+      // run measures GC pressure from the cold run's sink, not the query
+      // (observed: stream_sessions warm 14.6s vs cold 8.9s before the drop).
+      graft.streaming.EventStreams.dropSinkTables(spark)
+      dt
     }
     // Two timings at the scaled dir: the FIRST pays any one-time persisted
     // index/artifact build at k× (fresh path → fresh fingerprint), the
