@@ -9,11 +9,28 @@ import org.apache.spark.sql.functions._
   * flags an operator that would not survive the 100 TB scale-up (e.g. an
   * accidental quadratic join); near-linear slopes back the design claims.
   *
-  * Usage: runMain graft.tools.ScaleProbe [mult] [query,query,...]
+  * Usage: runMain graft.tools.ScaleProbe [mult] [query,query,...] [closed|open]
+  *
+  * Vocabulary modes for the documents replicas (3rd arg):
+  *   - `closed` (default): replicas reuse the 1× token multiset (order
+  *     shuffled). The synthetic corpus has a ~31-word vocabulary, so EVERY
+  *     n-gram feature table (shingles, postings, containment bands)
+  *     saturates: feature frequency grows k× while distinct features stay
+  *     constant — the adversarial regime for feature-join dedup, and the
+  *     published dedup_ngram 2.4–3.0 "slopes" are THIS saturation, not the
+  *     algorithm (real corpora follow Heaps' law: vocabulary grows with
+  *     corpus size).
+  *   - `open`: replicas ≥1 additionally get a per-replica lowercase-letter
+  *     suffix on every token ("qx" + replica letter — letters only, so the
+  *     non-letter-split tokenizer keeps it one token). Replica vocabularies
+  *     are disjoint → distinct features grow k×, per-feature frequency
+  *     stays 1×, and near-dup pair structure stays exactly one 1× corpus
+  *     per replica — the Heaps-law-shaped regime the 100 TB design targets.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = if (args.length > 0) args(0).toInt else 10
+    val openVocab = args.length > 2 && args(2) == "open"
     val queries = (if (args.length > 1) args(1).split(",").toSeq
                    else Seq("wc", "dedup_ngram", "dedup_minhash", "dedup_simhash",
                             "similarity_knn", "similarity_ivf", "similarity_ivf_indexed",
@@ -55,8 +72,12 @@ object ScaleProbe {
         .as[(Long, String, String, Long, String)]
         .map { case (id, lang, src, nc, text) =>
           val rnd = new scala.util.Random(id * 1000003L + i)
-          val shuffled = rnd.shuffle(text.split("\\s+").toVector).mkString(" ")
-          (id + i * maxDoc, lang, src, nc, shuffled)
+          val words = rnd.shuffle(text.split("\\s+").toVector)
+          val suffixed = if (openVocab) {
+            val suf = "qx" + ('a' + (i - 1) % 26).toChar
+            words.map(_ + suf)
+          } else words
+          (id + i * maxDoc, lang, src, nc, suffixed.mkString(" "))
         }
         .toDF("doc_id", "lang", "source", "n_chars", "text")
     }
