@@ -139,6 +139,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    "embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
@@ -1569,6 +1570,18 @@ object SparkEntry {
     // semdedup: the same auto-sized k-means chain, then the survivor rule
     // — each dropped vector's dup_of is its smallest same-cell id above
     // the cosine threshold; training, sizing, and decision all replayed.
+    // embed_clusters: same auto-sized k-means chain, then per-cell
+    // population + exemplar (max cosine to the trained centroid, ties to
+    // the smallest vec_id — replayed as max(struct) semantics via
+    // ORDER BY cos DESC, vec_id).
+    "embed_clusters" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3) + """,
+      |sc AS (SELECT CAST(a.cell AS INTEGER) AS cell, a.vec_id,
+      |    list_cosine_similarity(a.emb, c.cemb) AS cos,
+      |    row_number() OVER (PARTITION BY a.cell ORDER BY list_cosine_similarity(a.emb, c.cemb) DESC, a.vec_id) AS rn,
+      |    count(*) OVER (PARTITION BY a.cell) AS n_vecs
+      |  FROM cellv a JOIN cents3 c ON a.cell = c.cent_id)
+      |SELECT cell, n_vecs, vec_id AS exemplar_id, round(cos, 6) AS exemplar_cos
+      |FROM sc WHERE rn = 1 ORDER BY cell""".stripMargin),
     "semdedup" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3) + """,
       |p AS (SELECT b.vec_id AS vec_id, CAST(b.cell AS INTEGER) AS cell, a.vec_id AS keeper
       |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id

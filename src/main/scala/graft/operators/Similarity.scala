@@ -446,6 +446,37 @@ object Similarity {
     * SemDeDup's own — cross-cluster duplicates are out of contract by
     * design. Training, auto-sizing, assignment, and the survivor rule all
     * replay in the SQL oracle. */
+  /** Corpus clustering with per-cluster exemplar selection — the curation
+    * view of the persisted IVF layout ([[ensureIvfIndex]]): every vector's
+    * cluster id, each cluster's population, and its EXEMPLAR (the member
+    * closest to the trained centroid — the row you show a human, embed-
+    * cache, or keep in cluster-balanced sampling). One broadcast join
+    * (k-row codebook) + one partial-agg'd hash aggregate over the corpus:
+    * the argmax is `max(struct(cos, -vec_id))` so ties break to the
+    * smallest id with NO window and no second pass — at 100 TB this is a
+    * single scan of the cells table with map-side combine, and the scan
+    * reuses the fingerprint-gated index every other vector query shares.
+    * Deterministic end to end (trained centroids are bit-identical to the
+    * oracle's replayed Lloyd rounds; cosine is the sequential double fold
+    * both engines compute) → exact SQL oracle. */
+  def embedClusters(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    val nc = ivfCellGrid(Tables.embeddings(spark, sfDir).count())
+    val prefix = ensureIvfIndex(spark, sfDir, nc, iters)
+    spark.table(s"${prefix}_cells")
+      .join(broadcast(spark.table(s"${prefix}_cents")),
+            col("cell") === col("cent_id"))
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+              VectorFunctions.cosine(col("embedding"), col("cemb")).as("cos"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+           max(struct(col("cos").as("cos"), (-col("vec_id")).as("nid"))).as("m"))
+      .select(col("cell"), col("n_vecs"),
+              (-col("m.nid")).as("exemplar_id"),
+              duckRound(col("m.cos"), 6).as("exemplar_cos"))
+      .orderBy("cell")
+  }
+
   def semDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.3,
                numCentroids: Int = 0, iters: Int = 3): DataFrame = {
     val nc =

@@ -226,7 +226,8 @@ object EventStreams {
     * size this to sustained throughput, because it also fixes the state
     * parallelism for the checkpoint's lifetime. */
   private def runToCompletion(spark: SparkSession, streamed: DataFrame,
-                              prefix: String, mode: OutputMode): DataFrame = {
+                              prefix: String, mode: OutputMode,
+                              widthOverride: Option[Int] = None): DataFrame = {
     // drop earlier runs' memory-sink tables (full materialized results
     // pinned in driver memory) — keep at most the table being created
     spark.catalog.listTables().collect()
@@ -235,8 +236,8 @@ object EventStreams {
     sinkPrefixes.add(prefix)
     val name = s"${prefix}_${runSeq.incrementAndGet()}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val streamParts = math.min(prevParts.toInt,
-      spark.conf.get("graft.stream.shufflePartitions", "8").toInt)
+    val streamParts = math.min(prevParts.toInt, widthOverride.getOrElse(
+      spark.conf.get("graft.stream.shufflePartitions", "8").toInt))
     try {
       spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       val q = streamed.writeStream
@@ -324,7 +325,15 @@ object EventStreams {
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-    val result = runToCompletion(spark, joined, "stream_join", OutputMode.Append())
+    // width 4, not the stream default 8: a stream-stream join commits FOUR
+    // state stores per partition per micro-batch, so partition width is its
+    // dominant fixed cost — measured 3.0s at 8 vs 2.2s at 4, while the
+    // other stateful queries (one store each) are flat-to-worse at 4
+    // (SURVEY §6.1 measured-and-rejected). At production rates width is
+    // sized to sustained throughput instead; this is the bounded-replay
+    // verification setting.
+    val result = runToCompletion(spark, joined, "stream_join", OutputMode.Append(),
+      widthOverride = Some(4))
     result.select(col("click_id"), col("purchase_id"), col("user_id"),
                   unix_micros(col("c_ts")).as("click_us"),
                   unix_micros(col("p_ts")).as("purchase_us"))

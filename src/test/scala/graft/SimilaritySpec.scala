@@ -394,6 +394,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again === out)
   }
 
+  test("embedClusters: populations sum to corpus, exemplar is the cell argmax with min-id ties") {
+    val out = Similarity.embedClusters(spark, sf0001).collect()
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    assert(out.map(_.getLong(1)).sum === n, "cluster populations must partition the corpus")
+    assert(out.map(_.getInt(0)).distinct.length === out.length, "one row per cell")
+    // exemplar check via independent recompute: max cosine to centroid,
+    // ties to smallest vec_id
+    val nc = Similarity.ivfCellGrid(n)
+    val prefix = Similarity.ensureIvfIndex(spark, sf0001, nc, 3)
+    val brute = spark.table(s"${prefix}_cells")
+      .join(spark.table(s"${prefix}_cents"), col("cell") === col("cent_id"))
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+              graft.functions.VectorFunctions.cosine(col("embedding"), col("cemb")).as("cos"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        val best = rows.minBy(r => (-r.getDouble(2), r.getLong(1)))
+        cell -> (rows.length.toLong, best.getLong(1))
+      }
+    out.foreach { r =>
+      val (cnt, ex) = brute(r.getInt(0))
+      assert(r.getLong(1) === cnt, s"cell ${r.getInt(0)} population")
+      assert(r.getLong(2) === ex, s"cell ${r.getInt(0)} exemplar")
+    }
+  }
+
   test("planted clusters: ANN and IVF recall sit far ABOVE the scan-fraction floor") {
     // On the driver's isotropic synthetic embeddings every bucketing is a
     // uniform sampler, so measured recall ~ scan fraction — that FLOOR says
