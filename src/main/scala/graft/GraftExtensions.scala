@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash}
+import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, HashEmbed, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -107,6 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_chunks(text, window)")
         ChunkHashes(args.head, intArg(args(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hash_embed(text, dim)")
+        HashEmbed(args.head, intArg(args(1)))
       }))
   }
 

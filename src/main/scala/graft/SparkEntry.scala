@@ -123,6 +123,7 @@ object SparkEntry {
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
+    "embed_documents" -> ((s, d) => TextAnalysis.embedDocuments(s, d)),
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "pack_sequences_sharded" -> ((s, d) => TextAnalysis.packSequencesSharded(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
@@ -1228,6 +1229,16 @@ object SparkEntry {
         |  md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      'https?://[^\s]+', '<URL>', 'g')) AS scrub_fp
         |FROM t ORDER BY doc_id""".stripMargin,
+    // embed_documents: the hashing-trick embedding replayed in SQL — same
+    // md5 token-hash chain as the chunk fingerprints; per dimension i, the
+    // signed count of tokens hashing to it.
+    "embed_documents" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d)
+        |SELECT doc_id, list_transform(range(64), i -> coalesce(CAST(list_sum(
+        |    list_transform(list_filter(hs, x -> x % 64 = i),
+        |                   x -> CASE WHEN (x // 64) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT), 0)) AS emb
+        |FROM h ORDER BY doc_id""".stripMargin,
     "chunk_fingerprint" ->
       """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
         |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),

@@ -550,6 +550,23 @@ object TextAnalysis {
     * native kernel): every 8-token Karp–Rabin chunk hash, summarized as
     * (count, min, max, sum) — the chunk-level-dedup fingerprint, 32-bit
     * arithmetic pinned so DuckDB expresses the identical computation. */
+  /** Feature-hashing document embeddings (hashing trick, Weinberger et al.
+    * 2009) — the deterministic text→vector bridge: each token's 32-bit
+    * hash picks a dimension (`h mod d`) and an unbiasing sign
+    * (`(h div d) mod 2`), and the document embeds as the signed
+    * token-count vector. One codegen'd O(tokens) scan-side pass per
+    * document ([[graft.functions.expressions.HashEmbedKernel]]), fixed
+    * d-long integer state, ZERO shuffle — at 100 TB this is pure map work
+    * that pipelines into whatever consumes the vectors (clustering, ANN,
+    * semantic dedup all accept explicit frames). Integer-exact end to end
+    * (same `md5_number_lower mod 2³²` token-hash chain as the chunk
+    * fingerprints), so the full embedding replays in DuckDB SQL. */
+  def embedDocuments(spark: SparkSession, sfDir: String, dim: Int = 64): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              call_function("graft_hash_embed", col("text"), lit(dim)).as("emb"))
+      .orderBy("doc_id")
+
   def chunkFingerprint(spark: SparkSession, sfDir: String, window: Int = 8): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),

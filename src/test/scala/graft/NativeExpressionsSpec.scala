@@ -247,6 +247,41 @@ class NativeExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("graft_hash_embed: deterministic, order-blind, and identical for exact-duplicate docs") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val emb = graft.operators.TextAnalysis.embedDocuments(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // 1. dimension + mass bounds: |emb|_1 <= token count (each token moves
+    //    exactly one coordinate by ±1)
+    val tokens = docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokenize(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    emb.foreach { case (id, v) =>
+      assert(v.length === 64)
+      assert(v.map(math.abs).sum <= tokens(id).toLong, s"doc $id mass exceeds token count")
+    }
+    // 2. exact-duplicate texts embed identically (planted pair — the
+    //    sf0.001 corpus has no exact dups), and distinct real docs rarely
+    //    collide: the corpus must produce >1 distinct embedding
+    val planted = docs.limit(1).select(col("text")).collect()(0).getString(0)
+    val pair = Seq((1L, planted), (2L, planted)).toDF("doc_id", "text")
+      .select(call_function("graft_hash_embed", col("text"), lit(64)).as("emb"))
+      .collect().map(_.getSeq[Long](0))
+    assert(pair(0) === pair(1), "exact duplicates must embed identically")
+    assert(emb.values.map(_.toVector).toSet.size > 1,
+      "distinct documents should produce distinct embeddings")
+    // 3. a BAG (multiset) embedding is token-ORDER-blind: shuffling words
+    //    preserves it (the property minhash/shingle features do NOT have)
+    val t = "alpha beta gamma delta alpha beta"
+    val shuffled = "beta alpha delta gamma beta alpha"
+    val two = Seq((1L, t), (2L, shuffled)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+              call_function("graft_hash_embed", col("text"), lit(64)).as("emb"))
+      .collect().map(_.getSeq[Long](1))
+    assert(two(0) === two(1))
+  }
+
   test("native expressions are SQL-callable via GraftExtensions") {
     spark.read.parquet(s"$sf0001/embeddings.parquet").limit(2)
       .createOrReplaceTempView("emb_tmp")
