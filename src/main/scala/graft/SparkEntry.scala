@@ -141,6 +141,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
+    "cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
@@ -1581,6 +1582,15 @@ object SparkEntry {
     // semdedup: the same auto-sized k-means chain, then the survivor rule
     // — each dropped vector's dup_of is its smallest same-cell id above
     // the cosine threshold; training, sizing, and decision all replayed.
+    // cluster_sample: the k-means chain, then deterministic per-cell
+    // quotas by digest order — WindowGroupLimit semantics replayed as
+    // row_number <= m.
+    "cluster_sample" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3) + """,
+      |r AS (SELECT CAST(cell AS INTEGER) AS cell, vec_id,
+      |    row_number() OVER (PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |  FROM cellv)
+      |SELECT cell, CAST(rk AS BIGINT) AS rk, vec_id FROM r WHERE rk <= 5
+      |ORDER BY cell, rk""".stripMargin),
     // embed_clusters: same auto-sized k-means chain, then per-cell
     // population + exemplar (max cosine to the trained centroid, ties to
     // the smallest vec_id — replayed as max(struct) semantics via

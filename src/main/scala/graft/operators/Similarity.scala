@@ -477,6 +477,30 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Cluster-balanced deterministic sampling — ≤ `m` vectors per k-means
+    * cell, picked by content-independent digest order (`md5(vec_id)` —
+    * no RNG, no seed plumbing; membership is a pure function of ids, so
+    * the same sample falls out on any cluster, partitioning, or rerun).
+    * The diversity-preserving subsample curation pipelines take AFTER
+    * semantic dedup: uniform sampling keeps mass proportional to cluster
+    * size, per-cell quotas keep COVERAGE. One shuffle on the cell id over
+    * the persisted √N-cell store; Catalyst's WindowGroupLimit pushes the
+    * quota cutoff below the per-cell sort, so no cell ever fully sorts at
+    * 100 TB. */
+  def clusterSample(spark: SparkSession, sfDir: String, m: Int = 5,
+                    iters: Int = 3): DataFrame = {
+    val nc = ivfCellGrid(Tables.embeddings(spark, sfDir).count())
+    val prefix = ensureIvfIndex(spark, sfDir, nc, iters)
+    val w = Window.partitionBy("cell").orderBy(col("h").asc, col("vec_id").asc)
+    spark.table(s"${prefix}_cells")
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+              md5(col("vec_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= m)
+      .select("cell", "rk", "vec_id")
+      .orderBy("cell", "rk")
+  }
+
   def semDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.3,
                numCentroids: Int = 0, iters: Int = 3): DataFrame = {
     val nc =

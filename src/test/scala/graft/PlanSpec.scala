@@ -25,7 +25,8 @@ class PlanSpec extends SparkSpecBase {
     "dedup_clusters", "decontaminate", "decontaminate_indexed", "fuzzy_names",
     "join_orders_customers", "q5_region", "multi_join_agg", "brand_revenue",
     "similarity_ivf", "similarity_ivf_indexed", "knn_join", "tfidf_terms",
-    "bm25_search", "grep_filter", "grep_indexed", "topk_words", "corpus_export")
+    "bm25_search", "grep_filter", "grep_indexed", "topk_words", "corpus_export",
+    "cluster_sample", "embed_clusters")
 
   private lazy val plans: Map[String, String] =
     heavy.map(n => n -> finalPlan(n)).toMap
@@ -236,6 +237,19 @@ class PlanSpec extends SparkSpecBase {
   test("top-k is a TakeOrderedAndProject, not a global sort") {
     assert(plans("topk_words").contains("TakeOrderedAndProject"),
       plans("topk_words"))
+  }
+
+  test("cluster_sample pushes its quota below the per-cell sort (WindowGroupLimit)") {
+    assert(plans("cluster_sample").contains("WindowGroupLimit"),
+      s"per-cell quota not pushed down:\n${plans("cluster_sample")}")
+  }
+
+  test("embed_clusters aggregates without a window and reads the persisted cells store") {
+    val plan = plans("embed_clusters")
+    assert(plan.contains("graft_ivf_"),
+      s"embed_clusters does not read the persisted index:\n$plan")
+    assert(!plan.contains("Window"),
+      s"embed_clusters must argmax via max(struct), not a window pass:\n$plan")
   }
 
   test("ranking queries read persisted statistics tables, not corpus re-scans") {
