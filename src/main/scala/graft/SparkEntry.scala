@@ -142,6 +142,7 @@ object SparkEntry {
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
+    "semdedup_text" -> ((s, d) => Similarity.semDedupText(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
@@ -306,9 +307,11 @@ object SparkEntry {
     * `Similarity.ivfSampleStride` re-derived in integer SQL); the final
     * assignment `asgF`/`cellv` covers the whole corpus — exactly the
     * engine's split. */
-  private def ivfCtesExpr(ncExpr: String, iters: Int): String = {
+  private def ivfCtesExpr(ncExpr: String, iters: Int,
+                          sourceSql: String =
+                            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    sb ++= s"""WITH e AS ($sourceSql),
       |iv AS (SELECT vec_id, i, CAST(floor(emb[i+1] * 1048576.0) AS BIGINT) AS ivx FROM e, range(64) t(i)),
       |ncell AS ($autoCellCte),
       |strd AS (SELECT greatest(1, (SELECT count(*) FROM e) // (4 * $ncExpr)) AS s),
@@ -1582,6 +1585,21 @@ object SparkEntry {
     // semdedup: the same auto-sized k-means chain, then the survivor rule
     // — each dropped vector's dup_of is its smallest same-cell id above
     // the cosine threshold; training, sizing, and decision all replayed.
+    // semdedup_text: the whole text→vector→cluster→dedup bridge replayed
+    // in SQL — hashed doc embeddings as the k-means source, then the
+    // same-cell min-id survivor rule at cosine >= 0.8.
+    "semdedup_text" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3,
+      """SELECT doc_id AS vec_id, CAST(list_transform(range(64), i -> coalesce(CAST(list_sum(
+        |      list_transform(list_filter(hs, x -> x % 64 = i),
+        |                     x -> CASE WHEN (x // 64) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT), 0)) AS DOUBLE[]) AS emb
+        |  FROM (SELECT doc_id, list_transform(
+        |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> ''),
+        |      w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM documents)""".stripMargin) + """,
+      |p AS (SELECT b.vec_id AS vec_id, CAST(b.cell AS INTEGER) AS cell, a.vec_id AS keeper
+      |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8)
+      |SELECT vec_id, cell, min(keeper) AS dup_of FROM p GROUP BY vec_id, cell
+      |ORDER BY vec_id""".stripMargin),
     // cluster_sample: the k-means chain, then deterministic per-cell
     // quotas by digest order — WindowGroupLimit semantics replayed as
     // row_number <= m.

@@ -477,6 +477,45 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** SEMANTIC dedup of raw TEXT, end to end — the full bridge in one
+    * operator: documents → [[graft.operators.TextAnalysis.embedDocuments]]
+    * (hashing-trick vectors, scan-side codegen, zero shuffle) → the same
+    * deterministic auto-sized k-means + same-cell survivor rule as
+    * [[semDedup]]. Catches re-renderings that share word DISTRIBUTIONS but
+    * not word order or exact n-grams — the layer between `dedup_exact`
+    * (identical bytes) and `dedup_ngram`/`dedup_minhash` (shared shingle
+    * sets): bag-of-words cosine is order-blind by construction. Everything
+    * — hashing, training, sizing, assignment, the drop decision — replays
+    * integer-exact in the SQL oracle. In-query training (the
+    * `similarity_ivf` form): the hashed vectors are cheaper to recompute
+    * than to persist, and the corpus store stays single-sourced. */
+  def semDedupText(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
+                   dim: Int = 64, iters: Int = 3): DataFrame =
+    semDedupFrom(spark.table(s"${ensureTextIvfIndex(spark, sfDir, dim, iters)}_cells"),
+                 threshold)
+
+  /** Fingerprint-gated persisted k-means layout over the HASHED document
+    * embeddings — the text-side twin of [[ensureIvfIndex]], gated on the
+    * `documents` source (the vectors are a pure function of the text, so
+    * the gate is exactly the text fingerprint). Every text→vector consumer
+    * (semantic text dedup today; text ANN tomorrow) shares this store the
+    * way the vector family shares the embeddings index. */
+  def ensureTextIvfIndex(spark: SparkSession, sfDir: String,
+                         dim: Int = 64, iters: Int = 3): String = {
+    val e = graft.operators.TextAnalysis.embedDocuments(spark, sfDir, dim)
+      .select(col("doc_id").as("vec_id"),
+              col("emb").cast("array<float>").as("embedding"))
+    val nc = ivfCellGrid(Tables.documents(spark, sfDir).count())
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val prefix = s"graft_tivf_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_d${dim}k${nc}i$iters"
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")
+    graft.sources.Warehouse.ensureDerivedTables(spark,
+      Seq(s"${prefix}_cents", s"${prefix}_cells"), fp) {
+      buildIvfIndexFrom(e, prefix, nc, iters)
+    }
+    prefix
+  }
+
   /** Cluster-balanced deterministic sampling — ≤ `m` vectors per k-means
     * cell, picked by content-independent digest order (`md5(vec_id)` —
     * no RNG, no seed plumbing; membership is a pure function of ids, so

@@ -394,6 +394,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again === out)
   }
 
+  test("semDedupText catches order-scrambled paraphrases that shingle dedup cannot see") {
+    import spark.implicits._
+    // A scrambled re-rendering shares ZERO word trigrams with its original
+    // (the regime dedup_ngram/minhash are blind to) but has identical
+    // bag-of-words, hence hashed-embedding cosine exactly 1.
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hill"
+    val scrambled = "hill quiet the on falls rain while dog lazy the over jumps fox brown quick the"
+    val distinct = "galaxies rotate slowly around unseen mass as spectra shift toward red frequencies"
+    val docs = Seq((0L, base), (1L, scrambled), (2L, distinct)).toDF("doc_id", "text")
+    val e = docs.select(col("doc_id").as("vec_id"),
+      call_function("graft_hash_embed", col("text"), lit(64)).cast("array<float>").as("embedding"))
+    val cents = Similarity.kmeansCodebook(e, 2, 3, 1)
+    val out = Similarity.semDedupFrom(Similarity.assignCells(e, cents), 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.get(1L).contains(0L), "scrambled paraphrase must dedup to its original")
+    assert(!out.contains(2L), "semantically distinct doc must survive")
+    // and the shingle layer really is blind to it: no shared 3-gram
+    val sh = docs.select(col("doc_id"),
+      call_function("graft_shingles", col("text"), lit(3)).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(0L).intersect(sh(1L)).isEmpty, "fixture must share zero trigrams")
+  }
+
   test("embedClusters: populations sum to corpus, exemplar is the cell argmax with min-id ties") {
     val out = Similarity.embedClusters(spark, sf0001).collect()
     val e = graft.sources.Tables.embeddings(spark, sf0001)
