@@ -143,6 +143,7 @@ object SparkEntry {
     "embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "semdedup_text" -> ((s, d) => Similarity.semDedupText(s, d)),
+    "similar_docs" -> ((s, d) => Similarity.similarDocs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
@@ -307,6 +308,17 @@ object SparkEntry {
     * `Similarity.ivfSampleStride` re-derived in integer SQL); the final
     * assignment `asgF`/`cellv` covers the whole corpus — exactly the
     * engine's split. */
+  /** Hashed-document-embedding source for text-side vector oracles
+    * (`semdedup_text`, `similar_docs`): the graft_hash_embed chain in SQL,
+    * yielding `(vec_id, emb DOUBLE[])` from `documents`. */
+  private val textEmbSourceSql: String =
+    """SELECT doc_id AS vec_id, CAST(list_transform(range(64), i -> coalesce(CAST(list_sum(
+      |      list_transform(list_filter(hs, x -> x % 64 = i),
+      |                     x -> CASE WHEN (x // 64) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT), 0)) AS DOUBLE[]) AS emb
+      |  FROM (SELECT doc_id, list_transform(
+      |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> ''),
+      |      w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM documents)""".stripMargin
+
   private def ivfCtesExpr(ncExpr: String, iters: Int,
                           sourceSql: String =
                             "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"): String = {
@@ -1585,16 +1597,22 @@ object SparkEntry {
     // semdedup: the same auto-sized k-means chain, then the survivor rule
     // — each dropped vector's dup_of is its smallest same-cell id above
     // the cosine threshold; training, sizing, and decision all replayed.
+    // similar_docs: the ivf-search oracle with the hashed-doc-embedding
+    // source — probes rank the codebook, neighbors come from nprobe cells.
+    "similar_docs" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3, textEmbSourceSql) + s""",
+      |pc AS (SELECT probe_id, probe_emb, cell FROM (
+      |  SELECT e.vec_id AS probe_id, e.emb AS probe_emb, c.cent_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
+      |  FROM e, cents3 c WHERE e.vec_id < 10) WHERE rn <= 2),
+      |s AS (SELECT probe_id, a.vec_id AS neighbor_id, list_cosine_similarity(probe_emb, a.emb) AS cos,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, a.emb) DESC, a.vec_id) AS rn
+      |  FROM cellv a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
+      |ORDER BY probe_id, rnk""".stripMargin),
     // semdedup_text: the whole text→vector→cluster→dedup bridge replayed
     // in SQL — hashed doc embeddings as the k-means source, then the
     // same-cell min-id survivor rule at cosine >= 0.8.
-    "semdedup_text" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3,
-      """SELECT doc_id AS vec_id, CAST(list_transform(range(64), i -> coalesce(CAST(list_sum(
-        |      list_transform(list_filter(hs, x -> x % 64 = i),
-        |                     x -> CASE WHEN (x // 64) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT), 0)) AS DOUBLE[]) AS emb
-        |  FROM (SELECT doc_id, list_transform(
-        |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> ''),
-        |      w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM documents)""".stripMargin) + """,
+    "semdedup_text" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3, textEmbSourceSql) + """,
       |p AS (SELECT b.vec_id AS vec_id, CAST(b.cell AS INTEGER) AS cell, a.vec_id AS keeper
       |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8)

@@ -516,6 +516,23 @@ object Similarity {
     prefix
   }
 
+  /** Similar-document retrieval over RAW TEXT — IVF search against the
+    * persisted TEXT index ([[ensureTextIvfIndex]]): probe documents rank
+    * the stored codebook, dynamic partition pruning bounds the corpus read
+    * to `nprobe` cell directories, and similarity is bag-of-words cosine
+    * over the hashed embeddings. "More like this" without any external
+    * embedding model, sharing [[searchIvfIndex]] with the vector family —
+    * and the whole chain (hashing included) replays in the SQL oracle. */
+  def similarDocs(spark: SparkSession, sfDir: String, numProbes: Int = 10,
+                  k: Int = 5, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    val prefix = ensureTextIvfIndex(spark, sfDir, dim)
+    val probes = graft.operators.TextAnalysis.embedDocuments(spark, sfDir, dim)
+      .filter(col("doc_id") < numProbes)
+      .select(col("doc_id").as("probe_id"),
+              col("emb").cast("array<float>").as("probe_emb"))
+    searchIvfIndex(spark, prefix, probes, k, nprobe)
+  }
+
   /** Cluster-balanced deterministic sampling — ≤ `m` vectors per k-means
     * cell, picked by content-independent digest order (`md5(vec_id)` —
     * no RNG, no seed plumbing; membership is a pure function of ids, so
