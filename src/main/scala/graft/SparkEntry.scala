@@ -144,6 +144,8 @@ object SparkEntry {
     "cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "semdedup_text" -> ((s, d) => Similarity.semDedupText(s, d)),
     "similar_docs" -> ((s, d) => Similarity.similarDocs(s, d)),
+    "stream_cluster_assign" -> ((s, d) =>
+      graft.streaming.EventStreams.streamClusterAssignQuery(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
@@ -1597,6 +1599,16 @@ object SparkEntry {
     // semdedup: the same auto-sized k-means chain, then the survivor rule
     // — each dropped vector's dup_of is its smallest same-cell id above
     // the cosine threshold; training, sizing, and decision all replayed.
+    // stream_cluster_assign: the batch nearest-centroid assignment over
+    // the delta docs — argmax replayed as row_number over (cos DESC,
+    // cent_id); arrival order can't show (argmax is commutative).
+    "stream_cluster_assign" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3, textEmbSourceSql) + s""",
+      |d AS (SELECT vec_id, emb FROM e WHERE vec_id % 10 = 0),
+      |r AS (SELECT d.vec_id AS doc_id, c.cent_id, list_cosine_similarity(d.emb, c.cemb) AS cos,
+      |    row_number() OVER (PARTITION BY d.vec_id ORDER BY list_cosine_similarity(d.emb, c.cemb) DESC, c.cent_id) AS rn
+      |  FROM d, cents3 c)
+      |SELECT doc_id, CAST(cent_id AS INTEGER) AS cell, round(cos, 6) AS cos
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     // similar_docs: the ivf-search oracle with the hashed-doc-embedding
     // source — probes rank the codebook, neighbors come from nprobe cells.
     "similar_docs" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3, textEmbSourceSql) + s""",

@@ -493,6 +493,42 @@ object EventStreams {
       .orderBy("user_id", "start_us")
   }
 
+  /** Driver-verified: streaming CLUSTER ASSIGNMENT of arriving documents —
+    * each delta doc is hashed-embedded PER ROW in the stream
+    * (`graft_hash_embed`, stateless scan-side kernel, zero shuffle), scored
+    * against the persisted text codebook by a stream-static broadcast
+    * join, and classified to its nearest centroid. The per-doc argmax is a
+    * `max(struct(cos, -cent_id))` aggregate — ties to the smallest cell,
+    * same rule as the batch family. This bounded-replay form materializes
+    * in Complete mode (state = one struct per delta doc); at production
+    * rates the classification is a pure per-row map (the codebook rides as
+    * a broadcast) and an ingest-time watermark bounds the aggregate. The
+    * final table is arrival-order independent (argmax is commutative), so
+    * the batch assignment SQL is the exact oracle — the streaming half of
+    * the text→vector bridge: route arriving documents to topic/quality
+    * cells the moment they land. */
+  def streamClusterAssignQuery(spark: SparkSession, sfDir: String,
+                               dim: Int = 64): DataFrame = {
+    import graft.operators.{IncrementalDedup, Similarity}
+    val prefix = Similarity.ensureTextIvfIndex(spark, sfDir, dim)
+    val cents = spark.table(s"${prefix}_cents")
+    val scored = tableStream(spark, sfDir, "documents")
+      .filter(col("doc_id") % IncrementalDedup.DeltaMod === 0)
+      .select(col("doc_id"),
+              call_function("graft_hash_embed", col("text"), lit(dim))
+                .cast("array<float>").as("emb"))
+      .join(broadcast(cents))
+      .select(col("doc_id"), col("cent_id"),
+              graft.functions.VectorFunctions.cosine(col("emb"), col("cemb")).as("cos"))
+    val agg = scored.groupBy("doc_id")
+      .agg(max(struct(col("cos").as("cos"),
+                      (-col("cent_id")).cast("long").as("nc"))).as("m"))
+    runToCompletion(spark, agg, "stream_cluster", OutputMode.Complete())
+      .select(col("doc_id"), (-col("m.nc")).cast("int").as("cell"),
+              duckRound(col("m.cos"), 6).as("cos"))
+      .orderBy("doc_id")
+  }
+
   /** Driver-verified: streaming NEAR-dup dedup — the incremental-ingest
     * pipeline ([[graft.operators.IncrementalDedup]]) run as a real
     * streaming query. Each arriving delta document is fingerprinted

@@ -304,6 +304,27 @@ class StreamingSpec extends SparkSpecBase {
              .collect().head.getLong(1))
   }
 
+  test("stream_cluster_assign equals the batch nearest-centroid assignment") {
+    // The streaming half of the text→vector bridge: per-row hashed
+    // embedding + broadcast codebook scoring must land every delta doc in
+    // the same cell the batch path assigns, regardless of micro-batching.
+    val out = graft.streaming.EventStreams.streamClusterAssignQuery(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val prefix = graft.operators.Similarity.ensureTextIvfIndex(spark, sf0001)
+    val batch = graft.operators.Similarity
+      .assignCells(
+        graft.operators.TextAnalysis.embedDocuments(spark, sf0001)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("vec_id"),
+                  col("emb").cast("array<float>").as("embedding")),
+        spark.table(s"${prefix}_cents"))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(out.keySet === batch.keySet)
+    out.foreach { case (id, cell) =>
+      assert(cell === batch(id), s"doc $id: stream cell $cell != batch ${batch(id)}")
+    }
+  }
+
   test("streamed ingest: intra-batch near-dups caught, stored pairs table duplicate-free under replay") {
     import graft.operators.IncrementalDedup
     import graft.operators.IncrementalDedup.IndexParams
