@@ -28,6 +28,35 @@ object Verify {
     // correctness report (round-7 lesson: 13 queries vanished when the
     // events.ts parquet type drifted).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Schema preflight (VERDICT r7 directive 2): assert the NORMALIZED
+    // contract of the drift-prone tables before running anything, so a
+    // regenerated parquet surfaces as one named "_preflight/..." error
+    // entry naming the table and type, not as N scattered analysis
+    // failures. Mirrors SchemaPreflightSpec, but runs in the driver's own
+    // gate where no test suite is in the loop.
+    locally {
+      import org.apache.spark.sql.types._
+      def expect(table: String, col: String, dt: DataType, actual: DataType): Unit =
+        if (actual != dt)
+          errors(s"_preflight/$table.$col") =
+            s"expected $dt after the loader, testdata now yields $actual — " +
+              "normalize it in graft.sources.Tables"
+      try {
+        val ev = graft.sources.Tables.events(spark, sfDir).schema
+        expect("events", "ts", TimestampType, ev("ts").dataType)
+        expect("events", "user_id", LongType, ev("user_id").dataType)
+        val em = graft.sources.Tables.embeddings(spark, sfDir).schema
+        expect("embeddings", "embedding",
+          ArrayType(FloatType, em("embedding").dataType
+            .asInstanceOf[ArrayType].containsNull), em("embedding").dataType)
+        val dc = graft.sources.Tables.documents(spark, sfDir).schema
+        expect("documents", "text", StringType, dc("text").dataType)
+        expect("documents", "doc_id", LongType, dc("doc_id").dataType)
+      } catch { case e: Throwable =>
+        errors("_preflight") = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(400)}"
+      }
+      errors.foreach { case (k, v) => System.err.println(s"[verify] $k: $v") }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
