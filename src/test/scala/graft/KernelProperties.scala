@@ -82,6 +82,29 @@ object KernelProperties extends Properties("graft.kernels") {
       rh.size <= math.max(clean.length - w + 1, 0)
     }
 
+  private def hashEmbedArr(t: String, dim: Int): Array[Long] =
+    graft.functions.expressions.HashEmbedKernel
+      .hashEmbed(UTF8String.fromString(t), dim).toLongArray()
+
+  property("hashEmbed: bag ADDITIVITY — embed(a ⧺ b) = embed(a) + embed(b)") =
+    forAll(text, text) { (a, b) =>
+      val joint = hashEmbedArr(a + " " + b, 64)
+      val parts = hashEmbedArr(a, 64).zip(hashEmbedArr(b, 64)).map { case (x, y) => x + y }
+      joint.sameElements(parts)
+    }
+
+  property("hashEmbed: ℓ1 mass ≤ token count with matching parity (each token moves one coord ±1)") =
+    forAll(text) { t =>
+      val n = TextFunctions.tokenizeScala(t).length
+      val l1 = hashEmbedArr(t, 64).map(math.abs).sum
+      l1 <= n && (n - l1) % 2 == 0
+    }
+
+  property("hashEmbed: token-order blind (bag semantics)") = forAll(words) { ws =>
+    hashEmbedArr(ws.mkString(" "), 64)
+      .sameElements(hashEmbedArr(ws.reverse.mkString(" "), 64))
+  }
+
   property("md5Low64: deterministic, matches DuckDB known vector") =
     Prop(TextAnalysis.md5Low64("hola") == 4661870554814853716L) &&
       forAll(word) { w => TextAnalysis.md5Low64(w) == TextAnalysis.md5Low64(w) }
