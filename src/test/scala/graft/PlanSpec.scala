@@ -322,6 +322,17 @@ class PlanSpec extends SparkSpecBase {
       s"cell scan is not dynamically pruned:\n$plan")
   }
 
+  test("similar_docs prunes the TEXT index's cell partitions dynamically") {
+    // The text-retrieval twin of the IVF property: the persisted hashed-
+    // embedding store is partitioned by cell, and the probe's ranked cells
+    // must arrive as a runtime partition filter.
+    val plan = finalPlan("similar_docs")
+    assert(plan.contains("graft_tivf_"),
+      s"similar_docs does not read the persisted text index:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"text cell scan is not dynamically pruned:\n$plan")
+  }
+
   test("ivfpq_search reads nprobe cells of the partitioned CODE table, pruned dynamically") {
     val plan = finalPlan("ivfpq_search")
     assert(plan.contains("graft_ivfpq"),
