@@ -144,6 +144,7 @@ object SparkEntry {
     "cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "semdedup_text" -> ((s, d) => Similarity.semDedupText(s, d)),
     "similar_docs" -> ((s, d) => Similarity.similarDocs(s, d)),
+    "text_recall" -> ((s, d) => Similarity.textRecall(s, d)),
     "stream_cluster_assign" -> ((s, d) =>
       graft.streaming.EventStreams.streamClusterAssignQuery(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -262,6 +263,31 @@ object SparkEntry {
   /** recall@k of `approxSql` against `truthSql` — both nested verbatim as
     * WITH-subqueries, so each recall oracle is literally the composition
     * of the two search oracles it measures. */
+  /** similar_docs' full oracle: the text-embedding k-means chain + the
+    * nprobe-cell IVF search (shared by `similar_docs` and `text_recall`). */
+  private lazy val similarDocsSql: String =
+    ivfCtesExpr("(SELECT nc FROM ncell)", 3, textEmbSourceSql) + s""",
+      |pc AS (SELECT probe_id, probe_emb, cell FROM (
+      |  SELECT e.vec_id AS probe_id, e.emb AS probe_emb, c.cent_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
+      |  FROM e, cents3 c WHERE e.vec_id < 10) WHERE rn <= 2),
+      |s AS (SELECT probe_id, a.vec_id AS neighbor_id, list_cosine_similarity(probe_emb, a.emb) AS cos,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, a.emb) DESC, a.vec_id) AS rn
+      |  FROM cellv a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Exact cosine top-k over the HASHED document embeddings — text_recall's
+    * truth side (knnBruteSql with the text-embedding source). */
+  private lazy val textBruteSql: String =
+    s"""WITH e AS ($textEmbSourceSql),
+      |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id < 10),
+      |s AS (SELECT probe_id, vec_id AS neighbor_id, list_cosine_similarity(probe_emb, emb) AS cos,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, emb) DESC, vec_id) AS rn
+      |  FROM p, e WHERE vec_id <> probe_id)
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
   private def recallOracle(truthSql: String, approxSql: String): String =
     s"""WITH truth AS (SELECT probe_id, neighbor_id FROM ($truthSql) t),
        |approx AS (SELECT probe_id, neighbor_id FROM ($approxSql) a),
@@ -1611,16 +1637,11 @@ object SparkEntry {
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     // similar_docs: the ivf-search oracle with the hashed-doc-embedding
     // source — probes rank the codebook, neighbors come from nprobe cells.
-    "similar_docs" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3, textEmbSourceSql) + s""",
-      |pc AS (SELECT probe_id, probe_emb, cell FROM (
-      |  SELECT e.vec_id AS probe_id, e.emb AS probe_emb, c.cent_id AS cell,
-      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
-      |  FROM e, cents3 c WHERE e.vec_id < 10) WHERE rn <= 2),
-      |s AS (SELECT probe_id, a.vec_id AS neighbor_id, list_cosine_similarity(probe_emb, a.emb) AS cos,
-      |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, a.emb) DESC, a.vec_id) AS rn
-      |  FROM cellv a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
-      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= 5
-      |ORDER BY probe_id, rnk""".stripMargin),
+    "similar_docs" -> similarDocsSql,
+    // text_recall: the recall instrument over the text bridge — exact
+    // hashed-cosine brute force as truth, text IVF search as approx,
+    // the metric composed from both full oracles.
+    "text_recall" -> recallOracle(textBruteSql, similarDocsSql),
     // semdedup_text: the whole text→vector→cluster→dedup bridge replayed
     // in SQL — hashed doc embeddings as the k-means source, then the
     // same-cell min-id survivor rule at cosine >= 0.8.

@@ -533,6 +533,19 @@ object Similarity {
     searchIvfIndex(spark, prefix, probes, k, nprobe)
   }
 
+  /** Recall@k of [[similarDocs]] (text IVF search) against the exact
+    * hashed-cosine brute force — [[searchRecall]]'s discipline applied to
+    * the text bridge: both searches are deterministic, so the instrument
+    * itself is SQL-oracle-checked. */
+  def textRecall(spark: SparkSession, sfDir: String,
+                 numProbes: Int = 10, k: Int = 5): DataFrame = {
+    val e = graft.operators.TextAnalysis.embedDocuments(spark, sfDir)
+      .select(col("doc_id").as("vec_id"),
+              col("emb").cast("array<float>").as("embedding"))
+    searchRecall(knnBruteFrom(e, numProbes, k),
+                 similarDocs(spark, sfDir, numProbes, k))
+  }
+
   /** Cluster-balanced deterministic sampling — ≤ `m` vectors per k-means
     * cell, picked by content-independent digest order (`md5(vec_id)` —
     * no RNG, no seed plumbing; membership is a pure function of ids, so
