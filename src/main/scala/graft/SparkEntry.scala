@@ -160,6 +160,8 @@ object SparkEntry {
     "merge_upsert" -> ((s, d) => Pipeline.mergeUpsert(s, d)),
     "scd2_history" -> ((s, d) => Pipeline.scd2History(s, d)),
     "agg_incremental" -> ((s, d) => Pipeline.aggIncremental(s, d)),
+    "snapshot_diff" -> ((s, d) => Pipeline.snapshotDiff(s, d)),
+    "train_shuffle" -> ((s, d) => Pipeline.trainShuffle(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -179,6 +181,7 @@ object SparkEntry {
     "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
     "media_resize" -> ((s, d) => Media.mediaResize(s, d)),
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
+    "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
   )
 
   /** The KMV distinct-count oracle, shared by the batch and streaming
@@ -1509,6 +1512,37 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) AS sum_cents
         |FROM m WHERE op IS NULL OR op <> 'D'
         |GROUP BY st ORDER BY st""".stripMargin,
+    // snapshot_diff: the same mod-class state-B derivation replayed over
+    // documents; the diff itself is the digest-compare full-outer join.
+    "snapshot_diff" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |mx AS (SELECT max(doc_id) AS mxk FROM docs),
+        |a AS (SELECT doc_id, md5(text) AS sig_a FROM docs),
+        |b AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN CAST(doc_id % 7 AS INTEGER) = 3 THEN text || ' (rev2)' ELSE text END) AS sig_b
+        |  FROM docs WHERE CAST(doc_id % 13 AS INTEGER) <> 5
+        |  UNION ALL
+        |  SELECT d.doc_id + mx.mxk, md5(d.text) FROM docs d, mx WHERE CAST(d.doc_id % 11 AS INTEGER) = 2),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |        CASE WHEN a.doc_id IS NULL THEN 'added'
+        |             WHEN b.doc_id IS NULL THEN 'removed'
+        |             WHEN sig_a <> sig_b THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+    // train_shuffle: both hash roles replay exactly — the Knuth shard mix
+    // in BIGINT arithmetic, the md5 order key as a string; the per-shard
+    // row_number is the same window on both engines.
+    "train_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  CAST(((doc_id * 2654435761 + 17) % 4294967296) % 8 AS INTEGER) AS shard,
+        |  md5('17:' || CAST(doc_id AS VARCHAR)) AS okey
+        |  FROM documents)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM k ORDER BY shard, pos""".stripMargin,
     // stream_upsert: merge_upsert's semantics with batch-1 corrections —
     // even U keys end at +200 (last write wins), odd at +100.
     "stream_upsert" ->
@@ -1784,5 +1818,17 @@ object SparkEntry {
         |SELECT kind, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  max(width) AS max_width, max(n_frames) AS max_frames
         |FROM d GROUP BY kind ORDER BY kind""".stripMargin,
+    // media_dedup: the engine digests real container bytes and groups by
+    // md5; the oracle predicts the planted re-upload groups from
+    // provenance (doc_id % 9 == 4 ⇒ one byte-identical copy, canonical =
+    // the original id). A match proves encoder determinism AND that no
+    // unplanned digest collision exists anywhere in the asset universe —
+    // any extra or merged group on the Spark side breaks equality.
+    "media_dedup" ->
+      """WITH m AS (SELECT doc_id AS canonical_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents WHERE CAST(doc_id % 9 AS INTEGER) = 4)
+        |SELECT canonical_id, kind, CAST(2 AS BIGINT) AS n_copies
+        |FROM m ORDER BY canonical_id""".stripMargin,
   )
 }

@@ -340,6 +340,56 @@ object Media {
     }
   }
 
+  /** Asset stream with deterministic RE-UPLOADS: every doc with
+    * `doc_id % 9 == 4` is re-encoded a second time under a fresh identity
+    * (`media_id + max(doc_id)`) — byte-identical payload, new id. This is
+    * the commonest multimodal-corpus pathology (the same image mirrored,
+    * re-crawled, or re-uploaded under a different URL/id), derived
+    * deterministically from the fixture the same way [[graft.operators
+    * .Pipeline.mergeUpsert]] derives its changelog, so the oracle can
+    * predict it. The duplicate payload is built by the SAME encoder call —
+    * byte identity is a property the digest has to discover, not an
+    * artifact of sharing one array (each row serializes its own copy). */
+  def assetsWithReuploads(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    // ≤1-row bounds read (the repo's argmax/bounds-read class, not a
+    // driver-side loop): the id offset for re-upload identities.
+    val mx = graft.sources.Tables.documents(spark, sfDir)
+      .agg(max("doc_id")).as[Long].head()
+    assetsFromDocuments(spark, sfDir).flatMap { a =>
+      if (a.media_id % 9 == 4) Seq(a, a.copy(media_id = a.media_id + mx))
+      else Seq(a)
+    }
+  }
+
+  /** Multimodal DEDUP: group assets by payload digest, report every group
+    * with more than one copy (canonical = smallest id — the dedup family's
+    * survivor rule). The asset universe is [[assetsWithReuploads]], so the
+    * expected groups are exactly the planted re-uploads — but the engine
+    * has no access to that provenance: it digests real container bytes
+    * (map-side md5, inside the scan projection), shuffles only
+    * `(kind, 16-byte digest, id)` — never a payload — and lets the
+    * group-by find byte-identical assets. At 100 TB this is THE media
+    * dedup shape: payload bytes stay where they were read, the shuffle
+    * carries fixed-width digests, and the canonical-survivor rule is one
+    * partial-agg'd min. The oracle predicts the planted groups from
+    * provenance; a match additionally proves the encoders are
+    * deterministic functions of (branch, content) and that NO unplanned
+    * digest collisions exist anywhere in the universe. */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    dedupAssets(assetsWithReuploads(spark, sfDir))
+
+  /** The digest-group core over an explicit asset frame (spec entry
+    * point): map-side md5 of the payload, shuffle only the digest. */
+  private[graft] def dedupAssets(assets: Dataset[MediaAsset]): DataFrame =
+    assets.toDF()
+      .select(col("media_id"), col("kind"), md5(col("payload")).as("sig"))
+      .groupBy("kind", "sig")
+      .agg(min("media_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+      .select("canonical_id", "kind", "n_copies")
+      .orderBy("canonical_id")
+
   /** Per-kind rollup over decoded metadata. */
   def mediaStats(spark: SparkSession, sfDir: String): DataFrame =
     decodeAll(assetsFromDocuments(spark, sfDir), HeaderDecoder)

@@ -461,6 +461,87 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  /** SNAPSHOT DIFF — the INVERSE of the CDC family: [[mergeUpsert]] turns a
+    * changelog into state, [[scd2History]] into history, [[aggIncremental]]
+    * into a maintained view; this DERIVES the changelog from two corpus
+    * snapshots when no feed exists (the common case for crawled/vendored
+    * corpora: you get a new drop, not a diff). State B derives
+    * deterministically from the fixture (the [[mergeUpsert]] mod-class
+    * convention): `doc_id % 13 == 5` removed, else `% 7 == 3` revised
+    * (text + " (rev2)"), `% 11 == 2` additionally re-added past max id.
+    *
+    * Mechanics: each side collapses to `(doc_id, md5(text))` IN THE SCAN
+    * PROJECTION, the full-outer join compares 16-byte digests, and only
+    * non-`unchanged` rows survive. At 100 TB the join shuffles
+    * id+fingerprint pairs — never document bodies — and with both
+    * snapshots bucketed on doc_id (the warehouse layout) it is
+    * shuffle-free; output size tracks the CHANGE RATE. Changed docs are
+    * detected by content, so a bit-identical re-crawl costs nothing
+    * downstream (the diff is empty ⇒ every fingerprint-gated artifact
+    * stays valid). */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val a = docs.select(col("doc_id"), md5(col("text")).as("sig_a"))
+    val mx = docs.agg(max("doc_id").as("mxk"))
+    val b = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 3, concat(col("text"), lit(" (rev2)")))
+              .otherwise(col("text"))).as("sig_b"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 2)
+        .crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("mxk")).as("doc_id"),
+                md5(col("text")).as("sig_b")))
+    diffFingerprints(a, b)
+  }
+
+  /** The digest-compare core over explicit `(doc_id, sig_a)` / `(doc_id,
+    * sig_b)` fingerprint frames (spec entry point). */
+  private[graft] def diffFingerprints(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("sig_a").isNull, lit("added"))
+          .when(col("sig_b").isNull, lit("removed"))
+          .when(col("sig_a") =!= col("sig_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("doc_id")
+
+  /** DETERMINISTIC TRAINING SHUFFLE: the reproducible global permutation a
+    * training run needs — every epoch's read order derivable from
+    * `(epoch, doc_id)` alone, no materialized permutation, no RNG state.
+    * Two hash roles, deliberately different:
+    *   - shard assignment: a Knuth multiplicative hash on the id
+    *     (`(doc_id·2654435761 + epoch) mod 2³² mod nShards`) — pure integer
+    *     codegen arithmetic, no string materialization where the
+    *     partitioner runs (at real scale this is xxhash64; the 2³²
+    *     mix keeps the oracle in exact BIGINT range);
+    *   - within-shard order: md5 of `"epoch:doc_id"` — a collision-resistant
+    *     order key, so the order is indistinguishable from random but
+    *     bit-reproducible on both engines.
+    * The window is per-shard (`row_number` PARTITION BY shard), so the sort
+    * parallelizes across shards — there is NO global row_number (a
+    * single-partition window is the classic 100 TB trap). A data-parallel
+    * trainer with `nShards` readers consumes shard s in pos order; the
+    * interleaved global order is (pos, shard) round-robin by construction.
+    * Changing `epoch` re-deals both hashes — a fresh shuffle per epoch
+    * with zero state carried between epochs. */
+  def trainShuffle(spark: SparkSession, sfDir: String,
+                   nShards: Int = 8, epoch: Int = 17): DataFrame = {
+    val keyed = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        pmod(pmod(col("doc_id") * lit(2654435761L) + lit(epoch.toLong),
+                  lit(4294967296L)), lit(nShards.toLong)).cast("int").as("shard"),
+        md5(concat(lit(s"$epoch:"), col("doc_id").cast("string"))).as("okey"))
+    keyed
+      .select(col("shard"),
+        row_number().over(
+          Window.partitionBy("shard").orderBy("okey", "doc_id"))
+          .cast("bigint").as("pos"),
+        col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
   /** Driver-contract round trip of the written export: write the shard
     * files, then recompute the accounting FROM THE FILES — sharing
     * [[exportShards]]'s oracle, so the bytes on disk (not the frame that

@@ -193,4 +193,30 @@ class MediaSpec extends SparkSpecBase {
     assert(rows.map(_.getString(0)).toSet === Set("image", "audio", "video"))
     assert(rows.map(_.getLong(1)).sum === 500)
   }
+
+  test("mediaDedup: digest grouping finds exactly the planted re-uploads") {
+    val out = Media.mediaDedup(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val expected = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out.map(_.getAs[Long]("canonical_id")).toSeq === expected)
+    assert(out.forall(_.getAs[Long]("n_copies") == 2L))
+  }
+
+  test("mediaDedup: one flipped payload byte breaks the pair (the digest reads bytes)") {
+    import spark.implicits._
+    val a = Media.assetsFromDocuments(spark, sf0001)
+      .filter(_.media_id == 4).head()
+    val flipped = a.payload.clone()
+    flipped(flipped.length - 1) = (flipped(flipped.length - 1) ^ 1).toByte
+    val assets = Seq(
+      a,
+      a.copy(media_id = a.media_id + 1000),                    // exact re-upload
+      a.copy(media_id = a.media_id + 2000, payload = flipped)  // 1-bit variant
+    ).toDS()
+    val groups = Media.dedupAssets(assets).collect()
+    assert(groups.length === 1, "only the byte-identical pair groups")
+    assert(groups(0).getAs[Long]("canonical_id") === a.media_id)
+    assert(groups(0).getAs[Long]("n_copies") === 2L)
+  }
 }

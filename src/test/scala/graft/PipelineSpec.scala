@@ -242,4 +242,47 @@ class PipelineSpec extends SparkSpecBase {
     assert(touched(sortedU, u0lo, u0hi).size === sortedU.size,
       "time-sorted files should all intersect the user box (nothing prunes)")
   }
+
+  test("snapshotDiff: statuses partition exactly by the derived mod classes") {
+    val out = Pipeline.snapshotDiff(spark, sf0001)
+    val byStatus = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val removed = ids.count(_ % 13 == 5).toLong
+    val changed = ids.count(id => id % 13 != 5 && id % 7 == 3).toLong
+    val added = ids.count(_ % 11 == 2).toLong
+    assert(byStatus.getOrElse("removed", 0L) === removed)
+    assert(byStatus.getOrElse("changed", 0L) === changed)
+    assert(byStatus.getOrElse("added", 0L) === added)
+    assert(out.count() === removed + changed + added)
+  }
+
+  test("diffFingerprints: identical snapshots diff to empty") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = docs.select(col("doc_id"), md5(col("text")).as("sig_a"))
+    val b = docs.select(col("doc_id"), md5(col("text")).as("sig_b"))
+    assert(Pipeline.diffFingerprints(a, b).count() === 0)
+  }
+
+  test("trainShuffle: deterministic, complete, contiguous positions, epoch-sensitive") {
+    val s1 = Pipeline.trainShuffle(spark, sf0001, nShards = 4, epoch = 7)
+    val rows = s1.collect()
+    assert(Pipeline.trainShuffle(spark, sf0001, nShards = 4, epoch = 7)
+      .collect().toSeq === rows.toSeq, "same epoch replays bit-identically")
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length.toLong === n,
+      "a permutation: every doc exactly once")
+    val byShard = rows.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.size === 4)
+    assert(byShard.values.map(_.length).max <
+           2 * byShard.values.map(_.length).min, "hash keeps shards balanced")
+    byShard.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to rs.length).toSeq,
+        "per-shard positions are 1..size with no gaps") }
+    val e2 = Pipeline.trainShuffle(spark, sf0001, nShards = 4, epoch = 8).collect()
+    assert(e2.map(r => (r.getInt(0), r.getLong(2))).toSeq !==
+           rows.map(r => (r.getInt(0), r.getLong(2))).toSeq,
+      "a new epoch re-deals the permutation")
+  }
 }
