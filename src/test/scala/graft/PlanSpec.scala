@@ -341,4 +341,38 @@ class PlanSpec extends SparkSpecBase {
       s"code scan is not dynamically pruned to the probed cells:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
+
+  test("media_dedup: the shuffle carries digests, never payload bytes") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }).flatMap(flatten)
+    val df = SparkEntry.queries("media_dedup")(spark, sf0001)
+    df.collect()
+    val exchanges = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.nonEmpty, "expected the digest group-by shuffle")
+    exchanges.foreach { e =>
+      val carried = e.output.map(_.name)
+      assert(!carried.contains("payload"),
+        s"payload bytes cross an Exchange: $carried") }
+  }
+
+  test("train_shuffle: the permutation window is per-shard, never single-partition") {
+    val plan = finalPlan("train_shuffle")
+    // the row_number window must partition by shard...
+    assert(plan.contains("row_number"), s"missing the window:\n$plan")
+    assert("hashpartitioning\\(shard".r.findFirstIn(plan).isDefined,
+      s"window shuffle is not hash-partitioned on shard:\n$plan")
+    // ...and nothing in the plan may collapse to one partition except the
+    // driver-side presentation sort (rangepartitioning), which at scale is
+    // the per-shard file write instead.
+    assert(!plan.contains("SinglePartition"),
+      s"a single-partition Exchange would serialize the permutation:\n$plan")
+  }
 }
