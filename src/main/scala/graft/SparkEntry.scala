@@ -162,6 +162,7 @@ object SparkEntry {
     "agg_incremental" -> ((s, d) => Pipeline.aggIncremental(s, d)),
     "snapshot_diff" -> ((s, d) => Pipeline.snapshotDiff(s, d)),
     "train_shuffle" -> ((s, d) => Pipeline.trainShuffle(s, d)),
+    "epoch_plan" -> ((s, d) => Pipeline.epochPlan(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
     "similarity_ivf" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -1542,6 +1543,28 @@ object SparkEntry {
         |SELECT shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT) AS pos,
         |  doc_id
+        |FROM k ORDER BY shard, pos""".stripMargin,
+    // epoch_plan: pack_sequences' CTE chain re-used to derive the sequence
+    // universe (explode each doc's span, collapse), then the train_shuffle
+    // hash roles dealt per (lang, seq) — identical integer mix and md5 on
+    // both engines.
+    "epoch_plan" ->
+      """WITH d AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ts FROM documents),
+        |t AS (SELECT doc_id, lang, CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS n_tokens FROM d),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+        |      FROM t WHERE n_tokens > 0),
+        |p AS (SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS ss,
+        |             CAST((cum - 1) // 2048 AS BIGINT) AS es FROM c),
+        |s AS (SELECT lang, CAST(unnest(range(ss, es + 1)) AS BIGINT) AS seq_id FROM p),
+        |g AS (SELECT lang, seq_id, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY lang, seq_id),
+        |k AS (SELECT lang, seq_id, n_docs,
+        |        CAST((((seq_id * 131 + ascii(lang) * 7 + 17) * 2654435761) % 4294967296) % 8 AS INTEGER) AS shard,
+        |        md5('17:' || lang || ':' || CAST(seq_id AS VARCHAR)) AS okey
+        |      FROM g)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, lang, seq_id) AS BIGINT) AS pos,
+        |  lang, seq_id, n_docs
         |FROM k ORDER BY shard, pos""".stripMargin,
     // stream_upsert: merge_upsert's semantics with batch-1 corrections —
     // even U keys end at +200 (last write wins), odd at +100.

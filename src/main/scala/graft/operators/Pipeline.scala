@@ -542,6 +542,44 @@ object Pipeline {
       .orderBy("shard", "pos")
   }
 
+  /** EPOCH PLAN — [[trainShuffle]] composed over [[TextAnalysis
+    * .packSequences]]: the manifest a trainer actually consumes. The unit
+    * of training is the PACKED SEQUENCE, not the document (documents span
+    * sequence boundaries), so the epoch permutation must deal sequences:
+    * each (lang, seq_id) — with its doc-span count, the cross-boundary
+    * stat data loaders need — is hash-dealt to a reader shard and ordered
+    * within the shard by an epoch-seeded md5 key, per-shard windows as in
+    * [[trainShuffle]]. The sequence universe comes from exploding each
+    * doc's `[start_seq, end_seq]` span and collapsing — one shuffle of
+    * (lang, seq) pairs; everything else is scan-side hashing. Reader s of
+    * nShards streams shard s in pos order; a new epoch re-deals
+    * statelessly; the packing itself is epoch-invariant (sequence ids and
+    * spans don't change), so re-planning an epoch never re-packs. */
+  def epochPlan(spark: SparkSession, sfDir: String, budget: Int = 2048,
+                nShards: Int = 8, epoch: Int = 17): DataFrame = {
+    val seqs = TextAnalysis.packSequences(spark, sfDir, budget)
+      .select(col("lang"),
+        explode(sequence(col("start_seq"), col("end_seq"))).as("seq_id"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"))
+    // Integer mix over (seq, lang, epoch) for the shard deal (codegen
+    // arithmetic, exact BIGINT range on both engines; xxhash64 at real
+    // scale), md5 for the within-shard order — the trainShuffle roles.
+    val keyed = seqs.select(col("lang"), col("seq_id"), col("n_docs"),
+      pmod(pmod((col("seq_id") * lit(131L) + ascii(col("lang")) * lit(7L) +
+                 lit(epoch.toLong)) * lit(2654435761L),
+                lit(4294967296L)), lit(nShards.toLong)).cast("int").as("shard"),
+      md5(concat_ws(":", lit(epoch.toString), col("lang"),
+                    col("seq_id").cast("string"))).as("okey"))
+    keyed
+      .select(col("shard"),
+        row_number().over(
+          Window.partitionBy("shard").orderBy("okey", "lang", "seq_id"))
+          .cast("bigint").as("pos"),
+        col("lang"), col("seq_id"), col("n_docs"))
+      .orderBy("shard", "pos")
+  }
+
   /** Driver-contract round trip of the written export: write the shard
     * files, then recompute the accounting FROM THE FILES — sharing
     * [[exportShards]]'s oracle, so the bytes on disk (not the frame that

@@ -285,4 +285,23 @@ class PipelineSpec extends SparkSpecBase {
            rows.map(r => (r.getInt(0), r.getLong(2))).toSeq,
       "a new epoch re-deals the permutation")
   }
+
+  test("epochPlan: every packed sequence dealt exactly once, spans consistent with packing") {
+    val plan = Pipeline.epochPlan(spark, sf0001).collect()
+    // the sequence universe is exactly the packed (lang, 0..max end_seq) set
+    val packed = graft.operators.TextAnalysis.packSequences(spark, sf0001)
+      .groupBy("lang").agg(max("end_seq").as("mx")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = packed.toSeq.flatMap { case (l, mx) => (0L to mx).map(l -> _) }.toSet
+    assert(plan.map(r => r.getString(2) -> r.getLong(3)).toSet === expected,
+      "each (lang, seq) exactly once, none missing, none invented")
+    // n_docs >= 1 always; sequences crossing doc boundaries exist
+    assert(plan.forall(_.getAs[Long]("n_docs") >= 1L))
+    assert(plan.exists(_.getAs[Long]("n_docs") >= 2L),
+      "packing should produce boundary-crossing sequences")
+    // deterministic replay; per-shard positions contiguous
+    assert(Pipeline.epochPlan(spark, sf0001).collect().toSeq === plan.toSeq)
+    plan.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length).toSeq) }
+  }
 }
