@@ -375,4 +375,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("SinglePartition"),
       s"a single-partition Exchange would serialize the permutation:\n$plan")
   }
+
+  test("snapshot_diff: the diff join moves fingerprints, never document text") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }).flatMap(flatten)
+    val df = SparkEntry.queries("snapshot_diff")(spark, sf0001)
+    df.collect()
+    flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+      .foreach { e =>
+        val carried = e.output.map(_.name)
+        assert(!carried.contains("text"),
+          s"document text crosses an Exchange: $carried") }
+  }
 }
