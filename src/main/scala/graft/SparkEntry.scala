@@ -104,6 +104,7 @@ object SparkEntry {
     "stream_quantile_sketch" -> ((s, d) => graft.streaming.EventStreams.streamQuantileSketchQuery(s, d)),
     "stream_upsert" -> ((s, d) => graft.streaming.EventStreams.streamUpsertQuery(s, d)),
     "stream_scd2" -> ((s, d) => graft.streaming.EventStreams.streamScd2Query(s, d)),
+    "stream_snapshot_diff" -> ((s, d) => graft.streaming.EventStreams.streamSnapshotDiffQuery(s, d)),
     "stream_freq_sketch" -> ((s, d) => graft.streaming.EventStreams.streamFreqSketchQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
@@ -559,6 +560,27 @@ object SparkEntry {
     * `dedup_ngram`, for `dedup_minhash` (LSH + exact verification provably
     * equals the exact join at the threshold, see the inline note), and the
     * edge list under `dedup_clusters`' connected components. */
+  /** Shared by `snapshot_diff` (batch) and `stream_snapshot_diff` — the
+    * streaming form's contract is row-for-row equality with the batch
+    * diff, so both keys hash-compare against one truth. */
+  private val snapshotDiffSql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |mx AS (SELECT max(doc_id) AS mxk FROM docs),
+      |a AS (SELECT doc_id, md5(text) AS sig_a FROM docs),
+      |b AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN CAST(doc_id % 7 AS INTEGER) = 3 THEN text || ' (rev2)' ELSE text END) AS sig_b
+      |  FROM docs WHERE CAST(doc_id % 13 AS INTEGER) <> 5
+      |  UNION ALL
+      |  SELECT d.doc_id + mx.mxk, md5(d.text) FROM docs d, mx WHERE CAST(d.doc_id % 11 AS INTEGER) = 2),
+      |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |        CASE WHEN a.doc_id IS NULL THEN 'added'
+      |             WHEN b.doc_id IS NULL THEN 'removed'
+      |             WHEN sig_a <> sig_b THEN 'changed'
+      |             ELSE 'unchanged' END AS status
+      |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
+
   private val ngramPairsSql: String =
     """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
@@ -1515,23 +1537,11 @@ object SparkEntry {
         |GROUP BY st ORDER BY st""".stripMargin,
     // snapshot_diff: the same mod-class state-B derivation replayed over
     // documents; the diff itself is the digest-compare full-outer join.
-    "snapshot_diff" ->
-      """WITH docs AS (SELECT doc_id, text FROM documents),
-        |mx AS (SELECT max(doc_id) AS mxk FROM docs),
-        |a AS (SELECT doc_id, md5(text) AS sig_a FROM docs),
-        |b AS (
-        |  SELECT doc_id,
-        |         md5(CASE WHEN CAST(doc_id % 7 AS INTEGER) = 3 THEN text || ' (rev2)' ELSE text END) AS sig_b
-        |  FROM docs WHERE CAST(doc_id % 13 AS INTEGER) <> 5
-        |  UNION ALL
-        |  SELECT d.doc_id + mx.mxk, md5(d.text) FROM docs d, mx WHERE CAST(d.doc_id % 11 AS INTEGER) = 2),
-        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-        |        CASE WHEN a.doc_id IS NULL THEN 'added'
-        |             WHEN b.doc_id IS NULL THEN 'removed'
-        |             WHEN sig_a <> sig_b THEN 'changed'
-        |             ELSE 'unchanged' END AS status
-        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
-        |SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+    "snapshot_diff" -> snapshotDiffSql,
+    // stream_snapshot_diff: identical contract — the streaming form's
+    // added/changed/removed classification must land on the batch answer
+    // row for row, so the oracle IS the batch oracle.
+    "stream_snapshot_diff" -> snapshotDiffSql,
     // train_shuffle: both hash roles replay exactly — the Knuth shard mix
     // in BIGINT arithmetic, the md5 order key as a string; the per-shard
     // row_number is the same window on both engines.

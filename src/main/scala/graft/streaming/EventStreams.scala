@@ -583,6 +583,58 @@ object EventStreams {
   final case class Scd2St(lastType: String, fromUs: Long)
   final case class Scd2Out(event_type: String, valid_from_us: Long, valid_to_us: Long)
 
+  /** Driver-verified: SNAPSHOT DIFF as the new corpus drop STREAMS IN —
+    * the streaming twin of [[graft.operators.Pipeline.snapshotDiff]]
+    * (same mod-class state-B derivation, same oracle). `added`/`changed`
+    * are decided per row the moment a drop file lands: a STATELESS
+    * stream-static join against the old snapshot's (id, md5) frame — no
+    * state stores, nothing accumulates, so drop size never pressures
+    * memory. `unchanged` rows are emitted (not dropped) so the sink's id
+    * set is the arrived-B universe; `removed` — undecidable before the
+    * drop ends, since absence has no arrival event — is one end-of-stream
+    * anti-join over fingerprints. Final frame = batch snapshotDiff,
+    * row for row. */
+  def streamSnapshotDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val a = docs.select(col("doc_id"), md5(col("text")).as("sig_a"))
+    val mxk = docs.agg(max("doc_id")).head().getLong(0)
+    // state B: the same mod-class derivation as the batch snapshot_diff
+    val b = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 3, concat(col("text"), lit(" (rev2)")))
+              .otherwise(col("text"))).as("sig_b"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 2)
+        .select((col("doc_id") + lit(mxk)).as("doc_id"),
+                md5(col("text")).as("sig_b")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapdiff_stream")
+    dir.toFile.deleteOnExit()
+    stageStreamFile(b.filter(col("doc_id") % 2 === 0), dir, "b0", 1000000L)
+    stageStreamFile(b.filter(col("doc_id") % 2 === 1), dir, "b1", 2000000L)
+    val stream = spark.readStream.schema(b.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // added/changed are per-ROW decidable the moment a drop file lands:
+    // a stateless stream-static join against the old snapshot's
+    // fingerprint frame (zero state stores — nothing accumulates).
+    // `unchanged` rows are EMITTED, not dropped: the sink's id set is the
+    // arrived-B universe the end-of-drop pass needs.
+    val statused = stream.join(a, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("sig_a").isNull, lit("added"))
+          .when(col("sig_a") =!= col("sig_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+    val emitted = runToCompletion(spark, statused, "stream_snapdiff",
+                                  OutputMode.Append())
+    // `removed` is NOT incrementally decidable — absence from a drop is
+    // only known when the drop ends — so it is one end-of-stream anti-join
+    // of the old snapshot against the arrived ids (fingerprint-sized).
+    val removed = a.join(emitted, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("removed").as("status"))
+    emitted.filter(col("status") =!= "unchanged")
+      .unionByName(removed)
+      .orderBy("doc_id")
+  }
+
   /** Driver-verified: SCD TYPE-2 versions derived IN-STREAM — the
     * streaming twin of [[graft.operators.Pipeline.scd2History]], closing
     * the CDC×streaming matrix (merge has [[streamUpsertQuery]], history

@@ -638,4 +638,14 @@ class StreamingSpec extends SparkSpecBase {
         s"overlay$suf diverged from the clean run's streamed delta after replay")
     }
   }
+
+  test("streamSnapshotDiffQuery equals the batch snapshotDiff row for row") {
+    val streamed = graft.streaming.EventStreams
+      .streamSnapshotDiffQuery(spark, sf0001).collect().toSeq
+    val batch = graft.operators.Pipeline
+      .snapshotDiff(spark, sf0001).collect().toSeq
+    assert(streamed === batch)
+    // all three statuses actually exercised across the two micro-batches
+    assert(streamed.map(_.getString(1)).toSet === Set("added", "removed", "changed"))
+  }
 }
