@@ -48,7 +48,9 @@ object ScaleProbe {
                             "export_zorder", "semdedup",
                             "session_window_agg", "stream_distinct_sketch",
                             "pack_sequences_sharded", "ann_recall",
-                            "ivf_recall")).toList
+                            "ivf_recall", "snapshot_diff", "train_shuffle",
+                            "media_dedup", "epoch_plan",
+                            "stream_snapshot_diff")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)
