@@ -128,6 +128,9 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "pack_sequences_sharded" -> ((s, d) => TextAnalysis.packSequencesSharded(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
+    "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
+    "source_mix" -> ((s, d) => TextAnalysis.sourceMix(s, d)),
+    "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(s, d)),
     "bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
     "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
@@ -1177,6 +1180,53 @@ object SparkEntry {
         |  CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS bpe_tokens
         |FROM d ORDER BY doc_id""".stripMargin,
     "quality_score" -> s"$qualityScoreSql\nORDER BY doc_id",
+    // quality_filter: every rule decided in INTEGER arithmetic
+    // (cross-multiplied thresholds), so boundary docs can't split the
+    // engines on float division; flags surface as 0/1 INTs.
+    "quality_filter" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT doc_id, len(ws) AS nw,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','it'))) AS nstop,
+        |  COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS totlen,
+        |  greatest(len(ws) - 2, 0) AS ngr,
+        |  len(list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END)) AS ndist FROM d)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  CAST(nw >= 10 AS INTEGER) AS pass_words,
+        |  CAST(nw > 0 AND totlen >= nw * 3 AND totlen <= nw * 8 AS INTEGER) AS pass_word_len,
+        |  CAST(nw > 0 AND nstop * 20 >= nw AS INTEGER) AS pass_stopwords,
+        |  CAST(ngr = 0 OR ndist * 5 >= ngr AS INTEGER) AS pass_repetition,
+        |  CAST(nw >= 10 AND totlen >= nw * 3 AND totlen <= nw * 8
+        |       AND nstop * 20 >= nw AND (ngr = 0 OR ndist * 5 >= ngr) AS INTEGER) AS keep
+        |FROM e ORDER BY doc_id""".stripMargin,
+    // source_mix: per-doc token/quality exprs shared verbatim with the
+    // quality_score oracle; the share divides exact BIGINT token sums.
+    "source_mix" ->
+      """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT source,
+        |  CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks,
+        |  CAST(len(ws) AS DOUBLE) AS nw,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) AS nstop,
+        |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) AS totlen FROM d),
+        |q AS (SELECT source, toks, CASE WHEN nw > 0 THEN
+        |  round(least(nw / 50.0, 1.0) * 0.5 + least(nstop / nw * 5.0, 1.0) * 0.3 +
+        |        CASE WHEN totlen / nw BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) END AS quality FROM e),
+        |s AS (SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |      round(avg(quality), 4) AS avg_quality FROM q GROUP BY source)
+        |SELECT source, n_docs, total_tokens,
+        |  round(CAST(total_tokens AS DOUBLE) / (SELECT sum(total_tokens) FROM s), 4) AS token_share,
+        |  avg_quality
+        |FROM s ORDER BY source""".stripMargin,
+    // doc_chunks: 1-based char grid replayed with the same substring
+    // semantics (both engines clamp past end-of-string, char not byte).
+    "doc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) >= 1),
+        |c AS (SELECT doc_id, text, len, unnest(range(0, (len - 1) // 48 + 1)) AS idx FROM d)
+        |SELECT doc_id, idx AS chunk_id, idx * 48 + 1 AS chunk_start,
+        |  least(64, len - idx * 48) AS chunk_len,
+        |  md5(substring(text, CAST(idx * 48 + 1 AS INTEGER), 64)) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // perplexity_score: corpus-trained bigram LM surprisal in WHOLE BITS —
     // per-token bits = length(bin(c(w1))) − length(bin(c(w1,w2))), the
     // integer ⌊log2⌋ both engines compute identically on binary-string

@@ -423,6 +423,104 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Rule-based quality FILTER with per-rule verdicts — the op that sits in
+    * front of every pretraining corpus (the C4/Gopher "repetition + shape"
+    * rules): where [[qualityScore]] emits one blended score, this emits the
+    * DECISION — each rule's pass flag plus the conjunction — because a real
+    * pipeline needs per-rule attribution (which rule cut how much of which
+    * source) to tune thresholds, not just a scalar.
+    *
+    * Every rule is evaluated in INTEGER arithmetic (cross-multiplied
+    * thresholds: `20·stop ≥ words` instead of `stop/words ≥ 0.05`), so
+    * both engines decide each boundary document identically — no float
+    * division, no rounding epsilon, no NULL-on-zero-division edge.
+    *
+    * 100 TB: one codegen'd scan pass (tokenize + the `graft_shingles`
+    * distinct-trigram kernel per row), zero shuffles before the
+    * presentation sort — the same slope class as `quality_score`. */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = tokenize(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(ws).cast("bigint").as("nw"),
+        size(filter(ws, w => w.isin(Stopwords: _*))).cast("bigint").as("nstop"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("bigint")).as("totlen"),
+        greatest(size(ws) - 2, lit(0)).cast("bigint").as("ngr"),
+        size(call_function("graft_shingles", col("text"), lit(3))).cast("bigint").as("ndist"))
+      .select(col("doc_id"), col("nw").as("n_words"),
+        // ≥ 10 words: too-short fragments carry no training signal
+        (col("nw") >= 10).cast("int").as("pass_words"),
+        // mean word length in [3, 8] chars: outside = code/garbage/spam
+        (col("nw") > 0 && col("totlen") >= col("nw") * 3 &&
+         col("totlen") <= col("nw") * 8).cast("int").as("pass_word_len"),
+        // ≥ 5% stopwords: natural prose has function words
+        (col("nw") > 0 && col("nstop") * 20 >= col("nw")).cast("int").as("pass_stopwords"),
+        // ≤ 80% repeated trigrams: heavy repetition = boilerplate/loops
+        (col("ngr") === 0 || col("ndist") * 5 >= col("ngr")).cast("int").as("pass_repetition"))
+      .withColumn("keep",
+        (col("pass_words") === 1 && col("pass_word_len") === 1 &&
+         col("pass_stopwords") === 1 && col("pass_repetition") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus COMPOSITION report — the mixture designer's input: per source,
+    * document count, total (BPE-ish) token mass, the source's share of
+    * corpus tokens, and mean quality. This is the table a data team reads
+    * before choosing `mixture_sample` weights: shares say what the corpus
+    * IS, weights say what the training mix SHOULD BE.
+    *
+    * 100 TB: per-doc token/quality exprs ride the scan (codegen); the
+    * groupBy carries one partial row per (partition, source) — sources
+    * number in the dozens, so the shuffle is O(partitions). The global
+    * token total for the share column is a window over the AGGREGATED
+    * frame (|sources| rows), not the corpus — at scale that is one extra
+    * single-partition pass over a handful of rows, not a data shuffle. */
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = qualityExprs
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"),
+              bpeTokenCount(col("text")).as("toks"),
+              when(q.nWords > 0, q.quality).as("quality"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("toks").as("total_tokens"),
+           duckRound(avg("quality"), 4).as("avg_quality"))
+    perSource
+      .withColumn("token_share",
+        duckRound(col("total_tokens").cast("double") /
+                  sum("total_tokens").over(Window.partitionBy()), 4))
+      .select("source", "n_docs", "total_tokens", "token_share", "avg_quality")
+      .orderBy("source")
+  }
+
+  /** Fixed-window document CHUNKING — the retrieval/context-window prep
+    * step: each document becomes overlapping `width`-char chunks on a
+    * `stride`-char grid (overlap = width − stride keeps boundary-spanning
+    * phrases inside at least one chunk). Emits the chunk MAP — `(doc_id,
+    * chunk_id, start, chunk_len, chunk_fp)` with an md5 content
+    * fingerprint per chunk — rather than duplicated text: downstream
+    * consumers (embedding jobs, chunk-level dedup) re-slice lazily from
+    * the source column, so the materialized output is O(chunks), not
+    * O(chunks × width) bytes.
+    *
+    * 100 TB: pure narrow scan — sequence/posexplode/substring/md5 all
+    * codegen inside one stage, no shuffle before the presentation sort;
+    * output rows ≈ corpus_chars / stride. */
+  def docChunks(spark: SparkSession, sfDir: String,
+                width: Int = 64, stride: Int = 48): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= 1)
+      .select(col("doc_id"), col("text"), col("len"),
+              posexplode(sequence(lit(0L), expr(s"CAST((len - 1) div $stride AS BIGINT)"))))
+      .toDF("doc_id", "text", "len", "chunk_id", "idx")
+      .select(col("doc_id"),
+        col("chunk_id").cast("bigint").as("chunk_id"),
+        (col("idx") * stride + 1).cast("bigint").as("chunk_start"),
+        least(lit(width.toLong), col("len") - col("idx") * stride).cast("bigint").as("chunk_len"),
+        md5(expr(s"substring(text, CAST(idx * $stride + 1 AS INT), $width)")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+
   private val StreamMarkers = Seq("stream", "window", "event")
   private val TableMarkers = Seq("table", "row", "column")
   private val JoinMarkers = Seq("join", "merge", "hash")

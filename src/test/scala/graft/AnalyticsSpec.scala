@@ -229,4 +229,69 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(2)).sum ==
       graft.sources.Tables.documents(spark, sf0001).count())
   }
+
+  test("qualityFilter: 0/1 flags, keep is their conjunction, rules discriminate") {
+    val rows = TextAnalysis.qualityFilter(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    val flagCols = Seq("pass_words", "pass_word_len", "pass_stopwords", "pass_repetition")
+    rows.foreach { r =>
+      val flags = flagCols.map(c => r.getInt(idx(c)))
+      flags.foreach(f => assert(f == 0 || f == 1, s"flag out of {0,1}: $r"))
+      assert(r.getInt(idx("keep")) === flags.product,
+        s"keep must be the conjunction of the rule flags: $r")
+      assert((r.getInt(idx("pass_words")) == 1) === (r.getLong(idx("n_words")) >= 10))
+    }
+    // the filter must actually cut: both verdicts occur on the corpus
+    val keeps = rows.map(_.getInt(idx("keep"))).toSet
+    assert(keeps === Set(0, 1), s"filter is degenerate on the corpus: $keeps")
+  }
+
+  test("sourceMix: shares sum to 1, doc/token totals reconcile with the corpus") {
+    val rows = TextAnalysis.sourceMix(spark, sf0001).collect()
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    assert(rows.map(_.getString(idx("source"))).distinct.length === rows.length)
+    assert(rows.map(_.getLong(idx("n_docs"))).sum ===
+      graft.sources.Tables.documents(spark, sf0001).count())
+    // per-source shares of the exact token sums re-add to 1 (4dp rounding
+    // leaves at most n_sources × 5e-5 of drift)
+    val shareSum = rows.map(_.getDouble(idx("token_share"))).sum
+    assert(math.abs(shareSum - 1.0) <= rows.length * 5e-5 + 1e-9, s"share sum $shareSum")
+    // token mass equals the token_count operator's corpus total
+    val direct = TextAnalysis.tokenCount(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("bpe_tokens")).head().getLong(0)
+    assert(rows.map(_.getLong(idx("total_tokens"))).sum === direct)
+  }
+
+  test("docChunks: the stride grid tiles every document exactly, fingerprints replay md5") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextAnalysis.docChunks(spark, sf0001).collect()
+    val idx = chunks.head.schema.fieldNames.zipWithIndex.toMap
+    val byDoc = chunks.groupBy(_.getLong(idx("doc_id")))
+    assert(byDoc.keySet === docs.filter(_._2.nonEmpty).keySet, "every non-empty doc is chunked")
+    byDoc.foreach { case (id, cs) =>
+      val len = docs(id).length
+      val sorted = cs.sortBy(_.getLong(idx("chunk_id")))
+      assert(sorted.length === (len - 1) / 48 + 1, s"doc $id chunk count")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(idx("chunk_id")) === i.toLong)
+        assert(r.getLong(idx("chunk_start")) === i.toLong * 48 + 1)
+        assert(r.getLong(idx("chunk_len")) === math.min(64L, len - i.toLong * 48))
+      }
+      // last chunk reaches exactly the end of the document
+      val last = sorted.last
+      assert(last.getLong(idx("chunk_start")) + last.getLong(idx("chunk_len")) - 1 === len.toLong)
+    }
+    // fingerprints are the md5 of the same substring slice (spot-check)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    chunks.take(50).foreach { r =>
+      val text = docs(r.getLong(idx("doc_id")))
+      val s = (r.getLong(idx("chunk_start")) - 1).toInt
+      val slice = text.substring(s, math.min(s + 64, text.length))
+      val hex = md.digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(idx("chunk_fp")) === hex, s"fp mismatch at doc ${r.getLong(0)}")
+    }
+  }
 }

@@ -395,4 +395,31 @@ class PlanSpec extends SparkSpecBase {
         assert(!carried.contains("text"),
           s"document text crosses an Exchange: $carried") }
   }
+
+  test("quality_filter / doc_chunks stay scan-shaped: no hash shuffle before the sort") {
+    Seq("quality_filter", "doc_chunks").foreach { name =>
+      val plan = finalPlan(name).split("== Initial Plan ==").head
+      // per-row exprs ride the one scan; the only Exchange allowed is the
+      // rangepartitioning of the presentation sort
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name grew a data shuffle — the rules must stay per-row on the scan:\n$plan")
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 1, s"$name expected ONE documents scan, got $scans:\n$plan")
+    }
+  }
+
+  test("source_mix: one corpus scan, partial-agg'd; the share pass sees |sources| rows") {
+    val plan = finalPlan("source_mix").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-source totals lost their map-side combine:\n$plan")
+    // the global-total window runs AFTER the aggregate (|sources| rows),
+    // never over per-document rows: the single-partition Exchange must sit
+    // above a HashAggregate, not above the scan
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"share window must consume the aggregated frame:\n$plan")
+  }
 }
