@@ -177,6 +177,7 @@ object SparkEntry {
     "knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     "ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
+    "embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
     "pq_encode" -> ((s, d) => Similarity.pqEncode(s, d)),
     "pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
     "ivfpq_search" -> ((s, d) => Similarity.ivfpqSearch(s, d)),
@@ -1846,6 +1847,15 @@ object SparkEntry {
         |           (x[CAST(i AS INT)] - qs[CAST(i AS INT)] * scale)),
         |    (a, b) -> a + b), 9) AS recon_sse
         |FROM q ORDER BY vec_id""".stripMargin,
+    // embedding_stats: parallel unnests zip (range list length == vector
+    // length), float→double widening is exact so min/max are bit-equal;
+    // only the mean is fold-order sensitive, hence the 4dp round.
+    "embedding_stats" ->
+      """WITH e AS (SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+        |                  unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+        |SELECT dim, count(*) AS n, round(avg(x), 4) AS mean,
+        |  min(x) AS min_x, max(x) AS max_x
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
     // pq_encode / pq_search: the full PQ training replayed in SQL
     // (pqCtes) — codes, reconstruction SSE, and ADC ranking are all
     // exactly checked, lossy codec included (the quantize_embeddings

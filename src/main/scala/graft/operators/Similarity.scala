@@ -994,4 +994,27 @@ object Similarity {
               VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))
     topKByCosine(scored, "probe_id", k)
   }
+
+  /** Per-DIMENSION embedding statistics — the data-QA table read before
+    * training or indexing on a vector corpus: a dead dimension (constant),
+    * a mean far from 0, or an exploded range each break downstream
+    * assumptions (IVF cell balance, PQ subspace codebooks, cosine
+    * normalization), and each is visible in one row here.
+    *
+    * Shape: `posexplode` multiplies rows ×64, but the per-dim aggregate
+    * partial-combines map-side — the shuffle carries 64 rows per
+    * partition, not N×64 element rows, so corpus size only moves the scan
+    * cost. Floats widen to double EXACTLY (min/max are bit-exact vs the
+    * oracle); only the mean is float-fold-order sensitive, rounded at 4dp
+    * against a ~1e-12 double-sum wobble. */
+  def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("bigint").as("dim"), col("col").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+           graft.functions.NumericFunctions.duckRound(avg("x"), 4).as("mean"),
+           min("x").as("min_x"),
+           max("x").as("max_x"))
+      .orderBy("dim")
 }

@@ -510,4 +510,21 @@ class SimilaritySpec extends SparkSpecBase {
     System.err.println(f"[planted] ann recall=$annRec%.3f scan=$annScanFrac%.3f; " +
       f"ivf recall=$ivfRec%.3f scanBound=$ivfScanFracBound%.3f")
   }
+
+  test("embeddingStats: one row per dim, counts = corpus size, bounds sane, map-side combine") {
+    val df = Similarity.embeddingStats(spark, sf0001)
+    val rows = df.collect()
+    val n = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 64L), "exactly dims 1..64, ordered")
+    rows.foreach { r =>
+      assert(r.getLong(1) === n, s"dim ${r.getLong(0)} count must equal corpus size")
+      val (mean, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= mean + 5e-5 && mean <= mx + 5e-5, s"bounds violated: $r")
+      assert(mx > mn, s"dim ${r.getLong(0)} is constant — synthetic corpus should vary")
+    }
+    // the ×64 explode must partial-aggregate before the 64-key shuffle
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("partial_count") || plan.contains("partial_avg"),
+      s"per-dim stats lost their map-side combine:\n$plan")
+  }
 }
