@@ -105,6 +105,7 @@ object SparkEntry {
     "stream_upsert" -> ((s, d) => graft.streaming.EventStreams.streamUpsertQuery(s, d)),
     "stream_scd2" -> ((s, d) => graft.streaming.EventStreams.streamScd2Query(s, d)),
     "stream_snapshot_diff" -> ((s, d) => graft.streaming.EventStreams.streamSnapshotDiffQuery(s, d)),
+    "stream_decontaminate" -> ((s, d) => graft.streaming.EventStreams.streamDecontaminateQuery(s, d)),
     "stream_freq_sketch" -> ((s, d) => graft.streaming.EventStreams.streamFreqSketchQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
@@ -1524,6 +1525,10 @@ object SparkEntry {
     // 0.889 (sf0.1), where the wide banding's miss probability is
     // (1-0.889²)⁶⁴ ≈ 1e-42 — the dedup_minhash shared-oracle argument.
     "decontaminate_indexed" -> s"$decontaminateSql\nORDER BY eval_id, train_id",
+    // stream_decontaminate: the same banded-candidate route as
+    // decontaminate_indexed, fed by a stream — the emitted pair set is
+    // order-independent, so the exact containment join stays the oracle.
+    "stream_decontaminate" -> s"$decontaminateSql\nORDER BY eval_id, train_id",
     // corpus_export: the composed pipeline — each stage's standalone
     // oracle joined into one WITH chain (nested-WITH blocks for the
     // self-contained stages), so the composition is exactly checked too.

@@ -580,6 +580,57 @@ object EventStreams {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Driver-verified: DECONTAMINATION as the eval shard STREAMS IN — the
+    * streaming twin of [[graft.operators.IncrementalDedup
+    * .decontaminateAgainstIndex]]: benchmark/eval documents arrive as a
+    * stream and are checked for containment in the PERSISTED training
+    * corpus index the moment they land (the release-gate shape: "is this
+    * new eval set already in our training data?"). Candidates come from a
+    * STATELESS stream-static join of the eval doc's wide containment bands
+    * (64×2) against the persisted `_cbands` table; asymmetric containment
+    * |eval ∩ train| / |eval| is then verified per candidate against the
+    * store's shingle-array table with one codegen'd `array_intersect` — no
+    * streaming aggregate, no unbounded state (the only state is the
+    * candidate-pair dedup key, watermark-boundable at production). The
+    * emitted pair set is order-independent, so the batch exact-containment
+    * oracle is THE oracle (same banding-recall argument as
+    * `decontaminate_indexed`: at containment ≥ 0.6 every qualifying pair
+    * bands into a candidate on this corpus). */
+  def streamDecontaminateQuery(spark: SparkSession, sfDir: String,
+                               threshold: Double = 0.6): DataFrame = {
+    import graft.operators.IncrementalDedup
+    val p = IncrementalDedup.IndexParams()
+    val sharr = IncrementalDedup.ensureShingleArrays(spark, sfDir, p)
+    val prefix = IncrementalDedup.indexPrefix(sfDir, p)
+    val evalBands = tableStream(spark, sfDir, "documents")
+      .filter(col("doc_id") % IncrementalDedup.DeltaMod === 0)
+      .select(col("doc_id").as("eval_id"),
+              call_function("graft_shingles", col("text"), lit(p.n)).as("s_arr"))
+      .select(col("eval_id"), col("s_arr"),
+              posexplode(call_function("graft_bands",
+                call_function("graft_minhash_arr", col("s_arr"),
+                  lit(p.cBands * p.cRows)),
+                lit(p.cBands), lit(p.cRows))))
+      .toDF("eval_id", "s_arr", "band", "bhash")
+    val candidates = evalBands
+      .join(spark.table(s"${prefix}_cbands").withColumnRenamed("doc_id", "train_id"),
+            Seq("band", "bhash"))
+      .select("eval_id", "train_id", "s_arr")
+      .dropDuplicates("eval_id", "train_id")
+    val verified = candidates
+      .join(spark.table(sharr)
+              .withColumnRenamed("doc_id", "train_id")
+              .withColumnRenamed("s_arr", "s_arr_b"),
+            Seq("train_id"))
+      .withColumn("inter", size(array_intersect(col("s_arr"), col("s_arr_b"))))
+      .select(col("eval_id"), col("train_id"),
+        (col("inter").cast("double") / size(col("s_arr")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+    runToCompletion(spark, verified, "stream_decon", OutputMode.Append())
+      .orderBy("eval_id", "train_id")
+  }
+
   final case class Scd2St(lastType: String, fromUs: Long)
   final case class Scd2Out(event_type: String, valid_from_us: Long, valid_to_us: Long)
 

@@ -258,6 +258,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty) // the split plants cross-split near-dups
   }
 
+  test("bounded replay: stream_decontaminate equals the indexed batch decontamination") {
+    // Streaming release-gate: eval docs arriving as a stream, banded
+    // stream-static against the persisted containment index and verified
+    // by array-intersect, must emit exactly the batch indexed path's pair
+    // set — containment values included (same int/int division either way:
+    // postings-join count vs distinct-array intersect size).
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamed = EventStreams.streamDecontaminateQuery(spark, sf0001)
+      .collect().map(key).toSet
+    val batch = graft.operators.Dedup.decontaminationIndexed(spark, sf0001)
+      .collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty) // the split plants eval-in-train containment
+  }
+
   test("streaming ingest extends the index: delta 2 detects a near-dup of streamed delta 1") {
     // The closed ingest loop: clean survivors of each streamed batch are
     // appended to the index via foreachBatch, so a LATER stream detects
