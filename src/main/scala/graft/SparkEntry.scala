@@ -154,6 +154,8 @@ object SparkEntry {
       graft.streaming.EventStreams.streamClusterAssignQuery(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
+    "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
+    "contamination_report" -> ((s, d) => Dedup.contaminationReport(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminationPairs(s, d)),
     "decontaminate_indexed" -> ((s, d) => Dedup.decontaminationIndexed(s, d)),
@@ -1454,6 +1456,33 @@ object SparkEntry {
         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
         |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lbl ORDER BY doc_id""".stripMargin,
+    // dedup_report: the dedup_clusters closure aggregated twice — sizes
+    // per cluster, then the size histogram; all-integer output.
+    "dedup_report" ->
+      s"""WITH RECURSIVE np AS ($ngramPairsSql),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
+        |reach AS (SELECT a AS v, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
+        |lbl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // contamination_report: distinct contaminated eval ids from the exact
+    // containment join (the indexed route's shared-oracle argument),
+    // re-joined to the eval shard and rolled up per source.
+    "contamination_report" ->
+      s"""WITH cont AS (SELECT DISTINCT eval_id FROM ($decontaminateSql) dc),
+        |ev AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 = 0)
+        |SELECT source, count(*) AS n_eval,
+        |  CAST(count(c.eval_id) AS BIGINT) AS n_contaminated,
+        |  round(CAST(count(c.eval_id) AS DOUBLE) / count(*), 4) AS contamination_rate
+        |FROM ev LEFT JOIN cont c ON ev.doc_id = c.eval_id
+        |GROUP BY source ORDER BY source""".stripMargin,
     // cluster_canonical: the same recursive-CTE closure as dedup_clusters,
     // joined to the quality oracle; survivor = row_number over
     // (quality DESC, doc_id) — the engine's max(struct(q, -doc_id)) argmax

@@ -555,6 +555,63 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Duplication ACCOUNTING — the cluster-size histogram a dedup run is
+    * judged by: for each cluster size, how many clusters, how many
+    * documents they hold, and how many a keep-one policy would drop. The
+    * "how duplicated is this corpus" readout (Lee et al. report exactly
+    * this curve) that decides whether near-dup dedup is worth its cost on
+    * a given source.
+    *
+    * 100 TB: reads the PERSISTED label table (LSH pairs + connected
+    * components paid once, [[ensureClusterLabels]]); two cheap aggregates
+    * — cluster sizes (shuffle keyed on cluster_id, map-side combine),
+    * then the histogram over one row per CLUSTER, a frame already far
+    * smaller than the corpus. */
+  def dedupReport(spark: SparkSession, sfDir: String, n: Int = 3,
+                  threshold: Double = 0.8): DataFrame = {
+    val labels = spark.table(ensureClusterLabels(spark, sfDir, n, threshold))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(coalesce(col("l"), col("doc_id")).as("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+              (col("cluster_size") * col("n_clusters")).as("n_docs"),
+              ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+      .orderBy("cluster_size")
+  }
+
+  /** Contamination REPORT — the release-gate summary over
+    * [[decontaminationIndexed]]'s pair set: per eval-document source, how
+    * many eval docs exist, how many are contained in the training corpus,
+    * and the contamination rate. The per-benchmark table an eval release
+    * ships with ("x% of source S leaks from training data"); the pair
+    * list says WHICH docs leak, this says WHETHER a benchmark is usable.
+    *
+    * 100 TB: the pair set rides the persisted containment index (band
+    * candidates only); the report is a distinct over eval_ids (already
+    * only the contaminated tail) left-joined back to the eval shard and
+    * one per-source aggregate — no corpus-sized shuffle anywhere. */
+  def contaminationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val contaminated = decontaminationIndexedUnordered(spark, sfDir)
+      .select(col("eval_id").as("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % IncrementalDedup.DeltaMod === 0)
+      .select(col("doc_id"), col("source"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_eval"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        graft.functions.NumericFunctions.duckRound(
+          col("n_contaminated").cast("double") / col("n_eval").cast("double"), 4))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token multiset: per-bit vote of the tokens' MD5

@@ -218,4 +218,42 @@ class DedupSpec extends SparkSpecBase {
       finally spark.conf.unset("graft.iter.checkpoint")
     }
   }
+
+  test("dedupReport: histogram re-aggregates dedupClusters exactly; totals tile the corpus") {
+    val report = Dedup.dedupReport(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpus = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(report.map(_._3).sum === corpus, "n_docs must tile the whole corpus")
+    report.foreach { case (size, nc, nd, dropped) =>
+      assert(nd === size * nc)
+      assert(dropped === (size - 1) * nc)
+    }
+    // cross-check against the per-doc cluster assignment
+    val fromClusters = Dedup.dedupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))   // (cluster_id, cluster_size)
+      .distinct.groupBy(_._2).map { case (sz, cs) => (sz, cs.length.toLong) }
+    assert(report.map(t => (t._1, t._2)).toMap === fromClusters)
+    // the corpus actually has non-singleton clusters to report on
+    assert(report.exists(_._1 > 1), "no duplicate clusters found — fixture degenerate")
+  }
+
+  test("contaminationReport: rolls up the exact pair set per source, rates in [0,1]") {
+    val report = Dedup.contaminationReport(spark, sf0001).collect()
+    val idx = report.head.schema.fieldNames.zipWithIndex.toMap
+    val evalShard = graft.sources.Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+    assert(report.map(_.getLong(idx("n_eval"))).sum === evalShard.count())
+    // contaminated totals equal the EXACT path's distinct eval ids (the
+    // indexed route the report rides is output-equal on this corpus)
+    val exactIds = Dedup.decontaminationPairs(spark, sf0001)
+      .select("eval_id").distinct().count()
+    assert(report.map(_.getLong(idx("n_contaminated"))).sum === exactIds)
+    report.foreach { r =>
+      val (ne, nc, rate) = (r.getLong(idx("n_eval")),
+        r.getLong(idx("n_contaminated")), r.getDouble(idx("contamination_rate")))
+      assert(nc <= ne)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - nc.toDouble / ne) <= 5e-5 + 1e-9)
+    }
+  }
 }
