@@ -106,6 +106,8 @@ object SparkEntry {
     "stream_scd2" -> ((s, d) => graft.streaming.EventStreams.streamScd2Query(s, d)),
     "stream_snapshot_diff" -> ((s, d) => graft.streaming.EventStreams.streamSnapshotDiffQuery(s, d)),
     "stream_decontaminate" -> ((s, d) => graft.streaming.EventStreams.streamDecontaminateQuery(s, d)),
+    "stream_quality_filter" -> ((s, d) => graft.streaming.EventStreams.streamQualityFilterQuery(s, d)),
+    "stream_source_mix" -> ((s, d) => graft.streaming.EventStreams.streamSourceMixQuery(s, d)),
     "stream_freq_sketch" -> ((s, d) => graft.streaming.EventStreams.streamFreqSketchQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
@@ -632,6 +634,45 @@ object SparkEntry {
       |  round(least(nw / 50.0, 1.0) * 0.5 + least(nstop / nw * 5.0, 1.0) * 0.3 +
       |        CASE WHEN totlen / nw BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) AS quality
       |FROM e WHERE nw > 0""".stripMargin
+
+  /** Per-rule quality verdicts in integer arithmetic — shared by the batch
+    * `quality_filter` and its stateless streaming twin. */
+  private val qualityFilterSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+      |e AS (SELECT doc_id, len(ws) AS nw,
+      |  len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','it'))) AS nstop,
+      |  COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS totlen,
+      |  greatest(len(ws) - 2, 0) AS ngr,
+      |  len(list_distinct(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE CAST([] AS VARCHAR[]) END)) AS ndist FROM d)
+      |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+      |  CAST(nw >= 10 AS INTEGER) AS pass_words,
+      |  CAST(nw > 0 AND totlen >= nw * 3 AND totlen <= nw * 8 AS INTEGER) AS pass_word_len,
+      |  CAST(nw > 0 AND nstop * 20 >= nw AS INTEGER) AS pass_stopwords,
+      |  CAST(ngr = 0 OR ndist * 5 >= ngr AS INTEGER) AS pass_repetition,
+      |  CAST(nw >= 10 AND totlen >= nw * 3 AND totlen <= nw * 8
+      |       AND nstop * 20 >= nw AND (ngr = 0 OR ndist * 5 >= ngr) AS INTEGER) AS keep
+      |FROM e ORDER BY doc_id""".stripMargin
+
+  /** Per-source composition report — shared by the batch `source_mix` and
+    * its complete-mode streaming twin. */
+  private val sourceMixSql: String =
+    """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+      |e AS (SELECT source,
+      |  CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks,
+      |  CAST(len(ws) AS DOUBLE) AS nw,
+      |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) AS nstop,
+      |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) AS totlen FROM d),
+      |q AS (SELECT source, toks, CASE WHEN nw > 0 THEN
+      |  round(least(nw / 50.0, 1.0) * 0.5 + least(nstop / nw * 5.0, 1.0) * 0.3 +
+      |        CASE WHEN totlen / nw BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) END AS quality FROM e),
+      |s AS (SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |      round(avg(quality), 4) AS avg_quality FROM q GROUP BY source)
+      |SELECT source, n_docs, total_tokens,
+      |  round(CAST(total_tokens AS DOUBLE) / (SELECT sum(total_tokens) FROM s), 4) AS token_share,
+      |  avg_quality
+      |FROM s ORDER BY source""".stripMargin
 
   /** Eval-in-train containment (sans presentation sort) — standalone
     * oracle for `decontaminate` and a stage of `corpus_export`. */
@@ -1187,41 +1228,16 @@ object SparkEntry {
     // quality_filter: every rule decided in INTEGER arithmetic
     // (cross-multiplied thresholds), so boundary docs can't split the
     // engines on float division; flags surface as 0/1 INTs.
-    "quality_filter" ->
-      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
-        |e AS (SELECT doc_id, len(ws) AS nw,
-        |  len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','it'))) AS nstop,
-        |  COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS totlen,
-        |  greatest(len(ws) - 2, 0) AS ngr,
-        |  len(list_distinct(CASE WHEN len(ws) >= 3
-        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-        |    ELSE CAST([] AS VARCHAR[]) END)) AS ndist FROM d)
-        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
-        |  CAST(nw >= 10 AS INTEGER) AS pass_words,
-        |  CAST(nw > 0 AND totlen >= nw * 3 AND totlen <= nw * 8 AS INTEGER) AS pass_word_len,
-        |  CAST(nw > 0 AND nstop * 20 >= nw AS INTEGER) AS pass_stopwords,
-        |  CAST(ngr = 0 OR ndist * 5 >= ngr AS INTEGER) AS pass_repetition,
-        |  CAST(nw >= 10 AND totlen >= nw * 3 AND totlen <= nw * 8
-        |       AND nstop * 20 >= nw AND (ngr = 0 OR ndist * 5 >= ngr) AS INTEGER) AS keep
-        |FROM e ORDER BY doc_id""".stripMargin,
+    "quality_filter" -> qualityFilterSql,
+    // stream_quality_filter: the rules are stateless per-row exprs, so the
+    // streaming run is row-for-row the batch query — same oracle.
+    "stream_quality_filter" -> qualityFilterSql,
     // source_mix: per-doc token/quality exprs shared verbatim with the
     // quality_score oracle; the share divides exact BIGINT token sums.
-    "source_mix" ->
-      """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
-        |e AS (SELECT source,
-        |  CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks,
-        |  CAST(len(ws) AS DOUBLE) AS nw,
-        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) AS nstop,
-        |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) AS totlen FROM d),
-        |q AS (SELECT source, toks, CASE WHEN nw > 0 THEN
-        |  round(least(nw / 50.0, 1.0) * 0.5 + least(nstop / nw * 5.0, 1.0) * 0.3 +
-        |        CASE WHEN totlen / nw BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) END AS quality FROM e),
-        |s AS (SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
-        |      round(avg(quality), 4) AS avg_quality FROM q GROUP BY source)
-        |SELECT source, n_docs, total_tokens,
-        |  round(CAST(total_tokens AS DOUBLE) / (SELECT sum(total_tokens) FROM s), 4) AS token_share,
-        |  avg_quality
-        |FROM s ORDER BY source""".stripMargin,
+    "source_mix" -> sourceMixSql,
+    // stream_source_mix: commutative per-source sums in complete mode +
+    // batch-side share arithmetic — equals the batch table, same oracle.
+    "stream_source_mix" -> sourceMixSql,
     // doc_chunks: 1-based char grid replayed with the same substring
     // semantics (both engines clamp past end-of-string, char not byte).
     "doc_chunks" ->

@@ -368,7 +368,7 @@ object TextAnalysis {
       .orderBy(col("exact_count").desc, col("word").asc)
   }
 
-  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  private[graft] val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
   /** Document quality scoring from length / word-shape / stopword ratios —
     * the standard cheap filters applied before LLM training. All ratios are

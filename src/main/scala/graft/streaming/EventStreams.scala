@@ -377,6 +377,64 @@ object EventStreams {
       .orderBy("fp")
   }
 
+  /** Driver-verified: the per-rule QUALITY FILTER on the ingest stream —
+    * the decision table ([[graft.operators.TextAnalysis.qualityFilter]])
+    * emitted the moment each document lands: all four C4/Gopher-style
+    * rules are per-row integer expressions, so the streaming form is
+    * STATELESS (append mode, zero state stores — the cheapest possible
+    * streaming op) and trivially order-independent: the batch oracle is
+    * exact row for row. At ingest this is the gate that runs BEFORE
+    * anything stateful: every dropped doc is state the dedup index never
+    * carries. */
+  def streamQualityFilterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = TextFunctions.tokenize(col("text"))
+    val flagged = tableStream(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(ws).cast("bigint").as("nw"),
+        size(filter(ws, w => w.isin(graft.operators.TextAnalysis.Stopwords: _*)))
+          .cast("bigint").as("nstop"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("bigint")).as("totlen"),
+        greatest(size(ws) - 2, lit(0)).cast("bigint").as("ngr"),
+        size(call_function("graft_shingles", col("text"), lit(3))).cast("bigint").as("ndist"))
+      .select(col("doc_id"), col("nw").as("n_words"),
+        (col("nw") >= 10).cast("int").as("pass_words"),
+        (col("nw") > 0 && col("totlen") >= col("nw") * 3 &&
+         col("totlen") <= col("nw") * 8).cast("int").as("pass_word_len"),
+        (col("nw") > 0 && col("nstop") * 20 >= col("nw")).cast("int").as("pass_stopwords"),
+        (col("ngr") === 0 || col("ndist") * 5 >= col("ngr")).cast("int").as("pass_repetition"))
+      .withColumn("keep",
+        (col("pass_words") === 1 && col("pass_word_len") === 1 &&
+         col("pass_stopwords") === 1 && col("pass_repetition") === 1).cast("int"))
+    runToCompletion(spark, flagged, "stream_qfilter", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
+  /** Driver-verified: corpus COMPOSITION tracked as the stream arrives —
+    * the streaming twin of [[graft.operators.TextAnalysis.sourceMix]]:
+    * per-source doc counts, token mass and mean quality run as a
+    * complete-mode aggregate (all three commutative — sum/count state per
+    * source, the fixed-size state bound a composition dashboard needs);
+    * the token SHARE is presentation arithmetic over the final
+    * |sources|-row table, computed batch-side after materialization
+    * exactly as the batch form computes it after its aggregate. */
+  def streamSourceMixQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = graft.operators.TextAnalysis.qualityExprs
+    val perSource = tableStream(spark, sfDir, "documents")
+      .select(col("source"),
+              TextFunctions.bpeTokenCount(col("text")).as("toks"),
+              when(q.nWords > 0, q.quality).as("quality"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("toks").as("total_tokens"),
+           duckRound(avg("quality"), 4).as("avg_quality"))
+    runToCompletion(spark, perSource, "stream_source_mix", OutputMode.Complete())
+      .withColumn("token_share",
+        duckRound(col("total_tokens").cast("double") /
+          sum("total_tokens").over(org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+      .select("source", "n_docs", "total_tokens", "token_share", "avg_quality")
+      .orderBy("source")
+  }
+
   /** Driver-verified: the KMV distinct-count SKETCH as a STREAMING
     * aggregate — the claim [[graft.functions.expressions.KmvAgg]] makes
     * ("associative merge → streaming-legal") executed, not asserted: the

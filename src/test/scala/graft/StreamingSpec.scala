@@ -258,6 +258,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty) // the split plants cross-split near-dups
   }
 
+  test("bounded replay: stream_quality_filter / stream_source_mix equal their batch forms") {
+    // stateless per-row rules and commutative per-source sums — the two
+    // cheapest streaming shapes — must reproduce the batch tables exactly
+    val sqf = EventStreams.streamQualityFilterQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bqf = graft.operators.TextAnalysis.qualityFilter(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(sqf === bqf)
+    val ssm = EventStreams.streamSourceMixQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bsm = graft.operators.TextAnalysis.sourceMix(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(ssm === bsm)
+  }
+
   test("bounded replay: stream_decontaminate equals the indexed batch decontamination") {
     // Streaming release-gate: eval docs arriving as a stream, banded
     // stream-static against the persisted containment index and verified
