@@ -163,6 +163,7 @@ object SparkEntry {
     "decontaminate_indexed" -> ((s, d) => Dedup.decontaminationIndexed(s, d)),
     "corpus_export" -> ((s, d) => Pipeline.corpusExport(s, d)),
     "export_shards" -> ((s, d) => Pipeline.exportShards(s, d)),
+    "export_pack" -> ((s, d) => Pipeline.exportPack(s, d)),
     "export_write" -> ((s, d) => Pipeline.exportWrite(s, d)),
     "export_sorted" -> ((s, d) => Pipeline.exportSorted(s, d)),
     "export_zorder" -> ((s, d) => Pipeline.exportZorder(s, d)),
@@ -1578,6 +1579,21 @@ object SparkEntry {
     // oracle joined into one WITH chain (nested-WITH blocks for the
     // self-contained stages), so the composition is exactly checked too.
     "corpus_export" -> s"$exportCtes\nSELECT doc_id, quality FROM exp ORDER BY doc_id",
+    // export_pack: pack_sequences' prefix-sum layout recomputed over the
+    // export survivors — position-sensitive, so the whole WITH chain
+    // (dedup closure + quality + decontamination + packing) is one oracle.
+    "export_pack" ->
+      s"""$exportCtes,
+         |d2 AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> '') AS ts FROM documents),
+         |t2 AS (SELECT doc_id, lang, CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS n_tokens FROM d2),
+         |c2 AS (SELECT t2.lang, t2.doc_id, t2.n_tokens,
+         |        CAST(sum(t2.n_tokens) OVER (PARTITION BY t2.lang ORDER BY t2.doc_id) AS BIGINT) AS cum
+         |      FROM t2 JOIN exp ON t2.doc_id = exp.doc_id WHERE t2.n_tokens > 0)
+         |SELECT lang, doc_id, n_tokens,
+         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+         |  CAST((cum - 1) // 2048 AS BIGINT) AS end_seq,
+         |  CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
+         |FROM c2 ORDER BY lang, doc_id""".stripMargin,
     // export_shards: the export's data-loader handoff — deterministic
     // doc_id-mod sharding with per-shard doc/token/quality accounting.
     "export_shards" ->

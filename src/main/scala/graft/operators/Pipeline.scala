@@ -83,6 +83,38 @@ object Pipeline {
                    qualityMin: Double = 0.7): DataFrame =
     exportUnordered(spark, sfDir, qualityMin).orderBy("doc_id")
 
+  /** SEQUENCE PACKING over the EXPORTED corpus — the last mile of the
+    * pretraining pipeline: `pack_sequences`' concatenate-and-chunk layout
+    * applied to the documents that actually survive the export gauntlet
+    * (train shard → canonical per near-dup cluster → quality floor →
+    * decontamination). The composition matters because packing is
+    * position-sensitive: removing one duplicate upstream shifts every
+    * later document's sequence range in its language stream, so "pack the
+    * clean corpus" CANNOT be derived from "pack the raw corpus" + a
+    * filter — it must be recomputed over the surviving set, which is what
+    * an end-to-end oracle here proves correct.
+    *
+    * 100 TB: the survivors come from the persisted export artifacts (two
+    * left-anti joins, no pipeline re-run); packing is the same one
+    * per-lang window as `pack_sequences` over the smaller exported frame. */
+  def exportPack(spark: SparkSession, sfDir: String, budget: Int = 2048,
+                 qualityMin: Double = 0.7): DataFrame = {
+    import graft.functions.TextFunctions.bpeTokenCount
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), bpeTokenCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    exportUnordered(spark, sfDir, qualityMin)
+      .select("doc_id")
+      .join(docs, Seq("doc_id"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("start_seq"),
+        expr(s"(cum - 1) div $budget").as("end_seq"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + 1)
+      .orderBy("lang", "doc_id")
+  }
+
   /** Shard accounting for the export — the handoff to a trainer's data
     * loader: every exported document lands in a deterministic shard
     * (`doc_id mod nShards`, stable under re-export and shard-count-

@@ -50,7 +50,11 @@ object ScaleProbe {
                             "pack_sequences_sharded", "ann_recall",
                             "ivf_recall", "snapshot_diff", "train_shuffle",
                             "media_dedup", "epoch_plan",
-                            "stream_snapshot_diff")).toList
+                            "stream_snapshot_diff",
+                            "quality_filter", "source_mix", "doc_chunks",
+                            "embedding_stats", "stream_decontaminate",
+                            "dedup_report", "contamination_report",
+                            "stream_quality_filter", "stream_source_mix", "export_pack")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

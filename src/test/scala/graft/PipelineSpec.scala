@@ -304,4 +304,31 @@ class PipelineSpec extends SparkSpecBase {
     plan.groupBy(_.getInt(0)).foreach { case (_, rs) =>
       assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length).toSeq) }
   }
+
+  test("exportPack: packs exactly the export survivors; ranges re-base, not filter") {
+    val packed = Pipeline.exportPack(spark, sf0001).collect()
+    val exported = Pipeline.corpusExport(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    // packed ids = exported ids (the synthetic corpus has no 0-token docs)
+    assert(packed.map(_.getLong(1)).toSet === exported)
+    // per lang: ranges start at sequence 0 and abut across consecutive docs
+    packed.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(3) === 0L, s"$lang must restart at sequence 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) - a.getLong(4) <= 1 && b.getLong(3) >= a.getLong(3),
+            s"$lang ranges tear between ${a.getLong(1)} and ${b.getLong(1)}")
+        case _ =>
+      }
+    }
+    // position-sensitivity: dropping duplicates upstream SHIFTS later
+    // ranges — the packed layout must differ from raw packing filtered to
+    // the same ids (else the composition would be a trivial filter)
+    val raw = graft.operators.TextAnalysis.packSequences(spark, sf0001)
+      .collect().filter(r => exported(r.getLong(1)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    val ours = packed.map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    assert(ours !== raw, "export packing must re-base sequence ranges, not inherit raw ones")
+  }
 }
