@@ -658,10 +658,21 @@ object EventStreams {
                                threshold: Double = 0.6): DataFrame = {
     import graft.operators.IncrementalDedup
     val p = IncrementalDedup.IndexParams()
-    val sharr = IncrementalDedup.ensureShingleArrays(spark, sfDir, p)
-    val prefix = IncrementalDedup.indexPrefix(sfDir, p)
-    val evalBands = tableStream(spark, sfDir, "documents")
+    IncrementalDedup.ensureShingleArrays(spark, sfDir, p)
+    val evalStream = tableStream(spark, sfDir, "documents")
       .filter(col("doc_id") % IncrementalDedup.DeltaMod === 0)
+    streamDecontaminateFrom(spark, evalStream,
+      IncrementalDedup.indexPrefix(sfDir, p), p, threshold)
+  }
+
+  /** [[streamDecontaminateQuery]] over an explicit eval stream and index
+    * prefix — the form the multi-batch specs drive directly (the index at
+    * `prefix` must be built, e.g. via `IncrementalDedup.buildIndexFrom`). */
+  private[graft] def streamDecontaminateFrom(
+      spark: SparkSession, evalDocs: DataFrame, prefix: String,
+      p: graft.operators.IncrementalDedup.IndexParams,
+      threshold: Double): DataFrame = {
+    val evalBands = evalDocs
       .select(col("doc_id").as("eval_id"),
               call_function("graft_shingles", col("text"), lit(p.n)).as("s_arr"))
       .select(col("eval_id"), col("s_arr"),
@@ -676,7 +687,7 @@ object EventStreams {
       .select("eval_id", "train_id", "s_arr")
       .dropDuplicates("eval_id", "train_id")
     val verified = candidates
-      .join(spark.table(sharr)
+      .join(spark.table(s"${prefix}_sharr")
               .withColumnRenamed("doc_id", "train_id")
               .withColumnRenamed("s_arr", "s_arr_b"),
             Seq("train_id"))

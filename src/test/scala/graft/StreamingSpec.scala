@@ -288,6 +288,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty) // the split plants eval-in-train containment
   }
 
+  test("multi-batch stream_decontaminate: cross-batch candidate state, exact containment verdicts") {
+    import graft.operators.IncrementalDedup
+    import graft.operators.IncrementalDedup.IndexParams
+    import spark.implicits._
+    val p = IndexParams(buckets = 2)
+    val prefix = "graft_corpus_streamdecon"
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.buildIndexFrom(train, prefix, p)
+    // one eval doc per micro-batch: 10 is a verbatim copy of train 1, 30 of
+    // train 3, 50 is novel; batch 2 REPLAYS doc 10 — the duplicate arrives
+    // in a LATER batch, so suppressing it requires candidate-dedup state
+    // surviving across batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_stream")
+    EventStreams.stageStreamFile(
+      Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"), dir, "b0", 1000000L)
+    EventStreams.stageStreamFile(
+      Seq((30L, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text"), dir, "b1", 2000000L)
+    EventStreams.stageStreamFile(
+      Seq((50L, "red orange yellow green blue indigo violet pink brown maroon"),
+          (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"), dir, "b2", 3000000L)
+    val evalStream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val out = EventStreams.streamDecontaminateFrom(spark, evalStream, prefix, p, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // verbatim copies are fully contained (1.0); the novel doc emits
+    // nothing; the replayed doc 10 emits exactly ONE pair despite arriving
+    // twice in different batches
+    assert(out.toSet === Set((10L, 1L, 1.0), (30L, 3L, 1.0)))
+    assert(out.length === 2, s"cross-batch dedup state failed: ${out.toSeq}")
+  }
+
   test("streaming ingest extends the index: delta 2 detects a near-dup of streamed delta 1") {
     // The closed ingest loop: clean survivors of each streamed batch are
     // appended to the index via foreachBatch, so a LATER stream detects
