@@ -282,6 +282,17 @@ class PlanSpec extends SparkSpecBase {
       s"dedup_clusters still computes LSH bands inline:\n$plan")
   }
 
+  test("report operators read persisted stores, never re-run their pipelines") {
+    val dr = finalPlan("dedup_report").split("== Initial Plan ==").head
+    assert(dr.contains("graft_clusters_"),
+      s"dedup_report does not scan the persisted labels:\n$dr")
+    assert(!dr.contains("graft_bands"),
+      s"dedup_report recomputes LSH bands inline:\n$dr")
+    val cr = finalPlan("contamination_report").split("== Initial Plan ==").head
+    assert(cr.contains("graft_corpus_"),
+      s"contamination_report does not ride the persisted containment index:\n$cr")
+  }
+
   test("indexed grep bucket-prunes each term lookup to one index bucket") {
     // The text-selection accelerator at scale: an equality filter on the
     // bucketed word column must read ONE bucket of the postings index,
