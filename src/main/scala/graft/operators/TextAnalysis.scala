@@ -508,7 +508,14 @@ object TextAnalysis {
     * output rows ≈ corpus_chars / stride. */
   def docChunks(spark: SparkSession, sfDir: String,
                 width: Int = 64, stride: Int = 48): DataFrame =
-    Tables.documents(spark, sfDir)
+    docChunksFrom(Tables.documents(spark, sfDir), width, stride)
+
+  /** [[docChunks]] over an explicit `(doc_id, text)` frame — CHARACTER
+    * semantics throughout (length/substring count code points, not bytes;
+    * md5 hashes the chunk's UTF-8 re-encoding), pinned by the unicode
+    * spec. */
+  def docChunksFrom(docs: DataFrame, width: Int = 64, stride: Int = 48): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .filter(col("len") >= 1)
       .select(col("doc_id"), col("text"), col("len"),

@@ -294,4 +294,31 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(r.getString(idx("chunk_fp")) === hex, s"fp mismatch at doc ${r.getLong(0)}")
     }
   }
+
+  test("docChunks: CHARACTER semantics on multi-byte text (code points, not bytes)") {
+    import spark.implicits._
+    // 100 two-byte chars: byte-based slicing would see 200 "chars" (5
+    // chunks) or split a é in half; char-based sees 100 → 3 chunks
+    val accented = "é" * 100
+    val mixed = "añología ünïcode δοκιμή " * 6 // 144 chars, mixed widths
+    val rows = TextAnalysis.docChunksFrom(
+        Seq((1L, accented), (2L, mixed)).toDF("doc_id", "text"))
+      .collect()
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    val byDoc = rows.groupBy(_.getLong(idx("doc_id")))
+    assert(byDoc(1L).length === (100 - 1) / 48 + 1)
+    assert(byDoc(2L).length === (mixed.length - 1) / 48 + 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    byDoc.foreach { case (id, cs) =>
+      val text = if (id == 1L) accented else mixed
+      cs.foreach { r =>
+        val s = (r.getLong(idx("chunk_start")) - 1).toInt
+        val slice = text.substring(s, math.min(s + 64, text.length))
+        assert(r.getLong(idx("chunk_len")) === slice.length.toLong)
+        val hex = md.digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getString(idx("chunk_fp")) === hex,
+          s"unicode fp drift at doc $id chunk ${r.getLong(idx("chunk_id"))}")
+      }
+    }
+  }
 }

@@ -137,4 +137,26 @@ object KernelProperties extends Properties("graft.kernels") {
       val exact = math.log(c1.toDouble / c2.toDouble) / math.log(2.0)
       widthBits >= exact - 1.0 - 1e-9 && widthBits <= exact + 1.0 + 1e-9
     }
+
+  property("quality_filter integer rules == their float-threshold forms") =
+    // the cross-multiplied integer forms the filter ships (20·stop ≥ words,
+    // 3·words ≤ totlen ≤ 8·words, 5·distinct ≥ grams) must decide exactly
+    // like the real-number thresholds they encode, for ANY counts —
+    // including the boundary cases float division would wobble on
+    forAll(Gen.choose(0L, 1L << 20), Gen.choose(0L, 1L << 20),
+           Gen.choose(0L, 1L << 24), Gen.choose(0L, 1L << 20)) { (nw, nstop0, totlen, ngr) =>
+      val nstop = math.min(nstop0, nw) // stopwords are a subset of words
+      val ndist = math.min(nstop0, ngr) // distinct grams bounded by grams
+      val intStop = nw > 0 && nstop * 20 >= nw
+      val floatStop = nw > 0 && BigDecimal(nstop) / BigDecimal(math.max(nw, 1)) >= BigDecimal("0.05")
+      val intLen = nw > 0 && totlen >= nw * 3 && totlen <= nw * 8
+      val floatLen = nw > 0 && {
+        val r = BigDecimal(totlen) / BigDecimal(math.max(nw, 1))
+        r >= 3 && r <= 8
+      }
+      val intRep = ngr == 0 || ndist * 5 >= ngr
+      val floatRep = ngr == 0 ||
+        BigDecimal(1) - BigDecimal(ndist) / BigDecimal(math.max(ngr, 1)) <= BigDecimal("0.8")
+      intStop == floatStop && intLen == floatLen && intRep == floatRep
+    }
 }
