@@ -194,6 +194,7 @@ object SparkEntry {
     "media_resize" -> ((s, d) => Media.mediaResize(s, d)),
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
+    "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
   )
 
   /** The KMV distinct-count oracle, shared by the batch and streaming
@@ -1983,6 +1984,19 @@ object SparkEntry {
     // the original id). A match proves encoder determinism AND that no
     // unplanned digest collision exists anywhere in the asset universe —
     // any extra or merged group on the Spark side breaks equality.
+    // media_files_scan: the oracle reads THE SAME on-disk files the query
+    // wrote (read_blob over the fixed staging root) — size, hex-md5 digest
+    // and magic-byte container sniff replayed byte for byte.
+    "media_files_scan" ->
+      """WITH f AS (SELECT filename, size, hex(content) AS hx FROM read_blob('/tmp/graft_media_files/asset_*'))
+        |SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+        |  CAST(size AS BIGINT) AS n_bytes, md5(hx) AS content_md5,
+        |  CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+        |       WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+        |       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+        |       ELSE 'unknown' END AS container
+        |FROM f ORDER BY file_name""".stripMargin,
     "media_dedup" ->
       """WITH m AS (SELECT doc_id AS canonical_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind

@@ -54,7 +54,8 @@ object ScaleProbe {
                             "quality_filter", "source_mix", "doc_chunks",
                             "embedding_stats", "stream_decontaminate",
                             "dedup_report", "contamination_report",
-                            "stream_quality_filter", "stream_source_mix", "export_pack")).toList
+                            "stream_quality_filter", "stream_source_mix", "export_pack",
+                            "media_files_scan")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

@@ -219,4 +219,34 @@ class MediaSpec extends SparkSpecBase {
     assert(groups(0).getAs[Long]("canonical_id") === a.media_id)
     assert(groups(0).getAs[Long]("n_copies") === 2L)
   }
+
+  test("mediaFilesScan: binaryFile ingest sniffs every container from bytes alone") {
+    val rows = Media.mediaFilesScan(spark, sf0001).collect()
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    assert(rows.length ===
+      graft.sources.Tables.documents(spark, sf0001).count().toInt)
+    // extension-free filenames: kind is provable only by magic bytes —
+    // every file must resolve, and to the kind its media_id encodes
+    rows.foreach { r =>
+      val id = r.getString(idx("file_name")).stripPrefix("asset_").stripSuffix(".bin").toLong
+      val expected = (id % 3, id % 2) match {
+        case (0, 0) => "png"
+        case (0, _) => "jpeg"
+        case (1, _) => "wav"
+        case (_, _) => "avi"
+      }
+      assert(r.getString(idx("container")) === expected,
+        s"container sniff failed for ${r.getString(idx("file_name"))}")
+      assert(r.getLong(idx("n_bytes")) > 0)
+    }
+    // the staged bytes are the encoder's bytes: digest a sampled file
+    val sample = rows.head
+    val path = new java.io.File(Media.AssetFilesRoot,
+      sample.getString(idx("file_name")))
+    val bytes = java.nio.file.Files.readAllBytes(path.toPath)
+    val hexStr = bytes.map("%02X".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(hexStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(sample.getString(idx("content_md5")) === dig)
+  }
 }
