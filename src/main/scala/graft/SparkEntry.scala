@@ -195,6 +195,7 @@ object SparkEntry {
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
+    "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
   )
 
   /** The KMV distinct-count oracle, shared by the batch and streaming
@@ -636,6 +637,19 @@ object SparkEntry {
       |  round(least(nw / 50.0, 1.0) * 0.5 + least(nstop / nw * 5.0, 1.0) * 0.3 +
       |        CASE WHEN totlen / nw BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) AS quality
       |FROM e WHERE nw > 0""".stripMargin
+
+  /** On-disk asset catalog replay — shared by the batch `binaryFile` scan
+    * and its streaming twin; reads THE SAME staged files via read_blob. */
+  private val mediaFilesScanSql: String =
+    """WITH f AS (SELECT filename, size, hex(content) AS hx FROM read_blob('/tmp/graft_media_files/asset_*'))
+      |SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+      |  CAST(size AS BIGINT) AS n_bytes, md5(hx) AS content_md5,
+      |  CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+      |       WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+      |       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+      |       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+      |       ELSE 'unknown' END AS container
+      |FROM f ORDER BY file_name""".stripMargin
 
   /** Per-rule quality verdicts in integer arithmetic — shared by the batch
     * `quality_filter` and its stateless streaming twin. */
@@ -1987,16 +2001,10 @@ object SparkEntry {
     // media_files_scan: the oracle reads THE SAME on-disk files the query
     // wrote (read_blob over the fixed staging root) — size, hex-md5 digest
     // and magic-byte container sniff replayed byte for byte.
-    "media_files_scan" ->
-      """WITH f AS (SELECT filename, size, hex(content) AS hx FROM read_blob('/tmp/graft_media_files/asset_*'))
-        |SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-        |  CAST(size AS BIGINT) AS n_bytes, md5(hx) AS content_md5,
-        |  CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
-        |       WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
-        |       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
-        |       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
-        |       ELSE 'unknown' END AS container
-        |FROM f ORDER BY file_name""".stripMargin,
+    "media_files_scan" -> mediaFilesScanSql,
+    // stream_media_ingest: stateless per-file catalog rows — the streaming
+    // replay equals the batch scan row for row, same read_blob oracle.
+    "stream_media_ingest" -> mediaFilesScanSql,
     "media_dedup" ->
       """WITH m AS (SELECT doc_id AS canonical_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind

@@ -288,6 +288,15 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty) // the split plants eval-in-train containment
   }
 
+  test("bounded replay: stream_media_ingest equals the batch binaryFile scan") {
+    val streamed = EventStreams.streamMediaIngestQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.multimodal.Media.mediaFilesScan(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("multi-batch stream_decontaminate: cross-batch candidate state, exact containment verdicts") {
     import graft.operators.IncrementalDedup
     import graft.operators.IncrementalDedup.IndexParams
