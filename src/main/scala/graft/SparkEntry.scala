@@ -639,10 +639,11 @@ object SparkEntry {
       |FROM e WHERE nw > 0""".stripMargin
 
   /** On-disk asset catalog replay — shared by the batch `binaryFile` scan
-    * and its streaming twin; reads THE SAME staged files via read_blob. */
-  private val mediaFilesScanSql: String =
-    """WITH f AS (SELECT filename, size, hex(content) AS hx FROM read_blob('/tmp/graft_media_files/asset_*'))
-      |SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+    * (full staging root) and its streaming twin (the drop root); reads THE
+    * SAME staged files via read_blob. */
+  private def mediaFilesScanSql(root: String = "/tmp/graft_media_files"): String =
+    s"""WITH f AS (SELECT filename, size, hex(content) AS hx FROM read_blob('$root/asset_*'))
+      |SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
       |  CAST(size AS BIGINT) AS n_bytes, md5(hx) AS content_md5,
       |  CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
       |       WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
@@ -2001,10 +2002,10 @@ object SparkEntry {
     // media_files_scan: the oracle reads THE SAME on-disk files the query
     // wrote (read_blob over the fixed staging root) — size, hex-md5 digest
     // and magic-byte container sniff replayed byte for byte.
-    "media_files_scan" -> mediaFilesScanSql,
-    // stream_media_ingest: stateless per-file catalog rows — the streaming
-    // replay equals the batch scan row for row, same read_blob oracle.
-    "stream_media_ingest" -> mediaFilesScanSql,
+    "media_files_scan" -> mediaFilesScanSql(),
+    // stream_media_ingest: the same stateless catalog over the DROP
+    // staging root (delta shard only) — read_blob replays those files.
+    "stream_media_ingest" -> mediaFilesScanSql("/tmp/graft_media_drop"),
     "media_dedup" ->
       """WITH m AS (SELECT doc_id AS canonical_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind

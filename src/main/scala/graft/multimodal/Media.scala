@@ -406,6 +406,11 @@ object Media {
     * the current `sfDir` on every run (stale-proof by reconstruction). */
   private[graft] val AssetFilesRoot = "/tmp/graft_media_files"
 
+  /** Root for the streaming DROP staging ([[ensureDropFiles]]) — the delta
+    * shard's assets only, as a separate fixed path: a stream catalogs what
+    * LANDS, not the historical bucket. */
+  private[graft] val DropFilesRoot = "/tmp/graft_media_drop"
+
   /** Materialize every asset as a REAL on-disk file (`asset_<id>.bin`,
     * extension-free — the scan must identify containers from bytes, not
     * names). Written distributed via `foreachPartition`; in local mode
@@ -415,8 +420,19 @@ object Media {
     * skips the rewrite entirely (staging 100 TB of assets is paid once
     * per corpus, not per query); a drifted or foreign corpus rebuilds
     * from scratch. */
-  def ensureAssetFiles(spark: SparkSession, sfDir: String): String = {
-    val root = new java.io.File(AssetFilesRoot)
+  def ensureAssetFiles(spark: SparkSession, sfDir: String): String =
+    stageAssetFiles(spark, sfDir, AssetFilesRoot, deltaOnly = false)
+
+  /** Stage only the DELTA shard's assets (`media_id % 10 == 0` — the same
+    * mod-split every streaming ingest op uses) into [[DropFilesRoot]]:
+    * the "drop" a streaming catalog sees. Fingerprint-gated like the full
+    * staging. */
+  def ensureDropFiles(spark: SparkSession, sfDir: String): String =
+    stageAssetFiles(spark, sfDir, DropFilesRoot, deltaOnly = true)
+
+  private def stageAssetFiles(spark: SparkSession, sfDir: String,
+                              rootPath: String, deltaOnly: Boolean): String = {
+    val root = new java.io.File(rootPath)
     val marker = new java.io.File(root, ".fingerprint")
     val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")
     val current = if (marker.exists())
@@ -424,9 +440,11 @@ object Media {
     if (current != fp) {
       if (root.exists()) root.listFiles().foreach(_.delete())
       root.mkdirs()
-      assetsFromDocuments(spark, sfDir).foreachPartition { it: Iterator[MediaAsset] =>
+      val assets = assetsFromDocuments(spark, sfDir)
+      val staged = if (deltaOnly) assets.filter(_.media_id % 10 == 0) else assets
+      staged.foreachPartition { it: Iterator[MediaAsset] =>
         it.foreach { a =>
-          val f = new java.io.File(AssetFilesRoot, f"asset_${a.media_id}%05d.bin")
+          val f = new java.io.File(rootPath, f"asset_${a.media_id}%05d.bin")
           val os = new java.io.FileOutputStream(f)
           try os.write(a.payload) finally os.close()
         }
@@ -434,6 +452,23 @@ object Media {
       java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
     }
     root.getAbsolutePath
+  }
+
+  /** The catalog projection shared by the batch scan and the streaming
+    * ingest: name, size, hex-md5 digest, magic-byte container sniff. */
+  private[graft] def catalogColumns(files: DataFrame): DataFrame = {
+    val hx = hex(col("content"))
+    files.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+      col("length").cast("bigint").as("n_bytes"),
+      md5(hx).as("content_md5"),
+      when(substring(hx, 1, 8) === "89504E47", "png")
+        .when(substring(hx, 1, 6) === "FFD8FF", "jpeg")
+        .when(substring(hx, 1, 8) === "52494646" &&
+              substring(hx, 17, 8) === "57415645", "wav")
+        .when(substring(hx, 1, 8) === "52494646" &&
+              substring(hx, 17, 8) === "41564920", "avi")
+        .otherwise("unknown").as("container"))
   }
 
   /** Driver-verified: the media LAKE-INGESTION scan — raw asset files read
@@ -451,19 +486,7 @@ object Media {
     * `content`), and the per-file work here is one hex+md5 pass. */
   def mediaFilesScan(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureAssetFiles(spark, sfDir)
-    val hx = hex(col("content"))
-    spark.read.format("binaryFile").load(dir)
-      .select(
-        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
-        col("length").cast("bigint").as("n_bytes"),
-        md5(hx).as("content_md5"),
-        when(substring(hx, 1, 8) === "89504E47", "png")
-          .when(substring(hx, 1, 6) === "FFD8FF", "jpeg")
-          .when(substring(hx, 1, 8) === "52494646" &&
-                substring(hx, 17, 8) === "57415645", "wav")
-          .when(substring(hx, 1, 8) === "52494646" &&
-                substring(hx, 17, 8) === "41564920", "avi")
-          .otherwise("unknown").as("container"))
+    catalogColumns(spark.read.format("binaryFile").load(dir))
       .orderBy("file_name")
   }
 }

@@ -444,33 +444,27 @@ object EventStreams {
     * zero state stores and the batch scan's oracle (DuckDB `read_blob`
     * over the same files) is exact row for row.
     *
+    * Scope: the stream catalogs the DROP — the delta shard's files staged
+    * under [[graft.multimodal.Media.DropFilesRoot]] — not the historical
+    * bucket (that is the batch scan's job, and re-cataloging the full
+    * corpus per drop would be quadratic over a corpus's life).
+    *
     * Honest cost (measured): the streaming file source stats each file on
-    * the DRIVER when it builds a micro-batch's file index — ~2 ms/file, so
-    * 5k one-KB assets cost ~9s regardless of trigger batching (the batch
-    * scan of the same files reads in 0.4s). File-per-asset drops are the
-    * wrong STREAMING grain; production drops land as packed archives or
-    * parquet (the asset-table path every other media op uses), and this
-    * operator is the catalog for the drop-bucket shape at its honest
-    * price. */
+    * the DRIVER when it builds a micro-batch's file index — ~2 ms/file
+    * regardless of trigger batching (the batch scan reads the same files
+    * ~20× faster). File-per-asset is therefore the wrong grain for BIG
+    * drops; production drops land as packed archives or parquet (the
+    * asset-table path every other media op uses), and this operator is
+    * the catalog for the raw-drop shape at its honest price. */
   def streamMediaIngestQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.multimodal.Media
-    val dir = Media.ensureAssetFiles(spark, sfDir)
-    val hx = hex(col("content"))
-    val cataloged = spark.readStream
+    // catalog the DROP (delta shard), not the historical bucket — a stream
+    // sees what lands; the full-corpus catalog is the batch scan's job
+    val dir = Media.ensureDropFiles(spark, sfDir)
+    val cataloged = Media.catalogColumns(spark.readStream
       .format("binaryFile")
       .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
-      .load(dir)
-      .select(
-        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
-        col("length").cast("bigint").as("n_bytes"),
-        md5(hx).as("content_md5"),
-        when(substring(hx, 1, 8) === "89504E47", "png")
-          .when(substring(hx, 1, 6) === "FFD8FF", "jpeg")
-          .when(substring(hx, 1, 8) === "52494646" &&
-                substring(hx, 17, 8) === "57415645", "wav")
-          .when(substring(hx, 1, 8) === "52494646" &&
-                substring(hx, 17, 8) === "41564920", "avi")
-          .otherwise("unknown").as("container"))
+      .load(dir))
     runToCompletion(spark, cataloged, "stream_media", OutputMode.Append())
       .orderBy("file_name")
   }

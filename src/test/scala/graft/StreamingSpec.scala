@@ -288,12 +288,16 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty) // the split plants eval-in-train containment
   }
 
-  test("bounded replay: stream_media_ingest equals the batch binaryFile scan") {
+  test("bounded replay: stream_media_ingest catalogs exactly the drop's files") {
     val streamed = EventStreams.streamMediaIngestQuery(spark, sf0001)
       .collect().map(_.toSeq).toSet
-    val batch = graft.multimodal.Media.mediaFilesScan(spark, sf0001)
-      .collect().map(_.toSeq).toSet
-    assert(streamed === batch)
+    // the drop = the delta shard of the full catalog, nothing else
+    val batchDelta = graft.multimodal.Media.mediaFilesScan(spark, sf0001)
+      .collect().map(_.toSeq)
+      .filter(r => r.head.asInstanceOf[String]
+        .stripPrefix("asset_").stripSuffix(".bin").toLong % 10 == 0)
+      .toSet
+    assert(streamed === batchDelta)
     assert(streamed.nonEmpty)
   }
 
