@@ -196,6 +196,7 @@ object SparkEntry {
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
+    "stream_quota_ingest" -> ((s, d) => graft.streaming.EventStreams.streamQuotaIngestQuery(s, d)),
   )
 
   /** The KMV distinct-count oracle, shared by the batch and streaming
@@ -2003,6 +2004,19 @@ object SparkEntry {
     // wrote (read_blob over the fixed staging root) — size, hex-md5 digest
     // and magic-byte container sniff replayed byte for byte.
     "media_files_scan" -> mediaFilesScanSql(),
+    // stream_quota_ingest: budget consumed in arrival order == doc_id
+    // order under bounded replay, so the per-source prefix sum is exact.
+    "stream_quota_ingest" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> ''),
+        |    w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM documents),
+        |c AS (SELECT source, doc_id, toks,
+        |  CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM d)
+        |SELECT source, doc_id, toks, cum_tokens,
+        |  CASE WHEN cum_tokens <= 2000 THEN 1 ELSE 0 END AS accepted
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     // stream_media_ingest: the same stateless catalog over the DROP
     // staging root (delta shard only) — read_blob replays those files.
     "stream_media_ingest" -> mediaFilesScanSql("/tmp/graft_media_drop"),

@@ -734,6 +734,85 @@ object EventStreams {
       .orderBy("eval_id", "train_id")
   }
 
+  final case class QuotaIn(source: String, doc_id: Long, toks: Long)
+  final case class QuotaOut(source: String, doc_id: Long, toks: Long,
+                            cum_tokens: Long, accepted: Int)
+
+  /** Per-source token-budget state for [[streamQuotaIngestQuery]] — the
+    * `transformWithState` (Spark 4 arbitrary-state API) processor: one
+    * `ValueState[Long]` per source holds tokens consumed so far; each
+    * arriving doc adds its mass and is accepted iff the running total
+    * stays under `cap`. Within a batch rows are consumed in doc_id order
+    * so bounded replay is deterministic; across batches the state value
+    * IS the contract (proven by the multi-batch spec). */
+  class QuotaProcessor(cap: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, QuotaIn, QuotaOut] {
+    @transient private var used: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      used = getHandle.getValueState[Long]("used",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[QuotaIn],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[QuotaOut] = {
+      var u = if (used.exists()) used.get() else 0L
+      val out = rows.toArray.sortBy(_.doc_id).map { r =>
+        u += r.toks
+        QuotaOut(r.source, r.doc_id, r.toks, u, if (u <= cap) 1 else 0)
+      }
+      used.update(u)
+      out.iterator
+    }
+  }
+
+  /** Driver-verified: MIXTURE-QUOTA enforcement AT INGEST — the online
+    * counterpart of `mixture_sample`: each source has a token budget, and
+    * every arriving document either fits the remaining budget (accepted)
+    * or finds it exhausted — decided the moment the doc lands, which no
+    * stateless filter and no windowed aggregate can express (the verdict
+    * depends on the running total across ALL previous batches). This is
+    * the Spark 4 `transformWithState` API carrying the state: one
+    * ValueState[Long] per source (fixed-size at any corpus scale),
+    * RocksDB-backed as the API requires.
+    *
+    * Determinism contract: budget is consumed in ARRIVAL order — the real
+    * quota semantics — and the bounded replay arrives in doc_id order, so
+    * the batch prefix-sum over (source ORDER BY doc_id) is the exact
+    * oracle; production arrival order changes WHICH docs win the budget,
+    * never how much of it is spent. */
+  def streamQuotaIngestQuery(spark: SparkSession, sfDir: String,
+                             cap: Long = 2000L): DataFrame = {
+    import spark.implicits._
+    val in = tableStream(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+              TextFunctions.bpeTokenCount(col("text")).as("toks"))
+      .as[QuotaIn]
+    quotaIngestFrom(spark, in, cap)
+  }
+
+  /** [[streamQuotaIngestQuery]] over an explicit `QuotaIn` stream — the
+    * form the multi-batch state spec drives. */
+  private[graft] def quotaIngestFrom(spark: SparkSession,
+                                     in: org.apache.spark.sql.Dataset[QuotaIn],
+                                     cap: Long): DataFrame = {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = in.groupByKey(_.source)
+        .transformWithState(new QuotaProcessor(cap),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      runToCompletion(spark, out.toDF(), "stream_quota", OutputMode.Append())
+        .orderBy("source", "doc_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   final case class Scd2St(lastType: String, fromUs: Long)
   final case class Scd2Out(event_type: String, valid_from_us: Long, valid_to_us: Long)
 

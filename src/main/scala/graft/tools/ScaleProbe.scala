@@ -55,7 +55,8 @@ object ScaleProbe {
                             "embedding_stats", "stream_decontaminate",
                             "dedup_report", "contamination_report",
                             "stream_quality_filter", "stream_source_mix", "export_pack",
-                            "media_files_scan", "stream_media_ingest")).toList
+                            "media_files_scan", "stream_media_ingest",
+                            "stream_quota_ingest")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

@@ -301,6 +301,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_quota_ingest: the transformWithState budget survives micro-batches") {
+    import spark.implicits._
+    // batch 0 spends 1500 of source A's 2000-token cap; batch 1's 800-token
+    // doc is over budget ONLY if the running total survived the batch
+    // boundary (a batch-local counter would see 800 <= 2000 and accept);
+    // source B proves budgets are per-key.
+    val dir = java.nio.file.Files.createTempDirectory("graft_quota_stream")
+    EventStreams.stageStreamFile(
+      Seq(("srcA", 1L, 1500L), ("srcB", 2L, 100L))
+        .toDF("source", "doc_id", "toks"), dir, "b0", 1000000L)
+    EventStreams.stageStreamFile(
+      Seq(("srcA", 3L, 800L), ("srcB", 4L, 100L))
+        .toDF("source", "doc_id", "toks"), dir, "b1", 2000000L)
+    val in = spark.readStream.schema("source STRING, doc_id LONG, toks LONG")
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .as[EventStreams.QuotaIn]
+    val out = EventStreams.quotaIngestFrom(spark, in, cap = 2000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+    assert(out.toSet === Set(
+      ("srcA", 1L, 1500L, 1),   // fits
+      ("srcA", 3L, 2300L, 0),   // over budget ONLY via carried state
+      ("srcB", 2L, 100L, 1),
+      ("srcB", 4L, 200L, 1)))
+  }
+
   test("multi-batch stream_decontaminate: cross-batch candidate state, exact containment verdicts") {
     import graft.operators.IncrementalDedup
     import graft.operators.IncrementalDedup.IndexParams
