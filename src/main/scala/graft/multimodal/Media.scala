@@ -430,28 +430,51 @@ object Media {
   def ensureDropFiles(spark: SparkSession, sfDir: String): String =
     stageAssetFiles(spark, sfDir, DropFilesRoot, deltaOnly = true)
 
+  /** Concurrent-safe staging: each corpus fingerprint builds into its OWN
+    * immutable versioned directory (`<root>.v<fp>` — built under a temp
+    * name, atomically renamed into place, never mutated after), and the
+    * stable `rootPath` is a SYMLINK flipped atomically onto the current
+    * version. Readers (the Spark scan, DuckDB's `read_blob`, a concurrent
+    * graft process) therefore always see a complete, consistent file set —
+    * the object-store "immutable version + pointer swap" pattern, which is
+    * exactly how a 100 TB asset store stages drops. Old versions leak
+    * bounded temp space instead of racing readers. */
   private def stageAssetFiles(spark: SparkSession, sfDir: String,
                               rootPath: String, deltaOnly: Boolean): String = {
-    val root = new java.io.File(rootPath)
-    val marker = new java.io.File(root, ".fingerprint")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")
-    val current = if (marker.exists())
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
-    if (current != fp) {
-      if (root.exists()) root.listFiles().foreach(_.delete())
-      root.mkdirs()
+    val version = Paths.get(s"$rootPath.v$fp")
+    if (!Files.isDirectory(version)) {
+      val tmp = Paths.get(s"$rootPath.tmp-${java.util.UUID.randomUUID()}")
+      Files.createDirectories(tmp)
+      val tmpStr = tmp.toString
       val assets = assetsFromDocuments(spark, sfDir)
       val staged = if (deltaOnly) assets.filter(_.media_id % 10 == 0) else assets
       staged.foreachPartition { it: Iterator[MediaAsset] =>
         it.foreach { a =>
-          val f = new java.io.File(rootPath, f"asset_${a.media_id}%05d.bin")
+          val f = new java.io.File(tmpStr, f"asset_${a.media_id}%05d.bin")
           val os = new java.io.FileOutputStream(f)
           try os.write(a.payload) finally os.close()
         }
       }
-      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      try Files.move(tmp, version, StandardCopyOption.ATOMIC_MOVE)
+      catch { // another process won the race — its version is complete; use it
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException if Files.isDirectory(version) =>
+          tmp.toFile.listFiles().foreach(_.delete()); Files.deleteIfExists(tmp)
+      }
     }
-    root.getAbsolutePath
+    // flip the stable pointer: build the new link aside, rename over (atomic)
+    val link = Paths.get(rootPath)
+    if (Files.isDirectory(link) && !Files.isSymbolicLink(link)) {
+      // migrate a legacy real-dir staging root out of the way
+      link.toFile.listFiles().foreach(_.delete()); Files.delete(link)
+    }
+    val newLink = Paths.get(s"$rootPath.lnk-${java.util.UUID.randomUUID()}")
+    Files.createSymbolicLink(newLink, version)
+    Files.move(newLink, link, StandardCopyOption.ATOMIC_MOVE,
+               StandardCopyOption.REPLACE_EXISTING)
+    rootPath
   }
 
   /** The catalog projection shared by the batch scan and the streaming
