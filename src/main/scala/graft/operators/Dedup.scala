@@ -612,6 +612,42 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** COMPLIANCE TAKEDOWN with near-dup PROPAGATION — the removal-request
+    * op (DMCA, GDPR, licensing pullback): deleting only the documents that
+    * MATCH the request leaves their near-duplicate copies in the corpus —
+    * crawls duplicate content across sources, so a takedown that doesn't
+    * close over duplicate clusters silently ships the removed content
+    * under another source id. This emits the full removal MANIFEST: every
+    * document in any cluster touched by the request, tagged `direct`
+    * (matched the request) or `cluster` (a propagated copy) — the audit
+    * trail a compliance process files, and the exclusion list the next
+    * export consumes.
+    *
+    * 100 TB: rides the PERSISTED cluster labels (no pair re-run); the
+    * touched-cluster set is tiny (broadcast), so the manifest join never
+    * shuffles the corpus. On this corpus src3+src13 propagate to copies
+    * under four OTHER sources — the spec pins that the closure catches
+    * them. */
+  def takedownPropagate(spark: SparkSession, sfDir: String,
+                        sources: Seq[String] = Seq("src3", "src13"),
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val labels = spark.table(ensureClusterLabels(spark, sfDir, n, threshold))
+    val labeled = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), col("source"),
+              coalesce(col("l"), col("doc_id")).as("cluster_id"))
+    val touched = labeled
+      .filter(col("source").isin(sources: _*))
+      .select("cluster_id").distinct()
+    labeled
+      .join(broadcast(touched), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("source").isin(sources: _*), "direct")
+          .otherwise("cluster").as("reason"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token multiset: per-bit vote of the tokens' MD5

@@ -56,7 +56,7 @@ object ScaleProbe {
                             "dedup_report", "contamination_report",
                             "stream_quality_filter", "stream_source_mix", "export_pack",
                             "media_files_scan", "stream_media_ingest",
-                            "stream_quota_ingest")).toList
+                            "stream_quota_ingest", "takedown_propagate")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

@@ -237,6 +237,43 @@ class DedupSpec extends SparkSpecBase {
     assert(report.exists(_._1 > 1), "no duplicate clusters found — fixture degenerate")
   }
 
+  test("takedownPropagate: the closure catches copies hiding under OTHER sources") {
+    import org.apache.spark.sql.functions.col
+    val manifest = Dedup.takedownPropagate(spark, sf0001).collect()
+    val idx = manifest.head.schema.fieldNames.zipWithIndex.toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val matched = Set("src3", "src13")
+    // every matched doc is in the manifest as 'direct'
+    val direct = manifest.filter(_.getString(idx("reason")) == "direct")
+      .map(_.getLong(idx("doc_id"))).toSet
+    assert(direct === docs.filter(kv => matched(kv._2)).keySet)
+    // propagated rows are NON-matched docs sharing a cluster with a direct one
+    val propagated = manifest.filter(_.getString(idx("reason")) == "cluster")
+    assert(propagated.nonEmpty,
+      "no propagation — the fixture's clusters must span sources")
+    propagated.foreach { r =>
+      assert(!matched(docs(r.getLong(idx("doc_id")))),
+        "a matched doc must be tagged direct, not cluster")
+    }
+    val directClusters = manifest.filter(_.getString(idx("reason")) == "direct")
+      .map(_.getLong(idx("cluster_id"))).toSet
+    propagated.foreach { r =>
+      assert(directClusters(r.getLong(idx("cluster_id"))),
+        "a propagated doc must share a cluster with a direct hit")
+    }
+    // removal is CLOSED: after dropping the manifest, no surviving doc
+    // shares a cluster with a removed one
+    val removed = manifest.map(_.getLong(idx("doc_id"))).toSet
+    val clusters = Dedup.dedupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val removedClusters = clusters.filter(c => removed(c._1)).map(_._2).toSet
+    clusters.filterNot(c => removed(c._1)).foreach { case (doc, cl) =>
+      assert(!removedClusters(cl), s"survivor $doc shares cluster $cl with removed docs")
+    }
+  }
+
   test("contaminationReport: rolls up the exact pair set per source, rates in [0,1]") {
     val report = Dedup.contaminationReport(spark, sf0001).collect()
     val idx = report.head.schema.fieldNames.zipWithIndex.toMap
