@@ -159,6 +159,7 @@ object SparkEntry {
     "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
     "contamination_report" -> ((s, d) => Dedup.contaminationReport(s, d)),
     "takedown_propagate" -> ((s, d) => Dedup.takedownPropagate(s, d)),
+    "stream_takedown" -> ((s, d) => graft.streaming.EventStreams.streamTakedownQuery(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminationPairs(s, d)),
     "decontaminate_indexed" -> ((s, d) => Dedup.decontaminationIndexed(s, d)),
@@ -692,6 +693,22 @@ object SparkEntry {
       |  round(CAST(total_tokens AS DOUBLE) / (SELECT sum(total_tokens) FROM s), 4) AS token_share,
       |  avg_quality
       |FROM s ORDER BY source""".stripMargin
+
+  /** Takedown closure manifest — shared by the batch op and its
+    * compliance-queue streaming twin. */
+  private val takedownSql: String =
+    s"""WITH RECURSIVE np AS ($ngramPairsSql),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
+        |reach AS (SELECT a AS v, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
+        |lbl AS (SELECT d.doc_id, d.source, COALESCE(c.cluster, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+        |hit AS (SELECT DISTINCT cluster_id FROM lbl WHERE source IN ('src3', 'src13'))
+        |SELECT l.doc_id, l.cluster_id,
+        |  CASE WHEN l.source IN ('src3', 'src13') THEN 'direct' ELSE 'cluster' END AS reason
+        |FROM lbl l JOIN hit USING (cluster_id) ORDER BY l.doc_id""".stripMargin
 
   /** Eval-in-train containment (sans presentation sort) — standalone
     * oracle for `decontaminate` and a stage of `corpus_export`. */
@@ -1509,19 +1526,10 @@ object SparkEntry {
         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // takedown_propagate: the dedup closure joined to the matched sources;
     // the manifest is every doc in a touched cluster, reason-tagged.
-    "takedown_propagate" ->
-      s"""WITH RECURSIVE np AS ($ngramPairsSql),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
-        |reach AS (SELECT a AS v, b AS r FROM edges
-        |  UNION
-        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
-        |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
-        |lbl AS (SELECT d.doc_id, d.source, COALESCE(c.cluster, d.doc_id) AS cluster_id
-        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
-        |hit AS (SELECT DISTINCT cluster_id FROM lbl WHERE source IN ('src3', 'src13'))
-        |SELECT l.doc_id, l.cluster_id,
-        |  CASE WHEN l.source IN ('src3', 'src13') THEN 'direct' ELSE 'cluster' END AS reason
-        |FROM lbl l JOIN hit USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
+    "takedown_propagate" -> takedownSql,
+    // stream_takedown: emitted manifest SET equals the batch closure —
+    // stateless stream-static cluster resolution + manifest dedup.
+    "stream_takedown" -> takedownSql,
     // contamination_report: distinct contaminated eval ids from the exact
     // containment join (the indexed route's shared-oracle argument),
     // re-joined to the eval shard and rolled up per source.

@@ -734,6 +734,40 @@ object EventStreams {
       .orderBy("eval_id", "train_id")
   }
 
+  /** Driver-verified: TAKEDOWN REQUESTS processed as they arrive — the
+    * compliance-queue twin of [[graft.operators.Dedup.takedownPropagate]]:
+    * each request (here: the matched sources' docs replayed as the request
+    * feed) resolves its duplicate cluster against the PERSISTED label
+    * table and pulls every member into the removal manifest the moment it
+    * lands — two STATELESS stream-static joins; the only state is the
+    * manifest dedup key (two requests touching one cluster emit its
+    * members once). Emitted set == the batch manifest (order-free), so
+    * the batch closure oracle is exact. */
+  def streamTakedownQuery(spark: SparkSession, sfDir: String,
+                          sources: Seq[String] = Seq("src3", "src13")): DataFrame = {
+    import graft.operators.Dedup
+    val labels = spark.table(Dedup.ensureClusterLabels(spark, sfDir))
+    val labeled = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), col("source"),
+              coalesce(col("l"), col("doc_id")).as("cluster_id"))
+    val requests = tableStream(spark, sfDir, "documents")
+      .filter(col("source").isin(sources: _*))
+      .select(col("doc_id").as("req_doc"))
+    val manifest = requests
+      .join(labeled.select(col("doc_id").as("req_doc"), col("cluster_id")),
+            Seq("req_doc"))
+      .select("cluster_id")
+      .join(labeled, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("source").isin(sources: _*), "direct")
+          .otherwise("cluster").as("reason"))
+      .dropDuplicates("doc_id")
+    runToCompletion(spark, manifest, "stream_takedown", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   final case class QuotaIn(source: String, doc_id: Long, toks: Long)
   final case class QuotaOut(source: String, doc_id: Long, toks: Long,
                             cum_tokens: Long, accepted: Int)

@@ -301,6 +301,15 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("bounded replay: stream_takedown equals the batch closure manifest") {
+    val streamed = EventStreams.streamTakedownQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Dedup.takedownPropagate(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_quota_ingest: the transformWithState budget survives micro-batches") {
     import spark.implicits._
     // batch 0 spends 1500 of source A's 2000-token cap; batch 1's 800-token
