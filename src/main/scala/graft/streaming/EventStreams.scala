@@ -586,37 +586,47 @@ object EventStreams {
 
   /** Driver-verified: streaming CLUSTER ASSIGNMENT of arriving documents —
     * each delta doc is hashed-embedded PER ROW in the stream
-    * (`graft_hash_embed`, stateless scan-side kernel, zero shuffle), scored
-    * against the persisted text codebook by a stream-static broadcast
-    * join, and classified to its nearest centroid. The per-doc argmax is a
-    * `max(struct(cos, -cent_id))` aggregate — ties to the smallest cell,
-    * same rule as the batch family. This bounded-replay form materializes
-    * in Complete mode (state = one struct per delta doc); at production
-    * rates the classification is a pure per-row map (the codebook rides as
-    * a broadcast) and an ingest-time watermark bounds the aggregate. The
-    * final table is arrival-order independent (argmax is commutative), so
-    * the batch assignment SQL is the exact oracle — the streaming half of
-    * the text→vector bridge: route arriving documents to topic/quality
-    * cells the moment they land. */
+    * (`graft_hash_embed`, stateless scan-side kernel, zero shuffle) and
+    * classified to its nearest centroid by a per-row FOLD over the
+    * persisted text codebook, staged at plan time as a literal (√N
+    * centroids × dim floats — broadcast-probe-staging scale, KBs): the
+    * whole classification is a STATELESS append-mode map — no explode, no
+    * streaming aggregate, no state store, nothing re-emitted per batch.
+    * (An earlier form joined the codebook and argmax'd in a Complete-mode
+    * aggregate; Complete mode rewrites the ENTIRE result every micro-batch
+    * — a non-starter over an unbounded stream, and the state it carried
+    * was pure waste since the verdict is per-row.) The ascending fold
+    * replaces the best cell only on a STRICTLY greater cosine, so ties
+    * resolve to the smallest cell — the same `max(struct(cos, -cent_id))`
+    * rule as the batch family, and the batch assignment SQL stays the
+    * exact oracle — the streaming half of the text→vector bridge: route
+    * arriving documents to topic/quality cells the moment they land. */
   def streamClusterAssignQuery(spark: SparkSession, sfDir: String,
                                dim: Int = 64): DataFrame = {
     import graft.operators.{IncrementalDedup, Similarity}
     val prefix = Similarity.ensureTextIvfIndex(spark, sfDir, dim)
-    val cents = spark.table(s"${prefix}_cents")
-    val scored = tableStream(spark, sfDir, "documents")
+    val cents = spark.table(s"${prefix}_cents").orderBy("cent_id")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val ids = typedLit(cents.map(_._1).toSeq)
+    val embs = typedLit(cents.map(_._2.toSeq).toSeq)
+    val best = aggregate(
+      sequence(lit(0), lit(cents.length - 1)),
+      struct(lit(-2.0).as("cos"), lit(0).as("idx")),
+      (acc, i) => {
+        val c = graft.functions.VectorFunctions.cosine(
+          col("emb"), element_at(embs, i + 1))
+        when(c > acc("cos"), struct(c.as("cos"), i.as("idx"))).otherwise(acc)
+      })
+    val assigned = tableStream(spark, sfDir, "documents")
       .filter(col("doc_id") % IncrementalDedup.DeltaMod === 0)
       .select(col("doc_id"),
               call_function("graft_hash_embed", col("text"), lit(dim))
                 .cast("array<float>").as("emb"))
-      .join(broadcast(cents))
-      .select(col("doc_id"), col("cent_id"),
-              graft.functions.VectorFunctions.cosine(col("emb"), col("cemb")).as("cos"))
-    val agg = scored.groupBy("doc_id")
-      .agg(max(struct(col("cos").as("cos"),
-                      (-col("cent_id")).cast("long").as("nc"))).as("m"))
-    runToCompletion(spark, agg, "stream_cluster", OutputMode.Complete())
-      .select(col("doc_id"), (-col("m.nc")).cast("int").as("cell"),
+      .select(col("doc_id"), best.as("m"))
+      .select(col("doc_id"),
+              element_at(ids, col("m.idx") + 1).as("cell"),
               duckRound(col("m.cos"), 6).as("cos"))
+    runToCompletion(spark, assigned, "stream_cluster", OutputMode.Append())
       .orderBy("doc_id")
   }
 
