@@ -124,6 +124,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
+    "kanon_suppress" -> ((s, d) => TextAnalysis.kanonSuppress(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
@@ -157,6 +158,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
+    "corpus_overlap" -> ((s, d) => Dedup.corpusOverlap(s, d)),
     "contamination_report" -> ((s, d) => Dedup.contaminationReport(s, d)),
     "takedown_propagate" -> ((s, d) => Dedup.takedownPropagate(s, d)),
     "stream_takedown" -> ((s, d) => graft.streaming.EventStreams.streamTakedownQuery(s, d)),
@@ -1524,6 +1526,32 @@ object SparkEntry {
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped
         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // corpus_overlap: the exact near-dup pair set (the LSH generator is
+    // provably equal to it at the threshold), symmetrized, labeled with
+    // each endpoint's source, and aggregated to the |sources|² matrix.
+    "corpus_overlap" ->
+      s"""WITH np AS ($ngramPairsSql),
+        |sym AS (SELECT doc_a AS doc, doc_b AS other FROM np
+        |  UNION ALL SELECT doc_b, doc_a FROM np),
+        |lab AS (SELECT s1.source AS source, s2.source AS other_source, sym.doc
+        |  FROM sym JOIN documents s1 ON sym.doc = s1.doc_id
+        |           JOIN documents s2 ON sym.other = s2.doc_id),
+        |hits AS (SELECT source, other_source,
+        |    CAST(count(DISTINCT doc) AS BIGINT) AS n_overlapping
+        |  FROM lab GROUP BY 1, 2),
+        |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT h.source, h.other_source, h.n_overlapping, t.n_docs,
+        |  round(CAST(h.n_overlapping AS DOUBLE) / t.n_docs, 4) AS overlap_rate
+        |FROM hits h JOIN tot t ON h.source = t.source
+        |ORDER BY h.source, h.other_source""".stripMargin,
+    // kanon_suppress: cells below k vanish; every retained doc carries its
+    // cell size so the k >= 5 invariant is row-checkable.
+    "kanon_suppress" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS cell_size
+        |  FROM documents GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT d.doc_id, d.lang, d.source, c.cell_size
+        |FROM documents d JOIN cells c ON d.lang = c.lang AND d.source = c.source
+        |ORDER BY doc_id""".stripMargin,
     // takedown_propagate: the dedup closure joined to the matched sources;
     // the manifest is every doc in a touched cluster, reason-tagged.
     "takedown_propagate" -> takedownSql,

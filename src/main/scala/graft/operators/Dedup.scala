@@ -743,4 +743,50 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  // --------------------------------------------------- Cross-source overlap
+
+  /** Cross-SOURCE near-dup overlap matrix — the corpus-composition question
+    * dedup pair lists don't answer: for every (source, other_source) cell,
+    * how many of `source`'s documents have a near-duplicate in
+    * `other_source`, and what fraction of the source that is. The diagonal
+    * is each source's INTERNAL duplication rate; off-diagonal cells expose
+    * mirror/syndication relationships between crawl sources — the signal
+    * that decides which source to drop entirely versus dedup against, and
+    * the provenance table a mixture designer reads before weighting
+    * sources ([[graft.operators.TextAnalysis]]'s `source_mix` says how much
+    * of each source there IS; this says how much of it is someone else's).
+    *
+    * Rides [[minhashPairsUnordered]] — the LSH candidate generator (the
+    * 100 TB pair path, provably equal to the exact n-gram join at the
+    * threshold) — so the pair cost is the dedup run's, not a new all-pairs
+    * scan. The pair set symmetrizes (each side of a pair counts for its
+    * own source), source labels join on doc_id (compact keys, never text),
+    * and the matrix aggregate is a partial-agg'd count-distinct over at
+    * most |sources|² groups. Output is |sources|²-bounded — trivially
+    * collectable at any corpus size. */
+  def corpusOverlap(spark: SparkSession, sfDir: String, n: Int = 3,
+                    threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairsUnordered(spark, sfDir, n = n, threshold = threshold)
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    // Symmetrize: a near-dup pair makes BOTH endpoints "a doc with a dup in
+    // the other endpoint's source".
+    val sym = pairs.select(col("doc_a").as("doc"), col("doc_b").as("other"))
+      .union(pairs.select(col("doc_b").as("doc"), col("doc_a").as("other")))
+    val labeled = sym
+      .join(src.select(col("doc_id"), col("source").as("src")), col("doc") === col("doc_id"))
+      .drop("doc_id")
+      .join(src.select(col("doc_id").as("oid"), col("source").as("other_source")),
+            col("other") === col("oid"))
+    val hits = labeled
+      .groupBy(col("src").as("source"), col("other_source"))
+      .agg(countDistinct(col("doc")).as("n_overlapping"))
+    val totals = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    hits.join(totals, Seq("source"))
+      .select(col("source"), col("other_source"), col("n_overlapping"), col("n_docs"),
+        graft.functions.NumericFunctions.duckRound(
+          col("n_overlapping").cast("double") / col("n_docs").cast("double"), 4)
+          .as("overlap_rate"))
+      .orderBy("source", "other_source")
+  }
 }

@@ -909,6 +909,31 @@ object TextAnalysis {
     h
   }
 
+  /** K-ANONYMITY cell suppression — the release-side privacy gate that
+    * complements [[scrubPii]]'s content-side scrub: a document whose
+    * (lang, source) quasi-identifier cell holds fewer than `k` documents is
+    * re-identifiable BY ITS METADATA alone (publish "the one Basque doc
+    * from crawler X" and you've published who wrote it, whatever the text
+    * says), so the whole cell is suppressed from the release. Emits every
+    * retained document with its cell size — the auditable form: a reviewer
+    * can check `cell_size >= k` row by row, and the suppressed complement
+    * is exactly `documents MINUS this`.
+    *
+    * 100 TB: one partial-agg'd count over |cells| groups (thousands, not
+    * corpus-sized), then a broadcast-friendly equi-join of the tiny
+    * retained-cell list back onto the scan — the corpus is touched once,
+    * no self-join, no window. More quasi-identifier columns = a wider
+    * groupBy key, same plan. */
+  def kanonSuppress(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "source")
+    val cells = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("cell_size"))
+      .filter(col("cell_size") >= k)
+    docs.join(broadcast(cells), Seq("lang", "source"))
+      .select("doc_id", "lang", "source", "cell_size")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic 64-bit FNV-1a string hash (no JVM hash dependence). */
   def stringHash64(s: String): Long = {
     var h = 0xcbf29ce484222325L

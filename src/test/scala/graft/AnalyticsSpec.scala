@@ -321,4 +321,30 @@ class AnalyticsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("kanonSuppress: retained cells all >= k, suppressed complement all < k, k discriminates") {
+    val k = 5
+    val rows = TextAnalysis.kanonSuppress(spark, sf0001, k).collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val trueCells = docs.groupBy(d => (d._2, d._3)).view.mapValues(_.length.toLong).toMap
+    // every retained row reports its TRUE cell size, and that size >= k
+    rows.foreach { r =>
+      val cell = (r.getString(idx("lang")), r.getString(idx("source")))
+      assert(r.getLong(idx("cell_size")) === trueCells(cell))
+      assert(r.getLong(idx("cell_size")) >= k)
+    }
+    // the suppressed complement is EXACTLY the docs in cells below k
+    val retained = rows.map(_.getLong(idx("doc_id"))).toSet
+    docs.foreach { case (id, lang, source) =>
+      assert(retained(id) === (trueCells((lang, source)) >= k),
+        s"doc $id mis-classified for cell ($lang, $source)")
+    }
+    // the threshold discriminates on this corpus: both verdicts occur
+    assert(retained.nonEmpty && retained.size < docs.length,
+      "k-anonymity gate is degenerate on the fixture")
+  }
 }

@@ -293,4 +293,35 @@ class DedupSpec extends SparkSpecBase {
       assert(math.abs(rate - nc.toDouble / ne) <= 5e-5 + 1e-9)
     }
   }
+
+  test("corpusOverlap: matrix is symmetric in counts and re-derivable from the pair set") {
+    import org.apache.spark.sql.functions.col
+    val m = Dedup.corpusOverlap(spark, sf0001).collect()
+    val idx = m.head.schema.fieldNames.zipWithIndex.toMap
+    val cells = m.map { r =>
+      (r.getString(idx("source")), r.getString(idx("other_source"))) ->
+        (r.getLong(idx("n_overlapping")), r.getLong(idx("n_docs")),
+         r.getDouble(idx("overlap_rate")))
+    }.toMap
+    // re-derive from the raw pair set + source labels
+    val src = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (pairs.map { case (a, b) => (src(a), src(b), a) } ++
+                    pairs.map { case (a, b) => (src(b), src(a), b) })
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.map(_._3).distinct.length.toLong }
+    assert(cells.view.mapValues(_._1).toMap === expected)
+    val totals = src.groupBy(_._2).map { case (s, v) => s -> v.size.toLong }
+    cells.foreach { case ((s, _), (n, nd, rate)) =>
+      assert(nd === totals(s), s"n_docs for $s")
+      assert(n <= nd)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - n.toDouble / nd) <= 5e-5 + 1e-9)
+    }
+    // the fixture's duplication spans sources (off-diagonal cells exist)
+    assert(m.exists(r => r.getString(idx("source")) != r.getString(idx("other_source"))),
+      "no cross-source overlap — fixture degenerate")
+  }
 }
