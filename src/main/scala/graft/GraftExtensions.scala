@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, HashEmbed, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash}
+import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, HashEmbed, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash, Winnow, WinnowStats}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -107,6 +107,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_chunks(text, window)")
         ChunkHashes(args.head, intArg(args(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_winnow(text, window, w)")
+        Winnow(args.head, intArg(args(1)), intArg(args(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnowstats"),
+      new ExpressionInfo(classOf[WinnowStats].getName, "graft_winnowstats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_winnowstats(text, window, w)")
+        WinnowStats(args.head, intArg(args(1)), intArg(args(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_hash_embed"),

@@ -128,6 +128,8 @@ object SparkEntry {
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
+    "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
+    "winnow_matches" -> ((s, d) => TextAnalysis.winnowMatches(s, d)),
     "embed_documents" -> ((s, d) => TextAnalysis.embedDocuments(s, d)),
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "pack_sequences_sharded" -> ((s, d) => TextAnalysis.packSequencesSharded(s, d)),
@@ -1426,6 +1428,51 @@ object SparkEntry {
         |SELECT doc_id, len(ch) AS n_chunks, list_min(ch) AS fp_min, list_max(ch) AS fp_max,
         |  CAST(list_sum(ch) AS BIGINT) AS fp_sum
         |FROM c ORDER BY doc_id""".stripMargin,
+    // winnow_fingerprints: the chunk-hash chain winnowed — each 4-window's
+    // min (RIGHTMOST on ties: i + max over tying offsets), positions
+    // deduped; the selected fp at position p IS ch[p], so the summary
+    // needs only the distinct position list.
+    "winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),
+        |c AS (SELECT doc_id, CASE WHEN len(hs) >= 8
+        |      THEN list_transform(range(1, len(hs) - 6), i -> list_reduce(hs[i:i+7], (a, b) -> (a * 1000003 + b) % 4294967296))
+        |      ELSE CAST([] AS BIGINT[]) END AS ch FROM h),
+        |s AS (SELECT doc_id, ch, CASE WHEN len(ch) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(ch) - 2), i ->
+        |        i + list_max(list_filter(range(0, 4), j -> ch[i+j] = list_min(ch[i:i+3])))))
+        |      ELSE CAST([] AS BIGINT[]) END AS ps FROM c)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_fp,
+        |  list_min(list_transform(ps, p -> ch[p])) AS fp_min,
+        |  list_max(list_transform(ps, p -> ch[p])) AS fp_max,
+        |  CAST(list_sum(list_transform(ps, p -> ch[p])) AS BIGINT) AS fp_sum,
+        |  CAST(list_sum(ps) AS BIGINT) AS pos_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // winnow_matches: the winnowed postings (distinct (doc, fp)), hot
+    // hashes over 50 docs dropped, self-joined on the hash; containment =
+    // shared / min(|A|, |B|) over the cold postings.
+    "winnow_matches" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),
+        |c AS (SELECT doc_id, CASE WHEN len(hs) >= 8
+        |      THEN list_transform(range(1, len(hs) - 6), i -> list_reduce(hs[i:i+7], (a, b) -> (a * 1000003 + b) % 4294967296))
+        |      ELSE CAST([] AS BIGINT[]) END AS ch FROM h),
+        |s AS (SELECT doc_id, ch, CASE WHEN len(ch) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(ch) - 2), i ->
+        |        i + list_max(list_filter(range(0, 4), j -> ch[i+j] = list_min(ch[i:i+3])))))
+        |      ELSE CAST([] AS BIGINT[]) END AS ps FROM c),
+        |e AS (SELECT DISTINCT doc_id, fp FROM
+        |  (SELECT doc_id, unnest(list_transform(ps, p -> ch[p])) AS fp FROM s)),
+        |cold AS (SELECT * FROM e WHERE fp NOT IN
+        |  (SELECT fp FROM e GROUP BY fp HAVING count(*) > 50)),
+        |pd AS (SELECT doc_id, count(*) AS n_fp FROM cold GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / least(pa.n_fp, pb.n_fp), 4) AS containment
+        |FROM p JOIN pd pa ON doc_a = pa.doc_id JOIN pd pb ON doc_b = pb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // common_passages: the same chunk-hash chain as chunk_fingerprint,
     // exploded instead of summarized, grouped on the hash — passages
     // repeated across >=2 DISTINCT documents.

@@ -651,6 +651,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** WINNOWING fingerprint selection per document (Schleimer–Wilkerson–
+    * Aiken, the MOSS algorithm; `graft_winnowstats` native kernel): over
+    * the 8-token Karp–Rabin chunk chain, each sliding window of `w`
+    * consecutive chunk hashes selects its minimum (rightmost on ties);
+    * the distinct selected set is a ~2/(w+1)-density sample of the chunk
+    * chain that GUARANTEES any shared passage of ≥ window+w−1 tokens
+    * leaves a common fingerprint in both documents. Summarized per doc as
+    * (count, min, max, sum, position-sum) so the oracle checks the exact
+    * selected set, not just its size.
+    *
+    * 100 TB: pure scan-side codegen — zero shuffle before the output sort;
+    * this is the cheap pass that makes [[winnowMatches]]' index 4× smaller
+    * than [[commonPassages]]' full chunk explode. */
+  def winnowFingerprints(spark: SparkSession, sfDir: String,
+                         window: Int = 8, w: Int = 4): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              call_function("graft_winnowstats", col("text"), lit(window), lit(w)).as("s"))
+      .select(col("doc_id"), col("s.n_fp").as("n_fp"), col("s.fp_min").as("fp_min"),
+              col("s.fp_max").as("fp_max"), col("s.fp_sum").as("fp_sum"),
+              col("s.pos_sum").as("pos_sum"))
+      .orderBy("doc_id")
+
+  /** Cross-document WINNOW match mining — MOSS's registry-scale pair
+    * detection: the winnowed fingerprints ([[winnowFingerprints]]' sample,
+    * not the full chunk chain) explode to (doc_id, fp) rows, ubiquitous
+    * fingerprints (> `maxDocFreq` documents — boilerplate, the skew risk)
+    * are dropped exactly as MOSS drops over-threshold hashes, and the
+    * remaining postings self-join on the hash: pairs sharing ≥ `minShared`
+    * fingerprints, with containment = shared / min(|A|, |B|).
+    *
+    * 100 TB: identical candidate-generation shape to `common_passages`
+    * (hash-join on compact keys, partial-agg'd counts) but over the
+    * winnowed sample — ~(w+1)/2× fewer index rows at the same guaranteed
+    * passage-detection floor, plus the document-frequency cap bounding any
+    * single hash's pair fan-out at maxDocFreq². */
+  def winnowMatches(spark: SparkSession, sfDir: String, window: Int = 8,
+                    w: Int = 4, maxDocFreq: Int = 50, minShared: Int = 2): DataFrame =
+    winnowMatchesFrom(Tables.documents(spark, sfDir), window, w, maxDocFreq, minShared)
+
+  /** [[winnowMatches]] over an explicit `(doc_id, text)` frame. */
+  def winnowMatchesFrom(docs: DataFrame, window: Int, w: Int,
+                        maxDocFreq: Int, minShared: Int): DataFrame = {
+    val sel = docs
+      .select(col("doc_id"),
+              explode(call_function("graft_winnow", col("text"), lit(window), lit(w))).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"))
+      .distinct() // one posting per (doc, hash): a value re-selected at two positions counts once
+    val hot = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("fp")
+    val cold = sel.join(hot, Seq("fp"), "left_anti")
+    val perDoc = cold.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val pairs = cold.as("a")
+      .join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n_fp").as("nfa")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n_fp").as("nfb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        duckRound(col("n_shared").cast("double") /
+          least(col("nfa"), col("nfb")).cast("double"), 4).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Rolling-hash chunk fingerprint summary per document (`graft_chunkstats`
     * native kernel): every 8-token Karp–Rabin chunk hash, summarized as
     * (count, min, max, sum) — the chunk-level-dedup fingerprint, 32-bit

@@ -159,4 +159,64 @@ object KernelProperties extends Properties("graft.kernels") {
         BigDecimal(1) - BigDecimal(ndist) / BigDecimal(math.max(ngr, 1)) <= BigDecimal("0.8")
       intStop == floatStop && intLen == floatLen && intRep == floatRep
     }
+
+  // ---- winnowing (Schleimer–Wilkerson–Aiken): structural guarantees ----
+
+  private def chunkChain(t: String, window: Int): Array[Long] = {
+    val hs = TextFunctions.tokenizeScala(t).map(ChunkKernel.tokenHash)
+    if (hs.length < window) Array.emptyLongArray
+    else Array.tabulate(hs.length - window + 1) { i =>
+      var h = 0L; var j = 0
+      while (j < window) { h = (h * ChunkKernel.Base + hs(i + j)) % ChunkKernel.Mod; j += 1 }
+      h
+    }
+  }
+
+  private def winnowed(t: String, window: Int, w: Int): Array[(Long, Long)] = {
+    val arr = graft.functions.expressions.WinnowKernel
+      .winnow(UTF8String.fromString(t), window, w)
+    Array.tabulate(arr.numElements()) { i =>
+      val r = arr.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+    }
+  }
+
+  property("winnow: COVERAGE — every w-window of the chunk chain holds a selected pos") =
+    forAll(text, Gen.choose(2, 5)) { (t, w) =>
+      val ch = chunkChain(t, 4)
+      val sel = winnowed(t, 4, w)
+      val pos = sel.map(_._1.toInt - 1).toSet
+      if (ch.length < w) sel.isEmpty
+      else (0 to ch.length - w).forall(i => (i until i + w).exists(pos.contains))
+    }
+
+  property("winnow: every selected fp is its window-min and equals the chain at its pos") =
+    forAll(text, Gen.choose(2, 5)) { (t, w) =>
+      val ch = chunkChain(t, 4)
+      winnowed(t, 4, w).forall { case (p1, fp) =>
+        val p = p1.toInt - 1
+        ch(p) == fp &&
+          // minimal in SOME window containing p (the defining property)
+          (math.max(0, p - w + 1) to math.min(p, ch.length - w))
+            .exists(s => (s until s + w).forall(j => ch(j) >= fp))
+      }
+    }
+
+  property("winnow: positions strictly increase (the dedup-by-last argument)") =
+    forAll(text, Gen.choose(2, 5)) { (t, w) =>
+      val ps = winnowed(t, 4, w).map(_._1)
+      ps.zip(ps.drop(1)).forall { case (a, b) => a < b }
+    }
+
+  property("winnow: a shared passage of >= window+w-1 tokens fingerprints BOTH docs") =
+    forAll(words, words, Gen.nonEmptyListOf(word), Gen.choose(2, 4)) { (pre, post, shared0, w) =>
+      val window = 3
+      // pad the shared passage to the guarantee length
+      val shared = LazyList.continually(shared0).flatten.take(
+        math.max(shared0.length, window + w - 1)).toList
+      val docA = (pre ++ shared).mkString(" ")
+      val docB = (shared ++ post).mkString(" ")
+      val fpA = winnowed(docA, window, w).map(_._2).toSet
+      val fpB = winnowed(docB, window, w).map(_._2).toSet
+      fpA.intersect(fpB).nonEmpty
+    }
 }

@@ -224,4 +224,60 @@ class TextFunctionsSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(again.toSeq === out.toSeq)
   }
+
+  test("winnow_fingerprints: a sample of the chunk chain — bounds against chunk_fingerprint") {
+    val winnow = TextAnalysis.winnowFingerprints(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val chunks = TextAnalysis.chunkFingerprint(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(winnow.keySet === chunks.keySet)
+    var selected = 0L; var total = 0L
+    winnow.foreach { case (id, wr) =>
+      val cr = chunks(id)
+      val (nFp, nCh) = (wr.getLong(1), cr.getLong(1))
+      assert(nFp <= nCh, s"doc $id selected more fingerprints than chunks")
+      if (nCh >= 4) {
+        // at least one per disjoint w-window (coverage), at most all
+        assert(nFp >= (nCh - 3 + 3) / 4, s"doc $id under the coverage floor")
+        // selected fps live inside the chunk chain's value range
+        assert(wr.getLong(2) >= cr.getLong(2) && wr.getLong(3) <= cr.getLong(3))
+        selected += nFp; total += nCh
+      } else assert(nFp === 0L, s"doc $id: no window fits but fingerprints selected")
+    }
+    // expected density 2/(w+1) = 0.4 at w=4 — the whole point of winnowing;
+    // allow generous slack for the synthetic corpus's hash ties
+    val density = selected.toDouble / total
+    assert(density > 0.25 && density < 0.6, s"winnow density off: $density")
+  }
+
+  test("winnow_matches: planted shared passage detected, self-repeat and boilerplate excluded") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda" // 11 tokens = window+w-1
+    val boiler = "standard footer text appears everywhere identically always repeated constantly forever more"
+    val docs = Seq(
+      (1L, s"intro one two three $passage outro closing words here now"),
+      (2L, s"different opening sentence entirely $passage and a different ending too"),
+      (3L, "self repeat block lorem ipsum dolor sit amet consectetur " +
+           "self repeat block lorem ipsum dolor sit amet consectetur"),
+      (4L, "wholly unrelated content with no shared chunks at all whatsoever"),
+      (5L, s"five unique words precede the footer $boiler"),
+      (6L, s"totally different opening for the footer $boiler")
+    ).toDF("doc_id", "text")
+    // maxDocFreq=1 drops EVERY cross-doc hash -> no matches survive the cap
+    assert(TextAnalysis.winnowMatchesFrom(docs, 8, 4, maxDocFreq = 1, minShared = 1).collect().isEmpty)
+    val out = TextAnalysis.winnowMatchesFrom(docs, 8, 4, maxDocFreq = 50, minShared = 1).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the guarantee: an 11-token shared passage at window=8, w=4 MUST match
+    assert(pairs.contains((1L, 2L)), s"planted passage pair missed: $pairs")
+    assert(pairs.contains((5L, 6L)), "shared boilerplate pair missed")
+    // no pair involves the self-repeater or the unrelated doc
+    out.foreach { r =>
+      assert(!Set(3L, 4L).contains(r.getLong(0)) && !Set(3L, 4L).contains(r.getLong(1)))
+      val containment = r.getDouble(3)
+      assert(containment > 0.0 && containment <= 1.0)
+    }
+    // partitioning-invariant
+    val again = TextAnalysis.winnowMatchesFrom(docs.repartition(5), 8, 4, 50, 1).collect()
+    assert(again.map(_.toString).sorted === out.map(_.toString).sorted)
+  }
 }
