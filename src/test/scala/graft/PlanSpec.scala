@@ -419,6 +419,35 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("winnow_fingerprints stays scan-shaped; kanon_suppress broadcasts the cell list") {
+    val wf = finalPlan("winnow_fingerprints").split("== Initial Plan ==").head
+    // one codegen'd kernel pass on the scan; only the presentation sort's
+    // range exchange is allowed
+    assert(!wf.contains("Exchange hashpartitioning"),
+      s"winnow_fingerprints grew a data shuffle — the kernel must ride the scan:\n$wf")
+    assert("Scan parquet".r.findAllIn(wf).size == 1,
+      s"expected ONE documents scan:\n$wf")
+    val ks = finalPlan("kanon_suppress").split("== Initial Plan ==").head
+    // the retained-cell list is |cells|-sized: it must broadcast back onto
+    // the corpus scan, never shuffle the corpus on the cell key
+    assert(ks.contains("BroadcastHashJoin"),
+      s"kanon_suppress lost its broadcast cell join:\n$ks")
+    assert(ks.contains("partial_count"),
+      s"cell sizes lost their map-side combine:\n$ks")
+  }
+
+  test("corpus_overlap and winnow_matches shuffle compact keys, never document text") {
+    Seq("corpus_overlap", "winnow_matches").foreach { name =>
+      val plan = finalPlan(name).split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      // every Exchange must carry ids/hashes only — text stays at the scan
+      val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+      exchanges.foreach { line =>
+        assert(!line.contains("text"), s"$name shuffles document text:\n$line")
+      }
+    }
+  }
+
   test("source_mix: one corpus scan, partial-agg'd; the share pass sees |sources| rows") {
     val plan = finalPlan("source_mix").split("== Initial Plan ==").head
     val scans = "Scan parquet".r.findAllIn(plan).size
