@@ -125,6 +125,7 @@ object SparkEntry {
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
     "kanon_suppress" -> ((s, d) => TextAnalysis.kanonSuppress(s, d)),
+    "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
@@ -142,6 +143,7 @@ object SparkEntry {
     "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
     "link_rank" -> ((s, d) => Ranking.linkRank(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
+    "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
     // -- dedup (north star) --
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -1161,6 +1163,46 @@ object SparkEntry {
         |t AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM r)
         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, round(score, 4) AS score
         |FROM t WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    // hybrid_search: the bm25 CTE chain at top-20, the hashing-trick
+    // pseudo-doc query embedding against the corpus embeddings at top-20,
+    // fused by RRF (1/(60+rank), pure rank arithmetic — double-exact).
+    "hybrid_search" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(ws) AS word FROM d),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks WHERE word IN ('stream', 'join', 'window') GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |sc AS (SELECT tf.doc_id AS doc_id, tf.word AS word,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS contrib
+        |  FROM tf JOIN df ON tf.word = df.word JOIN dl ON tf.doc_id = dl.doc_id, st),
+        |p AS (SELECT doc_id,
+        |    COALESCE(max(CASE WHEN word = 'stream' THEN contrib END), 0.0) AS c_stream,
+        |    COALESCE(max(CASE WHEN word = 'join' THEN contrib END), 0.0) AS c_join,
+        |    COALESCE(max(CASE WHEN word = 'window' THEN contrib END), 0.0) AS c_window
+        |  FROM sc GROUP BY doc_id),
+        |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY c_stream + c_join + c_window DESC, doc_id) AS rnk_lex
+        |  FROM p),
+        |lex AS (SELECT doc_id, CAST(rnk_lex AS BIGINT) AS rnk_lex FROM lexr WHERE rnk_lex <= 20),
+        |te AS (SELECT doc_id, CAST(list_transform(range(64), i -> coalesce(CAST(list_sum(
+        |      list_transform(list_filter(hs, x -> x % 64 = i),
+        |                     x -> CASE WHEN (x // 64) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT), 0)) AS DOUBLE[]) AS emb
+        |  FROM (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d)),
+        |q AS (SELECT CAST(list_transform(range(64), i -> coalesce(CAST(list_sum(
+        |      list_transform(list_filter(qh, x -> x % 64 = i),
+        |                     x -> CASE WHEN (x // 64) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT), 0)) AS DOUBLE[]) AS qemb
+        |  FROM (SELECT list_transform(['stream', 'join', 'window'], w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS qh)),
+        |semr AS (SELECT doc_id, row_number() OVER (ORDER BY list_cosine_similarity(emb, qemb) DESC, doc_id) AS rnk_sem
+        |  FROM te, q),
+        |sem AS (SELECT doc_id, CAST(rnk_sem AS BIGINT) AS rnk_sem FROM semr WHERE rnk_sem <= 20),
+        |f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rnk_lex, rnk_sem,
+        |    COALESCE(CAST(1 AS DOUBLE) / (60 + CAST(rnk_lex AS DOUBLE)), 0.0)
+        |    + COALESCE(CAST(1 AS DOUBLE) / (60 + CAST(rnk_sem AS DOUBLE)), 0.0) AS rrf
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+        |t AS (SELECT doc_id, rrf, rnk_lex, rnk_sem, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, round(rrf, 6) AS rrf, rnk_lex, rnk_sem
+        |FROM t WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
     "dedup_url" ->
       """WITH u AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
@@ -1275,6 +1317,22 @@ object SparkEntry {
     // source_mix: per-doc token/quality exprs shared verbatim with the
     // quality_score oracle; the share divides exact BIGINT token sums.
     "source_mix" -> sourceMixSql,
+    // mixture_weights: α=0.5 temperature sampling — sqrt is IEEE-correctly
+    // rounded in both engines, weights floored to integers so the
+    // normalizing sums stay exact; every double is a fixed-order
+    // expression over exact operands.
+    "mixture_weights" ->
+      """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT source, CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),
+        |s AS (SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM e GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight FROM s),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS sumw, CAST(sum(n_tokens) AS BIGINT) AS sumt FROM w)
+        |SELECT source, n_docs, n_tokens, weight,
+        |  round(CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE), 6) AS sample_share,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(sumt AS DOUBLE), 6) AS natural_share,
+        |  round((CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) / CAST(sumt AS DOUBLE)), 4) AS boost,
+        |  round(CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE) * 1000000.0 / CAST(n_tokens AS DOUBLE), 4) AS expected_epochs
+        |FROM w, t ORDER BY source""".stripMargin,
     // stream_source_mix: commutative per-source sums in complete mode +
     // batch-side share arithmetic — equals the batch table, same oracle.
     "stream_source_mix" -> sourceMixSql,

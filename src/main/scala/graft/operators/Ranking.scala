@@ -257,4 +257,49 @@ object Ranking {
       .agg(sum(expr("dd * (dd - 1) div 2")).as("n_wedges"))
     em.crossJoin(wm).crossJoin(tri)
   }
+
+  /** HYBRID retrieval — BM25 lexical candidates and hashed-embedding
+    * semantic candidates fused by Reciprocal Rank Fusion
+    * (Cormack/Clarke/Büttcher, SIGIR'09: score = Σ 1/(rrfK + rank)), the
+    * standard modern RAG retrieval shape: lexical recall catches exact
+    * terms, the vector side catches paraphrase, and RRF needs no score
+    * calibration between the two scales — ranks only, which is what makes
+    * the fusion reproducible across engines (the oracle replays ranks,
+    * not incomparable score spaces).
+    *
+    * The query rides both existing index paths: [[bm25Search]] over the
+    * persisted corpus statistics, and the deterministic hashing-trick
+    * embedding of the SAME query terms as a pseudo-document against the
+    * corpus embeddings. Both sides are top-kEach
+    * (TakeOrderedAndProject — map-side top-k, no global sort), so the
+    * fusion joins two kEach-row lists: driver-trivial at any corpus size,
+    * and the expensive parts are exactly the two already-proven retrieval
+    * plans. */
+  def hybridSearch(spark: SparkSession, sfDir: String, k: Int = 10,
+                   kEach: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = bm25Search(spark, sfDir, kEach)
+      .select(col("doc_id"), col("rnk").as("rnk_lex"))
+    val qEmb = call_function("graft_hash_embed",
+      lit(QueryTerms.mkString(" ")), lit(64)).cast("array<float>")
+    val sem = graft.operators.TextAnalysis.embedDocuments(spark, sfDir)
+      .select(col("doc_id"),
+              graft.functions.VectorFunctions.cosine(
+                col("emb").cast("array<float>"), qEmb).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(kEach)
+      .withColumn("rnk_sem", row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("bigint"))
+      .select("doc_id", "rnk_sem")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("rnk_lex").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("rnk_sem").cast("double")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("bigint"))
+      .select(col("rnk"), col("doc_id"), duckRound(col("rrf"), 6).as("rrf"),
+              col("rnk_lex"), col("rnk_sem"))
+      .orderBy("rnk")
+  }
 }

@@ -493,6 +493,47 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** TEMPERATURE-SAMPLED mixture WEIGHTS (the multilingual/multi-source
+    * up-sampling formula of mBERT/XLM-R, α = 0.5): sampling weight
+    * w_s ∝ n_tokens_s^α flattens the source distribution — big sources
+    * sampled under their natural share, small sources boosted — which is
+    * how a training mixture keeps tail sources represented without
+    * repeating them into memorization. [[sourceMix]] reports what the
+    * corpus IS; this emits what the sampler should DO: per source, the
+    * α-share, the natural share, the boost ratio (> 1 ⇒ the source is
+    * up-sampled), and the expected epochs of the source under a fixed
+    * 1M-token training budget (epochs ≫ 1 ⇒ the source repeats — the
+    * memorization-risk flag a mixture review reads).
+    *
+    * Float discipline: α = 0.5 makes the power an IEEE-correctly-rounded
+    * `sqrt`, and weights are FLOORED to integers so the normalizing sum
+    * stays exact integer arithmetic — every emitted double is a
+    * fixed-order expression over exact operands, bit-reproducible in
+    * DuckDB (a float SUM over an unordered group would not be).
+    *
+    * 100 TB: one partial-agg'd scan to |sources| rows; everything after
+    * operates on the tiny aggregate. */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"), bpeTokenCount(col("text")).as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("bigint"))
+    val w = Window.partitionBy()
+    perSource
+      .withColumn("sample_share",
+        col("weight").cast("double") / sum("weight").over(w).cast("double"))
+      .withColumn("natural_share",
+        col("n_tokens").cast("double") / sum("n_tokens").over(w).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        duckRound(col("sample_share"), 6).as("sample_share"),
+        duckRound(col("natural_share"), 6).as("natural_share"),
+        duckRound(col("sample_share") / col("natural_share"), 4).as("boost"),
+        duckRound(col("sample_share") * lit(1000000.0) /
+          col("n_tokens").cast("double"), 4).as("expected_epochs"))
+      .orderBy("source")
+  }
+
   /** Fixed-window document CHUNKING — the retrieval/context-window prep
     * step: each document becomes overlapping `width`-char chunks on a
     * `stride`-char grid (overlap = width − stride keeps boundary-spanning

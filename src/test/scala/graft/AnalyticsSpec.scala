@@ -146,6 +146,72 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(scores.forall(_ > 0.0), "query terms occur in the corpus")
   }
 
+  test("mixtureWeights: α=0.5 flattens — boost anti-monotone in size, shares sum to 1") {
+    val rows = TextAnalysis.mixtureWeights(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    val parsed = rows.map { r =>
+      (r.getString(idx("source")), r.getLong(idx("n_tokens")), r.getLong(idx("weight")),
+       r.getDouble(idx("sample_share")), r.getDouble(idx("natural_share")),
+       r.getDouble(idx("boost")), r.getDouble(idx("expected_epochs")))
+    }
+    parsed.foreach { case (_, nt, wt, ss, ns, boost, epochs) =>
+      assert(wt === math.sqrt(nt.toDouble).floor.toLong)
+      assert(ss > 0 && ns > 0 && boost > 0 && epochs > 0)
+      // boost reconciles with the emitted shares at rounding tolerance
+      assert(math.abs(boost - ss / ns) <= 0.02 * boost)
+    }
+    assert(math.abs(parsed.map(_._4).sum - 1.0) <= 1e-4, "sample shares must sum to 1")
+    assert(math.abs(parsed.map(_._5).sum - 1.0) <= 1e-4, "natural shares must sum to 1")
+    // the flattening property: smaller sources get strictly larger boosts
+    // (up to floor-quantization of the integer weights)
+    val bySize = parsed.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Array(small, large) if small._2 < large._2 =>
+        assert(small._6 >= large._6 - 0.02,
+          s"boost must not grow with size: $small vs $large")
+      case _ =>
+    }
+    // and at least one source is genuinely up-sampled, one down-sampled
+    assert(parsed.exists(_._6 > 1.0) && parsed.exists(_._6 < 1.0),
+      "temperature sampling is degenerate on the fixture")
+  }
+
+  test("hybridSearch: RRF fusion equals an independent replay of both candidate lists") {
+    val out = Ranking.hybridSearch(spark, sf0001).collect()
+    assert(out.length == 10)
+    val idx = out.head.schema.fieldNames.zipWithIndex.toMap
+    // replay: lexical ranks from bm25 at kEach=20
+    val lex = Ranking.bm25Search(spark, sf0001, 20).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    // semantic ranks from the hashed embeddings vs the query pseudo-doc
+    val embs = TextAnalysis.embedDocuments(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val qh = graft.functions.expressions.HashEmbedKernel
+      .hashEmbed(org.apache.spark.unsafe.types.UTF8String.fromString("stream join window"), 64)
+      .toLongArray()
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sem = embs.map { case (id, e) => (id, cos(e, qh)) }
+      .sortBy { case (id, c) => (-c, id) }.take(20).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val expected = (lex.keySet ++ sem.keySet).toSeq.map { id =>
+      val rrf = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+                sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, rrf)
+    }.sortBy { case (id, r) => (-r, id) }.take(10)
+    out.sortBy(_.getLong(idx("rnk"))).zip(expected).foreach { case (row, (id, rrf)) =>
+      assert(row.getLong(idx("doc_id")) === id)
+      assert(math.abs(row.getDouble(idx("rrf")) - rrf) <= 5e-7 + 1e-12)
+      // the reported source ranks are the replayed ones (nulls for absent)
+      assert(Option(row.get(idx("rnk_lex"))).map(_.asInstanceOf[Long]) === lex.get(id))
+      assert(Option(row.get(idx("rnk_sem"))).map(_.asInstanceOf[Long]) === sem.get(id))
+    }
+  }
+
   test("triangleCountEdges: known graphs count exactly, orientation counts each triangle once") {
     import spark.implicits._
     // K4 (4 triangles, 6 edges, every triple closed) + a pendant path that
