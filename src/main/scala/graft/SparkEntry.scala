@@ -170,6 +170,7 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => Dedup.decontaminationPairs(s, d)),
     "decontaminate_indexed" -> ((s, d) => Dedup.decontaminationIndexed(s, d)),
     "corpus_export" -> ((s, d) => Pipeline.corpusExport(s, d)),
+    "release_report" -> ((s, d) => Pipeline.releaseReport(s, d)),
     "export_shards" -> ((s, d) => Pipeline.exportShards(s, d)),
     "export_pack" -> ((s, d) => Pipeline.exportPack(s, d)),
     "export_write" -> ((s, d) => Pipeline.exportWrite(s, d)),
@@ -1753,6 +1754,30 @@ object SparkEntry {
     // oracle joined into one WITH chain (nested-WITH blocks for the
     // self-contained stages), so the composition is exactly checked too.
     "corpus_export" -> s"$exportCtes\nSELECT doc_id, quality FROM exp ORDER BY doc_id",
+    // release_report: the export gauntlet as a sequential waterfall —
+    // per-doc gate flags from the same CTEs, one conditional aggregate,
+    // four stage rows.
+    "release_report" ->
+      s"""$exportCtes,
+         |fl AS (SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 10 <> 0 THEN 1 ELSE 0 END AS t,
+         |    CASE WHEN q.quality >= 0.7 THEN 1 ELSE 0 END AS pq,
+         |    CASE WHEN l.cluster_id = l.doc_id THEN 1 ELSE 0 END AS cn,
+         |    CASE WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 0 ELSE 1 END AS cl
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id JOIN lbl l ON d.doc_id = l.doc_id),
+         |ag AS (SELECT count(*) AS n0, CAST(sum(t) AS BIGINT) AS n1,
+         |    CAST(sum(t * pq) AS BIGINT) AS n2, CAST(sum(t * pq * cn) AS BIGINT) AS n3,
+         |    CAST(sum(t * pq * cn * cl) AS BIGINT) AS n4 FROM fl)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_no, 'eval_holdout' AS stage, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out,
+         |    CASE WHEN n0 = 0 THEN 0.0 ELSE round(CAST(n0 - n1 AS DOUBLE) / CAST(n0 AS DOUBLE), 4) END AS drop_rate FROM ag
+         |  UNION ALL SELECT 2, 'quality_floor', n1, n1 - n2, n2,
+         |    CASE WHEN n1 = 0 THEN 0.0 ELSE round(CAST(n1 - n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 4) END FROM ag
+         |  UNION ALL SELECT 3, 'dedup_canonical', n2, n2 - n3, n3,
+         |    CASE WHEN n2 = 0 THEN 0.0 ELSE round(CAST(n2 - n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 4) END FROM ag
+         |  UNION ALL SELECT 4, 'decontamination', n3, n3 - n4, n4,
+         |    CASE WHEN n3 = 0 THEN 0.0 ELSE round(CAST(n3 - n4 AS DOUBLE) / CAST(n3 AS DOUBLE), 4) END FROM ag
+         |) ORDER BY stage_no""".stripMargin,
     // export_pack: pack_sequences' prefix-sum layout recomputed over the
     // export survivors — position-sensitive, so the whole WITH chain
     // (dedup closure + quality + decontamination + packing) is one oracle.

@@ -83,6 +83,61 @@ object Pipeline {
                    qualityMin: Double = 0.7): DataFrame =
     exportUnordered(spark, sfDir, qualityMin).orderBy("doc_id")
 
+  /** RELEASE waterfall REPORT — the audit table a data release ships with:
+    * the export gauntlet ([[exportUnordered]]: eval holdout → quality
+    * floor → near-dup canonical → decontamination) re-expressed as one
+    * row per gate with in/dropped/out counts and the drop rate, applied
+    * SEQUENTIALLY so each stage's numbers describe the survivors of the
+    * previous one (the waterfall a reviewer reads to see WHERE the corpus
+    * went — "dedup cost 8%, decontamination 0.3%" — and the first thing a
+    * regression in any gate shows up in). The final n_out is exactly
+    * `corpus_export`'s row count, spec-asserted.
+    *
+    * 100 TB: per-doc gate flags come from the same persisted artifacts the
+    * export reads (label + contamination tables joined on doc_id — no
+    * pipeline re-run), reduced by ONE conditional aggregate to a single
+    * row; the 4-row waterfall is driver-trivial arithmetic over it. */
+  def releaseReport(spark: SparkSession, sfDir: String,
+                    qualityMin: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.Column
+    import graft.functions.NumericFunctions.duckRound
+    val labelsTable = Dedup.ensureClusterLabels(spark, sfDir)
+    val contamTable = ensureContaminationTable(spark, sfDir)
+    val nonCanonical = spark.table(labelsTable)
+      .filter(col("l") =!= col("v"))
+      .select(col("v").as("doc_id"), lit(1).as("nc"))
+    val contam = spark.table(contamTable)
+      .select(col("doc_id"), lit(1).as("ct"))
+    val flags = TextAnalysis.qualityUnordered(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+      .join(nonCanonical, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(
+        when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L).as("t"),
+        when(col("quality") >= qualityMin, 1L).otherwise(0L).as("pq"),
+        when(col("nc").isNull, 1L).otherwise(0L).as("cn"),
+        when(col("ct").isNull, 1L).otherwise(0L).as("cl"))
+    val agg = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(col("t")).as("n1"),
+      sum(col("t") * col("pq")).as("n2"),
+      sum(col("t") * col("pq") * col("cn")).as("n3"),
+      sum(col("t") * col("pq") * col("cn") * col("cl")).as("n4"))
+    def stage(no: Int, name: String, nin: Column, nout: Column): Column =
+      struct(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+        nin.as("n_in"), (nin - nout).as("n_dropped"), nout.as("n_out"),
+        when(nin === 0, lit(0.0))
+          .otherwise(duckRound((nin - nout).cast("double") / nin.cast("double"), 4))
+          .as("drop_rate"))
+    agg.select(explode(array(
+        stage(1, "eval_holdout", col("n0"), col("n1")),
+        stage(2, "quality_floor", col("n1"), col("n2")),
+        stage(3, "dedup_canonical", col("n2"), col("n3")),
+        stage(4, "decontamination", col("n3"), col("n4")))).as("s"))
+      .select("s.*")
+      .orderBy("stage_no")
+  }
+
   /** SEQUENCE PACKING over the EXPORTED corpus — the last mile of the
     * pretraining pipeline: `pack_sequences`' concatenate-and-chunk layout
     * applied to the documents that actually survive the export gauntlet

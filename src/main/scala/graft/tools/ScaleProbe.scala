@@ -59,7 +59,8 @@ object ScaleProbe {
                             "stream_quota_ingest", "takedown_propagate",
                             "stream_takedown", "corpus_overlap", "kanon_suppress",
                             "winnow_fingerprints", "winnow_matches",
-                            "hybrid_search", "mixture_weights")).toList
+                            "hybrid_search", "mixture_weights",
+                            "release_report")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

@@ -331,4 +331,29 @@ class PipelineSpec extends SparkSpecBase {
     val ours = packed.map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
     assert(ours !== raw, "export packing must re-base sequence ranges, not inherit raw ones")
   }
+
+  test("releaseReport: waterfall chains exactly, final survivors == corpus_export") {
+    val rows = Pipeline.releaseReport(spark, sf0001).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "eval_holdout"), (2L, "quality_floor"),
+          (3L, "dedup_canonical"), (4L, "decontamination")))
+    rows.foreach { r =>
+      val (nin, nd, nout, rate) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nin === nd + nout, s"stage ${r.getString(1)} doesn't balance")
+      assert(rate >= 0.0 && rate <= 1.0)
+      if (nin > 0) assert(math.abs(rate - nd.toDouble / nin) <= 5e-5 + 1e-9)
+    }
+    // sequential: each stage's n_in is the previous stage's n_out
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) === a.getLong(4),
+        s"waterfall broken between ${a.getString(1)} and ${b.getString(1)}")
+      case _ =>
+    }
+    // the pipeline contract: final survivors are exactly the export
+    assert(rows.last.getLong(4) === Pipeline.corpusExport(spark, sf0001).count())
+    // every gate exists for a reason on this fixture: at least one doc is
+    // dropped somewhere, and the corpus is not annihilated
+    assert(rows.map(_.getLong(3)).sum > 0 && rows.last.getLong(4) > 0)
+  }
 }
