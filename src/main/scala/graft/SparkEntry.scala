@@ -126,11 +126,13 @@ object SparkEntry {
     "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
     "kanon_suppress" -> ((s, d) => TextAnalysis.kanonSuppress(s, d)),
     "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
+    "quota_sample" -> ((s, d) => TextAnalysis.quotaSample(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     "winnow_matches" -> ((s, d) => TextAnalysis.winnowMatches(s, d)),
+    "stream_winnow" -> ((s, d) => graft.streaming.EventStreams.streamWinnowQuery(s, d)),
     "embed_documents" -> ((s, d) => TextAnalysis.embedDocuments(s, d)),
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "pack_sequences_sharded" -> ((s, d) => TextAnalysis.packSequencesSharded(s, d)),
@@ -762,6 +764,25 @@ object SparkEntry {
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin
 
+  /** Winnow selected-set summary -- shared by the batch op and its
+    * stateless streaming twin (same rows, same oracle). */
+  private val winnowStatsSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),
+        |c AS (SELECT doc_id, CASE WHEN len(hs) >= 8
+        |      THEN list_transform(range(1, len(hs) - 6), i -> list_reduce(hs[i:i+7], (a, b) -> (a * 1000003 + b) % 4294967296))
+        |      ELSE CAST([] AS BIGINT[]) END AS ch FROM h),
+        |s AS (SELECT doc_id, ch, CASE WHEN len(ch) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(ch) - 2), i ->
+        |        i + list_max(list_filter(range(0, 4), j -> ch[i+j] = list_min(ch[i:i+3])))))
+        |      ELSE CAST([] AS BIGINT[]) END AS ps FROM c)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_fp,
+        |  list_min(list_transform(ps, p -> ch[p])) AS fp_min,
+        |  list_max(list_transform(ps, p -> ch[p])) AS fp_max,
+        |  CAST(list_sum(list_transform(ps, p -> ch[p])) AS BIGINT) AS fp_sum,
+        |  CAST(list_sum(ps) AS BIGINT) AS pos_sum
+        |FROM s ORDER BY doc_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
@@ -1334,6 +1355,21 @@ object SparkEntry {
         |  round((CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) / CAST(sumt AS DOUBLE)), 4) AS boost,
         |  round(CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE) * 1000000.0 / CAST(n_tokens AS DOUBLE), 4) AS expected_epochs
         |FROM w, t ORDER BY source""".stripMargin,
+    // quota_sample: the α-budgets spent — integer-exact budget per source
+    // (weight·20k // Σweight), docs in md5(doc_id) order per source,
+    // running token sum gated by the budget.
+    "quota_sample" ->
+      """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT doc_id, source, CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),
+        |s AS (SELECT source, CAST(sum(toks) AS BIGINT) AS n_tokens FROM e GROUP BY source),
+        |w AS (SELECT source, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight FROM s),
+        |b AS (SELECT source, CAST(weight * 20000 // (SELECT sum(weight) FROM w) AS BIGINT) AS budget FROM w),
+        |r AS (SELECT doc_id, source, toks AS n_tokens,
+        |    CAST(sum(toks) OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
+        |  FROM e WHERE toks > 0)
+        |SELECT r.source, doc_id, n_tokens, cum_tokens, budget
+        |FROM r JOIN b ON r.source = b.source WHERE cum_tokens <= budget
+        |ORDER BY r.source, cum_tokens""".stripMargin,
     // stream_source_mix: commutative per-source sums in complete mode +
     // batch-side share arithmetic — equals the batch table, same oracle.
     "stream_source_mix" -> sourceMixSql,
@@ -1491,22 +1527,8 @@ object SparkEntry {
     // min (RIGHTMOST on ties: i + max over tying offsets), positions
     // deduped; the selected fp at position p IS ch[p], so the summary
     // needs only the distinct position list.
-    "winnow_fingerprints" ->
-      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
-        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),
-        |c AS (SELECT doc_id, CASE WHEN len(hs) >= 8
-        |      THEN list_transform(range(1, len(hs) - 6), i -> list_reduce(hs[i:i+7], (a, b) -> (a * 1000003 + b) % 4294967296))
-        |      ELSE CAST([] AS BIGINT[]) END AS ch FROM h),
-        |s AS (SELECT doc_id, ch, CASE WHEN len(ch) >= 4
-        |      THEN list_distinct(list_transform(range(1, len(ch) - 2), i ->
-        |        i + list_max(list_filter(range(0, 4), j -> ch[i+j] = list_min(ch[i:i+3])))))
-        |      ELSE CAST([] AS BIGINT[]) END AS ps FROM c)
-        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_fp,
-        |  list_min(list_transform(ps, p -> ch[p])) AS fp_min,
-        |  list_max(list_transform(ps, p -> ch[p])) AS fp_max,
-        |  CAST(list_sum(list_transform(ps, p -> ch[p])) AS BIGINT) AS fp_sum,
-        |  CAST(list_sum(ps) AS BIGINT) AS pos_sum
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "winnow_fingerprints" -> winnowStatsSql,
+    "stream_winnow" -> winnowStatsSql,
     // winnow_matches: the winnowed postings (distinct (doc, fp)), hot
     // hashes over 50 docs dropped, self-joined on the hash; containment =
     // shared / min(|A|, |B|) over the cold postings.

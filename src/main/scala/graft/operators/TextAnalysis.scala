@@ -534,6 +534,44 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** QUOTA SAMPLING — [[mixtureWeights]] MATERIALIZED: the α=0.5 per-source
+    * token budgets actually spent against the corpus, selecting concrete
+    * documents. Per source, docs are taken in content-independent digest
+    * order (`md5(doc_id)` — no RNG, rerun-stable, the same discipline as
+    * `cluster_sample`) until the source's integer token budget
+    * (`weight · B div Σweight` — exact BIGINT arithmetic) is exhausted;
+    * a doc is kept iff its running token total fits the budget. The
+    * pipeline arc completes: `source_mix` says what the corpus IS,
+    * `mixture_weights` what the sampler SHOULD do, this is the sampler
+    * DOING it — the doc list a training run reads.
+    *
+    * 100 TB: one |sources|-row broadcast of budgets onto the scan, one
+    * shuffle on source for the per-source running sum (the same
+    * window-over-partition shape as `pack_sequences`); no global sort
+    * before the presentation ordering. */
+  def quotaSample(spark: SparkSession, sfDir: String,
+                  totalBudget: Long = 20000L): DataFrame = {
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"), bpeTokenCount(col("text")).as("toks"))
+      .groupBy("source")
+      .agg(sum("toks").as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("bigint"))
+    val budgets = perSource
+      .withColumn("sumw", sum("weight").over(Window.partitionBy()))
+      .withColumn("budget", expr(s"weight * ${totalBudget}L div sumw"))
+      .select("source", "budget")
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), bpeTokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("source", "doc_id", "n_tokens", "cum_tokens", "budget")
+      .orderBy("source", "cum_tokens")
+  }
+
   /** Fixed-window document CHUNKING — the retrieval/context-window prep
     * step: each document becomes overlapping `width`-char chunks on a
     * `stride`-char grid (overlap = width − stride keeps boundary-spanning

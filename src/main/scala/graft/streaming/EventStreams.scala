@@ -409,6 +409,29 @@ object EventStreams {
       .orderBy("doc_id")
   }
 
+  /** Driver-verified: arriving documents WINNOW-fingerprinted in-flight —
+    * the ingest half of a MOSS-style match registry
+    * ([[graft.operators.TextAnalysis.winnowMatches]] is the lookup half):
+    * each document landing in the drop folder computes its winnowed
+    * fingerprint summary through the same `graft_winnowstats` codegen
+    * kernel the batch op uses, with ZERO state and zero shuffle — the
+    * selection is per-row scan arithmetic, so the stream is pure Append
+    * and the micro-batch boundary cannot change a single selected hash
+    * (spec-level guarantee: the kernel sees one document at a time by
+    * construction). Output equals the batch `winnow_fingerprints` rows
+    * (shared oracle). */
+  def streamWinnowQuery(spark: SparkSession, sfDir: String,
+                        window: Int = 8, w: Int = 4): DataFrame = {
+    val fp = tableStream(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        call_function("graft_winnowstats", col("text"), lit(window), lit(w)).as("s"))
+      .select(col("doc_id"), col("s.n_fp").as("n_fp"), col("s.fp_min").as("fp_min"),
+              col("s.fp_max").as("fp_max"), col("s.fp_sum").as("fp_sum"),
+              col("s.pos_sum").as("pos_sum"))
+    runToCompletion(spark, fp, "stream_winnow", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Driver-verified: corpus COMPOSITION tracked as the stream arrives —
     * the streaming twin of [[graft.operators.TextAnalysis.sourceMix]]:
     * per-source doc counts, token mass and mean quality run as a

@@ -177,6 +177,39 @@ class AnalyticsSpec extends SparkSpecBase {
       "temperature sampling is degenerate on the fixture")
   }
 
+  test("quotaSample: per-source maximal digest-ordered prefix within the integer budget") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val budget = 20000L
+    val out = TextAnalysis.quotaSample(spark, sf0001, budget).collect()
+    assert(out.nonEmpty)
+    val idx = out.head.schema.fieldNames.zipWithIndex.toMap
+    // replay: per-doc token counts in md5 order per source
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).as("toks"),
+        expr("md5(cast(doc_id as string))").as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .filter(_._3 > 0)
+    val bySource = docs.groupBy(_._2)
+    val weights = bySource.view.mapValues(ds =>
+      math.sqrt(ds.map(_._3).sum.toDouble).floor.toLong).toMap
+    val sumw = weights.values.sum
+    val expected = bySource.toSeq.flatMap { case (src, ds) =>
+      val b = weights(src) * budget / sumw
+      var cum = 0L
+      ds.sortBy(d => (d._4, d._1)).toSeq.flatMap { d =>
+        cum += d._3
+        if (cum <= b) Some((src, d._1, d._3, cum, b)) else None
+      }
+    }.toSet
+    val got = out.map(r => (r.getString(idx("source")), r.getLong(idx("doc_id")),
+      r.getLong(idx("n_tokens")), r.getLong(idx("cum_tokens")), r.getLong(idx("budget")))).toSet
+    assert(got === expected)
+    // the budget actually cuts, and no source exceeds it
+    assert(got.size < docs.length, "quota did not gate anything")
+    got.foreach { case (_, _, _, cum, b) => assert(cum <= b) }
+  }
+
   test("hybridSearch: RRF fusion equals an independent replay of both candidate lists") {
     val out = Ranking.hybridSearch(spark, sf0001).collect()
     assert(out.length == 10)

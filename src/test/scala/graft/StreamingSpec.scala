@@ -271,6 +271,13 @@ class StreamingSpec extends SparkSpecBase {
     val bsm = graft.operators.TextAnalysis.sourceMix(spark, sf0001)
       .collect().map(_.toSeq).toSet
     assert(ssm === bsm)
+    // stream_winnow: per-row kernel arithmetic — micro-batch boundaries
+    // cannot move a selected hash, so the stream equals the batch rows
+    val swf = EventStreams.streamWinnowQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bwf = graft.operators.TextAnalysis.winnowFingerprints(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(swf === bwf)
   }
 
   test("bounded replay: stream_decontaminate equals the indexed batch decontamination") {
