@@ -133,6 +133,7 @@ object SparkEntry {
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     "winnow_matches" -> ((s, d) => TextAnalysis.winnowMatches(s, d)),
     "stream_winnow" -> ((s, d) => graft.streaming.EventStreams.streamWinnowQuery(s, d)),
+    "winnow_matches_indexed" -> ((s, d) => TextAnalysis.winnowMatchesIndexed(s, d)),
     "embed_documents" -> ((s, d) => TextAnalysis.embedDocuments(s, d)),
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "pack_sequences_sharded" -> ((s, d) => TextAnalysis.packSequencesSharded(s, d)),
@@ -1554,6 +1555,34 @@ object SparkEntry {
         |  round(CAST(n_shared AS DOUBLE) / least(pa.n_fp, pb.n_fp), 4) AS containment
         |FROM p JOIN pd pa ON doc_a = pa.doc_id JOIN pd pb ON doc_b = pb.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // winnow_matches_indexed: the registry lookup — held-out docs (%10=0)
+    // probe the train-shard postings; the boilerplate cap (df > 50) is
+    // computed over the REGISTRY postings only; containment divides by
+    // the probe's cold set.
+    "winnow_matches_indexed" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),
+        |c AS (SELECT doc_id, CASE WHEN len(hs) >= 8
+        |      THEN list_transform(range(1, len(hs) - 6), i -> list_reduce(hs[i:i+7], (a, b) -> (a * 1000003 + b) % 4294967296))
+        |      ELSE CAST([] AS BIGINT[]) END AS ch FROM h),
+        |s AS (SELECT doc_id, ch, CASE WHEN len(ch) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(ch) - 2), i ->
+        |        i + list_max(list_filter(range(0, 4), j -> ch[i+j] = list_min(ch[i:i+3])))))
+        |      ELSE CAST([] AS BIGINT[]) END AS ps FROM c),
+        |e AS (SELECT DISTINCT doc_id, fp FROM
+        |  (SELECT doc_id, unnest(list_transform(ps, p -> ch[p])) AS fp FROM s)),
+        |reg AS (SELECT doc_id, fp FROM e WHERE doc_id % 10 <> 0),
+        |hot AS (SELECT fp FROM reg GROUP BY fp HAVING count(*) > 50),
+        |regc AS (SELECT * FROM reg WHERE fp NOT IN (SELECT fp FROM hot)),
+        |prob AS (SELECT doc_id AS probe_id, fp FROM e
+        |  WHERE doc_id % 10 = 0 AND fp NOT IN (SELECT fp FROM hot)),
+        |np AS (SELECT probe_id, count(*) AS n_probe_fp FROM prob GROUP BY 1),
+        |p AS (SELECT probe_id, regc.doc_id AS match_id, count(*) AS n_shared
+        |  FROM prob JOIN regc ON prob.fp = regc.fp GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.probe_id, match_id, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / CAST(n_probe_fp AS DOUBLE), 4) AS containment
+        |FROM p JOIN np ON p.probe_id = np.probe_id
+        |ORDER BY p.probe_id, match_id""".stripMargin,
     // common_passages: the same chunk-hash chain as chunk_fingerprint,
     // exploded instead of summarized, grouped on the hash — passages
     // repeated across >=2 DISTINCT documents.

@@ -797,6 +797,73 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The persisted WINNOW REGISTRY — the index half of the MOSS service at
+    * scale: the corpus-side winnowed postings `(doc_id, fp)` stored
+    * bucketed on the hash (lookups join shuffle-free against it), plus the
+    * registry's BOILERPLATE list (hashes in > `maxDocFreq` documents,
+    * computed once at index build and dropped from both sides of every
+    * lookup — MOSS's over-threshold hash exclusion as a maintained
+    * artifact rather than a per-query recount). Fingerprint-gated like
+    * every derived store: a changed corpus can never be silently served
+    * by a stale registry. Registry = the train shard (doc_id % 10 ≠ 0);
+    * the held-out shard plays the arriving-submissions role. */
+  def ensureWinnowIndex(spark: SparkSession, sfDir: String, window: Int = 8,
+                        w: Int = 4, maxDocFreq: Int = 50, buckets: Int = 8): String = {
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val prefix = s"graft_winnowidx_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}"
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")
+    val tables = Seq(s"${prefix}_postings", s"${prefix}_hot")
+    graft.sources.Warehouse.ensureDerivedTables(spark, tables, fp) {
+      val post = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          explode(call_function("graft_winnow", col("text"), lit(window), lit(w))).as("s"))
+        .select(col("doc_id"), col("s.fp").as("fp"))
+        .distinct()
+      val hot = post.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select("fp")
+      graft.sources.Warehouse.writeBucketed(
+        post.join(hot, Seq("fp"), "left_anti"), Seq("fp"), s"${prefix}_postings", buckets)
+      graft.sources.Warehouse.writeBucketed(hot, Seq("fp"), s"${prefix}_hot", 1)
+    }
+    prefix
+  }
+
+  /** [[winnowMatches]] against the PERSISTED registry — the production
+    * lookup path: each held-out document (the submissions shard) winnows
+    * itself scan-side, drops the registry's boilerplate hashes, and joins
+    * the stored postings on the hash; pairs sharing ≥ `minShared`
+    * fingerprints emit with containment = shared / |probe's cold set|.
+    *
+    * 100 TB: the corpus is NOT re-fingerprinted per lookup — probe-side
+    * work is proportional to the submissions batch, registry-side to the
+    * candidate postings touched (bucketed equi-join on the hash), and the
+    * boilerplate exclusion is a broadcast of a maintained tiny table. */
+  def winnowMatchesIndexed(spark: SparkSession, sfDir: String, window: Int = 8,
+                           w: Int = 4, minShared: Int = 2): DataFrame = {
+    val prefix = ensureWinnowIndex(spark, sfDir, window, w)
+    val registry = spark.table(s"${prefix}_postings")
+    val hot = spark.table(s"${prefix}_hot")
+    val probes = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        explode(call_function("graft_winnow", col("text"), lit(window), lit(w))).as("s"))
+      .select(col("doc_id").as("probe_id"), col("s.fp").as("fp"))
+      .distinct()
+      .join(broadcast(hot), Seq("fp"), "left_anti")
+    val nProbe = probes.groupBy("probe_id").agg(count(lit(1)).as("n_probe_fp"))
+    probes
+      .join(registry.select(col("fp"), col("doc_id").as("match_id")), Seq("fp"))
+      .groupBy("probe_id", "match_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(nProbe, Seq("probe_id"))
+      .select(col("probe_id"), col("match_id"), col("n_shared"),
+        duckRound(col("n_shared").cast("double") / col("n_probe_fp").cast("double"), 4)
+          .as("containment"))
+      .orderBy("probe_id", "match_id")
+  }
+
   /** Rolling-hash chunk fingerprint summary per document (`graft_chunkstats`
     * native kernel): every 8-token Karp–Rabin chunk hash, summarized as
     * (count, min, max, sum) — the chunk-level-dedup fingerprint, 32-bit

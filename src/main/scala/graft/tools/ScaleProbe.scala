@@ -60,7 +60,8 @@ object ScaleProbe {
                             "stream_takedown", "corpus_overlap", "kanon_suppress",
                             "winnow_fingerprints", "winnow_matches",
                             "hybrid_search", "mixture_weights",
-                            "release_report", "quota_sample", "stream_winnow")).toList
+                            "release_report", "quota_sample", "stream_winnow",
+                            "winnow_matches_indexed")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

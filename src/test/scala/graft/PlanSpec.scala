@@ -436,6 +436,17 @@ class PlanSpec extends SparkSpecBase {
       s"cell sizes lost their map-side combine:\n$ks")
   }
 
+  test("winnow_matches_indexed reads the persisted registry, re-fingerprints only probes") {
+    val plan = finalPlan("winnow_matches_indexed").split("== Initial Plan ==").head
+    assert(plan.contains("graft_winnowidx_"),
+      s"indexed winnow lookup does not read the persisted postings:\n$plan")
+    // exactly one documents scan (the probe shard); the registry side must
+    // come from the store, not a second corpus fingerprint pass
+    val docScans = plan.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans == 1, s"expected ONE documents scan (probes only), got $docScans:\n$plan")
+  }
+
   test("corpus_overlap and winnow_matches shuffle compact keys, never document text") {
     Seq("corpus_overlap", "winnow_matches").foreach { name =>
       val plan = finalPlan(name).split("== Initial Plan ==").head

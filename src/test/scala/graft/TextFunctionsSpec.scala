@@ -280,4 +280,38 @@ class TextFunctionsSpec extends SparkSpecBase {
     val again = TextAnalysis.winnowMatchesFrom(docs.repartition(5), 8, 4, 50, 1).collect()
     assert(again.map(_.toString).sorted === out.map(_.toString).sorted)
   }
+
+  test("winnowMatchesIndexed: the registry lookup equals a local replay of the split") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = TextAnalysis.winnowMatchesIndexed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out.nonEmpty, "no cross-split winnow matches — fixture degenerate")
+    val sel = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().map { r =>
+        val arr = graft.functions.expressions.WinnowKernel
+          .winnow(UTF8String.fromString(r.getString(1)), 8, 4)
+        r.getLong(0) ->
+          (0 until arr.numElements()).map(i => arr.getStruct(i, 2).getLong(1)).toSet
+      }.toMap
+    val reg = sel.filter(_._1 % 10 != 0)
+    val hot = reg.toSeq.flatMap(_._2).groupBy(identity)
+      .filter(_._2.size > 50).keySet
+    val probes = sel.filter(_._1 % 10 == 0).view.mapValues(_ -- hot).toMap
+    val expected = (for {
+      (p, pf) <- probes.toSeq
+      (m, mf) <- reg.toSeq
+      shared = pf.intersect(mf -- hot)
+      if shared.size >= 2
+    } yield {
+      val c = BigDecimal(shared.size.toDouble / pf.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      (p, m, shared.size.toLong, c)
+    }).toSet
+    // compare pairs and shared counts exactly; containment to rounding slack
+    assert(out.map(t => (t._1, t._2, t._3)) === expected.map(t => (t._1, t._2, t._3)))
+    val expC = expected.map(t => (t._1, t._2) -> t._4).toMap
+    out.foreach { case (p, m, _, c) =>
+      assert(math.abs(c - expC((p, m))) <= 1.1e-4, s"containment drift at ($p,$m)")
+    }
+  }
 }
