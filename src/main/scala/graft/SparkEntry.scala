@@ -157,6 +157,7 @@ object SparkEntry {
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
+    "cluster_keywords" -> ((s, d) => Similarity.clusterKeywords(s, d)),
     "semdedup_text" -> ((s, d) => Similarity.semDedupText(s, d)),
     "similar_docs" -> ((s, d) => Similarity.similarDocs(s, d)),
     "text_recall" -> ((s, d) => Similarity.textRecall(s, d)),
@@ -2088,6 +2089,22 @@ object SparkEntry {
     // cluster_sample: the k-means chain, then deterministic per-cell
     // quotas by digest order — WindowGroupLimit semantics replayed as
     // row_number <= m.
+    // cluster_keywords: the text k-means chain (hashed embeddings), then
+    // c-TF-IDF per cell — tf within cell, idf over cells-with-tokens,
+    // ln on both engines, top-3 per cell with word tie-break.
+    "cluster_keywords" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3, textEmbSourceSql) + """,
+      |dd AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS word FROM documents),
+      |ctf AS (SELECT CAST(c.cell AS INTEGER) AS cell, word, count(*) AS tf
+      |  FROM dd JOIN cellv c ON dd.doc_id = c.vec_id GROUP BY 1, 2),
+      |cdf AS (SELECT word, count(*) AS df FROM ctf GROUP BY word),
+      |ncl AS (SELECT count(DISTINCT cell) AS ncells FROM ctf),
+      |scw AS (SELECT cell, ctf.word AS word, tf,
+      |    CAST(tf AS DOUBLE) * ln(CAST(ncells AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+      |  FROM ctf JOIN cdf ON ctf.word = cdf.word, ncl),
+      |rw AS (SELECT cell, word, tf, score,
+      |    row_number() OVER (PARTITION BY cell ORDER BY score DESC, word) AS rnk FROM scw)
+      |SELECT cell, CAST(rnk AS BIGINT) AS rnk, word, tf, round(score, 6) AS score
+      |FROM rw WHERE rnk <= 3 ORDER BY cell, rnk""".stripMargin),
     "cluster_sample" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3) + """,
       |r AS (SELECT CAST(cell AS INTEGER) AS cell, vec_id,
       |    row_number() OVER (PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk

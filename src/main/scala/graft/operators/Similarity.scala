@@ -556,6 +556,42 @@ object Similarity {
     * the persisted √N-cell store; Catalyst's WindowGroupLimit pushes the
     * quota cutoff below the per-cell sort, so no cell ever fully sorts at
     * 100 TB. */
+  /** CLUSTER KEYWORDS — naming the text k-means cells: top-k terms per
+    * cell by c-TF-IDF (class-based TF-IDF, the BERTopic labeling scheme:
+    * a cell is treated as one pseudo-document, tf counted within the
+    * cell, idf over CELLS — so a term scores high when concentrated in
+    * few clusters). The human-readable face of the semantic clustering:
+    * `embed_clusters` says which docs group together, this says what
+    * each group is ABOUT — the label a curation review reads before
+    * deciding to keep, down-weight or drop a topic cluster.
+    *
+    * 100 TB: rides the PERSISTED text-IVF assignment (no re-clustering);
+    * the token explode joins cell ids on doc_id (compact keys), both
+    * aggregates partial-agg, and the per-cell top-k is a
+    * WindowGroupLimit-pushable ranked window over \|cells\|×vocab rows. */
+  def clusterKeywords(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.tokenize
+    val prefix = ensureTextIvfIndex(spark, sfDir)
+    val cells = spark.table(s"${prefix}_cells")
+      .select(col("cell").cast("int").as("cell"), col("vec_id").as("doc_id"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("word"))
+    val ctf = toks.join(cells, Seq("doc_id"))
+      .groupBy("cell", "word").agg(count(lit(1)).as("tf"))
+    val cdf = ctf.groupBy("word").agg(count(lit(1)).as("df"))
+    val ncl = ctf.agg(countDistinct("cell").as("ncells"))
+    val w = Window.partitionBy("cell").orderBy(col("score").desc, col("word").asc)
+    ctf.join(cdf, Seq("word"))
+      .crossJoin(broadcast(ncl))
+      .withColumn("score",
+        col("tf").cast("double") * log(col("ncells").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("cell"), col("rnk"), col("word"), col("tf"),
+        graft.functions.NumericFunctions.duckRound(col("score"), 6).as("score"))
+      .orderBy("cell", "rnk")
+  }
+
   def clusterSample(spark: SparkSession, sfDir: String, m: Int = 5,
                     iters: Int = 3): DataFrame = {
     val nc = ivfCellGrid(Tables.embeddings(spark, sfDir).count())

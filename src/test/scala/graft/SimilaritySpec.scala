@@ -527,4 +527,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(plan.contains("partial_count") || plan.contains("partial_avg"),
       s"per-dim stats lost their map-side combine:\n$plan")
   }
+
+  test("clusterKeywords: c-TF-IDF top-3 equals a local replay over the stored assignment") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.clusterKeywords(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val idx = out.head.schema.fieldNames.zipWithIndex.toMap
+    // replay from the SAME persisted assignment the query reads
+    val prefix = Similarity.ensureTextIvfIndex(spark, sf0001)
+    val cellOf = spark.table(s"${prefix}_cells")
+      .select(col("vec_id"), col("cell").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .flatMap(r => graft.functions.TextFunctions.tokenizeScala(r.getString(1))
+        .map(w => (cellOf(r.getLong(0)), w)))
+    val ctf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cdf = ctf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ncells = ctf.keys.map(_._1).toSet.size.toDouble
+    val expected = ctf.keys.groupBy(_._1).flatMap { case (cell, keys) =>
+      keys.toSeq
+        .map { case (c, w) => (w, ctf((c, w)), ctf((c, w)).toDouble * math.log(ncells / cdf(w))) }
+        .sortBy { case (w, _, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((w, tf, s), i) => (cell, (i + 1).toLong, w, tf, s) }
+    }.toSet
+    val got = out.map(r => (r.getInt(idx("cell")), r.getLong(idx("rnk")),
+      r.getString(idx("word")), r.getLong(idx("tf")), r.getDouble(idx("score"))))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+      expected.map(t => (t._1, t._2, t._3, t._4)))
+    val expScore = expected.map(t => (t._1, t._2) -> t._5).toMap
+    got.foreach { case (c, r, _, _, s) =>
+      assert(math.abs(s - expScore((c, r))) <= 1.1e-6, s"score drift at cell $c rank $r")
+    }
+  }
 }
