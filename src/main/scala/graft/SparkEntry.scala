@@ -143,6 +143,7 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(s, d)),
     "bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
+    "bpe_fertility" -> ((s, d) => Bpe.bpeFertility(s, d)),
     "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
     "link_rank" -> ((s, d) => Ranking.linkRank(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
@@ -2050,6 +2051,9 @@ object SparkEntry {
     // oracle re-runs it in unrolled CTEs — same technique as k-means.
     "bpe_train" -> graft.operators.Bpe.bpeOracle(),
     "bpe_encode" -> graft.operators.Bpe.bpeEncodeOracle(),
+    // bpe_fertility: the unrolled merge chain + a (lang, word) count joined
+    // on the word — all integer sums, two rounded divisions at the edge.
+    "bpe_fertility" -> graft.operators.Bpe.bpeFertilityOracle(),
     "similarity_ann" -> annOracle,
     "similarity_ivf" -> ivfOracle(),
     // similarity_ivf_indexed: the stored codebook/assignment are the SAME

@@ -302,4 +302,55 @@ object Bpe {
          |SELECT word, wcnt, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_subwords,
          |  trim(seq) AS seg
          |FROM s$merges ORDER BY word""".stripMargin
+
+  /** TOKENIZER FERTILITY per language — the multilingual-fairness metric a
+    * tokenizer review reads (Rust et al. 2021): pieces-per-word by
+    * language under the learned vocabulary. A BPE vocabulary trained on a
+    * skewed mixture over-segments the under-represented languages —
+    * inflating their effective sequence lengths and compute cost per
+    * character — and fertility is where that shows up first. Emits, per
+    * language: word occurrences, total pieces, total chars, fertility
+    * (pieces/word) and compression (chars/piece).
+    *
+    * Cost shape: the merge loop is [[bpeEncode]]'s (vocabulary-sized,
+    * driver-side with distributed fallback); the language attribution is
+    * one (lang, word) count joined to the segment table on the word — all
+    * integer sums, so the metric is exact. */
+  def bpeFertility(spark: SparkSession, sfDir: String, merges: Int = 6): DataFrame = {
+    val seg = bpeEncode(spark, sfDir, merges).select(col("word"), col("n_subwords"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(TextFunctions.tokenize(col("text"))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .join(seg, Seq("word"))
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+           sum(col("cnt") * col("n_subwords")).as("n_pieces"),
+           sum(col("cnt") * length(col("word")).cast("bigint")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        graft.functions.NumericFunctions.duckRound(
+          col("n_pieces").cast("double") / col("n_words").cast("double"), 4).as("fertility"),
+        graft.functions.NumericFunctions.duckRound(
+          col("n_chars").cast("double") / col("n_pieces").cast("double"), 4).as("chars_per_piece"))
+      .orderBy("lang")
+  }
+
+  def bpeFertilityOracle(merges: Int = 6): String =
+    bpeCtes(merges) +
+      s""",
+         |lw AS (SELECT lang, word, count(*) AS cnt FROM
+         |  (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> '')) AS word FROM documents) z
+         |  GROUP BY 1, 2),
+         |jf AS (SELECT lang, cnt,
+         |    CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS np,
+         |    CAST(length(s$merges.word) AS BIGINT) AS wl
+         |  FROM lw JOIN s$merges ON lw.word = s$merges.word),
+         |ag AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |    CAST(sum(cnt * np) AS BIGINT) AS n_pieces,
+         |    CAST(sum(cnt * wl) AS BIGINT) AS n_chars
+         |  FROM jf GROUP BY lang)
+         |SELECT lang, n_words, n_pieces, n_chars,
+         |  round(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS fertility,
+         |  round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 4) AS chars_per_piece
+         |FROM ag ORDER BY lang""".stripMargin
 }

@@ -77,4 +77,32 @@ class BpeSpec extends SparkSpecBase {
     assert(a === b)
     assert(a.length === 4)
   }
+
+  test("bpe_fertility reconciles with the segment table and tiles the corpus") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val rows = Bpe.bpeFertility(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    // replay from bpeEncode + per-(lang, word) counts
+    val pieces = Bpe.bpeEncode(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val lw = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.tokenize(col("text"))).as("word"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val byLang = lw.groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getString(idx("lang"))
+      val ws = byLang(lang).map(_._2)
+      assert(r.getLong(idx("n_words")) === ws.length.toLong)
+      assert(r.getLong(idx("n_pieces")) === ws.map(pieces).sum)
+      assert(r.getLong(idx("n_chars")) === ws.map(_.length.toLong).sum)
+      val fert = r.getDouble(idx("fertility"))
+      assert(fert >= 1.0, "every word is at least one piece")
+      assert(math.abs(fert - ws.map(pieces).sum.toDouble / ws.length) <= 5e-5)
+      assert(r.getDouble(idx("chars_per_piece")) >= 1.0, "a piece has at least one char")
+    }
+    // every corpus token is attributed to exactly one language row
+    assert(rows.map(_.getLong(idx("n_words"))).sum === lw.length.toLong)
+  }
 }
