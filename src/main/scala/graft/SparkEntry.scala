@@ -68,6 +68,7 @@ object SparkEntry {
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "tumbling_window" -> ((s, d) => Relational.tumblingWindow(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "peak_concurrency" -> ((s, d) => Relational.peakConcurrency(s, d)),
     "session_window_agg" -> ((s, d) => Relational.sessionWindowAgg(s, d)),
     "json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
@@ -980,6 +981,30 @@ object SparkEntry {
         |SELECT user_id, epoch_us(min(tsu)) AS start_us, epoch_us(max(tsu)) + 1800000000 AS end_us,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM z GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    // peak_concurrency: the same session islands, swept — boundaries
+    // bucketed by hour, within-bucket running sums with pinned tie order
+    // (us, delta asc, user_id: half-open ends before starts), carry-in =
+    // exclusive prefix of per-bucket nets.
+    "peak_concurrency" ->
+      """WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events),
+        |y AS (SELECT user_id, event_id, tsu,
+        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, tsu, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y),
+        |sess AS (SELECT user_id, epoch_us(min(tsu)) AS s_us, epoch_us(max(tsu)) + 1800000000 AS e_us
+        |  FROM z GROUP BY user_id, sid),
+        |bd AS (SELECT s_us AS us, CAST(1 AS BIGINT) AS delta, user_id FROM sess
+        |  UNION ALL SELECT e_us, CAST(-1 AS BIGINT), user_id FROM sess),
+        |bb AS (SELECT us, delta, user_id, us // 3600000000 AS b FROM bd),
+        |run AS (SELECT b, sum(delta) OVER (PARTITION BY b ORDER BY us, delta, user_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM bb),
+        |pk AS (SELECT b, CAST(max(rs) AS BIGINT) AS local_peak FROM run GROUP BY b),
+        |nets AS (SELECT b, CAST(sum(delta) AS BIGINT) AS net, count(*) AS n_changes FROM bb GROUP BY b),
+        |cr AS (SELECT b, n_changes, COALESCE(CAST(sum(net) OVER (ORDER BY b
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS carry FROM nets)
+        |SELECT CAST(pk.b * 3600000000 AS BIGINT) AS hour_us, n_changes, carry + local_peak AS peak
+        |FROM pk JOIN cr ON pk.b = cr.b ORDER BY hour_us""".stripMargin,
     "brand_revenue" ->
       """SELECT p_brand, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_lineitems
         |FROM lineitem JOIN part ON l_partkey = p_partkey

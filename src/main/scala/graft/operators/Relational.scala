@@ -152,6 +152,47 @@ object Relational {
               col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
 
+  /** PEAK CONCURRENCY — the interval max-overlap sweep, scaled out: how
+    * many sessions are simultaneously open, per hour (capacity planning /
+    * load-envelope analysis over the same gap-merged session intervals
+    * [[sessionWindowAgg]] emits). The textbook sweep-line is a SINGLE
+    * ordered running sum over all boundaries — a one-partition sort that
+    * dies at scale — so this splits it two-level, the `export_sorted`
+    * histogram-cut idea applied to a prefix aggregation: boundaries
+    * (+1 at session start, −1 at its half-open end) bucket by hour and
+    * running-sum WITHIN buckets in parallel; each bucket's carry-in is an
+    * exclusive prefix sum of per-bucket nets — a window over \|hours\|
+    * metadata-sized rows. concurrency(t) = carry(bucket) + local running
+    * sum, so the per-hour peak = carry + max(local). Boundary tie order
+    * is pinned (us, delta asc, user_id): ends sort before starts at the
+    * same µs, the half-open convention — touching sessions never
+    * overlap. */
+  def peakConcurrency(spark: SparkSession, sfDir: String,
+                      gap: String = "30 minutes"): DataFrame = {
+    val sessions = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("s_us"),
+              unix_micros(col("session_window.end")).as("e_us"))
+    val bounds = sessions.select(col("s_us").as("us"), lit(1L).as("delta"), col("user_id"))
+      .union(sessions.select(col("e_us").as("us"), lit(-1L).as("delta"), col("user_id")))
+      .withColumn("b", expr("us div 3600000000"))
+    val inBucket = Window.partitionBy("b")
+      .orderBy(col("us").asc, col("delta").asc, col("user_id").asc)
+    val run = bounds.withColumn("rs", sum("delta").over(inBucket))
+      .groupBy("b").agg(max("rs").as("local_peak"))
+    val carry = bounds.groupBy("b")
+      .agg(sum("delta").as("net"), count(lit(1)).as("n_changes"))
+      .withColumn("carry", coalesce(
+        sum("net").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    run.join(carry, Seq("b"))
+      .select((col("b") * 3600000000L).as("hour_us"), col("n_changes"),
+              (col("carry") + col("local_peak")).as("peak"))
+      .orderBy("hour_us")
+  }
+
   /** Anti join: customers with no large order (totalprice > threshold) —
     * the non-matching side of the join surface. Plans as LEFT ANTI with the
     * price filter pushed below the join (no materialized nulls, no

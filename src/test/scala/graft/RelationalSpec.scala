@@ -122,4 +122,37 @@ class RelationalSpec extends SparkSpecBase {
     } yield (ia, ib)).toSet
     assert(got === want)
   }
+
+  test("peakConcurrency: the bucketed sweep equals a single global sweep over the intervals") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.peakConcurrency(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // true sweep: collect the session intervals and replay globally
+    val sessions = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")),
+              unix_micros(col("session_window.end")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bounds = (sessions.map(s => (s._2, 1L, s._1)) ++
+                  sessions.map(s => (s._3, -1L, s._1)))
+      .sortBy(t => (t._1, t._2, t._3))
+    var conc = 0L
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    val changes = scala.collection.mutable.Map.empty[Long, Long]
+    bounds.foreach { case (us, d, _) =>
+      conc += d
+      val b = us / 3600000000L
+      peaks(b) = math.max(peaks.getOrElse(b, Long.MinValue), conc)
+      changes(b) = changes.getOrElse(b, 0L) + 1
+    }
+    val expected = peaks.keys.toSeq.sorted
+      .map(b => (b * 3600000000L, changes(b), peaks(b)))
+    assert(out.toSeq === expected)
+    // conservation: the sweep closes every interval it opens
+    assert(bounds.map(_._2).sum === 0L)
+    // the fixture actually overlaps: some hour has >1 concurrent session
+    assert(out.exists(_._3 > 1), "no concurrency on the fixture — degenerate")
+  }
 }
