@@ -199,6 +199,7 @@ object SparkEntry {
     "ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "quantize_embeddings" -> ((s, d) => Similarity.quantizeEmbeddings(s, d)),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
+    "embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
     "pq_encode" -> ((s, d) => Similarity.pqEncode(s, d)),
     "pq_search" -> ((s, d) => Similarity.pqSearch(s, d)),
     "ivfpq_search" -> ((s, d) => Similarity.ivfpqSearch(s, d)),
@@ -2218,6 +2219,22 @@ object SparkEntry {
         |SELECT dim, count(*) AS n, round(avg(x), 4) AS mean,
         |  min(x) AS min_x, max(x) AS max_x
         |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+    // embedding_drift: base vs delta per-dimension means, shift normalized
+    // by the base range; the drift verdict compares the ROUNDED ratio so
+    // both engines decide identically.
+    "embedding_drift" ->
+      """WITH e AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+        |                  unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+        |b AS (SELECT dim, count(*) AS n_base, avg(x) AS mb, min(x) AS min_base, max(x) AS max_base
+        |  FROM e WHERE vec_id % 10 <> 0 GROUP BY dim),
+        |d AS (SELECT dim, count(*) AS n_delta, avg(x) AS md
+        |  FROM e WHERE vec_id % 10 = 0 GROUP BY dim),
+        |j AS (SELECT b.dim AS dim, n_base, n_delta, mb, md,
+        |    round((md - mb) / (max_base - min_base), 4) + 0.0 AS rel_shift
+        |  FROM b JOIN d ON b.dim = d.dim)
+        |SELECT dim, n_base, n_delta, round(mb, 4) + 0.0 AS mean_base, round(md, 4) + 0.0 AS mean_delta,
+        |  rel_shift, CAST(abs(rel_shift) > 0.05 AS INTEGER) AS drifted
+        |FROM j ORDER BY dim""".stripMargin,
     // pq_encode / pq_search: the full PQ training replayed in SQL
     // (pqCtes) — codes, reconstruction SSE, and ADC ranking are all
     // exactly checked, lossy codec included (the quantize_embeddings

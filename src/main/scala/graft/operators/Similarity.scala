@@ -1043,6 +1043,44 @@ object Similarity {
     * cost. Floats widen to double EXACTLY (min/max are bit-exact vs the
     * oracle); only the mean is float-fold-order sensitive, rounded at 4dp
     * against a ~1e-12 double-sum wobble. */
+  /** EMBEDDING DRIFT — the encoder-regression tripwire between vector
+    * batches: per dimension, the delta shard's mean against the base
+    * corpus's mean, normalized by the base dimension's observed range. An
+    * embedding pipeline whose encoder (version, preprocessing, dtype)
+    * silently changes between ingest batches poisons every downstream
+    * similarity/cluster/dedup artifact; per-dimension mean shift is the
+    * cheapest signal that catches it (dtype truncation, normalization
+    * changes, and layer swaps all move marginal means). Emits the
+    * per-dimension comparison + a drift flag at \|shift\|/range > 0.05 —
+    * computed from the ROUNDED ratio, so the verdict is bit-deterministic
+    * across engines.
+    *
+    * 100 TB: one posexplode scan per shard with map-side partial
+    * aggregation down to 64 dimension rows; the comparison join is over
+    * those 64 rows. Same shape as [[embeddingStats]]. */
+  def embeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    def dimStats(delta: Boolean) = Tables.embeddings(spark, sfDir)
+      .filter(if (delta) col("vec_id") % 10 === 0 else col("vec_id") % 10 =!= 0)
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("bigint").as("dim"), col("col").cast("double").as("x"))
+      .groupBy("dim")
+    val base = dimStats(delta = false)
+      .agg(count(lit(1)).as("n_base"), avg("x").as("mb"),
+           min("x").as("min_base"), max("x").as("max_base"))
+    val delta = dimStats(delta = true)
+      .agg(count(lit(1)).as("n_delta"), avg("x").as("md"))
+    base.join(delta, Seq("dim"))
+      .withColumn("rel_shift",
+        duckRound((col("md") - col("mb")) / (col("max_base") - col("min_base")), 4) + lit(0.0))
+      .select(col("dim"), col("n_base"), col("n_delta"),
+        (duckRound(col("mb"), 4) + lit(0.0)).as("mean_base"),
+        (duckRound(col("md"), 4) + lit(0.0)).as("mean_delta"),
+        col("rel_shift"),
+        (abs(col("rel_shift")) > lit(0.05)).cast("int").as("drifted"))
+      .orderBy("dim")
+  }
+
   def embeddingStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(posexplode(col("embedding")))

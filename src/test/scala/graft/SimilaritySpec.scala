@@ -528,6 +528,41 @@ class SimilaritySpec extends SparkSpecBase {
       s"per-dim stats lost their map-side combine:\n$plan")
   }
 
+  test("embeddingDrift: per-dim comparison reconciles with a local replay of both shards") {
+    val rows = Similarity.embeddingDrift(spark, sf0001).collect()
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dims = vecs.head._2.length
+    assert(rows.length === dims)
+    val (base, delta) = vecs.partition(_._1 % 10 != 0)
+    rows.foreach { r =>
+      val d = (r.getLong(idx("dim")) - 1).toInt
+      assert(r.getLong(idx("n_base")) === base.length.toLong)
+      assert(r.getLong(idx("n_delta")) === delta.length.toLong)
+      val bvals = base.map(_._2(d).toDouble)
+      val dvals = delta.map(_._2(d).toDouble)
+      val mb = bvals.sum / bvals.length
+      val md = dvals.sum / dvals.length
+      assert(math.abs(r.getDouble(idx("mean_base")) - mb) <= 5e-5 + 1e-9)
+      assert(math.abs(r.getDouble(idx("mean_delta")) - md) <= 5e-5 + 1e-9)
+      val rel = (md - mb) / (bvals.max - bvals.min)
+      assert(math.abs(r.getDouble(idx("rel_shift")) - rel) <= 5e-5 + 1e-9)
+      // the verdict is the rounded-ratio rule, bit-for-bit
+      assert(r.getInt(idx("drifted")) ===
+        (if (math.abs(r.getDouble(idx("rel_shift"))) > 0.05) 1 else 0))
+    }
+    // same-distribution shards: at this fixture's tiny delta shard
+    // (n ≈ 60) mean noise is ~σ/(range·√n) ≈ 0.04, so a few dims may
+    // trip the 0.05 line by chance — at production shard sizes the noise
+    // vanishes as 1/√n and the threshold only catches real encoder
+    // changes. The spec bound: chance trips stay a clear minority.
+    val tripped = rows.count(_.getInt(idx("drifted")) == 1)
+    assert(tripped * 2 < rows.length,
+      s"majority of dims flagged on same-distribution shards ($tripped/${rows.length})")
+  }
+
   test("clusterKeywords: c-TF-IDF top-3 equals a local replay over the stored assignment") {
     import org.apache.spark.sql.functions.col
     val out = Similarity.clusterKeywords(spark, sf0001).collect()
