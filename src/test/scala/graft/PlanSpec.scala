@@ -436,6 +436,23 @@ class PlanSpec extends SparkSpecBase {
       s"cell sizes lost their map-side combine:\n$ks")
   }
 
+  test("hybrid_search: both candidate generators stay top-k, fusion is not cartesian") {
+    val plan = finalPlan("hybrid_search").split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"fusion grew a cartesian:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"a candidate side lost its map-side top-k:\n$plan")
+  }
+
+  test("peak_concurrency: the sweep window is hour-partitioned, not single-partition") {
+    val plan = finalPlan("peak_concurrency").split("== Initial Plan ==").head
+    // the boundary-stream running sum must be partitioned by the hour
+    // bucket; only the metadata-sized carry window may be global
+    assert(plan.contains("windowspecdefinition(b#") ||
+           plan.contains("windowspecdefinition(b,"),
+      s"per-bucket running sum lost its hour partitioning:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
   test("winnow_matches_indexed reads the persisted registry, re-fingerprints only probes") {
     val plan = finalPlan("winnow_matches_indexed").split("== Initial Plan ==").head
     assert(plan.contains("graft_winnowidx_"),
