@@ -169,6 +169,7 @@ object SparkEntry {
     "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
     "corpus_overlap" -> ((s, d) => Dedup.corpusOverlap(s, d)),
+    "dedup_threshold_curve" -> ((s, d) => Dedup.dedupThresholdCurve(s, d)),
     "contamination_report" -> ((s, d) => Dedup.contaminationReport(s, d)),
     "takedown_propagate" -> ((s, d) => Dedup.takedownPropagate(s, d)),
     "stream_takedown" -> ((s, d) => graft.streaming.EventStreams.streamTakedownQuery(s, d)),
@@ -1711,6 +1712,26 @@ object SparkEntry {
         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped
         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // dedup_threshold_curve: the exact pair set generated once at the 0.7
+    // floor, each pair counted toward every threshold it clears.
+    "dedup_threshold_curve" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
+        |ct AS (SELECT doc_a, doc_b, jaccard,
+        |    unnest([0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS threshold FROM jp)
+        |SELECT threshold, count(*) AS n_pairs,
+        |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_droppable
+        |FROM ct WHERE jaccard >= threshold
+        |GROUP BY threshold ORDER BY threshold""".stripMargin,
     // corpus_overlap: the exact near-dup pair set (the LSH generator is
     // provably equal to it at the threshold), symmetrized, labeled with
     // each endpoint's source, and aggregated to the |sources|² matrix.

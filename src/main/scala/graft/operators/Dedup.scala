@@ -744,6 +744,36 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** DEDUP THRESHOLD CURVE — the "choose your threshold" table a dedup
+    * rollout reads before committing: for each candidate Jaccard
+    * threshold, how many near-dup pairs exist and how many documents a
+    * keep-one-per-pair-graph pass would touch. Dedup aggressiveness is
+    * the single most consequential knob in corpus prep (too low deletes
+    * legitimate templated content, too high ships memorization fuel);
+    * this emits the pair-mass curve so the knob is set from measurements.
+    * Pairs are generated ONCE at the curve's floor by the LSH generator
+    * RE-TUNED for that floor — 64 bands × 2 rows, so detection at
+    * j = 0.7 is 1 − (1 − 0.7²)⁶⁴ ≈ 1 − 10⁻¹⁹, effectively exhaustive,
+    * and the exact-verified output provably equals the exact join (the
+    * `dedup_minhash` argument at the lower threshold; the SQL oracle IS
+    * the exact join). Each surviving pair then counts toward every curve
+    * point it clears — a |thresholds|-way conditional aggregate over one
+    * pair set, not |thresholds| joins. */
+  def dedupThresholdCurve(spark: SparkSession, sfDir: String, n: Int = 3,
+                          floor: Double = 0.7): DataFrame = {
+    val thresholds = Seq(0.7, 0.75, 0.8, 0.85, 0.9, 0.95)
+    val pairs = minhashPairsUnordered(spark, sfDir, n,
+      numBands = 64, rowsPerBand = 2, threshold = floor)
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("doc_b")).as("n_droppable"))
+      .orderBy("threshold")
+  }
+
   // --------------------------------------------------- Cross-source overlap
 
   /** Cross-SOURCE near-dup overlap matrix — the corpus-composition question

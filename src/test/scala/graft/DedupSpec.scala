@@ -294,6 +294,28 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("dedupThresholdCurve: monotone non-increasing, re-derivable from the exact pairs") {
+    val curve = Dedup.dedupThresholdCurve(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq === Seq(0.7, 0.75, 0.8, 0.85, 0.9, 0.95))
+    // pair mass and droppable docs shrink (weakly) as the threshold rises
+    curve.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 >= hi._2 && lo._3 >= hi._3, s"curve not monotone: $lo vs $hi")
+      case _ =>
+    }
+    // re-derive each point from the raw exact pair set at the floor
+    val pairs = Dedup.ngramJaccardPairs(spark, sf0001, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    curve.foreach { case (t, np, nd) =>
+      val at = pairs.filter(_._3 >= t)
+      assert(np === at.length.toLong, s"pair count at $t")
+      assert(nd === at.map(_._2).distinct.length.toLong, s"droppable at $t")
+    }
+    // the fixture discriminates: the curve actually falls somewhere
+    assert(curve.head._2 > curve.last._2, "flat curve — fixture degenerate")
+  }
+
   test("corpusOverlap: matrix is symmetric in counts and re-derivable from the pair set") {
     import org.apache.spark.sql.functions.col
     val m = Dedup.corpusOverlap(spark, sf0001).collect()
