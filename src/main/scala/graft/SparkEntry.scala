@@ -135,6 +135,7 @@ object SparkEntry {
     "winnow_matches" -> ((s, d) => TextAnalysis.winnowMatches(s, d)),
     "stream_winnow" -> ((s, d) => graft.streaming.EventStreams.streamWinnowQuery(s, d)),
     "winnow_matches_indexed" -> ((s, d) => TextAnalysis.winnowMatchesIndexed(s, d)),
+    "winnow_recall" -> ((s, d) => TextAnalysis.winnowRecall(s, d)),
     "embed_documents" -> ((s, d) => TextAnalysis.embedDocuments(s, d)),
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "pack_sequences_sharded" -> ((s, d) => TextAnalysis.packSequencesSharded(s, d)),
@@ -1584,6 +1585,35 @@ object SparkEntry {
         |  round(CAST(n_shared AS DOUBLE) / least(pa.n_fp, pb.n_fp), 4) AS containment
         |FROM p JOIN pd pa ON doc_a = pa.doc_id JOIN pd pb ON doc_b = pb.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // winnow_recall: truth = pairs sharing >=1 cold FULL-chain chunk hash;
+    // approx = the winnowed match pass at minShared=1; one accounting row.
+    "winnow_recall" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d),
+        |c AS (SELECT doc_id, CASE WHEN len(hs) >= 8
+        |      THEN list_transform(range(1, len(hs) - 6), i -> list_reduce(hs[i:i+7], (a, b) -> (a * 1000003 + b) % 4294967296))
+        |      ELSE CAST([] AS BIGINT[]) END AS ch FROM h),
+        |ce AS (SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(ch) AS fp FROM c)),
+        |chot AS (SELECT fp FROM ce GROUP BY fp HAVING count(*) > 50),
+        |ccold AS (SELECT * FROM ce WHERE fp NOT IN (SELECT fp FROM chot)),
+        |truth AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ccold a JOIN ccold b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |s AS (SELECT doc_id, ch, CASE WHEN len(ch) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(ch) - 2), i ->
+        |        i + list_max(list_filter(range(0, 4), j -> ch[i+j] = list_min(ch[i:i+3])))))
+        |      ELSE CAST([] AS BIGINT[]) END AS ps FROM c),
+        |e AS (SELECT DISTINCT doc_id, fp FROM
+        |  (SELECT doc_id, unnest(list_transform(ps, p -> ch[p])) AS fp FROM s)),
+        |wcold AS (SELECT * FROM e WHERE fp NOT IN
+        |  (SELECT fp FROM e GROUP BY fp HAVING count(*) > 50)),
+        |approx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM wcold a JOIN wcold b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |det AS (SELECT count(*) AS n_detected FROM truth
+        |  SEMI JOIN approx USING (doc_a, doc_b)),
+        |tot AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT n_truth, n_detected,
+        |  round(CAST(n_detected AS DOUBLE) / CAST(n_truth AS DOUBLE), 4) AS recall
+        |FROM tot, det""".stripMargin,
     // winnow_matches_indexed: the registry lookup — held-out docs (%10=0)
     // probe the train-shard postings; the boilerplate cap (df > 50) is
     // computed over the REGISTRY postings only; containment divides by

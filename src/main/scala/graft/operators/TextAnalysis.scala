@@ -797,6 +797,42 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** WINNOW RECALL — the instrument that prices winnowing's sampling: how
+    * many of the pairs sharing at least one (cold) chunk hash does the
+    * winnowed match pass detect? The guarantee covers passages ≥
+    * window+w−1 tokens; pairs overlapping only in SHORTER passages are
+    * detected with probability ≈ density² per shared chunk — the
+    * documented trade for the ~(w+1)/2× smaller index. Same discipline as
+    * `ann_recall`/`pq_recall`: the approximate path ships with an
+    * oracle-checked measurement, so the trade is a number, not a claim.
+    * Truth and approx both exclude boilerplate hashes (> `maxDocFreq`
+    * docs, each on its own posting basis) so the instrument compares
+    * like with like. One accounting row: truth pairs, detected, recall. */
+  def winnowRecall(spark: SparkSession, sfDir: String, window: Int = 8,
+                   w: Int = 4, maxDocFreq: Int = 50): DataFrame = {
+    val chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(call_function("graft_chunks", col("text"), lit(window))).as("fp"))
+      .distinct()
+    val hot = chunks.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("fp")
+    val cold = chunks.join(hot, Seq("fp"), "left_anti")
+    val truth = cold.as("a")
+      .join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val approx = winnowMatchesFrom(Tables.documents(spark, sfDir),
+        window, w, maxDocFreq, minShared = 1)
+      .select("doc_a", "doc_b")
+    val detected = truth.join(approx, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(detected.agg(count(lit(1)).as("n_detected")))
+      .select(col("n_truth"), col("n_detected"),
+        duckRound(col("n_detected").cast("double") / col("n_truth").cast("double"), 4)
+          .as("recall"))
+  }
+
   /** The persisted WINNOW REGISTRY — the index half of the MOSS service at
     * scale: the corpus-side winnowed postings `(doc_id, fp)` stored
     * bucketed on the hash (lookups join shuffle-free against it), plus the

@@ -281,6 +281,48 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(again.map(_.toString).sorted === out.map(_.toString).sorted)
   }
 
+  test("winnowRecall: bounds hold and the detection guarantee is corpus-verified") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val row = TextAnalysis.winnowRecall(spark, sf0001).collect().head
+    val (nTruth, nDet, recall) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(nTruth > 0, "no chunk-sharing pairs on the fixture — degenerate")
+    assert(nDet <= nTruth && recall >= 0.0 && recall <= 1.0)
+    assert(math.abs(recall - nDet.toDouble / nTruth) <= 5e-5 + 1e-9)
+    // THE GUARANTEE, verified corpus-wide: every cold-chunk-sharing pair
+    // whose shared content includes w=4 CONSECUTIVE chunks must be
+    // detected by the winnowed pass
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def chain(t: String): Array[Long] = {
+      val hs = graft.functions.TextFunctions.tokenizeScala(t)
+        .map(graft.functions.expressions.ChunkKernel.tokenHash)
+      if (hs.length < 8) Array.emptyLongArray
+      else Array.tabulate(hs.length - 7) { i =>
+        var h = 0L; var j = 0
+        while (j < 8) { h = (h * 1000003L + hs(i + j)) % 4294967296L; j += 1 }
+        h
+      }
+    }
+    val chains = docs.view.mapValues(chain).toMap
+    val postings = chains.toSeq.flatMap { case (id, ch) => ch.distinct.map(f => (f, id)) }
+    val hot = postings.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 50).keySet
+    val truthPairs = postings.filterNot(p => hot(p._1)).groupBy(_._1).values
+      .flatMap(ps => for { a <- ps.map(_._2); b <- ps.map(_._2); if a < b } yield (a, b))
+      .toSet
+    val approx = TextAnalysis.winnowMatchesFrom(
+        graft.sources.Tables.documents(spark, sf0001), 8, 4, 50, 1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sharesRun(a: Long, b: Long): Boolean = {
+      val (ca, cb) = (chains(a), chains(b))
+      val windowsB = cb.sliding(4).filter(_.length == 4).map(_.toSeq).toSet
+      ca.sliding(4).filter(_.length == 4).exists(w => windowsB.contains(w.toSeq))
+    }
+    truthPairs.filter { case (a, b) => sharesRun(a, b) }.foreach { p =>
+      assert(approx.contains(p), s"guaranteed pair $p missed by the winnowed pass")
+    }
+  }
+
   test("winnowMatchesIndexed: the registry lookup equals a local replay of the split") {
     import org.apache.spark.unsafe.types.UTF8String
     val out = TextAnalysis.winnowMatchesIndexed(spark, sf0001).collect()
