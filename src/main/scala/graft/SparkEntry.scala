@@ -127,6 +127,8 @@ object SparkEntry {
     "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
     "kanon_suppress" -> ((s, d) => TextAnalysis.kanonSuppress(s, d)),
     "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
+    "stream_mixture_weights" -> ((s, d) =>
+      graft.streaming.EventStreams.streamMixtureWeightsQuery(s, d)),
     "quota_sample" -> ((s, d) => TextAnalysis.quotaSample(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -771,6 +773,21 @@ object SparkEntry {
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin
 
+  /** Temperature-mixture arithmetic -- shared by the batch op and its
+    * complete-mode streaming twin (same rows, same oracle). */
+  private val mixtureWeightsSql: String =
+    """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT source, CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),
+        |s AS (SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM e GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight FROM s),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS sumw, CAST(sum(n_tokens) AS BIGINT) AS sumt FROM w)
+        |SELECT source, n_docs, n_tokens, weight,
+        |  round(CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE), 6) AS sample_share,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(sumt AS DOUBLE), 6) AS natural_share,
+        |  round((CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) / CAST(sumt AS DOUBLE)), 4) AS boost,
+        |  round(CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE) * 1000000.0 / CAST(n_tokens AS DOUBLE), 4) AS expected_epochs
+        |FROM w, t ORDER BY source""".stripMargin
+
   /** Winnow selected-set summary -- shared by the batch op and its
     * stateless streaming twin (same rows, same oracle). */
   private val winnowStatsSql: String =
@@ -1374,18 +1391,8 @@ object SparkEntry {
     // rounded in both engines, weights floored to integers so the
     // normalizing sums stay exact; every double is a fixed-order
     // expression over exact operands.
-    "mixture_weights" ->
-      """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
-        |e AS (SELECT source, CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),
-        |s AS (SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM e GROUP BY source),
-        |w AS (SELECT source, n_docs, n_tokens, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight FROM s),
-        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS sumw, CAST(sum(n_tokens) AS BIGINT) AS sumt FROM w)
-        |SELECT source, n_docs, n_tokens, weight,
-        |  round(CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE), 6) AS sample_share,
-        |  round(CAST(n_tokens AS DOUBLE) / CAST(sumt AS DOUBLE), 6) AS natural_share,
-        |  round((CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) / CAST(sumt AS DOUBLE)), 4) AS boost,
-        |  round(CAST(weight AS DOUBLE) / CAST(sumw AS DOUBLE) * 1000000.0 / CAST(n_tokens AS DOUBLE), 4) AS expected_epochs
-        |FROM w, t ORDER BY source""".stripMargin,
+    "mixture_weights" -> mixtureWeightsSql,
+    "stream_mixture_weights" -> mixtureWeightsSql,
     // quota_sample: the α-budgets spent — integer-exact budget per source
     // (weight·20k // Σweight), docs in md5(doc_id) order per source,
     // running token sum gated by the budget.

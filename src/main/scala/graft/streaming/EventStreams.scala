@@ -432,6 +432,39 @@ object EventStreams {
       .orderBy("doc_id")
   }
 
+  /** Driver-verified: the SAMPLER'S WEIGHTS maintained as the corpus
+    * streams in — the complete-mode twin of
+    * [[graft.operators.TextAnalysis.mixtureWeights]]: per-source token
+    * sums are commutative (fixed-size state, one row per source), and the
+    * whole α=0.5 temperature arithmetic (integer-floored weights, exact
+    * normalizing sums, boosts, budget epochs) is presentation math over
+    * the final \|sources\|-row table — batch-side after materialization,
+    * exactly as the batch form computes it after its aggregate. A mixture
+    * dashboard that re-weights sources as ingest proceeds, equal row-set
+    * to the batch op (shared oracle). */
+  def streamMixtureWeightsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = tableStream(spark, sfDir, "documents")
+      .select(col("source"), TextFunctions.bpeTokenCount(col("text")).as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    runToCompletion(spark, perSource, "stream_mixture_weights", OutputMode.Complete())
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("bigint"))
+      .withColumn("sample_share",
+        col("weight").cast("double") / sum("weight").over(w).cast("double"))
+      .withColumn("natural_share",
+        col("n_tokens").cast("double") / sum("n_tokens").over(w).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        graft.functions.NumericFunctions.duckRound(col("sample_share"), 6).as("sample_share"),
+        graft.functions.NumericFunctions.duckRound(col("natural_share"), 6).as("natural_share"),
+        graft.functions.NumericFunctions.duckRound(
+          col("sample_share") / col("natural_share"), 4).as("boost"),
+        graft.functions.NumericFunctions.duckRound(
+          col("sample_share") * lit(1000000.0) / col("n_tokens").cast("double"), 4)
+          .as("expected_epochs"))
+      .orderBy("source")
+  }
+
   /** Driver-verified: corpus COMPOSITION tracked as the stream arrives —
     * the streaming twin of [[graft.operators.TextAnalysis.sourceMix]]:
     * per-source doc counts, token mass and mean quality run as a

@@ -63,7 +63,8 @@ object ScaleProbe {
                             "release_report", "quota_sample", "stream_winnow",
                             "winnow_matches_indexed", "cluster_keywords",
                             "bpe_fertility", "peak_concurrency", "embedding_drift",
-                            "dedup_threshold_curve", "winnow_recall")).toList
+                            "dedup_threshold_curve", "winnow_recall",
+                            "stream_mixture_weights")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

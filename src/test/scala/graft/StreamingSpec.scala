@@ -278,6 +278,13 @@ class StreamingSpec extends SparkSpecBase {
     val bwf = graft.operators.TextAnalysis.winnowFingerprints(spark, sf0001)
       .collect().map(_.toSeq).toSet
     assert(swf === bwf)
+    // stream_mixture_weights: commutative complete-mode sums + batch-side
+    // sampler arithmetic equal the batch mixture table
+    val smw = EventStreams.streamMixtureWeightsQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bmw = graft.operators.TextAnalysis.mixtureWeights(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(smw === bmw)
   }
 
   test("bounded replay: stream_decontaminate equals the indexed batch decontamination") {
