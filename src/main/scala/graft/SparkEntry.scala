@@ -130,6 +130,7 @@ object SparkEntry {
     "stream_mixture_weights" -> ((s, d) =>
       graft.streaming.EventStreams.streamMixtureWeightsQuery(s, d)),
     "quota_sample" -> ((s, d) => TextAnalysis.quotaSample(s, d)),
+    "token_length_histogram" -> ((s, d) => TextAnalysis.tokenLengthHistogram(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
@@ -1396,6 +1397,20 @@ object SparkEntry {
     // quota_sample: the α-budgets spent — integer-exact budget per source
     // (weight·20k // Σweight), docs in md5(doc_id) order per source,
     // running token sum gated by the budget.
+    // token_length_histogram: ⌊log₂ tokens⌋ via binary-string length (the
+    // perplexity_score integer-log trick), zero-token docs in bin -1.
+    "token_length_histogram" ->
+      """WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),
+        |b AS (SELECT toks, CASE WHEN toks <= 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(length(bin(toks)) - 1 AS BIGINT) END AS bin FROM e),
+        |g AS (SELECT bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+        |SELECT bin, CASE WHEN bin < 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) << bin END AS lo_tokens,
+        |  n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 4) AS doc_share,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 4) AS token_share
+        |FROM g, t ORDER BY bin""".stripMargin,
     "quota_sample" ->
       """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
         |e AS (SELECT doc_id, source, CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),

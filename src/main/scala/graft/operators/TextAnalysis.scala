@@ -534,6 +534,38 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** TOKEN-LENGTH HISTOGRAM — the context-length planning table: documents
+    * binned by ⌊log₂(tokens)⌋, with doc and token mass per bin. This is
+    * the distribution that sets `pack_sequences`' budget and predicts
+    * packing waste (mass above the budget splits, mass far below it
+    * concatenates); log₂ bins because sequence budgets are powers of two
+    * and the tail spans orders of magnitude. The bin is INTEGER-exact on
+    * both engines via the `perplexity_score` trick — ⌊log₂ n⌋ =
+    * length(bin(n)) − 1, binary-string arithmetic, no float log. Zero-token
+    * docs land in bin −1 ("empty", the data-quality bucket). One
+    * partial-agg'd scan to ~40 bins. */
+  def tokenLengthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = Tables.documents(spark, sfDir)
+      .select(bpeTokenCount(col("text")).as("toks"))
+      .withColumn("bin",
+        when(col("toks") <= 0, lit(-1L))
+          .otherwise(expr("length(bin(toks)) - 1").cast("bigint")))
+    val total = Window.partitionBy()
+    binned.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("doc_share",
+        duckRound(col("n_docs").cast("double") /
+          sum("n_docs").over(total).cast("double"), 4))
+      .withColumn("token_share",
+        duckRound(col("n_tokens").cast("double") /
+          sum("n_tokens").over(total).cast("double"), 4))
+      .select(col("bin"),
+        when(col("bin") < 0, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(bin as int))")).as("lo_tokens"),
+        col("n_docs"), col("n_tokens"), col("doc_share"), col("token_share"))
+      .orderBy("bin")
+  }
+
   /** QUOTA SAMPLING — [[mixtureWeights]] MATERIALIZED: the α=0.5 per-source
     * token budgets actually spent against the corpus, selecting concrete
     * documents. Per source, docs are taken in content-independent digest

@@ -177,6 +177,33 @@ class AnalyticsSpec extends SparkSpecBase {
       "temperature sampling is degenerate on the fixture")
   }
 
+  test("tokenLengthHistogram: bins are exact log2, totals tile, every doc in range") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextAnalysis.tokenLengthHistogram(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select(graft.functions.TextFunctions.bpeTokenCount(col("text")).as("t"))
+      .collect().map(_.getLong(0))
+    val expected = toks.groupBy(t =>
+        if (t <= 0) -1L else (63 - java.lang.Long.numberOfLeadingZeros(t)).toLong)
+      .view.mapValues(v => (v.length.toLong, v.sum)).toMap
+    assert(rows.map(_.getLong(0)).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (bin, lo, nd, nt) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((nd, nt) === expected(bin))
+      if (bin >= 0) {
+        assert(lo === (1L << bin))
+        // every token count in this bin really lies in [2^bin, 2^(bin+1))
+        toks.filter(t => t > 0 && 63 - java.lang.Long.numberOfLeadingZeros(t) == bin)
+          .foreach(t => assert(t >= lo && t < lo * 2))
+      } else assert(lo === 0L)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    }
+    assert(rows.map(_.getLong(2)).sum === toks.length.toLong)
+    assert(rows.map(_.getLong(3)).sum === toks.sum)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) <= 1e-3)
+  }
+
   test("quotaSample: per-source maximal digest-ordered prefix within the integer budget") {
     import org.apache.spark.sql.functions.{col, expr}
     val budget = 20000L
