@@ -131,6 +131,7 @@ object SparkEntry {
       graft.streaming.EventStreams.streamMixtureWeightsQuery(s, d)),
     "quota_sample" -> ((s, d) => TextAnalysis.quotaSample(s, d)),
     "token_length_histogram" -> ((s, d) => TextAnalysis.tokenLengthHistogram(s, d)),
+    "packing_report" -> ((s, d) => TextAnalysis.packingReport(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
@@ -1482,6 +1483,19 @@ object SparkEntry {
     // pack_sequences: concatenate-and-chunk training layout — per-lang
     // prefix sums over the same BPE-ish token count as token_count; both
     // engines compute identical integer cumsums and floor-divisions.
+    // packing_report: per-lang token totals, ceil-div sequences, tail
+    // padding and utilization — integer arithmetic + one rounded ratio.
+    "packing_report" ->
+      """WITH d AS (SELECT lang, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ts FROM documents),
+        |t AS (SELECT lang, CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),
+        |g AS (SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM t WHERE toks > 0 GROUP BY lang),
+        |s AS (SELECT lang, n_docs, n_tokens,
+        |    CAST((n_tokens + 2047) // 2048 AS BIGINT) AS n_seqs FROM g)
+        |SELECT lang, n_docs, n_tokens, n_seqs,
+        |  n_seqs * 2048 - n_tokens AS tail_padding,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(n_seqs * 2048 AS DOUBLE), 4) AS utilization
+        |FROM s ORDER BY lang""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ts FROM documents),
         |t AS (SELECT doc_id, lang, CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS n_tokens FROM d),

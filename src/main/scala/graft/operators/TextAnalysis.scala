@@ -534,6 +534,29 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** PACKING REPORT — the utilization accounting of [[packSequences]]'
+    * layout, per language: sequence count, token mass, tail padding (the
+    * final sequence's unfilled remainder — concatenate-and-chunk wastes
+    * nothing else) and utilization = tokens / (sequences × budget). The
+    * efficiency number a trainer tracks per mixture revision: utilization
+    * dropping means budget and length distribution have drifted apart
+    * (see `token_length_histogram` for which way). Derived wholly from
+    * the per-language token totals — one partial-agg'd scan to \|langs\|
+    * rows; integer arithmetic except the final rounded ratio. */
+  def packingReport(spark: SparkSession, sfDir: String,
+                    budget: Int = 2048): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), bpeTokenCount(col("text")).as("toks"))
+      .filter(col("toks") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("n_seqs", expr(s"(n_tokens + $budget - 1) div $budget"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_seqs"),
+        (col("n_seqs") * budget - col("n_tokens")).as("tail_padding"),
+        duckRound(col("n_tokens").cast("double") /
+          (col("n_seqs") * budget).cast("double"), 4).as("utilization"))
+      .orderBy("lang")
+
   /** TOKEN-LENGTH HISTOGRAM — the context-length planning table: documents
     * binned by ⌊log₂(tokens)⌋, with doc and token mass per bin. This is
     * the distribution that sets `pack_sequences`' budget and predicts

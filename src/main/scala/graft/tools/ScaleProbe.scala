@@ -64,7 +64,8 @@ object ScaleProbe {
                             "winnow_matches_indexed", "cluster_keywords",
                             "bpe_fertility", "peak_concurrency", "embedding_drift",
                             "dedup_threshold_curve", "winnow_recall",
-                            "stream_mixture_weights", "token_length_histogram")).toList
+                            "stream_mixture_weights", "token_length_histogram",
+                            "packing_report")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

@@ -177,6 +177,27 @@ class AnalyticsSpec extends SparkSpecBase {
       "temperature sampling is degenerate on the fixture")
   }
 
+  test("packingReport: reconciles with pack_sequences' actual layout per language") {
+    val report = TextAnalysis.packingReport(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    // the real layout: per lang, the last sequence id + 1 is the count
+    val packed = TextAnalysis.packSequences(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val byLang = packed.groupBy(_._1)
+    assert(report.keySet === byLang.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val (nd, nt, ns, pad, util) = report(lang)
+      assert(nd === rows.length.toLong)
+      assert(nt === rows.map(_._3).sum)
+      assert(ns === rows.map(_._4).max + 1,
+        s"$lang sequence count disagrees with the layout's last sequence id")
+      assert(pad === ns * 2048 - nt && pad >= 0 && pad < 2048)
+      assert(math.abs(util - nt.toDouble / (ns * 2048)) <= 5e-5 + 1e-9)
+      assert(util > 0 && util <= 1)
+    }
+  }
+
   test("tokenLengthHistogram: bins are exact log2, totals tile, every doc in range") {
     import org.apache.spark.sql.functions.col
     val rows = TextAnalysis.tokenLengthHistogram(spark, sf0001).collect()
