@@ -171,6 +171,7 @@ object SparkEntry {
     "stream_cluster_assign" -> ((s, d) =>
       graft.streaming.EventStreams.streamClusterAssignQuery(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_clusters_incremental" -> ((s, d) => IncrementalDedup.clustersIncremental(s, d)),
     "cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
     "corpus_overlap" -> ((s, d) => Dedup.corpusOverlap(s, d)),
@@ -774,6 +775,21 @@ object SparkEntry {
       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin
+
+  /** Full-corpus cluster labels -- shared by the batch CC op and the
+    * incremental maintenance path (compressed merge = full re-run,
+    * provably: base labels are component minima). */
+  private lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE np AS ($ngramPairsSql),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
+        |reach AS (SELECT a AS v, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
+        |lbl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
+        |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lbl ORDER BY doc_id""".stripMargin
 
   /** Temperature-mixture arithmetic -- shared by the batch op and its
     * complete-mode streaming twin (same rows, same oracle). */
@@ -1751,17 +1767,10 @@ object SparkEntry {
     // dedup_clusters: transitive closure over the same pair graph via a
     // recursive CTE, cluster = min reachable doc_id (∪ self), singletons
     // filled from the documents table.
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE np AS ($ngramPairsSql),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
-        |reach AS (SELECT a AS v, b AS r FROM edges
-        |  UNION
-        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
-        |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
-        |lbl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
-        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
-        |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        |FROM lbl ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+    // dedup_clusters_incremental: the compressed delta merge equals the
+    // full recompute, so the full-corpus CC oracle gates it too.
+    "dedup_clusters_incremental" -> dedupClustersSql,
     // dedup_report: the dedup_clusters closure aggregated twice — sizes
     // per cluster, then the size histogram; all-integer output.
     "dedup_report" ->

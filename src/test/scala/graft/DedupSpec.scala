@@ -294,6 +294,26 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("clustersIncremental: the compressed delta merge equals the full recompute") {
+    val incremental = graft.operators.IncrementalDedup.clustersIncremental(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = Dedup.dedupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(incremental.toSeq === full.toSeq,
+      "incremental labels diverge from the full connected-components run")
+    // the interesting paths actually ran on this fixture: at least one
+    // delta doc joined a cluster with corpus members (a cross merge), so
+    // equality wasn't vacuous singleton agreement
+    val byCluster = incremental.groupBy(_._2)
+    val crossMerged = byCluster.values.exists(members =>
+      members.exists(_._1 % 10 == 0) && members.exists(_._1 % 10 != 0))
+    assert(crossMerged, "no delta doc merged into a corpus cluster — fixture degenerate")
+    // base labels were maintained, not recomputed: the persisted base
+    // table exists alongside the index
+    val prefix = graft.operators.IncrementalDedup.indexPrefix(sf0001, graft.operators.IncrementalDedup.IndexParams())
+    assert(spark.catalog.tableExists(s"${prefix}_cclabels"))
+  }
+
   test("dedupThresholdCurve: monotone non-increasing, re-derivable from the exact pairs") {
     val curve = Dedup.dedupThresholdCurve(spark, sf0001).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
