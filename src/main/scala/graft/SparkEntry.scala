@@ -132,6 +132,7 @@ object SparkEntry {
     "quota_sample" -> ((s, d) => TextAnalysis.quotaSample(s, d)),
     "token_length_histogram" -> ((s, d) => TextAnalysis.tokenLengthHistogram(s, d)),
     "packing_report" -> ((s, d) => TextAnalysis.packingReport(s, d)),
+    "quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
@@ -1496,6 +1497,28 @@ object SparkEntry {
         |  round(CASE WHEN COALESCE(n_big, 0) = 0 THEN 0.0
         |        ELSE CAST(bits AS DOUBLE) / n_big END, 4) AS ppl_bits
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // quality_calibration: both metric chains joined on doc_id, FIXED
+    // bins (0.1-wide quality, whole-bit surprisal capped at 15) — pure
+    // scan arithmetic, no quantile rank.
+    "quality_calibration" ->
+      s"""WITH q0 AS ($qualityScoreSql),
+        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |prs AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+        |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM prs GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM big GROUP BY 1),
+        |sc AS (SELECT doc_id, count(*) AS n_big,
+        |         sum(length(bin(c1)) - length(bin(c2))) AS bits
+        |       FROM prs JOIN big USING (w1, w2) JOIN ctx USING (w1) GROUP BY doc_id),
+        |pp AS (SELECT d.doc_id,
+        |    round(CASE WHEN COALESCE(n_big, 0) = 0 THEN 0.0
+        |          ELSE CAST(bits AS DOUBLE) / n_big END, 4) AS ppl_bits
+        |  FROM documents d LEFT JOIN sc USING (doc_id)),
+        |j AS (SELECT least(CAST(floor(q0.quality * 10) AS BIGINT), 9) AS q_bin,
+        |    least(CAST(floor(pp.ppl_bits) AS BIGINT), 15) AS p_bin
+        |  FROM q0 JOIN pp ON q0.doc_id = pp.doc_id)
+        |SELECT q_bin, p_bin, count(*) AS n_docs
+        |FROM j GROUP BY q_bin, p_bin ORDER BY q_bin, p_bin""".stripMargin,
     // pack_sequences: concatenate-and-chunk training layout — per-lang
     // prefix sums over the same BPE-ish token count as token_count; both
     // engines compute identical integer cumsums and floor-divisions.

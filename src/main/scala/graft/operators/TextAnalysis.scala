@@ -534,6 +534,29 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** QUALITY CALIBRATION — do the two quality signals agree? The
+    * contingency table of rule-based [[qualityScore]] (surface statistics)
+    * against [[perplexityScore]] (corpus bigram-LM surprisal), each cut
+    * into FIXED bins: quality into ten 0.1-wide bins, surprisal into
+    * whole-bit bins (capped at 15+). A filtering stack that stacks two
+    * signals should know whether they measure the same thing (diagonal
+    * mass ⇒ one is redundant) or complementary things (spread ⇒ both earn
+    * their cost) — this is the table that answers it. Fixed bins, not
+    * quantiles, on purpose: binning is scan-side arithmetic with NO
+    * corpus-sized global sort (a decile rank would be one), and the bins
+    * stay comparable across corpus revisions. */
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = qualityUnordered(spark, sfDir).select(col("doc_id"), col("quality"))
+    val p = perplexityScore(spark, sfDir).select(col("doc_id"), col("ppl_bits"))
+    q.join(p, Seq("doc_id"))
+      .select(
+        least(floor(col("quality") * 10).cast("bigint"), lit(9L)).as("q_bin"),
+        least(floor(col("ppl_bits")).cast("bigint"), lit(15L)).as("p_bin"))
+      .groupBy("q_bin", "p_bin")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("q_bin", "p_bin")
+  }
+
   /** PACKING REPORT — the utilization accounting of [[packSequences]]'
     * layout, per language: sequence count, token mass, tail padding (the
     * final sequence's unfilled remainder — concatenate-and-chunk wastes

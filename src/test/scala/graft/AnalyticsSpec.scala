@@ -177,6 +177,26 @@ class AnalyticsSpec extends SparkSpecBase {
       "temperature sampling is degenerate on the fixture")
   }
 
+  test("qualityCalibration: cells tile the scored corpus and re-derive from both metrics") {
+    val cells = TextAnalysis.qualityCalibration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.nonEmpty)
+    val q = TextAnalysis.qualityScore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.schema.fieldIndex("quality"))).toMap
+    val p = TextAnalysis.perplexityScore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.schema.fieldIndex("ppl_bits"))).toMap
+    val expected = q.keys.filter(p.contains).toSeq
+      .map(id => (math.min(math.floor(q(id) * 10).toLong, 9L),
+                  math.min(math.floor(p(id)).toLong, 15L)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(cells === expected)
+    assert(cells.values.sum === q.keys.count(p.contains).toLong,
+      "contingency must tile every doc scored by both metrics")
+    cells.keys.foreach { case (qb, pb) =>
+      assert(qb >= 0 && qb <= 9 && pb >= 0 && pb <= 15)
+    }
+  }
+
   test("packingReport: reconciles with pack_sequences' actual layout per language") {
     val report = TextAnalysis.packingReport(spark, sf0001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
