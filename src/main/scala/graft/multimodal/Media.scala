@@ -294,6 +294,33 @@ object Media {
       .toDF()
       .orderBy("media_id")
 
+  /** MULTIMODAL QUALITY FILTER — the image/video/audio gate of a
+    * multimodal training pipeline, the [[graft.operators.TextAnalysis]]
+    * `quality_filter` discipline applied to decoded container headers:
+    * per-rule 0/1 verdict flags (resolution floor and aspect bound for
+    * visual kinds, sample floor for audio, byte floor for all) with
+    * `keep` their conjunction — emitted per rule, not pre-collapsed, so
+    * a curation review sees WHICH rule cut an asset. Every rule is an
+    * integer comparison over the REAL parsed metadata (PNG IHDR / JPEG
+    * SOFn / RIFF walks), so the gate is exactly replayable. Scan-side
+    * arithmetic over the decoded frame; no shuffle before the sort. */
+  def mediaFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val visual = col("kind") =!= "audio"
+    decodeAll(assetsFromDocuments(spark, sfDir), HeaderDecoder)
+      .toDF()
+      .select(col("media_id"), col("kind"),
+        when(visual, (col("width") >= 128 && col("height") >= 128).cast("int"))
+          .otherwise((col("n_frames") >= 300).cast("int")).as("pass_resolution"),
+        when(visual, (greatest(col("width"), col("height")) <=
+                      least(col("width"), col("height")) * 3).cast("int"))
+          .otherwise(lit(1)).as("pass_aspect"),
+        (col("n_bytes") >= 256).cast("int").as("pass_size"))
+      .withColumn("keep",
+        (col("pass_resolution") === 1 && col("pass_aspect") === 1 &&
+         col("pass_size") === 1).cast("int"))
+      .orderBy("media_id")
+  }
+
   /** Resize plan for image assets: fit into `target`×`target` preserving
     * aspect ratio, integer-exact (`out = dim·target div max(w,h)`), so the
     * transform is oracle-checkable. A real pipeline feeds (payload, out_w,

@@ -249,4 +249,31 @@ class MediaSpec extends SparkSpecBase {
     val dig = md.digest(hexStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(sample.getString(idx("content_md5")) === dig)
   }
+
+  test("mediaFilter: per-rule flags re-derive from parsed metadata, gate discriminates per kind") {
+    val meta = Media.mediaMeta(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))).toMap
+    val rows = Media.mediaFilter(spark, sf0001).collect()
+    assert(rows.length === meta.size)
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    rows.foreach { r =>
+      val id = r.getLong(idx("media_id"))
+      val (kind, bytes, w, h, frames) = meta(id)
+      assert(r.getString(idx("kind")) === kind)
+      val expRes = if (kind != "audio") (w >= 128 && h >= 128) else frames >= 300
+      val expAsp = kind == "audio" || math.max(w, h) <= math.min(w, h) * 3
+      val expSize = bytes >= 256
+      assert(r.getInt(idx("pass_resolution")) === (if (expRes) 1 else 0), s"res @ $id")
+      assert(r.getInt(idx("pass_aspect")) === (if (expAsp) 1 else 0), s"aspect @ $id")
+      assert(r.getInt(idx("pass_size")) === (if (expSize) 1 else 0), s"size @ $id")
+      assert(r.getInt(idx("keep")) ===
+        (if (expRes && expAsp && expSize) 1 else 0), s"keep @ $id")
+    }
+    // every kind sees both verdicts on the fixture — no rule is vacuous
+    Seq("image", "audio", "video").foreach { k =>
+      val keeps = rows.filter(_.getString(idx("kind")) == k).map(_.getInt(idx("keep"))).toSet
+      assert(keeps === Set(0, 1), s"gate degenerate for kind $k: $keeps")
+    }
+  }
 }
