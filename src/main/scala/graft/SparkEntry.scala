@@ -215,6 +215,8 @@ object SparkEntry {
     // -- multimodal plumbing (north star) --
     "media_meta" -> ((s, d) => Media.mediaMeta(s, d)),
     "media_filter" -> ((s, d) => Media.mediaFilter(s, d)),
+    "stream_media_filter" -> ((s, d) =>
+      graft.streaming.EventStreams.streamMediaFilterQuery(s, d)),
     "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
     "media_resize" -> ((s, d) => Media.mediaResize(s, d)),
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
@@ -2390,6 +2392,29 @@ object SparkEntry {
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(doc_id % 2 AS INTEGER) AS par,
         |  strlen(text) AS len FROM documents),
+        |d AS (SELECT media_id, kind,
+        |  CAST(len + CASE WHEN kind = 'image' THEN CASE WHEN par = 0 THEN 57 ELSE 41 END
+        |             WHEN kind = 'audio' THEN 44 ELSE 100 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (len * 7) % 1216 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (len * 13) % 656 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN kind = 'image' THEN 1 WHEN kind = 'audio' THEN len ELSE 1 + len % 240 END AS BIGINT) AS n_frames
+        |FROM m),
+        |f AS (SELECT media_id, kind,
+        |  CASE WHEN kind <> 'audio' THEN CASE WHEN width >= 128 AND height >= 128 THEN 1 ELSE 0 END
+        |       ELSE CASE WHEN n_frames >= 300 THEN 1 ELSE 0 END END AS pass_resolution,
+        |  CASE WHEN kind <> 'audio' THEN CASE WHEN greatest(width, height) <= least(width, height) * 3 THEN 1 ELSE 0 END
+        |       ELSE 1 END AS pass_aspect,
+        |  CASE WHEN n_bytes >= 256 THEN 1 ELSE 0 END AS pass_size
+        |FROM d)
+        |SELECT media_id, kind, CAST(pass_resolution AS INTEGER) AS pass_resolution,
+        |  CAST(pass_aspect AS INTEGER) AS pass_aspect, CAST(pass_size AS INTEGER) AS pass_size,
+        |  CAST(pass_resolution * pass_aspect * pass_size AS INTEGER) AS keep
+        |FROM f ORDER BY media_id""".stripMargin,
+    "stream_media_filter" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(doc_id % 2 AS INTEGER) AS par,
+        |  strlen(text) AS len FROM documents WHERE doc_id % 10 = 0),
         |d AS (SELECT media_id, kind,
         |  CAST(len + CASE WHEN kind = 'image' THEN CASE WHEN par = 0 THEN 57 ELSE 41 END
         |             WHEN kind = 'audio' THEN 44 ELSE 100 END AS BIGINT) AS n_bytes,

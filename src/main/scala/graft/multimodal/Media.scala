@@ -146,6 +146,14 @@ object Media {
     private def isRiff(b: Array[Byte], form: String): Boolean =
       b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == form
 
+    /** Envelope `kind` from the MAGIC BYTES alone — what a binaryFile
+      * stream must do, since files carry no trusted envelope. */
+    def sniffKind(b: Array[Byte]): String =
+      if (isPng(b) || isJpeg(b)) "image"
+      else if (isRiff(b, "WAVE")) "audio"
+      else if (isRiff(b, "AVI ")) "video"
+      else "unknown"
+
     /** A declared chunk/segment length must be non-negative — a corrupt
       * (high-bit-set) length read as a negative Int would otherwise drive
       * the walk's stride to zero or backwards and spin the task forever;
@@ -304,10 +312,17 @@ object Media {
     * integer comparison over the REAL parsed metadata (PNG IHDR / JPEG
     * SOFn / RIFF walks), so the gate is exactly replayable. Scan-side
     * arithmetic over the decoded frame; no shuffle before the sort. */
-  def mediaFilter(spark: SparkSession, sfDir: String): DataFrame = {
+  def mediaFilter(spark: SparkSession, sfDir: String): DataFrame =
+    gateFlags(decodeAll(assetsFromDocuments(spark, sfDir), HeaderDecoder).toDF())
+      .orderBy("media_id")
+
+  /** The gate's rule projection over a decoded-metadata frame — shared by
+    * the batch filter and its streaming twin (identical flags by
+    * construction; batch vs Append micro-batches cannot differ because
+    * every rule is per-row arithmetic). */
+  private[graft] def gateFlags(meta: DataFrame): DataFrame = {
     val visual = col("kind") =!= "audio"
-    decodeAll(assetsFromDocuments(spark, sfDir), HeaderDecoder)
-      .toDF()
+    meta
       .select(col("media_id"), col("kind"),
         when(visual, (col("width") >= 128 && col("height") >= 128).cast("int"))
           .otherwise((col("n_frames") >= 300).cast("int")).as("pass_resolution"),
@@ -318,7 +333,6 @@ object Media {
       .withColumn("keep",
         (col("pass_resolution") === 1 && col("pass_aspect") === 1 &&
          col("pass_size") === 1).cast("int"))
-      .orderBy("media_id")
   }
 
   /** Resize plan for image assets: fit into `target`×`target` preserving

@@ -525,6 +525,40 @@ object EventStreams {
       .orderBy("file_name")
   }
 
+  /** Driver-verified: the MULTIMODAL quality gate applied as assets LAND —
+    * the streaming twin of [[graft.multimodal.Media.mediaFilter]] over the
+    * binaryFile drop: each arriving container sniffs its kind from the
+    * MAGIC BYTES (files carry no trusted envelope), decodes its header
+    * through the same [[graft.multimodal.Media.HeaderDecoder]] in a
+    * stateless `mapPartitions` (one decoder per partition, streaming-legal
+    * — no state, no shuffle), and emits the per-rule verdict flags. An
+    * asset is accepted or cut the moment it lands, with the audit flags a
+    * curation queue reads; equal rows to the batch gate restricted to the
+    * drop (shared rule projection + drop-restricted oracle). */
+  def streamMediaFilterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.multimodal.Media
+    import spark.implicits._
+    val dir = Media.ensureDropFiles(spark, sfDir)
+    val metas = spark.readStream
+      .format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .load(dir)
+      .select(regexp_extract(col("path"), "asset_0*([0-9]+)", 1)
+                .cast("long").as("media_id"),
+              col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          Media.HeaderDecoder.decode(Media.MediaAsset(
+            id, Media.HeaderDecoder.sniffKind(bytes), bytes))
+        }
+      }
+      .toDF()
+    runToCompletion(spark, Media.gateFlags(metas),
+        "stream_media_filter", OutputMode.Append())
+      .orderBy("media_id")
+  }
+
   /** Driver-verified: the KMV distinct-count SKETCH as a STREAMING
     * aggregate — the claim [[graft.functions.expressions.KmvAgg]] makes
     * ("associative merge → streaming-legal") executed, not asserted: the

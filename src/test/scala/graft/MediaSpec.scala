@@ -275,5 +275,13 @@ class MediaSpec extends SparkSpecBase {
       val keeps = rows.filter(_.getString(idx("kind")) == k).map(_.getInt(idx("keep"))).toSet
       assert(keeps === Set(0, 1), s"gate degenerate for kind $k: $keeps")
     }
+    // the streaming twin over the drop equals the batch gate restricted
+    // to the drop — kinds sniffed from magic bytes, not envelopes
+    val streamed = graft.streaming.EventStreams
+      .streamMediaFilterQuery(spark, sf0001).collect().map(_.toSeq).toSet
+    val batchDrop = rows.filter(_.getLong(idx("media_id")) % 10 == 0)
+      .map(_.toSeq).toSet
+    assert(streamed === batchDrop)
+    assert(streamed.nonEmpty)
   }
 }
