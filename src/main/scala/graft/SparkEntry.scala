@@ -217,6 +217,7 @@ object SparkEntry {
     "media_filter" -> ((s, d) => Media.mediaFilter(s, d)),
     "stream_media_filter" -> ((s, d) =>
       graft.streaming.EventStreams.streamMediaFilterQuery(s, d)),
+    "media_report" -> ((s, d) => Media.mediaReport(s, d)),
     "media_stats" -> ((s, d) => Media.mediaStats(s, d)),
     "media_resize" -> ((s, d) => Media.mediaResize(s, d)),
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
@@ -2433,6 +2434,34 @@ object SparkEntry {
         |  CAST(pass_aspect AS INTEGER) AS pass_aspect, CAST(pass_size AS INTEGER) AS pass_size,
         |  CAST(pass_resolution * pass_aspect * pass_size AS INTEGER) AS keep
         |FROM f ORDER BY media_id""".stripMargin,
+    // media_report: the gate chain rolled up per kind — per-rule cut
+    // counts + keep rate, all integer sums and one rounded ratio.
+    "media_report" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(doc_id % 2 AS INTEGER) AS par,
+        |  strlen(text) AS len FROM documents),
+        |d AS (SELECT media_id, kind,
+        |  CAST(len + CASE WHEN kind = 'image' THEN CASE WHEN par = 0 THEN 57 ELSE 41 END
+        |             WHEN kind = 'audio' THEN 44 ELSE 100 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (len * 7) % 1216 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (len * 13) % 656 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN kind = 'image' THEN 1 WHEN kind = 'audio' THEN len ELSE 1 + len % 240 END AS BIGINT) AS n_frames
+        |FROM m),
+        |f AS (SELECT media_id, kind,
+        |  CASE WHEN kind <> 'audio' THEN CASE WHEN width >= 128 AND height >= 128 THEN 1 ELSE 0 END
+        |       ELSE CASE WHEN n_frames >= 300 THEN 1 ELSE 0 END END AS pr,
+        |  CASE WHEN kind <> 'audio' THEN CASE WHEN greatest(width, height) <= least(width, height) * 3 THEN 1 ELSE 0 END
+        |       ELSE 1 END AS pa,
+        |  CASE WHEN n_bytes >= 256 THEN 1 ELSE 0 END AS ps
+        |FROM d)
+        |SELECT kind, count(*) AS n_assets,
+        |  CAST(sum(pr * pa * ps) AS BIGINT) AS n_kept,
+        |  CAST(sum(1 - pr) AS BIGINT) AS cut_resolution,
+        |  CAST(sum(1 - pa) AS BIGINT) AS cut_aspect,
+        |  CAST(sum(1 - ps) AS BIGINT) AS cut_size,
+        |  round(CAST(sum(pr * pa * ps) AS DOUBLE) / count(*), 4) AS keep_rate
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
     "media_resize" ->
       """WITH m AS (SELECT doc_id AS media_id, strlen(text) AS len FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0),
         |d AS (SELECT media_id, CAST(64 + (len * 7) % 1216 AS BIGINT) AS width,

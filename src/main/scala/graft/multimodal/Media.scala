@@ -335,6 +335,26 @@ object Media {
          col("pass_size") === 1).cast("int"))
   }
 
+  /** MEDIA gate REPORT — [[mediaFilter]]'s verdicts rolled up per kind:
+    * asset count, kept count, per-RULE cut counts (an asset failing two
+    * rules counts in both — the counts answer "which rule is doing the
+    * work", not "how many dropped"; that's `n_assets − n_kept`) and the
+    * keep rate. The per-modality audit row a multimodal release ships
+    * next to `contamination_report` and `dedup_report`. One partial-agg'd
+    * pass over the gate frame to \|kinds\| rows. */
+  def mediaReport(spark: SparkSession, sfDir: String): DataFrame =
+    gateFlags(decodeAll(assetsFromDocuments(spark, sfDir), HeaderDecoder).toDF())
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_assets"),
+           sum(col("keep").cast("bigint")).as("n_kept"),
+           sum(lit(1L) - col("pass_resolution").cast("bigint")).as("cut_resolution"),
+           sum(lit(1L) - col("pass_aspect").cast("bigint")).as("cut_aspect"),
+           sum(lit(1L) - col("pass_size").cast("bigint")).as("cut_size"))
+      .withColumn("keep_rate",
+        graft.functions.NumericFunctions.duckRound(
+          col("n_kept").cast("double") / col("n_assets").cast("double"), 4))
+      .orderBy("kind")
+
   /** Resize plan for image assets: fit into `target`×`target` preserving
     * aspect ratio, integer-exact (`out = dim·target div max(w,h)`), so the
     * transform is oracle-checkable. A real pipeline feeds (payload, out_w,

@@ -283,5 +283,19 @@ class MediaSpec extends SparkSpecBase {
       .map(_.toSeq).toSet
     assert(streamed === batchDrop)
     assert(streamed.nonEmpty)
+    // the per-kind report re-aggregates the gate exactly
+    val report = Media.mediaReport(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    report.foreach { case (k, (na, nk, cr, ca, cs, rate)) =>
+      val of = rows.filter(_.getString(idx("kind")) == k)
+      assert(na === of.length.toLong)
+      assert(nk === of.count(_.getInt(idx("keep")) == 1).toLong)
+      assert(cr === of.count(_.getInt(idx("pass_resolution")) == 0).toLong)
+      assert(ca === of.count(_.getInt(idx("pass_aspect")) == 0).toLong)
+      assert(cs === of.count(_.getInt(idx("pass_size")) == 0).toLong)
+      assert(math.abs(rate - nk.toDouble / na) <= 5e-5 + 1e-9)
+    }
+    assert(report.keySet === Set("image", "audio", "video"))
   }
 }
