@@ -186,6 +186,7 @@ object SparkEntry {
     "corpus_export" -> ((s, d) => Pipeline.corpusExport(s, d)),
     "release_report" -> ((s, d) => Pipeline.releaseReport(s, d)),
     "export_shards" -> ((s, d) => Pipeline.exportShards(s, d)),
+    "export_manifest" -> ((s, d) => Pipeline.exportManifest(s, d)),
     "export_pack" -> ((s, d) => Pipeline.exportPack(s, d)),
     "export_write" -> ((s, d) => Pipeline.exportWrite(s, d)),
     "export_sorted" -> ((s, d) => Pipeline.exportSorted(s, d)),
@@ -2005,6 +2006,18 @@ object SparkEntry {
          |SELECT doc_id % 16 AS shard, count(*) AS n_docs,
          |  CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
          |  round(avg(quality), 4) AS avg_quality
+         |FROM exp JOIN tok USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
+    // export_manifest: the shard integrity stamp — md5 over the sorted
+    // comma-joined doc_id list per shard (order-independent id-set
+    // signature both engines compute identically).
+    "export_manifest" ->
+      s"""$exportCtes,
+         |tok AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
+         |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> ''),
+         |    w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS bpe_tokens FROM documents)
+         |SELECT doc_id % 16 AS shard, count(*) AS n_docs,
+         |  CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS doc_signature
          |FROM exp JOIN tok USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
     // export_write: the SAME accounting recomputed from the WRITTEN shard
     // files (Pipeline.exportWrite round-trips through parquet on disk), so

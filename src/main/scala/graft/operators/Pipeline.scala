@@ -170,6 +170,34 @@ object Pipeline {
       .orderBy("lang", "doc_id")
   }
 
+  /** EXPORT MANIFEST — the integrity stamp the export handoff ships: per
+    * deterministic shard, the doc count, token mass, and an order-
+    * independent CONTENT SIGNATURE (md5 over the comma-joined sorted
+    * doc_id list) a consumer re-computes from delivered files to prove it
+    * received exactly the export — no silent partial copy, no mixed
+    * versions (the checksum-manifest pattern every dataset distribution
+    * uses). Signatures are id-set functions, so any partitioning or
+    * rewrite of the same export re-derives them bit-identically.
+    *
+    * 100 TB: one shuffle on the shard key; the per-shard sort feeding the
+    * signature is shard-local (corpus-sized / nShards per group). */
+  def exportManifest(spark: SparkSession, sfDir: String, nShards: Int = 16,
+                     qualityMin: Double = 0.7): DataFrame = {
+    import graft.functions.TextFunctions.bpeTokenCount
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), bpeTokenCount(col("text")).as("bpe_tokens"))
+    exportUnordered(spark, sfDir, qualityMin)
+      .select("doc_id")
+      .join(toks, Seq("doc_id"))
+      .withColumn("shard", col("doc_id") % nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("bpe_tokens").as("total_tokens"),
+           md5(concat_ws(",",
+             sort_array(collect_list(col("doc_id"))))).as("doc_signature"))
+      .orderBy("shard")
+  }
+
   /** Shard accounting for the export — the handoff to a trainer's data
     * loader: every exported document lands in a deterministic shard
     * (`doc_id mod nShards`, stable under re-export and shard-count-

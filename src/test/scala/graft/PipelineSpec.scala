@@ -332,6 +332,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(ours !== raw, "export packing must re-base sequence ranges, not inherit raw ones")
   }
 
+  test("exportManifest: signatures re-derive from the export ids, partition-invariant") {
+    val manifest = Pipeline.exportManifest(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val ids = Pipeline.corpusExport(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0))
+    val byShard = ids.groupBy(_ % 16)
+    assert(manifest.keySet === byShard.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    byShard.foreach { case (shard, docs) =>
+      val (nd, _, sig) = manifest(shard)
+      assert(nd === docs.length.toLong)
+      val expected = md.digest(docs.sorted.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(sig === expected, s"signature drift at shard $shard")
+    }
+    // totals agree with the shard accounting query
+    val shards = Pipeline.exportShards(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    manifest.foreach { case (s, (_, tt, _)) => assert(tt === shards(s)) }
+  }
+
   test("releaseReport: waterfall chains exactly, final survivors == corpus_export") {
     val rows = Pipeline.releaseReport(spark, sf0001).collect()
       .sortBy(_.getLong(0))
