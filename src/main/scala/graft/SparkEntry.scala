@@ -131,6 +131,8 @@ object SparkEntry {
       graft.streaming.EventStreams.streamMixtureWeightsQuery(s, d)),
     "quota_sample" -> ((s, d) => TextAnalysis.quotaSample(s, d)),
     "token_length_histogram" -> ((s, d) => TextAnalysis.tokenLengthHistogram(s, d)),
+    "stream_token_histogram" -> ((s, d) =>
+      graft.streaming.EventStreams.streamTokenHistogramQuery(s, d)),
     "packing_report" -> ((s, d) => TextAnalysis.packingReport(s, d)),
     "quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
@@ -797,6 +799,21 @@ object SparkEntry {
         |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lbl ORDER BY doc_id""".stripMargin
 
+  /** log2 length-histogram -- shared by the batch op and its complete-mode
+    * streaming twin (same rows, same oracle). */
+  private val tokenHistogramSql: String =
+    """WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),
+        |b AS (SELECT toks, CASE WHEN toks <= 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(length(bin(toks)) - 1 AS BIGINT) END AS bin FROM e),
+        |g AS (SELECT bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+        |SELECT bin, CASE WHEN bin < 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) << bin END AS lo_tokens,
+        |  n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 4) AS doc_share,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 4) AS token_share
+        |FROM g, t ORDER BY bin""".stripMargin
+
   /** Temperature-mixture arithmetic -- shared by the batch op and its
     * complete-mode streaming twin (same rows, same oracle). */
   private val mixtureWeightsSql: String =
@@ -1422,18 +1439,8 @@ object SparkEntry {
     // running token sum gated by the budget.
     // token_length_histogram: ⌊log₂ tokens⌋ via binary-string length (the
     // perplexity_score integer-log trick), zero-token docs in bin -1.
-    "token_length_histogram" ->
-      """WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
-        |e AS (SELECT CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),
-        |b AS (SELECT toks, CASE WHEN toks <= 0 THEN CAST(-1 AS BIGINT)
-        |    ELSE CAST(length(bin(toks)) - 1 AS BIGINT) END AS bin FROM e),
-        |g AS (SELECT bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens FROM b GROUP BY bin),
-        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
-        |SELECT bin, CASE WHEN bin < 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) << bin END AS lo_tokens,
-        |  n_docs, n_tokens,
-        |  round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 4) AS doc_share,
-        |  round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 4) AS token_share
-        |FROM g, t ORDER BY bin""".stripMargin,
+    "token_length_histogram" -> tokenHistogramSql,
+    "stream_token_histogram" -> tokenHistogramSql,
     "quota_sample" ->
       """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
         |e AS (SELECT doc_id, source, CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),

@@ -432,6 +432,37 @@ object EventStreams {
       .orderBy("doc_id")
   }
 
+  /** Driver-verified: the context-length planning HISTOGRAM maintained as
+    * the corpus streams in — the complete-mode twin of
+    * [[graft.operators.TextAnalysis.tokenLengthHistogram]]: the ⌊log₂⌋
+    * bin is scan-side integer arithmetic per arriving document, the
+    * per-bin doc/token sums are commutative (≤ ~40 rows of state), and
+    * the share columns are presentation math over the final table —
+    * batch-side after materialization, exactly as the batch form computes
+    * them after its aggregate. Equal row-set (shared oracle). */
+  def streamTokenHistogramQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = tableStream(spark, sfDir, "documents")
+      .select(TextFunctions.bpeTokenCount(col("text")).as("toks"))
+      .withColumn("bin",
+        when(col("toks") <= 0, lit(-1L))
+          .otherwise(expr("length(bin(toks)) - 1").cast("bigint")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
+    runToCompletion(spark, binned, "stream_token_histogram", OutputMode.Complete())
+      .withColumn("doc_share",
+        duckRound(col("n_docs").cast("double") /
+          sum("n_docs").over(total).cast("double"), 4))
+      .withColumn("token_share",
+        duckRound(col("n_tokens").cast("double") /
+          sum("n_tokens").over(total).cast("double"), 4))
+      .select(col("bin"),
+        when(col("bin") < 0, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(bin as int))")).as("lo_tokens"),
+        col("n_docs"), col("n_tokens"), col("doc_share"), col("token_share"))
+      .orderBy("bin")
+  }
+
   /** Driver-verified: the SAMPLER'S WEIGHTS maintained as the corpus
     * streams in — the complete-mode twin of
     * [[graft.operators.TextAnalysis.mixtureWeights]]: per-source token

@@ -285,6 +285,12 @@ class StreamingSpec extends SparkSpecBase {
     val bmw = graft.operators.TextAnalysis.mixtureWeights(spark, sf0001)
       .collect().map(_.toSeq).toSet
     assert(smw === bmw)
+    // stream_token_histogram: per-bin commutative sums + batch-side shares
+    val sth = EventStreams.streamTokenHistogramQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bth = graft.operators.TextAnalysis.tokenLengthHistogram(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(sth === bth)
   }
 
   test("bounded replay: stream_decontaminate equals the indexed batch decontamination") {
