@@ -135,6 +135,7 @@ object SparkEntry {
       graft.streaming.EventStreams.streamTokenHistogramQuery(s, d)),
     "packing_report" -> ((s, d) => TextAnalysis.packingReport(s, d)),
     "quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)),
+    "ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
@@ -1509,6 +1510,19 @@ object SparkEntry {
         |  round(CASE WHEN COALESCE(n_big, 0) = 0 THEN 0.0
         |        ELSE CAST(bits AS DOUBLE) / n_big END, 4) AS ppl_bits
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // ngram_novelty: distinct trigrams per doc, df over docs, fraction
+    // with df = 1 — integer counts + one rounded ratio.
+    "ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |df AS (SELECT g, count(DISTINCT doc_id) AS dfc FROM ex GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty
+        |FROM ex JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // quality_calibration: both metric chains joined on doc_id, FIXED
     // bins (0.1-wide quality, whole-bit surprisal capped at 15) — pure
     // scan arithmetic, no quantile rank.

@@ -534,6 +534,31 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** N-GRAM NOVELTY — the corpus-level diversity signal per document: the
+    * fraction of a document's distinct trigrams that appear in NO other
+    * document. [[repetitionScore]] asks "does this doc repeat itself";
+    * this asks "does this doc say anything the corpus hasn't already" —
+    * low novelty across a source flags syndicated/templated content that
+    * near-dup pair finding underestimates (shared phrasing spread thin
+    * over many docs never clears a pair threshold), and novelty mass is
+    * what mixture designers up-weight. One shingle explode with a
+    * partial-agg'd document-frequency count, joined back per doc —
+    * exactly the inverted-index shape, no pair join at all. */
+  def ngramNovelty(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val postings = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"), lit(n))).as("s"))
+    val df = postings.groupBy("s").agg(countDistinct("doc_id").as("df"))
+    postings.join(df, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        duckRound(col("n_unique").cast("double") / col("n_grams").cast("double"), 4)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** QUALITY CALIBRATION — do the two quality signals agree? The
     * contingency table of rule-based [[qualityScore]] (surface statistics)
     * against [[perplexityScore]] (corpus bigram-LM surprisal), each cut

@@ -177,6 +177,30 @@ class AnalyticsSpec extends SparkSpecBase {
       "temperature sampling is degenerate on the fixture")
   }
 
+  test("ngramNovelty: re-derives from the shingle sets; exact duplicates score zero") {
+    val rows = TextAnalysis.ngramNovelty(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.nonEmpty)
+    val sets = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.operators.Dedup.shinglesScala(r.getString(1), 3).toSet)
+      .filter(_._2.nonEmpty).toMap
+    assert(rows.keySet === sets.keySet)
+    val dfc = sets.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    sets.foreach { case (id, s) =>
+      val (ng, nu, nov) = rows(id)
+      assert(ng === s.size.toLong)
+      assert(nu === s.count(g => dfc(g) == 1).toLong)
+      assert(math.abs(nov - nu.toDouble / ng) <= 5e-5 + 1e-9)
+    }
+    // structural: any doc sharing its FULL shingle set with another
+    // (exact near-dup) has novelty 0; and some doc contributes novelty
+    val dups = sets.toSeq.groupBy(_._2).values.filter(_.size > 1).flatMap(_.map(_._1))
+    dups.foreach(id => assert(rows(id)._3 === 0.0, s"duplicate doc $id has novelty"))
+    assert(rows.values.exists(_._3 > 0.0), "corpus has zero novelty — degenerate")
+  }
+
   test("qualityCalibration: cells tile the scored corpus and re-derive from both metrics") {
     val cells = TextAnalysis.qualityCalibration(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
