@@ -136,6 +136,7 @@ object SparkEntry {
     "packing_report" -> ((s, d) => TextAnalysis.packingReport(s, d)),
     "quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)),
     "ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
+    "source_novelty" -> ((s, d) => TextAnalysis.sourceNovelty(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
@@ -1523,6 +1524,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
         |  round(CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty
         |FROM ex JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // source_novelty: the novelty chain reduced per source — pooled
+    // unique/total trigram mass, integer sums + one rounded ratio.
+    "source_novelty" ->
+      """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s FROM d),
+        |ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        |df AS (SELECT g, count(DISTINCT doc_id) AS dfc FROM ex GROUP BY g),
+        |pd AS (SELECT doc_id, source, count(*) AS ng,
+        |    CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nu
+        |  FROM ex JOIN df USING (g) GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs, CAST(sum(ng) AS BIGINT) AS total_grams,
+        |  CAST(sum(nu) AS BIGINT) AS unique_grams,
+        |  round(CAST(sum(nu) AS DOUBLE) / CAST(sum(ng) AS DOUBLE), 4) AS novelty_rate
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
     // quality_calibration: both metric chains joined on doc_id, FIXED
     // bins (0.1-wide quality, whole-bit surprisal capped at 15) — pure
     // scan arithmetic, no quantile rank.

@@ -559,6 +559,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** SOURCE NOVELTY — [[ngramNovelty]] rolled up to the table a mixture
+    * designer reads: per source, document count, total/unique trigram
+    * mass and the pooled novelty rate (unique / total across the source's
+    * docs — the mass-weighted form, so one long templated doc can't hide
+    * behind many short fresh ones). Read with `corpus_overlap`: overlap
+    * says whose content a source duplicates, novelty says how much of it
+    * nobody else has — the two sides of the keep/drop/reweight decision.
+    * The novelty frame reduced by one further partial-agg'd aggregate to
+    * \|sources\| rows. */
+  def sourceNovelty(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val perDoc = ngramNovelty(spark, sfDir, n)
+      .select("doc_id", "n_grams", "n_unique")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_grams").as("total_grams"),
+           sum("n_unique").as("unique_grams"))
+      .withColumn("novelty_rate",
+        duckRound(col("unique_grams").cast("double") /
+          col("total_grams").cast("double"), 4))
+      .orderBy("source")
+  }
+
   /** QUALITY CALIBRATION — do the two quality signals agree? The
     * contingency table of rule-based [[qualityScore]] (surface statistics)
     * against [[perplexityScore]] (corpus bigram-LM surprisal), each cut

@@ -201,6 +201,29 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows.values.exists(_._3 > 0.0), "corpus has zero novelty — degenerate")
   }
 
+  test("sourceNovelty: pools the per-doc novelty exactly, totals tile") {
+    import org.apache.spark.sql.functions.col
+    val rollup = TextAnalysis.sourceNovelty(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val perDoc = TextAnalysis.ngramNovelty(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val src = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = perDoc.toSeq.groupBy { case (id, _) => src(id) }
+      .view.mapValues { docs =>
+        (docs.size.toLong, docs.map(_._2._1).sum, docs.map(_._2._2).sum)
+      }.toMap
+    assert(rollup.keySet === expected.keySet)
+    rollup.foreach { case (s, (nd, tg, ug, rate)) =>
+      val (end, etg, eug) = expected(s)
+      assert((nd, tg, ug) === ((end, etg, eug)), s"rollup drift at $s")
+      assert(math.abs(rate - ug.toDouble / tg) <= 5e-5 + 1e-9)
+    }
+    assert(rollup.values.map(_._1).sum === perDoc.size.toLong)
+  }
+
   test("qualityCalibration: cells tile the scored corpus and re-derive from both metrics") {
     val cells = TextAnalysis.qualityCalibration(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
