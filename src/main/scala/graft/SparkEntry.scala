@@ -184,6 +184,7 @@ object SparkEntry {
     "contamination_report" -> ((s, d) => Dedup.contaminationReport(s, d)),
     "takedown_propagate" -> ((s, d) => Dedup.takedownPropagate(s, d)),
     "stream_takedown" -> ((s, d) => graft.streaming.EventStreams.streamTakedownQuery(s, d)),
+    "takedown_verify" -> ((s, d) => Dedup.takedownVerify(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminationPairs(s, d)),
     "decontaminate_indexed" -> ((s, d) => Dedup.decontaminationIndexed(s, d)),
@@ -740,6 +741,24 @@ object SparkEntry {
         |SELECT l.doc_id, l.cluster_id,
         |  CASE WHEN l.source IN ('src3', 'src13') THEN 'direct' ELSE 'cluster' END AS reason
         |FROM lbl l JOIN hit USING (cluster_id) ORDER BY l.doc_id""".stripMargin
+
+  /** Takedown CLOSURE verification — the invariant as a query: near-dup
+    * pairs crossing the removal boundary (correct answer: EMPTY; the
+    * differential gate checks the emptiness, not just the shape). */
+  private val takedownVerifySql: String =
+    s"""WITH RECURSIVE np AS ($ngramPairsSql),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
+        |reach AS (SELECT a AS v, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
+        |lbl AS (SELECT d.doc_id, d.source, COALESCE(c.cluster, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+        |hit AS (SELECT DISTINCT cluster_id FROM lbl WHERE source IN ('src3', 'src13')),
+        |man AS (SELECT l.doc_id FROM lbl l JOIN hit USING (cluster_id))
+        |SELECT doc_a, doc_b FROM np
+        |WHERE (doc_a IN (SELECT doc_id FROM man)) <> (doc_b IN (SELECT doc_id FROM man))
+        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Eval-in-train containment (sans presentation sort) — standalone
     * oracle for `decontaminate` and a stage of `corpus_export`. */
@@ -1905,6 +1924,7 @@ object SparkEntry {
     // stream_takedown: emitted manifest SET equals the batch closure —
     // stateless stream-static cluster resolution + manifest dedup.
     "stream_takedown" -> takedownSql,
+    "takedown_verify" -> takedownVerifySql,
     // contamination_report: distinct contaminated eval ids from the exact
     // containment join (the indexed route's shared-oracle argument),
     // re-joined to the eval shard and rolled up per source.

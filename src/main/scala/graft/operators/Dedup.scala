@@ -774,6 +774,37 @@ object Dedup {
       .orderBy("threshold")
   }
 
+  /** TAKEDOWN VERIFICATION — the invariant as a query: after removing
+    * [[takedownPropagate]]'s manifest, NO near-dup pair may cross the
+    * removal boundary (a surviving doc near-duplicating removed content
+    * means the takedown silently ships the removed material under another
+    * id). Emits the VIOLATIONS — the correct result is EMPTY, and that
+    * emptiness is differentially checked against the exact-join oracle,
+    * which elevates the closure property from a spec assertion to a
+    * release gate a compliance process runs after every removal. Pair
+    * source is the LSH generator (the scale path, provably equal to the
+    * exact join at the threshold); the manifest joins as compact ids. */
+  def takedownVerify(spark: SparkSession, sfDir: String, n: Int = 3,
+                     threshold: Double = 0.8): DataFrame =
+    takedownVerifyAgainst(spark, sfDir,
+      takedownPropagate(spark, sfDir).select(col("doc_id")), n, threshold)
+
+  /** [[takedownVerify]] against an EXPLICIT removal set — the form the
+    * breach spec injects a deliberately broken manifest into. */
+  private[graft] def takedownVerifyAgainst(spark: SparkSession, sfDir: String,
+      removedIds: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val manifest = removedIds.select(col("doc_id")).distinct()
+      .withColumn("removed", lit(1))
+    minhashPairsUnordered(spark, sfDir, n, threshold = threshold)
+      .join(manifest.select(col("doc_id").as("doc_a"), col("removed").as("ra")),
+            Seq("doc_a"), "left")
+      .join(manifest.select(col("doc_id").as("doc_b"), col("removed").as("rb")),
+            Seq("doc_b"), "left")
+      .filter(coalesce(col("ra"), lit(0)) =!= coalesce(col("rb"), lit(0)))
+      .select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // --------------------------------------------------- Cross-source overlap
 
   /** Cross-SOURCE near-dup overlap matrix — the corpus-composition question

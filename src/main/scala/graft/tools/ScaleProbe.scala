@@ -68,7 +68,8 @@ object ScaleProbe {
                             "packing_report", "dedup_clusters_incremental",
                             "quality_calibration", "media_filter", "stream_media_filter",
                             "media_report", "export_manifest",
-                            "stream_token_histogram", "ngram_novelty", "source_novelty")).toList
+                            "stream_token_histogram", "ngram_novelty", "source_novelty",
+                            "takedown_verify")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

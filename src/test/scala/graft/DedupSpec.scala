@@ -294,6 +294,31 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("takedownVerify: empty on the closed manifest, and a leaked copy IS detected") {
+    import spark.implicits._
+    // the closure invariant holds on the real manifest
+    assert(Dedup.takedownVerify(spark, sf0001).collect().isEmpty)
+    // non-vacuous: drop one PROPAGATED member from the manifest (a leaked
+    // near-dup copy) — the verifier must surface the boundary pair
+    val manifest = Dedup.takedownPropagate(spark, sf0001).collect()
+    val midx = manifest.head.schema.fieldNames.zipWithIndex.toMap
+    val ids = manifest.map(_.getLong(midx("doc_id")))
+    // pick a propagated doc that actually HAS a near-dup pair partner in
+    // the manifest (cluster membership can come from a chain)
+    val pairDocs = Dedup.minhashLshPairs(spark, sf0001).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val leaked = manifest
+      .filter(r => r.getString(midx("reason")) == "cluster" &&
+                   pairDocs(r.getLong(midx("doc_id"))))
+      .map(_.getLong(midx("doc_id"))).head
+    val broken = ids.filterNot(_ == leaked).toSeq.toDF("doc_id")
+    val violations = Dedup.takedownVerifyAgainst(spark, sf0001, broken).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(violations.nonEmpty, "the verifier missed a leaked near-dup copy")
+    assert(violations.forall(p => p._1 == leaked || p._2 == leaked),
+      "every violation must involve the leaked doc")
+  }
+
   test("clustersIncremental: the compressed delta merge equals the full recompute") {
     val incremental = graft.operators.IncrementalDedup.clustersIncremental(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
