@@ -145,7 +145,7 @@ object SparkEntry {
     "stream_winnow" -> ((s, d) => graft.streaming.EventStreams.streamWinnowQuery(s, d)),
     "winnow_matches_indexed" -> ((s, d) => TextAnalysis.winnowMatchesIndexed(s, d)),
     "winnow_recall" -> ((s, d) => TextAnalysis.winnowRecall(s, d)),
-    "embed_documents" -> ((s, d) => TextAnalysis.embedDocuments(s, d)),
+    "embed_documents" -> ((s, d) => TextAnalysis.embedDocumentsFlat(s, d)),
     "pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "pack_sequences_sharded" -> ((s, d) => TextAnalysis.packSequencesSharded(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
@@ -1678,9 +1678,9 @@ object SparkEntry {
     "embed_documents" ->
       """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
         |h AS (SELECT doc_id, list_transform(ws, w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM d)
-        |SELECT doc_id, list_transform(range(64), i -> coalesce(CAST(list_sum(
+        |SELECT doc_id, array_to_string(list_transform(range(64), i -> CAST(coalesce(CAST(list_sum(
         |    list_transform(list_filter(hs, x -> x % 64 = i),
-        |                   x -> CASE WHEN (x // 64) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT), 0)) AS emb
+        |                   x -> CASE WHEN (x // 64) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT), 0) AS VARCHAR)), ',') AS emb
         |FROM h ORDER BY doc_id""".stripMargin,
     "chunk_fingerprint" ->
       """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),

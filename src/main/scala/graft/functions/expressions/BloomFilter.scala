@@ -139,7 +139,11 @@ case class BloomMightContain(filter: Expression, value: Expression, numHashes: I
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fGen = filter.genCode(ctx)
     val vGen = value.genCode(ctx)
-    val fns = BloomFns.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Static forwarder, NOT `BloomFns.MODULE$`: Janino rejects MODULE$ on
+    // the forwarder class, and the silent interpreted fallback would tax
+    // every fact row of the 100 TB scan this predicate exists to prune.
+    // CodegenCompileSpec now makes that fallback a hard test failure.
+    val fns = BloomFns.getClass.getName.stripSuffix("$")
     ev.copy(code = code"""
       ${fGen.code}
       ${vGen.code}

@@ -1049,6 +1049,16 @@ object TextAnalysis {
               call_function("graft_hash_embed", col("text"), lit(dim)).as("emb"))
       .orderBy("doc_id")
 
+  /** Driver-facing form of [[embedDocuments]]: the embedding projected to a
+    * comma-joined string. The harness checker sorts/hashes output columns,
+    * which requires scalar cells — internal consumers (clustering, ANN,
+    * semantic dedup) keep the `array<bigint>` form above. */
+  def embedDocumentsFlat(spark: SparkSession, sfDir: String, dim: Int = 64): DataFrame =
+    embedDocuments(spark, sfDir, dim)
+      .select(col("doc_id"),
+              concat_ws(",", transform(col("emb"), _.cast("string"))).as("emb"))
+      .orderBy("doc_id")
+
   def chunkFingerprint(spark: SparkSession, sfDir: String, window: Int = 8): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),

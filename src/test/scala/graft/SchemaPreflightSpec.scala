@@ -83,4 +83,25 @@ class SchemaPreflightSpec extends SparkSpecBase {
     assert(st.schema("ts").dataType == TimestampType,
       s"streaming events.ts must normalize to TimestampType (watermarks require it), got ${st.schema("ts").dataType}")
   }
+
+  test("preflight: no declared query emits a top-level Array/Map/Struct column") {
+    // Output contract of the driver's differential checker (VERDICT r8
+    // directive 3): it sorts and hashes every output column with pandas,
+    // which requires SCALAR cells — a top-level array column crashes it
+    // (`unhashable type: numpy.ndarray`), which is exactly how
+    // embed_documents went red in round 8 while being value-correct.
+    // Complex types are fine INSIDE a query; the declared projection must
+    // flatten or stringify them (see TextAnalysis.embedDocumentsFlat).
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val bad = q(spark, sf0001).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"driver checker cannot sort these columns — flatten/stringify them:\n  ${offenders.mkString("\n  ")}")
+  }
 }
