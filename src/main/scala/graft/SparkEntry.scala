@@ -99,6 +99,7 @@ object SparkEntry {
     "stream_join" -> ((s, d) => graft.streaming.EventStreams.streamStreamJoinQuery(s, d)),
     "stream_dedup_near" -> ((s, d) => graft.streaming.EventStreams.streamNearDupQuery(s, d)),
     "stream_sessions" -> ((s, d) => graft.streaming.EventStreams.streamSessionsQuery(s, d)),
+    "stream_sessions_append" -> ((s, d) => graft.streaming.EventStreams.streamSessionsAppendQuery(s, d)),
     "stream_export" -> ((s, d) => graft.streaming.EventStreams.streamExportQuery(s, d)),
     "stream_ingest" -> ((s, d) => graft.streaming.EventStreams.streamIngestQuery(s, d)),
     "stream_distinct_sketch" -> ((s, d) => graft.streaming.EventStreams.streamDistinctSketchQuery(s, d)),
@@ -230,6 +231,7 @@ object SparkEntry {
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
+    "stream_media_packed" -> ((s, d) => graft.streaming.EventStreams.streamMediaPackedQuery(s, d)),
     "stream_quota_ingest" -> ((s, d) => graft.streaming.EventStreams.streamQuotaIngestQuery(s, d)),
   )
 
@@ -1426,6 +1428,23 @@ object SparkEntry {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y)
         |SELECT user_id, epoch_us(min(tsu)) AS start_us, count(*) AS n_events
         |FROM z GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    // stream_sessions_append: the same islands, restricted to sessions the
+    // final watermark (max ts − 10 min delay) has CLOSED — Append mode
+    // emits a session exactly when session_end (last event + gap) ≤
+    // watermark; still-open sessions are absent by design.
+    "stream_sessions_append" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev FROM events),
+        |y AS (SELECT user_id, tsu,
+        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, tsu, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y),
+        |s AS (SELECT user_id, epoch_us(min(tsu)) AS start_us,
+        |        epoch_us(max(tsu)) + 1800000000 AS end_us, count(*) AS n_events
+        |      FROM z GROUP BY user_id, sid),
+        |w AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 600000000 AS wm FROM events)
+        |SELECT user_id, start_us, n_events FROM s, w
+        |WHERE end_us <= wm ORDER BY user_id, start_us""".stripMargin,
     "text_stats" ->
       """WITH d AS (SELECT lang, n_chars, len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS n_words FROM documents)
         |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
@@ -2587,6 +2606,19 @@ object SparkEntry {
     // stream_media_ingest: the same stateless catalog over the DROP
     // staging root (delta shard only) — read_blob replays those files.
     "stream_media_ingest" -> mediaFilesScanSql("/tmp/graft_media_drop"),
+    // stream_media_packed: the SAME delta shard as stream_media_ingest,
+    // landed as parquet shards — the oracle read_parquets the staged
+    // shards themselves, so the check covers the packed bytes on disk.
+    "stream_media_packed" ->
+      """WITH f AS (SELECT media_id, octet_length(payload) AS n_bytes, hex(payload) AS hx
+        |           FROM read_parquet('/tmp/graft_media_packed/*.parquet'))
+        |SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes, md5(hx) AS content_md5,
+        |  CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+        |       WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+        |       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+        |       ELSE 'unknown' END AS container
+        |FROM f ORDER BY media_id""".stripMargin,
     "media_dedup" ->
       """WITH m AS (SELECT doc_id AS canonical_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind

@@ -501,13 +501,10 @@ object Media {
     * exactly how a 100 TB asset store stages drops. Old versions leak
     * bounded temp space instead of racing readers. */
   private def stageAssetFiles(spark: SparkSession, sfDir: String,
-                              rootPath: String, deltaOnly: Boolean): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")
-    val version = Paths.get(s"$rootPath.v$fp")
-    if (!Files.isDirectory(version)) {
-      val tmp = Paths.get(s"$rootPath.tmp-${java.util.UUID.randomUUID()}")
-      Files.createDirectories(tmp)
+                              rootPath: String, deltaOnly: Boolean): String =
+    ensureVersioned(rootPath,
+        graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
       val tmpStr = tmp.toString
       val assets = assetsFromDocuments(spark, sfDir)
       val staged = if (deltaOnly) assets.filter(_.media_id % 10 == 0) else assets
@@ -518,6 +515,45 @@ object Media {
           try os.write(a.payload) finally os.close()
         }
       }
+    }
+
+  /** Root for the PACKED drop ([[ensurePackedDrop]]) — the same delta
+    * shard as [[DropFilesRoot]], landed as parquet shards (media_id, kind,
+    * payload) instead of one file per asset: the production drop grain.
+    * Fixed path so the DuckDB oracle's `read_parquet` glob can name it. */
+  private[graft] val PackedDropRoot = "/tmp/graft_media_packed"
+
+  /** Stage the delta shard's assets as a parquet-PACKED drop — a few
+    * parquet shards holding thousands of assets each, written by Spark
+    * exactly as a production ingest job lands them. This is the grain that
+    * kills the file-per-asset driver tax: a streaming catalog over the
+    * packed drop stats O(shards) files per micro-batch, not O(assets).
+    * Fingerprint-gated + version/symlink-flipped like every staged root. */
+  def ensurePackedDrop(spark: SparkSession, sfDir: String): String =
+    ensureVersioned(PackedDropRoot,
+        graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")) { tmp =>
+      import spark.implicits._
+      assetsFromDocuments(spark, sfDir)
+        .filter(_.media_id % 10 == 0)
+        .toDF()
+        .repartition(4, col("media_id"))   // pack into a handful of shards
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+
+  /** Concurrent-safe versioned staging shared by every fixed-path root:
+    * `build` materializes into a temp dir, which is atomically renamed to
+    * the fingerprint-versioned immutable directory (`<root>.v<fp>`), and
+    * the stable `rootPath` SYMLINK is flipped onto it — the object-store
+    * "immutable version + pointer swap" pattern, so concurrent readers
+    * (Spark scan, DuckDB read_blob/read_parquet, another graft process)
+    * always see a complete, consistent set. */
+  private def ensureVersioned(rootPath: String, fp: String)
+                             (build: java.nio.file.Path => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val version = Paths.get(s"$rootPath.v$fp")
+    if (!Files.isDirectory(version)) {
+      val tmp = Paths.get(s"$rootPath.tmp-${java.util.UUID.randomUUID()}")
+      build(tmp)
       try Files.move(tmp, version, StandardCopyOption.ATOMIC_MOVE)
       catch { // another process won the race — its version is complete; use it
         case _: java.nio.file.FileAlreadyExistsException |
@@ -546,13 +582,33 @@ object Media {
       regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
       col("length").cast("bigint").as("n_bytes"),
       md5(hx).as("content_md5"),
-      when(substring(hx, 1, 8) === "89504E47", "png")
-        .when(substring(hx, 1, 6) === "FFD8FF", "jpeg")
-        .when(substring(hx, 1, 8) === "52494646" &&
-              substring(hx, 17, 8) === "57415645", "wav")
-        .when(substring(hx, 1, 8) === "52494646" &&
-              substring(hx, 17, 8) === "41564920", "avi")
-        .otherwise("unknown").as("container"))
+      containerFromHex(hx).as("container"))
+  }
+
+  /** Magic-byte container sniff over a hex-encoded payload — shared by the
+    * file-grain catalog ([[catalogColumns]]) and the packed-drop catalog
+    * ([[packedCatalogColumns]]) so the two drop shapes can never disagree
+    * on what a container is. */
+  private[graft] def containerFromHex(hx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(hx, 1, 8) === "89504E47", "png")
+      .when(substring(hx, 1, 6) === "FFD8FF", "jpeg")
+      .when(substring(hx, 1, 8) === "52494646" &&
+            substring(hx, 17, 8) === "57415645", "wav")
+      .when(substring(hx, 1, 8) === "52494646" &&
+            substring(hx, 17, 8) === "41564920", "avi")
+      .otherwise("unknown")
+
+  /** The catalog projection over a PACKED drop row (media_id, kind,
+    * payload): same digest + sniff as the file-grain catalog, keyed by
+    * media_id instead of file name. Stateless per-row exprs — streaming-
+    * legal in Append mode with zero state. */
+  private[graft] def packedCatalogColumns(packed: DataFrame): DataFrame = {
+    val hx = hex(col("payload"))
+    packed.select(
+      col("media_id"),
+      length(col("payload")).cast("bigint").as("n_bytes"),
+      md5(hx).as("content_md5"),
+      containerFromHex(hx).as("container"))
   }
 
   /** Driver-verified: the media LAKE-INGESTION scan — raw asset files read

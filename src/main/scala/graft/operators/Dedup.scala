@@ -793,8 +793,12 @@ object Dedup {
     * breach spec injects a deliberately broken manifest into. */
   private[graft] def takedownVerifyAgainst(spark: SparkSession, sfDir: String,
       removedIds: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val manifest = removedIds.select(col("doc_id")).distinct()
-      .withColumn("removed", lit(1))
+    // The manifest is small BY DEFINITION (removal requests, not corpus
+    // mass) — broadcast it explicitly rather than trusting AQE to discover
+    // that at runtime: at 100 TB the pair stream is the big side and a
+    // planned SMJ would shuffle it twice before AQE could re-plan.
+    val manifest = broadcast(removedIds.select(col("doc_id")).distinct()
+      .withColumn("removed", lit(1)))
     minhashPairsUnordered(spark, sfDir, n, threshold = threshold)
       .join(manifest.select(col("doc_id").as("doc_a"), col("removed").as("ra")),
             Seq("doc_a"), "left")

@@ -556,6 +556,28 @@ object EventStreams {
       .orderBy("file_name")
   }
 
+  /** Driver-verified: the PACKED-drop media ingest — the same delta shard
+    * as [[streamMediaIngestQuery]], but landed as a handful of parquet
+    * shards (media_id, kind, payload) instead of one file per asset, i.e.
+    * the grain a production ingest job actually drops. The streaming file
+    * source's per-FILE driver stat tax (~2 ms/file, measured and
+    * documented on the raw-drop form) here prices per SHARD — O(4) stats
+    * per micro-batch for thousands of assets — so catalog throughput
+    * tracks the batch parquet scan. Per-row work is the shared stateless
+    * digest + magic-byte sniff ([[graft.multimodal.Media
+    * .packedCatalogColumns]]); Append mode, zero state stores. The DuckDB
+    * oracle `read_parquet`s THE SAME shards, covering bytes on disk end
+    * to end. */
+  def streamMediaPackedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.multimodal.Media
+    val dir = Media.ensurePackedDrop(spark, sfDir)
+    val cataloged = Media.packedCatalogColumns(spark.readStream
+      .schema("media_id BIGINT, kind STRING, payload BINARY")
+      .parquet(dir))
+    runToCompletion(spark, cataloged, "stream_media_packed", OutputMode.Append())
+      .orderBy("media_id")
+  }
+
   /** Driver-verified: the MULTIMODAL quality gate applied as assets LAND —
     * the streaming twin of [[graft.multimodal.Media.mediaFilter]] over the
     * binaryFile drop: each arriving container sniffs its kind from the
@@ -699,6 +721,36 @@ object EventStreams {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"))
     runToCompletion(spark, agg, "stream_sessions", OutputMode.Complete())
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("start_us"),
+              col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** Driver-verified: the PRODUCTION form of [[streamSessionsQuery]] —
+    * `session_window` in APPEND mode, where the declared watermark is what
+    * closes sessions: a session row is emitted exactly once, when the
+    * watermark (max event time − delay) passes its end (`end ≤ watermark`),
+    * and its state is evicted at the same moment. This is the shape an
+    * unbounded 100 TB stream needs — state is only the OPEN sessions
+    * (bounded by active users × gap), never the whole history that
+    * Complete mode re-emits every micro-batch.
+    *
+    * Over the bounded replay the final watermark is `max(ts) − delay`, so
+    * the oracle is the batch island-detection SQL restricted to sessions
+    * with `last_event + gap ≤ max(ts) − delay` (the `stream_scd2`
+    * discipline: oracle models the emission rule, not just the aggregate).
+    * Sessions still open at end-of-stream — ending inside the last
+    * `delay + gap` — are deliberately absent: on a real stream they are
+    * not closed yet, and the no-data micro-batch that AvailableNow runs
+    * after the last file is exactly the production watermark tick. */
+  def streamSessionsAppendQuery(spark: SparkSession, sfDir: String,
+                                gap: String = "30 minutes"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+    runToCompletion(spark, agg, "stream_sessions_append", OutputMode.Append())
       .select(col("user_id"),
               unix_micros(col("session_window.start")).as("start_us"),
               col("n_events"))

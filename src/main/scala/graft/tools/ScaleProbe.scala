@@ -69,7 +69,8 @@ object ScaleProbe {
                             "quality_calibration", "media_filter", "stream_media_filter",
                             "media_report", "export_manifest",
                             "stream_token_histogram", "ngram_novelty", "source_novelty",
-                            "takedown_verify")).toList
+                            "takedown_verify", "stream_sessions_append",
+                            "stream_media_packed")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

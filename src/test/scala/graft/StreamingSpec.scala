@@ -88,6 +88,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(df.isStreaming)
   }
 
+  test("append-mode sessions emit exactly the watermark-closed subset of complete mode") {
+    // The production form: Append emits a session once, when the final
+    // watermark (max ts − 10 min) passes its end (last event + 30 min gap);
+    // still-open sessions are withheld. The batch session_window aggregate
+    // gives every island with its end, so the expected set is a pure filter.
+    val append = EventStreams.streamSessionsAppendQuery(spark, sf0001)
+      .select("user_id", "start_us", "n_events")
+    val batch = graft.operators.Relational.sessionWindowAgg(spark, sf0001)
+    val wmUs = graft.sources.Tables.events(spark, sf0001)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) - 600000000L
+    val expected = batch.filter(col("end_us") <= wmUs)
+      .select("user_id", "start_us", "n_events")
+    assert(append.exceptAll(expected).isEmpty && expected.exceptAll(append).isEmpty,
+      "append-mode session set != watermark-closed batch sessions")
+    // Non-vacuous both ways: some sessions closed, some still open.
+    val nAppend = append.count()
+    val nAll = batch.count()
+    assert(nAppend > 0L && nAppend < nAll,
+      s"degenerate fixture: $nAppend of $nAll sessions closed")
+  }
+
   test("bounded replay: stream_tumbling materialization equals the batch query") {
     val streamed = EventStreams.streamTumblingQuery(spark, sf0001)
       .collect().map(_.toString).sorted.toSeq
@@ -319,6 +340,22 @@ class StreamingSpec extends SparkSpecBase {
       .toSet
     assert(streamed === batchDelta)
     assert(streamed.nonEmpty)
+  }
+
+  test("packed drop catalogs the same assets as the file-grain drop, byte for byte") {
+    // The two drop shapes (file-per-asset vs parquet-packed shards) must
+    // agree on every asset's size, digest, and sniffed container — the
+    // packed form exists to kill the per-file driver stat tax, not to
+    // change semantics. Join keys: file names encode the media_id.
+    val packed = EventStreams.streamMediaPackedQuery(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    val fileGrain = EventStreams.streamMediaIngestQuery(spark, sf0001)
+      .collect().map { r =>
+        val id = r.getString(0).stripPrefix("asset_").stripSuffix(".bin").toLong
+        (id, r.getLong(1), r.getString(2), r.getString(3))
+      }.toSet
+    assert(packed === fileGrain)
+    assert(packed.nonEmpty)
   }
 
   test("bounded replay: stream_takedown equals the batch closure manifest") {
