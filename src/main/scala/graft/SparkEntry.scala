@@ -2084,9 +2084,10 @@ object SparkEntry {
          |  CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
          |  round(avg(quality), 4) AS avg_quality
          |FROM exp JOIN tok USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
-    // export_manifest: the shard integrity stamp — md5 over the sorted
-    // comma-joined doc_id list per shard (order-independent id-set
-    // signature both engines compute identically).
+    // export_manifest: the shard integrity stamp — bit_xor over a 60-bit
+    // md5 digest of each doc_id (order-independent id-set signature with
+    // O(1) aggregation state; both engines parse the same 15-hex-char
+    // prefix to the same BIGINT).
     "export_manifest" ->
       s"""$exportCtes,
          |tok AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
@@ -2094,7 +2095,7 @@ object SparkEntry {
          |    w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS bpe_tokens FROM documents)
          |SELECT doc_id % 16 AS shard, count(*) AS n_docs,
          |  CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
-         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS doc_signature
+         |  bit_xor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS doc_signature
          |FROM exp JOIN tok USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
     // export_write: the SAME accounting recomputed from the WRITTEN shard
     // files (Pipeline.exportWrite round-trips through parquet on disk), so
@@ -2443,7 +2444,8 @@ object SparkEntry {
         |d AS (SELECT dim, count(*) AS n_delta, avg(x) AS md
         |  FROM e WHERE vec_id % 10 = 0 GROUP BY dim),
         |j AS (SELECT b.dim AS dim, n_base, n_delta, mb, md,
-        |    round((md - mb) / (max_base - min_base), 4) + 0.0 AS rel_shift
+        |    CASE WHEN max_base = min_base THEN CAST(0 AS DOUBLE)
+        |         ELSE round((md - mb) / (max_base - min_base), 4) + 0.0 END AS rel_shift
         |  FROM b JOIN d ON b.dim = d.dim)
         |SELECT dim, n_base, n_delta, round(mb, 4) + 0.0 AS mean_base, round(md, 4) + 0.0 AS mean_delta,
         |  rel_shift, CAST(abs(rel_shift) > 0.05 AS INTEGER) AS drifted

@@ -321,15 +321,25 @@ object Media {
     * construction; batch vs Append micro-batches cannot differ because
     * every rule is per-row arithmetic). */
   private[graft] def gateFlags(meta: DataFrame): DataFrame = {
-    val visual = col("kind") =!= "audio"
+    // `kind` is matched EXPLICITLY: the streaming path sniffs it from
+    // magic bytes and a malformed asset arrives as 'unknown' — which must
+    // fail every rule and surface (keep = 0), not pattern-match into the
+    // visual branch (the batch path's envelope kind never says 'unknown',
+    // so an implicit else would make batch and stream diverge on corrupt
+    // assets).
+    val visual = col("kind") === "image" || col("kind") === "video"
+    val audio = col("kind") === "audio"
     meta
       .select(col("media_id"), col("kind"),
         when(visual, (col("width") >= 128 && col("height") >= 128).cast("int"))
-          .otherwise((col("n_frames") >= 300).cast("int")).as("pass_resolution"),
+          .when(audio, (col("n_frames") >= 300).cast("int"))
+          .otherwise(lit(0)).as("pass_resolution"),
         when(visual, (greatest(col("width"), col("height")) <=
                       least(col("width"), col("height")) * 3).cast("int"))
-          .otherwise(lit(1)).as("pass_aspect"),
-        (col("n_bytes") >= 256).cast("int").as("pass_size"))
+          .when(audio, lit(1))
+          .otherwise(lit(0)).as("pass_aspect"),
+        when(visual || audio, (col("n_bytes") >= 256).cast("int"))
+          .otherwise(lit(0)).as("pass_size"))
       .withColumn("keep",
         (col("pass_resolution") === 1 && col("pass_aspect") === 1 &&
          col("pass_size") === 1).cast("int"))

@@ -172,15 +172,23 @@ object Pipeline {
 
   /** EXPORT MANIFEST — the integrity stamp the export handoff ships: per
     * deterministic shard, the doc count, token mass, and an order-
-    * independent CONTENT SIGNATURE (md5 over the comma-joined sorted
-    * doc_id list) a consumer re-computes from delivered files to prove it
-    * received exactly the export — no silent partial copy, no mixed
-    * versions (the checksum-manifest pattern every dataset distribution
-    * uses). Signatures are id-set functions, so any partitioning or
-    * rewrite of the same export re-derives them bit-identically.
+    * independent CONTENT SIGNATURE a consumer re-computes from delivered
+    * files to prove it received exactly the export — no silent partial
+    * copy, no mixed versions (the checksum-manifest pattern every dataset
+    * distribution uses). The signature is `bit_xor` over a 60-bit md5
+    * digest of each doc_id: an id-SET function (any partitioning, arrival
+    * order, or rewrite of the same export re-derives it bit-identically)
+    * whose aggregation state is ONE long per shard — a previous form
+    * sorted and concatenated the full per-shard id list, i.e. corpus/16
+    * ids in a single aggregation buffer, which is exactly the unbounded
+    * per-group memory a 100 TB export cannot grant. XOR cancels only on a
+    * REPEATED id, and shard members are distinct by construction
+    * (`doc_id mod nShards`); a dropped id flips the signature, a swapped
+    * pair flips it twice differently — with n_docs alongside, any
+    * partial/mixed delivery surfaces.
     *
-    * 100 TB: one shuffle on the shard key; the per-shard sort feeding the
-    * signature is shard-local (corpus-sized / nShards per group). */
+    * 100 TB: one shuffle on the shard key; bit_xor partial-aggregates
+    * map-side, so the shuffle carries nShards longs per partition. */
   def exportManifest(spark: SparkSession, sfDir: String, nShards: Int = 16,
                      qualityMin: Double = 0.7): DataFrame = {
     import graft.functions.TextFunctions.bpeTokenCount
@@ -190,11 +198,14 @@ object Pipeline {
       .select("doc_id")
       .join(toks, Seq("doc_id"))
       .withColumn("shard", col("doc_id") % nShards)
+      // 60-bit prefix of md5(doc_id): 15 hex chars keep conv() exact and
+      // the value positive in a BIGINT on both engines
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
            sum("bpe_tokens").as("total_tokens"),
-           md5(concat_ws(",",
-             sort_array(collect_list(col("doc_id"))))).as("doc_signature"))
+           expr("bit_xor(h)").as("doc_signature"))
       .orderBy("shard")
   }
 

@@ -279,12 +279,17 @@ object Ranking {
                    kEach: Int = 20, rrfK: Int = 60): DataFrame = {
     val lex = bm25Search(spark, sfDir, kEach)
       .select(col("doc_id"), col("rnk").as("rnk_lex"))
+    // Cosine over the RAW bigint bucket counts widened to double — never
+    // through float: the oracle ranks over DOUBLE[], and a float detour is
+    // exact only while bucket sums stay under 2^24 (a silent precondition
+    // on corpus size this query must not carry). The double HOF fold is
+    // bit-identical to the native float kernel's arithmetic order, just
+    // without the narrowing.
     val qEmb = call_function("graft_hash_embed",
-      lit(QueryTerms.mkString(" ")), lit(64)).cast("array<float>")
+      lit(QueryTerms.mkString(" ")), lit(64))
     val sem = graft.operators.TextAnalysis.embedDocuments(spark, sfDir)
       .select(col("doc_id"),
-              graft.functions.VectorFunctions.cosine(
-                col("emb").cast("array<float>"), qEmb).as("cos"))
+              graft.functions.VectorFunctions.cosineHof(col("emb"), qEmb).as("cos"))
       .orderBy(col("cos").desc, col("doc_id").asc)
       .limit(kEach)
       .withColumn("rnk_sem", row_number()

@@ -1071,8 +1071,15 @@ object Similarity {
     val delta = dimStats(delta = true)
       .agg(count(lit(1)).as("n_delta"), avg("x").as("md"))
     base.join(delta, Seq("dim"))
+      // zero-range guard: a CONSTANT base dimension (degenerate but real —
+      // a dead/clamped encoder output) would yield ±Infinity/NaN here and
+      // a verdict that float semantics could split across engines; a
+      // constant dimension carries no range to normalize by, so its shift
+      // is defined as 0 (the drift signal for it is n_delta/mean columns)
       .withColumn("rel_shift",
-        duckRound((col("md") - col("mb")) / (col("max_base") - col("min_base")), 4) + lit(0.0))
+        when(col("max_base") === col("min_base"), lit(0.0))
+          .otherwise(
+            duckRound((col("md") - col("mb")) / (col("max_base") - col("min_base")), 4) + lit(0.0)))
       .select(col("dim"), col("n_base"), col("n_delta"),
         (duckRound(col("mb"), 4) + lit(0.0)).as("mean_base"),
         (duckRound(col("md"), 4) + lit(0.0)).as("mean_delta"),

@@ -298,4 +298,22 @@ class MediaSpec extends SparkSpecBase {
     }
     assert(report.keySet === Set("image", "audio", "video"))
   }
+
+  test("gate fails ALL rules for kind 'unknown' (malformed assets surface, not pattern-match)") {
+    // The streaming gate sniffs kind from magic bytes, so a corrupt asset
+    // arrives as 'unknown' — it must fail every rule explicitly rather
+    // than falling into the visual branch (which could PASS it on
+    // garbage width/height fields, and would make batch and stream
+    // diverge on malformed drops).
+    import spark.implicits._
+    val meta = Seq(
+      (1L, "unknown", 10000L, 4096, 4096, 999),  // would pass every visual rule
+      (2L, "image", 10000L, 4096, 4096, 1)       // control: same fields, real kind
+    ).toDF("media_id", "kind", "n_bytes", "width", "height", "n_frames")
+    val got = Media.gateFlags(meta).orderBy("media_id").collect()
+    assert(got(0).getInt(2) === 0 && got(0).getInt(3) === 0 && got(0).getInt(4) === 0,
+      s"unknown kind passed a gate rule: ${got(0)}")
+    assert(got(0).getAs[Int]("keep") === 0)
+    assert(got(1).getAs[Int]("keep") === 1, s"control image should pass: ${got(1)}")
+  }
 }

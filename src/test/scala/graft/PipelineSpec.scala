@@ -334,17 +334,23 @@ class PipelineSpec extends SparkSpecBase {
 
   test("exportManifest: signatures re-derive from the export ids, partition-invariant") {
     val manifest = Pipeline.exportManifest(spark, sf0001).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val ids = Pipeline.corpusExport(spark, sf0001).select("doc_id").collect()
       .map(_.getLong(0))
     val byShard = ids.groupBy(_ % 16)
     assert(manifest.keySet === byShard.keySet)
     val md = java.security.MessageDigest.getInstance("MD5")
+    // the signature is an id-SET function: xor of each id's 60-bit md5
+    // prefix — re-derivable from the delivered ids in ANY order
+    def idHash(id: Long): Long = {
+      val hx = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hx.substring(0, 15), 16)
+    }
     byShard.foreach { case (shard, docs) =>
       val (nd, _, sig) = manifest(shard)
       assert(nd === docs.length.toLong)
-      val expected = md.digest(docs.sorted.mkString(",").getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+      val expected = scala.util.Random.shuffle(docs.toList)  // order-blind by construction
+        .map(idHash).foldLeft(0L)(_ ^ _)
       assert(sig === expected, s"signature drift at shard $shard")
     }
     // totals agree with the shard accounting query
