@@ -156,8 +156,10 @@ object SparkEntry {
     "bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
     "bpe_fertility" -> ((s, d) => Bpe.bpeFertility(s, d)),
+    "bpe_coverage" -> ((s, d) => Bpe.bpeCoverage(s, d)),
     "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
     "link_rank" -> ((s, d) => Ranking.linkRank(s, d)),
+    "link_communities" -> ((s, d) => Ranking.linkCommunities(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
@@ -1243,6 +1245,25 @@ object SparkEntry {
     // integer (% , //, exact long sums), so the iterative kernel
     // hash-matches with no float boundary.
     "link_rank" -> linkRankOracle(3),
+    // link_communities: connected components of the same-host link
+    // subgraph, min-reachable-id labels via recursive CTE — the
+    // dedup_clusters oracle pattern over the id-derived edge list.
+    "link_communities" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0),
+        |eu AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM t
+        |  WHERE src <> dst AND src % 5 = dst % 5),
+        |edges AS (SELECT a, b FROM eu UNION SELECT b, a FROM eu),
+        |reach AS (SELECT a AS v, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT v, least(v, min(r)) AS community_id FROM reach GROUP BY v),
+        |lbl AS (SELECT d.doc_id, COALESCE(c.community_id, d.doc_id) AS community_id
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
+        |SELECT doc_id, community_id, count(*) OVER (PARTITION BY community_id) AS community_size
+        |FROM lbl ORDER BY doc_id""".stripMargin,
     // triangle_count: same affine edge derivation, symmetrized; the
     // oracle replays the degree orientation and both joins.
     "triangle_count" ->
@@ -2294,6 +2315,10 @@ object SparkEntry {
     // bpe_fertility: the unrolled merge chain + a (lang, word) count joined
     // on the word — all integer sums, two rounded divisions at the edge.
     "bpe_fertility" -> graft.operators.Bpe.bpeFertilityOracle(),
+    // bpe_coverage: train-shard vocabulary applied to the held-out shard —
+    // merge coverage + byte-fallback, fully replayed in SQL (train CTEs
+    // shard-filtered, eval chain applies the same rules).
+    "bpe_coverage" -> graft.operators.Bpe.bpeCoverageOracle(),
     "similarity_ann" -> annOracle,
     "similarity_ivf" -> ivfOracle(),
     // similarity_ivf_indexed: the stored codebook/assignment are the SAME

@@ -268,11 +268,16 @@ object Bpe {
     * merge round, mirroring the engine's operation order. An exhausted
     * round has an empty `t$k`, which the LEFT JOIN turns into a no-op
     * round (state preserved), matching the engine's early stop. */
-  private def bpeCtes(merges: Int): String = {
+  private def bpeCtes(merges: Int): String = bpeCtesFiltered(merges, "")
+
+  /** The training CTE chain over an optionally SHARD-FILTERED corpus
+    * (`where` like "WHERE doc_id % 10 <> 0") — [[bpeCoverageOracle]] trains
+    * on the train shard only, exactly as the operator does. */
+  private def bpeCtesFiltered(merges: Int, where: String): String = {
     val sb = new StringBuilder
-    sb ++= """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS word FROM documents),
+    sb ++= s"""WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> '')) AS word FROM documents $where),
              |wc AS (SELECT word, count(*) AS wcnt FROM toks GROUP BY word),
-             |s0 AS (SELECT word, wcnt, ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS seq FROM wc)""".stripMargin
+             |s0 AS (SELECT word, wcnt, ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS seq FROM wc)""".stripMargin
     for (k <- 1 to merges) {
       sb ++= s""",
                 |p$k AS (SELECT lst[i] AS a, lst[i+1] AS b, CAST(sum(wcnt) AS BIGINT) AS pcnt
@@ -352,5 +357,124 @@ object Bpe {
          |SELECT lang, n_words, n_pieces, n_chars,
          |  round(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS fertility,
          |  round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 4) AS chars_per_piece
+         |FROM ag ORDER BY lang""".stripMargin
+
+  /** TOKENIZER COVERAGE per language — [[bpeFertility]]'s missing sibling
+    * (the other half of the multilingual-fairness review): train the
+    * vocabulary on the TRAIN shard (doc_id % 10 ≠ 0, the repo's standard
+    * split), apply the learned merges to the HELD-OUT shard, and report
+    * per language how much of the text the learned vocabulary actually
+    * absorbs:
+    *
+    *  - `merge_coverage` — fraction of characters covered by multi-char
+    *    learned pieces (vs. falling back to single-character pieces). A
+    *    vocabulary trained on a skewed mixture absorbs the dominant
+    *    language's text and leaves the rest spelled out char-by-char —
+    *    this is where that shows up, before fertility even moves.
+    *  - `n_fallback_bytes` / `fallback_rate` — BYTE-FALLBACK: pieces
+    *    whose single character never occurred in the train shard at all
+    *    (out-of-alphabet), costed in UTF-8 bytes — the tokens a
+    *    byte-fallback tokenizer would emit. Zero on an alphabet-closed
+    *    corpus (this fixture — the oracle proves the zeros); the column
+    *    is live, spec-proven by injecting a foreign-alphabet shard.
+    *
+    * Mechanics: merge RULES (≤ `merges` rows) are staged to the driver
+    * and replayed on eval words as literal replaces — the probe-staging
+    * pattern (rules are codebook-scale, never corpus-scale); the train
+    * ALPHABET joins as a broadcast char set. Everything else is exploded
+    * (lang, piece, cnt) rows with partial-agg'd integer sums — exact, and
+    * replayed verbatim by the SQL oracle. */
+  def bpeCoverage(spark: SparkSession, sfDir: String, merges: Int = 6): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    bpeCoverageFrom(docs.filter(col("doc_id") % 10 =!= 0),
+                    docs.filter(col("doc_id") % 10 === 0), merges)
+  }
+
+  /** [[bpeCoverage]] over explicit `(lang, text)` train/eval frames — the
+    * form the byte-fallback spec injects a foreign-alphabet shard into. */
+  private[graft] def bpeCoverageFrom(train: DataFrame, eval: DataFrame,
+                                     merges: Int): DataFrame = {
+    val wcTrain = train
+      .select(explode(TextFunctions.tokenize(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+    // learned rules, in application order — vocabulary-scale, driver-staged
+    val rules = bpeTrainFromCounts(wcTrain, merges)
+      .orderBy("step").select("p1", "p2").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val alphabet = train
+      .select(explode(split(regexp_replace(lower(col("text")), "[^\\p{L}]+", ""), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct()
+    val spaced = concat(lit(" "),
+      trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" "))
+    val seq = rules.foldLeft(spaced) { case (s, (a, b)) =>
+      val from = lit(s" $a $b "); val to = lit(s" $a$b ")
+      // literal (non-regex) double replace: adjacent occurrences
+      // ("a b a b") share the boundary space, so one pass misses every
+      // second site — same as the training loop and the oracle's chain
+      org.apache.spark.sql.functions.replace(
+        org.apache.spark.sql.functions.replace(s, from, to), from, to)
+    }
+    eval
+      .select(col("lang"), explode(TextFunctions.tokenize(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"),
+              explode(split(trim(seq), " ")).as("piece"))
+      .join(broadcast(alphabet.select(col("ch").as("piece"), lit(1).as("known"))),
+            Seq("piece"), "left")
+      .select(col("lang"), col("cnt"), col("piece"),
+        (length(col("piece")) > 1).cast("long").as("merged"),
+        (length(col("piece")) === 1 && col("known").isNull).cast("long").as("fallback"))
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_pieces_raw"),
+           sum(col("cnt") * length(col("piece")).cast("long")).as("n_chars"),
+           sum(col("cnt") * col("merged") * length(col("piece")).cast("long")).as("n_merged_chars"),
+           sum(col("cnt") * col("fallback")).as("n_fallback_pieces"),
+           sum(col("cnt") * col("fallback") * expr("octet_length(piece)").cast("long"))
+             .as("n_fallback_bytes"))
+      .select(col("lang"),
+        col("n_pieces_raw").as("n_pieces"), col("n_chars"),
+        graft.functions.NumericFunctions.duckRound(
+          col("n_merged_chars").cast("double") / col("n_chars").cast("double"), 4)
+          .as("merge_coverage"),
+        col("n_fallback_bytes"),
+        graft.functions.NumericFunctions.duckRound(
+          col("n_fallback_pieces").cast("double") / col("n_pieces_raw").cast("double"), 4)
+          .as("fallback_rate"))
+      .orderBy("lang")
+  }
+
+  def bpeCoverageOracle(merges: Int = 6): String =
+    bpeCtesFiltered(merges, "WHERE doc_id % 10 <> 0") +
+      s""",
+         |alpha AS (SELECT DISTINCT unnest(string_split(regexp_replace(lower(text), '[^\\p{L}]+', '', 'g'), '')) AS ch
+         |  FROM documents WHERE doc_id % 10 <> 0 AND regexp_replace(lower(text), '[^\\p{L}]+', '', 'g') <> ''),
+         |ew AS (SELECT lang, word, count(*) AS cnt FROM
+         |  (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> '')) AS word
+         |   FROM documents WHERE doc_id % 10 = 0) z GROUP BY 1, 2),
+         |e0 AS (SELECT lang, word, cnt, ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS seq FROM ew),
+         |""".stripMargin +
+      (1 to merges).map { k =>
+        s"""e$k AS (SELECT lang, word, cnt,
+           |  CASE WHEN t.a IS NULL THEN seq
+           |       ELSE replace(replace(seq, ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' '),
+           |                    ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ') END AS seq
+           |  FROM e${k - 1} LEFT JOIN t$k t ON TRUE)""".stripMargin
+      }.mkString(",\n") +
+      s""",
+         |pc AS (SELECT lang, cnt, unnest(string_split(trim(seq), ' ')) AS piece FROM e$merges),
+         |fl AS (SELECT lang, cnt, piece,
+         |    CASE WHEN length(piece) > 1 THEN 1 ELSE 0 END AS merged,
+         |    CASE WHEN length(piece) = 1 AND piece NOT IN (SELECT ch FROM alpha) THEN 1 ELSE 0 END AS fallback
+         |  FROM pc),
+         |ag AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_pieces,
+         |    CAST(sum(cnt * length(piece)) AS BIGINT) AS n_chars,
+         |    CAST(sum(cnt * merged * length(piece)) AS BIGINT) AS n_merged_chars,
+         |    CAST(sum(cnt * fallback) AS BIGINT) AS n_fallback_pieces,
+         |    CAST(sum(cnt * fallback * strlen(piece)) AS BIGINT) AS n_fallback_bytes
+         |  FROM fl GROUP BY lang)
+         |SELECT lang, n_pieces, n_chars,
+         |  round(CAST(n_merged_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 4) AS merge_coverage,
+         |  n_fallback_bytes,
+         |  round(CAST(n_fallback_pieces AS DOUBLE) / CAST(n_pieces AS DOUBLE), 4) AS fallback_rate
          |FROM ag ORDER BY lang""".stripMargin
 }

@@ -258,6 +258,55 @@ object Ranking {
     em.crossJoin(wm).crossJoin(tri)
   }
 
+  /** LINK-FARM COMMUNITY DETECTION — the grouping complement of
+    * [[linkRank]] (centrality) and [[triangleCount]] (density): every
+    * document labeled with its community in the SAME-HOST link subgraph,
+    * the spam-farm signal a web-scale curation pipeline down-weights by
+    * (a "farm" is a set of co-hosted documents that link among
+    * themselves; its size is the down-weighting knob, the way
+    * Common-Crawl-derived corpora demote link-scheme domains).
+    *
+    * Graph: the [[linkRank]] affine edge derivation restricted to edges
+    * whose endpoints share a host (the [[TextAnalysis.urlDedup]]
+    * convention, host = doc_id mod 5) — empirically a rich multi-scale
+    * component structure (sizes 1…N/25 across corpus scales), unlike the
+    * full link graph, which is one giant component and carries no
+    * grouping information. Labels are min-reachable-id via
+    * [[Dedup.connectedComponents]] — the alternating-star CC that
+    * converges in O(log² n) rounds on any topology — so the labeling is
+    * integer-exact, partitioning-independent, and hash-matches the
+    * recursive-CTE oracle exactly like `dedup_clusters` does.
+    *
+    * 100 TB: the edge list is id-derived (scan-shaped, no text); CC is
+    * the proven persisted-cluster machinery (per-round shuffle aggregates
+    * + joins, lineage checkpointed); the size column is one window
+    * PARTITIONED by community over (doc, label) rows. */
+  def linkCommunities(spark: SparkSession, sfDir: String): DataFrame =
+    linkCommunitiesFrom(Tables.documents(spark, sfDir).select("doc_id"))
+
+  /** [[linkCommunities]] over an explicit `(doc_id)` frame. */
+  def linkCommunitiesFrom(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "linkCommunitiesFrom: empty corpus")
+    val t12 = docs.select(col("doc_id").as("src"),
+      explode(array((col("doc_id") * 7 + 3) % n,
+                    (col("doc_id") * 13 + 5) % n)).as("dst"))
+    val t3 = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("src"), ((col("doc_id") * 31 + 11) % n).as("dst"))
+    val und = t12.union(t3)
+      .filter(col("src") =!= col("dst") && col("src") % 5 === col("dst") % 5)
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val labels = graft.operators.Dedup.connectedComponents(und, "a", "b")
+    docs.join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+              coalesce(col("l"), col("doc_id")).as("community_id"))
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy("community_id")))
+      .orderBy("doc_id")
+  }
+
   /** HYBRID retrieval — BM25 lexical candidates and hashed-embedding
     * semantic candidates fused by Reciprocal Rank Fusion
     * (Cormack/Clarke/Büttcher, SIGIR'09: score = Σ 1/(rrfK + rank)), the

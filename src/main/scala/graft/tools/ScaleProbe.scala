@@ -70,7 +70,8 @@ object ScaleProbe {
                             "media_report", "export_manifest",
                             "stream_token_histogram", "ngram_novelty", "source_novelty",
                             "takedown_verify", "stream_sessions_append",
-                            "stream_media_packed")).toList
+                            "stream_media_packed", "link_communities",
+                            "bpe_coverage")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

@@ -428,6 +428,39 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(r.values.toSet.size > 1)
   }
 
+  test("linkCommunities equals scalar union-find ground truth; structure non-degenerate") {
+    import spark.implicits._
+    val n = 200L
+    val ids = (0L until n)
+    // scalar ground truth: union-find over the same-host affine edges
+    val parent = scala.collection.mutable.ArrayBuffer.tabulate(n.toInt)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    ids.foreach { s =>
+      val dsts = Seq((s * 7 + 3) % n, (s * 13 + 5) % n) ++
+        (if (s % 3 == 0) Seq((s * 31 + 11) % n) else Seq())
+      dsts.filter(d => d != s && d % 5 == s % 5).foreach { d =>
+        val (ra, rb) = (find(s.toInt), find(d.toInt)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    // min-id labels + sizes from the union-find
+    val label = ids.map(i => i -> find(i.toInt).toLong).toMap
+    val size = label.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+    val expected = ids.map(i => (i, label(i), size(label(i)))).toSet
+    val got = graft.operators.Ranking.linkCommunitiesFrom(ids.toDF("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // partitioning-invariant
+    val again = graft.operators.Ranking.linkCommunitiesFrom(ids.toDF("doc_id").repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === expected)
+    // non-degenerate: many communities, and real multi-member farms exist
+    val sizes = size.values.toSeq
+    assert(size.size > 10, s"degenerate: only ${size.size} communities")
+    assert(sizes.max > 2, s"no multi-member farm (max size ${sizes.max})")
+    assert(sizes.count(_ == 1) > 0, "no singletons — gating structure lost")
+  }
+
   test("url dedup: canonical forms are lowercase-host, no tracking debris") {
     val rows = TextAnalysis.urlDedup(spark, sf0001).collect()
     assert(rows.nonEmpty)

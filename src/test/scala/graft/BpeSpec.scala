@@ -105,4 +105,31 @@ class BpeSpec extends SparkSpecBase {
     // every corpus token is attributed to exactly one language row
     assert(rows.map(_.getLong(idx("n_words"))).sum === lw.length.toLong)
   }
+
+  test("bpeCoverage: byte-fallback fires on a foreign alphabet; merge coverage on known text") {
+    import org.apache.spark.sql.functions._
+    // train: latin text with one dominant bigram so a merge IS learned;
+    // eval: one doc reusing the train alphabet (covered by merges, zero
+    // fallback) and one doc in a foreign alphabet (every char unseen →
+    // pure byte fallback, costed in UTF-8 bytes).
+    val train = Seq((1L, "en", "abab abab abab cd"), (2L, "en", "abab cd cd"))
+      .toDF("doc_id", "lang", "text")
+    val eval = Seq((10L, "en", "abab abab"), (20L, "ru", "жжж жжж"))
+      .toDF("doc_id", "lang", "text")
+    val got = Bpe.bpeCoverageFrom(train, eval, merges = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    // 'en' eval: "abab" fully merged after (a,b)->(ab)->(abab)-style rounds
+    val (enPieces, enChars, enCov, enFb, enFbRate) = got("en")
+    assert(enChars === 8L)
+    assert(enCov === 1.0, s"train-alphabet text must be fully merge-covered, got $enCov")
+    assert(enFb === 0L && enFbRate === 0.0)
+    // 'ru' eval: no char of 'ж' ever seen in train → every piece is a
+    // single unseen char; UTF-8 'ж' is 2 bytes, 6 chars → 12 bytes
+    val (ruPieces, ruChars, ruCov, ruFb, ruFbRate) = got("ru")
+    assert(ruPieces === 6L && ruChars === 6L)
+    assert(ruCov === 0.0)
+    assert(ruFb === 12L, s"expected 12 fallback bytes (6 × 2-byte ж), got $ruFb")
+    assert(ruFbRate === 1.0)
+  }
 }
