@@ -93,6 +93,8 @@ object SparkEntry {
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
+    "stream_tumbling_append" -> ((s, d) => graft.streaming.EventStreams.streamTumblingAppendQuery(s, d)),
+    "stream_late_audit" -> ((s, d) => graft.streaming.EventStreams.streamLateAuditQuery(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.EventStreams.streamDedupQuery(s, d)),
     "stream_enrich" -> ((s, d) => graft.streaming.EventStreams.streamEnrichQuery(s, d)),
     "stream_sliding" -> ((s, d) => graft.streaming.EventStreams.streamSlidingQuery(s, d)),
@@ -160,6 +162,7 @@ object SparkEntry {
     "tfidf_terms" -> ((s, d) => Ranking.tfidfTerms(s, d)),
     "link_rank" -> ((s, d) => Ranking.linkRank(s, d)),
     "link_communities" -> ((s, d) => Ranking.linkCommunities(s, d)),
+    "community_rollup" -> ((s, d) => Ranking.communityRollup(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
@@ -1264,6 +1267,40 @@ object SparkEntry {
         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
         |SELECT doc_id, community_id, count(*) OVER (PARTITION BY community_id) AS community_size
         |FROM lbl ORDER BY doc_id""".stripMargin,
+    // community_rollup: the per-farm table — size, internal edges, link
+    // density (1.0 = clique) and full-graph citation mass per multi-member
+    // community; singletons excluded (the normal web).
+    "community_rollup" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0),
+        |ed AS (SELECT DISTINCT src, dst FROM t WHERE src <> dst),
+        |eu AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed
+        |  WHERE src % 5 = dst % 5),
+        |edges AS (SELECT a, b FROM eu UNION SELECT b, a FROM eu),
+        |reach AS (SELECT a AS v, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT v, least(v, min(r)) AS community_id FROM reach GROUP BY v),
+        |lbl AS (SELECT d.doc_id, COALESCE(c.community_id, d.doc_id) AS community_id
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+        |sz AS (SELECT community_id, count(*) AS n_members FROM lbl GROUP BY 1),
+        |m AS (SELECT doc_id, l.community_id, n_members FROM lbl l JOIN sz USING (community_id)
+        |      WHERE n_members >= 2),
+        |ind AS (SELECT dst, count(*) AS in_links FROM ed GROUP BY dst),
+        |mass AS (SELECT community_id, CAST(max(n_members) AS BIGINT) AS n_members,
+        |    CAST(sum(COALESCE(i.in_links, 0)) AS BIGINT) AS total_in_links
+        |  FROM m LEFT JOIN ind i ON m.doc_id = i.dst GROUP BY community_id),
+        |ie AS (SELECT m.community_id, count(*) AS n_internal_edges
+        |  FROM eu JOIN m ON eu.a = m.doc_id GROUP BY 1)
+        |SELECT mass.community_id, mass.n_members,
+        |  CAST(COALESCE(ie.n_internal_edges, 0) AS BIGINT) AS n_internal_edges,
+        |  round(CAST(COALESCE(ie.n_internal_edges, 0) AS DOUBLE) /
+        |        (mass.n_members * (mass.n_members - 1) / 2), 4) AS link_density,
+        |  mass.total_in_links
+        |FROM mass LEFT JOIN ie ON mass.community_id = ie.community_id
+        |ORDER BY mass.community_id""".stripMargin,
     // triangle_count: same affine edge derivation, symmetrized; the
     // oracle replays the degree orientation and both joins.
     "triangle_count" ->
@@ -1422,6 +1459,32 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    // stream_tumbling_append: the same hourly aggregate, restricted to
+    // windows the final watermark (max ts − 10 min) has CLOSED — Append
+    // emits a window once, when window_end ≤ watermark.
+    "stream_tumbling_append" ->
+      """WITH w AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS wm FROM events),
+        |a AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+        |        count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |      FROM events GROUP BY h, event_type)
+        |SELECT strftime(h, '%Y-%m-%d %H:00:00') AS hour, event_type, n_events, sum_value
+        |FROM a, w WHERE h + INTERVAL 1 HOUR <= wm ORDER BY hour, event_type""".stripMargin,
+    // stream_late_audit: the three-batch late-drop semantics modeled as
+    // sequential CTEs — Spark's late filter runs one batch behind
+    // eviction, so batch 2's rows are filtered against the BATCH-0
+    // watermark (propagated by the bridge batch); emitted windows are
+    // those closed under the final watermark, whose max-tracking
+    // includes the dropped rows.
+    "stream_late_audit" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, event_id FROM events),
+        |w0 AS (SELECT max(tsu) - INTERVAL 10 MINUTE AS wm FROM e WHERE event_id % 8 NOT IN (0, 4)),
+        |w1 AS (SELECT max(tsu) - INTERVAL 10 MINUTE AS wm FROM e),
+        |counted AS (SELECT date_trunc('hour', tsu) AS h, event_type FROM e
+        |  WHERE event_id % 8 <> 0
+        |     OR date_trunc('hour', tsu) + INTERVAL 1 HOUR > (SELECT wm FROM w0)),
+        |a AS (SELECT h, event_type, count(*) AS n_events FROM counted GROUP BY 1, 2)
+        |SELECT strftime(h, '%Y-%m-%d %H:00:00') AS hour, event_type, n_events
+        |FROM a, w1 WHERE h + INTERVAL 1 HOUR <= w1.wm ORDER BY hour, event_type""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY fp""".stripMargin,

@@ -284,27 +284,80 @@ object Ranking {
   def linkCommunities(spark: SparkSession, sfDir: String): DataFrame =
     linkCommunitiesFrom(Tables.documents(spark, sfDir).select("doc_id"))
 
-  /** [[linkCommunities]] over an explicit `(doc_id)` frame. */
-  def linkCommunitiesFrom(docs: DataFrame): DataFrame = {
-    val n = docs.count()
-    require(n > 0, "linkCommunitiesFrom: empty corpus")
+  /** The directed affine link edges (the [[linkRankFrom]] derivation),
+    * self-loops dropped, dedup'd. */
+  private def affineEdges(docs: DataFrame, n: Long): DataFrame = {
     val t12 = docs.select(col("doc_id").as("src"),
       explode(array((col("doc_id") * 7 + 3) % n,
                     (col("doc_id") * 13 + 5) % n)).as("dst"))
     val t3 = docs.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id").as("src"), ((col("doc_id") * 31 + 11) % n).as("dst"))
-    val und = t12.union(t3)
-      .filter(col("src") =!= col("dst") && col("src") % 5 === col("dst") % 5)
+    t12.union(t3).filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** The SAME-HOST undirected edge set (a < b, distinct) the community
+    * family groups over. */
+  private def hostEdges(docs: DataFrame, n: Long): DataFrame =
+    affineEdges(docs, n)
+      .filter(col("src") % 5 === col("dst") % 5)
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val labels = graft.operators.Dedup.connectedComponents(und, "a", "b")
+
+  /** [[linkCommunities]] over an explicit `(doc_id)` frame. */
+  def linkCommunitiesFrom(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "linkCommunitiesFrom: empty corpus")
+    val labels = graft.operators.Dedup.connectedComponents(hostEdges(docs, n), "a", "b")
     docs.join(labels, col("doc_id") === col("v"), "left")
       .select(col("doc_id"),
               coalesce(col("l"), col("doc_id")).as("community_id"))
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy("community_id")))
       .orderBy("doc_id")
+  }
+
+  /** COMMUNITY ROLLUP — the per-FARM table the curation pipeline actually
+    * reads off [[linkCommunities]]'s per-document labels: for every
+    * multi-member community, its size, internal edge count, LINK DENSITY
+    * (internal edges / possible pairs — 1.0 is a clique, the strongest
+    * farm signal) and TOTAL IN-LINKS over the full link graph (how much
+    * the farm is cited from outside its host — the raw citation mass
+    * PageRank redistributes). Size × density ranks the down-weighting
+    * candidates; singleton communities are excluded (they ARE the normal
+    * web and would make the rollup corpus-sized for zero information).
+    *
+    * 100 TB: labels from the shared CC; both aggregates partial-agg over
+    * (label) keys; every internal edge is within one community BY
+    * CONSTRUCTION (components are edge-closed), so the edge attribution
+    * is a single equi-join on the `a` endpoint — no pair re-derivation.
+    * Output is bounded by the farm count, not the corpus. */
+  def communityRollup(spark: SparkSession, sfDir: String): DataFrame =
+    communityRollupFrom(Tables.documents(spark, sfDir).select("doc_id"))
+
+  /** [[communityRollup]] over an explicit `(doc_id)` frame. */
+  def communityRollupFrom(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "communityRollupFrom: empty corpus")
+    val members = linkCommunitiesFrom(docs).filter(col("community_size") >= 2)
+    val inDeg = affineEdges(docs, n)
+      .groupBy("dst").agg(count(lit(1)).as("in_links"))
+    val perDoc = members
+      .join(inDeg, col("doc_id") === col("dst"), "left")
+      .groupBy("community_id")
+      .agg(count(lit(1)).as("n_members"),
+           sum(coalesce(col("in_links"), lit(0L))).as("total_in_links"))
+    val internal = hostEdges(docs, n)
+      .join(members.select(col("doc_id").as("a"), col("community_id")), Seq("a"))
+      .groupBy("community_id").agg(count(lit(1)).as("n_internal_edges"))
+    perDoc.join(internal, Seq("community_id"), "left")
+      .select(col("community_id"), col("n_members"),
+        coalesce(col("n_internal_edges"), lit(0L)).as("n_internal_edges"),
+        duckRound(coalesce(col("n_internal_edges"), lit(0L)).cast("double") /
+          (col("n_members") * (col("n_members") - 1) / 2).cast("double"), 4)
+          .as("link_density"),
+        col("total_in_links"))
+      .orderBy("community_id")
   }
 
   /** HYBRID retrieval — BM25 lexical candidates and hashed-embedding

@@ -265,6 +265,75 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** Driver-verified: the PRODUCTION tumbling form — the same hourly
+    * aggregate in APPEND mode, where a window row is emitted exactly once
+    * when the watermark (max event time − 10 min) passes its end, and its
+    * state is evicted at that moment. Complete mode re-emits EVERY window
+    * ever seen at each trigger — unusable over an unbounded stream; Append
+    * keeps state bounded to the open windows (≤ watermark-delay/window-len
+    * per group). Oracle = the batch hourly aggregate restricted to windows
+    * with `window_end ≤ final watermark` (the emission rule modeled — the
+    * [[streamSessionsAppendQuery]] discipline); the trailing open windows
+    * are absent by design. */
+  def streamTumblingAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val result = runToCompletion(spark,
+      tumblingCounts(eventsStream(spark, sfDir)),
+      "stream_tumbling_append", OutputMode.Append())
+    result
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:00:00").as("hour"),
+              col("event_type"), col("n_events"),
+              duckRound(col("sum_value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Driver-verified: LATE-DATA semantics made observable — the one
+    * behavior that separates streaming correctness from batch replay. The
+    * events table arrives in THREE ordered micro-batches (`event_id mod
+    * 8` split, mtime-forced order, `maxFilesPerTrigger=1`): batch 0
+    * (id % 8 ∉ {0,4}, 3/4 of events) establishes the watermark; batch 1
+    * (id % 8 = 4) is the BRIDGE that propagates it — Spark's late-event
+    * filter runs one batch BEHIND eviction (SPARK-24634's two watermarks:
+    * `eventTimeWatermarkForLateEvents` is the PREVIOUS batch's value, so
+    * with only two batches the filter never sees a non-zero watermark and
+    * nothing is ever late — measured, not read); batch 2 (id % 8 = 0) is
+    * a time-uniform sample, so most of its rows are LATE under the now-
+    * propagated batch-0 watermark and Spark DROPS them
+    * (`numRowsDroppedByWatermark`), while its head-of-stream rows land in
+    * still-open windows and count. The lag also guarantees consistency:
+    * batch 2's late filter equals batch 1's eviction bound, so a
+    * surviving row can never target an already-emitted window (no
+    * duplicate emission) — the reason Spark lags the filter at all.
+    *
+    * The oracle models the operational semantics exactly (the
+    * `stream_ingest` discipline — sequential CTEs, not a batch
+    * approximation): a batch-2 row counts iff its window end is above
+    * the batch-0 watermark; emitted windows are those closed under the
+    * FINAL watermark (whose max-tracking includes dropped rows). At
+    * 100 TB this is the audit a pipeline runs before trusting a
+    * streaming aggregate: how much arrived too late to count, and the
+    * answer is a modeled number, not a shrug. */
+  def streamLateAuditQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("event_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_audit")
+    dir.toFile.deleteOnExit()
+    stageStreamFile(ev.filter(col("event_id") % 8 =!= 0 && col("event_id") % 8 =!= 4),
+                    dir, "b0", 1000000L)
+    stageStreamFile(ev.filter(col("event_id") % 8 === 4), dir, "b1", 2000000L)
+    stageStreamFile(ev.filter(col("event_id") % 8 === 0), dir, "b2", 3000000L)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n_events"))
+    runToCompletion(spark, agg, "stream_late_audit", OutputMode.Append())
+      .select(date_format(col("ws"), "yyyy-MM-dd HH:00:00").as("hour"),
+              col("event_type"), col("n_events"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Driver-verified: the HOPPING (sliding) window aggregation as a real
     * streaming query — hourly aggregates advancing every 15 minutes, each
     * event entering 4 overlapping windows via the same Expand the batch

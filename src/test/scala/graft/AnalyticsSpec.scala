@@ -459,6 +459,37 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(size.size > 10, s"degenerate: only ${size.size} communities")
     assert(sizes.max > 2, s"no multi-member farm (max size ${sizes.max})")
     assert(sizes.count(_ == 1) > 0, "no singletons — gating structure lost")
+
+    // --- rollup over the same graph reconciles with the scalar model ---
+    val hostE = (for {
+      s <- ids
+      d <- Seq((s * 7 + 3) % n, (s * 13 + 5) % n) ++
+        (if (s % 3 == 0) Seq((s * 31 + 11) % n) else Seq())
+      if d != s && d % 5 == s % 5
+    } yield (math.min(s, d), math.max(s, d))).distinct
+    val fullE = (for {
+      s <- ids
+      d <- Seq((s * 7 + 3) % n, (s * 13 + 5) % n) ++
+        (if (s % 3 == 0) Seq((s * 31 + 11) % n) else Seq())
+      if d != s
+    } yield (s, d)).distinct
+    val inDeg = fullE.groupBy(_._2).map { case (d, es) => d -> es.size.toLong }
+    val farms = label.groupBy(_._2).filter(_._2.size >= 2)
+    val expRoll = farms.map { case (l, ms) =>
+      val mem = ms.keySet
+      val ie = hostE.count { case (a, b) => mem(a) && mem(b) }
+      (l, ms.size.toLong, ie.toLong,
+       mem.toSeq.map(m => inDeg.getOrElse(m, 0L)).sum)
+    }.toSet
+    val gotRoll = graft.operators.Ranking.communityRollupFrom(ids.toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    assert(gotRoll === expRoll)
+    // density sanity: every community's density in (0, 1]; at least one
+    // non-clique (density < 1) so the column discriminates
+    val dens = graft.operators.Ranking.communityRollupFrom(ids.toDF("doc_id"))
+      .collect().map(_.getDouble(3))
+    assert(dens.forall(d => d > 0.0 && d <= 1.0))
+    assert(dens.exists(_ < 1.0), "every farm a clique — density column vacuous on fixture")
   }
 
   test("url dedup: canonical forms are lowercase-host, no tracking debris") {

@@ -88,6 +88,68 @@ class StreamingSpec extends SparkSpecBase {
     assert(df.isStreaming)
   }
 
+  test("late audit: watermark drops are real, counted, and match the lagged-filter model") {
+    // Re-run the op's exact 3-batch staging with progress introspection:
+    // the late filter must actually FIRE (numRowsDroppedByWatermark > 0)
+    // — round 9 established that a 2-batch stage never drops anything
+    // because Spark's late filter runs one batch behind eviction
+    // (eventTimeWatermarkForLateEvents), so this gate keeps the op from
+    // silently degenerating into stream_tumbling_append.
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("ts"), col("event_type"), col("event_id"))
+    val dir = java.nio.file.Files.createTempDirectory("late_spec")
+    EventStreams.stageStreamFile(ev.filter(col("event_id") % 8 =!= 0 && col("event_id") % 8 =!= 4),
+                                 dir, "b0", 1000000L)
+    EventStreams.stageStreamFile(ev.filter(col("event_id") % 8 === 4), dir, "b1", 2000000L)
+    EventStreams.stageStreamFile(ev.filter(col("event_id") % 8 === 0), dir, "b2", 3000000L)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("late_spec")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dropped = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped > 0L, "no rows dropped — the late path is not being exercised")
+
+    // the scalar model: batch-2 rows count iff their window was open
+    // under the batch-0 watermark; emitted windows close under the final
+    val rows = ev.collect().map(r =>
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+    val hourMs = 3600000L; val delayMs = 600000L
+    val w0 = rows.filter(r => r._3 % 8 != 0 && r._3 % 8 != 4).map(_._1).max - delayMs
+    val wF = rows.map(_._1).max - delayMs
+    def hourStart(t: Long) = t - Math.floorMod(t, hourMs)
+    val counted = rows.filter(r => r._3 % 8 != 0 || hourStart(r._1) + hourMs > w0)
+    val expected = counted.groupBy(r => (hourStart(r._1), r._2))
+      .filter { case ((h, _), _) => h + hourMs <= wF }
+      .map { case ((h, et), rs) => (h, et, rs.length.toLong) }.toSet
+    val got = spark.table("late_spec").collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(dropped === rows.count(r => r._3 % 8 == 0 && hourStart(r._1) + hourMs <= w0).toLong,
+      "drop count differs from the lagged-filter model")
+  }
+
+  test("append-mode tumbling emits exactly the watermark-closed window subset") {
+    // Same discipline as the sessions pair: Append withholds only the
+    // trailing windows whose end the final watermark has not passed.
+    val append = EventStreams.streamTumblingAppendQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val complete = EventStreams.streamTumblingQuery(spark, sf0001).collect().map(_.toSeq)
+    val wmMs = graft.sources.Tables.events(spark, sf0001)
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime - 600000L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    val expected = complete.filter { r =>
+      fmt.parse(r.head.asInstanceOf[String]).getTime + 3600000L <= wmMs
+    }.toSet
+    assert(append === expected)
+    assert(append.nonEmpty && append.size < complete.size,
+      s"degenerate fixture: ${append.size} of ${complete.size} windows closed")
+  }
+
   test("append-mode sessions emit exactly the watermark-closed subset of complete mode") {
     // The production form: Append emits a session once, when the final
     // watermark (max ts − 10 min) passes its end (last event + 30 min gap);
