@@ -141,6 +141,8 @@ object SparkEntry {
     "ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "source_novelty" -> ((s, d) => TextAnalysis.sourceNovelty(s, d)),
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
+    "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    "source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
@@ -1124,6 +1126,52 @@ object SparkEntry {
     "sample_hash" ->
       """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |SELECT doc_id, fp FROM f WHERE substring(fp, 1, 1) <= '1' ORDER BY doc_id""".stripMargin,
+    // vocab_growth: Heaps-law curve — a word's contribution is its FIRST
+    // slice; cumulative sums window over the 10 slice rows.
+    "vocab_growth" ->
+      """WITH nn AS (SELECT (count(*) + 9) // 10 AS per FROM documents),
+        |w AS (SELECT doc_id // (SELECT per FROM nn) AS slice,
+        |        unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS word
+        |      FROM documents),
+        |db AS (SELECT doc_id // (SELECT per FROM nn) AS slice, count(*) AS n_docs FROM documents GROUP BY 1),
+        |tb AS (SELECT slice, count(*) AS n_tokens FROM w GROUP BY slice),
+        |fs AS (SELECT word, min(slice) AS slice FROM w GROUP BY word),
+        |nt AS (SELECT slice, count(*) AS new_types FROM fs GROUP BY slice),
+        |j AS (SELECT db.slice AS slice, n_docs, COALESCE(n_tokens, 0) AS n_tokens,
+        |        COALESCE(new_types, 0) AS new_types
+        |      FROM db LEFT JOIN tb ON db.slice = tb.slice LEFT JOIN nt ON db.slice = nt.slice),
+        |c AS (SELECT slice,
+        |        CAST(sum(n_docs) OVER (ORDER BY slice) AS BIGINT) AS cum_docs,
+        |        CAST(sum(n_tokens) OVER (ORDER BY slice) AS BIGINT) AS cum_tokens,
+        |        CAST(new_types AS BIGINT) AS new_types,
+        |        CAST(sum(new_types) OVER (ORDER BY slice) AS BIGINT) AS cum_vocab
+        |      FROM j)
+        |SELECT slice, cum_docs, cum_tokens, new_types, cum_vocab,
+        |  round(CAST(cum_vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE), 6) + 0.0 AS type_token_ratio
+        |FROM c ORDER BY slice""".stripMargin,
+    // source_divergence: pairwise Jensen–Shannon over source unigram
+    // distributions — shared-word join terms plus the probability-mass
+    // complements for one-sided words (identical decomposition).
+    "source_divergence" ->
+      """WITH w AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS word FROM documents),
+        |c AS (SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |d AS (SELECT c.source AS source, word, CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS p FROM c JOIN t ON c.source = t.source),
+        |j AS (SELECT a.source AS source_a, b.source AS source_b, a.p AS p, b.p AS q
+        |      FROM d a JOIN d b ON a.word = b.word AND a.source < b.source),
+        |g AS (SELECT source_a, source_b, count(*) AS n_shared_types,
+        |        sum(log2(2.0 * p / (p + q)) * p) AS term_p,
+        |        sum(log2(2.0 * q / (p + q)) * q) AS term_q,
+        |        sum(p) AS mass_p, sum(q) AS mass_q
+        |      FROM j GROUP BY 1, 2),
+        |pr AS (SELECT x.source AS source_a, y.source AS source_b
+        |       FROM t x JOIN t y ON x.source < y.source)
+        |SELECT pr.source_a, pr.source_b, CAST(COALESCE(n_shared_types, 0) AS BIGINT) AS n_shared_types,
+        |  round(0.5 * (COALESCE(term_p, 0.0) + COALESCE(term_q, 0.0)
+        |    + (CAST(1 AS DOUBLE) - COALESCE(mass_p, 0.0))
+        |    + (CAST(1 AS DOUBLE) - COALESCE(mass_q, 0.0))), 4) + 0.0 AS js_divergence
+        |FROM pr LEFT JOIN g ON pr.source_a = g.source_a AND pr.source_b = g.source_b
+        |ORDER BY pr.source_a, pr.source_b""".stripMargin,
     "stratified_sample" ->
       """WITH f AS (SELECT doc_id, lang, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents),
         |r AS (SELECT lang, doc_id, fp, row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk FROM f)

@@ -29,6 +29,113 @@ object TextAnalysis {
            sum("n_words").as("total_words"))
       .orderBy("lang")
 
+  /** VOCABULARY GROWTH curve (Heaps' law measured, not assumed) — distinct
+    * word types vs. cumulative token mass over ten id-ordered corpus
+    * slices: the saturation diagnostic behind every feature-selectivity
+    * argument in this repo (prefix-filtered n-gram joins scale exactly
+    * while vocabulary keeps growing; when the curve flattens, rare-feature
+    * pruning collapses and the LSH paths take over — §6.1's closed/open
+    * regime sweep, measured per-corpus here instead of asserted). Emits,
+    * per decile: cumulative docs, tokens, distinct vocabulary, the
+    * type-token ratio, and the NEW types the decile contributed.
+    *
+    * 100 TB: cumulative distinct needs no cumulative scan — a word's
+    * contribution is fully described by its FIRST decile (one groupBy-min
+    * over the token explode, partial-agg'd), vocabulary-by-decile is a
+    * 10-row rollup of that, and the cumulative sums window over 10 rows.
+    * The heavy shuffle carries (word, min-decile) pairs once. */
+  def vocabGrowth(spark: SparkSession, sfDir: String, slices: Int = 10): DataFrame =
+    vocabGrowthFrom(Tables.documents(spark, sfDir), slices)
+
+  /** [[vocabGrowth]] over an explicit `(doc_id, text)` frame. */
+  def vocabGrowthFrom(docs: DataFrame, slices: Int = 10): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "vocabGrowth: empty corpus")
+    val per = (n + slices - 1) / slices   // ceil(N/slices) ids per slice
+    val words = docs
+      .select(expr(s"doc_id div $per").as("slice"),
+              explode(tokenize(col("text"))).as("word"))
+    // doc counts from the table itself (a token-less doc still counts)
+    val docsBy = docs.groupBy(expr(s"doc_id div $per").as("slice"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tokensBy = words.groupBy("slice").agg(count(lit(1)).as("n_tokens"))
+    val firstSlice = words.groupBy("word").agg(min("slice").as("slice"))
+    val newTypesBy = firstSlice.groupBy("slice").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("slice")  // 10 metadata rows — single partition is the point
+    docsBy.join(tokensBy, Seq("slice"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .join(newTypesBy, Seq("slice"), "left")
+      .select(col("slice"), col("n_docs"), col("n_tokens"),
+              coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_vocab", sum("new_types").over(w))
+      .select(col("slice"), col("cum_docs"), col("cum_tokens"), col("new_types"),
+              col("cum_vocab"),
+              (duckRound(col("cum_vocab").cast("double") / col("cum_tokens").cast("double"), 6)
+                + lit(0.0)).as("type_token_ratio"))
+      .orderBy("slice")
+  }
+
+  /** SOURCE DIVERGENCE matrix — pairwise Jensen–Shannon divergence between
+    * the sources' unigram distributions: the distributional complement of
+    * `corpus_overlap` (that one counts shared DOCUMENTS; this one measures
+    * how differently two sources USE LANGUAGE, catching near-identical
+    * mirrors whose docs are all distinct). JS is symmetric, bounded in
+    * [0, 1] (log₂), and defined when supports differ — the
+    * mixture-design input for deciding whether two crawls are redundant.
+    *
+    * Relational decomposition (the trick that makes it one equi-join):
+    * JS = ½[Σ_both(p·log₂(2p/(p+q)) + q·log₂(2q/(p+q))) + (1−Σ_both p)
+    * + (1−Σ_both q)] — words on only one side contribute their whole
+    * probability mass through the complements, so only the SHARED-word
+    * join is ever materialized. Float discipline: probabilities are exact
+    * count ratios, the per-pair sums round at 4 dp (the `embedding_drift`
+    * tolerance for unordered double sums), signed zero normalized.
+    *
+    * 100 TB: token counts partial-agg to |sources|×vocab rows; the pair
+    * join is an equi-join ON WORD (each word's row set is ≤ |sources|,
+    * so the join never exceeds vocab·|sources|²); output is the
+    * |sources|² matrix — trivially collectable. */
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame =
+    sourceDivergenceFrom(Tables.documents(spark, sfDir))
+
+  /** [[sourceDivergence]] over an explicit `(source, text)` frame. */
+  def sourceDivergenceFrom(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(tokenize(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum("c").as("tot"))
+    val dist = counts.join(totals, "source")
+      .select(col("source"), col("word"),
+              (col("c").cast("double") / col("tot").cast("double")).as("p"))
+    val both = dist.as("a")
+      .join(dist.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+              col("a.p").as("p"), col("b.p").as("q"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(log2(lit(2.0) * col("p") / (col("p") + col("q"))) * col("p")).as("term_p"),
+           sum(log2(lit(2.0) * col("q") / (col("p") + col("q"))) * col("q")).as("term_q"),
+           sum("p").as("mass_p"), sum("q").as("mass_q"),
+           count(lit(1)).as("n_shared_types"))
+    // scaffold of ALL source pairs: a vocabulary-DISJOINT pair has no
+    // shared-word group at all, yet it is the matrix's most important
+    // cell (JS exactly 1) — |sources|² rows, trivially joined
+    val srcs = totals.select(col("source"))
+    val pairs = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+    pairs.join(both, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared_types"), lit(0L)).as("n_shared_types"),
+        (duckRound(lit(0.5) * (coalesce(col("term_p"), lit(0.0)) +
+            coalesce(col("term_q"), lit(0.0)) +
+            (lit(1.0) - coalesce(col("mass_p"), lit(0.0))) +
+            (lit(1.0) - coalesce(col("mass_q"), lit(0.0)))), 4) + lit(0.0))
+          .as("js_divergence"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Within-document repetition score — the boilerplate/duplication signal
     * corpus quality filters cut on: 1 − distinct/total word-trigrams. A
     * document that repeats itself (template spam, boilerplate, looped

@@ -625,4 +625,53 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(retained.nonEmpty && retained.size < docs.length,
       "k-anonymity gate is degenerate on the fixture")
   }
+
+  test("vocabGrowth: growing and saturating vocabularies both measured exactly") {
+    import spark.implicits._
+    // OPEN vocabulary: doc i contributes a fresh word ("w<i>") plus a
+    // shared one — the curve must keep growing, one new type per slice
+    // beyond the shared word.
+    // letter-only fresh words — the tokenizer splits on non-letters, so a
+    // digit suffix would collapse every "w<i>" into the same type "w"
+    val open = (0L until 40L).map(i =>
+      (i, s"shared w${('a' + i / 26).toChar}${('a' + i % 26).toChar}")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.vocabGrowthFrom(open, slices = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 4 slices × 10 docs; slice 0 introduces 'shared' + 10 fresh = 11
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(got(0)._4 === 11L)
+    assert(got.drop(1).forall(_._4 === 10L), s"open vocab must add 10 types/slice: ${got.toSeq}")
+    assert(got(3)._5 === 41L && got(3)._3 === 80L && got(3)._2 === 40L)
+    // CLOSED vocabulary: every doc reuses the same two words — new_types
+    // collapses to slice 0 and the cumulative curve is flat.
+    val closed = (0L until 40L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val flat = graft.operators.TextAnalysis.vocabGrowthFrom(closed, slices = 4)
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(flat.head === ((2L, 2L)))
+    assert(flat.drop(1).forall(_._1 == 0L) && flat.forall(_._2 == 2L))
+  }
+
+  test("sourceDivergence: known JS vectors — identical 0, disjoint 1, skewed mid") {
+    import spark.implicits._
+    val docs = Seq(
+      ("same_a", "alpha beta alpha beta"),
+      ("same_b", "beta alpha beta alpha"),      // identical distribution → JS 0
+      ("other", "gamma delta gamma delta"),     // disjoint vocab vs same_* → JS 1
+      ("skew", "alpha alpha alpha beta")        // same support as same_*, skewed
+    ).toDF("source", "text")
+    val got = graft.operators.TextAnalysis.sourceDivergenceFrom(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("same_a", "same_b")) === ((2L, 0.0)))
+    assert(got(("other", "same_a")) === ((0L, 1.0)) || got(("same_a", "other")) === ((0L, 1.0)))
+    // hand-computed: p=(.5,.5), q=(.75,.25) → JS = 1 - 0.5*(H-terms)…
+    // = 0.5*[.5·log2(2·.5/1.25) + .5·log2(2·.5/.75) + .75·log2(2·.75/1.25) + .25·log2(2·.25/.75)]
+    val expSkew = 0.5 * (0.5 * math.log(1.0 / 1.25) / math.log(2) +
+      0.5 * math.log(1.0 / 0.75) / math.log(2) +
+      0.75 * math.log(1.5 / 1.25) / math.log(2) +
+      0.25 * math.log(0.5 / 0.75) / math.log(2))
+    val gotSkew = got.find { case ((a, b), _) => Set(a, b) == Set("same_a", "skew") }.get._2._2
+    assert(math.abs(gotSkew - expSkew) < 1e-4, s"$gotSkew vs $expSkew")
+    // bounds hold everywhere
+    got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
+  }
 }
