@@ -95,6 +95,7 @@ object SparkEntry {
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
     "stream_tumbling_append" -> ((s, d) => graft.streaming.EventStreams.streamTumblingAppendQuery(s, d)),
     "stream_late_audit" -> ((s, d) => graft.streaming.EventStreams.streamLateAuditQuery(s, d)),
+    "stream_dedup_bounded" -> ((s, d) => graft.streaming.EventStreams.streamDedupBoundedQuery(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.EventStreams.streamDedupQuery(s, d)),
     "stream_enrich" -> ((s, d) => graft.streaming.EventStreams.streamEnrichQuery(s, d)),
     "stream_sliding" -> ((s, d) => graft.streaming.EventStreams.streamSlidingQuery(s, d)),
@@ -1536,6 +1537,29 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
+    // stream_dedup_bounded: the pinned dropDuplicatesWithinWatermark state
+    // machine replayed in SQL — first-occurrence state (no extension);
+    // the eviction watermark LAGS one batch (like the late filter), so
+    // state alive in segment s is what survived the running max through
+    // segment s-2; same-segment re-uploads always dedup.
+    "stream_dedup_bounded" ->
+      """WITH b AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |             doc_id % 1440 AS m0 FROM documents),
+        |u AS (SELECT doc_id, fp, m0 AS m FROM b
+        |      UNION ALL SELECT doc_id, fp, m0 + 20 FROM b WHERE doc_id % 7 = 3 AND doc_id % 2 = 1
+        |      UNION ALL SELECT doc_id, fp, m0 + 600 FROM b WHERE doc_id % 7 = 3 AND doc_id % 2 = 0),
+        |us AS (SELECT doc_id, fp, m, m // 300 AS seg FROM u),
+        |sm AS (SELECT seg, max(m) AS mseg FROM us GROUP BY seg),
+        |rm AS (SELECT seg, max(mseg) OVER (ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mrun FROM sm),
+        |pv AS (SELECT seg, lag(mrun, 2) OVER (ORDER BY seg) AS mprev FROM rm),
+        |g AS (SELECT fp, min(doc_id) AS doc_id, count(*) AS n_uploads, min(m) AS m1,
+        |        min(m) // 300 AS seg1, max(m) // 300 AS seg2 FROM us GROUP BY fp)
+        |SELECT doc_id, CAST(n_uploads AS BIGINT) AS n_uploads,
+        |  CAST(CASE WHEN n_uploads = 1 THEN 1
+        |       WHEN seg2 = seg1 THEN 1
+        |       WHEN m1 + 100 <= (SELECT mprev FROM pv WHERE pv.seg = g.seg2) THEN 2
+        |       ELSE 1 END AS BIGINT) AS n_emits
+        |FROM g ORDER BY doc_id""".stripMargin,
     "stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey

@@ -423,6 +423,72 @@ object EventStreams {
       .orderBy("fp")
   }
 
+  /** Driver-verified: BOUNDED-STATE streaming dedup — the production form
+    * of [[streamDedupQuery]], whose `dropDuplicates` state grows one
+    * digest per distinct document FOREVER (unacceptable over an unbounded
+    * 100 TB ingest stream). `dropDuplicatesWithinWatermark` bounds state
+    * to the watermark horizon, trading the guarantee down to "duplicates
+    * within `delay` of the first upload collapse; a re-upload after the
+    * horizon RESURFACES" — which is also the operationally correct
+    * behavior for a recrawl (the content is news again).
+    *
+    * The replay is a RE-UPLOAD ledger derived from the documents table
+    * (fixed 1-day span at any corpus size: upload minute = doc_id mod
+    * 1440; every 7th doc re-uploads — odd ids +20 min, within the 50-min
+    * horizon → deduped; even ids +600 min, beyond it → resurfaces),
+    * staged as one file per 300-minute segment so micro-batch boundaries
+    * advance the watermark between uploads. Output: per document, uploads
+    * seen vs rows emitted — the dedup-vs-resurfaced audit.
+    *
+    * Oracle = the pinned state machine, measured with MemoryStream probes
+    * (round 9), replayed as SQL over the segment running-max:
+    *   - state holds the FIRST occurrence's event time; duplicates do
+    *     NOT extend it (unlike a refresh-on-access cache);
+    *   - a key is evicted once `first_ts + delay ≤ watermark`, the
+    *     earliest eviction that keeps the guarantee — AND the eviction
+    *     watermark lags one batch exactly like the late filter (state
+    *     alive during batch n is whatever survived the watermark of
+    *     batch n−1, i.e. the running max through batch n−2 − delay;
+    *     measured: with a one-segment re-upload horizon NOTHING ever
+    *     resurfaces), so a re-upload in segment s resurfaces iff
+    *     `first_m ≤ Mrun(s−2) − 2·delay` — the reason the far horizon
+    *     here is TWO segments;
+    *   - a re-upload in the SAME segment as its original always dedupes
+    *     (state is live within a batch);
+    *   - late input drops at `ts ≤ watermark` — unreachable here because
+    *     segments are time-contiguous ascending. */
+  def streamDedupBoundedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val epoch = lit("2024-01-01 00:00:00").cast("timestamp")
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"),
+              (col("doc_id") % 1440).as("m0"))
+    val uploads = base.select(col("doc_id"), col("fp"), col("m0").as("m"))
+      .unionByName(base.filter(col("doc_id") % 7 === 3 && col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("fp"), (col("m0") + 20).as("m")))
+      .unionByName(base.filter(col("doc_id") % 7 === 3 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("fp"), (col("m0") + 600).as("m")))
+      .select(col("doc_id"), col("fp"),
+              timestamp_add("MINUTE", col("m").cast("int"), epoch).as("ts"),
+              expr("m div 300").as("seg"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_bounded")
+    dir.toFile.deleteOnExit()
+    val segs = uploads.select("seg").distinct().orderBy("seg").collect().map(_.getLong(0))
+    segs.foreach { s =>
+      stageStreamFile(uploads.filter(col("seg") === s).select("fp", "ts"),
+                      dir, f"seg$s%03d", 1000000L + s * 1000000L)
+    }
+    val stream = spark.readStream.schema("fp STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val emitted = runToCompletion(spark,
+      stream.withWatermark("ts", "50 minutes").dropDuplicatesWithinWatermark("fp"),
+      "stream_dedup_bounded", OutputMode.Append())
+    emitted.groupBy("fp").agg(count(lit(1)).as("n_emits"))
+      .join(uploads.groupBy("fp").agg(min("doc_id").as("doc_id"),
+              count(lit(1)).as("n_uploads")), Seq("fp"))
+      .select(col("doc_id"), col("n_uploads"), col("n_emits"))
+      .orderBy("doc_id")
+  }
+
   /** Driver-verified: streaming QUALITY-GATED export — the ingest-side
     * composition of a stateless quality gate and stateful exact dedup in
     * ONE streaming query: score each arriving document (identical

@@ -73,7 +73,8 @@ object ScaleProbe {
                             "stream_media_packed", "link_communities",
                             "bpe_coverage", "community_rollup",
                             "stream_tumbling_append", "stream_late_audit",
-                            "vocab_growth", "source_divergence")).toList
+                            "vocab_growth", "source_divergence",
+                            "stream_dedup_bounded")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

@@ -88,6 +88,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(df.isStreaming)
   }
 
+  test("bounded dedup: all three verdicts occur and state is actually evicted") {
+    // The declared query's oracle already pins exact values; this gate
+    // keeps the FIXTURE honest (all three cases live: single upload,
+    // within-horizon dedup, beyond-horizon resurface) and proves the
+    // bounded-state claim by watching evictions happen.
+    val rows = EventStreams.streamDedupBoundedQuery(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val dist = rows.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(dist.keySet === Set((1L, 1L), (2L, 1L), (2L, 2L)),
+      s"fixture degenerate — verdicts seen: $dist")
+    // bounded state: rerun the same shape with progress introspection and
+    // assert the store NEVER holds every distinct fingerprint at once
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val nFps = docs.count()
+    val epoch = lit("2024-01-01 00:00:00").cast("timestamp")
+    val base = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp"),
+      (col("doc_id") % 1440).as("m0"))
+    val uploads = base.select(col("fp"), col("m0").as("m"))
+      .unionByName(base.filter(col("doc_id") % 7 === 3 && col("doc_id") % 2 === 1)
+        .select(col("fp"), (col("m0") + 20).as("m")))
+      .unionByName(base.filter(col("doc_id") % 7 === 3 && col("doc_id") % 2 === 0)
+        .select(col("fp"), (col("m0") + 600).as("m")))
+      .select(col("fp"), timestamp_add("MINUTE", col("m").cast("int"), epoch).as("ts"),
+              expr("m div 300").as("seg"))
+    val dir = java.nio.file.Files.createTempDirectory("dedup_bounded_spec")
+    uploads.select("seg").distinct().collect().map(_.getLong(0)).sorted.foreach { s =>
+      EventStreams.stageStreamFile(uploads.filter(col("seg") === s).select("fp", "ts"),
+        dir, f"seg$s%03d", 1000000L + s * 1000000L)
+    }
+    val q = spark.readStream.schema("fp STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withWatermark("ts", "50 minutes").dropDuplicatesWithinWatermark("fp")
+      .writeStream.format("memory").queryName("dedup_bounded_spec")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val maxState = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    assert(maxState < nFps,
+      s"state never evicted: held $maxState of $nFps fingerprints — unbounded-dedup behavior")
+  }
+
   test("late audit: watermark drops are real, counted, and match the lagged-filter model") {
     // Re-run the op's exact 3-batch staging with progress introspection:
     // the late filter must actually FIRE (numRowsDroppedByWatermark > 0)
