@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, HashEmbed, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash, Winnow, WinnowStats}
+import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, HashEmbed, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, KmvStateAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash, Winnow, WinnowStats}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -58,6 +58,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_kmv(value, k) — distinct-count sketch aggregate")
         KmvAgg(args.head, intArg(args(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_state"),
+      new ExpressionInfo(classOf[KmvStateAgg].getName, "graft_kmv_state"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kmv_state(value, k) — KMV sketch state aggregate")
+        KmvStateAgg(args.head, intArg(args(1)), hashed = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_merge"),
+      new ExpressionInfo(classOf[KmvStateAgg].getName, "graft_kmv_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kmv_merge(hash, k) — KMV rollup over persisted sketch rows")
+        KmvStateAgg(args.head, intArg(args(1)), hashed = true)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_cms"),

@@ -54,6 +54,7 @@ object SparkEntry {
         .orderBy("k")
     }),
     "distinct_sketch" -> ((s, d) => Relational.distinctSketch(s, d)),
+    "sketch_rollup" -> ((s, d) => Relational.sketchRollup(s, d)),
     "freq_sketch" -> ((s, d) => TextAnalysis.freqSketch(s, d)),
     "join_orders_customers" -> ((s, d) => Relational.joinOrdersCustomers(s, d)),
     "multi_join_agg" -> ((s, d) => Relational.multiJoinAgg(s, d)),
@@ -166,6 +167,7 @@ object SparkEntry {
     "link_rank" -> ((s, d) => Ranking.linkRank(s, d)),
     "link_communities" -> ((s, d) => Ranking.linkCommunities(s, d)),
     "community_rollup" -> ((s, d) => Ranking.communityRollup(s, d)),
+    "cocitation" -> ((s, d) => Ranking.cocitation(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
@@ -964,6 +966,27 @@ object SparkEntry {
     // same one-division estimate ((k−1)·2⁶³ is a 6-significant-bit double,
     // exact) — so the approximate count hash-matches bit for bit.
     "distinct_sketch" -> kmvSketchSql,
+    // sketch_rollup: both sketch levels replayed — per-type k-smallest
+    // distinct hashes, then the k smallest of the union of THOSE rows
+    // (never the raw hashes), same estimate CASE at each level.
+    "sketch_rollup" ->
+      """WITH h AS (SELECT event_type, CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS hv
+        |       FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT DISTINCT event_type, hv FROM h),
+        |r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM d),
+        |sk AS (SELECT event_type, hv, rn FROM r WHERE rn <= 64),
+        |per AS (SELECT event_type AS scope, CAST(count(*) AS BIGINT) AS sketch_size,
+        |        round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |          ELSE 63.0 * 9223372036854775808.0 / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END, 4) + 0.0 AS est_distinct
+        |        FROM sk GROUP BY 1),
+        |u AS (SELECT DISTINCT hv FROM sk),
+        |ur AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM u),
+        |usk AS (SELECT hv, rn FROM ur WHERE rn <= 64),
+        |allr AS (SELECT '__all__' AS scope, CAST(count(*) AS BIGINT) AS sketch_size,
+        |        round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |          ELSE 63.0 * 9223372036854775808.0 / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END, 4) + 0.0 AS est_distinct
+        |        FROM usk)
+        |SELECT * FROM per UNION ALL SELECT * FROM allr ORDER BY scope""".stripMargin,
     // stream_distinct_sketch: the SAME sketch maintained as streaming
     // state — the buffer merge is bit-deterministic under any micro-batch
     // split, so the complete-mode final equals the batch sketch exactly.
@@ -1316,6 +1339,22 @@ object SparkEntry {
         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
         |SELECT doc_id, community_id, count(*) OVER (PARTITION BY community_id) AS community_size
         |FROM lbl ORDER BY doc_id""".stripMargin,
+    // cocitation: pairs of documents cited by the same citers — pair
+    // generation from the citing side (out-degree-bounded), in-degrees
+    // joined after the (a, b) collapse, deterministic top-50.
+    "cocitation" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0),
+        |ed AS (SELECT DISTINCT src, dst FROM t WHERE src <> dst),
+        |ind AS (SELECT dst, count(*) AS ind FROM ed GROUP BY dst),
+        |p AS (SELECT x.dst AS a, y.dst AS b, count(*) AS cocite
+        |      FROM ed x JOIN ed y ON x.src = y.src AND x.dst < y.dst GROUP BY 1, 2)
+        |SELECT a, b, cocite, ia.ind AS in_a, ib.ind AS in_b,
+        |  round(CAST(cocite AS DOUBLE) / CAST(ia.ind + ib.ind - cocite AS DOUBLE), 4) + 0.0 AS jaccard
+        |FROM p JOIN ind ia ON p.a = ia.dst JOIN ind ib ON p.b = ib.dst
+        |ORDER BY cocite DESC, a, b LIMIT 50""".stripMargin,
     // community_rollup: the per-farm table — size, internal edges, link
     // density (1.0 = clique) and full-graph citation mass per multi-member
     // community; singletons excluded (the normal web).

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.TextAnalysis
@@ -99,5 +99,98 @@ case class KmvAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KmvAgg =
+    copy(child = newChild)
+}
+
+/** `graft_kmv_state(value, k)` / `graft_kmv_merge(hash, k)` — the
+  * [[KmvAgg]] sketch with its STATE as the result (the sorted `≤k`
+  * smallest 63-bit hashes, ascending `array<bigint>`), which is what makes
+  * KMV a MERGEABLE SUMMARY (Agarwal et al., PODS'12): a per-group sketch
+  * persisted as data can later roll up to any coarser grouping without
+  * touching the raw corpus again, because the k smallest of a union are
+  * found among the union of the per-set k smallest. `graft_kmv_state`
+  * hashes raw string values (first level, over the corpus);
+  * `graft_kmv_merge` consumes ALREADY-HASHED longs (rollup level, over
+  * exploded persisted sketches) — two names so analysis-time input typing
+  * stays strict instead of silently re-hashing a hash.
+  *
+  * Scale contract: identical to [[KmvAgg]] — partial-agg'd ≤k-long
+  * buffers in every shuffle; the rollup level's input is
+  * |groups|·k rows of sketch state, never corpus rows. */
+case class KmvStateAgg(
+    child: Expression,
+    k: Int,
+    hashed: Boolean,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(k >= 2, s"graft_kmv_state needs k >= 2, got $k")
+
+  override def inputTypes: Seq[DataType] =
+    Seq(if (hashed) LongType else StringType)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], hv: Long): Unit = {
+    buf.add(hv)
+    if (buf.size > k) buf.pollLast()
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val hv =
+        if (hashed) v.asInstanceOf[Long]
+        else TextAnalysis.md5Low64(v.asInstanceOf[UTF8String].toString) & Long.MaxValue
+      add(buf, hv)
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+                     b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = if (hashed) "graft_kmv_merge" else "graft_kmv_state"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvStateAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvStateAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvStateAgg =
     copy(child = newChild)
 }

@@ -360,6 +360,47 @@ object Ranking {
       .orderBy("community_id")
   }
 
+  /** CO-CITATION similarity (Small 1973) — the link-structure complement
+    * of the content-similarity family: two documents are related when the
+    * SAME documents cite both, the signal behind "related pages" and the
+    * citation-graph dedup of mirror hubs (near-identical link targets
+    * betray mirrored navigation even when every page body is distinct).
+    * Emits the top-`k` co-cited pairs with their co-citation count, both
+    * in-degrees, and the in-link Jaccard |citers(a) ∩ citers(b)| /
+    * |citers(a) ∪ citers(b)| — the normalized strength.
+    *
+    * 100 TB: pair generation self-joins the edge list on the CITING side,
+    * so fan-out is bounded by out-degree — a crawl-policy constant (here
+    * ≤3 by construction) — never by in-degree, the hub-skewed direction
+    * that makes the naive "join on shared in-link" explode on popular
+    * pages. Pairs partial-aggregate on (a, b); in-degrees join AFTER the
+    * collapse (|pairs| rows, not |wedges|); top-k is
+    * TakeOrderedAndProject — map-side heads, no global sort. */
+  def cocitation(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    cocitationFrom(Tables.documents(spark, sfDir).select("doc_id"), k)
+
+  /** [[cocitation]] over an explicit `(doc_id)` frame: the [[linkRankFrom]]
+    * affine edge derivation. */
+  def cocitationFrom(docs: DataFrame, k: Int = 50): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "cocitationFrom: empty corpus")
+    val edges = affineEdges(docs, n)
+    val inDeg = edges.groupBy("dst").agg(count(lit(1)).as("ind"))
+    val pairs = edges.as("x").join(edges.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("a"), col("y.dst").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cocite"))
+    pairs
+      .join(inDeg.select(col("dst").as("a"), col("ind").as("in_a")), Seq("a"))
+      .join(inDeg.select(col("dst").as("b"), col("ind").as("in_b")), Seq("b"))
+      .select(col("a"), col("b"), col("cocite"), col("in_a"), col("in_b"),
+        (duckRound(col("cocite").cast("double") /
+          (col("in_a") + col("in_b") - col("cocite")).cast("double"), 4)
+          + lit(0.0)).as("jaccard"))
+      .orderBy(col("cocite").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   /** HYBRID retrieval — BM25 lexical candidates and hashed-embedding
     * semantic candidates fused by Reciprocal Rank Fusion
     * (Cormack/Clarke/Büttcher, SIGIR'09: score = Σ 1/(rrfK + rank)), the

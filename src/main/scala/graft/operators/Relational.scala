@@ -62,6 +62,48 @@ object Relational {
       .agg(duckRound(call_function("graft_kmv", col("uid"), lit(k)), 4).as("est_users"))
       .orderBy("event_type")
 
+  /** MERGEABLE-SKETCH ROLLUP — the property that makes approximate
+    * distinct counting compose at 100 TB (Agarwal et al., "Mergeable
+    * Summaries", PODS'12): distinct counts do NOT add across groups (the
+    * same user appears under many event types), but KMV sketch STATES
+    * merge losslessly — the k smallest hashes of a union are found among
+    * the union of the per-group k smallest. So a pipeline can persist one
+    * tiny sketch per (source, day, …) cell and later answer ANY coarser
+    * rollup without rescanning the corpus — the OLAP-cube pattern for
+    * distincts. This operator materializes both levels: per-event-type
+    * sketches via `graft_kmv_state` (first level, over the raw events) and
+    * the `__all__` row via `graft_kmv_merge` OVER THE PER-TYPE SKETCH ROWS
+    * ONLY — the merged estimate never sees a raw event, yet (provably, and
+    * spec-gated) equals the sketch computed directly over everything.
+    *
+    * 100 TB: level 1 is [[distinctSketch]]'s contract (≤k-long partial
+    * buffers in the one shuffle); level 2's input is |groups|·k longs —
+    * metadata-sized regardless of corpus. The estimate arithmetic is the
+    * exact kmvSketchSql formula, so the whole rollup hash-matches DuckDB. */
+  def sketchRollup(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    val est = (sk: org.apache.spark.sql.Column) =>
+      duckRound(when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 63)) /
+          element_at(sk, k).cast("double")), 4) + lit(0.0)
+    val perType = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(call_function("graft_kmv_state",
+        col("user_id").cast("string"), lit(k)).as("sk"))
+    val merged = perType
+      .select(explode(col("sk")).as("hv"))
+      .agg(call_function("graft_kmv_merge", col("hv"), lit(k)).as("sk"))
+      .select(lit("__all__").as("scope"),
+        size(col("sk")).cast("bigint").as("sketch_size"),
+        est(col("sk")).as("est_distinct"))
+    perType
+      .select(col("event_type").as("scope"),
+        size(col("sk")).cast("bigint").as("sketch_size"),
+        est(col("sk")).as("est_distinct"))
+      .union(merged)
+      .orderBy("scope")
+  }
+
   /** Equi join orders ⋈ customer (dim side broadcast) + aggregate per market
     * segment. */
   def joinOrdersCustomers(spark: SparkSession, sfDir: String): DataFrame =

@@ -674,4 +674,42 @@ class AnalyticsSpec extends SparkSpecBase {
     // bounds hold everywhere
     got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
   }
+
+  test("cocitation equals the scalar pair replay; top order deterministic") {
+    import spark.implicits._
+    val n = 300L
+    val ids = (0L until n)
+    // scalar ground truth over the affine edge derivation
+    val edges = ids.flatMap { s =>
+      (Seq((s * 7 + 3) % n, (s * 13 + 5) % n) ++
+        (if (s % 3 == 0) Seq((s * 31 + 11) % n) else Seq()))
+        .filter(_ != s).map(d => (s, d))
+    }.distinct
+    val inDeg = edges.groupBy(_._2).map { case (d, es) => d -> es.size.toLong }
+    val byCiter = edges.groupBy(_._1).map { case (_, es) => es.map(_._2).sorted }
+    val cocite = scala.collection.mutable.Map[(Long, Long), Long]()
+    byCiter.foreach { ds =>
+      for (i <- ds.indices; j <- (i + 1) until ds.size)
+        cocite((ds(i), ds(j))) = cocite.getOrElse((ds(i), ds(j)), 0L) + 1L
+    }
+    val expectedTop = cocite.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(50)
+      .map { case ((a, b), c) =>
+        val (ia, ib) = (inDeg(a), inDeg(b))
+        (a, b, c, ia, ib, math.round(c.toDouble / (ia + ib - c) * 10000.0) / 10000.0)
+      }
+    val got = graft.operators.Ranking.cocitationFrom(ids.toDF("doc_id"), 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === expectedTop.toSeq)
+    // non-degenerate: the graph must produce genuinely co-cited pairs
+    assert(got.head._3 >= 2L, s"no pair co-cited twice: ${got.head}")
+    // partitioning-invariant (the orderBy+limit tiebreak is total)
+    val again = graft.operators.Ranking.cocitationFrom(ids.toDF("doc_id").repartition(7), 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(again.toSeq === got.toSeq)
+  }
 }

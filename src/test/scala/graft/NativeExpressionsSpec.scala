@@ -123,6 +123,48 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(est(ints) === 40.0)
   }
 
+  test("graft_kmv_state/merge: rollup of per-group sketches equals the direct sketch") {
+    import spark.implicits._
+    // 5 groups, heavily overlapping membership (every user in 2–3 groups):
+    // distinct counts do NOT add across groups, sketches must merge
+    val rows = (1 to 2000).flatMap { u =>
+      val gs = Seq(u % 5, (u * 7 + 1) % 5) ++ (if (u % 2 == 0) Seq((u * 3 + 2) % 5) else Seq())
+      gs.distinct.map(g => (s"g$g", s"user$u"))
+    }
+    val df = rows.toDF("g", "v")
+    val k = 64
+    // level 1: per-group sketch states
+    val per = df.groupBy("g")
+      .agg(call_function("graft_kmv_state", col("v"), lit(k)).as("sk"))
+    val states = per.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // each state is sorted ascending, ≤k long, 63-bit non-negative
+    states.values.foreach { s =>
+      assert(s.size <= k && s == s.sorted && s.forall(_ >= 0L))
+    }
+    // level 2: merge over ONLY the sketch rows
+    val merged = per.select(explode(col("sk")).as("hv"))
+      .agg(call_function("graft_kmv_merge", col("hv"), lit(k)).as("sk"))
+      .collect().head.getSeq[Long](0)
+    // direct sketch over every raw value, group-blind
+    val direct = df.agg(call_function("graft_kmv_state", col("v"), lit(k)).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(merged === direct,
+      "merged per-group sketches must equal the sketch built directly over the union")
+    // the merge is partitioning-independent
+    val mergedAgain = per.select(explode(col("sk")).as("hv")).repartition(11)
+      .agg(call_function("graft_kmv_merge", col("hv"), lit(k)).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(mergedAgain === merged)
+    // non-degenerate: the rollup estimate differs from the per-group SUM
+    // (overlapping membership) — the exact property sketches exist for
+    val est = (s: Seq[Long]) =>
+      if (s.size < k) s.size.toDouble else (k - 1).toDouble * math.pow(2, 63) / s.last.toDouble
+    val sumOfGroups = states.values.map(est).sum
+    assert(est(merged) < 0.7 * sumOfGroups,
+      s"rollup ${est(merged)} should be far below the invalid per-group sum $sumOfGroups")
+    assert(math.abs(est(merged) / 2000.0 - 1.0) < 0.4, s"estimate ${est(merged)} too far from 2000")
+  }
+
   test("graft_cms: overestimates only, weighted == raw build, partitioning-independent") {
     import spark.implicits._
     import graft.functions.expressions.CmsKernel
