@@ -70,6 +70,7 @@ object SparkEntry {
     "tumbling_window" -> ((s, d) => Relational.tumblingWindow(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "peak_concurrency" -> ((s, d) => Relational.peakConcurrency(s, d)),
+    "interval_join" -> ((s, d) => Relational.intervalJoin(s, d)),
     "session_window_agg" -> ((s, d) => Relational.sessionWindowAgg(s, d)),
     "json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
@@ -117,6 +118,7 @@ object SparkEntry {
     "stream_freq_sketch" -> ((s, d) => graft.streaming.EventStreams.streamFreqSketchQuery(s, d)),
     // -- text analysis (north star) --
     "text_stats" -> ((s, d) => TextAnalysis.textStats(s, d)),
+    "readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(s, d)),
@@ -1078,6 +1080,21 @@ object SparkEntry {
         |y AS (SELECT user_id, CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x)
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // interval_join: the oracle is the NAIVE quadratic overlap self-join
+    // over the island-detected sessions — the bucketed equi-join rewrite
+    // must reproduce it exactly (pair attribution dedup included).
+    "interval_join" ->
+      """WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events),
+        |y AS (SELECT user_id, event_id, tsu, CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, tsu, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM y),
+        |s AS (SELECT user_id, sid, min(epoch_us(tsu)) AS st, max(epoch_us(tsu)) AS en FROM z GROUP BY 1, 2),
+        |p AS (SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_overlaps,
+        |        CAST(sum(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT) AS total_overlap_us
+        |      FROM s a JOIN s b ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+        |      GROUP BY 1, 2)
+        |SELECT user_a, user_b, n_overlaps, total_overlap_us
+        |FROM p ORDER BY total_overlap_us DESC, user_a, user_b LIMIT 50""".stripMargin,
     "json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
@@ -1645,6 +1662,19 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
         |  round(avg(n_words), 4) AS avg_words, CAST(sum(n_words) AS BIGINT) AS total_words
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // readability: row-local integer counts + one fixed-order IEEE
+    // expression per row — bit-identical doubles across engines.
+    "readability" ->
+      """WITH d AS (SELECT doc_id,
+        |  greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'), x -> trim(x) <> '')), 1) AS n_sentences,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS n_words,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_words AS BIGINT) AS n_words, CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) + 0.0 AS flesch
+        |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """WITH d AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws,

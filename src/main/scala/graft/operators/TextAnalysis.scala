@@ -29,6 +29,45 @@ object TextAnalysis {
            sum("n_words").as("total_words"))
       .orderBy("lang")
 
+  /** READABILITY scoring — the Flesch Reading Ease heuristic as a corpus
+    * quality signal (a curation pipeline buckets documents by reading
+    * level before mixing; pathological scores flag OCR noise and
+    * keyword-stuffed spam). Per document: sentence count (split on
+    * `[.!?]+`, empty segments dropped, floor 1 so unpunctuated text is
+    * one sentence), word count (the engine tokenizer), a deterministic
+    * syllable proxy (vowel-group count `[aeiouy]+` — the standard
+    * dictionary-free approximation), and
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    *
+    * Determinism: every column is row-local — counts are integers and the
+    * score is one fixed-order IEEE expression per row, so Spark and
+    * DuckDB compute bit-identical doubles (no cross-row float sums
+    * anywhere; contrast the 4-dp-tolerance aggregate ops).
+    *
+    * 100 TB: pure scan-side map work in one WholeStageCodegen pass —
+    * regex counts + arithmetic, no shuffle at all (the ORDER BY is the
+    * differential harness's, not the operator's). */
+  def readability(spark: SparkSession, sfDir: String): DataFrame =
+    readabilityFrom(Tables.documents(spark, sfDir))
+
+  /** [[readability]] over an explicit `(doc_id, text)` frame; documents
+    * with no words are dropped (no reading level to score). */
+  def readabilityFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        greatest(expr("size(filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0))"),
+          lit(1)).cast("bigint").as("n_sentences"),
+        size(tokenize(col("text"))).cast("bigint").as("n_words"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+          .cast("bigint").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch",
+        duckRound(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 4)
+          + lit(0.0))
+      .orderBy("doc_id")
+
   /** VOCABULARY GROWTH curve (Heaps' law measured, not assumed) — distinct
     * word types vs. cumulative token mass over ten id-ordered corpus
     * slices: the saturation diagnostic behind every feature-selectivity

@@ -675,6 +675,27 @@ class AnalyticsSpec extends SparkSpecBase {
     got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
   }
 
+  test("readability: hand-computed Flesch on punctuated text; floors and filters hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Hello world. It works! Right?"), // 3 sentences, 5 words, 6 vowel groups
+      (1L, "alpha beta"),                    // unpunctuated → floor 1 sentence, 2 words, 4 groups
+      (2L, "rhythm"),                        // y counts as vowel → 1 syllable
+      (3L, "!!! ???"),                       // no words → dropped
+      (4L, "Word.")                          // trailing separator → still 1 sentence
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readabilityFrom(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(!got.contains(3L), "wordless doc must be dropped")
+    assert(got(0L)._1 === 3L && got(0L)._2 === 5L && got(0L)._3 === 6L)
+    val exp0 = math.round((206.835 - 1.015 * (5.0 / 3.0) - 84.6 * (6.0 / 5.0)) * 10000.0) / 10000.0
+    assert(math.abs(got(0L)._4 - exp0) < 1e-9, s"${got(0L)._4} vs $exp0")
+    assert(got(1L) === ((1L, 2L, 4L,
+      math.round((206.835 - 1.015 * 2.0 - 84.6 * 2.0) * 10000.0) / 10000.0)))
+    assert(got(2L)._3 === 1L, "y must count as a vowel group")
+    assert(got(4L)._1 === 1L)
+  }
+
   test("cocitation equals the scalar pair replay; top order deterministic") {
     import spark.implicits._
     val n = 300L

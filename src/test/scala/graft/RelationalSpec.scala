@@ -155,4 +155,43 @@ class RelationalSpec extends SparkSpecBase {
     // the fixture actually overlaps: some hour has >1 concurrent session
     assert(out.exists(_._3 > 1), "no concurrency on the fixture — degenerate")
   }
+
+  test("intervalJoinSessions: bucketed pair join equals the scalar quadratic replay") {
+    import spark.implicits._
+    val H = 3600000000L // 1h in µs
+    // adversarial layout: touching endpoints (zero-length overlap counts),
+    // a session spanning three buckets, the same user pair overlapping via
+    // two distinct session pairs, and non-overlapping decoys
+    val sess = Seq(
+      (1L, 0L * H + 100L, 0L * H + 500L),        // u1 s1
+      (2L, 0L * H + 500L, 0L * H + 900L),        // touches u1 s1 at 500 → overlap 0
+      (3L, 0L * H + 200L, 2L * H + 700L),        // spans buckets 0..2
+      (1L, 2L * H + 100L, 2L * H + 400L),        // u1 s2 overlaps u3's long session
+      (2L, 5L * H, 5L * H + 10L),                // decoy, alone in bucket 5
+      (4L, 1L * H + 50L, 1L * H + 60L),          // inside u3's span, bucket 1
+      (3L, 5L * H + 5L, 5L * H + 8L)             // second (u2,u3) overlap, different pair
+    ).toDF("user_id", "st", "en")
+    // scalar quadratic ground truth
+    val rows = Seq(
+      (1L, 100L, 500L), (2L, 500L, 900L), (3L, 200L, 2 * H + 700L),
+      (1L, 2 * H + 100L, 2 * H + 400L), (2L, 5 * H, 5 * H + 10L),
+      (4L, H + 50L, H + 60L), (3L, 5 * H + 5L, 5 * H + 8L))
+    val expected = (for {
+      (ua, sa, ea) <- rows; (ub, sb, eb) <- rows
+      if ua < ub && sa <= eb && sb <= ea
+    } yield ((ua, ub), math.min(ea, eb) - math.max(sa, sb)))
+      .groupBy(_._1).map { case ((a, b), vs) =>
+        (a, b, vs.size.toLong, vs.map(_._2).sum) }
+      .toSeq.sortBy { case (a, b, _, ov) => (-ov, a, b) }
+    val got = graft.operators.Relational.intervalJoinSessions(sess, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // the layout exercises what it claims
+    assert(expected.exists(_._4 == 0L), "no touching pair in the fixture")
+    assert(expected.exists(_._3 == 2L), "no pair overlapping twice")
+    // partitioning-invariant
+    val again = graft.operators.Relational.intervalJoinSessions(sess.repartition(5), 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === got.toSeq)
+  }
 }
