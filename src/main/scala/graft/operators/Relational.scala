@@ -219,7 +219,14 @@ object Relational {
     * 100 TB: one shuffle on (hour bucket); fan-out = span/bucket ≤ 2 for
     * 30-min-gap sessions; the pair aggregate partial-aggs on (user_a,
     * user_b); top-k is TakeOrderedAndProject. All arithmetic is integer
-    * µs — no float in the gate. */
+    * µs — no float in the gate. Measured honestly (§6.1): linear when the
+    * corpus grows along the TIME axis (more hours, same per-hour
+    * activity — buckets multiply, per-bucket work constant); the ×10
+    * DENSIFICATION probe (10× users in the same 30 days) measures slope
+    * ~1.3, because co-presence pairs grow quadratically in per-hour
+    * concurrency — that is the semantics' own output bound, not a plan
+    * defect. A deployment at high density bounds it by pushing a
+    * min-overlap threshold into the join condition. */
   def intervalJoin(spark: SparkSession, sfDir: String,
                    gapSeconds: Long = 1800L, k: Int = 50): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)

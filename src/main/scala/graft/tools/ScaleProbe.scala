@@ -74,7 +74,8 @@ object ScaleProbe {
                             "bpe_coverage", "community_rollup",
                             "stream_tumbling_append", "stream_late_audit",
                             "vocab_growth", "source_divergence",
-                            "stream_dedup_bounded")).toList
+                            "stream_dedup_bounded", "cocitation", "sketch_rollup",
+                            "interval_join", "readability")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

@@ -565,4 +565,33 @@ class PlanSpec extends SparkSpecBase {
       assert(!line.contains("text"), s"dedup_threshold_curve shuffles document text:\n$line")
     }
   }
+
+  test("interval_join: the overlap join is the bucketed EQUI-join, never a nested loop") {
+    val plan = finalPlan("interval_join")
+    // a raw range-predicate self-join plans BroadcastNestedLoopJoin /
+    // CartesianProduct — the bucket rewrite must keep it hash-keyed
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval_join fell back to a quadratic join strategy:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"no equi-join in the interval_join plan:\n$plan")
+    // pair aggregate combines map-side; top-k never global-sorts
+    assert(plan.contains("partial_count"), s"pair aggregate lost map-side combine:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$plan")
+  }
+
+  test("cocitation / sketch_rollup: equi-joins only, sketches and pairs combine map-side") {
+    val coc = finalPlan("cocitation")
+    assert(!coc.contains("CartesianProduct") && !coc.contains("BroadcastNestedLoopJoin"),
+      s"cocitation plans a quadratic join:\n$coc")
+    assert(coc.contains("partial_count"), s"cocitation pair counts lost map-side combine:\n$coc")
+    assert(coc.contains("TakeOrderedAndProject"), s"cocitation top-k is a global sort:\n$coc")
+    val sk = finalPlan("sketch_rollup")
+    // level 1 must partial-agg the ≤k-long sketch buffers in the shuffle;
+    // level 2's input is |groups|·k longs — metadata-sized
+    assert(sk.contains("partial_graft_kmv_state"),
+      s"per-group KMV state lost map-side partial aggregation:\n$sk")
+    assert(sk.contains("partial_graft_kmv_merge"),
+      s"the rollup merge lost map-side partial aggregation:\n$sk")
+  }
 }
