@@ -88,6 +88,7 @@ object SparkEntry {
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
+    "anomaly_hours" -> ((s, d) => Analytics.anomalyHours(s, d)),
     "triangle_count" -> ((s, d) => Ranking.triangleCount(s, d)),
     "rolling_features" -> ((s, d) => Analytics.rollingFeatures(s, d)),
     "profile_table" -> ((s, d) => Analytics.profileTable(s, d)),
@@ -121,6 +122,7 @@ object SparkEntry {
     "readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "pareto_frontier" -> ((s, d) => TextAnalysis.paretoFrontier(s, d)),
     "perplexity_score" -> ((s, d) => TextAnalysis.perplexityScore(s, d)),
     "heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
@@ -1256,6 +1258,16 @@ object SparkEntry {
         |  CAST(sum(trail_cents) AS BIGINT) AS sum_trail_cents
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     // outlier_events: |v - mean| > 3sigma cleared of denominators —
+    // anomaly_hours: median/MAD robust z over hourly counts, cleared of
+    // fractions — M2 = 2·median, D = |2c − M2|, T2 = 2·median(D), flag
+    // iff 2·D > 3·T2; every comparison a long.
+    "anomaly_hours" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_bucket, count(*) AS c FROM events GROUP BY 1),
+        |m AS (SELECT CAST(2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS m2 FROM h),
+        |dv AS (SELECT hour_bucket, c, m2, abs(2 * c - m2) AS d FROM h, m),
+        |t AS (SELECT CAST(2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS t2 FROM dv)
+        |SELECT hour_bucket, c AS n_events, m2 AS median_2x, d AS abs_dev_2x, t2 AS mad_2x
+        |FROM dv, t WHERE 2 * d > 3 * t2 ORDER BY hour_bucket""".stripMargin,
     // (n*v - s)^2 > 9*(n*q - s^2) — exact integers both sides (DuckDB
     // computes in HUGEINT, the engine in decimal(38,0)).
     "outlier_events" ->
@@ -1683,6 +1695,25 @@ object SparkEntry {
         |  CAST(COALESCE(list_sum(list_transform(ts, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS bpe_tokens
         |FROM d ORDER BY doc_id""".stripMargin,
     "quality_score" -> s"$qualityScoreSql\nORDER BY doc_id",
+    // pareto_frontier: the two-level skyline replayed — per-quality min
+    // words, strictly-higher prefix min over the levels, dominance verdict.
+    "pareto_frontier" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS nw,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) AS nstop,
+        |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) AS totlen FROM d),
+        |base AS (SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  round(least(nw / 50.0, 1.0) * 0.5 + least(nstop / nw * 5.0, 1.0) * 0.3 +
+        |        CASE WHEN totlen / nw BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) AS quality
+        |  FROM e WHERE nw > 0),
+        |g AS (SELECT quality, min(n_words) AS min_w FROM base GROUP BY 1),
+        |l AS (SELECT quality, min_w,
+        |        min(min_w) OVER (ORDER BY quality DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi_min
+        |      FROM g)
+        |SELECT b.doc_id, b.n_words, b.quality
+        |FROM base b JOIN l USING (quality)
+        |WHERE b.n_words = l.min_w AND (l.hi_min IS NULL OR b.n_words < l.hi_min)
+        |ORDER BY b.quality DESC, b.n_words, b.doc_id""".stripMargin,
     // quality_filter: every rule decided in INTEGER arithmetic
     // (cross-multiplied thresholds), so boundary docs can't split the
     // engines on float division; flags surface as 0/1 INTs.

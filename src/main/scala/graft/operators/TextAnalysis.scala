@@ -569,6 +569,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PARETO FRONTIER over (quality, brevity) — the documents not dominated
+    * on the two axes every token-budgeted selection trades off: for every
+    * length budget, the highest-quality document reachable within it (data
+    * selection under a token budget reads this frontier, the way
+    * mixture_weights reads per-source mass). A document is ON the frontier
+    * iff no other document has quality ≥ AND words ≤ with one strict.
+    *
+    * The textbook 2-D skyline is one global sort + running min — a
+    * single-partition scan over the corpus. The scale form is the
+    * peak_concurrency two-level split applied to a prefix-MIN: per
+    * quality level, `min(words)` partial-aggregates from the scan (the
+    * only corpus-mass shuffle); the strictly-higher prefix min windows
+    * over the quality LEVELS — value-bounded at ≤10⁴+1 rows by the 4-dp
+    * score lattice, metadata-sized at any corpus; the verdict joins the
+    * level table back BROADCAST. Ties at the same (quality, words) are
+    * all kept (equal points don't dominate). */
+  def paretoFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = qualityExprs
+    paretoFrontierFrom(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), q.nWords.cast("bigint").as("n_words"),
+              q.quality.as("quality"))
+      .filter(col("n_words") > 0))
+  }
+
+  /** [[paretoFrontier]]'s two-level skyline core over an explicit
+    * `(doc_id, n_words, quality)` frame. */
+  def paretoFrontierFrom(docs: DataFrame): DataFrame = {
+    val grp = docs.groupBy("quality").agg(min("n_words").as("min_w"))
+    // strictly-higher-quality prefix min over the quality levels — a
+    // metadata-sized window (≤ 10⁴+1 rows on the 4-dp score lattice)
+    val w = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lvl = grp.withColumn("hi_min", min("min_w").over(w))
+    docs.join(broadcast(lvl), Seq("quality"))
+      .filter(col("n_words") === col("min_w") &&
+              (col("hi_min").isNull || col("n_words") < col("hi_min")))
+      .select(col("doc_id"), col("n_words"), col("quality"))
+      .orderBy(col("quality").desc, col("n_words").asc, col("doc_id").asc)
+  }
+
   /** Rule-based quality FILTER with per-rule verdicts — the op that sits in
     * front of every pretraining corpus (the C4/Gopher "repetition + shape"
     * rules): where [[qualityScore]] emits one blended score, this emits the

@@ -675,6 +675,60 @@ class AnalyticsSpec extends SparkSpecBase {
     got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
   }
 
+  test("paretoFrontier: two-level skyline equals brute-force dominance; ties kept") {
+    import spark.implicits._
+    // layout: strict dominance, same-quality length ties, duplicate points,
+    // and a low-quality-but-shortest doc that must survive
+    val docs = Seq(
+      (0L, 100L, 0.9), (1L, 100L, 0.9),   // duplicate points — both kept
+      (2L, 150L, 0.9),                    // same quality, longer → dominated by 0/1
+      (3L, 100L, 0.8),                    // same words, lower quality → dominated
+      (4L, 50L, 0.7),                     // shorter than all better docs → frontier
+      (5L, 50L, 0.6),                     // same words as 4, lower q → dominated
+      (6L, 20L, 0.1),                     // shortest overall → frontier
+      (7L, 200L, 1.0)                     // best quality → frontier
+    ).toDF("doc_id", "n_words", "quality")
+    val pts = Seq((0L, 100L, 0.9), (1L, 100L, 0.9), (2L, 150L, 0.9), (3L, 100L, 0.8),
+      (4L, 50L, 0.7), (5L, 50L, 0.6), (6L, 20L, 0.1), (7L, 200L, 1.0))
+    val expected = pts.filter { case (_, w, q) =>
+      !pts.exists { case (_, w2, q2) => q2 >= q && w2 <= w && (q2 > q || w2 < w) }
+    }.sortBy { case (id, w, q) => (-q, w, id) }
+    val got = graft.operators.TextAnalysis.paretoFrontierFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === expected)
+    assert(got.map(_._1).toSet === Set(0L, 1L, 4L, 6L, 7L))
+    val again = graft.operators.TextAnalysis.paretoFrontierFrom(docs.repartition(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("anomalyHours: integer-exact median/MAD verdict, threshold strict") {
+    import spark.implicits._
+    // 9 hours with counts 10,10,10,12,12,14,14,20,41 → median 12,
+    // D = |2c−24| = 4,4,4,0,0,4,4,16,58 → median(D) = 4 → T2 = 8.
+    // flag iff 2D > 24: hour with c=20 (D=16 → 32) and c=41 (D=58 → 116).
+    val counts = Seq(10, 10, 10, 12, 12, 14, 14, 20, 41)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => (h.toLong * 3600000000L + i * 1000L))
+    }
+    val events = rows.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    val got = graft.operators.Analytics.anomalyHoursFrom(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((7L, 20L, 24L, 16L, 8L), (8L, 41L, 24L, 58L, 8L)))
+    // strictness: a deviation exactly AT the threshold is not an anomaly —
+    // 2·D = 3·T2 requires D = 12, i.e. c = 6 or 18 with this median...
+    val rows2 = (counts :+ 18).zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => (h.toLong * 3600000000L + i * 1000L))
+    }
+    val events2 = rows2.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    // counts now {10,10,10,12,12,14,14,20,41,18} → median 13 → M2=26,
+    // D sorted 2,2,2,2,6,6,6,10,14,56 → median(D)=6 → T2=12; threshold
+    // 2D > 36 ⟺ D > 18: only c=41 (D=56, hour 8). c=20 (D=14) inside.
+    val got2 = graft.operators.Analytics.anomalyHoursFrom(events2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSeq === Seq((8L, 41L)))
+  }
+
   test("readability: hand-computed Flesch on punctuated text; floors and filters hold") {
     import spark.implicits._
     val docs = Seq(

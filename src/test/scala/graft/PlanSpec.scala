@@ -586,6 +586,12 @@ class PlanSpec extends SparkSpecBase {
       s"cocitation plans a quadratic join:\n$coc")
     assert(coc.contains("partial_count"), s"cocitation pair counts lost map-side combine:\n$coc")
     assert(coc.contains("TakeOrderedAndProject"), s"cocitation top-k is a global sort:\n$coc")
+    val pf = finalPlan("pareto_frontier")
+    // corpus mass shuffles once (quality-level partial min); the level
+    // table joins back broadcast — no second corpus-mass exchange
+    assert(pf.contains("partial_min"), s"pareto_frontier lost map-side min:\n$pf")
+    assert(pf.contains("BroadcastHashJoin"),
+      s"pareto_frontier's level table must join back broadcast:\n$pf")
     val sk = finalPlan("sketch_rollup")
     // level 1 must partial-agg the ≤k-long sketch buffers in the shuffle;
     // level 2's input is |groups|·k longs — metadata-sized
