@@ -109,6 +109,7 @@ object SparkEntry {
     "stream_export" -> ((s, d) => graft.streaming.EventStreams.streamExportQuery(s, d)),
     "stream_ingest" -> ((s, d) => graft.streaming.EventStreams.streamIngestQuery(s, d)),
     "stream_distinct_sketch" -> ((s, d) => graft.streaming.EventStreams.streamDistinctSketchQuery(s, d)),
+    "stream_anomaly_hours" -> ((s, d) => graft.streaming.EventStreams.streamAnomalyHoursQuery(s, d)),
     "stream_quantile_sketch" -> ((s, d) => graft.streaming.EventStreams.streamQuantileSketchQuery(s, d)),
     "stream_upsert" -> ((s, d) => graft.streaming.EventStreams.streamUpsertQuery(s, d)),
     "stream_scd2" -> ((s, d) => graft.streaming.EventStreams.streamScd2Query(s, d)),
@@ -1262,6 +1263,16 @@ object SparkEntry {
     // fractions — M2 = 2·median, D = |2c − M2|, T2 = 2·median(D), flag
     // iff 2·D > 3·T2; every comparison a long.
     "anomaly_hours" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_bucket, count(*) AS c FROM events GROUP BY 1),
+        |m AS (SELECT CAST(2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS m2 FROM h),
+        |dv AS (SELECT hour_bucket, c, m2, abs(2 * c - m2) AS d FROM h, m),
+        |t AS (SELECT CAST(2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS t2 FROM dv)
+        |SELECT hour_bucket, c AS n_events, m2 AS median_2x, d AS abs_dev_2x, t2 AS mad_2x
+        |FROM dv, t WHERE 2 * d > 3 * t2 ORDER BY hour_bucket""".stripMargin,
+    // stream_anomaly_hours: the SAME verdict over the stream-maintained
+    // hour table — counts are commutative, so the materialized aggregate
+    // equals the batch one and the oracle is shared verbatim.
+    "stream_anomaly_hours" ->
       """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_bucket, count(*) AS c FROM events GROUP BY 1),
         |m AS (SELECT CAST(2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS m2 FROM h),
         |dv AS (SELECT hour_bucket, c, m2, abs(2 * c - m2) AS d FROM h, m),

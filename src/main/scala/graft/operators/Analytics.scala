@@ -330,10 +330,15 @@ object Analytics {
     anomalyHoursFrom(Tables.events(spark, sfDir))
 
   /** [[anomalyHours]] over an explicit frame with a `ts` timestamp. */
-  def anomalyHoursFrom(events: DataFrame): DataFrame = {
-    val hours = events
+  def anomalyHoursFrom(events: DataFrame): DataFrame =
+    anomalyVerdict(events
       .groupBy(expr("unix_micros(ts) div 3600000000").as("hour_bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The median/MAD verdict over an already-aggregated `(hour_bucket, c)`
+    * table — shared with the streaming twin, whose state store maintains
+    * exactly these counts. */
+  private[graft] def anomalyVerdict(hours: DataFrame): DataFrame = {
     val m2 = hours.agg(
       (expr("percentile(c, 0.5)") * 2.0).cast("bigint").as("m2"))
     val dev = hours.crossJoin(broadcast(m2))

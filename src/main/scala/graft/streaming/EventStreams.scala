@@ -766,6 +766,28 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Driver-verified: ROBUST ANOMALY detection maintained as the stream
+    * arrives — [[graft.operators.Analytics.anomalyHours]]'s hourly volume
+    * table as a complete-mode streaming aggregate (one count per hour in
+    * the state store — state is |hours|, the metadata grain, never event
+    * mass), with the median/MAD verdict computed batch-side over the
+    * materialized counts by THE SAME code path the batch op uses
+    * ([[graft.operators.Analytics.anomalyVerdict]]) — the
+    * stream_source_mix discipline: rank statistics are not incremental
+    * (a median is holistic over the hour table), but the hour table
+    * itself is tiny, so the stream maintains the mass-bearing aggregate
+    * and the verdict stays presentation arithmetic. Counts are
+    * commutative sums → the final table equals the batch aggregate and
+    * the whole query SHARES the batch oracle. */
+  def streamAnomalyHoursQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val hours = tableStream(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("hour_bucket"))
+      .groupBy("hour_bucket")
+      .agg(count(lit(1)).as("c"))
+    graft.operators.Analytics.anomalyVerdict(
+      runToCompletion(spark, hours, "stream_anomaly_hours", OutputMode.Complete()))
+  }
+
   /** Driver-verified: the Count-Min frequency sketch as STREAMING state —
     * `graft_cms` in a complete-mode global aggregation over the RAW token
     * stream (weight 1 per token), one fixed `depth·width` counter grid in

@@ -416,6 +416,14 @@ class StreamingSpec extends SparkSpecBase {
     val bth = graft.operators.TextAnalysis.tokenLengthHistogram(spark, sf0001)
       .collect().map(_.toSeq).toSet
     assert(sth === bth)
+    // stream_anomaly_hours: commutative hourly counts in state + the
+    // shared holistic median/MAD verdict batch-side
+    val sah = EventStreams.streamAnomalyHoursQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bah = graft.operators.Analytics.anomalyHours(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(sah === bah)
+    assert(sah.nonEmpty, "no anomalous hour on the fixture — degenerate")
   }
 
   test("bounded replay: stream_decontaminate equals the indexed batch decontamination") {
