@@ -173,6 +173,7 @@ object SparkEntry {
     "link_communities" -> ((s, d) => Ranking.linkCommunities(s, d)),
     "community_rollup" -> ((s, d) => Ranking.communityRollup(s, d)),
     "cocitation" -> ((s, d) => Ranking.cocitation(s, d)),
+    "hits_scores" -> ((s, d) => Ranking.hitsScores(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
@@ -617,6 +618,32 @@ object SparkEntry {
     sb ++= s"""ind AS (SELECT dst, count(*) AS n_in FROM ed GROUP BY dst)
       |SELECT r.doc_id, CAST(COALESCE(ind.n_in, 0) AS BIGINT) AS in_links, r.r AS rank_scaled
       |FROM r$iters r LEFT JOIN ind ON r.doc_id = ind.dst ORDER BY r.doc_id""".stripMargin
+    sb.result()
+  }
+
+  /** [[graft.operators.Ranking.hitsScores]]'s fixed-round mutual recursion
+    * as chained CTEs: authority = in-sum of hubs, hub = out-sum of the NEW
+    * authorities — raw long sums (degree-bounded growth, no overflow, no
+    * normalization needed at fixed depth). */
+  private def hitsOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0),
+      |ed AS (SELECT DISTINCT src, dst FROM t WHERE src <> dst),
+      |h0 AS (SELECT doc_id, CAST(1048576 AS BIGINT) AS h FROM documents),
+      |""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s"""a$t AS (SELECT d.doc_id, CAST(COALESCE(x.m, 0) AS BIGINT) AS a FROM documents d
+        |  LEFT JOIN (SELECT ed.dst, sum(h.h) AS m FROM ed JOIN h${t - 1} h ON ed.src = h.doc_id GROUP BY ed.dst) x ON d.doc_id = x.dst),
+        |h$t AS (SELECT d.doc_id, CAST(COALESCE(y.m, 0) AS BIGINT) AS h FROM documents d
+        |  LEFT JOIN (SELECT ed.src, sum(a.a) AS m FROM ed JOIN a$t a ON ed.dst = a.doc_id GROUP BY ed.src) y ON d.doc_id = y.src),
+        |""".stripMargin
+    }
+    sb ++= s"""sel AS (SELECT 1)
+      |SELECT a.doc_id, a.a AS authority, h.h AS hub
+      |FROM a$iters a JOIN h$iters h ON a.doc_id = h.doc_id ORDER BY a.doc_id""".stripMargin
     sb.result()
   }
 
@@ -1360,6 +1387,9 @@ object SparkEntry {
     // integer (% , //, exact long sums), so the iterative kernel
     // hash-matches with no float boundary.
     "link_rank" -> linkRankOracle(3),
+    // hits_scores: the two-aggregate mutual recursion replayed at the
+    // same fixed depth — integers end to end.
+    "hits_scores" -> hitsOracle(2),
     // link_communities: connected components of the same-host link
     // subgraph, min-reachable-id labels via recursive CTE — the
     // dedup_clusters oracle pattern over the id-derived edge list.

@@ -360,6 +360,53 @@ object Ranking {
       .orderBy("community_id")
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM'99) — the second centrality
+    * the link graph supports next to [[linkRank]]'s PageRank: an AUTHORITY
+    * is a page good pages point TO (content worth keeping), a HUB is a
+    * page that points to good pages (directories/link farms — a high-hub
+    * low-authority score is itself a curation down-weighting signal).
+    * Mutual recursion `a(v) = Σ_{u→v} h(u)`, `h(u) = Σ_{u→v} a(v)`, run a
+    * fixed `iters` rounds.
+    *
+    * Float discipline (the [[linkRank]] fixed-point idea, further
+    * simplified): the classical per-round normalization exists only to
+    * stop value growth — with a FIXED round count and degree-bounded
+    * growth (in/out-degree ≤ 3 by construction → ≤ 3×/round from the 2²⁰
+    * seed) raw long sums never overflow, and rankings are scale-invariant,
+    * so the scores stay exact integers, partitioning-independent, and
+    * replayable as chained CTEs.
+    *
+    * 100 TB: each half-round is one Pregel-shaped equi-join of the edge
+    * list against the current scores + one partial-agg'd sum on the other
+    * endpoint; co-partitioning edges by the join key across rounds reuses
+    * the exchange; plan depth is bounded by the fixed round count. */
+  def hitsScores(spark: SparkSession, sfDir: String, iters: Int = 2): DataFrame =
+    hitsScoresFrom(Tables.documents(spark, sfDir).select("doc_id"), iters)
+
+  /** [[hitsScores]] over an explicit `(doc_id)` frame: the [[linkRankFrom]]
+    * affine edge derivation. */
+  def hitsScoresFrom(docs: DataFrame, iters: Int = 2): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "hitsScoresFrom: empty corpus")
+    val edges = affineEdges(docs, n)
+    val seed = 1L << 20
+    var hub = docs.select(col("doc_id"), lit(seed).as("h"))
+    var auth = docs.select(col("doc_id"), lit(seed).as("a"))
+    for (_ <- 1 to iters) {
+      val inflow = edges.join(hub, col("src") === col("doc_id"))
+        .groupBy("dst").agg(sum("h").as("m"))
+      auth = docs.join(inflow, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), coalesce(col("m"), lit(0L)).as("a"))
+      val outflow = edges.join(auth, col("dst") === col("doc_id"))
+        .groupBy("src").agg(sum("a").as("m"))
+      hub = docs.join(outflow, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"), coalesce(col("m"), lit(0L)).as("h"))
+    }
+    auth.join(hub, "doc_id")
+      .select(col("doc_id"), col("a").as("authority"), col("h").as("hub"))
+      .orderBy("doc_id")
+  }
+
   /** CO-CITATION similarity (Small 1973) — the link-structure complement
     * of the content-similarity family: two documents are related when the
     * SAME documents cite both, the signal behind "related pages" and the

@@ -675,6 +675,34 @@ class AnalyticsSpec extends SparkSpecBase {
     got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
   }
 
+  test("hitsScores equals the scalar mutual recursion; scores differentiate") {
+    import spark.implicits._
+    val n = 200L
+    val ids = (0L until n)
+    val edges = ids.flatMap { s =>
+      (Seq((s * 7 + 3) % n, (s * 13 + 5) % n) ++
+        (if (s % 3 == 0) Seq((s * 31 + 11) % n) else Seq()))
+        .filter(_ != s).map(d => (s, d))
+    }.distinct
+    val seed = 1L << 20
+    var hub = ids.map(_ -> seed).toMap
+    var auth = ids.map(_ -> seed).toMap
+    for (_ <- 1 to 2) {
+      auth = ids.map(v => v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      hub = ids.map(u => u -> edges.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
+    }
+    val expected = ids.map(v => (v, auth(v), hub(v))).toSeq
+    val got = graft.operators.Ranking.hitsScoresFrom(ids.toDF("doc_id"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+    // the graph must differentiate pages on both axes
+    assert(got.map(_._2).toSet.size > 10 && got.map(_._3).toSet.size > 10)
+    // partitioning-invariant (exact integer sums)
+    val again = graft.operators.Ranking.hitsScoresFrom(ids.toDF("doc_id").repartition(7), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("paretoFrontier: two-level skyline equals brute-force dominance; ties kept") {
     import spark.implicits._
     // layout: strict dominance, same-quality length ties, duplicate points,
