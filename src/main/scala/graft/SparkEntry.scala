@@ -150,6 +150,7 @@ object SparkEntry {
     "sample_hash" -> ((s, d) => TextAnalysis.sampleHash(s, d)),
     "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
+    "zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
@@ -1220,6 +1221,21 @@ object SparkEntry {
         |SELECT slice, cum_docs, cum_tokens, new_types, cum_vocab,
         |  round(CAST(cum_vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE), 6) + 0.0 AS type_token_ratio
         |FROM c ORDER BY slice""".stripMargin,
+    // zipf_slope: OLS over (ln rank, ln freq) per source — exact integer
+    // inputs to ln, unordered vocab-row sums rounded at 4 dp, zero-variance
+    // guards identical on both sides.
+    "zipf_slope" ->
+      """WITH w AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS word FROM documents),
+        |c AS (SELECT source, word, count(*) AS f FROM w GROUP BY 1, 2),
+        |r AS (SELECT source, ln(CAST(row_number() OVER (PARTITION BY source ORDER BY f DESC, word) AS DOUBLE)) AS x,
+        |        ln(CAST(f AS DOUBLE)) AS y FROM c),
+        |g AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM r GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_types,
+        |  round(CASE WHEN n*sxx - sx*sx = 0 THEN 0.0 ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 4) + 0.0 AS zipf_slope,
+        |  round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN 0.0
+        |        ELSE (n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 4) + 0.0 AS r_squared
+        |FROM g ORDER BY source""".stripMargin,
     // source_divergence: pairwise Jensen–Shannon over source unigram
     // distributions — shared-word join terms plus the probability-mass
     // complements for one-sided words (identical decomposition).

@@ -116,6 +116,63 @@ object TextAnalysis {
       .orderBy("slice")
   }
 
+  /** ZIPF SLOPE per source — the rank-frequency power-law exponent fitted
+    * by OLS over (ln rank, ln freq): the corpus-health diagnostic next to
+    * [[vocabGrowth]]'s Heaps curve (natural language sits near −1;
+    * template spam and machine-generated text flatten toward 0, OCR noise
+    * steepens — a per-source fingerprint a mixture designer reads before
+    * weighting). Emits per source the type count, the fitted slope, and
+    * R² of the fit (how power-law-like the source is at all).
+    *
+    * 100 TB: word counts partial-agg to |sources|×vocab rows; the rank
+    * window partitions BY SOURCE over those count rows (vocab-mass, the
+    * honest cost of a rank statistic — never corpus mass); the five OLS
+    * sums partial-agg per source. Float discipline: the per-source sums
+    * are unordered double folds over vocab rows, rounded at 4 dp (the
+    * source_divergence tolerance); ln inputs are exact integer ranks and
+    * counts, identical both engines. */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame =
+    zipfSlopeFrom(Tables.documents(spark, sfDir))
+
+  /** [[zipfSlope]] over an explicit `(source, text)` frame. */
+  def zipfSlopeFrom(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(tokenize(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("source").orderBy(col("f").desc, col("word").asc)
+    val xy = counts
+      .withColumn("r", row_number().over(w))
+      .select(col("source"),
+        log(col("r").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+    xy.groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+           sum("x").as("sx"), sum("y").as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n_types"),
+        // zero-variance guards (the embedding_drift discipline): a single
+        // type has no rank spread (slope undefined → 0); a perfectly flat
+        // frequency profile has no y variance (R² undefined → 0)
+        (duckRound(
+          when(col("n_types") * col("sxx") - col("sx") * col("sx") === 0.0, lit(0.0))
+            .otherwise(
+              (col("n_types") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_types") * col("sxx") - col("sx") * col("sx"))), 4) + lit(0.0))
+          .as("zipf_slope"),
+        (duckRound(
+          when((col("n_types") * col("sxx") - col("sx") * col("sx")) *
+               (col("n_types") * col("syy") - col("sy") * col("sy")) === 0.0, lit(0.0))
+            .otherwise(
+              (col("n_types") * col("sxy") - col("sx") * col("sy")) *
+              (col("n_types") * col("sxy") - col("sx") * col("sy")) /
+              ((col("n_types") * col("sxx") - col("sx") * col("sx")) *
+               (col("n_types") * col("syy") - col("sy") * col("sy")))), 4) + lit(0.0))
+          .as("r_squared"))
+      .orderBy("source")
+  }
+
   /** SOURCE DIVERGENCE matrix — pairwise Jensen–Shannon divergence between
     * the sources' unigram distributions: the distributional complement of
     * `corpus_overlap` (that one counts shared DOCUMENTS; this one measures

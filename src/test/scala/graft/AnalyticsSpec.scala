@@ -675,6 +675,30 @@ class AnalyticsSpec extends SparkSpecBase {
     got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
   }
 
+  test("zipfSlope: exact power law fits -1, flat profile 0, guards hold") {
+    import spark.implicits._
+    // exact Zipf: word r appears floor(1200/r) times → slope ≈ −1, high R²
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    def wordFor(r: Int) = s"w${letters(r / 26)}${letters(r % 26)}"
+    val zipf = (1 to 20).flatMap(r => Seq.fill(1200 / r)(wordFor(r)))
+    val flat = (1 to 15).flatMap(r => Seq.fill(10)(wordFor(r)))
+    val docs = Seq(
+      ("zipf", zipf.mkString(" ")),
+      ("flat", flat.mkString(" ")),
+      ("single", "word word word")          // one type → no rank spread
+    ).toDF("source", "text")
+    val got = graft.operators.TextAnalysis.zipfSlopeFrom(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (nZ, sZ, r2Z) = got("zipf")
+    assert(nZ === 20L)
+    assert(math.abs(sZ + 1.0) < 0.05, s"Zipf slope $sZ should be ≈ −1")
+    assert(r2Z > 0.99, s"power-law fit should be near-perfect, got $r2Z")
+    // flat: y constant → slope exactly 0 and R² guarded to 0
+    assert(got("flat") === ((15L, 0.0, 0.0)))
+    // single type: no rank spread → both guarded to 0
+    assert(got("single") === ((1L, 0.0, 0.0)))
+  }
+
   test("hitsScores equals the scalar mutual recursion; scores differentiate") {
     import spark.implicits._
     val n = 200L
