@@ -104,4 +104,14 @@ class SchemaPreflightSpec extends SparkSpecBase {
     assert(offenders.isEmpty,
       s"driver checker cannot sort these columns — flatten/stringify them:\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("preflight: every declared query has a DuckDB oracle, and no orphan oracles") {
+    // The t2 gate only hash-compares keys present in BOTH maps; a query
+    // without an oracle silently downgrades to a rows-only check. Keep the
+    // contract total so every declared operator stays differentially gated.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
 }
