@@ -281,8 +281,37 @@ object Ranking {
     * the proven persisted-cluster machinery (per-round shuffle aggregates
     * + joins, lineage checkpointed); the size column is one window
     * PARTITIONED by community over (doc, label) rows. */
-  def linkCommunities(spark: SparkSession, sfDir: String): DataFrame =
-    linkCommunitiesFrom(Tables.documents(spark, sfDir).select("doc_id"))
+  def linkCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = spark.table(ensureCommunityLabels(spark, sfDir))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+              coalesce(col("l"), col("doc_id")).as("community_id"))
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy("community_id")))
+      .orderBy("doc_id")
+  }
+
+  /** PERSISTED community labels — the [[graft.operators.Dedup.ensureClusterLabels]]
+    * pattern applied to the link graph: the CC rounds depend only on the
+    * corpus state, so they run once per corpus and every community
+    * consumer ([[linkCommunities]], [[communityRollup]]) pays a label-table
+    * join instead of re-running the alternating-star iteration. Stored as
+    * `(v, l)` non-singleton labels, bucketed on `v`, fingerprint-gated
+    * against the documents parquet. Returns the table name. */
+  def ensureCommunityLabels(spark: SparkSession, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_linkcc_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_labels"
+    val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")
+    graft.sources.Warehouse.ensureDerivedTables(spark, Seq(table), fp) {
+      val docs = Tables.documents(spark, sfDir).select("doc_id")
+      val n = docs.count()
+      require(n > 0, "ensureCommunityLabels: empty corpus")
+      val labels = graft.operators.Dedup.connectedComponents(hostEdges(docs, n), "a", "b")
+      graft.sources.Warehouse.writeBucketed(labels, Seq("v"), table, 8)
+    }
+    table
+  }
 
   /** The directed affine link edges (the [[linkRankFrom]] derivation),
     * self-loops dropped, dedup'd. */
@@ -332,14 +361,26 @@ object Ranking {
     * CONSTRUCTION (components are edge-closed), so the edge attribution
     * is a single equi-join on the `a` endpoint — no pair re-derivation.
     * Output is bounded by the farm count, not the corpus. */
-  def communityRollup(spark: SparkSession, sfDir: String): DataFrame =
-    communityRollupFrom(Tables.documents(spark, sfDir).select("doc_id"))
+  def communityRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val n = docs.count()
+    require(n > 0, "communityRollup: empty corpus")
+    // rides the persisted label table — the rollup pays two equi-joins,
+    // never a second CC run
+    rollupOver(linkCommunities(spark, sfDir), docs, n)
+  }
 
-  /** [[communityRollup]] over an explicit `(doc_id)` frame. */
+  /** [[communityRollup]] over an explicit `(doc_id)` frame (direct CC, no
+    * persisted store — the spec-facing form). */
   def communityRollupFrom(docs: DataFrame): DataFrame = {
     val n = docs.count()
     require(n > 0, "communityRollupFrom: empty corpus")
-    val members = linkCommunitiesFrom(docs).filter(col("community_size") >= 2)
+    rollupOver(linkCommunitiesFrom(docs), docs, n)
+  }
+
+  /** The rollup aggregates over an already-labeled community table. */
+  private def rollupOver(labeled: DataFrame, docs: DataFrame, n: Long): DataFrame = {
+    val members = labeled.filter(col("community_size") >= 2)
     val inDeg = affineEdges(docs, n)
       .groupBy("dst").agg(count(lit(1)).as("in_links"))
     val perDoc = members
