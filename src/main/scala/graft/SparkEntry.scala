@@ -151,6 +151,7 @@ object SparkEntry {
     "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
+    "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
@@ -1221,6 +1222,19 @@ object SparkEntry {
         |SELECT slice, cum_docs, cum_tokens, new_types, cum_vocab,
         |  round(CAST(cum_vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE), 6) + 0.0 AS type_token_ratio
         |FROM c ORDER BY slice""".stripMargin,
+    // doc_entropy: H = log2(n) − (1/n)·Σ c·log2(c) per doc, evenness
+    // H/log2(types) with the single-type guard — per-doc unordered folds
+    // rounded at 4 dp.
+    "doc_entropy" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS word FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+        |        sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clc FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |  round(log2(CAST(n_tokens AS DOUBLE)) - clc / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS entropy_bits,
+        |  round(CASE WHEN n_types = 1 THEN 1.0
+        |        ELSE (log2(CAST(n_tokens AS DOUBLE)) - clc / CAST(n_tokens AS DOUBLE)) / log2(CAST(n_types AS DOUBLE)) END, 4) + 0.0 AS evenness
+        |FROM g ORDER BY doc_id""".stripMargin,
     // zipf_slope: OLS over (ln rank, ln freq) per source — exact integer
     // inputs to ln, unordered vocab-row sums rounded at 4 dp, zero-variance
     // guards identical on both sides.

@@ -116,6 +116,42 @@ object TextAnalysis {
       .orderBy("slice")
   }
 
+  /** DOCUMENT WORD ENTROPY — Shannon entropy of each document's unigram
+    * distribution, in bits, plus the type-count-normalized form: the
+    * information-density quality signal next to [[repetitionScore]]'s
+    * trigram ratio (a looping template scores low entropy even when its
+    * trigrams stay distinct; keyword-stuffed spam collapses normalized
+    * entropy toward 0 while length-based filters pass it).
+    * `H = log₂(n) − (1/n)·Σ_w c_w·log₂(c_w)`; normalized = H / log₂(types)
+    * (1.0 = perfectly even usage), guarded to 1.0 for single-type docs.
+    *
+    * 100 TB: one explode + (doc, word) partial-agg'd count, then a per-doc
+    * partial-agg'd sum — two shuffles on doc-keyed rows, no windows, no
+    * driver state. Per-doc float folds are unordered over that doc's
+    * ≤vocab rows → rounded at 4 dp (the source_divergence tolerance). */
+  def docEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    docEntropyFrom(Tables.documents(spark, sfDir))
+
+  /** [[docEntropy]] over an explicit `(doc_id, text)` frame; wordless
+    * documents are dropped (no distribution to measure). */
+  def docEntropyFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(col("c").cast("double") * log2(col("c").cast("double"))).as("clc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (duckRound(log2(col("n_tokens").cast("double")) -
+           col("clc") / col("n_tokens").cast("double"), 4) + lit(0.0)).as("entropy_bits"),
+        (duckRound(
+          when(col("n_types") === 1L, lit(1.0))
+            .otherwise((log2(col("n_tokens").cast("double")) -
+              col("clc") / col("n_tokens").cast("double")) /
+              log2(col("n_types").cast("double"))), 4) + lit(0.0)).as("evenness"))
+      .orderBy("doc_id")
+
   /** ZIPF SLOPE per source — the rank-frequency power-law exponent fitted
     * by OLS over (ln rank, ln freq): the corpus-health diagnostic next to
     * [[vocabGrowth]]'s Heaps curve (natural language sits near −1;

@@ -77,7 +77,8 @@ object ScaleProbe {
                             "stream_dedup_bounded", "cocitation", "sketch_rollup",
                             "interval_join", "readability",
                             "pareto_frontier", "anomaly_hours",
-                            "stream_anomaly_hours", "hits_scores", "zipf_slope")).toList
+                            "stream_anomaly_hours", "hits_scores", "zipf_slope",
+                            "doc_entropy")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

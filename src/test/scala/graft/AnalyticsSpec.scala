@@ -675,6 +675,29 @@ class AnalyticsSpec extends SparkSpecBase {
     got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
   }
 
+  test("docEntropy: hand-computed H on known distributions, guards and bounds hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),   // uniform over 4 → H = 2 bits, evenness 1
+      (1L, "alpha alpha alpha alpha"),  // single type → H = 0, evenness guard 1
+      (2L, "alpha alpha beta beta alpha alpha beta beta"), // uniform over 2 → H = 1
+      (3L, "alpha alpha alpha beta")    // skewed: H = 2 − (3·log2 3)/4
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.docEntropyFrom(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0L) === ((4L, 4L, 2.0, 1.0)))
+    assert(got(1L) === ((4L, 1L, 0.0, 1.0)))
+    assert(got(2L) === ((8L, 2L, 1.0, 1.0)))
+    val h3 = 2.0 - 3.0 * (math.log(3.0) / math.log(2.0)) / 4.0
+    assert(math.abs(got(3L)._3 - math.round(h3 * 10000.0) / 10000.0) < 1e-9)
+    assert(got(3L)._4 === got(3L)._3) // evenness = H / log2(2) = H
+    // bounds: 0 ≤ H ≤ log2(types), 0 ≤ evenness ≤ 1
+    got.values.foreach { case (_, types, h, e) =>
+      assert(h >= 0.0 && h <= math.log(types.toDouble) / math.log(2.0) + 1e-9)
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
+
   test("zipfSlope: exact power law fits -1, flat profile 0, guards hold") {
     import spark.implicits._
     // exact Zipf: word r appears floor(1200/r) times → slope ≈ −1, high R²
