@@ -220,6 +220,7 @@ object SparkEntry {
     "agg_incremental" -> ((s, d) => Pipeline.aggIncremental(s, d)),
     "snapshot_diff" -> ((s, d) => Pipeline.snapshotDiff(s, d)),
     "train_shuffle" -> ((s, d) => Pipeline.trainShuffle(s, d)),
+    "leakage_safe_split" -> ((s, d) => Pipeline.leakageSafeSplit(s, d)),
     "epoch_plan" -> ((s, d) => Pipeline.epochPlan(s, d)),
     // -- similarity search (north star) --
     "similarity_knn" -> ((s, d) => Similarity.knnBrute(s, d)),
@@ -2199,6 +2200,24 @@ object SparkEntry {
     // recursive CTE, cluster = min reachable doc_id (∪ self), singletons
     // filled from the documents table.
     "dedup_clusters" -> dedupClustersSql,
+    // leakage_safe_split: the cluster chain + the export_manifest 60-bit
+    // md5-prefix hash of the canonical id → 80/10/10, every member
+    // inheriting its canonical's verdict.
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE np AS ($ngramPairsSql),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
+        |reach AS (SELECT a AS v, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT v, least(v, min(r)) AS cluster FROM reach GROUP BY v),
+        |lbl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+        |h AS (SELECT doc_id, cluster_id,
+        |        CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS hv
+        |      FROM lbl)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN hv <= 7 THEN 'train' WHEN hv = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
     // dedup_clusters_incremental: the compressed delta merge equals the
     // full recompute, so the full-corpus CC oracle gates it too.
     "dedup_clusters_incremental" -> dedupClustersSql,

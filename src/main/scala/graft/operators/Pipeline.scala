@@ -652,6 +652,38 @@ object Pipeline {
     * interleaved global order is (pos, shard) round-robin by construction.
     * Changing `epoch` re-deals both hashes — a fresh shuffle per epoch
     * with zero state carried between epochs. */
+  /** LEAKAGE-SAFE train/val/test SPLIT — the assignment every evaluation
+    * pipeline needs but a naive per-document hash gets WRONG: hashing
+    * doc_id puts a document and its near-duplicate in different splits,
+    * and the model "generalizes" to test items it effectively saw in
+    * training (the within-corpus cousin of decontamination). The fix:
+    * assign by near-dup CLUSTER — hash the cluster's canonical id (the
+    * persisted [[Dedup.ensureClusterLabels]] table, so the split rides
+    * the same label artifact every cluster consumer uses) and give every
+    * member the canonical's verdict: 80/10/10 by `md5(canonical) mod 10`.
+    * By construction no cluster straddles a split boundary — spec-gated
+    * on the fixture's planted near-dups.
+    *
+    * Determinism across engines: the hash is the 60-bit md5 prefix parsed
+    * to a long (the export_manifest convention) — content-derived, so the
+    * split is stable under re-ingestion order, corpus growth only moves
+    * NEW clusters. 100 TB: one label-table join + scan-side hash
+    * arithmetic; no shuffle beyond the label join. */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = spark.table(Dedup.ensureClusterLabels(spark, sfDir))
+    graft.sources.Tables.documents(spark, sfDir).select("doc_id")
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("cluster_id"))
+      .withColumn("h",
+        pmod(conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)
+          .cast("bigint"), lit(10L)))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("h") <= 7, lit("train"))
+          .when(col("h") === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
   def trainShuffle(spark: SparkSession, sfDir: String,
                    nShards: Int = 8, epoch: Int = 17): DataFrame = {
     val keyed = graft.sources.Tables.documents(spark, sfDir)

@@ -383,4 +383,26 @@ class PipelineSpec extends SparkSpecBase {
     // dropped somewhere, and the corpus is not annihilated
     assert(rows.map(_.getLong(3)).sum > 0 && rows.last.getLong(4) > 0)
   }
+
+  test("leakageSafeSplit: no near-dup cluster straddles a split; assignment is total and stable") {
+    val rows = graft.operators.Pipeline.leakageSafeSplit(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // total: every document assigned exactly once, split vocabulary closed
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // THE property: every cluster maps to exactly one split — a planted
+    // near-dup can never sit in train while its twin sits in test
+    val perCluster = rows.groupBy(_._2).map { case (_, ms) => ms.map(_._3).distinct.length }
+    assert(perCluster.forall(_ == 1), "a cluster straddles a split boundary")
+    // non-vacuous: the fixture HAS multi-member clusters, and the hash
+    // actually spreads mass across all three splits at this corpus size
+    assert(rows.groupBy(_._2).exists(_._2.length > 1), "no planted near-dups — gate is vacuous")
+    assert(rows.map(_._3).toSet === Set("train", "val", "test"))
+    val trainFrac = rows.count(_._3 == "train").toDouble / rows.length
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac far from 0.8")
+    // deterministic: a repeat run reproduces the assignment bit-for-bit
+    val again = graft.operators.Pipeline.leakageSafeSplit(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
 }
