@@ -102,6 +102,7 @@ object SparkEntry {
     "stream_dedup" -> ((s, d) => graft.streaming.EventStreams.streamDedupQuery(s, d)),
     "stream_enrich" -> ((s, d) => graft.streaming.EventStreams.streamEnrichQuery(s, d)),
     "stream_sliding" -> ((s, d) => graft.streaming.EventStreams.streamSlidingQuery(s, d)),
+    "stream_sliding_append" -> ((s, d) => graft.streaming.EventStreams.streamSlidingAppendQuery(s, d)),
     "stream_join" -> ((s, d) => graft.streaming.EventStreams.streamStreamJoinQuery(s, d)),
     "stream_dedup_near" -> ((s, d) => graft.streaming.EventStreams.streamNearDupQuery(s, d)),
     "stream_sessions" -> ((s, d) => graft.streaming.EventStreams.streamSessionsQuery(s, d)),
@@ -1098,6 +1099,18 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "sliding_window" -> slidingSql,
     "stream_sliding" -> slidingSql,
+    // stream_sliding_append: the hop aggregate restricted to windows the
+    // final watermark closed — trailing open windows absent by design.
+    "stream_sliding_append" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+        |wmx AS (SELECT max(tsu) - INTERVAL 10 MINUTE AS wm FROM e),
+        |x AS (SELECT epoch_us(tsu) // 900000000 * 900000000 AS grid, event_type, value FROM e),
+        |w AS (SELECT make_timestamp(grid - i * 900000000) AS ws, event_type, value
+        |      FROM x, range(4) t(i))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM w, wmx WHERE ws + INTERVAL 1 HOUR <= wm
+        |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -338,6 +338,28 @@ object EventStreams {
     * streaming query — hourly aggregates advancing every 15 minutes, each
     * event entering 4 overlapping windows via the same Expand the batch
     * form plans. Watermark bounds state to the trailing window span. */
+  /** Driver-verified: the PRODUCTION hopping form — [[streamSlidingQuery]]
+    * in APPEND mode: each 1-hour/15-min window row is emitted exactly once
+    * when the watermark passes its end and its state is evicted at that
+    * moment, so state is bounded by the OPEN windows (4 per event type at
+    * this overlap) instead of the whole window history Complete mode
+    * re-emits every trigger. The [[streamTumblingAppendQuery]] discipline
+    * applied to the 4-way Expand: oracle = the batch hop aggregate
+    * restricted to `window_end ≤ final watermark`; the trailing open
+    * windows are absent BY DESIGN (StreamingSpec proves append =
+    * complete ∖ open exactly). */
+  def streamSlidingAppendQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    runToCompletion(spark, agg, "stream_sliding_append", OutputMode.Append())
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+              col("event_type"), col("n_events"),
+              duckRound(col("sum_value"), 4).as("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   def streamSlidingQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "10 minutes")

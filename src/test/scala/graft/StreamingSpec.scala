@@ -192,6 +192,24 @@ class StreamingSpec extends SparkSpecBase {
       s"degenerate fixture: ${append.size} of ${complete.size} windows closed")
   }
 
+  test("append-mode sliding emits exactly the watermark-closed hop-window subset") {
+    // The 4-way Expand under Append: every (window, type) row emits once
+    // when the watermark passes window start + 1 hour; the ≤4 trailing
+    // open hops per type are withheld.
+    val append = EventStreams.streamSlidingAppendQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val complete = EventStreams.streamSlidingQuery(spark, sf0001).collect().map(_.toSeq)
+    val wmMs = graft.sources.Tables.events(spark, sf0001)
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime - 600000L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    val expected = complete.filter { r =>
+      fmt.parse(r.head.asInstanceOf[String]).getTime + 3600000L <= wmMs
+    }.toSet
+    assert(append === expected)
+    assert(append.nonEmpty && append.size < complete.size,
+      s"degenerate fixture: ${append.size} of ${complete.size} hop windows closed")
+  }
+
   test("append-mode sessions emit exactly the watermark-closed subset of complete mode") {
     // The production form: Append emits a session once, when the final
     // watermark (max ts − 10 min) passes its end (last event + 30 min gap);
