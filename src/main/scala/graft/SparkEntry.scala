@@ -250,6 +250,7 @@ object SparkEntry {
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
+    "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
     "stream_media_packed" -> ((s, d) => graft.streaming.EventStreams.streamMediaPackedQuery(s, d)),
     "stream_quota_ingest" -> ((s, d) => graft.streaming.EventStreams.streamQuotaIngestQuery(s, d)),
@@ -2955,6 +2956,17 @@ object SparkEntry {
     // wrote (read_blob over the fixed staging root) — size, hex-md5 digest
     // and magic-byte container sniff replayed byte for byte.
     "media_files_scan" -> mediaFilesScanSql(),
+    // compaction_plan: start-offset binning over the same staged files —
+    // read_blob gives (name, size), the window arithmetic is identical.
+    "compaction_plan" ->
+      """WITH f AS (SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name, CAST(size AS BIGINT) AS n_bytes
+        |      FROM read_blob('/tmp/graft_media_files/asset_*')),
+        |c AS (SELECT file_name, n_bytes,
+        |        sum(n_bytes) OVER (ORDER BY file_name ROWS UNBOUNDED PRECEDING) AS endoff FROM f),
+        |g AS (SELECT CAST((endoff - n_bytes) // 4096 AS BIGINT) AS group_id, file_name, n_bytes FROM c)
+        |SELECT group_id, count(*) AS n_files, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  min(file_name) AS first_file, max(file_name) AS last_file
+        |FROM g GROUP BY group_id ORDER BY group_id""".stripMargin,
     // stream_quota_ingest: budget consumed in arrival order == doc_id
     // order under bounded replay, so the per-source prefix sum is exact.
     "stream_quota_ingest" ->

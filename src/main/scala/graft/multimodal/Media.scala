@@ -639,4 +639,37 @@ object Media {
     catalogColumns(spark.read.format("binaryFile").load(dir))
       .orderBy("file_name")
   }
+
+  /** COMPACTION PLAN over the raw asset drop — the small-files maintenance
+    * pass every file-grain lake layout eventually needs (the per-file
+    * driver tax this module measures for the streaming catalog is exactly
+    * WHY): assign the drop's files, in name order, to output groups of
+    * ~`targetBytes` by START-OFFSET binning — a file joins the group its
+    * cumulative start offset falls in, so groups are contiguous,
+    * deterministic, and overshoot by at most one file (the same contract
+    * as Spark's own `maxPartitionBytes` split packing). Emits per group
+    * the file count, byte total, and the name range — the inputs a
+    * rewrite job needs to coalesce each group into one object.
+    *
+    * 100 TB: the plan runs over the file MANIFEST (name + length — a
+    * metadata-only `binaryFile` projection that never loads content), so
+    * the one unpartitioned running-sum window is over |files| manifest
+    * rows, not data mass (the peak_concurrency carry argument); the
+    * rewrite itself would be the parallel part. Oracle: DuckDB `read_blob`
+    * over the same staged files, same window arithmetic. */
+  def compactionPlan(spark: SparkSession, sfDir: String,
+                     targetBytes: Long = 4096L): DataFrame = {
+    val dir = ensureAssetFiles(spark, sfDir)
+    val manifest = spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+              col("length").as("n_bytes"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("file_name")
+    manifest
+      .withColumn("endoff", sum("n_bytes").over(w))
+      .withColumn("group_id", expr(s"(endoff - n_bytes) div ${targetBytes}L"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_files"), sum("n_bytes").as("total_bytes"),
+           min("file_name").as("first_file"), max("file_name").as("last_file"))
+      .orderBy("group_id")
+  }
 }

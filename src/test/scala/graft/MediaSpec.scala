@@ -316,4 +316,32 @@ class MediaSpec extends SparkSpecBase {
     assert(got(0).getAs[Int]("keep") === 0)
     assert(got(1).getAs[Int]("keep") === 1, s"control image should pass: ${got(1)}")
   }
+
+  test("compactionPlan: contiguous groups, full coverage, bounded overshoot") {
+    import org.apache.spark.sql.functions._
+    val plan = graft.multimodal.Media.compactionPlan(spark, sf0001, targetBytes = 1024L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    val dir = graft.multimodal.Media.ensureAssetFiles(spark, sf0001)
+    val files = spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("f"), col("length"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // coverage: every file in exactly one group, byte totals reconcile
+    assert(plan.map(_._2).sum === files.length.toLong)
+    assert(plan.map(_._3).sum === files.map(_._2).sum)
+    // contiguity: name ranges are ordered and disjoint across groups
+    plan.sortBy(_._1).sliding(2).foreach {
+      case Array((ga, _, _, _, lastA), (gb, _, _, firstB, _)) =>
+        assert(ga < gb && lastA < firstB, s"groups $ga/$gb interleave: $lastA vs $firstB")
+      case _ =>
+    }
+    // bounded overshoot: a multi-file group exceeds the target by at most
+    // its last file (the start-offset binning contract)
+    val sizeByName = files.toMap
+    plan.filter(_._2 > 1).foreach { case (g, _, total, _, last) =>
+      assert(total - sizeByName(last) < 1024L,
+        s"group $g overfilled before its last file: $total")
+    }
+    // non-degenerate at this target: multiple groups, some multi-file
+    assert(plan.length > 1 && plan.exists(_._2 > 1))
+  }
 }
