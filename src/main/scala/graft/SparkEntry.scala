@@ -55,6 +55,7 @@ object SparkEntry {
     }),
     "distinct_sketch" -> ((s, d) => Relational.distinctSketch(s, d)),
     "sketch_rollup" -> ((s, d) => Relational.sketchRollup(s, d)),
+    "skew_profile" -> ((s, d) => Relational.skewProfile(s, d)),
     "freq_sketch" -> ((s, d) => TextAnalysis.freqSketch(s, d)),
     "join_orders_customers" -> ((s, d) => Relational.joinOrdersCustomers(s, d)),
     "multi_join_agg" -> ((s, d) => Relational.multiJoinAgg(s, d)),
@@ -1002,6 +1003,45 @@ object SparkEntry {
     // md5 hash (md5_number_lower mod 2^63), same k-th-smallest selection,
     // same one-division estimate ((k−1)·2⁶³ is a 6-significant-bit double,
     // exact) — so the approximate count hash-matches bit for bit.
+    // skew_profile: per-key-column distribution shape — one
+    // aggregate branch per analyzed column, identical arithmetic.
+    "skew_profile" ->
+      """SELECT * FROM (
+        |SELECT 'events.user_id' AS key_column, CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 4) + 0.0 AS skew_ratio,
+        |  round(CASE WHEN count(*) = 1 THEN 0.0
+        |    ELSE (log2(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c)) / log2(CAST(count(*) AS DOUBLE)) END, 4) + 0.0 AS evenness
+        |FROM (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |UNION ALL
+        |SELECT 'events.event_type' AS key_column, CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 4) + 0.0 AS skew_ratio,
+        |  round(CASE WHEN count(*) = 1 THEN 0.0
+        |    ELSE (log2(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c)) / log2(CAST(count(*) AS DOUBLE)) END, 4) + 0.0 AS evenness
+        |FROM (SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS c FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey' AS key_column, CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 4) + 0.0 AS skew_ratio,
+        |  round(CASE WHEN count(*) = 1 THEN 0.0
+        |    ELSE (log2(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c)) / log2(CAST(count(*) AS DOUBLE)) END, 4) + 0.0 AS evenness
+        |FROM (SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS c FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1)
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey' AS key_column, CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 4) + 0.0 AS skew_ratio,
+        |  round(CASE WHEN count(*) = 1 THEN 0.0
+        |    ELSE (log2(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c)) / log2(CAST(count(*) AS DOUBLE)) END, 4) + 0.0 AS evenness
+        |FROM (SELECT CAST(l_suppkey AS VARCHAR) AS k, count(*) AS c FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1)
+        |UNION ALL
+        |SELECT 'orders.o_custkey' AS key_column, CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 4) + 0.0 AS skew_ratio,
+        |  round(CASE WHEN count(*) = 1 THEN 0.0
+        |    ELSE (log2(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c)) / log2(CAST(count(*) AS DOUBLE)) END, 4) + 0.0 AS evenness
+        |FROM (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS c FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+        |) ORDER BY key_column""".stripMargin,
     "distinct_sketch" -> kmvSketchSql,
     // sketch_rollup: both sketch levels replayed — per-type k-smallest
     // distinct hashes, then the k smallest of the union of THOSE rows

@@ -62,6 +62,44 @@ object Relational {
       .agg(duckRound(call_function("graft_kmv", col("uid"), lit(k)), 4).as("est_users"))
       .orderBy("event_type")
 
+  /** KEY-SKEW PROFILE — the shuffle-planning diagnostic behind every
+    * salting/skew decision in this repo: for each candidate shuffle key,
+    * one row of distribution shape — row and key counts, the hottest
+    * key's frequency, `skew_ratio` = max/avg (1.0 = perfectly uniform;
+    * the threshold AQE's skew-join split keys on is this ratio at
+    * partition grain), and the normalized key entropy (1.0 = even,
+    * → 0 = one key carries everything). A pipeline reads this BEFORE
+    * choosing bucketing/salting ([[Skew]]) the way it reads
+    * `profile_table` before typing columns.
+    *
+    * 100 TB: each key's stats partial-agg from the scan to |keys| rows,
+    * then to ONE row per analyzed column — no windows, no sorts, no
+    * top-k; the five analyses union fixed-size rows. Per-column float
+    * folds over |keys| rows round at 4 dp (the doc_entropy discipline). */
+  def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def one(df: DataFrame, keyCol: String, label: String): DataFrame =
+      df.select(col(keyCol).cast("string").as("k")).filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+             max("c").as("max_count"),
+             sum(col("c").cast("double") * log2(col("c").cast("double"))).as("clc"))
+        .select(lit(label).as("key_column"),
+          col("n_rows"), col("n_keys"), col("max_count"),
+          (duckRound(col("max_count").cast("double") * col("n_keys").cast("double") /
+            col("n_rows").cast("double"), 4) + lit(0.0)).as("skew_ratio"),
+          (duckRound(
+            when(col("n_keys") === 1L, lit(0.0))
+              .otherwise((log2(col("n_rows").cast("double")) -
+                col("clc") / col("n_rows").cast("double")) /
+                log2(col("n_keys").cast("double"))), 4) + lit(0.0)).as("evenness"))
+    one(Tables.events(spark, sfDir), "user_id", "events.user_id")
+      .unionByName(one(Tables.events(spark, sfDir), "event_type", "events.event_type"))
+      .unionByName(one(Tables.lineitem(spark, sfDir), "l_orderkey", "lineitem.l_orderkey"))
+      .unionByName(one(Tables.lineitem(spark, sfDir), "l_suppkey", "lineitem.l_suppkey"))
+      .unionByName(one(Tables.orders(spark, sfDir), "o_custkey", "orders.o_custkey"))
+      .orderBy("key_column")
+  }
+
   /** MERGEABLE-SKETCH ROLLUP — the property that makes approximate
     * distinct counting compose at 100 TB (Agarwal et al., "Mergeable
     * Summaries", PODS'12): distinct counts do NOT add across groups (the

@@ -79,7 +79,8 @@ object ScaleProbe {
                             "pareto_frontier", "anomaly_hours",
                             "stream_anomaly_hours", "hits_scores", "zipf_slope",
                             "doc_entropy", "leakage_safe_split",
-                            "stream_sliding_append", "compaction_plan")).toList
+                            "stream_sliding_append", "compaction_plan",
+                            "skew_profile")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

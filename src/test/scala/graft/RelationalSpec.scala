@@ -156,6 +156,24 @@ class RelationalSpec extends SparkSpecBase {
     assert(out.exists(_._3 > 1), "no concurrency on the fixture — degenerate")
   }
 
+  test("skewProfile: ratio and evenness read the fixture's real shape") {
+    val rows = graft.operators.Relational.skewProfile(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.keySet === Set("events.user_id", "events.event_type",
+      "lineitem.l_orderkey", "lineitem.l_suppkey", "orders.o_custkey"))
+    rows.values.foreach { case (n, k, mx, ratio, ev) =>
+      assert(n > 0 && k > 0 && mx >= 1)
+      assert(ratio >= 1.0 - 1e-9, s"max/avg below 1: $ratio")  // max ≥ avg always
+      assert(ev >= 0.0 && ev <= 1.0 + 1e-9)
+    }
+    // event_type is a handful of near-uniform categories: tiny key count,
+    // near-1 evenness; user_id spreads over many keys
+    val (_, kTypes, _, _, evTypes) = rows("events.event_type")
+    assert(kTypes <= 10L && evTypes > 0.9, s"event_type shape unexpected: $kTypes, $evTypes")
+    assert(rows("events.user_id")._2 > kTypes)
+  }
+
   test("intervalJoinSessions: bucketed pair join equals the scalar quadratic replay") {
     import spark.implicits._
     val H = 3600000000L // 1h in µs
