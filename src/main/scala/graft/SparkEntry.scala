@@ -135,6 +135,7 @@ object SparkEntry {
     "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     "classify_docs" -> ((s, d) => TextAnalysis.classifyDocs(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
     "kanon_suppress" -> ((s, d) => TextAnalysis.kanonSuppress(s, d)),
@@ -1677,6 +1678,34 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    // lang_confusion: the lang_id chain joined to the labeled column,
+    // cells + per-actual recall share over the ≤|langs|² matrix.
+    "lang_confusion" ->
+      """WITH li AS (WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST((length(t)-length(replace(t,'the','')))/3 + (length(t)-length(replace(t,'ing','')))/3
+        |     + (length(t)-length(replace(t,'and','')))/3 + (length(t)-length(replace(t,' th','')))/3
+        |     + (length(t)-length(replace(t,'ion','')))/3 AS BIGINT) AS s_en,
+        |  CAST((length(t)-length(replace(t,' de','')))/3 + (length(t)-length(replace(t,'que','')))/3
+        |     + (length(t)-length(replace(t,'los','')))/3 + (length(t)-length(replace(t,'ión','')))/3
+        |     + (length(t)-length(replace(t,'ent','')))/3 AS BIGINT) AS s_es,
+        |  CAST((length(t)-length(replace(t,'der','')))/3 + (length(t)-length(replace(t,'ein','')))/3
+        |     + (length(t)-length(replace(t,'sch','')))/3 + (length(t)-length(replace(t,'ich','')))/3
+        |     + (length(t)-length(replace(t,'den','')))/3 AS BIGINT) AS s_de,
+        |  CAST((length(t)-length(replace(t,' de','')))/3 + (length(t)-length(replace(t,'les','')))/3
+        |     + (length(t)-length(replace(t,'ent','')))/3 + (length(t)-length(replace(t,'une','')))/3
+        |     + (length(t)-length(replace(t,'ais','')))/3 AS BIGINT) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred
+        |FROM s),
+        |j AS (SELECT d.lang AS lang_actual, li.pred AS lang_pred FROM documents d JOIN li ON d.doc_id = li.doc_id),
+        |c AS (SELECT lang_actual, lang_pred, count(*) AS n_docs FROM j GROUP BY 1, 2)
+        |SELECT lang_actual, lang_pred, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang_actual), 4) + 0.0 AS recall_share
+        |FROM c ORDER BY lang_actual, lang_pred""".stripMargin,
     "lang_id" ->
       """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
         |s AS (SELECT doc_id,

@@ -1074,6 +1074,33 @@ object TextAnalysis {
     scored.withColumn("pred", pred).orderBy("doc_id")
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX — [[langId]] evaluated against the
+    * corpus's labeled `lang` column: per (actual, predicted) cell the
+    * document count and the recall share of the actual language (the
+    * diagonal is per-language recall). The eval instrument the heuristic
+    * needs before anyone mixes on its output — the `ann_recall` /
+    * `winnow_recall` discipline applied to classification: ship the
+    * measurement next to the operator, priced honestly.
+    *
+    * 100 TB: predictions are [[langId]]'s scan-side marker arithmetic;
+    * the join is doc-keyed; cells partial-agg to ≤|langs|² rows and the
+    * recall share windows over that metadata-sized matrix. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val preds = langId(spark, sfDir).select(col("doc_id"), col("pred"))
+    val cells = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang").as("lang_actual"))
+      .join(preds, "doc_id")
+      .groupBy(col("lang_actual"), col("pred").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    // ≤|langs|² matrix rows — metadata-sized window
+    val w = Window.partitionBy("lang_actual")
+    cells
+      .withColumn("recall_share",
+        duckRound(col("n_docs").cast("double") /
+          sum("n_docs").over(w).cast("double"), 4) + lit(0.0))
+      .orderBy("lang_actual", "lang_pred")
+  }
+
   /** Content fingerprint per document: md5 of whitespace-normalized text.
     * The join key for exact dedup at scale (fingerprint once, shuffle the
     * 32-byte digest instead of the document). */

@@ -675,6 +675,27 @@ class AnalyticsSpec extends SparkSpecBase {
     got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
   }
 
+  test("langConfusion: cells reconcile with langId row-by-row, shares sum to 1") {
+    import spark.implicits._
+    val preds = graft.operators.TextAnalysis.langId(spark, sf0001)
+      .select("doc_id", "pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val actual = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = actual.toSeq.map { case (id, a) => (a, preds(id)) }
+      .groupBy(identity).map { case ((a, p), xs) => (a, p, xs.size.toLong) }.toSet
+    val got = graft.operators.TextAnalysis.langConfusion(spark, sf0001).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet === expected)
+    // per-actual recall shares sum to 1 (4-dp rounding tolerance)
+    got.groupBy(_.getString(0)).foreach { case (a, rows) =>
+      val sum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(sum - 1.0) < 2e-3, s"$a shares sum to $sum")
+    }
+    // the instrument must measure something non-trivial: >1 actual lang,
+    // and at least one off-diagonal cell OR a perfect diagonal — either
+    // way the matrix shape is reported, not assumed
+    assert(got.map(_.getString(0)).distinct.length > 1)
+  }
+
   test("docEntropy: hand-computed H on known distributions, guards and bounds hold") {
     import spark.implicits._
     val docs = Seq(
