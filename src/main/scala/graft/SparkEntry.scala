@@ -90,6 +90,7 @@ object SparkEntry {
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
     "anomaly_hours" -> ((s, d) => Analytics.anomalyHours(s, d)),
+    "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
     "triangle_count" -> ((s, d) => Ranking.triangleCount(s, d)),
     "rolling_features" -> ((s, d) => Analytics.rollingFeatures(s, d)),
     "profile_table" -> ((s, d) => Analytics.profileTable(s, d)),
@@ -1372,6 +1373,19 @@ object SparkEntry {
         |  CAST(sum(trail_cents) AS BIGINT) AS sum_trail_cents
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     // outlier_events: |v - mean| > 3sigma cleared of denominators —
+    // basket_affinity: the Apriori 2-itemset pass — basket-bounded pair
+    // join, support floor before the stats joins, lift ranked.
+    "basket_affinity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ic AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY 1),
+        |t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        |p AS (SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b, count(*) AS support
+        |      FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  round(CAST(support AS DOUBLE) * n_orders / (CAST(ca.cnt AS DOUBLE) * cb.cnt), 4) + 0.0 AS lift
+        |FROM p JOIN ic ca ON p.part_a = ca.l_partkey JOIN ic cb ON p.part_b = cb.l_partkey, t
+        |ORDER BY lift DESC, part_a, part_b LIMIT 50""".stripMargin,
     // anomaly_hours: median/MAD robust z over hourly counts, cleared of
     // fractions — M2 = 2·median, D = |2c − M2|, T2 = 2·median(D), flag
     // iff 2·D > 3·T2; every comparison a long.

@@ -307,6 +307,45 @@ object Analytics {
       .orderBy("cohort", "q_offset")
   }
 
+  /** MARKET-BASKET AFFINITY — association mining over the order book:
+    * part pairs that co-occur in the same order more often than chance,
+    * ranked by LIFT = P(a,b) / (P(a)·P(b)) with a minimum-support floor
+    * (the classic Apriori 2-itemset pass — recommendation candidates,
+    * substitution detection, catalog layout). The [[Ranking.cocitation]]
+    * discipline on baskets: pair generation self-joins the (order, part)
+    * list ON THE ORDER, so fan-out is bounded by basket SIZE — a
+    * retail-bounded constant (TPC-H orders hold ≤7 lines) — never by item
+    * popularity, the hub-skewed direction; the support floor collapses the
+    * pair set BEFORE any statistics join touches it.
+    *
+    * 100 TB: one distinct pass, one order-keyed pair join (basket-bounded),
+    * partial-agg'd supports, per-item counts joined after the support
+    * collapse, the 1-row order total broadcast, top-k as
+    * TakeOrderedAndProject. Lift is one double expression per surviving
+    * pair, rounded at 4 dp. */
+  def basketAffinity(spark: SparkSession, sfDir: String,
+                     minSupport: Int = 3, k: Int = 50): DataFrame = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val itemCnt = baskets.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val totals = baskets.agg(countDistinct("l_orderkey").as("n_orders"))
+    val pairs = baskets.as("a").join(baskets.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(itemCnt.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), Seq("part_a"))
+      .join(itemCnt.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), Seq("part_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("support"), col("cnt_a"), col("cnt_b"),
+        (duckRound(col("support").cast("double") * col("n_orders").cast("double") /
+          (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 4) + lit(0.0)).as("lift"))
+      .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
+      .limit(k)
+  }
+
   /** ROBUST TRAFFIC ANOMALY detection — per-hour event volume tested
     * against a median/MAD robust z-score (the monitoring primitive behind
     * ingest-pipeline alerting: crawler outages, bot floods, duplicate

@@ -80,7 +80,7 @@ object ScaleProbe {
                             "stream_anomaly_hours", "hits_scores", "zipf_slope",
                             "doc_entropy", "leakage_safe_split",
                             "stream_sliding_append", "compaction_plan",
-                            "skew_profile", "lang_confusion")).toList
+                            "skew_profile", "lang_confusion", "basket_affinity")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

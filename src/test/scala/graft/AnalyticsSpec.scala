@@ -675,6 +675,32 @@ class AnalyticsSpec extends SparkSpecBase {
     got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
   }
 
+  test("basketAffinity: fixture replay matches a scalar Apriori pass; ranking total") {
+    import spark.implicits._
+    val baskets = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byOrder = baskets.groupBy(_._1).map { case (_, xs) => xs.map(_._2).distinct.sorted }
+    val itemCnt = baskets.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val nOrders = byOrder.size.toLong
+    val sup = scala.collection.mutable.Map[(Long, Long), Long]()
+    byOrder.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.size)
+        sup((ps(i), ps(j))) = sup.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val expected = sup.toSeq.collect { case ((a, b), s) if s >= 3L =>
+      val lift = math.round(s.toDouble * nOrders / (itemCnt(a).toDouble * itemCnt(b)) * 10000.0) / 10000.0
+      (a, b, s, itemCnt(a), itemCnt(b), lift)
+    }.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }.take(50)
+    val got = graft.operators.Analytics.basketAffinity(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === expected)
+    assert(got.nonEmpty, "no pair clears the support floor — degenerate fixture")
+    // lift is computed against chance: the top pair must actually beat it
+    assert(got.head._6 > 1.0)
+  }
+
   test("langConfusion: cells reconcile with langId row-by-row, shares sum to 1") {
     import spark.implicits._
     val preds = graft.operators.TextAnalysis.langId(spark, sf0001)
