@@ -91,6 +91,7 @@ object SparkEntry {
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
     "anomaly_hours" -> ((s, d) => Analytics.anomalyHours(s, d)),
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
+    "revenue_rank_delta" -> ((s, d) => Analytics.revenueRankDelta(s, d)),
     "triangle_count" -> ((s, d) => Ranking.triangleCount(s, d)),
     "rolling_features" -> ((s, d) => Analytics.rollingFeatures(s, d)),
     "profile_table" -> ((s, d) => Analytics.profileTable(s, d)),
@@ -1373,6 +1374,24 @@ object SparkEntry {
         |  CAST(sum(trail_cents) AS BIGINT) AS sum_trail_cents
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     // outlier_events: |v - mean| > 3sigma cleared of denominators —
+    // revenue_rank_delta: rank-of-aggregate + lag-of-rank over the
+    // nations×quarters matrix; cents-integer revenue, name tie-break.
+    "revenue_rank_delta" ->
+      """WITH r AS (SELECT n_name, CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS BIGINT) AS qidx,
+        |        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |      FROM orders JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      GROUP BY 1, 2),
+        |k AS (SELECT qidx, n_name, rev_cents,
+        |        CAST(row_number() OVER (PARTITION BY qidx ORDER BY rev_cents DESC, n_name) AS BIGINT) AS rnk
+        |      FROM r),
+        |d AS (SELECT qidx, n_name, rev_cents, rnk,
+        |        lag(rnk) OVER (PARTITION BY n_name ORDER BY qidx) AS prev_rnk
+        |      FROM k)
+        |SELECT qidx, n_name, rev_cents, rnk,
+        |  CAST(COALESCE(prev_rnk - rnk, 0) AS BIGINT) AS rank_delta,
+        |  CAST(CASE WHEN prev_rnk IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_first
+        |FROM d ORDER BY qidx, rnk""".stripMargin,
     // basket_affinity: the Apriori 2-itemset pass — basket-bounded pair
     // join, support floor before the stats joins, lift ranked.
     "basket_affinity" ->

@@ -307,6 +307,42 @@ object Analytics {
       .orderBy("cohort", "q_offset")
   }
 
+  /** LEADERBOARD MOVEMENT — nations ranked by quarterly revenue, with each
+    * quarter's rank DELTA against the previous quarter: the
+    * rank-of-aggregate + lag-of-rank composition every "movers and
+    * shakers" report is (who rose, who fell, by how much) — a window
+    * shape ([[windowRank]] ranks within a group; this CHAINS a second
+    * window over the first's output) the suite didn't yet exercise.
+    *
+    * 100 TB: the revenue aggregate partial-aggs the fact scan down to the
+    * |nations|×|quarters| matrix first — both windows (rank within
+    * quarter, lag within nation) run over that metadata-sized table,
+    * never over fact rows. Revenue is cents-integer before ranking, so
+    * rank ties cannot be float-order-dependent; tie-break on name pins
+    * total order. First-quarter rows have no predecessor → delta NULL
+    * (emitted as 0 with a `is_first` flag, keeping the column scalar). */
+  def revenueRankDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1)
+          .cast("bigint").as("qidx"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    val byQuarter = Window.partitionBy("qidx")
+      .orderBy(col("rev_cents").desc, col("n_name").asc)
+    val byNation = Window.partitionBy("n_name").orderBy(col("qidx").asc)
+    rev
+      .withColumn("rnk", row_number().over(byQuarter).cast("bigint"))
+      .withColumn("prev_rnk", lag(col("rnk"), 1).over(byNation))
+      .select(col("qidx"), col("n_name"), col("rev_cents"), col("rnk"),
+        coalesce(col("prev_rnk") - col("rnk"), lit(0L)).as("rank_delta"),
+        col("prev_rnk").isNull.cast("int").cast("bigint").as("is_first"))
+      .orderBy("qidx", "rnk")
+  }
+
   /** MARKET-BASKET AFFINITY — association mining over the order book:
     * part pairs that co-occur in the same order more often than chance,
     * ranked by LIFT = P(a,b) / (P(a)·P(b)) with a minimum-support floor

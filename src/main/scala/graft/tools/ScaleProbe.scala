@@ -80,7 +80,8 @@ object ScaleProbe {
                             "stream_anomaly_hours", "hits_scores", "zipf_slope",
                             "doc_entropy", "leakage_safe_split",
                             "stream_sliding_append", "compaction_plan",
-                            "skew_profile", "lang_confusion", "basket_affinity")).toList
+                            "skew_profile", "lang_confusion", "basket_affinity",
+                            "revenue_rank_delta")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)
@@ -166,6 +167,12 @@ object ScaleProbe {
     (0 until mult).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder)))
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaled/lineitem.parquet")
+    // small dims: copied 1× verbatim — corpus growth multiplies facts,
+    // not the nation/region/supplier/part vocabulary
+    Seq("nation", "region", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$scaled/$t.parquet")
+    }
 
     def time(dir: String, q: String): Double = {
       val t0 = System.nanoTime()

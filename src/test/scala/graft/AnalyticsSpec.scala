@@ -675,6 +675,28 @@ class AnalyticsSpec extends SparkSpecBase {
     got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
   }
 
+  test("revenueRankDelta: ranks dense per quarter, deltas telescope, firsts pinned") {
+    val rows = graft.operators.Analytics.revenueRankDelta(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // per quarter: ranks are exactly 1..n and revenue is non-increasing
+    rows.groupBy(_._1).foreach { case (q, qs) =>
+      val byRank = qs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to qs.length.toLong).toSeq, s"ranks not dense in q$q")
+      assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(-_).toSeq,
+        s"revenue not monotone in rank in q$q")
+    }
+    // per nation: deltas telescope (sum of deltas = first rank − last rank)
+    // and is_first marks exactly the earliest quarter
+    rows.groupBy(_._2).foreach { case (n, ns) =>
+      val byQ = ns.sortBy(_._1)
+      assert(byQ.map(_._5).sum === byQ.head._4 - byQ.last._4, s"$n deltas don't telescope")
+      assert(byQ.head._6 === 1L && byQ.tail.forall(_._6 == 0L), s"$n is_first misplaced")
+    }
+    // the leaderboard actually moves on the fixture
+    assert(rows.exists(_._5 != 0L), "no rank movement — degenerate")
+  }
+
   test("basketAffinity: fixture replay matches a scalar Apriori pass; ranking total") {
     import spark.implicits._
     val baskets = spark.read.parquet(s"$sf0001/lineitem.parquet")
