@@ -92,6 +92,7 @@ object SparkEntry {
     "anomaly_hours" -> ((s, d) => Analytics.anomalyHours(s, d)),
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
     "revenue_rank_delta" -> ((s, d) => Analytics.revenueRankDelta(s, d)),
+    "user_lifecycle" -> ((s, d) => Analytics.userLifecycle(s, d)),
     "triangle_count" -> ((s, d) => Ranking.triangleCount(s, d)),
     "rolling_features" -> ((s, d) => Analytics.rollingFeatures(s, d)),
     "profile_table" -> ((s, d) => Analytics.profileTable(s, d)),
@@ -1374,6 +1375,19 @@ object SparkEntry {
         |  CAST(sum(trail_cents) AS BIGINT) AS sum_trail_cents
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     // outlier_events: |v - mean| > 3sigma cleared of denominators —
+    // user_lifecycle: integer-µs span arithmetic against the broadcast
+    // corpus horizon; day counts are distinct integer day indexes.
+    "user_lifecycle" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |h AS (SELECT max(us) AS max_us FROM e),
+        |g AS (SELECT user_id, min(us) AS first_us, max(us) AS last_us, count(*) AS n_events,
+        |        count(DISTINCT us // 86400000000) AS active_days
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, first_us, last_us, n_events, CAST(active_days AS BIGINT) AS active_days,
+        |  CASE WHEN first_us > max_us - 604800000000 THEN 'new'
+        |       WHEN last_us < max_us - 604800000000 THEN 'churned'
+        |       ELSE 'active' END AS status
+        |FROM g, h ORDER BY user_id""".stripMargin,
     // revenue_rank_delta: rank-of-aggregate + lag-of-rank over the
     // nations×quarters matrix; cents-integer revenue, name tie-break.
     "revenue_rank_delta" ->

@@ -307,6 +307,39 @@ object Analytics {
       .orderBy("cohort", "q_offset")
   }
 
+  /** USER LIFECYCLE table — per user: activity span, event count, distinct
+    * active days, and a new/active/churned verdict against the corpus
+    * horizon (first event within the trailing week → `new`; last event
+    * more than a week stale → `churned`; else `active`) — the segmentation
+    * every retention/engagement dashboard starts from, and the batch
+    * ground truth a streaming lifecycle tracker would be gated against.
+    *
+    * Determinism: all span arithmetic is integer µs against the corpus
+    * max (one broadcast row); day counts are distinct integer day indexes;
+    * the verdict is pure integer comparison — no floats anywhere.
+    *
+    * 100 TB: one user-keyed partial-agg'd pass (min/max/count +
+    * count_distinct over day indexes — the only expand, bounded by days
+    * per user); the horizon is a 1-row broadcast; no windows. */
+  def userLifecycle(spark: SparkSession, sfDir: String,
+                    horizonDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val horizon = ev.agg(max("us").as("max_us"))
+    val dayUs = 86400000000L
+    ev.groupBy("user_id")
+      .agg(min("us").as("first_us"), max("us").as("last_us"),
+           count(lit(1)).as("n_events"),
+           countDistinct(expr(s"us div ${dayUs}L")).as("active_days"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("first_us"), col("last_us"),
+        col("n_events"), col("active_days"),
+        when(col("first_us") > col("max_us") - lit(horizonDays * dayUs), lit("new"))
+          .when(col("last_us") < col("max_us") - lit(horizonDays * dayUs), lit("churned"))
+          .otherwise(lit("active")).as("status"))
+      .orderBy("user_id")
+  }
+
   /** LEADERBOARD MOVEMENT — nations ranked by quarterly revenue, with each
     * quarter's rank DELTA against the previous quarter: the
     * rank-of-aggregate + lag-of-rank composition every "movers and

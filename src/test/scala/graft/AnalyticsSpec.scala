@@ -675,6 +675,35 @@ class AnalyticsSpec extends SparkSpecBase {
     got.values.foreach { case (_, js) => assert(js >= 0.0 && js <= 1.0) }
   }
 
+  test("userLifecycle: verdicts match hand-placed users around the horizon") {
+    import spark.implicits._
+    val day = 86400000000L
+    // corpus max at day 30; horizon = 7 days → boundary at day 23
+    val rows = Seq(
+      (1L, Seq(0L, 10L, 30L)),        // spans everything → active
+      (2L, Seq(29L, 30L)),            // first event day 29 > 23 → new
+      (3L, Seq(0L, 5L)),              // last event day 5 < 23 → churned
+      (4L, Seq(0L, 23L)),             // last exactly AT the boundary → active (strict <)
+      (5L, Seq(23L, 23L, 23L))        // first AT boundary → not new (strict >), active
+    ).flatMap { case (u, ds) => ds.map(d => (u, d * day)) }
+    val events = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        lit(0L).as("event_id"), lit("view").as("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+    // route through the operator core by staging a temp sfDir-like parquet
+    val dir = java.nio.file.Files.createTempDirectory("lifecycle_spec").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Analytics.userLifecycle(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got(1L) === ((0L, 30L * day, 3L, 3L, "active")))
+    assert(got(2L)._5 === "new")
+    assert(got(3L)._5 === "churned")
+    assert(got(4L)._5 === "active", "a user whose last event sits exactly at the boundary is not churned")
+    assert(got(5L)._5 === "active", "a user whose first event sits exactly at the boundary is not new")
+    assert(got(5L)._4 === 1L, "three same-day events are one active day")
+  }
+
   test("revenueRankDelta: ranks dense per quarter, deltas telescope, firsts pinned") {
     val rows = graft.operators.Analytics.revenueRankDelta(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
