@@ -93,11 +93,14 @@ object SparkEntry {
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
     "revenue_rank_delta" -> ((s, d) => Analytics.revenueRankDelta(s, d)),
     "user_lifecycle" -> ((s, d) => Analytics.userLifecycle(s, d)),
+    "gap_fill" -> ((s, d) => Analytics.gapFill(s, d)),
     "triangle_count" -> ((s, d) => Ranking.triangleCount(s, d)),
     "rolling_features" -> ((s, d) => Analytics.rollingFeatures(s, d)),
     "profile_table" -> ((s, d) => Analytics.profileTable(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
+    "grouping_sets_pricing" -> ((s, d) => Relational.groupingSetsPricing(s, d)),
+    "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
     "stream_tumbling_append" -> ((s, d) => graft.streaming.EventStreams.streamTumblingAppendQuery(s, d)),
@@ -157,6 +160,7 @@ object SparkEntry {
     "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
+    "metric_corr" -> ((s, d) => TextAnalysis.metricCorr(s, d)),
     "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
@@ -1309,6 +1313,24 @@ object SparkEntry {
         |  round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN 0.0
         |        ELSE (n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 4) + 0.0 AS r_squared
         |FROM g ORDER BY source""".stripMargin,
+    // metric_corr: Pearson from EXACT int64 moment sums (hugeint in
+    // DuckDB, both exact) — one int→double rounding at the end, then the
+    // identical IEEE divide/sqrt on both engines; product-of-variances
+    // zero guard mirrors the Spark `when`.
+    "metric_corr" ->
+      """WITH m AS (SELECT source, CAST(length(text) AS BIGINT) AS c,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS BIGINT) AS t,
+        |    CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> ''))) AS BIGINT) AS y
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n, sum(c) AS sc, sum(t) AS st, sum(y) AS sy,
+        |        sum(c*c) AS scc, sum(t*t) AS stt, sum(y*y) AS syy,
+        |        sum(c*t) AS sct, sum(t*y) AS sty FROM m GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  round(CASE WHEN CAST(n*scc - sc*sc AS DOUBLE) * CAST(n*stt - st*st AS DOUBLE) = 0 THEN 0.0
+        |    ELSE CAST(n*sct - sc*st AS DOUBLE) / sqrt(CAST(n*scc - sc*sc AS DOUBLE) * CAST(n*stt - st*st AS DOUBLE)) END, 4) + 0.0 AS corr_chars_tokens,
+        |  round(CASE WHEN CAST(n*stt - st*st AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE) = 0 THEN 0.0
+        |    ELSE CAST(n*sty - st*sy AS DOUBLE) / sqrt(CAST(n*stt - st*st AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) END, 4) + 0.0 AS corr_tokens_types
+        |FROM g ORDER BY source""".stripMargin,
     // source_divergence: pairwise Jensen–Shannon over source unigram
     // distributions — shared-word join terms plus the probability-mass
     // complements for one-sided words (identical decomposition).
@@ -1725,6 +1747,42 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    // grouping_sets_pricing: the asymmetric set list neither ROLLUP nor
+    // CUBE produces; 'ALL' slot convention shared with the rollup twin.
+    "grouping_sets_pricing" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes
+    // names differently; the union spells the measure labels explicitly,
+    // matching Spark unpivot's column-name values). Cents BEFORE the melt.
+    "unpivot_metrics" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, CAST(round(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // gap_fill: dense (type × hour) spine via generate_series (inclusive
+    // both ends, same as Spark `sequence`), zero-filled left join; hour
+    // index is integer-µs floor division (the user_lifecycle discipline).
+    "gap_fill" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT event_type, h, count(*) AS n, sum(cents) AS sc FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |s AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM t, b)
+        |SELECT s.event_type, s.h AS hour_idx,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+        |  CAST(COALESCE(c.sc, 0) AS BIGINT) AS sum_cents,
+        |  CAST(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+        |FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.h = c.h
+        |ORDER BY 1, 2""".stripMargin,
     // lang_confusion: the lang_id chain joined to the labeled column,
     // cells + per-actual recall share over the ≤|langs|² matrix.
     "lang_confusion" ->

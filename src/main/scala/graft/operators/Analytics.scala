@@ -460,4 +460,37 @@ object Analytics {
               col("t2").as("mad_2x"))
       .orderBy("hour_bucket")
   }
+
+  /** TIME-SERIES GAP FILL: the dense (event_type × hour) grid with absent
+    * buckets materialized as explicit zero rows — the densification step
+    * every downstream rolling/forecast model needs (a rolling window over
+    * the sparse table silently skips empty hours; [[anomalyHours]]'
+    * median is biased high if silent hours never appear as rows).
+    *
+    * 100 TB: the fact scan partial-aggs down to the |types|×|hours|
+    * metadata table FIRST; the dense spine is GENERATED (explode of
+    * `sequence(min_h, max_h)` against the distinct-type table — no
+    * driver-side range loop, no fact re-scan), and the left join that
+    * stitches them is metadata × metadata with the counts side broadcast.
+    * Nothing after the first aggregate ever touches fact rows, at any
+    * scale. Revenue is cents-integer; `is_gap` is a 0/1 bigint flag. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_idx"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    val counts = ev.groupBy("event_type", "hour_idx")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+    val bounds = ev.agg(min("hour_idx").as("h0"), max("hour_idx").as("h1"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+              explode(sequence(col("h0"), col("h1"))).as("hour_idx"))
+    spine.join(broadcast(counts), Seq("event_type", "hour_idx"), "left")
+      .select(col("event_type"), col("hour_idx"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sc"), lit(0L)).as("sum_cents"),
+        col("n").isNull.cast("int").cast("bigint").as("is_gap"))
+      .orderBy("event_type", "hour_idx")
+  }
 }

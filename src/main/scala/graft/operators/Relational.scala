@@ -656,4 +656,58 @@ object Relational {
       .agg(count(lit(1)).as("n"),
            duckRound(sum("value"), 4).as("sum_value"))
       .orderBy("k")
+
+  /** UNPIVOT (melt): the four lineitem measures turned into long form —
+    * the inverse of [[pivotEvents]]' transpose and the one reshaping
+    * primitive the relational family still lacked. Each fact row becomes
+    * four (measure, value) rows; the long form is then aggregated per
+    * (returnflag, measure).
+    *
+    * 100 TB: unpivot plans as an Expand projection — a narrow, pipelined,
+    * shuffle-free 4× row blowup fused into the scan stage (the same node
+    * ROLLUP/CUBE ride), and the only shuffle is the map-side-combinable
+    * aggregate over the tiny (flag × measure) key space. Values are
+    * cents-integers BEFORE the melt so the long-form sum is associative
+    * and partition-order-proof. */
+  def unpivotMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("bigint").as("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("l_extendedprice"),
+        round(col("l_discount") * 100).cast("bigint").as("l_discount"),
+        round(col("l_tax") * 100).cast("bigint").as("l_tax"))
+    cents
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+        "measure", "cents")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"),
+           sum("cents").as("sum_cents"))
+      .orderBy("l_returnflag", "measure")
+  }
+
+  /** GROUPING SETS: an ASYMMETRIC set list — (flag, status), (status),
+    * () — that neither ROLLUP (drops the per-status cross-section) nor
+    * CUBE (adds the unwanted per-flag slice) produces: the general form
+    * [[rollupPricing]] and [[cubePricing]] are shorthands for. Still one
+    * Expand + one partial/final hash aggregate — the set list changes the
+    * replication factor (3× here), never the number of scans. Subtotal
+    * slots surface as 'ALL' (null-free compare, same convention as the
+    * rollup/cube twins). */
+  def groupingSetsPricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")),
+            Seq.empty[org.apache.spark.sql.Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(duckRound(sum("l_quantity"), 2).as("sum_qty"),
+           duckRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+           count(lit(1)).as("count_order"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("sum_disc_price"), col("count_order"))
+      .orderBy("returnflag", "linestatus")
 }

@@ -1627,6 +1627,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** METRIC CORRELATION — per-source Pearson correlation between document
+    * quality metrics: chars↔tokens (near-linear by construction) and
+    * tokens↔types (sub-linear — the closed vocabulary saturates distinct
+    * types on long documents, so this one genuinely varies by source).
+    * The corpus-health diagnostic that tells a pipeline operator whether
+    * a cheap metric (chars) can proxy an expensive one (types) per slice.
+    *
+    * NOT `corr()`: both engines implement Pearson over FLOAT co-moments,
+    * whose summation order is partition-nondeterministic in Spark. The
+    * per-doc metrics here are small integers, so the five moment sums are
+    * kept EXACT in int64 (the [[zipfSlopeFrom]] discipline, strengthened:
+    * integer sums, not float) and the formula is evaluated from them —
+    * the single int→double rounding at the end is IEEE-identical in both
+    * engines. Bounds: moments ≤ n·max(chars)² — int64-safe to ~10¹² docs
+    * per source at these doc sizes; widen to the sketch path beyond.
+    *
+    * 100 TB: one fact scan partial-aggs to |sources| rows of moments;
+    * everything after is metadata-sized arithmetic. */
+  def metricCorr(spark: SparkSession, sfDir: String): DataFrame =
+    metricCorrFrom(Tables.documents(spark, sfDir))
+
+  /** [[metricCorr]] over an explicit `(source, text)` frame. */
+  def metricCorrFrom(docs: DataFrame): DataFrame = {
+    val m = docs.select(col("source"),
+        length(col("text")).cast("bigint").as("c"),
+        size(tokenize(col("text"))).cast("bigint").as("t"),
+        size(array_distinct(tokenize(col("text")))).cast("bigint").as("y"))
+    def pearson(n: Column, sa: Column, sb: Column, sab: Column,
+                saa: Column, sbb: Column): Column = {
+      val cov  = (n * sab - sa * sb).cast("double")
+      val va   = (n * saa - sa * sa).cast("double")
+      val vb   = (n * sbb - sb * sb).cast("double")
+      duckRound(when(va * vb === 0.0, lit(0.0))
+                  .otherwise(cov / sqrt(va * vb)), 4) + lit(0.0)
+    }
+    m.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("c").as("sc"), sum("t").as("st"), sum("y").as("sy"),
+           sum(col("c") * col("c")).as("scc"),
+           sum(col("t") * col("t")).as("stt"),
+           sum(col("y") * col("y")).as("syy"),
+           sum(col("c") * col("t")).as("sct"),
+           sum(col("t") * col("y")).as("sty"))
+      .select(col("source"), col("n_docs"),
+        pearson(col("n_docs"), col("sc"), col("st"), col("sct"),
+                col("scc"), col("stt")).as("corr_chars_tokens"),
+        pearson(col("n_docs"), col("st"), col("sy"), col("sty"),
+                col("stt"), col("syy")).as("corr_tokens_types"))
+      .orderBy("source")
+  }
+
   /** Deterministic 64-bit FNV-1a string hash (no JVM hash dependence). */
   def stringHash64(s: String): Long = {
     var h = 0xcbf29ce484222325L

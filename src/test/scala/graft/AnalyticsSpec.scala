@@ -960,4 +960,59 @@ class AnalyticsSpec extends SparkSpecBase {
         r.getLong(4), r.getDouble(5)))
     assert(again.toSeq === got.toSeq)
   }
+
+  test("gapFill: absent buckets materialize as zero rows, grid is dense") {
+    import spark.implicits._
+    val hr = 3600000000L
+    // type A fires in hours 0 and 2 (hour 1 is a gap); type B only hour 1
+    val rows = Seq(("A", 0L, 1.25), ("A", 2L, 2.00), ("A", 2L, 0.50), ("B", 1L, 3.00))
+    val events = rows.toDF("event_type", "h", "value")
+      .select(col("event_type"), timestamp_micros(col("h") * hr + 60L).as("ts"),
+        col("value"), lit(0L).as("event_id"), lit(0L).as("user_id"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("gapfill_spec").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.gapFill(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size === 6, "2 types × hours 0..2")
+    assert(got(("A", 0L)) === ((1L, 125L, 0L)))
+    assert(got(("A", 1L)) === ((0L, 0L, 1L)), "A's silent hour must be an explicit zero row")
+    assert(got(("A", 2L)) === ((2L, 250L, 0L)))
+    assert(got(("B", 0L)) === ((0L, 0L, 1L)))
+    assert(got(("B", 1L)) === ((1L, 300L, 0L)))
+    assert(got(("B", 2L)) === ((0L, 0L, 1L)))
+    // fixture data: grid complete, masses conserved, is_gap ⇔ n_events = 0
+    val real = Analytics.gapFill(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val types = ev.select("event_type").distinct().count()
+    val span = real.map(_._2).max - real.map(_._2).min + 1
+    assert(real.length === types * span, "dense grid at fixture scale")
+    assert(real.map(_._3).sum === ev.count(), "event mass conserved")
+    assert(real.forall(r => (r._5 == 1L) == (r._3 == 0L)), "is_gap ⇔ empty bucket")
+    assert(real.exists(_._5 == 1L), "fixture must actually contain gaps")
+  }
+
+  test("metricCorr: exact ±1 on constructed linear metrics, guards on zero variance") {
+    import spark.implicits._
+    // lin: tokens "ab" repeated k times → chars = 3k−1, tokens = k (exactly
+    // linear → corr +1); types constant 1 → tokens↔types guarded to 0
+    val lin = Seq(5, 9, 14, 20).map(k => ("lin", Seq.fill(k)("ab").mkString(" ")))
+    // anti: (tokens, types) = (3,3), (4,2), (5,1) — exactly linear, negative
+    val anti = Seq(("anti", "aa bb cc"), ("anti", "aa aa bb bb"), ("anti", "aa aa aa aa aa"))
+    // lone: single doc → no variance at all → both guarded to 0
+    val lone = Seq(("lone", "xx yy"))
+    val got = TextAnalysis.metricCorrFrom((lin ++ anti ++ lone).toDF("source", "text"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("lin") === ((4L, 1.0, 0.0)))
+    assert(got("anti")._3 === -1.0, "anti-correlated tokens↔types must hit exactly −1")
+    assert(got("lone") === ((1L, 0.0, 0.0)))
+    // fixture data: bounds hold and the two correlations are not degenerate
+    val real = TextAnalysis.metricCorr(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(real.map(_._1).sum === graft.sources.Tables.documents(spark, sf0001).count())
+    real.foreach { case (_, a, b) =>
+      assert(a >= -1.0 && a <= 1.0 && b >= -1.0 && b <= 1.0)
+    }
+  }
 }

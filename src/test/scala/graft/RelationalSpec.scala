@@ -212,4 +212,49 @@ class RelationalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq === got.toSeq)
   }
+
+  test("unpivotMetrics: long-form sums reconstruct the wide aggregates") {
+    val got = graft.operators.Relational.unpivotMetrics(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val flags = li.select("l_returnflag").distinct().collect().map(_.getString(0))
+    assert(got.size === flags.length * 4, "grid must be |flags| × 4 measures")
+    // expected: per-row cents rounding THEN summation, same as the melt
+    val wide = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast("bigint")).as("q"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint")).as("e"),
+        sum(round(col("l_discount") * 100).cast("bigint")).as("d"),
+        sum(round(col("l_tax") * 100).cast("bigint")).as("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    flags.foreach { f =>
+      val (n, q, e, d, t) = wide(f)
+      assert(got((f, "l_quantity")) === ((n, q)), s"quantity mismatch for $f")
+      assert(got((f, "l_extendedprice")) === ((n, e)))
+      assert(got((f, "l_discount")) === ((n, d)))
+      assert(got((f, "l_tax")) === ((n, t)))
+    }
+  }
+
+  test("groupingSetsPricing: exactly the asymmetric set list, totals consistent") {
+    val rows = graft.operators.Relational.groupingSetsPricing(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val total = li.count()
+    val statuses = li.select("l_linestatus").distinct().collect().map(_.getString(0)).toSet
+    val detail = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val perStatus = rows.filter(r => r._1 == "ALL" && r._2 != "ALL")
+    val perFlag = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(perFlag.isEmpty, "per-flag slice belongs to ROLLUP/CUBE, not this set list")
+    assert(perStatus.map(_._2).toSet === statuses, "one subtotal per status")
+    assert(grand.length === 1 && grand.head._5 === total)
+    assert(detail.map(_._5).sum === total, "detail counts partition the table")
+    assert(perStatus.map(_._5).sum === total, "status subtotals partition the table")
+    // each status subtotal equals the sum of its detail slots
+    statuses.foreach { st =>
+      assert(perStatus.find(_._2 == st).get._5 === detail.filter(_._2 == st).map(_._5).sum)
+    }
+  }
 }
