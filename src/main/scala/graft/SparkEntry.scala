@@ -111,6 +111,7 @@ object SparkEntry {
     "stream_sliding" -> ((s, d) => graft.streaming.EventStreams.streamSlidingQuery(s, d)),
     "stream_sliding_append" -> ((s, d) => graft.streaming.EventStreams.streamSlidingAppendQuery(s, d)),
     "stream_join" -> ((s, d) => graft.streaming.EventStreams.streamStreamJoinQuery(s, d)),
+    "stream_join_left" -> ((s, d) => graft.streaming.EventStreams.streamStreamLeftJoinQuery(s, d)),
     "stream_dedup_near" -> ((s, d) => graft.streaming.EventStreams.streamNearDupQuery(s, d)),
     "stream_sessions" -> ((s, d) => graft.streaming.EventStreams.streamSessionsQuery(s, d)),
     "stream_sessions_append" -> ((s, d) => graft.streaming.EventStreams.streamSessionsAppendQuery(s, d)),
@@ -1734,6 +1735,27 @@ object SparkEntry {
         |SELECT click_id, purchase_id, c.user_id AS user_id,
         |  epoch_us(c_ts) AS click_us, epoch_us(p_ts) AS purchase_us
         |FROM c JOIN p ON c.user_id = p.user_id AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // stream_join_left: matched pairs = the inner oracle; unmatched clicks
+    // emit only if evicted — match horizon (c_ts + 30 min) below the final
+    // global watermark (min of the two sides' max ts, − 10 min).
+    "stream_join_left" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, tsu AS c_ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, tsu AS p_ts FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT min(mx) - INTERVAL 10 MINUTE AS w
+        |       FROM (SELECT event_type, max(tsu) AS mx FROM e
+        |             WHERE event_type IN ('click', 'purchase') GROUP BY event_type) sidemax),
+        |j AS (SELECT c.click_id, c.user_id, c.c_ts, p.purchase_id, p.p_ts
+        |      FROM c JOIN p ON c.user_id = p.user_id AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE),
+        |u AS (SELECT c.click_id, c.user_id, c.c_ts
+        |      FROM c LEFT JOIN (SELECT DISTINCT click_id AS jc FROM j) m ON c.click_id = m.jc
+        |      CROSS JOIN wm
+        |      WHERE m.jc IS NULL AND c.c_ts + INTERVAL 30 MINUTE < wm.w)
+        |SELECT click_id, user_id, epoch_us(c_ts) AS click_us,
+        |  COALESCE(purchase_id, -1) AS purchase_id, COALESCE(epoch_us(p_ts), -1) AS purchase_us
+        |FROM (SELECT click_id, user_id, c_ts, purchase_id, p_ts FROM j
+        |      UNION ALL SELECT click_id, user_id, c_ts, NULL, NULL FROM u)
         |ORDER BY click_id, purchase_id""".stripMargin,
     "cube_pricing" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,

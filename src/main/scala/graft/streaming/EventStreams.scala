@@ -430,6 +430,46 @@ object EventStreams {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Driver-verified: stream-stream LEFT OUTER join — [[streamStreamJoinQuery]]
+    * with the unmatched clicks KEPT. The semantics no batch join has: a
+    * null-extended row cannot be emitted when the row arrives (a match may
+    * still come), so Spark holds it in join state and emits it on STATE
+    * EVICTION — the moment the global watermark (min across both sides'
+    * `max ts − 10 min`) proves no purchase in `[c_ts, c_ts + 30 min]` can
+    * still arrive. Matched pairs stream out immediately, exactly as in the
+    * inner form; the outer rows trail by the watermark delay. Clicks whose
+    * match horizon is still open at end-of-replay are absent BY DESIGN
+    * (the append-mode discipline) — the oracle restricts its unmatched
+    * side to `c_ts + 30 min < final watermark`, the eviction predicate.
+    * State cost is identical to the inner join (the rows were already
+    * buffered; the outer form adds one matched bit), so the 100 TB bound
+    * is the same rate × window. */
+  def streamStreamLeftJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+    val result = runToCompletion(spark, joined, "stream_join_left", OutputMode.Append(),
+      widthOverride = Some(4))
+    // nulls → -1 sentinels: the differential checker's sort contract wants
+    // scalar non-null columns, and no real event_id is negative
+    result.select(col("click_id"), col("user_id"),
+                  unix_micros(col("c_ts")).as("click_us"),
+                  coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+                  coalesce(unix_micros(col("p_ts")), lit(-1L)).as("purchase_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Driver-verified: streaming exact dedup — `dropDuplicates` on the
     * content fingerprint over the documents stream, emitting each distinct
     * fingerprint once (append mode). The emitted SET is order-independent

@@ -949,4 +949,39 @@ class StreamingSpec extends SparkSpecBase {
     // all three statuses actually exercised across the two micro-batches
     assert(streamed.map(_.getString(1)).toSet === Set("added", "removed", "changed"))
   }
+
+  test("stream_join_left: inner pairs preserved, unmatched emit iff evicted") {
+    import org.apache.spark.sql.functions._
+    val left = graft.streaming.EventStreams
+      .streamStreamLeftJoinQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val inner = graft.streaming.EventStreams
+      .streamStreamJoinQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(1), r.getLong(4)))
+    // 1. the matched slice IS the inner join, column-for-column
+    assert(left.filter(_._4 != -1L).toSet === inner.toSet)
+    // 2. sentinels travel together: purchase_id = −1 ⇔ purchase_us = −1
+    assert(left.forall(r => (r._4 == -1L) == (r._5 == -1L)))
+    // 3. eviction predicate: every unmatched click's horizon is closed
+    //    under the final global watermark, and every closed-horizon
+    //    unmatched click IS present (none lost in state)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wmUs = math.min(ev("click"), ev("purchase")) - 10L * 60 * 1000000
+    val horizon = 30L * 60 * 1000000
+    val unmatched = left.filter(_._4 == -1L)
+    assert(unmatched.nonEmpty, "fixture must produce unmatched clicks")
+    assert(unmatched.forall(_._3 + horizon < wmUs),
+      "an unmatched click past the watermark horizon leaked out of state")
+    val matchedIds = left.filter(_._4 != -1L).map(_._1).toSet
+    val expectedUnmatched = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (id, us) => !matchedIds.contains(id) && us + horizon < wmUs }
+      .map(_._1).toSet
+    assert(unmatched.map(_._1).toSet === expectedUnmatched)
+  }
 }
