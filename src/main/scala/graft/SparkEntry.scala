@@ -187,6 +187,7 @@ object SparkEntry {
     "community_rollup" -> ((s, d) => Ranking.communityRollup(s, d)),
     "cocitation" -> ((s, d) => Ranking.cocitation(s, d)),
     "hits_scores" -> ((s, d) => Ranking.hitsScores(s, d)),
+    "kcore" -> ((s, d) => Ranking.kcore(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
@@ -659,6 +660,52 @@ object SparkEntry {
     sb ++= s"""sel AS (SELECT 1)
       |SELECT a.doc_id, a.a AS authority, h.h AS hub
       |FROM a$iters a JOIN h$iters h ON a.doc_id = h.doc_id ORDER BY a.doc_id""".stripMargin
+    sb.result()
+  }
+
+  /** The R-round parallel k-core peel unrolled as chained CTEs (the
+    * [[hitsOracle]] discipline): per round, degree among survivors via a
+    * double semi-join on the symmetrized edge set, simultaneous removal of
+    * sub-k vertices. Alias names never shadow CTE names (DuckDB's binder
+    * lateral-izes a CTE reference that collides with a table alias). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    val plantedLines = (1 to 5).map(j =>
+      s"  UNION ALL SELECT doc_id, (doc_id + ${10 * j}) % (SELECT n FROM nn) FROM documents WHERE doc_id % 10 = 7")
+      .mkString("\n")
+    sb ++= s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0
+      |$plantedLines),
+      |ed AS (SELECT DISTINCT src, dst FROM t WHERE src <> dst),
+      |und AS MATERIALIZED (SELECT DISTINCT ka, kb FROM (SELECT src AS ka, dst AS kb FROM ed UNION ALL SELECT dst, src FROM ed) sym),
+      |alive0 AS MATERIALIZED (SELECT doc_id AS v FROM documents),
+      |""".stripMargin
+    // MATERIALIZED: every aliveN is referenced 3× downstream; DuckDB
+    // inlines plain CTEs, which re-evaluates the whole chain per
+    // reference — 3^R-fold blowup. Materialization keeps the peel linear.
+    for (r <- 1 to rounds) {
+      sb ++= s"""deg$r AS MATERIALIZED (SELECT u.ka AS v, count(*) AS d FROM und u
+        |  JOIN alive${r - 1} xx ON u.ka = xx.v JOIN alive${r - 1} yy ON u.kb = yy.v GROUP BY u.ka),
+        |rem$r AS MATERIALIZED (SELECT av.v FROM alive${r - 1} av LEFT JOIN deg$r dg ON av.v = dg.v
+        |  WHERE COALESCE(dg.d, 0) < $k),
+        |alive$r AS MATERIALIZED (SELECT av.v FROM alive${r - 1} av LEFT JOIN rem$r rm ON av.v = rm.v
+        |  WHERE rm.v IS NULL),
+        |""".stripMargin
+    }
+    val rems = (1 to rounds)
+      .map(r => s"SELECT v, $r AS r FROM rem$r")
+      .mkString(" UNION ALL ")
+    sb ++= s"""rr AS ($rems),
+      |fd AS (SELECT u.ka AS v, count(*) AS d FROM und u
+      |  JOIN alive$rounds xx ON u.ka = xx.v JOIN alive$rounds yy ON u.kb = yy.v GROUP BY u.ka)
+      |SELECT dc.doc_id,
+      |  CAST(CASE WHEN rr.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core,
+      |  CAST(COALESCE(rr.r, 0) AS BIGINT) AS removed_round,
+      |  CAST(COALESCE(fd.d, 0) AS BIGINT) AS core_deg
+      |FROM documents dc LEFT JOIN rr ON dc.doc_id = rr.v LEFT JOIN fd ON dc.doc_id = fd.v
+      |ORDER BY dc.doc_id""".stripMargin
     sb.result()
   }
 
@@ -1546,6 +1593,7 @@ object SparkEntry {
     // hits_scores: the two-aggregate mutual recursion replayed at the
     // same fixed depth — integers end to end.
     "hits_scores" -> hitsOracle(2),
+    "kcore" -> kcoreOracle(5, 6),
     // link_communities: connected components of the same-host link
     // subgraph, min-reachable-id labels via recursive CTE — the
     // dedup_clusters oracle pattern over the id-derived edge list.

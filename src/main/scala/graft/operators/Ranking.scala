@@ -448,6 +448,85 @@ object Ranking {
       .orderBy("doc_id")
   }
 
+  /** K-CORE decomposition (Seidman 1983), bounded peeling — the graph
+    * DENSITY complement of the family: [[linkRank]] scores importance,
+    * [[linkCommunitiesFrom]] groups connectivity, this one isolates the
+    * maximal subgraph where EVERY member keeps ≥ k neighbors — the
+    * "dense-core" signal link-spam farms and mutual-citation rings light
+    * up, and the standard graph-sparsification prefilter (peel the ≤1-core
+    * before any pair-expensive analysis).
+    *
+    * Semantics are the R-ROUND PEEL, declared as such: each round removes
+    * every vertex whose degree among survivors is < k, simultaneously
+    * (the parallel peel, not the sequential min-degree order — round
+    * counts are therefore deterministic). R rounds upper-bound the true
+    * k-core and EQUAL it once a round removes nothing; KernelProperties
+    * proves convergence on the fixture graphs, and `removed_round` makes
+    * non-convergence visible (a round-R removal means "check R"). Fixed R
+    * is what makes the op oracle-able (unrolled SQL, the [[hitsScoresFrom]]
+    * discipline) and 100 TB-plannable: R barrier-free aggregate+anti-join
+    * rounds, each one shuffle on vertex id, no driver-side loop state —
+    * vs the unbounded-iteration form whose round count is data-dependent.
+    *
+    * Output per document: `in_core` 0/1, `removed_round` (1-based peel
+    * round, 0 = survived), `core_deg` (degree within the surviving core,
+    * 0 for peeled vertices). Undirected degree over the symmetrized
+    * edge set: the affine maps PLUS a planted circulant ring (every
+    * `doc_id ≡ 7 (mod 10)` links the next five in-class ids) — the
+    * mutual-link farm shape this operator exists to isolate; without it
+    * the near-regular affine graph has no k-core at ANY k (min degree 3,
+    * and the 4-core cascades to empty — measured, not guessed), so the
+    * plant is what makes the fixture discriminating: at k = 5 the peel
+    * strips the organic graph in ≤ 4 cascading rounds and the ring alone
+    * survives. */
+  def kcore(spark: SparkSession, sfDir: String, k: Int = 5, rounds: Int = 6): DataFrame =
+    kcoreFrom(Tables.documents(spark, sfDir).select("doc_id"), k, rounds)
+
+  /** [[kcore]] over an explicit `(doc_id)` frame. */
+  def kcoreFrom(docs: DataFrame, k: Int = 5, rounds: Int = 6): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "kcoreFrom: empty corpus")
+    val planted = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 5).map(j => (col("doc_id") + lit(10L * j)) % n): _*)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // Per-round lineage truncation (the connectedComponents discipline):
+    // each round references `alive` THREE times (two degree semi-joins +
+    // the anti-join), so an untruncated plan grows 3^R-fold — the same
+    // blowup the oracle's MATERIALIZED CTEs prevent on the DuckDB side.
+    val ckpt = new graft.operators.Dedup.RoundCheckpointer(docs.sparkSession)
+    val und = ckpt {
+      val directed = affineEdges(docs, n).union(planted).distinct()
+      directed.select(col("src").as("ka"), col("dst").as("kb"))
+        .union(directed.select(col("dst").as("ka"), col("src").as("kb")))
+        .distinct()
+    }
+    var alive = docs.select(col("doc_id").as("v"))
+    def degAmong(frame: DataFrame): DataFrame = und
+      .join(frame.select(col("v").as("va")), col("ka") === col("va"))
+      .join(frame.select(col("v").as("vb")), col("kb") === col("vb"))
+      .groupBy("ka").agg(count(lit(1)).as("d"))
+    var removed: DataFrame = null
+    for (r <- 1 to rounds) {
+      val rem = ckpt(alive.join(degAmong(alive), col("v") === col("ka"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < k)
+        .select(col("v"), lit(r.toLong).as("r")))
+      removed = if (removed == null) rem else removed.union(rem)
+      alive = ckpt(alive.join(rem.select(col("v").as("rv")),
+        col("v") === col("rv"), "left_anti"))
+    }
+    docs
+      .join(removed.select(col("v").as("remv"), col("r")),
+        col("doc_id") === col("remv"), "left")
+      .join(degAmong(alive).select(col("ka").as("cv"), col("d").as("cd")),
+        col("doc_id") === col("cv"), "left")
+      .select(col("doc_id"),
+        col("remv").isNull.cast("int").cast("bigint").as("in_core"),
+        coalesce(col("r"), lit(0L)).as("removed_round"),
+        coalesce(col("cd"), lit(0L)).as("core_deg"))
+      .orderBy("doc_id")
+  }
+
   /** CO-CITATION similarity (Small 1973) — the link-structure complement
     * of the content-similarity family: two documents are related when the
     * SAME documents cite both, the signal behind "related pages" and the

@@ -961,6 +961,49 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("kcore equals a scalar peel replay; planted ring is the exact core") {
+    import spark.implicits._
+    // scalar reference: the same parallel peel over the same derived edges
+    def scalarKcore(n: Int, k: Int, rounds: Int): Map[Long, (Long, Long, Long)] = {
+      val und = scala.collection.mutable.Set[(Long, Long)]()
+      for (i <- 0L until n) {
+        val ds = Seq((i * 7 + 3) % n, (i * 13 + 5) % n) ++
+          (if (i % 3 == 0) Seq((i * 31 + 11) % n) else Seq()) ++
+          (if (i % 10 == 7) (1 to 5).map(j => (i + 10L * j) % n) else Seq())
+        ds.filter(_ != i).foreach { d => und += ((i, d)); und += ((d, i)) }
+      }
+      var alive = (0L until n).toSet
+      val removedAt = scala.collection.mutable.Map[Long, Long]()
+      for (r <- 1 to rounds) {
+        val deg = und.toSeq.filter(e => alive(e._1) && alive(e._2))
+          .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val rem = alive.filter(v => deg.getOrElse(v, 0L) < k)
+        rem.foreach(v => removedAt(v) = r.toLong)
+        alive --= rem
+      }
+      val coreDeg = und.toSeq.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      (0L until n).map { v =>
+        v -> ((if (alive(v)) 1L else 0L, removedAt.getOrElse(v, 0L),
+               if (alive(v)) coreDeg.getOrElse(v, 0L) else 0L))
+      }.toMap
+    }
+    val n = 200
+    val got = graft.operators.Ranking.kcoreFrom((0L until n).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === scalarKcore(n, 5, 6))
+    // fixture: the peel converges (nothing removed in the declared last
+    // round), exactly the planted ring survives, every survivor keeps ≥ k
+    val real = graft.operators.Ranking.kcore(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(!real.exists(_._3 == 6L), "round-6 removal means the peel did not converge")
+    assert(real.filter(_._2 == 1L).map(_._1).toSet ===
+      real.map(_._1).filter(_ % 10 == 7).toSet, "core must be exactly the planted ring")
+    assert(real.filter(_._2 == 1L).forall(_._4 >= 5L), "a core member below k survived")
+    assert(real.count(_._2 == 0L) > 0 && real.map(_._3).distinct.length > 2,
+      "peel must actually cascade over multiple rounds")
+  }
+
   test("gapFill: absent buckets materialize as zero rows, grid is dense") {
     import spark.implicits._
     val hr = 3600000000L
