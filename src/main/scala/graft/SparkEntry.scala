@@ -162,6 +162,7 @@ object SparkEntry {
     "source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
     "metric_corr" -> ((s, d) => TextAnalysis.metricCorr(s, d)),
+    "stream_metric_corr" -> ((s, d) => graft.streaming.EventStreams.streamMetricCorrQuery(s, d)),
     "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
@@ -280,6 +281,25 @@ object SparkEntry {
       |    ELSE 63.0 * 9223372036854775808.0 / CAST(hv AS DOUBLE) END, 4) AS est_users
       |FROM r WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END
       |ORDER BY event_type""".stripMargin
+
+  /** The metric-correlation oracle, shared by the batch and streaming
+    * forms (the per-source moment sums are commutative integers, so the
+    * streaming complete-mode final table equals the batch aggregate and
+    * one SQL truth serves both execution modes). */
+  private val metricCorrSql: String =
+    """WITH m AS (SELECT source, CAST(length(text) AS BIGINT) AS c,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS BIGINT) AS t,
+      |    CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> ''))) AS BIGINT) AS y
+      |  FROM documents),
+      |g AS (SELECT source, count(*) AS n, sum(c) AS sc, sum(t) AS st, sum(y) AS sy,
+      |        sum(c*c) AS scc, sum(t*t) AS stt, sum(y*y) AS syy,
+      |        sum(c*t) AS sct, sum(t*y) AS sty FROM m GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |  round(CASE WHEN CAST(n*scc - sc*sc AS DOUBLE) * CAST(n*stt - st*st AS DOUBLE) = 0 THEN 0.0
+      |    ELSE CAST(n*sct - sc*st AS DOUBLE) / sqrt(CAST(n*scc - sc*sc AS DOUBLE) * CAST(n*stt - st*st AS DOUBLE)) END, 4) + 0.0 AS corr_chars_tokens,
+      |  round(CASE WHEN CAST(n*stt - st*st AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE) = 0 THEN 0.0
+      |    ELSE CAST(n*sty - st*sy AS DOUBLE) / sqrt(CAST(n*stt - st*st AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) END, 4) + 0.0 AS corr_tokens_types
+      |FROM g ORDER BY source""".stripMargin
 
   /** The table-profile oracle: one UNION ALL branch per profiled column,
     * each pairing exact null/min/max aggregates with the KMV estimate
@@ -1364,21 +1384,11 @@ object SparkEntry {
     // metric_corr: Pearson from EXACT int64 moment sums (hugeint in
     // DuckDB, both exact) — one int→double rounding at the end, then the
     // identical IEEE divide/sqrt on both engines; product-of-variances
-    // zero guard mirrors the Spark `when`.
-    "metric_corr" ->
-      """WITH m AS (SELECT source, CAST(length(text) AS BIGINT) AS c,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS BIGINT) AS t,
-        |    CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> ''))) AS BIGINT) AS y
-        |  FROM documents),
-        |g AS (SELECT source, count(*) AS n, sum(c) AS sc, sum(t) AS st, sum(y) AS sy,
-        |        sum(c*c) AS scc, sum(t*t) AS stt, sum(y*y) AS syy,
-        |        sum(c*t) AS sct, sum(t*y) AS sty FROM m GROUP BY 1)
-        |SELECT source, CAST(n AS BIGINT) AS n_docs,
-        |  round(CASE WHEN CAST(n*scc - sc*sc AS DOUBLE) * CAST(n*stt - st*st AS DOUBLE) = 0 THEN 0.0
-        |    ELSE CAST(n*sct - sc*st AS DOUBLE) / sqrt(CAST(n*scc - sc*sc AS DOUBLE) * CAST(n*stt - st*st AS DOUBLE)) END, 4) + 0.0 AS corr_chars_tokens,
-        |  round(CASE WHEN CAST(n*stt - st*st AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE) = 0 THEN 0.0
-        |    ELSE CAST(n*sty - st*sy AS DOUBLE) / sqrt(CAST(n*stt - st*st AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) END, 4) + 0.0 AS corr_tokens_types
-        |FROM g ORDER BY source""".stripMargin,
+    // zero guard mirrors the Spark `when`. The streaming twin maintains
+    // the same moment table as complete-mode state (commutative integer
+    // sums) and shares this oracle verbatim.
+    "metric_corr" -> metricCorrSql,
+    "stream_metric_corr" -> metricCorrSql,
     // source_divergence: pairwise Jensen–Shannon over source unigram
     // distributions — shared-word join terms plus the probability-mass
     // complements for one-sided words (identical decomposition).

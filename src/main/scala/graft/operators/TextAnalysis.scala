@@ -1649,11 +1649,32 @@ object TextAnalysis {
     metricCorrFrom(Tables.documents(spark, sfDir))
 
   /** [[metricCorr]] over an explicit `(source, text)` frame. */
-  def metricCorrFrom(docs: DataFrame): DataFrame = {
-    val m = docs.select(col("source"),
+  def metricCorrFrom(docs: DataFrame): DataFrame =
+    metricPearson(metricMoments(docs))
+
+  /** Stage 1 of [[metricCorrFrom]]: per-source EXACT int64 moment sums
+    * over the per-doc (chars, tokens, types) metrics. Commutative integer
+    * sums — the streaming twin maintains exactly this table as
+    * complete-mode state and the final table equals the batch aggregate
+    * under any arrival order. */
+  private[graft] def metricMoments(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
         length(col("text")).cast("bigint").as("c"),
         size(tokenize(col("text"))).cast("bigint").as("t"),
         size(array_distinct(tokenize(col("text")))).cast("bigint").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("c").as("sc"), sum("t").as("st"), sum("y").as("sy"),
+           sum(col("c") * col("c")).as("scc"),
+           sum(col("t") * col("t")).as("stt"),
+           sum(col("y") * col("y")).as("syy"),
+           sum(col("c") * col("t")).as("sct"),
+           sum(col("t") * col("y")).as("sty"))
+
+  /** Stage 2 of [[metricCorrFrom]]: the Pearson formula over the exact
+    * moment table — metadata-sized arithmetic, shared verbatim with the
+    * streaming twin (the anomalyVerdict discipline). */
+  private[graft] def metricPearson(g: DataFrame): DataFrame = {
     def pearson(n: Column, sa: Column, sb: Column, sab: Column,
                 saa: Column, sbb: Column): Column = {
       val cov  = (n * sab - sa * sb).cast("double")
@@ -1662,15 +1683,7 @@ object TextAnalysis {
       duckRound(when(va * vb === 0.0, lit(0.0))
                   .otherwise(cov / sqrt(va * vb)), 4) + lit(0.0)
     }
-    m.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-           sum("c").as("sc"), sum("t").as("st"), sum("y").as("sy"),
-           sum(col("c") * col("c")).as("scc"),
-           sum(col("t") * col("t")).as("stt"),
-           sum(col("y") * col("y")).as("syy"),
-           sum(col("c") * col("t")).as("sct"),
-           sum(col("t") * col("y")).as("sty"))
-      .select(col("source"), col("n_docs"),
+    g.select(col("source"), col("n_docs"),
         pearson(col("n_docs"), col("sc"), col("st"), col("sct"),
                 col("scc"), col("stt")).as("corr_chars_tokens"),
         pearson(col("n_docs"), col("st"), col("sy"), col("sty"),

@@ -841,6 +841,22 @@ object EventStreams {
     * and the verdict stays presentation arithmetic. Counts are
     * commutative sums → the final table equals the batch aggregate and
     * the whole query SHARES the batch oracle. */
+  /** Driver-verified: the metric-correlation MONITOR maintained in-stream —
+    * [[graft.operators.TextAnalysis.metricCorr]]'s per-source moment table
+    * as a complete-mode streaming aggregate. The state is the DIAGNOSTIC's
+    * sufficient statistics: nine exact int64 sums per source (fixed width,
+    * metadata grain — never document mass), and integer sums are
+    * commutative, so the final table equals the batch aggregate under any
+    * arrival order and the Pearson verdict runs batch-side over the
+    * materialized moments through the SAME code path as the batch op (the
+    * stream_anomaly_hours discipline). Shares the batch oracle verbatim. */
+  def streamMetricCorrQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val moments = TextAnalysis.metricMoments(tableStream(spark, sfDir, "documents"))
+    TextAnalysis.metricPearson(
+      runToCompletion(spark, moments, "stream_metric_corr", OutputMode.Complete()))
+  }
+
   def streamAnomalyHoursQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val hours = tableStream(spark, sfDir, "events")
       .select(expr("unix_micros(ts) div 3600000000").as("hour_bucket"))

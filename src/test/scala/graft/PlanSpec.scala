@@ -580,6 +580,32 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$plan")
   }
 
+  test("unpivot/grouping-sets melt in one Expand pass; gap_fill stitches broadcast over metadata") {
+    val up = finalPlan("unpivot_metrics")
+    // the melt is an Expand projection fused into the scan stage — never a
+    // 4-scan Union, and the long-form aggregate keeps map-side combine
+    assert(up.contains("Expand"), s"unpivot lost the Expand strategy:\n$up")
+    assert(!up.contains("Union"), s"unpivot planned as a multi-scan Union:\n$up")
+    assert(up.contains("partial_sum"), s"long-form sum lost map-side combine:\n$up")
+    val gs = finalPlan("grouping_sets_pricing")
+    assert(gs.contains("Expand"), s"grouping sets lost the Expand strategy:\n$gs")
+    assert(!gs.contains("Union"), s"grouping sets re-scans per set:\n$gs")
+    assert(gs.contains("partial_sum"), s"grouping-set aggregate lost map-side combine:\n$gs")
+    val gf = finalPlan("gap_fill")
+    // fact rows partial-agg before anything else; the dense spine is
+    // GENERATEd (explode of sequence), and the zero-fill stitch joins the
+    // metadata-sized counts broadcast — no fact-mass shuffle for the join
+    assert(gf.contains("partial_count"), s"gap_fill counts lost map-side combine:\n$gf")
+    assert(gf.contains("Generate"), s"gap_fill spine is not generated (explode+sequence):\n$gf")
+    assert(gf.contains("BroadcastHashJoin"), s"gap_fill stitch join is not broadcast:\n$gf")
+    assert(!gf.contains("SortMergeJoin"), s"gap_fill shuffles data mass for the stitch:\n$gf")
+    val mc = finalPlan("metric_corr")
+    // one scan, one shuffle: the moment sums combine map-side and nothing
+    // joins — the Pearson arithmetic runs over |sources| rows
+    assert(mc.contains("partial_sum"), s"metric_corr moments lost map-side combine:\n$mc")
+    assert(!mc.contains("Join"), s"metric_corr should be join-free:\n$mc")
+  }
+
   test("cocitation / sketch_rollup: equi-joins only, sketches and pairs combine map-side") {
     val coc = finalPlan("cocitation")
     assert(!coc.contains("CartesianProduct") && !coc.contains("BroadcastNestedLoopJoin"),

@@ -950,6 +950,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.map(_.getString(1)).toSet === Set("added", "removed", "changed"))
   }
 
+  test("stream_metric_corr equals the batch metricCorr row for row") {
+    val streamed = graft.streaming.EventStreams
+      .streamMetricCorrQuery(spark, sf0001).collect().toSeq
+    val batch = graft.operators.TextAnalysis.metricCorr(spark, sf0001).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_join_left: inner pairs preserved, unmatched emit iff evicted") {
     import org.apache.spark.sql.functions._
     val left = graft.streaming.EventStreams
