@@ -100,6 +100,7 @@ object SparkEntry {
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     "grouping_sets_pricing" -> ((s, d) => Relational.groupingSetsPricing(s, d)),
+    "q3_shipping" -> ((s, d) => Relational.q3Shipping(s, d)),
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
@@ -1836,6 +1837,20 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY returnflag, linestatus""".stripMargin,
+    // q3_shipping: integer-exact revenue (cents × (100 − disc-cents) =
+    // 10⁻⁴ dollars — both 2-decimal, per-row product exact, no double
+    // rounding anywhere); top-10 tie-break pinned (revenue desc, date,
+    // orderkey).
+    "q3_shipping" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_e4 DESC, orderdate, l_orderkey LIMIT 10""".stripMargin,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes
     // names differently; the union spells the measure labels explicitly,
     // matching Spark unpivot's column-name values). Cents BEFORE the melt.

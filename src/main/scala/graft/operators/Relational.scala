@@ -657,6 +657,44 @@ object Relational {
            duckRound(sum("value"), 4).as("sum_value"))
       .orderBy("k")
 
+  /** TPC-H Q3-style SHIPPING PRIORITY: top-10 unshipped-revenue orders for
+    * one market segment — the classic "selective dim filter + two-sided
+    * date pruning + top-k of an aggregate" plan the relational set lacked
+    * (q5_region is the 6-table star; this is the date-window funnel).
+    *
+    * 100 TB: both date predicates are scan-side and reach the parquet
+    * scans (partition/row-group pruning on a date-partitioned lake);
+    * the BUILDING customer slice broadcasts into orders, the qualifying
+    * order keys shuffle once against lineitem, revenue partial-aggs per
+    * order, and the top-10 is TakeOrderedAndProject — no global sort.
+    * Revenue is EXACT integer: cents × (100 − discount-cents) = 10⁻⁴
+    * dollars per row (both factors are 2-decimal currency/ratio values,
+    * so the per-row product is exact in int64 and the sum is
+    * partition-order-proof — no double product to round). */
+  def q3Shipping(spark: SparkSession, sfDir: String,
+                 segment: String = "BUILDING",
+                 cutoff: String = "1998-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("date"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("date"))
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100).cast("bigint"))).as("rev_e4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum("rev_e4").as("revenue_e4"))
+      .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+              col("o_orderpriority"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   /** UNPIVOT (melt): the four lineitem measures turned into long form —
     * the inverse of [[pivotEvents]]' transpose and the one reshaping
     * primitive the relational family still lacked. Each fact row becomes

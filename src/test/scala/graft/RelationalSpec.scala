@@ -213,6 +213,45 @@ class RelationalSpec extends SparkSpecBase {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("q3Shipping: scalar replay of the funnel, tie order total, top-k plan") {
+    val df = graft.operators.Relational.q3Shipping(spark, sf0001)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // independent scalar replay from the raw tables (dates as ISO strings —
+    // lexicographic order IS date order, and it sidesteps the NTZ/LTZ
+    // timestamp-class split across parquet vintages)
+    val cut = "1998-01-01"
+    val bldg = Tables.customer(spark, sf0001).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"), col("o_orderpriority"))
+      .collect()
+      .filter(r => bldg(r.getLong(1)) && r.getString(2) < cut)
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+    val rev = scala.collection.mutable.Map[Long, Long]()
+    Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"))
+      .collect()
+      .foreach { r =>
+        val ok = r.getLong(0)
+        if (orders.contains(ok) && r.getString(3) > cut) {
+          val cents = math.round(r.getDouble(1) * 100)
+          val disc = math.round(r.getDouble(2) * 100)
+          rev(ok) = rev.getOrElse(ok, 0L) + cents * (100 - disc)
+        }
+      }
+    val expected = rev.toSeq.map { case (ok, rv) =>
+      val (d, p) = orders(ok); (ok, d, p, rv)
+    }.sortBy(t => (-t._4, t._2, t._1)).take(10)
+    assert(got.toSeq === expected)
+    assert(got.length === 10 && got.map(_._4).toSeq === got.map(_._4).sortBy(-_).toSeq)
+    // plan: top-k never global-sorts; the customer slice joins broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"q3 top-k is a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"q3 customer slice not broadcast:\n$plan")
+  }
+
   test("unpivotMetrics: long-form sums reconstruct the wide aggregates") {
     val got = graft.operators.Relational.unpivotMetrics(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
