@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, HashEmbed, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, KmvStateAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash, Winnow, WinnowStats}
+import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, HashEmbed, HistAgg, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, KmvStateAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash, Winnow, WinnowStats}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -72,6 +72,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_kmv_merge(hash, k) — KMV rollup over persisted sketch rows")
         KmvStateAgg(args.head, intArg(args(1)), hashed = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hist_state"),
+      new ExpressionInfo(classOf[HistAgg].getName, "graft_hist_state"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hist_state(bin, bins) — histogram sketch state aggregate")
+        HistAgg(args.head, intArg(args(1)), merging = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hist_merge"),
+      new ExpressionInfo(classOf[HistAgg].getName, "graft_hist_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hist_merge(state, bins) — histogram rollup over persisted state rows")
+        HistAgg(args.head, intArg(args(1)), merging = true)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_cms"),

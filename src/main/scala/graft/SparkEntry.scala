@@ -87,6 +87,7 @@ object SparkEntry {
     "top_supplier" -> ((s, d) => Analytics.topSupplierPerNation(s, d)),
     "order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
+    "quantile_rollup" -> ((s, d) => Analytics.quantileRollup(s, d)),
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
     "anomaly_hours" -> ((s, d) => Analytics.anomalyHours(s, d)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     "grouping_sets_pricing" -> ((s, d) => Relational.groupingSetsPricing(s, d)),
     "q3_shipping" -> ((s, d) => Relational.q3Shipping(s, d)),
+    "big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
@@ -803,7 +805,7 @@ object SparkEntry {
   /** On-disk asset catalog replay — shared by the batch `binaryFile` scan
     * (full staging root) and its streaming twin (the drop root); reads THE
     * SAME staged files via read_blob. */
-  private def mediaFilesScanSql(root: String = "/tmp/graft_media_files"): String =
+  private def mediaFilesScanSql(root: String = graft.multimodal.Media.AssetFilesRoot): String =
     s"""WITH f AS (SELECT filename, size, hex(content) AS hx FROM read_blob('$root/asset_*'))
       |SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
       |  CAST(size AS BIGINT) AS n_bytes, md5(hx) AS content_md5,
@@ -813,6 +815,20 @@ object SparkEntry {
       |       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
       |       ELSE 'unknown' END AS container
       |FROM f ORDER BY file_name""".stripMargin
+
+  /** compaction_plan oracle, parameterized on the SAME (root, targetBytes)
+    * constants the operator uses — one definition site for both. */
+  private def compactionPlanSql(
+      root: String = graft.multimodal.Media.AssetFilesRoot,
+      targetBytes: Long = graft.multimodal.Media.CompactionTargetBytes): String =
+    s"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, CAST(size AS BIGINT) AS n_bytes
+      |      FROM read_blob('$root/asset_*')),
+      |c AS (SELECT file_name, n_bytes,
+      |        sum(n_bytes) OVER (ORDER BY file_name ROWS UNBOUNDED PRECEDING) AS endoff FROM f),
+      |g AS (SELECT CAST((endoff - n_bytes) // $targetBytes AS BIGINT) AS group_id, file_name, n_bytes FROM c)
+      |SELECT group_id, count(*) AS n_files, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  min(file_name) AS first_file, max(file_name) AS last_file
+      |FROM g GROUP BY group_id ORDER BY group_id""".stripMargin
 
   /** Per-rule quality verdicts in integer arithmetic — shared by the batch
     * `quality_filter` and its stateless streaming twin. */
@@ -1368,18 +1384,21 @@ object SparkEntry {
         |        ELSE (log2(CAST(n_tokens AS DOUBLE)) - clc / CAST(n_tokens AS DOUBLE)) / log2(CAST(n_types AS DOUBLE)) END, 4) + 0.0 AS evenness
         |FROM g ORDER BY doc_id""".stripMargin,
     // zipf_slope: OLS over (ln rank, ln freq) per source — exact integer
-    // inputs to ln, unordered vocab-row sums rounded at 4 dp, zero-variance
-    // guards identical on both sides.
+    // inputs to ln, unordered vocab-row sums rounded at 4 dp. Degenerate
+    // branches guard on INTEGER facts (n ≤ 1; flat profile min f = max f)
+    // on both sides — a float-residual-equals-zero guard would depend on
+    // summation order, which differs between the engines.
     "zipf_slope" ->
       """WITH w AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS word FROM documents),
         |c AS (SELECT source, word, count(*) AS f FROM w GROUP BY 1, 2),
-        |r AS (SELECT source, ln(CAST(row_number() OVER (PARTITION BY source ORDER BY f DESC, word) AS DOUBLE)) AS x,
+        |r AS (SELECT source, f, ln(CAST(row_number() OVER (PARTITION BY source ORDER BY f DESC, word) AS DOUBLE)) AS x,
         |        ln(CAST(f AS DOUBLE)) AS y FROM c),
-        |g AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |g AS (SELECT source, count(*) AS n, min(f) AS fmn, max(f) AS fmx,
+        |        sum(x) AS sx, sum(y) AS sy,
         |        sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM r GROUP BY 1)
         |SELECT source, CAST(n AS BIGINT) AS n_types,
-        |  round(CASE WHEN n*sxx - sx*sx = 0 THEN 0.0 ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 4) + 0.0 AS zipf_slope,
-        |  round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN 0.0
+        |  round(CASE WHEN n <= 1 THEN 0.0 ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 4) + 0.0 AS zipf_slope,
+        |  round(CASE WHEN n <= 1 OR fmn = fmx THEN 0.0
         |        ELSE (n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 4) + 0.0 AS r_squared
         |FROM g ORDER BY source""".stripMargin,
     // metric_corr: Pearson from EXACT int64 moment sums (hugeint in
@@ -1437,6 +1456,26 @@ object SparkEntry {
         |t AS (SELECT q, min(bin) AS bin FROM qv, cum, b WHERE cum >= (q * n + 99) // 100 GROUP BY q)
         |SELECT q, CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_price
         |FROM t, b ORDER BY q""".stripMargin,
+    // quantile_rollup: the mergeable histogram cube replayed relationally —
+    // per-cell bin counts ARE the state, the __all__ level is the per-bin
+    // SUM of the stored cell counts (exactly graft_hist_merge's
+    // element-wise addition), and the read-out is the quantile_sketch
+    // arithmetic per scope. All-integer, so merged ≡ direct is exact.
+    "quantile_rollup" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM e),
+        |bi AS (SELECT event_type, (cents - mn) * 1024 // (mx - mn + 1) AS bin FROM e, b),
+        |pt AS (SELECT event_type AS scope, bin, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |al AS (SELECT '__all__' AS scope, bin, sum(cnt) AS cnt FROM pt GROUP BY 1, 2),
+        |u AS (SELECT * FROM pt UNION ALL SELECT * FROM al),
+        |nn AS (SELECT scope, sum(cnt) AS n FROM u GROUP BY 1),
+        |c AS (SELECT scope, bin, sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum FROM u),
+        |qv AS (SELECT unnest([50, 90, 95, 99]) AS q),
+        |s AS (SELECT scope, q, min(bin) AS bin FROM c JOIN nn USING (scope), qv
+        |      WHERE cum >= (q * n + 99) // 100 GROUP BY 1, 2)
+        |SELECT scope, CAST(q AS INTEGER) AS q,
+        |  CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_value
+        |FROM s, b ORDER BY scope, q""".stripMargin,
     "profile_table" -> profileOracleSql,
     // rolling_features: trailing [t-3600s+1us, t] per-user frame — the
     // inclusive boundary stated identically on both sides; RANGE peers
@@ -1851,6 +1890,19 @@ object SparkEntry {
         |  AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_e4 DESC, orderdate, l_orderkey LIMIT 10""".stripMargin,
+    // big_spenders: Q18 shape — per-order quantity sums HAVING-filtered,
+    // rejoined to order/customer detail; integer units/cents, pinned
+    // top-k tie-break. The oracle spells the same single-fact-scan
+    // decomposition (qualifying CTE ⋈ orders ⋈ customer).
+    "big_spenders" ->
+      """WITH q AS (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |           FROM lineitem GROUP BY 1
+        |           HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents, sum_qty
+        |FROM q JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY totalprice_cents DESC, orderdate, o_orderkey LIMIT 100""".stripMargin,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes
     // names differently; the union spells the measure labels explicitly,
     // matching Spark unpivot's column-name values). Cents BEFORE the melt.
@@ -3227,15 +3279,10 @@ object SparkEntry {
     "media_files_scan" -> mediaFilesScanSql(),
     // compaction_plan: start-offset binning over the same staged files —
     // read_blob gives (name, size), the window arithmetic is identical.
-    "compaction_plan" ->
-      """WITH f AS (SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name, CAST(size AS BIGINT) AS n_bytes
-        |      FROM read_blob('/tmp/graft_media_files/asset_*')),
-        |c AS (SELECT file_name, n_bytes,
-        |        sum(n_bytes) OVER (ORDER BY file_name ROWS UNBOUNDED PRECEDING) AS endoff FROM f),
-        |g AS (SELECT CAST((endoff - n_bytes) // 4096 AS BIGINT) AS group_id, file_name, n_bytes FROM c)
-        |SELECT group_id, count(*) AS n_files, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        |  min(file_name) AS first_file, max(file_name) AS last_file
-        |FROM g GROUP BY group_id ORDER BY group_id""".stripMargin,
+    // Built from the operator's own constants (staging root, group size)
+    // so a parameter change re-derives the oracle instead of silently
+    // desynchronizing the gate.
+    "compaction_plan" -> compactionPlanSql(),
     // stream_quota_ingest: budget consumed in arrival order == doc_id
     // order under bounded replay, so the per-source prefix sum is exact.
     "stream_quota_ingest" ->
@@ -3251,13 +3298,13 @@ object SparkEntry {
         |FROM c ORDER BY source, doc_id""".stripMargin,
     // stream_media_ingest: the same stateless catalog over the DROP
     // staging root (delta shard only) — read_blob replays those files.
-    "stream_media_ingest" -> mediaFilesScanSql("/tmp/graft_media_drop"),
+    "stream_media_ingest" -> mediaFilesScanSql(graft.multimodal.Media.DropFilesRoot),
     // stream_media_packed: the SAME delta shard as stream_media_ingest,
     // landed as parquet shards — the oracle read_parquets the staged
     // shards themselves, so the check covers the packed bytes on disk.
     "stream_media_packed" ->
-      """WITH f AS (SELECT media_id, octet_length(payload) AS n_bytes, hex(payload) AS hx
-        |           FROM read_parquet('/tmp/graft_media_packed/*.parquet'))
+      s"""WITH f AS (SELECT media_id, octet_length(payload) AS n_bytes, hex(payload) AS hx
+        |           FROM read_parquet('${graft.multimodal.Media.PackedDropRoot}/*.parquet'))
         |SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes, md5(hx) AS content_md5,
         |  CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
         |       WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'

@@ -657,8 +657,14 @@ object Media {
     * rows, not data mass (the peak_concurrency carry argument); the
     * rewrite itself would be the parallel part. Oracle: DuckDB `read_blob`
     * over the same staged files, same window arithmetic. */
+  /** Default compaction group size — shared with the differential oracle
+    * (SparkEntry builds the compaction_plan SQL from this constant and
+    * [[AssetFilesRoot]], so a change here re-parameterizes BOTH sides
+    * instead of silently desynchronizing the gate). */
+  private[graft] val CompactionTargetBytes = 4096L
+
   def compactionPlan(spark: SparkSession, sfDir: String,
-                     targetBytes: Long = 4096L): DataFrame = {
+                     targetBytes: Long = CompactionTargetBytes): DataFrame = {
     val dir = ensureAssetFiles(spark, sfDir)
     val manifest = spark.read.format("binaryFile").load(dir)
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),

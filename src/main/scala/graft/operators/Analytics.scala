@@ -185,6 +185,59 @@ object Analytics {
       .orderBy("q")
   }
 
+  /** MERGEABLE-QUANTILE ROLLUP — completes the sketch cube next to
+    * [[graft.operators.Relational.sketchRollup]] (that one merges KMV
+    * distinct states; this one merges equi-width HISTOGRAM states, the
+    * [[quantileSketch]] state): per-(event_type) cell, one dense
+    * `bins`-long count array is built via `graft_hist_state`, and the
+    * `__all__` rollup is merged FROM THE PERSISTED STATE ROWS ALONE via
+    * `graft_hist_merge` — the merged state never sees a raw event, yet
+    * (provably, and spec-gated bit-for-bit — integer bins make the
+    * merged ≡ direct-over-union claim exact, not approximate) equals the
+    * state a direct pass over everything would build. Quantiles then read
+    * off each state with the [[quantileSketch]] arithmetic: integer
+    * cents, integer bin ids on a GLOBAL grid (states merge only if every
+    * cell bins on the same bounds), integer quantile targets, bin-midpoint
+    * estimates.
+    *
+    * 100 TB: level 1 is [[quantileSketch]]'s contract (fixed `bins`-long
+    * partial buffers in the one shuffle — map-side combined); level 2's
+    * input is |cells| state rows — metadata-sized regardless of corpus,
+    * which is the point: persist the cells once, answer any coarser
+    * quantile rollup without rescanning. The read-out windows partition
+    * over ≤|cells|·bins sketch rows, never data mass. */
+  def quantileRollup(spark: SparkSession, sfDir: String,
+                     bins: Int = 1024, qs: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min("cents").as("mn"), max("cents").as("mx"))
+    val binned = cents.crossJoin(broadcast(bounds))
+      .select(col("event_type"), expr(s"(cents - mn) * $bins div (mx - mn + 1)").as("bin"))
+    // level 1: one persisted-shape histogram state per cell
+    val perType = binned.groupBy("event_type")
+      .agg(call_function("graft_hist_state", col("bin"), lit(bins)).as("hist"))
+    // level 2: the rollup merges the stored states, never the raw rows
+    val merged = perType
+      .agg(call_function("graft_hist_merge", col("hist"), lit(bins)).as("hist"))
+      .select(lit("__all__").as("scope"), col("hist"))
+    val states = perType.select(col("event_type").as("scope"), col("hist"))
+      .union(merged)
+    // quantile read-out over sketch rows (≤ |scopes|·bins — metadata-sized)
+    val sparse = states
+      .select(col("scope"), posexplode(col("hist")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("n", sum("cnt").over(Window.partitionBy("scope")))
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("scope").orderBy("bin")))
+    sparse.join(broadcast(qs.toDF("q")), col("cum") >= expr("(q * n + 99) div 100"))
+      .groupBy("scope", "q").agg(min("bin").as("bin"))
+      .crossJoin(broadcast(bounds))
+      .select(col("scope"), col("q"),
+        (expr(s"mn + (2 * bin + 1) * (mx - mn + 1) div ${2L * bins}")
+          .cast("double") / 100.0).as("est_value"))
+      .orderBy("scope", "q")
+  }
+
   /** TABLE PROFILE (the "dataset card" pass) — per-column null count,
     * KMV distinct ESTIMATE, and min/max, for every column in ONE scan:
     * all per-column aggregates evaluate in a single hash-aggregate row

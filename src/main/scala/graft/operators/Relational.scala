@@ -77,13 +77,23 @@ object Relational {
     * top-k; the five analyses union fixed-size rows. Per-column float
     * folds over |keys| rows round at 4 dp (the doc_entropy discipline). */
   def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    def one(df: DataFrame, keyCol: String, label: String): DataFrame =
-      df.select(col(keyCol).cast("string").as("k")).filter(col("k").isNotNull)
-        .groupBy("k").agg(count(lit(1)).as("c"))
+    // ALL key columns of one table profile from ONE scan: each row expands
+    // (Generate, not a re-scan) to one (key_column, key) pair per analyzed
+    // column, and a single two-level aggregate produces every column's
+    // shape row — a table read twice for two candidate keys would double
+    // the dominant cost at 100 TB for no informational gain.
+    def profile(df: DataFrame, table: String, keyCols: String*): DataFrame =
+      df.select(explode(array(keyCols.map(kc =>
+          struct(lit(s"$table.$kc").as("key_column"),
+                 col(kc).cast("string").as("k"))): _*)).as("e"))
+        .select(col("e.key_column").as("key_column"), col("e.k").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy("key_column", "k").agg(count(lit(1)).as("c"))
+        .groupBy("key_column")
         .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
              max("c").as("max_count"),
              sum(col("c").cast("double") * log2(col("c").cast("double"))).as("clc"))
-        .select(lit(label).as("key_column"),
+        .select(col("key_column"),
           col("n_rows"), col("n_keys"), col("max_count"),
           (duckRound(col("max_count").cast("double") * col("n_keys").cast("double") /
             col("n_rows").cast("double"), 4) + lit(0.0)).as("skew_ratio"),
@@ -92,11 +102,10 @@ object Relational {
               .otherwise((log2(col("n_rows").cast("double")) -
                 col("clc") / col("n_rows").cast("double")) /
                 log2(col("n_keys").cast("double"))), 4) + lit(0.0)).as("evenness"))
-    one(Tables.events(spark, sfDir), "user_id", "events.user_id")
-      .unionByName(one(Tables.events(spark, sfDir), "event_type", "events.event_type"))
-      .unionByName(one(Tables.lineitem(spark, sfDir), "l_orderkey", "lineitem.l_orderkey"))
-      .unionByName(one(Tables.lineitem(spark, sfDir), "l_suppkey", "lineitem.l_suppkey"))
-      .unionByName(one(Tables.orders(spark, sfDir), "o_custkey", "orders.o_custkey"))
+    profile(Tables.events(spark, sfDir), "events", "user_id", "event_type")
+      .unionByName(profile(Tables.lineitem(spark, sfDir), "lineitem",
+        "l_orderkey", "l_suppkey"))
+      .unionByName(profile(Tables.orders(spark, sfDir), "orders", "o_custkey"))
       .orderBy("key_column")
   }
 
@@ -693,6 +702,43 @@ object Relational {
               col("o_orderpriority"), col("revenue_e4"))
       .orderBy(col("revenue_e4").desc, col("orderdate"), col("l_orderkey"))
       .limit(10)
+  }
+
+  /** TPC-H Q18-style LARGE-QUANTITY orders ("big spenders"): aggregate the
+    * fact table per order, filter GROUPS on the aggregate (HAVING
+    * sum(quantity) > floor), join the qualifying-group frame back to the
+    * order/customer detail, top-k. The one relational shape the family
+    * still lacked — "aggregate → filter groups → rejoin detail" — distinct
+    * from the funnels (row filters) and windows (per-partition ranks).
+    *
+    * 100 TB: lineitem is scanned ONCE — the per-order quantity sum
+    * partial-aggs map-side, and the detail columns the output needs
+    * (customer, date, price) come from ORDERS, not from a second fact
+    * scan; the group filter IS the join (qualifying keys ⋈ orders — a
+    * semi-join carrying the aggregate), never a windowed sum over the
+    * detail (which would shuffle the whole fact table to rank rows it
+    * then discards). The aggregated side is post-HAVING tiny (~1.4% of
+    * orders at floor 250) so AQE broadcast-converts it; customer
+    * broadcasts explicitly; the top-k is TakeOrderedAndProject (no global
+    * sort). Quantities and prices are exact integers (units / cents);
+    * tie-break pinned (price desc, date, orderkey). */
+  def bigSpenders(spark: SparkSession, sfDir: String,
+                  qtyFloor: Long = 250L, topK: Int = 100): DataFrame = {
+    val qualifying = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), round(col("l_quantity")).cast("bigint").as("q"))
+      .groupBy("l_orderkey")
+      .agg(sum("q").as("sum_qty"))
+      .filter(col("sum_qty") > qtyFloor)
+    Tables.orders(spark, sfDir)
+      .join(qualifying, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_name")),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+              round(col("o_totalprice") * 100).cast("bigint").as("totalprice_cents"),
+              col("sum_qty"))
+      .orderBy(col("totalprice_cents").desc, col("orderdate"), col("o_orderkey"))
+      .limit(topK)
   }
 
   /** UNPIVOT (melt): the four lineitem measures turned into long form —

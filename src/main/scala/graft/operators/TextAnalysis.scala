@@ -178,28 +178,34 @@ object TextAnalysis {
     val w = Window.partitionBy("source").orderBy(col("f").desc, col("word").asc)
     val xy = counts
       .withColumn("r", row_number().over(w))
-      .select(col("source"),
+      .select(col("source"), col("f"),
         log(col("r").cast("double")).as("x"),
         log(col("f").cast("double")).as("y"))
     xy.groupBy("source")
       .agg(count(lit(1)).as("n_types"),
+           min("f").as("fmn"), max("f").as("fmx"),
            sum("x").as("sx"), sum("y").as("sy"),
            sum(col("x") * col("x")).as("sxx"),
            sum(col("x") * col("y")).as("sxy"),
            sum(col("y") * col("y")).as("syy"))
       .select(col("source"), col("n_types"),
-        // zero-variance guards (the embedding_drift discipline): a single
-        // type has no rank spread (slope undefined → 0); a perfectly flat
-        // frequency profile has no y variance (R² undefined → 0)
+        // Zero-variance guards on INTEGER facts, not float residuals: a
+        // single type has no rank spread (slope undefined → 0) and a flat
+        // frequency profile (min f = max f) has no y variance (R²
+        // undefined → 0). Whether the float residual n·syy − sy² cancels
+        // to bit-exact 0.0 depends on double summation order — partition-
+        // nondeterministic in Spark and different in DuckDB — so guarding
+        // on the residual would make the degenerate branch itself
+        // nondeterministic; n_types and min/max(f) are exact aggregates
+        // over the integer count column, identical on both engines.
         (duckRound(
-          when(col("n_types") * col("sxx") - col("sx") * col("sx") === 0.0, lit(0.0))
+          when(col("n_types") <= 1L, lit(0.0))
             .otherwise(
               (col("n_types") * col("sxy") - col("sx") * col("sy")) /
               (col("n_types") * col("sxx") - col("sx") * col("sx"))), 4) + lit(0.0))
           .as("zipf_slope"),
         (duckRound(
-          when((col("n_types") * col("sxx") - col("sx") * col("sx")) *
-               (col("n_types") * col("syy") - col("sy") * col("sy")) === 0.0, lit(0.0))
+          when(col("n_types") <= 1L || col("fmn") === col("fmx"), lit(0.0))
             .otherwise(
               (col("n_types") * col("sxy") - col("sx") * col("sy")) *
               (col("n_types") * col("sxy") - col("sx") * col("sy")) /

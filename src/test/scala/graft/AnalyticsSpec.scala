@@ -29,6 +29,58 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(again === est)
   }
 
+  test("quantileRollup: merged state ≡ direct state bit-for-bit; read-out matches a scalar replay") {
+    import spark.implicits._
+    // hand grid: two cells over a 10-bin grid with overlapping bins
+    val rows = Seq(("a", 1L), ("a", 5L), ("a", 9L), ("b", 1L), ("b", 2L), ("b", 9L), ("b", 9L))
+    val df = rows.toDF("cell", "bin")
+    val perCell = df.groupBy("cell")
+      .agg(call_function("graft_hist_state", col("bin"), lit(10)).as("h"))
+    // THE mergeable-summary claim, exact: element-wise merge of the stored
+    // states equals the state a direct pass over the union builds
+    val merged = perCell
+      .agg(call_function("graft_hist_merge", col("h"), lit(10)))
+      .head().getSeq[Long](0)
+    val direct = df
+      .agg(call_function("graft_hist_state", col("bin"), lit(10)))
+      .head().getSeq[Long](0)
+    assert(merged === direct)
+    assert(direct === Seq(0L, 2L, 1L, 0L, 0L, 1L, 0L, 0L, 0L, 3L))
+    // partitioning invariance: the aggregate is commutative
+    val shuffled = df.repartition(7).groupBy("cell")
+      .agg(call_function("graft_hist_state", col("bin"), lit(10)).as("h"))
+      .agg(call_function("graft_hist_merge", col("h"), lit(10)))
+      .head().getSeq[Long](0)
+    assert(shuffled === direct)
+
+    // full query: scalar replay at sf0.001 — per-scope quantiles from the
+    // raw cents, same grid/target/midpoint arithmetic
+    val got = Analytics.quantileRollup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mn = ev.map(_._2).min; val mx = ev.map(_._2).max
+    val scopes = ev.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) } +
+      ("__all__" -> ev.map(_._2))
+    val expected = for {
+      (scope, cs) <- scopes
+      bins = cs.map(c => (c - mn) * 1024 / (mx - mn + 1)).sorted
+      q <- Seq(50, 90, 95, 99)
+    } yield {
+      val bin = bins((((q * cs.length + 99) / 100) - 1).max(0))
+      (scope, q) -> ((mn + (2 * bin + 1) * (mx - mn + 1) / 2048).toDouble / 100.0)
+    }
+    assert(got === expected.toMap)
+    // the plan partial-aggregates: the shuffle carries one fixed-size
+    // state per (cell, map partition), never raw rows
+    val qdf = Analytics.quantileRollup(spark, sf0001)
+    qdf.collect()
+    val plan = qdf.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_hist_state"),
+      s"histogram state lost its map-side combine:\n$plan")
+  }
+
   test("packSequencesSharded: per-lang ids dense from 0, shard blocks contiguous and disjoint") {
     val rows = TextAnalysis.packSequencesSharded(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

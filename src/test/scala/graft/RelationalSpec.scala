@@ -252,6 +252,43 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"q3 customer slice not broadcast:\n$plan")
   }
 
+  test("bigSpenders: scalar replay of the HAVING-rejoin, one fact scan, top-k plan") {
+    val df = graft.operators.Relational.bigSpenders(spark, sf0001)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))
+    // independent scalar replay from the raw tables
+    val qty = scala.collection.mutable.Map[Long, Long]()
+    Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity").collect()
+      .foreach(r => qty(r.getLong(0)) = qty.getOrElse(r.getLong(0), 0L) + math.round(r.getDouble(1)))
+    val names = Tables.customer(spark, sf0001).select("c_custkey", "c_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"), col("o_totalprice"))
+      .collect()
+      .filter(r => qty.getOrElse(r.getLong(0), 0L) > 250L)
+      .map { r =>
+        (names(r.getLong(1)), r.getLong(1), r.getLong(0), r.getString(2),
+         math.round(r.getDouble(3) * 100), qty(r.getLong(0)))
+      }
+      .sortBy(t => (-t._5, t._4, t._3)).take(100)
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty, "floor 250 must qualify some orders at sf0.001")
+    // the shape exercises what it claims: every output group exceeds the floor
+    assert(got.forall(_._6 > 250L))
+    // plan: the group filter is the rejoin of the aggregated frame — never a
+    // window over detail rows; lineitem is scanned exactly once (3 scans
+    // total: lineitem, orders, customer); top-k is TakeOrderedAndProject
+    val plan = df.queryExecution.executedPlan.toString
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(!finalOnly.contains("Window"),
+      s"group filter must be a rejoin of the aggregate, not a window:\n$finalOnly")
+    val scans = "Scan parquet".r.findAllIn(finalOnly).size
+    assert(scans <= 3, s"expected one scan per table (<=3), got $scans:\n$finalOnly")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"customer not broadcast:\n$plan")
+  }
+
   test("unpivotMetrics: long-form sums reconstruct the wide aggregates") {
     val got = graft.operators.Relational.unpivotMetrics(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
