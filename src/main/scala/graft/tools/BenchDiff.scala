@@ -1,0 +1,88 @@
+package graft.tools
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Cross-round bench comparison, calib-normalized — the round-9 lesson
+  * institutionalized: the sealed r9 total read 1.2× r8, and proving it was
+  * pure host contention (calib 1.210 vs 1.050, overlap median exactly the
+  * calib delta) required hand-recovering truncated log chunks. This tool
+  * joins two bench artifacts, divides out the host-speed ratio measured by
+  * each run's own deterministic calibration loop, and names any per-query
+  * regression that survives the normalization — so "slower" means the CODE
+  * got slower, not the host got busier.
+  *
+  * Usage: runMain graft.tools.BenchDiff <old.json> <new.json> [threshold]
+  *
+  * Accepts both artifact shapes:
+  *   - the full builder artifact Bench writes (`bench/full_r<N>.json`):
+  *     queries are objects `{"sec":…,"p1":…,…}`, calib at `calib.start16`
+  *   - the legacy one-line map (`{"queries":{"q1":sec,…},"calib":{…}}`)
+  *     recovered from a driver BENCH_r*.json tail
+  *
+  * Normalization: ratio = newCalib16/oldCalib16 (the 16-thread loop — the
+  * contention shape a local[32] executor actually experiences; falls back
+  * to start1 when a file lacks start16). normalized = newSec/ratio.
+  * A query regresses when normalized/oldSec > threshold (default 1.5) and
+  * either side is ≥0.2s — below that, constant per-query overhead (session
+  * round-trips, first-footer reads) dominates and a ratio is noise, not a
+  * plan property.
+  *
+  * Exit code 1 iff regressions were found, so the tool can gate a round.
+  */
+object BenchDiff {
+  private def calibOf(root: JsonNode): Double = {
+    val c = root.path("calib")
+    if (c.has("start16")) c.get("start16").asDouble
+    else if (c.has("start1")) c.get("start1").asDouble
+    else 1.0
+  }
+
+  /** query -> seconds, from either artifact shape; "err:*" entries dropped. */
+  private def timesOf(root: JsonNode): Map[String, Double] =
+    root.path("queries").properties().asScala.flatMap { e =>
+      val v = e.getValue
+      if (v.isNumber) Some(e.getKey -> v.asDouble)
+      else if (v.isObject && v.has("sec")) Some(e.getKey -> v.get("sec").asDouble)
+      else None
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchDiff <old.json> <new.json> [threshold]")
+    val threshold = if (args.length > 2) args(2).toDouble else 1.5
+    val om = new ObjectMapper()
+    val oldRoot = om.readTree(new java.io.File(args(0)))
+    val newRoot = om.readTree(new java.io.File(args(1)))
+    val oldT = timesOf(oldRoot)
+    val newT = timesOf(newRoot)
+    val ratio = calibOf(newRoot) / calibOf(oldRoot)
+    val common = oldT.keySet.intersect(newT.keySet).toSeq.sorted
+    require(common.nonEmpty, "no overlapping queries between the two artifacts")
+
+    val rows = common.map { q =>
+      val o = oldT(q); val n = newT(q)
+      (q, o, n, (n / ratio) / o)
+    }
+    val sortedRatios = rows.map(_._4).sorted
+    val median = sortedRatios(sortedRatios.size / 2)
+    val oldTotal = common.map(oldT).sum
+    val newTotal = common.map(newT).sum
+    println(f"[benchdiff] calib old=${calibOf(oldRoot)}%.3f new=${calibOf(newRoot)}%.3f ratio=$ratio%.3f")
+    println(f"[benchdiff] overlap=${common.size} oldTotal=$oldTotal%.1fs newTotal=$newTotal%.1fs normTotal=${newTotal / ratio}%.1fs medianNormRatio=$median%.3f")
+    println(s"[benchdiff] added: ${(newT.keySet -- oldT.keySet).toSeq.sorted.mkString(",")}")
+    println(s"[benchdiff] removed: ${(oldT.keySet -- newT.keySet).toSeq.sorted.mkString(",")}")
+
+    val regressions = rows.filter { case (_, o, n, r) =>
+      r > threshold && (o >= 0.2 || n >= 0.2)
+    }
+    if (regressions.isEmpty)
+      println(s"[benchdiff] REGRESSIONS: none (threshold ${threshold}x, calib-normalized)")
+    else {
+      println(s"[benchdiff] REGRESSIONS (> ${threshold}x calib-normalized):")
+      regressions.sortBy(-_._4).foreach { case (q, o, n, r) =>
+        println(f"  $q%-28s old=$o%7.3fs new=$n%7.3fs norm_ratio=$r%5.2fx")
+      }
+      sys.exit(1)
+    }
+  }
+}

@@ -194,12 +194,38 @@ object ScaleProbe {
     // specific query's full build cost, list it before its co-tenants
     // (e.g. decontaminate_indexed before dedup_incremental).
     println(f"${"query"}%-22s ${"t_1x"}%8s ${"t_" + mult + "x_c"}%8s ${"t_" + mult + "x_w"}%8s ${"sl_cold"}%7s ${"sl_warm"}%7s  (slope = t_kx / (k * t_1x); ≤1 ≈ linear; _c first run incl. builds, _w steady)")
-    queries.foreach { q =>
+    val measured = queries.map { q =>
       time(srcDir, q) // warmup (JIT + codegen for this plan)
       val t1 = time(srcDir, q)
       val tkCold = time(scaled, q)
       val tkWarm = time(scaled, q)
       println(f"$q%-22s $t1%8.2f $tkCold%8.2f $tkWarm%8.2f ${tkCold / (mult * t1)}%7.2f ${tkWarm / (mult * t1)}%7.2f")
+      (q, t1, tkCold, tkWarm)
+    }
+    // Persist the run as a machine-readable artifact so slope REGRESSIONS
+    // become named failures ([[SlopeCheck]]), not SURVEY footnotes. Tag a
+    // kept run `bench/slopes_baseline.json` / `bench/slopes_r<N>.json`.
+    val slopesPath = sys.env.getOrElse("SPARK_GRAFT_SLOPES", "bench/slopes_latest.json")
+    val calib1 = {
+      val t0 = System.nanoTime()
+      var s = 0L; var i = 0L
+      while (i < 1500000000L) { s += i; i += 1 }
+      if (s == 42L) System.err.print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val entries = measured.map { case (q, t1, c, w) =>
+      f""""$q":{"t1":$t1%.3f,"cold":$c%.3f,"warm":$w%.3f,"sl_cold":${c / (mult * t1)}%.4f,"sl_warm":${w / (mult * t1)}%.4f}"""
+    }.mkString("{", ",", "}")
+    val json =
+      f"""{"mult":$mult,"vocab":"${if (openVocab) "open" else "closed"}","cpus":$cpus,"calib1":$calib1%.3f,
+         |"slopes":$entries}""".stripMargin
+    try {
+      val p = java.nio.file.Paths.get(slopesPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      System.err.println(s"[scaleprobe] slopes artifact -> $slopesPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[scaleprobe] slopes artifact write failed: $e")
     }
     spark.stop()
   }
