@@ -264,6 +264,7 @@ object SparkEntry {
     "media_resize" -> ((s, d) => Media.mediaResize(s, d)),
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
+    "media_near_dup" -> ((s, d) => Media.mediaNearDup(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
@@ -3312,6 +3313,41 @@ object SparkEntry {
         |       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
         |       ELSE 'unknown' END AS container
         |FROM f ORDER BY media_id""".stripMargin,
+    // media_near_dup: full replay of the perceptual metric over the SAME
+    // staged bytes — read_blob the near-dup universe, rebuild each file's
+    // 32-bin byte histogram by hex-digit extraction (integer counts), block
+    // on (container, exact size), and apply the identical integer L1
+    // threshold. Nothing is predicted from provenance: if Spark's feature,
+    // blocking, or threshold drifted by one byte anywhere, the hash gate
+    // reds.
+    "media_near_dup" ->
+      s"""WITH f AS (SELECT CAST(regexp_extract(filename, 'asset_(\\d+)\\.bin', 1) AS BIGINT) AS media_id,
+        |             octet_length(content) AS n, hex(content) AS hx
+        |      FROM read_blob('${graft.multimodal.Media.NearDupFilesRoot}/asset_*.bin')),
+        |c AS (SELECT media_id, n, hx,
+        |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+        |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+        |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+        |             ELSE 'unknown' END AS container
+        |      FROM f),
+        |u AS (SELECT media_id, hx, unnest(range(0, n)) AS i FROM c),
+        |b AS (SELECT media_id,
+        |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+        |        + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1 AS byte
+        |      FROM u),
+        |h AS (SELECT media_id, byte // 8 AS bin, count(*) AS cnt FROM b GROUP BY media_id, byte // 8),
+        |p AS (SELECT a.media_id AS ida, b2.media_id AS idb, a.container, a.n
+        |      FROM c a JOIN c b2 ON a.container = b2.container AND a.n = b2.n AND a.media_id < b2.media_id),
+        |d AS (SELECT p.ida, p.idb, p.container, p.n,
+        |        COALESCE(sum(abs(COALESCE(ha.cnt, 0) - COALESCE(hb.cnt, 0))), 0) AS l1
+        |      FROM p CROSS JOIN range(32) t(bin)
+        |      LEFT JOIN h ha ON ha.media_id = p.ida AND ha.bin = t.bin
+        |      LEFT JOIN h hb ON hb.media_id = p.idb AND hb.bin = t.bin
+        |      GROUP BY p.ida, p.idb, p.container, p.n)
+        |SELECT ida AS canonical_id, idb AS dup_id, container, CAST(l1 AS BIGINT) AS l1
+        |FROM d WHERE l1 * 64 <= n
+        |ORDER BY canonical_id, dup_id""".stripMargin,
     "media_dedup" ->
       """WITH m AS (SELECT doc_id AS canonical_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind

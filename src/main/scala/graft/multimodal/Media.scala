@@ -154,6 +154,16 @@ object Media {
       else if (isRiff(b, "AVI ")) "video"
       else "unknown"
 
+    /** CONTAINER (not envelope kind) from the magic bytes — the Scala twin
+      * of the SQL sniff in [[Media.containerFromHex]], for code paths that
+      * hold the raw bytes and shouldn't pay a hex round-trip. */
+    def sniffContainer(b: Array[Byte]): String =
+      if (isPng(b)) "png"
+      else if (isJpeg(b)) "jpeg"
+      else if (isRiff(b, "WAVE")) "wav"
+      else if (isRiff(b, "AVI ")) "avi"
+      else "unknown"
+
     /** A declared chunk/segment length must be non-negative — a corrupt
       * (high-bit-set) length read as a negative Int would otherwise drive
       * the walk's stride to zero or backwards and spin the task forever;
@@ -461,6 +471,112 @@ object Media {
       .select("canonical_id", "kind", "n_copies")
       .orderBy("canonical_id")
 
+  /** Asset stream with deterministic BIT-PERTURBED re-uploads — the
+    * pathology [[mediaDedup]] cannot see: every doc with
+    * `media_id % 13 == 6` and a payload of ≥256 bytes is re-uploaded under
+    * a fresh identity with bit 3 of every 251st payload byte (from offset
+    * 64, clear of all container magic) flipped — a bit-rot / steganographic
+    * watermark / metadata-noise copy whose md5 differs while its byte
+    * distribution barely moves. Shorter qualifying payloads re-upload
+    * byte-identical (a perturbation that sparse cannot stay under the
+    * near-dup threshold on a short file — see the bound on
+    * [[mediaNearDup]]). Offset arithmetic is deterministic, so the planted
+    * pair set is a pure function of the corpus — what the spec asserts
+    * against. Flipping bit 3 (not bit 0) matters: the 32-bin histogram
+    * bins by `byte >> 3`, so a bit-0 flip would never cross a bin boundary
+    * and the planted copies would be FEATURE-INVISIBLE (distance 0 —
+    * indistinguishable from exact duplicates); a bit-3 flip moves exactly
+    * one count to an adjacent bin per flipped byte, giving the known
+    * distance bound below. */
+  def assetsWithPerturbedReuploads(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val mx = graft.sources.Tables.documents(spark, sfDir)
+      .agg(max("doc_id")).as[Long].head()
+    assetsFromDocuments(spark, sfDir).flatMap { a =>
+      if (a.media_id % 13 == 6) {
+        val p = a.payload.clone()
+        if (p.length >= 256) {
+          var i = 64
+          while (i < p.length) { p(i) = (p(i) ^ 8).toByte; i += 251 }
+        }
+        Seq(a, a.copy(media_id = a.media_id + mx, payload = p))
+      } else Seq(a)
+    }
+  }
+
+  /** Perceptual FEATURES for near-dup: one row per staged asset file with
+    * its 32-bin byte-value histogram (integer counts — the exact-oracle
+    * form of [[byteHistogram]]'s stub feature vector), container sniffed
+    * from magic bytes, and the id parsed from the file name. One streamed
+    * pass per partition; the payload never leaves the scan. */
+  private[graft] def nearDupFeatures(files: Dataset[(String, Array[Byte])]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.map { case (path, bytes) =>
+      val hist = new Array[Long](32)
+      bytes.foreach(b => hist((b & 0xff) >> 3) += 1)
+      val id = "asset_(\\d+)\\.bin$".r.findFirstMatchIn(path)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      (id, HeaderDecoder.sniffContainer(bytes), bytes.length.toLong, hist.toSeq)
+    }.toDF("media_id", "container", "n_bytes", "hist")
+  }
+
+  /** The blocked near-dup core over a feature frame (spec entry point):
+    * candidates are same-container, same-size pairs (a re-upload that
+    * preserves container and byte length — the size-preserving attack
+    * class the planted fixture models; equal sizes also make the L1
+    * threshold a clean integer test), verified by integer L1 distance over
+    * the 32-bin histograms: near-dup ⇔ Σ|hᵃᵢ−hᵇᵢ| · 64 ≤ n_bytes, i.e.
+    * normalized L1 ≤ 1/64. The planted perturbation flips ⌈(n−64)/251⌉
+    * bytes, each moving ONE count to an adjacent bin, so its distance is
+    * 2·⌈(n−64)/251⌉ ≈ n/125 — under the n/64 threshold for every n ≥ 195
+    * (hence the 256-byte floor on perturbing), while an unrelated
+    * same-size asset differs in word mix and container padding by far
+    * more mass. Everything is int64-exact, so the DuckDB oracle replays
+    * the identical semantics over the identical staged bytes. */
+  private[graft] def nearDupFromFeatures(feats: DataFrame): DataFrame = {
+    val a = feats.as("a"); val b = feats.as("b")
+    a.join(b,
+        col("a.container") === col("b.container") &&
+        col("a.n_bytes") === col("b.n_bytes") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("canonical_id"), col("b.media_id").as("dup_id"),
+              col("a.container").as("container"), col("a.n_bytes").as("n_bytes"),
+              aggregate(zip_with(col("a.hist"), col("b.hist"), (x, y) => abs(x - y)),
+                        lit(0L), (acc, v) => acc + v).as("l1"))
+      .filter(col("l1") * 64 <= col("n_bytes"))
+      .select("canonical_id", "dup_id", "container", "l1")
+      .orderBy("canonical_id", "dup_id")
+  }
+
+  /** Driver-verified: PERCEPTUAL near-dup over the media corpus —
+    * [[mediaDedup]] is exact-digest, so a re-encoded or bit-noised copy is
+    * invisible to it; this op catches the copies whose BYTES differ but
+    * whose byte-distribution feature barely moves. Universe =
+    * [[assetsWithPerturbedReuploads]] staged as real files; features are
+    * computed from the bytes on disk, candidates are BLOCKED (same
+    * container + size — never all-pairs, the `dedup_embedding` blocking
+    * discipline with the block key part of the declared semantics), and
+    * verification is the integer L1 test of [[nearDupFromFeatures]].
+    *
+    * 100 TB: the per-asset feature is one streamed scan pass (payloads
+    * never shuffle — 32 longs + a key per asset do), the blocked self-join
+    * shuffles on (container, n_bytes) whose buckets track true-copy counts
+    * (byte length is a strong partitioner for media), and the L1 verify is
+    * a codegen'd array fold per candidate. A general re-ENCODE (size
+    * changes) needs feature-LSH blocking over the histogram itself — the
+    * [[graft.operators.Dedup.embeddingDedupPairs]] sign-bucket form over
+    * these same vectors; the size-preserving class here is what the
+    * exact-oracle gate can prove end to end. Oracle: DuckDB `read_blob`
+    * over the same staged files, byte histogram via hex-digit extraction,
+    * identical blocking + threshold. */
+  def mediaNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensureNearDupFiles(spark, sfDir)
+    val files = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    nearDupFromFeatures(nearDupFeatures(files))
+  }
+
   /** Per-kind rollup over decoded metadata. */
   def mediaStats(spark: SparkSession, sfDir: String): DataFrame =
     decodeAll(assetsFromDocuments(spark, sfDir), HeaderDecoder)
@@ -492,14 +608,27 @@ object Media {
     * per corpus, not per query); a drifted or foreign corpus rebuilds
     * from scratch. */
   def ensureAssetFiles(spark: SparkSession, sfDir: String): String =
-    stageAssetFiles(spark, sfDir, AssetFilesRoot, deltaOnly = false)
+    stageAssetFiles(spark, sfDir, AssetFilesRoot, assetsFromDocuments)
 
   /** Stage only the DELTA shard's assets (`media_id % 10 == 0` — the same
     * mod-split every streaming ingest op uses) into [[DropFilesRoot]]:
     * the "drop" a streaming catalog sees. Fingerprint-gated like the full
     * staging. */
   def ensureDropFiles(spark: SparkSession, sfDir: String): String =
-    stageAssetFiles(spark, sfDir, DropFilesRoot, deltaOnly = true)
+    stageAssetFiles(spark, sfDir, DropFilesRoot,
+      (s, d) => assetsFromDocuments(s, d).filter(_.media_id % 10 == 0))
+
+  /** Root for the NEAR-DUP asset universe ([[ensureNearDupFiles]]) — the
+    * full corpus plus the planted bit-perturbed re-uploads, as real files,
+    * so both engines (Spark `binaryFile`, DuckDB `read_blob`) compute the
+    * perceptual features from the same bytes on disk. */
+  private[graft] val NearDupFilesRoot = "/tmp/graft_media_neardup"
+
+  /** Stage the perturbed-re-upload universe ([[assetsWithPerturbedReuploads]])
+    * as on-disk files. Fingerprint-gated + version/symlink-flipped like
+    * every staged root. */
+  def ensureNearDupFiles(spark: SparkSession, sfDir: String): String =
+    stageAssetFiles(spark, sfDir, NearDupFilesRoot, assetsWithPerturbedReuploads)
 
   /** Concurrent-safe staging: each corpus fingerprint builds into its OWN
     * immutable versioned directory (`<root>.v<fp>` — built under a temp
@@ -511,14 +640,13 @@ object Media {
     * exactly how a 100 TB asset store stages drops. Old versions leak
     * bounded temp space instead of racing readers. */
   private def stageAssetFiles(spark: SparkSession, sfDir: String,
-                              rootPath: String, deltaOnly: Boolean): String =
+                              rootPath: String,
+                              universe: (SparkSession, String) => Dataset[MediaAsset]): String =
     ensureVersioned(rootPath,
         graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")) { tmp =>
       java.nio.file.Files.createDirectories(tmp)
       val tmpStr = tmp.toString
-      val assets = assetsFromDocuments(spark, sfDir)
-      val staged = if (deltaOnly) assets.filter(_.media_id % 10 == 0) else assets
-      staged.foreachPartition { it: Iterator[MediaAsset] =>
+      universe(spark, sfDir).foreachPartition { it: Iterator[MediaAsset] =>
         it.foreach { a =>
           val f = new java.io.File(tmpStr, f"asset_${a.media_id}%05d.bin")
           val os = new java.io.FileOutputStream(f)

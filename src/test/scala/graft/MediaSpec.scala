@@ -220,6 +220,46 @@ class MediaSpec extends SparkSpecBase {
     assert(groups(0).getAs[Long]("n_copies") === 2L)
   }
 
+  test("mediaNearDup: planted bit-perturbed copy is caught; unrelated same-size asset is not") {
+    import spark.implicits._
+    // base payload long enough to guarantee the distance bound holds
+    val data = Array.tabulate(2000)(i => ((i * 7) % 256).toByte)
+    val a = Media.encodeWav(data)
+    // replicate the fixture's perturbation: bit 3 of every 251st byte from 64
+    val aPert: Array[Byte] = a.clone()
+    locally { var i = 64; while (i < aPert.length) { aPert(i) = (aPert(i) ^ 8).toByte; i += 251 } }
+    // unrelated asset, SAME container and SAME byte length (shares the
+    // block), but a very different byte distribution
+    val b = Media.encodeWav(Array.fill(2000)(0x41.toByte))
+    assert(!java.util.Arrays.equals(a, aPert), "perturbation must change bytes (md5-invisible to mediaDedup)")
+    val files = Seq(("asset_00001.bin", a), ("asset_00002.bin", aPert),
+                    ("asset_00003.bin", b)).toDS()
+    val pairs = Media.nearDupFromFeatures(Media.nearDupFeatures(files)).collect()
+    assert(pairs.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_id"))).toSeq
+      === Seq((1L, 2L)), "exactly the perturbed pair, not the same-size stranger")
+    val l1 = pairs(0).getAs[Long]("l1")
+    assert(l1 > 0 && l1 * 64 <= a.length, "perturbed distance is nonzero and under threshold")
+  }
+
+  test("mediaNearDup end-to-end: every planted perturbed pair caught; extras are natural originals") {
+    val out = Media.mediaNearDup(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val mx = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val planted = docs.filter(col("doc_id") % 13 === 6).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val pairs = out.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_id"))).toSet
+    // recall = 1 on the planted perturbation class
+    assert(planted.forall(d => pairs.contains((d, d + mx))),
+      "every planted bit-perturbed re-upload must be recovered")
+    // anything else the metric surfaces must be a NATURAL pair between two
+    // original assets (e.g. same-size docs with close byte mixes) — never a
+    // spurious match against a re-upload of a DIFFERENT asset
+    val extras = pairs.filterNot { case (c, d) => d == c + mx && planted(c) }
+    assert(extras.forall { case (c, d) => c <= mx && d <= mx },
+      s"non-planted pairs must pair originals with originals, got $extras")
+    assert(extras.size < planted.size, "natural near-dups stay a small minority of the pair set")
+  }
+
   test("mediaFilesScan: binaryFile ingest sniffs every container from bytes alone") {
     val rows = Media.mediaFilesScan(spark, sf0001).collect()
     val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
