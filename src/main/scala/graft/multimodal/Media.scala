@@ -678,6 +678,18 @@ object Media {
         .write.mode("overwrite").parquet(tmp.toString)
     }
 
+  /** Retention pass over every staged media root: keep each root's live
+    * version plus `keep` most-recent superseded ones, sweep stale build/
+    * flip/vacuum debris — [[graft.sources.Warehouse.vacuumVersionedRoot]]
+    * applied to the four [[ensureVersioned]] writers above. The report
+    * twin is `Warehouse.versionedRootReport(Media.stagedRoots)`. */
+  def vacuumStagedRoots(keep: Int = 1): Seq[graft.sources.Warehouse.VacuumResult] =
+    stagedRoots.map(graft.sources.Warehouse.vacuumVersionedRoot(_, keep))
+
+  /** Every fixed-path versioned root this module stages. */
+  private[graft] def stagedRoots: Seq[String] =
+    Seq(AssetFilesRoot, DropFilesRoot, NearDupFilesRoot, PackedDropRoot)
+
   /** Concurrent-safe versioned staging shared by every fixed-path root:
     * `build` materializes into a temp dir, which is atomically renamed to
     * the fingerprint-versioned immutable directory (`<root>.v<fp>`), and

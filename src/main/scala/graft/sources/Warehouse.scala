@@ -289,4 +289,128 @@ object Warehouse {
     dropTableAndLocation(df.sparkSession, table, Some(partCol))
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol).saveAsTable(table)
   }
+
+  // ------------------------------------------------------------------
+  // Versioned staged-root retention (vacuum)
+  // ------------------------------------------------------------------
+  //
+  // The version/symlink-flip layout (writer: graft.multimodal.Media
+  // .ensureVersioned) stages each corpus fingerprint into an immutable
+  // `<root>.v<fp>` directory and atomically flips the `<root>` symlink —
+  // readers never race a rebuild, but superseded versions accumulate
+  // forever. These ops are the retention half of that contract. They are
+  // pure filesystem-layout code (no SparkSession): the layout convention
+  // IS the interface, so any root staged with that convention can be
+  // reported on and vacuumed.
+
+  /** Retention health of one versioned root: how many `.v*` versions
+    * exist, how many are DEAD (not the live symlink target), and how much
+    * debris (`.tmp-*` in-flight builds, `.lnk-*` in-flight flips,
+    * `.trash-*` interrupted vacuums) sits beside them — the
+    * dead-version count [[maintenanceReport]]'s TableHealth gives tables,
+    * for staged roots. Metadata-only (one directory listing). */
+  final case class RootHealth(root: String, liveVersion: String,
+                              versions: Int, deadVersions: Int, debris: Int)
+
+  /** [[RootHealth]] for each root. A root with no symlink yet treats its
+    * newest version as presumptive-live (the writer is between build and
+    * flip), so `deadVersions` never counts a directory a reader could be
+    * about to see. */
+  def versionedRootReport(roots: Seq[String]): Seq[RootHealth] =
+    roots.map { root =>
+      val (_, _, live, versions, debris) = scanRoot(root)
+      val pinned = live.orElse(newestName(versions))
+      RootHealth(root, pinned.getOrElse(""), versions.length,
+                 versions.count(v => !pinned.contains(v.getName)), debris.length)
+    }
+
+  /** Outcome of one [[vacuumVersionedRoot]] pass. */
+  final case class VacuumResult(root: String, keptDead: Int,
+                                deletedVersions: Int, sweptDebris: Int)
+
+  /** Drop superseded versions of a staged root, keeping the LIVE symlink
+    * target (always — even when it is the oldest directory present) plus
+    * the `keep` most-recent dead versions (fast rollback stock).
+    *
+    * Crash-window discipline (the [[compactPartitioned]] standard): the
+    * reuse gate in the writer is `isDirectory(<root>.v<fp>)`, so a
+    * half-deleted version dir would be REUSED as if complete — data loss,
+    * not just leak. Deletion therefore first renames the condemned dir to
+    * `<root>.trash-<uuid>` (atomic, same parent — instantly invisible to
+    * the reuse gate and to readers), then deletes contents. A kill at ANY
+    * point leaves either an untouched version or a trash dir; the next
+    * vacuum sweeps trash unconditionally. The live target itself is never
+    * renamed, moved, or entered.
+    *
+    * `.tmp-*` / `.lnk-*` debris is swept only when older than
+    * `debrisGraceMs` — a fresh one belongs to a writer mid-build/mid-flip.
+    * `.lnk-*` entries are symlinks INTO the live version: they are
+    * unlinked, never recursed into (recursion would follow the link and
+    * gut the live data). 100 TB: vacuum is O(versions) renames + deletes
+    * of already-dead data, zero reads of live bytes, safe to run
+    * concurrently with readers, writers, and other vacuums (lost races
+    * surface as benign NoSuchFile/false deletes). */
+  def vacuumVersionedRoot(root: String, keep: Int = 1,
+                          debrisGraceMs: Long = 3600000L): VacuumResult = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val (parent, base, live, versions, debris) = scanRoot(root)
+    val pinned = live.orElse(newestName(versions))
+    val dead = versions.filter(v => !pinned.contains(v.getName))
+      .sortBy(v => (-v.lastModified, v.getName))
+    val (kept, doomed) = dead.splitAt(keep)
+    var deleted = 0
+    doomed.foreach { v =>
+      val trash = new java.io.File(parent, s"$base.trash-${java.util.UUID.randomUUID()}")
+      try {
+        Files.move(v.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(trash)
+        deleted += 1
+      } catch { case _: java.nio.file.NoSuchFileException => () } // concurrent vacuum won
+    }
+    val now = System.currentTimeMillis()
+    var swept = 0
+    debris.foreach { f =>
+      val sweep = f.getName.startsWith(s"$base.trash-") ||
+        now - f.lastModified > debrisGraceMs
+      if (sweep && f.exists()) { deleteRecursively(f); swept += 1 }
+    }
+    VacuumResult(root, kept.length, deleted, swept)
+  }
+
+  /** One listing of `root`'s parent → (parent, base, live-target name,
+    * version dirs, debris entries). Versions are real directories named
+    * `<base>.v*`; debris is `<base>.{tmp,lnk,trash}-*`. */
+  private def scanRoot(root: String)
+      : (java.io.File, String, Option[String], Array[java.io.File], Array[java.io.File]) = {
+    val rootFile = new java.io.File(root).getAbsoluteFile
+    val parent = rootFile.getParentFile
+    val base = rootFile.getName
+    val live =
+      if (java.nio.file.Files.isSymbolicLink(rootFile.toPath))
+        Some(java.nio.file.Files.readSymbolicLink(rootFile.toPath).toFile.getName)
+      else None
+    val sibs = Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+    val versions = sibs.filter(f => f.getName.startsWith(s"$base.v") &&
+      f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+    val debris = sibs.filter { f =>
+      val n = f.getName
+      n.startsWith(s"$base.tmp-") || n.startsWith(s"$base.lnk-") ||
+        n.startsWith(s"$base.trash-")
+    }
+    (parent, base, live, versions, debris)
+  }
+
+  private def newestName(versions: Array[java.io.File]): Option[String] =
+    versions.sortBy(v => (-v.lastModified, v.getName)).headOption.map(_.getName)
+
+  /** Depth-first delete that NEVER follows symlinks (a stale `.lnk-*`
+    * points at the live version — recursing through it would delete live
+    * data). Tolerates entries vanishing underneath it (concurrent vacuum). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+    }
+    f.delete(); ()
+  }
 }

@@ -287,4 +287,98 @@ class WarehouseSpec extends SparkSpecBase {
     val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.contains("event_type=click"))
   }
+
+  // ---- versioned staged-root vacuum --------------------------------
+
+  /** Build a synthetic version/symlink root exactly as Media.ensureVersioned
+    * lays it out: version dirs `<root>.v<fp>` each holding one payload file,
+    * symlink `<root>` → the named live version. Returns the root path. */
+  private def stageFakeRoot(dir: java.nio.file.Path, versions: Seq[String],
+                            live: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = dir.resolve("asset_root").toString
+    versions.zipWithIndex.foreach { case (fp, i) =>
+      val v = Paths.get(s"$root.v$fp")
+      Files.createDirectories(v)
+      Files.write(v.resolve("payload.bin"), Array.fill[Byte](16)(i.toByte))
+      // deterministic recency order: later list entries are newer
+      v.toFile.setLastModified(1000000L + i * 60000L)
+    }
+    Files.createSymbolicLink(Paths.get(root), Paths.get(s"$root.v$live"))
+    root
+  }
+
+  test("vacuumVersionedRoot: drops superseded versions, pins the live target even when oldest") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_vac")
+    // live is the OLDEST version — recency must not outrank the symlink
+    val root = stageFakeRoot(dir, Seq("aaa", "bbb", "ccc"), live = "aaa")
+    val before = Warehouse.versionedRootReport(Seq(root)).head
+    assert(before.versions === 3 && before.deadVersions === 2 &&
+      before.liveVersion === "asset_root.vaaa", s"$before")
+    val res = Warehouse.vacuumVersionedRoot(root, keep = 1, debrisGraceMs = 0L)
+    assert(res.deletedVersions === 1 && res.keptDead === 1, s"$res")
+    // live target intact with its bytes; newest dead kept; oldest dead gone
+    assert(Files.isDirectory(Paths.get(s"$root.vaaa")) &&
+      Files.exists(Paths.get(s"$root.vaaa/payload.bin")))
+    assert(Files.isDirectory(Paths.get(s"$root.vccc")))
+    assert(!Files.exists(Paths.get(s"$root.vbbb")))
+    assert(Files.readSymbolicLink(Paths.get(root)).toString.endsWith(".vaaa"))
+    val after = Warehouse.versionedRootReport(Seq(root)).head
+    assert(after.versions === 2 && after.deadVersions === 1, s"$after")
+    // keep=0 empties the dead stock but never the live version
+    Warehouse.vacuumVersionedRoot(root, keep = 0, debrisGraceMs = 0L)
+    assert(Files.isDirectory(Paths.get(s"$root.vaaa")) &&
+      !Files.exists(Paths.get(s"$root.vccc")))
+  }
+
+  test("vacuumVersionedRoot: debris sweep respects grace; stale .lnk is unlinked, not followed") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_vac")
+    val root = stageFakeRoot(dir, Seq("aaa"), live = "aaa")
+    // stale flip leftover: a SYMLINK into the live version — sweeping it
+    // must unlink the link, never recurse into (and delete) live data
+    val staleLnk = Paths.get(s"$root.lnk-stale")
+    Files.createSymbolicLink(staleLnk, Paths.get(s"$root.vaaa"))
+    staleLnk.toFile.setLastModified(0L)
+    // fresh in-flight build: inside grace, must survive
+    val freshTmp = Paths.get(s"$root.tmp-fresh")
+    Files.createDirectories(freshTmp)
+    Files.write(freshTmp.resolve("building.bin"), Array[Byte](1))
+    val res = Warehouse.vacuumVersionedRoot(root, keep = 0, debrisGraceMs = 3600000L)
+    assert(res.sweptDebris === 1, s"$res")
+    assert(!Files.exists(staleLnk, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+    assert(Files.exists(Paths.get(s"$root.vaaa/payload.bin")),
+      "sweeping the stale .lnk symlink must not follow it into live data")
+    assert(Files.isDirectory(freshTmp), "in-grace tmp build must survive")
+  }
+
+  test("vacuumVersionedRoot: kill mid-vacuum leaves no reusable half-version; rerun recovers") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_vac")
+    val root = stageFakeRoot(dir, Seq("aaa", "bbb"), live = "bbb")
+    // simulate the crash window: vacuum renamed the dead version to trash
+    // (step 1) and died before deleting contents (step 2)
+    val trash = Paths.get(s"$root.trash-killed")
+    Files.move(Paths.get(s"$root.vaaa"), trash, StandardCopyOption.ATOMIC_MOVE)
+    // THE invariant: the .v name is gone, so the writer's isDirectory
+    // reuse gate can never adopt a half-deleted version as complete
+    assert(!Files.exists(Paths.get(s"$root.vaaa")))
+    assert(Files.exists(trash.resolve("payload.bin")), "contents still pending delete")
+    // rerun: trash is swept unconditionally (no grace), live untouched
+    val res = Warehouse.vacuumVersionedRoot(root, keep = 0, debrisGraceMs = 3600000L)
+    assert(res.sweptDebris === 1 && res.deletedVersions === 0, s"$res")
+    assert(!Files.exists(trash))
+    assert(Files.exists(Paths.get(s"$root.vbbb/payload.bin")))
+  }
+
+  test("vacuumStagedRoots covers every media root; live staged universes survive") {
+    // stage at least one real root, then vacuum everything Media manages
+    graft.multimodal.Media.ensureAssetFiles(spark, sf0001)
+    val results = graft.multimodal.Media.vacuumStagedRoots(keep = 1)
+    assert(results.length === 4)
+    // the live asset universe is still there and non-empty
+    val live = new java.io.File("/tmp/graft_media_files").listFiles()
+    assert(live != null && live.nonEmpty)
+  }
 }
