@@ -270,6 +270,7 @@ object SparkEntry {
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
     "stream_media_packed" -> ((s, d) => graft.streaming.EventStreams.streamMediaPackedQuery(s, d)),
     "stream_quota_ingest" -> ((s, d) => graft.streaming.EventStreams.streamQuotaIngestQuery(s, d)),
+    "stream_kanon" -> ((s, d) => graft.streaming.EventStreams.streamKanonQuery(s, d)),
   )
 
   /** The KMV distinct-count oracle, shared by the batch and streaming
@@ -3297,6 +3298,18 @@ object SparkEntry {
         |SELECT source, doc_id, toks, cum_tokens,
         |  CASE WHEN cum_tokens <= 2000 THEN 1 ELSE 0 END AS accepted
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    // stream_kanon: the k-anonymity ingest gate sees cells fill in arrival
+    // == doc_id order under bounded replay, so each doc's verdict is the
+    // per-cell row_number test — the first k-1 docs of every cell are
+    // suppressed (the honest at-ingest trade, modeled here, re-admitted by
+    // the batch kanon_suppress pass at publish time).
+    "stream_kanon" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |  row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS cell_seen
+        |  FROM documents)
+        |SELECT doc_id, lang, source, CAST(cell_seen AS BIGINT) AS cell_seen,
+        |  CASE WHEN cell_seen >= 5 THEN 1 ELSE 0 END AS admitted
+        |FROM d ORDER BY doc_id""".stripMargin,
     // stream_media_ingest: the same stateless catalog over the DROP
     // staging root (delta shard only) — read_blob replays those files.
     "stream_media_ingest" -> mediaFilesScanSql(graft.multimodal.Media.DropFilesRoot),

@@ -1265,6 +1265,87 @@ object EventStreams {
     }
   }
 
+  final case class KanonIn(lang: String, source: String, doc_id: Long)
+  final case class KanonOut(doc_id: Long, lang: String, source: String,
+                            cell_seen: Long, admitted: Int)
+
+  /** Per-cell running count for [[streamKanonQuery]]: one `ValueState[Long]`
+    * per (lang, source) quasi-identifier cell — fixed-size state at any
+    * corpus scale (|cells| values, thousands not billions). Rows are
+    * consumed in doc_id order within a batch so the bounded replay is
+    * deterministic ([[QuotaProcessor]] discipline); the count surviving
+    * the batch boundary IS the contract the multi-batch spec proves. */
+  class KanonProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, KanonIn, KanonOut] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[KanonIn],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[KanonOut] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      val out = rows.toArray.sortBy(_.doc_id).map { r =>
+        n += 1
+        KanonOut(r.doc_id, r.lang, r.source, n, if (n >= k) 1 else 0)
+      }
+      seen.update(n)
+      out.iterator
+    }
+  }
+
+  /** Driver-verified: K-ANONYMITY gate AT INGEST — the streaming twin of
+    * [[graft.operators.TextAnalysis.kanonSuppress]], and the one privacy
+    * op that genuinely needs arbitrary state: a document's verdict depends
+    * on how many documents its (lang, source) quasi-identifier cell has
+    * EVER held, across every previous micro-batch — no stateless filter or
+    * windowed aggregate can express it. One `ValueState[Long]` per cell
+    * via `transformWithState`, RocksDB-backed.
+    *
+    * The honest streaming trade, modeled in the oracle rather than papered
+    * over: a doc that lands while its cell still holds fewer than k docs
+    * is SUPPRESSED (`admitted = 0`) even if the cell later fills — the
+    * gate cannot see the future, so the first k−1 docs of every
+    * ultimately-large cell are the price of deciding at ingest (a release
+    * pipeline re-admits them with the batch [[TextAnalysis.kanonSuppress]]
+    * pass at publish time). Budget-order contract as [[streamQuotaIngestQuery]]:
+    * the bounded replay arrives in doc_id order, so the exact oracle is
+    * `row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) >= k`;
+    * production arrival order changes WHICH docs pay the warm-up price,
+    * never how many. 100 TB: state is |cells| longs, output is one row per
+    * doc emitted as it lands (Append), nothing corpus-sized accumulates. */
+  def streamKanonQuery(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val in = tableStream(spark, sfDir, "documents")
+      .select(col("lang"), col("source"), col("doc_id"))
+      .as[KanonIn]
+    kanonFrom(spark, in, k)
+  }
+
+  /** [[streamKanonQuery]] over an explicit `KanonIn` stream — the form the
+    * multi-batch state spec drives. */
+  private[graft] def kanonFrom(spark: SparkSession,
+                               in: org.apache.spark.sql.Dataset[KanonIn],
+                               k: Int): DataFrame = {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = in.groupByKey(r => r.lang + "\u0001" + r.source)
+        .transformWithState(new KanonProcessor(k),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      runToCompletion(spark, out.toDF(), "stream_kanon", OutputMode.Append())
+        .orderBy("doc_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   final case class Scd2St(lastType: String, fromUs: Long)
   final case class Scd2Out(event_type: String, valid_from_us: Long, valid_to_us: Long)
 

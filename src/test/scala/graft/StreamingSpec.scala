@@ -497,6 +497,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_kanon: the per-cell count survives micro-batches; verdicts flip at k") {
+    import spark.implicits._
+    // k=3. Cell (en,web) gets 2 docs in batch 0 and 2 in batch 1: doc 30 is
+    // admitted ONLY if the count carried across the boundary (a batch-local
+    // counter would see seen=1 < 3 and suppress BOTH batch-1 docs); cell
+    // (fr,web) proves keys are independent and stays under k forever.
+    val dir = java.nio.file.Files.createTempDirectory("graft_kanon_stream")
+    EventStreams.stageStreamFile(
+      Seq(("en", "web", 10L), ("en", "web", 20L), ("fr", "web", 15L))
+        .toDF("lang", "source", "doc_id"), dir, "b0", 1000000L)
+    EventStreams.stageStreamFile(
+      Seq(("en", "web", 30L), ("en", "web", 40L), ("fr", "web", 25L))
+        .toDF("lang", "source", "doc_id"), dir, "b1", 2000000L)
+    val in = spark.readStream.schema("lang STRING, source STRING, doc_id LONG")
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .as[EventStreams.KanonIn]
+    val out = EventStreams.kanonFrom(spark, in, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getInt(4)))
+    assert(out.toSet === Set(
+      (10L, 1L, 0), (20L, 2L, 0),   // warm-up price: first k-1 suppressed
+      (30L, 3L, 1),                 // admitted ONLY via carried state
+      (40L, 4L, 1),
+      (15L, 1L, 0), (25L, 2L, 0)))  // small cell never admits
+  }
+
   test("stream_quota_ingest: the transformWithState budget survives micro-batches") {
     import spark.implicits._
     // batch 0 spends 1500 of source A's 2000-token cap; batch 1's 800-token
