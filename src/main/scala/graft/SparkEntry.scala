@@ -102,6 +102,7 @@ object SparkEntry {
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     "grouping_sets_pricing" -> ((s, d) => Relational.groupingSetsPricing(s, d)),
     "q3_shipping" -> ((s, d) => Relational.q3Shipping(s, d)),
+    "waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d)),
     "big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -1892,6 +1893,28 @@ object SparkEntry {
         |  AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_e4 DESC, orderdate, l_orderkey LIMIT 10""".stripMargin,
+    // waiting_suppliers: the oracle deliberately runs the TEXTBOOK Q21
+    // correlated EXISTS / NOT-EXISTS form, so the Spark side's
+    // fold-quantifiers-into-counts rewrite (one fact scan + a window over
+    // the order×supplier grain) is differentially PROVEN equivalent to
+    // the quantifier semantics. numwait counts late LINES (l1 ranges over
+    // lines — the Q21 contract); lateness = shipped > 90 days after the
+    // order date, exact timestamp+interval on both engines.
+    "waiting_suppliers" ->
+      """SELECT s_name, s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders o
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name, s_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
     // big_spenders: Q18 shape — per-order quantity sums HAVING-filtered,
     // rejoined to order/customer detail; integer units/cents, pinned
     // top-k tie-break. The oracle spells the same single-fact-scan

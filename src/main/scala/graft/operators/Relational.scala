@@ -704,6 +704,59 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q21-style WAITING SUPPLIERS: in completed ('F') orders, find
+    * suppliers whose line was LATE (shipped more than `lateDays` after
+    * the order date) while EVERY OTHER supplier in the same order shipped
+    * on time — the sole-culprit attribution shape, and the one relational
+    * form the family still lacked: correlated EXISTS + NOT-EXISTS over
+    * the SAME fact table.
+    *
+    * 100 TB: the textbook form is two correlated self-joins of lineitem
+    * (l2: another supplier exists; l3: no other supplier late) — two
+    * extra passes over the fact at best, a per-row nested probe at worst.
+    * Here both quantifiers FOLD INTO COUNTS on a reduced grain: one scan
+    * aggregates to (order, supplier, late-line count) — partial-agg'd,
+    * the only fact-mass shuffle — then a window over the order×supplier
+    * table (orders-of-magnitude smaller than the fact, partitioned by
+    * order key — never a global window) derives n_suppliers and
+    * n_late_suppliers per order; EXISTS ⇔ n_suppliers > 1, NOT-EXISTS ⇔
+    * n_late_suppliers = 1 on the culprit's own rows. The 'F' slice
+    * broadcasts into the scan, the supplier name table broadcasts at the
+    * end, top-k is TakeOrderedAndProject. numwait counts late LINES (the
+    * Q21 contract: l1 ranges over lines), not late orders. The DuckDB
+    * oracle deliberately runs the TEXTBOOK correlated EXISTS/NOT-EXISTS
+    * form, so the counting rewrite is differentially PROVEN equivalent
+    * to the quantifier semantics (the interval_join discipline). Date
+    * arithmetic is exact timestamp + interval on both engines; tie-break
+    * pinned (numwait desc, s_name asc — unique). */
+  def waitingSuppliers(spark: SparkSession, sfDir: String,
+                       lateDays: Int = 90, topK: Int = 25): DataFrame = {
+    val fOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("l_shipdate") >
+                      col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1L)
+                 .otherwise(0L)).as("late_lines"))
+    val byOrder = Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(byOrder))
+      .withColumn("n_late_supp",
+        sum(when(col("late_lines") > 0L, 1L).otherwise(0L)).over(byOrder))
+      .filter(col("n_supp") > 1L && col("n_late_supp") === 1L &&
+              col("late_lines") > 0L)
+      .groupBy("l_suppkey")
+      .agg(sum("late_lines").as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("s_suppkey"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(topK)
+  }
+
   /** TPC-H Q18-style LARGE-QUANTITY orders ("big spenders"): aggregate the
     * fact table per order, filter GROUPS on the aggregate (HAVING
     * sum(quantity) > floor), join the qualifying-group frame back to the

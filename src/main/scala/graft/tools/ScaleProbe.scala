@@ -81,7 +81,9 @@ object ScaleProbe {
                             "doc_entropy", "leakage_safe_split",
                             "stream_sliding_append", "compaction_plan",
                             "skew_profile", "lang_confusion", "basket_affinity",
-                            "revenue_rank_delta", "user_lifecycle")).toList
+                            "revenue_rank_delta", "user_lifecycle",
+                            "quantile_rollup", "big_spenders",
+                            "media_near_dup", "stream_kanon")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

@@ -289,6 +289,55 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"customer not broadcast:\n$plan")
   }
 
+  test("waitingSuppliers: scalar quantifier replay, one fact scan, reduced-grain window") {
+    val df = graft.operators.Relational.waitingSuppliers(spark, sf0001)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent scalar replay of the EXISTS / NOT-EXISTS semantics
+    val odate = Tables.orders(spark, sf0001)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lines = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => odate.contains(t._1))
+    val lateUs = 90L * 24 * 3600 * 1000000L
+    val byOrder = lines.groupBy(_._1)
+    val numwait = scala.collection.mutable.Map[Long, Long]()
+    byOrder.foreach { case (ok, ls) =>
+      val supps = ls.map(_._2).distinct
+      val lateSupps = ls.filter(t => t._3 > odate(ok) + lateUs).map(_._2).distinct
+      if (supps.length > 1 && lateSupps.length == 1) {
+        val culprit = lateSupps.head
+        val lateLines = ls.count(t => t._2 == culprit && t._3 > odate(ok) + lateUs)
+        numwait(culprit) = numwait.getOrElse(culprit, 0L) + lateLines
+      }
+    }
+    val names = Tables.supplier(spark, sf0001).select("s_suppkey", "s_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = numwait.toSeq.map { case (sk, n) => (names(sk), sk, n) }
+      .sortBy(t => (-t._3, t._1)).take(25)
+    assert(got.toSeq === expected)
+    assert(got.nonEmpty, "some supplier must be a sole late culprit at sf0.001")
+    // plan: both quantifiers fold into counts — ONE lineitem scan (3 scans
+    // total: lineitem, orders, supplier — the textbook form re-scans the
+    // fact for each EXISTS); the window partitions by order key over the
+    // reduced order×supplier grain; dims broadcast; top-k never global-sorts
+    val plan = df.queryExecution.executedPlan.toString
+    val finalOnly = plan.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalOnly).size
+    assert(scans <= 3, s"quantifiers must not re-scan the fact (<=3 scans), got $scans:\n$finalOnly")
+    assert(finalOnly.contains("Window"), s"expected the reduced-grain window:\n$finalOnly")
+    assert(!finalOnly.contains("No Partition Defined") &&
+      finalOnly.contains("windowspecdefinition(l_orderkey"),
+      s"window must partition by order key:\n$finalOnly")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+  }
+
   test("unpivotMetrics: long-form sums reconstruct the wide aggregates") {
     val got = graft.operators.Relational.unpivotMetrics(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
