@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, HashEmbed, HistAgg, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, KmvStateAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash, Winnow, WinnowStats}
+import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, Hash64, HashEmbed, HistAgg, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, KmvStateAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash, Winnow, WinnowStats}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -121,6 +121,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash(text) takes one string column")
         SimHash(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash64"),
+      new ExpressionInfo(classOf[Hash64].getName, "graft_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_hash64(s) takes one string column")
+        Hash64(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_chunkstats"),

@@ -150,6 +150,7 @@ object SparkEntry {
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
     "kanon_suppress" -> ((s, d) => TextAnalysis.kanonSuppress(s, d)),
+    "noised_release" -> ((s, d) => TextAnalysis.noisedRelease(s, d)),
     "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
     "stream_mixture_weights" -> ((s, d) =>
       graft.streaming.EventStreams.streamMixtureWeightsQuery(s, d)),
@@ -2643,6 +2644,23 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source, c.cell_size
         |FROM documents d JOIN cells c ON d.lang = c.lang AND d.source = c.source
         |ORDER BY doc_id""".stripMargin,
+    // noised_release: seeded two-sided-geometric noise replayed bit-for-bit
+    // — hash = the repo md5 convention, sign = low bit, magnitude =
+    // trailing zeros of hv>>1 via bit_count((g & -g) - 1): pure integer
+    // bit arithmetic, no float ln/exp whose libm rounding could diverge.
+    "noised_release" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |h AS (SELECT lang, source, n,
+        |        CAST(md5_number_lower(lang || ':' || source) % 9223372036854775808 AS BIGINT) AS hv
+        |      FROM c),
+        |g AS (SELECT lang, source, n,
+        |        CASE WHEN (hv & 1) = 1 THEN 1 ELSE -1 END AS s,
+        |        LEAST(bit_count(((hv >> 1) & -(hv >> 1)) - 1), 16) AS mag
+        |      FROM h)
+        |SELECT lang, source,
+        |  CAST(GREATEST(n + s * mag, 0) AS BIGINT) AS noisy_n,
+        |  CASE WHEN GREATEST(n + s * mag, 0) >= 5 THEN 1 ELSE 0 END AS released
+        |FROM g ORDER BY lang, source""".stripMargin,
     // takedown_propagate: the dedup closure joined to the matched sources;
     // the manifest is every doc in a touched cluster, reason-tagged.
     "takedown_propagate" -> takedownSql,

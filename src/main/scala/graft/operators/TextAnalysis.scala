@@ -1633,6 +1633,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** NOISED CELL RELEASE — the third leg of the release-side privacy
+    * family: [[kanonSuppress]] suppresses small cells but publishes EXACT
+    * counts for the rest, and an exact count is itself a side channel
+    * (publish n=847 for a cell twice and the delta re-identifies the one
+    * doc added between releases). This op releases per-(lang, source)
+    * cell counts with two-sided geometric noise (the discrete mechanism
+    * of Ghosh–Roughgarden–Sundararajan, SICOMP 2012) and re-applies the
+    * size threshold to the NOISY value — the true count never appears in
+    * the output.
+    *
+    * Noise is SEEDED and integer-exact, which is what makes it a
+    * differentially-TESTABLE pipeline op: u = `graft_hash64(lang:source)`
+    * (the repo-wide md5 convention), sign = lowest bit, magnitude =
+    * trailing zeros of u>>1 (a true Geometric(1/2), mean 1, from hash
+    * bits alone — `bit_count((g & -g) - 1)`, no float ln/exp whose libm
+    * rounding could diverge between engines), capped at `capMag`. The
+    * ε-ACCOUNTING IS THE CALLER'S: a fixed seed means a fixed noise draw
+    * per cell per corpus — the privacy contract of a single release, and
+    * exactly reproducible for audit; rotating the release epoch into the
+    * hash input redraws the noise.
+    *
+    * 100 TB: one partial-agg'd count to |cells| rows; everything after is
+    * per-row integer bit arithmetic on the metadata-sized cell table. */
+  def noisedRelease(spark: SparkSession, sfDir: String,
+                    k: Int = 5, capMag: Int = 16): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+    val h = call_function("graft_hash64",
+      concat(col("lang"), lit(":"), col("source")))
+    val g = shiftright(h, 1)
+    val sign = when(h.bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+    val mag = least(expr("bit_count((g & -g) - 1)").cast("long"), lit(capMag.toLong))
+    cells
+      .withColumn("g", g)
+      .withColumn("noisy_n", greatest(col("n") + sign * mag, lit(0L)))
+      .withColumn("released", when(col("noisy_n") >= k, 1).otherwise(0))
+      .select("lang", "source", "noisy_n", "released")
+      .orderBy("lang", "source")
+  }
+
   /** METRIC CORRELATION — per-source Pearson correlation between document
     * quality metrics: chars↔tokens (near-linear by construction) and
     * tokens↔types (sub-linear — the closed vocabulary saturates distinct

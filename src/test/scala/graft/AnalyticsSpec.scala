@@ -678,6 +678,34 @@ class AnalyticsSpec extends SparkSpecBase {
       "k-anonymity gate is degenerate on the fixture")
   }
 
+  test("noisedRelease: scalar noise replay, geometric magnitudes, true count absent") {
+    val k = 5; val cap = 16L
+    val rows = TextAnalysis.noisedRelease(spark, sf0001, k).collect()
+    assert(rows.nonEmpty)
+    // the TRUE count must not be a column — the noisy value is the release
+    assert(!rows.head.schema.fieldNames.contains("n"))
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("lang", "source").collect().map(r => (r.getString(0), r.getString(1)))
+    val trueCells = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.length === trueCells.size, "one release row per cell")
+    var perturbed = 0
+    rows.foreach { r =>
+      val (lang, source) = (r.getString(0), r.getString(1))
+      // scalar replay of the seeded mechanism from the shared hash
+      val h = TextAnalysis.md5Low64(s"$lang:$source") & Long.MaxValue
+      val g = h >> 1
+      val sign = if ((h & 1L) == 1L) 1L else -1L
+      val mag = math.min(java.lang.Long.numberOfTrailingZeros(g).toLong, cap)
+      val expected = math.max(trueCells((lang, source)) + sign * mag, 0L)
+      assert(r.getLong(2) === expected, s"cell ($lang, $source)")
+      assert(r.getInt(3) === (if (expected >= k) 1 else 0))
+      if (mag != 0L) perturbed += 1
+    }
+    // the mechanism actually perturbs: Geometric(1/2) magnitudes are
+    // nonzero for ~half the cells (P(mag=0) = 1/2)
+    assert(perturbed > 0, "noise degenerate: every cell drew magnitude 0")
+  }
+
   test("vocabGrowth: growing and saturating vocabularies both measured exactly") {
     import spark.implicits._
     // OPEN vocabulary: doc i contributes a fresh word ("w<i>") plus a

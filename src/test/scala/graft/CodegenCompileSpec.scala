@@ -43,7 +43,8 @@ class CodegenCompileSpec extends SparkSpecBase {
     "graft_chunks" -> "graft_chunks(t, 8)",
     "graft_winnow" -> "graft_winnow(t, 8, 4)",
     "graft_winnowstats" -> "graft_winnowstats(t, 8, 4)",
-    "graft_hash_embed" -> "graft_hash_embed(t, 16)")
+    "graft_hash_embed" -> "graft_hash_embed(t, 16)",
+    "graft_hash64" -> "graft_hash64(t)")
 
   private def withNoFallback[A](body: => A): A = {
     val conf = spark.conf
