@@ -267,6 +267,7 @@ object SparkEntry {
     "media_frames" -> ((s, d) => Media.mediaFrames(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     "media_near_dup" -> ((s, d) => Media.mediaNearDup(s, d)),
+    "media_dup_padded" -> ((s, d) => Media.mediaDupPadded(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
@@ -3401,6 +3402,40 @@ object SparkEntry {
         |      GROUP BY p.ida, p.idb, p.container, p.n)
         |SELECT ida AS canonical_id, idb AS dup_id, container, CAST(l1 AS BIGINT) AS l1
         |FROM d WHERE l1 * 64 <= n
+        |ORDER BY canonical_id, dup_id""".stripMargin,
+    // media_dup_padded: full metric replay over the padded universe —
+    // prefix digest = md5 of the first 512 HEX chars (= 256 bytes, hashed
+    // through the hex encoding so no blob slicing is needed), blocking on
+    // (container, prefix digest), verify by integer permille-L1 <= 250.
+    "media_dup_padded" ->
+      s"""WITH f AS (SELECT CAST(regexp_extract(filename, 'asset_(\\d+)\\.bin', 1) AS BIGINT) AS media_id,
+        |             octet_length(content) AS n, hex(content) AS hx
+        |      FROM read_blob('${graft.multimodal.Media.PaddedFilesRoot}/asset_*.bin')),
+        |c AS (SELECT media_id, n, hx, md5(substr(hx, 1, 512)) AS pmd5,
+        |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+        |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+        |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+        |             ELSE 'unknown' END AS container
+        |      FROM f),
+        |u AS (SELECT media_id, hx, unnest(range(0, n)) AS i FROM c),
+        |b AS (SELECT media_id,
+        |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+        |        + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1 AS byte
+        |      FROM u),
+        |h AS (SELECT media_id, byte // 8 AS bin, count(*) AS cnt FROM b GROUP BY media_id, byte // 8),
+        |p AS (SELECT h.media_id, h.bin, (h.cnt * 1000) // c.n AS pm FROM h JOIN c USING (media_id)),
+        |pr AS (SELECT a.media_id AS ida, b2.media_id AS idb, a.container
+        |       FROM c a JOIN c b2 ON a.container = b2.container
+        |         AND a.pmd5 = b2.pmd5 AND a.media_id < b2.media_id),
+        |d AS (SELECT pr.ida, pr.idb, pr.container,
+        |        COALESCE(sum(abs(COALESCE(pa.pm, 0) - COALESCE(pb.pm, 0))), 0) AS l1p
+        |      FROM pr CROSS JOIN range(32) t(bin)
+        |      LEFT JOIN p pa ON pa.media_id = pr.ida AND pa.bin = t.bin
+        |      LEFT JOIN p pb ON pb.media_id = pr.idb AND pb.bin = t.bin
+        |      GROUP BY pr.ida, pr.idb, pr.container)
+        |SELECT ida AS canonical_id, idb AS dup_id, container, CAST(l1p AS BIGINT) AS l1p
+        |FROM d WHERE l1p <= 250
         |ORDER BY canonical_id, dup_id""".stripMargin,
     "media_dedup" ->
       """WITH m AS (SELECT doc_id AS canonical_id,

@@ -577,6 +577,96 @@ object Media {
     nearDupFromFeatures(nearDupFeatures(files))
   }
 
+  /** Asset stream with deterministic TRAILER-PADDED re-uploads — the
+    * SIZE-CHANGING copy class [[mediaNearDup]]'s (container, n_bytes)
+    * blocking is blind to by construction: every doc with
+    * `media_id % 13 == 8` (disjoint from the bit-perturbed `== 6` class)
+    * and a payload ≥ 512 bytes is re-uploaded with a 37-byte zero trailer
+    * appended — the appended-EXIF/XMP/metadata-junk re-upload every real
+    * asset store accumulates. Shorter qualifying payloads re-upload
+    * byte-identical (the planted set stays exactly the `== 8` class). */
+  def assetsWithPaddedReuploads(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val mx = graft.sources.Tables.documents(spark, sfDir)
+      .agg(max("doc_id")).as[Long].head()
+    assetsFromDocuments(spark, sfDir).flatMap { a =>
+      if (a.media_id % 13 == 8) {
+        val p = if (a.payload.length >= 512)
+          a.payload ++ Array.fill[Byte](37)(0) else a.payload
+        Seq(a, a.copy(media_id = a.media_id + mx, payload = p))
+      } else Seq(a)
+    }
+  }
+
+  /** Features for the padded-copy catcher: id, container, byte length,
+    * PREFIX digest (md5 of the first 256 bytes, hashed through the hex
+    * encoding so the DuckDB oracle needs no blob slicing), and the 32-bin
+    * histogram normalized to integer PERMILLE (size-comparable across
+    * different lengths — the exact-integer stand-in for a normalized
+    * feature vector). One streamed pass; payloads never shuffle. */
+  private[graft] def paddedDupFeatures(files: Dataset[(String, Array[Byte])]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.map { case (path, bytes) =>
+      val hist = new Array[Long](32)
+      bytes.foreach(b => hist((b & 0xff) >> 3) += 1)
+      val n = bytes.length.toLong
+      val permille = hist.map(h => h * 1000L / n)
+      val hexPrefix = bytes.take(256).map("%02X".format(_)).mkString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val prefixMd5 = md.digest(hexPrefix.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val id = "asset_(\\d+)\\.bin$".r.findFirstMatchIn(path)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      (id, HeaderDecoder.sniffContainer(bytes), n, prefixMd5, permille.toSeq)
+    }.toDF("media_id", "container", "n_bytes", "prefix_md5", "permille")
+  }
+
+  /** The padded-copy pair core (spec entry point): candidates share
+    * (container, 256-byte-prefix digest) — a trailer-appended copy keeps
+    * its prefix bit-identical, while (container, SIZE) blocking can never
+    * pair it with its original — and are verified by integer permille-L1
+    * ≤ 250: the planted 37-byte pad moves total permille mass by at most
+    * 2·⌈37000/(n+37)⌉ + 64 integer-division slack ≤ 208 at the 512-byte
+    * floor, while a hypothetical unrelated prefix-collision diverges in
+    * its tail mass. All arithmetic int64-exact — the DuckDB oracle
+    * replays digest, blocking and threshold from the same staged bytes. */
+  private[graft] def paddedDupFromFeatures(feats: DataFrame): DataFrame = {
+    val a = feats.as("a"); val b = feats.as("b")
+    a.join(b,
+        col("a.container") === col("b.container") &&
+        col("a.prefix_md5") === col("b.prefix_md5") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("canonical_id"), col("b.media_id").as("dup_id"),
+              col("a.container").as("container"),
+              aggregate(zip_with(col("a.permille"), col("b.permille"),
+                                 (x, y) => abs(x - y)),
+                        lit(0L), (acc, v) => acc + v).as("l1p"))
+      .filter(col("l1p") <= 250L)
+      .select("canonical_id", "dup_id", "container", "l1p")
+      .orderBy("canonical_id", "dup_id")
+  }
+
+  /** Driver-verified: PADDED-COPY dedup — the complement of
+    * [[mediaNearDup]]: that op's (container, size) blocking catches
+    * size-PRESERVING perturbations and is structurally blind to a copy
+    * whose size changed; this op anchors the block on the 256-byte
+    * PREFIX digest instead (header + leading content — the part a
+    * trailer-append cannot touch), catching the appended-junk re-upload
+    * class at exact-oracle strength. 100 TB: same physics as
+    * [[mediaNearDup]] — one streamed feature pass, the self-join blocks
+    * on a digest whose buckets track true-copy counts, 32 longs + a
+    * digest per asset shuffle. The two catchers share one staged
+    * universe ([[ensurePaddedFiles]]); MediaSpec proves the planted
+    * padded pair is INVISIBLE to the size-blocked catcher and caught by
+    * this one. */
+  def mediaDupPadded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensurePaddedFiles(spark, sfDir)
+    val files = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    paddedDupFromFeatures(paddedDupFeatures(files))
+  }
+
   /** Per-kind rollup over decoded metadata. */
   def mediaStats(spark: SparkSession, sfDir: String): DataFrame =
     decodeAll(assetsFromDocuments(spark, sfDir), HeaderDecoder)
@@ -630,6 +720,21 @@ object Media {
   def ensureNearDupFiles(spark: SparkSession, sfDir: String): String =
     stageAssetFiles(spark, sfDir, NearDupFilesRoot, assetsWithPerturbedReuploads)
 
+  /** Root for the PADDED-copy universe ([[ensurePaddedFiles]]) — the
+    * corpus plus trailer-padded re-uploads, for [[mediaDupPadded]]. */
+  private[graft] val PaddedFilesRoot = "/tmp/graft_media_padded"
+
+  /** Stage the padded-re-upload universe. The fingerprint carries a
+    * universe-DEFINITION tag alongside the corpus fingerprint: a staged
+    * root's identity is (corpus bytes × generator code), and a generator
+    * change without a tag bump would silently reuse a stale universe on
+    * a warm machine — both engines would still agree (they read the same
+    * files), but the planted-pair specs would gate against the wrong
+    * plant. */
+  def ensurePaddedFiles(spark: SparkSession, sfDir: String): String =
+    stageAssetFiles(spark, sfDir, PaddedFilesRoot, assetsWithPaddedReuploads,
+                    defTag = "-pad37v1")
+
   /** Concurrent-safe staging: each corpus fingerprint builds into its OWN
     * immutable versioned directory (`<root>.v<fp>` — built under a temp
     * name, atomically renamed into place, never mutated after), and the
@@ -641,9 +746,10 @@ object Media {
     * bounded temp space instead of racing readers. */
   private def stageAssetFiles(spark: SparkSession, sfDir: String,
                               rootPath: String,
-                              universe: (SparkSession, String) => Dataset[MediaAsset]): String =
+                              universe: (SparkSession, String) => Dataset[MediaAsset],
+                              defTag: String = ""): String =
     ensureVersioned(rootPath,
-        graft.sources.Warehouse.sourceFingerprint(sfDir, "documents")) { tmp =>
+        graft.sources.Warehouse.sourceFingerprint(sfDir, "documents") + defTag) { tmp =>
       java.nio.file.Files.createDirectories(tmp)
       val tmpStr = tmp.toString
       universe(spark, sfDir).foreachPartition { it: Iterator[MediaAsset] =>
@@ -688,7 +794,7 @@ object Media {
 
   /** Every fixed-path versioned root this module stages. */
   private[graft] def stagedRoots: Seq[String] =
-    Seq(AssetFilesRoot, DropFilesRoot, NearDupFilesRoot, PackedDropRoot)
+    Seq(AssetFilesRoot, DropFilesRoot, NearDupFilesRoot, PaddedFilesRoot, PackedDropRoot)
 
   /** Concurrent-safe versioned staging shared by every fixed-path root:
     * `build` materializes into a temp dir, which is atomically renamed to

@@ -83,7 +83,9 @@ object ScaleProbe {
                             "skew_profile", "lang_confusion", "basket_affinity",
                             "revenue_rank_delta", "user_lifecycle",
                             "quantile_rollup", "big_spenders",
-                            "media_near_dup", "stream_kanon")).toList
+                            "media_near_dup", "media_dup_padded",
+                            "stream_kanon", "waiting_suppliers",
+                            "noised_release")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

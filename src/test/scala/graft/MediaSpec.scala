@@ -260,6 +260,44 @@ class MediaSpec extends SparkSpecBase {
     assert(extras.size < planted.size, "natural near-dups stay a small minority of the pair set")
   }
 
+  test("mediaDupPadded: padded copy invisible to size blocking, caught by prefix blocking") {
+    import spark.implicits._
+    val data = Array.tabulate(2000)(i => ((i * 7) % 256).toByte)
+    val a = Media.encodeWav(data)
+    val aPad: Array[Byte] = a ++ Array.fill[Byte](37)(0)
+    // same 256-byte prefix, divergent tail mass: blocked together by the
+    // prefix digest but must FAIL the permille verify
+    val tailDiverged: Array[Byte] = a.clone()
+    locally { var i = 256; while (i < tailDiverged.length) { tailDiverged(i) = 0x41; i += 1 } }
+    val files = Seq(("asset_00001.bin", a), ("asset_00002.bin", aPad),
+                    ("asset_00003.bin", tailDiverged)).toDS()
+    // size blocking (mediaNearDup's core) cannot pair a with aPad...
+    val sizeBlocked = Media.nearDupFromFeatures(Media.nearDupFeatures(files)).collect()
+      .map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_id"))).toSet
+    assert(!sizeBlocked.contains((1L, 2L)),
+      "size blocking must be blind to the padded copy (that is this op's reason to exist)")
+    // ...prefix blocking catches it, and kills the tail-diverged impostor
+    val got = Media.paddedDupFromFeatures(Media.paddedDupFeatures(files)).collect()
+    assert(got.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_id"))).toSeq
+      === Seq((1L, 2L)), "exactly the padded pair; the same-prefix diverged tail is rejected")
+    val l1p = got(0).getAs[Long]("l1p")
+    assert(l1p <= 250L, s"planted permille distance $l1p must sit under the threshold")
+  }
+
+  test("mediaDupPadded end-to-end: every planted padded pair caught; extras are originals") {
+    val out = Media.mediaDupPadded(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val mx = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val planted = docs.filter(col("doc_id") % 13 === 8).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val pairs = out.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_id"))).toSet
+    assert(planted.forall(d => pairs.contains((d, d + mx))),
+      "every planted trailer-padded re-upload must be recovered")
+    val extras = pairs.filterNot { case (c, d) => d == c + mx && planted(c) }
+    assert(extras.forall { case (c, d) => c <= mx && d <= mx },
+      s"non-planted pairs must pair originals with originals, got $extras")
+  }
+
   test("mediaFilesScan: binaryFile ingest sniffs every container from bytes alone") {
     val rows = Media.mediaFilesScan(spark, sf0001).collect()
     val idx = rows.head.schema.fieldNames.zipWithIndex.toMap

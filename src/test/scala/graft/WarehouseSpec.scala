@@ -376,7 +376,7 @@ class WarehouseSpec extends SparkSpecBase {
     // stage at least one real root, then vacuum everything Media manages
     graft.multimodal.Media.ensureAssetFiles(spark, sf0001)
     val results = graft.multimodal.Media.vacuumStagedRoots(keep = 1)
-    assert(results.length === 4)
+    assert(results.length === 5)
     // the live asset universe is still there and non-empty
     val live = new java.io.File("/tmp/graft_media_files").listFiles()
     assert(live != null && live.nonEmpty)
