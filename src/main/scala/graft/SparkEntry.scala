@@ -194,6 +194,7 @@ object SparkEntry {
     "cocitation" -> ((s, d) => Ranking.cocitation(s, d)),
     "hits_scores" -> ((s, d) => Ranking.hitsScores(s, d)),
     "kcore" -> ((s, d) => Ranking.kcore(s, d)),
+    "triangle_participation" -> ((s, d) => Ranking.trianglesPerNode(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
@@ -1649,6 +1650,28 @@ object SparkEntry {
     // same fixed depth — integers end to end.
     "hits_scores" -> hitsOracle(2),
     "kcore" -> kcoreOracle(5, 6),
+    // triangle_count: the oracle is the NAIVE id-canonical triple
+    // self-join over the same dense-class edge set, so the Spark side's
+    // degree-ordered-orientation rewrite is differentially proven to
+    // count the same triangles.
+    "triangle_participation" -> {
+      val plantedLines = (1 to 5).map(j =>
+        s"  UNION ALL SELECT doc_id, (doc_id + ${10 * j}) % (SELECT n FROM nn) FROM documents WHERE doc_id % 10 = 7")
+        .mkString("\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0
+        |$plantedLines),
+        |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM t WHERE src <> dst),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |v AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // link_communities: connected components of the same-host link
     // subgraph, min-reachable-id labels via recursive CTE — the
     // dedup_clusters oracle pattern over the id-derived edge list.

@@ -324,6 +324,20 @@ object Ranking {
     t12.union(t3).filter(col("src") =!= col("dst")).distinct()
   }
 
+  /** The DENSE-CLASS graph the density family (k-core, triangles) runs
+    * over: the affine link edges PLUS the planted circulant ring on the
+    * `doc_id ≡ 7 (mod 10)` class (offsets +10j, j = 1..5 — the link-farm
+    * shape those operators exist to isolate; the organic affine graph is
+    * near-regular with no dense substructure: no 5-core, and — verified —
+    * zero triangles). */
+  private def denseClassEdges(docs: DataFrame, n: Long): DataFrame = {
+    val planted = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("src"),
+        explode(array((1 to 5).map(j => (col("doc_id") + lit(10L * j)) % n): _*)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    affineEdges(docs, n).union(planted).distinct()
+  }
+
   /** The SAME-HOST undirected edge set (a < b, distinct) the community
     * family groups over. */
   private def hostEdges(docs: DataFrame, n: Long): DataFrame =
@@ -486,17 +500,13 @@ object Ranking {
   def kcoreFrom(docs: DataFrame, k: Int = 5, rounds: Int = 6): DataFrame = {
     val n = docs.count()
     require(n > 0, "kcoreFrom: empty corpus")
-    val planted = docs.filter(col("doc_id") % 10 === 7)
-      .select(col("doc_id").as("src"),
-        explode(array((1 to 5).map(j => (col("doc_id") + lit(10L * j)) % n): _*)).as("dst"))
-      .filter(col("src") =!= col("dst"))
     // Per-round lineage truncation (the connectedComponents discipline):
     // each round references `alive` THREE times (two degree semi-joins +
     // the anti-join), so an untruncated plan grows 3^R-fold — the same
     // blowup the oracle's MATERIALIZED CTEs prevent on the DuckDB side.
     val ckpt = new graft.operators.Dedup.RoundCheckpointer(docs.sparkSession)
     val und = ckpt {
-      val directed = affineEdges(docs, n).union(planted).distinct()
+      val directed = denseClassEdges(docs, n)
       directed.select(col("src").as("ka"), col("dst").as("kb"))
         .union(directed.select(col("dst").as("ka"), col("src").as("kb")))
         .distinct()
@@ -524,6 +534,67 @@ object Ranking {
         col("remv").isNull.cast("int").cast("bigint").as("in_core"),
         coalesce(col("r"), lit(0L)).as("removed_round"),
         coalesce(col("cd"), lit(0L)).as("core_deg"))
+      .orderBy("doc_id")
+  }
+
+  /** TRIANGLE COUNT with degree-ordered orientation (Schank–Wagner 2005;
+    * the Cohen MapReduce formulation) — the clustering-density signal
+    * next to [[kcoreFrom]]'s coreness: triangles are what separate a
+    * mutual-promotion clique from an innocent high-degree hub (a star has
+    * huge degree and ZERO triangles), the standard local-clustering
+    * feature for spam/community detection. Runs over the SAME dense-class
+    * graph as k-core ([[denseClassEdges]]) — the organic affine graph is
+    * verified triangle-free, so exactly the planted ring class and its
+    * boundary light up.
+    *
+    * 100 TB: the naive wedge join explodes on hubs (Σ deg² — a
+    * celebrity node with 10⁷ followers generates 10¹⁴ wedges). The
+    * standard fix, declared here as the semantics: orient every
+    * undirected edge from its lower-(degree, id) endpoint to the higher
+    * one — an acyclic orientation in which every vertex's OUT-degree is
+    * O(√m) regardless of its in-degree — generate wedges only from the
+    * two out-edges of the (unique) lowest-rank vertex of each triangle,
+    * and close them with one equi-join probe on the oriented edge set.
+    * Each triangle is found exactly once (no ÷3, no ÷6 correction); all
+    * three joins are vertex-keyed shuffles; per-node counts partial-agg.
+    * The DuckDB oracle runs the NAIVE id-canonical triple self-join, so
+    * the orientation rewrite is differentially proven to count the same
+    * triangles (the interval_join / waiting_suppliers discipline). */
+  def trianglesPerNode(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesPerNodeFrom(Tables.documents(spark, sfDir).select("doc_id"))
+
+  /** [[trianglesPerNode]] over an explicit `(doc_id)` frame. */
+  def trianglesPerNodeFrom(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "trianglesPerNodeFrom: empty corpus")
+    val und = denseClassEdges(docs, n)
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented edge (src → dst) with the dst endpoint's rank carried for
+    // wedge ordering
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+    val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
+    val wedges = e1.join(e2,
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+           (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    // the closing edge always runs low-rank → high-rank = y → z
+    val tris = wedges.join(oriented.select(col("src").as("y"), col("dst").as("z")),
+                           Seq("y", "z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
       .orderBy("doc_id")
   }
 

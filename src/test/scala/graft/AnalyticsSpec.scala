@@ -1041,6 +1041,39 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("trianglesPerNode equals brute-force enumeration over the dense-class graph") {
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    // scalar reference: naive triangle enumeration over the same edges
+    val und = scala.collection.mutable.Set[(Long, Long)]()
+    def add(s: Long, d: Long): Unit =
+      if (s != d) und += ((math.min(s, d), math.max(s, d)))
+    for (i <- 0L until n) {
+      add(i, (i * 7 + 3) % n); add(i, (i * 13 + 5) % n)
+      if (i % 3 == 0) add(i, (i * 31 + 11) % n)
+      if (i % 10 == 7) (1 to 5).foreach(j => add(i, (i + 10L * j) % n))
+    }
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    und.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val expected = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    und.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).foreach { c =>
+        // attribute once per triangle: only when (a, b) is its lowest edge
+        if (a < c && b < c) Seq(a, b, c).foreach(v => expected(v) += 1)
+      }
+    }
+    val got = graft.operators.Ranking.trianglesPerNode(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected.toMap)
+    assert(got.nonEmpty, "planted ring must contribute triangles")
+    // the degree-ordered orientation counted each triangle exactly once:
+    // total participation = 3 × triangle count
+    assert(got.values.sum % 3 === 0)
+    // density, not degree: the planted ring class dominates participation
+    val ringMass = got.filter(_._1 % 10 == 7).values.sum
+    assert(ringMass * 2 > got.values.sum,
+      "ring class should carry most triangle mass")
+  }
+
   test("kcore equals a scalar peel replay; planted ring is the exact core") {
     import spark.implicits._
     // scalar reference: the same parallel peel over the same derived edges
