@@ -103,6 +103,7 @@ object SparkEntry {
     "grouping_sets_pricing" -> ((s, d) => Relational.groupingSetsPricing(s, d)),
     "q3_shipping" -> ((s, d) => Relational.q3Shipping(s, d)),
     "waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d)),
+    "lapsed_big_accounts" -> ((s, d) => Relational.lapsedBigAccounts(s, d)),
     "big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
@@ -1918,6 +1919,23 @@ object SparkEntry {
         |  AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_e4 DESC, orderdate, l_orderkey LIMIT 10""".stripMargin,
+    // lapsed_big_accounts: textbook Q22 shape — scalar-subquery threshold
+    // over the positive-balance sub-population + NOT EXISTS on recent
+    // orders. The float-average threshold is cross-multiplied into exact
+    // integers (cents * n_pos > sum_cents) on BOTH engines, so no
+    // within-ULP customer can flip between them.
+    "lapsed_big_accounts" ->
+      """WITH cc AS (SELECT c_custkey, c_mktsegment,
+        |              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |p AS (SELECT count(*) AS n_pos, sum(cents) AS sum_cents FROM cc WHERE cents > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(cents) AS BIGINT) AS total_acctbal_cents
+        |FROM cc, p
+        |WHERE cc.cents * p.n_pos > p.sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = cc.c_custkey
+        |                    AND o.o_orderdate >= DATE '2000-07-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // waiting_suppliers: the oracle deliberately runs the TEXTBOOK Q21
     // correlated EXISTS / NOT-EXISTS form, so the Spark side's
     // fold-quantifiers-into-counts rewrite (one fact scan + a window over

@@ -704,6 +704,43 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q22-style LAPSED BIG ACCOUNTS: per market segment, the
+    * customers whose balance beats the average POSITIVE balance yet who
+    * placed no order since the cutoff — the reactivation-target list, and
+    * the last classic relational shape the family lacked: a
+    * scalar-subquery threshold (computed over a SUB-population) feeding a
+    * NOT-EXISTS anti-join.
+    *
+    * Float discipline: "balance > avg(positive balances)" is a FLOAT
+    * threshold whose summation order differs between engines, so it is
+    * cross-multiplied into exact integers — `cents · n_pos > sum_cents`
+    * (n_pos > 0 always holds here) — making a within-ULP customer flip
+    * impossible; sums stay int64-exact to ~10¹⁴ customers.
+    *
+    * 100 TB: the positive-balance moment is one partial-agg'd 1-row frame
+    * (broadcast, never a correlated per-row subquery); the recency set is
+    * the date-pruned orders scan distinct-reduced to customer grain; the
+    * NOT EXISTS is one LeftAnti shuffle join on customer key; the segment
+    * rollup partial-aggs. The DuckDB oracle runs the textbook
+    * scalar-subquery + NOT-EXISTS form over the same integers. */
+  def lapsedBigAccounts(spark: SparkSession, sfDir: String,
+                        cutoff: String = "2000-07-01"): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+              round(col("c_acctbal") * 100).cast("bigint").as("cents"))
+    val posStats = cust.filter(col("cents") > 0L)
+      .agg(count(lit(1)).as("n_pos"), sum("cents").as("sum_cents"))
+    val active = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast("date"))
+      .select(col("o_custkey")).distinct()
+    cust.join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(posStats))
+      .filter(col("cents") * col("n_pos") > col("sum_cents"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), sum("cents").as("total_acctbal_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   /** TPC-H Q21-style WAITING SUPPLIERS: in completed ('F') orders, find
     * suppliers whose line was LATE (shipped more than `lateDays` after
     * the order date) while EVERY OTHER supplier in the same order shipped

@@ -85,7 +85,8 @@ object ScaleProbe {
                             "quantile_rollup", "big_spenders",
                             "media_near_dup", "media_dup_padded",
                             "stream_kanon", "waiting_suppliers",
-                            "noised_release")).toList
+                            "noised_release", "triangle_participation",
+                            "lapsed_big_accounts")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Bench.localSession(cpus)

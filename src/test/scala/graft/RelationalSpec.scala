@@ -289,6 +289,38 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"customer not broadcast:\n$plan")
   }
 
+  test("lapsedBigAccounts: scalar replay, integer-exact threshold, anti-join plan") {
+    val df = graft.operators.Relational.lapsedBigAccounts(spark, sf0001)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // scalar replay: cross-multiplied threshold + lapsed anti-set
+    val custs = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), math.round(r.getDouble(2) * 100)))
+    val pos = custs.map(_._3).filter(_ > 0L)
+    val (nPos, sumPos) = (pos.length.toLong, pos.sum)
+    val cutoffUs = java.time.LocalDate.parse("2000-07-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val activeSince = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .collect().filter(_.getLong(1) >= cutoffUs).map(_.getLong(0)).toSet
+    val expected = custs
+      .filter(c => !activeSince(c._1) && c._3 * nPos > sumPos)
+      .groupBy(_._2).view.mapValues(cs => (cs.length.toLong, cs.map(_._3).sum))
+      .toSeq.map { case (seg, (n, tot)) => (seg, n, tot) }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    assert(got.map(_._2).sum > 0, "some lapsed big accounts must exist at sf0.001")
+    // plan: the threshold is a broadcast 1-row frame (never a correlated
+    // per-row subquery), the NOT EXISTS is a LeftAnti join, the date
+    // filter reaches the orders scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row threshold frame must broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || plan.contains("2000-07-01"),
+      s"date filter must reach the orders scan:\n$plan")
+  }
+
   test("waitingSuppliers: scalar quantifier replay, one fact scan, reduced-grain window") {
     val df = graft.operators.Relational.waitingSuppliers(spark, sf0001)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
