@@ -1072,6 +1072,13 @@ class AnalyticsSpec extends SparkSpecBase {
     val ringMass = got.filter(_._1 % 10 == 7).values.sum
     assert(ringMass * 2 > got.values.sum,
       "ring class should carry most triangle mass")
+    // plan: the wedge and closing joins are equi-joins (rank inequality is
+    // a residual predicate, never a nested-loop driver)
+    val plan = graft.operators.Ranking.trianglesPerNode(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must stay equi-keyed:\n$plan")
   }
 
   test("kcore equals a scalar peel replay; planted ring is the exact core") {
