@@ -1925,7 +1925,7 @@ object SparkEntry {
     // integers (cents * n_pos > sum_cents) on BOTH engines, so no
     // within-ULP customer can flip between them.
     "lapsed_big_accounts" ->
-      """WITH cc AS (SELECT c_custkey, c_mktsegment,
+      s"""WITH cc AS (SELECT c_custkey, c_mktsegment,
         |              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
         |p AS (SELECT count(*) AS n_pos, sum(cents) AS sum_cents FROM cc WHERE cents > 0)
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
@@ -1934,7 +1934,7 @@ object SparkEntry {
         |WHERE cc.cents * p.n_pos > p.sum_cents
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = cc.c_custkey
-        |                    AND o.o_orderdate >= DATE '2000-07-01')
+        |                    AND o.o_orderdate >= DATE '${Relational.LapsedCutoff}')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // waiting_suppliers: the oracle deliberately runs the TEXTBOOK Q21
     // correlated EXISTS / NOT-EXISTS form, so the Spark side's
@@ -1944,33 +1944,33 @@ object SparkEntry {
     // lines — the Q21 contract); lateness = shipped > 90 days after the
     // order date, exact timestamp+interval on both engines.
     "waiting_suppliers" ->
-      """SELECT s_name, s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+      s"""SELECT s_name, s_suppkey, CAST(count(*) AS BIGINT) AS numwait
         |FROM supplier, lineitem l1, orders o
         |WHERE s_suppkey = l1.l_suppkey
         |  AND o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL ${Relational.WaitingLateDays} DAY
         |  AND EXISTS (SELECT 1 FROM lineitem l2
         |              WHERE l2.l_orderkey = l1.l_orderkey
         |                AND l2.l_suppkey <> l1.l_suppkey)
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey
-        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL ${Relational.WaitingLateDays} DAY)
         |GROUP BY s_name, s_suppkey
-        |ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+        |ORDER BY numwait DESC, s_name LIMIT ${Relational.WaitingTopK}""".stripMargin,
     // big_spenders: Q18 shape — per-order quantity sums HAVING-filtered,
     // rejoined to order/customer detail; integer units/cents, pinned
     // top-k tie-break. The oracle spells the same single-fact-scan
     // decomposition (qualifying CTE ⋈ orders ⋈ customer).
     "big_spenders" ->
-      """WITH q AS (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      s"""WITH q AS (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |           FROM lineitem GROUP BY 1
-        |           HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+        |           HAVING sum(CAST(round(l_quantity) AS BIGINT)) > ${Relational.BigSpendersQtyFloor})
         |SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents, sum_qty
         |FROM q JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
-        |ORDER BY totalprice_cents DESC, orderdate, o_orderkey LIMIT 100""".stripMargin,
+        |ORDER BY totalprice_cents DESC, orderdate, o_orderkey LIMIT ${Relational.BigSpendersTopK}""".stripMargin,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes
     // names differently; the union spells the measure labels explicitly,
     // matching Spark unpivot's column-name values). Cents BEFORE the melt.
@@ -2691,17 +2691,17 @@ object SparkEntry {
     // trailing zeros of hv>>1 via bit_count((g & -g) - 1): pure integer
     // bit arithmetic, no float ln/exp whose libm rounding could diverge.
     "noised_release" ->
-      """WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+      s"""WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
         |h AS (SELECT lang, source, n,
         |        CAST(md5_number_lower(lang || ':' || source) % 9223372036854775808 AS BIGINT) AS hv
         |      FROM c),
         |g AS (SELECT lang, source, n,
         |        CASE WHEN (hv & 1) = 1 THEN 1 ELSE -1 END AS s,
-        |        LEAST(bit_count(((hv >> 1) & -(hv >> 1)) - 1), 16) AS mag
+        |        LEAST(bit_count(((hv >> 1) & -(hv >> 1)) - 1), ${TextAnalysis.NoisedReleaseCap}) AS mag
         |      FROM h)
         |SELECT lang, source,
         |  CAST(GREATEST(n + s * mag, 0) AS BIGINT) AS noisy_n,
-        |  CASE WHEN GREATEST(n + s * mag, 0) >= 5 THEN 1 ELSE 0 END AS released
+        |  CASE WHEN GREATEST(n + s * mag, 0) >= ${TextAnalysis.NoisedReleaseK} THEN 1 ELSE 0 END AS released
         |FROM g ORDER BY lang, source""".stripMargin,
     // takedown_propagate: the dedup closure joined to the matched sources;
     // the manifest is every doc in a touched cluster, reason-tagged.
@@ -3387,11 +3387,11 @@ object SparkEntry {
     // suppressed (the honest at-ingest trade, modeled here, re-admitted by
     // the batch kanon_suppress pass at publish time).
     "stream_kanon" ->
-      """WITH d AS (SELECT doc_id, lang, source,
+      s"""WITH d AS (SELECT doc_id, lang, source,
         |  row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS cell_seen
         |  FROM documents)
         |SELECT doc_id, lang, source, CAST(cell_seen AS BIGINT) AS cell_seen,
-        |  CASE WHEN cell_seen >= 5 THEN 1 ELSE 0 END AS admitted
+        |  CASE WHEN cell_seen >= ${graft.streaming.EventStreams.KanonK} THEN 1 ELSE 0 END AS admitted
         |FROM d ORDER BY doc_id""".stripMargin,
     // stream_media_ingest: the same stateless catalog over the DROP
     // staging root (delta shard only) — read_blob replays those files.

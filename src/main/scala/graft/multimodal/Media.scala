@@ -504,6 +504,14 @@ object Media {
     }
   }
 
+  /** Asset-id extractor shared by the feature kernels — compiled ONCE per
+    * JVM, not per row (a per-row Pattern.compile in a per-asset map is
+    * pure waste at 100 TB). */
+  private val AssetIdRe = "asset_(\\d+)\\.bin$".r
+
+  private def assetIdOf(path: String): Long =
+    AssetIdRe.findFirstMatchIn(path).map(_.group(1).toLong).getOrElse(-1L)
+
   /** Perceptual FEATURES for near-dup: one row per staged asset file with
     * its 32-bin byte-value histogram (integer counts — the exact-oracle
     * form of [[byteHistogram]]'s stub feature vector), container sniffed
@@ -514,9 +522,7 @@ object Media {
     files.map { case (path, bytes) =>
       val hist = new Array[Long](32)
       bytes.foreach(b => hist((b & 0xff) >> 3) += 1)
-      val id = "asset_(\\d+)\\.bin$".r.findFirstMatchIn(path)
-        .map(_.group(1).toLong).getOrElse(-1L)
-      (id, HeaderDecoder.sniffContainer(bytes), bytes.length.toLong, hist.toSeq)
+      (assetIdOf(path), HeaderDecoder.sniffContainer(bytes), bytes.length.toLong, hist.toSeq)
     }.toDF("media_id", "container", "n_bytes", "hist")
   }
 
@@ -611,13 +617,21 @@ object Media {
       bytes.foreach(b => hist((b & 0xff) >> 3) += 1)
       val n = bytes.length.toLong
       val permille = hist.map(h => h * 1000L / n)
-      val hexPrefix = bytes.take(256).map("%02X".format(_)).mkString
+      // hex via lookup table (not 256 String.format calls per asset), fed
+      // to MD5 as ASCII bytes — identical to DuckDB md5(substr(hex(b),1,512))
+      val hexDigits = "0123456789ABCDEF".getBytes("US-ASCII")
+      val pfxLen = math.min(bytes.length, 256)
+      val hexAscii = new Array[Byte](pfxLen * 2)
+      var i = 0
+      while (i < pfxLen) {
+        val b = bytes(i) & 0xff
+        hexAscii(2 * i) = hexDigits(b >> 4)
+        hexAscii(2 * i + 1) = hexDigits(b & 0xf)
+        i += 1
+      }
       val md = java.security.MessageDigest.getInstance("MD5")
-      val prefixMd5 = md.digest(hexPrefix.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val id = "asset_(\\d+)\\.bin$".r.findFirstMatchIn(path)
-        .map(_.group(1).toLong).getOrElse(-1L)
-      (id, HeaderDecoder.sniffContainer(bytes), n, prefixMd5, permille.toSeq)
+      val prefixMd5 = md.digest(hexAscii).map("%02x".format(_)).mkString
+      (assetIdOf(path), HeaderDecoder.sniffContainer(bytes), n, prefixMd5, permille.toSeq)
     }.toDF("media_id", "container", "n_bytes", "prefix_md5", "permille")
   }
 
@@ -718,7 +732,8 @@ object Media {
     * as on-disk files. Fingerprint-gated + version/symlink-flipped like
     * every staged root. */
   def ensureNearDupFiles(spark: SparkSession, sfDir: String): String =
-    stageAssetFiles(spark, sfDir, NearDupFilesRoot, assetsWithPerturbedReuploads)
+    stageAssetFiles(spark, sfDir, NearDupFilesRoot, assetsWithPerturbedReuploads,
+                    defTag = "-pert251v1")
 
   /** Root for the PADDED-copy universe ([[ensurePaddedFiles]]) — the
     * corpus plus trailer-padded re-uploads, for [[mediaDupPadded]]. */

@@ -724,7 +724,7 @@ object Relational {
     * rollup partial-aggs. The DuckDB oracle runs the textbook
     * scalar-subquery + NOT-EXISTS form over the same integers. */
   def lapsedBigAccounts(spark: SparkSession, sfDir: String,
-                        cutoff: String = "2000-07-01"): DataFrame = {
+                        cutoff: String = LapsedCutoff): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"),
               round(col("c_acctbal") * 100).cast("bigint").as("cents"))
@@ -757,9 +757,12 @@ object Relational {
     * table (orders-of-magnitude smaller than the fact, partitioned by
     * order key — never a global window) derives n_suppliers and
     * n_late_suppliers per order; EXISTS ⇔ n_suppliers > 1, NOT-EXISTS ⇔
-    * n_late_suppliers = 1 on the culprit's own rows. The 'F' slice
-    * broadcasts into the scan, the supplier name table broadcasts at the
-    * end, top-k is TakeOrderedAndProject. numwait counts late LINES (the
+    * n_late_suppliers = 1 on the culprit's own rows. The 'F' slice is
+    * ~HALF the orders table — fact-proportional, NOT broadcastable — so
+    * its join carries no hint and AQE picks the strategy (broadcast at
+    * test SF, shuffle at scale); only the supplier NAME table (a true
+    * dim) broadcasts, and top-k is TakeOrderedAndProject. numwait counts
+    * late LINES (the
     * Q21 contract: l1 ranges over lines), not late orders. The DuckDB
     * oracle deliberately runs the TEXTBOOK correlated EXISTS/NOT-EXISTS
     * form, so the counting rewrite is differentially PROVEN equivalent
@@ -767,13 +770,14 @@ object Relational {
     * arithmetic is exact timestamp + interval on both engines; tie-break
     * pinned (numwait desc, s_name asc — unique). */
   def waitingSuppliers(spark: SparkSession, sfDir: String,
-                       lateDays: Int = 90, topK: Int = 25): DataFrame = {
+                       lateDays: Int = WaitingLateDays,
+                       topK: Int = WaitingTopK): DataFrame = {
     val fOrders = Tables.orders(spark, sfDir)
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
     val perSupp = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "l_suppkey")
       .agg(sum(when(col("l_shipdate") >
                       col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1L)
@@ -812,8 +816,18 @@ object Relational {
     * broadcasts explicitly; the top-k is TakeOrderedAndProject (no global
     * sort). Quantities and prices are exact integers (units / cents);
     * tie-break pinned (price desc, date, orderkey). */
+  /** Declared default parameters, shared with the SQL oracles (the
+    * compactionPlanSql pattern): one definition site, so tuning a default
+    * re-derives the oracle instead of silently desynchronizing the gate. */
+  val BigSpendersQtyFloor = 250L
+  val BigSpendersTopK = 100
+  val WaitingLateDays = 90
+  val WaitingTopK = 25
+  val LapsedCutoff = "2000-07-01"
+
   def bigSpenders(spark: SparkSession, sfDir: String,
-                  qtyFloor: Long = 250L, topK: Int = 100): DataFrame = {
+                  qtyFloor: Long = BigSpendersQtyFloor,
+                  topK: Int = BigSpendersTopK): DataFrame = {
     val qualifying = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), round(col("l_quantity")).cast("bigint").as("q"))
       .groupBy("l_orderkey")

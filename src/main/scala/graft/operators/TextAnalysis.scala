@@ -1656,8 +1656,14 @@ object TextAnalysis {
     *
     * 100 TB: one partial-agg'd count to |cells| rows; everything after is
     * per-row integer bit arithmetic on the metadata-sized cell table. */
+  /** Shared with the SQL oracle (one definition site — the
+    * compactionPlanSql desync-proofing pattern). */
+  val NoisedReleaseK = 5
+  val NoisedReleaseCap = 16
+
   def noisedRelease(spark: SparkSession, sfDir: String,
-                    k: Int = 5, capMag: Int = 16): DataFrame = {
+                    k: Int = NoisedReleaseK,
+                    capMag: Int = NoisedReleaseCap): DataFrame = {
     val cells = Tables.documents(spark, sfDir)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n"))

@@ -370,8 +370,16 @@ object Warehouse {
     val now = System.currentTimeMillis()
     var swept = 0
     debris.foreach { f =>
+      // NOFOLLOW mtime: java.io.File.lastModified follows symlinks, so a
+      // FRESH in-flight `.lnk-*` flip link would be judged by its TARGET
+      // version dir's (old) mtime and swept mid-flip — failing the
+      // writer's atomic rename. The link's OWN age is what grace means.
+      val ownMtime = try
+        Files.getLastModifiedTime(f.toPath,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis
+      catch { case _: java.io.IOException => now } // vanished → skip sweep
       val sweep = f.getName.startsWith(s"$base.trash-") ||
-        now - f.lastModified > debrisGraceMs
+        now - ownMtime > debrisGraceMs
       if (sweep && f.exists()) { deleteRecursively(f); swept += 1 }
     }
     VacuumResult(root, kept.length, deleted, swept)

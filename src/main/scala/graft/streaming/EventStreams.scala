@@ -1316,7 +1316,11 @@ object EventStreams {
     * production arrival order changes WHICH docs pay the warm-up price,
     * never how many. 100 TB: state is |cells| longs, output is one row per
     * doc emitted as it lands (Append), nothing corpus-sized accumulates. */
-  def streamKanonQuery(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  /** Shared with the SQL oracle (one definition site). */
+  val KanonK = 5
+
+  def streamKanonQuery(spark: SparkSession, sfDir: String,
+                       k: Int = KanonK): DataFrame = {
     import spark.implicits._
     val in = tableStream(spark, sfDir, "documents")
       .select(col("lang"), col("source"), col("doc_id"))

@@ -49,12 +49,17 @@ object BenchDiff {
     else 1.0
   }
 
-  /** query -> seconds, from either artifact shape; "err:*" entries dropped. */
+  /** query -> seconds, from either artifact shape; failed entries dropped
+    * in BOTH shapes ("err:*" strings in the legacy map, objects carrying
+    * an "err" field in the full artifact — a failed query's "sec" is its
+    * time-to-exception, and comparing that against a real runtime would
+    * let a break masquerade as a speedup or a fix read as a regression). */
   private def timesOf(root: JsonNode): Map[String, Double] =
     root.path("queries").properties().asScala.flatMap { e =>
       val v = e.getValue
       if (v.isNumber) Some(e.getKey -> v.asDouble)
-      else if (v.isObject && v.has("sec")) Some(e.getKey -> v.get("sec").asDouble)
+      else if (v.isObject && v.has("sec") && !v.has("err"))
+        Some(e.getKey -> v.get("sec").asDouble)
       else None
     }.toMap
 

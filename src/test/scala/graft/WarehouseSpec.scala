@@ -337,20 +337,39 @@ class WarehouseSpec extends SparkSpecBase {
     val dir = Files.createTempDirectory("graft_vac")
     val root = stageFakeRoot(dir, Seq("aaa"), live = "aaa")
     // stale flip leftover: a SYMLINK into the live version — sweeping it
-    // must unlink the link, never recurse into (and delete) live data
+    // must unlink the link, never recurse into (and delete) live data.
+    // A symlink's own mtime cannot be aged portably, so the stale case
+    // runs with a negative grace (everything out-of-grace).
     val staleLnk = Paths.get(s"$root.lnk-stale")
     Files.createSymbolicLink(staleLnk, Paths.get(s"$root.vaaa"))
-    staleLnk.toFile.setLastModified(0L)
-    // fresh in-flight build: inside grace, must survive
-    val freshTmp = Paths.get(s"$root.tmp-fresh")
-    Files.createDirectories(freshTmp)
-    Files.write(freshTmp.resolve("building.bin"), Array[Byte](1))
-    val res = Warehouse.vacuumVersionedRoot(root, keep = 0, debrisGraceMs = 3600000L)
+    val res = Warehouse.vacuumVersionedRoot(root, keep = 0, debrisGraceMs = -1L)
     assert(res.sweptDebris === 1, s"$res")
     assert(!Files.exists(staleLnk, java.nio.file.LinkOption.NOFOLLOW_LINKS))
     assert(Files.exists(Paths.get(s"$root.vaaa/payload.bin")),
       "sweeping the stale .lnk symlink must not follow it into live data")
+    // fresh in-flight build: inside grace, must survive
+    val freshTmp = Paths.get(s"$root.tmp-fresh")
+    Files.createDirectories(freshTmp)
+    Files.write(freshTmp.resolve("building.bin"), Array[Byte](1))
+    Warehouse.vacuumVersionedRoot(root, keep = 0, debrisGraceMs = 3600000L)
     assert(Files.isDirectory(freshTmp), "in-grace tmp build must survive")
+  }
+
+  test("vacuumVersionedRoot: a FRESH .lnk whose TARGET is old survives grace (NOFOLLOW mtime)") {
+    import java.nio.file.{Files, Paths}
+    // the mid-flip race: Media.ensureVersioned reuses an hours-old staged
+    // version dir and has just created its .lnk-* aside-link (fresh);
+    // judging the link by its TARGET's mtime would sweep it mid-flip and
+    // fail the writer's atomic rename
+    val dir = Files.createTempDirectory("graft_vac")
+    val root = stageFakeRoot(dir, Seq("aaa"), live = "aaa")
+    Paths.get(s"$root.vaaa").toFile.setLastModified(0L) // hours-old target
+    val freshLnk = Paths.get(s"$root.lnk-inflight")
+    Files.createSymbolicLink(freshLnk, Paths.get(s"$root.vaaa")) // created NOW
+    val res = Warehouse.vacuumVersionedRoot(root, keep = 0, debrisGraceMs = 3600000L)
+    assert(res.sweptDebris === 0, s"$res")
+    assert(Files.exists(freshLnk, java.nio.file.LinkOption.NOFOLLOW_LINKS),
+      "a fresh in-flight flip link must be judged by its OWN mtime, not its target's")
   }
 
   test("vacuumVersionedRoot: kill mid-vacuum leaves no reusable half-version; rerun recovers") {
