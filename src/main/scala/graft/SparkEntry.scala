@@ -105,6 +105,13 @@ object SparkEntry {
     "waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d)),
     "lapsed_big_accounts" -> ((s, d) => Relational.lapsedBigAccounts(s, d)),
     "big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
+    "q7_nation_volume" -> ((s, d) => Relational.q7NationVolume(s, d)),
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q12_late_lines" -> ((s, d) => Relational.q12LateLines(s, d)),
+    "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
+    "q17_small_orders" -> ((s, d) => Relational.q17SmallOrders(s, d)),
+    "q19_brackets" -> ((s, d) => Relational.q19Brackets(s, d)),
+    "freq_rollup" -> ((s, d) => Relational.freqRollup(s, d)),
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
@@ -1971,6 +1978,120 @@ object SparkEntry {
         |FROM q JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY totalprice_cents DESC, orderdate, o_orderkey LIMIT ${Relational.BigSpendersTopK}""".stripMargin,
+    // q7_nation_volume: Q7 shape — bi-directional nation-pair slice over
+    // the full star; exact e4 revenue; ship-year from the same window.
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = '${Relational.Q7NationA}' AND n2.n_name = '${Relational.Q7NationB}')
+        |    OR (n1.n_name = '${Relational.Q7NationB}' AND n2.n_name = '${Relational.Q7NationA}'))
+        |  AND l_shipdate >= DATE '${Relational.Q7StartYear}-01-01'
+        |  AND l_shipdate < DATE '${Relational.Q7EndYear + 1}-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // q8_market_share: Q8 shape — exact e4 integer sums, ONE rounded
+    // division per year at the output edge (no float accumulation).
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = '${Relational.Q8Nation}'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS rev_nation_e4,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_total_e4,
+        |  round(CAST(sum(CASE WHEN n2.n_name = '${Relational.Q8Nation}'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE), 4) + 0.0 AS mkt_share
+        |FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+        |  AND n1.n_regionkey = r_regionkey AND r_name = '${Relational.Q8Region}'
+        |  AND s_nationkey = n2.n_nationkey AND p_type = '${Relational.Q8PartType}'
+        |  AND o_orderdate >= DATE '${Relational.Q8StartYear}-01-01'
+        |  AND o_orderdate < DATE '${Relational.Q8EndYear + 1}-01-01'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    // q12_late_lines: Q12 shape — the CASE tests the JOINED table's
+    // priority attribute; lateness = the waiting_suppliers interval.
+    "q12_late_lines" ->
+      s"""SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN (${Relational.Q12HighPriorities.map(p => s"'$p'").mkString(", ")}) THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN (${Relational.Q12HighPriorities.map(p => s"'$p'").mkString(", ")}) THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '${Relational.Q12StartYear}-01-01'
+        |  AND l_shipdate < DATE '${Relational.Q12EndYear + 1}-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL ${Relational.Q12LateDays} DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // q14_promo_share: Q14 shape — scalar filtered-fraction KPI; exact
+    // integer sums, one rounded division.
+    "q14_promo_share" ->
+      s"""SELECT
+        |  CAST(sum(CASE WHEN p_type = '${Relational.Q8PartType}'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_e4,
+        |  round(100.0 * CAST(sum(CASE WHEN p_type = '${Relational.Q8PartType}'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE), 4) + 0.0 AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '${Relational.Q14MonthStart}'
+        |  AND l_shipdate < DATE '${Relational.Q14MonthEnd}'""".stripMargin,
+    // q17_small_orders: the oracle deliberately RUNS the textbook Q17
+    // correlated-subquery form, so the engine's window rewrite is
+    // differentially proven equivalent (the waiting_suppliers
+    // discipline). Threshold cross-multiplied into exact integers:
+    // qty < sum/(5n)  ⇔  5·qty·n < sum.
+    "q17_small_orders" ->
+      s"""WITH pl AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |              CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |            FROM lineitem JOIN part ON p_partkey = l_partkey
+        |            WHERE p_brand = '${Relational.Q17Brand}')
+        |SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+        |  CAST(COALESCE(sum(price_cents), 0) AS BIGINT) AS sum_price_cents
+        |FROM pl l1
+        |WHERE l1.qty * 5 * (SELECT count(*) FROM pl l2 WHERE l2.l_partkey = l1.l_partkey)
+        |    < (SELECT sum(l3.qty) FROM pl l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin,
+    // q19_brackets: the oracle deliberately RUNS the textbook Q19 trap
+    // form (the join equality repeated inside every disjunct), so the
+    // engine's derived-implication rewrite (equi-join + pushed single-side
+    // slices + post-join disjunct) is differentially proven equivalent.
+    "q19_brackets" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT) AS revenue_e4
+        |FROM lineitem, part
+        |WHERE ${Relational.Q19Brackets.map { case (b, sz, lo, hi) =>
+            s"(p_partkey = l_partkey AND p_brand = '$b' AND p_size BETWEEN 1 AND $sz AND l_quantity BETWEEN $lo AND $hi)"
+          }.mkString("\n        |   OR ")}""".stripMargin,
+    // freq_rollup: both CMS levels replayed — per-type salted-md5 cell
+    // grids, then the merged grid as the elementwise SUM of the per-type
+    // cells (counter addition is associative); probe estimates read
+    // min-over-depth from the MERGED cells only.
+    "freq_rollup" ->
+      s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events WHERE user_id IS NOT NULL),
+        |uc AS (SELECT uid, CAST(count(*) AS BIGINT) AS exact_count FROM ev GROUP BY uid),
+        |tc AS (SELECT event_type, uid, count(*) AS c FROM ev GROUP BY 1, 2),
+        |tcells AS (SELECT event_type, i,
+        |    CAST((md5_number_lower(CAST(i AS VARCHAR) || ':' || uid) % 9223372036854775808) % ${Relational.FreqRollupWidth} AS BIGINT) AS b,
+        |    CAST(sum(c) AS BIGINT) AS cell
+        |  FROM tc, range(${Relational.FreqRollupDepth}) r(i) GROUP BY 1, 2, 3),
+        |cells AS (SELECT i, b, CAST(sum(cell) AS BIGINT) AS cell FROM tcells GROUP BY 1, 2),
+        |probes AS (SELECT uid, exact_count FROM uc ORDER BY exact_count DESC, uid LIMIT ${Relational.FreqRollupTopN}),
+        |pb AS (SELECT p.uid, p.exact_count, r.i,
+        |    CAST((md5_number_lower(CAST(r.i AS VARCHAR) || ':' || p.uid) % 9223372036854775808) % ${Relational.FreqRollupWidth} AS BIGINT) AS b
+        |  FROM probes p, range(${Relational.FreqRollupDepth}) r(i)),
+        |est AS (SELECT pb.uid, pb.exact_count, min(c.cell) AS est_count
+        |  FROM pb JOIN cells c ON c.i = pb.i AND c.b = pb.b GROUP BY 1, 2)
+        |SELECT uid, exact_count, CAST(est_count AS BIGINT) AS est_count
+        |FROM est ORDER BY exact_count DESC, uid""".stripMargin,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes
     // names differently; the union spells the measure labels explicitly,
     // matching Spark unpivot's column-name values). Cents BEFORE the melt.

@@ -898,4 +898,324 @@ object Relational {
               coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
               col("sum_qty"), col("sum_disc_price"), col("count_order"))
       .orderBy("returnflag", "linestatus")
+
+  // ------------------------------------------------------------------
+  // Round-10 extension: the remaining classic warehouse query shapes
+  // (TPC-H Q7/Q8/Q12/Q14/Q17/Q19 forms over the available columns).
+  // Declared defaults shared with the SQL oracles — one definition site,
+  // the compactionPlanSql pattern.
+  // ------------------------------------------------------------------
+  val Q7NationA = "NATION_3"
+  val Q7NationB = "NATION_8"
+  val Q7StartYear = 1996
+  val Q7EndYear = 1997
+  val Q8Region = "ASIA"
+  val Q8PartType = "PROMO"
+  val Q8Nation = "NATION_12"
+  val Q8StartYear = 1996
+  val Q8EndYear = 1997
+  val Q12LateDays = 90
+  val Q12StartYear = 1996
+  val Q12EndYear = 1997
+  val Q12HighPriorities: Seq[String] = Seq("1-URGENT", "2-HIGH")
+  val Q14MonthStart = "1997-09-01"
+  val Q14MonthEnd = "1997-10-01"
+  val Q17Brand = "Brand#3"
+  /** (brand, max size, min qty, max qty) — the Q19 bracket list. */
+  val Q19Brackets: Seq[(String, Int, Long, Long)] = Seq(
+    ("Brand#1", 10, 1L, 15L),
+    ("Brand#2", 20, 10L, 25L),
+    ("Brand#3", 30, 20L, 35L))
+
+  /** EXACT revenue per line: cents × (100 − discount-cents) = 10⁻⁴
+    * dollars — both factors 2-decimal, the per-row product exact in
+    * int64, sums partition-order-proof (the [[q3Shipping]] discipline). */
+  private def revE4: org.apache.spark.sql.Column =
+    round(col("l_extendedprice") * 100).cast("bigint") *
+      (lit(100L) - round(col("l_discount") * 100).cast("bigint"))
+
+  /** TPC-H Q7-style NATION TRADE VOLUME: revenue shipped between two
+    * nations, per direction per ship-year — the bi-directional
+    * dim-pair-slice shape (a supplier-side AND a customer-side selective
+    * dimension filter meeting on the fact) the family lacked: q5_region
+    * slices ONE region; this slices BOTH ends and keeps the pair grain.
+    *
+    * 100 TB: both nation slices broadcast into their dimensions
+    * (supplier, customer), the sliced customer set broadcasts into
+    * orders, the sliced supplier set broadcasts into the date-pruned
+    * lineitem scan (ship-window predicate reaches the scan), and the one
+    * fact-mass shuffle is lineitem ⋈ orders on the order key; the pair ×
+    * year grid partial-aggs map-side. Revenue is exact e4 integers. */
+  def q7NationVolume(spark: SparkSession, sfDir: String,
+                     nationA: String = Q7NationA,
+                     nationB: String = Q7NationB,
+                     startYear: Int = Q7StartYear,
+                     endYear: Int = Q7EndYear): DataFrame = {
+    val pair = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(nationA, nationB))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(pair), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(pair), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, sfDir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(s"$startYear-01-01").cast("date") &&
+              col("l_shipdate") < lit(s"${endYear + 1}-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), revE4.as("rev_e4"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-style MARKET SHARE: within one customer region, one part
+    * type and an order-year window, the fraction of revenue supplied by
+    * one nation, per year — the ratio-of-conditional-aggregates shape
+    * (numerator = a CASE slice of the same sum as the denominator,
+    * divided at the output edge) the family lacked.
+    *
+    * Float discipline: both sums are exact e4 integers; the ONLY float
+    * op is the final one-per-year division, rounded at 4 dp — a share
+    * can never drift with partition order because its inputs are ints
+    * (the metric_corr moment discipline applied to a ratio).
+    *
+    * 100 TB: region→nations→customers chain-broadcasts; the customer
+    * slice broadcasts into the date-pruned orders scan; the part-type
+    * slice broadcasts into lineitem (p_type reaches the part scan); the
+    * supplier map broadcasts; lineitem ⋈ orders is the one fact shuffle;
+    * the per-year grid partial-aggs. */
+  def q8MarketShare(spark: SparkSession, sfDir: String,
+                    region: String = Q8Region,
+                    partType: String = Q8PartType,
+                    nation: String = Q8Nation,
+                    startYear: Int = Q8StartYear,
+                    endYear: Int = Q8EndYear): DataFrame = {
+    val regNations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === region)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(regNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val pt = Tables.part(spark, sfDir)
+      .filter(col("p_type") === partType)
+      .select(col("p_partkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(s"$startYear-01-01").cast("date") &&
+              col("o_orderdate") < lit(s"${endYear + 1}-01-01").cast("date"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revE4.as("rev_e4"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === nation, col("rev_e4")).otherwise(0L))
+             .as("rev_nation_e4"),
+           sum("rev_e4").as("rev_total_e4"))
+      .select(col("o_year"), col("rev_nation_e4"), col("rev_total_e4"),
+        (duckRound(col("rev_nation_e4").cast("double") /
+                   col("rev_total_e4").cast("double"), 4) + lit(0.0)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q12-style LATE-LINE PRIORITY counts: among lines shipped LATE
+    * (more than `lateDays` after the order date — the [[waitingSuppliers]]
+    * lateness notion) in a ship-year window, per line status: how many
+    * belonged to high-priority orders vs low — the
+    * conditional-two-way-count-after-join shape (Q12's
+    * CASE-on-the-OTHER-table's-attribute trick) the family lacked:
+    * pivot_events pivots one table's own column; here the CASE tests the
+    * JOINED dimension's attribute.
+    *
+    * 100 TB: the ship-window predicate reaches the lineitem scan; orders
+    * arrives projected to (key, date, priority) only; the join is the one
+    * fact shuffle (two fact-sized tables — no broadcast); lateness is
+    * exact timestamp + interval on both engines; both counts partial-agg
+    * map-side over the |statuses|-row grid. */
+  def q12LateLines(spark: SparkSession, sfDir: String,
+                   lateDays: Int = Q12LateDays,
+                   startYear: Int = Q12StartYear,
+                   endYear: Int = Q12EndYear): DataFrame = {
+    val isHigh = col("o_orderpriority").isin(Q12HighPriorities: _*)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(s"$startYear-01-01").cast("date") &&
+              col("l_shipdate") < lit(s"${endYear + 1}-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+              .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q14-style PROMO SHARE: over one ship-month, the percentage of
+    * revenue coming from promo-type parts — the single-row
+    * filtered-fraction report (Q8's ratio shape collapsed to a scalar
+    * KPI, the canonical "what % of X is Y" pipeline health metric).
+    *
+    * 100 TB: the month window reaches the lineitem scan (one month of a
+    * date-partitioned lake — partition pruning does the work); the part
+    * side arrives projected to (key, type) and broadcasts; one
+    * partial-agg to a single row; exact e4 integer sums, one final
+    * rounded division. */
+  def q14PromoShare(spark: SparkSession, sfDir: String,
+                    partType: String = Q8PartType,
+                    monthStart: String = Q14MonthStart,
+                    monthEnd: String = Q14MonthEnd): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(monthStart).cast("date") &&
+              col("l_shipdate") < lit(monthEnd).cast("date"))
+      .select(col("l_partkey"), revE4.as("rev_e4"))
+      .join(broadcast(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === partType, col("rev_e4")).otherwise(0L))
+             .as("promo_rev_e4"),
+           coalesce(sum("rev_e4"), lit(0L)).as("total_rev_e4"))
+      .select(col("promo_rev_e4"), col("total_rev_e4"),
+        (duckRound(lit(100.0) * col("promo_rev_e4").cast("double") /
+                   col("total_rev_e4").cast("double"), 4) + lit(0.0)).as("promo_pct"))
+
+  /** TPC-H Q17-style SMALL-ORDER revenue: for one brand's parts, the
+    * lines whose quantity is below 20% of that PART's average quantity —
+    * the per-group-scalar-threshold-back-on-detail shape (each row
+    * compared against an aggregate of its own group) the family lacked:
+    * big_spenders filters GROUPS on the aggregate; this filters ROWS.
+    *
+    * Float discipline: "qty < 0.2 · avg(qty)" is cross-multiplied into
+    * exact integers — `5 · qty · n_lines < sum_qty` (quantities are
+    * integral units) — so a within-ULP line can never flip between
+    * engines (the lapsed_big_accounts threshold discipline).
+    *
+    * 100 TB: the textbook form re-scans the fact for the per-part
+    * average (a correlated subquery). Here the brand slice broadcasts
+    * FIRST — the window over l_partkey then shuffles only the brand's
+    * lines (a ~|brand|/|brands| sliver of the fact), never the full
+    * table; the per-part moments ride one window pass over that sliver;
+    * the final report partial-aggs to one row. The DuckDB oracle
+    * deliberately RUNS the textbook correlated form, so the window
+    * rewrite is differentially proven equivalent (the waiting_suppliers
+    * discipline). */
+  def q17SmallOrders(spark: SparkSession, sfDir: String,
+                     brand: String = Q17Brand): DataFrame = {
+    val pts = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    val byPart = Window.partitionBy("l_partkey")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+              round(col("l_quantity")).cast("bigint").as("qty"),
+              round(col("l_extendedprice") * 100).cast("bigint").as("price_cents"))
+      .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+      .withColumn("n_lines_part", count(lit(1)).over(byPart))
+      .withColumn("sum_qty_part", sum("qty").over(byPart))
+      .filter(col("qty") * lit(5L) * col("n_lines_part") < col("sum_qty_part"))
+      .agg(count(lit(1)).as("n_small_lines"),
+           coalesce(sum("price_cents"), lit(0L)).as("sum_price_cents"))
+  }
+
+  /** TPC-H Q19-style DISJUNCTIVE BRACKETS: revenue from lines matching
+    * any of three (brand, size-range, quantity-range) brackets — the
+    * OR-of-ANDs-across-both-tables shape that is the classic pushdown
+    * trap: the disjunct references BOTH join sides, so no engine can push
+    * it whole, and the naive form degrades to a filtered cartesian.
+    *
+    * The rewrite (and what the spec gates): the join stays the plain
+    * partkey EQUI-join, the full disjunct is a post-join filter, and each
+    * side gets its DERIVED single-side implication pushed to its scan —
+    * the part side keeps only rows satisfying the brand/size disjunction,
+    * the lineitem side only the overall quantity envelope [min lo, max
+    * hi]. At 100 TB the envelope predicate prunes the fact scan and the
+    * bracket-sliced part side broadcasts; no nested-loop join exists in
+    * the plan (PlanSpec-gated, the interval_join discipline). Revenue is
+    * exact e4 integers; quantities integral units. */
+  def q19Brackets(spark: SparkSession, sfDir: String,
+                  brackets: Seq[(String, Int, Long, Long)] = Q19Brackets): DataFrame = {
+    val qtyLo = brackets.map(_._3).min
+    val qtyHi = brackets.map(_._4).max
+    val partSide = brackets.map { case (b, sz, _, _) =>
+      col("p_brand") === b && col("p_size").between(1, sz)
+    }.reduce(_ || _)
+    val full = brackets.map { case (b, sz, lo, hi) =>
+      col("p_brand") === b && col("p_size").between(1, sz) &&
+        col("qty").between(lo, hi)
+    }.reduce(_ || _)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= qtyLo.toDouble &&
+              col("l_quantity") <= qtyHi.toDouble)
+      .select(col("l_partkey"),
+              round(col("l_quantity")).cast("bigint").as("qty"),
+              revE4.as("rev_e4"))
+      .join(broadcast(Tables.part(spark, sfDir)
+                        .filter(partSide)
+                        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+      .filter(full)
+      .agg(count(lit(1)).as("n_lines"),
+           coalesce(sum("rev_e4"), lit(0L)).as("revenue_e4"))
+  }
+
+  /** MERGEABLE FREQUENCY-SKETCH ROLLUP — completes the sketch cube family
+    * ([[sketchRollup]] merges KMV distinct states; quantile_rollup merges
+    * histogram states; this merges Count-Min FREQUENCY grids): per-cell
+    * CMS grids persist per event type, and the global grid is derived by
+    * ELEMENTWISE SUM of the stored grids alone — counter addition is
+    * associative, so the merged grid is bit-identical to one built
+    * directly over all events (spec-proven), and any coarser rollup can
+    * answer "how often does THIS key occur" without rescanning the
+    * corpus.
+    *
+    * 100 TB: level 1 is [[graft.operators.TextAnalysis.freqSketch]]'s
+    * contract — one fixed `depth × width` buffer per group per map
+    * partition in the shuffle; level 2's input is |groups| · depth·width
+    * longs (metadata-sized); probes ride a TakeOrderedAndProject and the
+    * one-row merged grid broadcasts. The salted-md5 cell hash is
+    * SQL-replayable, so the whole two-level structure hash-matches
+    * DuckDB. */
+  val FreqRollupDepth = 4
+  val FreqRollupWidth = 256
+  val FreqRollupTopN = 10
+
+  def freqRollup(spark: SparkSession, sfDir: String,
+                 depth: Int = FreqRollupDepth, width: Int = FreqRollupWidth,
+                 topn: Int = FreqRollupTopN): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+    val perType = ev.groupBy("event_type")
+      .agg(call_function("graft_cms",
+        col("uid"), lit(1L), lit(depth), lit(width)).as("grid"))
+    // merged grid = elementwise sum of the per-type grids, rebuilt in cell
+    // order — depth·width longs per group, metadata-sized at any corpus.
+    val merged = perType
+      .select(posexplode(col("grid")))
+      .toDF("pos", "cell")
+      .groupBy("pos").agg(sum("cell").as("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cell")))),
+                     s => s.getField("cell")).as("grid"))
+    val est = least((0 until depth).map { i =>
+      element_at(col("grid"), lit(i * width) +
+        call_function("graft_cms_bucket", col("uid"), lit(i), lit(width)) + lit(1))
+    }: _*)
+    ev.groupBy("uid").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("uid").asc).limit(topn)
+      .crossJoin(broadcast(merged))
+      .select(col("uid"), col("exact_count"), est.as("est_count"))
+      .orderBy(col("exact_count").desc, col("uid").asc)
+  }
 }

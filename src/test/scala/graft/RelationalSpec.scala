@@ -414,4 +414,180 @@ class RelationalSpec extends SparkSpecBase {
       assert(perStatus.find(_._2 == st).get._5 === detail.filter(_._2 == st).map(_._5).sum)
     }
   }
+
+  // ---- round-10 extension: the remaining classic warehouse shapes ----
+
+  /** Exact per-line revenue units (10⁻⁴ dollars), the q3 discipline. */
+  private def revE4(price: Double, disc: Double): Long =
+    math.round(price * 100) * (100L - math.round(disc * 100))
+
+  test("q7NationVolume: scalar replay of both directions, broadcast star plan") {
+    val df = Relational.q7NationVolume(spark, sf0001)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // scalar replay from the raw tables
+    val nat = Tables.nation(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val suppNat = Tables.supplier(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> nat(r.getInt(2))).toMap
+    val custNat = Tables.customer(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> nat(r.getInt(2))).toMap
+    val ordCust = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pair = Set(Relational.Q7NationA, Relational.Q7NationB)
+    val cells = scala.collection.mutable.Map[(String, String, Long), (Long, Long)]()
+    Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"), year(col("l_shipdate")).as("y"))
+      .collect().foreach { r =>
+        val (sn, cn) = (suppNat(r.getLong(1)), custNat(ordCust(r.getLong(0))))
+        val y = r.getInt(4).toLong
+        if (pair(sn) && pair(cn) && sn != cn &&
+            y >= Relational.Q7StartYear && y <= Relational.Q7EndYear) {
+          val k = (sn, cn, y)
+          val (rev, n) = cells.getOrElse(k, (0L, 0L))
+          cells(k) = (rev + revE4(r.getDouble(2), r.getDouble(3)), n + 1)
+        }
+      }
+    val expected = cells.toSeq.map { case ((sn, cn, y), (rev, n)) => (sn, cn, y, rev, n) }
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq === expected)
+    assert(got.map(_._1).toSet === pair && got.map(_._2).toSet === pair,
+      "both directions must appear at sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"), s"dimension chain must broadcast:\n$plan")
+  }
+
+  test("q8MarketShare: exact integer sums, share is the one rounded division") {
+    val rows = Relational.q8MarketShare(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (num, den, share) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(num >= 0L && num <= den, "nation slice must be within the total")
+      assert(share === (math.rint(num.toDouble / den.toDouble * 10000) / 10000),
+        "share must be exactly the rounded ratio of the integer sums")
+    }
+    // every year in the window with qualifying rows appears
+    val years = rows.map(_.getLong(0))
+    assert(years.forall(y => y >= Relational.Q8StartYear && y <= Relational.Q8EndYear))
+  }
+
+  test("q12LateLines: high/low partition the late lines, totals replay") {
+    val rows = Relational.q12LateLines(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // scalar replay of the join + lateness predicate
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val lateUs = Relational.Q12LateDays * 86400000000L
+    val hi = Relational.Q12HighPriorities.toSet
+    val cells = scala.collection.mutable.Map[String, (Long, Long)]()
+    Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linestatus"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("us"),
+        year(col("l_shipdate")).as("y"))
+      .collect().foreach { r =>
+        val y = r.getInt(3)
+        val (odUs, pri) = ord(r.getLong(0))
+        if (y >= Relational.Q12StartYear && y <= Relational.Q12EndYear &&
+            r.getLong(2) > odUs + lateUs) {
+          val (h, l) = cells.getOrElse(r.getString(1), (0L, 0L))
+          cells(r.getString(1)) = if (hi(pri)) (h + 1, l) else (h, l + 1)
+        }
+      }
+    val expected = cells.toSeq.map { case (st, (h, l)) => (st, h, l) }.sortBy(_._1)
+    assert(rows.toSeq === expected)
+    assert(rows.map(r => r._2 + r._3).sum > 0, "some late lines must exist")
+  }
+
+  test("q14PromoShare: pct is exactly the rounded promo fraction of the window") {
+    val r = Relational.q14PromoShare(spark, sf0001).collect()(0)
+    val (promo, total, pct) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(promo > 0L && promo < total, "promo slice must be a proper subset at sf0.001")
+    assert(pct === (math.rint(100.0 * promo.toDouble / total.toDouble * 10000) / 10000))
+  }
+
+  test("q17SmallOrders: window rewrite equals the correlated-subquery replay; brand slice broadcasts") {
+    val df = Relational.q17SmallOrders(spark, sf0001)
+    val r = df.collect()(0)
+    // scalar replay of the textbook correlated form
+    val brandParts = Tables.part(spark, sf0001)
+      .filter(col("p_brand") === Relational.Q17Brand)
+      .collect().map(_.getLong(0)).toSet
+    val lines = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .filter(x => brandParts(x.getLong(0)))
+      .map(x => (x.getLong(0), math.round(x.getDouble(1)), math.round(x.getDouble(2) * 100)))
+    val byPart = lines.groupBy(_._1).view
+      .mapValues(ls => (ls.length.toLong, ls.map(_._2).sum)).toMap
+    val small = lines.filter { case (pk, qty, _) =>
+      val (n, sumQty) = byPart(pk); qty * 5 * n < sumQty
+    }
+    assert(r.getLong(0) === small.length.toLong)
+    assert(r.getLong(1) === small.map(_._3).sum)
+    assert(small.nonEmpty, "some small-quantity lines must qualify at sf0.001")
+    // plan: the brand slice broadcasts BEFORE the window, so the window
+    // shuffles only the brand sliver; lineitem scanned once
+    val plan = df.queryExecution.executedPlan.toString
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("Window"), s"per-part moments must ride a window:\n$finalOnly")
+    assert(plan.contains("BroadcastHashJoin"), s"brand slice must broadcast:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(finalOnly).size
+    assert(scans <= 2, s"expected one scan per table (<=2), got $scans:\n$finalOnly")
+  }
+
+  test("q19Brackets: disjunct replay; equi-join survives, envelope reaches the fact scan") {
+    val df = Relational.q19Brackets(spark, sf0001)
+    val r = df.collect()(0)
+    // scalar replay of the textbook OR-of-ANDs
+    val parts = Tables.part(spark, sf0001)
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getInt(2))).toMap
+    val hits = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").collect()
+      .flatMap { x =>
+        val (brand, size) = parts(x.getLong(0))
+        val qty = math.round(x.getDouble(1))
+        val ok = Relational.Q19Brackets.exists { case (b, sz, lo, hi) =>
+          brand == b && size >= 1 && size <= sz && qty >= lo && qty <= hi
+        }
+        if (ok) Some(revE4(x.getDouble(2), x.getDouble(3))) else None
+      }
+    assert(r.getLong(0) === hits.length.toLong)
+    assert(r.getLong(1) === hits.sum)
+    assert(hits.nonEmpty, "brackets must match some lines at sf0.001")
+    // plan: the partkey EQUI-join survives the disjunct (no nested loop),
+    // and the derived quantity envelope is pushed to the lineitem scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"disjunct degraded the join to a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"bracket-sliced part side must broadcast:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity") || plan.contains("IsNotNull(l_quantity"),
+      s"quantity envelope must reach the lineitem scan:\n$plan")
+  }
+
+  test("freqRollup: merged grid is bit-identical to the direct grid; est >= exact") {
+    import org.apache.spark.sql.functions.call_function
+    val (depth, width) = (Relational.FreqRollupDepth, Relational.FreqRollupWidth)
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+    val direct = ev.agg(call_function("graft_cms",
+        col("uid"), lit(1L), lit(depth), lit(width)).as("grid"))
+      .collect()(0).getSeq[Long](0)
+    val merged = ev.groupBy("event_type")
+      .agg(call_function("graft_cms", col("uid"), lit(1L), lit(depth), lit(width)).as("grid"))
+      .collect().map(_.getSeq[Long](1))
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    assert(merged === direct,
+      "elementwise sum of per-type grids must equal the grid built over all events")
+    // the declared query's estimates: always >= exact (CMS only overcounts)
+    val rows = Relational.freqRollup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS estimate below exact for uid=${r.getString(0)}"))
+  }
 }
