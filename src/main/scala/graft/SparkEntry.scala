@@ -105,10 +105,15 @@ object SparkEntry {
     "waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d)),
     "lapsed_big_accounts" -> ((s, d) => Relational.lapsedBigAccounts(s, d)),
     "big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
+    "q4_priority_exists" -> ((s, d) => Relational.q4PriorityExists(s, d)),
+    "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q7_nation_volume" -> ((s, d) => Relational.q7NationVolume(s, d)),
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q12_late_lines" -> ((s, d) => Relational.q12LateLines(s, d)),
+    "q13_order_counts" -> ((s, d) => Relational.q13OrderCounts(s, d)),
     "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
+    "q15_top_revenue" -> ((s, d) => Relational.q15TopRevenue(s, d)),
     "q17_small_orders" -> ((s, d) => Relational.q17SmallOrders(s, d)),
     "q19_brackets" -> ((s, d) => Relational.q19Brackets(s, d)),
     "freq_rollup" -> ((s, d) => Relational.freqRollup(s, d)),
@@ -1978,6 +1983,67 @@ object SparkEntry {
         |FROM q JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY totalprice_cents DESC, orderdate, o_orderkey LIMIT ${Relational.BigSpendersTopK}""".stripMargin,
+    // q4_priority_exists: the oracle RUNS the textbook Q4 correlated
+    // EXISTS, so the semi-join's at-most-once contract is differentially
+    // proven (an inner join would overcount multi-late-line orders).
+    "q4_priority_exists" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '${Relational.Q4StartDate}'
+        |  AND o_orderdate < DATE '${Relational.Q4EndDate}'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL ${Relational.WaitingLateDays} DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q6_forecast: the pushdown benchmark — three scan-side predicates,
+    // no join; exact cents × discount-cents products.
+    "q6_forecast" ->
+      s"""SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '${Relational.Q6Year}-01-01'
+        |  AND l_shipdate < DATE '${Relational.Q6Year + 1}-01-01'
+        |  AND l_discount >= ${Relational.Q6DiscLo} AND l_discount <= ${Relational.Q6DiscHi}
+        |  AND l_quantity < ${Relational.Q6QtyCap}""".stripMargin,
+    // q10_returns: Q10 shape — the wide customer-detail group; exact e4
+    // revenue; tie-break pinned (revenue desc, custkey).
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, n_name AS nation,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_return_lines
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '${Relational.Q10StartDate}'
+        |  AND o_orderdate < DATE '${Relational.Q10EndDate}'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_e4 DESC, c_custkey LIMIT ${Relational.Q10TopK}""".stripMargin,
+    // q13_order_counts: Q13 shape — LEFT JOIN so the zero-order bucket
+    // exists; count(o_orderkey) skips the unmatched nulls on both engines.
+    "q13_order_counts" ->
+      s"""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '${Relational.Q13ExcludedPriority}'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q15_top_revenue: Q15 shape — scalar-max equality over EXACT integer
+    // revenue (a float equality would be ULP-dependent); ties kept.
+    "q15_top_revenue" ->
+      s"""WITH r AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '${Relational.Q15StartDate}'
+        |    AND l_shipdate < DATE '${Relational.Q15EndDate}'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_e4
+        |FROM supplier JOIN r ON s_suppkey = l_suppkey
+        |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
     // q7_nation_volume: Q7 shape — bi-directional nation-pair slice over
     // the full star; exact e4 revenue; ship-year from the same window.
     "q7_nation_volume" ->

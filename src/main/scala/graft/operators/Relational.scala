@@ -1187,9 +1187,181 @@ object Relational {
     * one-row merged grid broadcasts. The salted-md5 cell hash is
     * SQL-replayable, so the whole two-level structure hash-matches
     * DuckDB. */
+  val Q4StartDate = "1996-01-01"
+  val Q4EndDate = "1997-01-01"
+  val Q6Year = 1996
+  // half-cent guard band around the 5–7% discount bracket: the raw DOUBLE
+  // predicate pushes to the parquet scan (a rounded-cents column would
+  // not), and every stored value is an exact hundredth, so the band is
+  // unambiguous on both engines.
+  val Q6DiscLo = 0.04999
+  val Q6DiscHi = 0.07001
+  val Q6QtyCap = 24.0
+  val Q10StartDate = "1997-01-01"
+  val Q10EndDate = "1997-07-01"
+  val Q10TopK = 20
+  val Q13ExcludedPriority = "4-NOT SPECIFIED"
+  val Q15StartDate = "1996-01-01"
+  val Q15EndDate = "1996-04-01"
   val FreqRollupDepth = 4
   val FreqRollupWidth = 256
   val FreqRollupTopN = 10
+
+  /** TPC-H Q4-style PRIORITY EXISTS count: orders in a date window having
+    * AT LEAST ONE late line, counted per priority — the
+    * EXISTS-as-semi-join shape over the fact: an inner join would count an
+    * order once per late line; the semi-join's "at most once" contract IS
+    * the EXISTS semantics, and the spec gates that the plan keeps it a
+    * LeftSemi (never a join + distinct).
+    *
+    * 100 TB: the date window reaches the orders scan; the semi-join
+    * shuffles on the order key once (the correlated date comparison rides
+    * the join as a residual condition — still hash, the equi key is
+    * present); the priority rollup partial-aggs to |priorities| rows. */
+  def q4PriorityExists(spark: SparkSession, sfDir: String,
+                       startDate: String = Q4StartDate,
+                       endDate: String = Q4EndDate,
+                       lateDays: Int = WaitingLateDays): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(startDate).cast("date") &&
+              col("o_orderdate") < lit(endDate).cast("date"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    ord.join(Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate")),
+             col("l_orderkey") === col("o_orderkey") &&
+               col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+             "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6-style REVENUE FORECAST: the canonical PUSHDOWN benchmark —
+    * a single filtered scan-and-sum with three scan-side predicates
+    * (date window, discount band, quantity cap) and NO join: the query
+    * whose entire cost is how much of the fact the scan can skip.
+    * Forecast revenue = price × discount (the discount mass itself).
+    *
+    * 100 TB: all three predicates reach the parquet scan (PushedFilters —
+    * spec-gated); on a date-partitioned lake the window prunes
+    * partitions and min/max row-group stats prune the rest; the sum
+    * partial-aggs to one row. Exact e4 integers (cents × discount-cents). */
+  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(s"$Q6Year-01-01").cast("date") &&
+              col("l_shipdate") < lit(s"${Q6Year + 1}-01-01").cast("date") &&
+              col("l_discount") >= Q6DiscLo && col("l_discount") <= Q6DiscHi &&
+              col("l_quantity") < Q6QtyCap)
+      .select((round(col("l_extendedprice") * 100).cast("bigint") *
+               round(col("l_discount") * 100).cast("bigint")).as("disc_e4"))
+      .agg(coalesce(sum("disc_e4"), lit(0L)).as("revenue_e4"),
+           count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q10-style RETURNED-ITEM REPORT: top customers by revenue lost
+    * to returns in a date window — the top-k-of-aggregate shape where the
+    * GROUP carries the dimension detail columns (name, nation, balance):
+    * the group-by key is wide but functionally determined by the customer
+    * key, so the aggregate state stays one row per customer.
+    *
+    * 100 TB: the return-flag predicate reaches the lineitem scan, the
+    * date window the orders scan; customer and nation broadcast; the one
+    * fact shuffle is lineitem ⋈ orders; top-k is TakeOrderedAndProject.
+    * Exact e4 revenue; tie-break pinned (revenue desc, custkey). */
+  def q10Returns(spark: SparkSession, sfDir: String,
+                 startDate: String = Q10StartDate,
+                 endDate: String = Q10EndDate,
+                 topK: Int = Q10TopK): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(startDate).cast("date") &&
+              col("o_orderdate") < lit(endDate).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+              round(col("c_acctbal") * 100).cast("bigint").as("acctbal_cents"),
+              col("n_name").as("nation"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revE4.as("rev_e4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_return_lines"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("nation"),
+              col("acctbal_cents"), col("revenue_e4"), col("n_return_lines"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey").asc)
+      .limit(topK)
+  }
+
+  /** TPC-H Q13-style ORDER-COUNT DISTRIBUTION: how many customers placed
+    * exactly k qualifying orders, INCLUDING k = 0 — the outer-join +
+    * count-of-counts shape: an inner join silently drops the zero-order
+    * customers, and the zero bucket is usually the business answer. The
+    * exclusion predicate (one priority class) plays Q13's
+    * not-like-comment role.
+    *
+    * 100 TB: the per-customer count rides the one customer-key shuffle
+    * (left outer, fact side pre-filtered scan-side); the distribution
+    * aggregate's input is |customers| rows and its output |distinct
+    * counts| — metadata-sized. count(o_orderkey) over the outer join
+    * yields 0 for unmatched customers exactly (COUNT skips the null
+    * column), no CASE needed on either engine. */
+  def q13OrderCounts(spark: SparkSession, sfDir: String,
+                     excludedPriority: String = Q13ExcludedPriority): DataFrame =
+    q13OrderCountsFrom(Tables.customer(spark, sfDir),
+                       Tables.orders(spark, sfDir), excludedPriority)
+
+  /** [[q13OrderCounts]] over explicit customer/orders frames — the zero
+    * bucket needs a zero-order customer to show, which the spec plants. */
+  def q13OrderCountsFrom(customer: DataFrame, orders: DataFrame,
+                         excludedPriority: String = Q13ExcludedPriority): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders
+              .filter(col("o_orderpriority") =!= excludedPriority)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15-style TOP REVENUE SUPPLIER: suppliers whose quarter
+    * revenue EQUALS the global maximum — the
+    * aggregate-then-scalar-max-equality shape (Q15's view + subquery),
+    * distinct from top-k: ties are part of the contract, and the
+    * equality only works because revenue is an EXACT integer (a float
+    * max-equality would be engine-dependent at the ULP).
+    *
+    * 100 TB: per-supplier revenue partial-aggs from the date-pruned
+    * scan to |suppliers| rows; the max is a 1-row broadcast back onto
+    * that same frame (no second fact scan — spec-gated); supplier names
+    * broadcast. */
+  def q15TopRevenue(spark: SparkSession, sfDir: String,
+                    startDate: String = Q15StartDate,
+                    endDate: String = Q15EndDate): DataFrame = {
+    // the explicit isNotNull makes BOTH consumers of this frame (the max
+    // branch and the equality branch, which inherits it from the supplier
+    // join's constraint) share one canonical subplan, so Spark's exchange
+    // reuse materializes the per-supplier aggregate ONCE — without it the
+    // two branches differ by the pushed null filter and the fact is
+    // scanned twice (spec-gated via ReusedQueryStage).
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(startDate).cast("date") &&
+              col("l_shipdate") < lit(endDate).cast("date") &&
+              col("l_suppkey").isNotNull)
+      .select(col("l_suppkey"), revE4.as("rev_e4"))
+      .groupBy("l_suppkey")
+      .agg(sum("rev_e4").as("total_revenue_e4"))
+    val best = perSupp.agg(max("total_revenue_e4").as("max_rev"))
+    perSupp
+      .crossJoin(broadcast(best))
+      .filter(col("total_revenue_e4") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+      .orderBy("s_suppkey")
+  }
 
   def freqRollup(spark: SparkSession, sfDir: String,
                  depth: Int = FreqRollupDepth, width: Int = FreqRollupWidth,

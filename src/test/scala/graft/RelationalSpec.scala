@@ -569,6 +569,175 @@ class RelationalSpec extends SparkSpecBase {
       s"quantity envelope must reach the lineitem scan:\n$plan")
   }
 
+  test("q4PriorityExists: semi-join counts each order once, never per late line") {
+    val df = Relational.q4PriorityExists(spark, sf0001)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    // scalar replay of the EXISTS semantics
+    val lateUs = Relational.WaitingLateDays * 86400000000L
+    val lateLines = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate").cast("timestamp")).as("us"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
+    val startUs = java.time.LocalDate.parse(Relational.Q4StartDate)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val endUs = java.time.LocalDate.parse(Relational.Q4EndDate)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val expected = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderpriority"))
+      .collect()
+      .filter { r =>
+        val us = r.getLong(1)
+        us >= startUs && us < endUs &&
+          lateLines.get(r.getLong(0)).exists(_ > us + lateUs)
+      }
+      .groupBy(_.getString(2)).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // an inner join would overcount: total late LINES in-window exceeds orders
+    assert(got.map(_._2).sum > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert(!plan.split("== Initial Plan ==").head.contains("HashAggregate(keys=[o_orderkey"),
+      s"semi join must not be a join+distinct:\n$plan")
+  }
+
+  test("q6Forecast: scalar replay; all three predicates reach the parquet scan") {
+    val df = Relational.q6Forecast(spark, sf0001)
+    val r = df.collect()(0)
+    val y0 = java.time.LocalDate.of(Relational.Q6Year, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val y1 = java.time.LocalDate.of(Relational.Q6Year + 1, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val hits = Tables.lineitem(spark, sf0001)
+      .select(unix_micros(col("l_shipdate").cast("timestamp")).as("us"),
+        col("l_discount"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .filter(x => x.getLong(0) >= y0 && x.getLong(0) < y1 &&
+        x.getDouble(1) >= Relational.Q6DiscLo && x.getDouble(1) <= Relational.Q6DiscHi &&
+        x.getDouble(2) < Relational.Q6QtyCap)
+      .map(x => math.round(x.getDouble(3) * 100) * math.round(x.getDouble(1) * 100))
+    assert(r.getLong(0) === hits.sum)
+    assert(r.getLong(1) === hits.length.toLong)
+    assert(hits.nonEmpty, "the Q6 band must select some lines at sf0.001")
+    // the pushdown claim: discount, quantity AND shipdate all reach the
+    // scan — read the scan node's metadata (the rendered plan truncates
+    // long PushedFilters lists, so a string match would miss them)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }).flatMap(flatten)
+    val pushed = flatten(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s.metadata("PushedFilters") }
+      .mkString(";")
+    Seq("GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity", "GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate")
+      .foreach(f => assert(pushed.contains(f),
+        s"Q6 predicate $f must reach the parquet scan; pushed = $pushed"))
+  }
+
+  test("q10Returns: scalar replay of the returned-revenue top-k; plan broadcasts dims") {
+    val df = Relational.q10Returns(spark, sf0001)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val s0 = java.time.LocalDate.parse(Relational.Q10StartDate)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val s1 = java.time.LocalDate.parse(Relational.Q10EndDate)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val ordIn = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .collect().filter(r => r.getLong(2) >= s0 && r.getLong(2) < s1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = Tables.nation(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cust = Tables.customer(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), nat(r.getInt(2)), math.round(r.getDouble(3) * 100))).toMap
+    val perCust = scala.collection.mutable.Map[Long, (Long, Long)]()
+    Tables.lineitem(spark, sf0001)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .foreach { r =>
+        ordIn.get(r.getLong(0)).foreach { ck =>
+          val (rev, n) = perCust.getOrElse(ck, (0L, 0L))
+          perCust(ck) = (rev + revE4(r.getDouble(1), r.getDouble(2)), n + 1)
+        }
+      }
+    val expected = perCust.toSeq.map { case (ck, (rev, n)) =>
+      val (name, nation, bal) = cust(ck); (ck, name, nation, bal, rev, n)
+    }.sortBy(t => (-t._5, t._1)).take(Relational.Q10TopK)
+    assert(got.toSeq === expected)
+    assert(got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"customer/nation must broadcast:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"return-flag filter must reach the lineitem scan:\n$plan")
+  }
+
+  test("q13OrderCounts: outer join keeps the zero bucket; distribution partitions customers") {
+    // real-table form: every customer appears exactly once in the distribution
+    val dist = Relational.q13OrderCounts(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(dist.map(_._2).sum === Tables.customer(spark, sf0001).count(),
+      "custdist must partition ALL customers (outer-join contract)")
+    // excluded-priority orders are not counted
+    val perCust = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") =!= Relational.Q13ExcludedPriority)
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Tables.customer(spark, sf0001).select("c_custkey").collect()
+      .map(r => perCust.getOrElse(r.getLong(0), 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(t => (-t._2, -t._1))
+    assert(dist.toSeq === expected)
+    // planted fixture: a customer with zero qualifying orders lands in c_count=0
+    import spark.implicits._
+    val c = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val o = Seq((10L, 1L, "5-LOW"), (11L, 1L, "5-LOW"),
+                (12L, 2L, Relational.Q13ExcludedPriority))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val planted = Relational.q13OrderCountsFrom(c, o).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(planted === Map(0L -> 2L, 2L -> 1L),
+      "customer 3 (no orders) and customer 2 (only excluded orders) must land in the zero bucket")
+  }
+
+  test("q15TopRevenue: equality over exact integers; the max is a broadcast, not a re-scan") {
+    val df = Relational.q15TopRevenue(spark, sf0001)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val s0 = java.time.LocalDate.parse(Relational.Q15StartDate)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val s1 = java.time.LocalDate.parse(Relational.Q15EndDate)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val perSupp = scala.collection.mutable.Map[Long, Long]()
+    Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey"), unix_micros(col("l_shipdate").cast("timestamp")).as("us"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect().foreach { r =>
+        if (r.getLong(1) >= s0 && r.getLong(1) < s1)
+          perSupp(r.getLong(0)) = perSupp.getOrElse(r.getLong(0), 0L) +
+            revE4(r.getDouble(2), r.getDouble(3))
+      }
+    val mx = perSupp.values.max
+    val names = Tables.supplier(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = perSupp.toSeq.filter(_._2 == mx)
+      .map { case (sk, rev) => (sk, names(sk), rev) }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // one lineitem scan: the max branch REUSES the per-supplier aggregate
+    // stage (the explicit isNotNull makes both consumers canonical-equal),
+    // so the final plan has exactly lineitem + supplier scans plus a
+    // ReusedExchange — never a second fact scan
+    val finalOnly = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalOnly).size
+    assert(scans <= 2, s"expected lineitem + supplier scans only, got $scans:\n$finalOnly")
+    assert(finalOnly.contains("ReusedExchange"),
+      s"the max branch must reuse the per-supplier aggregate stage:\n$finalOnly")
+  }
+
   test("freqRollup: merged grid is bit-identical to the direct grid; est >= exact") {
     import org.apache.spark.sql.functions.call_function
     val (depth, width) = (Relational.FreqRollupDepth, Relational.FreqRollupWidth)
