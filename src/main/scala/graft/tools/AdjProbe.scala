@@ -1,0 +1,28 @@
+package graft.tools
+import graft.{Bench, SparkEntry}
+
+/** Single-query timing adjudicator for BenchDiff/SlopeCheck flags — the
+  * documented procedure (SURVEY §6.3): a gate flag on UNCHANGED code is
+  * re-probed alone; a real cost-curve regression REPRODUCES in the
+  * steady-state passes, host-interference jitter does not. Three timed
+  * passes after the standard sf0.001 warm pass: pass 1 carries one-time
+  * builds (codebook fits, broadcast warmup), passes 2–3 are the
+  * steady-state reads compared against the flagged baseline.
+  *
+  * Usage: runMain graft.tools.AdjProbe <query> [sfDir] */
+object AdjProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Bench.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm like Bench: one pass at sf0.001 first
+    try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).collect()
+      println(f"[adj] $name pass$i = ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+  }
+}
