@@ -2096,20 +2096,20 @@ object SparkEntry {
     // q14_promo_share: Q14 shape — scalar filtered-fraction KPI; exact
     // integer sums, one rounded division.
     "q14_promo_share" ->
-      s"""SELECT
-        |  CAST(sum(CASE WHEN p_type = '${Relational.Q8PartType}'
-        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_rev_e4,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_e4,
-        |  round(100.0 * CAST(sum(CASE WHEN p_type = '${Relational.Q8PartType}'
-        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS DOUBLE) /
-        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE), 4) + 0.0 AS promo_pct
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE l_shipdate >= DATE '${Relational.Q14MonthStart}'
-        |  AND l_shipdate < DATE '${Relational.Q14MonthEnd}'""".stripMargin,
+      s"""WITH s AS (SELECT
+        |    CAST(COALESCE(sum(CASE WHEN p_type = '${Relational.Q8PartType}'
+        |        THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END), 0) AS BIGINT) AS promo_rev_e4,
+        |    CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT) AS total_rev_e4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= DATE '${Relational.Q14MonthStart}'
+        |    AND l_shipdate < DATE '${Relational.Q14MonthEnd}')
+        |SELECT promo_rev_e4, total_rev_e4,
+        |  CASE WHEN total_rev_e4 = 0 THEN 0.0
+        |    ELSE round(100.0 * CAST(promo_rev_e4 AS DOUBLE) /
+        |               CAST(total_rev_e4 AS DOUBLE), 4) END + 0.0 AS promo_pct
+        |FROM s""".stripMargin,
     // q17_small_orders: the oracle deliberately RUNS the textbook Q17
     // correlated-subquery form, so the engine's window rewrite is
     // differentially proven equivalent (the waiting_suppliers
@@ -2135,7 +2135,8 @@ object SparkEntry {
         |           (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT) AS revenue_e4
         |FROM lineitem, part
         |WHERE ${Relational.Q19Brackets.map { case (b, sz, lo, hi) =>
-            s"(p_partkey = l_partkey AND p_brand = '$b' AND p_size BETWEEN 1 AND $sz AND l_quantity BETWEEN $lo AND $hi)"
+            s"(p_partkey = l_partkey AND p_brand = '$b' AND p_size BETWEEN 1 AND $sz" +
+              s" AND CAST(round(l_quantity) AS BIGINT) BETWEEN $lo AND $hi)"
           }.mkString("\n        |   OR ")}""".stripMargin,
     // freq_rollup: both CMS levels replayed — per-type salted-md5 cell
     // grids, then the merged grid as the elementwise SUM of the per-type

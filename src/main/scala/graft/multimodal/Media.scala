@@ -508,6 +508,7 @@ object Media {
     * JVM, not per row (a per-row Pattern.compile in a per-asset map is
     * pure waste at 100 TB). */
   private val AssetIdRe = "asset_(\\d+)\\.bin$".r
+  private val HexDigits = "0123456789ABCDEF".getBytes("US-ASCII")
 
   private def assetIdOf(path: String): Long =
     AssetIdRe.findFirstMatchIn(path).map(_.group(1).toLong).getOrElse(-1L)
@@ -617,9 +618,10 @@ object Media {
       bytes.foreach(b => hist((b & 0xff) >> 3) += 1)
       val n = bytes.length.toLong
       val permille = hist.map(h => h * 1000L / n)
-      // hex via lookup table (not 256 String.format calls per asset), fed
-      // to MD5 as ASCII bytes — identical to DuckDB md5(substr(hex(b),1,512))
-      val hexDigits = "0123456789ABCDEF".getBytes("US-ASCII")
+      // hex via the hoisted lookup table (not 256 String.format calls per
+      // asset), fed to MD5 as ASCII bytes — identical to DuckDB
+      // md5(substr(hex(b),1,512))
+      val hexDigits = HexDigits
       val pfxLen = math.min(bytes.length, 256)
       val hexAscii = new Array[Byte](pfxLen * 2)
       var i = 0

@@ -798,6 +798,15 @@ object Relational {
       .limit(topK)
   }
 
+  /** Declared default parameters, shared with the SQL oracles (the
+    * compactionPlanSql pattern): one definition site, so tuning a default
+    * re-derives the oracle instead of silently desynchronizing the gate. */
+  val BigSpendersQtyFloor = 250L
+  val BigSpendersTopK = 100
+  val WaitingLateDays = 90
+  val WaitingTopK = 25
+  val LapsedCutoff = "2000-07-01"
+
   /** TPC-H Q18-style LARGE-QUANTITY orders ("big spenders"): aggregate the
     * fact table per order, filter GROUPS on the aggregate (HAVING
     * sum(quantity) > floor), join the qualifying-group frame back to the
@@ -816,15 +825,6 @@ object Relational {
     * broadcasts explicitly; the top-k is TakeOrderedAndProject (no global
     * sort). Quantities and prices are exact integers (units / cents);
     * tie-break pinned (price desc, date, orderkey). */
-  /** Declared default parameters, shared with the SQL oracles (the
-    * compactionPlanSql pattern): one definition site, so tuning a default
-    * re-derives the oracle instead of silently desynchronizing the gate. */
-  val BigSpendersQtyFloor = 250L
-  val BigSpendersTopK = 100
-  val WaitingLateDays = 90
-  val WaitingTopK = 25
-  val LapsedCutoff = "2000-07-01"
-
   def bigSpenders(spark: SparkSession, sfDir: String,
                   qtyFloor: Long = BigSpendersQtyFloor,
                   topK: Int = BigSpendersTopK): DataFrame = {
@@ -1084,12 +1084,14 @@ object Relational {
       .select(col("l_partkey"), revE4.as("rev_e4"))
       .join(broadcast(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type"))),
             col("l_partkey") === col("p_partkey"))
-      .agg(sum(when(col("p_type") === partType, col("rev_e4")).otherwise(0L))
-             .as("promo_rev_e4"),
+      .agg(coalesce(sum(when(col("p_type") === partType, col("rev_e4")).otherwise(0L)),
+             lit(0L)).as("promo_rev_e4"),
            coalesce(sum("rev_e4"), lit(0L)).as("total_rev_e4"))
       .select(col("promo_rev_e4"), col("total_rev_e4"),
-        (duckRound(lit(100.0) * col("promo_rev_e4").cast("double") /
-                   col("total_rev_e4").cast("double"), 4) + lit(0.0)).as("promo_pct"))
+        // empty-window guard mirrored in the oracle: 0-revenue month → 0%
+        (when(col("total_rev_e4") === 0L, lit(0.0))
+          .otherwise(duckRound(lit(100.0) * col("promo_rev_e4").cast("double") /
+                     col("total_rev_e4").cast("double"), 4)) + lit(0.0)).as("promo_pct"))
 
   /** TPC-H Q17-style SMALL-ORDER revenue: for one brand's parts, the
     * lines whose quantity is below 20% of that PART's average quantity —
@@ -1156,8 +1158,12 @@ object Relational {
         col("qty").between(lo, hi)
     }.reduce(_ || _)
     Tables.lineitem(spark, sfDir)
-      .filter(col("l_quantity") >= qtyLo.toDouble &&
-              col("l_quantity") <= qtyHi.toDouble)
+      // derived scan envelope in RAW units, widened by the rounding
+      // half-width so it stays an implication of the rounded bracket
+      // test below even on fractional quantities (integral in the driver
+      // data, where this is exactly [lo, hi])
+      .filter(col("l_quantity") >= qtyLo.toDouble - 0.5 &&
+              col("l_quantity") < qtyHi.toDouble + 0.5)
       .select(col("l_partkey"),
               round(col("l_quantity")).cast("bigint").as("qty"),
               revE4.as("rev_e4"))
@@ -1380,14 +1386,10 @@ object Relational {
       .groupBy("pos").agg(sum("cell").as("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cell")))),
                      s => s.getField("cell")).as("grid"))
-    val est = least((0 until depth).map { i =>
-      element_at(col("grid"), lit(i * width) +
-        call_function("graft_cms_bucket", col("uid"), lit(i), lit(width)) + lit(1))
-    }: _*)
-    ev.groupBy("uid").agg(count(lit(1)).as("exact_count"))
-      .orderBy(col("exact_count").desc, col("uid").asc).limit(topn)
-      .crossJoin(broadcast(merged))
-      .select(col("uid"), col("exact_count"), est.as("est_count"))
-      .orderBy(col("exact_count").desc, col("uid").asc)
+    // probe read-out via the shared CMS reader (TextAnalysis.cmsEstimates):
+    // the salt convention and 1-based cell offset live in one place
+    TextAnalysis.cmsEstimates(
+      ev.groupBy("uid").agg(count(lit(1)).as("exact_count")),
+      merged, depth, width, topn, keyCol = "uid")
   }
 }

@@ -602,15 +602,19 @@ object TextAnalysis {
     * estimate read back through the SAME salted hash the build used
     * (`graft_cms_bucket`), min over the word's `depth` cells. */
   private[graft] def cmsEstimates(wc: DataFrame, grid: DataFrame,
-                                  depth: Int, width: Int, topn: Int): DataFrame = {
+                                  depth: Int, width: Int, topn: Int,
+                                  keyCol: String = "word"): DataFrame = {
+    // the ONE probe-side reader for every CMS consumer (freq_sketch's
+    // words, freq_rollup's users): the +1 element_at offset and the salt
+    // convention live here only, so the readers cannot diverge
     val est = least((0 until depth).map { i =>
       element_at(col("grid"), lit(i * width) +
-        call_function("graft_cms_bucket", col("word"), lit(i), lit(width)) + lit(1))
+        call_function("graft_cms_bucket", col(keyCol), lit(i), lit(width)) + lit(1))
     }: _*)
-    wc.orderBy(col("exact_count").desc, col("word").asc).limit(topn)
+    wc.orderBy(col("exact_count").desc, col(keyCol).asc).limit(topn)
       .crossJoin(broadcast(grid))
-      .select(col("word"), col("exact_count"), est.as("est_count"))
-      .orderBy(col("exact_count").desc, col("word").asc)
+      .select(col(keyCol), col("exact_count"), est.as("est_count"))
+      .orderBy(col("exact_count").desc, col(keyCol).asc)
   }
 
   private[graft] val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")

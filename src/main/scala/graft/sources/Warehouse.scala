@@ -380,7 +380,14 @@ object Warehouse {
       catch { case _: java.io.IOException => now } // vanished → skip sweep
       val sweep = f.getName.startsWith(s"$base.trash-") ||
         now - ownMtime > debrisGraceMs
-      if (sweep && f.exists()) { deleteRecursively(f); swept += 1 }
+      // NOFOLLOW existence too: File.exists() follows symlinks, so a
+      // DANGLING `.lnk-*` (its target version already vacuumed) would
+      // read as absent and leak forever — the link entry itself is what
+      // the sweep must test for.
+      if (sweep && Files.exists(f.toPath,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        deleteRecursively(f); swept += 1
+      }
     }
     VacuumResult(root, kept.length, deleted, swept)
   }

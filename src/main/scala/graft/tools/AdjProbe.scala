@@ -12,7 +12,10 @@ import graft.{Bench, SparkEntry}
   * Usage: runMain graft.tools.AdjProbe <query> [sfDir] */
 object AdjProbe {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: AdjProbe <query> [sfDir]")
     val name = args(0)
+    require(SparkEntry.queries.contains(name),
+      s"unknown query '$name' — declared: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Bench.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")

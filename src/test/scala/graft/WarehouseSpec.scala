@@ -355,6 +355,22 @@ class WarehouseSpec extends SparkSpecBase {
     assert(Files.isDirectory(freshTmp), "in-grace tmp build must survive")
   }
 
+  test("vacuumVersionedRoot: a DANGLING .lnk (target already vacuumed) is swept, not leaked") {
+    import java.nio.file.{Files, LinkOption, Paths}
+    val dir = Files.createTempDirectory("graft_vac")
+    val root = stageFakeRoot(dir, Seq("aaa"), live = "aaa")
+    // crashed-flip debris pointing at a version dir that no longer exists:
+    // File.exists() follows the link and reads false, which would skip the
+    // sweep forever — the NOFOLLOW existence check is what catches it
+    val dangling = Paths.get(s"$root.lnk-dangling")
+    Files.createSymbolicLink(dangling, Paths.get(s"$root.vgone"))
+    val res = Warehouse.vacuumVersionedRoot(root, keep = 0, debrisGraceMs = -1L)
+    assert(res.sweptDebris === 1, s"dangling link must be swept: $res")
+    assert(!Files.exists(dangling, LinkOption.NOFOLLOW_LINKS),
+      "the dangling .lnk entry itself must be gone")
+    assert(Files.exists(Paths.get(s"$root.vaaa/payload.bin")), "live data intact")
+  }
+
   test("vacuumVersionedRoot: a FRESH .lnk whose TARGET is old survives grace (NOFOLLOW mtime)") {
     import java.nio.file.{Files, Paths}
     // the mid-flip race: Media.ensureVersioned reuses an hours-old staged
