@@ -208,6 +208,7 @@ object SparkEntry {
     "hits_scores" -> ((s, d) => Ranking.hitsScores(s, d)),
     "kcore" -> ((s, d) => Ranking.kcore(s, d)),
     "triangle_participation" -> ((s, d) => Ranking.trianglesPerNode(s, d)),
+    "seed_hops" -> ((s, d) => Ranking.seedHops(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
@@ -1704,6 +1705,29 @@ object SparkEntry {
         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
         |SELECT doc_id, community_id, count(*) OVER (PARTITION BY community_id) AS community_size
         |FROM lbl ORDER BY doc_id""".stripMargin,
+    // seed_hops: min directed hop distance from the curated-seed class
+    // (doc_id % SeedHopsSeedMod = 0) within the declared horizon, -1
+    // beyond it. The oracle deliberately enumerates ALL bounded walks
+    // through the recursive CTE (UNION dedups (v, hops) states) and takes
+    // min(hops) — the textbook distance query — so the engine's frontier
+    // rewrite (each vertex expanded at most once, anti-joined against the
+    // settled set) is differentially proven distance-exact. Parameters
+    // come from the Ranking constants (one definition site).
+    "seed_hops" ->
+      s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0),
+        |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM t WHERE src <> dst),
+        |walk AS (SELECT doc_id AS v, 0 AS hops FROM documents
+        |    WHERE doc_id % ${Ranking.SeedHopsSeedMod} = 0
+        |  UNION
+        |  SELECT e.dst, walk.hops + 1 FROM walk JOIN ed e ON e.src = walk.v
+        |  WHERE walk.hops < ${Ranking.SeedHopsMaxHops}),
+        |d AS (SELECT v, min(hops) AS hops FROM walk GROUP BY v)
+        |SELECT dc.doc_id, CAST(COALESCE(d.hops, -1) AS BIGINT) AS hops
+        |FROM documents dc LEFT JOIN d ON d.v = dc.doc_id
+        |ORDER BY dc.doc_id""".stripMargin,
     // cocitation: pairs of documents cited by the same citers — pair
     // generation from the citing side (out-degree-bounded), in-degrees
     // joined after the (a, b) collapse, deterministic top-50.

@@ -639,6 +639,84 @@ object Ranking {
       .limit(k)
   }
 
+  /** Declared `seed_hops` parameters, shared with the SQL oracle (the
+    * compactionPlanSql discipline — one definition site, so tuning a
+    * default re-derives the oracle instead of desynchronizing the gate).
+    * Seeds = `doc_id % SeedHopsSeedMod == 0` (~1% of the corpus, id 0
+    * always a seed so the op never degenerates to all-unreached), and the
+    * propagation horizon is [[SeedHopsMaxHops]] hops. */
+  val SeedHopsSeedMod = 97L
+  val SeedHopsMaxHops = 4
+
+  /** CURATED-SEED HOP DISTANCE (the TrustRank propagation skeleton —
+    * Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004) — the graph family's
+    * REACHABILITY member, the shape none of the others cover:
+    * [[linkRank]] scores global importance, [[kcoreFrom]] isolates
+    * density, [[linkCommunitiesFrom]] labels undirected connectivity —
+    * none answers "how many clicks from a CURATED page is this document?"
+    * — the crawl-curation signal quality pipelines weight by (content
+    * linked from vetted seeds inherits trust that decays with distance;
+    * pages unreachable within the horizon are the spam-farm suspects).
+    * Output per document: `hops` = min directed-hop distance from any
+    * seed (0 = seed itself), or −1 beyond the [[SeedHopsMaxHops]] horizon.
+    *
+    * The semantics are DECLARED as the frontier rewrite: round r joins
+    * only the round-(r−1) FRONTIER against the edge list (vertex-keyed
+    * equi-join) and anti-joins the settled set, so every vertex is
+    * expanded AT MOST ONCE across all rounds — total join work is bounded
+    * by one pass over the edge set regardless of horizon, and per-round
+    * state is vertex-mass, never walk-mass. The DuckDB oracle instead
+    * enumerates ALL bounded walks through a recursive CTE and takes
+    * min(hops) — the textbook form whose intermediate blows up with
+    * density — so the differential proves the frontier rewrite computes
+    * the same distances (the interval_join / waiting_suppliers
+    * discipline for declared rewrites). BFS min-distance is confluent:
+    * frontier order and partitioning cannot change any label
+    * (integer-exact, no floats anywhere).
+    *
+    * 100 TB: edges materialize once (checkpointed) and every round
+    * re-reads that one artifact; lineage is truncated per round via
+    * [[graft.operators.Dedup.RoundCheckpointer]] (the
+    * connectedComponents discipline — an untruncated plan would nest R
+    * joins deep); the per-round `isEmpty` early-exit reads one boolean
+    * action on the already-checkpointed frontier, not a collect of it;
+    * fan-out per round is bounded by out-degree (a crawl-policy constant,
+    * ≤3 here by construction), never by in-degree. */
+  def seedHops(spark: SparkSession, sfDir: String,
+               maxHops: Int = SeedHopsMaxHops): DataFrame =
+    seedHopsFrom(Tables.documents(spark, sfDir).select("doc_id"), maxHops)
+
+  /** [[seedHops]] over an explicit `(doc_id)` frame: the [[linkRankFrom]]
+    * affine edge derivation. */
+  def seedHopsFrom(docs: DataFrame, maxHops: Int = SeedHopsMaxHops): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "seedHopsFrom: empty corpus")
+    require(maxHops >= 0, s"seedHopsFrom: negative horizon $maxHops")
+    val ckpt = new graft.operators.Dedup.RoundCheckpointer(docs.sparkSession)
+    val edges = ckpt(affineEdges(docs, n))
+    var dist = ckpt(docs.filter(col("doc_id") % SeedHopsSeedMod === 0)
+      .select(col("doc_id").as("v"), lit(0L).as("hops")))
+    var frontier = dist
+    var r = 1
+    var exhausted = frontier.isEmpty
+    while (r <= maxHops && !exhausted) {
+      // expand the frontier one hop, keep only first-time vertices: the
+      // distinct collapses multi-inlink duplicates BEFORE the anti-join
+      // so the settled-set probe sees each candidate once
+      val next = ckpt(frontier.join(edges, col("v") === col("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(dist, Seq("v"), "left_anti")
+        .select(col("v"), lit(r.toLong).as("hops")))
+      exhausted = next.isEmpty
+      dist = ckpt(dist.unionByName(next))
+      frontier = next
+      r += 1
+    }
+    docs.join(dist, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), coalesce(col("hops"), lit(-1L)).as("hops"))
+      .orderBy("doc_id")
+  }
+
   /** HYBRID retrieval — BM25 lexical candidates and hashed-embedding
     * semantic candidates fused by Reciprocal Rank Fusion
     * (Cormack/Clarke/Büttcher, SIGIR'09: score = Σ 1/(rrfK + rank)), the

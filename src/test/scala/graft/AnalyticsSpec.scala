@@ -1124,6 +1124,56 @@ class AnalyticsSpec extends SparkSpecBase {
       "peel must actually cascade over multiple rounds")
   }
 
+  test("seed_hops equals a scalar shortest-path replay; horizon, invariance, plan") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    // independent reference: full Bellman-Ford relaxation to the true
+    // shortest distances (a structurally DIFFERENT algorithm from the
+    // engine's frontier BFS), then the horizon clamp applied after the
+    // fact — distances beyond maxHops read -1 by definition
+    def scalarHops(n: Long, maxHops: Int): Map[Long, Long] = {
+      val INF = Long.MaxValue
+      val adj = (0L until n).map { i =>
+        val ds = Seq((i * 7 + 3) % n, (i * 13 + 5) % n) ++
+          (if (i % 3 == 0) Seq((i * 31 + 11) % n) else Seq())
+        i -> ds.filter(_ != i).distinct
+      }.toMap
+      val d = scala.collection.mutable.Map((0L until n).map(v =>
+        v -> (if (v % Ranking.SeedHopsSeedMod == 0) 0L else INF)): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((u, vs) <- adj; v <- vs)
+          if (d(u) != INF && d(u) + 1 < d(v)) { d(v) = d(u) + 1; changed = true }
+      }
+      (0L until n).map(v => v -> (if (d(v) > maxHops) -1L else d(v))).toMap
+    }
+    val n = 200L
+    val docs = (0L until n).toDF("doc_id")
+    for (h <- Seq(0, 1, Ranking.SeedHopsMaxHops)) {
+      val got = Ranking.seedHopsFrom(docs, h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === scalarHops(n, h), s"horizon $h diverged from the replay")
+    }
+    // partitioning invariance: frontier rounds must not depend on layout
+    val base = Ranking.seedHopsFrom(docs).collect().toSeq
+    assert(Ranking.seedHopsFrom(docs.repartition(7)).collect().toSeq === base)
+    // seeds label 0, everything else is a positive hop or -1
+    val real = Ranking.seedHops(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(real.filter(_._2 == 0L).map(_._1).toSet ===
+      real.map(_._1).filter(_ % Ranking.SeedHopsSeedMod == 0).toSet,
+      "hops = 0 must be exactly the seed class")
+    assert(real.forall { case (_, h) => h >= -1L && h <= Ranking.SeedHopsMaxHops })
+    assert(real.exists(_._2 > 0L), "fixture must actually propagate")
+    // plan: every round is a vertex-keyed equi-join, never a nested loop
+    val plan = Ranking.seedHops(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"seed_hops joins must stay equi-keyed:\n$plan")
+  }
+
   test("gapFill: absent buckets materialize as zero rows, grid is dense") {
     import spark.implicits._
     val hr = 3600000000L
