@@ -283,12 +283,14 @@ object SparkEntry {
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     "media_near_dup" -> ((s, d) => Media.mediaNearDup(s, d)),
     "media_dup_padded" -> ((s, d) => Media.mediaDupPadded(s, d)),
+    "media_dup_encoded" -> ((s, d) => Media.mediaDupEncoded(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
     "stream_media_packed" -> ((s, d) => graft.streaming.EventStreams.streamMediaPackedQuery(s, d)),
     "stream_quota_ingest" -> ((s, d) => graft.streaming.EventStreams.streamQuotaIngestQuery(s, d)),
     "stream_kanon" -> ((s, d) => graft.streaming.EventStreams.streamKanonQuery(s, d)),
+    "stream_noised_release" -> ((s, d) => graft.streaming.EventStreams.streamNoisedReleaseQuery(s, d)),
   )
 
   /** The KMV distinct-count oracle, shared by the batch and streaming
@@ -3605,6 +3607,33 @@ object SparkEntry {
         |SELECT doc_id, lang, source, CAST(cell_seen AS BIGINT) AS cell_seen,
         |  CASE WHEN cell_seen >= ${graft.streaming.EventStreams.KanonK} THEN 1 ELSE 0 END AS admitted
         |FROM d ORDER BY doc_id""".stripMargin,
+    // stream_noised_release: per cell, the cumulative count released with
+    // a FRESH seeded noise draw at each epoch the cell received docs —
+    // epochs are the doc_id mod-class drop files of the bounded replay,
+    // release ordinals number the cell's non-empty epochs consecutively,
+    // and the noise replays bit-for-bit with the release ordinal rotated
+    // into the hash input (the batch noised_release formula).
+    "stream_noised_release" ->
+      s"""WITH seg AS (SELECT lang, source,
+        |    CAST(doc_id % ${graft.streaming.EventStreams.NoisedReleaseEpochs} AS BIGINT) AS ep
+        |  FROM documents),
+        |per AS (SELECT lang, source, ep, count(*) AS c FROM seg GROUP BY 1, 2, 3),
+        |cum AS (SELECT lang, source, ep,
+        |    CAST(sum(c) OVER w AS BIGINT) AS n,
+        |    CAST(row_number() OVER w AS BIGINT) AS release_idx
+        |  FROM per WINDOW w AS (PARTITION BY lang, source ORDER BY ep)),
+        |h AS (SELECT lang, source, release_idx, n,
+        |    CAST(md5_number_lower(lang || ':' || source || ':' || CAST(release_idx AS VARCHAR))
+        |         % 9223372036854775808 AS BIGINT) AS hv
+        |  FROM cum),
+        |g AS (SELECT lang, source, release_idx, n,
+        |    CASE WHEN (hv & 1) = 1 THEN 1 ELSE -1 END AS s,
+        |    LEAST(bit_count(((hv >> 1) & -(hv >> 1)) - 1), ${TextAnalysis.NoisedReleaseCap}) AS mag
+        |  FROM h)
+        |SELECT lang, source, release_idx,
+        |  CAST(GREATEST(n + s * mag, 0) AS BIGINT) AS noisy_n,
+        |  CASE WHEN GREATEST(n + s * mag, 0) >= ${TextAnalysis.NoisedReleaseK} THEN 1 ELSE 0 END AS released
+        |FROM g ORDER BY lang, source, release_idx""".stripMargin,
     // stream_media_ingest: the same stateless catalog over the DROP
     // staging root (delta shard only) — read_blob replays those files.
     "stream_media_ingest" -> mediaFilesScanSql(graft.multimodal.Media.DropFilesRoot),
@@ -3688,7 +3717,59 @@ object SparkEntry {
         |      LEFT JOIN p pb ON pb.media_id = pr.idb AND pb.bin = t.bin
         |      GROUP BY pr.ida, pr.idb, pr.container)
         |SELECT ida AS canonical_id, idb AS dup_id, container, CAST(l1p AS BIGINT) AS l1p
-        |FROM d WHERE l1p <= 250
+        |FROM d WHERE l1p <= ${graft.multimodal.Media.PermilleL1Max}
+        |ORDER BY canonical_id, dup_id""".stripMargin,
+    // media_dup_encoded: full metric replay over the re-encoded universe —
+    // per-byte md5 hashes → Karp–Rabin 8-byte rolling k-grams →
+    // rightmost-min winnow selection (the winnow_fingerprints chain, over
+    // BYTES) → hot filter → ≥2-shared-fp pair join → same container +
+    // permille-L1 verify. Every constant (root, k, w, hot cap, min shared,
+    // L1 ceiling) interpolates from the Media definitions.
+    "media_dup_encoded" ->
+      s"""WITH f AS (SELECT CAST(regexp_extract(filename, 'asset_(\\d+)\\.bin', 1) AS BIGINT) AS media_id,
+        |             octet_length(content) AS n, hex(content) AS hx
+        |      FROM read_blob('${graft.multimodal.Media.EncodedFilesRoot}/asset_*.bin')),
+        |c AS (SELECT media_id, n, hx,
+        |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+        |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+        |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+        |             ELSE 'unknown' END AS container
+        |      FROM f),
+        |u AS (SELECT media_id, n, hx, unnest(range(0, n)) AS i FROM c),
+        |b AS (SELECT media_id, n, i,
+        |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+        |        + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1 AS byte,
+        |        CAST(md5_number_lower(substr(hx, CAST(2*i+1 AS INTEGER), 2)) % 4294967296 AS BIGINT) AS hb
+        |      FROM u),
+        |hh AS (SELECT media_id, list(hb ORDER BY i) AS hs FROM b GROUP BY media_id),
+        |ck AS (SELECT media_id, CASE WHEN len(hs) >= ${graft.multimodal.Media.EncodedWinnowK}
+        |        THEN list_transform(range(1, len(hs) - ${graft.multimodal.Media.EncodedWinnowK - 2}), i ->
+        |          list_reduce(hs[i:i+${graft.multimodal.Media.EncodedWinnowK - 1}], (a, bb) -> (a * 1000003 + bb) % 4294967296))
+        |        ELSE CAST([] AS BIGINT[]) END AS ch FROM hh),
+        |sel AS (SELECT media_id, ch, CASE WHEN len(ch) >= ${graft.multimodal.Media.EncodedWinnowW}
+        |        THEN list_distinct(list_transform(range(1, len(ch) - ${graft.multimodal.Media.EncodedWinnowW - 2}), i ->
+        |          i + list_max(list_filter(range(0, ${graft.multimodal.Media.EncodedWinnowW}), j ->
+        |            ch[i+j] = list_min(ch[i:i+${graft.multimodal.Media.EncodedWinnowW - 1}])))))
+        |        ELSE CAST([] AS BIGINT[]) END AS ps FROM ck),
+        |fp AS (SELECT DISTINCT media_id, unnest(list_transform(ps, p -> ch[p])) AS fp FROM sel),
+        |hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= ${graft.multimodal.Media.EncodedHotCap}),
+        |cold AS (SELECT fp.media_id, fp.fp FROM fp JOIN hot USING (fp)),
+        |cand AS (SELECT x.media_id AS ida, y.media_id AS idb, CAST(count(*) AS BIGINT) AS n_shared
+        |         FROM cold x JOIN cold y ON x.fp = y.fp AND x.media_id < y.media_id
+        |         GROUP BY 1, 2 HAVING count(*) >= ${graft.multimodal.Media.EncodedMinShared}),
+        |hg AS (SELECT media_id, byte // 8 AS bin, (count(*) * 1000) // min(n) AS pm
+        |       FROM b GROUP BY media_id, byte // 8),
+        |d AS (SELECT cand.ida, cand.idb, cand.n_shared,
+        |        COALESCE(sum(abs(COALESCE(pa.pm, 0) - COALESCE(pb.pm, 0))), 0) AS l1p
+        |      FROM cand CROSS JOIN range(32) t(bin)
+        |      LEFT JOIN hg pa ON pa.media_id = cand.ida AND pa.bin = t.bin
+        |      LEFT JOIN hg pb ON pb.media_id = cand.idb AND pb.bin = t.bin
+        |      GROUP BY 1, 2, 3)
+        |SELECT d.ida AS canonical_id, d.idb AS dup_id, ca.container, d.n_shared,
+        |       CAST(d.l1p AS BIGINT) AS l1p
+        |FROM d JOIN c ca ON ca.media_id = d.ida JOIN c cb ON cb.media_id = d.idb
+        |WHERE ca.container = cb.container AND d.l1p <= ${graft.multimodal.Media.PermilleL1Max}
         |ORDER BY canonical_id, dup_id""".stripMargin,
     "media_dedup" ->
       """WITH m AS (SELECT doc_id AS canonical_id,

@@ -657,7 +657,7 @@ object Media {
               aggregate(zip_with(col("a.permille"), col("b.permille"),
                                  (x, y) => abs(x - y)),
                         lit(0L), (acc, v) => acc + v).as("l1p"))
-      .filter(col("l1p") <= 250L)
+      .filter(col("l1p") <= PermilleL1Max)
       .select("canonical_id", "dup_id", "container", "l1p")
       .orderBy("canonical_id", "dup_id")
   }
@@ -681,6 +681,199 @@ object Media {
     val files = spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
     paddedDupFromFeatures(paddedDupFeatures(files))
+  }
+
+  /** Asset stream with deterministic RE-ENCODED copies — the third planted
+    * copy class, the one BOTH existing catchers are structurally blind to:
+    * every doc with `media_id % 13 == 11` (disjoint from the bit-perturbed
+    * `== 6` and padded `== 8` classes) and a payload ≥ 512 bytes is
+    * re-uploaded with every 101st payload byte FROM OFFSET 64 dropped — a
+    * transcode/re-compression stand-in whose bytes shift THROUGHOUT the
+    * file: the size changes (so [[mediaNearDup]]'s (container, n_bytes)
+    * block can never pair it) AND the 256-byte prefix changes (so
+    * [[mediaDupPadded]]'s prefix-digest block can't either). Offset 64
+    * keeps every container magic intact, so the sniff still types the
+    * copy. Shorter qualifying payloads re-upload byte-identical. */
+  def assetsWithEncodedReuploads(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val mx = graft.sources.Tables.documents(spark, sfDir)
+      .agg(max("doc_id")).as[Long].head()
+    assetsFromDocuments(spark, sfDir).flatMap { a =>
+      if (a.media_id % 13 == 11) {
+        val p = if (a.payload.length >= 512) {
+          val out = new Array[Byte](a.payload.length)
+          var i = 0; var o = 0
+          while (i < a.payload.length) {
+            if (!(i >= 64 && (i - 64) % 101 == 0)) { out(o) = a.payload(i); o += 1 }
+            i += 1
+          }
+          java.util.Arrays.copyOf(out, o)
+        } else a.payload
+        Seq(a, a.copy(media_id = a.media_id + mx, payload = p))
+      } else Seq(a)
+    }
+  }
+
+  /** Per-byte hash table for the byte-level winnow — the repo's
+    * `md5_number_lower mod 2³²` convention applied to each byte's 2-char
+    * UPPERCASE hex string (exactly `md5_number_lower(substr(hex(b),
+    * 2i+1, 2))` in DuckDB, so the whole chain replays in SQL). 256
+    * entries, built once per JVM. */
+  private lazy val ByteHash: Array[Long] = Array.tabulate(256) { v =>
+    import graft.functions.expressions.ChunkKernel.Mod
+    val h = graft.operators.TextAnalysis.md5Low64(f"$v%02X") % Mod
+    if (h < 0) h + Mod else h
+  }
+
+  /** Byte-level WINNOWING (the [[graft.functions.expressions.WinnowKernel]]
+    * selection applied to the payload byte stream): Karp–Rabin `k`-byte
+    * rolling hashes, rightmost-min selection over windows of `w` hashes,
+    * distinct selected VALUES returned. Winnowing's locality guarantee
+    * transfers verbatim: any byte run of ≥ k + w − 1 unchanged CONSECUTIVE
+    * bytes shared by two payloads contributes at least one common
+    * fingerprint to both — which is what makes a content-shifted copy
+    * (bytes dropped/inserted throughout) findable by equi-join when no
+    * whole-payload digest, size, or prefix survives the edit. */
+  private[graft] def byteWinnow(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
+    import graft.functions.expressions.ChunkKernel.{Base, Mod}
+    val nb = bytes.length
+    if (nb < k + w - 1) return Array.emptyLongArray
+    val m = nb - k + 1
+    val ch = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L; var j = 0
+      while (j < k) { h = (h * Base + ByteHash(bytes(i + j) & 0xff)) % Mod; j += 1 }
+      ch(i) = h; i += 1
+    }
+    val sel = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var lastPos = -1
+    i = 0
+    val lastWin = m - w
+    while (i <= lastWin) {
+      var p = i; var mn = ch(i); var j = i + 1
+      while (j < i + w) {
+        if (ch(j) <= mn) { mn = ch(j); p = j } // <= keeps the RIGHTMOST min
+        j += 1
+      }
+      if (p != lastPos) { sel += mn; lastPos = p }
+      i += 1
+    }
+    sel.toArray
+  }
+
+  /** Declared `media_dup_encoded` parameters, shared with the SQL oracle
+    * (one definition site). k/w mirror the text winnow defaults; the hot
+    * cap bounds any fingerprint's join fan-out (a fingerprint found in
+    * more assets than this is boilerplate — container padding, zero runs —
+    * and generates hotCap² candidate pairs at most); minShared = 4 is the
+    * planted-copy floor — the drop edit leaves one clean 100-byte run per
+    * ~101 payload bytes, each long enough (≥ k + w − 1) for winnowing's
+    * guarantee to yield a shared fingerprint, so a ≥512-byte plant shares
+    * ≥4 runs' worth — while pairs that merely share a sentence or two of
+    * text sit at 2–3; the permille-L1 ceiling is the padded-copy verify
+    * bound, size-normalized so it compares across the changed lengths.
+    * For TEXT-homogeneous payloads the distribution verify is weak (all
+    * same-language text has nearly the same byte histogram), so the
+    * fingerprint count is the active discriminator — pairs that pass BOTH
+    * share substantial literal byte runs, which on this corpus includes
+    * its genuinely duplicated document texts (correct detections, oracle-
+    * confirmed), not just the planted re-encodes. */
+  private[graft] val EncodedWinnowK = 8
+  private[graft] val EncodedWinnowW = 4
+  private[graft] val EncodedHotCap = 8L
+  private[graft] val EncodedMinShared = 4L
+  private[graft] val PermilleL1Max = 250L
+
+  /** Features for the re-encode catcher: id, container, byte length, the
+    * byte-winnow fingerprint set and the integer PERMILLE histogram (the
+    * [[paddedDupFeatures]] size-normalized feature). One streamed pass;
+    * payloads never shuffle — ~n/((w+1)/2) fingerprints + 32 longs per
+    * asset do. */
+  private[graft] def encodedDupFeatures(files: Dataset[(String, Array[Byte])]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.map { case (path, bytes) =>
+      val hist = new Array[Long](32)
+      bytes.foreach(b => hist((b & 0xff) >> 3) += 1)
+      val n = bytes.length.toLong
+      val permille = hist.map(h => h * 1000L / n)
+      (assetIdOf(path), HeaderDecoder.sniffContainer(bytes), n,
+       byteWinnow(bytes, EncodedWinnowK, EncodedWinnowW).toSeq, permille.toSeq)
+    }.toDF("media_id", "container", "n_bytes", "fps", "permille")
+  }
+
+  /** The re-encode pair core (spec entry point): candidates share ≥
+    * `minShared` cold winnow fingerprints (fingerprints in > `hotCap`
+    * assets are dropped first — the MOSS boilerplate rule, which is ALSO
+    * the skew bound: every surviving fingerprint's bucket is ≤ hotCap, so
+    * pair fan-out per key is ≤ hotCap² by construction, never quadratic in
+    * anything corpus-shaped); verification is same-container + integer
+    * permille-L1 ≤ [[PermilleL1Max]].
+    *
+    * Planted-pair bound: the drop edit removes ⌈(n−64)/101⌉ ≈ n/101
+    * bytes, leaving clean runs of 100 consecutive unchanged bytes between
+    * edits — each run ≥ k + w − 1 = 11 bytes long, so winnowing's
+    * guarantee yields one shared fingerprint PER RUN (≥ 4 at the 512-byte
+    * floor ≥ minShared), and the permille mass moved is ≤ ~2000/101 + 64
+    * integer-division slack ≈ 84 ≪ 250 — while an unrelated same-container
+    * asset that happens to share two fingerprints (an 11-byte common
+    * passage) still diverges in total byte distribution and fails the L1
+    * verify. */
+  private[graft] def encodedDupFromFeatures(feats: DataFrame): DataFrame = {
+    val postings = feats
+      .select(col("media_id"), explode(col("fps")).as("fp"))
+      .distinct()
+    val hot = postings.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > EncodedHotCap).select("fp")
+    val cold = postings.join(hot, Seq("fp"), "left_anti")
+    val cand = cold.as("x")
+      .join(cold.as("y"),
+        col("x.fp") === col("y.fp") && col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("ida"), col("y.media_id").as("idb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= EncodedMinShared)
+    val side = feats.select(col("media_id"), col("container"), col("permille"))
+    cand
+      .join(side.select(col("media_id").as("ida"), col("container").as("ca"),
+                        col("permille").as("pa")), Seq("ida"))
+      .join(side.select(col("media_id").as("idb"), col("container").as("cb"),
+                        col("permille").as("pb")), Seq("idb"))
+      .filter(col("ca") === col("cb"))
+      .select(col("ida").as("canonical_id"), col("idb").as("dup_id"),
+              col("ca").as("container"), col("n_shared"),
+              aggregate(zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
+                        lit(0L), (acc, v) => acc + v).as("l1p"))
+      .filter(col("l1p") <= PermilleL1Max)
+      .select("canonical_id", "dup_id", "container", "n_shared", "l1p")
+      .orderBy("canonical_id", "dup_id")
+  }
+
+  /** Driver-verified: RE-ENCODE dedup — completes the copy-class triad:
+    * [[mediaNearDup]] catches size-PRESERVING perturbations (blocked on
+    * exact size), [[mediaDupPadded]] catches trailer-appends (blocked on
+    * the prefix digest), and this op catches the copy whose bytes shifted
+    * THROUGHOUT (transcode, re-compression, byte-level re-encode) — no
+    * digest, size, or prefix survives, so the block key must come from the
+    * CONTENT itself: byte-level winnow fingerprints, whose locality
+    * guarantee makes any preserved ≥11-byte run discoverable by equi-join.
+    *
+    * 100 TB: one streamed feature pass (payloads never leave the scan;
+    * ~2/(w+1)·n fingerprints + 32 longs per asset shuffle); the postings
+    * self-join's fan-out is capped at hotCap² PER KEY by the boilerplate
+    * filter — the same bound `winnow_matches` ships — so candidate volume
+    * tracks true-copy counts plus genuine shared passages, never corpus²;
+    * the permille verify is a codegen'd 32-element fold per candidate.
+    * Oracle: DuckDB `read_blob` over the same staged files replays the
+    * byte-hash → rolling k-gram → rightmost-min winnow → hot filter →
+    * pair join → permille-L1 chain end to end (every constant shared with
+    * this definition), so the whole metric is hash-proven, not
+    * rows-only. */
+  def mediaDupEncoded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensureEncodedFiles(spark, sfDir)
+    val files = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    encodedDupFromFeatures(encodedDupFeatures(files))
   }
 
   /** Per-kind rollup over decoded metadata. */
@@ -751,6 +944,18 @@ object Media {
   def ensurePaddedFiles(spark: SparkSession, sfDir: String): String =
     stageAssetFiles(spark, sfDir, PaddedFilesRoot, assetsWithPaddedReuploads,
                     defTag = "-pad37v1")
+
+  /** Root for the RE-ENCODED-copy universe ([[ensureEncodedFiles]]) — the
+    * corpus plus byte-dropped re-uploads, for [[mediaDupEncoded]]. */
+  private[graft] val EncodedFilesRoot = "/tmp/graft_media_encoded"
+
+  /** Stage the re-encoded-copy universe. Definition-tagged like
+    * [[ensurePaddedFiles]]: a generator change must bump the tag or a warm
+    * machine reuses the stale universe and the planted-pair specs gate the
+    * wrong plant. */
+  def ensureEncodedFiles(spark: SparkSession, sfDir: String): String =
+    stageAssetFiles(spark, sfDir, EncodedFilesRoot, assetsWithEncodedReuploads,
+                    defTag = "-drop101v1")
 
   /** Concurrent-safe staging: each corpus fingerprint builds into its OWN
     * immutable versioned directory (`<root>.v<fp>` — built under a temp

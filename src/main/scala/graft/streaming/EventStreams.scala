@@ -1350,6 +1350,114 @@ object EventStreams {
     }
   }
 
+  final case class NoisedIn(lang: String, source: String, doc_id: Long)
+  final case class NrState(n: Long, rel: Long)
+  final case class NoisedOut(lang: String, source: String, release_idx: Long,
+                             noisy_n: Long, released: Int)
+
+  /** Per-cell (cumulative count, release ordinal) for
+    * [[streamNoisedReleaseQuery]] — the [[KanonProcessor]] state shape
+    * plus the ordinal that seeds each release's fresh noise draw. */
+  class NoisedReleaseProcessor(k: Int, capMag: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, NoisedIn, NoisedOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[NrState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[NrState]("nr",
+        org.apache.spark.sql.Encoders.product[NrState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[NoisedIn],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[NoisedOut] = {
+      val buf = rows.toArray
+      val prev = if (st.exists()) st.get() else NrState(0L, 0L)
+      val n = prev.n + buf.length
+      val rel = prev.rel + 1
+      st.update(NrState(n, rel))
+      val r0 = buf.head
+      // the per-release noise draw: the batch noisedRelease formula with
+      // the release ordinal rotated into the hash input — a fresh
+      // Geometric(1/2) per epoch, bit-for-bit replayable in SQL
+      val h = graft.operators.TextAnalysis.md5Low64(
+        s"${r0.lang}:${r0.source}:$rel") & Long.MaxValue
+      val sign = if ((h & 1L) == 1L) 1L else -1L
+      val g = h >> 1
+      val mag = math.min(java.lang.Long.bitCount((g & -g) - 1).toLong, capMag.toLong)
+      val noisy = math.max(n + sign * mag, 0L)
+      Iterator.single(NoisedOut(r0.lang, r0.source, rel, noisy,
+                                if (noisy >= k) 1 else 0))
+    }
+  }
+
+  /** Epoch count for the bounded replay of [[streamNoisedReleaseQuery]] —
+    * the documents land in this many mod-class drop files, one per
+    * micro-batch. Shared with the SQL oracle (one definition site). */
+  val NoisedReleaseEpochs = 3
+
+  /** Driver-verified: SEEDED-NOISE cell release AT EACH DROP — the
+    * streaming twin of [[graft.operators.TextAnalysis.noisedRelease]],
+    * completing the release-side privacy family's streaming coverage
+    * ([[streamKanonQuery]] gates per-doc admission; this publishes the
+    * per-cell AGGREGATE view as drops land): after every micro-batch, each
+    * (lang, source) cell that received documents releases its cumulative
+    * count with FRESH two-sided-geometric noise — the release ordinal is
+    * rotated into the noise hash, which is exactly the epoch-rotation
+    * contract the batch op documents and this op demonstrates (the same
+    * cell's draw differs between its releases; a fixed draw would let two
+    * consecutive releases be differenced to the exact delta). The true
+    * count never appears in the output; the size threshold re-applies to
+    * each noisy value. CONTINUAL-OBSERVATION ε-accounting (noise across
+    * epochs composes) is the caller's, as in the batch op.
+    *
+    * The honest streaming trades, declared: a cell releases only at drops
+    * where it RECEIVED documents (absence produces no heartbeat row —
+    * emitting one would itself leak "nothing arrived"), and release
+    * ordinals are per-cell appearance counts, so the bounded replay's
+    * epochs (doc_id mod [[NoisedReleaseEpochs]] drop files, the
+    * [[streamSnapshotDiffQuery]] staging) make the oracle exact: per cell,
+    * cumulative counts over its non-empty epochs, numbered consecutively.
+    * 100 TB: state is |cells| (long, long) pairs; each batch's work is the
+    * arriving rows plus one emission per touched cell — nothing
+    * corpus-sized accumulates. */
+  def streamNoisedReleaseQuery(spark: SparkSession, sfDir: String,
+      k: Int = graft.operators.TextAnalysis.NoisedReleaseK,
+      capMag: Int = graft.operators.TextAnalysis.NoisedReleaseCap): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"), col("doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_noised_stream")
+    dir.toFile.deleteOnExit()
+    for (e <- 0 until NoisedReleaseEpochs)
+      stageStreamFile(docs.filter(col("doc_id") % NoisedReleaseEpochs === e),
+                      dir, s"e$e", (e + 1) * 1000000L)
+    val in = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .as[NoisedIn]
+    noisedReleaseFrom(spark, in, k, capMag)
+  }
+
+  /** [[streamNoisedReleaseQuery]] over an explicit stream — the form the
+    * spec drives with its own staged batches. */
+  private[graft] def noisedReleaseFrom(spark: SparkSession,
+      in: org.apache.spark.sql.Dataset[NoisedIn],
+      k: Int, capMag: Int): DataFrame = {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = in.groupByKey(r => r.lang + "\u0001" + r.source)
+        .transformWithState(new NoisedReleaseProcessor(k, capMag),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      runToCompletion(spark, out.toDF(), "stream_noised", OutputMode.Append())
+        .orderBy("lang", "source", "release_idx")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   final case class Scd2St(lastType: String, fromUs: Long)
   final case class Scd2Out(event_type: String, valid_from_us: Long, valid_to_us: Long)
 

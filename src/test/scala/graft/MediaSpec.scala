@@ -298,6 +298,86 @@ class MediaSpec extends SparkSpecBase {
       s"non-planted pairs must pair originals with originals, got $extras")
   }
 
+  test("mediaDupEncoded: re-encoded copy invisible to BOTH prior blockers, caught by fingerprints") {
+    import spark.implicits._
+    val data = Array.tabulate(2000)(i => ((i * 7) % 256).toByte)
+    val a = Media.encodeWav(data)
+    // replicate the fixture's re-encode: drop every 101st byte from 64
+    val aEnc: Array[Byte] = {
+      val out = new Array[Byte](a.length)
+      var i = 0; var o = 0
+      while (i < a.length) {
+        if (!(i >= 64 && (i - 64) % 101 == 0)) { out(o) = a(i); o += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(out, o)
+    }
+    assert(aEnc.length < a.length, "the edit must change the size")
+    assert(!java.util.Arrays.equals(a.take(256), aEnc.take(256)),
+      "the edit must change the 256-byte prefix (drops start inside it)")
+    // impostor: shares a's first 500 bytes (plenty of winnow runs → blocked
+    // together) but a completely different tail distribution — must be
+    // rejected by the permille verify, not the blocking
+    val impostor: Array[Byte] = a.take(500) ++ Array.fill[Byte](1500)(0x41)
+    // stranger: same container, no shared content at all
+    val stranger = Media.encodeWav(Array.fill(2000)(0x42.toByte))
+    val files = Seq(("asset_00001.bin", a), ("asset_00002.bin", aEnc),
+                    ("asset_00003.bin", impostor), ("asset_00004.bin", stranger)).toDS()
+    // both prior blockers are structurally blind to the re-encode:
+    val sizeBlocked = Media.nearDupFromFeatures(Media.nearDupFeatures(files)).collect()
+      .map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_id"))).toSet
+    assert(!sizeBlocked.contains((1L, 2L)),
+      "size blocking must be blind to a size-changing re-encode")
+    val prefixBlocked = Media.paddedDupFromFeatures(Media.paddedDupFeatures(files)).collect()
+      .map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_id"))).toSet
+    assert(!prefixBlocked.contains((1L, 2L)),
+      "prefix blocking must be blind to an edit inside the prefix")
+    // the fingerprint blocker catches exactly the re-encoded pair — the
+    // shared-prefix impostor is blocked WITH a but fails the L1 verify
+    val got = Media.encodedDupFromFeatures(Media.encodedDupFeatures(files)).collect()
+    assert(got.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_id"))).toSeq
+      === Seq((1L, 2L)), "exactly the re-encoded pair; impostor and stranger rejected")
+    val row = got(0)
+    assert(row.getAs[Long]("n_shared") >= Media.EncodedMinShared,
+      "the clean-run floor must hold on a 2000-byte payload")
+    assert(row.getAs[Long]("l1p") <= Media.PermilleL1Max)
+  }
+
+  test("mediaDupEncoded end-to-end: every planted re-encoded pair caught; extras pair originals") {
+    val out = Media.mediaDupEncoded(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val mx = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val planted = docs.filter(col("doc_id") % 13 === 11).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val pairs = out.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_id"))).toSet
+    // recall = 1 on the planted class: ≥512-byte payloads via the dropped-
+    // byte copy, shorter ones via the byte-identical re-upload (which
+    // shares every fingerprint and sits at l1p = 0)
+    assert(planted.forall(d => pairs.contains((d, d + mx))),
+      "every planted re-encoded re-upload must be recovered")
+    // Unlike the size/prefix blocks, fingerprint blocking sees CONTENT, so
+    // extras legitimately include a text-duplicate original paired with
+    // ANOTHER document's re-encoded copy. The invariant that must hold:
+    // mapped back to their source documents, every extra connects two
+    // DISTINCT documents — the only self-pairs are the planted identity
+    // mappings asserted above.
+    val orig = (x: Long) => if (x > mx) x - mx else x
+    val extras = pairs.filterNot { case (c, d) => d == c + mx && planted(c) }
+    assert(extras.forall { case (c, d) => orig(c) != orig(d) },
+      s"an asset may pair with its own copy only via the planted mapping")
+    // and every extra member that IS a re-upload must come from the
+    // planted class (re-uploads of other classes don't exist in this
+    // universe — a violation means the staging leaked a foreign file)
+    assert(extras.forall { case (c, d) =>
+      (c <= mx || planted(c - mx)) && (d <= mx || planted(d - mx)) })
+    // plan: the postings self-join and both feature joins are equi-keyed
+    val plan = Media.mediaDupEncoded(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"media_dup_encoded joins must stay equi-keyed:\n$plan")
+  }
+
   test("mediaFilesScan: binaryFile ingest sniffs every container from bytes alone") {
     val rows = Media.mediaFilesScan(spark, sf0001).collect()
     val idx = rows.head.schema.fieldNames.zipWithIndex.toMap

@@ -522,6 +522,51 @@ class StreamingSpec extends SparkSpecBase {
       (15L, 1L, 0), (25L, 2L, 0)))  // small cell never admits
   }
 
+  test("stream_noised_release: cumulative counts survive batches; noise redraws per release") {
+    import spark.implicits._
+    // cell (en,web): 3 docs in batch 0, 2 more in batch 1 → releases at
+    // n=3 (rel 1) and n=5 (rel 2) — the second release's count is right
+    // ONLY if state carried; cell (fr,web) appears only in batch 1, so its
+    // FIRST release happens there (rel 1, not 2 — ordinals number the
+    // cell's own non-empty epochs, not global batch ids).
+    val dir = java.nio.file.Files.createTempDirectory("graft_noised_stream_spec")
+    EventStreams.stageStreamFile(
+      Seq(("en", "web", 10L), ("en", "web", 20L), ("en", "web", 30L))
+        .toDF("lang", "source", "doc_id"), dir, "b0", 1000000L)
+    EventStreams.stageStreamFile(
+      Seq(("en", "web", 40L), ("en", "web", 50L), ("fr", "web", 15L))
+        .toDF("lang", "source", "doc_id"), dir, "b1", 2000000L)
+    val in = spark.readStream.schema("lang STRING, source STRING, doc_id LONG")
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .as[EventStreams.NoisedIn]
+    val got = EventStreams.noisedReleaseFrom(spark, in, k = 3, capMag = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // scalar replay of the declared noise formula
+    def release(lang: String, source: String, rel: Long, n: Long): (Long, Int) = {
+      val h = graft.operators.TextAnalysis.md5Low64(s"$lang:$source:$rel") & Long.MaxValue
+      val sign = if ((h & 1L) == 1L) 1L else -1L
+      val g = h >> 1
+      val mag = math.min(java.lang.Long.bitCount((g & -g) - 1).toLong, 16L)
+      val noisy = math.max(n + sign * mag, 0L)
+      (noisy, if (noisy >= 3) 1 else 0)
+    }
+    val en1 = release("en", "web", 1L, 3L); val en2 = release("en", "web", 2L, 5L)
+    val fr1 = release("fr", "web", 1L, 1L)
+    assert(got.toSet === Set(
+      ("en", 1L, en1._1, en1._2), ("en", 2L, en2._1, en2._2),
+      ("fr", 1L, fr1._1, fr1._2)))
+    // the epoch rotation is real: the same cell's two draws must come from
+    // DIFFERENT hash inputs (equal draws can happen by chance for ONE
+    // cell, but the hash inputs differ by construction — assert on the
+    // magnitudes across a spread of rels to catch a frozen-seed regression)
+    val draws = (1L to 8L).map(r => release("en", "web", r, 100L)._1).toSet
+    assert(draws.size > 1, "per-release noise must redraw, not freeze")
+    // the true count never appears: output carries only the noisy value
+    val cols = EventStreams.streamNoisedReleaseQuery(spark, sf0001).columns.toSeq
+    assert(cols === Seq("lang", "source", "release_idx", "noisy_n", "released"))
+  }
+
   test("stream_quota_ingest: the transformWithState budget survives micro-batches") {
     import spark.implicits._
     // batch 0 spends 1500 of source A's 2000-token cap; batch 1's 800-token
