@@ -819,7 +819,14 @@ object Media {
     * asset that happens to share two fingerprints (an 11-byte common
     * passage) still diverges in total byte distribution and fails the L1
     * verify. */
-  private[graft] def encodedDupFromFeatures(feats: DataFrame): DataFrame = {
+  private[graft] def encodedDupFromFeatures(rawFeats: DataFrame): DataFrame = {
+    // materialize the feature pass ONCE (RoundCheckpointer, the house
+    // lineage-truncation tool): three consumers read this frame (postings
+    // + both verify sides), and without truncation each re-runs the
+    // binaryFile scan AND the per-byte fingerprint kernel — measured 3×
+    // the dominant cost for a frame of |assets| × (fps + 32 longs) rows
+    val feats = new graft.operators.Dedup.RoundCheckpointer(
+      rawFeats.sparkSession)(rawFeats)
     val postings = feats
       .select(col("media_id"), explode(col("fps")).as("fp"))
       .distinct()

@@ -1369,12 +1369,17 @@ object EventStreams {
     override def handleInputRows(
         key: String, rows: Iterator[NoisedIn],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[NoisedOut] = {
-      val buf = rows.toArray
+      // only the COUNT matters (no per-row output, no ordering
+      // sensitivity), so stream the iterator — a hot cell's batch slice
+      // never materializes (the KanonProcessor buffers because it emits
+      // per row in doc_id order; this op emits one row per cell)
+      val r0 = rows.next()
+      var batchN = 1L
+      while (rows.hasNext) { rows.next(); batchN += 1 }
       val prev = if (st.exists()) st.get() else NrState(0L, 0L)
-      val n = prev.n + buf.length
+      val n = prev.n + batchN
       val rel = prev.rel + 1
       st.update(NrState(n, rel))
-      val r0 = buf.head
       // the per-release noise draw: the batch noisedRelease formula with
       // the release ordinal rotated into the hash input — a fresh
       // Geometric(1/2) per epoch, bit-for-bit replayable in SQL
