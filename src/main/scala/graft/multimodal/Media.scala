@@ -518,12 +518,26 @@ object Media {
     * form of [[byteHistogram]]'s stub feature vector), container sniffed
     * from magic bytes, and the id parsed from the file name. One streamed
     * pass per partition; the payload never leaves the scan. */
+  /** The 32-bin byte-value histogram (bin = `byte >> 3`) every perceptual
+    * verifier agrees on, and its integer-PERMILLE normalization — ONE
+    * definition site so the near-dup, padded and encoded verify bounds can
+    * never desynchronize (they all replay in SQL against these exact
+    * semantics). */
+  private[graft] def hist32(bytes: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](32)
+    bytes.foreach(b => hist((b & 0xff) >> 3) += 1)
+    hist
+  }
+  private[graft] def permille32(bytes: Array[Byte]): Array[Long] = {
+    val n = bytes.length.toLong
+    hist32(bytes).map(h => h * 1000L / n)
+  }
+
   private[graft] def nearDupFeatures(files: Dataset[(String, Array[Byte])]): DataFrame = {
     import files.sparkSession.implicits._
     files.map { case (path, bytes) =>
-      val hist = new Array[Long](32)
-      bytes.foreach(b => hist((b & 0xff) >> 3) += 1)
-      (assetIdOf(path), HeaderDecoder.sniffContainer(bytes), bytes.length.toLong, hist.toSeq)
+      (assetIdOf(path), HeaderDecoder.sniffContainer(bytes), bytes.length.toLong,
+       hist32(bytes).toSeq)
     }.toDF("media_id", "container", "n_bytes", "hist")
   }
 
@@ -614,10 +628,8 @@ object Media {
   private[graft] def paddedDupFeatures(files: Dataset[(String, Array[Byte])]): DataFrame = {
     import files.sparkSession.implicits._
     files.map { case (path, bytes) =>
-      val hist = new Array[Long](32)
-      bytes.foreach(b => hist((b & 0xff) >> 3) += 1)
       val n = bytes.length.toLong
-      val permille = hist.map(h => h * 1000L / n)
+      val permille = permille32(bytes)
       // hex via the hoisted lookup table (not 256 String.format calls per
       // asset), fed to MD5 as ASCII bytes — identical to DuckDB
       // md5(substr(hex(b),1,512))
@@ -793,12 +805,9 @@ object Media {
   private[graft] def encodedDupFeatures(files: Dataset[(String, Array[Byte])]): DataFrame = {
     import files.sparkSession.implicits._
     files.map { case (path, bytes) =>
-      val hist = new Array[Long](32)
-      bytes.foreach(b => hist((b & 0xff) >> 3) += 1)
-      val n = bytes.length.toLong
-      val permille = hist.map(h => h * 1000L / n)
-      (assetIdOf(path), HeaderDecoder.sniffContainer(bytes), n,
-       byteWinnow(bytes, EncodedWinnowK, EncodedWinnowW).toSeq, permille.toSeq)
+      (assetIdOf(path), HeaderDecoder.sniffContainer(bytes), bytes.length.toLong,
+       byteWinnow(bytes, EncodedWinnowK, EncodedWinnowW).toSeq,
+       permille32(bytes).toSeq)
     }.toDF("media_id", "container", "n_bytes", "fps", "permille")
   }
 
@@ -870,6 +879,15 @@ object Media {
     * filter — the same bound `winnow_matches` ships — so candidate volume
     * tracks true-copy counts plus genuine shared passages, never corpus²;
     * the permille verify is a codegen'd 32-element fold per candidate.
+    *
+    * DECLARED recall boundary (the hot cap's flip side): a copy whose
+    * EVERY fingerprint is boilerplate — its source text duplicated across
+    * more than `hotCap` documents — forms zero cold postings and is not
+    * catchable at this blocking. By that multiplicity the document is a
+    * `dedup_clusters`-grade exact/near duplicate class, which the TEXT
+    * dedup family already catches and canonicalizes; this op's job is the
+    * content-DISTINCT asset whose bytes were re-encoded, and the planted
+    * class stays under the cap at every driver SF (spec-gated recall = 1).
     * Oracle: DuckDB `read_blob` over the same staged files replays the
     * byte-hash → rolling k-gram → rightmost-min winnow → hot filter →
     * pair join → permille-L1 chain end to end (every constant shared with
@@ -1023,7 +1041,8 @@ object Media {
 
   /** Every fixed-path versioned root this module stages. */
   private[graft] def stagedRoots: Seq[String] =
-    Seq(AssetFilesRoot, DropFilesRoot, NearDupFilesRoot, PaddedFilesRoot, PackedDropRoot)
+    Seq(AssetFilesRoot, DropFilesRoot, NearDupFilesRoot, PaddedFilesRoot,
+        EncodedFilesRoot, PackedDropRoot)
 
   /** Concurrent-safe versioned staging shared by every fixed-path root:
     * `build` materializes into a temp dir, which is atomically renamed to

@@ -708,8 +708,13 @@ object Ranking {
         .join(dist, Seq("v"), "left_anti")
         .select(col("v"), lit(r.toLong).as("hops")))
       exhausted = next.isEmpty
-      dist = ckpt(dist.unionByName(next))
-      frontier = next
+      // fold the round in only when it found anything: re-checkpointing
+      // the full settled set unioned with an empty frontier would be one
+      // wasted vertex-mass materialization on the terminal round
+      if (!exhausted) {
+        dist = ckpt(dist.unionByName(next))
+        frontier = next
+      }
       r += 1
     }
     docs.join(dist, col("doc_id") === col("v"), "left")

@@ -411,7 +411,11 @@ class WarehouseSpec extends SparkSpecBase {
     // stage at least one real root, then vacuum everything Media manages
     graft.multimodal.Media.ensureAssetFiles(spark, sf0001)
     val results = graft.multimodal.Media.vacuumStagedRoots(keep = 1)
-    assert(results.length === 5)
+    // derive the expected count from the module's own root list (a
+    // hard-coded count baked in the round-10 omission of the encoded
+    // root: a NEW staged root must enlarge this list or leak forever)
+    assert(results.length === graft.multimodal.Media.stagedRoots.length)
+    assert(results.map(_.root).toSet === graft.multimodal.Media.stagedRoots.toSet)
     // the live asset universe is still there and non-empty
     val live = new java.io.File("/tmp/graft_media_files").listFiles()
     assert(live != null && live.nonEmpty)
