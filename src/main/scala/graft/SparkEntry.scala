@@ -284,6 +284,7 @@ object SparkEntry {
     "media_near_dup" -> ((s, d) => Media.mediaNearDup(s, d)),
     "media_dup_padded" -> ((s, d) => Media.mediaDupPadded(s, d)),
     "media_dup_encoded" -> ((s, d) => Media.mediaDupEncoded(s, d)),
+    "media_dup_encoded_packed" -> ((s, d) => Media.mediaDupEncodedPacked(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
@@ -3722,13 +3723,33 @@ object SparkEntry {
     // media_dup_encoded: full metric replay over the re-encoded universe —
     // per-byte md5 hashes → Karp–Rabin 8-byte rolling k-grams →
     // rightmost-min winnow selection (the winnow_fingerprints chain, over
-    // BYTES) → hot filter → ≥2-shared-fp pair join → same container +
+    // BYTES) → hot filter → ≥minShared-fp pair join → same container +
     // permille-L1 verify. Every constant (root, k, w, hot cap, min shared,
-    // L1 ceiling) interpolates from the Media definitions.
-    "media_dup_encoded" ->
-      s"""WITH f AS (SELECT CAST(regexp_extract(filename, 'asset_(\\d+)\\.bin', 1) AS BIGINT) AS media_id,
+    // L1 ceiling) interpolates from the Media definitions; the packed
+    // twin swaps only the source CTE (one definition site for the chain).
+    "media_dup_encoded" -> encodedDupSql(
+      s"""SELECT CAST(regexp_extract(filename, 'asset_(\\d+)\\.bin', 1) AS BIGINT) AS media_id,
         |             octet_length(content) AS n, hex(content) AS hx
-        |      FROM read_blob('${graft.multimodal.Media.EncodedFilesRoot}/asset_*.bin')),
+        |      FROM read_blob('${graft.multimodal.Media.EncodedFilesRoot}/asset_*.bin')""".stripMargin),
+    // media_dup_encoded_packed: the SAME chain over the parquet-packed
+    // universe — the oracle reads the staged shards themselves.
+    "media_dup_encoded_packed" -> encodedDupSql(
+      s"""SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
+        |      FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')""".stripMargin),
+    "media_dedup" ->
+      """WITH m AS (SELECT doc_id AS canonical_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents WHERE CAST(doc_id % 9 AS INTEGER) = 4)
+        |SELECT canonical_id, kind, CAST(2 AS BIGINT) AS n_copies
+        |FROM m ORDER BY canonical_id""".stripMargin,
+  )
+
+  /** The `media_dup_encoded` oracle chain, parameterized on the source CTE
+    * (file-grain `read_blob` vs packed `read_parquet`) — the
+    * compactionPlanSql desync-proofing pattern: the byte-winnow replay has
+    * exactly one SQL definition site. */
+  private def encodedDupSql(fSql: String): String =
+      s"""WITH f AS ($fSql),
         |c AS (SELECT media_id, n, hx,
         |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
         |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
@@ -3770,12 +3791,5 @@ object SparkEntry {
         |       CAST(d.l1p AS BIGINT) AS l1p
         |FROM d JOIN c ca ON ca.media_id = d.ida JOIN c cb ON cb.media_id = d.idb
         |WHERE ca.container = cb.container AND d.l1p <= ${graft.multimodal.Media.PermilleL1Max}
-        |ORDER BY canonical_id, dup_id""".stripMargin,
-    "media_dedup" ->
-      """WITH m AS (SELECT doc_id AS canonical_id,
-        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
-        |  FROM documents WHERE CAST(doc_id % 9 AS INTEGER) = 4)
-        |SELECT canonical_id, kind, CAST(2 AS BIGINT) AS n_copies
-        |FROM m ORDER BY canonical_id""".stripMargin,
-  )
+        |ORDER BY canonical_id, dup_id""".stripMargin
 }

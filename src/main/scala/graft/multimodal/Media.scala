@@ -1031,6 +1031,47 @@ object Media {
         .write.mode("overwrite").parquet(tmp.toString)
     }
 
+  /** Root for the PACKED encoded-copy universe ([[ensurePackedEncoded]]) —
+    * the SAME universe as [[EncodedFilesRoot]] (same `-drop101v1`
+    * definition tag), landed as a handful of parquet shards
+    * `(media_id, kind, payload)` instead of one file per asset. */
+  private[graft] val PackedEncodedRoot = "/tmp/graft_media_encpacked"
+
+  /** Stage the re-encoded-copy universe at the PACKED grain. */
+  def ensurePackedEncoded(spark: SparkSession, sfDir: String): String =
+    ensureVersioned(PackedEncodedRoot,
+        graft.sources.Warehouse.sourceFingerprint(sfDir, "documents") + "-drop101v1") { tmp =>
+      assetsWithEncodedReuploads(spark, sfDir)
+        .toDF()
+        .repartition(4, col("media_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+
+  /** [[encodedDupFeatures]] from the packed grain: identical kernels, the
+    * id read from the COLUMN instead of parsed from a filename. */
+  private[graft] def encodedDupFeaturesPacked(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        (id, HeaderDecoder.sniffContainer(bytes), bytes.length.toLong,
+         byteWinnow(bytes, EncodedWinnowK, EncodedWinnowW).toSeq,
+         permille32(bytes).toSeq)
+      }.toDF("media_id", "container", "n_bytes", "fps", "permille")
+  }
+
+  /** Driver-verified: [[mediaDupEncoded]] at the PACKED grain — the scale
+    * answer that op's doc comment promises, now a measured number instead
+    * of prose: the same universe (shared definition tag), the same
+    * fingerprint/histogram kernels, the same pair core — minus the
+    * file-per-asset open/stat tax (O(shards) parquet opens for thousands
+    * of assets, the [[ensurePackedDrop]] physics). MediaSpec proves packed
+    * ≡ file-grain row for row; the DuckDB oracle `read_parquet`s the
+    * staged shards and replays the identical chain over `hex(payload)`. */
+  def mediaDupEncodedPacked(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensurePackedEncoded(spark, sfDir)
+    encodedDupFromFeatures(encodedDupFeaturesPacked(spark.read.parquet(dir)))
+  }
+
   /** Retention pass over every staged media root: keep each root's live
     * version plus `keep` most-recent superseded ones, sweep stale build/
     * flip/vacuum debris — [[graft.sources.Warehouse.vacuumVersionedRoot]]
@@ -1042,7 +1083,7 @@ object Media {
   /** Every fixed-path versioned root this module stages. */
   private[graft] def stagedRoots: Seq[String] =
     Seq(AssetFilesRoot, DropFilesRoot, NearDupFilesRoot, PaddedFilesRoot,
-        EncodedFilesRoot, PackedDropRoot)
+        EncodedFilesRoot, PackedDropRoot, PackedEncodedRoot)
 
   /** Concurrent-safe versioned staging shared by every fixed-path root:
     * `build` materializes into a temp dir, which is atomically renamed to

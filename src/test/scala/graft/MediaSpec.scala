@@ -378,6 +378,16 @@ class MediaSpec extends SparkSpecBase {
       s"media_dup_encoded joins must stay equi-keyed:\n$plan")
   }
 
+  test("mediaDupEncodedPacked: the packed grain equals the file grain row for row") {
+    // same universe (shared definition tag), same kernels, same pair core
+    // — only the landing grain differs, so the results must be identical
+    val fileGrain = Media.mediaDupEncoded(spark, sf0001).collect().toSeq
+    val packed = Media.mediaDupEncodedPacked(spark, sf0001).collect().toSeq
+    assert(packed === fileGrain,
+      "packed-grain detection must be byte-for-byte the file-grain result")
+    assert(packed.nonEmpty, "the equivalence must be proven on a non-empty result")
+  }
+
   test("mediaFilesScan: binaryFile ingest sniffs every container from bytes alone") {
     val rows = Media.mediaFilesScan(spark, sf0001).collect()
     val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
