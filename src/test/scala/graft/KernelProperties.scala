@@ -219,4 +219,61 @@ object KernelProperties extends Properties("graft.kernels") {
       val fpB = winnowed(docB, window, w).map(_._2).toSet
       fpA.intersect(fpB).nonEmpty
     }
+
+  // ---- byte-level winnow (media_dup_encoded's blocking kernel) ----
+
+  import graft.multimodal.Media
+  private val K = Media.EncodedWinnowK
+  private val W = Media.EncodedWinnowW
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.choose(0, 600).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))).map(_.toArray)
+
+  property("byteWinnow: deterministic; empty under the guarantee floor") =
+    forAll(bytesGen) { b =>
+      val fps = Media.byteWinnow(b, K, W)
+      fps.toSeq == Media.byteWinnow(b.clone(), K, W).toSeq &&
+        (b.length >= K + W - 1 || fps.isEmpty)
+    }
+
+  property("byteWinnow: a shared byte run of >= k+w-1 fingerprints BOTH payloads") =
+    forAll(bytesGen, bytesGen, Gen.listOfN(K + W - 1, Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      (pre, post, shared) =>
+        val a = pre ++ shared.toArray
+        val b = shared.toArray ++ post
+        Media.byteWinnow(a, K, W).toSet
+          .intersect(Media.byteWinnow(b, K, W).toSet).nonEmpty
+    }
+
+  property("byteWinnow: the drop-101 edit shares >= EncodedMinShared fps on any >=512B payload") =
+    forAll(Gen.choose(512, 1500).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))) { a =>
+      // the planted re-encode: drop every 101st byte from offset 64 —
+      // the minShared floor must hold for ARBITRARY content at the
+      // 512-byte plant floor, not just the driver fixture (each inter-drop
+      // clean run of ~100 bytes carries >= 1 winnow-guaranteed shared fp)
+      val out = new Array[Byte](a.length)
+      var i = 0; var o = 0
+      while (i < a.length) {
+        if (!(i >= 64 && (i - 64) % 101 == 0)) { out(o) = a(i); o += 1 }
+        i += 1
+      }
+      val edited = java.util.Arrays.copyOf(out, o)
+      Media.byteWinnow(a, K, W).toSet
+        .intersect(Media.byteWinnow(edited, K, W).toSet)
+        .size >= Media.EncodedMinShared
+    }
+
+  property("noise draw: bit-trick magnitude equals trailing-zero count (the JDK identity)") =
+    forAll(Gen.alphaStr, Gen.choose(1L, 20L)) { (cell, rel) =>
+      // the seeded-geometric magnitude used by noised_release and its
+      // streaming twin: bit_count((g & -g) - 1) must equal the trailing-
+      // zero count — an independent formulation of the same quantity
+      val h = TextAnalysis.md5Low64(s"$cell:$rel") & Long.MaxValue
+      val g = h >> 1
+      val viaTrick = java.lang.Long.bitCount((g & -g) - 1)
+      val viaJdk = if (g == 0L) 64 else java.lang.Long.numberOfTrailingZeros(g)
+      viaTrick == viaJdk
+    }
 }
