@@ -285,6 +285,8 @@ object SparkEntry {
     "media_dup_padded" -> ((s, d) => Media.mediaDupPadded(s, d)),
     "media_dup_encoded" -> ((s, d) => Media.mediaDupEncoded(s, d)),
     "media_dup_encoded_packed" -> ((s, d) => Media.mediaDupEncodedPacked(s, d)),
+    "media_near_dup_packed" -> ((s, d) => Media.mediaNearDupPacked(s, d)),
+    "media_dup_padded_packed" -> ((s, d) => Media.mediaDupPaddedPacked(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
@@ -3658,11 +3660,57 @@ object SparkEntry {
     // threshold. Nothing is predicted from provenance: if Spark's feature,
     // blocking, or threshold drifted by one byte anywhere, the hash gate
     // reds.
-    "media_near_dup" ->
-      s"""WITH f AS (SELECT CAST(regexp_extract(filename, 'asset_(\\d+)\\.bin', 1) AS BIGINT) AS media_id,
+    "media_near_dup" -> nearDupSql(blobFSql(graft.multimodal.Media.NearDupFilesRoot)),
+    // media_near_dup_packed: the SAME chain over the parquet-packed
+    // universe (one SQL definition site per chain, the encodedDupSql
+    // discipline applied family-wide).
+    "media_near_dup_packed" -> nearDupSql(parquetFSql(graft.multimodal.Media.PackedNearDupRoot)),
+    // media_dup_padded: full metric replay over the padded universe —
+    // prefix digest = md5 of the first 512 HEX chars (= 256 bytes, hashed
+    // through the hex encoding so no blob slicing is needed), blocking on
+    // (container, prefix digest), verify by integer permille-L1 <= 250.
+    "media_dup_padded" -> paddedDupSql(blobFSql(graft.multimodal.Media.PaddedFilesRoot)),
+    "media_dup_padded_packed" -> paddedDupSql(parquetFSql(graft.multimodal.Media.PackedPaddedRoot)),
+    // media_dup_encoded: full metric replay over the re-encoded universe —
+    // per-byte md5 hashes → Karp–Rabin 8-byte rolling k-grams →
+    // rightmost-min winnow selection (the winnow_fingerprints chain, over
+    // BYTES) → hot filter → ≥minShared-fp pair join → same container +
+    // permille-L1 verify. Every constant (root, k, w, hot cap, min shared,
+    // L1 ceiling) interpolates from the Media definitions; the packed
+    // twin swaps only the source CTE (one definition site for the chain).
+    "media_dup_encoded" -> encodedDupSql(
+      s"""SELECT CAST(regexp_extract(filename, 'asset_(\\d+)\\.bin', 1) AS BIGINT) AS media_id,
         |             octet_length(content) AS n, hex(content) AS hx
-        |      FROM read_blob('${graft.multimodal.Media.NearDupFilesRoot}/asset_*.bin')),
-        |c AS (SELECT media_id, n, hx,
+        |      FROM read_blob('${graft.multimodal.Media.EncodedFilesRoot}/asset_*.bin')""".stripMargin),
+    // media_dup_encoded_packed: the SAME chain over the parquet-packed
+    // universe — the oracle reads the staged shards themselves.
+    "media_dup_encoded_packed" -> encodedDupSql(
+      s"""SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
+        |      FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')""".stripMargin),
+    "media_dedup" ->
+      """WITH m AS (SELECT doc_id AS canonical_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents WHERE CAST(doc_id % 9 AS INTEGER) = 4)
+        |SELECT canonical_id, kind, CAST(2 AS BIGINT) AS n_copies
+        |FROM m ORDER BY canonical_id""".stripMargin,
+  )
+
+  /** File-grain source CTE: read_blob over a staged asset root. */
+  private def blobFSql(root: String): String =
+    s"""SELECT CAST(regexp_extract(filename, 'asset_(\\d+)\\.bin', 1) AS BIGINT) AS media_id,
+      |             octet_length(content) AS n, hex(content) AS hx
+      |      FROM read_blob('$root/asset_*.bin')""".stripMargin
+
+  /** Packed-grain source CTE: read_parquet over the staged shards. */
+  private def parquetFSql(root: String): String =
+    s"""SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
+      |      FROM read_parquet('$root/*.parquet')""".stripMargin
+
+  /** The `media_near_dup` oracle chain, parameterized on the source CTE
+    * (one SQL definition site; the packed twin swaps only the source). */
+  private def nearDupSql(fSql: String): String =
+    s"""WITH f AS ($fSql),
+      |c AS (SELECT media_id, n, hx,
         |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
         |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
         |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
@@ -3685,15 +3733,11 @@ object SparkEntry {
         |      GROUP BY p.ida, p.idb, p.container, p.n)
         |SELECT ida AS canonical_id, idb AS dup_id, container, CAST(l1 AS BIGINT) AS l1
         |FROM d WHERE l1 * 64 <= n
-        |ORDER BY canonical_id, dup_id""".stripMargin,
-    // media_dup_padded: full metric replay over the padded universe —
-    // prefix digest = md5 of the first 512 HEX chars (= 256 bytes, hashed
-    // through the hex encoding so no blob slicing is needed), blocking on
-    // (container, prefix digest), verify by integer permille-L1 <= 250.
-    "media_dup_padded" ->
-      s"""WITH f AS (SELECT CAST(regexp_extract(filename, 'asset_(\\d+)\\.bin', 1) AS BIGINT) AS media_id,
-        |             octet_length(content) AS n, hex(content) AS hx
-        |      FROM read_blob('${graft.multimodal.Media.PaddedFilesRoot}/asset_*.bin')),
+        |ORDER BY canonical_id, dup_id""".stripMargin
+
+  /** The `media_dup_padded` oracle chain, parameterized on the source CTE. */
+  private def paddedDupSql(fSql: String): String =
+    s"""WITH f AS ($fSql),
         |c AS (SELECT media_id, n, hx, md5(substr(hx, 1, 512)) AS pmd5,
         |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
         |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
@@ -3719,30 +3763,7 @@ object SparkEntry {
         |      GROUP BY pr.ida, pr.idb, pr.container)
         |SELECT ida AS canonical_id, idb AS dup_id, container, CAST(l1p AS BIGINT) AS l1p
         |FROM d WHERE l1p <= ${graft.multimodal.Media.PermilleL1Max}
-        |ORDER BY canonical_id, dup_id""".stripMargin,
-    // media_dup_encoded: full metric replay over the re-encoded universe —
-    // per-byte md5 hashes → Karp–Rabin 8-byte rolling k-grams →
-    // rightmost-min winnow selection (the winnow_fingerprints chain, over
-    // BYTES) → hot filter → ≥minShared-fp pair join → same container +
-    // permille-L1 verify. Every constant (root, k, w, hot cap, min shared,
-    // L1 ceiling) interpolates from the Media definitions; the packed
-    // twin swaps only the source CTE (one definition site for the chain).
-    "media_dup_encoded" -> encodedDupSql(
-      s"""SELECT CAST(regexp_extract(filename, 'asset_(\\d+)\\.bin', 1) AS BIGINT) AS media_id,
-        |             octet_length(content) AS n, hex(content) AS hx
-        |      FROM read_blob('${graft.multimodal.Media.EncodedFilesRoot}/asset_*.bin')""".stripMargin),
-    // media_dup_encoded_packed: the SAME chain over the parquet-packed
-    // universe — the oracle reads the staged shards themselves.
-    "media_dup_encoded_packed" -> encodedDupSql(
-      s"""SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
-        |      FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')""".stripMargin),
-    "media_dedup" ->
-      """WITH m AS (SELECT doc_id AS canonical_id,
-        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
-        |  FROM documents WHERE CAST(doc_id % 9 AS INTEGER) = 4)
-        |SELECT canonical_id, kind, CAST(2 AS BIGINT) AS n_copies
-        |FROM m ORDER BY canonical_id""".stripMargin,
-  )
+        |ORDER BY canonical_id, dup_id""".stripMargin
 
   /** The `media_dup_encoded` oracle chain, parameterized on the source CTE
     * (file-grain `read_blob` vs packed `read_parquet`) — the

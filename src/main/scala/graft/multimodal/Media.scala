@@ -625,27 +625,30 @@ object Media {
     * histogram normalized to integer PERMILLE (size-comparable across
     * different lengths — the exact-integer stand-in for a normalized
     * feature vector). One streamed pass; payloads never shuffle. */
+  /** The 256-byte PREFIX digest shared by both grains of the padded-copy
+    * catcher: hex via the hoisted lookup table (not 256 String.format
+    * calls per asset), fed to MD5 as ASCII bytes — identical to DuckDB
+    * `md5(substr(hex(b), 1, 512))`. One definition site. */
+  private[graft] def prefixMd5Hex(bytes: Array[Byte]): String = {
+    val hexDigits = HexDigits
+    val pfxLen = math.min(bytes.length, 256)
+    val hexAscii = new Array[Byte](pfxLen * 2)
+    var i = 0
+    while (i < pfxLen) {
+      val b = bytes(i) & 0xff
+      hexAscii(2 * i) = hexDigits(b >> 4)
+      hexAscii(2 * i + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(hexAscii).map("%02x".format(_)).mkString
+  }
+
   private[graft] def paddedDupFeatures(files: Dataset[(String, Array[Byte])]): DataFrame = {
     import files.sparkSession.implicits._
     files.map { case (path, bytes) =>
-      val n = bytes.length.toLong
-      val permille = permille32(bytes)
-      // hex via the hoisted lookup table (not 256 String.format calls per
-      // asset), fed to MD5 as ASCII bytes — identical to DuckDB
-      // md5(substr(hex(b),1,512))
-      val hexDigits = HexDigits
-      val pfxLen = math.min(bytes.length, 256)
-      val hexAscii = new Array[Byte](pfxLen * 2)
-      var i = 0
-      while (i < pfxLen) {
-        val b = bytes(i) & 0xff
-        hexAscii(2 * i) = hexDigits(b >> 4)
-        hexAscii(2 * i + 1) = hexDigits(b & 0xf)
-        i += 1
-      }
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val prefixMd5 = md.digest(hexAscii).map("%02x".format(_)).mkString
-      (assetIdOf(path), HeaderDecoder.sniffContainer(bytes), n, prefixMd5, permille.toSeq)
+      (assetIdOf(path), HeaderDecoder.sniffContainer(bytes), bytes.length.toLong,
+       prefixMd5Hex(bytes), permille32(bytes).toSeq)
     }.toDF("media_id", "container", "n_bytes", "prefix_md5", "permille")
   }
 
@@ -1031,6 +1034,62 @@ object Media {
         .write.mode("overwrite").parquet(tmp.toString)
     }
 
+  /** Roots for the PACKED twins of the other two copy-class universes —
+    * same universes by shared definition tag, parquet-shard grain. */
+  private[graft] val PackedNearDupRoot = "/tmp/graft_media_ndpacked"
+  private[graft] val PackedPaddedRoot = "/tmp/graft_media_padpacked"
+
+  private def ensurePackedUniverse(spark: SparkSession, sfDir: String,
+      root: String, defTag: String,
+      universe: (SparkSession, String) => Dataset[MediaAsset]): String =
+    ensureVersioned(root,
+        graft.sources.Warehouse.sourceFingerprint(sfDir, "documents") + defTag) { tmp =>
+      universe(spark, sfDir).toDF()
+        .repartition(4, col("media_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+
+  def ensurePackedNearDup(spark: SparkSession, sfDir: String): String =
+    ensurePackedUniverse(spark, sfDir, PackedNearDupRoot, "-pert251v1",
+                         assetsWithPerturbedReuploads)
+  def ensurePackedPadded(spark: SparkSession, sfDir: String): String =
+    ensurePackedUniverse(spark, sfDir, PackedPaddedRoot, "-pad37v1",
+                         assetsWithPaddedReuploads)
+
+  /** Packed-grain feature variants: identical kernels, id from the column. */
+  private[graft] def nearDupFeaturesPacked(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        (id, HeaderDecoder.sniffContainer(bytes), bytes.length.toLong,
+         hist32(bytes).toSeq)
+      }.toDF("media_id", "container", "n_bytes", "hist")
+  }
+  private[graft] def paddedDupFeaturesPacked(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        (id, HeaderDecoder.sniffContainer(bytes), bytes.length.toLong,
+         prefixMd5Hex(bytes), permille32(bytes).toSeq)
+      }.toDF("media_id", "container", "n_bytes", "prefix_md5", "permille")
+  }
+
+  /** Driver-verified: the PACKED twins of [[mediaNearDup]] and
+    * [[mediaDupPadded]] — completing the grain matrix the encoded pair
+    * started: every copy-class catcher now ships both landing grains, the
+    * file-per-asset open tax measured against the parquet-shard scan at
+    * identical detection semantics (MediaSpec proves each packed result ≡
+    * its file-grain result row for row; each oracle chain has one SQL
+    * definition site, the source CTE swapped). */
+  def mediaNearDupPacked(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensurePackedNearDup(spark, sfDir)
+    nearDupFromFeatures(nearDupFeaturesPacked(spark.read.parquet(dir)))
+  }
+  def mediaDupPaddedPacked(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensurePackedPadded(spark, sfDir)
+    paddedDupFromFeatures(paddedDupFeaturesPacked(spark.read.parquet(dir)))
+  }
+
   /** Root for the PACKED encoded-copy universe ([[ensurePackedEncoded]]) —
     * the SAME universe as [[EncodedFilesRoot]] (same `-drop101v1`
     * definition tag), landed as a handful of parquet shards
@@ -1039,13 +1098,8 @@ object Media {
 
   /** Stage the re-encoded-copy universe at the PACKED grain. */
   def ensurePackedEncoded(spark: SparkSession, sfDir: String): String =
-    ensureVersioned(PackedEncodedRoot,
-        graft.sources.Warehouse.sourceFingerprint(sfDir, "documents") + "-drop101v1") { tmp =>
-      assetsWithEncodedReuploads(spark, sfDir)
-        .toDF()
-        .repartition(4, col("media_id"))
-        .write.mode("overwrite").parquet(tmp.toString)
-    }
+    ensurePackedUniverse(spark, sfDir, PackedEncodedRoot, "-drop101v1",
+                         assetsWithEncodedReuploads)
 
   /** [[encodedDupFeatures]] from the packed grain: identical kernels, the
     * id read from the COLUMN instead of parsed from a filename. */
@@ -1083,7 +1137,8 @@ object Media {
   /** Every fixed-path versioned root this module stages. */
   private[graft] def stagedRoots: Seq[String] =
     Seq(AssetFilesRoot, DropFilesRoot, NearDupFilesRoot, PaddedFilesRoot,
-        EncodedFilesRoot, PackedDropRoot, PackedEncodedRoot)
+        EncodedFilesRoot, PackedDropRoot, PackedEncodedRoot,
+        PackedNearDupRoot, PackedPaddedRoot)
 
   /** Concurrent-safe versioned staging shared by every fixed-path root:
     * `build` materializes into a temp dir, which is atomically renamed to

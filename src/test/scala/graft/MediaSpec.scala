@@ -378,14 +378,22 @@ class MediaSpec extends SparkSpecBase {
       s"media_dup_encoded joins must stay equi-keyed:\n$plan")
   }
 
-  test("mediaDupEncodedPacked: the packed grain equals the file grain row for row") {
-    // same universe (shared definition tag), same kernels, same pair core
-    // — only the landing grain differs, so the results must be identical
-    val fileGrain = Media.mediaDupEncoded(spark, sf0001).collect().toSeq
-    val packed = Media.mediaDupEncodedPacked(spark, sf0001).collect().toSeq
-    assert(packed === fileGrain,
-      "packed-grain detection must be byte-for-byte the file-grain result")
-    assert(packed.nonEmpty, "the equivalence must be proven on a non-empty result")
+  test("packed grain equals file grain row for row, for ALL THREE copy-class catchers") {
+    // same universes (shared definition tags), same kernels, same pair
+    // cores — only the landing grain differs, so each pair of results
+    // must be identical, proven on non-empty outputs
+    val pairs = Seq[(String, () => Seq[org.apache.spark.sql.Row], () => Seq[org.apache.spark.sql.Row])](
+      ("encoded", () => Media.mediaDupEncoded(spark, sf0001).collect().toSeq,
+                  () => Media.mediaDupEncodedPacked(spark, sf0001).collect().toSeq),
+      ("near_dup", () => Media.mediaNearDup(spark, sf0001).collect().toSeq,
+                   () => Media.mediaNearDupPacked(spark, sf0001).collect().toSeq),
+      ("padded", () => Media.mediaDupPadded(spark, sf0001).collect().toSeq,
+                 () => Media.mediaDupPaddedPacked(spark, sf0001).collect().toSeq))
+    pairs.foreach { case (name, fileGrain, packed) =>
+      val f = fileGrain(); val p = packed()
+      assert(p === f, s"$name: packed-grain must be byte-for-byte the file-grain result")
+      assert(p.nonEmpty, s"$name: the equivalence must be proven on a non-empty result")
+    }
   }
 
   test("mediaFilesScan: binaryFile ingest sniffs every container from bytes alone") {
