@@ -209,6 +209,7 @@ object SparkEntry {
     "kcore" -> ((s, d) => Ranking.kcore(s, d)),
     "triangle_participation" -> ((s, d) => Ranking.trianglesPerNode(s, d)),
     "seed_hops" -> ((s, d) => Ranking.seedHops(s, d)),
+    "link_cycles" -> ((s, d) => Ranking.linkCycles(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
@@ -1733,6 +1734,41 @@ object SparkEntry {
         |SELECT dc.doc_id, CAST(COALESCE(d.hops, -1) AS BIGINT) AS hops
         |FROM documents dc LEFT JOIN d ON d.v = dc.doc_id
         |ORDER BY dc.doc_id""".stripMargin,
+    // link_cycles: directed SCC over the citation-oriented graph (bulk
+    // affine edges src > dst with the ring class held out + planted closed
+    // citation rings on doc_id % 10 = 7, groups of SccRingSize). The
+    // oracle takes min over the FULL recursive-CTE reachability closure —
+    // the textbook form whose intermediate is |reach| pairs — and applies
+    // the same F=B pair criterion, so the engine's round-bounded hash-min
+    // propagation is differentially proven to compute the true extremal
+    // labels (the seed_hops discipline). Ring arithmetic interpolates from
+    // the Ranking constant (one definition site).
+    "link_cycles" ->
+      s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |qq AS (SELECT CASE WHEN n >= 8 THEN (n - 8) // 10 + 1 ELSE 0 END AS q FROM nn),
+        |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0),
+        |bulk AS (SELECT DISTINCT src, dst FROM t
+        |  WHERE src > dst AND src % 10 <> 7 AND dst % 10 <> 7),
+        |rm AS (SELECT doc_id AS v, ((doc_id - 7) // 10) // ${Ranking.SccRingSize} AS g,
+        |         ((doc_id - 7) // 10) % ${Ranking.SccRingSize} AS p
+        |       FROM documents WHERE doc_id % 10 = 7),
+        |ring AS (SELECT v AS src,
+        |    (rm.g * ${Ranking.SccRingSize} + (rm.p + 1) % least(${Ranking.SccRingSize}, qq.q - rm.g * ${Ranking.SccRingSize})) * 10 + 7 AS dst
+        |  FROM rm, qq),
+        |edges AS MATERIALIZED (SELECT src, dst FROM bulk
+        |  UNION SELECT src, dst FROM ring WHERE src <> dst),
+        |reach AS (SELECT src, dst FROM edges
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |fmin AS (SELECT d.doc_id AS v, least(d.doc_id, COALESCE(min(r.src), d.doc_id)) AS f
+        |         FROM documents d LEFT JOIN reach r ON r.dst = d.doc_id GROUP BY d.doc_id),
+        |bmin AS (SELECT d.doc_id AS v, least(d.doc_id, COALESCE(min(r.dst), d.doc_id)) AS b
+        |         FROM documents d LEFT JOIN reach r ON r.src = d.doc_id GROUP BY d.doc_id),
+        |lab AS (SELECT fmin.v, CASE WHEN fmin.f = bmin.b THEN fmin.f ELSE fmin.v END AS scc_id
+        |        FROM fmin JOIN bmin ON fmin.v = bmin.v)
+        |SELECT v AS doc_id, scc_id, count(*) OVER (PARTITION BY scc_id) AS scc_size
+        |FROM lab ORDER BY doc_id""".stripMargin,
     // cocitation: pairs of documents cited by the same citers — pair
     // generation from the citing side (out-degree-bounded), in-degrees
     // joined after the (a, b) collapse, deterministic top-50.
@@ -2098,11 +2134,13 @@ object SparkEntry {
         |           (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS rev_nation_e4,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
         |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_total_e4,
+        |  CASE WHEN sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) = 0 THEN 0.0 ELSE
         |  round(CAST(sum(CASE WHEN n2.n_name = '${Relational.Q8Nation}'
         |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
         |           (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS DOUBLE) /
         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE), 4) + 0.0 AS mkt_share
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE), 4) END + 0.0 AS mkt_share
         |FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
         |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
         |  AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey

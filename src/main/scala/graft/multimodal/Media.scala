@@ -530,7 +530,12 @@ object Media {
   }
   private[graft] def permille32(bytes: Array[Byte]): Array[Long] = {
     val n = bytes.length.toLong
-    hist32(bytes).map(h => h * 1000L / n)
+    // n == 0 → the zero histogram, not a divide-by-zero: the staging
+    // generators never emit empty payloads today, but a zero-length asset
+    // arriving through a future source must degrade to "no distribution
+    // mass" instead of killing all three copy-class feature kernels
+    if (n == 0L) new Array[Long](32)
+    else hist32(bytes).map(h => h * 1000L / n)
   }
 
   private[graft] def nearDupFeatures(files: Dataset[(String, Array[Byte])]): DataFrame = {

@@ -722,6 +722,131 @@ object Ranking {
       .orderBy("doc_id")
   }
 
+  /** Safety cap on [[linkCycles]]'s fixpoint rounds — a loud error, never
+    * an approximate answer: hash-min converges in (longest shortest path to
+    * each vertex's extremal reachable id) rounds, measured ≲15 on the
+    * fixture graph class at every driver SF; 48 is deep headroom, and
+    * hitting it means the graph class changed — surface that, don't serve
+    * half-propagated labels as SCCs. */
+  private[graft] val SccMaxRounds = 48
+
+  /** DIRECTED-CYCLE COMMUNITY DETECTION (strongly connected components) —
+    * the DIRECTED complement of [[linkCommunitiesFrom]]: a mutual-citation
+    * spam ring is a directed CYCLE, invisible to undirected CC (which
+    * merges the ring with everything it touches) and to [[kcoreFrom]]
+    * (density, not direction). Every document is labeled with its SCC and
+    * the SCC's size; in a citation-shaped graph (edges cite EARLIER
+    * documents, so the organic bulk is acyclic) every non-singleton SCC is
+    * a citation ring — the thing that cannot exist without coordination.
+    *
+    * Graph (the [[denseClassEdges]] planted-structure convention): the
+    * affine link edges ORIENTED as citations (src > dst — a document cites
+    * earlier ones; orientation makes the organic bulk a DAG, the
+    * truth-in-fixture analogue of real citation graphs) with the
+    * `doc_id ≡ 7 (mod 10)` class held out, plus planted CLOSED citation
+    * rings over that class: members in rank order, groups of
+    * [[SccRingSize]], each citing the next in its group (wrapping) — the
+    * coordinated-ring shape, several per corpus, the trailing partial
+    * group included (a 1-member group self-loop is dropped: a singleton
+    * is not a ring).
+    *
+    * Algorithm — forward-backward min-label: F(v) = min id that can REACH
+    * v, B(v) = min id REACHABLE FROM v (both including v), via hash-min
+    * propagation to fixpoint; scc_id(v) = F(v) when F(v) = B(v), else v.
+    * On this graph class the pair criterion is EXACT, not heuristic:
+    * F(v) = B(v) = m means m reaches v and v reaches m, so v ∈ SCC(m)
+    * (always sound); conversely a ring is CLOSED (no bulk↔ring edges by
+    * construction), so a ring member's ancestor and descendant sets are
+    * both exactly its ring and F = B = ring-min for every member; and the
+    * bulk is a DAG, where F(v) = B(v) forces F = B = v (a smaller common
+    * value would be a cycle) — singletons, correctly. The general-graph
+    * form needs FW-BW pivot recursion; this op DECLARES the
+    * acyclic-bulk + closed-ring class (the citation-graph shape) as its
+    * domain, and the spec replays scalar Tarjan — a structurally different
+    * algorithm with no such assumption — over the same edges to prove the
+    * labels are the true SCCs.
+    *
+    * 100 TB: each round is two Pregel-shaped equi-joins (edge list against
+    * labels, one per direction) + two partial-agg'd mins + one label
+    * update, lineage truncated per round (RoundCheckpointer); convergence
+    * is detected by the strictly-decreasing label-sum invariant (labels
+    * only ever decrease, so one cheap scalar aggregate per round replaces
+    * a diff join); rounds track the graph's reachability radius (≲ log n
+    * on citation-shaped DAGs + the planted ring size), capped loudly at
+    * [[SccMaxRounds]]. The DuckDB oracle takes min over the full
+    * recursive-CTE reachability closure instead — the textbook form whose
+    * intermediate is |reach| pairs — so the differential proves the
+    * round-bounded propagation computes the true extremal labels (the
+    * seed_hops discipline). */
+  private[graft] val SccRingSize = 6L
+
+  def linkCycles(spark: SparkSession, sfDir: String): DataFrame =
+    linkCyclesFrom(Tables.documents(spark, sfDir).select("doc_id"))
+
+  /** The citation-oriented edge set [[linkCyclesFrom]] runs over — bulk
+    * DAG (affine edges, src > dst, ring class excluded) + planted closed
+    * rings. Exposed for the spec's scalar Tarjan replay. */
+  private[graft] def citationEdges(docs: DataFrame, n: Long): DataFrame = {
+    val bulk = affineEdges(docs, n)
+      .filter(col("src") > col("dst") &&
+              col("src") % 10 =!= 7 && col("dst") % 10 =!= 7)
+    val q = if (n >= 8) (n - 8) / 10 + 1 else 0L
+    val ring = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("src"),
+              expr(s"(doc_id - 7) div 10").as("qr"))
+      .select(col("src"), expr(s"qr div $SccRingSize").as("g"),
+              expr(s"qr % $SccRingSize").as("p"))
+      .select(col("src"),
+        (expr(s"(g * $SccRingSize + (p + 1) % least($SccRingSize, $q - g * $SccRingSize))") * 10 + 7)
+          .as("dst"))
+      .filter(col("src") =!= col("dst"))
+    bulk.unionByName(ring).distinct()
+  }
+
+  /** [[linkCycles]] over an explicit `(doc_id)` frame. */
+  def linkCyclesFrom(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "linkCyclesFrom: empty corpus")
+    val ckpt = new graft.operators.Dedup.RoundCheckpointer(docs.sparkSession)
+    val edges = ckpt(citationEdges(docs, n))
+    // labels (v, f, b): f = min known ancestor, b = min known descendant
+    var lab = ckpt(docs.select(col("doc_id").as("v"),
+      col("doc_id").as("f"), col("doc_id").as("b")))
+    // labels only DECREASE, so Σ(f+b) strictly decreases iff any label
+    // moved — one scalar action per round instead of a diff join
+    def labSum(l: DataFrame): Long =
+      l.agg(sum(col("f") + col("b"))).head().getLong(0)
+    var prevSum = labSum(lab)
+    var converged = false
+    var r = 0
+    while (!converged && r < SccMaxRounds) {
+      val fIn = edges.join(lab, col("src") === col("v"))
+        .groupBy("dst").agg(min("f").as("fc"))
+      val bIn = edges.join(lab, col("dst") === col("v"))
+        .groupBy("src").agg(min("b").as("bc"))
+      lab = ckpt(lab
+        .join(fIn, col("v") === col("dst"), "left")
+        .join(bIn, col("v") === col("src"), "left")
+        .select(col("v"),
+          least(col("f"), coalesce(col("fc"), col("f"))).as("f"),
+          least(col("b"), coalesce(col("bc"), col("b"))).as("b")))
+      val s = labSum(lab)
+      converged = s == prevSum
+      prevSum = s
+      r += 1
+    }
+    require(converged,
+      s"linkCyclesFrom: hash-min not converged after $SccMaxRounds rounds — " +
+        "the graph's reachability radius exceeds the declared class; refusing " +
+        "to label half-propagated SCCs")
+    lab
+      .select(col("v").as("doc_id"),
+        when(col("f") === col("b"), col("f")).otherwise(col("v")).as("scc_id"))
+      .withColumn("scc_size",
+        count(lit(1)).over(Window.partitionBy("scc_id")))
+      .orderBy("doc_id")
+  }
+
   /** HYBRID retrieval — BM25 lexical candidates and hashed-embedding
     * semantic candidates fused by Reciprocal Rank Fusion
     * (Cormack/Clarke/Büttcher, SIGIR'09: score = Σ 1/(rrfK + rank)), the

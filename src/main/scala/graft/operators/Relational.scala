@@ -1026,8 +1026,13 @@ object Relational {
              .as("rev_nation_e4"),
            sum("rev_e4").as("rev_total_e4"))
       .select(col("o_year"), col("rev_nation_e4"), col("rev_total_e4"),
-        (duckRound(col("rev_nation_e4").cast("double") /
-                   col("rev_total_e4").cast("double"), 4) + lit(0.0)).as("mkt_share"))
+        // zero-denominator guard (the q14PromoShare discipline): a year
+        // group with zero total revenue is unreachable with TPC-H-style
+        // discounts < 100%, but the declared float discipline is "never
+        // emit NaN" — the oracle carries the same CASE
+        (when(col("rev_total_e4") === 0L, lit(0.0))
+          .otherwise(duckRound(col("rev_nation_e4").cast("double") /
+                     col("rev_total_e4").cast("double"), 4)) + lit(0.0)).as("mkt_share"))
       .orderBy("o_year")
   }
 

@@ -19,9 +19,16 @@ object AdjProbe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Bench.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
-    // warm like Bench: one pass at sf0.001 first
+    // warm like Bench: one pass at sf0.001 first. NonFatal only — an OOM
+    // or linkage error must surface, not read as "warmup done"; and a
+    // skipped warm pass makes pass-1 timings incomparable to the flagged
+    // baseline, so say so loudly instead of silently measuring cold.
     try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        println(s"[adj] WARNING: warm pass skipped (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}) — pass 1 runs COLD; compare passes 2-3 only")
+    }
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).collect()

@@ -1174,6 +1174,102 @@ class AnalyticsSpec extends SparkSpecBase {
       s"seed_hops joins must stay equi-keyed:\n$plan")
   }
 
+  test("link_cycles equals a scalar Tarjan replay; rings recovered, bulk singleton") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    // independent reference: textbook iterative Tarjan (a structurally
+    // DIFFERENT algorithm from the engine's FW-BW min-label propagation,
+    // with no acyclic-bulk/closed-ring assumption), over an independently
+    // re-derived edge set. SCC label = min member id.
+    def scalarTarjan(n: Long): Map[Long, (Long, Long)] = {
+      val ringSz = Ranking.SccRingSize
+      val q = if (n >= 8) (n - 8) / 10 + 1 else 0L
+      val adj = scala.collection.mutable.Map[Long, List[Long]]()
+        .withDefaultValue(Nil)
+      for (i <- 0L until n) {
+        val bulk = (Seq((i * 7 + 3) % n, (i * 13 + 5) % n) ++
+            (if (i % 3 == 0) Seq((i * 31 + 11) % n) else Seq()))
+          .filter(d => d < i && i % 10 != 7 && d % 10 != 7)
+        val ring = if (i % 10 == 7) {
+          val qi = (i - 7) / 10; val g = qi / ringSz; val p = qi % ringSz
+          val gsz = math.min(ringSz, q - g * ringSz)
+          val d = (g * ringSz + (p + 1) % gsz) * 10 + 7
+          if (d != i) Seq(d) else Seq()
+        } else Seq()
+        adj(i) = (bulk ++ ring).distinct.toList
+      }
+      // iterative Tarjan (explicit stack — no recursion depth limits)
+      val index = scala.collection.mutable.Map[Long, Int]()
+      val low = scala.collection.mutable.Map[Long, Int]()
+      val onStack = scala.collection.mutable.Set[Long]()
+      val stack = scala.collection.mutable.Stack[Long]()
+      var counter = 0
+      val sccOf = scala.collection.mutable.Map[Long, Long]()
+      for (root <- 0L until n if !index.contains(root)) {
+        val work = scala.collection.mutable.Stack[(Long, List[Long])]((root, adj(root)))
+        index(root) = counter; low(root) = counter; counter += 1
+        stack.push(root); onStack += root
+        while (work.nonEmpty) {
+          val (v, rest) = work.pop()
+          rest match {
+            case w :: tail =>
+              work.push((v, tail))
+              if (!index.contains(w)) {
+                index(w) = counter; low(w) = counter; counter += 1
+                stack.push(w); onStack += w
+                work.push((w, adj(w)))
+              } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+            case Nil =>
+              if (work.nonEmpty) {
+                val (p, _) = work.top
+                low(p) = math.min(low(p), low(v))
+              }
+              if (low(v) == index(v)) {
+                var members = List.empty[Long]
+                var w = -1L
+                while ({ w = stack.pop(); onStack -= w; members ::= w; w != v }) ()
+                val m = members.min
+                members.foreach(x => sccOf(x) = m)
+              }
+          }
+        }
+      }
+      val sizes = sccOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      (0L until n).map(v => v -> ((sccOf(v), sizes(sccOf(v))))).toMap
+    }
+    val n = 200L
+    val docs = (0L until n).toDF("doc_id")
+    val got = Ranking.linkCyclesFrom(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ref = scalarTarjan(n)
+    assert(got === ref, "FW-BW labels diverged from the Tarjan replay")
+    // partitioning invariance: hash-min rounds must not depend on layout
+    assert(Ranking.linkCyclesFrom(docs.repartition(7))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap === got)
+    // fixture: every planted ring is exactly recovered (multi-member SCCs
+    // are precisely the class-7 ring groups) and the acyclic bulk is all
+    // singletons
+    val real = Ranking.linkCycles(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val multi = real.filter(_._3 >= 2L)
+    assert(multi.nonEmpty, "fixture must contain planted rings")
+    assert(multi.forall(_._1 % 10 == 7), "a bulk vertex joined a ring SCC")
+    assert(real.filter(_._1 % 10 == 7).forall(_._3 >= 2L),
+      "a planted ring member was left singleton")
+    assert(real.filter(r => r._1 % 10 != 7).forall(r => r._2 == r._1 && r._3 == 1L),
+      "the acyclic bulk must be all singletons labeled by themselves")
+    // each ring's label is its own min member (group arithmetic)
+    multi.groupBy(_._2).foreach { case (label, ms) =>
+      assert(ms.map(_._1).min == label, s"ring $label not labeled by its min member")
+    }
+    // plan: every round is a vertex-keyed equi-join, never a nested loop
+    val plan = Ranking.linkCycles(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"link_cycles joins must stay equi-keyed:\n$plan")
+  }
+
   test("gapFill: absent buckets materialize as zero rows, grid is dense") {
     import spark.implicits._
     val hr = 3600000000L
