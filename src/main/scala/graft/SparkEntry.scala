@@ -288,6 +288,7 @@ object SparkEntry {
     "media_dup_encoded_packed" -> ((s, d) => Media.mediaDupEncodedPacked(s, d)),
     "media_near_dup_packed" -> ((s, d) => Media.mediaNearDupPacked(s, d)),
     "media_dup_padded_packed" -> ((s, d) => Media.mediaDupPaddedPacked(s, d)),
+    "media_dup_indexed" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupIndexed(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
@@ -3723,6 +3724,14 @@ object SparkEntry {
     // media_dup_encoded_packed: the SAME chain over the parquet-packed
     // universe — the oracle reads the staged shards themselves.
     "media_dup_encoded_packed" -> encodedDupSql(
+      s"""SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
+        |      FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')""".stripMargin),
+    // media_dup_indexed: served from the PERSISTED feature store — the
+    // oracle is deliberately the SAME full metric replay over the same
+    // staged universe as media_dup_encoded_packed: the store is correct
+    // exactly when reading it is indistinguishable from recomputing the
+    // features from the bytes, which is what the hash gate proves.
+    "media_dup_indexed" -> encodedDupSql(
       s"""SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
         |      FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')""".stripMargin),
     "media_dedup" ->

@@ -847,6 +847,17 @@ object Media {
     val postings = feats
       .select(col("media_id"), explode(col("fps")).as("fp"))
       .distinct()
+    encodedPairCore(postings,
+      feats.select(col("media_id"), col("container"), col("permille")))
+  }
+
+  /** The re-encode pair CORE over explicit postings `(fp, media_id)` and a
+    * verify side `(media_id, container, permille)` — shared by the
+    * per-run feature path above and the persisted-store path
+    * ([[MediaIndex.mediaDupIndexed]]), so the two can never drift: hot-fp
+    * cut, ≥minShared cold pair join (fan-out ≤ hotCap² per key), same
+    * container + permille-L1 verify. */
+  private[graft] def encodedPairCore(postings: DataFrame, side: DataFrame): DataFrame = {
     val hot = postings.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > EncodedHotCap).select("fp")
     val cold = postings.join(hot, Seq("fp"), "left_anti")
@@ -856,7 +867,6 @@ object Media {
       .groupBy(col("x.media_id").as("ida"), col("y.media_id").as("idb"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= EncodedMinShared)
-    val side = feats.select(col("media_id"), col("container"), col("permille"))
     cand
       .join(side.select(col("media_id").as("ida"), col("container").as("ca"),
                         col("permille").as("pa")), Seq("ida"))

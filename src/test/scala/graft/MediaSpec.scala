@@ -520,4 +520,64 @@ class MediaSpec extends SparkSpecBase {
     // non-degenerate at this target: multiple groups, some multi-file
     assert(plan.length > 1 && plan.exists(_._2 > 1))
   }
+
+  test("media index: indexed catcher ≡ per-run catcher; plan reads the store, never the bytes") {
+    import graft.multimodal.MediaIndex
+    val direct = Media.mediaDupEncodedPacked(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val indexed = MediaIndex.mediaDupIndexed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(indexed.nonEmpty && indexed.toSeq === direct.toSeq,
+      "store-fed pairs must equal the per-run feature pairs row for row")
+    // ZERO store-side re-fingerprint: after the (fingerprint-gated) build,
+    // the query plan is pure relational reads of the two store tables —
+    // no typed feature kernel (SerializeFromObject) and no scan of the
+    // staged payload shards
+    val plan = MediaIndex.mediaDupIndexed(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"),
+      s"indexed catcher re-ran the feature kernel:\n$plan")
+    assert(!plan.contains("graft_media_encpacked"),
+      s"indexed catcher re-scanned the staged payload shards:\n$plan")
+    assert(plan.contains("graft_mediaidx_"),
+      s"indexed catcher did not read the store tables:\n$plan")
+  }
+
+  test("media index maintenance: append extends to the full answer; compaction preserves it") {
+    import graft.multimodal.MediaIndex
+    import graft.sources.Warehouse
+    val prefix = MediaIndex.buildIndex(spark, sf0001, "corp")
+    try {
+      val dir = Media.ensurePackedEncoded(spark, sf0001)
+      val delta = spark.read.parquet(dir)
+        .filter(col("media_id") % MediaIndex.DeltaMod === 0)
+      MediaIndex.appendToMediaIndex(delta, prefix)
+      MediaIndex.requireNotMidAppend(spark, prefix)
+      def pairsFromStore() = Media.encodedPairCore(
+          spark.table(s"${prefix}_postings"),
+          spark.table(s"${prefix}_feats").select("media_id", "container", "permille"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      val full = MediaIndex.mediaDupIndexed(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      assert(pairsFromStore().toSeq === full.toSeq,
+        "corpus index + appended delta must answer exactly like the full-universe index")
+      // appends accumulate files; compaction resets to one per bucket and
+      // must not change a single pair
+      Warehouse.compactBucketed(spark, s"${prefix}_postings", Seq("fp"), MediaIndex.Buckets)
+      Warehouse.compactBucketed(spark, s"${prefix}_feats", Seq("media_id"), MediaIndex.Buckets)
+      assert(Warehouse.dataFileCount(spark, s"${prefix}_postings") === MediaIndex.Buckets)
+      assert(pairsFromStore().toSeq === full.toSeq,
+        "compaction changed the answer")
+      // a crash mid-append leaves the in-flight marker: serving must refuse
+      Warehouse.stampFingerprint(spark, s"${prefix}_feats",
+        graft.operators.IncrementalDedup.InFlightMarker)
+      intercept[IllegalArgumentException] {
+        MediaIndex.requireNotMidAppend(spark, prefix)
+      }
+    } finally
+      // the appended 'corp' store now holds full-universe content under the
+      // corpus stamp — drop it so later consumers rebuild instead of
+      // silently reading the polluted spec state
+      MediaIndex.tableNames(prefix).foreach(Warehouse.dropTableAndLocation(spark, _))
+  }
 }
