@@ -129,6 +129,7 @@ object SparkEntry {
     "stream_sliding_append" -> ((s, d) => graft.streaming.EventStreams.streamSlidingAppendQuery(s, d)),
     "stream_join" -> ((s, d) => graft.streaming.EventStreams.streamStreamJoinQuery(s, d)),
     "stream_join_left" -> ((s, d) => graft.streaming.EventStreams.streamStreamLeftJoinQuery(s, d)),
+    "stream_join_full" -> ((s, d) => graft.streaming.EventStreams.streamStreamFullJoinQuery(s, d)),
     "stream_dedup_near" -> ((s, d) => graft.streaming.EventStreams.streamNearDupQuery(s, d)),
     "stream_sessions" -> ((s, d) => graft.streaming.EventStreams.streamSessionsQuery(s, d)),
     "stream_sessions_append" -> ((s, d) => graft.streaming.EventStreams.streamSessionsAppendQuery(s, d)),
@@ -289,6 +290,7 @@ object SparkEntry {
     "media_near_dup_packed" -> ((s, d) => Media.mediaNearDupPacked(s, d)),
     "media_dup_padded_packed" -> ((s, d) => Media.mediaDupPaddedPacked(s, d)),
     "media_dup_indexed" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupIndexed(s, d)),
+    "media_near_dup_lsh" -> ((s, d) => graft.multimodal.MediaIndex.mediaNearDupLsh(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
@@ -1961,6 +1963,34 @@ object SparkEntry {
         |  COALESCE(purchase_id, -1) AS purchase_id, COALESCE(epoch_us(p_ts), -1) AS purchase_us
         |FROM (SELECT click_id, user_id, c_ts, purchase_id, p_ts FROM j
         |      UNION ALL SELECT click_id, user_id, c_ts, NULL, NULL FROM u)
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // stream_join_full: matched pairs = the inner oracle; unmatched clicks
+    // evict at horizon c_ts + 30 min < wm (the left rule); unmatched
+    // purchases evict at p_ts < wm (a future click has c_ts > wm and a
+    // match needs c_ts <= p_ts). −1 sentinels on BOTH absent sides.
+    "stream_join_full" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, tsu AS c_ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, tsu AS p_ts FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT min(mx) - INTERVAL 10 MINUTE AS w
+        |       FROM (SELECT event_type, max(tsu) AS mx FROM e
+        |             WHERE event_type IN ('click', 'purchase') GROUP BY event_type) sidemax),
+        |j AS (SELECT c.click_id, c.user_id, c.c_ts, p.purchase_id, p.p_ts
+        |      FROM c JOIN p ON c.user_id = p.user_id AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE),
+        |uc AS (SELECT c.click_id, c.user_id, c.c_ts
+        |       FROM c LEFT JOIN (SELECT DISTINCT click_id AS jc FROM j) m ON c.click_id = m.jc
+        |       CROSS JOIN wm
+        |       WHERE m.jc IS NULL AND c.c_ts + INTERVAL 30 MINUTE < wm.w),
+        |up AS (SELECT p.purchase_id, p.user_id, p.p_ts
+        |       FROM p LEFT JOIN (SELECT DISTINCT purchase_id AS jp FROM j) m ON p.purchase_id = m.jp
+        |       CROSS JOIN wm
+        |       WHERE m.jp IS NULL AND p.p_ts < wm.w)
+        |SELECT COALESCE(click_id, -1) AS click_id, user_id,
+        |  COALESCE(epoch_us(c_ts), -1) AS click_us,
+        |  COALESCE(purchase_id, -1) AS purchase_id, COALESCE(epoch_us(p_ts), -1) AS purchase_us
+        |FROM (SELECT click_id, user_id, c_ts, purchase_id, p_ts FROM j
+        |      UNION ALL SELECT click_id, user_id, c_ts, NULL, NULL FROM uc
+        |      UNION ALL SELECT NULL, user_id, NULL, purchase_id, p_ts FROM up)
         |ORDER BY click_id, purchase_id""".stripMargin,
     "cube_pricing" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -3734,6 +3764,62 @@ object SparkEntry {
     "media_dup_indexed" -> encodedDupSql(
       s"""SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
         |      FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')""".stripMargin),
+    // media_near_dup_lsh: full replay of the centered hyperplane-LSH chain
+    // over the same staged shards — byte histograms by hex extraction,
+    // integer permille, corpus mean profile by floor division, ±1 signs
+    // from md5_number_lower parity (the engine's md5Low64 & 1), adaptive
+    // band width max(8, ilog2(n) − 2), any-band candidates, permille-L1
+    // verify at the tight LSH bound. Every constant interpolates from the
+    // MediaIndex definitions.
+    "media_near_dup_lsh" -> {
+      import graft.multimodal.MediaIndex._
+      s"""WITH f AS (SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
+        |           FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')),
+        |c AS (SELECT media_id, n, hx,
+        |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+        |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+        |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+        |             ELSE 'unknown' END AS container
+        |      FROM f),
+        |u AS (SELECT media_id, hx, n, unnest(range(0, n)) AS i FROM c),
+        |b AS (SELECT media_id, n,
+        |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+        |        + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1 AS byte
+        |      FROM u),
+        |h AS (SELECT media_id, byte // 8 AS bin, (count(*) * 1000) // min(n) AS pm
+        |      FROM b GROUP BY media_id, byte // 8),
+        |pd AS (SELECT m.media_id, t.bin, COALESCE(h.pm, 0) AS pm
+        |       FROM (SELECT media_id FROM c) m CROSS JOIN range(32) t(bin)
+        |       LEFT JOIN h ON h.media_id = m.media_id AND h.bin = t.bin),
+        |nn AS (SELECT count(*) AS na FROM c),
+        |bw AS (SELECT greatest($MediaLshMinBits,
+        |         (SELECT max(k) FROM range(1, 63) t(k)
+        |          WHERE (CAST(1 AS BIGINT) << k) <= (SELECT na FROM nn)) - 2) AS bits FROM nn),
+        |cm AS (SELECT bin, sum(pm) // (SELECT na FROM nn) AS cmv FROM pd GROUP BY bin),
+        |r AS (SELECT j, bin,
+        |        CASE WHEN md5_number_lower('$MediaLshSeed' || j || '_' || bin) % 2 = 0 THEN 1 ELSE -1 END AS rv
+        |      FROM range(256) tj(j) CROSS JOIN range(32) tb(bin)
+        |      WHERE j < $MediaLshBands * (SELECT bits FROM bw)),
+        |s AS (SELECT pd.media_id, r.j, sum(r.rv * (pd.pm - cm.cmv)) AS sj
+        |      FROM pd JOIN cm USING (bin) JOIN r ON r.bin = pd.bin GROUP BY 1, 2),
+        |bands AS (SELECT media_id, j // (SELECT bits FROM bw) AS band,
+        |            sum((CASE WHEN sj >= 0 THEN 1 ELSE 0 END)
+        |                * (CAST(1 AS BIGINT) << (j % (SELECT bits FROM bw)))) AS bv
+        |          FROM s GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.media_id AS ida, b2.media_id AS idb
+        |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bv = b2.bv AND a.media_id < b2.media_id
+        |         JOIN c ca ON ca.media_id = a.media_id JOIN c cb ON cb.media_id = b2.media_id
+        |         WHERE ca.container = cb.container),
+        |d AS (SELECT cand.ida, cand.idb, sum(abs(pa.pm - pb.pm)) AS l1p
+        |      FROM cand JOIN pd pa ON pa.media_id = cand.ida
+        |      JOIN pd pb ON pb.media_id = cand.idb AND pb.bin = pa.bin
+        |      GROUP BY 1, 2)
+        |SELECT d.ida AS canonical_id, d.idb AS dup_id, ca.container, CAST(d.l1p AS BIGINT) AS l1p
+        |FROM d JOIN c ca ON ca.media_id = d.ida
+        |WHERE d.l1p <= $MediaLshL1Max
+        |ORDER BY canonical_id, dup_id""".stripMargin
+    },
     "media_dedup" ->
       """WITH m AS (SELECT doc_id AS canonical_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind

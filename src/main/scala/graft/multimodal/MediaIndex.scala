@@ -159,6 +159,116 @@ object MediaIndex {
         s"on ${marked.mkString(", ")}) — rebuild before serving")
   }
 
+  /** Declared `media_near_dup_lsh` parameters, shared with the SQL oracle
+    * (one definition site). [[MediaLshBands]] hyperplane-sign bands over
+    * the CENTERED permille histogram; band width ADAPTS to corpus size —
+    * `bits = max(8, ⌊log2 n⌋ − 2)` — the standard LSH sizing that holds
+    * per-bucket occupancy roughly constant as the corpus grows (fixed-width
+    * bands go quadratic inside buckets at 10× the data; measured: 8-bit
+    * bands at sf0.1 carry 1.62M candidates vs 1.27M at the adaptive 10).
+    * The verify bound is MUCH tighter than the fp-blocked catchers'
+    * [[Media.PermilleL1Max]] = 250: an LSH candidate shares no content
+    * evidence, only a feature bucket, and measured distributions put
+    * planted re-encodes at permille-L1 ≤ 8 while unrelated same-container
+    * pairs bottom out near ~50 — 32 separates with margin on both sides. */
+  private[graft] val MediaLshBands = 4
+  private[graft] val MediaLshMinBits = 8
+  private[graft] val MediaLshL1Max = 32L
+  private[graft] val MediaLshSeed = "mlsh"
+
+  /** Deterministic ±1 hyperplane signs — the repo's `md5_number_lower`
+    * convention: sign(j, bin) = +1 iff bit 0 of md5's low 64 bits of
+    * "mlsh<j>_<bin>" is 0 (bit 0 is sign-interpretation-free, so the
+    * DuckDB `% 2` on the unsigned value matches the signed Long's `& 1`). */
+  private[graft] def lshSign(j: Int, bin: Int): Long =
+    if ((graft.operators.TextAnalysis.md5Low64(s"$MediaLshSeed${j}_$bin") & 1L) == 0L) 1L else -1L
+
+  /** Adaptive band width for `n` assets (shared formula with the oracle). */
+  private[graft] def lshBits(n: Long): Int =
+    math.max(MediaLshMinBits, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 2)
+
+  /** Driver-verified: histogram-LSH media near-dup (`media_near_dup_lsh`)
+    * — the declared generalization in [[Media.mediaNearDup]]'s contract:
+    * that op's (container, exact-size) block catches only size-PRESERVING
+    * copies, and [[Media.mediaDupEncoded]] catches size-changing
+    * re-encodes at 8 hash-mults per byte; this op catches the same
+    * re-encode class at HISTOGRAM cost — the features are 32 longs per
+    * asset read from the persisted store, no per-byte kernel anywhere in
+    * the query.
+    *
+    * Blocking: sign-bucket LSH over the CENTERED integer permille
+    * histogram (the [[graft.operators.Dedup]] embedding-LSH form). Raw
+    * sign-buckets would be useless here — same-language text clusters
+    * around one letter-frequency profile, so uncentered projections all
+    * share the dominant component's sign and everything lands in one
+    * bucket; subtracting the corpus's integer mean profile (computed from
+    * the store, floor-divided — exactly replayable in SQL) makes the
+    * projections split on the DIFFERENCES between documents. 4 bands of
+    * adaptive width ([[lshBits]]); candidates share a container and any
+    * band; verify is integer permille-L1 ≤ [[MediaLshL1Max]].
+    *
+    * DECLARED trades: (a) recall is probabilistic LSH recall — a copy
+    * flipping ≥1 sign in EVERY band is missed (the planted re-encode class
+    * is spec-gated caught-in-full at both fixture universes, distance ≤ 8
+    * vs projection spreads in the hundreds); (b) output is pair
+    * enumeration over genuinely distribution-identical documents, so its
+    * mass grows with the corpus's duplicate-cluster sizes (the
+    * interval_join precedent — output-bound, not a plan defect); the
+    * adaptive band width is what keeps the CANDIDATE overhang near the
+    * output mass as n grows. All arithmetic int64-exact; the oracle
+    * replays center, signs, banding, and threshold from the same staged
+    * bytes. */
+  def mediaNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val prefix = buildIndex(spark, sfDir, "all")
+    requireNotMidAppend(spark, prefix)
+    val feats = spark.table(s"${prefix}_feats")
+      .select(col("media_id"), col("container"), col("permille"))
+    // ≤1-row bounds read (the repo's argmax/bounds-read class): the asset
+    // count fixes the adaptive band width at plan time
+    val nAssets = feats.agg(count(lit(1))).head().getLong(0)
+    require(nAssets > 0, "mediaNearDupLsh: empty media index")
+    val bits = lshBits(nAssets)
+    val nHyper = MediaLshBands * bits
+    // corpus mean profile: integer floor per bin, one partial-agg'd pass
+    // over the store, broadcast as a single 32-long array row
+    val cmArr = feats
+      .select(posexplode(col("permille")).as(Seq("pos", "pm")))
+      .groupBy("pos").agg(sum("pm").as("s"))
+      .agg(expr(s"transform(array_sort(collect_list(struct(pos, s))), " +
+                s"x -> x.s div ${nAssets}L)").as("cm"))
+    val centered = feats.crossJoin(broadcast(cmArr))
+    def sj(j: Int) = (0 until 32).map(i =>
+      lit(lshSign(j, i)) *
+        (element_at(col("permille"), i + 1) - element_at(col("cm"), i + 1)))
+      .reduce(_ + _)
+    def bandVal(b: Int) = (0 until bits).map(k =>
+      (sj(b * bits + k) >= 0L).cast("long") * lit(1L << k)).reduce(_ + _)
+    val bands = centered.select(col("media_id"), col("container"),
+        explode(array((0 until MediaLshBands).map(b =>
+          struct(lit(b.toLong).as("band"), bandVal(b).as("bv"))): _*)).as("bb"))
+      .select(col("media_id"), col("container"),
+              col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.container") === col("b.container") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"))
+      .distinct()
+    val side = feats
+    cand
+      .join(side.select(col("media_id").as("ida"), col("container").as("ca"),
+                        col("permille").as("pa")), Seq("ida"))
+      .join(side.select(col("media_id").as("idb"),
+                        col("permille").as("pb")), Seq("idb"))
+      .select(col("ida").as("canonical_id"), col("idb").as("dup_id"),
+              col("ca").as("container"),
+              aggregate(zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
+                        lit(0L), (acc, v) => acc + v).as("l1p"))
+      .filter(col("l1p") <= MediaLshL1Max)
+      .orderBy("canonical_id", "dup_id")
+  }
+
   /** Driver-verified: [[Media.mediaDupEncoded]] served ENTIRELY from the
     * persisted feature store — the scale answer that op's doc comment
     * promises: candidates from the bucketed `_postings` table (hot-fp cut

@@ -470,6 +470,50 @@ object EventStreams {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Driver-verified: stream-stream FULL OUTER join — the last cell of the
+    * streaming join matrix ([[streamStreamJoinQuery]] inner,
+    * [[streamStreamLeftJoinQuery]] left): BOTH unmatched sides are kept,
+    * each emitted on its own side's STATE EVICTION. An unmatched click
+    * emits when the global watermark proves no purchase in
+    * `[c_ts, c_ts + 30 min]` can still arrive (horizon `c_ts + 30 min`
+    * below the watermark — exactly the left join's rule); an unmatched
+    * purchase emits when no click with `c_ts ∈ [p_ts − 30 min, p_ts]` can
+    * still arrive — a future click has `c_ts > watermark`, and matching
+    * needs `c_ts ≤ p_ts`, so the purchase's horizon is `p_ts` itself below
+    * the watermark. Rows whose horizon is still open at end-of-replay are
+    * absent BY DESIGN (append-mode discipline); the oracle restricts each
+    * unmatched side to its own eviction predicate (the left join's
+    * discipline applied twice, −1 sentinels both ways). State cost is the
+    * inner join's (both sides were already buffered; outer adds matched
+    * bits), so the 100 TB bound is unchanged: rate × window per side. */
+  def streamStreamFullJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "fullOuter")
+    val result = runToCompletion(spark, joined, "stream_join_full", OutputMode.Append(),
+      widthOverride = Some(4))
+    // -1 sentinels BOTH ways (the stream_join_left convention); user_id
+    // comes from whichever side is present
+    result.select(
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"),
+        coalesce(unix_micros(col("c_ts")), lit(-1L)).as("click_us"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(unix_micros(col("p_ts")), lit(-1L)).as("purchase_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Driver-verified: streaming exact dedup — `dropDuplicates` on the
     * content fingerprint over the documents stream, emitting each distinct
     * fingerprint once (append mode). The emitted SET is order-independent

@@ -543,6 +543,37 @@ class MediaSpec extends SparkSpecBase {
       s"indexed catcher did not read the store tables:\n$plan")
   }
 
+  test("media_near_dup_lsh: catches the re-encode class the size block is blind to") {
+    import graft.multimodal.MediaIndex
+    val dir = Media.ensurePackedEncoded(spark, sf0001)
+    val universe = spark.read.parquet(dir)
+    val mx = spark.read.parquet(s"$sf0001/documents.parquet")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val lens = universe.select(col("media_id"), length(col("payload")).cast("long").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the planted MODIFIED re-encodes: byte-dropped copies (length changed)
+    val planted = lens.keys.filter(b => b <= mx && b % 13 == 11 &&
+      lens.contains(b + mx) && lens(b) != lens(b + mx))
+      .map(b => (b, b + mx)).toSet
+    assert(planted.nonEmpty, "fixture must contain modified re-encodes")
+    val lsh = MediaIndex.mediaNearDupLsh(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(lsh),
+      s"LSH missed planted re-encodes: ${(planted -- lsh).take(5)}")
+    // the (container, exact-size) block cannot pair a size-changed copy
+    val sizeBlocked = Media.nearDupFromFeatures(Media.nearDupFeaturesPacked(universe))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((planted & sizeBlocked).isEmpty,
+      "a size-changed copy appeared under exact-size blocking — fixture broken")
+    // histogram cost only, served from the store: no per-byte kernel, no
+    // payload re-scan in the query plan
+    val plan = MediaIndex.mediaNearDupLsh(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") &&
+           !plan.contains("graft_media_encpacked"),
+      s"LSH catcher must read features from the store:\n$plan")
+  }
+
   test("media index maintenance: append extends to the full answer; compaction preserves it") {
     import graft.multimodal.MediaIndex
     import graft.sources.Warehouse

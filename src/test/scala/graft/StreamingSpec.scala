@@ -1062,4 +1062,49 @@ class StreamingSpec extends SparkSpecBase {
       .map(_._1).toSet
     assert(unmatched.map(_._1).toSet === expectedUnmatched)
   }
+
+  test("stream_join_full: matched ≡ inner; each unmatched side ≡ its evicted complement") {
+    import org.apache.spark.sql.functions._
+    val full = graft.streaming.EventStreams
+      .streamStreamFullJoinQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val inner = graft.streaming.EventStreams
+      .streamStreamJoinQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(1), r.getLong(4)))
+    // 1. the fully-populated slice IS the inner join, column-for-column
+    assert(full.filter(r => r._1 != -1L && r._4 != -1L).toSet === inner.toSet)
+    // 2. sentinels travel together per side, and never on both sides
+    assert(full.forall(r => (r._1 == -1L) == (r._3 == -1L)))
+    assert(full.forall(r => (r._4 == -1L) == (r._5 == -1L)))
+    assert(full.forall(r => !(r._1 == -1L && r._4 == -1L)))
+    // 3. eviction predicates, both directions: unmatched clicks close
+    //    their match horizon under the final watermark (the left rule);
+    //    unmatched purchases close at p_ts itself (a future click has
+    //    c_ts > wm and a match needs c_ts <= p_ts) — and every
+    //    closed-horizon unmatched row IS present (none lost in state)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wmUs = math.min(ev("click"), ev("purchase")) - 10L * 60 * 1000000
+    val horizon = 30L * 60 * 1000000
+    val unmatchedC = full.filter(_._4 == -1L)
+    val unmatchedP = full.filter(_._1 == -1L)
+    assert(unmatchedC.nonEmpty && unmatchedP.nonEmpty,
+      "fixture must produce unmatched rows on both sides")
+    assert(unmatchedC.forall(_._3 + horizon < wmUs))
+    assert(unmatchedP.forall(_._5 < wmUs))
+    def sideEvents(t: String) = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_type") === t)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mc = inner.map(_._1).toSet
+    assert(unmatchedC.map(_._1).toSet ===
+      sideEvents("click").filter { case (id, us) =>
+        !mc.contains(id) && us + horizon < wmUs }.map(_._1).toSet)
+    val mp = inner.map(_._4).toSet
+    assert(unmatchedP.map(_._4).toSet ===
+      sideEvents("purchase").filter { case (id, us) =>
+        !mp.contains(id) && us < wmUs }.map(_._1).toSet)
+  }
 }
