@@ -73,6 +73,7 @@ object SparkEntry {
     "peak_concurrency" -> ((s, d) => Relational.peakConcurrency(s, d)),
     "interval_join" -> ((s, d) => Relational.intervalJoin(s, d)),
     "session_window_agg" -> ((s, d) => Relational.sessionWindowAgg(s, d)),
+    "session_window_dynamic" -> ((s, d) => Relational.sessionWindowDynamic(s, d)),
     "json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "pivot_events" -> ((s, d) => Relational.pivotEvents(s, d)),
@@ -133,6 +134,7 @@ object SparkEntry {
     "stream_dedup_near" -> ((s, d) => graft.streaming.EventStreams.streamNearDupQuery(s, d)),
     "stream_sessions" -> ((s, d) => graft.streaming.EventStreams.streamSessionsQuery(s, d)),
     "stream_sessions_append" -> ((s, d) => graft.streaming.EventStreams.streamSessionsAppendQuery(s, d)),
+    "stream_session_dynamic" -> ((s, d) => graft.streaming.EventStreams.streamSessionDynamicQuery(s, d)),
     "stream_export" -> ((s, d) => graft.streaming.EventStreams.streamExportQuery(s, d)),
     "stream_ingest" -> ((s, d) => graft.streaming.EventStreams.streamIngestQuery(s, d)),
     "stream_distinct_sketch" -> ((s, d) => graft.streaming.EventStreams.streamDistinctSketchQuery(s, d)),
@@ -1307,19 +1309,40 @@ object SparkEntry {
     "json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
-    // session_window_agg: gap-merged islands per user, half-open windows
-    // (diff >= gap starts a new session — the stream_sessions convention);
-    // end = last event + gap, exactly session_window's definition.
+    // session_window_agg: gap-merged islands per user. Boundary rule
+    // measured from Spark's merge iterator: a next event STRICTLY past the
+    // current session end starts a new session; exact touch MERGES (the
+    // [ts, ts+gap] closed-at-touch convention — probed, not assumed; at
+    // µs-grained fixtures the two conventions coincide, so this is pinned
+    // by a micro spec, not the corpus hash). end = last event + gap.
     // event_id tiebreaks make the cumulative session id deterministic for
     // same-timestamp events (which Spark merges into one window regardless).
     "session_window_agg" ->
       """WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value,
         |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events),
         |y AS (SELECT user_id, event_id, tsu, value,
-        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
         |z AS (SELECT user_id, tsu, value, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y)
         |SELECT user_id, epoch_us(min(tsu)) AS start_us, epoch_us(max(tsu)) + 1800000000 AS end_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM z GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    // session_window_dynamic: per-row gaps — a new session starts when the
+    // event time STRICTLY exceeds the RUNNING MAX of preceding events'
+    // individual ends (exact touch merges — Spark's merge-iterator rule,
+    // micro-spec-pinned); end = max(ts_j + gap_j). Gap table interpolates
+    // from Relational.DynamicGapMinutes.
+    "session_window_dynamic" ->
+      s"""WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, value,
+        |  ${Relational.dynamicGapCaseSql} AS gap_us FROM events),
+        |y AS (SELECT user_id, event_id, tsu, value, gap_us,
+        |  max(epoch_us(tsu) + gap_us) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM x),
+        |z AS (SELECT user_id, tsu, value, gap_us, epoch_us(tsu) AS eus,
+        |  sum(CASE WHEN pmax IS NULL OR epoch_us(tsu) > pmax THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y)
+        |SELECT user_id, min(eus) AS start_us, max(eus + gap_us) AS end_us,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM z GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     // peak_concurrency: the same session islands, swept — boundaries
@@ -1330,7 +1353,7 @@ object SparkEntry {
       """WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
         |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events),
         |y AS (SELECT user_id, event_id, tsu,
-        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
         |z AS (SELECT user_id, tsu, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y),
         |sess AS (SELECT user_id, epoch_us(min(tsu)) AS s_us, epoch_us(max(tsu)) + 1800000000 AS e_us
@@ -2401,14 +2424,14 @@ object SparkEntry {
          |f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents)
          |SELECT DISTINCT fp, quality FROM q JOIN f USING (doc_id)
          |WHERE quality >= 0.7 ORDER BY fp""".stripMargin,
-    // stream_sessions: island detection per user. Boundary convention
-    // matches session_window's half-open [ts, ts+gap): diff >= gap starts
-    // a new session.
+    // stream_sessions: island detection per user. Boundary rule matches
+    // Spark's merge iterator: strictly-past-end starts a new session,
+    // exact touch merges (see session_window_agg).
     "stream_sessions" ->
       """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
         |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev FROM events),
         |y AS (SELECT user_id, tsu,
-        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
         |z AS (SELECT user_id, tsu, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y)
         |SELECT user_id, epoch_us(min(tsu)) AS start_us, count(*) AS n_events
@@ -2421,7 +2444,7 @@ object SparkEntry {
       """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
         |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev FROM events),
         |y AS (SELECT user_id, tsu,
-        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |  CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
         |z AS (SELECT user_id, tsu, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y),
         |s AS (SELECT user_id, epoch_us(min(tsu)) AS start_us,
@@ -2429,6 +2452,25 @@ object SparkEntry {
         |      FROM z GROUP BY user_id, sid),
         |w AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 600000000 AS wm FROM events)
         |SELECT user_id, start_us, n_events FROM s, w
+        |WHERE end_us <= wm ORDER BY user_id, start_us""".stripMargin,
+    // stream_session_dynamic: the dynamic islands, restricted to sessions
+    // the final watermark (max ts − 10 min) has CLOSED — Append emits a
+    // session exactly when its max event-end ≤ watermark.
+    "stream_session_dynamic" ->
+      s"""WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |  ${Relational.dynamicGapCaseSql} AS gap_us FROM events),
+        |y AS (SELECT user_id, event_id, tsu, gap_us,
+        |  max(epoch_us(tsu) + gap_us) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM x),
+        |z AS (SELECT user_id, tsu, gap_us, epoch_us(tsu) AS eus,
+        |  sum(CASE WHEN pmax IS NULL OR epoch_us(tsu) > pmax THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y),
+        |s AS (SELECT user_id, min(eus) AS start_us, max(eus + gap_us) AS end_us,
+        |        count(*) AS n_events
+        |      FROM z GROUP BY user_id, sid),
+        |w AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 600000000 AS wm FROM events)
+        |SELECT user_id, start_us, end_us, n_events FROM s, w
         |WHERE end_us <= wm ORDER BY user_id, start_us""".stripMargin,
     "text_stats" ->
       """WITH d AS (SELECT lang, n_chars, len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '')) AS n_words FROM documents)

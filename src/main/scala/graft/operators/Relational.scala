@@ -227,12 +227,66 @@ object Relational {
     * streaming engine maintains as state. Catalyst plans one shuffle on
     * user_id and merges windows within the partition — no self-join, no
     * window-function chain. Boundary convention (shared with the
-    * stream_sessions oracle): half-open windows, so a gap of EXACTLY the
-    * threshold starts a new session. */
+    * stream_sessions oracle, PROBED from Spark's merge iterator rather
+    * than assumed): a next event strictly past the session end starts a
+    * new session; an exact touch MERGES. µs-grained fixtures never touch
+    * exactly, so this is pinned by the dynamic micro spec, not the
+    * corpus hash. */
   def sessionWindowAgg(spark: SparkSession, sfDir: String,
                        gap: String = "30 minutes"): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+           duckRound(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("start_us"),
+              unix_micros(col("session_window.end")).as("end_us"),
+              col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
+  /** Per-event-type session gap minutes — the data-driven session policy
+    * (a click expires fast, a purchase keeps a session alive much longer),
+    * ONE definition site shared by the batch query, its streaming twin,
+    * and both SQL oracles (the compactionPlanSql discipline). Order is the
+    * CASE order; the last entry is the ELSE branch. */
+  private[graft] val DynamicGapMinutes: Seq[(String, Int)] = Seq(
+    "click" -> 10, "view" -> 20, "signup" -> 30, "purchase" -> 45, "error" -> 5)
+
+  /** The per-row gap as a session_window duration Column. */
+  private[graft] def dynamicGapCol: org.apache.spark.sql.Column =
+    DynamicGapMinutes.init.foldRight(
+        lit(s"${DynamicGapMinutes.last._2} minutes")) { case ((t, m), e) =>
+      when(col("event_type") === t, lit(s"$m minutes")).otherwise(e)
+    }
+
+  /** The same gap as a µs CASE expression for the DuckDB oracles. */
+  private[graft] def dynamicGapCaseSql: String =
+    DynamicGapMinutes.init.map { case (t, m) =>
+      s"WHEN '$t' THEN ${m * 60000000L}"
+    }.mkString("CASE event_type ", " ", s" ELSE ${DynamicGapMinutes.last._2 * 60000000L} END")
+
+  /** DYNAMIC-GAP SESSION WINDOWS — `session_window(ts, gapExpr)` with the
+    * gap a PER-ROW expression over the event type: the data-driven session
+    * form the fixed-gap [[sessionWindowAgg]] cannot express (every
+    * engagement model weights event kinds differently — a purchase holds a
+    * session open 45 min, an error only 5). Spark merges each event's
+    * `[ts, ts + gap(row))` interval into overlapping per-user windows;
+    * session end = max event end, NOT last event + a constant.
+    *
+    * Oracle: the island-detection SQL generalized — a new session starts
+    * when the event time reaches the RUNNING MAX of all previous events'
+    * individual ends (`max(ts_j + gap_j)` over preceding rows;
+    * the fixed-gap rule is the constant-gap special case), exact touch
+    * MERGING — Spark's merge-iterator rule, pinned by a micro spec. Gap table
+    * interpolates from [[DynamicGapMinutes]] on both engines.
+    *
+    * 100 TB: identical physics to [[sessionWindowAgg]] — one shuffle on
+    * user_id, windows merged inside the aggregation operator, no
+    * window-function chain, no self-join; the gap expression is scan-side
+    * per-row arithmetic. */
+  def sessionWindowDynamic(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), dynamicGapCol))
       .agg(count(lit(1)).as("n_events"),
            duckRound(sum("value"), 4).as("sum_value"))
       .select(col("user_id"),

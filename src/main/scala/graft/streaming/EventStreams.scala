@@ -1036,6 +1036,30 @@ object EventStreams {
       .orderBy("user_id", "start_us")
   }
 
+  /** Driver-verified: DYNAMIC-GAP sessions in APPEND mode — the streaming
+    * twin of [[graft.operators.Relational.sessionWindowDynamic]] under the
+    * [[streamSessionsAppendQuery]] eviction discipline: the gap is a
+    * per-ROW expression over the event type, a session row is emitted
+    * exactly once when the watermark passes its (max event-end) close, and
+    * still-open sessions are absent by design. State = open sessions only,
+    * bounded by active users × max gap — the same production bound as the
+    * fixed-gap form; the dynamic gap changes WHICH sessions stay open, not
+    * the bound's shape. Oracle = the dynamic island SQL restricted to
+    * `session_end ≤ final watermark`. */
+  def streamSessionDynamicQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+               session_window(col("ts"), graft.operators.Relational.dynamicGapCol))
+      .agg(count(lit(1)).as("n_events"))
+    runToCompletion(spark, agg, "stream_session_dynamic", OutputMode.Append())
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("start_us"),
+              unix_micros(col("session_window.end")).as("end_us"),
+              col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   /** Driver-verified: streaming CLUSTER ASSIGNMENT of arriving documents —
     * each delta doc is hashed-embedded PER ROW in the stream
     * (`graft_hash_embed`, stateless scan-side kernel, zero shuffle) and

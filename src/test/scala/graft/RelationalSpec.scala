@@ -28,6 +28,41 @@ class RelationalSpec extends SparkSpecBase {
     assert(out.getLong(1) <= total)   // sessions cannot exceed events
   }
 
+  test("sessionWindowDynamic: per-type gaps merge by running max end; exact touch merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mn = 60L * 1000000 // one minute in µs
+    // user 1: purchase@0 (45m gap) holds the session open past click@40m
+    // (10m gap) and error@49m (5m); end = running max of event ends = 54m.
+    // view@56m starts fresh (56 > 54). user 3: view@55m does NOT (55 < 54
+    // is false but 55 > 54 too)... so user 3 probes the boundary: an event
+    // AT exactly the running-max end (54m, error gap chain) must MERGE —
+    // the measured Spark merge-iterator rule this spec exists to pin
+    // (µs-grained corpus fixtures never touch exactly, so the oracle hash
+    // cannot falsify the boundary; this micro fixture can). user 2: click@0
+    // ends at 10m; click@EXACTLY 10m merges into [0, 20m).
+    val rows = Seq(
+      (1L, 0L, "purchase"), (1L, 40 * mn, "click"), (1L, 49 * mn, "error"),
+      (1L, 56 * mn, "view"),
+      (2L, 0L, "click"), (2L, 10 * mn, "click"),
+      (3L, 0L, "purchase"), (3L, 45 * mn, "error"))
+    val events = rows.toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = events
+      .groupBy(col("user_id"),
+               session_window(col("ts"), graft.operators.Relational.dynamicGapCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("s"),
+              unix_micros(col("session_window.end")).as("e"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === Seq(
+      (1L, 0L, 54 * mn, 3L),          // max(45, 40+10, 49+5) = 54
+      (1L, 56 * mn, 76 * mn, 1L),     // view gap 20m, strictly past 54
+      (2L, 0L, 20 * mn, 2L),          // exact touch at 10m MERGES
+      (3L, 0L, 50 * mn, 2L)))         // error@45m touches purchase end: merges
+  }
+
   test("tumbling window counts sum to the event count") {
     val out = Relational.tumblingWindow(spark, sf0001)
       .agg(sum("n_events")).collect()(0).getLong(0)
