@@ -293,6 +293,7 @@ object SparkEntry {
     "media_dup_padded_packed" -> ((s, d) => Media.mediaDupPaddedPacked(s, d)),
     "media_dup_indexed" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupIndexed(s, d)),
     "media_near_dup_lsh" -> ((s, d) => graft.multimodal.MediaIndex.mediaNearDupLsh(s, d)),
+    "stream_media_dedup" -> ((s, d) => graft.streaming.EventStreams.streamMediaDedupQuery(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
@@ -3862,6 +3863,9 @@ object SparkEntry {
         |WHERE d.l1p <= $MediaLshL1Max
         |ORDER BY canonical_id, dup_id""".stripMargin
     },
+    // stream_media_dedup: the cross-split byte replay — hot df over the
+    // corpus side only, drop × corpus pair join (see crossEncodedDupSql).
+    "stream_media_dedup" -> crossEncodedDupSql,
     "media_dedup" ->
       """WITH m AS (SELECT doc_id AS canonical_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
@@ -3939,6 +3943,65 @@ object SparkEntry {
         |SELECT ida AS canonical_id, idb AS dup_id, container, CAST(l1p AS BIGINT) AS l1p
         |FROM d WHERE l1p <= ${graft.multimodal.Media.PermilleL1Max}
         |ORDER BY canonical_id, dup_id""".stripMargin
+
+  /** The `stream_media_dedup` oracle: the [[encodedDupSql]] byte-winnow
+    * chain over the UNION of both staged sides with a `side` tag — the
+    * hot-fp document frequency counted over the CORPUS side only (the
+    * declared streaming split: a stream cannot know global df) and the
+    * pair join restricted to drop × corpus. Same constants, same staged
+    * bytes, least/greatest id ordering on output. */
+  private def crossEncodedDupSql: String =
+    s"""WITH f AS (
+      |  SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx, 'drop' AS side
+      |  FROM read_parquet('${graft.multimodal.Media.PackedEncodedDropRoot}/*.parquet')
+      |  UNION ALL
+      |  SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx, 'corp' AS side
+      |  FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')
+      |  WHERE media_id % 10 <> 0),
+      |c AS (SELECT media_id, n, hx, side,
+      |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+      |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+      |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+      |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+      |             ELSE 'unknown' END AS container
+      |      FROM f),
+      |u AS (SELECT media_id, n, hx, unnest(range(0, n)) AS i FROM c),
+      |b AS (SELECT media_id, n, i,
+      |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+      |        + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1 AS byte,
+      |        CAST(md5_number_lower(substr(hx, CAST(2*i+1 AS INTEGER), 2)) % 4294967296 AS BIGINT) AS hb
+      |      FROM u),
+      |hh AS (SELECT media_id, list(hb ORDER BY i) AS hs FROM b GROUP BY media_id),
+      |ck AS (SELECT media_id, CASE WHEN len(hs) >= ${graft.multimodal.Media.EncodedWinnowK}
+      |        THEN list_transform(range(1, len(hs) - ${graft.multimodal.Media.EncodedWinnowK - 2}), i ->
+      |          list_reduce(hs[i:i+${graft.multimodal.Media.EncodedWinnowK - 1}], (a, bb) -> (a * 1000003 + bb) % 4294967296))
+      |        ELSE CAST([] AS BIGINT[]) END AS ch FROM hh),
+      |sel AS (SELECT media_id, ch, CASE WHEN len(ch) >= ${graft.multimodal.Media.EncodedWinnowW}
+      |        THEN list_distinct(list_transform(range(1, len(ch) - ${graft.multimodal.Media.EncodedWinnowW - 2}), i ->
+      |          i + list_max(list_filter(range(0, ${graft.multimodal.Media.EncodedWinnowW}), j ->
+      |            ch[i+j] = list_min(ch[i:i+${graft.multimodal.Media.EncodedWinnowW - 1}])))))
+      |        ELSE CAST([] AS BIGINT[]) END AS ps FROM ck),
+      |fp AS (SELECT DISTINCT sel.media_id, unnest(list_transform(ps, p -> ch[p])) AS fp, c.side
+      |       FROM sel JOIN c ON c.media_id = sel.media_id),
+      |keep AS (SELECT fp FROM fp WHERE side = 'corp' GROUP BY fp
+      |         HAVING count(*) <= ${graft.multimodal.Media.EncodedHotCap}),
+      |cold AS (SELECT fp.media_id, fp.fp, fp.side FROM fp JOIN keep USING (fp)),
+      |cand AS (SELECT x.media_id AS did, y.media_id AS sid, CAST(count(*) AS BIGINT) AS n_shared
+      |         FROM cold x JOIN cold y ON x.fp = y.fp AND x.side = 'drop' AND y.side = 'corp'
+      |         GROUP BY 1, 2 HAVING count(*) >= ${graft.multimodal.Media.EncodedMinShared}),
+      |hg AS (SELECT media_id, byte // 8 AS bin, (count(*) * 1000) // min(n) AS pm
+      |       FROM b GROUP BY media_id, byte // 8),
+      |d AS (SELECT cand.did, cand.sid, cand.n_shared,
+      |        COALESCE(sum(abs(COALESCE(pa.pm, 0) - COALESCE(pb.pm, 0))), 0) AS l1p
+      |      FROM cand CROSS JOIN range(32) t(bin)
+      |      LEFT JOIN hg pa ON pa.media_id = cand.did AND pa.bin = t.bin
+      |      LEFT JOIN hg pb ON pb.media_id = cand.sid AND pb.bin = t.bin
+      |      GROUP BY 1, 2, 3)
+      |SELECT least(d.did, d.sid) AS canonical_id, greatest(d.did, d.sid) AS dup_id,
+      |       ca.container, d.n_shared, CAST(d.l1p AS BIGINT) AS l1p
+      |FROM d JOIN c ca ON ca.media_id = d.did JOIN c cb ON cb.media_id = d.sid
+      |WHERE ca.container = cb.container AND d.l1p <= ${graft.multimodal.Media.PermilleL1Max}
+      |ORDER BY canonical_id, dup_id""".stripMargin
 
   /** The `media_dup_encoded` oracle chain, parameterized on the source CTE
     * (file-grain `read_blob` vs packed `read_parquet`) — the

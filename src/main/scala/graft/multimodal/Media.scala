@@ -1116,6 +1116,18 @@ object Media {
     ensurePackedUniverse(spark, sfDir, PackedEncodedRoot, "-drop101v1",
                          assetsWithEncodedReuploads)
 
+  /** Root for the encoded-universe DROP shard ([[ensurePackedEncodedDrop]])
+    * — the `media_id % 10 == 0` split of the SAME `-drop101v1` universe,
+    * landed as parquet shards: what a streaming media-dedup catalog sees
+    * arrive while the complement sits in the persisted feature index. */
+  private[graft] val PackedEncodedDropRoot = "/tmp/graft_media_encdrop"
+
+  /** Stage the encoded universe's drop shard at the packed grain — four
+    * shards so `maxFilesPerTrigger=1` replays it as four micro-batches. */
+  def ensurePackedEncodedDrop(spark: SparkSession, sfDir: String): String =
+    ensurePackedUniverse(spark, sfDir, PackedEncodedDropRoot, "-drop101v1",
+      (s, d) => assetsWithEncodedReuploads(s, d).filter(_.media_id % 10 == 0))
+
   /** [[encodedDupFeatures]] from the packed grain: identical kernels, the
     * id read from the COLUMN instead of parsed from a filename. */
   private[graft] def encodedDupFeaturesPacked(assets: DataFrame): DataFrame = {
@@ -1153,7 +1165,7 @@ object Media {
   private[graft] def stagedRoots: Seq[String] =
     Seq(AssetFilesRoot, DropFilesRoot, NearDupFilesRoot, PaddedFilesRoot,
         EncodedFilesRoot, PackedDropRoot, PackedEncodedRoot,
-        PackedNearDupRoot, PackedPaddedRoot)
+        PackedNearDupRoot, PackedPaddedRoot, PackedEncodedDropRoot)
 
   /** Concurrent-safe versioned staging shared by every fixed-path root:
     * `build` materializes into a temp dir, which is atomically renamed to

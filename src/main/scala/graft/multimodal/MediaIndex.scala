@@ -159,6 +159,73 @@ object MediaIndex {
         s"on ${marked.mkString(", ")}) — rebuild before serving")
   }
 
+  /** DROP-vs-STORE re-encode pairs — the cross-split core shared by the
+    * streaming media dedup and its batch twin (the spec's equality anchor;
+    * the `streamDecontaminateFrom` discipline): `dropFeats` rows
+    * `(drop_id, ca, pa, fps_a)` are checked against the PERSISTED corpus
+    * index at `prefix`.
+    *
+    *  1. Candidates: drop fingerprints equi-join the store's COLD postings
+    *    (corpus document frequency ≤ [[Media.EncodedHotCap]] — the hot set
+    *    is BY DECLARATION computed over the corpus side only: a stream
+    *    cannot know global df, and the corpus df is the stable boilerplate
+    *    signal; the oracle replays exactly that split). Stateless
+    *    stream-static join; the only state is the (drop, store) pair-dedup
+    *    key.
+    *  2. Verify per candidate: same container, n_shared = |fps_a ∩ store
+    *    cold fps| ≥ [[Media.EncodedMinShared]] via ONE codegen'd
+    *    `array_intersect` (the `_sharr` trick — no streaming aggregate),
+    *    integer permille-L1 ≤ [[Media.PermilleL1Max]].
+    *
+    * Emitted set is order-independent (pure per-pair arithmetic), so the
+    * batch SQL replay over the same staged bytes is the exact oracle. */
+  private[graft] def crossPairsCore(dropFeats: DataFrame, prefix: String): DataFrame = {
+    val spark = dropFeats.sparkSession
+    val postings = spark.table(s"${prefix}_postings")
+    val hot = postings.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > Media.EncodedHotCap).select("fp")
+    val cold = postings.join(hot, Seq("fp"), "left_anti")
+    val coldArr = cold.groupBy("media_id").agg(collect_list(col("fp")).as("cold_fps"))
+    val storeSide = spark.table(s"${prefix}_feats")
+      .select(col("media_id").as("store_id"), col("container").as("cb"),
+              col("permille").as("pb"))
+      .join(coldArr.withColumnRenamed("media_id", "store_id"), Seq("store_id"))
+    dropFeats
+      .select(col("drop_id"), col("ca"), col("pa"), col("fps_a"),
+              explode(col("fps_a")).as("fp"))
+      .join(cold.withColumnRenamed("media_id", "store_id"), Seq("fp"))
+      .select("drop_id", "store_id", "ca", "pa", "fps_a")
+      .dropDuplicates("drop_id", "store_id")
+      .join(storeSide, Seq("store_id"))
+      .filter(col("ca") === col("cb"))
+      .withColumn("n_shared",
+        size(array_intersect(col("fps_a"), col("cold_fps"))).cast("bigint"))
+      .filter(col("n_shared") >= Media.EncodedMinShared)
+      .withColumn("l1p",
+        aggregate(zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
+                  lit(0L), (acc, v) => acc + v))
+      .filter(col("l1p") <= Media.PermilleL1Max)
+      .select(least(col("drop_id"), col("store_id")).as("canonical_id"),
+              greatest(col("drop_id"), col("store_id")).as("dup_id"),
+              col("ca").as("container"), col("n_shared"), col("l1p"))
+  }
+
+  /** [[crossPairsCore]]'s drop-side feature projection from packed assets. */
+  private[graft] def dropFeatures(assets: DataFrame): DataFrame =
+    fullFeatures(assets).select(
+      col("media_id").as("drop_id"), col("container").as("ca"),
+      col("permille").as("pa"), col("fps").as("fps_a"))
+
+  /** The BATCH twin of the streaming media dedup (spec equality anchor):
+    * the staged drop read whole, checked against the corpus index. */
+  private[graft] def mediaDupCrossBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val prefix = buildIndex(spark, sfDir, "corp")
+    requireNotMidAppend(spark, prefix)
+    val dropDir = Media.ensurePackedEncodedDrop(spark, sfDir)
+    crossPairsCore(dropFeatures(spark.read.parquet(dropDir)), prefix)
+      .orderBy("canonical_id", "dup_id")
+  }
+
   /** Declared `media_near_dup_lsh` parameters, shared with the SQL oracle
     * (one definition site). [[MediaLshBands]] hyperplane-sign bands over
     * the CENTERED permille histogram; band width ADAPTS to corpus size —

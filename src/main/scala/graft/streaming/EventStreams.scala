@@ -1036,6 +1036,36 @@ object EventStreams {
       .orderBy("user_id", "start_us")
   }
 
+  /** Driver-verified: STREAMING MEDIA DEDUP — arriving packed media drops
+    * checked for re-encoded copies against the PERSISTED media feature
+    * index the moment they land, closing the batch×stream matrix for
+    * multimodal (the streaming side previously only cataloged/filtered —
+    * `stream_media_packed` / `stream_media_filter` — but never deduped).
+    * The [[streamDecontaminateQuery]] discipline applied to bytes: each
+    * arriving asset is fingerprinted in-flight (one typed map — the same
+    * kernel the index build ran ONCE over the corpus; the drop pays only
+    * its own bytes), candidates come from a STATELESS stream-static join
+    * of its winnow fingerprints against the store's cold postings, and
+    * verification is one codegen'd `array_intersect` + permille-L1 per
+    * candidate — no streaming aggregate; the only state is the
+    * (drop, store) pair-dedup key, watermark-boundable at production.
+    * Emitted set == the batch cross-split check (order-free), proven by
+    * StreamingSpec against [[graft.multimodal.MediaIndex.mediaDupCrossBatch]]
+    * and hash-gated by the full SQL byte replay. */
+  def streamMediaDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.multimodal.{Media, MediaIndex}
+    val prefix = MediaIndex.buildIndex(spark, sfDir, "corp")
+    MediaIndex.requireNotMidAppend(spark, prefix)
+    val dropDir = Media.ensurePackedEncodedDrop(spark, sfDir)
+    val drops = spark.readStream
+      .schema("media_id BIGINT, kind STRING, payload BINARY")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dropDir)
+    val verified = MediaIndex.crossPairsCore(MediaIndex.dropFeatures(drops), prefix)
+    runToCompletion(spark, verified, "stream_media_dedup", OutputMode.Append())
+      .orderBy("canonical_id", "dup_id")
+  }
+
   /** Driver-verified: DYNAMIC-GAP sessions in APPEND mode — the streaming
     * twin of [[graft.operators.Relational.sessionWindowDynamic]] under the
     * [[streamSessionsAppendQuery]] eviction discipline: the gap is a

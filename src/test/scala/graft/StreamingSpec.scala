@@ -1063,6 +1063,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(unmatched.map(_._1).toSet === expectedUnmatched)
   }
 
+  test("stream_media_dedup: multi-batch stream emits exactly the batch cross-split pairs") {
+    // the drop stages as four shards replayed one per micro-batch, so this
+    // equality exercises candidate joins + pair dedup across batch
+    // boundaries, not a single-batch degenerate run
+    val streamed = graft.streaming.EventStreams
+      .streamMediaDedupQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val batch = graft.multimodal.MediaIndex.mediaDupCrossBatch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(streamed.nonEmpty, "fixture must produce cross-split pairs")
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed pair set must equal the batch cross-split check row for row")
+    // every pair really crosses the split: one endpoint in the drop shard
+    // (id % 10 == 0 in the staged universe), one in the corpus index
+    assert(streamed.forall(p => (p._1 % 10 == 0) != (p._2 % 10 == 0)),
+      "a pair failed to cross the drop/corpus split")
+  }
+
   test("stream_join_full: matched ≡ inner; each unmatched side ≡ its evicted complement") {
     import org.apache.spark.sql.functions._
     val full = graft.streaming.EventStreams
