@@ -392,6 +392,77 @@ object Warehouse {
     VacuumResult(root, kept.length, deleted, swept)
   }
 
+  // ------------------------------------------------------------------
+  // Streaming checkpoint / state-store inventory
+  // ------------------------------------------------------------------
+
+  /** Health of one streaming query's checkpoint directory — the last
+    * unaudited disk-growth vector the bounded-state story had:
+    * [[maintenanceReport]] covers tables, [[versionedRootReport]] covers
+    * staged roots, and this covers the checkpoint/state-store trees a
+    * long-lived streaming deployment accumulates (every stateful query
+    * grows `state/` by one delta file per operator × partition × batch
+    * until its own maintenance compacts, and an abandoned query's
+    * checkpoint leaks forever).
+    *
+    *  - `latestOffset` / `latestCommit`: the highest batch id written to
+    *    `offsets/` vs `commits/`. `inFlight` (offset > commit) after the
+    *    query stopped is the mid-batch crash signature — on restart Spark
+    *    replays that batch; a checkpoint stuck in-flight with no running
+    *    query is the orphan to investigate.
+    *  - `stateBytes` / `stateFiles`: recursive size of `state/` — the
+    *    measured form of "state is bounded": a stateful query whose
+    *    checkpoint grows without bound here contradicts its declared
+    *    eviction story regardless of what the plan claims.
+    *  - `ageMs`: time since the newest offset/commit write — staleness;
+    *    an old checkpoint under a live root is an abandoned run-id. */
+  final case class CheckpointHealth(dir: String, latestOffset: Long,
+                                    latestCommit: Long, inFlight: Boolean,
+                                    stateBytes: Long, stateFiles: Int,
+                                    ageMs: Long)
+
+  /** [[CheckpointHealth]] for every streaming-checkpoint-shaped directory
+    * under `root` (a checkpoint is recognized by its `offsets/` dir — the
+    * one artifact every run writes before anything else). `root` itself is
+    * also checked, so both layouts work: one checkpoint per query dir, or
+    * a root passed directly. Metadata-only directory walk; no Spark
+    * session, safe on every ingest tick. */
+  def streamingCheckpointReport(root: String,
+                                nowMs: Long = System.currentTimeMillis()): Seq[CheckpointHealth] = {
+    val rootFile = new java.io.File(root)
+    def isCheckpoint(d: java.io.File): Boolean =
+      d.isDirectory && new java.io.File(d, "offsets").isDirectory
+    val candidates =
+      (if (isCheckpoint(rootFile)) Seq(rootFile) else Seq.empty) ++
+        Option(rootFile.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(isCheckpoint).toSeq
+    candidates.sortBy(_.getName).map { d =>
+      def batches(sub: String): Array[(Long, Long)] =
+        Option(new java.io.File(d, sub).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.forall(_.isDigit))
+          .map(f => (f.getName.toLong, f.lastModified()))
+      val offs = batches("offsets")
+      val commits = batches("commits")
+      val latestOffset = if (offs.isEmpty) -1L else offs.map(_._1).max
+      val latestCommit = if (commits.isEmpty) -1L else commits.map(_._1).max
+      var stateBytes = 0L
+      var stateFiles = 0
+      def walk(f: java.io.File): Unit =
+        if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+          if (f.isFile) { stateBytes += f.length(); stateFiles += 1 }
+          else Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        }
+      walk(new java.io.File(d, "state"))
+      val newest = (offs ++ commits).map(_._2) match {
+        case a if a.isEmpty => d.lastModified()
+        case a => a.max
+      }
+      CheckpointHealth(d.getAbsolutePath, latestOffset, latestCommit,
+        inFlight = latestOffset > latestCommit,
+        stateBytes, stateFiles, math.max(0L, nowMs - newest))
+    }
+  }
+
   /** One listing of `root`'s parent → (parent, base, live-target name,
     * version dirs, debris entries). Versions are real directories named
     * `<base>.v*`; debris is `<base>.{tmp,lnk,trash}-*`. */

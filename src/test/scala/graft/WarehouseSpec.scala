@@ -407,6 +407,50 @@ class WarehouseSpec extends SparkSpecBase {
     assert(Files.exists(Paths.get(s"$root.vbbb/payload.bin")))
   }
 
+  test("streamingCheckpointReport: a real checkpoint parses; a planted orphan surfaces") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_spec")
+    root.toFile.deleteOnExit()
+    // a REAL stateful query checkpointed under root/q1 — proves the
+    // recognizer matches Spark's actual layout, not a hand-drawn one
+    val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src")
+    src.toFile.deleteOnExit()
+    spark.range(20).selectExpr("id % 5 AS k").write.mode("overwrite")
+      .parquet(src.toString)
+    val q = spark.readStream.schema("k BIGINT").parquet(src.toString)
+      .dropDuplicates("k")
+      .writeStream.format("memory").queryName("ckpt_spec_sink")
+      .option("checkpointLocation", s"$root/q1")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.catalog.dropTempView("ckpt_spec_sink")
+    // a PLANTED orphan under root/q2: offsets ahead of commits (mid-batch
+    // crash signature) with state on disk
+    def touch(p: String, bytes: Int = 0): Unit = {
+      val f = new java.io.File(root.toFile, p)
+      f.getParentFile.mkdirs()
+      val os = new java.io.FileOutputStream(f)
+      try os.write(new Array[Byte](bytes)) finally os.close()
+    }
+    Seq("q2/offsets/0", "q2/offsets/1", "q2/offsets/2",
+        "q2/commits/0", "q2/commits/1").foreach(touch(_))
+    touch("q2/state/0/0/1.delta", 2048)
+    val report = Warehouse.streamingCheckpointReport(root.toString)
+      .map(h => new java.io.File(h.dir).getName -> h).toMap
+    assert(report.keySet === Set("q1", "q2"))
+    val q1 = report("q1")
+    assert(q1.latestOffset >= 0L && q1.latestCommit === q1.latestOffset,
+      s"finished query must be fully committed: $q1")
+    assert(!q1.inFlight)
+    assert(q1.stateBytes > 0L && q1.stateFiles > 0,
+      s"dropDuplicates state must be on disk: $q1")
+    val q2 = report("q2")
+    assert(q2.inFlight && q2.latestOffset === 2L && q2.latestCommit === 1L,
+      s"planted orphan not surfaced: $q2")
+    assert(q2.stateBytes === 2048L && q2.stateFiles === 1)
+    assert(report.values.forall(_.ageMs >= 0L))
+  }
+
   test("vacuumStagedRoots covers every media root; live staged universes survive") {
     // stage at least one real root, then vacuum everything Media manages
     graft.multimodal.Media.ensureAssetFiles(spark, sf0001)
