@@ -3835,25 +3835,20 @@ object SparkEntry {
         |pd AS (SELECT m.media_id, t.bin, COALESCE(h.pm, 0) AS pm
         |       FROM (SELECT media_id FROM c) m CROSS JOIN range(32) t(bin)
         |       LEFT JOIN h ON h.media_id = m.media_id AND h.bin = t.bin),
-        |nn AS (SELECT count(*) AS na FROM c),
-        |bw AS (SELECT greatest($MediaLshMinBits,
-        |         (SELECT max(k) FROM range(1, 63) t(k)
-        |          WHERE (CAST(1 AS BIGINT) << k) <= (SELECT na FROM nn)) - 2) AS bits FROM nn),
-        |cm AS (SELECT bin, sum(pm) // (SELECT na FROM nn) AS cmv FROM pd GROUP BY bin),
         |r AS (SELECT j, bin,
         |        CASE WHEN md5_number_lower('$MediaLshSeed' || j || '_' || bin) % 2 = 0 THEN 1 ELSE -1 END AS rv
-        |      FROM range(256) tj(j) CROSS JOIN range(32) tb(bin)
-        |      WHERE j < $MediaLshBands * (SELECT bits FROM bw)),
-        |s AS (SELECT pd.media_id, r.j, sum(r.rv * (pd.pm - cm.cmv)) AS sj
-        |      FROM pd JOIN cm USING (bin) JOIN r ON r.bin = pd.bin GROUP BY 1, 2),
-        |bands AS (SELECT media_id, j // (SELECT bits FROM bw) AS band,
-        |            sum((CASE WHEN sj >= 0 THEN 1 ELSE 0 END)
-        |                * (CAST(1 AS BIGINT) << (j % (SELECT bits FROM bw)))) AS bv
-        |          FROM s GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.media_id AS ida, b2.media_id AS idb
-        |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bv = b2.bv AND a.media_id < b2.media_id
-        |         JOIN c ca ON ca.media_id = a.media_id JOIN c cb ON cb.media_id = b2.media_id
-        |         WHERE ca.container = cb.container),
+        |      FROM range($MediaLshBands * $MediaLshProj) tj(j) CROSS JOIN range(32) tb(bin)),
+        |q AS (SELECT pd.media_id, r.j,
+        |        (sum(r.rv * pd.pm) + $MediaLshOffset) // $MediaLshW AS qv
+        |      FROM pd JOIN r ON r.bin = pd.bin GROUP BY 1, 2),
+        |qd AS (SELECT a.media_id AS ida, b2.media_id AS idb,
+        |         a.j // $MediaLshProj AS band, max(abs(a.qv - b2.qv)) AS md
+        |       FROM q a JOIN q b2 ON a.j = b2.j AND a.media_id < b2.media_id
+        |       GROUP BY 1, 2, 3),
+        |cand AS (SELECT DISTINCT qd.ida, qd.idb
+        |         FROM qd JOIN c ca ON ca.media_id = qd.ida
+        |         JOIN c cb ON cb.media_id = qd.idb
+        |         WHERE qd.md <= 1 AND ca.container = cb.container),
         |d AS (SELECT cand.ida, cand.idb, sum(abs(pa.pm - pb.pm)) AS l1p
         |      FROM cand JOIN pd pa ON pa.media_id = cand.ida
         |      JOIN pd pb ON pb.media_id = cand.idb AND pb.bin = pa.bin

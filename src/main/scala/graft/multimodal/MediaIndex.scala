@@ -227,19 +227,23 @@ object MediaIndex {
   }
 
   /** Declared `media_near_dup_lsh` parameters, shared with the SQL oracle
-    * (one definition site). [[MediaLshBands]] hyperplane-sign bands over
-    * the CENTERED permille histogram; band width ADAPTS to corpus size —
-    * `bits = max(8, ⌊log2 n⌋ − 2)` — the standard LSH sizing that holds
-    * per-bucket occupancy roughly constant as the corpus grows (fixed-width
-    * bands go quadratic inside buckets at 10× the data; measured: 8-bit
-    * bands at sf0.1 carry 1.62M candidates vs 1.27M at the adaptive 10).
-    * The verify bound is MUCH tighter than the fp-blocked catchers'
-    * [[Media.PermilleL1Max]] = 250: an LSH candidate shares no content
-    * evidence, only a feature bucket, and measured distributions put
-    * planted re-encodes at permille-L1 ≤ 8 while unrelated same-container
-    * pairs bottom out near ~50 — 32 separates with margin on both sides. */
+    * (one definition site). [[MediaLshBands]] bands of [[MediaLshProj]]
+    * QUANTIZED projections each over the raw permille histogram (width
+    * [[MediaLshW]]), neighbor-probed — see [[mediaNearDupLsh]] for why
+    * this replaced sign-bucket LSH at the round-11 seal. No centering:
+    * a corpus-mean shift moves every document's projection by the same
+    * constant per hyperplane, and bucket DIFFERENCES — the only thing the
+    * probe join reads — are shift-invariant, so the mean pass bought
+    * nothing once signs were gone. The verify bound is MUCH tighter than
+    * the fp-blocked catchers' [[Media.PermilleL1Max]] = 250: an LSH
+    * candidate shares no content evidence, only a feature bucket, and
+    * measured distributions put planted re-encodes at permille-L1 ≤ 8
+    * while unrelated same-container pairs bottom out near ~50 — 32
+    * separates with margin on both sides. */
   private[graft] val MediaLshBands = 4
-  private[graft] val MediaLshMinBits = 8
+  private[graft] val MediaLshProj = 4
+  private[graft] val MediaLshW = 8L
+  private[graft] val MediaLshOffset = 1024L
   private[graft] val MediaLshL1Max = 32L
   private[graft] val MediaLshSeed = "mlsh"
 
@@ -250,9 +254,17 @@ object MediaIndex {
   private[graft] def lshSign(j: Int, bin: Int): Long =
     if ((graft.operators.TextAnalysis.md5Low64(s"$MediaLshSeed${j}_$bin") & 1L) == 0L) 1L else -1L
 
-  /** Adaptive band width for `n` assets (shared formula with the oracle). */
-  private[graft] def lshBits(n: Long): Int =
-    math.max(MediaLshMinBits, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 2)
+  /** The 3^[[MediaLshProj]] packed-key probe deltas: per-coordinate
+    * offsets in {−1, 0, +1} folded into the 8-bit-per-coordinate packed
+    * band key. Exact BECAUSE addition can never carry between fields:
+    * quantized values live in [3, 253] (|proj| ≤ Σpermille = 1000, offset
+    * 1024, width 8), so value + offset stays inside its 8-bit field. */
+  private[graft] val MediaLshProbeDeltas: Seq[Long] = {
+    def rec(k: Int): Seq[Long] =
+      if (k == 0) Seq(0L)
+      else rec(k - 1).flatMap(d => Seq(-1L, 0L, 1L).map(o => d * 256L + o))
+    rec(MediaLshProj)
+  }
 
   /** Driver-verified: histogram-LSH media near-dup (`media_near_dup_lsh`)
     * — the declared generalization in [[Media.mediaNearDup]]'s contract:
@@ -263,73 +275,86 @@ object MediaIndex {
     * asset read from the persisted store, no per-byte kernel anywhere in
     * the query.
     *
-    * Blocking: sign-bucket LSH over the CENTERED integer permille
-    * histogram (the [[graft.operators.Dedup]] embedding-LSH form). Raw
-    * sign-buckets would be useless here — same-language text clusters
-    * around one letter-frequency profile, so uncentered projections all
-    * share the dominant component's sign and everything lands in one
-    * bucket; subtracting the corpus's integer mean profile (computed from
-    * the store, floor-divided — exactly replayable in SQL) makes the
-    * projections split on the DIFFERENCES between documents. 4 bands of
-    * adaptive width ([[lshBits]]); candidates share a container and any
-    * band; verify is integer permille-L1 ≤ [[MediaLshL1Max]].
+    * Blocking — NEIGHBOR-PROBED QUANTIZED PROJECTIONS, the round-11 seal
+    * revision. The first cut used centered sign-bucket LSH (the
+    * [[graft.operators.Dedup]] embedding form) with adaptive band width;
+    * the ×10 probe measured it at warm slope 1.09 with 95M candidates for
+    * ~5M true pairs — same-language byte histograms deviate from the mean
+    * along a few shared directions, so SIGNS of random projections stay
+    * correlated no matter how many bits a band gets, and bucket occupancy
+    * is skew, not size. Signs were the wrong 1-bit quantizer; MAGNITUDE
+    * carries the separation. Revised scheme: [[MediaLshBands]] bands ×
+    * [[MediaLshProj]] ±1-hyperplane projections quantized to width
+    * [[MediaLshW]] (`(proj + offset) >> 3`, int64-exact), the four
+    * quantized values packed into one 8-bit-per-field band key; the probe
+    * side explodes the 3^4 [[MediaLshProbeDeltas]] so the key join catches
+    * every pair within per-coordinate bucket distance ≤ 1. That gives a
+    * DETERMINISTIC catch window: a pair with per-projection delta ≤ W
+    * (which permille-L1 ≤ 8 guarantees, since |Δproj| ≤ L1 under ±1
+    * hyperplanes) ALWAYS shares a probe key in every band — planted
+    * re-encode recall is a theorem, not a tuning outcome (spec-gated
+    * anyway); a pair differing by > 3·W=24 on ANY coordinate of every
+    * band never collides. Measured at the same ×10 universe: 7.18M
+    * distinct candidates, 2.27M of which pass the final verify — the
+    * candidate overhang sits at 3.2× of the true output mass, near the
+    * floor for a blocker (the output itself is pair enumeration over
+    * distribution-identical documents and grows with the corpus's
+    * duplicate-cluster sizes: 171× for 10× data here — the interval_join
+    * precedent, now actually true of this op; warm ×10 time 27s vs the
+    * sign scheme's 83s).
     *
-    * DECLARED trades: (a) recall is probabilistic LSH recall — a copy
-    * flipping ≥1 sign in EVERY band is missed (the planted re-encode class
-    * is spec-gated caught-in-full at both fixture universes, distance ≤ 8
-    * vs projection spreads in the hundreds); (b) output is pair
-    * enumeration over genuinely distribution-identical documents, so its
-    * mass grows with the corpus's duplicate-cluster sizes (the
-    * interval_join precedent — output-bound, not a plan defect); the
-    * adaptive band width is what keeps the CANDIDATE overhang near the
-    * output mass as n grows. All arithmetic int64-exact; the oracle
-    * replays center, signs, banding, and threshold from the same staged
-    * bytes. */
+    * DECLARED trades: (a) recall on the LOOSE near-dup class (L1 in
+    * (8, 32]) is probabilistic — measured 0.63 at sf0.1 (the sign scheme's
+    * was 0.94 at 30× the candidate cost; the deterministic window covers
+    * the copy-detection class this op exists for); (b) output mass is the
+    * corpus's distribution-identical pair mass. Join physics: the probe
+    * side is NARROW (id, container, band, key — no payload-derived
+    * arrays); the stored side carries `permille` so verification needs no
+    * second self-join, and the single remaining per-pair join (probe
+    * asset's own permille) rides the `_feats` media_id bucketing. All
+    * arithmetic int64-exact; the oracle replays signs, quantization, and
+    * the ≤1-bucket-distance predicate from the same staged bytes via a
+    * structurally different max-coordinate-diff form (no packed keys, no
+    * probe explosion), so the packing + no-carry probe trick is
+    * differentially proven, not assumed. */
   def mediaNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val prefix = buildIndex(spark, sfDir, "all")
     requireNotMidAppend(spark, prefix)
     val feats = spark.table(s"${prefix}_feats")
       .select(col("media_id"), col("container"), col("permille"))
-    // ≤1-row bounds read (the repo's argmax/bounds-read class): the asset
-    // count fixes the adaptive band width at plan time
-    val nAssets = feats.agg(count(lit(1))).head().getLong(0)
-    require(nAssets > 0, "mediaNearDupLsh: empty media index")
-    val bits = lshBits(nAssets)
-    val nHyper = MediaLshBands * bits
-    // corpus mean profile: integer floor per bin, one partial-agg'd pass
-    // over the store, broadcast as a single 32-long array row
-    val cmArr = feats
-      .select(posexplode(col("permille")).as(Seq("pos", "pm")))
-      .groupBy("pos").agg(sum("pm").as("s"))
-      .agg(expr(s"transform(array_sort(collect_list(struct(pos, s))), " +
-                s"x -> x.s div ${nAssets}L)").as("cm"))
-    val centered = feats.crossJoin(broadcast(cmArr))
-    def sj(j: Int) = (0 until 32).map(i =>
-      lit(lshSign(j, i)) *
-        (element_at(col("permille"), i + 1) - element_at(col("cm"), i + 1)))
+    val shift = java.lang.Long.numberOfTrailingZeros(MediaLshW)
+    def qv(j: Int) = shiftright(
+      (0 until 32).map(i =>
+        lit(lshSign(j, i)) * element_at(col("permille"), i + 1)).reduce(_ + _)
+        + lit(MediaLshOffset), shift)
+    def bandKey(b: Int) = (0 until MediaLshProj).map(i =>
+      qv(b * MediaLshProj + i) * lit(1L << (8 * (MediaLshProj - 1 - i))))
       .reduce(_ + _)
-    def bandVal(b: Int) = (0 until bits).map(k =>
-      (sj(b * bits + k) >= 0L).cast("long") * lit(1L << k)).reduce(_ + _)
-    val bands = centered.select(col("media_id"), col("container"),
-        explode(array((0 until MediaLshBands).map(b =>
-          struct(lit(b.toLong).as("band"), bandVal(b).as("bv"))): _*)).as("bb"))
-      .select(col("media_id"), col("container"),
-              col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.container") === col("b.container") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"))
-      .distinct()
-    val side = feats
-    cand
-      .join(side.select(col("media_id").as("ida"), col("container").as("ca"),
-                        col("permille").as("pa")), Seq("ida"))
-      .join(side.select(col("media_id").as("idb"),
-                        col("permille").as("pb")), Seq("idb"))
+    val bandCols = array((0 until MediaLshBands).map(b =>
+      struct(lit(b.toLong).as("band"), bandKey(b).as("bk"))): _*)
+    // stored side: key rows CARRYING the verify features (no re-join for
+    // the b-side); probe side: narrow key rows exploded over the deltas
+    val stored = feats.select(col("media_id").as("idb"), col("container"),
+        col("permille").as("pb"), explode(bandCols).as("bb"))
+      .select(col("idb"), col("container"), col("pb"),
+              col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val probes = feats.select(col("media_id").as("ida"), col("container"),
+        explode(bandCols).as("bb"))
+      .select(col("ida"), col("container"), col("bb.band").as("band"),
+              col("bb.bk").as("bk0"),
+              explode(array(MediaLshProbeDeltas.map(lit): _*)).as("delta"))
+      .select(col("ida"), col("container"), col("band"),
+              (col("bk0") + col("delta")).as("bk"))
+    probes.join(stored, Seq("band", "bk", "container"))
+      .filter(col("ida") < col("idb"))
+      // pair-dedup BEFORE the verify join: a pair can collide in up to
+      // MediaLshBands (band, delta) cells; container/pb are pair-invariant
+      // so the arbitrary surviving row is the right one
+      .dropDuplicates("ida", "idb")
+      .join(feats.select(col("media_id").as("ida"), col("permille").as("pa")),
+            Seq("ida"))
       .select(col("ida").as("canonical_id"), col("idb").as("dup_id"),
-              col("ca").as("container"),
+              col("container"),
               aggregate(zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
                         lit(0L), (acc, v) => acc + v).as("l1p"))
       .filter(col("l1p") <= MediaLshL1Max)
