@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, Hash64, HashEmbed, HistAgg, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, KmvStateAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash, Winnow, WinnowStats}
+import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, Hash64, HashEmbed, HistAgg, HllAgg, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, KmvStateAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash, Winnow, WinnowStats}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -86,6 +86,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_hist_merge(state, bins) — histogram rollup over persisted state rows")
         HistAgg(args.head, intArg(args(1)), merging = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_state"),
+      new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_state"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hll_state(value, p) — HyperLogLog register aggregate")
+        HllAgg(args.head, intArg(args(1)), merging = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hll_merge(state, p) — HLL rollup over persisted state rows")
+        HllAgg(args.head, intArg(args(1)), merging = true)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_cms"),

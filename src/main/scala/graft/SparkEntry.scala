@@ -89,6 +89,7 @@ object SparkEntry {
     "order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
     "quantile_rollup" -> ((s, d) => Analytics.quantileRollup(s, d)),
+    "hll_rollup" -> ((s, d) => Analytics.hllRollup(s, d)),
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
     "anomaly_hours" -> ((s, d) => Analytics.anomalyHours(s, d)),
@@ -1529,6 +1530,33 @@ object SparkEntry {
         |SELECT scope, CAST(q AS INTEGER) AS q,
         |  CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_value
         |FROM s, b ORDER BY scope, q""".stripMargin,
+    // hll_rollup: the full register table replayed integer-exactly —
+    // md5 % 2^63 hash, h % m bucket, bit-length rank (w = 0 → max rank),
+    // empty registers materialized via the range(m) grid, __all__ =
+    // element-wise MAX of the per-type registers; the estimate arithmetic
+    // is the engine's hllEstimate token for token (left-associated, 2^54
+    // exact double), linear-counting branch included.
+    "hll_rollup" ->
+      """WITH e AS (SELECT event_type, CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS h
+        |           FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM e),
+        |rho AS (SELECT event_type, bucket,
+        |          max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS mr
+        |        FROM r GROUP BY 1, 2),
+        |grid AS (SELECT event_type, b FROM (SELECT DISTINCT event_type FROM e) s CROSS JOIN range(256) t(b)),
+        |reg AS (SELECT g.event_type AS scope, g.b, COALESCE(rho.mr, 0) AS m
+        |        FROM grid g LEFT JOIN rho ON rho.event_type = g.event_type AND rho.bucket = g.b),
+        |allreg AS (SELECT * FROM reg
+        |           UNION ALL SELECT '__all__' AS scope, b, max(m) AS m FROM reg GROUP BY 2),
+        |agg AS (SELECT scope, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |          sum(CAST(1 AS BIGINT) << CAST(54 - least(m, 54) AS INTEGER)) AS harm_s
+        |        FROM allreg GROUP BY 1)
+        |SELECT scope, CAST(n_zero AS BIGINT) AS n_zero, CAST(harm_s AS BIGINT) AS harm_s,
+        |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 18014398509481984.0 / CAST(harm_s AS DOUBLE) <= 640.0
+        |                  AND n_zero > 0
+        |             THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+        |             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 18014398509481984.0 / CAST(harm_s AS DOUBLE) END, 4) AS est_users
+        |FROM agg ORDER BY scope""".stripMargin,
     "profile_table" -> profileOracleSql,
     // rolling_features: trailing [t-3600s+1us, t] per-user frame — the
     // inclusive boundary stated identically on both sides; RANGE peers

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.NumericFunctions.duckRound
@@ -236,6 +236,73 @@ object Analytics {
         (expr(s"mn + (2 * bin + 1) * (mx - mn + 1) div ${2L * bins}")
           .cast("double") / 100.0).as("est_value"))
       .orderBy("scope", "q")
+  }
+
+  /** Declared HLL precision (p → m = 2^p registers), shared with the SQL
+    * oracle: m = 256 registers = 2 KB of state per cell for ~6.5%
+    * (1.04/√m) standard error — the space/error point production
+    * distinct-count pipelines actually ship (KMV at the same state size
+    * is ~13%). */
+  private[graft] val HllP = 8
+
+  /** The HLL estimate read-out from the two integer summaries, ONE
+    * arithmetic definition replayed token-for-token in the SQL oracle
+    * (left-associated ops so both engines fold the same IEEE sequence):
+    * `harm_s` = Σ 2^(54−min(M_j,54)) — the harmonic denominator as an
+    * EXACT integer (dyadic terms rescaled by 2^54 so cross-partition sum
+    * order cannot move a bit; registers past 54 truncate identically on
+    * both engines by the shared `least`) — and `n_zero` = empty-register
+    * count for the small-range linear-counting branch (Flajolet et al.'s
+    * E ≤ 2.5m correction; the one `ln` call is the repo's accepted
+    * single-libm-call-then-round float risk, the zipf_slope class). */
+  private def hllEstimate(nZero: Column, harmS: Column): Column = {
+    val m = (1 << HllP).toDouble
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m)) * lit(m) * lit(m) *
+      lit(18014398509481984.0) / harmS.cast("double") // 2^54, exact double
+    when(raw <= lit(2.5 * m) && nZero > 0L,
+         lit(m) * log(lit(m) / nZero.cast("double")))
+      .otherwise(raw)
+  }
+
+  /** MERGEABLE HYPERLOGLOG ROLLUP — the fourth member of the sketch cube
+    * ([[graft.operators.Relational.sketchRollup]] KMV distinct,
+    * [[quantileRollup]] histogram quantiles,
+    * [[graft.operators.Relational.freqRollup]] CMS frequency; this one is
+    * the REGISTER distinct sketch, max-merge): per event type one
+    * 256-register `graft_hll_state` is built from the raw stream, and the
+    * `__all__` rollup merges THE PERSISTED STATE ROWS ALONE via
+    * `graft_hll_merge` — element-wise max, so (unlike the additive
+    * histogram) states over even OVERLAPPING row sets merge into exactly
+    * the direct-pass state, bit for bit (idempotence is what makes HLL
+    * the production union sketch: re-ingested shards cannot double-count).
+    * Output per scope: the two INTEGER register summaries (`n_zero`,
+    * `harm_s` — the register table itself hash-gated through them) and
+    * the standard estimate with small-range linear counting.
+    *
+    * 100 TB: level 1 partial-aggs one 2 KB buffer per (cell, map
+    * partition) — map-side combined, never raw rows in the shuffle;
+    * level 2's input is |cells| state rows, metadata-sized at any corpus.
+    * The whole register table replays integer-exactly in DuckDB
+    * (md5 % 2⁶³ hash, `h % m` bucket, bit-length rank — the
+    * perplexity_score bits discipline), so the approximate sketch is
+    * exactly checked (the graft_kmv philosophy). */
+  def hllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val perType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .groupBy("event_type")
+      .agg(call_function("graft_hll_state", col("uid"), lit(HllP)).as("hll"))
+    val merged = perType
+      .agg(call_function("graft_hll_merge", col("hll"), lit(HllP)).as("hll"))
+      .select(lit("__all__").as("scope"), col("hll"))
+    perType.select(col("event_type").as("scope"), col("hll"))
+      .union(merged)
+      .select(col("scope"),
+        expr("aggregate(hll, 0L, (a, x) -> a + IF(x = 0L, 1L, 0L))").as("n_zero"),
+        expr("aggregate(hll, 0L, (a, x) -> a + shiftleft(1L, CAST(54 - least(x, 54L) AS INT)))")
+          .as("harm_s"))
+      .select(col("scope"), col("n_zero"), col("harm_s"),
+              duckRound(hllEstimate(col("n_zero"), col("harm_s")), 4).as("est_users"))
+      .orderBy("scope")
   }
 
   /** TABLE PROFILE (the "dataset card" pass) — per-column null count,

@@ -81,6 +81,65 @@ class AnalyticsSpec extends SparkSpecBase {
       s"histogram state lost its map-side combine:\n$plan")
   }
 
+  test("hllRollup: max-merge ≡ direct bit-for-bit, idempotent on overlap; estimate tracks exact") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => (if (i % 2 == 0) "a" else "b", s"u$i"))
+    val df = vals.toDF("cell", "v")
+    val perCell = df.groupBy("cell")
+      .agg(call_function("graft_hll_state", col("v"), lit(8)).as("h"))
+    val merged = perCell
+      .agg(call_function("graft_hll_merge", col("h"), lit(8)))
+      .head().getSeq[Long](0)
+    val direct = df
+      .agg(call_function("graft_hll_state", col("v"), lit(8)))
+      .head().getSeq[Long](0)
+    // THE register-max mergeable claim, exact
+    assert(merged === direct)
+    // IDEMPOTENCE — what max has over KMV-trim and histogram-add:
+    // a re-ingested (overlapping) shard cannot move the union state
+    val overlap = df.union(df.filter(col("cell") === "a")).repartition(7)
+      .agg(call_function("graft_hll_state", col("v"), lit(8)))
+      .head().getSeq[Long](0)
+    assert(overlap === direct)
+    // width mismatch must throw, not silently corrupt
+    val ex = intercept[Exception] {
+      perCell.agg(call_function("graft_hll_merge", col("h"), lit(9))).collect()
+    }
+    assert(ex.getMessage.contains("registers") || ex.getMessage != null)
+
+    // full query at sf0.001: estimates within the 3-sigma band of exact
+    // (sigma = 1.04/sqrt(256) ≈ 6.5%), every scope
+    val got = Analytics.hllRollup(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id").cast("string").as("uid")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exact = ev.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.length } +
+      ("__all__" -> ev.map(_._2).distinct.length)
+    exact.foreach { case (scope, n) =>
+      val (_, _, est) = got(scope)
+      assert(math.abs(est - n) <= 0.195 * n + 3,
+        s"$scope: hll est $est vs exact $n outside 3-sigma")
+    }
+    // scalar register replay: same hash → bucket → rank chain, per scope
+    val mByScope = ev.map { case (t, u) =>
+      val h = graft.operators.TextAnalysis.md5Low64(u) & Long.MaxValue
+      (t, (h % 256).toInt, math.max(1, 56 - (64 - java.lang.Long.numberOfLeadingZeros(h / 256))))
+    }
+    val expZero = mByScope.groupBy(_._1).map { case (t, rs) =>
+      t -> (256 - rs.map(_._2).distinct.length).toLong
+    }
+    expZero.foreach { case (scope, z) =>
+      assert(got(scope)._1 === z, s"$scope: n_zero ${got(scope)._1} != scalar $z")
+    }
+    // map-side combine survives in the plan
+    val qdf = Analytics.hllRollup(spark, sf0001)
+    qdf.collect()
+    val plan = qdf.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_hll_state"),
+      s"hll state lost its map-side combine:\n$plan")
+  }
+
   test("packSequencesSharded: per-lang ids dense from 0, shard blocks contiguous and disjoint") {
     val rows = TextAnalysis.packSequencesSharded(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
