@@ -293,6 +293,7 @@ object SparkEntry {
     "media_near_dup_packed" -> ((s, d) => Media.mediaNearDupPacked(s, d)),
     "media_dup_padded_packed" -> ((s, d) => Media.mediaDupPaddedPacked(s, d)),
     "media_dup_indexed" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupIndexed(s, d)),
+    "media_dup_cycle" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupCycle(s, d)),
     "media_near_dup_lsh" -> ((s, d) => graft.multimodal.MediaIndex.mediaNearDupLsh(s, d)),
     "stream_media_dedup" -> ((s, d) => graft.streaming.EventStreams.streamMediaDedupQuery(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
@@ -3835,13 +3836,21 @@ object SparkEntry {
     "media_dup_indexed" -> encodedDupSql(
       s"""SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
         |      FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')""".stripMargin),
-    // media_near_dup_lsh: full replay of the centered hyperplane-LSH chain
-    // over the same staged shards — byte histograms by hex extraction,
-    // integer permille, corpus mean profile by floor division, ±1 signs
-    // from md5_number_lower parity (the engine's md5Low64 & 1), adaptive
-    // band width max(8, ilog2(n) − 2), any-band candidates, permille-L1
-    // verify at the tight LSH bound. Every constant interpolates from the
-    // MediaIndex definitions.
+    // media_dup_cycle: build-from-corpus + append-the-drop must be
+    // indistinguishable from building over everything — so the oracle is
+    // again the full-universe byte replay; the driver hash proves the
+    // append path end to end every round.
+    "media_dup_cycle" -> encodedDupSql(
+      s"""SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
+        |      FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')""".stripMargin),
+    // media_near_dup_lsh: full replay of the quantized-projection LSH
+    // chain over the same staged shards — byte histograms by hex
+    // extraction, integer permille, ±1 signs from md5_number_lower parity
+    // (the engine's md5Low64 & 1), width-8 quantized projections, and the
+    // neighbor-probe predicate replayed as a per-band max-coordinate-diff
+    // ≤ 1 join (structurally different from the engine's packed-key probe
+    // join, so the no-carry packing trick is differentially proven).
+    // Every constant interpolates from the MediaIndex definitions.
     "media_near_dup_lsh" -> {
       import graft.multimodal.MediaIndex._
       s"""WITH f AS (SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx

@@ -131,7 +131,8 @@ object MediaIndex {
     * to a marker first, restored only after both appends commit, so a
     * crash mid-append fails the reuse gate and rebuilds instead of serving
     * a half-extended index. */
-  def appendToMediaIndex(assets: DataFrame, prefix: String): Unit = {
+  def appendToMediaIndex(assets: DataFrame, prefix: String,
+                         restampTo: Option[String] = None): Unit = {
     val spark = assets.sparkSession
     val tables = tableNames(prefix)
     val missing = tables.filterNot(spark.catalog.tableExists)
@@ -142,8 +143,12 @@ object MediaIndex {
     tables.foreach(t => Warehouse.stampFingerprint(spark, t,
       graft.operators.IncrementalDedup.InFlightMarker))
     writeIndexTables(fullFeatures(assets), prefix, append = true)
-    tables.foreach(t =>
-      Warehouse.stampFingerprint(spark, t, stamps(t).getOrElse("unstamped")))
+    // restampTo names the POST-append state (the mediaDupCycle gate): the
+    // stamp flips marker → post-state in one step AFTER both writes
+    // commit, so "old stamp + appended rows" — the double-append window —
+    // cannot exist on disk; default restores the pre-append identity
+    tables.foreach(t => Warehouse.stampFingerprint(spark, t,
+      restampTo.getOrElse(stamps(t).getOrElse("unstamped"))))
   }
 
   /** Refuse to serve an index left mid-append by a crash (the
@@ -359,6 +364,55 @@ object MediaIndex {
                         lit(0L), (acc, v) => acc + v).as("l1p"))
       .filter(col("l1p") <= MediaLshL1Max)
       .orderBy("canonical_id", "dup_id")
+  }
+
+  /** Driver-verified: the full media INGEST CYCLE as one declared,
+    * hash-gated query (`media_dup_cycle`) — land → extend the persisted
+    * store → serve from the extended store. [[mediaDupIndexed]] proves
+    * the store SERVES correctly; this proves the store MAINTAINS
+    * correctly: the index is built from the corpus split only
+    * ([[DeltaMod]] convention), the drop split is then
+    * [[appendToMediaIndex]]-ed in (bucketed appends — new files per
+    * bucket, bucket-local join property untouched), and the pair serve
+    * runs over the EXTENDED tables. The oracle is `media_dup_encoded`'s
+    * full-universe byte replay — identical to `media_dup_indexed`'s — so
+    * build-then-append ≡ build-whole is proven by the driver hash every
+    * round, not just by a spec (the dedup_clusters_incremental
+    * discipline brought to media).
+    *
+    * Idempotency across runs is the fingerprint lifecycle, its own `cyc`
+    * table family so the `corp` index the streaming dedup reads stays
+    * corpus-pure: stamps read `cyc-full` → serve directly (zero feature
+    * work — the steady state the driver's repeated runs measure);
+    * `cyc-base` (a crash landed the base but no drop rows — the
+    * marker→post restamp in [[appendToMediaIndex]] guarantees
+    * base-stamp ⇒ zero appended rows, closing the double-append window)
+    * → the append resumes on the clean base; anything else (missing
+    * tables, in-flight marker from a crash mid-append, stale corpus
+    * fingerprint) → rebuild base from the corpus split and re-append —
+    * loud full recovery, never a silently half-extended serve. */
+  def mediaDupCycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Media.ensurePackedEncoded(spark, sfDir)
+    val prefix = indexPrefix(sfDir, "cyc")
+    val tables = tableNames(prefix)
+    val fpBase = Warehouse.sourceFingerprint(sfDir, "documents") +
+      s"-drop101v1|cyc-base|k${Media.EncodedWinnowK}w${Media.EncodedWinnowW}x$Buckets"
+    val fpFull = fpBase.replace("|cyc-base|", "|cyc-full|")
+    val current = tables.forall(t => spark.catalog.tableExists(t) &&
+      Warehouse.storedFingerprint(spark, t).contains(fpFull))
+    if (!current) {
+      val universe = spark.read.parquet(dir)
+      Warehouse.ensureDerivedTables(spark, tables, fpBase) {
+        writeIndexTables(
+          fullFeatures(universe.filter(col("media_id") % DeltaMod =!= 0)),
+          prefix, append = false)
+      }
+      appendToMediaIndex(universe.filter(col("media_id") % DeltaMod === 0),
+                         prefix, restampTo = Some(fpFull))
+    }
+    Media.encodedPairCore(
+      spark.table(s"${prefix}_postings"),
+      spark.table(s"${prefix}_feats").select("media_id", "container", "permille"))
   }
 
   /** Driver-verified: [[Media.mediaDupEncoded]] served ENTIRELY from the

@@ -574,6 +574,35 @@ class MediaSpec extends SparkSpecBase {
       s"LSH catcher must read features from the store:\n$plan")
   }
 
+  test("media_dup_cycle: corpus-build + drop-append ≡ whole-build; steady state re-serves without feature work") {
+    import graft.multimodal.MediaIndex
+    import graft.sources.Warehouse
+    val cycle = MediaIndex.mediaDupCycle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val whole = MediaIndex.mediaDupIndexed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(cycle.nonEmpty && cycle.toSeq === whole.toSeq,
+      "append-extended store must serve the whole-build pair set row for row")
+    // steady state: stamps read cyc-full and a re-run appends nothing —
+    // table row mass unchanged (a second append would double the drop)
+    val prefix = MediaIndex.indexPrefix(sf0001, "cyc")
+    val featRows = spark.table(s"${prefix}_feats").count()
+    val again = MediaIndex.mediaDupCycle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSeq === cycle.toSeq)
+    assert(spark.table(s"${prefix}_feats").count() === featRows,
+      "steady-state cycle re-run must not re-append the drop")
+    // crash mid-append: the in-flight marker must force full recovery,
+    // and the recovered store serves the same answer
+    Warehouse.stampFingerprint(spark, s"${prefix}_feats",
+      graft.operators.IncrementalDedup.InFlightMarker)
+    val recovered = MediaIndex.mediaDupCycle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(recovered.toSeq === cycle.toSeq,
+      "marker recovery must rebuild to the same served answer")
+    assert(spark.table(s"${prefix}_feats").count() === featRows)
+  }
+
   test("media index maintenance: append extends to the full answer; compaction preserves it") {
     import graft.multimodal.MediaIndex
     import graft.sources.Warehouse
