@@ -169,6 +169,8 @@ object SparkEntry {
     "kanon_suppress" -> ((s, d) => TextAnalysis.kanonSuppress(s, d)),
     "noised_release" -> ((s, d) => TextAnalysis.noisedRelease(s, d)),
     "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
+    "dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "dsir_sample" -> ((s, d) => TextAnalysis.dsirSample(s, d)),
     "stream_mixture_weights" -> ((s, d) =>
       graft.streaming.EventStreams.streamMixtureWeightsQuery(s, d)),
     "quota_sample" -> ((s, d) => TextAnalysis.quotaSample(s, d)),
@@ -1014,6 +1016,35 @@ object SparkEntry {
 
   /** Temperature-mixture arithmetic -- shared by the batch op and its
     * complete-mode streaming twin (same rows, same oracle). */
+  /** Shared CTE chain for both DSIR oracles (ONE definition site — the
+    * encodedDupSql discipline): tokenize (the repo regex), unigrams +
+    * space-joined adjacent bigrams, md5 % 2⁶³ % buckets feature hash,
+    * per-(doc, bucket) counts, smoothed bucket profiles, bit-length
+    * log-ratio delta and normalizer calibration, per-doc
+    * `w_bits = Σ c·Δ + n_feats·cal`. Every constant interpolates from
+    * the TextAnalysis definitions. */
+  private val dsirWeightsCte: String = {
+    import graft.operators.TextAnalysis.{DsirBuckets, DsirTargetSource}
+    s"""WITH toks AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> w <> '') AS ws FROM documents),
+      |uni AS (SELECT doc_id, source, unnest(ws) AS g FROM toks),
+      |big AS (SELECT doc_id, source, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g
+      |        FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i FROM toks)),
+      |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+      |f AS (SELECT doc_id, source,
+      |        CAST(md5_number_lower(g) % 9223372036854775808 AS BIGINT) % $DsirBuckets AS b,
+      |        count(*) AS c
+      |      FROM grams GROUP BY 1, 2, 3),
+      |prof AS (SELECT b, sum(c) AS cp,
+      |           sum(CASE WHEN source = '$DsirTargetSource' THEN c ELSE 0 END) AS cq
+      |         FROM f GROUP BY 1),
+      |cal AS (SELECT length(bin(sum(cp) + $DsirBuckets)) - length(bin(sum(cq) + $DsirBuckets)) AS cal FROM prof),
+      |d AS (SELECT b, length(bin(cq + 1)) - length(bin(cp + 1)) AS d FROM prof),
+      |pd AS (SELECT f.doc_id, sum(f.c) AS n_feats, sum(f.c * d.d) AS wraw FROM f JOIN d USING (b) GROUP BY 1),
+      |w AS (SELECT doc.doc_id, CAST(COALESCE(pd.n_feats, 0) AS BIGINT) AS n_feats,
+      |        CAST(COALESCE(pd.wraw, 0) + COALESCE(pd.n_feats, 0) * cal.cal AS BIGINT) AS w_bits
+      |      FROM documents doc LEFT JOIN pd ON pd.doc_id = doc.doc_id, cal)""".stripMargin
+  }
+
   private val mixtureWeightsSql: String =
     """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
         |e AS (SELECT source, CAST(COALESCE(list_sum(list_transform(ws, w -> ceil(length(w) / 4.0))), 0) AS BIGINT) AS toks FROM d),
@@ -2562,6 +2593,20 @@ object SparkEntry {
     // normalizing sums stay exact; every double is a fixed-order
     // expression over exact operands.
     "mixture_weights" -> mixtureWeightsSql,
+    "dsir_weights" -> s"""$dsirWeightsCte
+      |SELECT doc_id, n_feats, w_bits FROM w ORDER BY doc_id""".stripMargin,
+    // dsir_sample: threshold from the descending cumulative histogram of
+    // w_bits (largest T with |{w_bits >= T}| >= ceil(N/div)), boundary
+    // ties included — the engine's declared selection rule verbatim.
+    "dsir_sample" -> {
+      val div = graft.operators.TextAnalysis.DsirShareDiv
+      s"""$dsirWeightsCte,
+      |hist AS (SELECT w_bits, count(*) AS m FROM w GROUP BY 1),
+      |cumh AS (SELECT w_bits, sum(m) OVER (ORDER BY w_bits DESC) AS cum FROM hist),
+      |nn AS (SELECT count(*) AS n FROM w),
+      |thr AS (SELECT max(w_bits) AS t FROM cumh, nn WHERE cum >= (n + ${div - 1}) // $div)
+      |SELECT w.doc_id, w.w_bits FROM w, thr WHERE w.w_bits >= thr.t ORDER BY doc_id""".stripMargin
+    },
     "stream_mixture_weights" -> mixtureWeightsSql,
     // quota_sample: the α-budgets spent — integer-exact budget per source
     // (weight·20k // Σweight), docs in md5(doc_id) order per source,

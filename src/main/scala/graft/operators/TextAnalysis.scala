@@ -823,6 +823,110 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Declared DSIR parameters, shared with both SQL oracles (one
+    * definition site): hashed-n-gram feature buckets, the curated target
+    * source, and the selection share divisor (top ⌈N/div⌉ kept). */
+  private[graft] val DsirBuckets = 1024
+  private[graft] val DsirTargetSource = "src0"
+  private[graft] val DsirShareDiv = 10L
+
+  /** The DSIR hashed feature bag per document: unigrams + adjacent
+    * bigrams (the paper's n ≤ 2 n-grams), hashed to [[DsirBuckets]]
+    * buckets with the repo-wide replayable hash. Bigram key =
+    * `w1 ⊔ w2` — tokens are letter-only so the space is collision-free.
+    * One exploded pass, partial-agg'd to (doc, bucket) counts. */
+  private def dsirFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), tokenize(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("ws"), expr(
+          """CASE WHEN size(ws) >= 2
+            |THEN transform(sequence(1, size(ws) - 1),
+            |       i -> concat(element_at(ws, CAST(i AS INT)), ' ',
+            |                   element_at(ws, CAST(i + 1 AS INT))))
+            |ELSE array() END""".stripMargin))).as("g"))
+      .select(col("doc_id"), col("source"),
+              (call_function("graft_hash64", col("g")) % DsirBuckets).as("b"))
+      .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+
+  /** DSIR IMPORTANCE WEIGHTS (Xie et al., NeurIPS'23 "Data Selection for
+    * Language Models via Importance Resampling") — the data-SELECTION
+    * signal the mixture family lacks: [[mixtureWeights]] reweights whole
+    * SOURCES by size; DSIR scores each DOCUMENT by how target-like its
+    * content is — log q̂(x)/p̂(x) under hashed-n-gram bag models of a
+    * curated target ([[DsirTargetSource]]) vs the raw corpus — the
+    * pretraining-data curation move ("select raw documents that look
+    * like the trusted set") that no source label can express.
+    *
+    * INTEGER discipline (the perplexity_score bits convention): the
+    * log-ratio is quantized to bit-lengths — per bucket
+    * `Δ_b = bitlen(cq_b+1) − bitlen(cp_b+1)` (add-one smoothed counts),
+    * plus the per-feature normalizer calibration
+    * `cal = bitlen(Np+B) − bitlen(Nq+B)`, so
+    * `w_bits = Σ_b c_b·Δ_b + n_feats·cal` is exact int64 at any corpus
+    * size (no count product ever forms; bitlen ≤ 63) and the whole
+    * weight replays in DuckDB via `length(bin(x))`. The ±1-bit
+    * quantization per factor is the declared trade for a
+    * hash-differential weight — the RANKING signal survives (spec-gated:
+    * target-source documents dominate the top of the ranking).
+    *
+    * 100 TB: one exploded scan partial-aggs to (doc, bucket) counts; the
+    * profile is ONE [[DsirBuckets]]-row frame (broadcast); the per-doc
+    * weight is a second partial-agg — scan-shaped throughout, no joins
+    * beyond the broadcast. */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
+    dsirWeightsFrom(Tables.documents(spark, sfDir))
+
+  /** [[dsirWeights]] over an explicit `(doc_id, source, text)` frame. */
+  def dsirWeightsFrom(docs: DataFrame): DataFrame = {
+    val feats = dsirFeatures(docs)
+    val prof = feats.groupBy("b").agg(sum("c").as("cp"),
+      sum(when(col("source") === DsirTargetSource, col("c")).otherwise(0L)).as("cq"))
+    val delta = prof.select(col("b"),
+      (length(bin(col("cq") + 1)) - length(bin(col("cp") + 1))).cast("long").as("d"))
+    val cal = prof.agg(
+      (length(bin(sum("cp") + DsirBuckets)) -
+       length(bin(sum("cq") + DsirBuckets))).cast("long").as("cal"))
+    val perDoc = feats.join(broadcast(delta), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"), sum(col("c") * col("d")).as("wraw"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_feats", "wraw"))
+      .crossJoin(broadcast(cal))
+      .select(col("doc_id"), col("n_feats"),
+              (col("wraw") + col("n_feats") * col("cal")).as("w_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR SELECTION (`dsir_sample`) — the top-⌈N/[[DsirShareDiv]]⌉
+    * documents by [[dsirWeights]], selected WITHOUT a global sort: the
+    * threshold comes from the integer HISTOGRAM of `w_bits` (distinct
+    * bit-weights are a metadata-sized set — the quantileSketch move), as
+    * the largest T with `|{w_bits ≥ T}| ≥ K`; the emitted set is every
+    * document with `w_bits ≥ T` — boundary TIES INCLUDED, declared, so
+    * selection is deterministic and partitioning-free (a tie-broken
+    * exact-K cut would need a global rank over the boundary class; a
+    * curation pipeline keeps the ties). The paper's Gumbel-noise
+    * resampling is deliberately replaced by the deterministic top-share
+    * cut — the differential-testability trade, same as every seeded
+    * mechanism in this repo, and what production selection runs actually
+    * ship. 100 TB: the histogram is one partial-agg; the only window
+    * orders ≤|distinct w_bits| sketch rows, never documents. */
+  def dsirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = dsirWeightsFrom(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("w_bits"))
+    val hist = w.groupBy("w_bits").agg(count(lit(1)).as("m"))
+      .withColumn("cum", sum("m").over(Window.orderBy(col("w_bits").desc)))
+    val n1 = w.agg(count(lit(1)).as("n"))
+    val thr = hist.crossJoin(broadcast(n1))
+      .filter(col("cum") >= expr(s"(n + ${DsirShareDiv - 1}) div $DsirShareDiv"))
+      .agg(max("w_bits").as("t"))
+    w.crossJoin(broadcast(thr))
+      .filter(col("w_bits") >= col("t"))
+      .select("doc_id", "w_bits")
+      .orderBy("doc_id")
+  }
+
   /** N-GRAM NOVELTY — the corpus-level diversity signal per document: the
     * fraction of a document's distinct trigrams that appear in NO other
     * document. [[repetitionScore]] asks "does this doc repeat itself";

@@ -81,6 +81,54 @@ class AnalyticsSpec extends SparkSpecBase {
       s"histogram state lost its map-side combine:\n$plan")
   }
 
+  test("dsirWeights/dsirSample: scalar replay of the bit-weight chain; target source ranks high; threshold rule exact") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // scalar replay — independent Scala implementation of the declared chain
+    val B = 1024
+    def grams(t: String): Seq[String] = {
+      val ws = t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+      ws ++ ws.sliding(2).filter(_.size == 2).map(p => s"${p(0)} ${p(1)}")
+    }
+    def bucket(g: String): Int =
+      ((TextAnalysis.md5Low64(g) & Long.MaxValue) % B).toInt
+    val perDoc = docs.map { case (id, src, t) =>
+      (id, src, grams(t).groupBy(bucket).map { case (b, gs) => b -> gs.size.toLong })
+    }
+    val cp = new Array[Long](B); val cq = new Array[Long](B)
+    perDoc.foreach { case (_, src, f) => f.foreach { case (b, c) =>
+      cp(b) += c; if (src == "src0") cq(b) += c } }
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val cal = bitlen(cp.sum + B) - bitlen(cq.sum + B)
+    val expW = perDoc.map { case (id, _, f) =>
+      val nf = f.values.sum
+      id -> (nf, f.map { case (b, c) => c * (bitlen(cq(b) + 1) - bitlen(cp(b) + 1)) }.sum + nf * cal)
+    }.toMap
+    val got = TextAnalysis.dsirWeights(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expW, "engine w_bits must equal the scalar replay")
+    // the SELECTION signal: target-source docs must dominate the ranking
+    // (their own n-grams define q̂, so their weights sit at the top)
+    val bySrc = docs.map(d => d._1 -> d._2).toMap
+    val ranked = got.toSeq.sortBy(-_._2._2).map(_._1)
+    val k = math.max(1, docs.count(_._2 == "src0") / 2)
+    val topK = ranked.take(k)
+    val share = topK.count(id => bySrc(id) == "src0").toDouble / k
+    val base = docs.count(_._2 == "src0").toDouble / docs.length
+    assert(share > 2 * base,
+      s"target share in top-$k is $share, base rate $base — no selection signal")
+    // sample: exactly the >= T set for the largest T with |{>= T}| >= ceil(N/10)
+    val n = docs.length
+    val kSel = (n + 9) / 10
+    val ws = got.values.map(_._2).toSeq.sorted(Ordering[Long].reverse)
+    val t = ws(kSel - 1)
+    val expSel = got.filter(_._2._2 >= t).keySet
+    val gotSel = TextAnalysis.dsirSample(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(gotSel === expSel)
+    assert(gotSel.size >= kSel, "boundary ties must be included, never cut")
+  }
+
   test("hllRollup: max-merge ≡ direct bit-for-bit, idempotent on overlap; estimate tracks exact") {
     import spark.implicits._
     val vals = (1 to 500).map(i => (if (i % 2 == 0) "a" else "b", s"u$i"))
