@@ -93,6 +93,7 @@ object SparkEntry {
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
     "anomaly_hours" -> ((s, d) => Analytics.anomalyHours(s, d)),
+    "ewma_hours" -> ((s, d) => Analytics.ewmaHours(s, d)),
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
     "revenue_rank_delta" -> ((s, d) => Analytics.revenueRankDelta(s, d)),
     "user_lifecycle" -> ((s, d) => Analytics.userLifecycle(s, d)),
@@ -166,6 +167,7 @@ object SparkEntry {
     "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
+    "boilerplate_lines" -> ((s, d) => TextAnalysis.boilerplateLines(s, d)),
     "kanon_suppress" -> ((s, d) => TextAnalysis.kanonSuppress(s, d)),
     "noised_release" -> ((s, d) => TextAnalysis.noisedRelease(s, d)),
     "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
@@ -189,6 +191,7 @@ object SparkEntry {
     "stream_metric_corr" -> ((s, d) => graft.streaming.EventStreams.streamMetricCorrQuery(s, d)),
     "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "pps_sample" -> ((s, d) => TextAnalysis.ppsSample(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     "winnow_matches" -> ((s, d) => TextAnalysis.winnowMatches(s, d)),
@@ -232,6 +235,7 @@ object SparkEntry {
     "semdedup_text" -> ((s, d) => Similarity.semDedupText(s, d)),
     "similar_docs" -> ((s, d) => Similarity.similarDocs(s, d)),
     "text_recall" -> ((s, d) => Similarity.textRecall(s, d)),
+    "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "stream_cluster_assign" -> ((s, d) =>
       graft.streaming.EventStreams.streamClusterAssignQuery(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -1522,6 +1526,19 @@ object SparkEntry {
       """WITH f AS (SELECT doc_id, lang, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents),
         |r AS (SELECT lang, doc_id, fp, row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk FROM f)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, fp FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    // pps_sample: the Poisson PPS draw replayed exactly — same digest,
+    // same 32-bit parse, same all-BIGINT threshold arithmetic (the
+    // divide-first form keeps every intermediate ≤ target·maxdoc·2^32, so
+    // the compare is corpus-size-robust in both engines).
+    "pps_sample" ->
+      """WITH w AS (SELECT sum(n_chars) AS w_total FROM documents),
+        |u AS (SELECT doc_id, n_chars,
+        |    CAST(concat('0x', substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8)) AS BIGINT) AS u32
+        |  FROM documents)
+        |SELECT doc_id, n_chars, u32,
+        |  CAST(least(1000, (64 * n_chars * 1000) // w_total) AS BIGINT) AS p_permille
+        |FROM u, w WHERE u32 < (64 * n_chars * 4294967296) // w_total
+        |ORDER BY doc_id""".stripMargin,
     "percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,
@@ -1662,6 +1679,23 @@ object SparkEntry {
         |t AS (SELECT CAST(2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS t2 FROM dv)
         |SELECT hour_bucket, c AS n_events, m2 AS median_2x, d AS abs_dev_2x, t2 AS mad_2x
         |FROM dv, t WHERE 2 * d > 3 * t2 ORDER BY hour_bucket""".stripMargin,
+    // ewma_hours: the dyadic EWMA replayed exactly — same hour buckets,
+    // same cents quantization, weight 2^(19−g) per hour gap g, numerator/
+    // denominator exact BIGINTs (DuckDB sums in HUGEINT, cast back), and
+    // the same truncating integer division (all quantities non-negative,
+    // so floor vs trunc never diverges).
+    "ewma_hours" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |hh AS (SELECT event_type, h, CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, h, unnest(range(20)) AS g FROM hh),
+        |j AS (SELECT t.event_type, t.h, t.g, s.cents
+        |  FROM t JOIN hh s ON s.event_type = t.event_type AND s.h = t.h - t.g)
+        |SELECT event_type, h AS hour_bucket, count(*) AS n_hours,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (19 - g))) AS BIGINT) AS ewma_num,
+        |  CAST(sum(CAST(1 AS BIGINT) << (19 - g)) AS BIGINT) AS ewma_den,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (19 - g))) // sum(CAST(1 AS BIGINT) << (19 - g)) AS BIGINT) AS ewma_cents
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // stream_anomaly_hours: the SAME verdict over the stream-maintained
     // hour table — counts are commutative, so the materialized aggregate
     // equals the batch one and the oracle is shared verbatim.
@@ -2825,6 +2859,31 @@ object SparkEntry {
         |  md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      'https?://[^\s]+', '<URL>', 'g')) AS scrub_fp
         |FROM t ORDER BY doc_id""".stripMargin,
+    // boilerplate_lines: the per-source boilerplate detector replayed —
+    // same synthetic page frame, same line split, the ≥ half-coverage rule
+    // as the integer compare df·2 ≥ n_docs, and the cleaned text rebuilt
+    // in original line order before hashing (order-preserving list agg).
+    "boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    'home about ' || source || ' products contact' || chr(10) ||
+        |    text || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'subscribe to the ' || source || ' newsletter' || chr(10) ELSE '' END ||
+        |    'ref ' || CAST(doc_id AS VARCHAR) || ' ' || source || chr(10) ||
+        |    'copyright ' || source || ' all rights reserved' AS synth
+        |  FROM documents),
+        |sp AS (SELECT doc_id, source, string_split(synth, chr(10)) AS ls FROM d),
+        |l0 AS (SELECT doc_id, source,
+        |    unnest(list_transform(range(len(ls)), i -> struct_pack(pos := i, line := ls[i+1]))) AS pl FROM sp),
+        |l AS (SELECT doc_id, source, pl.pos AS pos, pl.line AS line FROM l0),
+        |df AS (SELECT source, line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1, 2),
+        |sn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |b AS (SELECT df.source, df.line FROM df JOIN sn ON df.source = sn.source WHERE df.df * 2 >= sn.n_docs),
+        |j AS (SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_b
+        |  FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_boiler,
+        |  md5(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT is_b), chr(10))) AS clean_fp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // embed_documents: the hashing-trick embedding replayed in SQL — same
     // md5 token-hash chain as the chunk fingerprints; per dimension i, the
     // signed count of tokens hashing to it.
@@ -3494,6 +3553,33 @@ object SparkEntry {
     // hashed-cosine brute force as truth, text IVF search as approx,
     // the metric composed from both full oracles.
     "text_recall" -> recallOracle(textBruteSql, similarDocsSql),
+    // hard_negatives: the contrastive-mining chain replayed end-to-end —
+    // hashed-BoW cosine top-20 candidates (textBruteSql's source), the
+    // word-trigram set intersect, the integer rational near-dup cut
+    // 3·inter < |A|+|B| (⇔ Jaccard < 1/2 — no float boundary), then the
+    // re-rank. Raw cos doubles hash-match across engines (the
+    // similar_docs precedent).
+    "hard_negatives" ->
+      (s"""WITH e AS ($textEmbSourceSql),
+        |p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id < 10),
+        |s AS (SELECT probe_id, vec_id AS neighbor_id, list_cosine_similarity(probe_emb, emb) AS cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, emb) DESC, vec_id) AS rn
+        |  FROM p, e WHERE vec_id <> probe_id),
+        |c AS (SELECT probe_id, neighbor_id, cos FROM s WHERE rn <= 20),
+        |""".stripMargin +
+       """d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM d),
+        |v AS (SELECT c.probe_id, c.neighbor_id, c.cos,
+        |    CAST(len(list_intersect(sa.g, sb.g)) AS BIGINT) AS inter,
+        |    CAST(len(sa.g) + len(sb.g) AS BIGINT) AS szsum
+        |  FROM c JOIN sh sa ON c.probe_id = sa.doc_id JOIN sh sb ON c.neighbor_id = sb.doc_id),
+        |f AS (SELECT probe_id, neighbor_id, cos, inter, szsum - inter AS uni,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM v WHERE 3 * inter < szsum)
+        |SELECT probe_id, neighbor_id, cos, inter, uni, CAST(rn AS BIGINT) AS rnk
+        |FROM f WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin),
     // semdedup_text: the whole text→vector→cluster→dedup bridge replayed
     // in SQL — hashed doc embeddings as the k-means source, then the
     // same-cell min-id survivor rule at cosine >= 0.8.

@@ -581,6 +581,49 @@ object Analytics {
       .orderBy("hour_bucket")
   }
 
+  /** EXPONENTIALLY-DECAYED hourly metric (EWMA, α = 1/2) — the smoothed
+    * rate signal ops dashboards and drift monitors read instead of raw
+    * hourly sums: recent hours dominate, history decays geometrically.
+    * α = 1/2 with a `lookback`-hour truncation makes the recurrence
+    * CLOSED-FORM AND DYADIC: the weight of the hour `g` steps back is
+    * 2^(lookback−1−g), so numerator and denominator are exact BIGINTs
+    * (cents × powers of two) and the engine and the SQL oracle agree
+    * bit-for-bit — a float-pow EWMA can never be hash-gated; this one is.
+    * The denominator sums only the weights of hours PRESENT, so silent
+    * hours neither contribute zeros nor shift the decay (gap-aware, the
+    * `gap_fill` lesson applied to smoothing).
+    *
+    * 100 TB: the fact scan partial-aggregates to the tiny (type × hour)
+    * grid FIRST; the lookback is an explode(×20) of that metadata-sized
+    * grid joined back to itself on (type, hour) — pure equi-join (the
+    * range condition is rewritten as an exploded offset key, so no
+    * nested-loop range join at any scale). */
+  def ewmaHours(spark: SparkSession, sfDir: String, lookback: Int = 20): DataFrame =
+    ewmaHoursFrom(Tables.events(spark, sfDir), lookback)
+
+  /** [[ewmaHours]] over an explicit frame with `ts`/`event_type`/`value` —
+    * the spec's hand-fixture entry point (isolated hour ⇒ EWMA = its own
+    * cents; the 2:1 weight ratio of adjacent hours pinned exactly). */
+  def ewmaHoursFrom(events: DataFrame, lookback: Int = 20): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val targets = hourly.select(col("event_type"), col("h"),
+        explode(sequence(lit(0), lit(lookback - 1))).as("g"))
+      .withColumn("h_src", col("h") - col("g"))
+    val wgt = expr(s"shiftleft(1L, ${lookback - 1} - g)")
+    targets
+      .join(hourly.select(col("event_type"), col("h").as("h_src"),
+                          col("cents")),
+            Seq("event_type", "h_src"))
+      .groupBy(col("event_type"), col("h").as("hour_bucket"))
+      .agg(count(lit(1)).as("n_hours"),
+           sum(col("cents") * wgt).as("ewma_num"),
+           sum(wgt).as("ewma_den"))
+      .withColumn("ewma_cents", expr("ewma_num div ewma_den"))
+      .orderBy("event_type", "hour_bucket")
+  }
+
   /** TIME-SERIES GAP FILL: the dense (event_type × hour) grid with absent
     * buckets materialized as explicit zero rows — the densification step
     * every downstream rolling/forecast model needs (a rolling window over

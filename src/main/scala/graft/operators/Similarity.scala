@@ -56,6 +56,46 @@ object Similarity {
     topKByCosine(scored, "probe_id", k)
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    * probe document, the top-k documents that are SEMANTICALLY near
+    * (bag-of-words cosine over the hashed text embeddings — topical
+    * similarity) but NOT lexical near-duplicates (word-trigram Jaccard
+    * < 1/2 — the same shingle kernel the dedup family verifies with). An
+    * embedding model trained on (anchor, positive, random-negative)
+    * triples collapses unless the negatives are hard — similar topic,
+    * different text — and naive cosine mining poisons the negative pool
+    * with unlabeled COPIES of the anchor (false negatives): this is the
+    * pass that expels them. The Jaccard cut is the integer-exact rational
+    * form `3·|A∩B| < |A|+|B|` (⇔ J < 1/2, no float boundary), so the
+    * whole chain — hash-embed, cosine rank, shingle intersect, re-rank —
+    * replays bit-exactly in the SQL oracle.
+    *
+    * 100 TB: candidate generation is [[knnBruteFrom]]'s broadcast shape
+    * (probes tiny; swap in the IVF index for corpus-scale probe sets);
+    * the Jaccard verify touches only |probes|·m candidate pairs joined
+    * against the shingle scan — never an all-pairs join. */
+  def hardNegatives(spark: SparkSession, sfDir: String, numProbes: Int = 10,
+                    m: Int = 20, k: Int = 5): DataFrame = {
+    val e = graft.operators.TextAnalysis.embedDocuments(spark, sfDir)
+      .select(col("doc_id").as("vec_id"),
+              col("emb").cast("array<float>").as("embedding"))
+    val cands = knnBruteFrom(e, numProbes, m)
+      .select("probe_id", "neighbor_id", "cos")
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              call_function("graft_shingles", col("text"), lit(3)).as("g"))
+    val verified = cands
+      .join(sh.as("sa"), col("probe_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("neighbor_id") === col("sb.doc_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"),
+        size(array_intersect(col("sa.g"), col("sb.g"))).cast("bigint").as("inter"),
+        (size(col("sa.g")) + size(col("sb.g"))).cast("bigint").as("szsum"))
+      .filter(lit(3L) * col("inter") < col("szsum"))
+      .select(col("probe_id"), col("neighbor_id"), col("cos"),
+        col("inter"), (col("szsum") - col("inter")).as("uni"))
+    topKByCosine(verified, "probe_id", k)
+  }
+
   /** k-NN CLASSIFICATION — the similarity family's downstream consumer
     * (label propagation from a labeled pool to incoming vectors: spam
     * triage, language routing, topic bucketing). Probes (the unlabeled

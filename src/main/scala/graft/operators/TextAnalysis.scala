@@ -1250,6 +1250,102 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** Probability-proportional-to-size (PPS) Poisson sampling — the weighted
+    * sampling form a mixture pipeline uses when "one document, one vote" is
+    * wrong: a 50k-char document should be `50k/avg` times as likely to enter
+    * a size-calibrated subsample as a tweet. Each document is an independent
+    * Bernoulli draw with p_i = min(1, target·w_i / W) (w = `n_chars`, W =
+    * corpus total), realized WITHOUT an RNG: the draw is the 32-bit integer
+    * parsed from the content digest's leading 8 hex chars compared against
+    * an integer threshold `(target·w·2^32) div W` — all-BIGINT arithmetic
+    * (threshold ≤ target·maxdoc·2^32, corpus-size-independent, so no
+    * overflow at any W), so membership is a pure function of content and
+    * the oracle replays it exactly. Poisson PPS (one scan, no global sort,
+    * no coordination between draws) is the form that survives 100 TB: the
+    * only aggregate is ONE scalar sum broadcast back to a scan-side filter.
+    * `p_permille` carries the integer inclusion probability for downstream
+    * Horvitz–Thompson reweighting. */
+  def ppsSample(spark: SparkSession, sfDir: String, target: Int = 64): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.agg(sum("n_chars").as("w_total"))
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(fingerprintMd5(col("text")), 1, 8), 16, 10)
+          .cast("bigint").as("u32"))
+      .crossJoin(broadcast(total))
+      .withColumn("thresh",
+        expr(s"($target * n_chars * 4294967296) div w_total"))
+      .filter(col("u32") < col("thresh"))
+      .select(col("doc_id"), col("n_chars"), col("u32"),
+        least(lit(1000L), expr(s"($target * n_chars * 1000) div w_total"))
+          .as("p_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source BOILERPLATE line removal — the CCNet/RefinedWeb pass that
+    * strips navigation headers, cookie banners and copyright footers
+    * before any content-level dedup sees the text: a line (hash) occurring
+    * in ≥ half of a source's documents is boilerplate FOR THAT SOURCE and
+    * is dropped from every document carrying it; the same sentence in a
+    * different source is untouched (a quote is not boilerplate just
+    * because some other site templates it). The corpus has no line
+    * structure, so — the `scrub_pii` discipline — a deterministic
+    * synthetic page frame (per-source header/footer, a 20 %-coverage
+    * newsletter insert, a per-doc unique line) is wrapped around the text
+    * before splitting, making every branch of the detector observable:
+    * header/footer caught at 100 % coverage, the insert caught at exactly
+    * the ≥ 50 % boundary's complement (20 % → kept), the unique line and
+    * the body never caught. Output per document: line counts and the md5
+    * of the CLEANED text (order-preserving), so the gate checks the full
+    * reconstruction, not just the counts.
+    *
+    * 100 TB: one scan + explode; line stats partial-aggregate on
+    * (source, line) — boilerplate is BY DEFINITION high-frequency, so the
+    * dictionary that survives the coverage filter is tiny and broadcast;
+    * reconstruction is one hash aggregate on doc_id. No self-join, no
+    * all-pairs anywhere. */
+  def boilerplateLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val synth = concat(
+      lit("home about "), col("source"), lit(" products contact\n"),
+      col("text"), lit("\n"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("subscribe to the "), col("source"), lit(" newsletter\n")))
+        .otherwise(lit("")),
+      lit("ref "), col("doc_id").cast("string"), lit(" "), col("source"),
+      lit("\ncopyright "), col("source"), lit(" all rights reserved"))
+    boilerplateLinesFrom(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), synth.as("page")))
+  }
+
+  /** [[boilerplateLines]] over an explicit `(doc_id, source, page)` frame
+    * whose `page` already carries real line structure — the form a crawl
+    * pipeline with native newlines calls, and the spec's hand-fixture
+    * entry point (the ≥ half-coverage boundary is pinned there at exactly
+    * df·2 = n_docs). */
+  def boilerplateLinesFrom(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("page"), "\n")).as(Seq("pos", "line")))
+    val srcSizes = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val boiler = lines
+      .groupBy("source", "line")
+      .agg(countDistinct("doc_id").as("df"))
+      .join(srcSizes, "source")
+      .filter(col("df") * 2 >= col("n_docs"))
+      .select(col("source"), col("line"), lit(1).as("is_b"))
+    lines
+      .join(broadcast(boiler), Seq("source", "line"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+           count(col("is_b")).as("n_boiler"),
+           md5(concat_ws("\n",
+             transform(array_sort(collect_list(
+               when(col("is_b").isNull, struct(col("pos"), col("line"))))),
+               x => x.getField("line")))).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing — the redaction pass every training-data pipeline runs
     * before anything else sees the text. Emails and URLs are detected with
     * dialect-portable regexes (no lookaround — Java and RE2 agree), counted,

@@ -1431,4 +1431,35 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(a >= -1.0 && a <= 1.0 && b >= -1.0 && b <= 1.0)
     }
   }
+
+  test("ewmaHoursFrom: isolated hour = own cents; adjacent hours weight 2:1; gaps never dilute") {
+    import spark.implicits._
+    val events = Seq(
+      ("a", "2026-01-01 00:10:00", 1.00),  // hour H:   100 cents
+      ("a", "2026-01-01 00:40:00", 0.50),  // same hour: +50 -> 150
+      ("a", "2026-01-01 01:10:00", 2.00),  // hour H+1: 200 cents
+      ("b", "2026-01-03 07:10:00", 3.00))  // isolated hour, own type
+      .toDF("event_type", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Analytics.ewmaHoursFrom(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val hA = out.keys.filter(_._1 == "a").map(_._2).min
+    // first hour has no lookback history: EWMA = its own cents
+    val (n0, num0, den0, e0) = out(("a", hA))
+    assert(n0 === 1L && e0 === 150L && num0 === 150L * (1L << 19) && den0 === (1L << 19))
+    // second hour: weights 2^19 (self) and 2^18 (1 back) -> (2*200+150)/3 = 183
+    val (n1, num1, den1, e1) = out(("a", hA + 1))
+    assert(n1 === 2L)
+    assert(num1 === 200L * (1L << 19) + 150L * (1L << 18))
+    assert(den1 === (1L << 19) + (1L << 18))
+    assert(e1 === (2L * 200L + 150L) / 3L)
+    // the isolated type-b hour: denominator sums only PRESENT hours, so
+    // two silent days of gap do not drag the average toward zero
+    val bKey = out.keys.find(_._1 == "b").get
+    assert(out(bKey)._4 === 300L, "gap hours must not dilute the EWMA")
+    // decay direction: hour H+1's EWMA sits strictly between the raw
+    // hourly values, closer to the newer one
+    assert(e1 > 150L && e1 < 200L && (200L - e1) < (e1 - 150L))
+  }
 }

@@ -595,4 +595,35 @@ class SimilaritySpec extends SparkSpecBase {
       assert(math.abs(s - expScore((c, r))) <= 1.1e-6, s"score drift at cell $c rank $r")
     }
   }
+
+  test("hardNegatives: planted copies expelled from the pool the raw cosine rank admits them to") {
+    val e = graft.operators.TextAnalysis.embedDocuments(spark, sf0001)
+      .select(col("doc_id").as("vec_id"),
+              col("emb").cast("array<float>").as("embedding"))
+    val raw = Similarity.knnBruteFrom(e, numProbes = 10, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.hardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    // the sf0.001 fixture plants trigram-Jaccard >= 0.9 copies for probes
+    // 0 (docs 50, 82), 5 (450) and 8 (12, 120, 360): near-identical text
+    // means near-identical bag-of-words, so the raw cosine top-20 MUST
+    // admit them — and the Jaccard cut MUST expel every one
+    val planted = Seq((0L, 50L), (0L, 82L), (5L, 450L), (8L, 12L), (8L, 120L), (8L, 360L))
+    planted.foreach { p =>
+      assert(raw.contains(p), s"fixture drift: planted copy $p not in raw cosine top-20")
+      assert(!pairs.contains(p), s"planted copy $p survived the near-dup cut")
+    }
+    // every surviving pair satisfies the integer rational J < 1/2 cut,
+    // and its (inter, uni) really are trigram-set statistics
+    out.foreach { case (_, _, inter, uni, _) =>
+      assert(3L * inter < inter + uni, s"pair with J >= 1/2 leaked: inter=$inter uni=$uni")
+    }
+    // per-probe ranks are contiguous 1..k after the filter-then-rerank
+    out.groupBy(_._1).foreach { case (p, rows) =>
+      assert(rows.map(_._5).sorted.toSeq === (1L to rows.length).toSeq,
+        s"ranks not contiguous for probe $p")
+    }
+    assert(out.nonEmpty && out.groupBy(_._1).size === 10, "every probe must keep a pool")
+  }
 }

@@ -356,4 +356,49 @@ class TextFunctionsSpec extends SparkSpecBase {
       assert(math.abs(c - expC((p, m))) <= 1.1e-4, s"containment drift at ($p,$m)")
     }
   }
+
+  test("ppsSample: membership and p_permille replay exactly from the integer PPS formula") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars"),
+        expr("cast(conv(substring(md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))), 1, 8), 16, 10) as bigint)").as("u32"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wTotal = docs.map(_._2).sum
+    val expected = docs
+      .filter { case (_, w, u) => u < (64L * w * 4294967296L) / wTotal }
+      .map { case (id, w, _) =>
+        (id, math.min(1000L, 64L * w * 1000L / wTotal)) }.toMap
+    val out = TextAnalysis.ppsSample(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === expected, "PPS membership or inclusion probability drifted from the scalar replay")
+    // the draw is calibrated: expected size 64, and weights genuinely vary
+    assert(out.size > 16 && out.size < 256, s"sample size ${out.size} wildly off target 64")
+    assert(expected.values.toSet.size > 1, "fixture degenerate: all docs same inclusion probability")
+  }
+
+  test("boilerplateLinesFrom: >= half-coverage boundary exact; cleaned text rebuilt in order") {
+    // source s1: 4 docs — header in all 4 (caught), promo in exactly 2
+    // (df*2 == n_docs: AT the boundary -> caught), rare in 1 (kept).
+    // source s2: 1 doc sharing s1's header text — per-source scoping
+    // means it is NOT boilerplate there (df 1 of 1 -> caught actually:
+    // 1*2 >= 1! singleton sources catch everything — assert that too:
+    // the rule is coverage-relative, and a 1-doc source is all-boiler).
+    val pages = Seq(
+      (0L, "s1", "nav menu\nbody zero\npromo line"),
+      (1L, "s1", "nav menu\nbody one\npromo line"),
+      (2L, "s1", "nav menu\nbody two\nrare line"),
+      (3L, "s1", "nav menu\nbody three"),
+      (4L, "s2", "nav menu\nbody four")).toDF("doc_id", "source", "page")
+    val out = TextAnalysis.boilerplateLinesFrom(pages).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    def fp(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out === Seq(
+      (0L, 3L, 2L, fp("body zero")),   // nav + promo stripped
+      (1L, 3L, 2L, fp("body one")),
+      (2L, 3L, 1L, fp("body two\nrare line")), // rare (1 of 4) kept, order preserved
+      (3L, 2L, 1L, fp("body three")),
+      (4L, 2L, 2L, fp(""))))           // singleton source: everything >= half
+  }
 }
