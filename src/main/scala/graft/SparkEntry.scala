@@ -94,6 +94,8 @@ object SparkEntry {
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
     "anomaly_hours" -> ((s, d) => Analytics.anomalyHours(s, d)),
     "ewma_hours" -> ((s, d) => Analytics.ewmaHours(s, d)),
+    "stream_ewma_hours" -> ((s, d) =>
+      graft.streaming.EventStreams.streamEwmaHoursQuery(s, d)),
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
     "revenue_rank_delta" -> ((s, d) => Analytics.revenueRankDelta(s, d)),
     "user_lifecycle" -> ((s, d) => Analytics.userLifecycle(s, d)),
@@ -168,6 +170,8 @@ object SparkEntry {
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
     "boilerplate_lines" -> ((s, d) => TextAnalysis.boilerplateLines(s, d)),
+    "stream_boilerplate" -> ((s, d) =>
+      graft.streaming.EventStreams.streamBoilerplateQuery(s, d)),
     "kanon_suppress" -> ((s, d) => TextAnalysis.kanonSuppress(s, d)),
     "noised_release" -> ((s, d) => TextAnalysis.noisedRelease(s, d)),
     "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
@@ -218,6 +222,7 @@ object SparkEntry {
     "kcore" -> ((s, d) => Ranking.kcore(s, d)),
     "triangle_participation" -> ((s, d) => Ranking.trianglesPerNode(s, d)),
     "seed_hops" -> ((s, d) => Ranking.seedHops(s, d)),
+    "seed_costs" -> ((s, d) => Ranking.seedCosts(s, d)),
     "link_cycles" -> ((s, d) => Ranking.linkCycles(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
@@ -387,6 +392,48 @@ object SparkEntry {
       |est AS (SELECT pb.word, pb.exact_count, min(c.cell) AS est_count
       |        FROM pb JOIN cells c ON c.i = pb.i AND c.b = pb.b GROUP BY 1, 2)
       |SELECT word, exact_count, est_count FROM est ORDER BY exact_count DESC, word""".stripMargin
+
+  /** ewma_hours' oracle — shared verbatim with `stream_ewma_hours`: the
+    * streamed grid is an associative cents SUM, bit-identical to the batch
+    * one, and the dyadic read-out is deterministic from the grid. */
+  private val ewmaHoursSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |hh AS (SELECT event_type, h, CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, h, unnest(range(20)) AS g FROM hh),
+      |j AS (SELECT t.event_type, t.h, t.g, s.cents
+      |  FROM t JOIN hh s ON s.event_type = t.event_type AND s.h = t.h - t.g)
+      |SELECT event_type, h AS hour_bucket, count(*) AS n_hours,
+      |  CAST(sum(cents * (CAST(1 AS BIGINT) << (19 - g))) AS BIGINT) AS ewma_num,
+      |  CAST(sum(CAST(1 AS BIGINT) << (19 - g)) AS BIGINT) AS ewma_den,
+      |  CAST(sum(cents * (CAST(1 AS BIGINT) << (19 - g))) // sum(CAST(1 AS BIGINT) << (19 - g)) AS BIGINT) AS ewma_cents
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** boilerplate_lines' oracle — shared verbatim with `stream_boilerplate`:
+    * the streamed line-frequency table is an associative SUM over per-doc
+    * distinct lines (= the count(DISTINCT doc_id) here), and the cleaning
+    * read-out is deterministic from that table plus the batch corpus. */
+  private val boilerplateSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    'home about ' || source || ' products contact' || chr(10) ||
+      |    text || chr(10) ||
+      |    CASE WHEN doc_id % 5 = 0 THEN 'subscribe to the ' || source || ' newsletter' || chr(10) ELSE '' END ||
+      |    'ref ' || CAST(doc_id AS VARCHAR) || ' ' || source || chr(10) ||
+      |    'copyright ' || source || ' all rights reserved' AS synth
+      |  FROM documents),
+      |sp AS (SELECT doc_id, source, string_split(synth, chr(10)) AS ls FROM d),
+      |l0 AS (SELECT doc_id, source,
+      |    unnest(list_transform(range(len(ls)), i -> struct_pack(pos := i, line := ls[i+1]))) AS pl FROM sp),
+      |l AS (SELECT doc_id, source, pl.pos AS pos, pl.line AS line FROM l0),
+      |df AS (SELECT source, line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1, 2),
+      |sn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |b AS (SELECT df.source, df.line FROM df JOIN sn ON df.source = sn.source WHERE df.df * 2 >= sn.n_docs),
+      |j AS (SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_b
+      |  FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line)
+      |SELECT doc_id, count(*) AS n_lines,
+      |  CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_boiler,
+      |  md5(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT is_b), chr(10))) AS clean_fp
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val knnBruteSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -1684,18 +1731,11 @@ object SparkEntry {
     // denominator exact BIGINTs (DuckDB sums in HUGEINT, cast back), and
     // the same truncating integer division (all quantities non-negative,
     // so floor vs trunc never diverges).
-    "ewma_hours" ->
-      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
-        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        |hh AS (SELECT event_type, h, CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY 1, 2),
-        |t AS (SELECT event_type, h, unnest(range(20)) AS g FROM hh),
-        |j AS (SELECT t.event_type, t.h, t.g, s.cents
-        |  FROM t JOIN hh s ON s.event_type = t.event_type AND s.h = t.h - t.g)
-        |SELECT event_type, h AS hour_bucket, count(*) AS n_hours,
-        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (19 - g))) AS BIGINT) AS ewma_num,
-        |  CAST(sum(CAST(1 AS BIGINT) << (19 - g)) AS BIGINT) AS ewma_den,
-        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (19 - g))) // sum(CAST(1 AS BIGINT) << (19 - g)) AS BIGINT) AS ewma_cents
-        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ewma_hours" -> ewmaHoursSql,
+    // stream_ewma_hours: the SAME read-out over the stream-maintained
+    // hourly grid — cents sums are commutative, so the materialized grid
+    // equals the batch one and the oracle is shared verbatim.
+    "stream_ewma_hours" -> ewmaHoursSql,
     // stream_anomaly_hours: the SAME verdict over the stream-maintained
     // hour table — counts are commutative, so the materialized aggregate
     // equals the batch one and the oracle is shared verbatim.
@@ -1853,6 +1893,28 @@ object SparkEntry {
         |  WHERE walk.hops < ${Ranking.SeedHopsMaxHops}),
         |d AS (SELECT v, min(hops) AS hops FROM walk GROUP BY v)
         |SELECT dc.doc_id, CAST(COALESCE(d.hops, -1) AS BIGINT) AS hops
+        |FROM documents dc LEFT JOIN d ON d.v = dc.doc_id
+        |ORDER BY dc.doc_id""".stripMargin,
+    // seed_costs: min WEIGHTED cost from the seed class within the same
+    // horizon — the oracle enumerates all bounded walks WITH their costs
+    // (UNION dedups (v, cost, hops) states) and takes min(cost), so the
+    // engine's improved-frontier Bellman-Ford is differentially proven
+    // cost-exact. Weight arithmetic interpolates from the Ranking
+    // constants (one definition site).
+    "seed_costs" ->
+      s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0),
+        |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM t WHERE src <> dst),
+        |ew AS (SELECT src, dst, (src + dst) % ${Ranking.SeedCostWeightMod} + 1 AS w FROM ed),
+        |walk AS (SELECT doc_id AS v, CAST(0 AS BIGINT) AS cost, 0 AS hops FROM documents
+        |    WHERE doc_id % ${Ranking.SeedHopsSeedMod} = 0
+        |  UNION
+        |  SELECT e.dst, walk.cost + e.w, walk.hops + 1 FROM walk JOIN ew e ON e.src = walk.v
+        |  WHERE walk.hops < ${Ranking.SeedHopsMaxHops}),
+        |d AS (SELECT v, min(cost) AS cost FROM walk GROUP BY v)
+        |SELECT dc.doc_id, CAST(COALESCE(d.cost, -1) AS BIGINT) AS cost
         |FROM documents dc LEFT JOIN d ON d.v = dc.doc_id
         |ORDER BY dc.doc_id""".stripMargin,
     // link_cycles: directed SCC over the citation-oriented graph (bulk
@@ -2863,27 +2925,12 @@ object SparkEntry {
     // same synthetic page frame, same line split, the ≥ half-coverage rule
     // as the integer compare df·2 ≥ n_docs, and the cleaned text rebuilt
     // in original line order before hashing (order-preserving list agg).
-    "boilerplate_lines" ->
-      """WITH d AS (SELECT doc_id, source,
-        |    'home about ' || source || ' products contact' || chr(10) ||
-        |    text || chr(10) ||
-        |    CASE WHEN doc_id % 5 = 0 THEN 'subscribe to the ' || source || ' newsletter' || chr(10) ELSE '' END ||
-        |    'ref ' || CAST(doc_id AS VARCHAR) || ' ' || source || chr(10) ||
-        |    'copyright ' || source || ' all rights reserved' AS synth
-        |  FROM documents),
-        |sp AS (SELECT doc_id, source, string_split(synth, chr(10)) AS ls FROM d),
-        |l0 AS (SELECT doc_id, source,
-        |    unnest(list_transform(range(len(ls)), i -> struct_pack(pos := i, line := ls[i+1]))) AS pl FROM sp),
-        |l AS (SELECT doc_id, source, pl.pos AS pos, pl.line AS line FROM l0),
-        |df AS (SELECT source, line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1, 2),
-        |sn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
-        |b AS (SELECT df.source, df.line FROM df JOIN sn ON df.source = sn.source WHERE df.df * 2 >= sn.n_docs),
-        |j AS (SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_b
-        |  FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line)
-        |SELECT doc_id, count(*) AS n_lines,
-        |  CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_boiler,
-        |  md5(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT is_b), chr(10))) AS clean_fp
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "boilerplate_lines" -> boilerplateSql,
+    // stream_boilerplate: the SAME cleaning read-out over the
+    // stream-maintained line-frequency table — per-doc-distinct sums are
+    // commutative, so the table equals the batch detector's and the
+    // oracle is shared verbatim.
+    "stream_boilerplate" -> boilerplateSql,
     // embed_documents: the hashing-trick embedding replayed in SQL — same
     // md5 token-hash chain as the chunk fingerprints; per dimension i, the
     // signed count of tokens hashing to it.

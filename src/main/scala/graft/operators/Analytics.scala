@@ -604,17 +604,32 @@ object Analytics {
   /** [[ewmaHours]] over an explicit frame with `ts`/`event_type`/`value` —
     * the spec's hand-fixture entry point (isolated hour ⇒ EWMA = its own
     * cents; the 2:1 weight ratio of adjacent hours pinned exactly). */
-  def ewmaHoursFrom(events: DataFrame, lookback: Int = 20): DataFrame = {
-    val hourly = events
+  def ewmaHoursFrom(events: DataFrame, lookback: Int = 20): DataFrame =
+    ewmaReadout(ewmaHourlyGrid(events), lookback)
+
+  /** The (event_type, hour) → cents grid the EWMA reads from — a plain
+    * associative/commutative SUM, so the stream-maintained grid
+    * ([[graft.streaming.EventStreams.streamEwmaHoursQuery]]) is
+    * bit-identical to this batch one under any micro-batch split. */
+  private[graft] def ewmaHourlyGrid(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+
+  /** The EWMA read-out over an already-materialized hourly grid — shared
+    * with the streaming twin, whose state store maintains exactly these
+    * `(event_type, h, cents)` rows. */
+  private[graft] def ewmaReadout(hourly: DataFrame, lookback: Int = 20): DataFrame = {
     val targets = hourly.select(col("event_type"), col("h"),
         explode(sequence(lit(0), lit(lookback - 1))).as("g"))
       .withColumn("h_src", col("h") - col("g"))
     val wgt = expr(s"shiftleft(1L, ${lookback - 1} - g)")
+    // toDF re-aliases every column with fresh expression ids — required
+    // because the streaming twin's grid is a memory-sink view, which
+    // cannot self-join without explicit deduplication (MemoryPlan is not
+    // a multi-instance relation; the batch parquet grid dedups fine).
     targets
-      .join(hourly.select(col("event_type"), col("h").as("h_src"),
-                          col("cents")),
+      .join(hourly.toDF("event_type", "h_src", "cents"),
             Seq("event_type", "h_src"))
       .groupBy(col("event_type"), col("h").as("hour_bucket"))
       .agg(count(lit(1)).as("n_hours"),

@@ -722,6 +722,83 @@ object Ranking {
       .orderBy("doc_id")
   }
 
+  /** Edge-weight modulus for [[seedCostsFrom]] — weight of edge (src, dst)
+    * is `(src + dst) % SeedCostWeightMod + 1` ∈ [1, 7]: deterministic,
+    * integer, strictly positive (zero-weight edges would make the bounded
+    * horizon meaningless), and varied enough that cheapest ≠ shortest. ONE
+    * definition site interpolated into the SQL oracle. */
+  private[graft] val SeedCostWeightMod = 7L
+
+  /** WEIGHTED curated-seed distance — [[seedHopsFrom]]'s cost-aware form:
+    * crawl edges carry a traversal cost (link quality, page depth, nofollow
+    * penalties) and the trust signal is the CHEAPEST path from a vetted
+    * seed within the same bounded horizon, not the fewest-click one — a
+    * 3-hop chain of clean links outranks a 1-hop spam redirect. Output per
+    * document: `cost` = min total edge weight over directed walks of ≤
+    * [[SeedHopsMaxHops]] hops from any seed (0 = seed), −1 if unreachable
+    * within the horizon.
+    *
+    * Algorithm — bounded Bellman–Ford with an IMPROVED-ONLY frontier: round
+    * r relaxes edges out of exactly the vertices whose label improved in
+    * round r−1 (sound: a min-cost ≤r-hop walk's prefix is itself minimal at
+    * ≤r−1 hops, so the terminal relaxation always fires from an improved
+    * vertex), then folds candidate labels into the settled map with one
+    * vertex-keyed min. Unlike BFS, a vertex can re-enter the frontier when
+    * a cheaper longer path arrives — the settled set is a running min, not
+    * an anti-join — but per-round work stays frontier × out-degree and
+    * total rounds are capped by the horizon. Integer min is confluent:
+    * partitioning and relaxation order cannot change any label.
+    *
+    * The DuckDB oracle enumerates ALL bounded walks with their costs
+    * through the recursive CTE and takes min(cost) — the textbook form —
+    * so the frontier relaxation rewrite is differentially proven
+    * cost-exact (the seed_hops discipline); the spec additionally replays
+    * a scalar hop-indexed DP (structurally different) and proves cheapest
+    * genuinely diverges from shortest on the fixture.
+    *
+    * 100 TB: same physics as [[seedHopsFrom]] — edges checkpoint once,
+    * every round is one vertex-keyed equi-join + partial-agg'd min,
+    * lineage truncated per round, horizon a small constant. */
+  def seedCosts(spark: SparkSession, sfDir: String,
+                maxHops: Int = SeedHopsMaxHops): DataFrame =
+    seedCostsFrom(Tables.documents(spark, sfDir).select("doc_id"), maxHops)
+
+  /** [[seedCosts]] over an explicit `(doc_id)` frame. */
+  def seedCostsFrom(docs: DataFrame, maxHops: Int = SeedHopsMaxHops): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "seedCostsFrom: empty corpus")
+    require(maxHops >= 0, s"seedCostsFrom: negative horizon $maxHops")
+    val ckpt = new graft.operators.Dedup.RoundCheckpointer(docs.sparkSession)
+    val edges = ckpt(affineEdges(docs, n)
+      .withColumn("w", (col("src") + col("dst")) % SeedCostWeightMod + 1L))
+    var best = ckpt(docs.filter(col("doc_id") % SeedHopsSeedMod === 0)
+      .select(col("doc_id").as("v"), lit(0L).as("cost")))
+    var frontier = best
+    var r = 1
+    var exhausted = frontier.isEmpty
+    while (r <= maxHops && !exhausted) {
+      // relax one hop out of the improved frontier; collapse per-round
+      // duplicates to one candidate per vertex before probing the map
+      val cand = frontier.join(edges, col("v") === col("src"))
+        .select(col("dst").as("v"), (col("cost") + col("w")).as("cost"))
+        .groupBy("v").agg(min("cost").as("cost"))
+      val improved = ckpt(cand
+        .join(best.toDF("v", "old"), Seq("v"), "left")
+        .filter(col("old").isNull || col("cost") < col("old"))
+        .select(col("v"), col("cost")))
+      exhausted = improved.isEmpty
+      if (!exhausted) {
+        best = ckpt(best.unionByName(improved)
+          .groupBy("v").agg(min("cost").as("cost")))
+        frontier = improved
+      }
+      r += 1
+    }
+    docs.join(best, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), coalesce(col("cost"), lit(-1L)).as("cost"))
+      .orderBy("doc_id")
+  }
+
   /** Safety cap on [[linkCycles]]'s fixpoint rounds — a loud error, never
     * an approximate answer: hash-min converges in (longest shortest path to
     * each vertex's extremal reachable id) rounds, measured ≲15 on the

@@ -1304,33 +1304,53 @@ object TextAnalysis {
     * dictionary that survives the coverage filter is tiny and broadcast;
     * reconstruction is one hash aggregate on doc_id. No self-join, no
     * all-pairs anywhere. */
-  def boilerplateLines(spark: SparkSession, sfDir: String): DataFrame = {
-    val synth = concat(
-      lit("home about "), col("source"), lit(" products contact\n"),
-      col("text"), lit("\n"),
-      when(col("doc_id") % 5 === 0,
-        concat(lit("subscribe to the "), col("source"), lit(" newsletter\n")))
-        .otherwise(lit("")),
-      lit("ref "), col("doc_id").cast("string"), lit(" "), col("source"),
-      lit("\ncopyright "), col("source"), lit(" all rights reserved"))
+  def boilerplateLines(spark: SparkSession, sfDir: String): DataFrame =
     boilerplateLinesFrom(
       Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("source"), synth.as("page")))
-  }
+        .select(col("doc_id"), col("source"), syntheticPage.as("page")))
+
+  /** The deterministic synthetic page frame `boilerplate_lines` wraps
+    * around the line-structure-free corpus — ONE definition site shared
+    * with the streaming twin and mirrored by both SQL oracles, so the
+    * fixture can never drift between the batch and stream paths. */
+  private[graft] def syntheticPage: Column = concat(
+    lit("home about "), col("source"), lit(" products contact\n"),
+    col("text"), lit("\n"),
+    when(col("doc_id") % 5 === 0,
+      concat(lit("subscribe to the "), col("source"), lit(" newsletter\n")))
+      .otherwise(lit("")),
+    lit("ref "), col("doc_id").cast("string"), lit(" "), col("source"),
+    lit("\ncopyright "), col("source"), lit(" all rights reserved"))
 
   /** [[boilerplateLines]] over an explicit `(doc_id, source, page)` frame
     * whose `page` already carries real line structure — the form a crawl
     * pipeline with native newlines calls, and the spec's hand-fixture
     * entry point (the ≥ half-coverage boundary is pinned there at exactly
     * df·2 = n_docs). */
-  def boilerplateLinesFrom(docs: DataFrame): DataFrame = {
+  def boilerplateLinesFrom(docs: DataFrame): DataFrame =
+    cleanWithLineCounts(docs, boilerplateLineCounts(docs))
+
+  /** Per-(source, line) document-frequency counts — each document
+    * contributes each of its DISTINCT lines once (the per-doc
+    * `array_distinct` makes the count a plain associative SUM, which is
+    * what lets the streaming twin maintain this exact table as state with
+    * no distinct-aggregate support needed). */
+  private[graft] def boilerplateLineCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        explode(array_distinct(split(col("page"), "\n"))).as("line"))
+      .groupBy("source", "line")
+      .agg(count(lit(1)).as("df"))
+
+  /** The cleaning read-out against an already-materialized line-frequency
+    * table — shared with the streaming twin, whose state store maintains
+    * exactly these `(source, line, df)` rows. */
+  private[graft] def cleanWithLineCounts(docs: DataFrame, lineDf: DataFrame): DataFrame = {
     val lines = docs
       .select(col("doc_id"), col("source"),
         posexplode(split(col("page"), "\n")).as(Seq("pos", "line")))
     val srcSizes = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val boiler = lines
-      .groupBy("source", "line")
-      .agg(countDistinct("doc_id").as("df"))
+    val boiler = lineDf
       .join(srcSizes, "source")
       .filter(col("df") * 2 >= col("n_docs"))
       .select(col("source"), col("line"), lit(1).as("is_b"))

@@ -910,6 +910,44 @@ object EventStreams {
       runToCompletion(spark, hours, "stream_anomaly_hours", OutputMode.Complete()))
   }
 
+  /** Driver-verified: the hourly-cents grid behind `ewma_hours` maintained
+    * as STREAMING state — a complete-mode (event_type, hour) SUM of cents
+    * (associative + commutative, so the materialized grid is bit-identical
+    * to the batch one under any micro-batch split), with the dyadic EWMA
+    * read-out applied batch-side to the final grid. Shares `ewma_hours`'
+    * SQL oracle verbatim. State = the grid itself — |types|·|hours| longs,
+    * time-bounded at any corpus size. */
+  def streamEwmaHoursQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = graft.operators.Analytics.ewmaHourlyGrid(
+      tableStream(spark, sfDir, "events"))
+    graft.operators.Analytics.ewmaReadout(
+      runToCompletion(spark, grid, "stream_ewma_hours", OutputMode.Complete()))
+  }
+
+  /** Driver-verified: `boilerplate_lines`' per-(source, line) document
+    * frequency maintained as STREAMING state — each arriving page
+    * contributes its DISTINCT lines once (a stateless per-row
+    * `array_distinct`+explode), so the stateful op is ONE complete-mode
+    * SUM: no streaming distinct-aggregate needed, and the materialized
+    * frequency table is bit-identical to the batch detector's under any
+    * arrival order. The cleaning read-out (coverage filter + per-doc
+    * reconstruction) runs batch-side against the final table — the
+    * deployed shape: the dictionary absorbs the crawl stream, documents
+    * are cleaned against it out of band. Shares `boilerplate_lines`' SQL
+    * oracle verbatim. State = the line-frequency table — boilerplate is
+    * by definition high-frequency, so distinct lines grow like content,
+    * not like volume. */
+  def streamBoilerplateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val pages = tableStream(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), TextAnalysis.syntheticPage.as("page"))
+    val lineDf = TextAnalysis.boilerplateLineCounts(pages)
+    val batchPages = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), TextAnalysis.syntheticPage.as("page"))
+    TextAnalysis.cleanWithLineCounts(batchPages,
+      runToCompletion(spark, lineDf, "stream_boilerplate", OutputMode.Complete()))
+  }
+
   /** Driver-verified: the Count-Min frequency sketch as STREAMING state —
     * `graft_cms` in a complete-mode global aggregation over the RAW token
     * stream (weight 1 per token), one fixed `depth·width` counter grid in

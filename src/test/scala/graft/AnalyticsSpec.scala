@@ -1231,6 +1231,53 @@ class AnalyticsSpec extends SparkSpecBase {
       "peel must actually cascade over multiple rounds")
   }
 
+  test("seed_costs equals a scalar hop-indexed DP replay; cheapest diverges from shortest") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    // independent reference: the textbook hop-indexed DP d[h][v] = min
+    // cost over walks of <= h hops (a structurally DIFFERENT shape from
+    // the engine's improved-frontier relaxation)
+    def scalarCosts(n: Long, maxHops: Int): Map[Long, Long] = {
+      val INF = Long.MaxValue
+      val adj = (0L until n).map { i =>
+        val ds = (Seq((i * 7 + 3) % n, (i * 13 + 5) % n) ++
+          (if (i % 3 == 0) Seq((i * 31 + 11) % n) else Seq()))
+          .filter(_ != i).distinct
+        i -> ds.map(d => d -> ((i + d) % 7 + 1))
+      }.toMap
+      var d = (0L until n).map(v =>
+        v -> (if (v % Ranking.SeedHopsSeedMod == 0) 0L else INF)).toMap
+      for (_ <- 1 to maxHops) {
+        val next = scala.collection.mutable.Map(d.toSeq: _*)
+        for ((u, vs) <- adj; (v, w) <- vs)
+          if (d(u) != INF && d(u) + w < next(v)) next(v) = d(u) + w
+        d = next.toMap
+      }
+      d.map { case (v, c) => v -> (if (c == INF) -1L else c) }
+    }
+    val n = 200L
+    val docs = (0L until n).toDF("doc_id")
+    for (h <- Seq(0, 1, Ranking.SeedHopsMaxHops)) {
+      val got = Ranking.seedCostsFrom(docs, h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === scalarCosts(n, h), s"horizon $h diverged from the DP replay")
+    }
+    // partitioning invariance: relaxation order must not change any label
+    val base = Ranking.seedCostsFrom(docs).collect().toSeq
+    assert(Ranking.seedCostsFrom(docs.repartition(7)).collect().toSeq === base)
+    // weights must MATTER: some vertex's cheapest bounded walk is cheaper
+    // than every min-hop walk would allow if it had to stop at the BFS
+    // distance — i.e. cost improves strictly between two horizons even
+    // though the vertex was already reachable (a longer-but-cheaper path)
+    val hShort = Ranking.seedCostsFrom(docs, Ranking.SeedHopsMaxHops - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hFull = Ranking.seedCostsFrom(docs, Ranking.SeedHopsMaxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until n).exists(v =>
+      hShort(v) >= 0L && hFull(v) >= 0L && hFull(v) < hShort(v)),
+      "fixture degenerate: no vertex has a longer-but-cheaper path — weights are not exercised")
+  }
+
   test("seed_hops equals a scalar shortest-path replay; horizon, invariance, plan") {
     import spark.implicits._
     import graft.operators.Ranking

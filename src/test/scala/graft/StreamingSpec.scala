@@ -442,6 +442,22 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(sah === bah)
     assert(sah.nonEmpty, "no anomalous hour on the fixture — degenerate")
+    // stream_ewma_hours: commutative hourly cents sums in state + the
+    // shared dyadic EWMA read-out batch-side
+    val seh = EventStreams.streamEwmaHoursQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val beh = graft.operators.Analytics.ewmaHours(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(seh === beh)
+    assert(seh.nonEmpty, "empty EWMA grid — degenerate")
+    // stream_boilerplate: per-doc-distinct line sums in state + the shared
+    // coverage-filter/reconstruction read-out batch-side
+    val sbl = EventStreams.streamBoilerplateQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bbl = graft.operators.TextAnalysis.boilerplateLines(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(sbl === bbl)
+    assert(sbl.exists(_(2).asInstanceOf[Long] > 0L), "no boilerplate caught — degenerate")
   }
 
   test("bounded replay: stream_decontaminate equals the indexed batch decontamination") {
