@@ -103,6 +103,7 @@ object SparkEntry {
     "triangle_count" -> ((s, d) => Ranking.triangleCount(s, d)),
     "rolling_features" -> ((s, d) => Analytics.rollingFeatures(s, d)),
     "profile_table" -> ((s, d) => Analytics.profileTable(s, d)),
+    "constraint_audit" -> ((s, d) => Analytics.constraintAudit(s, d)),
     "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
     "grouping_sets_pricing" -> ((s, d) => Relational.groupingSetsPricing(s, d)),
@@ -223,6 +224,7 @@ object SparkEntry {
     "triangle_participation" -> ((s, d) => Ranking.trianglesPerNode(s, d)),
     "seed_hops" -> ((s, d) => Ranking.seedHops(s, d)),
     "seed_costs" -> ((s, d) => Ranking.seedCosts(s, d)),
+    "seed_rank" -> ((s, d) => Ranking.seedRank(s, d)),
     "link_cycles" -> ((s, d) => Ranking.linkCycles(s, d)),
     "bm25_search" -> ((s, d) => Ranking.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => Ranking.hybridSearch(s, d)),
@@ -744,6 +746,38 @@ object SparkEntry {
     sb ++= s"""ind AS (SELECT dst, count(*) AS n_in FROM ed GROUP BY dst)
       |SELECT r.doc_id, CAST(COALESCE(ind.n_in, 0) AS BIGINT) AS in_links, r.r AS rank_scaled
       |FROM r$iters r LEFT JOIN ind ON r.doc_id = ind.dst ORDER BY r.doc_id""".stripMargin
+    sb.result()
+  }
+
+  /** [[graft.operators.Ranking.seedRankFrom]]'s personalized-restart
+    * fixed-point replayed — linkRankOracle with the teleport mass
+    * concentrated on the seed class (constants from Ranking, one
+    * definition site). */
+  private def seedRankOracle(iters: Int): String = {
+    val mod = operators.Ranking.SeedHopsSeedMod
+    val sb = new StringBuilder
+    sb ++= s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      |t AS (SELECT doc_id AS src, (doc_id*7+3) % (SELECT n FROM nn) AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id*31+11) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0),
+      |ed AS (SELECT DISTINCT src, dst FROM t WHERE src <> dst),
+      |od AS (SELECT src, count(*) AS odeg FROM ed GROUP BY src),
+      |ns AS (SELECT count(*) AS n_seeds FROM documents WHERE doc_id % $mod = 0),
+      |b AS (SELECT 1099511627776 // n_seeds AS sm FROM ns),
+      |rv AS (SELECT doc_id, CASE WHEN doc_id % $mod = 0 THEN (SELECT sm FROM b) ELSE 0 END AS rst FROM documents),
+      |r0 AS (SELECT doc_id, rst AS r FROM rv),
+      |""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s"""c$t AS (SELECT ed.dst, CAST(sum(r.r // od.odeg) AS BIGINT) AS m
+        |  FROM ed JOIN r${t - 1} r ON ed.src = r.doc_id JOIN od ON ed.src = od.src GROUP BY ed.dst),
+        |r$t AS (SELECT d.doc_id, CAST((15 * rv.rst + 85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+        |  FROM documents d JOIN rv ON d.doc_id = rv.doc_id LEFT JOIN c$t c ON d.doc_id = c.dst),
+        |""".stripMargin
+    }
+    sb ++= s"""fin AS (SELECT doc_id, r FROM r$iters)
+      |SELECT doc_id, CAST(CASE WHEN doc_id % $mod = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed,
+      |  r AS ppr_scaled
+      |FROM fin ORDER BY doc_id""".stripMargin
     sb.result()
   }
 
@@ -1654,6 +1688,31 @@ object SparkEntry {
         |             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 18014398509481984.0 / CAST(harm_s AS DOUBLE) END, 4) AS est_users
         |FROM agg ORDER BY scope""".stripMargin,
     "profile_table" -> profileOracleSql,
+    // constraint_audit: the validation suite replayed — same corrupted
+    // shard injection, same one-pass aggregate facts, same anti-join
+    // orphan count, verdict recomputed per constraint.
+    "constraint_audit" ->
+      """WITH corrupted AS (SELECT o_orderkey, -o_custkey - 1 AS o_custkey, 'X' AS o_orderstatus,
+        |    -o_totalprice AS o_totalprice, NULL AS o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        |i AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders
+        |  UNION ALL SELECT * FROM corrupted),
+        |a AS (SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS uk,
+        |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS bad_status,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_date
+        |  FROM i),
+        |o AS (SELECT count(*) AS orphans FROM i
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |u AS (SELECT 'complete_orderdate' AS check_name, null_date AS violations FROM a
+        |  UNION ALL SELECT 'domain_orderstatus', bad_status FROM a
+        |  UNION ALL SELECT 'range_totalprice_positive', bad_price FROM a
+        |  UNION ALL SELECT 'ri_custkey_in_customer', orphans FROM o
+        |  UNION ALL SELECT 'unique_orderkey', n_rows - uk FROM a)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  CAST(a.n_rows AS BIGINT) AS n_rows,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM u, a ORDER BY check_name""".stripMargin,
     // rolling_features: trailing [t-3600s+1us, t] per-user frame — the
     // inclusive boundary stated identically on both sides; RANGE peers
     // (equal us) included by both engines.
@@ -1827,6 +1886,9 @@ object SparkEntry {
     // integer (% , //, exact long sums), so the iterative kernel
     // hash-matches with no float boundary.
     "link_rank" -> linkRankOracle(3),
+    // seed_rank: the personalized restart vector propagated at the same
+    // fixed depth — integers end to end, teleport mass on the seed class.
+    "seed_rank" -> seedRankOracle(3),
     // hits_scores: the two-aggregate mutual recursion replayed at the
     // same fixed depth — integers end to end.
     "hits_scores" -> hitsOracle(2),

@@ -315,6 +315,67 @@ object Analytics {
     * below k, estimator above, hash-replayable in SQL); the float `value`
     * column is profiled as integer cents (the repo-wide money convention)
     * so min/max/hash cross the engines without float-format divergence. */
+  /** DATA-QUALITY CONSTRAINT AUDIT (the Deequ/Great-Expectations shape) —
+    * the validation suite every warehouse runs on an ingest batch BEFORE
+    * the batch touches production tables: key uniqueness, referential
+    * integrity, domain membership, range sanity, completeness — each as a
+    * (constraint, violations, status) row, so the gate is a table the
+    * orchestrator reads, not a log line. The fixture order book is clean,
+    * so — the scrub_pii discipline — the audited "ingest batch" is the
+    * order book plus a deterministic corrupted shard (every orderkey
+    * divisible by 1000 re-ingested with its key KEPT (duplicate), custkey
+    * negated-minus-one (orphan), status 'X' (domain), price negated
+    * (range), date nulled (completeness)), so every constraint catches a
+    * known, oracle-replayable violation set and 'fail' paths are
+    * exercised, not assumed.
+    *
+    * 100 TB: ONE pass over the batch evaluates ALL constraints in a
+    * single hash-aggregate (count, two-phase distinct on the key,
+    * conditional sums) — referential integrity rides the same pass as a
+    * scan-side broadcast LEFT-join mark, not a second anti-join read of
+    * the fact side; `stack` unpivots the 1-row result. A validator that
+    * re-scans per constraint costs |constraints|× the batch. */
+  def constraintAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val corrupted = orders
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey"),
+        (-col("o_custkey") - 1).as("o_custkey"),
+        lit("X").as("o_orderstatus"),
+        (-col("o_totalprice")).as("o_totalprice"),
+        lit(null).cast(orders.schema("o_orderdate").dataType).as("o_orderdate"),
+        col("o_orderpriority"))
+    val ingest = orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .unionByName(corrupted)
+    // referential integrity folds into the SAME single aggregate: the
+    // broadcast LEFT join marks each row's dimension hit scan-side, so
+    // all five constraints evaluate in one pass over the batch (an anti
+    // join would be a second read of the fact side)
+    val a = ingest
+      .join(broadcast(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), lit(1).as("cust_ok"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("o_orderkey").as("uk"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_date"),
+        sum(when(col("cust_ok").isNull, 1L).otherwise(0L)).as("orphans"))
+    a.select(col("n_rows"), expr(
+        """stack(5,
+          |'complete_orderdate', null_date,
+          |'domain_orderstatus', bad_status,
+          |'range_totalprice_positive', bad_price,
+          |'ri_custkey_in_customer', orphans,
+          |'unique_orderkey', n_rows - uk) as (check_name, violations)""".stripMargin))
+      .select(col("check_name"), col("violations").cast("bigint").as("violations"),
+        col("n_rows"),
+        when(col("violations") === 0, lit("pass")).otherwise(lit("fail")).as("status"))
+      .orderBy("check_name")
+  }
+
   def profileTable(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
     import graft.functions.NumericFunctions.duckRound
     val ev = Tables.events(spark, sfDir).select(

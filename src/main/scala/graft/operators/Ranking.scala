@@ -198,6 +198,60 @@ object Ranking {
       .orderBy("doc_id")
   }
 
+  /** INTEGER-EXACT PERSONALIZED PageRank from the curated-seed class —
+    * the trust-PROPAGATION member next to [[linkRankFrom]]'s global
+    * centrality and [[seedHopsFrom]]/[[seedCostsFrom]]'s distances: the
+    * restart vector concentrates all teleport mass on the vetted seeds
+    * (`doc_id % SeedHopsSeedMod = 0`), so rank flows OUT from the seeds
+    * and decays with link distance — the actual TrustRank computation
+    * (Gyöngyi et al. VLDB'04), where hop distance is only the skeleton.
+    * A page can be 2 hops from a seed yet low-trust (one weak path) or
+    * high-trust (many strong paths); PPR integrates over ALL paths where
+    * the distance ops take a min.
+    *
+    * Same fixed-point discipline as [[linkRankFrom]]: ranks are longs
+    * scaled by 2⁴⁰, restart mass `scale div n_seeds` on seeds and 0
+    * elsewhere, update `(15·restart + 85·inflow) div 100` — exact
+    * integer sums, deterministic under any partitioning, replayed
+    * verbatim in SQL. Same overflow bounds (total mass ≤ 2⁴⁰ since the
+    * restart vector sums to ≤ scale and damping contracts).
+    *
+    * 100 TB: identical Pregel shape to link_rank — per round one edge⋈rank
+    * join on src + one partial-agg'd inflow on dst; fixed 3 rounds. */
+  def seedRank(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame =
+    seedRankFrom(Tables.documents(spark, sfDir).select("doc_id"), iters)
+
+  /** [[seedRank]] over an explicit `(doc_id)` frame. */
+  def seedRankFrom(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val n = docs.count()
+    require(n > 0, "seedRankFrom: empty corpus")
+    val scale = 1099511627776L // 2^40
+    val nSeeds = docs.filter(col("doc_id") % SeedHopsSeedMod === 0).count()
+    require(nSeeds > 0, "seedRankFrom: no seeds in corpus — restart vector undefined")
+    val seedMass = scale / nSeeds
+    val edges = affineEdges(docs, n)
+    val od = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val restart = when(col("doc_id") % SeedHopsSeedMod === 0, lit(seedMass))
+      .otherwise(lit(0L))
+    var ranks = docs.select(col("doc_id"), restart.as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = edges.join(od, "src")
+        .join(ranks, col("src") === col("doc_id"))
+        .select(col("dst"), expr("r div odeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+      ranks = docs.join(inflow, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          (lit(15L) * restart + lit(85L) * coalesce(col("m"), lit(0L))).as("t"))
+        .select(col("doc_id"), expr("t div 100").as("r"))
+    }
+    ranks
+      .select(col("doc_id"),
+        when(col("doc_id") % SeedHopsSeedMod === 0, lit(1L)).otherwise(lit(0L))
+          .as("is_seed"),
+        col("r").as("ppr_scaled"))
+      .orderBy("doc_id")
+  }
+
   /** TRIANGLE COUNT over the [[linkRank]] graph, undirected — the
     * clustering-structure signal (community density, spam-farm detection)
     * next to PageRank's centrality. The naive triangle join is the

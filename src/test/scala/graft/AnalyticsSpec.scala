@@ -1231,6 +1231,75 @@ class AnalyticsSpec extends SparkSpecBase {
       "peel must actually cascade over multiple rounds")
   }
 
+  test("seedRank equals a scalar fixed-point replay; mass flows out from seeds only") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    def scalarPpr(n: Long, iters: Int): Map[Long, Long] = {
+      val edges = (0L until n).flatMap { i =>
+        (Seq((i * 7 + 3) % n, (i * 13 + 5) % n) ++
+          (if (i % 3 == 0) Seq((i * 31 + 11) % n) else Seq()))
+          .filter(_ != i).distinct.map(d => (i, d))
+      }.distinct
+      val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      val nSeeds = (0L until n).count(_ % Ranking.SeedHopsSeedMod == 0).toLong
+      val sm = 1099511627776L / nSeeds
+      def rst(v: Long) = if (v % Ranking.SeedHopsSeedMod == 0) sm else 0L
+      var r = (0L until n).map(v => v -> rst(v)).toMap
+      for (_ <- 1 to iters) {
+        val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for ((s, d) <- edges) inflow(d) += r(s) / odeg(s)
+        r = (0L until n).map(v => v -> (15L * rst(v) + 85L * inflow(v)) / 100L).toMap
+      }
+      r
+    }
+    val n = 200L
+    val docs = (0L until n).toDF("doc_id")
+    val got = Ranking.seedRankFrom(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exp = scalarPpr(n, 3)
+    assert(got.view.mapValues(_._2).toMap === exp, "PPR diverged from the scalar replay")
+    // partitioning invariance (integer sums are order-independent)
+    assert(Ranking.seedRankFrom(docs.repartition(7)).collect().toSeq ===
+      Ranking.seedRankFrom(docs).collect().toSeq)
+    // trust decays from the seeds: seeds carry the restart floor, and a
+    // positive-rank non-seed exists (propagation happened) while total
+    // non-seed mass stays below the seeds' (damping contracts)
+    val seeds = got.filter(_._2._1 == 1L)
+    val nonSeeds = got.filter(_._2._1 == 0L)
+    assert(seeds.nonEmpty && seeds.values.forall(_._2 >= 15L * (1099511627776L / seeds.size) / 100L))
+    assert(nonSeeds.values.exists(_._2 > 0L), "no mass propagated beyond the seeds")
+    // mass is bounded by the injected teleport total (damping + dangling
+    // + integer truncation only LOSE mass, never create it)
+    assert(got.values.map(_._2).sum <= 1099511627776L,
+      "total PPR mass exceeded the restart injection — mass created from nothing")
+    // a vertex no ≤3-hop walk from any seed can touch must hold rank 0
+    val adj = (0L until n).map { i =>
+      i -> (Seq((i * 7 + 3) % n, (i * 13 + 5) % n) ++
+        (if (i % 3 == 0) Seq((i * 31 + 11) % n) else Seq())).filter(_ != i).distinct
+    }.toMap
+    var reach = (0L until n).filter(_ % Ranking.SeedHopsSeedMod == 0).toSet
+    for (_ <- 1 to 3) reach = reach ++ reach.flatMap(adj)
+    got.foreach { case (v, (_, r)) =>
+      if (!reach.contains(v)) assert(r === 0L, s"unreachable vertex $v holds mass $r")
+    }
+  }
+
+  test("constraintAudit: every constraint catches exactly the planted corrupted shard") {
+    val nCorrupt = graft.sources.Tables.orders(spark, sf0001)
+      .filter(col("o_orderkey") % 1000 === 0).count()
+    assert(nCorrupt > 0, "fixture degenerate: no orderkey divisible by 1000 — nothing planted")
+    val nOrders = graft.sources.Tables.orders(spark, sf0001).count()
+    val out = Analytics.constraintAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet === Set("complete_orderdate", "domain_orderstatus",
+      "range_totalprice_positive", "ri_custkey_in_customer", "unique_orderkey"))
+    out.foreach { case (c, (viol, nRows, status)) =>
+      assert(nRows === nOrders + nCorrupt, s"$c: audited batch size wrong")
+      assert(viol === nCorrupt, s"$c: expected exactly the planted shard, got $viol")
+      assert(status === "fail", s"$c: nonzero violations must read fail")
+    }
+  }
+
   test("seed_costs equals a scalar hop-indexed DP replay; cheapest diverges from shortest") {
     import spark.implicits._
     import graft.operators.Ranking

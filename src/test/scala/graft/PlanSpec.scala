@@ -195,6 +195,50 @@ class PlanSpec extends SparkSpecBase {
       s"final rollup lost its map-side combine:\n$plan")
   }
 
+  test("ewma_hours: the lookback is an equi-join on the exploded offset key, never a range join") {
+    val plan = finalPlan("ewma_hours")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"the 20-hour lookback must stay an equi-join (exploded offset key):\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"hourly grid aggregation lost its map-side combine:\n$plan")
+  }
+
+  test("boilerplate_lines: the surviving dictionary broadcasts onto the line stream") {
+    val plan = finalPlan("boilerplate_lines")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the boilerplate dictionary (tiny by definition) must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the cleaning join:\n$plan")
+  }
+
+  test("constraint_audit: all five constraints ride ONE aggregate; RI is a broadcast mark") {
+    val plan = finalPlan("constraint_audit")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the customer dimension must broadcast for the RI mark:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact side must never shuffle for the dimension join:\n$plan")
+    // one aggregate pass: distinct-count expands, but there is exactly one
+    // final single-row aggregate chain, not one scan per constraint
+    val finalOnly = plan.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalOnly).size
+    // orders appears twice by construction (batch + corrupted shard union)
+    // plus the broadcast customer scan: anything beyond that means a
+    // constraint re-reads the fact table
+    assert(scans <= 3, s"expected <=3 scans (orders x2 union + customer), got $scans:\n$finalOnly")
+  }
+
+  test("hard_negatives: shingle verification joins hash on doc ids, never all-pairs") {
+    val plan = finalPlan("hard_negatives")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs leak:\n$plan")
+    // the ONLY nested-loop is the declared probe broadcast (tiny build
+    // side); count the FINAL plan only — the AQE string repeats the tree
+    // under "Initial Plan"
+    val finalOnly = plan.split("== Initial Plan ==").head
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(finalOnly).size
+    assert(nlj <= 1, s"only the probe broadcast may nested-loop, got $nlj:\n$finalOnly")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"candidate-pair shingle lookups must be equi-joins:\n$plan")
+  }
+
   test("no expensive query plans a CartesianProduct") {
     plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),
