@@ -90,6 +90,7 @@ object SparkEntry {
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
     "quantile_rollup" -> ((s, d) => Analytics.quantileRollup(s, d)),
     "hll_rollup" -> ((s, d) => Analytics.hllRollup(s, d)),
+    "stream_hll" -> ((s, d) => graft.streaming.EventStreams.streamHllQuery(s, d)),
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     "outlier_events" -> ((s, d) => Analytics.outlierEvents(s, d)),
     "anomaly_hours" -> ((s, d) => Analytics.anomalyHours(s, d)),
@@ -266,6 +267,7 @@ object SparkEntry {
     "export_write" -> ((s, d) => Pipeline.exportWrite(s, d)),
     "export_sorted" -> ((s, d) => Pipeline.exportSorted(s, d)),
     "export_zorder" -> ((s, d) => Pipeline.exportZorder(s, d)),
+    "zorder_skipping" -> ((s, d) => Pipeline.zorderSkipping(s, d)),
     "merge_upsert" -> ((s, d) => Pipeline.mergeUpsert(s, d)),
     "scd2_history" -> ((s, d) => Pipeline.scd2History(s, d)),
     "agg_incremental" -> ((s, d) => Pipeline.aggIncremental(s, d)),
@@ -436,6 +438,54 @@ object SparkEntry {
       |  CAST(count(*) FILTER (WHERE is_b) AS BIGINT) AS n_boiler,
       |  md5(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT is_b), chr(10))) AS clean_fp
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** hll_rollup's oracle — shared verbatim with `stream_hll`. */
+  private val hllRollupSql: String =
+    """WITH e AS (SELECT event_type, CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS h
+        |           FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM e),
+        |rho AS (SELECT event_type, bucket,
+        |          max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS mr
+        |        FROM r GROUP BY 1, 2),
+        |grid AS (SELECT event_type, b FROM (SELECT DISTINCT event_type FROM e) s CROSS JOIN range(256) t(b)),
+        |reg AS (SELECT g.event_type AS scope, g.b, COALESCE(rho.mr, 0) AS m
+        |        FROM grid g LEFT JOIN rho ON rho.event_type = g.event_type AND rho.bucket = g.b),
+        |allreg AS (SELECT * FROM reg
+        |           UNION ALL SELECT '__all__' AS scope, b, max(m) AS m FROM reg GROUP BY 2),
+        |agg AS (SELECT scope, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |          sum(CAST(1 AS BIGINT) << CAST(54 - least(m, 54) AS INTEGER)) AS harm_s
+        |        FROM allreg GROUP BY 1)
+        |SELECT scope, CAST(n_zero AS BIGINT) AS n_zero, CAST(harm_s AS BIGINT) AS harm_s,
+        |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 18014398509481984.0 / CAST(harm_s AS DOUBLE) <= 640.0
+        |                  AND n_zero > 0
+        |             THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+        |             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 18014398509481984.0 / CAST(harm_s AS DOUBLE) END, 4) AS est_users
+        |FROM agg ORDER BY scope""".stripMargin
+
+  /** The zorder bucket-assignment CTE chain (through `bkt`) — shared by
+    * `export_zorder`'s stats read-out and `zorder_skipping`'s pruning
+    * replay, so the two can never drift. */
+  private val zorderBktCte: String =
+    """WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS uid, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |tb AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx, count(*) AS n FROM e),
+        |tf AS (SELECT e.event_id, e.ts_us, e.uid, (e.ts_us - tb.mn) * 1024 // (tb.mx - tb.mn + 1) AS tbin, tb.n FROM e, tb),
+        |th AS (SELECT tbin, n, count(*) AS cnt FROM tf GROUP BY tbin, n),
+        |tw AS (SELECT tbin, n, sum(cnt) OVER (ORDER BY tbin) AS cum FROM th),
+        |ks AS (SELECT unnest(range(1, 16)) AS k),
+        |tcuts AS (SELECT ks.k, min(tw.tbin) AS cut FROM tw JOIN ks ON tw.cum >= (ks.k * tw.n + 15) // 16 GROUP BY ks.k),
+        |tcl AS (SELECT COALESCE(list(cut ORDER BY cut), []) AS cs FROM tcuts),
+        |ub AS (SELECT min(uid) AS mn, max(uid) AS mx, count(*) AS n FROM e),
+        |uf AS (SELECT e.event_id, (e.uid - ub.mn) * 1024 // (ub.mx - ub.mn + 1) AS ubin, ub.n FROM e, ub),
+        |uh AS (SELECT ubin, n, count(*) AS cnt FROM uf GROUP BY ubin, n),
+        |uw AS (SELECT ubin, n, sum(cnt) OVER (ORDER BY ubin) AS cum FROM uh),
+        |ucuts AS (SELECT ks.k, min(uw.ubin) AS cut FROM uw JOIN ks ON uw.cum >= (ks.k * uw.n + 15) // 16 GROUP BY ks.k),
+        |ucl AS (SELECT COALESCE(list(cut ORDER BY cut), []) AS cs FROM ucuts),
+        |a AS (SELECT tf.ts_us, tf.uid,
+        |        len(list_filter(tcl.cs, c -> tf.tbin >= c)) AS tc,
+        |        len(list_filter(ucl.cs, c -> uf.ubin >= c)) AS uc
+        |      FROM tf JOIN uf USING (event_id) CROSS JOIN tcl CROSS JOIN ucl),
+        |bkt AS (SELECT ts_us, uid,
+        |        ((tc // 8) & 1) * 8 + ((uc // 8) & 1) * 4 + ((tc // 4) & 1) * 2 + ((uc // 4) & 1) AS bucket FROM a)""".stripMargin
 
   private val knnBruteSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -1666,27 +1716,12 @@ object SparkEntry {
     // element-wise MAX of the per-type registers; the estimate arithmetic
     // is the engine's hllEstimate token for token (left-associated, 2^54
     // exact double), linear-counting branch included.
-    "hll_rollup" ->
-      """WITH e AS (SELECT event_type, CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 9223372036854775808 AS BIGINT) AS h
-        |           FROM events WHERE user_id IS NOT NULL),
-        |r AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM e),
-        |rho AS (SELECT event_type, bucket,
-        |          max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS mr
-        |        FROM r GROUP BY 1, 2),
-        |grid AS (SELECT event_type, b FROM (SELECT DISTINCT event_type FROM e) s CROSS JOIN range(256) t(b)),
-        |reg AS (SELECT g.event_type AS scope, g.b, COALESCE(rho.mr, 0) AS m
-        |        FROM grid g LEFT JOIN rho ON rho.event_type = g.event_type AND rho.bucket = g.b),
-        |allreg AS (SELECT * FROM reg
-        |           UNION ALL SELECT '__all__' AS scope, b, max(m) AS m FROM reg GROUP BY 2),
-        |agg AS (SELECT scope, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_zero,
-        |          sum(CAST(1 AS BIGINT) << CAST(54 - least(m, 54) AS INTEGER)) AS harm_s
-        |        FROM allreg GROUP BY 1)
-        |SELECT scope, CAST(n_zero AS BIGINT) AS n_zero, CAST(harm_s AS BIGINT) AS harm_s,
-        |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 18014398509481984.0 / CAST(harm_s AS DOUBLE) <= 640.0
-        |                  AND n_zero > 0
-        |             THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
-        |             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 18014398509481984.0 / CAST(harm_s AS DOUBLE) END, 4) AS est_users
-        |FROM agg ORDER BY scope""".stripMargin,
+    "hll_rollup" -> hllRollupSql,
+    // stream_hll: the SAME read-out over the stream-maintained register
+    // table — register max is associative, commutative and idempotent, so
+    // the materialized states equal the batch ones and the oracle is
+    // shared verbatim.
+    "stream_hll" -> hllRollupSql,
     "profile_table" -> profileOracleSql,
     // constraint_audit: the validation suite replayed — same corrupted
     // shard injection, same one-pass aggregate facts, same anti-join
@@ -3582,30 +3617,36 @@ object SparkEntry {
     // export_zorder: both dims' rank cuts replayed (the export_sorted
     // machinery twice), then the Morton bucket = the top 2 bits of each
     // dim's cell number interleaved — z div 16 with the low bits dropped.
-    "export_zorder" ->
-      """WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS uid, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
-        |tb AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx, count(*) AS n FROM e),
-        |tf AS (SELECT e.event_id, e.ts_us, e.uid, (e.ts_us - tb.mn) * 1024 // (tb.mx - tb.mn + 1) AS tbin, tb.n FROM e, tb),
-        |th AS (SELECT tbin, n, count(*) AS cnt FROM tf GROUP BY tbin, n),
-        |tw AS (SELECT tbin, n, sum(cnt) OVER (ORDER BY tbin) AS cum FROM th),
-        |ks AS (SELECT unnest(range(1, 16)) AS k),
-        |tcuts AS (SELECT ks.k, min(tw.tbin) AS cut FROM tw JOIN ks ON tw.cum >= (ks.k * tw.n + 15) // 16 GROUP BY ks.k),
-        |tcl AS (SELECT COALESCE(list(cut ORDER BY cut), []) AS cs FROM tcuts),
-        |ub AS (SELECT min(uid) AS mn, max(uid) AS mx, count(*) AS n FROM e),
-        |uf AS (SELECT e.event_id, (e.uid - ub.mn) * 1024 // (ub.mx - ub.mn + 1) AS ubin, ub.n FROM e, ub),
-        |uh AS (SELECT ubin, n, count(*) AS cnt FROM uf GROUP BY ubin, n),
-        |uw AS (SELECT ubin, n, sum(cnt) OVER (ORDER BY ubin) AS cum FROM uh),
-        |ucuts AS (SELECT ks.k, min(uw.ubin) AS cut FROM uw JOIN ks ON uw.cum >= (ks.k * uw.n + 15) // 16 GROUP BY ks.k),
-        |ucl AS (SELECT COALESCE(list(cut ORDER BY cut), []) AS cs FROM ucuts),
-        |a AS (SELECT tf.ts_us, tf.uid,
-        |        len(list_filter(tcl.cs, c -> tf.tbin >= c)) AS tc,
-        |        len(list_filter(ucl.cs, c -> uf.ubin >= c)) AS uc
-        |      FROM tf JOIN uf USING (event_id) CROSS JOIN tcl CROSS JOIN ucl),
-        |bkt AS (SELECT ts_us, uid,
-        |        ((tc // 8) & 1) * 8 + ((uc // 8) & 1) * 4 + ((tc // 4) & 1) * 2 + ((uc // 4) & 1) AS bucket FROM a)
+    "export_zorder" -> (zorderBktCte + """
         |SELECT bucket, count(*) AS n_events, min(ts_us) AS min_ts, max(ts_us) AS max_ts,
         |  min(uid) AS min_user, max(uid) AS max_user
-        |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin,
+        |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin),
+    // zorder_skipping: bucket assignment replayed (the shared zorderBktCte),
+    // per-bucket bboxes recomputed, the same six rectangle predicates
+    // derived from global bounds, min/max pruning + true selectivity both
+    // integer-exact. Unconstrained quarter ranges (tq/uq = -1) are guarded
+    // before use in BOTH engines, so floor-vs-trunc division on the
+    // negative index can never surface.
+    "zorder_skipping" -> (zorderBktCte + """,
+        |stats AS (SELECT bucket, min(ts_us) AS bmin_ts, max(ts_us) AS bmax_ts,
+        |    min(uid) AS bmin_u, max(uid) AS bmax_u FROM bkt GROUP BY bucket),
+        |gb AS (SELECT min(ts_us) AS tmn, max(ts_us) AS tmx, min(uid) AS umn, max(uid) AS umx FROM bkt),
+        |pr AS (SELECT * FROM (VALUES ('t_q1', 0, -1), ('t_q3', 2, -1), ('u_q1', -1, 0),
+        |    ('u_q3', -1, 2), ('tu_q11', 0, 0), ('tu_q33', 2, 2)) AS t(pred, tq, uq)),
+        |wr AS (SELECT pred, tq, uq,
+        |    tmn + (tmx - tmn + 1) * tq // 4 AS tlo, tmn + (tmx - tmn + 1) * (tq + 1) // 4 AS thi,
+        |    umn + (umx - umn + 1) * uq // 4 AS ulo, umn + (umx - umn + 1) * (uq + 1) // 4 AS uhi
+        |  FROM pr, gb),
+        |sc AS (SELECT pred, count(*) AS n_buckets,
+        |    CAST(sum(CASE WHEN (tq = -1 OR NOT (bmax_ts < tlo OR bmin_ts >= thi))
+        |                   AND (uq = -1 OR NOT (bmax_u < ulo OR bmin_u >= uhi)) THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned
+        |  FROM stats, wr GROUP BY pred),
+        |mt AS (SELECT pred, count(*) AS rows_matched FROM bkt, wr
+        |  WHERE (tq = -1 OR (ts_us >= tlo AND ts_us < thi))
+        |    AND (uq = -1 OR (uid >= ulo AND uid < uhi)) GROUP BY pred)
+        |SELECT sc.pred AS pred, sc.n_buckets, sc.buckets_scanned,
+        |  CAST(COALESCE(mt.rows_matched, 0) AS BIGINT) AS rows_matched
+        |FROM sc LEFT JOIN mt ON sc.pred = mt.pred ORDER BY sc.pred""".stripMargin),
     // dedup_simhash: token hash = md5_number_lower on both sides, so the
     // whole sketch (bit votes → 64-bit signature → hamming ≤ 3) is exactly
     // expressible in DuckDB. The banding in the Spark plan is pure candidate

@@ -286,11 +286,19 @@ object Analytics {
     * (md5 % 2⁶³ hash, `h % m` bucket, bit-length rank — the
     * perplexity_score bits discipline), so the approximate sketch is
     * exactly checked (the graft_kmv philosophy). */
-  def hllRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val perType = Tables.events(spark, sfDir)
+  def hllRollup(spark: SparkSession, sfDir: String): DataFrame =
+    hllReadout(Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id").cast("string").as("uid"))
       .groupBy("event_type")
-      .agg(call_function("graft_hll_state", col("uid"), lit(HllP)).as("hll"))
+      .agg(call_function("graft_hll_state", col("uid"), lit(HllP)).as("hll")))
+
+  /** The rollup + estimate read-out over already-materialized per-type
+    * HLL register states — shared with the streaming twin, whose state
+    * store maintains exactly these `(event_type, hll)` rows (register max
+    * is associative, commutative AND idempotent, so the streamed states
+    * are bit-identical to the batch ones under any micro-batch split or
+    * replay). */
+  private[graft] def hllReadout(perType: DataFrame): DataFrame = {
     val merged = perType
       .agg(call_function("graft_hll_merge", col("hll"), lit(HllP)).as("hll"))
       .select(lit("__all__").as("scope"), col("hll"))
@@ -305,16 +313,6 @@ object Analytics {
       .orderBy("scope")
   }
 
-  /** TABLE PROFILE (the "dataset card" pass) — per-column null count,
-    * KMV distinct ESTIMATE, and min/max, for every column in ONE scan:
-    * all per-column aggregates evaluate in a single hash-aggregate row
-    * (no shuffle per column, no column-at-a-time re-scans — at 100 TB a
-    * profiler that scans per column costs |columns|× the table), then
-    * `stack` unpivots the 1-row result into the per-column report.
-    * Distinct counts use `graft_kmv` (fixed ≤k state per column — exact
-    * below k, estimator above, hash-replayable in SQL); the float `value`
-    * column is profiled as integer cents (the repo-wide money convention)
-    * so min/max/hash cross the engines without float-format divergence. */
   /** DATA-QUALITY CONSTRAINT AUDIT (the Deequ/Great-Expectations shape) —
     * the validation suite every warehouse runs on an ingest batch BEFORE
     * the batch touches production tables: key uniqueness, referential
@@ -376,6 +374,16 @@ object Analytics {
       .orderBy("check_name")
   }
 
+  /** TABLE PROFILE (the "dataset card" pass) — per-column null count,
+    * KMV distinct ESTIMATE, and min/max, for every column in ONE scan:
+    * all per-column aggregates evaluate in a single hash-aggregate row
+    * (no shuffle per column, no column-at-a-time re-scans — at 100 TB a
+    * profiler that scans per column costs |columns|× the table), then
+    * `stack` unpivots the 1-row result into the per-column report.
+    * Distinct counts use `graft_kmv` (fixed ≤k state per column — exact
+    * below k, estimator above, hash-replayable in SQL); the float `value`
+    * column is profiled as integer cents (the repo-wide money convention)
+    * so min/max/hash cross the engines without float-format divergence. */
   def profileTable(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
     import graft.functions.NumericFunctions.duckRound
     val ev = Tables.events(spark, sfDir).select(

@@ -569,6 +569,65 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  /** Z-ORDER FILE-SKIPPING REPORT — the measurement that justifies
+    * [[writeZorderExport]]'s layout: for a fixed probe set of rectangle
+    * predicates (equal-width time quarters, user quarters, and their
+    * conjunctions — bounds derived from the data, no constants to drift),
+    * consult the per-bucket [min,max] statistics READ FROM THE WRITTEN
+    * FILES (exactly what a Delta/Iceberg reader consults) and count the
+    * buckets a min/max pruner must scan vs the rows that actually match.
+    * The claim under test is the one a single-key sort cannot make: a
+    * time-only predicate AND a user-only predicate BOTH prune (each
+    * dimension's quartile bands are rectangles in the Morton grid), and
+    * the conjunction prunes multiplicatively. Spec-gated; the oracle
+    * replays bucket assignment + bbox intersection + true selectivity in
+    * SQL, so the pruning arithmetic itself is hash-checked.
+    *
+    * 100 TB: the stats side is |buckets| rows (file-footer metadata); the
+    * row-truth side is one predicate-exploded scan (|preds|×) that exists
+    * only to PROVE selectivity — a production pruner reads the stats
+    * table alone. */
+  def zorderSkipping(spark: SparkSession, sfDir: String,
+                     dimBits: Int = 4, bins: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_zorder_${Warehouse.pathToken(sfDir)}_d${dimBits}x$bins").getPath
+    writeZorderExport(spark, sfDir, out, dimBits, bins)
+    val stats = spark.read.parquet(out)
+      .groupBy("bucket")
+      .agg(min("ts_us").as("bmin_ts"), max("ts_us").as("bmax_ts"),
+           min(col("user_id")).as("bmin_u"), max(col("user_id")).as("bmax_u"))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("uid"),
+              unix_micros(col("ts")).as("ts_us"))
+    val bounds = ev.agg(min("ts_us").as("tmn"), max("ts_us").as("tmx"),
+                        min("uid").as("umn"), max("uid").as("umx"))
+    // (name, time-quarter or -1, user-quarter or -1); -1 = unconstrained
+    val preds = Seq(
+      ("t_q1", 0, -1), ("t_q3", 2, -1),
+      ("u_q1", -1, 0), ("u_q3", -1, 2),
+      ("tu_q11", 0, 0), ("tu_q33", 2, 2)).toDF("pred", "tq", "uq")
+    val withRanges = broadcast(preds).crossJoin(broadcast(bounds))
+      .withColumn("tlo", expr("tmn + (tmx - tmn + 1) * tq div 4"))
+      .withColumn("thi", expr("tmn + (tmx - tmn + 1) * (tq + 1) div 4"))
+      .withColumn("ulo", expr("umn + (umx - umn + 1) * uq div 4"))
+      .withColumn("uhi", expr("umn + (umx - umn + 1) * (uq + 1) div 4"))
+    val scanned = stats.crossJoin(withRanges)
+      .withColumn("scan",
+        (col("tq") === -1 || !(col("bmax_ts") < col("tlo") || col("bmin_ts") >= col("thi"))) &&
+        (col("uq") === -1 || !(col("bmax_u") < col("ulo") || col("bmin_u") >= col("uhi"))))
+      .groupBy("pred")
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(when(col("scan"), 1L).otherwise(0L)).as("buckets_scanned"))
+    val matched = ev.crossJoin(withRanges)
+      .filter((col("tq") === -1 || (col("ts_us") >= col("tlo") && col("ts_us") < col("thi"))) &&
+              (col("uq") === -1 || (col("uid") >= col("ulo") && col("uid") < col("uhi"))))
+      .groupBy("pred").agg(count(lit(1)).as("rows_matched"))
+    scanned.join(matched, Seq("pred"), "left")
+      .na.fill(0L, Seq("rows_matched"))
+      .orderBy("pred")
+  }
+
   /** Driver-contract round trip of [[writeSortedExport]]: write the sorted
     * range buckets, then recompute the per-bucket accounting FROM THE
     * FILES — count and [min,max] key range per bucket, the exact metadata

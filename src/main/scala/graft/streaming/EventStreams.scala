@@ -872,6 +872,27 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Driver-verified: the HLL register table maintained as STREAMING
+    * state — the fourth sketch's streaming twin, completing the cube's
+    * batch×stream matrix (KMV `stream_distinct_sketch`, CMS
+    * `stream_freq_sketch`, histogram `stream_quantile_sketch`, now HLL).
+    * One complete-mode per-type `graft_hll_state` aggregate (state = 2^p
+    * byte-sized registers per type); register max is associative,
+    * commutative and IDEMPOTENT, so replayed or re-split micro-batches
+    * cannot move a register and the materialized states are bit-identical
+    * to the batch ones. The `__all__` rollup and the estimate read-out run
+    * batch-side through the SAME code path (`hllReadout`); shares
+    * `hll_rollup`'s SQL oracle verbatim. */
+  def streamHllQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val perType = tableStream(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .groupBy("event_type")
+      .agg(call_function("graft_hll_state", col("uid"),
+        lit(graft.operators.Analytics.HllP)).as("hll"))
+    graft.operators.Analytics.hllReadout(
+      runToCompletion(spark, perType, "stream_hll", OutputMode.Complete()))
+  }
+
   /** Driver-verified: ROBUST ANOMALY detection maintained as the stream
     * arrives — [[graft.operators.Analytics.anomalyHours]]'s hourly volume
     * table as a complete-mode streaming aggregate (one count per hour in

@@ -243,6 +243,22 @@ class PipelineSpec extends SparkSpecBase {
       "time-sorted files should all intersect the user box (nothing prunes)")
   }
 
+  test("zorderSkipping: both single dims prune, the conjunction prunes at least as hard") {
+    val rep = Pipeline.zorderSkipping(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep.keySet === Set("t_q1", "t_q3", "u_q1", "u_q3", "tu_q11", "tu_q33"))
+    rep.foreach { case (p, (nb, scanned, matched)) =>
+      assert(nb === 16L, s"$p: bucket universe drifted")
+      assert(scanned < nb, s"$p: a quarter-range predicate must prune SOMETHING — " +
+        "the zorder claim is pruning on EITHER dimension")
+      assert(matched > 0L, s"$p: degenerate predicate matches nothing")
+      assert(scanned > 0L, s"$p: stats pruning dropped buckets holding matches")
+    }
+    // the conjunction can never scan more than either of its marginals
+    assert(rep("tu_q11")._2 <= math.min(rep("t_q1")._2, rep("u_q1")._2))
+    assert(rep("tu_q33")._2 <= math.min(rep("t_q3")._2, rep("u_q3")._2))
+  }
+
   test("snapshotDiff: statuses partition exactly by the derived mod classes") {
     val out = Pipeline.snapshotDiff(spark, sf0001)
     val byStatus = out.groupBy("status").count().collect()

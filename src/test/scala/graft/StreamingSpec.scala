@@ -450,6 +450,14 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(seh === beh)
     assert(seh.nonEmpty, "empty EWMA grid — degenerate")
+    // stream_hll: idempotent register-max states per type + the shared
+    // rollup/estimate read-out batch-side
+    val shl = EventStreams.streamHllQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bhl = graft.operators.Analytics.hllRollup(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(shl === bhl)
+    assert(shl.nonEmpty, "empty HLL rollup — degenerate")
     // stream_boilerplate: per-doc-distinct line sums in state + the shared
     // coverage-filter/reconstruction read-out batch-side
     val sbl = EventStreams.streamBoilerplateQuery(spark, sf0001)
