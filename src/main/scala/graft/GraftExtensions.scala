@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, Hash64, HashEmbed, HistAgg, HllAgg, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, KmvStateAgg, MinHashAgg, MinHashArr, ShingleArray, SimHash, Winnow, WinnowStats}
+import graft.functions.expressions.{BandHashes, BloomAgg, BloomMightContain, ChunkHashes, ChunkStats, Hash64, HashEmbed, HistAgg, HllAgg, CmsAgg, CmsBucket, CosineSimilarity, KmvAgg, KmvStateAgg, MinHashAgg, MinHashArr, NfcNormalize, ShingleArray, SimHash, Winnow, WinnowStats}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.GraftExtensions` (every graft entry point —
@@ -142,6 +142,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_hash64(s) takes one string column")
         Hash64(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc(s) takes one string column")
+        NfcNormalize(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_chunkstats"),

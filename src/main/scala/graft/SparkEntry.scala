@@ -97,6 +97,10 @@ object SparkEntry {
     "ewma_hours" -> ((s, d) => Analytics.ewmaHours(s, d)),
     "stream_ewma_hours" -> ((s, d) =>
       graft.streaming.EventStreams.streamEwmaHoursQuery(s, d)),
+    "cusum_shift" -> ((s, d) => Analytics.cusumShift(s, d)),
+    "attribution_touch" -> ((s, d) => Analytics.attributionTouch(s, d)),
+    "stream_cusum" -> ((s, d) =>
+      graft.streaming.EventStreams.streamCusumQuery(s, d)),
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
     "revenue_rank_delta" -> ((s, d) => Analytics.revenueRankDelta(s, d)),
     "user_lifecycle" -> ((s, d) => Analytics.userLifecycle(s, d)),
@@ -124,6 +128,7 @@ object SparkEntry {
     "q17_small_orders" -> ((s, d) => Relational.q17SmallOrders(s, d)),
     "q19_brackets" -> ((s, d) => Relational.q19Brackets(s, d)),
     "freq_rollup" -> ((s, d) => Relational.freqRollup(s, d)),
+    "join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
@@ -171,6 +176,9 @@ object SparkEntry {
     "lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(s, d)),
+    "normalize_text" -> ((s, d) => TextAnalysis.normalizeText(s, d)),
+    "stream_normalize" -> ((s, d) =>
+      graft.streaming.EventStreams.streamNormalizeQuery(s, d)),
     "boilerplate_lines" -> ((s, d) => TextAnalysis.boilerplateLines(s, d)),
     "stream_boilerplate" -> ((s, d) =>
       graft.streaming.EventStreams.streamBoilerplateQuery(s, d)),
@@ -244,6 +252,7 @@ object SparkEntry {
     "similar_docs" -> ((s, d) => Similarity.similarDocs(s, d)),
     "text_recall" -> ((s, d) => Similarity.textRecall(s, d)),
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "mrr_eval" -> ((s, d) => Similarity.mrrEval(s, d)),
     "stream_cluster_assign" -> ((s, d) =>
       graft.streaming.EventStreams.streamClusterAssignQuery(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -281,6 +290,7 @@ object SparkEntry {
     "similarity_ivf_indexed" -> ((s, d) => Similarity.ivfSearchIndexed(s, d)),
     "similarity_ann" -> ((s, d) => Similarity.annHyperplane(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    "mutual_knn" -> ((s, d) => Similarity.mutualKnn(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     "ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
@@ -412,6 +422,41 @@ object SparkEntry {
       |  CAST(sum(CAST(1 AS BIGINT) << (19 - g)) AS BIGINT) AS ewma_den,
       |  CAST(sum(cents * (CAST(1 AS BIGINT) << (19 - g))) // sum(CAST(1 AS BIGINT) << (19 - g)) AS BIGINT) AS ewma_cents
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val normalizeTextSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text || repeat(' cafe' || chr(769) || ' man' || chr(771) || 'ana',
+      |                   CAST(doc_id % 3 AS INT)) AS t
+      |  FROM documents),
+      |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM d)
+      |SELECT doc_id, CAST(nt <> t AS BIGINT) AS changed,
+      |  CAST(length(t) AS BIGINT) AS chars_before,
+      |  CAST(length(nt) AS BIGINT) AS chars_after,
+      |  md5(nt) AS fp
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  /** cusum_shift's oracle — shared verbatim with `stream_cusum` (the
+    * streamed grid is the same associative cents sum). The closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) replaces the sequential recurrence
+    * with two running windows; target/allowance are floor divisions of
+    * exact integer sums (Spark `div` and DuckDB `//` both truncate). */
+  private val cusumSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |hh AS (SELECT event_type, h, CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, h, cents,
+      |    sum(cents) OVER (PARTITION BY event_type) // count(*) OVER (PARTITION BY event_type) AS mu,
+      |    sum(cents) OVER (PARTITION BY event_type) // (4 * count(*) OVER (PARTITION BY event_type)) AS kap
+      |  FROM hh),
+      |p AS (SELECT *, sum(cents - mu - kap) OVER
+      |    (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS pt FROM t),
+      |m AS (SELECT *, least(CAST(0 AS BIGINT), min(pt) OVER
+      |    (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING)) AS mt FROM p)
+      |SELECT event_type, h AS hour_bucket, cents,
+      |  CAST(mu AS BIGINT) AS target_cents, CAST(kap AS BIGINT) AS allowance_cents,
+      |  CAST(pt - mt AS BIGINT) AS cusum_cents,
+      |  CAST(pt - mt > 8 * kap AS BIGINT) AS alarm
+      |FROM m ORDER BY event_type, hour_bucket""".stripMargin
 
   /** boilerplate_lines' oracle — shared verbatim with `stream_boilerplate`:
     * the streamed line-frequency table is an associative SUM over per-doc
@@ -667,6 +712,23 @@ object SparkEntry {
       |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
       |SELECT vec_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= $k
       |ORDER BY vec_id, rnk""".stripMargin
+
+  /** mutual_knn's oracle: [[knnJoinOracle]]'s CTE chain up to the directed
+    * top-k list, then the SAME mutual equi-join on the reversed pair the
+    * engine runs — so the IVF layout, the directed ranks AND the mutuality
+    * filter are all hash-checked in one statement. */
+  private def mutualKnnOracle(k: Int = 3, iters: Int = 3): String =
+    ivfCtesExpr("(SELECT nc FROM ncell)", iters) + s""",
+      |s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    list_cosine_similarity(a.emb, b.emb) AS cos,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id) AS rn
+      |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |t AS (SELECT vec_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= $k)
+      |SELECT f.vec_id AS a, f.neighbor_id AS b, f.cos,
+      |  f.rnk AS rank_ab, r.rnk AS rank_ba
+      |FROM t f JOIN t r ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
+      |WHERE f.vec_id < f.neighbor_id
+      |ORDER BY a, b""".stripMargin
 
   /** Product-quantization CTE chain — [[graft.operators.Similarity
     * .pqCodebooks]] replayed in SQL: the (vec_id, s) subvector split, the
@@ -1460,6 +1522,25 @@ object SparkEntry {
         |y AS (SELECT user_id, CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x)
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // attribution_touch: sessionize's island chain verbatim, the touch
+    // read back as the rn=1 row of each session (the engine's min_by over
+    // a unique (ts, event_id) key is the same total order).
+    "attribution_touch" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS tsu,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events),
+        |y AS (SELECT *, CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM y),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY tsu, event_id) AS rn FROM z),
+        |s AS (SELECT user_id, sid,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS channel,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+        |    sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS purch_cents
+        |  FROM r GROUP BY 1, 2)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converting,
+        |  CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+        |  CAST(sum(purch_cents) AS BIGINT) AS attributed_cents
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // interval_join: the oracle is the NAIVE quadratic overlap self-join
     // over the island-detected sessions — the bucketed equi-join rewrite
     // must reproduce it exactly (pair attribution dedup included).
@@ -1826,6 +1907,8 @@ object SparkEntry {
     // the same truncating integer division (all quantities non-negative,
     // so floor vs trunc never diverges).
     "ewma_hours" -> ewmaHoursSql,
+    "cusum_shift" -> cusumSql,
+    "stream_cusum" -> cusumSql,
     // stream_ewma_hours: the SAME read-out over the stream-maintained
     // hourly grid — cents sums are commutative, so the materialized grid
     // equals the batch one and the oracle is shared verbatim.
@@ -2534,6 +2617,28 @@ object SparkEntry {
         |  FROM pb JOIN cells c ON c.i = pb.i AND c.b = pb.b GROUP BY 1, 2)
         |SELECT uid, exact_count, CAST(est_count AS BIGINT) AS est_count
         |FROM est ORDER BY exact_count DESC, uid""".stripMargin,
+    // join_size_estimate: the signed AMS sketch replayed as a GROUP BY —
+    // one md5 draw per (row, key) gives bucket (low bits) and ±1 sign
+    // (bit 32), F2 = Σc², estimate = exact lower median over depth rows of
+    // Σ cell². Integer-exact end to end; `//` and Spark `div` both
+    // truncate, so the signed err_permille agrees.
+    "join_size_estimate" ->
+      s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS pk FROM lineitem),
+        |c AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY 1),
+        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM c),
+        |hx AS (SELECT c.c, r.i,
+        |    md5_number_lower(CAST(r.i AS VARCHAR) || ':' || pk) % 9223372036854775808 AS h
+        |  FROM c, range(${Relational.JoinSizeDepth}) r(i)),
+        |cells AS (SELECT i, h % ${Relational.JoinSizeWidth} AS b,
+        |    CAST(sum((1 - 2 * CAST((h // 4294967296) % 2 AS BIGINT)) * c) AS BIGINT) AS cell
+        |  FROM hx GROUP BY 1, 2),
+        |rs AS (SELECT i, CAST(sum(cell * cell) AS BIGINT) AS row_est FROM cells GROUP BY 1),
+        |es AS (SELECT row_est AS est_pairs FROM
+        |  (SELECT row_est, row_number() OVER (ORDER BY row_est) AS rn FROM rs)
+        |  WHERE rn = ${Relational.JoinSizeDepth / 2 + 1})
+        |SELECT exact_pairs, est_pairs,
+        |  CAST((est_pairs - exact_pairs) * 1000 // exact_pairs AS BIGINT) AS err_permille
+        |FROM ex, es""".stripMargin,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes
     // names differently; the union spells the measure labels explicitly,
     // matching Spark unpivot's column-name values). Cents BEFORE the melt.
@@ -3008,6 +3113,13 @@ object SparkEntry {
     "fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // normalize_text: the same decomposed suffix built from chr() codepoints
+    // (escape-auditable), normalized by DuckDB's own NFC — the native
+    // graft_nfc expression must agree byte-for-byte (md5 of the full
+    // normalized text). length() counts codepoints on both engines.
+    // Shared verbatim with stream_normalize (stateless per-row pass).
+    "normalize_text" -> normalizeTextSql,
+    "stream_normalize" -> normalizeTextSql,
     "scrub_pii" ->
       """WITH t AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
         |  || CASE WHEN doc_id % 2 = 0 THEN ' admin@corp.io' ELSE '' END
@@ -3683,6 +3795,7 @@ object SparkEntry {
     // index search returns exactly ivfSearch's rows — one oracle for both.
     "similarity_ivf_indexed" -> ivfOracle(),
     "knn_join" -> knnJoinOracle(),
+    "mutual_knn" -> mutualKnnOracle(),
     // semdedup: the same auto-sized k-means chain, then the survivor rule
     // — each dropped vector's dup_of is its smallest same-cell id above
     // the cosine threshold; training, sizing, and decision all replayed.
@@ -3706,6 +3819,23 @@ object SparkEntry {
     // hard_negatives: the contrastive-mining chain replayed end-to-end —
     // hashed-BoW cosine top-20 candidates (textBruteSql's source), the
     // word-trigram set intersect, the integer rational near-dup cut
+    // mrr_eval: the oracle RUNS the textbook windowed-rank form
+    // (row_number over cos desc, first relevant = min rank), so the
+    // engine's counting rewrite is differentially proven. Cos doubles
+    // hash-match across engines (the similar_docs precedent); the
+    // reciprocal is the exact integer 10^6 div rank.
+    "mrr_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    CAST(label AS BIGINT) AS label FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, emb AS probe_emb, label AS probe_label
+        |  FROM e WHERE vec_id < 100),
+        |s AS (SELECT probe_id, probe_label, vec_id AS neighbor_id, label,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY list_cosine_similarity(probe_emb, emb) DESC, vec_id) AS rn
+        |  FROM p, e WHERE vec_id <> probe_id)
+        |SELECT probe_id, probe_label, CAST(min(rn) AS BIGINT) AS first_rank,
+        |  CAST(1000000 // min(rn) AS BIGINT) AS rr_e6
+        |FROM s WHERE label = probe_label GROUP BY 1, 2 ORDER BY probe_id""".stripMargin,
     // 3·inter < |A|+|B| (⇔ Jaccard < 1/2 — no float boundary), then the
     // re-rank. Raw cos doubles hash-match across engines (the
     // similar_docs precedent).

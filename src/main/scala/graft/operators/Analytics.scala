@@ -708,6 +708,108 @@ object Analytics {
       .orderBy("event_type", "hour_bucket")
   }
 
+  /** FIRST-TOUCH ATTRIBUTION — the marketing-analytics consumer of the
+    * session machinery: every purchase is credited to the CHANNEL that
+    * opened its session (the first event's type), the report every
+    * acquisition dashboard starts from ("which entry point leads to
+    * converting sessions"). Sessions are the island form `sessionize`
+    * uses verbatim (same 30-min gap, same (ts, event_id) order), so the
+    * session definition cannot drift between the two queries; the touch
+    * is `min_by(event_type, (ts, event_id))` — the ordering key is unique
+    * (event ids are), so the aggregate is deterministic, never a
+    * "first() under unspecified order" trap. Purchase value is
+    * cents-integer at the scan.
+    *
+    * 100 TB: one user_id shuffle carries the whole session chain (lag +
+    * running sum + the per-session aggregate all share the partitioning —
+    * Catalyst reuses one exchange+sort); the channel rollup input is
+    * |sessions| rows and the output |event_types|. No fact re-scan, no
+    * self-join. */
+  def attributionTouch(spark: SparkSession, sfDir: String,
+                       gapSeconds: Long = 1800L): DataFrame =
+    attributionTouchFrom(Tables.events(spark, sfDir), gapSeconds)
+
+  /** [[attributionTouch]] over an explicit events frame — the spec's
+    * entry point for hand-built sessions with known touches. */
+  def attributionTouchFrom(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("ns",
+        when(col("prev_ts").isNull ||
+             (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("ns").over(running))
+      .groupBy("user_id", "sid")
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("channel"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"),
+           sum(when(col("event_type") === "purchase",
+                    expr("cast(round(value * 100) as bigint)")).otherwise(0L)).as("purch_cents"))
+    sessions.groupBy("channel")
+      .agg(count(lit(1)).as("n_sessions"),
+           sum((col("n_purch") > 0).cast("bigint")).as("n_converting"),
+           sum("n_purch").as("n_purchases"),
+           sum("purch_cents").as("attributed_cents"))
+      .orderBy("channel")
+  }
+
+  /** CUSUM LEVEL-SHIFT DETECTION (Page 1954) — the sequential changepoint
+    * monitor next to [[anomalyHours]]' pointwise outliers and [[ewmaHours]]'
+    * smoothing: a single anomalous hour trips the robust-z test, but a
+    * SUSTAINED small shift (a slow leak of duplicate events, a quietly
+    * doubled crawler) never does — each hour sits within 3·MAD while the
+    * cumulative drift grows without bound. One-sided CUSUM accumulates
+    * per-hour exceedance over (target + allowance) and clamps at zero:
+    * `S_t = max(0, S_{t−1} + (c_t − μ − κ))`, alarm when `S_t > 8κ`.
+    *
+    * Integer-exact end to end: target `μ = Σc div n` and allowance
+    * `κ = Σc div 4n` are floor divisions of exact cents sums (both engines
+    * agree bit-for-bit), deviations stay at cents scale so the running sum
+    * cannot overflow long before the grid itself would (~2^63 total cents
+    * per type). The sequential recurrence is NOT computed as a recurrence:
+    * the closed form `S_t = P_t − min(0, min_{j≤t} P_j)` (P = prefix sum of
+    * deviations; induction: max(0, P_t − M_{t−1}) = P_t − min(M_{t−1}, P_t))
+    * turns it into two running windows — expressible identically in Spark
+    * and the SQL oracle, no recursive CTE, no driver loop.
+    *
+    * 100 TB: the fact scan partial-aggregates to the (type × hour) cents
+    * grid FIRST (the ewma_hours shape); per-type constants and both running
+    * windows evaluate over that metadata-sized table — |types| partitions
+    * of |hours| rows, never fact mass. Output keeps the full trajectory
+    * (stat + alarm per hour), not only alarms, so a quiet corpus still
+    * hash-gates the arithmetic. */
+  def cusumShift(spark: SparkSession, sfDir: String): DataFrame =
+    cusumFrom(Tables.events(spark, sfDir))
+
+  /** [[cusumShift]] over an explicit frame with `ts`/`event_type`/`value` —
+    * the spec's entry point for planting a sustained shift that stays under
+    * the pointwise radar but trips the cumulative one. */
+  def cusumFrom(events: DataFrame): DataFrame =
+    cusumReadout(ewmaHourlyGrid(events))
+
+  /** The CUSUM read-out over an already-materialized `(event_type, h,
+    * cents)` grid — shared with the streaming twin
+    * ([[graft.streaming.EventStreams.streamCusumQuery]]), whose state store
+    * maintains exactly these rows (the ewmaReadout discipline). */
+  private[graft] def cusumReadout(hourly: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val running = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("s_type", sum("cents").over(byType))
+      .withColumn("n_type", count(lit(1)).over(byType))
+      .withColumn("mu", expr("s_type div n_type"))
+      .withColumn("kap", expr("s_type div (4 * n_type)"))
+      .withColumn("p", sum(col("cents") - col("mu") - col("kap")).over(running))
+      .withColumn("m", least(lit(0L), min(col("p")).over(running)))
+      .select(col("event_type"), col("h").as("hour_bucket"), col("cents"),
+        col("mu").as("target_cents"), col("kap").as("allowance_cents"),
+        (col("p") - col("m")).as("cusum_cents"),
+        (col("p") - col("m") > lit(8L) * col("kap")).cast("bigint").as("alarm"))
+      .orderBy("event_type", "hour_bucket")
+  }
+
   /** TIME-SERIES GAP FILL: the dense (event_type × hour) grid with absent
     * buckets materialized as explicit zero rows — the densification step
     * every downstream rolling/forecast model needs (a rolling window over

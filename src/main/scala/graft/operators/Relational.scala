@@ -1451,4 +1451,63 @@ object Relational {
       ev.groupBy("uid").agg(count(lit(1)).as("exact_count")),
       merged, depth, width, topn, keyCol = "uid")
   }
+
+  val JoinSizeDepth = 5
+  val JoinSizeWidth = 1024
+
+  /** SKETCH-BASED JOIN-SIZE ESTIMATION (AMS, STOC '96; the Count-Sketch
+    * F₂ estimator) — the sketch cube applied to QUERY PLANNING: the cost
+    * model behind every join-order / broadcast-vs-shuffle decision needs
+    * |A ⋈ B| BEFORE running the join. Instantiated on the hardest case, a
+    * SELF-join (lineitem ⋈ lineitem on l_partkey — the M:N fanout shape
+    * where mis-estimation actually hurts), whose true size `Σ_k c_k²` is
+    * the second frequency moment F₂. The estimator is the SIGNED sketch:
+    * per depth row, each key's count enters one of `width` cells weighted
+    * by a hash-derived ±1 sign, and `Σ_j cell_j²` is an UNBIASED F₂
+    * estimate — cross-key collision terms carry independent sign products
+    * and cancel in expectation, where the unsigned CMS row read-out
+    * `Σ cell²` overestimates by ~N²/width on every M:N key set (signs are
+    * WHY Count-Sketch, not Count-Min, is the join-size sketch). The
+    * reported estimate is the exact lower median over `depth` rows
+    * (deterministic — no float percentile), relative error ~√(2/width).
+    *
+    * Sign and bucket come from ONE `graft_hash64(i:key)` draw (bucket =
+    * low bits via `% width`, sign = bit 32 — disjoint bits, and the salt
+    * format is [[graft.functions.expressions.CmsKernel]]'s), so the whole
+    * sketch replays integer-exactly in the SQL oracle: the APPROXIMATE
+    * estimate hash-matches DuckDB (the freq_sketch philosophy —
+    * approximate in cost, exact in check).
+    *
+    * 100 TB: the exact side partial-aggregates the fact scan to per-key
+    * counts once (the same aggregate the join itself would shuffle); the
+    * sketch side explodes those counts ×depth and partial-aggs into
+    * depth·width cells — metadata-sized, mergeable by elementwise sum
+    * (the [[freqRollup]] contract), so a planner can maintain it per
+    * ingest batch and answer join-size questions without touching data.
+    * In production the per-key aggregate itself is skipped: raw keys
+    * update cells directly at weight 1 (addition is associative; the
+    * pre-aggregated form here exists so the exact answer shares the
+    * scan). */
+  def joinSizeEstimate(spark: SparkSession, sfDir: String,
+                       depth: Int = JoinSizeDepth,
+                       width: Int = JoinSizeWidth): DataFrame = {
+    val counts = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("string").as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("c"))
+    val exact = counts.agg(sum(col("c") * col("c")).as("exact_pairs"))
+    val rows = counts
+      .select(col("pk"), col("c"),
+              explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("h", call_function("graft_hash64",
+        concat(col("i").cast("string"), lit(":"), col("pk"))))
+      .withColumn("sgn", expr("cast(1 - 2 * ((h div 4294967296) % 2) as bigint)"))
+      .groupBy(col("i"), (col("h") % width).as("b"))
+      .agg(sum(col("sgn") * col("c")).as("cell"))
+      .groupBy("i").agg(sum(col("cell") * col("cell")).as("row_est"))
+    val est = rows.agg(sort_array(collect_list("row_est")).as("rs"))
+      .select(element_at(col("rs"), depth / 2 + 1).as("est_pairs"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_pairs"), col("est_pairs"),
+        expr("(est_pairs - exact_pairs) * 1000 div exact_pairs").as("err_permille"))
+  }
 }

@@ -56,6 +56,64 @@ object Similarity {
     topKByCosine(scored, "probe_id", k)
   }
 
+  /** MRR RETRIEVAL EVALUATION — the rank-aware quality metric the recall
+    * family lacks: [[annRecall]]/ivf_recall/pq_recall measure SET overlap
+    * at a fixed k (did the true neighbors appear at all), but a retrieval
+    * stack is judged by WHERE the first relevant hit lands — Mean
+    * Reciprocal Rank. Relevance here is the embeddings table's own `label`
+    * (first same-label neighbor = first relevant document), so the metric
+    * needs no external judgment file; the reciprocal is carried as the
+    * exact integer `rr_e6 = 10^6 div first_rank` (floats in a mean are
+    * partition-order-dependent; integer reciprocals sum associatively and
+    * hash-gate — the seed_rank fixed-point discipline applied to a
+    * metric).
+    *
+    * The rank is NOT computed by sorting: `first_rank = 1 + |{j : cos_j >
+    * best_cos ∨ (cos_j = best_cos ∧ id_j < best_id)}|` — one max_by
+    * aggregate finds the best relevant hit, one counting aggregate ranks
+    * it. Both are partial-agg'd scans of the scored stream; a per-probe
+    * row_number window would sort |probes|·N rows to read ONE rank out of
+    * each partition. The DuckDB oracle deliberately RUNS the textbook
+    * windowed-rank form, so the counting rewrite is differentially proven
+    * (the waiting_suppliers discipline). Ties cannot occur in max_by's
+    * ordering key ((cos, −id) is unique per probe — ids are unique), so
+    * the aggregate is deterministic.
+    *
+    * 100 TB: probes broadcast; both aggregates stream the corpus-side
+    * scan with per-probe state only (|probes| rows of fixed width); swap
+    * in the IVF index on the scored side for corpus-scale probe sets. */
+  def mrrEval(spark: SparkSession, sfDir: String, numProbes: Int = 100): DataFrame =
+    mrrEvalFrom(Tables.embeddings(spark, sfDir), numProbes)
+
+  /** [[mrrEval]] over an explicit `(vec_id, embedding, label)` frame — the
+    * spec's entry point for fixtures whose best-rank is known by hand. */
+  def mrrEvalFrom(e0: DataFrame, numProbes: Int): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"),
+                      col("label").cast("bigint").as("label"))
+    val probes = e.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+              col("label").as("probe_label"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("probe_label"),
+              col("vec_id").as("neighbor_id"), col("label"),
+              VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))
+    val best = scored.filter(col("label") === col("probe_label"))
+      .groupBy("probe_id", "probe_label")
+      .agg(max_by(struct(col("cos").as("bc"), col("neighbor_id").as("bid")),
+                  struct(col("cos"), -col("neighbor_id"))).as("b"))
+      .select(col("probe_id"), col("probe_label"),
+              col("b.bc").as("best_cos"), col("b.bid").as("best_id"))
+    scored.join(broadcast(best), Seq("probe_id", "probe_label"))
+      .groupBy(col("probe_id"), col("probe_label"))
+      .agg((sum((col("cos") > col("best_cos") ||
+                 (col("cos") === col("best_cos") &&
+                  col("neighbor_id") < col("best_id"))).cast("bigint")) + lit(1L))
+             .as("first_rank"))
+      .withColumn("rr_e6", expr("1000000 div first_rank"))
+      .orderBy("probe_id")
+  }
+
   /** HARD-NEGATIVE MINING — the contrastive-training data op: for each
     * probe document, the top-k documents that are SEMANTICALLY near
     * (bag-of-words cosine over the hashed text embeddings — topical
@@ -465,6 +523,38 @@ object Similarity {
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
               VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
     topKByCosine(scored, "vec_id", k)
+  }
+
+  /** MUTUAL k-NN PAIR MINING — the bitext/alignment-mining filter
+    * (Artetxe & Schwenk's margin criterion in its rank-based robust
+    * form): a candidate pair is kept only when EACH side ranks the other
+    * in its own top-k — one-directional nearness is what hub vectors
+    * produce (a generic centroid-ish document is "near" everything and
+    * poisons alignment mining); mutuality is the cheap, threshold-free
+    * hub filter. Built ON [[knnJoin]]'s persisted √N-cell IVF layout —
+    * the directed top-k lists are the same rows knn_join emits, so the
+    * blocked-trade contract (same-cell pairs only) is inherited and
+    * already declared there; the mutual step is an equi-join of that
+    * N·k-row list with itself on the reversed pair — metadata-sized
+    * against corpus mass, never a second vector scan.
+    *
+    * Output: each mutual pair once (a < b) with both directed ranks —
+    * `rank_ab` (b's rank in a's list) and `rank_ba` — so downstream
+    * margin scoring can weight by rank agreement. Oracle replays the
+    * whole chain (k-means, auto-sizing, within-cell ranks) and applies
+    * the same mutual join in SQL. */
+  def mutualKnn(spark: SparkSession, sfDir: String, k: Int = 3,
+                numCentroids: Int = 0, iters: Int = 3): DataFrame = {
+    val kj = knnJoin(spark, sfDir, k, numCentroids, iters)
+    val fwd = kj.filter(col("vec_id") < col("neighbor_id"))
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"),
+              col("cos"), col("rnk").as("rank_ab"))
+    val rev = kj.filter(col("vec_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("a"), col("vec_id").as("b"),
+              col("rnk").as("rank_ba"))
+    fwd.join(rev, Seq("a", "b"))
+      .select(col("a"), col("b"), col("cos"), col("rank_ab"), col("rank_ba"))
+      .orderBy("a", "b")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup over

@@ -1366,6 +1366,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** UNICODE NFC NORMALIZATION report (`graft_nfc`, a codegen'd native
+    * expression over the JDK Normalizer) — the canonicalization pass a
+    * text pipeline runs BEFORE any content hashing: decomposed
+    * `e`+U+0301 and precomposed `é` are byte-distinct but canonically
+    * equal, so exact dedup, shingle dedup and every fingerprint in this
+    * engine silently miss such duplicate pairs unless all text is
+    * normalized to one form first (the CCNet/RefinedWeb cleanup step).
+    * The corpus is ASCII — NFC would be the identity — so (the scrub_pii
+    * discipline) a deterministic decomposed suffix keyed by doc_id is
+    * appended first: `doc_id % 3` copies of a combining-mark phrase,
+    * which makes the changed/unchanged branches, the codepoint-count
+    * delta, AND the r = 0 identity case all observable and
+    * oracle-replayable (DuckDB `nfc_normalize` implements the same
+    * Unicode algorithm as `java.text.Normalizer`, and the md5 of the
+    * normalized text gates the full content). Pure per-row codegen'd
+    * expressions — scales with the scan, no shuffle until the
+    * presentation sort; the kernel's ASCII fast path skips the
+    * Normalizer walk for the common case. */
+  def normalizeText(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTextFrom(Tables.documents(spark, sfDir))
+
+  /** The decomposed suffix unit: 'e' + U+0301 (combining acute) and
+    * 'n' + U+0303 (combining tilde) — NFC composes both, so the
+    * normalized text is strictly shorter in codepoints whenever the
+    * repeat count is nonzero. ONE definition site, interpolated into the
+    * engine expression and the SQL oracle (as chr(769)/chr(771) so the
+    * oracle text is escape-auditable). */
+  private[graft] val NfcSuffixUnit = " café mañana"
+
+  /** [[normalizeText]] over an explicit frame with `doc_id`/`text`. */
+  def normalizeTextFrom(docs: DataFrame): DataFrame =
+    normalizeCore(docs).orderBy("doc_id")
+
+  /** The sort-free normalization pipeline — shared with the streaming
+    * twin ([[graft.streaming.EventStreams.streamNormalizeQuery]]), which
+    * cannot sort an unbounded stream (the presentation sort happens on
+    * the materialized sink). Stateless per-row codegen end to end. */
+  private[graft] def normalizeCore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        concat(col("text"),
+          expr(s"repeat('$NfcSuffixUnit', cast(doc_id % 3 as int))")).as("t"))
+      .select(col("doc_id"), col("t"),
+              call_function("graft_nfc", col("t")).as("nt"))
+      .select(col("doc_id"),
+        (col("nt") =!= col("t")).cast("bigint").as("changed"),
+        length(col("t")).cast("bigint").as("chars_before"),
+        length(col("nt")).cast("bigint").as("chars_after"),
+        md5(col("nt")).as("fp"))
+
   /** PII scrubbing — the redaction pass every training-data pipeline runs
     * before anything else sees the text. Emails and URLs are detected with
     * dialect-portable regexes (no lookaround — Java and RE2 agree), counted,

@@ -945,6 +945,42 @@ object EventStreams {
       runToCompletion(spark, grid, "stream_ewma_hours", OutputMode.Complete()))
   }
 
+  /** Driver-verified: the NFC canonicalization pass applied IN-FLIGHT —
+    * `normalize_text`'s per-row codegen'd pipeline over the streamed
+    * corpus: STATELESS (no aggregate, no state store, no watermark — the
+    * normalize-at-ingest deployment shape, where text is canonicalized
+    * before anything downstream hashes it), so the streamed result is
+    * trivially row-identical to the batch pass and shares its SQL oracle
+    * verbatim; the presentation sort happens on the materialized sink
+    * (an unbounded stream cannot sort). */
+  def streamNormalizeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark,
+      graft.operators.TextAnalysis.normalizeCore(
+        tableStream(spark, sfDir, "documents")),
+      "stream_normalize", OutputMode.Append())
+      .orderBy("doc_id")
+
+  /** Driver-verified: the CUSUM level-shift monitor maintained in-stream —
+    * `cusum_shift`'s (event_type, hour) cents grid as the SAME complete-mode
+    * streaming aggregate `stream_ewma_hours` keeps (associative cents sums
+    * → the materialized grid is bit-identical to the batch one under any
+    * micro-batch split), with the closed-form CUSUM read-out (two running
+    * windows over the metadata-sized grid) applied batch-side through the
+    * SAME code path as the batch op
+    * ([[graft.operators.Analytics.cusumReadout]] — the
+    * stream_anomaly_hours discipline: the sequential statistic is holistic
+    * over the hour table, but the hour table is tiny, so the stream
+    * maintains the mass-bearing aggregate and the statistic stays
+    * presentation arithmetic). Shares `cusum_shift`'s SQL oracle verbatim.
+    * State = the grid itself — |types|·|hours| longs, time-bounded at any
+    * corpus size. */
+  def streamCusumQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = graft.operators.Analytics.ewmaHourlyGrid(
+      tableStream(spark, sfDir, "events"))
+    graft.operators.Analytics.cusumReadout(
+      runToCompletion(spark, grid, "stream_cusum", OutputMode.Complete()))
+  }
+
   /** Driver-verified: `boilerplate_lines`' per-(source, line) document
     * frequency maintained as STREAMING state — each arriving page
     * contributes its DISTINCT lines once (a stateless per-row

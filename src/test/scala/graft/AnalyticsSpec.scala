@@ -1578,4 +1578,108 @@ class AnalyticsSpec extends SparkSpecBase {
     // hourly values, closer to the newer one
     assert(e1 > 150L && e1 < 200L && (200L - e1) < (e1 - 150L))
   }
+
+  test("attributionTouchFrom: hand sessions credit the opening channel; corpus session count reconciles with sessionize") {
+    import spark.implicits._
+    val t0 = 1700000000000000L // µs
+    def us(offsetMin: Long) = t0 + offsetMin * 60000000L
+    val events = Seq(
+      // user 1, session A: opened by a view, converts twice
+      (1L, 10L, "view", us(0), 0.0),
+      (1L, 11L, "purchase", us(5), 2.00),
+      (1L, 12L, "purchase", us(10), 3.00),
+      // user 1, session B (>30 min gap): opened by a click, no conversion
+      (1L, 13L, "click", us(120), 0.0),
+      // user 2: a lone purchase IS its own session and its own touch
+      (2L, 20L, "purchase", us(0), 7.50))
+      .toDF("user_id", "event_id", "event_type", "tsus", "value")
+      .withColumn("ts", timestamp_micros(col("tsus")))
+    val out = Analytics.attributionTouchFrom(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === Map(
+      "view" -> ((1L, 1L, 2L, 500L)),
+      "click" -> ((1L, 0L, 0L, 0L)),
+      "purchase" -> ((1L, 1L, 1L, 750L))))
+    // the exact-gap boundary: an event at EXACTLY gap microseconds later
+    // stays in the session (the > comparison, mirrored in the oracle)
+    val edge = Seq(
+      (1L, 1L, "view", t0, 0.0),
+      (1L, 2L, "purchase", t0 + 1800L * 1000000L, 1.00))
+      .toDF("user_id", "event_id", "event_type", "tsus", "value")
+      .withColumn("ts", timestamp_micros(col("tsus")))
+    val e = Analytics.attributionTouchFrom(edge).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e === Map("view" -> 1L), "exact-gap event must not open a new session")
+    // corpus reconciliation: attribution partitions sessionize's sessions —
+    // per-channel session counts sum to the total session count
+    val attributed = Analytics.attributionTouch(spark, sf0001)
+      .collect().map(_.getLong(1)).sum
+    val totalSessions = graft.operators.Relational.sessionize(spark, sf0001)
+      .collect().map(_.getLong(1)).sum
+    assert(attributed === totalSessions,
+      "every session must be attributed to exactly one channel")
+  }
+
+  test("cusumFrom: closed-form windows equal the sequential recurrence; sustained shift alarms, stationary never") {
+    import spark.implicits._
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val base = java.time.LocalDateTime.of(2026, 1, 1, 0, 30)
+    // type x: 40 quiet hours at 100 cents, then a SUSTAINED shift to 300 —
+    // each shifted hour is one ordinary event (the count-based pointwise
+    // monitor sees a perfectly flat 1-event/hour series), but the
+    // cumulative cents drift grows without bound. type y: stationary.
+    val rows =
+      (0 until 60).map { i =>
+        ("x", base.plusHours(i).format(fmt), if (i < 40) 1.00 else 3.00)
+      } ++ (0 until 60).map { i => ("y", base.plusHours(i).format(fmt), 1.00) }
+    val events = rows.toDF("event_type", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Analytics.cusumFrom(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out.size === 120)
+    // scalar replay: the SEQUENTIAL recurrence S = max(0, S + c - mu - kap)
+    // (a structurally different algorithm from the two-window closed form)
+    for (tpe <- Seq("x", "y")) {
+      val cents = (0 until 60).map(i =>
+        if (tpe == "x" && i >= 40) 300L else 100L)
+      val n = cents.length
+      val s = cents.sum
+      val mu = s / n
+      val kap = s / (4L * n)
+      var st = 0L
+      val hours = out.keys.filter(_._1 == tpe).map(_._2).toSeq.sorted
+      assert(hours.size === 60)
+      hours.zipWithIndex.foreach { case (h, i) =>
+        st = math.max(0L, st + cents(i) - mu - kap)
+        val (c, m, k, cs, alarm) = out((tpe, h))
+        assert(c === cents(i) && m === mu && k === kap)
+        assert(cs === st, s"closed form diverged from recurrence at $tpe hour $i")
+        assert(alarm === (if (st > 8L * kap) 1L else 0L))
+      }
+    }
+    // the shift is caught: alarms fire only in the shifted segment, and
+    // by the end the statistic is far beyond the threshold
+    val xHours = out.keys.filter(_._1 == "x").map(_._2).toSeq.sorted
+    val alarms = xHours.map(h => out(("x", h))._5)
+    assert(alarms.take(40).forall(_ == 0L), "no alarm before the shift")
+    assert(alarms.drop(45).forall(_ == 1L), "sustained shift must alarm")
+    // the stationary type never alarms (deviation is always -kap <= 0)
+    assert(out.keys.filter(_._1 == "y").forall(k => out(k)._5 == 0L))
+    assert(out.keys.filter(_._1 == "y").forall(k => out(k)._4 == 0L))
+    // complementarity, made concrete: the count-based pointwise monitor
+    // (anomaly_hours) sees NOTHING in this fixture — every hour has
+    // exactly two events (one per type), so counts are dead flat while
+    // the cents CUSUM alarms.
+    assert(Analytics.anomalyHoursFrom(events).count() === 0L)
+    // corpus smoke: full trajectory (one row per grid cell), stat >= 0
+    val corpus = Analytics.cusumShift(spark, sf0001).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getLong(5) >= 0L)
+      assert(r.getLong(6) === 0L || r.getLong(6) === 1L)
+    }
+  }
 }

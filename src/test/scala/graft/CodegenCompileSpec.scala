@@ -44,7 +44,8 @@ class CodegenCompileSpec extends SparkSpecBase {
     "graft_winnow" -> "graft_winnow(t, 8, 4)",
     "graft_winnowstats" -> "graft_winnowstats(t, 8, 4)",
     "graft_hash_embed" -> "graft_hash_embed(t, 16)",
-    "graft_hash64" -> "graft_hash64(t)")
+    "graft_hash64" -> "graft_hash64(t)",
+    "graft_nfc" -> "graft_nfc(t)")
 
   private def withNoFallback[A](body: => A): A = {
     val conf = spark.conf

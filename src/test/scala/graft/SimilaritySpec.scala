@@ -626,4 +626,72 @@ class SimilaritySpec extends SparkSpecBase {
     }
     assert(out.nonEmpty && out.groupBy(_._1).size === 10, "every probe must keep a pool")
   }
+
+  test("mutualKnn: equals a scalar mutuality replay over knn_join's directed lists; hubs actually filtered") {
+    val kj = Similarity.knnJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val topk = kj.groupBy(_._1).map { case (v, rows) =>
+      v -> rows.map(r => r._2 -> r._4).toMap
+    }
+    // scalar replay of the mutuality criterion from the directed lists
+    val expected = kj.flatMap { case (a, b, cos, rab) =>
+      if (a < b && topk.get(b).exists(_.contains(a)))
+        Some((a, b, cos, rab, topk(b)(a)))
+      else None
+    }.sortBy(p => (p._1, p._2)).toSeq
+    val got = Similarity.mutualKnn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected, "mutual join must equal the scalar mutuality replay")
+    assert(got.nonEmpty, "no mutual pairs on the fixture — degenerate")
+    // the filter must DO something: some directed edge is one-way (the
+    // hub shape mutuality exists to remove)
+    val directedPairs = kj.map(r => (math.min(r._1, r._2), math.max(r._1, r._2))).distinct
+    assert(got.size < directedPairs.size,
+      "every directed pair mutual — the fixture cannot demonstrate the filter")
+  }
+
+  test("mrrEval: hand fixture pins rank and cosine tie-break; counting rewrite equals the windowed-rank form") {
+    // probe 0 (label 0): ids 1 and 2 tie at cos 0.6 (identical vectors) —
+    // the wrong-label id 1 wins the tie by id order, so the first RELEVANT
+    // hit is rank 2, never 1 (tie-break pinned) and never 3 (id 3 is
+    // farther but also relevant).
+    val fx = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.6f, 0.8f), 1),
+      (2L, Seq(0.6f, 0.8f), 0),
+      (3L, Seq(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.mrrEvalFrom(fx, numProbes = 1).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === 0L && got(0).getLong(1) === 0L)
+    assert(got(0).getLong(2) === 2L, "first relevant hit must rank 2 (tie lost to lower id)")
+    assert(got(0).getLong(3) === 500000L)
+    // corpus differential: the engine's max_by + counting aggregates vs a
+    // textbook row_number window replay (the form the SQL oracle runs)
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), col("label").cast("bigint").as("label"))
+    val probes = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+              col("label").as("probe_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val replay = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("probe_label"), col("vec_id").as("neighbor_id"),
+              col("label"), VectorFunctions.cosine(col("probe_emb"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("label") === col("probe_label"))
+      .groupBy("probe_id", "probe_label")
+      .agg(min("rn").as("first_rank"))
+      .withColumn("rr_e6", expr("1000000 div first_rank"))
+      .orderBy("probe_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val engine = Similarity.mrrEval(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(engine.nonEmpty && engine.toSeq === replay.toSeq,
+      "counting rewrite must equal the windowed-rank form row for row")
+    engine.foreach { case (_, _, rank, rr) =>
+      assert(rank >= 1L && rr === 1000000L / rank)
+    }
+  }
 }

@@ -450,6 +450,23 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(seh === beh)
     assert(seh.nonEmpty, "empty EWMA grid — degenerate")
+    // stream_normalize: stateless per-row canonicalization in-flight —
+    // row-identical to the batch pass by construction, verified anyway
+    val snm = EventStreams.streamNormalizeQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bnm = graft.operators.TextAnalysis.normalizeText(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(snm === bnm)
+    assert(snm.exists(_(1).asInstanceOf[Long] == 1L),
+      "no doc changed by NFC — the decomposed suffix is broken")
+    // stream_cusum: the same commutative hourly cents grid in state + the
+    // shared closed-form CUSUM read-out batch-side
+    val scu = EventStreams.streamCusumQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bcu = graft.operators.Analytics.cusumShift(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(scu === bcu)
+    assert(scu.nonEmpty, "empty CUSUM trajectory — degenerate")
     // stream_hll: idempotent register-max states per type + the shared
     // rollup/estimate read-out batch-side
     val shl = EventStreams.streamHllQuery(spark, sf0001)

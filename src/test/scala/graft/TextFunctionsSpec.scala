@@ -401,4 +401,35 @@ class TextFunctionsSpec extends SparkSpecBase {
       (3L, 2L, 1L, fp("body three")),
       (4L, 2L, 2L, fp(""))))           // singleton source: everything >= half
   }
+
+  test("normalizeText: NFC composes the decomposed suffix, r=0 docs are identity, fp replays via the JDK Normalizer") {
+    val docs = Seq((0L, "plain ascii"), (1L, "one unit"), (2L, "two units"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeTextFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def jdkNfc(s: String) =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val unit = TextAnalysis.NfcSuffixUnit
+    // the suffix really is decomposed in source (combining marks present)
+    assert(unit.exists(c => c == '\u0301' || c == '\u0303'),
+      "suffix unit lost its combining marks — someone normalized the source file")
+    // r = 0: identity — no change, no codepoint delta, fp of the raw text
+    val (c0, b0, a0, f0) = out(0L)
+    assert(c0 === 0L && b0 === a0 && f0 === md5hex("plain ascii"))
+    // r = 1: each unit composes two marks away -> 2 codepoints shorter
+    val (c1, b1, a1, f1) = out(1L)
+    assert(c1 === 1L && a1 === b1 - 2L)
+    assert(f1 === md5hex(jdkNfc("one unit" + unit)),
+      "expression output must equal the scalar JDK Normalizer replay")
+    // r = 2: deltas scale with the repeat count
+    val (c2, b2, a2, f2) = out(2L)
+    assert(c2 === 1L && a2 === b2 - 4L)
+    assert(f2 === md5hex(jdkNfc("two units" + unit + unit)))
+    // idempotence: the normalized form is already NFC
+    assert(java.text.Normalizer.isNormalized(jdkNfc("one unit" + unit),
+      java.text.Normalizer.Form.NFC))
+  }
 }
