@@ -88,6 +88,7 @@ object SparkEntry {
     "top_supplier" -> ((s, d) => Analytics.topSupplierPerNation(s, d)),
     "order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
+    "quantile_recall" -> ((s, d) => Analytics.quantileRecall(s, d)),
     "quantile_rollup" -> ((s, d) => Analytics.quantileRollup(s, d)),
     "hll_rollup" -> ((s, d) => Analytics.hllRollup(s, d)),
     "stream_hll" -> ((s, d) => graft.streaming.EventStreams.streamHllQuery(s, d)),
@@ -129,6 +130,8 @@ object SparkEntry {
     "q19_brackets" -> ((s, d) => Relational.q19Brackets(s, d)),
     "freq_rollup" -> ((s, d) => Relational.freqRollup(s, d)),
     "join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
+    "stream_join_size" -> ((s, d) =>
+      graft.streaming.EventStreams.streamJoinSizeQuery(s, d)),
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
@@ -145,6 +148,7 @@ object SparkEntry {
     "stream_dedup_near" -> ((s, d) => graft.streaming.EventStreams.streamNearDupQuery(s, d)),
     "stream_sessions" -> ((s, d) => graft.streaming.EventStreams.streamSessionsQuery(s, d)),
     "stream_sessions_append" -> ((s, d) => graft.streaming.EventStreams.streamSessionsAppendQuery(s, d)),
+    "stream_attribution" -> ((s, d) => graft.streaming.EventStreams.streamAttributionQuery(s, d)),
     "stream_session_dynamic" -> ((s, d) => graft.streaming.EventStreams.streamSessionDynamicQuery(s, d)),
     "stream_export" -> ((s, d) => graft.streaming.EventStreams.streamExportQuery(s, d)),
     "stream_ingest" -> ((s, d) => graft.streaming.EventStreams.streamIngestQuery(s, d)),
@@ -434,6 +438,27 @@ object SparkEntry {
       |  CAST(length(nt) AS BIGINT) AS chars_after,
       |  md5(nt) AS fp
       |FROM n ORDER BY doc_id""".stripMargin
+
+  /** join_size_estimate's oracle — shared verbatim with
+    * `stream_join_size` (signed-update addition is associative, so the
+    * streamed cell grid equals the batch weighted grid bit-for-bit). */
+  private val joinSizeSql: String =
+    s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS pk FROM lineitem),
+        |c AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY 1),
+        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM c),
+        |hx AS (SELECT c.c, r.i,
+        |    md5_number_lower(CAST(r.i AS VARCHAR) || ':' || pk) % 9223372036854775808 AS h
+        |  FROM c, range(${Relational.JoinSizeDepth}) r(i)),
+        |cells AS (SELECT i, h % ${Relational.JoinSizeWidth} AS b,
+        |    CAST(sum((1 - 2 * CAST((h // 4294967296) % 2 AS BIGINT)) * c) AS BIGINT) AS cell
+        |  FROM hx GROUP BY 1, 2),
+        |rs AS (SELECT i, CAST(sum(cell * cell) AS BIGINT) AS row_est FROM cells GROUP BY 1),
+        |es AS (SELECT row_est AS est_pairs FROM
+        |  (SELECT row_est, row_number() OVER (ORDER BY row_est) AS rn FROM rs)
+        |  WHERE rn = ${Relational.JoinSizeDepth / 2 + 1})
+        |SELECT exact_pairs, est_pairs,
+        |  CAST((est_pairs - exact_pairs) * 1000 // exact_pairs AS BIGINT) AS err_permille
+        |FROM ex, es""".stripMargin
 
   /** cusum_shift's oracle — shared verbatim with `stream_cusum` (the
     * streamed grid is the same associative cents sum). The closed form
@@ -1771,6 +1796,27 @@ object SparkEntry {
         |t AS (SELECT q, min(bin) AS bin FROM qv, cum, b WHERE cum >= (q * n + 99) // 100 GROUP BY q)
         |SELECT q, CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_price
         |FROM t, b ORDER BY q""".stripMargin,
+    // quantile_recall: the oracle RUNS the textbook full-sort order
+    // statistic (row_number over the global cents order) — the engine's
+    // bin-pruned selection is differentially proven against it; the
+    // sketch estimate replays the quantile_sketch arithmetic in cents.
+    "quantile_recall" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx, count(*) AS n FROM c),
+        |qv AS (SELECT unnest([50, 90, 95, 99]) AS q),
+        |r AS (SELECT q, (q * n + 99) // 100 AS r FROM qv, b),
+        |o AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM c),
+        |ex AS (SELECT r.q, o.cents AS exact_cents FROM r JOIN o ON o.rk = r.r),
+        |h AS (SELECT (cents - mn) * 1024 // (mx - mn + 1) AS bin, count(*) AS cnt FROM c, b GROUP BY 1),
+        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+        |t AS (SELECT r.q, min(bin) AS bin FROM r, cum WHERE cum >= r.r GROUP BY 1),
+        |es AS (SELECT t.q, CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS BIGINT) AS est_cents,
+        |         CAST((mx - mn + 1) // 1024 + 1 AS BIGINT) AS bound_cents FROM t, b)
+        |SELECT ex.q, ex.exact_cents, es.est_cents,
+        |  CAST(es.est_cents - ex.exact_cents AS BIGINT) AS err_cents,
+        |  es.bound_cents,
+        |  CAST(abs(es.est_cents - ex.exact_cents) <= es.bound_cents AS BIGINT) AS within_bound
+        |FROM ex JOIN es ON ex.q = es.q ORDER BY ex.q""".stripMargin,
     // quantile_rollup: the mergeable histogram cube replayed relationally —
     // per-cell bin counts ARE the state, the __all__ level is the per-bin
     // SUM of the stored cell counts (exactly graft_hist_merge's
@@ -2622,23 +2668,8 @@ object SparkEntry {
     // (bit 32), F2 = Σc², estimate = exact lower median over depth rows of
     // Σ cell². Integer-exact end to end; `//` and Spark `div` both
     // truncate, so the signed err_permille agrees.
-    "join_size_estimate" ->
-      s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS pk FROM lineitem),
-        |c AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY 1),
-        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM c),
-        |hx AS (SELECT c.c, r.i,
-        |    md5_number_lower(CAST(r.i AS VARCHAR) || ':' || pk) % 9223372036854775808 AS h
-        |  FROM c, range(${Relational.JoinSizeDepth}) r(i)),
-        |cells AS (SELECT i, h % ${Relational.JoinSizeWidth} AS b,
-        |    CAST(sum((1 - 2 * CAST((h // 4294967296) % 2 AS BIGINT)) * c) AS BIGINT) AS cell
-        |  FROM hx GROUP BY 1, 2),
-        |rs AS (SELECT i, CAST(sum(cell * cell) AS BIGINT) AS row_est FROM cells GROUP BY 1),
-        |es AS (SELECT row_est AS est_pairs FROM
-        |  (SELECT row_est, row_number() OVER (ORDER BY row_est) AS rn FROM rs)
-        |  WHERE rn = ${Relational.JoinSizeDepth / 2 + 1})
-        |SELECT exact_pairs, est_pairs,
-        |  CAST((est_pairs - exact_pairs) * 1000 // exact_pairs AS BIGINT) AS err_permille
-        |FROM ex, es""".stripMargin,
+    "join_size_estimate" -> joinSizeSql,
+    "stream_join_size" -> joinSizeSql,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes
     // names differently; the union spells the measure labels explicitly,
     // matching Spark unpivot's column-name values). Cents BEFORE the melt.
@@ -2812,6 +2843,27 @@ object SparkEntry {
         |w AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 600000000 AS wm FROM events)
         |SELECT user_id, start_us, n_events FROM s, w
         |WHERE end_us <= wm ORDER BY user_id, start_us""".stripMargin,
+    // stream_attribution: the island chain + rn=1 touch (attribution_touch's
+    // oracle) restricted to sessions CLOSED at the final watermark (the
+    // stream_sessions_append eviction predicate), rolled up per channel.
+    "stream_attribution" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS tsu,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events),
+        |y AS (SELECT *, CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM y),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY tsu, event_id) AS rn FROM z),
+        |s AS (SELECT user_id, sid,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS channel,
+        |    epoch_us(max(tsu)) + 1800000000 AS end_us,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+        |    sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS purch_cents
+        |  FROM r GROUP BY 1, 2),
+        |w AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 600000000 AS wm FROM events)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converting,
+        |  CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+        |  CAST(sum(purch_cents) AS BIGINT) AS attributed_cents
+        |FROM s, w WHERE end_us <= wm GROUP BY 1 ORDER BY 1""".stripMargin,
     // stream_session_dynamic: the dynamic islands, restricted to sessions
     // the final watermark (max ts − 10 min) has CLOSED — Append emits a
     // session exactly when its max event-end ≤ watermark.

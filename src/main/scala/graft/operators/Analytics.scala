@@ -185,6 +185,65 @@ object Analytics {
       .orderBy("q")
   }
 
+  /** QUANTILE-SKETCH ACCURACY instrument — the recall-style gauge the
+    * sketch cube lacked (ann/ivf/pq/text_recall measure the similarity
+    * family's approximations; nothing measured the histogram sketch's):
+    * per quantile, the sketch's bin-midpoint estimate next to the EXACT
+    * order statistic, the signed error, and the THEOREM bound — the
+    * rank-r element provably lies in the first bin whose cumulative count
+    * reaches r, and the midpoint of a bin is within one bin's value span
+    * of anything in it, so `|est − exact| ≤ (range div bins) + 1` is a
+    * guarantee, not an observation; `within_bound` gates it row by row.
+    *
+    * The exact side is NOT a global sort: the sketch's own cumulative
+    * table names the one bin holding rank r, the data joins against that
+    * ~|qs|-row broadcast target set (everything outside the target bins
+    * dies at the join), and the order statistic is selected within
+    * ~n/bins surviving rows per quantile — the sketch pays for its own
+    * verification (two scans + a bin-local sort, never an n·log n global
+    * order). The DuckDB oracle deliberately RUNS the textbook full-sort
+    * order statistic, differentially proving the bin-pruned selection
+    * (the waiting_suppliers discipline). Integer cents end to end. */
+  def quantileRecall(spark: SparkSession, sfDir: String,
+                     bins: Int = 1024, qs: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min("cents").as("mn"), max("cents").as("mx"),
+                           count(lit(1)).as("n"))
+    val binned = cents.crossJoin(broadcast(bounds))
+      .select(col("cents"), expr(s"(cents - mn) * $bins div (mx - mn + 1)").as("bin"))
+    val withCum = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+    // target bin + in-bin offset per quantile: ≤ bins sketch rows ever
+    // touch this arithmetic
+    val targets = withCum.crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(qs.map(_.toLong).toDF("q")))
+      .withColumn("r", expr("(q * n + 99) div 100"))
+      .filter(col("cum") >= col("r"))
+      .groupBy("q", "r").agg(min_by(struct(col("bin"), col("cum"), col("cnt")),
+                                    col("bin")).as("t"))
+      .select(col("q"), col("r"), col("t.bin").as("bin"),
+              (col("t.cum") - col("t.cnt")).as("cum_before"))
+    // exact order statistic, bin-locally: rows outside target bins never
+    // pass the broadcast join
+    val exact = binned.join(broadcast(targets), Seq("bin"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q").orderBy(col("cents").asc)))
+      .filter(col("rk") === col("r") - col("cum_before"))
+      .select(col("q"), col("bin"), col("cents").as("exact_cents"))
+    exact.crossJoin(broadcast(bounds))
+      .select(col("q"), col("exact_cents"),
+        expr(s"mn + (2 * bin + 1) * (mx - mn + 1) div ${2L * bins}").as("est_cents"),
+        expr(s"(mx - mn + 1) div $bins + 1").as("bound_cents"))
+      .select(col("q"), col("exact_cents"), col("est_cents"),
+        (col("est_cents") - col("exact_cents")).as("err_cents"),
+        col("bound_cents"),
+        (abs(col("est_cents") - col("exact_cents")) <= col("bound_cents"))
+          .cast("bigint").as("within_bound"))
+      .orderBy("q")
+  }
+
   /** MERGEABLE-QUANTILE ROLLUP — completes the sketch cube next to
     * [[graft.operators.Relational.sketchRollup]] (that one merges KMV
     * distinct states; this one merges equi-width HISTOGRAM states, the

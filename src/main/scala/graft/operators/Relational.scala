@@ -1494,18 +1494,47 @@ object Relational {
     val counts = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey").cast("string").as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("c"))
-    val exact = counts.agg(sum(col("c") * col("c")).as("exact_pairs"))
-    val rows = counts
-      .select(col("pk"), col("c"),
+    // weighted updates over the pre-aggregated counts — bit-identical to
+    // the raw weight-1 grid the streaming twin maintains (sum of signed
+    // updates is associative; the freq_sketch precedent, spec-gated)
+    val cells = amsCells(counts.select(col("pk"), col("c").as("w")), depth, width)
+    joinSizeReport(spark, sfDir, amsEstimate(cells, depth))
+  }
+
+  /** The signed-sketch cell table over `(pk, w)` update rows: one
+    * `graft_hash64(i:pk)` draw per depth row supplies bucket (low bits)
+    * and ±1 sign (bit 32); cell = Σ sign·w. ONE definition site shared by
+    * the batch query (w = per-key count) and the streaming twin (w = 1
+    * per arriving row) — associativity makes the two grids bit-identical,
+    * and the spec proves it. */
+  private[graft] def amsCells(updates: DataFrame, depth: Int, width: Int): DataFrame =
+    updates
+      .select(col("pk"), col("w"),
               explode(sequence(lit(0), lit(depth - 1))).as("i"))
       .withColumn("h", call_function("graft_hash64",
         concat(col("i").cast("string"), lit(":"), col("pk"))))
       .withColumn("sgn", expr("cast(1 - 2 * ((h div 4294967296) % 2) as bigint)"))
       .groupBy(col("i"), (col("h") % width).as("b"))
-      .agg(sum(col("sgn") * col("c")).as("cell"))
+      .agg(sum(col("sgn") * col("w")).as("cell"))
+
+  /** Lower-median-of-rows F₂ read-out over a materialized cell table —
+    * shared with the streaming twin, whose state store maintains exactly
+    * these `(i, b, cell)` rows. */
+  private[graft] def amsEstimate(cells: DataFrame, depth: Int): DataFrame =
+    cells
       .groupBy("i").agg(sum(col("cell") * col("cell")).as("row_est"))
-    val est = rows.agg(sort_array(collect_list("row_est")).as("rs"))
+      .agg(sort_array(collect_list("row_est")).as("rs"))
       .select(element_at(col("rs"), depth / 2 + 1).as("est_pairs"))
+
+  /** The (exact, estimate, error) report — exact F₂ from the batch table
+    * (the instrument's ground truth), estimate from whichever grid
+    * (batch-built or stream-maintained) is under test. */
+  private[graft] def joinSizeReport(spark: SparkSession, sfDir: String,
+                                    est: DataFrame): DataFrame = {
+    val exact = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("string").as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_pairs"))
     exact.crossJoin(broadcast(est))
       .select(col("exact_pairs"), col("est_pairs"),
         expr("(est_pairs - exact_pairs) * 1000 div exact_pairs").as("err_permille"))

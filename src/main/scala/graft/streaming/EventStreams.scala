@@ -945,6 +945,31 @@ object EventStreams {
       runToCompletion(spark, grid, "stream_ewma_hours", OutputMode.Complete()))
   }
 
+  /** Driver-verified: the JOIN-SIZE SKETCH maintained IN-STREAM — the
+    * signed AMS cell grid behind `join_size_estimate` as one complete-mode
+    * SUM over per-row weight-1 updates (each arriving lineitem key signs
+    * into depth cells scan-side — stateless arithmetic; the stateful op is
+    * the cell sum, state = depth·width longs at ANY volume). Signed-update
+    * addition is associative and commutative, so the streamed grid is
+    * bit-identical to the batch weighted-update grid under any micro-batch
+    * split (the freq_sketch weighted≡raw precedent, spec-gated cell by
+    * cell), and the F₂ read-out + exact-truth report run batch-side
+    * through the SAME code paths (`amsEstimate`/`joinSizeReport`). This is
+    * the claim in join_size_estimate's contract made real: a planner
+    * maintains the sketch per ingest batch and answers |A ⋈ B| without
+    * ever re-scanning data. Shares the batch oracle verbatim. */
+  def streamJoinSizeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Relational
+    val updates = tableStream(spark, sfDir, "lineitem")
+      .select(col("l_partkey").cast("string").as("pk"), lit(1L).as("w"))
+    val cells = Relational.amsCells(updates,
+      Relational.JoinSizeDepth, Relational.JoinSizeWidth)
+    Relational.joinSizeReport(spark, sfDir,
+      Relational.amsEstimate(
+        runToCompletion(spark, cells, "stream_join_size", OutputMode.Complete()),
+        Relational.JoinSizeDepth))
+  }
+
   /** Driver-verified: the NFC canonicalization pass applied IN-FLIGHT —
     * `normalize_text`'s per-row codegen'd pipeline over the streamed
     * corpus: STATELESS (no aggregate, no state store, no watermark — the
@@ -1129,6 +1154,39 @@ object EventStreams {
               unix_micros(col("session_window.start")).as("start_us"),
               col("n_events"))
       .orderBy("user_id", "start_us")
+  }
+
+  /** Driver-verified: FIRST-TOUCH ATTRIBUTION in APPEND mode — the
+    * streaming twin of `attribution_touch` under the
+    * [[streamSessionsAppendQuery]] eviction discipline: per-session
+    * channel (the `min_by` touch over the unique (ts, event_id) key) and
+    * conversion aggregates ride the SAME `session_window` state the
+    * append-mode session query keeps, a session row is emitted exactly
+    * once when the watermark passes its close, and the channel rollup
+    * runs batch-side over the emitted (= evicted) sessions — the deployed
+    * shape: the stream maintains per-session state, the dashboard
+    * aggregates closed sessions. Island-chain ⇔ session_window
+    * equivalence is the stream_sessions_append precedent (exact-touch
+    * merges on both forms); the oracle is the island SQL restricted to
+    * `session_end ≤ final watermark`, rolled up per channel. State =
+    * OPEN sessions only (bounded by active users × gap), each carrying
+    * three longs + the running touch. */
+  def streamAttributionQuery(spark: SparkSession, sfDir: String,
+                             gap: String = "30 minutes"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("channel"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"),
+           sum(when(col("event_type") === "purchase",
+                    expr("cast(round(value * 100) as bigint)")).otherwise(0L)).as("purch_cents"))
+    runToCompletion(spark, agg, "stream_attribution", OutputMode.Append())
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_sessions"),
+           sum((col("n_purch") > 0).cast("bigint")).as("n_converting"),
+           sum("n_purch").as("n_purchases"),
+           sum("purch_cents").as("attributed_cents"))
+      .orderBy("channel")
   }
 
   /** Driver-verified: STREAMING MEDIA DEDUP — arriving packed media drops

@@ -1579,6 +1579,27 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(e1 > 150L && e1 < 200L && (200L - e1) < (e1 - 150L))
   }
 
+  test("quantileRecall: exact order statistics match a local full sort; every estimate within the theorem bound") {
+    val out = Analytics.quantileRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq === Seq(50L, 90L, 95L, 99L))
+    // scalar truth: a LOCAL full sort (structurally different from the
+    // engine's bin-pruned selection)
+    val cents = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    out.foreach { case (q, exact, est, err, bound, within) =>
+      val r = ((q * n + 99) / 100).toInt
+      assert(exact === cents(r - 1), s"bin-pruned order statistic wrong at q=$q")
+      assert(err === est - exact)
+      assert(bound >= 1L)
+      assert(within === 1L,
+        s"estimate outside the theorem bound at q=$q: err=$err bound=$bound")
+    }
+  }
+
   test("attributionTouchFrom: hand sessions credit the opening channel; corpus session count reconciles with sessionize") {
     import spark.implicits._
     val t0 = 1700000000000000L // µs

@@ -670,4 +670,46 @@ class PlanSpec extends SparkSpecBase {
     assert(sk.contains("partial_graft_kmv_merge"),
       s"the rollup merge lost map-side partial aggregation:\n$sk")
   }
+
+  test("round-11 extension plans: mrr has no Window, attribution reuses one user sort, sketches stay metadata-sized") {
+    // mrr_eval: the whole point of the counting rewrite is that NO window
+    // node appears — the rank is two partial-agg'd aggregates with the
+    // probe/best frames broadcast
+    val mrr = finalPlan("mrr_eval")
+    assert(!mrr.contains("Window"), s"mrr_eval regressed to a windowed rank:\n$mrr")
+    assert(mrr.contains("BroadcastNestedLoopJoin") || mrr.contains("BroadcastHashJoin"),
+      s"mrr_eval probe side must broadcast:\n$mrr")
+    assert(mrr.contains("partial_"), s"mrr_eval aggregates lost map-side combine:\n$mrr")
+    // attribution_touch: lag, the running session sum and the per-session
+    // aggregate all share ONE user_id exchange+sort — a second sort on the
+    // same keys would mean the window chain broke apart
+    val at = finalPlan("attribution_touch").split("== Initial Plan ==").head
+    val userSorts = "hashpartitioning\\(user_id".r.findAllIn(at).size
+    assert(userSorts <= 1, s"attribution_touch shuffles on user_id $userSorts times:\n$at")
+    assert(!at.contains("CartesianProduct") && !at.contains("BroadcastNestedLoopJoin"),
+      s"attribution_touch plans a quadratic join:\n$at")
+    // cusum_shift: ONE fact scan; everything after the hourly grid is
+    // metadata-sized window arithmetic
+    val cu = finalPlan("cusum_shift").split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(cu).size === 1,
+      s"cusum_shift re-scans the fact table:\n$cu")
+    assert(cu.contains("partial_sum"), s"cusum grid lost map-side combine:\n$cu")
+    // join_size_estimate: both the exact side and the sketch side
+    // partial-aggregate; no join of fact mass anywhere (the sketch's whole
+    // point is answering |A ⋈ B| WITHOUT the join)
+    val js = finalPlan("join_size_estimate")
+    assert(!js.contains("SortMergeJoin"),
+      s"join_size_estimate joins fact mass:\n$js")
+    assert(js.contains("partial_count") || js.contains("partial_sum"),
+      s"join_size_estimate lost map-side combine:\n$js")
+    // normalize_text: scan-side codegen only — the single exchange is the
+    // presentation sort's range partitioning
+    val nt = finalPlan("normalize_text").split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(nt).size === 1,
+      s"normalize_text re-scans documents:\n$nt")
+    assert(!nt.contains("hashpartitioning"),
+      s"normalize_text shuffles before the presentation sort:\n$nt")
+    assert(nt.contains("*("),
+      s"normalize_text fell out of whole-stage codegen (no *(n) spans):\n$nt")
+  }
 }

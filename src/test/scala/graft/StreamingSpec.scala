@@ -459,6 +459,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(snm === bnm)
     assert(snm.exists(_(1).asInstanceOf[Long] == 1L),
       "no doc changed by NFC — the decomposed suffix is broken")
+    // stream_join_size: the signed AMS grid maintained from raw weight-1
+    // updates equals the batch weighted grid -> identical report; the
+    // cell-level identity (associativity) is checked directly too
+    val sjs = EventStreams.streamJoinSizeQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bjs = graft.operators.Relational.joinSizeEstimate(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(sjs === bjs)
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey").cast("string").as("pk"))
+    val rawCells = graft.operators.Relational.amsCells(
+        li.select(col("pk"), lit(1L).as("w")),
+        graft.operators.Relational.JoinSizeDepth,
+        graft.operators.Relational.JoinSizeWidth)
+      .collect().map(_.toSeq).toSet
+    val weightedCells = graft.operators.Relational.amsCells(
+        li.groupBy("pk").agg(count(lit(1)).as("w")),
+        graft.operators.Relational.JoinSizeDepth,
+        graft.operators.Relational.JoinSizeWidth)
+      .collect().map(_.toSeq).toSet
+    assert(rawCells === weightedCells,
+      "weight-1 and pre-aggregated updates must build bit-identical cells")
     // stream_cusum: the same commutative hourly cents grid in state + the
     // shared closed-form CUSUM read-out batch-side
     val scu = EventStreams.streamCusumQuery(spark, sf0001)
@@ -1165,5 +1187,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(unmatchedP.map(_._4).toSet ===
       sideEvents("purchase").filter { case (id, us) =>
         !mp.contains(id) && us < wmUs }.map(_._1).toSet)
+  }
+
+  test("stream_attribution: evicted-session channel rollup equals the island replay; open sessions really held back") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wm = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) - 600000000L
+    val sessions = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("ns", when(col("prev_ts").isNull ||
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("ns").over(running))
+      .groupBy("user_id", "sid")
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("channel"),
+           (max(unix_micros(col("ts"))) + 1800000000L).as("end_us"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"),
+           sum(when(col("event_type") === "purchase",
+                    expr("cast(round(value * 100) as bigint)")).otherwise(0L)).as("purch_cents"))
+    def rollup(df: org.apache.spark.sql.DataFrame) = df.groupBy("channel")
+      .agg(count(lit(1)).as("n_sessions"),
+           sum((col("n_purch") > 0).cast("bigint")).as("n_converting"),
+           sum("n_purch").as("n_purchases"),
+           sum("purch_cents").as("attributed_cents"))
+      .collect().map(_.toSeq).toSet
+    val replay = rollup(sessions.filter(col("end_us") <= wm))
+    val got = EventStreams.streamAttributionQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(got === replay,
+      "streamed rollup must equal the island replay under the eviction predicate")
+    assert(got.nonEmpty, "no channel attributed — degenerate")
+    // the eviction predicate is load-bearing: sessions still open at the
+    // final watermark exist and are NOT in the emitted set
+    val all = sessions.count()
+    val evicted = sessions.filter(col("end_us") <= wm).count()
+    assert(evicted < all,
+      s"every session closed before the watermark ($evicted of $all) — the fixture cannot exercise eviction")
   }
 }
