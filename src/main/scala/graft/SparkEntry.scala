@@ -244,6 +244,7 @@ object SparkEntry {
     "dedup_url" -> ((s, d) => TextAnalysis.urlDedup(s, d)),
     // -- dedup (north star) --
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
+    "dedup_nfc" -> ((s, d) => Dedup.dedupNfc(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -3362,6 +3363,21 @@ object SparkEntry {
     "dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp FROM f GROUP BY fp ORDER BY keep_id""".stripMargin,
+    // dedup_nfc: the same planted universe (precomposed suffix on every
+    // doc, decomposed twin for every fifth) built from chr() codepoints,
+    // canonical digest via DuckDB's own nfc_normalize.
+    "dedup_nfc" ->
+      """WITH u AS (
+        |  SELECT doc_id, text || ' caf' || chr(233) || ' ma' || chr(241) || 'ana' AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' cafe' || chr(769) || ' man' || chr(771) || 'ana'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |n AS (SELECT doc_id, md5(nfc_normalize(t)) AS nfc_fp, md5(t) AS raw_fp FROM u),
+        |g AS (SELECT nfc_fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |        min(doc_id) AS canonical_id, count(DISTINCT raw_fp) AS n_raw
+        |      FROM n GROUP BY 1 HAVING count(*) > 1)
+        |SELECT nfc_fp, n_docs, canonical_id, CAST(n_raw > 1 AS BIGINT) AS needed_nfc
+        |FROM g ORDER BY canonical_id""".stripMargin,
     "dedup_ngram" -> s"$ngramPairsSql\nORDER BY doc_a, doc_b",
     // dedup_minhash: with b=32 bands × r=4 rows the LSH candidate set
     // provably contains every pair with J ≥ 0.8 except with prob ~5e-8 per

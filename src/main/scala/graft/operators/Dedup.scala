@@ -39,6 +39,50 @@ object Dedup {
       .select("keep_id", "n_dups", "fp")
       .orderBy("keep_id")
 
+  /** NFC-CANONICAL exact dedup — [[dedupExact]] with the digest taken over
+    * `graft_nfc(text)` instead of raw bytes: decomposed `e`+U+0301 and
+    * precomposed `é` render identically and are canonically equal, but
+    * their UTF-8 differs, so BYTE-level exact dedup silently keeps both
+    * (normalize_text's motivating failure mode, now demonstrated inside
+    * the dedup family itself). The corpus is ASCII, so — the scrub_pii
+    * discipline — the audited universe is the corpus with a PRECOMPOSED
+    * suffix on every document plus, for every fifth document, a twin
+    * carrying the DECOMPOSED spelling of the same suffix: every planted
+    * twin pair is byte-distinct (raw md5s differ — carried as
+    * `needed_nfc` so the gate checks byte dedup would have missed it) yet
+    * NFC-equal; organically identical texts also group (needed_nfc = 0),
+    * so both classes are observable.
+    *
+    * 100 TB: identical to [[dedupExact]]'s shape — the normalization and
+    * both digests are scan-side codegen ([[graft.functions.expressions
+    * .NfcKernel]]'s ASCII fast path makes the canonical digest near-free
+    * on clean corpora); one compact (fp, id) shuffle; groups partial-agg. */
+  def dedupNfc(spark: SparkSession, sfDir: String): DataFrame =
+    dedupNfcFrom(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** [[dedupNfc]] over an explicit `(doc_id, text)` frame — the spec's
+    * entry point for hand universes with known twin structure. */
+  def dedupNfcFrom(docs: DataFrame): DataFrame = {
+    val composed = java.text.Normalizer.normalize(
+      TextAnalysis.NfcSuffixUnit, java.text.Normalizer.Form.NFC)
+    val base = docs.select(col("doc_id"),
+      concat(col("text"), lit(composed)).as("t"))
+    val twins = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(TextAnalysis.NfcSuffixUnit)).as("t"))
+    base.unionByName(twins)
+      .select(col("doc_id"),
+              md5(call_function("graft_nfc", col("t"))).as("nfc_fp"),
+              md5(col("t")).as("raw_fp"))
+      .groupBy("nfc_fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"),
+           countDistinct("raw_fp").as("n_raw"))
+      .filter(col("n_docs") > 1)
+      .select(col("nfc_fp"), col("n_docs"), col("canonical_id"),
+              (col("n_raw") > 1).cast("bigint").as("needed_nfc"))
+      .orderBy("canonical_id")
+  }
+
   /** Distinct word-`n`-gram postings `(doc_id, s)` of every document:
     * scan → `graft_shingles` (native codegen kernel, one compiled pass per
     * document, already distinct) → explode. Zero shuffles — the postings

@@ -391,4 +391,40 @@ class DedupSpec extends SparkSpecBase {
     assert(m.exists(r => r.getString(idx("source")) != r.getString(idx("other_source"))),
       "no cross-source overlap — fixture degenerate")
   }
+
+  test("dedupNfc: decomposed twins invisible to byte dedup are caught by the canonical digest") {
+    import spark.implicits._
+    // ids 0 and 7 share text (an organic byte-level duplicate); 0 and 5
+    // are %5 docs, so each gains a DECOMPOSED twin at id + 1,000,000
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (5L, "gamma"), (7L, "alpha"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupNfcFrom(docs).collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3))).toSet // (canonical, n, needed)
+    // group alpha: base 0, organic dup 7, decomposed twin 1000000 -> 3 docs,
+    // and the twin's raw digest differs so NFC was load-bearing
+    // group gamma: base 5 + twin 1000005
+    assert(out === Set((0L, 3L, 1L), (5L, 2L, 1L)))
+    // byte-level digests on the SAME universe see only the organic pair:
+    // the planted decomposed twins are invisible without normalization
+    val composed = java.text.Normalizer.normalize(
+      graft.operators.TextAnalysis.NfcSuffixUnit, java.text.Normalizer.Form.NFC)
+    val base = docs.select(col("doc_id"), concat(col("text"), lit(composed)).as("t"))
+    val twins = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(graft.operators.TextAnalysis.NfcSuffixUnit)).as("t"))
+    val rawGroups = base.unionByName(twins)
+      .groupBy(md5(col("t")).as("fp"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep"))
+      .filter(col("n") > 1)
+      .collect().map(r => (r.getLong(2), r.getLong(1))).toSet
+    assert(rawGroups === Set((0L, 2L)),
+      "byte dedup must see ONLY the organic duplicate, never the planted twins")
+    // corpus smoke: every planted twin group surfaces with needed_nfc = 1
+    val corpus = Dedup.dedupNfc(spark, sf0001).collect()
+    val needed = corpus.count(_.getLong(3) == 1L)
+    val planted = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(needed > 0 && needed <= planted)
+    assert(corpus.forall(_.getLong(1) >= 2L))
+  }
 }
