@@ -132,6 +132,7 @@ object SparkEntry {
     "join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     "stream_join_size" -> ((s, d) =>
       graft.streaming.EventStreams.streamJoinSizeQuery(s, d)),
+    "join_size_cross" -> ((s, d) => Relational.joinSizeCross(s, d)),
     "unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
     // -- structured streaming (bounded replay through real streaming queries) --
     "stream_tumbling" -> ((s, d) => graft.streaming.EventStreams.streamTumblingQuery(s, d)),
@@ -443,6 +444,35 @@ object SparkEntry {
   /** join_size_estimate's oracle — shared verbatim with
     * `stream_join_size` (signed-update addition is associative, so the
     * streamed cell grid equals the batch weighted grid bit-for-bit). */
+  /** join_size_cross's oracle — both sketches replayed with the shared
+    * (i:key) hash, the inner product per row, the lower median, and the
+    * metadata-join exact truth. */
+  private val joinSizeCrossSql: String = {
+    val (d, w) = (Relational.JoinSizeDepth, Relational.JoinSizeCrossWidth)
+    def grid(name: String, src: String) =
+      s"""$name AS (SELECT i, h % $w AS b,
+        |    CAST(sum((1 - 2 * CAST((h // 4294967296) % 2 AS BIGINT)) * w) AS BIGINT) AS cell
+        |  FROM (SELECT w, r.i,
+        |      md5_number_lower(CAST(r.i AS VARCHAR) || ':' || pk) % 9223372036854775808 AS h
+        |    FROM $src, range($d) r(i)) GROUP BY 1, 2)""".stripMargin
+    s"""WITH ea AS (SELECT CAST(user_id AS VARCHAR) AS pk, CAST(count(*) AS BIGINT) AS w
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |ob AS (SELECT CAST(o_custkey AS VARCHAR) AS pk, CAST(count(*) AS BIGINT) AS w
+      |  FROM orders GROUP BY 1),
+      |ex AS (SELECT CAST(sum(ea.w * ob.w) AS BIGINT) AS exact_pairs
+      |  FROM ea JOIN ob ON ea.pk = ob.pk),
+      |${grid("ha", "ea")},
+      |${grid("hb", "ob")},
+      |rs AS (SELECT ha.i, CAST(sum(ha.cell * hb.cell) AS BIGINT) AS row_est
+      |  FROM ha JOIN hb ON ha.i = hb.i AND ha.b = hb.b GROUP BY 1),
+      |es AS (SELECT row_est AS est_pairs FROM
+      |  (SELECT row_est, row_number() OVER (ORDER BY row_est) AS rn FROM rs)
+      |  WHERE rn = ${d / 2 + 1})
+      |SELECT exact_pairs, est_pairs,
+      |  CAST((est_pairs - exact_pairs) * 1000 // exact_pairs AS BIGINT) AS err_permille
+      |FROM ex, es""".stripMargin
+  }
+
   private val joinSizeSql: String =
     s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS pk FROM lineitem),
         |c AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY 1),
@@ -2671,6 +2701,7 @@ object SparkEntry {
     // truncate, so the signed err_permille agrees.
     "join_size_estimate" -> joinSizeSql,
     "stream_join_size" -> joinSizeSql,
+    "join_size_cross" -> joinSizeCrossSql,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes
     // names differently; the union spells the measure labels explicitly,
     // matching Spark unpivot's column-name values). Cents BEFORE the melt.

@@ -1501,6 +1501,52 @@ object Relational {
     joinSizeReport(spark, sfDir, amsEstimate(cells, depth))
   }
 
+  val JoinSizeCrossWidth = 65536
+
+  /** CROSS-TABLE JOIN-SIZE ESTIMATION — [[joinSizeEstimate]]'s general
+    * form, the one a planner actually asks: |A ⋈ B| for two DIFFERENT
+    * tables (events ⋈ orders on the user/customer key — a genuine M:N
+    * cross join in the driver data), estimated as the INNER PRODUCT of
+    * their signed sketches: `Σ_j cellA[i][j]·cellB[i][j]` is unbiased for
+    * `Σ_k a_k·b_k` because both tables sketch with the SAME `(i:key)`
+    * hash — a shared key lands in the same bucket with the same sign and
+    * contributes a_k·b_k exactly, while cross-key collision terms carry
+    * independent sign products and cancel in expectation (AMS's original
+    * theorem — the self-join form is the special case A = B). Per-row
+    * standard error is √(F₂(A)·F₂(B)/width)/|A ⋈ B|, so the cross form
+    * ships a wider grid (65536 buckets — still 2.5 MiB per table, and
+    * the error SHRINKS with scale: the true join size grows like the
+    * count product while the noise grows like its square root).
+    *
+    * The exact side never joins fact mass either: truth = the two per-key
+    * COUNT tables equi-joined (|keysA ∩ keysB| rows — metadata) and
+    * `Σ wa·wb` summed. 100 TB: both sketches partial-agg and merge by
+    * elementwise sum per ingest batch (the [[freqRollup]] contract); the
+    * inner product touches depth·width longs. */
+  def joinSizeCross(spark: SparkSession, sfDir: String,
+                    depth: Int = JoinSizeDepth,
+                    width: Int = JoinSizeCrossWidth): DataFrame = {
+    val ea = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("w"))
+    val ob = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").cast("string").as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("w"))
+    val exact = ea.as("a").join(ob.as("b"), "pk")
+      .agg(sum(col("a.w") * col("b.w")).as("exact_pairs"))
+    val ca = amsCells(ea, depth, width)
+    val cb = amsCells(ob, depth, width)
+    val est = ca.as("ca")
+      .join(cb.as("cb"), col("ca.i") === col("cb.i") && col("ca.b") === col("cb.b"))
+      .groupBy(col("ca.i"))
+      .agg(sum(col("ca.cell") * col("cb.cell")).as("row_est"))
+      .agg(sort_array(collect_list("row_est")).as("rs"))
+      .select(element_at(col("rs"), depth / 2 + 1).as("est_pairs"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_pairs"), col("est_pairs"),
+        expr("(est_pairs - exact_pairs) * 1000 div exact_pairs").as("err_permille"))
+  }
+
   /** The signed-sketch cell table over `(pk, w)` update rows: one
     * `graft_hash64(i:pk)` draw per depth row supplies bucket (low bits)
     * and ±1 sign (bit 32); cell = Σ sign·w. ONE definition site shared by

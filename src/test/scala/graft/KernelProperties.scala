@@ -276,4 +276,27 @@ object KernelProperties extends Properties("graft.kernels") {
       val viaJdk = if (g == 0L) 64 else java.lang.Long.numberOfTrailingZeros(g)
       viaTrick == viaJdk
     }
+
+  property("CUSUM closed form P_t - min(0, min prefix) equals the max(0, S + d) recurrence") =
+    forAll(Gen.listOf(Gen.chooseNum(-1000L, 1000L))) { ds =>
+      var st = 0L
+      val rec = ds.map { d => st = math.max(0L, st + d); st }
+      var p = 0L
+      var m = 0L
+      val closed = ds.map { d => p += d; m = math.min(m, p); p - m }
+      rec == closed
+    }
+
+  private val nfcChar: Gen[String] = Gen.oneOf(
+    "a", "e", "n", "z", " ", "\u0301", "\u0303", "\u00e9", "\u00f1")
+  private val nfcText: Gen[String] = Gen.listOf(nfcChar).map(_.mkString)
+
+  property("NfcKernel fast paths never diverge from the JDK Normalizer; NFC idempotent") =
+    forAll(nfcText) { t =>
+      import graft.functions.expressions.NfcKernel
+      val got = NfcKernel.nfc(UTF8String.fromString(t)).toString
+      val jdk = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      got == jdk &&
+        NfcKernel.nfc(UTF8String.fromString(got)).toString == got
+    }
 }

@@ -833,4 +833,27 @@ class RelationalSpec extends SparkSpecBase {
       s"the unsigned bias (+${unsignedMedian - exact}) must dominate the " +
         s"signed deviation (${est - exact}) — otherwise signs bought nothing")
   }
+
+  test("joinSizeCross: exact equals the materialized cross join; estimate within the 4-sigma AMS bound") {
+    val row = Relational.joinSizeCross(spark, sf0001).collect()
+    assert(row.length === 1)
+    val (exact, est, err) = (row(0).getLong(0), row(0).getLong(1), row(0).getLong(2))
+    // truth, by a structurally different computation: the real fact join
+    val ev = Tables.events(spark, sf0001).filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("pk"))
+    val ords = Tables.orders(spark, sf0001)
+      .select(col("o_custkey").cast("string").as("pk"))
+    assert(exact === ev.join(ords, "pk").count(),
+      "sum of count products must equal the materialized join size")
+    assert(exact > 0, "no key overlap between events and orders — fixture degenerate")
+    assert(err === (est - exact) * 1000L / exact)
+    // AMS theorem gate: per-row variance <= F2(A)*F2(B)/width, median of 5
+    // within 4 sigma with overwhelming margin
+    def f2(df: org.apache.spark.sql.DataFrame) = df.groupBy("pk").count()
+      .collect().map(r => { val c = r.getLong(1); c * c }).sum
+    val sigma = math.sqrt(f2(ev).toDouble * f2(ords).toDouble /
+                          Relational.JoinSizeCrossWidth)
+    assert(math.abs(est - exact).toDouble <= 4.0 * sigma,
+      s"estimate off by ${est - exact} with sigma=$sigma — outside the AMS bound")
+  }
 }
