@@ -100,6 +100,7 @@ object SparkEntry {
       graft.streaming.EventStreams.streamEwmaHoursQuery(s, d)),
     "cusum_shift" -> ((s, d) => Analytics.cusumShift(s, d)),
     "attribution_touch" -> ((s, d) => Analytics.attributionTouch(s, d)),
+    "attribution_linear" -> ((s, d) => Analytics.attributionLinear(s, d)),
     "stream_cusum" -> ((s, d) =>
       graft.streaming.EventStreams.streamCusumQuery(s, d)),
     "basket_affinity" -> ((s, d) => Analytics.basketAffinity(s, d)),
@@ -1597,6 +1598,25 @@ object SparkEntry {
         |  CAST(sum(n_purch) AS BIGINT) AS n_purchases,
         |  CAST(sum(purch_cents) AS BIGINT) AS attributed_cents
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // attribution_linear: the same island chain; per session the sorted
+    // distinct channel list, the even integer split with the remainder on
+    // the rn=1 touch — credit conservation is an identity on both engines.
+    "attribution_linear" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS tsu,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events),
+        |y AS (SELECT *, CASE WHEN prev IS NULL OR (epoch_us(tsu) - epoch_us(prev)) > 1800000000 THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM y),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY tsu, event_id) AS rn FROM z),
+        |s AS (SELECT user_id, sid,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS touch,
+        |    list_sort(list(DISTINCT event_type)) AS channels,
+        |    sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS purch_cents
+        |  FROM r GROUP BY 1, 2),
+        |e AS (SELECT touch, purch_cents, len(channels) AS n_ch, unnest(channels) AS channel FROM s)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_sessions_present,
+        |  CAST(sum(CASE WHEN purch_cents > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converting_present,
+        |  CAST(sum(purch_cents // n_ch + CASE WHEN channel = touch THEN purch_cents % n_ch ELSE 0 END) AS BIGINT) AS credit_cents
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // interval_join: the oracle is the NAIVE quadratic overlap self-join
     // over the island-detected sessions — the bucketed equi-join rewrite
     // must reproduce it exactly (pair attribution dedup included).

@@ -788,18 +788,26 @@ object Analytics {
                        gapSeconds: Long = 1800L): DataFrame =
     attributionTouchFrom(Tables.events(spark, sfDir), gapSeconds)
 
-  /** [[attributionTouch]] over an explicit events frame — the spec's
-    * entry point for hand-built sessions with known touches. */
-  def attributionTouchFrom(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+  /** Events with their island-session id attached — the shared first
+    * stage of every attribution variant (one user_id exchange + one sort,
+    * reused by the lag and the running sum; the same chain `sessionize`
+    * runs). */
+  private[graft] def sessionedEvents(events: DataFrame, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessions = events
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("ns",
         when(col("prev_ts").isNull ||
              (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("sid", sum("ns").over(running))
+  }
+
+  /** [[attributionTouch]] over an explicit events frame — the spec's
+    * entry point for hand-built sessions with known touches. */
+  def attributionTouchFrom(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val sessions = sessionedEvents(events, gapSeconds)
       .groupBy("user_id", "sid")
       .agg(min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("channel"),
            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"),
@@ -810,6 +818,51 @@ object Analytics {
            sum((col("n_purch") > 0).cast("bigint")).as("n_converting"),
            sum("n_purch").as("n_purchases"),
            sum("purch_cents").as("attributed_cents"))
+      .orderBy("channel")
+  }
+
+  /** LINEAR (multi-touch) ATTRIBUTION — [[attributionTouch]]'s
+    * even-split sibling: each session's purchase cents are divided
+    * equally across the session's DISTINCT channels (every touchpoint
+    * shares credit — the other standard attribution model, answering
+    * "which channels participate in converting journeys" where
+    * first-touch answers "which channels open them"). The split is
+    * INTEGER-EXACT with a deterministic remainder rule: each of the n
+    * channels gets `cents div n`, and `cents mod n` goes to the session's
+    * TOUCH channel (the min_by first event) — so credit conservation
+    * `Σ channel credits = Σ purchase cents` is an identity, not an
+    * approximation (spec-gated against attribution_touch's total; a
+    * float split would leak cents and be partition-order-dependent).
+    *
+    * 100 TB: the shared [[sessionedEvents]] chain (one user_id
+    * exchange), one per-session aggregate carrying a sorted distinct
+    * channel array (bounded by |event_types|), an explode of |sessions| ×
+    * ≤|types| rows, and a |types|-row rollup. */
+  def attributionLinear(spark: SparkSession, sfDir: String,
+                        gapSeconds: Long = 1800L): DataFrame =
+    attributionLinearFrom(Tables.events(spark, sfDir), gapSeconds)
+
+  /** [[attributionLinear]] over an explicit events frame. */
+  def attributionLinearFrom(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val sessions = sessionedEvents(events, gapSeconds)
+      .groupBy("user_id", "sid")
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("touch"),
+           array_sort(collect_set(col("event_type"))).as("channels"),
+           sum(when(col("event_type") === "purchase",
+                    expr("cast(round(value * 100) as bigint)")).otherwise(0L)).as("purch_cents"))
+    sessions
+      .select(col("touch"), col("purch_cents"),
+              size(col("channels")).cast("bigint").as("n_ch"),
+              explode(col("channels")).as("channel"))
+      .select(col("channel"),
+        (expr("purch_cents div n_ch") +
+          when(col("channel") === col("touch"), expr("purch_cents % n_ch"))
+            .otherwise(lit(0L))).as("credit"),
+        (col("purch_cents") > 0).cast("bigint").as("converting"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_sessions_present"),
+           sum("converting").as("n_converting_present"),
+           sum("credit").as("credit_cents"))
       .orderBy("channel")
   }
 

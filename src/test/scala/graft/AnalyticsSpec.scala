@@ -1642,6 +1642,34 @@ class AnalyticsSpec extends SparkSpecBase {
       "every session must be attributed to exactly one channel")
   }
 
+  test("attributionLinear: integer split conserves every cent; hand session splits with remainder on the touch") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    def us(offsetMin: Long) = t0 + offsetMin * 60000000L
+    // one session: view (touch) -> click -> purchase of 10.01 = 1001 cents
+    // over 3 distinct channels: 333 each, remainder 2 to the touch (view)
+    val events = Seq(
+      (1L, 10L, "view", us(0), 0.0),
+      (1L, 11L, "click", us(5), 0.0),
+      (1L, 12L, "purchase", us(10), 10.01))
+      .toDF("user_id", "event_id", "event_type", "tsus", "value")
+      .withColumn("ts", timestamp_micros(col("tsus")))
+    val out = Analytics.attributionLinearFrom(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      "view" -> ((1L, 1L, 335L)),    // 333 + remainder 2
+      "click" -> ((1L, 1L, 333L)),
+      "purchase" -> ((1L, 1L, 333L))))
+    // conservation on the corpus: linear credits sum to EXACTLY the
+    // first-touch totals (both equal total purchase cents)
+    val linear = Analytics.attributionLinear(spark, sf0001)
+      .collect().map(_.getLong(3)).sum
+    val firstTouch = Analytics.attributionTouch(spark, sf0001)
+      .collect().map(_.getLong(4)).sum
+    assert(linear === firstTouch,
+      "the integer split must conserve every cent of purchase value")
+  }
+
   test("cusumFrom: closed-form windows equal the sequential recurrence; sustained shift alarms, stationary never") {
     import spark.implicits._
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
