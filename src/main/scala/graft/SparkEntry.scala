@@ -89,6 +89,7 @@ object SparkEntry {
     "order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
     "quantile_recall" -> ((s, d) => Analytics.quantileRecall(s, d)),
+    "winsorize_stats" -> ((s, d) => Analytics.winsorizeStats(s, d)),
     "quantile_rollup" -> ((s, d) => Analytics.quantileRollup(s, d)),
     "hll_rollup" -> ((s, d) => Analytics.hllRollup(s, d)),
     "stream_hll" -> ((s, d) => graft.streaming.EventStreams.streamHllQuery(s, d)),
@@ -1868,6 +1869,29 @@ object SparkEntry {
         |  es.bound_cents,
         |  CAST(abs(es.est_cents - ex.exact_cents) <= es.bound_cents AS BIGINT) AS within_bound
         |FROM ex JOIN es ON ex.q = es.q ORDER BY ex.q""".stripMargin,
+    // winsorize_stats: per-type sparse histogram + cum, both band bounds
+    // as min-bin midpoints, then the integer clamp aggregation. Same bin
+    // arithmetic as quantile_sketch, per scope.
+    "winsorize_stats" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM e),
+        |bi AS (SELECT event_type, cents, (cents - mn) * 1024 // (mx - mn + 1) AS bin FROM e, b),
+        |h AS (SELECT event_type, bin, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |w AS (SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM h),
+        |lo AS (SELECT event_type, CAST(mn + (2 * min(bin) + 1) * (mx - mn + 1) // 2048 AS BIGINT) AS lo_cents
+        |  FROM w, b WHERE cum >= (1 * n + 99) // 100 GROUP BY event_type, mn, mx),
+        |hi AS (SELECT event_type, CAST(mn + (2 * min(bin) + 1) * (mx - mn + 1) // 2048 AS BIGINT) AS hi_cents
+        |  FROM w, b WHERE cum >= (99 * n + 99) // 100 GROUP BY event_type, mn, mx)
+        |SELECT bi.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        |  CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+        |  min(lo_cents) AS lo_cents, min(hi_cents) AS hi_cents,
+        |  CAST(sum(greatest(least(cents, hi_cents), lo_cents)) AS BIGINT) AS winsorized_cents
+        |FROM bi JOIN lo ON bi.event_type = lo.event_type
+        |        JOIN hi ON bi.event_type = hi.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // quantile_rollup: the mergeable histogram cube replayed relationally —
     // per-cell bin counts ARE the state, the __all__ level is the per-bin
     // SUM of the stored cell counts (exactly graft_hist_merge's

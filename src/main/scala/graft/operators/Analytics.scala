@@ -297,6 +297,54 @@ object Analytics {
       .orderBy("scope", "q")
   }
 
+  /** WINSORIZATION report — the robust-scaling pass a feature pipeline
+    * runs before training on a heavy-tailed metric: per event type, clamp
+    * values to the [p01, p99] band so a single fat-finger amount cannot
+    * dominate a mean or a gradient ([[outlierEvents]] FLAGS 3σ rows; this
+    * produces the clamped STATISTICS — the other standard treatment).
+    * The band bounds come from the per-type equi-width histogram (the
+    * [[quantileSketch]] arithmetic per scope): winsorization needs a
+    * robust cut, not an exact order statistic, and the sketch gives it
+    * from metadata-sized state — the read-out is integer bin midpoints,
+    * so every clamp decision and the clamped sum are exact longs both
+    * engines agree on (a percentile_cont bound would interpolate floats).
+    *
+    * 100 TB: two scans, no sort of data mass — the per-(type, bin) grid
+    * partial-aggs off the first scan, both bounds read off ≤|types|·bins
+    * sketch rows (windows over metadata), and the clamp pass rides the
+    * second scan with the |types|-row bound table broadcast; output is
+    * |types| rows. */
+  def winsorizeStats(spark: SparkSession, sfDir: String, bins: Int = 1024,
+                     loQ: Int = 1, hiQ: Int = 99): DataFrame = {
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min("cents").as("mn"), max("cents").as("mx"))
+    val binned = cents.crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("cents"),
+              expr(s"(cents - mn) * $bins div (mx - mn + 1)").as("bin"))
+    val hist = binned.groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("event_type").orderBy("bin")))
+    def boundAt(q: Int, name: String) = hist
+      .filter(col("cum") >= expr(s"($q * n + 99) div 100"))
+      .groupBy("event_type").agg(min("bin").as("bin"))
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+              expr(s"mn + (2 * bin + 1) * (mx - mn + 1) div ${2L * bins}").as(name))
+    val lims = boundAt(loQ, "lo_cents").join(boundAt(hiQ, "hi_cents"), "event_type")
+    binned.join(broadcast(lims), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum((col("cents") < col("lo_cents")).cast("bigint")).as("n_clamped_lo"),
+           sum((col("cents") > col("hi_cents")).cast("bigint")).as("n_clamped_hi"),
+           min("lo_cents").as("lo_cents"),
+           min("hi_cents").as("hi_cents"),
+           sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+             .as("winsorized_cents"))
+      .orderBy("event_type")
+  }
+
   /** Declared HLL precision (p → m = 2^p registers), shared with the SQL
     * oracle: m = 256 registers = 2 KB of state per cell for ~6.5%
     * (1.04/√m) standard error — the space/error point production

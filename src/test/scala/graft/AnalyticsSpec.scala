@@ -1642,6 +1642,47 @@ class AnalyticsSpec extends SparkSpecBase {
       "every session must be attributed to exactly one channel")
   }
 
+  test("winsorizeStats: bounds replay from a scalar histogram; clamping bites both tails and only the tails") {
+    val out = Analytics.winsorizeStats(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+                                   r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.nonEmpty)
+    // scalar replay: per-type bounds from the same bin arithmetic over
+    // collected data, then the clamp statistics recomputed independently
+    val rows = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mn = rows.map(_._2).min
+    val mx = rows.map(_._2).max
+    val r = mx - mn + 1
+    rows.groupBy(_._1).foreach { case (tpe, trs) =>
+      val cents = trs.map(_._2)
+      val n = cents.length.toLong
+      val byBin = cents.groupBy(c => (c - mn) * 1024L / r)
+        .map { case (b, vs) => b -> vs.length.toLong }
+      val sortedBins = byBin.toSeq.sortBy(_._1)
+      def boundAt(q: Long): Long = {
+        val target = (q * n + 99L) / 100L
+        var cum = 0L
+        val bin = sortedBins.collectFirst {
+          case (b, c) if { cum += c; cum >= target } => b
+        }.get
+        mn + (2L * bin + 1L) * r / 2048L
+      }
+      val (lo, hi) = (boundAt(1), boundAt(99))
+      val (gn, gLo, gHi, gLoB, gHiB, gSum) = out(tpe)
+      assert(gn === n && gLoB === lo && gHiB === hi, s"type $tpe bounds")
+      assert(gLo === cents.count(_ < lo).toLong)
+      assert(gHi === cents.count(_ > hi).toLong)
+      assert(gSum === cents.map(c => math.max(lo, math.min(hi, c))).sum)
+      // the clamp is a TAIL treatment: each side touches under 3% of rows
+      // (1% target + bin-midpoint slack), and the band is non-degenerate
+      assert(lo < hi)
+      assert(gLo * 100 <= 3 * n && gHi * 100 <= 3 * n,
+        s"type $tpe clamps too much: lo=$gLo hi=$gHi of $n")
+    }
+  }
+
   test("attributionLinear: integer split conserves every cent; hand session splits with remainder on the touch") {
     import spark.implicits._
     val t0 = 1700000000000000L
