@@ -186,21 +186,30 @@ object Bench {
     val peakExec = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     val spilled = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     val peakState = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    // per-(query, pass) fingerprint-gate MISSES: a query timed while a gated
+    // artifact store rebuilds measures the rebuild, not the plan (r11's
+    // corpus_export anomaly — 2.1× in the final artifact only, 0.41–0.44s in
+    // all five earlier seals). The flag makes that state observable per
+    // sample, so BenchDiff can discard rebuild-tainted samples explicitly.
+    val rebuilds = scala.collection.mutable.Map[(String, Int), Long]().withDefaultValue(0L)
     def runPass(pass: Int): Map[String, (Option[String], Double)] =
       ordered.map { case (name, fn) =>
         val gc0 = gcMillis
         probe.reset()
+        val rb0 = graft.sources.Warehouse.artifactRebuildCount
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable => Some(e.getClass.getSimpleName) }
         val t = (System.nanoTime() - t0) / 1e9
         val (pe, sp, ps) = probe.snapshot()
+        val rb = graft.sources.Warehouse.artifactRebuildCount - rb0
         peakExec(name) = math.max(peakExec(name), pe)
         spilled(name) = math.max(spilled(name), sp)
         peakState(name) = math.max(peakState(name), ps)
+        rebuilds((name, pass)) = rb
         // per-query telemetry BEFORE isolation, so the cost a query leaves
         // behind (heap growth, GC tax it caused) is attributed to it
-        System.err.println(f"[bench:p$pass] $name%-28s t=$t%7.3fs gc=+${gcMillis - gc0}%4dms heap=${usedHeapMb}%5dMB exec=${pe >> 20}%4dMB state=${ps >> 10}%6dKB")
+        System.err.println(f"[bench:p$pass] $name%-28s t=$t%7.3fs gc=+${gcMillis - gc0}%4dms heap=${usedHeapMb}%5dMB exec=${pe >> 20}%4dMB state=${ps >> 10}%6dKB rebuilds=$rb")
         if (isolate) isolateQueryState(spark)
         name -> (err, t)
       }.toMap
@@ -262,7 +271,8 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench/full_latest.json")
     val perQuery = results.sortBy(_._1).map { case (k, e, v, _) =>
       val err = e.map(x => s""","err":"$x"""").getOrElse("")
-      s""""$k":{"sec":$v,"p1":${pass1(k)._2},"p2":${pass2(k)._2},"peak_exec_mb":${peakExec(k) >> 20},"spill_mb":${spilled(k) >> 20},"peak_state_kb":${peakState(k) >> 10}$err}"""
+      val rb = s""","rebuilds_p1":${rebuilds((k, 1))},"rebuilds_p2":${rebuilds((k, 2))},"artifacts_rebuilt":${if (rebuilds((k, 1)) + rebuilds((k, 2)) > 0) "true" else "false"}"""
+      s""""$k":{"sec":$v,"p1":${pass1(k)._2},"p2":${pass2(k)._2},"peak_exec_mb":${peakExec(k) >> 20},"spill_mb":${spilled(k) >> 20},"peak_state_kb":${peakState(k) >> 10}$rb$err}"""
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"sf":"$sfDir","cpus":$cpus,"total_sec":$total,"failed":$failed,"flaky":$flaky,$calib,

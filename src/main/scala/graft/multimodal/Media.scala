@@ -1179,6 +1179,7 @@ object Media {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val version = Paths.get(s"$rootPath.v$fp")
     if (!Files.isDirectory(version)) {
+      graft.sources.Warehouse.noteArtifactRebuild()
       val tmp = Paths.get(s"$rootPath.tmp-${java.util.UUID.randomUUID()}")
       build(tmp)
       try Files.move(tmp, version, StandardCopyOption.ATOMIC_MOVE)

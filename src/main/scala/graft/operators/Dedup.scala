@@ -67,8 +67,16 @@ object Dedup {
       TextAnalysis.NfcSuffixUnit, java.text.Normalizer.Form.NFC)
     val base = docs.select(col("doc_id"),
       concat(col("text"), lit(composed)).as("t"))
+    // Twin ids live in a DERIVED disjoint id space: offset = max(doc_id)+1,
+    // computed as a 1-row broadcast (not a fixed constant — a constant
+    // offset silently collides with real ids once the corpus outgrows it,
+    // merging unrelated rows; r11 ADVICE). Twin ids stay strictly larger
+    // than every base id, so canonical_id = min is always the base doc.
+    val off = docs.agg(
+      (coalesce(max(col("doc_id")), lit(0L)) + 1L).as("twin_off"))
     val twins = docs.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("twin_off")).as("doc_id"),
               concat(col("text"), lit(TextAnalysis.NfcSuffixUnit)).as("t"))
     base.unionByName(twins)
       .select(col("doc_id"),

@@ -1536,12 +1536,12 @@ object Relational {
       .agg(sum(col("a.w") * col("b.w")).as("exact_pairs"))
     val ca = amsCells(ea, depth, width)
     val cb = amsCells(ob, depth, width)
-    val est = ca.as("ca")
-      .join(cb.as("cb"), col("ca.i") === col("cb.i") && col("ca.b") === col("cb.b"))
-      .groupBy(col("ca.i"))
-      .agg(sum(col("ca.cell") * col("cb.cell")).as("row_est"))
-      .agg(sort_array(collect_list("row_est")).as("rs"))
-      .select(element_at(col("rs"), depth / 2 + 1).as("est_pairs"))
+    val est = medianRowEstimate(
+      ca.as("ca")
+        .join(cb.as("cb"), col("ca.i") === col("cb.i") && col("ca.b") === col("cb.b"))
+        .groupBy(col("ca.i")).agg(sum(col("ca.cell") * col("cb.cell")).as("row_est"))
+        .select(col("i"), col("row_est")),
+      depth)
     exact.crossJoin(broadcast(est))
       .select(col("exact_pairs"), col("est_pairs"),
         expr("(est_pairs - exact_pairs) * 1000 div exact_pairs").as("err_permille"))
@@ -1567,10 +1567,25 @@ object Relational {
     * shared with the streaming twin, whose state store maintains exactly
     * these `(i, b, cell)` rows. */
   private[graft] def amsEstimate(cells: DataFrame, depth: Int): DataFrame =
-    cells
-      .groupBy("i").agg(sum(col("cell") * col("cell")).as("row_est"))
+    medianRowEstimate(
+      cells.groupBy("i").agg(sum(col("cell") * col("cell")).as("row_est")),
+      depth)
+
+  /** Densify per-row estimates to the FULL depth before the median read:
+    * a depth row with no surviving cells (empty table; a cross pair whose
+    * sketches share no populated (i, b) cell) means its F₂ / inner-product
+    * contribution is exactly 0, not absent — without the densify,
+    * `element_at(rs, depth/2 + 1)` over the short array reads past the end
+    * and the estimate silently becomes NULL on degenerate inputs (r11
+    * ADVICE). A `spark.range(depth)` left join is metadata-sized. */
+  private[graft] def medianRowEstimate(rowEsts: DataFrame, depth: Int): DataFrame = {
+    val full = rowEsts.sparkSession.range(depth)
+      .select(col("id").cast("int").as("i"))
+    full.join(rowEsts, Seq("i"), "left")
+      .select(coalesce(col("row_est"), lit(0L)).as("row_est"))
       .agg(sort_array(collect_list("row_est")).as("rs"))
       .select(element_at(col("rs"), depth / 2 + 1).as("est_pairs"))
+  }
 
   /** The (exact, estimate, error) report — exact F₂ from the batch table
     * (the instrument's ground truth), estimate from whichever grid

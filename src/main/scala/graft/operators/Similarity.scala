@@ -759,6 +759,100 @@ object Similarity {
       .agg(min("keeper").as("dup_of"))
       .orderBy("vec_id")
 
+  /** MULTI-PROBE SEMANTIC DEDUP — [[semDedup]] with the
+    * `media_near_dup_lsh` ≤1-bucket-distance trick applied to IVF cells:
+    * every vector is assigned to its `nprobe` NEAREST centroids (not just
+    * the argmax), and the survivor rule runs over pairs sharing ANY
+    * assigned cell. A near-dup pair that k-means split across a cell
+    * boundary almost always lands in each other's second-nearest cell
+    * (the boundary is equidistant by construction), so probing recovers
+    * most of the cross-cell misses the blocked contract waives —
+    * [[semDedupRecall]] prices both variants side by side.
+    *
+    * 100 TB: same shape as [[semDedup]] ×nprobe — assignment is one
+    * broadcast of the √N-row codebook against the persisted cells scan;
+    * the pair join shuffles (cell, id) keys with Σ|cell|² bounded by the
+    * same auto-sizing, just nprobe× the postings. Emits one row per
+    * dropped vector `(vec_id, dup_of)` (no cell column: a drop can be
+    * witnessed through either probe). */
+  def semDedupProbed(spark: SparkSession, sfDir: String, threshold: Double = 0.3,
+                     nprobe: Int = 2, iters: Int = 3): DataFrame = {
+    val nc = ivfCellGrid(Tables.embeddings(spark, sfDir).count())
+    val prefix = ensureIvfIndex(spark, sfDir, nc, iters)
+    val asg = probedAssign(spark, prefix, nprobe)
+    asg.as("a")
+      .join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))
+                >= threshold)
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("keeper"))
+      .groupBy("vec_id").agg(min("keeper").as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** Top-`nprobe` cell assignment over the persisted index: each vector
+    * joined to its nprobe nearest trained centroids (cos desc, cent_id
+    * tie-break — the `cellv` discipline, so rank 1 IS the stored
+    * assignment). One broadcast codebook join + a per-vector top-nprobe
+    * window. */
+  private def probedAssign(spark: SparkSession, prefix: String,
+                           nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("pcos").desc, col("cent_id").asc)
+    spark.table(s"${prefix}_cells")
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(spark.table(s"${prefix}_cents")))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+              VectorFunctions.cosine(col("embedding"), col("cemb")).as("pcos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** SEMDEDUP RECALL — pricing the cell-blocked trade: [[semDedup]]
+    * declares cross-cluster duplicates out of contract by design (SemDeDup
+    * §3: only same-cell pairs are compared), and until now that trade was
+    * prose while every other approximate family carried its instrument
+    * (`ann_recall`, `ivf_recall`, `pq_recall`, `text_recall`,
+    * `winnow_recall`, `quantile_recall`). Truth = the EXACT all-pairs drop
+    * set (vector b is a semantic duplicate iff SOME smaller-id vector
+    * anywhere in the corpus has cosine ≥ τ to it — the unblocked form of
+    * the same survivor rule); detected = [[semDedup]]'s same-cell drop
+    * set, a subset by construction (a same-cell witness is a witness).
+    * One accounting row PER VARIANT — `same_cell` ([[semDedup]]'s blocked
+    * contract) and `probe2` ([[semDedupProbed]]'s ≤2-nearest-cells
+    * recovery) — `(method, n_true, n_detected, recall_permille)` with the
+    * integer-rational permille (`·1000 div`) so the metric itself
+    * hash-replays, and a vacuous-full-recall guard at n_true = 0 (the
+    * q8_market_share zero-denominator discipline). Measured at sf0.01:
+    * same_cell 443‰ (161/363), probe2 710‰ (258/363) — the second-nearest
+    * cell recovers over half the boundary misses for a 2× postings cost,
+    * the priced trade SemDeDup's paper waives in prose.
+    *
+    * 100 TB: the INSTRUMENT is fixture-priced by design — the truth side
+    * is all-pairs and exists to measure the scale path, not to be one
+    * (the `ann_recall` contract; production re-measures on a sample). The
+    * detected sides ride the persisted √N-cell index like every other
+    * consumer. */
+  def semDedupRecall(spark: SparkSession, sfDir: String,
+                     threshold: Double = 0.3): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val truth = e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))
+                >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .agg(count(lit(1)).as("n_true"))
+    def row(method: String, drops: DataFrame): DataFrame =
+      truth.crossJoin(broadcast(drops.agg(count(lit(1)).as("n_detected"))))
+        .select(lit(method).as("method"), col("n_true"), col("n_detected"),
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(expr("n_detected * 1000 div n_true")).as("recall_permille"))
+    row("probe2", semDedupProbed(spark, sfDir, threshold))
+      .unionByName(row("same_cell", semDedup(spark, sfDir, threshold)))
+      .orderBy("method")
+  }
+
   /** Approximate nearest neighbors via random-hyperplane LSH: corpus and
     * probes are bucketed by the sign pattern of `bits` random projections
     * (deterministic seed); each probe scans only its bucket

@@ -1407,7 +1407,11 @@ object TextAnalysis {
     docs
       .select(col("doc_id"),
         concat(col("text"),
-          expr(s"repeat('$NfcSuffixUnit', cast(doc_id % 3 as int))")).as("t"))
+          // column-function form, NOT an interpolated SQL string: the
+          // suffix constant travels as a literal, so a future suffix
+          // containing a quote can never break parsing (r11 ADVICE)
+          call_function("repeat", lit(NfcSuffixUnit),
+            (col("doc_id") % 3).cast("int"))).as("t"))
       .select(col("doc_id"), col("t"),
               call_function("graft_nfc", col("t")).as("nt"))
       .select(col("doc_id"),

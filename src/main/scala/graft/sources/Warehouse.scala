@@ -260,9 +260,23 @@ object Warehouse {
   def ensureDerivedTables(spark: SparkSession, tables: Seq[String], fp: String)
                          (build: => Unit): Unit = {
     if (tablesCurrent(spark, tables, fp)) return
+    noteArtifactRebuild()
     build
     tables.foreach(stampFingerprint(spark, _, fp))
   }
+
+  /** Process-wide count of fingerprint-gate MISSES (artifact rebuilds) —
+    * benchmark instrumentation: a query timed while its gated store
+    * rebuilds measures the rebuild, not the plan (r11's `corpus_export`
+    * final-artifact anomaly, unreproducible across five earlier seals).
+    * [[graft.Bench]] snapshots this around every timed query and reports
+    * the delta per query (`rebuilds_p1`/`rebuilds_p2`), so a cold rebuild
+    * can never masquerade as a plan regression again. Every gated builder
+    * reports here: [[ensureDerivedTables]] and the versioned staged-root
+    * writer ([[graft.multimodal.Media]]'s `ensureVersioned`). */
+  private val rebuildCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def artifactRebuildCount: Long = rebuildCounter.get()
+  def noteArtifactRebuild(): Unit = { rebuildCounter.incrementAndGet(); () }
 
   /** Equi-join of two tables bucketed on the join keys: with matching
     * bucket counts Catalyst plans bucket-local SortMergeJoin, no Exchange

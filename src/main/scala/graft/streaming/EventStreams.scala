@@ -1170,7 +1170,15 @@ object EventStreams {
     * merges on both forms); the oracle is the island SQL restricted to
     * `session_end ≤ final watermark`, rolled up per channel. State =
     * OPEN sessions only (bounded by active users × gap), each carrying
-    * three longs + the running touch. */
+    * three longs + the running touch.
+    *
+    * Boundary note (r11 ADVICE): the island oracle keeps an event exactly
+    * `gap` after its predecessor in-session (strict `>` starts a session);
+    * the batch session_window probe pinned the same exact-touch-merges
+    * convention. The corpus's µs-grained timestamps make an exact-gap
+    * adjacent pair measure-zero, and StreamingSpec's boundary-fixture
+    * guard asserts none exists at any gated sf — so the shared oracle pins
+    * the boundary rather than assuming it. */
   def streamAttributionQuery(spark: SparkSession, sfDir: String,
                              gap: String = "30 minutes"): DataFrame = {
     val agg = eventsStream(spark, sfDir)

@@ -49,6 +49,20 @@ object BenchDiff {
     else 1.0
   }
 
+  /** Queries whose timed samples were rebuild-tainted in BOTH passes of the
+    * new artifact (`rebuilds_p1` and `rebuilds_p2` both > 0) — then even the
+    * min-time sample includes a fingerprint-gated artifact rebuild, and the
+    * number measures store construction, not the plan (r11's corpus_export
+    * adjudication made structural). With one clean pass the min already
+    * selects it, so only the both-tainted case is excluded. Artifacts
+    * predating the flag yield the empty set. */
+  private def rebuildTaintedOf(root: JsonNode): Set[String] =
+    root.path("queries").properties().asScala.collect {
+      case e if e.getValue.isObject &&
+        e.getValue.path("rebuilds_p1").asLong(0L) > 0L &&
+        e.getValue.path("rebuilds_p2").asLong(0L) > 0L => e.getKey
+    }.toSet
+
   /** query -> seconds, from either artifact shape; failed entries dropped
     * in BOTH shapes ("err:*" strings in the legacy map, objects carrying
     * an "err" field in the full artifact — a failed query's "sec" is its
@@ -88,8 +102,14 @@ object BenchDiff {
     println(s"[benchdiff] added: ${(newT.keySet -- oldT.keySet).toSeq.sorted.mkString(",")}")
     println(s"[benchdiff] removed: ${(oldT.keySet -- newT.keySet).toSeq.sorted.mkString(",")}")
 
-    val regressions = rows.filter { case (_, o, n, raw, norm) =>
+    val overThreshold = rows.filter { case (_, o, n, raw, norm) =>
       math.min(raw, norm) > threshold && (o >= 0.2 || n >= 0.2)
+    }
+    val tainted = rebuildTaintedOf(newRoot)
+    val (excluded, regressions) = overThreshold.partition(r => tainted.contains(r._1))
+    excluded.foreach { case (q, o, n, raw, norm) =>
+      println(f"[benchdiff] REBUILD-TAINTED (excluded): $q%-28s old=$o%7.3fs new=$n%7.3fs " +
+        f"raw=$raw%5.2fx norm=$norm%5.2fx — both passes rebuilt a gated artifact; re-measure warm")
     }
     if (regressions.isEmpty)
       println(s"[benchdiff] REGRESSIONS: none (> ${threshold}x on BOTH raw and calib-normalized)")

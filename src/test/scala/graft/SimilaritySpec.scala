@@ -394,6 +394,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again === out)
   }
 
+  test("semdedup_recall: both drop sets are subsets of truth; probing strictly helps on the corpus") {
+    val rows = Similarity.semDedupRecall(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("same_cell", "probe2"))
+    val (tS, dS, rS) = rows("same_cell")
+    val (tP, dP, rP) = rows("probe2")
+    assert(tS === tP, "both methods must price against the same truth set")
+    // detected ⊆ truth (a same-cell / probed witness is a global witness)
+    assert(dS <= tS && dP <= tP)
+    // probe2's pair set is a superset (rank-1 cells are retained), so its
+    // drop count and recall can only be ≥ the blocked contract's
+    assert(dP >= dS && rP >= rS)
+    // the cell-blocked trade is real on this corpus (strictly below full
+    // recall) and probing recovers part of it (strictly above same_cell)
+    assert(rS < 1000L && rP > rS,
+      s"expected same_cell < probe2 < 1000, got $rS / $rP")
+    // the probed drop set contains every same-cell drop, row for row
+    val probed = Similarity.semDedupProbed(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val blocked = Similarity.semDedup(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(blocked.subsetOf(probed),
+      "every same-cell drop must be witnessed by the 2-probe assignment too")
+  }
+
   test("semDedupText catches order-scrambled paraphrases that shingle dedup cannot see") {
     import spark.implicits._
     // A scrambled re-rendering shares ZERO word trigrams with its original

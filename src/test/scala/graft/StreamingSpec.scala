@@ -1225,4 +1225,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(evicted < all,
       s"every session closed before the watermark ($evicted of $all) — the fixture cannot exercise eviction")
   }
+
+  test("session boundary fixture guard: no exact-gap adjacent event pair exists in the corpus") {
+    // The island-chain batch ops (sessionize / attribution) keep an event
+    // EXACTLY `gap` after its predecessor in-session (strict `> gap` starts
+    // a new one), and the batch session_window probe pinned the same
+    // exact-touch-merges convention (RelationalSpec). The streaming
+    // session_window twins share the batch oracles, so an exact-gap pair in
+    // the CORPUS would make any engine-side boundary drift invisible until
+    // it flipped a driver hash (r11 ADVICE). µs-grained synthetic
+    // timestamps make an exact 1800.000000s delta measure-zero — assert
+    // that holds for every sf the gates run at, so the assumption is a
+    // checked fixture property, not a comment.
+    import org.apache.spark.sql.expressions.Window
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val exact = graft.sources.Tables.events(spark, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .filter(col("prev_us").isNotNull &&
+                unix_micros(col("ts")) - col("prev_us") === 1800000000L)
+        .count()
+      assert(exact === 0L,
+        s"$dir: $exact adjacent event pairs sit exactly on the 30-minute session gap — " +
+          "the shared batch/stream session oracles would no longer pin the boundary")
+    }
+  }
 }
