@@ -89,6 +89,9 @@ object SparkEntry {
     "order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "quantile_sketch" -> ((s, d) => Analytics.quantileSketch(s, d)),
     "quantile_recall" -> ((s, d) => Analytics.quantileRecall(s, d)),
+    "quantile_sketch_kll" -> ((s, d) => Analytics.quantileSketchKll(s, d)),
+    "kll_rollup" -> ((s, d) => Analytics.kllRollup(s, d)),
+    "kll_recall" -> ((s, d) => Analytics.kllRecall(s, d)),
     "winsorize_stats" -> ((s, d) => Analytics.winsorizeStats(s, d)),
     "quantile_rollup" -> ((s, d) => Analytics.quantileRollup(s, d)),
     "hll_rollup" -> ((s, d) => Analytics.hllRollup(s, d)),
@@ -591,6 +594,79 @@ object SparkEntry {
         |      FROM tf JOIN uf USING (event_id) CROSS JOIN tcl CROSS JOIN ucl),
         |bkt AS (SELECT ts_us, uid,
         |        ((tc // 8) & 1) * 8 + ((uc // 8) & 1) * 4 + ((tc // 4) & 1) * 2 + ((uc // 4) & 1) AS bucket FROM a)""".stripMargin
+
+  /** The 48-term trailing-zero sum of the shared digest — the KLL
+    * stratum, generated once for every KLL oracle (the engine computes
+    * the identical Σⱼ [h mod 2ʲ = 0]). */
+  private val kllTzSql: String =
+    (1 to 48).map(j => s"(CASE WHEN h % ${1L << j} = 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Shared KLL CTE chain over an already-shaped `(rkey, cents)` source:
+    * stratify, histogram, densified level counts, level pick, survivor
+    * index, quantile targets. Ends with `st(cents, tz)`, `lv(lvl)`,
+    * `nn(n)`, `sk(cents, i)`, `mm(m)`, `tq(q, n, istar)` in scope. */
+  private def kllCtes(srcSql: String, k: Int): String =
+    s"""WITH src AS ($srcSql),
+      |hsh AS (SELECT cents, md5_number_lower(rkey) % 9223372036854775808 AS h FROM src),
+      |st AS (SELECT cents, $kllTzSql AS tz FROM hsh),
+      |hist AS (SELECT tz, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY tz),
+      |cnts AS (SELECT r.j, COALESCE(sum(CASE WHEN h.tz >= r.j THEN h.c END), 0) AS cnt
+      |  FROM range(49) r(j) LEFT JOIN hist h ON h.tz >= r.j GROUP BY r.j),
+      |lv AS (SELECT CAST(min(j) AS BIGINT) AS lvl FROM cnts WHERE cnt <= $k),
+      |nn AS (SELECT CAST(cnt AS BIGINT) AS n FROM cnts WHERE j = 0),
+      |sk AS (SELECT cents, row_number() OVER (ORDER BY cents) AS i FROM st, lv WHERE tz >= lvl),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sk),
+      |tq AS (SELECT q, n, lvl, m,
+      |    least(m, greatest(1, ((q * n + 99) // 100
+      |      + (CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)) - 1)
+      |      // (CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)))) AS istar
+      |  FROM (SELECT unnest([50, 90, 95, 99]) AS q) qv, nn, lv, mm)""".stripMargin
+
+  /** The lineitem-price KLL chain (k = 1024), shared by
+    * `quantile_sketch_kll` and `kll_recall`. Single-line source SQL: the
+    * chain builder stripMargins the interpolated whole, so an inner
+    * multi-line string would be mangled. */
+  private val kllLineitemCtes: String = kllCtes(
+    "SELECT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':' || " +
+      "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) AS rkey, " +
+      "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem",
+    1024)
+
+  /** kll_rollup's oracle: per-event-type cells plus `__all__` computed
+    * DIRECTLY over the union rows — provably identical to the engine's
+    * state-only merge (summed histograms pick the same level; nested
+    * strata re-filter to the same survivor set). */
+  private val kllRollupSql: String =
+    s"""WITH ev AS (SELECT event_type AS scope, CAST(event_id AS VARCHAR) AS rkey,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |u AS (SELECT scope, rkey, cents FROM ev
+      |  UNION ALL SELECT '__all__', rkey, cents FROM ev),
+      |hsh AS (SELECT scope, cents, md5_number_lower(rkey) % 9223372036854775808 AS h FROM u),
+      |st AS (SELECT scope, cents, $kllTzSql AS tz FROM hsh),
+      |hist AS (SELECT scope, tz, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY 1, 2),
+      |cnts AS (SELECT s.scope, r.j,
+      |    COALESCE(sum(CASE WHEN h.tz >= r.j THEN h.c END), 0) AS cnt
+      |  FROM (SELECT DISTINCT scope FROM hist) s
+      |  CROSS JOIN range(49) r(j)
+      |  LEFT JOIN hist h ON h.scope = s.scope AND h.tz >= r.j
+      |  GROUP BY 1, 2),
+      |lv AS (SELECT scope, CAST(min(j) AS BIGINT) AS lvl FROM cnts WHERE cnt <= 1024 GROUP BY scope),
+      |nn AS (SELECT scope, CAST(cnt AS BIGINT) AS n FROM cnts WHERE j = 0),
+      |sk AS (SELECT st.scope, cents,
+      |    row_number() OVER (PARTITION BY st.scope ORDER BY cents) AS i
+      |  FROM st JOIN lv ON st.scope = lv.scope WHERE tz >= lvl),
+      |mm AS (SELECT scope, CAST(count(*) AS BIGINT) AS m FROM sk GROUP BY scope),
+      |tq AS (SELECT nn.scope, q, lvl, m,
+      |    least(m, greatest(1, ((q * n + 99) // 100
+      |      + (CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)) - 1)
+      |      // (CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)))) AS istar
+      |  FROM nn JOIN lv USING (scope) JOIN mm USING (scope),
+      |    (SELECT unnest([50, 90, 95, 99]) AS q) qv)
+      |SELECT tq.scope, CAST(q AS BIGINT) AS q,
+      |  CAST(cents AS DOUBLE) / 100 AS est_value, lvl, m AS n_kept
+      |FROM tq JOIN sk ON sk.scope = tq.scope AND sk.i = tq.istar
+      |ORDER BY tq.scope, q""".stripMargin
 
   private val knnBruteSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -1863,6 +1939,45 @@ object SparkEntry {
         |t AS (SELECT q, min(bin) AS bin FROM qv, cum, b WHERE cum >= (q * n + 99) // 100 GROUP BY q)
         |SELECT q, CAST(mn + (2 * bin + 1) * (mx - mn + 1) // 2048 AS DOUBLE) / 100 AS est_price
         |FROM t, b ORDER BY q""".stripMargin,
+    // quantile_sketch_kll: the hash-stratified KLL-style sketch replayed
+    // integer-exactly — shared digest, trailing-zero strata as a 48-term
+    // modulo sum, level = min j with survivors <= k (missing j densified
+    // to 0), survivor read-out at ceil(r / 2^lvl). Deterministic per-row
+    // survival makes even the APPROXIMATE sketch hash-gated.
+    "quantile_sketch_kll" -> (kllLineitemCtes + "\n" +
+      """SELECT CAST(q AS BIGINT) AS q, CAST(cents AS DOUBLE) / 100 AS est_price,
+        |  lvl, m AS n_kept
+        |FROM tq JOIN sk ON sk.i = tq.istar
+        |ORDER BY q""".stripMargin),
+    // kll_recall: the sketch chain, then the TEXTBOOK exact rank interval
+    // of each estimate (correlated counts — duplicates make rank an
+    // interval), the distance-to-interval error, and the declared
+    // range-free 8-sigma bound.
+    "kll_recall" -> (kllLineitemCtes + ",\n" +
+      s"""est AS (SELECT CAST(q AS BIGINT) AS q, cents AS est_cents, lvl, n, istar
+        |  FROM tq JOIN sk ON sk.i = tq.istar),
+        |rk AS (SELECT e.q, e.est_cents, e.lvl, e.n,
+        |    (SELECT count(*) FROM st WHERE cents < e.est_cents) + 1 AS lo,
+        |    (SELECT count(*) FROM st WHERE cents <= e.est_cents) AS hi
+        |  FROM est e),
+        |fin AS (SELECT q, (q * n + 99) // 100 AS r, est_cents,
+        |    CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi, lvl, n FROM rk)
+        |SELECT q, r, est_cents, lo, hi,
+        |  greatest(CAST(0 AS BIGINT), lo - r, r - hi) AS rank_err,
+        |  8 * CAST(floor(sqrt(CAST(n AS DOUBLE) *
+        |        CAST((CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)) AS DOUBLE))) AS BIGINT)
+        |    + (CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)) AS bound_rank,
+        |  CAST(greatest(CAST(0 AS BIGINT), lo - r, r - hi) <=
+        |    8 * CAST(floor(sqrt(CAST(n AS DOUBLE) *
+        |          CAST((CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)) AS DOUBLE))) AS BIGINT)
+        |      + (CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)) AS BIGINT) AS within_bound
+        |FROM fin ORDER BY q""".stripMargin),
+    // kll_rollup: the per-event-type KLL cells plus the __all__ cell. The
+    // oracle computes __all__ DIRECTLY over the union rows — provably (and
+    // engine-spec-gated) identical to the engine's state-only merge:
+    // summed stratum histograms give the same level, and nesting makes
+    // re-filtered survivors the same row set.
+    "kll_rollup" -> kllRollupSql,
     // quantile_recall: the oracle RUNS the textbook full-sort order
     // statistic (row_number over the global cents order) — the engine's
     // bin-pruned selection is differentially proven against it; the

@@ -297,6 +297,230 @@ object Analytics {
       .orderBy("scope", "q")
   }
 
+  // ------------------------------------------------------------------
+  // KLL-style rank-error-bounded mergeable quantiles (round 12)
+  // ------------------------------------------------------------------
+
+  /** Max stratification level — survivors at level 48 are a 2⁻⁴⁸ sample;
+    * no driver-scale corpus reaches it. */
+  private val KllMaxLevel = 48
+
+  /** Per-row stratum: the TRAILING-ZERO count of the row's shared 64-bit
+    * digest, computed as Σⱼ [h mod 2ʲ = 0] — 48 codegen'd integer
+    * compares, no float log, identical arithmetic in DuckDB. A row sits
+    * in stratum j with probability 2⁻ʲ, and the strata are NESTED
+    * (tz ≥ j+1 ⇒ tz ≥ j) — which is the whole design: "compaction" from
+    * level j to j+1 keeps exactly the rows whose digest carries one more
+    * zero bit, a decision precomputed per row by content, never by
+    * arrival order. */
+  private def kllStratum(h: Column): Column =
+    (1 to KllMaxLevel)
+      .map(j => when(h % lit(1L << j) === 0L, 1L).otherwise(0L))
+      .reduce(_ + _)
+
+  /** `(scope, cents, tz)` stratified rows from `(scope, rkey, cents)` —
+    * the scan-side pass every KLL query starts with (one digest + 48
+    * compares per row, zero shuffle). */
+  private[graft] def kllRows(rows: DataFrame): DataFrame =
+    rows.select(col("scope"), col("cents"),
+      kllStratum(call_function("graft_hash64", col("rkey"))).as("tz"))
+
+  /** Per-scope stratum histogram `(scope, tz, c)` — the ≤49-row-per-scope
+    * MERGEABLE STATE (histograms of disjoint shards add elementwise, like
+    * every cube member's state). */
+  private[graft] def kllHist(stratified: DataFrame): DataFrame =
+    stratified.groupBy("scope", "tz").agg(count(lit(1)).as("c"))
+
+  /** Per-scope sketch level from a stratum histogram: the smallest j with
+    * `|{rows : tz ≥ j}| ≤ k`. Also carries the scope's total row count
+    * `n` (= survivors at j = 0). Missing (scope, j) combinations densify
+    * to 0 via the range left-join (the [[graft.operators.Relational
+    * .medianRowEstimate]] discipline), so an empty scope reads level 0,
+    * not NULL. Everything here is over ≤49·|scopes| metadata rows. */
+  private[graft] def kllLevel(spark: SparkSession, hist: DataFrame,
+                              k: Int): DataFrame = {
+    val js = spark.range(KllMaxLevel + 1).select(col("id").as("j"))
+    val scopes = hist.select(col("scope")).distinct()
+    val cnts = scopes.crossJoin(js).as("g")
+      .join(hist.as("h"),
+        col("g.scope") === col("h.scope") && col("h.tz") >= col("g.j"), "left")
+      .groupBy(col("g.scope").as("scope"), col("g.j").as("j"))
+      .agg(coalesce(sum("c"), lit(0L)).as("cnt"))
+    cnts.filter(col("cnt") <= k)
+      .groupBy("scope")
+      .agg(min("j").as("lvl"))
+      .join(cnts.filter(col("j") === 0L)
+              .select(col("scope"), col("cnt").as("n")), Seq("scope"))
+  }
+
+  /** Survivors of each scope at its level: `tz ≥ lvl`, each representing
+    * `2^lvl` original rows. NESTING makes this the merge rule too — a
+    * shard's survivors at a lower level re-filter to the merged level
+    * with no information loss, so merged-from-state ≡ direct bit for bit
+    * (spec-gated). */
+  private[graft] def kllSurvivors(stratified: DataFrame,
+                                  levels: DataFrame): DataFrame =
+    stratified.join(levels, Seq("scope"))
+      .filter(col("tz") >= col("lvl"))
+      .select(col("scope"), col("cents"), col("tz"), col("lvl"), col("n"))
+
+  /** Quantile read-out over survivor rows: per scope, survivors sort by
+    * value (a window over ≤k·|scopes| SKETCH rows — metadata, never data
+    * mass); target rank r = ⌈q·n/100⌉ maps to survivor index
+    * ⌈r / 2^lvl⌉ clamped to [1, m]. Integer end to end. */
+  private def kllReadout(spark: SparkSession, survivors: DataFrame,
+                         qs: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy("scope").orderBy(col("cents").asc)
+    val indexed = survivors.withColumn("i", row_number().over(w).cast("bigint"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("scope")))
+    indexed.join(broadcast(qs.map(_.toLong).toDF("q")),
+        // i == clamp(ceil(r / w), 1, m) with r = (q·n+99) div 100,
+        // w = 2^lvl — evaluated as a join predicate over sketch rows
+        col("i") === least(col("m"), greatest(lit(1L),
+          expr("((q * n + 99) div 100 + shiftleft(cast(1 as bigint), cast(lvl as int)) - 1) " +
+               "div shiftleft(cast(1 as bigint), cast(lvl as int))"))))
+      .select(col("scope"), col("q"), col("cents").as("est_cents"),
+              col("lvl"), col("m").as("n_kept"))
+  }
+
+  /** KLL-STYLE QUANTILE SKETCH over `l_extendedprice` — the RANK-error
+    * companion to [[quantileSketch]]'s VALUE-error histogram: the
+    * histogram's `(max−min) div bins` bound degrades without limit on a
+    * heavy tail (one fat-finger price widens every bin), while this
+    * sketch's error is a pure function of n and the kept-row budget k —
+    * the range never appears.
+    *
+    * Mechanism (the deterministic derandomization of KLL's coin-flip
+    * compactor): every row draws a 64-bit digest from the SHARED
+    * engine/oracle hash; its trailing-zero count is its stratum; the
+    * sketch keeps the rows of the shallowest stratum j whose population
+    * fits the budget (`≤ k`), each standing for 2ʲ rows. Survivor
+    * selection is digest-ordered and per-row — no RNG, no arrival-order
+    * state, so the identical sketch falls out on any partitioning, any
+    * shard split, and in DuckDB (hash-gated). Rank read-out: the i-th
+    * smallest survivor estimates rank i·2ʲ; the q-quantile is the
+    * survivor nearest ⌈r/2ʲ⌉. Whp rank error is O(√(n·2ʲ)) ≈ n/√k —
+    * measured and 8σ-gated by [[kllRecall]]; n ≤ k degenerates to the
+    * EXACT order statistic (level 0 keeps everything).
+    *
+    * 100 TB: one scan-side stratification (digest + 48 compares,
+    * codegen), one ≤49-row-per-scope histogram aggregate (map-side
+    * combined), survivors filter scan-side against a broadcast level —
+    * the only full-width shuffle is the ≤k-row survivor sort, which is
+    * metadata. State (histogram + survivors) is mergeable by
+    * construction: histograms add; survivors re-filter to the merged
+    * level (nesting) — [[AnalyticsSpec]] gates merged ≡ direct
+    * bit-for-bit, the cube-member contract. */
+  /** The lineitem price rows in KLL shape — row key = (orderkey,
+    * linenumber, cents): the synthetic data duplicates some
+    * (orderkey, linenumber) pairs, and truly identical rows sharing a
+    * digest merely survive together (one item at doubled weight — a
+    * variance nudge, never a correctness issue: both engines hash the
+    * same key). */
+  private def kllLineitemRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(lit("all").as("scope"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+                  round(col("l_extendedprice") * 100).cast("long")).as("rkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+
+  /** The sketch estimates in integer cents — shared by the public query
+    * (which renders dollars) and [[kllRecall]] (which must not round-trip
+    * cents through a double). */
+  private def kllLineitemEstimates(spark: SparkSession, sfDir: String,
+                                   k: Int, qs: Seq[Int]): DataFrame = {
+    val strat = kllRows(kllLineitemRows(spark, sfDir))
+    val lvl = kllLevel(spark, kllHist(strat), k)
+    kllReadout(spark, kllSurvivors(strat, lvl), qs)
+  }
+
+  def quantileSketchKll(spark: SparkSession, sfDir: String,
+                        k: Int = 1024,
+                        qs: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame =
+    kllLineitemEstimates(spark, sfDir, k, qs)
+      .select(col("q"),
+              (col("est_cents").cast("double") / 100.0).as("est_price"),
+              col("lvl"), col("n_kept"))
+      .orderBy("q")
+
+  /** KLL ROLLUP — the fifth member of the mergeable sketch cube (KMV
+    * distinct, histogram quantiles, CMS heavy hitters, HLL, now
+    * rank-bounded quantiles): per-event-type KLL states over
+    * `events.value`, plus an `__all__` cell built FROM THE PER-CELL STATE
+    * ALONE — the summed stratum histograms pick the merged level, and the
+    * per-cell survivors re-filter to it (nesting: a row surviving at a
+    * cell's level and lying in a deep-enough stratum survives at any
+    * higher merged level — no raw row is ever re-read). Unlike the
+    * histogram member, cells need NO shared global grid: each cell picks
+    * its own level and merge still reconstructs exactly — the property
+    * that makes this the sketch to ship when shards can't coordinate
+    * bounds up front. */
+  def kllRollup(spark: SparkSession, sfDir: String,
+                k: Int = 1024, qs: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type").as("scope"),
+        col("event_id").cast("string").as("rkey"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val strat = kllRows(rows)
+    val hist = kllHist(strat)
+    val lvlCells = kllLevel(spark, hist, k)
+    val survCells = kllSurvivors(strat, lvlCells)
+    // ---- the __all__ cell: STATE-ONLY merge ----
+    val histAll = hist.groupBy("tz").agg(sum("c").as("c"))
+      .select(lit("__all__").as("scope"), col("tz"), col("c"))
+    val lvlAll = kllLevel(spark, histAll, k)
+    // survivors re-filtered from the per-cell SURVIVOR state (never the
+    // raw stratified rows): lvl_all ≥ every cell level, so nesting
+    // guarantees nothing is missing
+    val survAll = survCells
+      .select(lit("__all__").as("scope"), col("cents"), col("tz"))
+      .join(lvlAll, Seq("scope"))
+      .filter(col("tz") >= col("lvl"))
+      .select(col("scope"), col("cents"), col("tz"), col("lvl"), col("n"))
+    kllReadout(spark, survCells.unionByName(survAll), qs)
+      .select(col("scope"), col("q"),
+              (col("est_cents").cast("double") / 100.0).as("est_value"),
+              col("lvl"), col("n_kept"))
+      .orderBy("scope", "q")
+  }
+
+  /** KLL RECALL — the instrument row promised next to [[quantileRecall]]
+    * (which gates the histogram member's VALUE bound): per quantile, the
+    * sketch's estimate, the exact RANK INTERVAL that value occupies
+    * (`[lo, hi]` = [count(< est)+1, count(≤ est)] — duplicates make rank
+    * an interval, not a point), the rank error as distance from target r
+    * to that interval, and the declared 8σ sampling bound
+    * `8·⌊√(n·2^lvl)⌋ + 2^lvl` — range-free, the property the histogram
+    * bound lacks; `within_bound` gates it row by row. The exact side is
+    * two conditional counts against a ≤|qs|-row broadcast of estimates —
+    * one extra scan, never a global sort; the DuckDB oracle RUNS the
+    * textbook full-sort order statistic on the same counts. */
+  def kllRecall(spark: SparkSession, sfDir: String,
+                k: Int = 1024, qs: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val ests = kllLineitemEstimates(spark, sfDir, k, qs)
+      .select(col("q"), col("est_cents"), col("lvl"))
+    val ranks = cents.crossJoin(broadcast(ests))
+      .groupBy("q", "est_cents", "lvl")
+      .agg(count(lit(1)).as("n"),
+           (sum((col("c") < col("est_cents")).cast("long")) + 1L).as("lo"),
+           sum((col("c") <= col("est_cents")).cast("long")).as("hi"))
+    ranks
+      .withColumn("r", expr("(q * n + 99) div 100"))
+      .withColumn("rank_err",
+        greatest(lit(0L), col("lo") - col("r"), col("r") - col("hi")))
+      .withColumn("bound_rank",
+        expr("8 * cast(floor(sqrt(cast(n as double) * " +
+             "cast(shiftleft(cast(1 as bigint), cast(lvl as int)) as double))) as bigint) " +
+             "+ shiftleft(cast(1 as bigint), cast(lvl as int))"))
+      .select(col("q"), col("r"), col("est_cents"), col("lo"), col("hi"),
+              col("rank_err"), col("bound_rank"),
+              (col("rank_err") <= col("bound_rank")).cast("bigint").as("within_bound"))
+      .orderBy("q")
+  }
+
   /** WINSORIZATION report — the robust-scaling pass a feature pipeline
     * runs before training on a heavy-tailed metric: per event type, clamp
     * values to the [p01, p99] band so a single fat-finger amount cannot

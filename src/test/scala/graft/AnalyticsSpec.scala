@@ -1772,4 +1772,79 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(r.getLong(6) === 0L || r.getLong(6) === 1L)
     }
   }
+
+  test("KLL sketch: merged-from-state equals direct, bit for bit; level budget holds") {
+    import spark.implicits._
+    // three disjoint shards with VERY different sizes and value ranges, so
+    // per-shard levels differ — the regime where a shared-grid sketch
+    // (the histogram member) needs up-front coordination and this one
+    // doesn't
+    val rows = (0 until 9000).map { i =>
+      val shard = if (i < 6000) "a" else if (i < 8500) "b" else "c"
+      (shard, s"k:$i", (i.toLong * 37) % 100000L + (if (shard == "c") 10000000L else 0L))
+    }.toDF("scope", "rkey", "cents")
+    val k = 256
+    val strat = Analytics.kllRows(rows)
+    // DIRECT: one scope over the union
+    val stratU = strat.withColumn("scope", lit("u"))
+    val lvlU = Analytics.kllLevel(spark, Analytics.kllHist(stratU), k)
+    val direct = Analytics.kllSurvivors(stratU, lvlU)
+      .select("cents", "tz").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    // MERGED: per-shard states (histogram + survivors at the shard's own
+    // level), then the union level from SUMMED histograms and survivors
+    // re-filtered from the per-shard SURVIVOR state alone
+    val histPer = Analytics.kllHist(strat)
+    val lvlPer = Analytics.kllLevel(spark, histPer, k)
+    val survPer = Analytics.kllSurvivors(strat, lvlPer)
+    val histSum = histPer.groupBy("tz").agg(sum("c").as("c"))
+      .select(lit("u").as("scope"), col("tz"), col("c"))
+    val lvlM = Analytics.kllLevel(spark, histSum, k)
+    val merged = survPer.select(lit("u").as("scope"), col("cents"), col("tz"))
+      .join(lvlM, Seq("scope")).filter(col("tz") >= col("lvl"))
+      .select("cents", "tz").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(merged === direct,
+      "state-only merge must reconstruct the direct sketch exactly (nesting)")
+    // level arithmetic: the chosen level fits the budget and is minimal
+    val lu = lvlU.collect()(0)
+    val (lvl, n) = (lu.getLong(1), lu.getLong(2))
+    assert(n === 9000L)
+    assert(direct.size <= k, s"survivors ${direct.size} exceed budget $k")
+    if (lvl > 0L) {
+      val below = strat.filter(col("tz") >= lvl - 1L).count()
+      assert(below > k, s"level $lvl not minimal: level ${lvl - 1} kept $below <= $k")
+    }
+    // per-shard levels can only be <= the merged level (counts add)
+    val perLvls = lvlPer.collect().map(r => r.getLong(1))
+    val lm = lvlM.collect()(0).getLong(1)
+    assert(lm === lvl)
+    assert(perLvls.forall(_ <= lm))
+    // partitioning invariance: the same sketch on any layout
+    val again = Analytics.kllSurvivors(stratU.repartition(13), lvlU)
+      .select("cents", "tz").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(again === direct)
+  }
+
+  test("kllRecall: every quantile within the range-free rank bound; exact when n <= k") {
+    val rows = Analytics.kllRecall(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(50L, 90L, 95L, 99L))
+    rows.foreach { r =>
+      val (rank, lo, hi) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      val (err, bound, within) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(lo <= hi, "rank interval must be ordered")
+      assert(err === math.max(0L, math.max(lo - rank, rank - hi)))
+      assert(within === 1L, s"q=${r.getLong(0)} rank error $err exceeds the 8-sigma bound $bound")
+    }
+    // n <= k degenerates to level 0 = the exact order statistic: the
+    // sketch IS the data and the target rank lies inside the interval
+    import spark.implicits._
+    val small = (0 until 500).map(i => ("all", s"r:$i", (i * 7919L) % 100000L))
+      .toDF("scope", "rkey", "cents")
+    val strat = Analytics.kllRows(small)
+    val lvl = Analytics.kllLevel(spark, Analytics.kllHist(strat), 1024)
+    assert(lvl.collect()(0).getLong(1) === 0L, "n <= k must pick level 0")
+    assert(Analytics.kllSurvivors(strat, lvl).count() === 500L)
+  }
 }
