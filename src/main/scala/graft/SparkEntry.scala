@@ -331,6 +331,8 @@ object SparkEntry {
     "media_near_dup_packed" -> ((s, d) => Media.mediaNearDupPacked(s, d)),
     "media_dup_padded_packed" -> ((s, d) => Media.mediaDupPaddedPacked(s, d)),
     "media_dup_indexed" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupIndexed(s, d)),
+    "media_export" -> ((s, d) => graft.multimodal.MediaIndex.mediaExport(s, d)),
+    "media_release_report" -> ((s, d) => graft.multimodal.MediaIndex.mediaReleaseReport(s, d)),
     "media_dup_cycle" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupCycle(s, d)),
     "media_near_dup_lsh" -> ((s, d) => graft.multimodal.MediaIndex.mediaNearDupLsh(s, d)),
     "stream_media_dedup" -> ((s, d) => graft.streaming.EventStreams.streamMediaDedupQuery(s, d)),
@@ -4618,6 +4620,31 @@ object SparkEntry {
     // stream_media_dedup: the cross-split byte replay — hot df over the
     // corpus side only, drop × corpus pair join (see crossEncodedDupSql).
     "stream_media_dedup" -> crossEncodedDupSql,
+    // media_export / media_release_report: the composed release chain —
+    // every gate replayed from the staged bytes (exact digests, all three
+    // catcher chains, predicted gate metadata, one-hop takedown closure).
+    "media_export" -> (mediaReleaseCtes + """
+      |SELECT media_id, kind, n_bytes FROM fl
+      |WHERE t = 1 AND e = 1 AND c = 1 AND r = 1
+      |ORDER BY media_id""".stripMargin),
+    "media_release_report" -> (mediaReleaseCtes + """,
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(t) AS BIGINT) AS n1,
+      |         CAST(sum(t * e) AS BIGINT) AS n2, CAST(sum(t * e * c) AS BIGINT) AS n3,
+      |         CAST(sum(t * e * c * r) AS BIGINT) AS n4 FROM fl)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage_no, 'quality_gate' AS stage, n0 AS n_in,
+      |    n0 - n1 AS n_dropped, n1 AS n_out,
+      |    CASE WHEN n0 = 0 THEN 0.0 ELSE round(CAST(n0 - n1 AS DOUBLE) / n0, 4) END AS drop_rate FROM ag
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'exact_dedup', n1, n1 - n2, n2,
+      |    CASE WHEN n1 = 0 THEN 0.0 ELSE round(CAST(n1 - n2 AS DOUBLE) / n1, 4) END FROM ag
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'copy_catchers', n2, n2 - n3, n3,
+      |    CASE WHEN n2 = 0 THEN 0.0 ELSE round(CAST(n2 - n3 AS DOUBLE) / n2, 4) END FROM ag
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT), 'takedown', n3, n3 - n4, n4,
+      |    CASE WHEN n3 = 0 THEN 0.0 ELSE round(CAST(n3 - n4 AS DOUBLE) / n3, 4) END FROM ag
+      |) ORDER BY stage_no""".stripMargin),
     "media_dedup" ->
       """WITH m AS (SELECT doc_id AS canonical_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
@@ -4625,6 +4652,150 @@ object SparkEntry {
         |SELECT canonical_id, kind, CAST(2 AS BIGINT) AS n_copies
         |FROM m ORDER BY canonical_id""".stripMargin,
   )
+
+  /** The composed media-release oracle chain — the full byte replay of
+    * every gate over the staged all-copy-class universe: exact digests
+    * (`md5(hx)`), the winnow / padded-prefix / histogram-LSH pair chains
+    * (same constants as their single-catcher oracles), the quality gate
+    * over metadata PREDICTED per copy class from `documents` (the
+    * media_filter oracle discipline — including the two AVI header
+    * surgeries: a bit-3 flip at absolute byte 64 lands on dwWidth's low
+    * byte, so a perturbed AVI decodes width XOR 8; a byte DROPPED at 64
+    * shifts the avih tail, so an encoded AVI decodes garbage dims that
+    * provably fail the resolution rule — the oracle asserts t = 0 there
+    * directly), and the one-hop takedown closure. Ends with
+    * `fl(media_id, kind, n_bytes, t, e, c, r)`. */
+  private val mediaReleaseCtes: String = {
+    import graft.multimodal.MediaIndex._
+    import graft.multimodal.Media._
+    s"""WITH f AS (SELECT media_id, kind, octet_length(payload) AS n, hex(payload) AS hx
+      |           FROM read_parquet('$PackedReleaseRoot/*.parquet')),
+      |c AS (SELECT media_id, n, hx,
+      |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+      |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+      |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+      |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+      |             ELSE 'unknown' END AS container
+      |      FROM f),
+      |u AS (SELECT media_id, n, hx, unnest(range(0, n)) AS i FROM c),
+      |b AS (SELECT media_id, n, i,
+      |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+      |        + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1 AS byte,
+      |        CAST(md5_number_lower(substr(hx, CAST(2*i+1 AS INTEGER), 2)) % 4294967296 AS BIGINT) AS hb
+      |      FROM u),
+      |hh AS (SELECT media_id, list(hb ORDER BY i) AS hs FROM b GROUP BY media_id),
+      |ck AS (SELECT media_id, CASE WHEN len(hs) >= $EncodedWinnowK
+      |        THEN list_transform(range(1, len(hs) - ${EncodedWinnowK - 2}), i ->
+      |          list_reduce(hs[i:i+${EncodedWinnowK - 1}], (a, bb) -> (a * 1000003 + bb) % 4294967296))
+      |        ELSE CAST([] AS BIGINT[]) END AS ch FROM hh),
+      |sel AS (SELECT media_id, ch, CASE WHEN len(ch) >= $EncodedWinnowW
+      |        THEN list_distinct(list_transform(range(1, len(ch) - ${EncodedWinnowW - 2}), i ->
+      |          i + list_max(list_filter(range(0, $EncodedWinnowW), j ->
+      |            ch[i+j] = list_min(ch[i:i+${EncodedWinnowW - 1}])))))
+      |        ELSE CAST([] AS BIGINT[]) END AS ps FROM ck),
+      |wfp AS (SELECT DISTINCT media_id, unnest(list_transform(ps, p -> ch[p])) AS fp FROM sel),
+      |whot AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= $EncodedHotCap),
+      |wcold AS (SELECT wfp.media_id, wfp.fp FROM wfp JOIN whot USING (fp)),
+      |wcand AS (SELECT x.media_id AS ida, y.media_id AS idb
+      |          FROM wcold x JOIN wcold y ON x.fp = y.fp AND x.media_id < y.media_id
+      |          GROUP BY 1, 2 HAVING count(*) >= $EncodedMinShared),
+      |hg AS (SELECT media_id, byte // 8 AS bin, (count(*) * 1000) // min(n) AS pm
+      |       FROM b GROUP BY media_id, byte // 8),
+      |pd AS (SELECT m.media_id, t.bin, COALESCE(hg.pm, 0) AS pm
+      |       FROM (SELECT media_id FROM c) m CROSS JOIN range(32) t(bin)
+      |       LEFT JOIN hg ON hg.media_id = m.media_id AND hg.bin = t.bin),
+      |wd AS (SELECT wcand.ida, wcand.idb, sum(abs(pa.pm - pb.pm)) AS l1p
+      |       FROM wcand JOIN pd pa ON pa.media_id = wcand.ida
+      |       JOIN pd pb ON pb.media_id = wcand.idb AND pb.bin = pa.bin
+      |       GROUP BY 1, 2),
+      |wpairs AS (SELECT wd.ida, wd.idb FROM wd
+      |           JOIN c ca ON ca.media_id = wd.ida JOIN c cb ON cb.media_id = wd.idb
+      |           WHERE ca.container = cb.container AND wd.l1p <= $PermilleL1Max),
+      |cp AS (SELECT media_id, container, md5(substr(hx, 1, 512)) AS pmd5 FROM c),
+      |ppr AS (SELECT a.media_id AS ida, b2.media_id AS idb
+      |        FROM cp a JOIN cp b2 ON a.container = b2.container
+      |          AND a.pmd5 = b2.pmd5 AND a.media_id < b2.media_id),
+      |ppd AS (SELECT ppr.ida, ppr.idb, sum(abs(pa.pm - pb.pm)) AS l1p
+      |        FROM ppr JOIN pd pa ON pa.media_id = ppr.ida
+      |        JOIN pd pb ON pb.media_id = ppr.idb AND pb.bin = pa.bin
+      |        GROUP BY 1, 2),
+      |ppairs AS (SELECT ida, idb FROM ppd WHERE l1p <= $PermilleL1Max),
+      |r AS (SELECT j, bin,
+      |        CASE WHEN md5_number_lower('$MediaLshSeed' || j || '_' || bin) % 2 = 0 THEN 1 ELSE -1 END AS rv
+      |      FROM range($MediaLshBands * $MediaLshProj) tj(j) CROSS JOIN range(32) tb(bin)),
+      |q AS (SELECT pd.media_id, r.j,
+      |        (sum(r.rv * pd.pm) + $MediaLshOffset) // $MediaLshW AS qv
+      |      FROM pd JOIN r ON r.bin = pd.bin GROUP BY 1, 2),
+      |qd AS (SELECT a.media_id AS ida, b2.media_id AS idb,
+      |         a.j // $MediaLshProj AS band, max(abs(a.qv - b2.qv)) AS md
+      |       FROM q a JOIN q b2 ON a.j = b2.j AND a.media_id < b2.media_id
+      |       GROUP BY 1, 2, 3),
+      |lcand AS (SELECT DISTINCT qd.ida, qd.idb
+      |          FROM qd JOIN c ca ON ca.media_id = qd.ida
+      |          JOIN c cb ON cb.media_id = qd.idb
+      |          WHERE qd.md <= 1 AND ca.container = cb.container),
+      |ld AS (SELECT lcand.ida, lcand.idb, sum(abs(pa.pm - pb.pm)) AS l1p
+      |       FROM lcand JOIN pd pa ON pa.media_id = lcand.ida
+      |       JOIN pd pb ON pb.media_id = lcand.idb AND pb.bin = pa.bin
+      |       GROUP BY 1, 2),
+      |lpairs AS (SELECT ida, idb FROM ld WHERE l1p <= $MediaLshL1Max),
+      |ex AS (SELECT media_id, md5(hx) AS sig FROM f),
+      |keepx AS (SELECT sig, min(media_id) AS keep_id FROM ex GROUP BY sig),
+      |epairs AS (SELECT keepx.keep_id AS ida, ex.media_id AS idb
+      |           FROM ex JOIN keepx USING (sig) WHERE ex.media_id <> keepx.keep_id),
+      |cpairs AS (SELECT ida, idb FROM wpairs UNION SELECT ida, idb FROM ppairs
+      |           UNION SELECT ida, idb FROM lpairs),
+      |apairs AS (SELECT ida, idb FROM cpairs UNION SELECT ida, idb FROM epairs),
+      |mxo AS (SELECT max(doc_id) + 1 AS off FROM documents),
+      |bm AS (SELECT doc_id, kind, len,
+      |    CAST(len + CASE WHEN kind = 'image' THEN CASE WHEN par = 0 THEN 57 ELSE 41 END
+      |               WHEN kind = 'audio' THEN 44 ELSE 100 END AS BIGINT) AS n0,
+      |    CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (len * 7) % 1216 END AS BIGINT) AS w0,
+      |    CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (len * 13) % 656 END AS BIGINT) AS h0,
+      |    CAST(CASE WHEN kind = 'image' THEN 1 WHEN kind = 'audio' THEN len ELSE 1 + len % 240 END AS BIGINT) AS f0
+      |  FROM (SELECT doc_id,
+      |          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |          CAST(doc_id % 2 AS INTEGER) AS par, strlen(text) AS len FROM documents)),
+      |uni AS (
+      |  SELECT doc_id AS media_id, kind, n0 AS nb, w0 AS w, h0 AS h, f0 AS fr, 0 AS broken FROM bm
+      |  UNION ALL
+      |  SELECT doc_id + off, kind, n0, w0, h0, f0, 0 FROM bm, mxo WHERE doc_id % 9 = 4
+      |  UNION ALL
+      |  SELECT doc_id + 2 * off, kind, n0,
+      |    CASE WHEN kind = 'video' AND n0 >= 256 THEN xor(w0, 8) ELSE w0 END, h0, f0, 0
+      |  FROM bm, mxo WHERE doc_id % 13 = 6
+      |  UNION ALL
+      |  SELECT doc_id + 3 * off, kind,
+      |    CASE WHEN n0 >= 512 THEN n0 + 37 ELSE n0 END, w0, h0, f0, 0
+      |  FROM bm, mxo WHERE doc_id % 13 = 8
+      |  UNION ALL
+      |  SELECT doc_id + 4 * off, kind,
+      |    CASE WHEN n0 >= 512 THEN n0 - ((n0 - 65) // 101 + 1) ELSE n0 END, w0, h0, f0,
+      |    CASE WHEN kind = 'video' AND n0 >= 512 THEN 1 ELSE 0 END
+      |  FROM bm, mxo WHERE doc_id % 13 = 11),
+      |gat AS (SELECT media_id, kind, nb AS n_bytes,
+      |    CASE WHEN broken = 1 THEN 0 ELSE
+      |      (CASE WHEN kind <> 'audio' THEN CASE WHEN w >= 128 AND h >= 128 THEN 1 ELSE 0 END
+      |            ELSE CASE WHEN fr >= 300 THEN 1 ELSE 0 END END)
+      |      * (CASE WHEN kind <> 'audio' THEN CASE WHEN greatest(w, h) <= least(w, h) * 3 THEN 1 ELSE 0 END
+      |              ELSE 1 END)
+      |      * (CASE WHEN nb >= 256 THEN 1 ELSE 0 END) END AS t
+      |  FROM uni),
+      |req AS (SELECT media_id FROM f WHERE media_id % $TakedownMod = $TakedownRes),
+      |prt AS (SELECT apairs.idb AS media_id FROM apairs JOIN req ON apairs.ida = req.media_id
+      |        UNION SELECT apairs.ida FROM apairs JOIN req ON apairs.idb = req.media_id),
+      |rem AS (SELECT media_id FROM req UNION SELECT media_id FROM prt),
+      |cdp AS (SELECT DISTINCT idb AS media_id FROM cpairs),
+      |fl AS (SELECT g.media_id, g.kind, g.n_bytes, g.t,
+      |        CASE WHEN ex.media_id = keepx.keep_id THEN 1 ELSE 0 END AS e,
+      |        CASE WHEN cdp.media_id IS NULL THEN 1 ELSE 0 END AS c,
+      |        CASE WHEN rem.media_id IS NULL THEN 1 ELSE 0 END AS r
+      |       FROM gat g
+      |       JOIN ex ON ex.media_id = g.media_id
+      |       JOIN keepx ON keepx.sig = ex.sig
+      |       LEFT JOIN cdp ON cdp.media_id = g.media_id
+      |       LEFT JOIN rem ON rem.media_id = g.media_id)""".stripMargin
+  }
 
   /** File-grain source CTE: read_blob over a staged asset root. */
   private def blobFSql(root: String): String =

@@ -493,14 +493,9 @@ object Media {
     val mx = graft.sources.Tables.documents(spark, sfDir)
       .agg(max("doc_id")).as[Long].head()
     assetsFromDocuments(spark, sfDir).flatMap { a =>
-      if (a.media_id % 13 == 6) {
-        val p = a.payload.clone()
-        if (p.length >= 256) {
-          var i = 64
-          while (i < p.length) { p(i) = (p(i) ^ 8).toByte; i += 251 }
-        }
-        Seq(a, a.copy(media_id = a.media_id + mx, payload = p))
-      } else Seq(a)
+      if (a.media_id % 13 == 6)
+        Seq(a, a.copy(media_id = a.media_id + mx, payload = perturbBytes(a.payload)))
+      else Seq(a)
     }
   }
 
@@ -616,11 +611,9 @@ object Media {
     val mx = graft.sources.Tables.documents(spark, sfDir)
       .agg(max("doc_id")).as[Long].head()
     assetsFromDocuments(spark, sfDir).flatMap { a =>
-      if (a.media_id % 13 == 8) {
-        val p = if (a.payload.length >= 512)
-          a.payload ++ Array.fill[Byte](37)(0) else a.payload
-        Seq(a, a.copy(media_id = a.media_id + mx, payload = p))
-      } else Seq(a)
+      if (a.media_id % 13 == 8)
+        Seq(a, a.copy(media_id = a.media_id + mx, payload = padBytes(a.payload)))
+      else Seq(a)
     }
   }
 
@@ -719,20 +712,93 @@ object Media {
     val mx = graft.sources.Tables.documents(spark, sfDir)
       .agg(max("doc_id")).as[Long].head()
     assetsFromDocuments(spark, sfDir).flatMap { a =>
-      if (a.media_id % 13 == 11) {
-        val p = if (a.payload.length >= 512) {
-          val out = new Array[Byte](a.payload.length)
-          var i = 0; var o = 0
-          while (i < a.payload.length) {
-            if (!(i >= 64 && (i - 64) % 101 == 0)) { out(o) = a.payload(i); o += 1 }
-            i += 1
-          }
-          java.util.Arrays.copyOf(out, o)
-        } else a.payload
-        Seq(a, a.copy(media_id = a.media_id + mx, payload = p))
-      } else Seq(a)
+      if (a.media_id % 13 == 11)
+        Seq(a, a.copy(media_id = a.media_id + mx, payload = dropEvery101(a.payload)))
+      else Seq(a)
     }
   }
+
+  /** The three byte surgeries as standalone functions — shared by the
+    * per-class universes above and the composed RELEASE universe below
+    * (one definition site per copy class; a surgery change cannot leave
+    * the composed universe planting a different pathology than the
+    * single-class one its catcher was gated on). */
+  private[graft] def perturbBytes(p0: Array[Byte]): Array[Byte] = {
+    val p = p0.clone()
+    if (p.length >= 256) {
+      var i = 64
+      while (i < p.length) { p(i) = (p(i) ^ 8).toByte; i += 251 }
+    }
+    p
+  }
+  private[graft] def padBytes(p: Array[Byte]): Array[Byte] =
+    if (p.length >= 512) p ++ Array.fill[Byte](37)(0) else p
+  private[graft] def dropEvery101(p: Array[Byte]): Array[Byte] =
+    if (p.length >= 512) {
+      val out = new Array[Byte](p.length)
+      var i = 0; var o = 0
+      while (i < p.length) {
+        if (!(i >= 64 && (i - 64) % 101 == 0)) { out(o) = p(i); o += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(out, o)
+    } else p
+
+  /** The composed RELEASE universe: the corpus plus ALL FOUR planted copy
+    * classes at once — exact re-uploads (`% 9 == 4`, the [[mediaDedup]]
+    * class), bit-perturbed (`% 13 == 6`), trailer-padded (`% 13 == 8`)
+    * and byte-dropped re-encodes (`% 13 == 11`) — each class's twins in
+    * its OWN disjoint id space (`id + c·(max_id+1)`, c = 1..4: an id can
+    * sit in the exact class AND a mod-13 class, so per-class offsets keep
+    * twin ids collision-free where the single-class universes' shared
+    * `+max` offset could not). This is the universe a composed media
+    * release must clear: every copy class present simultaneously, so
+    * every catcher stage of the [[MediaIndex.mediaReleaseReport]]
+    * waterfall has real work. */
+  def assetsWithAllCopyClasses(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val off = graft.sources.Tables.documents(spark, sfDir)
+      .agg(max("doc_id")).as[Long].head() + 1L
+    assetsFromDocuments(spark, sfDir).flatMap { a =>
+      val twins = Seq.newBuilder[MediaAsset]
+      if (a.media_id % 9 == 4)
+        twins += a.copy(media_id = a.media_id + off)
+      if (a.media_id % 13 == 6)
+        twins += a.copy(media_id = a.media_id + 2 * off, payload = perturbBytes(a.payload))
+      if (a.media_id % 13 == 8)
+        twins += a.copy(media_id = a.media_id + 3 * off, payload = padBytes(a.payload))
+      if (a.media_id % 13 == 11)
+        twins += a.copy(media_id = a.media_id + 4 * off, payload = dropEvery101(a.payload))
+      a +: twins.result()
+    }
+  }
+
+  /** Full-payload digest over the UPPERCASE hex encoding — identical to
+    * DuckDB `md5(hex(payload))`, the exact-dup signature of the release
+    * index ([[MediaIndex.buildReleaseIndex]]'s `_meta` table). Hex via
+    * the hoisted digit table, like [[prefixMd5Hex]]. */
+  private[graft] def fullMd5Hex(bytes: Array[Byte]): String = {
+    val hexDigits = HexDigits
+    val hexAscii = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      hexAscii(2 * i) = hexDigits(b >> 4)
+      hexAscii(2 * i + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(hexAscii).map("%02x".format(_)).mkString
+  }
+
+  /** Root for the PACKED release universe ([[ensurePackedRelease]]). */
+  private[graft] val PackedReleaseRoot = "/tmp/graft_media_release"
+
+  /** Stage the composed all-copy-class universe as parquet shards.
+    * Definition-tagged like every staged root. */
+  def ensurePackedRelease(spark: SparkSession, sfDir: String): String =
+    ensurePackedUniverse(spark, sfDir, PackedReleaseRoot, "-release4v1",
+                         assetsWithAllCopyClasses)
 
   /** Per-byte hash table for the byte-level winnow — the repo's
     * `md5_number_lower mod 2³²` convention applied to each byte's 2-char
@@ -1165,7 +1231,8 @@ object Media {
   private[graft] def stagedRoots: Seq[String] =
     Seq(AssetFilesRoot, DropFilesRoot, NearDupFilesRoot, PaddedFilesRoot,
         EncodedFilesRoot, PackedDropRoot, PackedEncodedRoot,
-        PackedNearDupRoot, PackedPaddedRoot, PackedEncodedDropRoot)
+        PackedNearDupRoot, PackedPaddedRoot, PackedEncodedDropRoot,
+        PackedReleaseRoot)
 
   /** Concurrent-safe versioned staging shared by every fixed-path root:
     * `build` materializes into a temp dir, which is atomically renamed to

@@ -325,8 +325,16 @@ object MediaIndex {
   def mediaNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val prefix = buildIndex(spark, sfDir, "all")
     requireNotMidAppend(spark, prefix)
-    val feats = spark.table(s"${prefix}_feats")
-      .select(col("media_id"), col("container"), col("permille"))
+    lshPairsCore(spark.table(s"${prefix}_feats")
+        .select(col("media_id"), col("container"), col("permille")))
+      .orderBy("canonical_id", "dup_id")
+  }
+
+  /** The quantized-projection LSH pair core over an explicit
+    * `(media_id, container, permille)` feature frame — shared by
+    * [[mediaNearDupLsh]] and the composed release ([[mediaExport]]), so
+    * the probe scheme has one definition site. */
+  private[graft] def lshPairsCore(feats: DataFrame): DataFrame = {
     val shift = java.lang.Long.numberOfTrailingZeros(MediaLshW)
     def qv(j: Int) = shiftright(
       (0 until 32).map(i =>
@@ -363,7 +371,6 @@ object MediaIndex {
               aggregate(zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
                         lit(0L), (acc, v) => acc + v).as("l1p"))
       .filter(col("l1p") <= MediaLshL1Max)
-      .orderBy("canonical_id", "dup_id")
   }
 
   /** Driver-verified: the full media INGEST CYCLE as one declared,
@@ -434,5 +441,168 @@ object MediaIndex {
     Media.encodedPairCore(
       spark.table(s"${prefix}_postings"),
       spark.table(s"${prefix}_feats").select("media_id", "container", "permille"))
+  }
+
+  // ------------------------------------------------------------------
+  // Composed media RELEASE (round 12): filter → exact dedup → the three
+  // copy-class catchers (all store-fed) → takedown, as one gated export
+  // with a waterfall report — the corpus_export / release_report
+  // discipline for media.
+  // ------------------------------------------------------------------
+
+  /** Decoded-metadata + exact-digest rows for the release index's `_meta`
+    * table: one safe header decode (a malformed container degrades to
+    * kind 'unknown' and zero dims — which fails every gate rule loudly —
+    * instead of killing the build; the release universe's surgeries all
+    * keep containers parseable, spec-checked) plus the full-payload
+    * `md5(hex(payload))` exact-dup signature. */
+  private def metaFeatures(universe: DataFrame): DataFrame = {
+    import universe.sparkSession.implicits._
+    universe.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, kind, bytes) =>
+        val m =
+          try Media.HeaderDecoder.decode(Media.MediaAsset(id, kind, bytes))
+          catch { case _: IllegalArgumentException =>
+            Media.MediaMeta(id, "unknown", bytes.length.toLong, 0, 0, 0) }
+        (id, m.kind, bytes.length.toLong, m.width, m.height, m.n_frames,
+         Media.fullMd5Hex(bytes))
+      }.toDF("media_id", "kind", "n_bytes", "width", "height", "n_frames", "sig")
+  }
+
+  /** Build (or fingerprint-validated reuse) the RELEASE index over the
+    * composed all-copy-class universe ([[Media.ensurePackedRelease]]):
+    * the shared `_feats`/`_postings` tables plus a `_meta` table
+    * (decoded header metadata + exact digest) — so the export chain
+    * touches NO payload after this one build pays the scan. */
+  def buildReleaseIndex(spark: SparkSession, sfDir: String): String = {
+    val dir = Media.ensurePackedRelease(spark, sfDir)
+    val prefix = indexPrefix(sfDir, "rel")
+    val tables = tableNames(prefix) :+ s"${prefix}_meta"
+    val fp = Warehouse.sourceFingerprint(sfDir, "documents") +
+      s"-release4v1|rel|k${Media.EncodedWinnowK}w${Media.EncodedWinnowW}x$Buckets"
+    Warehouse.ensureDerivedTables(spark, tables, fp) {
+      val universe = spark.read.parquet(dir)
+      writeIndexTables(fullFeatures(universe), prefix, append = false)
+      Warehouse.writeBucketed(metaFeatures(universe), Seq("media_id"),
+                              s"${prefix}_meta", Buckets)
+    }
+    prefix
+  }
+
+  /** Takedown request class of the release universe — a deterministic
+    * synthetic compliance manifest (the scrub_pii non-vacuous-fixture
+    * discipline): ids ≡ 3 (mod 97), twins included. */
+  private[graft] val TakedownMod = 97L
+  private[graft] val TakedownRes = 3L
+
+  /** Per-asset release flags — the one frame both the export and the
+    * waterfall report read: `(media_id, kind, n_bytes, t, e, c, r)` with
+    * t = passes the quality gate, e = survives exact dedup (is its
+    * digest group's min id), c = survives the three copy-class catchers
+    * (is nobody's verified dup), r = survives takedown (neither
+    * requested nor a verified copy of a requested asset, one hop both
+    * directions over the union pair graph). Every input is a persisted
+    * release-index table — gate metadata and exact digests from `_meta`,
+    * winnow candidates from `_postings`, padded/LSH features from
+    * `_feats`; no payload byte is read (plan-asserted by MediaSpec). */
+  private def releaseFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    val prefix = buildReleaseIndex(spark, sfDir)
+    requireNotMidAppend(spark, prefix)
+    val meta = spark.table(s"${prefix}_meta")
+    val feats = spark.table(s"${prefix}_feats")
+    val gate = Media.gateFlags(meta).select(col("media_id"), col("keep"))
+    // exact dedup: min id per full-payload digest group
+    val keeper = meta.groupBy("sig").agg(min("media_id").as("keep_id"))
+    val exact = meta.select(col("media_id"), col("sig")).join(keeper, Seq("sig"))
+    val exactPairs = exact.filter(col("media_id") =!= col("keep_id"))
+      .select(col("keep_id").as("canonical_id"), col("media_id").as("dup_id"))
+    // the three copy-class catchers, all store-fed
+    val side = feats.select(col("media_id"), col("container"), col("permille"))
+    val encPairs = Media.encodedPairCore(spark.table(s"${prefix}_postings"), side)
+      .select("canonical_id", "dup_id")
+    val padPairs = Media.paddedDupFromFeatures(
+        feats.select(col("media_id"), col("container"), col("prefix_md5"),
+                     col("permille")))
+      .select("canonical_id", "dup_id")
+    val lshPairs = lshPairsCore(side).select("canonical_id", "dup_id")
+    val catcherPairs = encPairs.unionByName(padPairs).unionByName(lshPairs)
+      .distinct()
+    val copyDrop = catcherPairs.select(col("dup_id").as("media_id")).distinct()
+      .withColumn("cd", lit(1))
+    // takedown: requests ∪ their verified copies, one hop both directions
+    // over the union pair graph (exact + all three catchers)
+    val allPairs = catcherPairs.unionByName(exactPairs).distinct()
+    val req = meta.filter(col("media_id") % TakedownMod === TakedownRes)
+      .select(col("media_id"))
+    val partners = allPairs.join(req.withColumnRenamed("media_id", "canonical_id"),
+        Seq("canonical_id"))
+      .select(col("dup_id").as("media_id"))
+      .unionByName(allPairs.join(req.withColumnRenamed("media_id", "dup_id"),
+          Seq("dup_id"))
+        .select(col("canonical_id").as("media_id")))
+    val removed = req.unionByName(partners).distinct().withColumn("rm", lit(1))
+    meta.select(col("media_id"), col("kind"), col("n_bytes"))
+      .join(gate, Seq("media_id"))
+      .join(exact.select(col("media_id"),
+        (col("media_id") === col("keep_id")).cast("long").as("e")), Seq("media_id"))
+      .join(copyDrop, Seq("media_id"), "left")
+      .join(removed, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("keep").cast("long").as("t"), col("e"),
+        when(col("cd").isNull, 1L).otherwise(0L).as("c"),
+        when(col("rm").isNull, 1L).otherwise(0L).as("r"))
+  }
+
+  /** Driver-verified: the composed MEDIA EXPORT (`media_export`) — the
+    * gated release set of the all-copy-class universe: quality gate
+    * ([[Media.mediaFilter]]'s rules over the persisted decoded metadata)
+    * ∧ exact-dedup canonical (min id per payload digest) ∧ not a verified
+    * copy under ANY of the three store-fed catchers (byte-winnow
+    * re-encode, prefix-digest padded, histogram-LSH) ∧ not excluded by
+    * the takedown closure. The media twin of `corpus_export`
+    * ([[graft.operators.Pipeline.corpusExport]]).
+    *
+    * 100 TB: the universe scan is paid ONCE in [[buildReleaseIndex]];
+    * the export itself joins metadata-grain tables (digests, 32-long
+    * features, pair lists) — re-running at a different gate or a new
+    * takedown manifest costs table joins, never a byte re-scan. */
+  def mediaExport(spark: SparkSession, sfDir: String): DataFrame =
+    releaseFlags(spark, sfDir)
+      .filter(col("t") === 1L && col("e") === 1L && col("c") === 1L &&
+              col("r") === 1L)
+      .select(col("media_id"), col("kind"), col("n_bytes"))
+      .orderBy("media_id")
+
+  /** Driver-verified: the media RELEASE WATERFALL (`media_release_report`)
+    * — [[mediaExport]]'s gauntlet as one row per gate with sequential
+    * in/dropped/out counts and drop rates (the
+    * [[graft.operators.Pipeline.releaseReport]] shape): quality_gate →
+    * exact_dedup → copy_catchers → takedown. Final n_out is exactly
+    * `media_export`'s row count (spec-asserted). One conditional
+    * aggregate over the flags frame; the 4-row waterfall is arithmetic
+    * over a single row. */
+  def mediaReleaseReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NumericFunctions.duckRound
+    import org.apache.spark.sql.Column
+    val agg = releaseFlags(spark, sfDir).agg(
+      count(lit(1)).as("n0"),
+      sum(col("t")).as("n1"),
+      sum(col("t") * col("e")).as("n2"),
+      sum(col("t") * col("e") * col("c")).as("n3"),
+      sum(col("t") * col("e") * col("c") * col("r")).as("n4"))
+    def stage(no: Int, name: String, nin: Column, nout: Column): Column =
+      struct(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+        nin.as("n_in"), (nin - nout).as("n_dropped"), nout.as("n_out"),
+        when(nin === 0, lit(0.0))
+          .otherwise(duckRound((nin - nout).cast("double") / nin.cast("double"), 4))
+          .as("drop_rate"))
+    agg.select(explode(array(
+        stage(1, "quality_gate", col("n0"), col("n1")),
+        stage(2, "exact_dedup", col("n1"), col("n2")),
+        stage(3, "copy_catchers", col("n2"), col("n3")),
+        stage(4, "takedown", col("n3"), col("n4")))).as("s"))
+      .select("s.*")
+      .orderBy("stage_no")
   }
 }

@@ -640,4 +640,42 @@ class MediaSpec extends SparkSpecBase {
       // silently reading the polluted spec state
       MediaIndex.tableNames(prefix).foreach(Warehouse.dropTableAndLocation(spark, _))
   }
+
+  test("media release: waterfall reconciles with the export; export reads only persisted artifacts") {
+    import graft.multimodal.MediaIndex
+    val report = MediaIndex.mediaReleaseReport(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4)))
+    assert(report.map(_._2).toSeq ===
+      Seq("quality_gate", "exact_dedup", "copy_catchers", "takedown"))
+    // sequential waterfall: each stage's n_in is the previous n_out,
+    // drops are non-negative, and every gate does real work on the
+    // all-copy-class universe (a stage with zero drops means its planted
+    // class is missing)
+    report.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._5, s"stage ${b._2} n_in must equal ${a._2} n_out") }
+    report.foreach { case (_, stage, nin, ndrop, nout) =>
+      assert(ndrop >= 0L && nout === nin - ndrop)
+      assert(ndrop > 0L, s"stage $stage dropped nothing — planted class missing")
+    }
+    // final n_out is exactly the export's row count
+    val export = MediaIndex.mediaExport(spark, sf0001)
+    assert(export.count() === report.last._5,
+      "export row count must equal the waterfall's final n_out")
+    // the export must not contain any takedown-requested id
+    val reqIds = export.filter(
+      col("media_id") % MediaIndex.TakedownMod === MediaIndex.TakedownRes).count()
+    assert(reqIds === 0L, "a takedown-requested asset survived the export")
+    // store-fed, plan-asserted (the media_dup_indexed discipline): after
+    // the gated build, the export plan is pure relational reads of the
+    // release tables — no typed payload kernel, no staged-shard scan
+    val plan = MediaIndex.mediaExport(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"),
+      s"export re-ran a payload kernel:\n$plan")
+    assert(!plan.contains("graft_media_release"),
+      s"export re-scanned the staged release shards:\n$plan")
+    assert(plan.contains("graft_mediaidx_"),
+      s"export did not read the persisted release tables:\n$plan")
+  }
 }
