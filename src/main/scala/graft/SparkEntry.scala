@@ -135,6 +135,7 @@ object SparkEntry {
     "q19_brackets" -> ((s, d) => Relational.q19Brackets(s, d)),
     "freq_rollup" -> ((s, d) => Relational.freqRollup(s, d)),
     "join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
+    "plan_advisor" -> ((s, d) => Relational.planAdvisor(s, d)),
     "stream_join_size" -> ((s, d) =>
       graft.streaming.EventStreams.streamJoinSizeQuery(s, d)),
     "join_size_cross" -> ((s, d) => Relational.joinSizeCross(s, d)),
@@ -480,6 +481,52 @@ object SparkEntry {
       |SELECT exact_pairs, est_pairs,
       |  CAST((est_pairs - exact_pairs) * 1000 // exact_pairs AS BIGINT) AS err_permille
       |FROM ex, es""".stripMargin
+  }
+
+  /** plan_advisor's oracle, GENERATED from the same candidate list the
+    * engine prices ([[Relational.AdvisorJoins]] — one definition site):
+    * per side a signed AMS grid (the joinSizeCross hash) + non-null row
+    * count, per candidate the densified lower-median inner product, the
+    * declared 64-bytes-per-row model against the DEFAULT broadcast
+    * threshold (the engine reads the live session conf; Verify runs
+    * defaults). */
+  private val planAdvisorSql: String = {
+    val d = Relational.JoinSizeDepth
+    val w = Relational.JoinSizeCrossWidth
+    def sideId(t: String, k: String) = s"${t}_$k"
+    def srcSql(t: String, k: String) =
+      s"SELECT CAST($k AS VARCHAR) AS pk, CAST(count(*) AS BIGINT) AS w FROM $t WHERE $k IS NOT NULL GROUP BY 1"
+    val sideCtes = Relational.advisorSides.map { case (t, k) =>
+      val id = sideId(t, k)
+      s"""s_$id AS (${srcSql(t, k)}),
+        |g_$id AS (SELECT i, h % $w AS b,
+        |    CAST(sum((1 - 2 * CAST((h // 4294967296) % 2 AS BIGINT)) * w) AS BIGINT) AS cell
+        |  FROM (SELECT w, r.i,
+        |      md5_number_lower(CAST(r.i AS VARCHAR) || ':' || pk) % 9223372036854775808 AS h
+        |    FROM s_$id, range($d) r(i)) GROUP BY 1, 2),
+        |n_$id AS (SELECT CAST(COALESCE(sum(w), 0) AS BIGINT) AS n FROM s_$id)""".stripMargin
+    }
+    val candCtes = Relational.AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
+      val (l, r) = (sideId(lt, lk), sideId(rt, rk))
+      s"""e_$name AS (SELECT a.i, CAST(sum(a.cell * b.cell) AS BIGINT) AS row_est
+        |  FROM g_$l a JOIN g_$r b ON a.i = b.i AND a.b = b.b GROUP BY 1),
+        |m_$name AS (SELECT row_est AS est_pairs FROM (
+        |    SELECT COALESCE(e.row_est, 0) AS row_est,
+        |      row_number() OVER (ORDER BY COALESCE(e.row_est, 0)) AS rn
+        |    FROM range($d) t(i) LEFT JOIN e_$name e ON e.i = t.i)
+        |  WHERE rn = ${d / 2 + 1})""".stripMargin
+    }
+    val rows = Relational.AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
+      val (l, r) = (sideId(lt, lk), sideId(rt, rk))
+      s"""SELECT '$name' AS join_name, ln.n AS left_rows, rn.n AS right_rows,
+        |  m.est_pairs,
+        |  CASE WHEN least(ln.n, rn.n) * ${Relational.AdvisorRowBytes} <= 10485760
+        |       THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+        |  CASE WHEN ln.n <= rn.n THEN 'left' ELSE 'right' END AS build_side
+        |FROM n_$l ln, n_$r rn, m_$name m""".stripMargin
+    }
+    "WITH " + (sideCtes ++ candCtes).mkString(",\n") + "\n" +
+      rows.mkString("\nUNION ALL\n") + "\nORDER BY join_name"
   }
 
   private val joinSizeSql: String =
@@ -2876,6 +2923,10 @@ object SparkEntry {
     // Σ cell². Integer-exact end to end; `//` and Spark `div` both
     // truncate, so the signed err_permille agrees.
     "join_size_estimate" -> joinSizeSql,
+    // plan_advisor: generated side-by-side from the same candidate list —
+    // persisted-sketch inner products + row counts + the declared
+    // bytes-per-row broadcast rule at the default session threshold.
+    "plan_advisor" -> planAdvisorSql,
     "stream_join_size" -> joinSizeSql,
     "join_size_cross" -> joinSizeCrossSql,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes

@@ -1587,6 +1587,139 @@ object Relational {
       .select(element_at(col("rs"), depth / 2 + 1).as("est_pairs"))
   }
 
+  // ------------------------------------------------------------------
+  // Plan advisor (round 12): the AMS sketches wired into a plan decision
+  // ------------------------------------------------------------------
+
+  /** The advisor's declared bytes-per-row calibration: side size is
+    * modeled as `n_rows · 64` — deliberately a DECLARED constant (not a
+    * measured width) so the whole decision chain replays integer-exactly
+    * in the oracle; PlanSpec is where the model meets Spark's actual
+    * file-size statistic and the verdicts are gated against real plans. */
+  val AdvisorRowBytes = 64L
+
+  /** The candidate joins of the driver schema the advisor prices:
+    * (join_name, left table, left key, right table, right key) — a tiny
+    * dim join, two mid dim joins, the FK fact join, and the M:N
+    * events×orders cross — one definition site shared with the SQL
+    * oracle generator. */
+  private[graft] val AdvisorJoins: Seq[(String, String, String, String, String)] = Seq(
+    ("customer_nation_dim", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events_orders_mn", "events", "user_id", "orders", "o_custkey"),
+    ("lineitem_orders_fk", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part_dim", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders_customer_dim", "orders", "o_custkey", "customer", "c_custkey"))
+
+  /** The distinct (table, key) sides the candidates touch. */
+  private[graft] def advisorSides: Seq[(String, String)] =
+    AdvisorJoins.flatMap(j => Seq((j._2, j._3), (j._4, j._5))).distinct
+
+  /** Per-key weight rows `(pk, w)` of one side — the [[amsCells]] input. */
+  private def advisorSide(spark: SparkSession, sfDir: String,
+                          table: String, key: String): DataFrame = {
+    val df = table match {
+      case "events"   => Tables.events(spark, sfDir)
+      case "orders"   => Tables.orders(spark, sfDir)
+      case "lineitem" => Tables.lineitem(spark, sfDir)
+      case "customer" => Tables.customer(spark, sfDir)
+      case "part"     => Tables.part(spark, sfDir)
+      case "nation"   => Tables.nation(spark, sfDir)
+    }
+    df.select(col(key).cast("string").as("pk"))
+      .filter(col("pk").isNotNull)
+      .groupBy("pk").agg(count(lit(1)).as("w"))
+  }
+
+  /** Build (or fingerprint-validated reuse) the PERSISTED planner
+    * statistics: one signed AMS grid per (table, key) side — the
+    * [[joinSizeCross]] wide grid, all sides sketched with the SAME
+    * per-depth hash so any pair inner-products — plus per-side non-null
+    * row counts. This is the store a planner maintains per ingest batch
+    * (cells merge by elementwise sum, counts add); pricing a NEW
+    * candidate join later costs a metadata join against this table,
+    * never a data scan. Returns the table prefix. */
+  def ensureJoinSketches(spark: SparkSession, sfDir: String,
+                         depth: Int = JoinSizeDepth,
+                         width: Int = JoinSizeCrossWidth): String = {
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val prefix = s"graft_plansk_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_d${depth}w$width"
+    val fp = advisorSides.map(_._1).distinct.sorted
+      .map(t => graft.sources.Warehouse.sourceFingerprint(sfDir, t))
+      .mkString("|") + s"|d${depth}w$width"
+    graft.sources.Warehouse.ensureDerivedTables(spark,
+      Seq(s"${prefix}_cells", s"${prefix}_stats"), fp) {
+      val cells = advisorSides.map { case (t, k) =>
+        amsCells(advisorSide(spark, sfDir, t, k), depth, width)
+          .select(lit(t).as("tbl"), lit(k).as("key"),
+                  col("i"), col("b"), col("cell"))
+      }.reduce(_ unionByName _)
+      graft.sources.Warehouse.writeBucketed(cells, Seq("i", "b"),
+        s"${prefix}_cells", 8)
+      val stats = advisorSides.map { case (t, k) =>
+        advisorSide(spark, sfDir, t, k)
+          .agg(coalesce(sum("w"), lit(0L)).as("n_rows"))
+          .select(lit(t).as("tbl"), lit(k).as("key"), col("n_rows"))
+      }.reduce(_ unionByName _)
+      graft.sources.Warehouse.writeBucketed(stats, Seq("tbl"),
+        s"${prefix}_stats", 1)
+    }
+    prefix
+  }
+
+  /** PLAN ADVISOR — the AMS sketches finally DECIDING something: for
+    * every candidate join, the estimated output cardinality from the
+    * persisted signed sketches (the [[joinSizeCross]] inner product —
+    * answered without touching either table) and the broadcast-vs-shuffle
+    * verdict from Spark's own decision rule: broadcast iff the smaller
+    * side's modeled bytes (`n_rows · `[[AdvisorRowBytes]]) fit the
+    * SESSION'S `spark.sql.autoBroadcastJoinThreshold` — the advisor reads
+    * the live conf, so tightening the threshold flips its verdicts
+    * exactly as it flips Spark's (PlanSpec gates both directions against
+    * executed plans). `build_side` is the smaller side (the hash-build /
+    * broadcast side a planner picks).
+    *
+    * 100 TB: everything reads the metadata-sized persisted store —
+    * pricing all candidates costs |candidates|·depth·width cell joins;
+    * the one scan per side was paid at [[ensureJoinSketches]] build (and
+    * is mergeable per ingest batch, so it never re-runs whole). */
+  def planAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prefix = ensureJoinSketches(spark, sfDir)
+    val cells = spark.table(s"${prefix}_cells")
+    val stats = spark.table(s"${prefix}_stats")
+    val cands = AdvisorJoins.toDF("join_name", "lt", "lk", "rt", "rk")
+    val prods = cands
+      .join(cells.as("L"), col("L.tbl") === col("lt") && col("L.key") === col("lk"))
+      .join(cells.as("R"), col("R.tbl") === col("rt") && col("R.key") === col("rk")
+            && col("L.i") === col("R.i") && col("L.b") === col("R.b"))
+      .groupBy(col("join_name"), col("L.i").as("i"))
+      .agg(sum(col("L.cell") * col("R.cell")).as("row_est"))
+    // densified per-candidate lower median (the medianRowEstimate
+    // discipline, scoped by candidate)
+    val full = cands.select("join_name")
+      .crossJoin(spark.range(JoinSizeDepth).select(col("id").cast("int").as("i")))
+    val est = full.join(prods, Seq("join_name", "i"), "left")
+      .select(col("join_name"), coalesce(col("row_est"), lit(0L)).as("row_est"))
+      .groupBy("join_name").agg(sort_array(collect_list("row_est")).as("rs"))
+      .select(col("join_name"),
+              element_at(col("rs"), JoinSizeDepth / 2 + 1).as("est_pairs"))
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    cands
+      .join(stats.select(col("tbl").as("lt"), col("key").as("lk"),
+                         col("n_rows").as("left_rows")), Seq("lt", "lk"))
+      .join(stats.select(col("tbl").as("rt"), col("key").as("rk"),
+                         col("n_rows").as("right_rows")), Seq("rt", "rk"))
+      .join(est, Seq("join_name"))
+      .select(col("join_name"), col("left_rows"), col("right_rows"),
+        col("est_pairs"),
+        when(least(col("left_rows"), col("right_rows")) * AdvisorRowBytes
+               <= threshold, "broadcast").otherwise("shuffle").as("strategy"),
+        when(col("left_rows") <= col("right_rows"), "left")
+          .otherwise("right").as("build_side"))
+      .orderBy("join_name")
+  }
+
   /** The (exact, estimate, error) report — exact F₂ from the batch table
     * (the instrument's ground truth), estimate from whichever grid
     * (batch-built or stream-maintained) is under test. */

@@ -712,4 +712,51 @@ class PlanSpec extends SparkSpecBase {
     assert(nt.contains("*("),
       s"normalize_text fell out of whole-stage codegen (no *(n) spans):\n$nt")
   }
+
+  test("plan_advisor: the sketch verdicts match what Spark actually plans, both directions") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Relational
+    import graft.sources.Tables
+    // Threshold 16 KiB at sf0.001 splits the candidates BOTH ways under
+    // the advisor's 64-bytes-per-row model (nation/customer/part sides
+    // fit; orders/events sides don't) AND under Spark's file-size
+    // statistic (the staged parquet sizes straddle 16 KiB the same way) —
+    // the alignment point where the declared model meets the real
+    // planner. AQE off so the static planner verdict is what's read (the
+    // advisor models the planner, not runtime re-planning).
+    val conf = spark.conf
+    val oldThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val advice = Relational.planAdvisor(spark, sf0001)
+        .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+      assert(advice("customer_nation_dim") === "broadcast")
+      assert(advice("orders_customer_dim") === "broadcast")
+      assert(advice("lineitem_part_dim") === "broadcast")
+      assert(advice("lineitem_orders_fk") === "shuffle")
+      assert(advice("events_orders_mn") === "shuffle")
+      def planOf(l: org.apache.spark.sql.DataFrame, lk: String,
+                 r: org.apache.spark.sql.DataFrame, rk: String): String = {
+        val df = l.join(r, l(lk) === r(rk))
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+      // a broadcast-size candidate really broadcasts...
+      val bc = planOf(Tables.orders(spark, sf0001), "o_custkey",
+                      Tables.customer(spark, sf0001), "c_custkey")
+      assert(bc.contains("BroadcastHashJoin"),
+        s"advice said broadcast but Spark planned:\n$bc")
+      // ...and a shuffle-size candidate really shuffles
+      val sh = planOf(Tables.lineitem(spark, sf0001), "l_orderkey",
+                      Tables.orders(spark, sf0001), "o_orderkey")
+      assert(!sh.contains("BroadcastHashJoin") &&
+             (sh.contains("SortMergeJoin") || sh.contains("ShuffledHashJoin")),
+        s"advice said shuffle but Spark planned:\n$sh")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
 }
