@@ -217,6 +217,8 @@ object SparkEntry {
     "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "pps_sample" -> ((s, d) => TextAnalysis.ppsSample(s, d)),
+    "stream_pps_sample" -> ((s, d) => graft.streaming.EventStreams.streamPpsSampleQuery(s, d)),
+    "stream_dsir_weights" -> ((s, d) => graft.streaming.EventStreams.streamDsirWeightsQuery(s, d)),
     "chunk_fingerprint" -> ((s, d) => TextAnalysis.chunkFingerprint(s, d)),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     "winnow_matches" -> ((s, d) => TextAnalysis.winnowMatches(s, d)),
@@ -253,6 +255,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_nfc" -> ((s, d) => Dedup.dedupNfc(s, d)),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_auto" -> ((s, d) => Dedup.dedupAuto(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
@@ -528,6 +531,18 @@ object SparkEntry {
     "WITH " + (sideCtes ++ candCtes).mkString(",\n") + "\n" +
       rows.mkString("\nUNION ALL\n") + "\nORDER BY join_name"
   }
+
+  /** pps_sample's oracle — shared verbatim with `stream_pps_sample`
+    * (membership is a pure content function against the pinned W). */
+  private val ppsSampleSql: String =
+    """WITH w AS (SELECT sum(n_chars) AS w_total FROM documents),
+      |u AS (SELECT doc_id, n_chars,
+      |    CAST(concat('0x', substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8)) AS BIGINT) AS u32
+      |  FROM documents)
+      |SELECT doc_id, n_chars, u32,
+      |  CAST(least(1000, (64 * n_chars * 1000) // w_total) AS BIGINT) AS p_permille
+      |FROM u, w WHERE u32 < (64 * n_chars * 4294967296) // w_total
+      |ORDER BY doc_id""".stripMargin
 
   private val joinSizeSql: String =
     s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS pk FROM lineitem),
@@ -1959,15 +1974,14 @@ object SparkEntry {
     // same 32-bit parse, same all-BIGINT threshold arithmetic (the
     // divide-first form keeps every intermediate ≤ target·maxdoc·2^32, so
     // the compare is corpus-size-robust in both engines).
-    "pps_sample" ->
-      """WITH w AS (SELECT sum(n_chars) AS w_total FROM documents),
-        |u AS (SELECT doc_id, n_chars,
-        |    CAST(concat('0x', substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8)) AS BIGINT) AS u32
-        |  FROM documents)
-        |SELECT doc_id, n_chars, u32,
-        |  CAST(least(1000, (64 * n_chars * 1000) // w_total) AS BIGINT) AS p_permille
-        |FROM u, w WHERE u32 < (64 * n_chars * 4294967296) // w_total
-        |ORDER BY doc_id""".stripMargin,
+    "pps_sample" -> ppsSampleSql,
+    // stream_pps_sample / stream_dsir_weights: stateless per-row twins —
+    // membership/score is a pure function of content + the offline-pinned
+    // model (W scalar; Δ array + cal), so the streamed rows equal the
+    // batch rows and the oracles are shared verbatim.
+    "stream_pps_sample" -> ppsSampleSql,
+    "stream_dsir_weights" -> s"""$dsirWeightsCte
+      |SELECT doc_id, n_feats, w_bits FROM w ORDER BY doc_id""".stripMargin,
     "percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,
@@ -3638,6 +3652,23 @@ object SparkEntry {
         |SELECT nfc_fp, n_docs, canonical_id, CAST(n_raw > 1 AS BIGINT) AS needed_nfc
         |FROM g ORDER BY canonical_id""".stripMargin,
     "dedup_ngram" -> s"$ngramPairsSql\nORDER BY doc_a, doc_b",
+    // dedup_auto: the routed pair set IS the exact pair set (the proven
+    // route equivalence), plus the route verdict replayed from the
+    // vocab-growth saturation rule — first-slice share of all word types
+    // against the declared late-permille cut.
+    "dedup_auto" ->
+      s"""WITH vnn AS (SELECT (count(*) + 9) // 10 AS per FROM documents),
+        |vw AS (SELECT doc_id // (SELECT per FROM vnn) AS slice,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')) AS word
+        |       FROM documents),
+        |vfs AS (SELECT word, min(slice) AS slice FROM vw GROUP BY word),
+        |vtot AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |           CAST(count(*) FILTER (WHERE slice = 0) AS BIGINT) AS s0 FROM vfs),
+        |rt AS (SELECT CASE WHEN total > 0 AND (total - s0) * 1000 < ${Dedup.DedupAutoLatePermille} * total
+        |         THEN 'lsh' ELSE 'exact' END AS route FROM vtot),
+        |np AS ($ngramPairsSql)
+        |SELECT doc_a, doc_b, jaccard, route FROM np, rt
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // dedup_minhash: with b=32 bands × r=4 rows the LSH candidate set
     // provably contains every pair with J ≥ 0.8 except with prob ~5e-8 per
     // pair, and candidates are verified with exact Jaccard — so the output

@@ -1350,13 +1350,31 @@ object Media {
 
   def compactionPlan(spark: SparkSession, sfDir: String,
                      targetBytes: Long = CompactionTargetBytes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dir = ensureAssetFiles(spark, sfDir)
+    // TWO-LEVEL running sum (the peak_concurrency carry shape, r11
+    // VERDICT item 7): a file manifest is metadata by construction, but
+    // it was the one remaining window whose single partition GREW with
+    // the corpus (|files| rows at 100 TB). Files bucket by NAME-PREFIX
+    // block — a lexicographic prefix partitions the name order into
+    // contiguous ranges, so blocks inherit the global order — the
+    // running sum runs per block in parallel, and each block's carry-in
+    // is an exclusive prefix sum over |blocks| rows. endoff =
+    // carry + local sum is IDENTICAL to the single-window form (same
+    // oracle), only the plan changed.
     val manifest = spark.read.format("binaryFile").load(dir)
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
               col("length").as("n_bytes"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("file_name")
-    manifest
-      .withColumn("endoff", sum("n_bytes").over(w))
+      .withColumn("blk", substring(col("file_name"), 1, 9))
+    val inBlk = Window.partitionBy("blk").orderBy("file_name")
+    val local = manifest.withColumn("lend", sum("n_bytes").over(inBlk))
+    val carry = manifest.groupBy("blk").agg(sum("n_bytes").as("net"))
+      .withColumn("carry", coalesce(
+        sum("net").over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "carry")
+    local.join(carry, Seq("blk"))
+      .withColumn("endoff", col("carry") + col("lend"))
       .withColumn("group_id", expr(s"(endoff - n_bytes) div ${targetBytes}L"))
       .groupBy("group_id")
       .agg(count(lit(1)).as("n_files"), sum("n_bytes").as("total_bytes"),

@@ -163,6 +163,53 @@ object Dedup {
     verifyByPostings(candidates, postings, sizes, threshold)
   }
 
+  /** AUTO-ROUTED near-dup pairs — acting on the measured saturation
+    * regime instead of documenting it: `vocab_growth` measures exactly
+    * the regime where the exact prefix-filtered join goes quadratic
+    * (closed vocabulary ⇒ rare-feature pruning collapses, SURVEY §6.1),
+    * and the LSH path is proven output-equal at the threshold — but until
+    * now nothing ROUTED between them. Decision rule (declared, shared
+    * with the oracle): a word type's contribution is its FIRST corpus
+    * slice; if fewer than [[DedupAutoLatePermille]]‰ of all types first
+    * appear AFTER slice 0 (the vocabulary was already saturated in the
+    * first decile), prefix selectivity is gone → take the LSH route;
+    * otherwise the exact route. The routed pair set is IDENTICAL either
+    * way (the `dedup_minhash` ≡ `dedup_ngram` theorem at b=32/r=4,
+    * t=0.8), so the route changes the PLAN, never the answer — DedupSpec
+    * proves pair-set equality on both synthetic regimes and that each
+    * regime picks the expected route (the `salted_distinct` discipline
+    * applied to a route choice). Output carries the chosen route, so the
+    * decision itself is hash-gated.
+    *
+    * The decision reads [[graft.operators.TextAnalysis.vocabGrowth]]'s
+    * ≤`slices` metadata rows on the driver (the bounded-collect class) —
+    * at 100 TB that measurement is one (word, min-slice) shuffle the
+    * corpus profile job already runs. */
+  val DedupAutoLatePermille = 100L
+
+  def dedupAuto(spark: SparkSession, sfDir: String, n: Int = 3,
+                threshold: Double = 0.8): DataFrame = {
+    val route = dedupRoute(spark, sfDir)
+    val pairs =
+      if (route == "lsh") minhashPairsUnordered(spark, sfDir, n, threshold = threshold)
+      else ngramPairsUnordered(spark, sfDir, n, threshold)
+    pairs.select(col("doc_a"), col("doc_b"), col("jaccard"),
+                 lit(route).as("route"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The route decision alone — "lsh" iff the measured late-type share is
+    * under the declared permille cut. */
+  private[graft] def dedupRoute(spark: SparkSession, sfDir: String): String = {
+    val vg = TextAnalysis.vocabGrowth(spark, sfDir)
+      .select(col("slice"), col("new_types")).collect()
+    val total = vg.map(_.getLong(1)).sum
+    val slice0 = vg.filter(_.getLong(0) == 0L).map(_.getLong(1)).sum
+    if (total > 0L && (total - slice0) * 1000L < DedupAutoLatePermille * total)
+      "lsh"
+    else "exact"
+  }
+
   /** Benchmark decontamination — the train/eval overlap check every LLM
     * data pipeline runs before training: for each EVAL document (the
     * deterministic `doc_id % 10 == 0` shard, standing in for a benchmark

@@ -835,18 +835,66 @@ object TextAnalysis {
     * buckets with the repo-wide replayable hash. Bigram key =
     * `w1 ⊔ w2` — tokens are letter-only so the space is collision-free.
     * One exploded pass, partial-agg'd to (doc, bucket) counts. */
+  /** The n ≤ 2 gram array of a tokenized document — ONE definition site
+    * shared by the batch feature explode and the streaming per-row scorer
+    * (requires a column named `ws` in scope). */
+  private def dsirGrams: Column =
+    concat(col("ws"), expr(
+      """CASE WHEN size(ws) >= 2
+        |THEN transform(sequence(1, size(ws) - 1),
+        |       i -> concat(element_at(ws, CAST(i AS INT)), ' ',
+        |                   element_at(ws, CAST(i + 1 AS INT))))
+        |ELSE array() END""".stripMargin))
+
   private def dsirFeatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), tokenize(col("text")).as("ws"))
-      .select(col("doc_id"), col("source"),
-        explode(concat(col("ws"), expr(
-          """CASE WHEN size(ws) >= 2
-            |THEN transform(sequence(1, size(ws) - 1),
-            |       i -> concat(element_at(ws, CAST(i AS INT)), ' ',
-            |                   element_at(ws, CAST(i + 1 AS INT))))
-            |ELSE array() END""".stripMargin))).as("g"))
+      .select(col("doc_id"), col("source"), explode(dsirGrams).as("g"))
       .select(col("doc_id"), col("source"),
               (call_function("graft_hash64", col("g")) % DsirBuckets).as("b"))
       .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+
+  /** The trained DSIR model as DRIVER-LOCAL constants: the dense Δ array
+    * ([[DsirBuckets]] longs — absent buckets are exactly
+    * `bitlen(1) − bitlen(1) = 0`) plus the calibration term. This is the
+    * broadcast-model form the streaming twin scores against: models are
+    * trained offline on the corpus and shipped to the ingest path as
+    * constants — a bounded collect of metadata (the codebook-collect
+    * class), never fact mass. */
+  private[graft] def dsirModel(spark: SparkSession, sfDir: String): (Seq[Long], Long) = {
+    val prof = dsirFeatures(Tables.documents(spark, sfDir))
+      .groupBy("b").agg(sum("c").as("cp"),
+        sum(when(col("source") === DsirTargetSource, col("c")).otherwise(0L)).as("cq"))
+    val rows = prof.select(col("b"),
+        (length(bin(col("cq") + 1)) - length(bin(col("cp") + 1))).cast("long").as("d"),
+        col("cp"), col("cq"))
+      .collect()
+    val delta = new Array[Long](DsirBuckets)
+    rows.foreach(r => delta(r.getLong(0).toInt) = r.getLong(1))
+    val np = rows.map(_.getLong(2)).sum
+    val nq = rows.map(_.getLong(3)).sum
+    val cal = (63 - java.lang.Long.numberOfLeadingZeros(np + DsirBuckets) + 1).toLong -
+              (63 - java.lang.Long.numberOfLeadingZeros(nq + DsirBuckets) + 1).toLong
+    (delta.toSeq, cal)
+  }
+
+  /** Per-ROW DSIR scoring against a fixed model — the stateless form a
+    * streaming ingest path runs ([[graft.streaming.EventStreams
+    * .streamDsirWeightsQuery]]): the whole weight is computed inside one
+    * row via HOFs over the gram array and an `element_at` into the model
+    * literal, so no streaming aggregate and no state exist. Identical
+    * arithmetic to [[dsirWeightsFrom]] (Σ_g Δ(b(g)) = Σ_b c_b·Δ_b). */
+  private[graft] def dsirScoreRows(docs: DataFrame,
+                                   delta: Seq[Long], cal: Long): DataFrame =
+    docs.select(col("doc_id"), tokenize(col("text")).as("ws"))
+      .select(col("doc_id"), dsirGrams.as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_feats"),
+        aggregate(
+          transform(col("gs"), g =>
+            element_at(typedLit(delta),
+              (call_function("graft_hash64", g) % DsirBuckets).cast("int") + 1)),
+          lit(0L), (acc, v) => acc + v).as("wraw"))
+      .select(col("doc_id"), col("n_feats"),
+              (col("wraw") + col("n_feats") * cal).as("w_bits"))
 
   /** DSIR IMPORTANCE WEIGHTS (Xie et al., NeurIPS'23 "Data Selection for
     * Language Models via Importance Resampling") — the data-SELECTION

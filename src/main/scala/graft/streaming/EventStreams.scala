@@ -985,6 +985,54 @@ object EventStreams {
       "stream_normalize", OutputMode.Append())
       .orderBy("doc_id")
 
+  /** Driver-verified: PPS SAMPLING AT INGEST — `pps_sample`'s
+    * content-digest Bernoulli draw run per ARRIVING document (the
+    * `stream_normalize` shape: stateless per-row codegen, append mode, no
+    * state store at all). The one corpus-level input — the total weight W
+    * normalizing each inclusion probability — is a calibration SCALAR
+    * from the static corpus (a ≤1-row bounds read, exactly how a
+    * production ingest pins p_i against last epoch's corpus mass rather
+    * than a moving target that would make membership arrival-order
+    * dependent). Membership is a pure function of content + the pinned W,
+    * so the streamed sample equals the batch sample row for row and the
+    * batch oracle is shared verbatim. */
+  def streamPpsSampleQuery(spark: SparkSession, sfDir: String,
+                           target: Int = 64): DataFrame = {
+    import graft.functions.TextFunctions.fingerprintMd5
+    val wTotal = graft.sources.Tables.documents(spark, sfDir)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    val perRow = tableStream(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(fingerprintMd5(col("text")), 1, 8), 16, 10)
+          .cast("bigint").as("u32"))
+      .withColumn("thresh",
+        expr(s"($target * n_chars * 4294967296) div ${wTotal}L"))
+      .filter(col("u32") < col("thresh"))
+      .select(col("doc_id"), col("n_chars"), col("u32"),
+        least(lit(1000L), expr(s"($target * n_chars * 1000) div ${wTotal}L"))
+          .as("p_permille"))
+    runToCompletion(spark, perRow, "stream_pps_sample", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
+  /** Driver-verified: DSIR SCORING AT INGEST — `dsir_weights` as the
+    * deployed shape: the hashed-n-gram models are TRAINED OFFLINE on the
+    * corpus ([[graft.operators.TextAnalysis.dsirModel]] — a
+    * metadata-sized Δ array + calibration, the broadcast-model move) and
+    * every arriving document is scored per row against those constants
+    * via HOFs (`Σ_g Δ(b(g))` inside the row — arithmetic identical to the
+    * batch per-bucket form, no streaming aggregate, zero state). Closes
+    * the batch×stream matrix for the selection family together with
+    * [[streamPpsSampleQuery]]; the batch oracle is shared verbatim. */
+  def streamDsirWeightsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (delta, cal) = graft.operators.TextAnalysis.dsirModel(spark, sfDir)
+    runToCompletion(spark,
+      graft.operators.TextAnalysis.dsirScoreRows(
+        tableStream(spark, sfDir, "documents"), delta, cal),
+      "stream_dsir_weights", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Driver-verified: the CUSUM level-shift monitor maintained in-stream —
     * `cusum_shift`'s (event_type, hour) cents grid as the SAME complete-mode
     * streaming aggregate `stream_ewma_hours` keeps (associative cents sums

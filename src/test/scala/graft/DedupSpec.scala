@@ -427,4 +427,57 @@ class DedupSpec extends SparkSpecBase {
     assert(needed > 0 && needed <= planted)
     assert(corpus.forall(_.getLong(1) >= 2L))
   }
+
+  test("dedupAuto: route flips with the measured regime; both routes emit identical pairs on both regimes") {
+    import spark.implicits._
+    // Two synthetic regimes staged as documents.parquet fixtures so the
+    // sfDir-shaped entry points (router + both pair paths) run unchanged.
+    // OPEN: vocabulary grows with the corpus (every doc contributes fresh
+    // types in every slice). CLOSED: a 31-word vocabulary fully present in
+    // slice 0. Both plant near-dup pairs (doc i and i+500 share 9/10 of
+    // their words in order) so the routed output is non-empty.
+    // tokenize splits on NON-LETTERS, so fixture words must be purely
+    // alphabetic — digits in a word would silently collapse the whole
+    // "open" vocabulary to a couple of types and flip the regime
+    def alpha(n: Long): String = n.toString.map(c => ('a' + (c - '0')).toChar)
+    def stageWithTwins(name: String, closed: Boolean): String = {
+      val vocab = (0 until 31).map(i => s"word${alpha(i.toLong)}")
+      val rows = (0L until 400L).flatMap { i =>
+        val words =
+          if (closed) (0 until 12).map(j => vocab(((i * 7 + j * 3) % 31).toInt))
+          else (0 until 12).map(j => s"t${alpha(i)}q${alpha(j.toLong)}")
+        val base = (i, words.mkString(" "))
+        val twin =
+          if (i % 10 == 0) Seq((i + 1000L, words.mkString(" ")))
+          else Seq.empty
+        base +: twin
+      }
+      val dir = s"/tmp/graft_dedup_auto_$name"
+      rows.map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val openDir = stageWithTwins("open", closed = false)
+    val closedDir = stageWithTwins("closed", closed = true)
+    // the router reads the regime off the data
+    assert(Dedup.dedupRoute(spark, openDir) === "exact",
+      "a growing vocabulary must keep the exact prefix-filter route")
+    assert(Dedup.dedupRoute(spark, closedDir) === "lsh",
+      "a slice-0-saturated vocabulary must switch to the LSH route")
+    // the salted_distinct discipline for route choices: on BOTH regimes the
+    // two routes emit the identical pair set, so routing changes the plan,
+    // never the answer
+    for (dir <- Seq(openDir, closedDir)) {
+      val exact = Dedup.ngramJaccardPairs(spark, dir)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Dedup.minhashLshPairs(spark, dir)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty, s"$dir: planted twins produced no pairs — fixture degenerate")
+      assert(exact === lsh, s"$dir: routes disagree — auto-routing would change the answer")
+      val auto = Dedup.dedupAuto(spark, dir)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(auto === exact, s"$dir: routed output differs from the exact pair set")
+    }
+  }
 }

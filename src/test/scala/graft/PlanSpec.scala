@@ -713,6 +713,21 @@ class PlanSpec extends SparkSpecBase {
       s"normalize_text fell out of whole-stage codegen (no *(n) spans):\n$nt")
   }
 
+  test("compaction_plan: the per-file running sum is block-partitioned, never a global window") {
+    // r11 item 7: the manifest window was the one remaining window whose
+    // single partition grew with the corpus. After the two-level split,
+    // every window ordered by file_name must be partitioned by the
+    // name-prefix block; the only unpartitioned window is the |blocks|
+    // carry (ordered by blk — metadata grain).
+    val plan = finalPlan("compaction_plan")
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, s"no window in the plan?\n$plan")
+    windowLines.filter(_.contains("file_name")).foreach { l =>
+      assert(l.contains("blk"),
+        s"a per-file window runs without block partitioning:\n$l\n$plan")
+    }
+  }
+
   test("plan_advisor: the sketch verdicts match what Spark actually plans, both directions") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Relational
