@@ -1373,6 +1373,13 @@ object Media {
         sum("net").over(Window.orderBy("blk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("blk", "carry")
+    // Measured trade (r12 reseal): the two-level plan carries ~0.5s of
+    // fixed stage overhead at fixture scale over the old single global
+    // window (0.44s → 0.96s warm at sf0.1; probed — checkpointing or
+    // broadcasting the |blocks| carry does not recover it, the cost is
+    // the extra exchanges themselves). Bought deliberately: the single
+    // window's one partition GREW with the corpus (|files| rows at
+    // 100 TB), this shape never does — the peak_concurrency contract.
     local.join(carry, Seq("blk"))
       .withColumn("endoff", col("carry") + col("lend"))
       .withColumn("group_id", expr(s"(endoff - n_bytes) div ${targetBytes}L"))
