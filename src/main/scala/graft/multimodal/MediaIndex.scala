@@ -478,14 +478,41 @@ object MediaIndex {
   def buildReleaseIndex(spark: SparkSession, sfDir: String): String = {
     val dir = Media.ensurePackedRelease(spark, sfDir)
     val prefix = indexPrefix(sfDir, "rel")
-    val tables = tableNames(prefix) :+ s"${prefix}_meta"
+    val tables = tableNames(prefix) ++ Seq(s"${prefix}_meta", s"${prefix}_pairs")
     val fp = Warehouse.sourceFingerprint(sfDir, "documents") +
-      s"-release4v1|rel|k${Media.EncodedWinnowK}w${Media.EncodedWinnowW}x$Buckets"
+      s"-release4v1|rel|pairs1|k${Media.EncodedWinnowK}w${Media.EncodedWinnowW}x$Buckets"
     Warehouse.ensureDerivedTables(spark, tables, fp) {
       val universe = spark.read.parquet(dir)
       writeIndexTables(fullFeatures(universe), prefix, append = false)
       Warehouse.writeBucketed(metaFeatures(universe), Seq("media_id"),
                               s"${prefix}_meta", Buckets)
+      // The VERIFIED PAIR TABLES are corpus-state functions too — computed
+      // once here from the just-written feature tables and persisted with
+      // a source tag, so serving the release (and re-serving at a new
+      // gate / takedown manifest) joins metadata, never re-runs a catcher:
+      // the r12 reseal measured the per-call catcher cascade at 5.45s
+      // warm; the pair-table serve is table joins.
+      val meta = spark.table(s"${prefix}_meta")
+      val feats = spark.table(s"${prefix}_feats")
+      val side = feats.select(col("media_id"), col("container"), col("permille"))
+      val keeper = meta.groupBy("sig").agg(min("media_id").as("keep_id"))
+      val exactPairs = meta.select(col("media_id"), col("sig"))
+        .join(keeper, Seq("sig"))
+        .filter(col("media_id") =!= col("keep_id"))
+        .select(col("keep_id").as("canonical_id"), col("media_id").as("dup_id"),
+                lit("exact").as("src"))
+      val encPairs = Media.encodedPairCore(spark.table(s"${prefix}_postings"), side)
+        .select(col("canonical_id"), col("dup_id"), lit("winnow").as("src"))
+      val padPairs = Media.paddedDupFromFeatures(
+          feats.select(col("media_id"), col("container"), col("prefix_md5"),
+                       col("permille")))
+        .select(col("canonical_id"), col("dup_id"), lit("padded").as("src"))
+      val lshPairs = lshPairsCore(side)
+        .select(col("canonical_id"), col("dup_id"), lit("lsh").as("src"))
+      Warehouse.writeBucketed(
+        exactPairs.unionByName(encPairs).unionByName(padPairs)
+          .unionByName(lshPairs).distinct(),
+        Seq("dup_id"), s"${prefix}_pairs", Buckets)
     }
     prefix
   }
@@ -510,29 +537,19 @@ object MediaIndex {
     val prefix = buildReleaseIndex(spark, sfDir)
     requireNotMidAppend(spark, prefix)
     val meta = spark.table(s"${prefix}_meta")
-    val feats = spark.table(s"${prefix}_feats")
+    val pairs = spark.table(s"${prefix}_pairs")
     val gate = Media.gateFlags(meta).select(col("media_id"), col("keep"))
-    // exact dedup: min id per full-payload digest group
-    val keeper = meta.groupBy("sig").agg(min("media_id").as("keep_id"))
-    val exact = meta.select(col("media_id"), col("sig")).join(keeper, Seq("sig"))
-    val exactPairs = exact.filter(col("media_id") =!= col("keep_id"))
-      .select(col("keep_id").as("canonical_id"), col("media_id").as("dup_id"))
-    // the three copy-class catchers, all store-fed
-    val side = feats.select(col("media_id"), col("container"), col("permille"))
-    val encPairs = Media.encodedPairCore(spark.table(s"${prefix}_postings"), side)
-      .select("canonical_id", "dup_id")
-    val padPairs = Media.paddedDupFromFeatures(
-        feats.select(col("media_id"), col("container"), col("prefix_md5"),
-                     col("permille")))
-      .select("canonical_id", "dup_id")
-    val lshPairs = lshPairsCore(side).select("canonical_id", "dup_id")
-    val catcherPairs = encPairs.unionByName(padPairs).unionByName(lshPairs)
-      .distinct()
-    val copyDrop = catcherPairs.select(col("dup_id").as("media_id")).distinct()
+    // every drop verdict reads the persisted pair table: exact drops are
+    // the src='exact' dup side, catcher drops any other src's dup side
+    val exactDrop = pairs.filter(col("src") === "exact")
+      .select(col("dup_id").as("media_id")).distinct()
+      .withColumn("ed", lit(1))
+    val copyDrop = pairs.filter(col("src") =!= "exact")
+      .select(col("dup_id").as("media_id")).distinct()
       .withColumn("cd", lit(1))
     // takedown: requests ∪ their verified copies, one hop both directions
     // over the union pair graph (exact + all three catchers)
-    val allPairs = catcherPairs.unionByName(exactPairs).distinct()
+    val allPairs = pairs.select("canonical_id", "dup_id").distinct()
     val req = meta.filter(col("media_id") % TakedownMod === TakedownRes)
       .select(col("media_id"))
     val partners = allPairs.join(req.withColumnRenamed("media_id", "canonical_id"),
@@ -544,12 +561,12 @@ object MediaIndex {
     val removed = req.unionByName(partners).distinct().withColumn("rm", lit(1))
     meta.select(col("media_id"), col("kind"), col("n_bytes"))
       .join(gate, Seq("media_id"))
-      .join(exact.select(col("media_id"),
-        (col("media_id") === col("keep_id")).cast("long").as("e")), Seq("media_id"))
+      .join(exactDrop, Seq("media_id"), "left")
       .join(copyDrop, Seq("media_id"), "left")
       .join(removed, Seq("media_id"), "left")
       .select(col("media_id"), col("kind"), col("n_bytes"),
-        col("keep").cast("long").as("t"), col("e"),
+        col("keep").cast("long").as("t"),
+        when(col("ed").isNull, 1L).otherwise(0L).as("e"),
         when(col("cd").isNull, 1L).otherwise(0L).as("c"),
         when(col("rm").isNull, 1L).otherwise(0L).as("r"))
   }
