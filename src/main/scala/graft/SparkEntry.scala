@@ -91,6 +91,8 @@ object SparkEntry {
     "quantile_recall" -> ((s, d) => Analytics.quantileRecall(s, d)),
     "quantile_sketch_kll" -> ((s, d) => Analytics.quantileSketchKll(s, d)),
     "kll_rollup" -> ((s, d) => Analytics.kllRollup(s, d)),
+    "stream_kll" -> ((s, d) => graft.streaming.EventStreams.streamKllQuery(s, d)),
+    "winsorize_kll" -> ((s, d) => Analytics.winsorizeKll(s, d)),
     "kll_recall" -> ((s, d) => Analytics.kllRecall(s, d)),
     "winsorize_stats" -> ((s, d) => Analytics.winsorizeStats(s, d)),
     "quantile_rollup" -> ((s, d) => Analytics.quantileRollup(s, d)),
@@ -697,15 +699,19 @@ object SparkEntry {
       "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem",
     1024)
 
-  /** kll_rollup's oracle: per-event-type cells plus `__all__` computed
-    * DIRECTLY over the union rows — provably identical to the engine's
-    * state-only merge (summed histograms pick the same level; nested
-    * strata re-filter to the same survivor set). */
-  private val kllRollupSql: String =
+  /** The per-scope KLL chain over `events.value` up to the quantile
+    * targets `tq(scope, q, lvl, m, istar)` — shared by `kll_rollup`
+    * (with the `__all__` union and the standard quantiles) and
+    * `winsorize_kll` (per-type only, q ∈ {1, 99}). */
+  private def kllScopedCtes(qs: Seq[Int], withAll: Boolean): String = {
+    val uSql =
+      if (withAll)
+        """u AS (SELECT scope, rkey, cents FROM ev
+          |  UNION ALL SELECT '__all__', rkey, cents FROM ev),""".stripMargin
+      else "u AS (SELECT scope, rkey, cents FROM ev),"
     s"""WITH ev AS (SELECT event_type AS scope, CAST(event_id AS VARCHAR) AS rkey,
       |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-      |u AS (SELECT scope, rkey, cents FROM ev
-      |  UNION ALL SELECT '__all__', rkey, cents FROM ev),
+      |$uSql
       |hsh AS (SELECT scope, cents, md5_number_lower(rkey) % 9223372036854775808 AS h FROM u),
       |st AS (SELECT scope, cents, $kllTzSql AS tz FROM hsh),
       |hist AS (SELECT scope, tz, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY 1, 2),
@@ -726,8 +732,15 @@ object SparkEntry {
       |      + (CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)) - 1)
       |      // (CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)))) AS istar
       |  FROM nn JOIN lv USING (scope) JOIN mm USING (scope),
-      |    (SELECT unnest([50, 90, 95, 99]) AS q) qv)
-      |SELECT tq.scope, CAST(q AS BIGINT) AS q,
+      |    (SELECT unnest([${qs.mkString(", ")}]) AS q) qv)""".stripMargin
+  }
+
+  /** kll_rollup's oracle: per-event-type cells plus `__all__` computed
+    * DIRECTLY over the union rows — provably identical to the engine's
+    * state-only merge (summed histograms pick the same level; nested
+    * strata re-filter to the same survivor set). */
+  private val kllRollupSql: String = kllScopedCtes(Seq(50, 90, 95, 99), withAll = true) + "\n" +
+    """SELECT tq.scope, CAST(q AS BIGINT) AS q,
       |  CAST(cents AS DOUBLE) / 100 AS est_value, lvl, m AS n_kept
       |FROM tq JOIN sk ON sk.scope = tq.scope AND sk.i = tq.istar
       |ORDER BY tq.scope, q""".stripMargin
@@ -2035,6 +2048,32 @@ object SparkEntry {
         |          CAST((CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)) AS DOUBLE))) AS BIGINT)
         |      + (CAST(1 AS BIGINT) << CAST(lvl AS INTEGER)) AS BIGINT) AS within_bound
         |FROM fin ORDER BY q""".stripMargin),
+    // stream_kll: per-tz counts add associatively (phase-1 state ≡ the
+    // batch histogram under any split) and survival is per-row content,
+    // so the streamed sketch equals the batch chain over events exactly.
+    "stream_kll" -> (kllCtes(
+      "SELECT CAST(event_id AS VARCHAR) AS rkey, CAST(round(value * 100) AS BIGINT) AS cents FROM events",
+      1024) + "\n" +
+      """SELECT CAST(q AS BIGINT) AS q, CAST(cents AS DOUBLE) / 100 AS est_value,
+        |  lvl, m AS n_kept
+        |FROM tq JOIN sk ON sk.i = tq.istar
+        |ORDER BY q""".stripMargin),
+    // winsorize_kll: the per-type KLL chain at q ∈ {1, 99}, bounds as
+    // survivor values, then the integer clamp aggregation — the
+    // winsorize_stats shape with rank-bounded cuts.
+    "winsorize_kll" -> (kllScopedCtes(Seq(1, 99), withAll = false) + """,
+      |bd AS (SELECT tq.scope,
+      |    max(CASE WHEN q = 1 THEN cents END) AS lo_cents,
+      |    max(CASE WHEN q = 99 THEN cents END) AS hi_cents
+      |  FROM tq JOIN sk ON sk.scope = tq.scope AND sk.i = tq.istar
+      |  GROUP BY 1)
+      |SELECT ev.scope AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+      |  CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+      |  min(lo_cents) AS lo_cents, min(hi_cents) AS hi_cents,
+      |  CAST(sum(greatest(least(cents, hi_cents), lo_cents)) AS BIGINT) AS winsorized_cents
+      |FROM ev JOIN bd ON ev.scope = bd.scope
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
     // kll_rollup: the per-event-type KLL cells plus the __all__ cell. The
     // oracle computes __all__ DIRECTLY over the union rows — provably (and
     // engine-spec-gated) identical to the engine's state-only merge:

@@ -337,20 +337,25 @@ object Analytics {
     * to 0 via the range left-join (the [[graft.operators.Relational
     * .medianRowEstimate]] discipline), so an empty scope reads level 0,
     * not NULL. Everything here is over ≤49·|scopes| metadata rows. */
-  private[graft] def kllLevel(spark: SparkSession, hist: DataFrame,
+  private[graft] def kllLevel(spark: SparkSession, hist0: DataFrame,
                               k: Int): DataFrame = {
     val js = spark.range(KllMaxLevel + 1).select(col("id").as("j"))
-    val scopes = hist.select(col("scope")).distinct()
-    val cnts = scopes.crossJoin(js).as("g")
-      .join(hist.as("h"),
-        col("g.scope") === col("h.scope") && col("h.tz") >= col("g.j"), "left")
-      .groupBy(col("g.scope").as("scope"), col("g.j").as("j"))
+    // aliased column names, not plan aliases: the histogram may be a
+    // materialized sink TABLE (the streaming twin), where a same-name
+    // self-join trips attribute resolution
+    val hist = hist0.select(col("scope").as("hscope"), col("tz"), col("c"))
+    val scopes = hist0.select(col("scope")).distinct()
+    val cnts = scopes.crossJoin(js)
+      .join(hist, col("hscope") === col("scope") && col("tz") >= col("j"), "left")
+      .groupBy("scope", "j")
       .agg(coalesce(sum("c"), lit(0L)).as("cnt"))
+    val ns = cnts.filter(col("j") === 0L)
+      .select(col("scope").as("nscope"), col("cnt").as("n"))
     cnts.filter(col("cnt") <= k)
       .groupBy("scope")
       .agg(min("j").as("lvl"))
-      .join(cnts.filter(col("j") === 0L)
-              .select(col("scope"), col("cnt").as("n")), Seq("scope"))
+      .join(ns, col("scope") === col("nscope"))
+      .select(col("scope"), col("lvl"), col("n"))
   }
 
   /** Survivors of each scope at its level: `tz ≥ lvl`, each representing
@@ -368,8 +373,8 @@ object Analytics {
     * value (a window over ≤k·|scopes| SKETCH rows — metadata, never data
     * mass); target rank r = ⌈q·n/100⌉ maps to survivor index
     * ⌈r / 2^lvl⌉ clamped to [1, m]. Integer end to end. */
-  private def kllReadout(spark: SparkSession, survivors: DataFrame,
-                         qs: Seq[Int]): DataFrame = {
+  private[graft] def kllReadout(spark: SparkSession, survivors: DataFrame,
+                                qs: Seq[Int]): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy("scope").orderBy(col("cents").asc)
     val indexed = survivors.withColumn("i", row_number().over(w).cast("bigint"))
@@ -519,6 +524,48 @@ object Analytics {
               col("rank_err"), col("bound_rank"),
               (col("rank_err") <= col("bound_rank")).cast("bigint").as("within_bound"))
       .orderBy("q")
+  }
+
+  /** KLL-BOUNDED WINSORIZATION (`winsorize_kll`) — [[winsorizeStats]]
+    * with the band bounds read from the per-type KLL sketches instead of
+    * the equi-width histogram: this is exactly the regime the KLL member
+    * was built for ([[quantileSketchKll]]'s doc — the histogram's
+    * `range div bins` value error is unbounded on a heavy tail, and
+    * winsorization's whole job is heavy tails). A KLL bound is an ACTUAL
+    * SAMPLE VALUE whose rank sits within the range-free O(n/√k) bound of
+    * the target percentile — one fat-finger outlier widens every
+    * histogram bin but displaces a rank by exactly 1. Same output shape
+    * as the histogram form, so the two winsorizations read side by side.
+    *
+    * 100 TB: two scans like the histogram form — the stratification scan
+    * (histogram partial-agg + ≤k survivors per scope) and the clamp scan
+    * with the \|types\|-row bound table broadcast; the per-scope survivor
+    * sort is over sketch rows, never data mass. */
+  def winsorizeKll(spark: SparkSession, sfDir: String,
+                   k: Int = 1024): DataFrame = {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type").as("scope"),
+        col("event_id").cast("string").as("rkey"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val strat = kllRows(rows)
+    val lvl = kllLevel(spark, kllHist(strat), k)
+    val bounds = kllReadout(spark, kllSurvivors(strat, lvl), Seq(1, 99))
+      .groupBy("scope").agg(
+        max(when(col("q") === 1L, col("est_cents"))).as("lo_cents"),
+        max(when(col("q") === 99L, col("est_cents"))).as("hi_cents"))
+    rows.select(col("scope"), col("cents"))
+      .join(broadcast(bounds), Seq("scope"))
+      .groupBy("scope")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("cents") < col("lo_cents")).cast("long")).as("n_clamped_lo"),
+        sum((col("cents") > col("hi_cents")).cast("long")).as("n_clamped_hi"),
+        min("lo_cents").as("lo_cents"), min("hi_cents").as("hi_cents"),
+        sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+          .as("winsorized_cents"))
+      .select(col("scope").as("event_type"), col("n_events"),
+        col("n_clamped_lo"), col("n_clamped_hi"),
+        col("lo_cents"), col("hi_cents"), col("winsorized_cents"))
+      .orderBy("event_type")
   }
 
   /** WINSORIZATION report — the robust-scaling pass a feature pipeline

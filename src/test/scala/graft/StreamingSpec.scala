@@ -1226,6 +1226,38 @@ class StreamingSpec extends SparkSpecBase {
       s"every session closed before the watermark ($evicted of $all) — the fixture cannot exercise eviction")
   }
 
+  test("stream_kll: phase-1 state is the <=49-row stratum histogram; survivors fit the budget; exact when n <= k") {
+    val rows = EventStreams.streamKllQuery(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(50L, 90L, 95L, 99L))
+    // the phase-1 complete-mode state is the stratum histogram, whose row
+    // count = distinct (scope, tz) groups — bounded by the 49 possible
+    // trailing-zero counts regardless of stream size (the batch stratified
+    // frame IS the materialized content, per the shared oracle)
+    val histRows = graft.operators.Analytics.kllRows(
+        graft.sources.Tables.events(spark, sf0001).select(
+          lit("all").as("scope"),
+          col("event_id").cast("string").as("rkey"),
+          expr("cast(round(value * 100) as bigint)").as("cents")))
+      .select("scope", "tz").distinct().count()
+    assert(histRows <= 49L, "stratum histogram state exceeded 49 rows")
+    // the emitted survivor set fits the budget, and at sf0.001 (1000
+    // events <= k = 1024) the sketch IS the data: level 0, exact order
+    // statistics — cross-check one quantile against a scalar sort
+    val lvl = rows.head.getLong(2)
+    val kept = rows.head.getLong(3)
+    assert(kept <= 1024L, s"survivors $kept exceed the budget")
+    if (lvl == 0L) {
+      val cents = graft.sources.Tables.events(spark, sf0001)
+        .select(expr("cast(round(value * 100) as bigint)").as("c"))
+        .collect().map(_.getLong(0)).sorted
+      assert(kept === cents.length.toLong)
+      val r50 = ((50L * cents.length + 99) / 100).toInt
+      val est50 = rows.find(_.getLong(0) == 50L).get.getDouble(1)
+      assert(est50 === cents(r50 - 1) / 100.0,
+        "level-0 sketch must return the exact median")
+    }
+  }
+
   test("session boundary fixture guard: no exact-gap adjacent event pair exists in the corpus") {
     // The island-chain batch ops (sessionize / attribution) keep an event
     // EXACTLY `gap` after its predecessor in-session (strict `> gap` starts
