@@ -339,6 +339,7 @@ object SparkEntry {
     "media_dup_indexed" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupIndexed(s, d)),
     "media_export" -> ((s, d) => graft.multimodal.MediaIndex.mediaExport(s, d)),
     "media_release_report" -> ((s, d) => graft.multimodal.MediaIndex.mediaReleaseReport(s, d)),
+    "media_takedown_verify" -> ((s, d) => graft.multimodal.MediaIndex.mediaTakedownVerify(s, d)),
     "media_dup_cycle" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupCycle(s, d)),
     "media_near_dup_lsh" -> ((s, d) => graft.multimodal.MediaIndex.mediaNearDupLsh(s, d)),
     "stream_media_dedup" -> ((s, d) => graft.streaming.EventStreams.streamMediaDedupQuery(s, d)),
@@ -4748,6 +4749,16 @@ object SparkEntry {
       |SELECT media_id, kind, n_bytes FROM fl
       |WHERE t = 1 AND e = 1 AND c = 1 AND r = 1
       |ORDER BY media_id""".stripMargin),
+    // media_takedown_verify: violations = pairs crossing the removal
+    // boundary after the recursive-CTE closure — empty is the theorem
+    // component closure proves; the oracle computes it independently.
+    "media_takedown_verify" -> (mediaReleaseCtes + """
+      |SELECT p.ida AS canonical_id, p.idb AS dup_id
+      |FROM apairs p
+      |LEFT JOIN rem ra ON ra.media_id = p.ida
+      |LEFT JOIN rem rb ON rb.media_id = p.idb
+      |WHERE (ra.media_id IS NULL) <> (rb.media_id IS NULL)
+      |ORDER BY canonical_id, dup_id""".stripMargin),
     "media_release_report" -> (mediaReleaseCtes + """,
       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(t) AS BIGINT) AS n1,
       |         CAST(sum(t * e) AS BIGINT) AS n2, CAST(sum(t * e * c) AS BIGINT) AS n3,
@@ -4789,7 +4800,7 @@ object SparkEntry {
   private val mediaReleaseCtes: String = {
     import graft.multimodal.MediaIndex._
     import graft.multimodal.Media._
-    s"""WITH f AS (SELECT media_id, kind, octet_length(payload) AS n, hex(payload) AS hx
+    s"""WITH RECURSIVE f AS (SELECT media_id, kind, octet_length(payload) AS n, hex(payload) AS hx
       |           FROM read_parquet('$PackedReleaseRoot/*.parquet')),
       |c AS (SELECT media_id, n, hx,
       |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
@@ -4903,9 +4914,11 @@ object SparkEntry {
       |      * (CASE WHEN nb >= 256 THEN 1 ELSE 0 END) END AS t
       |  FROM uni),
       |req AS (SELECT media_id FROM f WHERE media_id % $TakedownMod = $TakedownRes),
-      |prt AS (SELECT apairs.idb AS media_id FROM apairs JOIN req ON apairs.ida = req.media_id
-      |        UNION SELECT apairs.ida FROM apairs JOIN req ON apairs.idb = req.media_id),
-      |rem AS (SELECT media_id FROM req UNION SELECT media_id FROM prt),
+      |sym AS (SELECT ida AS a, idb AS b FROM apairs UNION SELECT idb, ida FROM apairs),
+      |reach AS (SELECT media_id AS v FROM req
+      |          UNION
+      |          SELECT sym.b FROM reach JOIN sym ON sym.a = reach.v),
+      |rem AS (SELECT v AS media_id FROM reach),
       |cdp AS (SELECT DISTINCT idb AS media_id FROM cpairs),
       |fl AS (SELECT g.media_id, g.kind, g.n_bytes, g.t,
       |        CASE WHEN ex.media_id = keepx.keep_id THEN 1 ELSE 0 END AS e,

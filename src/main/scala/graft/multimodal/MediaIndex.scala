@@ -478,9 +478,10 @@ object MediaIndex {
   def buildReleaseIndex(spark: SparkSession, sfDir: String): String = {
     val dir = Media.ensurePackedRelease(spark, sfDir)
     val prefix = indexPrefix(sfDir, "rel")
-    val tables = tableNames(prefix) ++ Seq(s"${prefix}_meta", s"${prefix}_pairs")
+    val tables = tableNames(prefix) ++
+      Seq(s"${prefix}_meta", s"${prefix}_pairs", s"${prefix}_labels")
     val fp = Warehouse.sourceFingerprint(sfDir, "documents") +
-      s"-release4v1|rel|pairs1|k${Media.EncodedWinnowK}w${Media.EncodedWinnowW}x$Buckets"
+      s"-release4v1|rel|pairs2|k${Media.EncodedWinnowK}w${Media.EncodedWinnowW}x$Buckets"
     Warehouse.ensureDerivedTables(spark, tables, fp) {
       val universe = spark.read.parquet(dir)
       writeIndexTables(fullFeatures(universe), prefix, append = false)
@@ -513,8 +514,33 @@ object MediaIndex {
         exactPairs.unionByName(encPairs).unionByName(padPairs)
           .unionByName(lshPairs).distinct(),
         Seq("dup_id"), s"${prefix}_pairs", Buckets)
+      // CONNECTED-COMPONENT LABELS over the verified pair graph — the
+      // takedown closure's substrate (the text family's ensureClusterLabels
+      // discipline): a one-hop exclusion leaks transitive copy chains
+      // (a requested, a≈b, b≈c: b excluded but c ships a's content), so
+      // removal must close over COMPONENTS. Computed once here over the
+      // metadata-sized pair table; only paired vertices appear (singletons
+      // have no copies to close over).
+      Warehouse.writeBucketed(
+        graft.operators.Dedup.connectedComponents(
+          spark.table(s"${prefix}_pairs"), "canonical_id", "dup_id"),
+        Seq("v"), s"${prefix}_labels", Buckets)
     }
     prefix
+  }
+
+  /** The CLOSED removal set of the release: takedown requests plus every
+    * asset in a request's copy COMPONENT (the persisted labels). Shared
+    * by the export flags and [[mediaTakedownVerify]]. */
+  private def releaseRemoved(spark: SparkSession, prefix: String): DataFrame = {
+    val labels = spark.table(s"${prefix}_labels")
+    val req = spark.table(s"${prefix}_meta")
+      .filter(col("media_id") % TakedownMod === TakedownRes)
+      .select(col("media_id"))
+    val touched = labels.join(req, labels("v") === req("media_id"))
+      .select(col("l")).distinct()
+    req.unionByName(labels.join(touched, Seq("l")).select(col("v").as("media_id")))
+      .distinct()
   }
 
   /** Takedown request class of the release universe — a deterministic
@@ -547,18 +573,10 @@ object MediaIndex {
     val copyDrop = pairs.filter(col("src") =!= "exact")
       .select(col("dup_id").as("media_id")).distinct()
       .withColumn("cd", lit(1))
-    // takedown: requests ∪ their verified copies, one hop both directions
-    // over the union pair graph (exact + all three catchers)
-    val allPairs = pairs.select("canonical_id", "dup_id").distinct()
-    val req = meta.filter(col("media_id") % TakedownMod === TakedownRes)
-      .select(col("media_id"))
-    val partners = allPairs.join(req.withColumnRenamed("media_id", "canonical_id"),
-        Seq("canonical_id"))
-      .select(col("dup_id").as("media_id"))
-      .unionByName(allPairs.join(req.withColumnRenamed("media_id", "dup_id"),
-          Seq("dup_id"))
-        .select(col("canonical_id").as("media_id")))
-    val removed = req.unionByName(partners).distinct().withColumn("rm", lit(1))
+    // takedown: requests closed over copy COMPONENTS (the persisted
+    // labels) — transitive, so a copy-of-a-copy of removed content can
+    // never ship (mediaTakedownVerify gates exactly that)
+    val removed = releaseRemoved(spark, prefix).withColumn("rm", lit(1))
     meta.select(col("media_id"), col("kind"), col("n_bytes"))
       .join(gate, Seq("media_id"))
       .join(exactDrop, Seq("media_id"), "left")
@@ -621,5 +639,40 @@ object MediaIndex {
         stage(4, "takedown", col("n3"), col("n4")))).as("s"))
       .select("s.*")
       .orderBy("stage_no")
+  }
+
+  /** Driver-verified: MEDIA TAKEDOWN VERIFICATION
+    * (`media_takedown_verify`) — the [[graft.operators.Dedup
+    * .takedownVerify]] release gate for media: after removing the CLOSED
+    * manifest, NO verified copy pair may cross the removal boundary (a
+    * surviving asset paired with removed content means the removed bytes
+    * ship under another id). Emits the VIOLATIONS — the correct result is
+    * EMPTY, and the emptiness is a THEOREM of component closure (both
+    * endpoints of any pair share a component, so either both or neither
+    * are removed), differentially proven by the oracle's recursive-CTE
+    * closure over the replayed pair graph; MediaSpec injects a broken
+    * (one-hop) manifest to prove the gate actually catches leaks. Pure
+    * metadata joins over the persisted pair + label tables. */
+  def mediaTakedownVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val prefix = buildReleaseIndex(spark, sfDir)
+    requireNotMidAppend(spark, prefix)
+    takedownViolations(spark.table(s"${prefix}_pairs"),
+                       releaseRemoved(spark, prefix))
+  }
+
+  /** Violations of an EXPLICIT removal set against a pair table — the
+    * spec's breach-injection entry point. */
+  private[graft] def takedownViolations(pairs: DataFrame,
+                                        removed: DataFrame): DataFrame = {
+    val rm = broadcast(removed.select(col("media_id")).distinct()
+      .withColumn("r", lit(1)))
+    pairs.select("canonical_id", "dup_id").distinct()
+      .join(rm.select(col("media_id").as("canonical_id"), col("r").as("ra")),
+            Seq("canonical_id"), "left")
+      .join(rm.select(col("media_id").as("dup_id"), col("r").as("rb")),
+            Seq("dup_id"), "left")
+      .filter(coalesce(col("ra"), lit(0)) =!= coalesce(col("rb"), lit(0)))
+      .select("canonical_id", "dup_id")
+      .orderBy("canonical_id", "dup_id")
   }
 }

@@ -678,4 +678,31 @@ class MediaSpec extends SparkSpecBase {
     assert(plan.contains("graft_mediaidx_"),
       s"export did not read the persisted release tables:\n$plan")
   }
+
+  test("media takedown closure: component removal is leak-free; a one-hop manifest is caught") {
+    import graft.multimodal.MediaIndex
+    // the shipped closure is a theorem: both endpoints of any pair share
+    // a component, so no pair can cross the removal boundary
+    assert(MediaIndex.mediaTakedownVerify(spark, sf0001).count() === 0L,
+      "component-closed removal leaked a verified copy pair")
+    // breach injection (the takedownVerify discipline): rebuild the
+    // BROKEN one-hop manifest by hand — requests plus direct partners
+    // only — and show the gate catches the transitive chains it leaks
+    val prefix = MediaIndex.buildReleaseIndex(spark, sf0001)
+    val pairs = spark.table(s"${prefix}_pairs")
+      .select("canonical_id", "dup_id").distinct()
+    val req = spark.table(s"${prefix}_meta")
+      .filter(col("media_id") % MediaIndex.TakedownMod === MediaIndex.TakedownRes)
+      .select("media_id")
+    val oneHop = req
+      .unionByName(pairs.join(req.withColumnRenamed("media_id", "canonical_id"),
+          Seq("canonical_id")).select(col("dup_id").as("media_id")))
+      .unionByName(pairs.join(req.withColumnRenamed("media_id", "dup_id"),
+          Seq("dup_id")).select(col("canonical_id").as("media_id")))
+      .distinct()
+    val leaks = MediaIndex.takedownViolations(pairs, oneHop).count()
+    assert(leaks > 0L,
+      "the fixture has no transitive copy chain through a request — " +
+        "the closure upgrade is unobservable; strengthen the universe")
+  }
 }
