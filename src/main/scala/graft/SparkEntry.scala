@@ -287,6 +287,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalDedup(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminationPairs(s, d)),
     "decontaminate_indexed" -> ((s, d) => Dedup.decontaminationIndexed(s, d)),
+    "decontaminate_auto" -> ((s, d) => Dedup.decontaminateAuto(s, d)),
     "corpus_export" -> ((s, d) => Pipeline.corpusExport(s, d)),
     "release_report" -> ((s, d) => Pipeline.releaseReport(s, d)),
     "export_shards" -> ((s, d) => Pipeline.exportShards(s, d)),
@@ -340,6 +341,7 @@ object SparkEntry {
     "media_export" -> ((s, d) => graft.multimodal.MediaIndex.mediaExport(s, d)),
     "media_release_report" -> ((s, d) => graft.multimodal.MediaIndex.mediaReleaseReport(s, d)),
     "media_takedown_verify" -> ((s, d) => graft.multimodal.MediaIndex.mediaTakedownVerify(s, d)),
+    "media_split" -> ((s, d) => graft.multimodal.MediaIndex.mediaSplit(s, d)),
     "media_dup_cycle" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupCycle(s, d)),
     "media_near_dup_lsh" -> ((s, d) => graft.multimodal.MediaIndex.mediaNearDupLsh(s, d)),
     "stream_media_dedup" -> ((s, d) => graft.streaming.EventStreams.streamMediaDedupQuery(s, d)),
@@ -3901,6 +3903,22 @@ object SparkEntry {
     // train docs; the prefix filter is lossless at the threshold, so the
     // direct exact join is the oracle.
     "decontaminate" -> s"$decontaminateSql\nORDER BY eval_id, train_id",
+    // decontaminate_auto: the routed pair set is the exact containment
+    // join's (the decontaminate_indexed shared-oracle contract), plus the
+    // vocab-saturation route verdict — dedup_auto's rule verbatim.
+    "decontaminate_auto" ->
+      s"""WITH vnn AS (SELECT (count(*) + 9) // 10 AS per FROM documents),
+        |vw AS (SELECT doc_id // (SELECT per FROM vnn) AS slice,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')) AS word
+        |       FROM documents),
+        |vfs AS (SELECT word, min(slice) AS slice FROM vw GROUP BY word),
+        |vtot AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |           CAST(count(*) FILTER (WHERE slice = 0) AS BIGINT) AS s0 FROM vfs),
+        |rt AS (SELECT CASE WHEN total > 0 AND (total - s0) * 1000 < ${Dedup.DedupAutoLatePermille} * total
+        |         THEN 'lsh' ELSE 'exact' END AS route FROM vtot),
+        |dp AS ($decontaminateSql)
+        |SELECT eval_id, train_id, containment, route FROM dp, rt
+        |ORDER BY eval_id, train_id""".stripMargin,
     // decontaminate_indexed: candidates from the persisted 64×2 containment
     // band index, containment verified on candidates only — equals the
     // exact containment join when every qualifying pair is banded into a
@@ -4759,6 +4777,23 @@ object SparkEntry {
       |LEFT JOIN rem rb ON rb.media_id = p.idb
       |WHERE (ra.media_id IS NULL) <> (rb.media_id IS NULL)
       |ORDER BY canonical_id, dup_id""".stripMargin),
+    // media_split: per-vertex component labels via a second recursive
+    // closure over the same replayed pair graph (min reachable id ∪
+    // self), then the 60-bit md5 80/10/10 hash of the label — the
+    // leakage_safe_split oracle pattern over the media universe.
+    "media_split" -> (mediaReleaseCtes + """,
+      |reachL AS (SELECT a AS v, b AS r FROM sym
+      |  UNION
+      |  SELECT reachL.v, e.b FROM reachL JOIN sym e ON reachL.r = e.a),
+      |compL AS (SELECT v, least(v, min(r)) AS cluster FROM reachL GROUP BY v),
+      |lblL AS (SELECT f.media_id, COALESCE(c.cluster, f.media_id) AS cluster_id
+      |         FROM f LEFT JOIN compL c ON f.media_id = c.v),
+      |hs AS (SELECT media_id, cluster_id,
+      |        CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS hv
+      |       FROM lblL)
+      |SELECT media_id, cluster_id,
+      |  CASE WHEN hv <= 7 THEN 'train' WHEN hv = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM hs ORDER BY media_id""".stripMargin),
     "media_release_report" -> (mediaReleaseCtes + """,
       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(t) AS BIGINT) AS n1,
       |         CAST(sum(t * e) AS BIGINT) AS n2, CAST(sum(t * e * c) AS BIGINT) AS n3,

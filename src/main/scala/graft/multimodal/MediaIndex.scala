@@ -660,6 +660,32 @@ object MediaIndex {
                        releaseRemoved(spark, prefix))
   }
 
+  /** Driver-verified: LEAKAGE-SAFE MEDIA SPLIT (`media_split`) — the
+    * `leakage_safe_split` discipline for media: every asset of the
+    * release universe lands in train/val/test by the 60-bit md5 hash of
+    * its copy-COMPONENT label (the persisted `_labels`), so all verified
+    * copies of one asset — exact, re-encoded, padded, perturbed, and any
+    * transitive chain of them — inherit ONE split and an eval asset can
+    * never have a training-set copy. 80/10/10 by hash mod 10, singletons
+    * label themselves. Pure metadata joins over the persisted store. */
+  def mediaSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val prefix = buildReleaseIndex(spark, sfDir)
+    requireNotMidAppend(spark, prefix)
+    val labels = spark.table(s"${prefix}_labels")
+    spark.table(s"${prefix}_meta").select(col("media_id"))
+      .join(labels, col("media_id") === col("v"), "left")
+      .select(col("media_id"),
+              coalesce(col("l"), col("media_id")).as("cluster_id"))
+      .withColumn("h",
+        pmod(conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)
+          .cast("bigint"), lit(10L)))
+      .select(col("media_id"), col("cluster_id"),
+        when(col("h") <= 7, lit("train"))
+          .when(col("h") === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("media_id")
+  }
+
   /** Violations of an EXPLICIT removal set against a pair table — the
     * spec's breach-injection entry point. */
   private[graft] def takedownViolations(pairs: DataFrame,

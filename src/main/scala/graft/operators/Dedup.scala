@@ -210,6 +210,28 @@ object Dedup {
     else "exact"
   }
 
+  /** AUTO-ROUTED decontamination — [[dedupAuto]]'s saturation rule
+    * applied to the OTHER quadratic-prone family (SURVEY §6.1 names both:
+    * the exact containment join's eval-prefix selectivity collapses in
+    * the same closed-vocabulary regime): a slice-0-saturated vocabulary
+    * routes to the persisted containment-band index
+    * ([[decontaminationIndexed]] — measured ×10 slope 0.52 vs the exact
+    * path's 7.76 in that regime), an open vocabulary keeps the exact
+    * prefix-filtered join. Both paths emit the identical pair set on the
+    * driver corpus (the decontaminate_indexed contract — its shared
+    * oracle is the exact join), and the route rides in the output so the
+    * decision is hash-gated. */
+  def decontaminateAuto(spark: SparkSession, sfDir: String, n: Int = 3,
+                        threshold: Double = 0.6): DataFrame = {
+    val route = dedupRoute(spark, sfDir)
+    val pairs =
+      if (route == "lsh") decontaminationIndexedUnordered(spark, sfDir, n, threshold)
+      else decontaminationUnordered(spark, sfDir, n, threshold)
+    pairs.select(col("eval_id"), col("train_id"), col("containment"),
+                 lit(route).as("route"))
+      .orderBy("eval_id", "train_id")
+  }
+
   /** Benchmark decontamination — the train/eval overlap check every LLM
     * data pipeline runs before training: for each EVAL document (the
     * deterministic `doc_id % 10 == 0` shard, standing in for a benchmark

@@ -705,4 +705,23 @@ class MediaSpec extends SparkSpecBase {
       "the fixture has no transitive copy chain through a request — " +
         "the closure upgrade is unobservable; strengthen the universe")
   }
+
+  test("media_split: no verified copy pair crosses a split boundary; proportions near 80/10/10") {
+    import graft.multimodal.MediaIndex
+    val split = MediaIndex.mediaSplit(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val prefix = MediaIndex.buildReleaseIndex(spark, sf0001)
+    val pairs = spark.table(s"${prefix}_pairs")
+      .select("canonical_id", "dup_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b),
+        s"copy pair ($a, $b) split across ${split(a)}/${split(b)} — leakage")
+    }
+    val byTier = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = split.size.toDouble
+    assert(byTier("train") / n > 0.6 && byTier("train") / n < 0.95)
+    assert(byTier.keySet === Set("train", "val", "test"))
+  }
 }
