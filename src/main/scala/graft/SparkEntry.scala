@@ -264,6 +264,7 @@ object SparkEntry {
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "semdedup_recall" -> ((s, d) => Similarity.semDedupRecall(s, d)),
     "semdedup_probed" -> ((s, d) => Similarity.semDedupProbed(s, d)),
+    "semdedup_text_recall" -> ((s, d) => Similarity.semDedupTextRecall(s, d)),
     "embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
     "cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "cluster_keywords" -> ((s, d) => Similarity.clusterKeywords(s, d)),
@@ -890,17 +891,45 @@ object SparkEntry {
   }
 
   /** The 2-probe assignment + pair CTEs shared by `semdedup_probed` and
-    * `semdedup_recall`: rank-≤2 cells over the trained codebook (rank 1 is
-    * bit-identical to `cellv`'s argmax), pairs sharing any probe cell.
-    * Appends to an [[ivfCtesExpr]] chain (needs `e`, `cents3` in scope). */
-  private val semDedupProbe2Cte: String = """,
+    * both recall instruments: rank-≤2 cells over the trained codebook
+    * (rank 1 is bit-identical to `cellv`'s argmax), pairs sharing any
+    * probe cell. Appends to an [[ivfCtesExpr]] chain (needs `e`,
+    * `cents3` in scope). */
+  private def semDedupProbe2Cte(threshold: Double): String = s""",
     |cellv2 AS (SELECT vec_id, emb, cell FROM (
     |  SELECT e.vec_id, e.emb, c.cent_id AS cell,
     |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
     |  FROM e, cents3 c) WHERE rn <= 2),
     |p2 AS (SELECT b.vec_id AS vec_id, a.vec_id AS keeper
     |  FROM cellv2 a JOIN cellv2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
-    |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3)""".stripMargin
+    |  WHERE list_cosine_similarity(a.emb, b.emb) >= $threshold)""".stripMargin
+
+  /** Everything after the IVF chain for a two-method semdedup recall
+    * instrument at `threshold` — shared by the vector and text keys. */
+  private def semDedupRecallTail(threshold: Double): String = s""",
+    |p AS (SELECT b.vec_id AS vec_id, CAST(b.cell AS INTEGER) AS cell, a.vec_id AS keeper
+    |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    |  WHERE list_cosine_similarity(a.emb, b.emb) >= $threshold),
+    |det AS (SELECT CAST(count(*) AS BIGINT) AS n_detected
+    |  FROM (SELECT vec_id, cell FROM p GROUP BY vec_id, cell))""".stripMargin +
+    semDedupProbe2Cte(threshold) + s""",
+    |det2 AS (SELECT CAST(count(*) AS BIGINT) AS n_detected
+    |  FROM (SELECT vec_id FROM p2 GROUP BY vec_id)),
+    |tr AS (SELECT CAST(count(DISTINCT b.vec_id) AS BIGINT) AS n_true
+    |  FROM cellv a JOIN cellv b ON a.vec_id < b.vec_id
+    |  WHERE list_cosine_similarity(a.emb, b.emb) >= $threshold),
+    |rows2 AS (
+    |  SELECT 'probe2' AS method, n_true, det2.n_detected,
+    |    CASE WHEN n_true = 0 THEN CAST(1000 AS BIGINT)
+    |         ELSE det2.n_detected * 1000 // n_true END AS recall_permille
+    |  FROM tr, det2
+    |  UNION ALL
+    |  SELECT 'same_cell' AS method, n_true, det.n_detected,
+    |    CASE WHEN n_true = 0 THEN CAST(1000 AS BIGINT)
+    |         ELSE det.n_detected * 1000 // n_true END AS recall_permille
+    |  FROM tr, det)
+    |SELECT method, n_true, n_detected, recall_permille FROM rows2
+    |ORDER BY method""".stripMargin
 
   private def ivfOracle(numProbes: Int = 10, k: Int = 5, numCentroids: Int = 16,
                         iters: Int = 3, nprobe: Int = 2): String =
@@ -4331,7 +4360,7 @@ object SparkEntry {
     // semdedup_probed: the ≤2-nearest-cells assignment (rank ≤ 2 over the
     // trained codebook, rank 1 ≡ the stored cellv assignment), pairs
     // sharing ANY probe cell, min-id survivor per dropped vector.
-    "semdedup_probed" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3) + semDedupProbe2Cte + """
+    "semdedup_probed" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3) + semDedupProbe2Cte(0.3) + """
       |SELECT vec_id, min(keeper) AS dup_of FROM p2 GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin),
     // semdedup_recall: truth = the UNBLOCKED all-pairs drop set (distinct
@@ -4339,30 +4368,13 @@ object SparkEntry {
     // = the same-cell drop set and the 2-probe drop set, each from the
     // full replayed k-means chain; the integer permille and the
     // zero-truth guard replay exactly.
-    "semdedup_recall" -> (ivfCtesExpr("(SELECT nc FROM ncell)", 3) + """,
-      |p AS (SELECT b.vec_id AS vec_id, CAST(b.cell AS INTEGER) AS cell, a.vec_id AS keeper
-      |  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3),
-      |det AS (SELECT CAST(count(*) AS BIGINT) AS n_detected
-      |  FROM (SELECT vec_id, cell FROM p GROUP BY vec_id, cell))""".stripMargin
-      + semDedupProbe2Cte + """,
-      |det2 AS (SELECT CAST(count(*) AS BIGINT) AS n_detected
-      |  FROM (SELECT vec_id FROM p2 GROUP BY vec_id)),
-      |tr AS (SELECT CAST(count(DISTINCT b.vec_id) AS BIGINT) AS n_true
-      |  FROM cellv a JOIN cellv b ON a.vec_id < b.vec_id
-      |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3),
-      |rows2 AS (
-      |  SELECT 'probe2' AS method, n_true, det2.n_detected,
-      |    CASE WHEN n_true = 0 THEN CAST(1000 AS BIGINT)
-      |         ELSE det2.n_detected * 1000 // n_true END AS recall_permille
-      |  FROM tr, det2
-      |  UNION ALL
-      |  SELECT 'same_cell' AS method, n_true, det.n_detected,
-      |    CASE WHEN n_true = 0 THEN CAST(1000 AS BIGINT)
-      |         ELSE det.n_detected * 1000 // n_true END AS recall_permille
-      |  FROM tr, det)
-      |SELECT method, n_true, n_detected, recall_permille FROM rows2
-      |ORDER BY method""".stripMargin),
+    "semdedup_recall" ->
+      (ivfCtesExpr("(SELECT nc FROM ncell)", 3) + semDedupRecallTail(0.3)),
+    // semdedup_text_recall: the same instrument over the hashed-BoW text
+    // bridge at semdedup_text's threshold.
+    "semdedup_text_recall" ->
+      (ivfCtesExpr("(SELECT nc FROM ncell)", 3, textEmbSourceSql) +
+        semDedupRecallTail(0.8)),
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt
