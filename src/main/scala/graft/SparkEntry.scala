@@ -343,6 +343,7 @@ object SparkEntry {
     "media_release_report" -> ((s, d) => graft.multimodal.MediaIndex.mediaReleaseReport(s, d)),
     "media_takedown_verify" -> ((s, d) => graft.multimodal.MediaIndex.mediaTakedownVerify(s, d)),
     "media_split" -> ((s, d) => graft.multimodal.MediaIndex.mediaSplit(s, d)),
+    "media_release_cycle" -> ((s, d) => graft.multimodal.MediaIndex.mediaReleaseCycle(s, d)),
     "media_dup_cycle" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupCycle(s, d)),
     "media_near_dup_lsh" -> ((s, d) => graft.multimodal.MediaIndex.mediaNearDupLsh(s, d)),
     "stream_media_dedup" -> ((s, d) => graft.streaming.EventStreams.streamMediaDedupQuery(s, d)),
@@ -4776,6 +4777,13 @@ object SparkEntry {
     // every gate replayed from the staged bytes (exact digests, all three
     // catcher chains, predicted gate metadata, one-hop takedown closure).
     "media_export" -> (mediaReleaseCtes + """
+      |SELECT media_id, kind, n_bytes FROM fl
+      |WHERE t = 1 AND e = 1 AND c = 1 AND r = 1
+      |ORDER BY media_id""".stripMargin),
+    // media_release_cycle: corpus-build + drop-append + pair/label
+    // re-derivation must serve EXACTLY the whole-build export — the
+    // oracle is media_export's full byte replay verbatim.
+    "media_release_cycle" -> (mediaReleaseCtes + """
       |SELECT media_id, kind, n_bytes FROM fl
       |WHERE t = 1 AND e = 1 AND c = 1 AND r = 1
       |ORDER BY media_id""".stripMargin),

@@ -475,56 +475,69 @@ object MediaIndex {
     * the shared `_feats`/`_postings` tables plus a `_meta` table
     * (decoded header metadata + exact digest) — so the export chain
     * touches NO payload after this one build pays the scan. */
+  /** The five release table names of a prefix. */
+  private def releaseTableNames(prefix: String): Seq[String] =
+    tableNames(prefix) ++
+      Seq(s"${prefix}_meta", s"${prefix}_pairs", s"${prefix}_labels")
+
+  /** Write the SCAN-COST tables (feats/postings/meta) for `assets` —
+    * build or append grain; the one pass that touches payloads. */
+  private def writeReleaseScanTables(assets: DataFrame, prefix: String,
+                                     append: Boolean): Unit = {
+    writeIndexTables(fullFeatures(assets), prefix, append)
+    val meta = metaFeatures(assets)
+    if (append)
+      Warehouse.appendBucketed(meta, Seq("media_id"), s"${prefix}_meta", Buckets)
+    else
+      Warehouse.writeBucketed(meta, Seq("media_id"), s"${prefix}_meta", Buckets)
+  }
+
+  /** Derive (and overwrite) the `_pairs` + `_labels` tables from the
+    * prefix's SCAN tables. The VERIFIED PAIR TABLES are corpus-state
+    * functions too — computed once here so serving the release (and
+    * re-serving at a new gate / takedown manifest) joins metadata, never
+    * re-runs a catcher: the r12 reseal measured the per-call catcher
+    * cascade at 5.45s warm; the pair-table serve is table joins. The
+    * `_labels` are the component closure's substrate (the text family's
+    * ensureClusterLabels discipline). Store-grain work (no payload ever
+    * read), so the ingest cycle re-derives them per append while the
+    * feature scan stays incremental. */
+  private def deriveReleasePairTables(spark: SparkSession, prefix: String): Unit = {
+    val meta = spark.table(s"${prefix}_meta")
+    val feats = spark.table(s"${prefix}_feats")
+    val side = feats.select(col("media_id"), col("container"), col("permille"))
+    val keeper = meta.groupBy("sig").agg(min("media_id").as("keep_id"))
+    val exactPairs = meta.select(col("media_id"), col("sig"))
+      .join(keeper, Seq("sig"))
+      .filter(col("media_id") =!= col("keep_id"))
+      .select(col("keep_id").as("canonical_id"), col("media_id").as("dup_id"),
+              lit("exact").as("src"))
+    val encPairs = Media.encodedPairCore(spark.table(s"${prefix}_postings"), side)
+      .select(col("canonical_id"), col("dup_id"), lit("winnow").as("src"))
+    val padPairs = Media.paddedDupFromFeatures(
+        feats.select(col("media_id"), col("container"), col("prefix_md5"),
+                     col("permille")))
+      .select(col("canonical_id"), col("dup_id"), lit("padded").as("src"))
+    val lshPairs = lshPairsCore(side)
+      .select(col("canonical_id"), col("dup_id"), lit("lsh").as("src"))
+    Warehouse.writeBucketed(
+      exactPairs.unionByName(encPairs).unionByName(padPairs)
+        .unionByName(lshPairs).distinct(),
+      Seq("dup_id"), s"${prefix}_pairs", Buckets)
+    Warehouse.writeBucketed(
+      graft.operators.Dedup.connectedComponents(
+        spark.table(s"${prefix}_pairs"), "canonical_id", "dup_id"),
+      Seq("v"), s"${prefix}_labels", Buckets)
+  }
+
   def buildReleaseIndex(spark: SparkSession, sfDir: String): String = {
     val dir = Media.ensurePackedRelease(spark, sfDir)
     val prefix = indexPrefix(sfDir, "rel")
-    val tables = tableNames(prefix) ++
-      Seq(s"${prefix}_meta", s"${prefix}_pairs", s"${prefix}_labels")
     val fp = Warehouse.sourceFingerprint(sfDir, "documents") +
       s"-release4v1|rel|pairs2|k${Media.EncodedWinnowK}w${Media.EncodedWinnowW}x$Buckets"
-    Warehouse.ensureDerivedTables(spark, tables, fp) {
-      val universe = spark.read.parquet(dir)
-      writeIndexTables(fullFeatures(universe), prefix, append = false)
-      Warehouse.writeBucketed(metaFeatures(universe), Seq("media_id"),
-                              s"${prefix}_meta", Buckets)
-      // The VERIFIED PAIR TABLES are corpus-state functions too — computed
-      // once here from the just-written feature tables and persisted with
-      // a source tag, so serving the release (and re-serving at a new
-      // gate / takedown manifest) joins metadata, never re-runs a catcher:
-      // the r12 reseal measured the per-call catcher cascade at 5.45s
-      // warm; the pair-table serve is table joins.
-      val meta = spark.table(s"${prefix}_meta")
-      val feats = spark.table(s"${prefix}_feats")
-      val side = feats.select(col("media_id"), col("container"), col("permille"))
-      val keeper = meta.groupBy("sig").agg(min("media_id").as("keep_id"))
-      val exactPairs = meta.select(col("media_id"), col("sig"))
-        .join(keeper, Seq("sig"))
-        .filter(col("media_id") =!= col("keep_id"))
-        .select(col("keep_id").as("canonical_id"), col("media_id").as("dup_id"),
-                lit("exact").as("src"))
-      val encPairs = Media.encodedPairCore(spark.table(s"${prefix}_postings"), side)
-        .select(col("canonical_id"), col("dup_id"), lit("winnow").as("src"))
-      val padPairs = Media.paddedDupFromFeatures(
-          feats.select(col("media_id"), col("container"), col("prefix_md5"),
-                       col("permille")))
-        .select(col("canonical_id"), col("dup_id"), lit("padded").as("src"))
-      val lshPairs = lshPairsCore(side)
-        .select(col("canonical_id"), col("dup_id"), lit("lsh").as("src"))
-      Warehouse.writeBucketed(
-        exactPairs.unionByName(encPairs).unionByName(padPairs)
-          .unionByName(lshPairs).distinct(),
-        Seq("dup_id"), s"${prefix}_pairs", Buckets)
-      // CONNECTED-COMPONENT LABELS over the verified pair graph — the
-      // takedown closure's substrate (the text family's ensureClusterLabels
-      // discipline): a one-hop exclusion leaks transitive copy chains
-      // (a requested, a≈b, b≈c: b excluded but c ships a's content), so
-      // removal must close over COMPONENTS. Computed once here over the
-      // metadata-sized pair table; only paired vertices appear (singletons
-      // have no copies to close over).
-      Warehouse.writeBucketed(
-        graft.operators.Dedup.connectedComponents(
-          spark.table(s"${prefix}_pairs"), "canonical_id", "dup_id"),
-        Seq("v"), s"${prefix}_labels", Buckets)
+    Warehouse.ensureDerivedTables(spark, releaseTableNames(prefix), fp) {
+      writeReleaseScanTables(spark.read.parquet(dir), prefix, append = false)
+      deriveReleasePairTables(spark, prefix)
     }
     prefix
   }
@@ -562,6 +575,12 @@ object MediaIndex {
   private def releaseFlags(spark: SparkSession, sfDir: String): DataFrame = {
     val prefix = buildReleaseIndex(spark, sfDir)
     requireNotMidAppend(spark, prefix)
+    releaseFlagsFor(spark, prefix)
+  }
+
+  /** The flags over an EXPLICIT release-index prefix — shared by the
+    * whole-build serve and the ingest cycle's extended store. */
+  private def releaseFlagsFor(spark: SparkSession, prefix: String): DataFrame = {
     val meta = spark.table(s"${prefix}_meta")
     val pairs = spark.table(s"${prefix}_pairs")
     val gate = Media.gateFlags(meta).select(col("media_id"), col("keep"))
@@ -683,6 +702,60 @@ object MediaIndex {
         when(col("h") <= 7, lit("train"))
           .when(col("h") === 8, lit("val"))
           .otherwise(lit("test")).as("split"))
+      .orderBy("media_id")
+  }
+
+  /** Driver-verified: the RELEASE INDEX INGEST CYCLE
+    * (`media_release_cycle`) — [[mediaDupCycle]]'s maintenance proof for
+    * the release store: the scan-cost tables (feats/postings/meta — the
+    * only pass that touches payloads) are built from the CORPUS split
+    * only ([[DeltaMod]] convention), the drop split is then APPENDED
+    * (bucketed appends under the in-flight-marker crash discipline —
+    * new files per bucket, bucket-local joins untouched), the pair +
+    * label tables are RE-DERIVED from the extended store (store-grain
+    * work by design: pairs/labels are functions of the feature rows, so
+    * maintenance re-derives them while the byte scan stays incremental),
+    * and the EXPORT is served from the extended tables. The oracle is
+    * `media_export`'s full whole-universe byte replay — build-then-append
+    * ≡ build-whole proven by the driver hash, the
+    * dedup_clusters_incremental discipline brought to the composed
+    * release. Fingerprint lifecycle = [[mediaDupCycle]]'s: `cyc-full` ⇒
+    * serve directly (the steady state); `cyc-base` ⇒ resume the append
+    * on the clean base; anything else ⇒ rebuild base + re-append. */
+  def mediaReleaseCycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Media.ensurePackedRelease(spark, sfDir)
+    val prefix = indexPrefix(sfDir, "relc")
+    val tables = releaseTableNames(prefix)
+    val fpBase = Warehouse.sourceFingerprint(sfDir, "documents") +
+      s"-release4v1|relc-base|k${Media.EncodedWinnowK}w${Media.EncodedWinnowW}x$Buckets"
+    val fpFull = fpBase.replace("|relc-base|", "|relc-full|")
+    val current = tables.forall(t => spark.catalog.tableExists(t) &&
+      Warehouse.storedFingerprint(spark, t).contains(fpFull))
+    if (!current) {
+      val universe = spark.read.parquet(dir)
+      Warehouse.ensureDerivedTables(spark, tables, fpBase) {
+        writeReleaseScanTables(
+          universe.filter(col("media_id") % DeltaMod =!= 0), prefix,
+          append = false)
+        deriveReleasePairTables(spark, prefix)
+      }
+      // append window under the in-flight marker across ALL FIVE tables:
+      // a crash mid-append fails every reuse gate and rebuilds, never a
+      // half-extended serve; the marker→full restamp happens only after
+      // the appends AND the pair/label re-derivation commit
+      tables.foreach(t => Warehouse.stampFingerprint(spark, t,
+        graft.operators.IncrementalDedup.InFlightMarker))
+      writeReleaseScanTables(
+        universe.filter(col("media_id") % DeltaMod === 0), prefix,
+        append = true)
+      deriveReleasePairTables(spark, prefix)
+      tables.foreach(t => Warehouse.stampFingerprint(spark, t, fpFull))
+    }
+    requireNotMidAppend(spark, prefix)
+    releaseFlagsFor(spark, prefix)
+      .filter(col("t") === 1L && col("e") === 1L && col("c") === 1L &&
+              col("r") === 1L)
+      .select(col("media_id"), col("kind"), col("n_bytes"))
       .orderBy("media_id")
   }
 

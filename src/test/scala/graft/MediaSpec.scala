@@ -706,6 +706,28 @@ class MediaSpec extends SparkSpecBase {
         "the closure upgrade is unobservable; strengthen the universe")
   }
 
+  test("media_release_cycle: corpus-build + drop-append serves the whole-build export; steady state appends nothing") {
+    import graft.multimodal.MediaIndex
+    val cycle = MediaIndex.mediaReleaseCycle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val whole = MediaIndex.mediaExport(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(cycle.nonEmpty && cycle.toSeq === whole.toSeq,
+      "append-extended release store must serve the whole-build export row for row")
+    // steady state: stamps read relc-full and a re-run appends nothing —
+    // scan-table row mass unchanged (a second append would double-count
+    // the drop in every digest group and pair)
+    val prefix = MediaIndex.indexPrefix(sf0001, "relc")
+    val featRows = spark.table(s"${prefix}_feats").count()
+    val metaRows = spark.table(s"${prefix}_meta").count()
+    val again = MediaIndex.mediaReleaseCycle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq === cycle.toSeq)
+    assert(spark.table(s"${prefix}_feats").count() === featRows &&
+           spark.table(s"${prefix}_meta").count() === metaRows,
+      "steady-state cycle re-run must not re-append the drop")
+  }
+
   test("media_split: no verified copy pair crosses a split boundary; proportions near 80/10/10") {
     import graft.multimodal.MediaIndex
     val split = MediaIndex.mediaSplit(spark, sf0001)
