@@ -344,6 +344,8 @@ object SparkEntry {
     "media_takedown_verify" -> ((s, d) => graft.multimodal.MediaIndex.mediaTakedownVerify(s, d)),
     "media_split" -> ((s, d) => graft.multimodal.MediaIndex.mediaSplit(s, d)),
     "media_release_cycle" -> ((s, d) => graft.multimodal.MediaIndex.mediaReleaseCycle(s, d)),
+    "stream_media_split" -> ((s, d) => graft.streaming.EventStreams.streamMediaSplitQuery(s, d)),
+    "route_audit" -> ((s, d) => Dedup.routeAudit(s, d)),
     "media_dup_cycle" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupCycle(s, d)),
     "media_near_dup_lsh" -> ((s, d) => graft.multimodal.MediaIndex.mediaNearDupLsh(s, d)),
     "stream_media_dedup" -> ((s, d) => graft.streaming.EventStreams.streamMediaDedupQuery(s, d)),
@@ -3724,6 +3726,28 @@ object SparkEntry {
         |SELECT nfc_fp, n_docs, canonical_id, CAST(n_raw > 1 AS BIGINT) AS needed_nfc
         |FROM g ORDER BY canonical_id""".stripMargin,
     "dedup_ngram" -> s"$ngramPairsSql\nORDER BY doc_a, doc_b",
+    // route_audit: the saturation measurement + verdict replayed —
+    // floor((total−s0)·1000/total) < cut ⟺ (total−s0)·1000 < cut·total,
+    // so the audit's permille compare is exactly the routers' product
+    // form.
+    "route_audit" ->
+      s"""WITH vnn AS (SELECT (count(*) + 9) // 10 AS per FROM documents),
+        |vw AS (SELECT doc_id // (SELECT per FROM vnn) AS slice,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')) AS word
+        |       FROM documents),
+        |vfs AS (SELECT word, min(slice) AS slice FROM vw GROUP BY word),
+        |vt AS (SELECT CAST(count(*) AS BIGINT) AS total_types,
+        |         CAST(count(*) FILTER (WHERE slice = 0) AS BIGINT) AS slice0_types FROM vfs),
+        |fr AS (SELECT total_types, slice0_types,
+        |         CASE WHEN total_types = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE (total_types - slice0_types) * 1000 // total_types END AS late_permille
+        |       FROM vt)
+        |SELECT family, total_types, slice0_types, late_permille,
+        |  CAST(${Dedup.DedupAutoLatePermille} AS BIGINT) AS cut_permille,
+        |  CASE WHEN total_types > 0 AND late_permille < ${Dedup.DedupAutoLatePermille}
+        |       THEN 'lsh' ELSE 'exact' END AS route
+        |FROM (SELECT unnest(['decontaminate_auto', 'dedup_auto']) AS family), fr
+        |ORDER BY family""".stripMargin,
     // dedup_auto: the routed pair set IS the exact pair set (the proven
     // route equivalence), plus the route verdict replayed from the
     // vocab-growth saturation rule — first-slice share of all word types
@@ -4814,6 +4838,25 @@ object SparkEntry {
       |SELECT media_id, cluster_id,
       |  CASE WHEN hv <= 7 THEN 'train' WHEN hv = 8 THEN 'val' ELSE 'test' END AS split
       |FROM hs ORDER BY media_id""".stripMargin),
+    // stream_media_split: the batch split chain restricted to the drop
+    // (the packed drop = the corpus's media_id % 10 = 0 base assets) —
+    // assignment is a pure function of the persisted labels, so the
+    // streamed rows equal the batch rows.
+    "stream_media_split" -> (mediaReleaseCtes + """,
+      |reachL AS (SELECT a AS v, b AS r FROM sym
+      |  UNION
+      |  SELECT reachL.v, e.b FROM reachL JOIN sym e ON reachL.r = e.a),
+      |compL AS (SELECT v, least(v, min(r)) AS cluster FROM reachL GROUP BY v),
+      |lblL AS (SELECT f.media_id, COALESCE(c.cluster, f.media_id) AS cluster_id
+      |         FROM f LEFT JOIN compL c ON f.media_id = c.v),
+      |hs AS (SELECT media_id, cluster_id,
+      |        CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS hv
+      |       FROM lblL)
+      |SELECT media_id, cluster_id,
+      |  CASE WHEN hv <= 7 THEN 'train' WHEN hv = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM hs
+      |WHERE media_id % 10 = 0 AND media_id <= (SELECT max(doc_id) FROM documents)
+      |ORDER BY media_id""".stripMargin),
     "media_release_report" -> (mediaReleaseCtes + """,
       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(t) AS BIGINT) AS n1,
       |         CAST(sum(t * e) AS BIGINT) AS n2, CAST(sum(t * e * c) AS BIGINT) AS n3,

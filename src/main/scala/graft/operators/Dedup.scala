@@ -198,6 +198,35 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** ROUTE AUDIT (`route_audit`) — the observability row behind every
+    * auto-routed family: the measured saturation inputs (total word
+    * types, slice-0 types, the late-type permille) next to the declared
+    * cut and the verdict both routers act on. The row a pipeline
+    * operator reads to understand WHY dedup_auto / decontaminate_auto
+    * took the path they took — the decision's evidence, hash-gated like
+    * the decision itself. One (word, min-slice) shuffle; everything
+    * after is ≤slices metadata rows. */
+  def routeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fs = TextAnalysis.vocabGrowth(spark, sfDir)
+      .select(col("slice"), col("new_types"))
+      .agg(sum("new_types").as("total_types"),
+           sum(when(col("slice") === 0L, col("new_types")).otherwise(0L))
+             .as("slice0_types"))
+      .select(col("total_types"), col("slice0_types"),
+        when(col("total_types") === 0L, lit(0L))
+          .otherwise(expr("(total_types - slice0_types) * 1000 div total_types"))
+          .as("late_permille"))
+      .withColumn("cut_permille", lit(DedupAutoLatePermille))
+      .withColumn("route",
+        when(col("total_types") > 0L &&
+             col("late_permille") < col("cut_permille"), "lsh")
+          .otherwise("exact"))
+    Seq("decontaminate_auto", "dedup_auto").toDF("family")
+      .crossJoin(broadcast(fs))
+      .orderBy("family")
+  }
+
   /** The route decision alone — "lsh" iff the measured late-type share is
     * under the declared permille cut. */
   private[graft] def dedupRoute(spark: SparkSession, sfDir: String): String = {

@@ -819,6 +819,40 @@ object EventStreams {
       .orderBy("media_id")
   }
 
+  /** Driver-verified: LEAKAGE-SAFE SPLIT ASSIGNMENT AT INGEST
+    * (`stream_media_split`) — arriving packed drop assets get their
+    * train/val/test verdict the moment they land: a STATELESS
+    * stream-static join against the release index's persisted copy-
+    * component labels (the [[graft.multimodal.MediaIndex.mediaSplit]]
+    * rule verbatim — component hash where the asset has verified copies,
+    * self-hash where it's a singleton). Zero streaming state; the split
+    * an asset receives at ingest equals the batch assignment row for row
+    * (membership is a pure function of the persisted labels + content
+    * id), so the batch oracle restricted to the drop is shared. */
+  def streamMediaSplitQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.multimodal.{Media, MediaIndex}
+    val prefix = MediaIndex.buildReleaseIndex(spark, sfDir)
+    MediaIndex.requireNotMidAppend(spark, prefix)
+    val labels = spark.table(s"${prefix}_labels")
+    val dir = Media.ensurePackedDrop(spark, sfDir)
+    val assigned = spark.readStream
+      .schema("media_id BIGINT, kind STRING, payload BINARY")
+      .parquet(dir)
+      .select(col("media_id"))
+      .join(labels, col("media_id") === col("v"), "left")
+      .select(col("media_id"),
+              coalesce(col("l"), col("media_id")).as("cluster_id"))
+      .withColumn("h",
+        pmod(conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)
+          .cast("bigint"), lit(10L)))
+      .select(col("media_id"), col("cluster_id"),
+        when(col("h") <= 7, lit("train"))
+          .when(col("h") === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    runToCompletion(spark, assigned, "stream_media_split", OutputMode.Append())
+      .orderBy("media_id")
+  }
+
   /** Driver-verified: the MULTIMODAL quality gate applied as assets LAND —
     * the streaming twin of [[graft.multimodal.Media.mediaFilter]] over the
     * binaryFile drop: each arriving container sniffs its kind from the
