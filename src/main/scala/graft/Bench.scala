@@ -152,6 +152,21 @@ object Bench {
     //  ISOLATE=0 disables the per-query state release (default on).
     val reversed = sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reversed")
     val isolate = !sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("0")
+    // Pre-seal /tmp hygiene — the r12 lesson turned into code: dead staged
+    // versions and abandoned ×10-probe corpora inflated binaryFile-heavy
+    // media queries 1.5–2× (5 phantom flags in the first r12 close run)
+    // and the fix was applied by hand that round. Vacuum BEFORE the warmup
+    // pass (live versions are never touched; a rebuild forced by a swept
+    // dead version would land in warmup, not a timed pass) and put the
+    // bytes in the artifact so the machine state is auditable afterwards.
+    val (tmpBefore, tmpAfter) = {
+      val b = graft.sources.Warehouse.tmpBytes()
+      graft.multimodal.Media.vacuumStagedRoots(keep = 0)
+      val swept = graft.sources.Warehouse.sweepScaleProbeDirs()
+      val a = graft.sources.Warehouse.tmpBytes()
+      System.err.println(s"[bench] pre-seal vacuum: tmp ${b >> 20}MB -> ${a >> 20}MB, scale-probe dirs swept=$swept")
+      (b, a)
+    }
     val spark = localSession(cpus)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
@@ -276,6 +291,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"sf":"$sfDir","cpus":$cpus,"total_sec":$total,"failed":$failed,"flaky":$flaky,$calib,
+         |"tmp_bytes_before":$tmpBefore,"tmp_bytes_after":$tmpAfter,
          |"queries":$perQuery}""".stripMargin
     try {
       val p = java.nio.file.Paths.get(fullPath)

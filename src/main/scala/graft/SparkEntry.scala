@@ -138,6 +138,9 @@ object SparkEntry {
     "freq_rollup" -> ((s, d) => Relational.freqRollup(s, d)),
     "join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     "plan_advisor" -> ((s, d) => Relational.planAdvisor(s, d)),
+    "advised_join" -> ((s, d) => Relational.advisedJoin(s, d)),
+    "stream_plan_advisor" -> ((s, d) =>
+      graft.streaming.EventStreams.streamPlanAdvisorQuery(s, d)),
     "stream_join_size" -> ((s, d) =>
       graft.streaming.EventStreams.streamJoinSizeQuery(s, d)),
     "join_size_cross" -> ((s, d) => Relational.joinSizeCross(s, d)),
@@ -263,6 +266,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDedupPairs(s, d)),
     "semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "semdedup_recall" -> ((s, d) => Similarity.semDedupRecall(s, d)),
+    "index_auto" -> ((s, d) => Similarity.indexAuto(s, d)),
+    "index_audit" -> ((s, d) => Similarity.indexAudit(s, d)),
     "semdedup_probed" -> ((s, d) => Similarity.semDedupProbed(s, d)),
     "semdedup_text_recall" -> ((s, d) => Similarity.semDedupTextRecall(s, d)),
     "embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
@@ -348,6 +353,7 @@ object SparkEntry {
     "route_audit" -> ((s, d) => Dedup.routeAudit(s, d)),
     "media_dup_cycle" -> ((s, d) => graft.multimodal.MediaIndex.mediaDupCycle(s, d)),
     "media_near_dup_lsh" -> ((s, d) => graft.multimodal.MediaIndex.mediaNearDupLsh(s, d)),
+    "media_lsh_recall" -> ((s, d) => graft.multimodal.MediaIndex.mediaLshRecall(s, d)),
     "stream_media_dedup" -> ((s, d) => graft.streaming.EventStreams.streamMediaDedupQuery(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
@@ -538,6 +544,30 @@ object SparkEntry {
         |FROM n_$l ln, n_$r rn, m_$name m""".stripMargin
     }
     "WITH " + (sideCtes ++ candCtes).mkString(",\n") + "\n" +
+      rows.mkString("\nUNION ALL\n") + "\nORDER BY join_name"
+  }
+
+  /** advised_join's oracle, generated from the same candidate list: each
+    * executed join's cardinality recomputed as a plain SQL join count over
+    * the raw tables (the "unhinted result" — a join hint can change the
+    * plan, never the answer, and this gate proves it), the advice columns
+    * replayed from the non-null side counts with the declared 64-byte row
+    * model against the default broadcast threshold (the plan_advisor
+    * convention: the engine reads the live conf, Verify runs defaults). */
+  private val advisedJoinSql: String = {
+    def sideId(t: String, k: String) = s"${t}_$k"
+    val sideCtes = Relational.advisorSides.map { case (t, k) =>
+      s"n_${sideId(t, k)} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $t WHERE $k IS NOT NULL)"
+    }
+    val rows = Relational.AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
+      s"""SELECT '$name' AS join_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM $lt l JOIN $rt r ON l.$lk = r.$rk) AS n_pairs,
+        |  CASE WHEN least(ln.n, rn.n) * ${Relational.AdvisorRowBytes} <= 10485760
+        |       THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+        |  CASE WHEN ln.n <= rn.n THEN 'left' ELSE 'right' END AS build_side
+        |FROM n_${sideId(lt, lk)} ln, n_${sideId(rt, rk)} rn""".stripMargin
+    }
+    "WITH " + sideCtes.mkString(",\n") + "\n" +
       rows.mkString("\nUNION ALL\n") + "\nORDER BY join_name"
   }
 
@@ -860,36 +890,44 @@ object SparkEntry {
       |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), w -> w <> ''),
       |      w -> CAST(md5_number_lower(w) % 4294967296 AS BIGINT)) AS hs FROM documents)""".stripMargin
 
+  /** `p` prefixes every CTE name (`e` → `${p}e`, …) so TWO independent
+    * chains can coexist in one statement — the `index_auto` oracle needs
+    * the base-split codebook AND the full-corpus rebuilt one side by
+    * side. The default empty prefix keeps every existing oracle's text
+    * identical; a prefixed chain drops its leading `WITH ` via
+    * `stripPrefix` at the composition site. `ncExpr` must reference the
+    * SAME chain's ncell (e.g. `(SELECT nc FROM ${p}ncell)`). */
   private def ivfCtesExpr(ncExpr: String, iters: Int,
                           sourceSql: String =
-                            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"): String = {
+                            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings",
+                          p: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS ($sourceSql),
-      |iv AS (SELECT vec_id, i, CAST(floor(emb[i+1] * 1048576.0) AS BIGINT) AS ivx FROM e, range(64) t(i)),
-      |ncell AS ($autoCellCte),
-      |strd AS (SELECT greatest(1, (SELECT count(*) FROM e) // (4 * $ncExpr)) AS s),
-      |et AS (SELECT vec_id, emb FROM e WHERE vec_id % (SELECT s FROM strd) = 0),
-      |cents0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, emb AS cemb FROM et
-      |  WHERE vec_id < $ncExpr * (SELECT s FROM strd)),
+    sb ++= s"""WITH ${p}e AS ($sourceSql),
+      |${p}iv AS (SELECT vec_id, i, CAST(floor(emb[i+1] * 1048576.0) AS BIGINT) AS ivx FROM ${p}e, range(64) t(i)),
+      |${p}ncell AS (${autoCellCte(p)}),
+      |${p}strd AS (SELECT greatest(1, (SELECT count(*) FROM ${p}e) // (4 * $ncExpr)) AS s),
+      |${p}et AS (SELECT vec_id, emb FROM ${p}e WHERE vec_id % (SELECT s FROM ${p}strd) = 0),
+      |${p}cents0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, emb AS cemb FROM ${p}et
+      |  WHERE vec_id < $ncExpr * (SELECT s FROM ${p}strd)),
       |""".stripMargin
     for (t <- 1 to iters) {
-      sb ++= s"""asg$t AS (SELECT vec_id, cell FROM (
+      sb ++= s"""${p}asg$t AS (SELECT vec_id, cell FROM (
         |  SELECT e.vec_id, c.cent_id AS cell,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
-        |  FROM et e, cents${t - 1} c) WHERE rn = 1),
-        |dims$t AS (SELECT cell, i,
+        |  FROM ${p}et e, ${p}cents${t - 1} c) WHERE rn = 1),
+        |${p}dims$t AS (SELECT cell, i,
         |    CAST(CAST(CAST(sum(ivx) AS DOUBLE) / (1048576.0 * CAST(count(*) AS DOUBLE)) AS FLOAT) AS DOUBLE) AS cv
-        |  FROM iv JOIN asg$t USING (vec_id) GROUP BY cell, i),
-        |reb$t AS (SELECT cell, list(cv ORDER BY i) AS cemb FROM dims$t GROUP BY cell),
-        |cents$t AS (SELECT c.cent_id, COALESCE(r.cemb, c.cemb) AS cemb
-        |  FROM cents${t - 1} c LEFT JOIN reb$t r ON c.cent_id = r.cell),
+        |  FROM ${p}iv JOIN ${p}asg$t USING (vec_id) GROUP BY cell, i),
+        |${p}reb$t AS (SELECT cell, list(cv ORDER BY i) AS cemb FROM ${p}dims$t GROUP BY cell),
+        |${p}cents$t AS (SELECT c.cent_id, COALESCE(r.cemb, c.cemb) AS cemb
+        |  FROM ${p}cents${t - 1} c LEFT JOIN ${p}reb$t r ON c.cent_id = r.cell),
         |""".stripMargin
     }
-    sb ++= s"""asgF AS (SELECT vec_id, cell FROM (
+    sb ++= s"""${p}asgF AS (SELECT vec_id, cell FROM (
       |  SELECT e.vec_id, c.cent_id AS cell,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
-      |  FROM e, cents$iters c) WHERE rn = 1),
-      |cellv AS (SELECT e.vec_id, e.emb, a.cell FROM e JOIN asgF a USING (vec_id))""".stripMargin
+      |  FROM ${p}e e, ${p}cents$iters c) WHERE rn = 1),
+      |${p}cellv AS (SELECT e.vec_id, e.emb, a.cell FROM ${p}e e JOIN ${p}asgF a USING (vec_id))""".stripMargin
     sb.result()
   }
 
@@ -947,6 +985,68 @@ object SparkEntry {
       |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM s WHERE rn <= $k
       |ORDER BY probe_id, rnk""".stripMargin
 
+  /** index_auto's shared oracle head: the BASE-SPLIT chain (vec_id % 10 ≠
+    * 0 — the engine's maintenance split) trained to `cents3`, the full
+    * corpus assigned against that FROZEN codebook (`cellx` — exactly the
+    * appended store: base rows keep their build cells, delta rows get
+    * argmax cells), then the drift numbers and the integer route rule
+    * `max_cell · cells > 4 · vecs` ([[graft.operators.Similarity
+    * .IndexAutoSkewX]]). Ends with `dr(k, vecs, maxc)` and `rt(route)`. */
+  private def indexAutoBaseCtes: String =
+    ivfCtesExpr("(SELECT nc FROM ncell)", 3,
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id % 10 <> 0") + s""",
+      |ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |asgX AS (SELECT vec_id, cell FROM (
+      |  SELECT e.vec_id, c.cent_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
+      |  FROM ea e, cents3 c) WHERE rn = 1),
+      |cellx AS (SELECT e.vec_id, e.emb, a.cell FROM ea e JOIN asgX a USING (vec_id)),
+      |dr AS (SELECT (SELECT count(*) FROM cents3) AS k,
+      |              (SELECT count(*) FROM ea) AS vecs,
+      |              COALESCE((SELECT max(c) FROM (SELECT count(*) AS c FROM cellx GROUP BY cell)), 0) AS maxc),
+      |rt AS (SELECT CASE WHEN maxc * k > 4 * vecs THEN 'rebuild' ELSE 'append' END AS route FROM dr)""".stripMargin
+
+  /** index_auto's oracle: BOTH maintenance branches replayed — the
+    * appended store (base codebook, `cellx`) and the full-corpus rebuilt
+    * one (the `f_`-prefixed chain) — each searched for the standard probe
+    * set, the branch selected by the replayed route. One statement proves
+    * drift arithmetic, route, and served neighbors end to end. */
+  private def indexAutoSql: String = {
+    val rebuilt = ivfCtesExpr("(SELECT nc FROM f_ncell)", 3,
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings",
+      p = "f_").stripPrefix("WITH ")
+    indexAutoBaseCtes + ",\n" + rebuilt + s""",
+      |pca AS (SELECT probe_id, probe_emb, cell FROM (
+      |  SELECT e.vec_id AS probe_id, e.emb AS probe_emb, c.cent_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
+      |  FROM ea e, cents3 c WHERE e.vec_id < 10) WHERE rn <= 2),
+      |sa AS (SELECT probe_id, a.vec_id AS neighbor_id, list_cosine_similarity(probe_emb, a.emb) AS cos,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, a.emb) DESC, a.vec_id) AS rn
+      |  FROM cellx a JOIN pca ON a.cell = pca.cell AND a.vec_id <> pca.probe_id),
+      |pcb AS (SELECT probe_id, probe_emb, cell FROM (
+      |  SELECT e.vec_id AS probe_id, e.emb AS probe_emb, c.cent_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS rn
+      |  FROM ea e, f_cents3 c WHERE e.vec_id < 10) WHERE rn <= 2),
+      |sb AS (SELECT probe_id, a.vec_id AS neighbor_id, list_cosine_similarity(probe_emb, a.emb) AS cos,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(probe_emb, a.emb) DESC, a.vec_id) AS rn
+      |  FROM f_cellv a JOIN pcb ON a.cell = pcb.cell AND a.vec_id <> pcb.probe_id)
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk, rt.route
+      |FROM sa, rt WHERE rn <= 5 AND rt.route = 'append'
+      |UNION ALL
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk, rt.route
+      |FROM sb, rt WHERE rn <= 5 AND rt.route = 'rebuild'
+      |ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** index_audit's oracle: the drift evidence row from the same replayed
+    * chain — integer-rational skew permille, declared cut, verdict. */
+  private def indexAuditSql: String = indexAutoBaseCtes + s"""
+      |SELECT CAST(k AS BIGINT) AS trained_cells, CAST(vecs AS BIGINT) AS n_vecs,
+      |  CAST(maxc AS BIGINT) AS max_cell,
+      |  CAST(CASE WHEN vecs = 0 THEN 0 ELSE maxc * k * 1000 // vecs END AS BIGINT) AS skew_permille,
+      |  CAST(4000 AS BIGINT) AS cut_permille, rt.route
+      |FROM dr, rt""".stripMargin
+
   /** The auto-sizing grid of [[graft.operators.Similarity.ivfCellGrid]]
     * re-stated in integer-exact SQL: smallest power of two `p` with
     * `p² ≥ count(*)` — bit shifts and integer compares only, so both
@@ -955,10 +1055,10 @@ object SparkEntry {
     * 2^20-cell clamp: past p²=2^40 vectors no grid entry qualifies and
     * `min(p)` is NULL, which without the clamp would silently diverge
     * from ivfCellGrid's documented cap instead of matching it. */
-  private val autoCellCte: String =
+  private def autoCellCte(p: String = ""): String =
     "SELECT CAST(COALESCE(min(p), 1 << 20) AS INTEGER) AS nc FROM " +
       "(SELECT CAST(1 AS BIGINT) << g AS p FROM range(21) t(g)) " +
-      "WHERE p * p >= (SELECT count(*) FROM e)"
+      s"WHERE p * p >= (SELECT count(*) FROM ${p}e)"
 
   /** knn_join's oracle: the same CTE chain — with the centroid count
     * derived from the corpus exactly as the Spark side derives it
@@ -3015,6 +3115,15 @@ object SparkEntry {
     // persisted-sketch inner products + row counts + the declared
     // bytes-per-row broadcast rule at the default session threshold.
     "plan_advisor" -> planAdvisorSql,
+    // stream_plan_advisor: shares plan_advisor's oracle verbatim — signed
+    // AMS addition is associative, so the stream-maintained side grids and
+    // counts equal the batch store's bit for bit under any micro-batch
+    // split, and the verdict read-out is the same code path.
+    "stream_plan_advisor" -> planAdvisorSql,
+    // advised_join: executed-join counts from plain SQL joins (the
+    // unhinted answer) + the advice replay — proves the applied hints
+    // changed plans, never results.
+    "advised_join" -> advisedJoinSql,
     "stream_join_size" -> joinSizeSql,
     "join_size_cross" -> joinSizeCrossSql,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes
@@ -4395,6 +4504,12 @@ object SparkEntry {
     // zero-truth guard replay exactly.
     "semdedup_recall" ->
       (ivfCtesExpr("(SELECT nc FROM ncell)", 3) + semDedupRecallTail(0.3)),
+    // index_auto / index_audit: the auto-routed ANN maintenance cycle —
+    // base-split codebook, frozen-codebook extended assignment, drift
+    // arithmetic, the integer route rule, and (for index_auto) BOTH
+    // branches' served neighbors selected by the replayed route.
+    "index_auto" -> indexAutoSql,
+    "index_audit" -> indexAuditSql,
     // semdedup_text_recall: the same instrument over the hashed-BoW text
     // bridge at semdedup_text's threshold.
     "semdedup_text_recall" ->
@@ -4750,49 +4865,40 @@ object SparkEntry {
     // ≤ 1 join (structurally different from the engine's packed-key probe
     // join, so the no-carry packing trick is differentially proven).
     // Every constant interpolates from the MediaIndex definitions.
-    "media_near_dup_lsh" -> {
-      import graft.multimodal.MediaIndex._
-      s"""WITH f AS (SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
-        |           FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')),
-        |c AS (SELECT media_id, n, hx,
-        |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
-        |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
-        |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
-        |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
-        |             ELSE 'unknown' END AS container
-        |      FROM f),
-        |u AS (SELECT media_id, hx, n, unnest(range(0, n)) AS i FROM c),
-        |b AS (SELECT media_id, n,
-        |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
-        |        + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1 AS byte
-        |      FROM u),
-        |h AS (SELECT media_id, byte // 8 AS bin, (count(*) * 1000) // min(n) AS pm
-        |      FROM b GROUP BY media_id, byte // 8),
-        |pd AS (SELECT m.media_id, t.bin, COALESCE(h.pm, 0) AS pm
-        |       FROM (SELECT media_id FROM c) m CROSS JOIN range(32) t(bin)
-        |       LEFT JOIN h ON h.media_id = m.media_id AND h.bin = t.bin),
-        |r AS (SELECT j, bin,
-        |        CASE WHEN md5_number_lower('$MediaLshSeed' || j || '_' || bin) % 2 = 0 THEN 1 ELSE -1 END AS rv
-        |      FROM range($MediaLshBands * $MediaLshProj) tj(j) CROSS JOIN range(32) tb(bin)),
-        |q AS (SELECT pd.media_id, r.j,
-        |        (sum(r.rv * pd.pm) + $MediaLshOffset) // $MediaLshW AS qv
-        |      FROM pd JOIN r ON r.bin = pd.bin GROUP BY 1, 2),
-        |qd AS (SELECT a.media_id AS ida, b2.media_id AS idb,
-        |         a.j // $MediaLshProj AS band, max(abs(a.qv - b2.qv)) AS md
-        |       FROM q a JOIN q b2 ON a.j = b2.j AND a.media_id < b2.media_id
-        |       GROUP BY 1, 2, 3),
-        |cand AS (SELECT DISTINCT qd.ida, qd.idb
-        |         FROM qd JOIN c ca ON ca.media_id = qd.ida
-        |         JOIN c cb ON cb.media_id = qd.idb
-        |         WHERE qd.md <= 1 AND ca.container = cb.container),
-        |d AS (SELECT cand.ida, cand.idb, sum(abs(pa.pm - pb.pm)) AS l1p
-        |      FROM cand JOIN pd pa ON pa.media_id = cand.ida
-        |      JOIN pd pb ON pb.media_id = cand.idb AND pb.bin = pa.bin
-        |      GROUP BY 1, 2)
+    "media_near_dup_lsh" -> (mediaLshCtes + s"""
         |SELECT d.ida AS canonical_id, d.idb AS dup_id, ca.container, CAST(d.l1p AS BIGINT) AS l1p
         |FROM d JOIN c ca ON ca.media_id = d.ida
-        |WHERE d.l1p <= $MediaLshL1Max
-        |ORDER BY canonical_id, dup_id""".stripMargin
+        |WHERE d.l1p <= ${graft.multimodal.MediaIndex.MediaLshL1Max}
+        |ORDER BY canonical_id, dup_id""".stripMargin),
+    // media_lsh_recall: BOTH sides replayed from the staged bytes — truth
+    // = exact all-pairs same-container permille-L1 ≤ 32 over the replayed
+    // histograms, detected = the LSH chain above; per-class counts with
+    // the integer permille and zero-truth guard. The planted row is the
+    // catch-window theorem re-proven by the driver hash every round; the
+    // loose row moves the measured 0.63 from SURVEY prose into the gate.
+    "media_lsh_recall" -> {
+      import graft.multimodal.MediaIndex._
+      mediaLshCtes + s""",
+        |tp AS (SELECT CASE WHEN sum(abs(pa.pm - pb.pm)) <= $MediaLshPlantedL1
+        |              THEN 'planted' ELSE 'loose' END AS class
+        |       FROM pd pa
+        |       JOIN pd pb ON pb.bin = pa.bin AND pa.media_id < pb.media_id
+        |       JOIN c ca ON ca.media_id = pa.media_id
+        |       JOIN c cb ON cb.media_id = pb.media_id AND cb.container = ca.container
+        |       GROUP BY pa.media_id, pb.media_id
+        |       HAVING sum(abs(pa.pm - pb.pm)) <= $MediaLshL1Max),
+        |tcls AS (SELECT class, CAST(count(*) AS BIGINT) AS n_true FROM tp GROUP BY class),
+        |dcls AS (SELECT CASE WHEN l1p <= $MediaLshPlantedL1 THEN 'planted' ELSE 'loose' END AS class,
+        |                CAST(count(*) AS BIGINT) AS n_detected
+        |         FROM d WHERE l1p <= $MediaLshL1Max GROUP BY 1),
+        |cls AS (SELECT unnest(['loose', 'planted']) AS class)
+        |SELECT cls.class, COALESCE(tcls.n_true, 0) AS n_true,
+        |  COALESCE(dcls.n_detected, 0) AS n_detected,
+        |  CASE WHEN COALESCE(tcls.n_true, 0) = 0 THEN CAST(1000 AS BIGINT)
+        |       ELSE COALESCE(dcls.n_detected, 0) * 1000 // tcls.n_true END AS recall_permille
+        |FROM cls LEFT JOIN tcls ON tcls.class = cls.class
+        |LEFT JOIN dcls ON dcls.class = cls.class
+        |ORDER BY cls.class""".stripMargin
     },
     // stream_media_dedup: the cross-split byte replay — hot df over the
     // corpus side only, drop × corpus pair join (see crossEncodedDupSql).
@@ -5039,6 +5145,56 @@ object SparkEntry {
   private def parquetFSql(root: String): String =
     s"""SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
       |      FROM read_parquet('$root/*.parquet')""".stripMargin
+
+  /** The quantized-projection LSH oracle chain through the verified pair
+    * CTE `d` — shared by `media_near_dup_lsh` (pair listing) and
+    * `media_lsh_recall` (per-class accounting against the exact all-pairs
+    * truth), one SQL definition site: byte histograms by hex extraction
+    * (`pd`), ±1 signs from md5_number_lower parity, width-8 quantized
+    * projections (`q`), the neighbor-probe predicate as a per-band
+    * max-coordinate-diff ≤ 1 join (`cand` — structurally different from
+    * the engine's packed-key probe join, so the no-carry packing trick is
+    * differentially proven), and candidate L1 verification (`d`). */
+  private def mediaLshCtes: String = {
+    import graft.multimodal.MediaIndex._
+    s"""WITH f AS (SELECT media_id, octet_length(payload) AS n, hex(payload) AS hx
+      |           FROM read_parquet('${graft.multimodal.Media.PackedEncodedRoot}/*.parquet')),
+      |c AS (SELECT media_id, n, hx,
+      |        CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+      |             WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+      |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+      |             WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+      |             ELSE 'unknown' END AS container
+      |      FROM f),
+      |u AS (SELECT media_id, hx, n, unnest(range(0, n)) AS i FROM c),
+      |b AS (SELECT media_id, n,
+      |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+      |        + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1 AS byte
+      |      FROM u),
+      |h AS (SELECT media_id, byte // 8 AS bin, (count(*) * 1000) // min(n) AS pm
+      |      FROM b GROUP BY media_id, byte // 8),
+      |pd AS (SELECT m.media_id, t.bin, COALESCE(h.pm, 0) AS pm
+      |       FROM (SELECT media_id FROM c) m CROSS JOIN range(32) t(bin)
+      |       LEFT JOIN h ON h.media_id = m.media_id AND h.bin = t.bin),
+      |r AS (SELECT j, bin,
+      |        CASE WHEN md5_number_lower('$MediaLshSeed' || j || '_' || bin) % 2 = 0 THEN 1 ELSE -1 END AS rv
+      |      FROM range($MediaLshBands * $MediaLshProj) tj(j) CROSS JOIN range(32) tb(bin)),
+      |q AS (SELECT pd.media_id, r.j,
+      |        (sum(r.rv * pd.pm) + $MediaLshOffset) // $MediaLshW AS qv
+      |      FROM pd JOIN r ON r.bin = pd.bin GROUP BY 1, 2),
+      |qd AS (SELECT a.media_id AS ida, b2.media_id AS idb,
+      |         a.j // $MediaLshProj AS band, max(abs(a.qv - b2.qv)) AS md
+      |       FROM q a JOIN q b2 ON a.j = b2.j AND a.media_id < b2.media_id
+      |       GROUP BY 1, 2, 3),
+      |cand AS (SELECT DISTINCT qd.ida, qd.idb
+      |         FROM qd JOIN c ca ON ca.media_id = qd.ida
+      |         JOIN c cb ON cb.media_id = qd.idb
+      |         WHERE qd.md <= 1 AND ca.container = cb.container),
+      |d AS (SELECT cand.ida, cand.idb, sum(abs(pa.pm - pb.pm)) AS l1p
+      |      FROM cand JOIN pd pa ON pa.media_id = cand.ida
+      |      JOIN pd pb ON pb.media_id = cand.idb AND pb.bin = pa.bin
+      |      GROUP BY 1, 2)""".stripMargin
+  }
 
   /** The `media_near_dup` oracle chain, parameterized on the source CTE
     * (one SQL definition site; the packed twin swaps only the source). */

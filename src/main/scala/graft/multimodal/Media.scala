@@ -1366,21 +1366,37 @@ object Media {
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
               col("length").as("n_bytes"))
       .withColumn("blk", substring(col("file_name"), 1, 9))
+      // blk is never null (substring of a non-null extract), but the JOIN
+      // below infers isnotnull(blk) into its left subtree only — making
+      // the two exchange subtrees canonically different and defeating
+      // ReuseExchange. Stating the filter once here puts the identical
+      // predicate on both sides, so the shared scan+shuffle dedups.
+      .filter(col("blk").isNotNull)
     val inBlk = Window.partitionBy("blk").orderBy("file_name")
     val local = manifest.withColumn("lend", sum("n_bytes").over(inBlk))
-    val carry = manifest.groupBy("blk").agg(sum("n_bytes").as("net"))
+    // SINGLE-EXCHANGE staging (r12 VERDICT item 7 probe): the first
+    // two-level cut aggregated the RAW manifest for the block nets — the
+    // partial-agg below ITS OWN exchange made the two exchange subtrees
+    // non-identical, so nothing reused: a second binaryFile listing plus
+    // a second hash(blk) shuffle, ~0.5s of fixed overhead at fixture
+    // scale (0.44 → 0.96s warm, r12 reseal). The net is instead read OFF
+    // THE WINDOW OUTPUT (a block's net = its max cumulative sum —
+    // deliberately max("lend"), NOT sum("n_bytes"): the sum form lets
+    // column pruning drop the window and re-plan the partial-agg-below-
+    // exchange shape, re-splitting the subtrees; probed, it does). The
+    // aggregate's hash(blk) distribution is already satisfied → no new
+    // exchange, and the two sides' exchange subtrees are canonically
+    // IDENTICAL — ReuseExchange shares the one listing + shuffle. The
+    // |blocks| carry then windows over metadata grain and BROADCASTS
+    // back, replacing the blk-keyed shuffle join. Net plan: ONE file
+    // listing, ONE manifest exchange — the in-block window and the carry
+    // aggregation ride the same exchange, the shape item 7 asked for.
+    val carry = local.groupBy("blk").agg(max("lend").as("net"))
       .withColumn("carry", coalesce(
         sum("net").over(Window.orderBy("blk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("blk", "carry")
-    // Measured trade (r12 reseal): the two-level plan carries ~0.5s of
-    // fixed stage overhead at fixture scale over the old single global
-    // window (0.44s → 0.96s warm at sf0.1; probed — checkpointing or
-    // broadcasting the |blocks| carry does not recover it, the cost is
-    // the extra exchanges themselves). Bought deliberately: the single
-    // window's one partition GREW with the corpus (|files| rows at
-    // 100 TB), this shape never does — the peak_concurrency contract.
-    local.join(carry, Seq("blk"))
+    local.join(broadcast(carry), Seq("blk"))
       .withColumn("endoff", col("carry") + col("lend"))
       .withColumn("group_id", expr(s"(endoff - n_bytes) div ${targetBytes}L"))
       .groupBy("group_id")

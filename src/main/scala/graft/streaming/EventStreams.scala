@@ -1004,6 +1004,45 @@ object EventStreams {
         Relational.JoinSizeDepth))
   }
 
+  /** Driver-verified: the PLAN ADVISOR served from a STREAM-MAINTAINED
+    * sketch store (`stream_plan_advisor`, r12 VERDICT item 6) — the
+    * advisor's whole decision input (one signed AMS grid per (table, key)
+    * side + per-side non-null row counts) maintained as ONE complete-mode
+    * streaming aggregate over the UNION of all six advisor tables'
+    * streams, each row contributing its depth signed cell updates plus a
+    * synthetic count row scan-side
+    * ([[graft.operators.Relational.amsUpdatesKeyed]] — stateless per-row
+    * arithmetic; the stateful op is the sum, state = sides · (depth ·
+    * width + 1) longs at ANY ingest volume). Signed addition is
+    * associative + commutative, so the streamed grid is bit-identical to
+    * the batch store under any micro-batch split (the stream_join_size
+    * precedent, side-keyed), and the verdict read-out runs batch-side
+    * through the SAME [[graft.operators.Relational.advisorVerdicts]] the
+    * batch advisor uses — sketches maintained at ingest, advice read at
+    * plan time with NO batch rebuild. Shares `plan_advisor`'s oracle
+    * verbatim (the established twin discipline). */
+  def streamPlanAdvisorQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Relational
+    val sides = Relational.advisorSides.groupBy(_._1).view.mapValues(_.map(_._2))
+    val updates = sides.toSeq.sortBy(_._1).map { case (table, keys) =>
+      val src = tableStream(spark, sfDir, table)
+      keys.map { k =>
+        Relational.amsUpdatesKeyed(
+          src.select(lit(table).as("tbl"), lit(k).as("key"),
+                     col(k).cast("string").as("pk"))
+             .filter(col("pk").isNotNull),
+          Relational.JoinSizeDepth, Relational.JoinSizeCrossWidth)
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+    val grid = runToCompletion(spark,
+      updates.groupBy("tbl", "key", "i", "b").agg(sum("upd").as("cell")),
+      "stream_plan_advisor", OutputMode.Complete())
+    Relational.advisorVerdicts(spark,
+      grid.filter(col("i") >= 0).select("tbl", "key", "i", "b", "cell"),
+      grid.filter(col("i") === -1)
+          .select(col("tbl"), col("key"), col("cell").as("n_rows")))
+  }
+
   /** Driver-verified: the NFC canonicalization pass applied IN-FLIGHT —
     * `normalize_text`'s per-row codegen'd pipeline over the streamed
     * corpus: STATELESS (no aggregate, no state store, no watermark — the
@@ -1033,8 +1072,13 @@ object EventStreams {
   def streamPpsSampleQuery(spark: SparkSession, sfDir: String,
                            target: Int = 64): DataFrame = {
     import graft.functions.TextFunctions.fingerprintMd5
-    val wTotal = graft.sources.Tables.documents(spark, sfDir)
-      .agg(sum("n_chars")).collect()(0).getLong(0)
+    // coalesce + max(1): an EMPTY documents source must yield an empty
+    // sample like the batch twin, not an NPE on the null sum (and the
+    // stream emits zero rows regardless, so the pinned divisor is moot)
+    val wTotal = math.max(1L,
+      graft.sources.Tables.documents(spark, sfDir)
+        .agg(coalesce(sum("n_chars"), lit(0L)).as("w"))
+        .collect()(0).getLong(0))
     val perRow = tableStream(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars"),
         conv(substring(fingerprintMd5(col("text")), 1, 8), 16, 10)
@@ -1076,8 +1120,16 @@ object EventStreams {
     val hist = runToCompletion(spark,
       stratified().groupBy("scope", "tz").agg(count(lit(1)).as("c")),
       "stream_kll_hist", OutputMode.Complete())
-    val lvlRow = Analytics.kllLevel(spark, hist, k).collect()(0)
-    val (lvl, n) = (lvlRow.getLong(1), lvlRow.getLong(2))
+    // headOption, not collect()(0): an EMPTY events source has no scope row
+    // (kllLevel's densified grid covers existing scopes only) and must
+    // yield an empty readout like the batch twin, not an index error
+    val lvlRow = Analytics.kllLevel(spark, hist, k).collect().headOption
+    if (lvlRow.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Double, Long, Long)]
+        .toDF("q", "est_value", "lvl", "n_kept")
+    }
+    val (lvl, n) = (lvlRow.get.getLong(1), lvlRow.get.getLong(2))
     val survivors = runToCompletion(spark,
       stratified().filter(col("tz") >= lvl),
       "stream_kll_surv", OutputMode.Append())

@@ -106,10 +106,24 @@ object BenchDiff {
       math.min(raw, norm) > threshold && (o >= 0.2 || n >= 0.2)
     }
     val tainted = rebuildTaintedOf(newRoot)
-    val (excluded, regressions) = overThreshold.partition(r => tainted.contains(r._1))
+    val (excluded, survivors0) = overThreshold.partition(r => tainted.contains(r._1))
     excluded.foreach { case (q, o, n, raw, norm) =>
       println(f"[benchdiff] REBUILD-TAINTED (excluded): $q%-28s old=$o%7.3fs new=$n%7.3fs " +
         f"raw=$raw%5.2fx norm=$norm%5.2fx — both passes rebuilt a gated artifact; re-measure warm")
+    }
+    // SURVEY §6.1.a declared-band exclusion: an already-adjudicated
+    // deliberate trade whose NEW time sits inside its declared band stops
+    // surviving every cross-round diff and burying real signal (r12
+    // VERDICT item 7 — compaction_plan's fixed two-level overhead).
+    // Outside the band it still flags.
+    val adjudicated = graft.tools.Adjudicated.load()
+    val (banded, regressions) = survivors0.partition { case (q, _, n, _, _) =>
+      adjudicated.get(q).flatMap(_.bandSec).exists { case (lo, hi) => n >= lo && n <= hi }
+    }
+    banded.foreach { case (q, o, n, raw, norm) =>
+      val (lo, hi) = adjudicated(q).bandSec.get
+      println(f"[benchdiff] ADJUDICATED (excluded, SURVEY §6.1.a): $q%-28s old=$o%7.3fs new=$n%7.3fs " +
+        f"raw=$raw%5.2fx norm=$norm%5.2fx — inside declared band [$lo%4.2f, $hi%4.2f]s")
     }
     if (regressions.isEmpty)
       println(s"[benchdiff] REGRESSIONS: none (> ${threshold}x on BOTH raw and calib-normalized)")

@@ -22,6 +22,14 @@ object Explore {
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
     if (mode == "explain" || mode == "both") fn(spark, sfDir).explain("formatted")
+    // "exec": the FINAL adaptive plan — AQE defers exchange reuse to
+    // runtime, so ReusedExchange/stage dedup is only visible here, never
+    // in the static formatted explain.
+    if (mode == "exec") {
+      val df = fn(spark, sfDir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString)
+    }
     if (mode == "time" || mode == "both") {
       // two timed runs: first includes JIT/codegen warmup, second is steady state
       for (i <- 1 to 2) {

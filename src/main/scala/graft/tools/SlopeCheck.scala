@@ -45,9 +45,25 @@ object SlopeCheck {
     if (missing.nonEmpty)
       println(s"[slopecheck] WARN baseline queries not in latest run: ${missing.mkString(",")}")
 
+    // SURVEY §6.1.a is the single declared-trade registry: an adjudicated
+    // query is judged against ITS OWN declared warm-slope ceiling instead
+    // of the generic growth rule (a ceiling, not an exemption — exceeding
+    // it still flags), so the prose table and this gate cannot drift.
+    val adjudicated = Adjudicated.load()
     val flags = common.flatMap { q =>
       val growth = c(q) / b(q)
-      if (growth > threshold && c(q) > 0.25) Some((q, b(q), c(q), growth)) else None
+      adjudicated.get(q).flatMap(_.maxWarmSlope) match {
+        case Some(ceiling) =>
+          if (c(q) > ceiling)
+            Some((q, b(q), c(q), growth))
+          else {
+            if (growth > threshold && c(q) > 0.25)
+              println(f"[slopecheck] ADJUDICATED (SURVEY §6.1.a): $q%-28s warm=${c(q)}%6.3f <= declared ceiling $ceiling%4.2f")
+            None
+          }
+        case None =>
+          if (growth > threshold && c(q) > 0.25) Some((q, b(q), c(q), growth)) else None
+      }
     }
     println(f"[slopecheck] compared=${common.size} mult=${base.path("mult").asInt} vocab=${base.path("vocab").asText} threshold=${threshold}x")
     common.foreach { q =>

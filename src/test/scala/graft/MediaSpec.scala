@@ -746,4 +746,21 @@ class MediaSpec extends SparkSpecBase {
     assert(byTier("train") / n > 0.6 && byTier("train") / n < 0.95)
     assert(byTier.keySet === Set("train", "val", "test"))
   }
+
+  test("media_lsh_recall: planted class reads the catch-window theorem 1000‰; detected ⊆ truth") {
+    import graft.multimodal.MediaIndex
+    val rows = MediaIndex.mediaLshRecall(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("loose", "planted"),
+      "both declared classes must row out even when empty")
+    // planted pairs (L1 <= 8) sit inside the deterministic <=1-bucket
+    // probe window — recall is a theorem, and the instrument must read it
+    assert(rows("planted").getLong(3) === 1000L,
+      s"planted recall must be 1000: ${rows("planted")}")
+    rows.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) || r.getLong(1) === 0L,
+        s"detected must be a subset of the exact truth: $r")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L, s"$r")
+    }
+  }
 }

@@ -774,4 +774,54 @@ class PlanSpec extends SparkSpecBase {
       conf.set("spark.sql.adaptive.enabled", oldAqe)
     }
   }
+
+  test("advised_join: executed plans follow the advice both directions; hints never change results") {
+    import graft.operators.Relational
+    import graft.sources.Tables
+    val conf = spark.conf
+    val oldThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      // the plan_advisor alignment point: 16 KiB splits the five
+      // candidates 3 broadcast / 2 shuffle under both the declared model
+      // and Spark's own statistic
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Relational.advisedJoin(spark, sf0001)
+      val rows = df.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+      val plan = df.queryExecution.executedPlan.toString
+      // one executed join per candidate, each on its advised path
+      assert("BroadcastHashJoin".r.findAllIn(plan).size === 3,
+        s"3 broadcast-advised candidates must broadcast:\n$plan")
+      assert("SortMergeJoin".r.findAllIn(plan).size === 2,
+        s"2 shuffle-advised candidates must sort-merge:\n$plan")
+      assert(rows("customer_nation_dim")._2 === "broadcast")
+      assert(rows("lineitem_orders_fk")._2 === "shuffle")
+      assert(rows("events_orders_mn")._2 === "shuffle")
+      // a hint changes the plan, never the answer: counts equal the plain
+      // unhinted joins
+      def unhinted(lt: org.apache.spark.sql.DataFrame, lk: String,
+                   rt: org.apache.spark.sql.DataFrame, rk: String): Long =
+        lt.filter(lt(lk).isNotNull).join(rt, lt(lk) === rt(rk)).count()
+      assert(rows("customer_nation_dim")._1 ===
+        unhinted(Tables.customer(spark, sf0001), "c_nationkey",
+                 Tables.nation(spark, sf0001), "n_nationkey"))
+      assert(rows("lineitem_orders_fk")._1 ===
+        unhinted(Tables.lineitem(spark, sf0001), "l_orderkey",
+                 Tables.orders(spark, sf0001), "o_orderkey"))
+      assert(rows("events_orders_mn")._1 ===
+        unhinted(Tables.events(spark, sf0001), "user_id",
+                 Tables.orders(spark, sf0001), "o_custkey"))
+      // the r12 ADVICE fix: "-1" (broadcast disabled — the value Spark
+      // itself accepts) must yield shuffle everywhere, not throw
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val disabled = Relational.planAdvisor(spark, sf0001).collect()
+      assert(disabled.length === 5 && disabled.forall(_.getString(4) === "shuffle"),
+        "threshold -1 must read as 'shuffle' for every candidate")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
 }

@@ -166,6 +166,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(after.deciles.last === 93 && after.deciles(5) === 1, s"$after")
   }
 
+  test("index_auto routing: balanced append stays, flooded delta routes to rebuild; cut is strict") {
+    import spark.implicits._
+    val dim = 16
+    def axis(i: Int): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f); a(i) = 1.0f; a.toSeq
+    }
+    val base = (0 until 8).map(i => (i.toLong, axis(i))).toDF("vec_id", "embedding")
+    // BALANCED regime: the delta lands one vector per cell — skew stays 1,
+    // the appended store serves as is (the cheap steady state)
+    val p1 = "graft_ivfauto_spec_balanced"
+    Similarity.buildIvfIndexFrom(base, p1, numCentroids = 8, iters = 1)
+    Similarity.appendIvfIndex(spark,
+      (100 until 108).map(i => (i.toLong, axis(i % 8))).toDF("vec_id", "embedding"), p1)
+    assert(Similarity.indexRouteOf(Similarity.ivfDrift(spark, p1)) === "append")
+    // FLOODED regime: the ivfDrift fixture — 92 delta vectors pile into
+    // cell 0 under the frozen codebook (93·8 = 744 > 4·100) → rebuild
+    val p2 = "graft_ivfauto_spec_flood"
+    Similarity.buildIvfIndexFrom(base, p2, numCentroids = 8, iters = 1)
+    Similarity.appendIvfIndex(spark,
+      (100 until 192).map(i => (i.toLong, axis(0))).toDF("vec_id", "embedding"), p2)
+    assert(Similarity.indexRouteOf(Similarity.ivfDrift(spark, p2)) === "rebuild")
+    // the declared cut is STRICT >: skew exactly 4.0 still appends, so the
+    // integer rule and ivfDrift's float skewBound agree at the boundary
+    assert(Similarity.indexRouteOf(Similarity.IvfDriftReport(
+      cells = 4, nonEmpty = 1, vecs = 4, maxCell = 4, meanCell = 1.0,
+      skew = 4.0, deciles = Seq.empty, rebuildRecommended = false)) === "append")
+    assert(Similarity.indexRouteOf(Similarity.IvfDriftReport(
+      cells = 4, nonEmpty = 1, vecs = 4, maxCell = 5, meanCell = 1.0,
+      skew = 5.0, deciles = Seq.empty, rebuildRecommended = true)) === "rebuild")
+  }
+
   test("kmeansCodebook balances a SKEWED corpus: trained max cell < untrained") {
     // Fixture where the comparative claim's premise actually holds: 4
     // orthogonal clusters of 40, all seeds (vec_id < 4) inside cluster A,

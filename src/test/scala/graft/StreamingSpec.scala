@@ -481,6 +481,15 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(rawCells === weightedCells,
       "weight-1 and pre-aggregated updates must build bit-identical cells")
+    // stream_plan_advisor: the side-keyed grid + counts maintained from
+    // the six-table union stream feed the SAME verdict computation the
+    // batch store feeds — row-identical advice, estimates included
+    val spa = EventStreams.streamPlanAdvisorQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bpa = graft.operators.Relational.planAdvisor(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(spa === bpa,
+      "stream-maintained advisor grid must serve the batch store's verdicts")
     // stream_cusum: the same commutative hourly cents grid in state + the
     // shared closed-form CUSUM read-out batch-side
     val scu = EventStreams.streamCusumQuery(spark, sf0001)

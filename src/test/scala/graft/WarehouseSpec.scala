@@ -464,4 +464,56 @@ class WarehouseSpec extends SparkSpecBase {
     val live = new java.io.File("/tmp/graft_media_files").listFiles()
     assert(live != null && live.nonEmpty)
   }
+
+  test("adjudicated registry: SURVEY §6.1.a parses; known trades carry sane bounds") {
+    val adj = graft.tools.Adjudicated.load()
+    // the rows both gates depend on — a silently-shrunk registry would
+    // turn adjudicated trades back into red flags
+    Seq("dedup_ngram", "decontaminate", "interval_join",
+        "semdedup_recall", "media_lsh_recall").foreach { q =>
+      assert(adj.contains(q), s"registry lost $q")
+      assert(adj(q).maxWarmSlope.exists(s => s > 1.0 && s < 20.0), s"${adj.get(q)}")
+    }
+    val band = adj("compaction_plan").bandSec
+    assert(band.exists { case (lo, hi) => lo < hi && hi <= 5.0 }, s"$band")
+    adj.values.foreach { e =>
+      assert(e.maxWarmSlope.nonEmpty || e.bandSec.nonEmpty,
+        s"adjudicated row binds neither gate: $e")
+      assert(e.reason.nonEmpty, s"adjudication without a reason: $e")
+    }
+  }
+
+  test("pre-seal hygiene: tmpBytes sees a planted probe dir, sweep removes it, bytes drop") {
+    // the r12 phantom-flag lesson as a gate: a leftover ×10-probe corpus
+    // must be (a) visible in the measured tmp bytes and (b) gone after the
+    // sweep Bench now runs before pass 1 — structurally, not by hand
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val probe = new java.io.File(tmp, "graft_scale_x9test")
+    probe.mkdirs()
+    val payload = new java.io.FileOutputStream(new java.io.File(probe, "part-0.parquet"))
+    try payload.write(new Array[Byte](1 << 20)) finally payload.close()
+    val before = Warehouse.tmpBytes()
+    assert(before >= (1 << 20).toLong, s"planted 1MB probe not visible: $before")
+    val swept = Warehouse.sweepScaleProbeDirs()
+    assert(swept >= 1, "the planted probe dir must be swept")
+    assert(!probe.exists(), "probe dir still on disk after sweep")
+    val after = Warehouse.tmpBytes()
+    assert(after <= before - (1 << 20).toLong,
+      s"tmp bytes must drop by at least the planted payload: $before -> $after")
+    // symlinks count zero: a staged root's live link must not double-count
+    val target = new java.io.File(tmp, "graft_lnktest.v1")
+    target.mkdirs()
+    val link = new java.io.File(tmp, "graft_lnktest")
+    java.nio.file.Files.deleteIfExists(link.toPath)
+    java.nio.file.Files.createSymbolicLink(link.toPath, target.toPath)
+    try {
+      val os = new java.io.FileOutputStream(new java.io.File(target, "d"))
+      try os.write(new Array[Byte](4096)) finally os.close()
+      val withLink = Warehouse.tmpBytes("graft_lnktest")
+      assert(withLink === 4096L, s"symlink must count zero, got $withLink")
+    } finally {
+      java.nio.file.Files.deleteIfExists(link.toPath)
+      new java.io.File(target, "d").delete(); target.delete()
+    }
+  }
 }
