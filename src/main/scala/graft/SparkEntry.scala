@@ -139,6 +139,8 @@ object SparkEntry {
     "join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     "plan_advisor" -> ((s, d) => Relational.planAdvisor(s, d)),
     "advised_join" -> ((s, d) => Relational.advisedJoin(s, d)),
+    "advisor_cycle" -> ((s, d) => Relational.advisorCycle(s, d)),
+    "join_order_advisor" -> ((s, d) => Relational.joinOrderAdvisor(s, d)),
     "stream_plan_advisor" -> ((s, d) =>
       graft.streaming.EventStreams.streamPlanAdvisorQuery(s, d)),
     "stream_join_size" -> ((s, d) =>
@@ -508,15 +510,17 @@ object SparkEntry {
     * declared 64-bytes-per-row model against the DEFAULT broadcast
     * threshold (the engine reads the live session conf; Verify runs
     * defaults). */
-  private val planAdvisorSql: String = {
+  private def advisorSideId(t: String, k: String) = s"${t}_$k"
+
+  /** Per-side CTEs (weight rows, signed AMS grid, non-null count) for the
+    * given (table, key) sides — shared by the plan_advisor and
+    * join_order_advisor oracle generators. */
+  private def advisorSideCtes(sides: Seq[(String, String)]): Seq[String] = {
     val d = Relational.JoinSizeDepth
     val w = Relational.JoinSizeCrossWidth
-    def sideId(t: String, k: String) = s"${t}_$k"
-    def srcSql(t: String, k: String) =
-      s"SELECT CAST($k AS VARCHAR) AS pk, CAST(count(*) AS BIGINT) AS w FROM $t WHERE $k IS NOT NULL GROUP BY 1"
-    val sideCtes = Relational.advisorSides.map { case (t, k) =>
-      val id = sideId(t, k)
-      s"""s_$id AS (${srcSql(t, k)}),
+    sides.map { case (t, k) =>
+      val id = advisorSideId(t, k)
+      s"""s_$id AS (SELECT CAST($k AS VARCHAR) AS pk, CAST(count(*) AS BIGINT) AS w FROM $t WHERE $k IS NOT NULL GROUP BY 1),
         |g_$id AS (SELECT i, h % $w AS b,
         |    CAST(sum((1 - 2 * CAST((h // 4294967296) % 2 AS BIGINT)) * w) AS BIGINT) AS cell
         |  FROM (SELECT w, r.i,
@@ -524,8 +528,15 @@ object SparkEntry {
         |    FROM s_$id, range($d) r(i)) GROUP BY 1, 2),
         |n_$id AS (SELECT CAST(COALESCE(sum(w), 0) AS BIGINT) AS n FROM s_$id)""".stripMargin
     }
-    val candCtes = Relational.AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
-      val (l, r) = (sideId(lt, lk), sideId(rt, rk))
+  }
+
+  /** Per-candidate CTEs (inner product + densified lower-median estimate
+    * `m_<name>(est_pairs)`) — shared by the same two generators. */
+  private def advisorCandCtes(
+      cands: Seq[(String, String, String, String, String)]): Seq[String] = {
+    val d = Relational.JoinSizeDepth
+    cands.map { case (name, lt, lk, rt, rk) =>
+      val (l, r) = (advisorSideId(lt, lk), advisorSideId(rt, rk))
       s"""e_$name AS (SELECT a.i, CAST(sum(a.cell * b.cell) AS BIGINT) AS row_est
         |  FROM g_$l a JOIN g_$r b ON a.i = b.i AND a.b = b.b GROUP BY 1),
         |m_$name AS (SELECT row_est AS est_pairs FROM (
@@ -534,8 +545,11 @@ object SparkEntry {
         |    FROM range($d) t(i) LEFT JOIN e_$name e ON e.i = t.i)
         |  WHERE rn = ${d / 2 + 1})""".stripMargin
     }
+  }
+
+  private val planAdvisorSql: String = {
     val rows = Relational.AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
-      val (l, r) = (sideId(lt, lk), sideId(rt, rk))
+      val (l, r) = (advisorSideId(lt, lk), advisorSideId(rt, rk))
       s"""SELECT '$name' AS join_name, ln.n AS left_rows, rn.n AS right_rows,
         |  m.est_pairs,
         |  CASE WHEN least(ln.n, rn.n) * ${Relational.AdvisorRowBytes} <= 10485760
@@ -543,8 +557,27 @@ object SparkEntry {
         |  CASE WHEN ln.n <= rn.n THEN 'left' ELSE 'right' END AS build_side
         |FROM n_$l ln, n_$r rn, m_$name m""".stripMargin
     }
-    "WITH " + (sideCtes ++ candCtes).mkString(",\n") + "\n" +
+    "WITH " + (advisorSideCtes(Relational.advisorSides) ++
+      advisorCandCtes(Relational.AdvisorJoins)).mkString(",\n") + "\n" +
       rows.mkString("\nUNION ALL\n") + "\nORDER BY join_name"
+  }
+
+  /** join_order_advisor's oracle: the two intermediates' estimates from
+    * the SAME sketch replay, the order decision, and the chain count from
+    * a plain three-way SQL join (order-invariant by associativity — the
+    * gate proves the decision changed the plan, never the answer). */
+  private val joinOrderAdvisorSql: String = {
+    val cands = Relational.AdvisorJoins.filter(j =>
+      j._1 == "lineitem_orders_fk" || j._1 == "orders_customer_dim")
+    val sides = cands.flatMap(j => Seq((j._2, j._3), (j._4, j._5))).distinct
+    "WITH " + (advisorSideCtes(sides) ++ advisorCandCtes(cands)).mkString(",\n") + s"""
+      |SELECT 'lineitem_orders_customer' AS chain,
+      |  lo.est_pairs AS est_lo, oc.est_pairs AS est_oc,
+      |  CASE WHEN lo.est_pairs <= oc.est_pairs THEN 'fact_first' ELSE 'dim_first' END AS join_order,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |     JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |     JOIN customer c ON o.o_custkey = c.c_custkey) AS n_rows
+      |FROM m_lineitem_orders_fk lo, m_orders_customer_dim oc""".stripMargin
   }
 
   /** advised_join's oracle, generated from the same candidate list: each
@@ -3124,6 +3157,13 @@ object SparkEntry {
     // unhinted answer) + the advice replay — proves the applied hints
     // changed plans, never results.
     "advised_join" -> advisedJoinSql,
+    // advisor_cycle: base-build + delta-append must serve exactly the
+    // whole-build verdicts — the oracle is plan_advisor's full replay
+    // verbatim, so the store's mergeability is driver-hash-proven.
+    "advisor_cycle" -> planAdvisorSql,
+    // join_order_advisor: both intermediate estimates replayed from the
+    // sketches, the order decision, the chain count from the raw tables.
+    "join_order_advisor" -> joinOrderAdvisorSql,
     "stream_join_size" -> joinSizeSql,
     "join_size_cross" -> joinSizeCrossSql,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes

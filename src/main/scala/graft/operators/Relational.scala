@@ -1676,22 +1676,111 @@ object Relational {
       .mkString("|") + s"|d${depth}w$width"
     graft.sources.Warehouse.ensureDerivedTables(spark,
       Seq(s"${prefix}_cells", s"${prefix}_stats"), fp) {
-      val cells = advisorSides.map { case (t, k) =>
-        amsCells(advisorSide(spark, sfDir, t, k), depth, width)
-          .select(lit(t).as("tbl"), lit(k).as("key"),
-                  col("i"), col("b"), col("cell"))
-      }.reduce(_ unionByName _)
+      val (cells, stats) = sketchFrames(
+        (t, k) => advisorSide(spark, sfDir, t, k), depth, width)
       graft.sources.Warehouse.writeBucketed(cells, Seq("i", "b"),
         s"${prefix}_cells", 8)
-      val stats = advisorSides.map { case (t, k) =>
-        advisorSide(spark, sfDir, t, k)
-          .agg(coalesce(sum("w"), lit(0L)).as("n_rows"))
-          .select(lit(t).as("tbl"), lit(k).as("key"), col("n_rows"))
-      }.reduce(_ unionByName _)
       graft.sources.Warehouse.writeBucketed(stats, Seq("tbl"),
         s"${prefix}_stats", 1)
     }
     prefix
+  }
+
+  /** The store frames — one tagged cell grid + one count row per advisor
+    * side — from a caller-supplied per-side `(pk, w)` source: the whole
+    * corpus ([[ensureJoinSketches]]), a key split ([[ensureJoinSketchesCycle]]'s
+    * base build and delta append). */
+  private def sketchFrames(sideRows: (String, String) => DataFrame,
+                           depth: Int, width: Int): (DataFrame, DataFrame) = {
+    val cells = advisorSides.map { case (t, k) =>
+      amsCells(sideRows(t, k), depth, width)
+        .select(lit(t).as("tbl"), lit(k).as("key"),
+                col("i"), col("b"), col("cell"))
+    }.reduce(_ unionByName _)
+    val stats = advisorSides.map { case (t, k) =>
+      sideRows(t, k)
+        .agg(coalesce(sum("w"), lit(0L)).as("n_rows"))
+        .select(lit(t).as("tbl"), lit(k).as("key"), col("n_rows"))
+    }.reduce(_ unionByName _)
+    (cells, stats)
+  }
+
+  /** One side's weight rows restricted to a key shard — the cycle's
+    * base/delta split. Splitting by KEY VALUE (`key % 10`) keeps each
+    * key's whole weight in one shard, and the split is integer SQL the
+    * oracle could replay — though it never needs to: cells and counts
+    * merge by addition, so base + delta ≡ whole is what the shared
+    * full-build oracle proves. */
+  private def advisorSideSplit(spark: SparkSession, sfDir: String,
+                               table: String, key: String,
+                               delta: Boolean): DataFrame =
+    advisorTable(spark, sfDir, table)
+      .filter(col(key).isNotNull &&
+        (if (delta) col(key) % 10 === 0 else col(key) % 10 =!= 0))
+      .select(col(key).cast("string").as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("w"))
+
+  /** Build-then-append the planner-stats store — the claim in
+    * [[ensureJoinSketches]]'s contract ("mergeable per ingest batch, so
+    * it never re-runs whole") MAINTAINED and driver-hash-PROVEN instead
+    * of asserted: the base store is built from the `key % 10 ≠ 0` shard
+    * only, the delta shard's cells/counts are then APPENDED as new rows
+    * (bucketed file appends — nothing rewritten, the
+    * [[graft.operators.IncrementalDedup.appendToIndex]] physics), and
+    * [[advisorVerdicts]]' read-side sum-combine makes appended ≡
+    * single-row-store by associativity. Fingerprint lifecycle is the
+    * media `cyc` discipline: `cyc-full` → serve directly; a crash
+    * anywhere mid-append leaves the in-flight marker and the next run
+    * rebuilds the base and re-appends — never a silently half-extended
+    * store. */
+  def ensureJoinSketchesCycle(spark: SparkSession, sfDir: String,
+                              depth: Int = JoinSizeDepth,
+                              width: Int = JoinSizeCrossWidth): String = {
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val prefix = s"graft_planskcyc_${sf}_${graft.sources.Warehouse.pathToken(sfDir)}_d${depth}w$width"
+    val tables = Seq(s"${prefix}_cells", s"${prefix}_stats")
+    val fpSrc = advisorSides.map(_._1).distinct.sorted
+      .map(t => graft.sources.Warehouse.sourceFingerprint(sfDir, t))
+      .mkString("|")
+    val fpBase = fpSrc + s"|cyc-base|d${depth}w$width"
+    val fpFull = fpSrc + s"|cyc-full|d${depth}w$width"
+    val current = tables.forall(t => spark.catalog.tableExists(t) &&
+      graft.sources.Warehouse.storedFingerprint(spark, t).contains(fpFull))
+    if (!current) {
+      graft.sources.Warehouse.ensureDerivedTables(spark, tables, fpBase) {
+        val (cells, stats) = sketchFrames(
+          (t, k) => advisorSideSplit(spark, sfDir, t, k, delta = false),
+          depth, width)
+        graft.sources.Warehouse.writeBucketed(cells, Seq("i", "b"),
+          s"${prefix}_cells", 8)
+        graft.sources.Warehouse.writeBucketed(stats, Seq("tbl"),
+          s"${prefix}_stats", 1)
+      }
+      tables.foreach(t =>
+        graft.sources.Warehouse.stampFingerprint(spark, t, "append-in-flight"))
+      val (dCells, dStats) = sketchFrames(
+        (t, k) => advisorSideSplit(spark, sfDir, t, k, delta = true),
+        depth, width)
+      graft.sources.Warehouse.appendBucketed(dCells, Seq("i", "b"),
+        s"${prefix}_cells", 8)
+      graft.sources.Warehouse.appendBucketed(dStats, Seq("tbl"),
+        s"${prefix}_stats", 1)
+      tables.foreach(t =>
+        graft.sources.Warehouse.stampFingerprint(spark, t, fpFull))
+    }
+    prefix
+  }
+
+  /** ADVISOR STORE MAINTENANCE CYCLE (`advisor_cycle`) — serve the SAME
+    * verdict frame as [[planAdvisor]] from the build-then-append store
+    * ([[ensureJoinSketchesCycle]]): the oracle is `plan_advisor`'s
+    * full-build replay verbatim, so base-build + delta-append ≡
+    * build-whole is proven by the driver hash every round (the
+    * media_dup_cycle discipline applied to planner statistics). */
+  def advisorCycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val prefix = ensureJoinSketchesCycle(spark, sfDir)
+    advisorVerdicts(spark, spark.table(s"${prefix}_cells"),
+                    spark.table(s"${prefix}_stats"))
   }
 
   /** PLAN ADVISOR — the AMS sketches finally DECIDING something: for
@@ -1721,9 +1810,19 @@ object Relational {
     * ([[graft.streaming.EventStreams.streamPlanAdvisorQuery]]) serves the
     * SAME decision arithmetic as the persisted batch store: cells
     * `(tbl, key, i, b, cell)`, stats `(tbl, key, n_rows)`. */
-  private[graft] def advisorVerdicts(spark: SparkSession, cells: DataFrame,
-                                     stats: DataFrame): DataFrame = {
+  private[graft] def advisorVerdicts(spark: SparkSession, cells0: DataFrame,
+                                     stats0: DataFrame): DataFrame = {
     import spark.implicits._
+    // SUM-COMBINE at read: signed cells and row counts are mergeable by
+    // elementwise addition, so an APPENDED store ([[ensureJoinSketchesCycle]]
+    // — base rows + delta rows for the same (tbl, key, i, b)) serves
+    // through the same read-out as a single-row store; for the batch and
+    // stream grids (already one row per cell) the pre-agg is idempotent.
+    // Metadata-sized either way.
+    val cells = cells0.groupBy("tbl", "key", "i", "b")
+      .agg(sum("cell").as("cell"))
+    val stats = stats0.groupBy("tbl", "key")
+      .agg(sum("n_rows").as("n_rows"))
     val cands = AdvisorJoins.toDF("join_name", "lt", "lk", "rt", "rk")
     // renamed columns, NOT plan aliases, for the cells self-join: the
     // batch store resolves either way, but a DERIVED frame (the streaming
@@ -1813,6 +1912,48 @@ object Relational {
                 lit(strategy).as("strategy"), lit(buildSide).as("build_side"))
     }
     rows.reduce(_ unionByName _).orderBy("join_name")
+  }
+
+  /** JOIN-ORDER ADVISOR (`join_order_advisor`) — the OTHER classic
+    * cost-based decision, decided from the same persisted sketches:
+    * for the three-table chain lineitem ⋈ orders ⋈ customer, the System R
+    * question is which two-table join runs first, and the store already
+    * prices both intermediates (`lineitem_orders_fk` vs
+    * `orders_customer_dim` est_pairs — no data touched). The chain is
+    * then EXECUTED in the advised order (`fact_first` builds L⋈O first,
+    * `dim_first` builds O⋈C first — a plain join-call order, which Spark
+    * keeps verbatim with CBO join reorder off, the default), and the
+    * output carries both estimates, the decision, and the chain's
+    * measured cardinality — hash-gated against an oracle that replays
+    * the estimates from the sketches and the count from the raw tables.
+    * Join associativity makes the result order-invariant, so the gate
+    * proves the decision changed the PLAN, never the answer (the
+    * advised_join discipline, one level up).
+    *
+    * 100 TB: the decision reads two metadata rows; the executed chain
+    * aggregates to one row scan-side. On this schema the store says
+    * `dim_first` (|O⋈C| ≈ |orders| ≪ |L⋈O| ≈ |lineitem|) — exactly the
+    * textbook answer. */
+  def joinOrderAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    val est = planAdvisor(spark, sfDir)
+      .select(col("join_name"), col("est_pairs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (estLo, estOc) = (est("lineitem_orders_fk"), est("orders_customer_dim"))
+    val order = if (estLo <= estOc) "fact_first" else "dim_first"
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"))
+    val chained =
+      if (order == "fact_first")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+      else
+        l.join(o.join(c, col("o_custkey") === col("c_custkey")),
+               col("l_orderkey") === col("o_orderkey"))
+    chained.agg(count(lit(1)).as("n_rows"))
+      .select(lit("lineitem_orders_customer").as("chain"),
+              lit(estLo).as("est_lo"), lit(estOc).as("est_oc"),
+              lit(order).as("join_order"), col("n_rows"))
   }
 
   /** The (exact, estimate, error) report — exact F₂ from the batch table

@@ -1253,10 +1253,17 @@ object EventStreams {
     import org.apache.spark.sql.expressions.Window
     def cents(df: DataFrame) =
       df.select(round(col("value") * 100).cast("long").as("cents"))
-    val b = runToCompletion(spark,
+    // headOption + null guard: an EMPTY events source must yield an empty
+    // readout like the batch twin (the stream_kll discipline) — head() on
+    // a row whose min/max are null would NPE instead
+    val bRow = runToCompletion(spark,
       cents(tableStream(spark, sfDir, "events"))
         .agg(min("cents").as("mn"), max("cents").as("mx"), count(lit(1)).as("n")),
-      "stream_qsk_bounds", OutputMode.Complete()).head()
+      "stream_qsk_bounds", OutputMode.Complete())
+      .collect().headOption.filterNot(_.isNullAt(0))
+    if (bRow.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("q", "est_value")
+    val b = bRow.get
     val (mn, mx, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
     val hist = runToCompletion(spark,
       cents(tableStream(spark, sfDir, "events"))
@@ -1914,7 +1921,9 @@ object EventStreams {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val a = docs.select(col("doc_id"), md5(col("text")).as("sig_a"))
-    val mxk = docs.agg(max("doc_id")).head().getLong(0)
+    // coalesce: an empty documents table pins 0 instead of NPE-ing on the
+    // null max; the derived streams are then empty and so is the diff
+    val mxk = docs.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
     // state B: the same mod-class derivation as the batch snapshot_diff
     val b = docs.filter(col("doc_id") % 13 =!= 5)
       .select(col("doc_id"),
@@ -1970,7 +1979,10 @@ object EventStreams {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"),
               unix_micros(col("ts")).as("us"), col("event_type"))
-    val b = ev.agg(min("us").as("mn"), max("us").as("mx")).head()
+    // coalesce: empty events pin a zero split instead of NPE on null
+    // bounds; both staged shards are then empty and the result is empty
+    val b = ev.agg(coalesce(min("us"), lit(0L)).as("mn"),
+                   coalesce(max("us"), lit(0L)).as("mx")).head()
     val split = (b.getLong(0) + b.getLong(1)) / 2
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2_stream")
     dir.toFile.deleteOnExit()
@@ -2037,7 +2049,8 @@ object EventStreams {
                     col("c").as("snap_cents")),
         Seq("o_orderkey"), snapTable, 8)
     }
-    val mxk = base.agg(max("k")).head().getLong(0)
+    // coalesce: empty orders pin 0 instead of NPE on the null max
+    val mxk = base.agg(coalesce(max("k"), lit(0L))).head().getLong(0)
     val chg0 = base.filter(col("k") % 13 === 5)
         .select(col("k"), lit("D").as("op"), col("st"), col("c"), lit(0L).as("seq"))
       .unionByName(base.filter(col("k") % 13 =!= 5 && col("k") % 7 === 3)

@@ -856,4 +856,38 @@ class RelationalSpec extends SparkSpecBase {
     assert(math.abs(est - exact).toDouble <= 4.0 * sigma,
       s"estimate off by ${est - exact} with sigma=$sigma — outside the AMS bound")
   }
+
+  test("advisorCycle: base-build + delta-append serves the whole-build verdicts row for row") {
+    val cycle = Relational.advisorCycle(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val whole = Relational.planAdvisor(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(cycle === whole,
+      "appended sketch store must be indistinguishable from the full build")
+    // steady state: a second call must not re-append (the fpFull stamp) —
+    // verdicts stay identical, which a double-append would break (cells
+    // doubled on the delta shard keys)
+    val again = Relational.advisorCycle(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(again === whole, "re-run must serve the same store, not re-append")
+  }
+
+  test("joinOrderAdvisor: the store picks dim_first on this schema; both orders count-equal") {
+    import graft.sources.Tables
+    val row = Relational.joinOrderAdvisor(spark, sf0001).collect()(0)
+    assert(row.getString(3) === "dim_first",
+      s"|O⋈C| ≈ |orders| must price under |L⋈O| ≈ |lineitem|: $row")
+    assert(row.getLong(1) > row.getLong(2),
+      s"est_lo must exceed est_oc on this schema: $row")
+    // order invariance: the chain's cardinality is the same either way
+    val l = Tables.lineitem(spark, sf0001).select(col("l_orderkey"))
+    val o = Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sf0001).select(col("c_custkey"))
+    val factFirst = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey")).count()
+    val dimFirst = l.join(o.join(c, col("o_custkey") === col("c_custkey")),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(factFirst === dimFirst && row.getLong(4) === dimFirst,
+      s"join order changed the answer: $factFirst / $dimFirst / $row")
+  }
 }
