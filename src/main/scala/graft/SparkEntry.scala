@@ -270,6 +270,8 @@ object SparkEntry {
     "semdedup_recall" -> ((s, d) => Similarity.semDedupRecall(s, d)),
     "index_auto" -> ((s, d) => Similarity.indexAuto(s, d)),
     "index_audit" -> ((s, d) => Similarity.indexAudit(s, d)),
+    "stream_index_audit" -> ((s, d) =>
+      graft.streaming.EventStreams.streamIndexAuditQuery(s, d)),
     "semdedup_probed" -> ((s, d) => Similarity.semDedupProbed(s, d)),
     "semdedup_text_recall" -> ((s, d) => Similarity.semDedupTextRecall(s, d)),
     "embed_clusters" -> ((s, d) => Similarity.embedClusters(s, d)),
@@ -4550,6 +4552,11 @@ object SparkEntry {
     // branches' served neighbors selected by the replayed route.
     "index_auto" -> indexAutoSql,
     "index_audit" -> indexAuditSql,
+    // stream_index_audit: shares index_audit's oracle verbatim — per-row
+    // argmax assignment is a pure content function against the frozen
+    // codebook and cell counts add associatively, so the stream-maintained
+    // grid equals the batch extended assignment under any micro-batch split.
+    "stream_index_audit" -> indexAuditSql,
     // semdedup_text_recall: the same instrument over the hashed-BoW text
     // bridge at semdedup_text's threshold.
     "semdedup_text_recall" ->

@@ -1478,6 +1478,55 @@ object EventStreams {
       .orderBy("doc_id")
   }
 
+  /** Driver-verified: the ANN index's DRIFT EVIDENCE maintained AT INGEST
+    * (`stream_index_audit`) — `index_audit`'s row as the newest family's
+    * streaming cell: every arriving vector is argmax-assigned PER ROW
+    * against the persisted auto-index's FROZEN codebook (the
+    * [[streamClusterAssignQuery]] fold — stateless scan arithmetic, the
+    * ≤√N-row codebook staged as a plan-time literal, strict-> ascending
+    * fold ⟹ the batch `max_by(cent_id, struct(cos, -cent_id))` tie rule),
+    * and the ONE stateful op is the per-cell count sum: complete mode,
+    * state = ≤|cells| longs at ANY ingest volume — the metadata-grain
+    * contract, and exactly how a production monitor watches an index
+    * WITHOUT batch re-scans. The audit read-out (max cell, total, integer
+    * skew permille, declared cut, route) runs batch-side over the
+    * completed ≤k-row grid through the same integer arithmetic as
+    * [[graft.operators.Similarity.indexAudit]]; its oracle is shared
+    * verbatim, so the streamed evidence row is hash-gated against the
+    * full batch replay every round. */
+  def streamIndexAuditQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Similarity
+    val prefix = Similarity.ensureAutoIndex(spark, sfDir)
+    val cents = spark.table(s"${prefix}_cents").orderBy("cent_id")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val ids = typedLit(cents.map(_._1).toSeq)
+    val embs = typedLit(cents.map(_._2.toSeq).toSeq)
+    val best = aggregate(
+      sequence(lit(0), lit(cents.length - 1)),
+      struct(lit(-2.0).as("cos"), lit(0).as("idx")),
+      (acc, i) => {
+        val c = graft.functions.VectorFunctions.cosine(
+          col("embedding"), element_at(embs, i + 1))
+        when(c > acc("cos"), struct(c.as("cos"), i.as("idx"))).otherwise(acc)
+      })
+    val counts = runToCompletion(spark,
+      tableStream(spark, sfDir, "embeddings")
+        .select(best.as("m"))
+        .select(element_at(ids, col("m.idx") + 1).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n")),
+      "stream_index_audit", OutputMode.Complete())
+    val k = cents.length.toLong
+    counts.agg(coalesce(sum("n"), lit(0L)).as("n_vecs"),
+               coalesce(max("n"), lit(0L)).as("max_cell"))
+      .select(lit(k).as("trained_cells"), col("n_vecs"), col("max_cell"),
+        when(col("n_vecs") === 0L, lit(0L))
+          .otherwise(expr(s"max_cell * ${k}L * 1000 div n_vecs"))
+          .as("skew_permille"),
+        lit(Similarity.IndexAutoSkewX * 1000L).as("cut_permille"),
+        when(col("max_cell") * k > col("n_vecs") * Similarity.IndexAutoSkewX,
+             "rebuild").otherwise("append").as("route"))
+  }
+
   /** Driver-verified: streaming NEAR-dup dedup — the incremental-ingest
     * pipeline ([[graft.operators.IncrementalDedup]]) run as a real
     * streaming query. Each arriving delta document is fingerprinted

@@ -490,6 +490,15 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(spa === bpa,
       "stream-maintained advisor grid must serve the batch store's verdicts")
+    // stream_index_audit: the per-cell count grid maintained at ingest
+    // (per-row frozen-codebook argmax + associative sums) must read out
+    // the identical drift evidence row as the batch audit
+    val sia = EventStreams.streamIndexAuditQuery(spark, sf0001)
+      .collect().map(_.toSeq)
+    val bia = graft.operators.Similarity.indexAudit(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(sia.toSeq === bia.toSeq,
+      "stream-maintained drift evidence must equal the batch audit row")
     // stream_cusum: the same commutative hourly cents grid in state + the
     // shared closed-form CUSUM read-out batch-side
     val scu = EventStreams.streamCusumQuery(spark, sf0001)
