@@ -159,13 +159,22 @@ object Bench {
     // pass (live versions are never touched; a rebuild forced by a swept
     // dead version would land in warmup, not a timed pass) and put the
     // bytes in the artifact so the machine state is auditable afterwards.
+    // The sweep is skipped entirely while a live ScaleProbe holds its
+    // marker — the "safe only when no probe is running" contract is now
+    // code, not a comment: a concurrent sweep would delete the probe's
+    // staged corpus mid-measurement.
     val (tmpBefore, tmpAfter) = {
       val b = graft.sources.Warehouse.tmpBytes()
-      graft.multimodal.Media.vacuumStagedRoots(keep = 0)
-      val swept = graft.sources.Warehouse.sweepScaleProbeDirs()
-      val a = graft.sources.Warehouse.tmpBytes()
-      System.err.println(s"[bench] pre-seal vacuum: tmp ${b >> 20}MB -> ${a >> 20}MB, scale-probe dirs swept=$swept")
-      (b, a)
+      if (graft.sources.Warehouse.probeMarkerLive()) {
+        System.err.println(s"[bench] pre-seal vacuum SKIPPED: live ScaleProbe marker held (tmp ${b >> 20}MB)")
+        (b, b)
+      } else {
+        graft.multimodal.Media.vacuumStagedRoots(keep = 0)
+        val swept = graft.sources.Warehouse.sweepScaleProbeDirs()
+        val a = graft.sources.Warehouse.tmpBytes()
+        System.err.println(s"[bench] pre-seal vacuum: tmp ${b >> 20}MB -> ${a >> 20}MB, scale-probe dirs swept=$swept")
+        (b, a)
+      }
     }
     val spark = localSession(cpus)
     val warmDir = "/root/testdata/sf0.001"
@@ -284,13 +293,21 @@ object Bench {
     // state-bound claims). Path override: SPARK_GRAFT_BENCH_FULL; tag a
     // sealed run `bench/full_r<N>.json` and commit it.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench/full_latest.json")
+    // Commit stamp — what lets BenchDiff's paired host estimator attribute
+    // carried queries to unchanged implementing files via `git diff`
+    // between the two artifacts' commits (r13 VERDICT task 1).
+    val commit = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty) s""""commit":"$out",""" else ""
+    } catch { case _: Throwable => "" }
     val perQuery = results.sortBy(_._1).map { case (k, e, v, _) =>
       val err = e.map(x => s""","err":"$x"""").getOrElse("")
       val rb = s""","rebuilds_p1":${rebuilds((k, 1))},"rebuilds_p2":${rebuilds((k, 2))},"artifacts_rebuilt":${if (rebuilds((k, 1)) + rebuilds((k, 2)) > 0) "true" else "false"}"""
       s""""$k":{"sec":$v,"p1":${pass1(k)._2},"p2":${pass2(k)._2},"peak_exec_mb":${peakExec(k) >> 20},"spill_mb":${spilled(k) >> 20},"peak_state_kb":${peakState(k) >> 10}$rb$err}"""
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"sf":"$sfDir","cpus":$cpus,"total_sec":$total,"failed":$failed,"flaky":$flaky,$calib,
+      s"""{"sf":"$sfDir","cpus":$cpus,${commit}"total_sec":$total,"failed":$failed,"flaky":$flaky,$calib,
          |"tmp_bytes_before":$tmpBefore,"tmp_bytes_after":$tmpAfter,
          |"queries":$perQuery}""".stripMargin
     try {

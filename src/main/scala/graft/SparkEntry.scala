@@ -1039,7 +1039,7 @@ object SparkEntry {
       |dr AS (SELECT (SELECT count(*) FROM cents3) AS k,
       |              (SELECT count(*) FROM ea) AS vecs,
       |              COALESCE((SELECT max(c) FROM (SELECT count(*) AS c FROM cellx GROUP BY cell)), 0) AS maxc),
-      |rt AS (SELECT CASE WHEN maxc * k > 4 * vecs THEN 'rebuild' ELSE 'append' END AS route FROM dr)""".stripMargin
+      |rt AS (SELECT CASE WHEN maxc::HUGEINT * k > 4::HUGEINT * vecs THEN 'rebuild' ELSE 'append' END AS route FROM dr)""".stripMargin
 
   /** index_auto's oracle: BOTH maintenance branches replayed — the
     * appended store (base codebook, `cellx`) and the full-corpus rebuilt
@@ -1078,7 +1078,7 @@ object SparkEntry {
   private def indexAuditSql: String = indexAutoBaseCtes + s"""
       |SELECT CAST(k AS BIGINT) AS trained_cells, CAST(vecs AS BIGINT) AS n_vecs,
       |  CAST(maxc AS BIGINT) AS max_cell,
-      |  CAST(CASE WHEN vecs = 0 THEN 0 ELSE maxc * k * 1000 // vecs END AS BIGINT) AS skew_permille,
+      |  CAST(CASE WHEN vecs = 0 THEN 0 ELSE maxc::HUGEINT * k * 1000 // vecs END AS BIGINT) AS skew_permille,
       |  CAST(4000 AS BIGINT) AS cut_permille, rt.route
       |FROM dr, rt""".stripMargin
 

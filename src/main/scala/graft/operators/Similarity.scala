@@ -451,7 +451,11 @@ object Similarity {
   /** The route [[ivfDrift]]'s measurement implies under the declared cut
     * — factored out so the spec can drive it with planted regimes. */
   private[graft] def indexRouteOf(drift: IvfDriftReport): String =
-    if (drift.maxCell * drift.cells > IndexAutoSkewX * drift.vecs) "rebuild"
+    // BigInt intermediate: maxCell·cells can exceed Long at extreme scale
+    // (cells up to 2^20, maxCell up to ~vecs) — Spark would wrap silently
+    // while DuckDB errors on BIGINT overflow, so the hash gate and the
+    // route could diverge. The oracle computes the same product in HUGEINT.
+    if (BigInt(drift.maxCell) * drift.cells > BigInt(IndexAutoSkewX) * drift.vecs) "rebuild"
     else "append"
 
   /** Build-then-append the `index_auto` store: base index trained on the
@@ -541,8 +545,11 @@ object Similarity {
     import spark.implicits._
     val prefix = ensureAutoIndex(spark, sfDir)
     val d = ivfDrift(spark, prefix)
+    // BigInt intermediate (see indexRouteOf): the quotient itself is
+    // ≤ cells·1000 ≤ ~2^30 and always fits a Long; only the product can't.
     Seq((d.cells.toLong, d.vecs, d.maxCell,
-         if (d.vecs == 0L) 0L else d.maxCell * d.cells * 1000L / d.vecs,
+         if (d.vecs == 0L) 0L
+         else (BigInt(d.maxCell) * d.cells * 1000 / d.vecs).toLong,
          IndexAutoSkewX * 1000L, indexRouteOf(d)))
       .toDF("trained_cells", "n_vecs", "max_cell", "skew_permille",
             "cut_permille", "route")

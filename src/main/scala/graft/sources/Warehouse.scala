@@ -521,11 +521,34 @@ object Warehouse {
       .filter(_.getName.startsWith(prefix)).map(size).sum
   }
 
+  /** Live-probe marker: [[graft.tools.ScaleProbe]] holds this file for its
+    * whole run so the bench's pre-seal sweep can TELL "abandoned probe
+    * debris" from "a probe is staging its corpus right now" — previously
+    * that contract was comment-only and a concurrent sweep would delete a
+    * live probe's staged data mid-run. A marker older than 12h is treated
+    * as crash debris (the probe also deleteOnExit()s it, but a SIGKILL
+    * skips shutdown hooks). */
+  private def probeMarker = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_scaleprobe.lock")
+
+  def acquireProbeMarker(): Unit = {
+    java.nio.file.Files.write(probeMarker.toPath,
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    probeMarker.deleteOnExit()
+  }
+
+  def releaseProbeMarker(): Unit = { probeMarker.delete(); () }
+
+  def probeMarkerLive(): Boolean =
+    probeMarker.isFile &&
+      (System.currentTimeMillis() - probeMarker.lastModified()) < 12L * 3600 * 1000
+
   /** Sweep abandoned ×10 scale-probe corpora (`graft_scale_x*` temp dirs —
     * [[graft.tools.ScaleProbe]] stages one per multiplier and a crashed or
-    * interrupted probe leaves it behind). Returns dirs deleted. Safe only
-    * when no probe is running — the bench's pre-seal contract. */
+    * interrupted probe leaves it behind). Returns dirs deleted; -1 when a
+    * LIVE probe marker is held (then nothing is swept — deleting a running
+    * probe's staged corpus would crash it mid-measurement). */
   def sweepScaleProbeDirs(): Int = {
+    if (probeMarkerLive()) return -1
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val probes = Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("graft_scale_x") && f.isDirectory)

@@ -1499,6 +1499,17 @@ object EventStreams {
     val prefix = Similarity.ensureAutoIndex(spark, sfDir)
     val cents = spark.table(s"${prefix}_cents").orderBy("cent_id")
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    // Degenerate-source guard (the stream_kll/stream_pps discipline): with
+    // an EMPTY codebook the fold below would build sequence(0, -1) and
+    // element_at(ids, 0) — a runtime throw instead of an audit row. A store
+    // with zero trained cells has nothing to audit: emit the zero row the
+    // batch read-out would produce from an empty grid.
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq((0L, 0L, 0L, 0L, Similarity.IndexAutoSkewX * 1000L, "append"))
+        .toDF("trained_cells", "n_vecs", "max_cell", "skew_permille",
+              "cut_permille", "route")
+    }
     val ids = typedLit(cents.map(_._1).toSeq)
     val embs = typedLit(cents.map(_._2.toSeq).toSeq)
     val best = aggregate(
@@ -1519,11 +1530,17 @@ object EventStreams {
     counts.agg(coalesce(sum("n"), lit(0L)).as("n_vecs"),
                coalesce(max("n"), lit(0L)).as("max_cell"))
       .select(lit(k).as("trained_cells"), col("n_vecs"), col("max_cell"),
+        // decimal(38,0) intermediates: max_cell·k·1000 can exceed Long at
+        // extreme scale and Spark wraps silently while DuckDB errors — the
+        // same alignment fix as Similarity.indexAudit's BigInt (the oracle
+        // computes in HUGEINT). `div` on decimals still yields a LONG and
+        // the quotient ≤ k·1000 always fits.
         when(col("n_vecs") === 0L, lit(0L))
-          .otherwise(expr(s"max_cell * ${k}L * 1000 div n_vecs"))
+          .otherwise(expr(s"cast(max_cell as decimal(38,0)) * ${k}L * 1000 div n_vecs"))
           .as("skew_permille"),
         lit(Similarity.IndexAutoSkewX * 1000L).as("cut_permille"),
-        when(col("max_cell") * k > col("n_vecs") * Similarity.IndexAutoSkewX,
+        when(col("max_cell").cast("decimal(38,0)") * k >
+               col("n_vecs").cast("decimal(38,0)") * Similarity.IndexAutoSkewX,
              "rebuild").otherwise("append").as("route"))
   }
 

@@ -19,8 +19,24 @@ object Adjudicated {
   final case class Entry(query: String, maxWarmSlope: Option[Double],
                          bandSec: Option[(Double, Double)], reason: String)
 
+  /** Nearest ancestor of the CWD that looks like the repo root (has both
+    * SURVEY.md and build.sbt) — so the gates work when launched from a
+    * subdirectory or an sbt fork with a different working dir, instead of
+    * hard-failing on a CWD-relative path. */
+  def repoRoot(): Option[java.io.File] = {
+    def isRoot(d: java.io.File) =
+      new java.io.File(d, "SURVEY.md").isFile && new java.io.File(d, "build.sbt").isFile
+    Iterator.iterate(new java.io.File(".").getCanonicalFile)(_.getParentFile)
+      .takeWhile(_ != null).take(8).find(isRoot)
+  }
+
   def load(surveyPath: String = "SURVEY.md"): Map[String, Entry] = {
-    val src = scala.io.Source.fromFile(surveyPath, "UTF-8")
+    val resolved = {
+      val direct = new java.io.File(surveyPath)
+      if (direct.isFile) direct
+      else repoRoot().map(new java.io.File(_, surveyPath)).filter(_.isFile).getOrElse(direct)
+    }
+    val src = scala.io.Source.fromFile(resolved, "UTF-8")
     val lines = try src.getLines().toVector finally src.close()
     val begin = lines.indexWhere(_.contains("ADJUDICATED_SLOPES_BEGIN"))
     val end = lines.indexWhere(_.contains("ADJUDICATED_SLOPES_END"))
@@ -30,7 +46,10 @@ object Adjudicated {
       .filter(l => l.startsWith("|") && !l.startsWith("|---"))
       .filterNot(_.toLowerCase.startsWith("| query"))
     rows.map { l =>
-      val cells = l.stripPrefix("|").stripSuffix("|").split("\\|", -1).map(_.trim)
+      // limit-4 split: the reason is the LAST cell, so a literal '|' inside
+      // it stays part of the reason instead of shifting the columns and
+      // silently truncating it.
+      val cells = l.stripPrefix("|").stripSuffix("|").split("\\|", 4).map(_.trim)
       require(cells.length >= 4, s"malformed adjudicated row (need 4 cells): $l")
       val query = cells(0).stripPrefix("`").stripSuffix("`")
       require(query.nonEmpty, s"adjudicated row with empty query cell: $l")

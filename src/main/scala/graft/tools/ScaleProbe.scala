@@ -89,6 +89,11 @@ object ScaleProbe {
                             "lapsed_big_accounts")).toList
     val srcDir = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Hold the live-probe marker for the whole run so a concurrently
+    // launched Bench's pre-seal sweep doesn't delete this probe's staged
+    // corpus mid-measurement (released in the finally below; deleteOnExit
+    // covers ordinary crashes, the 12h staleness rule covers SIGKILL).
+    graft.sources.Warehouse.acquireProbeMarker()
     val spark = graft.Bench.localSession(cpus)
 
     val scaled = java.nio.file.Files.createTempDirectory(s"graft_scale_x$mult").toString
@@ -233,5 +238,6 @@ object ScaleProbe {
       System.err.println(s"[scaleprobe] slopes artifact write failed: $e")
     }
     spark.stop()
+    graft.sources.Warehouse.releaseProbeMarker()
   }
 }
