@@ -177,6 +177,14 @@ object Bench {
       }
     }
     val spark = localSession(cpus)
+    // Warehouse-side twin of the /tmp sweep: derived tables whose ×10-probe
+    // staged corpus is long gone accumulate ~18 MB per generation and are
+    // referenced by nothing (r13 VERDICT task 7).
+    if (!graft.sources.Warehouse.probeMarkerLive()) {
+      val dropped = graft.sources.Warehouse.vacuumOrphanedProbeTables(spark)
+      if (dropped.nonEmpty)
+        System.err.println(s"[bench] orphaned probe tables dropped: ${dropped.size}")
+    }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -216,8 +224,9 @@ object Bench {
     // all five earlier seals). The flag makes that state observable per
     // sample, so BenchDiff can discard rebuild-tainted samples explicitly.
     val rebuilds = scala.collection.mutable.Map[(String, Int), Long]().withDefaultValue(0L)
-    def runPass(pass: Int): Map[String, (Option[String], Double)] =
-      ordered.map { case (name, fn) =>
+    def runPass(pass: Int, only: Option[Set[String]] = None): Map[String, (Option[String], Double)] =
+      ordered.filter { case (name, _) => only.forall(_.contains(name)) }
+             .map { case (name, fn) =>
         val gc0 = gcMillis
         probe.reset()
         val rb0 = graft.sources.Warehouse.artifactRebuildCount
@@ -239,15 +248,41 @@ object Bench {
       }.toMap
     val pass1 = runPass(1)
     val pass2 = runPass(2)
+    // THIRD sample for two variance classes (r13 VERDICT task 6):
+    //  (a) sub-0.35s queries — on a total of a few hundred ms, two samples
+    //      40s apart still leave a ~25% min-of-two band: hll_rollup read
+    //      0.17→0.21-0.30s across four r13 windows on code untouched since
+    //      r11, flagged twice, both adjudicated host variance;
+    //  (b) queries with only ONE clean sample — a pass that paid a
+    //      fingerprint-gated rebuild is excluded from the min, so a query
+    //      whose store rebuilds every p1 (media_dup_indexed: the pre-seal
+    //      vacuum re-stages its packed root, r14 opening flag) is
+    //      effectively single-sampled and inherits the full host-noise
+    //      band with no min to clip it.
+    // One more sample restores min-of-two-clean for ~15-20s of bench time;
+    // big two-clean-sample queries keep two, where a third costs real
+    // wall-clock for noise min-of-two already handles.
+    val pass3Names = ordered.collect { case (name, _)
+      if pass1(name)._1.isEmpty && pass2(name)._1.isEmpty &&
+         (math.min(pass1(name)._2, pass2(name)._2) < 0.35 ||
+          (rebuilds((name, 1)) > 0L) != (rebuilds((name, 2)) > 0L)) => name }.toSet
+    val pass3 = runPass(3, Some(pass3Names))
     val results = ordered.map { case (name, _) =>
       val (e1, t1) = pass1(name)
       val (e2, t2) = pass2(name)
+      // a pass-3 sample is used only when clean: no error, no artifact
+      // rebuild landing in it (the rebuild-taint rule applied per sample)
+      val t3 = pass3.get(name).collect {
+        case (None, t) if rebuilds((name, 3)) == 0L => t
+      }
       // one failing pass must not mask the other's success (that would
       // convert the interference this design suppresses into a reported
       // failure) — but it must not vanish either: it counts as `flaky`.
       // Both passes failing is a real failure.
       (e1, e2) match {
-        case (None, None)    => (name, None: Option[String], math.min(t1, t2), false)
+        case (None, None) =>
+          (name, None: Option[String], (Seq(t1, t2) ++ t3).min,
+           pass3.get(name).exists(_._1.isDefined))
         case (None, Some(e)) =>
           System.err.println(s"[bench] $name: pass-2 run failed ($e); reporting pass-1 time")
           (name, None: Option[String], t1, true)
@@ -303,8 +338,9 @@ object Bench {
     } catch { case _: Throwable => "" }
     val perQuery = results.sortBy(_._1).map { case (k, e, v, _) =>
       val err = e.map(x => s""","err":"$x"""").getOrElse("")
+      val p3 = pass3.get(k).collect { case (None, t) => s""","p3":$t""" }.getOrElse("")
       val rb = s""","rebuilds_p1":${rebuilds((k, 1))},"rebuilds_p2":${rebuilds((k, 2))},"artifacts_rebuilt":${if (rebuilds((k, 1)) + rebuilds((k, 2)) > 0) "true" else "false"}"""
-      s""""$k":{"sec":$v,"p1":${pass1(k)._2},"p2":${pass2(k)._2},"peak_exec_mb":${peakExec(k) >> 20},"spill_mb":${spilled(k) >> 20},"peak_state_kb":${peakState(k) >> 10}$rb$err}"""
+      s""""$k":{"sec":$v,"p1":${pass1(k)._2},"p2":${pass2(k)._2}$p3,"peak_exec_mb":${peakExec(k) >> 20},"spill_mb":${spilled(k) >> 20},"peak_state_kb":${peakState(k) >> 10}$rb$err}"""
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"sf":"$sfDir","cpus":$cpus,${commit}"total_sec":$total,"failed":$failed,"flaky":$flaky,$calib,

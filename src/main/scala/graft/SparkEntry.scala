@@ -141,6 +141,10 @@ object SparkEntry {
     "advised_join" -> ((s, d) => Relational.advisedJoin(s, d)),
     "advisor_cycle" -> ((s, d) => Relational.advisorCycle(s, d)),
     "join_order_advisor" -> ((s, d) => Relational.joinOrderAdvisor(s, d)),
+    "join_order_dp" -> ((s, d) => Relational.joinOrderDp(s, d)),
+    "advisor_recall" -> ((s, d) => Relational.advisorRecall(s, d)),
+    "join_skew_auto" -> ((s, d) => Relational.joinSkewAuto(s, d)),
+    "join_skew_audit" -> ((s, d) => Relational.joinSkewAudit(s, d)),
     "stream_plan_advisor" -> ((s, d) =>
       graft.streaming.EventStreams.streamPlanAdvisorQuery(s, d)),
     "stream_join_size" -> ((s, d) =>
@@ -361,6 +365,7 @@ object SparkEntry {
     "stream_media_dedup" -> ((s, d) => graft.streaming.EventStreams.streamMediaDedupQuery(s, d)),
     "media_files_scan" -> ((s, d) => Media.mediaFilesScan(s, d)),
     "compaction_plan" -> ((s, d) => Media.compactionPlan(s, d)),
+    "compaction_run" -> ((s, d) => Media.compactionRun(s, d)),
     "stream_media_ingest" -> ((s, d) => graft.streaming.EventStreams.streamMediaIngestQuery(s, d)),
     "stream_media_packed" -> ((s, d) => graft.streaming.EventStreams.streamMediaPackedQuery(s, d)),
     "stream_quota_ingest" -> ((s, d) => graft.streaming.EventStreams.streamQuotaIngestQuery(s, d)),
@@ -581,6 +586,105 @@ object SparkEntry {
       |     JOIN customer c ON o.o_custkey = c.c_custkey) AS n_rows
       |FROM m_lineitem_orders_fk lo, m_orders_customer_dim oc""".stripMargin
   }
+
+  /** join_order_dp's oracle: the three chain edges priced from the SAME
+    * sketch replay, all four left-deep order costs composed exactly as
+    * [[Relational.chainCard]] composes them (clamped HUGEINT left-fold —
+    * generated from [[Relational.ChainOrders]], one definition site), the
+    * (cost, name) argmin, and the chain count from a plain four-way SQL
+    * join (order-invariant by associativity — the gate proves the DP
+    * changed the plan, never the answer). */
+  private val joinOrderDpSql: String = {
+    val cands = Relational.AdvisorJoins.filter(j =>
+      Relational.ChainEdgeNames.contains(j._1))
+    val sides = cands.flatMap(j => Seq((j._2, j._3), (j._4, j._5))).distinct
+    // scalar names inside the one-row `v` CTE, aligned to chain edges 1..3
+    // and the interior divisors of edges 2..3
+    val estVar = Seq("elo", "eoc", "ecn")
+    val divVar = Seq("dno", "dnc")
+    def cardSql(i: Int, j: Int): String = {
+      var acc = s"CAST(${estVar(i - 1)} AS HUGEINT)"
+      (i + 1 to j - 1).foreach { e =>
+        acc = s"($acc * ${estVar(e - 1)} // ${divVar(e - 2)})"
+      }
+      acc
+    }
+    val costRows = Relational.ChainOrders.map { o =>
+      val cost = o.intervals.map { case (i, j) => cardSql(i, j) }.mkString(" + ")
+      s"SELECT '${o.name}' AS ord, $cost AS cost FROM v"
+    }
+    val divSides = Relational.ChainDivisorSides.map { case (t, k) => s"n_${advisorSideId(t, k)}.n" }
+    "WITH " + (advisorSideCtes(sides) ++ advisorCandCtes(cands)).mkString(",\n") + s""",
+      |v AS (SELECT
+      |  greatest(m_${Relational.ChainEdgeNames(0)}.est_pairs, 0) AS elo,
+      |  greatest(m_${Relational.ChainEdgeNames(1)}.est_pairs, 0) AS eoc,
+      |  greatest(m_${Relational.ChainEdgeNames(2)}.est_pairs, 0) AS ecn,
+      |  greatest(${divSides(0)}, 1) AS dno,
+      |  greatest(${divSides(1)}, 1) AS dnc,
+      |  m_${Relational.ChainEdgeNames(0)}.est_pairs AS est_lo,
+      |  m_${Relational.ChainEdgeNames(1)}.est_pairs AS est_oc,
+      |  m_${Relational.ChainEdgeNames(2)}.est_pairs AS est_cn
+      |  FROM m_${Relational.ChainEdgeNames(0)}, m_${Relational.ChainEdgeNames(1)},
+      |       m_${Relational.ChainEdgeNames(2)},
+      |       n_${advisorSideId("orders", "o_custkey")}, n_${advisorSideId("customer", "c_nationkey")}),
+      |costs AS (${costRows.mkString("\n  UNION ALL ")}),
+      |w AS (SELECT ord, cost FROM costs ORDER BY cost, ord LIMIT 1)
+      |SELECT 'lineitem_orders_customer_nation' AS chain,
+      |  v.est_lo, v.est_oc, v.est_cn, w.ord AS join_order,
+      |  CAST(w.cost AS BIGINT) AS cost_est,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |     JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |     JOIN customer c ON o.o_custkey = c.c_custkey
+      |     JOIN nation n ON c.c_nationkey = n.n_nationkey) AS n_rows
+      |FROM v, w""".stripMargin
+  }
+
+  /** advisor_recall's oracle: per candidate the exact join cardinality
+    * from the raw tables (truth side), the sketch estimate from the same
+    * replayed grids, and the signed permille error — DuckDB `//` and
+    * Spark `div` both truncate toward zero, so the signed arithmetic
+    * aligns. */
+  private val advisorRecallSql: String = {
+    val exactCtes = Relational.AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
+      s"x_$name AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM $lt l JOIN $rt r ON l.$lk = r.$rk)"
+    }
+    val rows = Relational.AdvisorJoins.map { case (name, _, _, _, _) =>
+      s"""SELECT '$name' AS join_name, x.exact_pairs, m.est_pairs,
+        |  CAST(CASE WHEN x.exact_pairs = 0 THEN m.est_pairs * 1000
+        |       ELSE (m.est_pairs - x.exact_pairs) * 1000 // x.exact_pairs END AS BIGINT) AS err_permille
+        |FROM x_$name x, m_$name m""".stripMargin
+    }
+    "WITH " + (advisorSideCtes(Relational.advisorSides) ++
+      advisorCandCtes(Relational.AdvisorJoins) ++ exactCtes).mkString(",\n") + "\n" +
+      rows.mkString("\nUNION ALL\n") + "\nORDER BY join_name"
+  }
+
+  /** join_skew_audit's oracle: the route decision replayed from per-key
+    * counts — integer top-key share against the declared cut, HUGEINT
+    * products for the same overflow alignment as the engine's BigInt. */
+  private val joinSkewAuditSql: String =
+    s"""WITH c AS (SELECT user_id, count(*) AS c FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |d AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+      |             CAST(COALESCE(max(c), 0) AS BIGINT) AS m FROM c)
+      |SELECT n AS n_rows, k AS n_keys, m AS max_count,
+      |  CAST(CASE WHEN n = 0 THEN 0 ELSE m::HUGEINT * 1000 // n END AS BIGINT) AS share_permille,
+      |  CAST(${Relational.JoinSaltShareCutPermille} AS BIGINT) AS cut_permille,
+      |  CASE WHEN m::HUGEINT * 1000 > ${Relational.JoinSaltShareCutPermille}::HUGEINT * n
+      |       THEN 'salted' ELSE 'plain' END AS route
+      |FROM d""".stripMargin
+
+  /** join_skew_auto's oracle: the joined per-type counts from the raw
+    * tables (salt-invariant — a salted join is the plain join) plus the
+    * replayed route. */
+  private val joinSkewAutoSql: String =
+    s"""WITH c AS (SELECT user_id, count(*) AS c FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |d AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n,
+      |             CAST(COALESCE(max(c), 0) AS BIGINT) AS m FROM c),
+      |r AS (SELECT CASE WHEN m::HUGEINT * 1000 > ${Relational.JoinSaltShareCutPermille}::HUGEINT * n
+      |             THEN 'salted' ELSE 'plain' END AS route FROM d),
+      |j AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_pairs
+      |      FROM events e JOIN orders o ON e.user_id = o.o_custkey GROUP BY 1)
+      |SELECT j.event_type, j.n_pairs, r.route FROM j, r ORDER BY j.event_type""".stripMargin
 
   /** advised_join's oracle, generated from the same candidate list: each
     * executed join's cardinality recomputed as a plain SQL join count over
@@ -1458,6 +1562,35 @@ object SparkEntry {
       |SELECT group_id, count(*) AS n_files, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
       |  min(file_name) AS first_file, max(file_name) AS last_file
       |FROM g GROUP BY group_id ORDER BY group_id""".stripMargin
+
+  /** compaction_run's oracle: the grouping replayed over the ORIGINAL
+    * staged files (the compactionPlanSql window), each group's byte
+    * content digested as the name-ordered concatenation of hex payloads,
+    * the COMPACTED objects read back from disk and digested the same way,
+    * and the comparison — both engines read original AND compacted bytes
+    * end to end, so the executed rewrite's content claim is what the
+    * hash gates. */
+  private def compactionRunSql(
+      root: String = graft.multimodal.Media.AssetFilesRoot,
+      outRoot: String = graft.multimodal.Media.CompactedFilesRoot,
+      targetBytes: Long = graft.multimodal.Media.CompactionTargetBytes): String =
+    s"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+      |             CAST(size AS BIGINT) AS n_bytes, content
+      |      FROM read_blob('$root/asset_*')),
+      |c AS (SELECT file_name, n_bytes, content,
+      |        sum(n_bytes) OVER (ORDER BY file_name ROWS UNBOUNDED PRECEDING) AS endoff FROM f),
+      |g AS (SELECT CAST((endoff - n_bytes) // $targetBytes AS BIGINT) AS group_id,
+      |             file_name, n_bytes, content FROM c),
+      |o AS (SELECT group_id, count(*) AS n_files, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |        md5(string_agg(hex(content), '' ORDER BY file_name)) AS omd5
+      |      FROM g GROUP BY group_id),
+      |k AS (SELECT CAST(regexp_extract(regexp_extract(filename, '([^/]+)$$', 1), 'group_(\\d+)', 1) AS BIGINT) AS group_id,
+      |        CAST(size AS BIGINT) AS compacted_bytes, md5(hex(content)) AS kmd5
+      |      FROM read_blob('$outRoot/group_*'))
+      |SELECT o.group_id, o.n_files, o.total_bytes,
+      |  COALESCE(k.compacted_bytes, 0) AS compacted_bytes,
+      |  COALESCE(o.omd5 = k.kmd5, false) AS content_match
+      |FROM o LEFT JOIN k USING (group_id) ORDER BY o.group_id""".stripMargin
 
   /** Per-rule quality verdicts in integer arithmetic — shared by the batch
     * `quality_filter` and its stateless streaming twin. */
@@ -3166,6 +3299,10 @@ object SparkEntry {
     // join_order_advisor: both intermediate estimates replayed from the
     // sketches, the order decision, the chain count from the raw tables.
     "join_order_advisor" -> joinOrderAdvisorSql,
+    "join_order_dp" -> joinOrderDpSql,
+    "advisor_recall" -> advisorRecallSql,
+    "join_skew_auto" -> joinSkewAutoSql,
+    "join_skew_audit" -> joinSkewAuditSql,
     "stream_join_size" -> joinSizeSql,
     "join_size_cross" -> joinSizeCrossSql,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes
@@ -4787,6 +4924,7 @@ object SparkEntry {
     // so a parameter change re-derives the oracle instead of silently
     // desynchronizing the gate.
     "compaction_plan" -> compactionPlanSql(),
+    "compaction_run" -> compactionRunSql(),
     // stream_quota_ingest: budget consumed in arrival order == doc_id
     // order under bounded replay, so the per-source prefix sum is exact.
     "stream_quota_ingest" ->

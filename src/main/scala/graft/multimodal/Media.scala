@@ -1232,7 +1232,7 @@ object Media {
     Seq(AssetFilesRoot, DropFilesRoot, NearDupFilesRoot, PaddedFilesRoot,
         EncodedFilesRoot, PackedDropRoot, PackedEncodedRoot,
         PackedNearDupRoot, PackedPaddedRoot, PackedEncodedDropRoot,
-        PackedReleaseRoot)
+        PackedReleaseRoot, CompactedFilesRoot)
 
   /** Concurrent-safe versioned staging shared by every fixed-path root:
     * `build` materializes into a temp dir, which is atomically renamed to
@@ -1350,21 +1350,37 @@ object Media {
 
   def compactionPlan(spark: SparkSession, sfDir: String,
                      targetBytes: Long = CompactionTargetBytes): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dir = ensureAssetFiles(spark, sfDir)
-    // TWO-LEVEL running sum (the peak_concurrency carry shape, r11
-    // VERDICT item 7): a file manifest is metadata by construction, but
-    // it was the one remaining window whose single partition GREW with
-    // the corpus (|files| rows at 100 TB). Files bucket by NAME-PREFIX
-    // block — a lexicographic prefix partitions the name order into
-    // contiguous ranges, so blocks inherit the global order — the
-    // running sum runs per block in parallel, and each block's carry-in
-    // is an exclusive prefix sum over |blocks| rows. endoff =
-    // carry + local sum is IDENTICAL to the single-window form (same
-    // oracle), only the plan changed.
     val manifest = spark.read.format("binaryFile").load(dir)
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
               col("length").as("n_bytes"))
+    compactionGroups(manifest, targetBytes)
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_files"), sum("n_bytes").as("total_bytes"),
+           min("file_name").as("first_file"), max("file_name").as("last_file"))
+      .orderBy("group_id")
+  }
+
+  /** The START-OFFSET group assignment shared by the plan and the rewrite
+    * ([[compactionRun]]) — one definition site so the executed compaction
+    * can never drift from the plan it claims to follow. Input needs
+    * (file_name, n_bytes); any other columns (the rewrite carries
+    * `content`) ride through the window untouched.
+    *
+    * TWO-LEVEL running sum (the peak_concurrency carry shape, r11
+    * VERDICT item 7): a file manifest is metadata by construction, but
+    * it was the one remaining window whose single partition GREW with
+    * the corpus (|files| rows at 100 TB). Files bucket by NAME-PREFIX
+    * block — a lexicographic prefix partitions the name order into
+    * contiguous ranges, so blocks inherit the global order — the
+    * running sum runs per block in parallel, and each block's carry-in
+    * is an exclusive prefix sum over |blocks| rows. endoff =
+    * carry + local sum is IDENTICAL to the single-window form (same
+    * oracle), only the plan changed. */
+  private[graft] def compactionGroups(files: DataFrame,
+                                      targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val manifest = files
       .withColumn("blk", substring(col("file_name"), 1, 9))
       // blk is never null (substring of a non-null extract), but the JOIN
       // below infers isnotnull(blk) into its left subtree only — making
@@ -1399,9 +1415,95 @@ object Media {
     local.join(broadcast(carry), Seq("blk"))
       .withColumn("endoff", col("carry") + col("lend"))
       .withColumn("group_id", expr(s"(endoff - n_bytes) div ${targetBytes}L"))
+  }
+
+  /** Root for the COMPACTED asset corpus ([[ensureCompactedFiles]]) — one
+    * `group_<id>.bin` object per plan group, each the name-ordered byte
+    * concatenation of its input files. */
+  private[graft] val CompactedFilesRoot = "/tmp/graft_media_compacted"
+
+  /** EXECUTE the compaction plan (r13 VERDICT task 2's build half):
+    * rewrite the staged asset drop group-by-group into
+    * [[CompactedFilesRoot]] — each plan group becomes ONE object holding
+    * its files' bytes concatenated in name order. Runs under the same
+    * versioned-root + in-flight lifecycle as every staged root
+    * ([[stageAssetFiles]]'s `ensureVersioned`): the rewrite lands in a
+    * temp dir, is atomically renamed to the fingerprint-versioned
+    * immutable directory, and the stable symlink flips last — a crash at
+    * ANY point leaves either the old complete corpus or debris the next
+    * run ignores, never a half-compacted root a reader could see
+    * (MediaSpec plants the crash states).
+    *
+    * 100 TB: the group assignment is the metadata-window plan; the
+    * rewrite reads each input byte once, carried through the one
+    * manifest exchange, and writes one output object per ~targetBytes —
+    * exactly the small-files maintenance job every file-grain lake runs,
+    * now with its correctness hash-gated rather than assumed. */
+  def ensureCompactedFiles(spark: SparkSession, sfDir: String,
+                           targetBytes: Long = CompactionTargetBytes): String = {
+    val src = ensureAssetFiles(spark, sfDir)
+    ensureVersioned(CompactedFilesRoot,
+        graft.sources.Warehouse.sourceFingerprint(sfDir, "documents") +
+          s"-cmp${targetBytes}v1") { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      val files = spark.read.format("binaryFile").load(src)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+                col("length").as("n_bytes"), col("content"))
+      val grouped = compactionGroups(files, targetBytes)
+        .groupBy("group_id")
+        .agg(sort_array(collect_list(struct(
+          col("file_name").as("fn"), col("content").as("payload")))).as("fs"))
+      import grouped.sparkSession.implicits._
+      val tmpStr = tmp.toString
+      grouped.select(col("group_id"), col("fs.payload"))
+        .as[(Long, Seq[Array[Byte]])]
+        .foreachPartition { it: Iterator[(Long, Seq[Array[Byte]])] =>
+          it.foreach { case (gid, payloads) =>
+            val f = new java.io.File(tmpStr, f"group_$gid%05d.bin")
+            val os = new java.io.FileOutputStream(f)
+            try payloads.foreach(os.write) finally os.close()
+          }
+        }
+    }
+  }
+
+  /** COMPACTION RUN (`compaction_run`, r13 VERDICT task 2) — the last
+    * advisor loop closed: [[compactionPlan]] emits the plan, this op
+    * EXECUTES it ([[ensureCompactedFiles]]) and hash-gates the result —
+    * per group, the plan evidence (file count, byte total) next to the
+    * compacted object's measured size and a byte-content check: the md5
+    * of the ORIGINAL files' bytes concatenated in name order must equal
+    * the md5 of the compacted object's bytes (the takedown_verify
+    * discipline — the gate checks the CONTENT claim, not just shape).
+    * The oracle replays the grouping, both digests, and the comparison
+    * from the files on disk via `read_blob`, so engine and oracle each
+    * read original AND compacted bytes end to end. MediaSpec asserts
+    * every group matches and that crash re-entry (in-flight debris, a
+    * missing pointer, a deleted version) converges to the same green
+    * state. */
+  def compactionRun(spark: SparkSession, sfDir: String,
+                    targetBytes: Long = CompactionTargetBytes): DataFrame = {
+    val src = ensureAssetFiles(spark, sfDir)
+    val out = ensureCompactedFiles(spark, sfDir, targetBytes)
+    val originals = spark.read.format("binaryFile").load(src)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+              col("length").as("n_bytes"), col("content"))
+    val origGroups = compactionGroups(originals, targetBytes)
       .groupBy("group_id")
       .agg(count(lit(1)).as("n_files"), sum("n_bytes").as("total_bytes"),
-           min("file_name").as("first_file"), max("file_name").as("last_file"))
+           sort_array(collect_list(struct(
+             col("file_name").as("fn"), hex(col("content")).as("hx")))).as("fs"))
+      .select(col("group_id"), col("n_files"), col("total_bytes"),
+              md5(array_join(col("fs.hx"), "")).as("omd5"))
+    val compacted = spark.read.format("binaryFile").load(out)
+      .select(regexp_extract(col("path"), "group_(\\d+)", 1)
+                .cast("bigint").as("group_id"),
+              col("length").cast("bigint").as("compacted_bytes"),
+              md5(hex(col("content"))).as("kmd5"))
+    origGroups.join(compacted, Seq("group_id"), "left")
+      .select(col("group_id"), col("n_files"), col("total_bytes"),
+              coalesce(col("compacted_bytes"), lit(0L)).as("compacted_bytes"),
+              coalesce(col("omd5") === col("kmd5"), lit(false)).as("content_match"))
       .orderBy("group_id")
   }
 }

@@ -1969,4 +1969,274 @@ object Relational {
       .select(col("exact_pairs"), col("est_pairs"),
         expr("(est_pairs - exact_pairs) * 1000 div exact_pairs").as("err_permille"))
   }
+
+  // ------------------------------------------------------------------
+  // System R DP over the chain candidate graph (round 14)
+  // ------------------------------------------------------------------
+
+  /** The 4-table CHAIN the DP enumerates: lineitem–orders–customer–nation,
+    * whose three edges are exactly three [[AdvisorJoins]] candidates (so
+    * every intermediate the DP prices comes from the persisted sketch
+    * store — no data touched for the decision). One definition site shared
+    * with the SQL oracle generator. */
+  private[graft] val ChainEdgeNames: Seq[String] =
+    Seq("lineitem_orders_fk", "orders_customer_dim", "customer_nation_dim")
+
+  /** The interior divisor side for extending an interval through edge k
+    * (k = 2, 3 in 1-based edge numbering): the edge's LEFT table — the
+    * table shared between the segment built so far and the new edge. The
+    * classic independence estimate |A⋈B⋈C| ≈ |A⋈B|·|B⋈C|/|B|, stated as
+    * a declared (tbl, key) row of the stats store so the oracle replays
+    * the same count. */
+  private[graft] val ChainDivisorSides: Seq[(String, String)] =
+    Seq(("orders", "o_custkey"), ("customer", "c_nationkey"))
+
+  /** One left-deep, cross-product-free join order of the 4-chain: on a
+    * chain, a connected join set is always a contiguous interval, so an
+    * order IS its chain of growing intervals — two intermediates (sizes
+    * 2 and 3) before the full join. The 4 distinct interval chains are
+    * the 4 cost-distinct left-deep orders (start-table symmetry folds the
+    * 8 permutations onto them). */
+  private[graft] final case class ChainOrder(name: String, intervals: Seq[(Int, Int)])
+  private[graft] val ChainOrders: Seq[ChainOrder] = Seq(
+    ChainOrder("cn_ocn", Seq((3, 4), (2, 4))),
+    ChainOrder("lo_loc", Seq((1, 2), (1, 3))),
+    ChainOrder("oc_loc", Seq((2, 3), (1, 3))),
+    ChainOrder("oc_ocn", Seq((2, 3), (2, 4))))
+
+  /** Estimated cardinality of chain interval [i, j] (1-based tables),
+    * composed from the PRICED edges by the canonical left-fold — a
+    * function of the interval alone, so the same subset costs the same
+    * in every order (the DP's requirement). Negative inner-product
+    * estimates clamp at 0 and divisors at 1 (declared, so the integer
+    * arithmetic replays in DuckDB without float or sign-semantics
+    * boundaries); BigInt intermediates because est·est overflows Long
+    * long before 100 TB. */
+  private[graft] def chainCard(est: Seq[Long], nDiv: Seq[Long],
+                               i: Int, j: Int): BigInt = {
+    var acc = BigInt(math.max(est(i - 1), 0L))
+    (i + 1 to j - 1).foreach { e =>
+      acc = acc * BigInt(math.max(est(e - 1), 0L)) / BigInt(math.max(nDiv(e - 2), 1L))
+    }
+    acc
+  }
+
+  /** The Selinger decision over the enumerated orders: cost = sum of the
+    * order's intermediate-interval estimates (the final interval is
+    * order-invariant and excluded); deterministic (cost, name) tie-break
+    * so engine and oracle can never disagree on equal costs. */
+  private[graft] def chainDpVerdict(est: Seq[Long], nDiv: Seq[Long]): (String, BigInt) =
+    ChainOrders.map { o =>
+      (o.name, o.intervals.map { case (i, j) => chainCard(est, nDiv, i, j) }.sum)
+    }.minBy { case (name, cost) => (cost, name) }
+
+  /** Estimated pair count of ONE ad-hoc join from freshly-built signed
+    * AMS grids over explicit per-key weight frames — the planAdvisor
+    * pricing arithmetic without the persisted store, so a spec can
+    * re-price a chain edge under a tightened filter and watch the DP
+    * flip (PlanSpec's join_order_dp case). */
+  private[graft] def pairEstimate(l: DataFrame, r: DataFrame,
+                                  depth: Int = JoinSizeDepth,
+                                  width: Int = JoinSizeCrossWidth): Long = {
+    val lc = amsCells(l, depth, width)
+      .select(col("i"), col("b"), col("cell").as("lc"))
+    val rc = amsCells(r, depth, width)
+      .select(col("i").as("ri"), col("b").as("rb"), col("cell").as("rc"))
+    val rows = lc.join(rc, col("i") === col("ri") && col("b") === col("rb"))
+      .groupBy("i").agg(sum(col("lc") * col("rc")).as("row_est"))
+    medianRowEstimate(rows, depth).collect()(0).getLong(0)
+  }
+
+  /** JOIN-ORDER DP (`join_order_dp`, r13 VERDICT task 3) — the System R
+    * dynamic program over the whole 4-table chain, generalizing
+    * [[joinOrderAdvisor]]'s one pre-declared 2-way decision: every
+    * left-deep, cross-product-free order of lineitem⋈orders⋈customer⋈
+    * nation is costed as the sum of its intermediate-result estimates,
+    * every estimate composed from the persisted sketch store's priced
+    * edges ([[chainCard]] — three est_pairs rows + two divisor counts,
+    * all metadata; no table is scanned to DECIDE). The chain then
+    * EXECUTES in the winning order and the output carries the edge
+    * estimates, the decision, its cost, and the measured cardinality —
+    * hash-gated against an oracle that replays the sketch pricing, all
+    * four candidate costs, the argmin, and the count from the raw
+    * tables. Join associativity makes n_rows order-invariant, so the
+    * gate proves the DP changed the PLAN, never the answer.
+    *
+    * 100 TB: the textbook win — on this schema the DP picks `cn_ocn`
+    * (build the tiny customer⋈nation dim first, grow through orders,
+    * join the fact table last), the exact plan a cost-based optimizer
+    * exists to find; executing `lo_loc` instead would materialize a
+    * lineitem-sized intermediate twice. The decision reads five metadata
+    * rows; the executed chain aggregates to one row scan-side. */
+  def joinOrderDp(spark: SparkSession, sfDir: String): DataFrame = {
+    val verdicts = planAdvisor(spark, sfDir)
+      .select(col("join_name"), col("est_pairs"), col("left_rows")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val est = ChainEdgeNames.map(verdicts(_)._1)
+    // divisor counts: the left-side row counts of the two interior edges
+    // (orders via o_custkey, customer via c_nationkey) — already columns
+    // of the same verdict rows
+    val nDiv = Seq(verdicts("orders_customer_dim")._2,
+                   verdicts("customer_nation_dim")._2)
+    val (order, cost) = chainDpVerdict(est, nDiv)
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"))
+    val lo = col("l_orderkey") === col("o_orderkey")
+    val oc = col("o_custkey") === col("c_custkey")
+    val cn = col("c_nationkey") === col("n_nationkey")
+    val chained = order match {
+      case "lo_loc" => l.join(o, lo).join(c, oc).join(n, cn)
+      case "oc_loc" => o.join(c, oc).join(l, lo).join(n, cn)
+      case "oc_ocn" => o.join(c, oc).join(n, cn).join(l, lo)
+      case _        => c.join(n, cn).join(o, oc).join(l, lo) // cn_ocn
+    }
+    chained.agg(count(lit(1)).as("n_rows"))
+      .select(lit("lineitem_orders_customer_nation").as("chain"),
+              lit(est(0)).as("est_lo"), lit(est(1)).as("est_oc"),
+              lit(est(2)).as("est_cn"), lit(order).as("join_order"),
+              lit(cost.toLong).as("cost_est"), col("n_rows"))
+  }
+
+  /** ADVISOR RECALL (`advisor_recall`, r13 VERDICT task 5) — the accuracy
+    * instrument for the planner-stats store, the kll_recall shape over
+    * [[AdvisorJoins]]: every other approximate family prices its trade,
+    * but the AMS store's est-vs-exact error had only surfaced in prose.
+    * One hash-gated row per candidate: the exact join cardinality (truth
+    * side — a plain join count over the raw tables, each aggregated to
+    * one row scan-side), the store's est_pairs, and the signed permille
+    * error, oracle-replayed end to end.
+    *
+    * 100 TB: the truth side is the instrument contract — each candidate
+    * costs its real join once (partial-count aggregate, no pair mass on
+    * the driver); the est side reads the metadata store. A production
+    * pipeline runs this on a sampled day, not per query — what it buys
+    * is a MEASURED error band for every cardinality the advisor family
+    * ([[planAdvisor]], [[joinOrderDp]]) acts on. */
+  def advisorRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val est = planAdvisor(spark, sfDir)
+      .select(col("join_name"), col("est_pairs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
+      val l = advisorTable(spark, sfDir, lt)
+        .select(col(lk).as("lpk")).filter(col("lpk").isNotNull)
+      val r = advisorTable(spark, sfDir, rt)
+        .select(col(rk).as("rpk")).filter(col("rpk").isNotNull)
+      l.join(r, col("lpk") === col("rpk"))
+        .agg(count(lit(1)).as("exact_pairs"))
+        .select(lit(name).as("join_name"), col("exact_pairs"),
+                lit(est(name)).as("est_pairs"))
+    }
+    rows.reduce(_ unionByName _)
+      .select(col("join_name"), col("exact_pairs"), col("est_pairs"),
+        when(col("exact_pairs") === 0L, col("est_pairs") * 1000L)
+          .otherwise(expr("(est_pairs - exact_pairs) * 1000 div exact_pairs"))
+          .as("err_permille"))
+      .orderBy("join_name")
+  }
+
+  // ------------------------------------------------------------------
+  // Skew-routed join (round 14)
+  // ------------------------------------------------------------------
+
+  /** The `join_skew_auto` route cut: salt iff the hottest key holds more
+    * than this share of the skewed side's rows (integer permille — the
+    * dedup_auto/index_auto declared-cut discipline, replayable in DuckDB
+    * with no float boundary). 50‰ = one key owning ≥5% of a table is the
+    * single-straggler-task regime where a plain shuffle join's longest
+    * task dominates the stage. */
+  private[graft] val JoinSaltShareCutPermille = 50L
+
+  /** Salt shard count for the salted route. */
+  private[graft] val JoinSaltFactor = 8
+
+  /** The measured decision inputs: (non-null rows, distinct keys, max
+    * per-key count) of events.user_id — one aggregate, three longs. */
+  private[graft] def joinSkewStats(spark: SparkSession, sfDir: String): (Long, Long, Long) = {
+    val r = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n"), count(lit(1)).as("k"),
+           coalesce(max("c"), lit(0L)).as("m"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** The route the measurement implies under the declared cut — BigInt
+    * product for the same overflow-alignment reason as
+    * [[graft.operators.Similarity.indexRouteOf]]. */
+  private[graft] def joinSkewRouteOf(n: Long, maxCount: Long): String =
+    if (BigInt(maxCount) * 1000 > BigInt(JoinSaltShareCutPermille) * n) "salted"
+    else "plain"
+
+  /** SKEW-ROUTED JOIN (`join_skew_auto`, r13 VERDICT task 4) — the classic
+    * scale-killer finally auto-routed: [[skewProfile]] has measured key
+    * skew since round 4 and [[graft.operators.Skew]] has proven two-phase
+    * salting, but nothing ROUTED a join between plain and salted from the
+    * measurement. This does: events⋈orders on the profiled skewed key
+    * (user_id = o_custkey) runs plain when the measured top-key share is
+    * under the declared cut; over it, the skewed side salts on a
+    * key-independent column (`event_id % `[[JoinSaltFactor]]) and the
+    * build side replicates across the salt shards — the textbook
+    * two-phase salted join, which splits the hot key's probe rows over
+    * [[JoinSaltFactor]] tasks. The join result is salt-invariant (every
+    * original pair matches in exactly one shard), so the route changes
+    * the PLAN, never the answer; the route rides in the output and the
+    * oracle replays the decision from per-key counts plus the join from
+    * the raw tables. RelationalSpec plants both regimes and proves
+    * plain ≡ salted row for row.
+    *
+    * 100 TB: AQE's skew-join split handles sort-merge stragglers at
+    * runtime, but it cannot split a skewed AGGREGATION key and is off in
+    * stateful/streaming plans — a measurement-driven salt is the
+    * portable form, and the measurement here is one metadata-grain
+    * aggregate the profile job already runs. */
+  def joinSkewAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val (n, _, maxc) = joinSkewStats(spark, sfDir)
+    val route = joinSkewRouteOf(n, maxc)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    val ords = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey").isNotNull).select(col("o_custkey"))
+    joinSkewJoined(ev, ords, route)
+      .withColumn("route", lit(route))
+      .orderBy("event_type")
+  }
+
+  /** The routed join core over explicit frames — ev(user_id, event_type,
+    * event_id) ⋈ ords(o_custkey), aggregated per event_type — so the spec
+    * can prove plain ≡ salted on planted regimes. The salted route salts
+    * the PROBE side on a key-independent column and replicates the build
+    * side across the shards; every original pair matches in exactly one
+    * shard, so the multiset of joined rows is identical by construction. */
+  private[graft] def joinSkewJoined(ev: DataFrame, ords: DataFrame,
+                                    route: String): DataFrame = {
+    val joined =
+      if (route == "salted") {
+        val s = JoinSaltFactor
+        val evS = ev.withColumn("_se",
+          pmod(coalesce(col("event_id"), lit(0L)), lit(s.toLong)).cast("int"))
+        val ordS = ords.withColumn("_so",
+          explode(sequence(lit(0), lit(s - 1))))
+        evS.join(ordS,
+          col("user_id") === col("o_custkey") && col("_se") === col("_so"))
+      } else ev.join(ords, col("user_id") === col("o_custkey"))
+    joined.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The evidence row behind [[joinSkewAuto]]'s decision (`join_skew_audit`
+    * — the route_audit shape for the join family): measured rows / keys /
+    * max key count, the integer top-key share, the declared cut, the
+    * verdict. Metadata-grain; hash-gated like the decision. */
+  def joinSkewAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (n, keys, maxc) = joinSkewStats(spark, sfDir)
+    Seq((n, keys, maxc,
+         if (n == 0L) 0L else (BigInt(maxc) * 1000 / n).toLong,
+         JoinSaltShareCutPermille, joinSkewRouteOf(n, maxc)))
+      .toDF("n_rows", "n_keys", "max_count", "share_permille",
+            "cut_permille", "route")
+  }
 }

@@ -204,6 +204,70 @@ object Warehouse {
       TableHealth(t, files, units, files > units.toLong * factor)
     }
 
+  final case class StaleTable(table: String, storedFp: Option[String])
+
+  /** Fingerprint-stale warehouse tables of one derived family (r13
+    * VERDICT task 7): [[maintenanceReport]] watches file fan-in and
+    * `vacuumVersionedRoot` retires staged ROOT versions, but derived
+    * TABLES had no retirement path — every driver-side testdata
+    * regeneration strands a whole generation (superseded
+    * `graft_ivfauto_*_rb` rebuild branches, old `_pairs`/`_labels`
+    * stores) whose names are stable but whose stamped fingerprints no
+    * longer contain the live source's fingerprint. A family is a table
+    * NAME PREFIX (which embeds sf + path token, so one corpus's vacuum
+    * can never touch another's stores); `currentToken` is the live
+    * source fingerprint — keep = stamped fingerprint contains it (any
+    * lifecycle stage: base/full/rebuilt stamps all embed it), stale =
+    * stamped with some other generation. Tables with NO graft stamp are
+    * never judged (not ours). Catalog metadata only — no data scan. */
+  def staleTableReport(spark: SparkSession, prefix: String,
+                       currentToken: String): Seq[StaleTable] = {
+    require(currentToken.nonEmpty, "staleTableReport: empty currentToken would flag every stamped table")
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix)).sorted.toSeq
+      .map(t => StaleTable(t, storedFingerprint(spark, t)))
+      .filter(s => s.storedFp.exists(fp => !fp.contains(currentToken)))
+  }
+
+  /** Drop the stale generation ([[staleTableReport]]'s rows) — the
+    * retirement half. Same concurrency contract as every maintenance
+    * sweep here: run when no builder is mid-append on the family (a
+    * dropped in-flight table costs a rebuild, never correctness — the
+    * fingerprint gate rebuilds what a reader needs). Returns the dropped
+    * table names. */
+  def vacuumStaleTables(spark: SparkSession, prefix: String,
+                        currentToken: String): Seq[String] = {
+    val stale = staleTableReport(spark, prefix, currentToken)
+    stale.foreach(s => spark.sql(s"DROP TABLE IF EXISTS `${s.table}`"))
+    stale.map(_.table)
+  }
+
+  /** Derived tables built over a ×10 ScaleProbe STAGED corpus whose temp
+    * directory is gone — the probe sweep removes the staged parquet
+    * (`graft_scale_x*` under /tmp) but the index/store tables the probed
+    * queries built over it lingered in the warehouse forever (measured:
+    * dozens of generations at ~18 MB apiece by round 14). The staged dir's
+    * basename is embedded verbatim in the derived table name, so
+    * orphanhood is decidable from catalog metadata alone. */
+  private val ProbeDirToken = java.util.regex.Pattern.compile("(graft_scale_x\\d+)")
+
+  def orphanedProbeTables(spark: SparkSession): Seq[String] = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted.filter { t =>
+      val m = ProbeDirToken.matcher(t)
+      m.find() && !new java.io.File(tmp, m.group(1)).isDirectory
+    }
+  }
+
+  /** Drop the orphaned probe-table generations. Returns the dropped names.
+    * Safe whenever no probe is LIVE (the probe marker contract — a live
+    * probe's staged dir exists, so its tables are never orphans). */
+  def vacuumOrphanedProbeTables(spark: SparkSession): Seq[String] = {
+    val orphans = orphanedProbeTables(spark)
+    orphans.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    orphans
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

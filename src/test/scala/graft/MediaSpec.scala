@@ -763,4 +763,45 @@ class MediaSpec extends SparkSpecBase {
       assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L, s"$r")
     }
   }
+
+  test("compactionRun: every group's compacted bytes equal the originals, and the plan is covered") {
+    val rows = Media.compactionRun(spark, sf0001).collect()
+    assert(rows.length >= 2, s"fixture must produce several groups: ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getBoolean(4),
+        s"compacted object content differs from its input files: $r")
+      assert(r.getLong(2) === r.getLong(3),
+        s"compacted byte total must equal the plan's: $r")
+    }
+    // the run covers exactly the plan's groups with the plan's masses
+    val plan = Media.compactionPlan(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === plan.toSeq)
+  }
+
+  test("compactionRun crash re-entry: debris, a lost pointer, and a lost version all converge") {
+    val green = Media.compactionRun(spark, sf0001).collect()
+    val root = java.nio.file.Paths.get(Media.CompactedFilesRoot)
+    val parent = root.getParent.toFile
+    def versions() = parent.listFiles()
+      .filter(f => f.getName.startsWith(root.getFileName.toString + ".v")).toSeq
+    assert(versions().nonEmpty)
+    // (a) in-flight build debris from a crashed writer is ignored
+    val debris = new java.io.File(parent, root.getFileName.toString + ".tmp-crashed")
+    debris.mkdirs()
+    java.nio.file.Files.write(debris.toPath.resolve("half.bin"), Array[Byte](1, 2, 3))
+    assert(Media.compactionRun(spark, sf0001).collect() === green)
+    assert(debris.isDirectory, "foreign in-flight debris is vacuum's job, not the reader's")
+    debris.toPath.resolve("half.bin").toFile.delete(); debris.delete()
+    // (b) crash between version rename and pointer flip: link missing
+    java.nio.file.Files.deleteIfExists(root)
+    assert(Media.compactionRun(spark, sf0001).collect() === green)
+    assert(java.nio.file.Files.isSymbolicLink(root), "pointer must be re-flipped")
+    // (c) version lost entirely: full rebuild converges to the same state
+    java.nio.file.Files.deleteIfExists(root)
+    versions().foreach { v =>
+      v.listFiles().foreach(_.delete()); v.delete()
+    }
+    assert(Media.compactionRun(spark, sf0001).collect() === green)
+  }
 }

@@ -824,4 +824,24 @@ class PlanSpec extends SparkSpecBase {
       conf.set("spark.sql.adaptive.enabled", oldAqe)
     }
   }
+
+  test("join_order_dp: the executed join tree follows the DP's winning order") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = Relational.joinOrderDp(spark, sf0001)
+    assert(df.collect()(0).getString(4) === "cn_ocn")
+    // left-deep tree: pre-order collect puts the DEEPEST join last; under
+    // cn_ocn that first-built join must be customer x nation, and the
+    // chain must build dims-outward (nation deepest, lineitem topmost)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size === 3, s"chain must execute as three binary joins: ${joins.size}")
+    val innermostTables = joins.last.collectLeaves().map(_.toString).mkString
+    assert(innermostTables.contains("c_custkey") &&
+           innermostTables.contains("n_nationkey") &&
+           !innermostTables.contains("l_orderkey"),
+      s"DP said cn_ocn but the deepest executed join reads:\n$innermostTables")
+    val topTables = joins.head.collectLeaves().map(_.toString).mkString
+    assert(topTables.contains("l_orderkey"),
+      "the fact table must join last under the dims-first order")
+  }
 }

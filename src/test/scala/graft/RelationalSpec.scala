@@ -890,4 +890,100 @@ class RelationalSpec extends SparkSpecBase {
     assert(factFirst === dimFirst && row.getLong(4) === dimFirst,
       s"join order changed the answer: $factFirst / $dimFirst / $row")
   }
+
+  test("chainDpVerdict: dims-first wins on this schema's shape; tie-break is deterministic") {
+    // the sf0.001 shape: |L⋈O| ≈ 6000, |O⋈C| ≈ 1500, |C⋈N| ≈ 150
+    val (order, cost) = Relational.chainDpVerdict(
+      est = Seq(6000L, 1500L, 150L), nDiv = Seq(1500L, 150L))
+    assert(order === "cn_ocn", s"got $order at cost $cost")
+    assert(cost === BigInt(150 + 1500 * 150 / 150), s"cost must be card(C,N)+card(O,C,N): $cost")
+    // equal costs resolve by name — engine and oracle can never disagree
+    val (tied, _) = Relational.chainDpVerdict(Seq(0L, 0L, 0L), Seq(1L, 1L))
+    assert(tied === "cn_ocn", "alphabetical tie-break")
+    // negative estimates clamp to 0, degenerate divisors to 1 — no throw
+    val (_, clamped) = Relational.chainDpVerdict(Seq(-5L, -5L, -5L), Seq(0L, 0L))
+    assert(clamped === BigInt(0))
+  }
+
+  test("joinOrderDp: executes the DP's winner and the order never changes the answer") {
+    val row = Relational.joinOrderDp(spark, sf0001).collect()(0)
+    assert(row.getString(4) === "cn_ocn",
+      s"the DP must pick dims-first on this schema: $row")
+    val l = Tables.lineitem(spark, sf0001).select(col("l_orderkey"))
+    val o = Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sf0001).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, sf0001).select(col("n_nationkey"))
+    val factFirst = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey")).count()
+    assert(row.getLong(6) === factFirst,
+      s"DP order changed the chain cardinality: $row vs $factFirst")
+  }
+
+  test("joinOrderDp flips when a tightened filter collapses the fact edge (r13 task 3)") {
+    def side(df: org.apache.spark.sql.DataFrame, k: String) =
+      df.select(col(k).cast("string").as("pk")).filter(col("pk").isNotNull)
+        .groupBy("pk").agg(count(lit(1)).as("w"))
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    val c = Tables.customer(spark, sf0001)
+    val n = Tables.nation(spark, sf0001)
+    val estOc = Relational.pairEstimate(side(o, "o_custkey"), side(c, "c_custkey"))
+    val estCn = Relational.pairEstimate(side(c, "c_nationkey"), side(n, "n_nationkey"))
+    val nDiv = Seq(o.count(), c.count())
+    // untightened: the fact edge dominates -> dims first
+    val estLo = Relational.pairEstimate(side(li, "l_orderkey"), side(o, "o_orderkey"))
+    val (loose, _) = Relational.chainDpVerdict(Seq(estLo, estOc, estCn), nDiv)
+    assert(loose === "cn_ocn", s"unfiltered chain must start at the dims: $loose")
+    // tightened: a highly selective lineitem filter re-prices the fact
+    // edge to a handful of pairs — the DP must now START at the fact join
+    val estLoTight = Relational.pairEstimate(
+      side(li.filter(col("l_orderkey") <= 3), "l_orderkey"), side(o, "o_orderkey"))
+    val (tight, _) = Relational.chainDpVerdict(Seq(estLoTight, estOc, estCn), nDiv)
+    assert(tight === "lo_loc",
+      s"tightening the filter must flip the DP to fact-first: estLoTight=$estLoTight -> $tight")
+  }
+
+  test("advisorRecall: every candidate priced, truth side positive, error bounded") {
+    val rows = Relational.advisorRecall(spark, sf0001).collect()
+    assert(rows.length === Relational.AdvisorJoins.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L, s"exact side must be a real join count: $r")
+      assert(math.abs(r.getLong(3)) <= 500L,
+        s"store error beyond 500 permille on ${r.getString(0)}: $r")
+    }
+  }
+
+  test("joinSkewAuto: plain and salted regimes give identical answers; route follows the cut") {
+    import spark.implicits._
+    // planted hot key: user 7 owns 900 of 1000 rows (share 900 permille)
+    val hot = (1 to 900).map(i => (7L, s"t${i % 3}", i.toLong)) ++
+      (1 to 100).map(i => (100L + i, s"t${i % 3}", 10000L + i))
+    val evHot = hot.toDF("user_id", "event_type", "event_id")
+    val ords = ((1 to 20).map(_ => 7L) ++ (101L to 150L)).toDF("o_custkey")
+    val plain = Relational.joinSkewJoined(evHot, ords, "plain")
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    val salted = Relational.joinSkewJoined(evHot, ords, "salted")
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(plain.sameElements(salted),
+      s"salting changed the join result: ${plain.toSeq} vs ${salted.toSeq}")
+    assert(plain.map(_._2).sum === 900L * 20 + 50,
+      s"hot key must fan out 900x20 plus one row per cold match: ${plain.toSeq}")
+    // the route decisions under the declared 50 permille cut
+    assert(Relational.joinSkewRouteOf(1000L, 900L) === "salted")
+    assert(Relational.joinSkewRouteOf(1000L, 50L) === "plain") // 50 permille is NOT over the cut
+    assert(Relational.joinSkewRouteOf(1000L, 51L) === "salted")
+    assert(Relational.joinSkewRouteOf(0L, 0L) === "plain")
+  }
+
+  test("joinSkewAudit evidence row matches the stats the router read") {
+    val row = Relational.joinSkewAudit(spark, sf0001).collect()(0)
+    val (n, keys, maxc) = Relational.joinSkewStats(spark, sf0001)
+    assert(row.getLong(0) === n && row.getLong(1) === keys && row.getLong(2) === maxc)
+    assert(row.getLong(3) === maxc * 1000L / n)
+    assert(row.getString(5) === Relational.joinSkewRouteOf(n, maxc))
+    // joinSkewAuto's route column agrees with the audit
+    val auto = Relational.joinSkewAuto(spark, sf0001).select("route").distinct().collect()
+    assert(auto.length === 1 && auto(0).getString(0) === row.getString(5))
+  }
 }

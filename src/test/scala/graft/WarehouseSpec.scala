@@ -516,4 +516,66 @@ class WarehouseSpec extends SparkSpecBase {
       new java.io.File(target, "d").delete(); target.delete()
     }
   }
+
+  test("stale derived-store retirement: old generations reported and vacuumed, live kept (r13 task 7)") {
+    import spark.implicits._
+    val mk = (name: String) =>
+      Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").saveAsTable(name)
+    val current = "fp_current_abc123"
+    try {
+      mk("graft_staletest_idx_cells"); mk("graft_staletest_idx_rb_cells")
+      mk("graft_staletest_idx_stats"); mk("graft_staletest_unstamped")
+      // live store: any lifecycle stamp embedding the current fingerprint
+      Warehouse.stampFingerprint(spark, "graft_staletest_idx_cells", s"$current|auto-full|i3")
+      // a superseded generation: stamped against a PREVIOUS source fingerprint
+      Warehouse.stampFingerprint(spark, "graft_staletest_idx_rb_cells", "fp_old_999|auto-rebuilt")
+      // an in-flight stamp from a dead process: also not the current generation
+      Warehouse.stampFingerprint(spark, "graft_staletest_idx_stats", "append-in-flight")
+      val stale = Warehouse.staleTableReport(spark, "graft_staletest_", current)
+      assert(stale.map(_.table).sorted ===
+        Seq("graft_staletest_idx_rb_cells", "graft_staletest_idx_stats"),
+        s"report must flag exactly the non-current stamped generation: $stale")
+      val dropped = Warehouse.vacuumStaleTables(spark, "graft_staletest_", current)
+      assert(dropped.sorted === Seq("graft_staletest_idx_rb_cells", "graft_staletest_idx_stats"))
+      assert(spark.catalog.tableExists("graft_staletest_idx_cells"),
+        "the live generation must survive the vacuum")
+      assert(spark.catalog.tableExists("graft_staletest_unstamped"),
+        "tables without a graft stamp are not ours to judge")
+      assert(Warehouse.staleTableReport(spark, "graft_staletest_", current).isEmpty)
+      // guard: an empty token would flag every stamped table
+      intercept[IllegalArgumentException] {
+        Warehouse.staleTableReport(spark, "graft_staletest_", "")
+      }
+    } finally {
+      Seq("graft_staletest_idx_cells", "graft_staletest_idx_rb_cells",
+          "graft_staletest_idx_stats", "graft_staletest_unstamped")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("orphaned probe tables: gone staged dir -> dropped; live staged dir -> kept") {
+    import spark.implicits._
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val liveDir = new java.io.File(tmp, "graft_scale_x777001")
+    val mk = (name: String) =>
+      Seq((1L, "x")).toDF("k", "v").write.mode("overwrite").saveAsTable(name)
+    try {
+      liveDir.mkdirs()
+      mk("graft_probetest_graft_scale_x777001_aa_feats") // staged dir exists
+      mk("graft_probetest_graft_scale_x777002_bb_feats") // staged dir gone
+      val orphans = Warehouse.orphanedProbeTables(spark)
+        .filter(_.startsWith("graft_probetest_"))
+      assert(orphans === Seq("graft_probetest_graft_scale_x777002_bb_feats"),
+        s"only the gone-dir generation is an orphan: $orphans")
+      Warehouse.vacuumOrphanedProbeTables(spark)
+      assert(spark.catalog.tableExists("graft_probetest_graft_scale_x777001_aa_feats"),
+        "a live probe corpus's tables must survive")
+      assert(!spark.catalog.tableExists("graft_probetest_graft_scale_x777002_bb_feats"))
+    } finally {
+      liveDir.delete()
+      Seq("graft_probetest_graft_scale_x777001_aa_feats",
+          "graft_probetest_graft_scale_x777002_bb_feats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }
