@@ -145,6 +145,7 @@ object SparkEntry {
     "advisor_recall" -> ((s, d) => Relational.advisorRecall(s, d)),
     "join_skew_auto" -> ((s, d) => Relational.joinSkewAuto(s, d)),
     "join_skew_audit" -> ((s, d) => Relational.joinSkewAudit(s, d)),
+    "agg_skew_auto" -> ((s, d) => Relational.aggSkewAuto(s, d)),
     "stream_plan_advisor" -> ((s, d) =>
       graft.streaming.EventStreams.streamPlanAdvisorQuery(s, d)),
     "stream_join_size" -> ((s, d) =>
@@ -672,6 +673,19 @@ object SparkEntry {
       |  CASE WHEN m::HUGEINT * 1000 > ${Relational.JoinSaltShareCutPermille}::HUGEINT * n
       |       THEN 'salted' ELSE 'plain' END AS route
       |FROM d""".stripMargin
+
+  /** agg_skew_auto's oracle: plain per-user distinct counts (the salted
+    * two-phase form is provably identical — salt = hash(value) keeps every
+    * duplicate value in one shard) plus the replayed route. */
+  private val aggSkewAutoSql: String =
+    s"""WITH c AS (SELECT user_id, count(*) AS c FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |d AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n,
+      |             CAST(COALESCE(max(c), 0) AS BIGINT) AS m FROM c),
+      |r AS (SELECT CASE WHEN m::HUGEINT * 1000 > ${Relational.JoinSaltShareCutPermille}::HUGEINT * n
+      |             THEN 'salted' ELSE 'plain' END AS route FROM d)
+      |SELECT e.user_id, CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_distinct, r.route
+      |FROM events e, r WHERE e.user_id IS NOT NULL
+      |GROUP BY e.user_id, r.route ORDER BY e.user_id""".stripMargin
 
   /** join_skew_auto's oracle: the joined per-type counts from the raw
     * tables (salt-invariant — a salted join is the plain join) plus the
@@ -3303,6 +3317,7 @@ object SparkEntry {
     "advisor_recall" -> advisorRecallSql,
     "join_skew_auto" -> joinSkewAutoSql,
     "join_skew_audit" -> joinSkewAuditSql,
+    "agg_skew_auto" -> aggSkewAutoSql,
     "stream_join_size" -> joinSizeSql,
     "join_size_cross" -> joinSizeCrossSql,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes

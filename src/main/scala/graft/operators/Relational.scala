@@ -2226,6 +2226,38 @@ object Relational {
     joined.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** SKEW-ROUTED AGGREGATION (`agg_skew_auto`) — [[joinSkewAuto]]'s
+    * measurement routing the OTHER skew victim: a HOLISTIC per-key
+    * aggregate (exact distinct count) puts every row of a key into one
+    * task, the regime [[graft.operators.Skew.saltedCountDistinct]] has
+    * proven the two-phase fix for since round 2 — now the fix is taken
+    * iff the measured top-key share crosses the same declared cut.
+    * Salting is exact here (salt = hash(value) keeps every duplicate
+    * value in one shard, so per-shard distinct counts ADD), so the route
+    * changes the plan, never the answer; route rides in the output and
+    * the oracle replays decision + plain distinct counts.
+    * SkewAndFormatsSpec plants both regimes.
+    *
+    * 100 TB: partial aggregation doesn't help a holistic aggregate — the
+    * hot key's full value set converges on one reducer and that task's
+    * memory and runtime grow with the key, the straggler/OOM the salt
+    * split exists for. Unlike the join case, AQE has NO runtime rescue
+    * for aggregation skew, which makes the measurement-driven route the
+    * only portable form. */
+  def aggSkewAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val (n, _, maxc) = joinSkewStats(spark, sfDir)
+    val route = joinSkewRouteOf(n, maxc)
+    val ev = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+    val counts =
+      if (route == "salted")
+        Skew.saltedCountDistinct(ev, col("user_id"), col("event_type"))
+          .select(col("k").as("user_id"), col("n_distinct"))
+      else
+        ev.groupBy("user_id")
+          .agg(count_distinct(col("event_type")).as("n_distinct"))
+    counts.withColumn("route", lit(route)).orderBy("user_id")
+  }
+
   /** The evidence row behind [[joinSkewAuto]]'s decision (`join_skew_audit`
     * — the route_audit shape for the join family): measured rows / keys /
     * max key count, the integer top-key share, the declared cut, the

@@ -177,4 +177,27 @@ class SkewAndFormatsSpec extends SparkSpecBase {
     assert(orc.exceptAll(ev).count() === 0)
     assert(ev.exceptAll(orc).count() === 0)
   }
+
+  test("aggSkewAuto: both regimes answer identically; route matches the audit") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // the hot regime: one user owns 90% of the rows — the straggler task
+    // a plain holistic aggregate would serialize on
+    val hot = (1 to 900).map(i => (7L, s"t${i % 5}")) ++
+      (1 to 100).map(i => (100L + i, s"t${i % 5}"))
+    val ev = hot.toDF("user_id", "event_type")
+    val plain = ev.groupBy("user_id")
+      .agg(count_distinct(col("event_type")).as("n_distinct"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val salted = Skew.saltedCountDistinct(ev, col("user_id"), col("event_type"))
+      .select(col("k"), col("n_distinct"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(plain.sameElements(salted),
+      s"salted holistic distinct diverged: ${plain.take(3).toSeq} vs ${salted.take(3).toSeq}")
+    // the production query's route agrees with the audit's verdict
+    val route = Relational.aggSkewAuto(spark, sf0001)
+      .select("route").distinct().collect()
+    val audit = Relational.joinSkewAudit(spark, sf0001).collect()(0).getString(5)
+    assert(route.length === 1 && route(0).getString(0) === audit)
+  }
 }
