@@ -142,6 +142,7 @@ object SparkEntry {
     "advisor_cycle" -> ((s, d) => Relational.advisorCycle(s, d)),
     "join_order_advisor" -> ((s, d) => Relational.joinOrderAdvisor(s, d)),
     "join_order_dp" -> ((s, d) => Relational.joinOrderDp(s, d)),
+    "chain_card_recall" -> ((s, d) => Relational.chainCardRecall(s, d)),
     "advisor_recall" -> ((s, d) => Relational.advisorRecall(s, d)),
     "join_skew_auto" -> ((s, d) => Relational.joinSkewAuto(s, d)),
     "join_skew_audit" -> ((s, d) => Relational.joinSkewAudit(s, d)),
@@ -595,25 +596,26 @@ object SparkEntry {
     * (cost, name) argmin, and the chain count from a plain four-way SQL
     * join (order-invariant by associativity — the gate proves the DP
     * changed the plan, never the answer). */
-  private val joinOrderDpSql: String = {
+  /** [[Relational.chainCard]]'s clamped HUGEINT left-fold as a SQL
+    * expression over the one-row `v` CTE's scalars (elo/eoc/ecn edges,
+    * dno/dnc interior divisors) — shared by the join_order_dp and
+    * chain_card_recall oracle generators. */
+  private def chainCardSqlExpr(i: Int, j: Int): String = {
+    val estVar = Seq("elo", "eoc", "ecn")
+    val divVar = Seq("dno", "dnc")
+    var acc = s"CAST(${estVar(i - 1)} AS HUGEINT)"
+    (i + 1 to j - 1).foreach { e =>
+      acc = s"($acc * ${estVar(e - 1)} // ${divVar(e - 2)})"
+    }
+    acc
+  }
+
+  /** The sketch-pricing CTE prefix ending in the one-row `v` scalar CTE —
+    * shared by the two chain oracles. */
+  private def chainPricingCtes: String = {
     val cands = Relational.AdvisorJoins.filter(j =>
       Relational.ChainEdgeNames.contains(j._1))
     val sides = cands.flatMap(j => Seq((j._2, j._3), (j._4, j._5))).distinct
-    // scalar names inside the one-row `v` CTE, aligned to chain edges 1..3
-    // and the interior divisors of edges 2..3
-    val estVar = Seq("elo", "eoc", "ecn")
-    val divVar = Seq("dno", "dnc")
-    def cardSql(i: Int, j: Int): String = {
-      var acc = s"CAST(${estVar(i - 1)} AS HUGEINT)"
-      (i + 1 to j - 1).foreach { e =>
-        acc = s"($acc * ${estVar(e - 1)} // ${divVar(e - 2)})"
-      }
-      acc
-    }
-    val costRows = Relational.ChainOrders.map { o =>
-      val cost = o.intervals.map { case (i, j) => cardSql(i, j) }.mkString(" + ")
-      s"SELECT '${o.name}' AS ord, $cost AS cost FROM v"
-    }
     val divSides = Relational.ChainDivisorSides.map { case (t, k) => s"n_${advisorSideId(t, k)}.n" }
     "WITH " + (advisorSideCtes(sides) ++ advisorCandCtes(cands)).mkString(",\n") + s""",
       |v AS (SELECT
@@ -627,7 +629,16 @@ object SparkEntry {
       |  m_${Relational.ChainEdgeNames(2)}.est_pairs AS est_cn
       |  FROM m_${Relational.ChainEdgeNames(0)}, m_${Relational.ChainEdgeNames(1)},
       |       m_${Relational.ChainEdgeNames(2)},
-      |       n_${advisorSideId("orders", "o_custkey")}, n_${advisorSideId("customer", "c_nationkey")}),
+      |       n_${advisorSideId("orders", "o_custkey")}, n_${advisorSideId("customer", "c_nationkey")})""".stripMargin
+  }
+
+  private val joinOrderDpSql: String = {
+    def cardSql(i: Int, j: Int): String = chainCardSqlExpr(i, j)
+    val costRows = Relational.ChainOrders.map { o =>
+      val cost = o.intervals.map { case (i, j) => cardSql(i, j) }.mkString(" + ")
+      s"SELECT '${o.name}' AS ord, $cost AS cost FROM v"
+    }
+    chainPricingCtes + s""",
       |costs AS (${costRows.mkString("\n  UNION ALL ")}),
       |w AS (SELECT ord, cost FROM costs ORDER BY cost, ord LIMIT 1)
       |SELECT 'lineitem_orders_customer_nation' AS chain,
@@ -639,6 +650,29 @@ object SparkEntry {
       |     JOIN nation n ON c.c_nationkey = n.n_nationkey) AS n_rows
       |FROM v, w""".stripMargin
   }
+
+  /** chain_card_recall's oracle: the two interior 3-table intervals'
+    * exact chain counts from the raw tables next to the SAME composed
+    * estimates the DP costs with ([[chainCardSqlExpr]] — one definition
+    * with join_order_dp's cost arithmetic), signed permille error. */
+  private val chainCardRecallSql: String =
+    chainPricingCtes + s""",
+      |xloc AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey),
+      |xocn AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+      |SELECT chain_interval, exact_pairs, est_pairs,
+      |  CAST(CASE WHEN exact_pairs = 0 THEN est_pairs * 1000
+      |       ELSE (est_pairs - exact_pairs) * 1000 // exact_pairs END AS BIGINT) AS err_permille
+      |FROM (
+      |  SELECT 'lineitem_orders_customer' AS chain_interval, xloc.exact_pairs,
+      |    CAST(${chainCardSqlExpr(1, 3)} AS BIGINT) AS est_pairs FROM xloc, v
+      |  UNION ALL
+      |  SELECT 'orders_customer_nation', xocn.exact_pairs,
+      |    CAST(${chainCardSqlExpr(2, 4)} AS BIGINT) FROM xocn, v)
+      |ORDER BY chain_interval""".stripMargin
 
   /** advisor_recall's oracle: per candidate the exact join cardinality
     * from the raw tables (truth side), the sketch estimate from the same
@@ -3314,6 +3348,7 @@ object SparkEntry {
     // sketches, the order decision, the chain count from the raw tables.
     "join_order_advisor" -> joinOrderAdvisorSql,
     "join_order_dp" -> joinOrderDpSql,
+    "chain_card_recall" -> chainCardRecallSql,
     "advisor_recall" -> advisorRecallSql,
     "join_skew_auto" -> joinSkewAutoSql,
     "join_skew_audit" -> joinSkewAuditSql,

@@ -2099,6 +2099,41 @@ object Relational {
               lit(cost.toLong).as("cost_est"), col("n_rows"))
   }
 
+  /** CHAIN-CARD RECALL (`chain_card_recall`) — the accuracy instrument for
+    * the DP's COMPOSED estimates: [[advisorRecall]] prices the base edges,
+    * but [[joinOrderDp]]'s decision rides [[chainCard]]'s independence
+    * composition (|ABC| ≈ |AB|·|BC|/|B|) — a NEW approximation nothing
+    * priced. One hash-gated row per interior 3-table interval: the exact
+    * chain cardinality (one aggregate each, no pair mass), the composed
+    * estimate, the signed permille error. The measured form of the
+    * independence assumption the whole System R tradition leans on. */
+  def chainCardRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val verdicts = planAdvisor(spark, sfDir)
+      .select(col("join_name"), col("est_pairs"), col("left_rows")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val est = ChainEdgeNames.map(verdicts(_)._1)
+    val nDiv = Seq(verdicts("orders_customer_dim")._2,
+                   verdicts("customer_nation_dim")._2)
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"))
+    val exactLoc = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1))).as[Long].collect()(0)
+    val exactOcn = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .agg(count(lit(1))).as[Long].collect()(0)
+    def row(name: String, exact: Long, e: BigInt) =
+      (name, exact, e.toLong,
+       if (exact == 0L) e.toLong * 1000L else ((e - exact) * 1000 / exact).toLong)
+    Seq(row("lineitem_orders_customer", exactLoc, chainCard(est, nDiv, 1, 3)),
+        row("orders_customer_nation", exactOcn, chainCard(est, nDiv, 2, 4)))
+      .toDF("chain_interval", "exact_pairs", "est_pairs", "err_permille")
+      .orderBy("chain_interval")
+  }
+
   /** ADVISOR RECALL (`advisor_recall`, r13 VERDICT task 5) — the accuracy
     * instrument for the planner-stats store, the kll_recall shape over
     * [[AdvisorJoins]]: every other approximate family prices its trade,

@@ -944,6 +944,20 @@ class RelationalSpec extends SparkSpecBase {
       s"tightening the filter must flip the DP to fact-first: estLoTight=$estLoTight -> $tight")
   }
 
+  test("chainCardRecall: the composed (independence) estimates priced against exact chain counts") {
+    val rows = Relational.chainCardRecall(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("lineitem_orders_customer", "orders_customer_nation"))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L, s"exact chain count must be positive: $r")
+      // FK chains make the independence composition near-exact here: each
+      // order has one customer, each customer one nation — so the
+      // instrument's error is the sketch error, not the model's
+      assert(math.abs(r.getLong(3)) <= 500L,
+        s"composed estimate beyond 500 permille on ${r.getString(0)}: $r")
+    }
+  }
+
   test("advisorRecall: every candidate priced, truth side positive, error bounded") {
     val rows = Relational.advisorRecall(spark, sf0001).collect()
     assert(rows.length === Relational.AdvisorJoins.length)
