@@ -2143,23 +2143,30 @@ object Relational {
     * one row scan-side), the store's est_pairs, and the signed permille
     * error, oracle-replayed end to end.
     *
-    * 100 TB: the truth side is the instrument contract — each candidate
-    * costs its real join once (partial-count aggregate, no pair mass on
-    * the driver); the est side reads the metadata store. A production
-    * pipeline runs this on a sampled day, not per query — what it buys
-    * is a MEASURED error band for every cardinality the advisor family
-    * ([[planAdvisor]], [[joinOrderDp]]) acts on. */
+    * 100 TB: the truth side NEVER materializes pair mass — the exact
+    * join cardinality is Σₖ cₗ(k)·cᵣ(k), computed from the two sides'
+    * per-key count vectors (partial-agg to |keys| rows each, one
+    * |keys|-grain equi-join, one sum): the M:N candidate's millions of
+    * joined rows are never produced, only counted arithmetically
+    * (first cut executed the joins and paid 4.3s at sf0.1 — all of it
+    * pair-mass row production for a COUNT). The est side reads the
+    * metadata store. A production pipeline runs this on a sampled day,
+    * not per query — what it buys is a MEASURED error band for every
+    * cardinality the advisor family ([[planAdvisor]], [[joinOrderDp]])
+    * acts on. */
   def advisorRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val est = planAdvisor(spark, sfDir)
       .select(col("join_name"), col("est_pairs")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
-      val l = advisorTable(spark, sfDir, lt)
+      val lc = advisorTable(spark, sfDir, lt)
         .select(col(lk).as("lpk")).filter(col("lpk").isNotNull)
-      val r = advisorTable(spark, sfDir, rt)
+        .groupBy("lpk").agg(count(lit(1)).as("cl"))
+      val rc = advisorTable(spark, sfDir, rt)
         .select(col(rk).as("rpk")).filter(col("rpk").isNotNull)
-      l.join(r, col("lpk") === col("rpk"))
-        .agg(count(lit(1)).as("exact_pairs"))
+        .groupBy("rpk").agg(count(lit(1)).as("cr"))
+      lc.join(rc, col("lpk") === col("rpk"))
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("exact_pairs"))
         .select(lit(name).as("join_name"), col("exact_pairs"),
                 lit(est(name)).as("est_pairs"))
     }
