@@ -147,6 +147,8 @@ object SparkEntry {
     "join_skew_auto" -> ((s, d) => Relational.joinSkewAuto(s, d)),
     "join_skew_audit" -> ((s, d) => Relational.joinSkewAudit(s, d)),
     "agg_skew_auto" -> ((s, d) => Relational.aggSkewAuto(s, d)),
+    "stream_skew_audit" -> ((s, d) =>
+      graft.streaming.EventStreams.streamSkewAuditQuery(s, d)),
     "stream_plan_advisor" -> ((s, d) =>
       graft.streaming.EventStreams.streamPlanAdvisorQuery(s, d)),
     "stream_join_size" -> ((s, d) =>
@@ -705,6 +707,26 @@ object SparkEntry {
       |  CAST(CASE WHEN n = 0 THEN 0 ELSE m::HUGEINT * 1000 // n END AS BIGINT) AS share_permille,
       |  CAST(${Relational.JoinSaltShareCutPermille} AS BIGINT) AS cut_permille,
       |  CASE WHEN m::HUGEINT * 1000 > ${Relational.JoinSaltShareCutPermille}::HUGEINT * n
+      |       THEN 'salted' ELSE 'plain' END AS route
+      |FROM d""".stripMargin
+
+  /** stream_skew_audit's oracle: the CMS grid's cells replayed from the
+    * raw events (the cmsSketchSql hash convention over user_id keys), the
+    * per-row max / min-over-rows frequency bound, and the same integer
+    * route arithmetic as the batch audit applied to the bound. */
+  private def streamSkewAuditSql(depth: Int = 4, width: Int = 1024): String =
+    s"""WITH u AS (SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+      |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |cells AS (SELECT i, CAST((md5_number_lower(CAST(i AS VARCHAR) || ':' || k) % 9223372036854775808) % $width AS BIGINT) AS b,
+      |                 CAST(sum(c) AS BIGINT) AS cell
+      |          FROM u, range($depth) r(i) GROUP BY 1, 2),
+      |rowmax AS (SELECT i, max(cell) AS m FROM cells GROUP BY 1),
+      |d AS (SELECT CAST((SELECT COALESCE(sum(c), 0) FROM u) AS BIGINT) AS n,
+      |             CAST((SELECT COALESCE(min(m), 0) FROM rowmax) AS BIGINT) AS bound)
+      |SELECT n AS n_rows, bound AS est_max_count,
+      |  CAST(CASE WHEN n = 0 THEN 0 ELSE bound::HUGEINT * 1000 // n END AS BIGINT) AS share_bound_permille,
+      |  CAST(${Relational.JoinSaltShareCutPermille} AS BIGINT) AS cut_permille,
+      |  CASE WHEN bound::HUGEINT * 1000 > ${Relational.JoinSaltShareCutPermille}::HUGEINT * n
       |       THEN 'salted' ELSE 'plain' END AS route
       |FROM d""".stripMargin
 
@@ -3353,6 +3375,7 @@ object SparkEntry {
     "join_skew_auto" -> joinSkewAutoSql,
     "join_skew_audit" -> joinSkewAuditSql,
     "agg_skew_auto" -> aggSkewAutoSql,
+    "stream_skew_audit" -> streamSkewAuditSql(),
     "stream_join_size" -> joinSizeSql,
     "join_size_cross" -> joinSizeCrossSql,
     // unpivot_metrics: melt via UNION ALL (DuckDB's UNPIVOT normalizes

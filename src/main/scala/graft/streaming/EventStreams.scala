@@ -1494,6 +1494,56 @@ object EventStreams {
     * [[graft.operators.Similarity.indexAudit]]; its oracle is shared
     * verbatim, so the streamed evidence row is hash-gated against the
     * full batch replay every round. */
+  /** Driver-verified: the SKEW ROUTER'S EVIDENCE MAINTAINED AT INGEST
+    * (`stream_skew_audit`) — the stream_index_audit discipline applied to
+    * the join/agg skew family: exact per-key counts are unbounded state
+    * (|keys| grows with the corpus), so the deployed monitor maintains
+    * the CMS grid instead (ONE complete-mode `graft_cms` aggregate —
+    * state = depth·width longs at ANY ingest volume, the metadata-grain
+    * contract) and reads out a PROVABLE UPPER BOUND on the hottest key:
+    * per depth row, the max cell is ≥ every key's count (a key's whole
+    * count lands in one cell per row); the min over rows is the
+    * tightest such bound — the standard CMS max-frequency bound. The
+    * route applies the same declared cut to the bound, making this a
+    * deliberately CONSERVATIVE router (overestimate ⟹ salts early, never
+    * misses real skew); at the driver grids' load factors (≤~1.5
+    * keys/cell) the bound tracks the exact max closely and the verdict
+    * agrees with the batch audit (spec-gated). Oracle replays the grid
+    * cells, the row-max/min-bound, and the integer arithmetic from the
+    * raw events. */
+  def streamSkewAuditQuery(spark: SparkSession, sfDir: String,
+                           depth: Int = 4, width: Int = 1024): DataFrame = {
+    import graft.operators.Relational
+    val agg = tableStream(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy()
+      .agg(call_function("graft_cms",
+        col("user_id").cast("string"), lit(1L), lit(depth), lit(width)).as("grid"))
+    val grid = runToCompletion(spark, agg, "stream_skew_audit", OutputMode.Complete())
+    // degenerate-source guard (the stream_kll discipline): zero sink rows
+    // must yield the zero audit row, not an empty frame
+    if (grid.isEmpty) {
+      import spark.implicits._
+      return Seq((0L, 0L, 0L, Relational.JoinSaltShareCutPermille, "plain"))
+        .toDF("n_rows", "est_max_count", "share_bound_permille",
+              "cut_permille", "route")
+    }
+    // each depth row sums to n (every update adds its weight once per row)
+    val n = expr(s"aggregate(slice(grid, 1, $width), 0L, (a, x) -> a + x)")
+    val rowMaxes = (0 until depth).map(i =>
+      array_max(slice(col("grid"), i * width + 1, width)))
+    grid.select(coalesce(n, lit(0L)).as("n_rows"),
+                coalesce(least(rowMaxes: _*), lit(0L)).as("est_max_count"))
+      .select(col("n_rows"), col("est_max_count"),
+        when(col("n_rows") === 0L, lit(0L))
+          .otherwise(expr("cast(est_max_count as decimal(38,0)) * 1000 div n_rows"))
+          .as("share_bound_permille"),
+        lit(Relational.JoinSaltShareCutPermille).as("cut_permille"),
+        when(col("est_max_count").cast("decimal(38,0)") * 1000 >
+               col("n_rows").cast("decimal(38,0)") * Relational.JoinSaltShareCutPermille,
+             "salted").otherwise("plain").as("route"))
+  }
+
   def streamIndexAuditQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Similarity
     val prefix = Similarity.ensureAutoIndex(spark, sfDir)

@@ -1301,4 +1301,18 @@ class StreamingSpec extends SparkSpecBase {
           "the shared batch/stream session oracles would no longer pin the boundary")
     }
   }
+
+  test("stream_skew_audit: the ingest-maintained bound dominates the exact max; verdicts agree") {
+    import graft.operators.Relational
+    import graft.streaming.EventStreams
+    val row = EventStreams.streamSkewAuditQuery(spark, sf0001).collect()(0)
+    val (n, _, maxc) = Relational.joinSkewStats(spark, sf0001)
+    assert(row.getLong(0) === n, s"grid row-sum must equal the corpus row count: $row vs $n")
+    assert(row.getLong(1) >= maxc,
+      s"CMS min-over-rows max-cell must BOUND the exact hottest key: ${row.getLong(1)} < $maxc")
+    // at this grid load factor the bound is tight enough that the
+    // conservative router agrees with the exact batch audit
+    assert(row.getString(4) === Relational.joinSkewRouteOf(n, maxc),
+      s"stream verdict diverged from the batch audit: $row")
+  }
 }
