@@ -143,6 +143,7 @@ object SparkEntry {
     "join_order_advisor" -> ((s, d) => Relational.joinOrderAdvisor(s, d)),
     "join_order_dp" -> ((s, d) => Relational.joinOrderDp(s, d)),
     "chain_card_recall" -> ((s, d) => Relational.chainCardRecall(s, d)),
+    "join_graph_dp" -> ((s, d) => Relational.joinGraphDp(s, d)),
     "advisor_recall" -> ((s, d) => Relational.advisorRecall(s, d)),
     "join_skew_auto" -> ((s, d) => Relational.joinSkewAuto(s, d)),
     "join_skew_audit" -> ((s, d) => Relational.joinSkewAudit(s, d)),
@@ -651,6 +652,61 @@ object SparkEntry {
       |     JOIN customer c ON o.o_custkey = c.c_custkey
       |     JOIN nation n ON c.c_nationkey = n.n_nationkey) AS n_rows
       |FROM v, w""".stripMargin
+  }
+
+  /** join_graph_dp's oracle: the five candidate edges priced from the
+    * same sketch replay, EVERY left-deep order of the graph (generated
+    * from [[Relational.graphOrders]] — the engine's own enumeration, one
+    * definition site) costed with the same closed-form subset estimates
+    * (∏est // ∏n^(deg−1), one HUGEINT division per subset), the
+    * (cost, name) argmin, and the six-way join count from the raw
+    * tables. */
+  private val joinGraphDpSql: String = {
+    import graft.operators.Relational
+    val estVar = Map("customer_nation_dim" -> "ecn", "events_orders_mn" -> "eeo",
+      "lineitem_orders_fk" -> "elo", "lineitem_part_dim" -> "elp",
+      "orders_customer_dim" -> "eoc")
+    val cntVar = Map("customer" -> "cnt_c", "events" -> "cnt_e",
+      "lineitem" -> "cnt_l", "nation" -> "cnt_n", "orders" -> "cnt_o",
+      "part" -> "cnt_p")
+    def cardSql(subset: Set[String]): String = {
+      val edges = Relational.GraphEdges.filter(e => subset(e._2) && subset(e._3))
+      val num = edges.map(e => estVar(e._1))
+      val den = subset.toSeq.sorted.flatMap { v =>
+        val d = edges.count(e => e._2 == v || e._3 == v)
+        Seq.fill(math.max(d - 1, 0))(cntVar(v))
+      }
+      val numExpr = (s"CAST(${num.head} AS HUGEINT)" +: num.tail).mkString(" * ")
+      if (den.isEmpty) s"($numExpr)"
+      else s"(($numExpr) // (${(s"CAST(${den.head} AS HUGEINT)" +: den.tail).mkString(" * ")}))"
+    }
+    val costRows = Relational.graphOrders.map { o =>
+      val cost = (2 until o.size).map(k => cardSql(o.take(k).toSet)).mkString(" + ")
+      s"SELECT '${o.mkString(">")}' AS ord, $cost AS cost FROM v"
+    }
+    val sides = Relational.AdvisorJoins.flatMap(j => Seq((j._2, j._3), (j._4, j._5))).distinct
+    val estDefs = Relational.GraphEdges.map(e =>
+      s"greatest(m_${e._1}.est_pairs, 0) AS ${estVar(e._1)}")
+    val cntDefs = Relational.GraphVertexSides.toSeq.sortBy(_._1).map { case (v, (t, k)) =>
+      s"greatest(n_${advisorSideId(t, k)}.n, 1) AS ${cntVar(v)}" }
+    val fromTables = Relational.GraphEdges.map(e => s"m_${e._1}") ++
+      Relational.GraphVertexSides.toSeq.sortBy(_._1)
+        .map { case (_, (t, k)) => s"n_${advisorSideId(t, k)}" }.distinct
+    "WITH " + (advisorSideCtes(sides) ++ advisorCandCtes(Relational.AdvisorJoins))
+      .mkString(",\n") + s""",
+      |v AS (SELECT ${(estDefs ++ cntDefs).mkString(",\n  ")}
+      |  FROM ${fromTables.mkString(", ")}),
+      |costs AS (${costRows.mkString("\n  UNION ALL ")}),
+      |w AS (SELECT ord, cost FROM costs ORDER BY cost, ord LIMIT 1)
+      |SELECT 'advisor_graph' AS graph, w.ord AS join_order,
+      |  CAST(w.cost AS BIGINT) AS cost_est,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |     JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |     JOIN customer c ON o.o_custkey = c.c_custkey
+      |     JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |     JOIN part p ON l.l_partkey = p.p_partkey
+      |     JOIN events e ON e.user_id = o.o_custkey) AS n_rows
+      |FROM w""".stripMargin
   }
 
   /** chain_card_recall's oracle: the two interior 3-table intervals'
@@ -3371,6 +3427,7 @@ object SparkEntry {
     "join_order_advisor" -> joinOrderAdvisorSql,
     "join_order_dp" -> joinOrderDpSql,
     "chain_card_recall" -> chainCardRecallSql,
+    "join_graph_dp" -> joinGraphDpSql,
     "advisor_recall" -> advisorRecallSql,
     "join_skew_auto" -> joinSkewAutoSql,
     "join_skew_audit" -> joinSkewAuditSql,

@@ -2099,6 +2099,140 @@ object Relational {
               lit(cost.toLong).as("cost_est"), col("n_rows"))
   }
 
+  // ------------------------------------------------------------------
+  // System R over the FULL candidate graph (round 14): all five priced
+  // edges, six tables — the generalization beyond the declared 4-chain
+  // ------------------------------------------------------------------
+
+  /** The candidate graph's edges, named by their [[AdvisorJoins]] row
+    * (one definition site with the store and the SQL generators): a TREE
+    * over six tables — orders is the hub (lineitem, customer, events),
+    * nation hangs off customer, part off lineitem. */
+  private[graft] val GraphEdges: Seq[(String, String, String)] = Seq(
+    ("customer_nation_dim", "customer", "nation"),
+    ("events_orders_mn", "events", "orders"),
+    ("lineitem_orders_fk", "lineitem", "orders"),
+    ("lineitem_part_dim", "lineitem", "part"),
+    ("orders_customer_dim", "orders", "customer"))
+
+  private[graft] val GraphTables: Seq[String] =
+    Seq("customer", "events", "lineitem", "nation", "orders", "part")
+
+  /** Canonical stats-store side per vertex — the n(v) the independence
+    * formula divides by (each is a non-null key count the store already
+    * holds; declared so engine and oracle read the same row). */
+  private[graft] val GraphVertexSides: Map[String, (String, String)] = Map(
+    "lineitem" -> ("lineitem", "l_orderkey"),
+    "orders"   -> ("orders", "o_orderkey"),
+    "customer" -> ("customer", "c_custkey"),
+    "nation"   -> ("nation", "n_nationkey"),
+    "part"     -> ("part", "p_partkey"),
+    "events"   -> ("events", "user_id"))
+
+  /** Every left-deep, cross-product-free join order of the graph: start
+    * anywhere, each step adds a table adjacent to the set (deterministic
+    * enumeration order — sorted start, sorted extensions). On a tree
+    * every connected subset is a subtree, so the enumeration IS the
+    * Selinger left-deep search space; at six relations it is small
+    * enough to enumerate exhaustively (engine and oracle enumerate the
+    * SAME list, so the argmin can never diverge). */
+  private[graft] lazy val graphOrders: Seq[Vector[String]] = {
+    def adj(t: String): Seq[String] = GraphEdges.collect {
+      case (_, a, b) if a == t => b
+      case (_, a, b) if b == t => a
+    }
+    def extend(order: Vector[String], remaining: Set[String]): Seq[Vector[String]] =
+      if (remaining.isEmpty) Seq(order)
+      else remaining.toSeq.sorted
+        .filter(t => adj(t).exists(order.contains))
+        .flatMap(t => extend(order :+ t, remaining - t))
+    GraphTables.flatMap(s => extend(Vector(s), GraphTables.toSet - s))
+  }
+
+  /** Independence estimate of a connected subset's join cardinality in
+    * CLOSED FORM: ∏ est(edges within S) div ∏_v n(v)^(deg_S(v)−1) — the
+    * ∏est/∏n-of-interior-attach-points formula, order-free because it
+    * depends only on the subset (the DP's requirement), with ONE integer
+    * division at the end so engine (BigInt) and oracle (HUGEINT) cannot
+    * disagree on rounding. Estimates clamp at 0, divisors at 1. */
+  private[graft] def graphCard(subset: Set[String], est: Map[String, Long],
+                               n: Map[String, Long]): BigInt = {
+    val edges = GraphEdges.filter(e => subset(e._2) && subset(e._3))
+    if (edges.isEmpty) BigInt(0)
+    else {
+      val num = edges.map(e => BigInt(math.max(est(e._1), 0L))).product
+      val den = subset.toSeq.map { v =>
+        val d = edges.count(e => e._2 == v || e._3 == v)
+        BigInt(math.max(n(v), 1L)).pow(math.max(d - 1, 0))
+      }.product
+      num / den
+    }
+  }
+
+  /** The Selinger decision over [[graphOrders]]: cost = Σ card(prefix)
+    * over the order's intermediate prefixes (sizes 2..N−1 — the full
+    * join is order-invariant and excluded); deterministic
+    * (cost, order-string) tie-break. */
+  private[graft] def graphDpVerdict(est: Map[String, Long],
+                                    n: Map[String, Long]): (Vector[String], BigInt) =
+    graphOrders.map { o =>
+      val cost = (2 until o.size).map(k => graphCard(o.take(k).toSet, est, n)).sum
+      (o, cost)
+    }.minBy { case (o, c) => (c, o.mkString(">")) }
+
+  /** JOIN-GRAPH DP (`join_graph_dp`) — [[joinOrderDp]] generalized from
+    * the declared 4-chain to the FULL candidate graph the store prices:
+    * all five [[AdvisorJoins]] edges over six tables, every left-deep
+    * cross-product-free order costed from the persisted sketches alone
+    * (five est rows + six count rows — metadata; no table scanned to
+    * decide), the winner EXECUTED, the cardinality hash-gated. On this
+    * schema the DP walks dims-outward — nation→customer→orders→lineitem→
+    * part, fact edges last, the M:N events edge very last — the plan a
+    * cost-based optimizer exists to find; starting at events instead
+    * would drag a ~fanout-inflated intermediate through every later
+    * join. The oracle enumerates the SAME order list with the SAME
+    * closed-form costs and replays the count from the raw tables. */
+  def joinGraphDp(spark: SparkSession, sfDir: String): DataFrame = {
+    val verdicts = planAdvisor(spark, sfDir)
+      .select(col("join_name"), col("est_pairs"),
+              col("left_rows"), col("right_rows")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val est = GraphEdges.map(e => e._1 -> verdicts(e._1)._1).toMap
+    // vertex counts read off the candidate rows that carry each declared
+    // side: (tbl, key) appears as the left or right side of some edge
+    val n = GraphVertexSides.map { case (v, (t, k)) =>
+      val row = AdvisorJoins.collectFirst {
+        case (name, lt, lk, _, _) if lt == t && lk == k => (name, true)
+        case (name, _, _, rt, rk) if rt == t && rk == k => (name, false)
+      }.get
+      v -> (if (row._2) verdicts(row._1)._2 else verdicts(row._1)._3)
+    }
+    val (order, cost) = graphDpVerdict(est, n)
+    val frames = Map(
+      "lineitem" -> Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
+      "orders"   -> Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+      "customer" -> Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey")),
+      "nation"   -> Tables.nation(spark, sfDir).select(col("n_nationkey")),
+      "part"     -> Tables.part(spark, sfDir).select(col("p_partkey")),
+      "events"   -> Tables.events(spark, sfDir).select(col("user_id")))
+    val conds = Map(
+      "customer_nation_dim" -> (col("c_nationkey") === col("n_nationkey")),
+      "events_orders_mn"    -> (col("user_id") === col("o_custkey")),
+      "lineitem_orders_fk"  -> (col("l_orderkey") === col("o_orderkey")),
+      "lineitem_part_dim"   -> (col("l_partkey") === col("p_partkey")),
+      "orders_customer_dim" -> (col("o_custkey") === col("c_custkey")))
+    val chained = order.tail.foldLeft(frames(order.head) -> Set(order.head)) {
+      case ((df, in), t) =>
+        val edge = GraphEdges.find(e =>
+          (e._2 == t && in(e._3)) || (e._3 == t && in(e._2))).get
+        (df.join(frames(t), conds(edge._1)), in + t)
+    }._1
+    chained.agg(count(lit(1)).as("n_rows"))
+      .select(lit("advisor_graph").as("graph"),
+              lit(order.mkString(">")).as("join_order"),
+              lit(cost.toLong).as("cost_est"), col("n_rows"))
+  }
+
   /** CHAIN-CARD RECALL (`chain_card_recall`) — the accuracy instrument for
     * the DP's COMPOSED estimates: [[advisorRecall]] prices the base edges,
     * but [[joinOrderDp]]'s decision rides [[chainCard]]'s independence

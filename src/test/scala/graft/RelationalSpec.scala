@@ -944,6 +944,43 @@ class RelationalSpec extends SparkSpecBase {
       s"tightening the filter must flip the DP to fact-first: estLoTight=$estLoTight -> $tight")
   }
 
+  test("graphDpVerdict: dims-first wins on this schema; a selective events edge flips the start") {
+    // sf0.01-shaped inputs: edges priced ~ their exact cardinalities
+    val est = Map("customer_nation_dim" -> 1500L, "events_orders_mn" -> 100000L,
+      "lineitem_orders_fk" -> 60000L, "lineitem_part_dim" -> 60000L,
+      "orders_customer_dim" -> 15000L)
+    val n = Map("customer" -> 1500L, "events" -> 10000L, "lineitem" -> 60000L,
+      "nation" -> 25L, "orders" -> 15000L, "part" -> 2000L)
+    val (order, cost) = Relational.graphDpVerdict(est, n)
+    assert(order.mkString(">") === "customer>nation>orders>lineitem>part>events",
+      s"dims-outward, fact edges late, the M:N edge last: $order at $cost")
+    // a highly selective events predicate re-prices the M:N edge to a
+    // handful of pairs — the DP must now lead with it instead of saving it
+    val (flipped, _) = Relational.graphDpVerdict(est + ("events_orders_mn" -> 5L), n)
+    assert(flipped.take(2).toSet === Set("events", "orders"),
+      s"a tiny events edge must start the order: $flipped")
+    // subset cards are order-free (the DP's premise): the closed form
+    // depends only on the subset
+    val s = Set("lineitem", "orders", "customer")
+    assert(Relational.graphCard(s, est, n) ===
+      BigInt(60000L) * 15000L / 15000L)
+  }
+
+  test("joinGraphDp: executes the winner; the order never changes the six-way cardinality") {
+    val row = Relational.joinGraphDp(spark, sf0001).collect()(0)
+    assert(row.getString(1).endsWith(">events"),
+      s"the M:N edge must join last on this schema: $row")
+    val exact = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.part(spark, sf0001), col("l_partkey") === col("p_partkey"))
+      .join(Tables.events(spark, sf0001), col("user_id") === col("o_custkey"))
+      .count()
+    assert(row.getLong(3) === exact,
+      s"DP order changed the graph cardinality: $row vs $exact")
+  }
+
   test("chainCardRecall: the composed (independence) estimates priced against exact chain counts") {
     val rows = Relational.chainCardRecall(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq ===
