@@ -194,7 +194,10 @@ object BenchDiff {
     val start = lines.indexWhere(_.contains("def queries"))
     val end = lines.indexWhere(_.contains("def oracleSql"))
     require(start >= 0 && end > start, "SparkEntry source lacks queries/oracleSql anchors")
-    val regRe = java.util.regex.Pattern.compile("""^\s*"([a-z0-9_]+)"\s*->""")
+    // the full registration shape `"name" -> ((s, d)` — a bare `"x" ->`
+    // also appears in helper Map literals between the two defs (oracle
+    // generators' variable tables), which are not registrations
+    val regRe = java.util.regex.Pattern.compile("""^\s*"([a-z0-9_]+)"\s*->\s*\(\(s, d\)""")
     val refRe = java.util.regex.Pattern.compile("""([A-Z][A-Za-z0-9_]*)\s*\.""")
     val regs = lines.slice(start, end).zipWithIndex.flatMap { case (l, i) =>
       val m = regRe.matcher(l); if (m.find()) Some(m.group(1) -> i) else None
