@@ -144,6 +144,7 @@ object SparkEntry {
     "join_order_dp" -> ((s, d) => Relational.joinOrderDp(s, d)),
     "chain_card_recall" -> ((s, d) => Relational.chainCardRecall(s, d)),
     "join_graph_dp" -> ((s, d) => Relational.joinGraphDp(s, d)),
+    "graph_card_recall" -> ((s, d) => Relational.graphCardRecall(s, d)),
     "advisor_recall" -> ((s, d) => Relational.advisorRecall(s, d)),
     "join_skew_auto" -> ((s, d) => Relational.joinSkewAuto(s, d)),
     "join_skew_audit" -> ((s, d) => Relational.joinSkewAudit(s, d)),
@@ -707,6 +708,39 @@ object SparkEntry {
       |     JOIN part p ON l.l_partkey = p.p_partkey
       |     JOIN events e ON e.user_id = o.o_custkey) AS n_rows
       |FROM w""".stripMargin
+  }
+
+  /** graph_card_recall's oracle: the two M:N-containing subsets' exact
+    * cardinalities as plain 3-way join counts, next to the SAME composed
+    * estimates join_graph_dp costs with (∏est // n(orders), one HUGEINT
+    * division — the graphCard arithmetic), signed permille error. */
+  private val graphCardRecallSql: String = {
+    val cands = Relational.AdvisorJoins.filter(j => Seq("events_orders_mn",
+      "lineitem_orders_fk", "orders_customer_dim").contains(j._1))
+    val sides = cands.flatMap(j => Seq((j._2, j._3), (j._4, j._5))).distinct
+    "WITH " + (advisorSideCtes(sides) ++ advisorCandCtes(cands)).mkString(",\n") + s""",
+      |v AS (SELECT greatest(m_events_orders_mn.est_pairs, 0) AS eeo,
+      |  greatest(m_orders_customer_dim.est_pairs, 0) AS eoc,
+      |  greatest(m_lineitem_orders_fk.est_pairs, 0) AS elo,
+      |  greatest(n_${advisorSideId("orders", "o_orderkey")}.n, 1) AS cnt_o
+      |  FROM m_events_orders_mn, m_orders_customer_dim, m_lineitem_orders_fk,
+      |       n_${advisorSideId("orders", "o_orderkey")}),
+      |xeoc AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM events e
+      |  JOIN orders o ON e.user_id = o.o_custkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey),
+      |xeol AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM events e
+      |  JOIN orders o ON e.user_id = o.o_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+      |SELECT graph_subset, exact_pairs, est_pairs,
+      |  CAST(CASE WHEN exact_pairs = 0 THEN est_pairs * 1000
+      |       ELSE (est_pairs - exact_pairs) * 1000 // exact_pairs END AS BIGINT) AS err_permille
+      |FROM (
+      |  SELECT 'events_orders_customer' AS graph_subset, xeoc.exact_pairs,
+      |    CAST((CAST(eeo AS HUGEINT) * eoc // cnt_o) AS BIGINT) AS est_pairs FROM xeoc, v
+      |  UNION ALL
+      |  SELECT 'events_orders_lineitem', xeol.exact_pairs,
+      |    CAST((CAST(eeo AS HUGEINT) * elo // cnt_o) AS BIGINT) FROM xeol, v)
+      |ORDER BY graph_subset""".stripMargin
   }
 
   /** chain_card_recall's oracle: the two interior 3-table intervals'
@@ -3428,6 +3462,7 @@ object SparkEntry {
     "join_order_dp" -> joinOrderDpSql,
     "chain_card_recall" -> chainCardRecallSql,
     "join_graph_dp" -> joinGraphDpSql,
+    "graph_card_recall" -> graphCardRecallSql,
     "advisor_recall" -> advisorRecallSql,
     "join_skew_auto" -> joinSkewAutoSql,
     "join_skew_audit" -> joinSkewAuditSql,

@@ -2233,6 +2233,66 @@ object Relational {
               lit(cost.toLong).as("cost_est"), col("n_rows"))
   }
 
+  /** GRAPH-CARD RECALL (`graph_card_recall`) — [[chainCardRecall]] where
+    * the independence model is actually STRESSED: the FK chain's
+    * compositions are near-exact by construction (every lineitem has one
+    * order, every order one customer), but [[joinGraphDp]]'s costs also
+    * compose THROUGH the M:N events edge, where per-key fanouts multiply
+    * and independence is a real assumption. One hash-gated row per
+    * M:N-containing 3-table subset ({E,O,C} and {E,O,L}): the exact
+    * cardinality, the composed estimate ([[graphCard]] — the DP's own
+    * arithmetic), the signed permille error.
+    *
+    * 100 TB: both exact sides are COUNT-VECTOR arithmetic, never pair
+    * mass — |E⋈O⋈C| = Σ_orders c_E(custkey)·c_C(custkey) and |E⋈O⋈L| =
+    * Σ_orders c_E(custkey)·c_L(orderkey): two key-grain aggregates
+    * broadcast-joined through the orders scan, one sum. The fanout
+    * product that would materialize millions of joined rows is computed,
+    * not produced. */
+  def graphCardRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val verdicts = planAdvisor(spark, sfDir)
+      .select(col("join_name"), col("est_pairs"),
+              col("left_rows"), col("right_rows")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val est = GraphEdges.map(e => e._1 -> verdicts(e._1)._1).toMap
+    val n = Map("orders" -> verdicts("lineitem_orders_fk")._3,
+                "events" -> verdicts("events_orders_mn")._2,
+                "customer" -> verdicts("orders_customer_dim")._3,
+                "lineitem" -> verdicts("lineitem_orders_fk")._2,
+                "nation" -> verdicts("customer_nation_dim")._3,
+                "part" -> verdicts("lineitem_part_dim")._3)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .filter(col("o_custkey").isNotNull && col("o_orderkey").isNotNull)
+    val evc = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id").as("e_k")).agg(count(lit(1)).as("c_e"))
+    val cc = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey").isNotNull)
+      .groupBy(col("c_custkey").as("c_k")).agg(count(lit(1)).as("c_c"))
+    val lc = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey").isNotNull)
+      .groupBy(col("l_orderkey").as("l_k")).agg(count(lit(1)).as("c_l"))
+    val exactEoc = o.join(broadcast(evc), col("o_custkey") === col("e_k"))
+      .join(broadcast(cc), col("o_custkey") === col("c_k"))
+      .agg(coalesce(sum(col("c_e") * col("c_c")), lit(0L)))
+      .as[Long].collect()(0)
+    val exactEol = o.join(broadcast(evc), col("o_custkey") === col("e_k"))
+      .join(lc, col("o_orderkey") === col("l_k"))
+      .agg(coalesce(sum(col("c_e") * col("c_l")), lit(0L)))
+      .as[Long].collect()(0)
+    def row(name: String, exact: Long, e: BigInt) =
+      (name, exact, e.toLong,
+       if (exact == 0L) e.toLong * 1000L else ((e - exact) * 1000 / exact).toLong)
+    Seq(row("events_orders_customer", exactEoc,
+          graphCard(Set("events", "orders", "customer"), est, n)),
+        row("events_orders_lineitem", exactEol,
+          graphCard(Set("events", "orders", "lineitem"), est, n)))
+      .toDF("graph_subset", "exact_pairs", "est_pairs", "err_permille")
+      .orderBy("graph_subset")
+  }
+
   /** CHAIN-CARD RECALL (`chain_card_recall`) — the accuracy instrument for
     * the DP's COMPOSED estimates: [[advisorRecall]] prices the base edges,
     * but [[joinOrderDp]]'s decision rides [[chainCard]]'s independence

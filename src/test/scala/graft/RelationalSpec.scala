@@ -981,6 +981,29 @@ class RelationalSpec extends SparkSpecBase {
       s"DP order changed the graph cardinality: $row vs $exact")
   }
 
+  test("graphCardRecall: count-vector exact sides equal the materialized joins; M:N composition priced") {
+    val rows = Relational.graphCardRecall(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("events_orders_customer", "events_orders_lineitem"))
+    // the count-vector arithmetic IS the join count (cross-checked by
+    // materializing the pair mass once, at fixture scale only)
+    val eoc = Tables.events(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("user_id") === col("o_custkey"))
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .count()
+    val eol = Tables.events(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("user_id") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(rows(0).getLong(1) === eoc, s"EOC count-vector sum diverged: ${rows(0)} vs $eoc")
+    assert(rows(1).getLong(1) === eol, s"EOL count-vector sum diverged: ${rows(1)} vs $eol")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L, s"M:N subsets must be non-empty on driver data: $r")
+      assert(math.abs(r.getLong(3)) <= 500L,
+        s"composed M:N estimate beyond 500 permille on ${r.getString(0)}: $r")
+    }
+  }
+
   test("chainCardRecall: the composed (independence) estimates priced against exact chain counts") {
     val rows = Relational.chainCardRecall(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq ===
