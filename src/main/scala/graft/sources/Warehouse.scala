@@ -251,20 +251,31 @@ object Warehouse {
     * orphanhood is decidable from catalog metadata alone. */
   private val ProbeDirToken = java.util.regex.Pattern.compile("(graft_scale_x\\d+)")
 
+  /** FILESYSTEM-level listing, not `catalog.listTables()`: the in-memory
+    * session catalog forgets tables between JVMs, so a fresh session's
+    * catalog sees none of the previous rounds' debris — the orphans are
+    * the warehouse DIRECTORIES (measured: 86 stranded `graft_scale_x*`
+    * generations by round 14, invisible to every new session's catalog). */
   def orphanedProbeTables(spark: SparkSession): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    spark.catalog.listTables().collect().map(_.name).toSeq.sorted.filter { t =>
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted.filter { t =>
       val m = ProbeDirToken.matcher(t)
       m.find() && !new java.io.File(tmp, m.group(1)).isDirectory
     }
   }
 
-  /** Drop the orphaned probe-table generations. Returns the dropped names.
-    * Safe whenever no probe is LIVE (the probe marker contract — a live
-    * probe's staged dir exists, so its tables are never orphans). */
+  /** Drop the orphaned probe-table generations — catalog entry (if this
+    * session has one) AND the on-disk location, through
+    * [[dropTableAndLocation]]'s looks-like-a-table safety check. Returns
+    * the dropped names. Safe whenever no probe is LIVE (the probe marker
+    * contract — a live probe's staged dir exists, so its tables are never
+    * orphans). */
   def vacuumOrphanedProbeTables(spark: SparkSession): Seq[String] = {
     val orphans = orphanedProbeTables(spark)
-    orphans.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    orphans.foreach(t => dropTableAndLocation(spark, t))
     orphans
   }
 
