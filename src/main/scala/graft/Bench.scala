@@ -19,6 +19,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Shuffle/blockmgr scratch on the fastest node-local storage (guide
+      // §6 — the local-mode equivalent of pointing spark.local.dir at NVMe
+      // on a cluster): this image's /tmp sits on the VM disk, whose small-
+      // file latency is both slow and VOLATILE (measured 3–8× swings on
+      // identical code — the r14 record-window streaming phantoms), while
+      // /dev/shm is RAM-backed. Override: SPARK_GRAFT_LOCAL_DIR.
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft_local"
+        else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

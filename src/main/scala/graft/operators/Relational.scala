@@ -1813,31 +1813,39 @@ object Relational {
   private[graft] def advisorVerdicts(spark: SparkSession, cells0: DataFrame,
                                      stats0: DataFrame): DataFrame = {
     import spark.implicits._
-    // SUM-COMBINE at read: signed cells and row counts are mergeable by
-    // elementwise addition, so an APPENDED store ([[ensureJoinSketchesCycle]]
-    // — base rows + delta rows for the same (tbl, key, i, b)) serves
-    // through the same read-out as a single-row store; for the batch and
-    // stream grids (already one row per cell) the pre-agg is idempotent.
-    // Metadata-sized either way.
-    val cells = cells0.groupBy("tbl", "key", "i", "b")
-      .agg(sum("cell").as("cell"))
+    // PIVOTED inner products (r15 optimization — guide §2.4, remove the
+    // shuffle-heavy self-join): the previous form pre-aggregated the grid,
+    // then equi-joined it AGAINST ITSELF on (side, i, b) per candidate —
+    // a |grid|×|grid| shuffle join plus a per-candidate re-aggregation,
+    // three exchanges of grid-sized data and the dominant cost of every
+    // advisor-family query. But the side set is DECLARED (the 8 advisor
+    // sides), so one pass can pivot each (i, b) position into 8 side
+    // columns (conditional sums — the SUM-COMBINE at read that makes an
+    // APPENDED store serve like a single-row store, same associativity
+    // argument as before), and every candidate's inner product is then a
+    // plain column product summed per depth: grid-sized data crosses at
+    // most ONE exchange (none at all for the bucketed-by-(i,b) batch
+    // store), and the arithmetic is unchanged integer sums — the oracle
+    // hash cannot move. A side with no rows at some (i, b) contributes a
+    // NULL column there; NULL·x sums away exactly like the old inner
+    // join's absent row.
+    def sideCol(t: String, k: String) = s"c_${t}_$k"
+    val sideAggs = advisorSides.map { case (t, k) =>
+      sum(when(col("tbl") === t && col("key") === k, col("cell")))
+        .as(sideCol(t, k))
+    }
+    val grid = cells0.groupBy("i", "b").agg(sideAggs.head, sideAggs.tail: _*)
+    val prodAggs = AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
+      sum(col(sideCol(lt, lk)) * col(sideCol(rt, rk))).as(name)
+    }
+    val perDepth = grid.groupBy("i").agg(prodAggs.head, prodAggs.tail: _*)
+    val stackExpr = "stack(" + AdvisorJoins.size + ", " +
+      AdvisorJoins.map(j => s"'${j._1}', ${j._1}").mkString(", ") +
+      ") as (join_name, row_est)"
+    val prods = perDepth.select(col("i"), expr(stackExpr))
     val stats = stats0.groupBy("tbl", "key")
       .agg(sum("n_rows").as("n_rows"))
     val cands = AdvisorJoins.toDF("join_name", "lt", "lk", "rt", "rk")
-    // renamed columns, NOT plan aliases, for the cells self-join: the
-    // batch store resolves either way, but a DERIVED frame (the streaming
-    // twin's filtered sink grid) trips attribute resolution on `R.*`
-    // under `.as()` aliasing — the kllLevel lesson applied here
-    val lCells = cells.select(col("tbl").as("l_tbl"), col("key").as("l_key"),
-      col("i").as("i"), col("b").as("b"), col("cell").as("l_cell"))
-    val rCells = cells.select(col("tbl").as("r_tbl"), col("key").as("r_key"),
-      col("i").as("r_i"), col("b").as("r_b"), col("cell").as("r_cell"))
-    val prods = cands
-      .join(lCells, col("l_tbl") === col("lt") && col("l_key") === col("lk"))
-      .join(rCells, col("r_tbl") === col("rt") && col("r_key") === col("rk")
-            && col("i") === col("r_i") && col("b") === col("r_b"))
-      .groupBy(col("join_name"), col("i"))
-      .agg(sum(col("l_cell") * col("r_cell")).as("row_est"))
     // densified per-candidate lower median (the medianRowEstimate
     // discipline, scoped by candidate)
     val full = cands.select("join_name")
@@ -2274,14 +2282,20 @@ object Relational {
     val lc = Tables.lineitem(spark, sfDir)
       .filter(col("l_orderkey").isNotNull)
       .groupBy(col("l_orderkey").as("l_k")).agg(count(lit(1)).as("c_l"))
-    val exactEoc = o.join(broadcast(evc), col("o_custkey") === col("e_k"))
+    // both exact subsets in ONE action (r15 — guide §2.6): the two count-
+    // vector sums share the orders scan and the broadcast events grid
+    // (ReusedExchange), and independent subtrees inside one job overlap
+    val exactRows = o.join(broadcast(evc), col("o_custkey") === col("e_k"))
       .join(broadcast(cc), col("o_custkey") === col("c_k"))
-      .agg(coalesce(sum(col("c_e") * col("c_c")), lit(0L)))
-      .as[Long].collect()(0)
-    val exactEol = o.join(broadcast(evc), col("o_custkey") === col("e_k"))
-      .join(lc, col("o_orderkey") === col("l_k"))
-      .agg(coalesce(sum(col("c_e") * col("c_l")), lit(0L)))
-      .as[Long].collect()(0)
+      .agg(coalesce(sum(col("c_e") * col("c_c")), lit(0L)).as("x"))
+      .select(lit("eoc").as("sub"), col("x"))
+      .unionByName(
+        o.join(broadcast(evc), col("o_custkey") === col("e_k"))
+          .join(lc, col("o_orderkey") === col("l_k"))
+          .agg(coalesce(sum(col("c_e") * col("c_l")), lit(0L)).as("x"))
+          .select(lit("eol").as("sub"), col("x")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (exactEoc, exactEol) = (exactRows("eoc"), exactRows("eol"))
     def row(name: String, exact: Long, e: BigInt) =
       (name, exact, e.toLong,
        if (exact == 0L) e.toLong * 1000L else ((e - exact) * 1000 / exact).toLong)
@@ -2313,12 +2327,18 @@ object Relational {
     val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(spark, sfDir).select(col("n_nationkey"))
-    val exactLoc = l.join(o, col("l_orderkey") === col("o_orderkey"))
+    // both exact intervals in ONE action (r15 — guide §2.6: independent
+    // subtrees inside one job back-fill each other's stragglers; two
+    // sequential collects pay two scheduling barriers)
+    val exactRows = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .agg(count(lit(1))).as[Long].collect()(0)
-    val exactOcn = o.join(c, col("o_custkey") === col("c_custkey"))
-      .join(n, col("c_nationkey") === col("n_nationkey"))
-      .agg(count(lit(1))).as[Long].collect()(0)
+      .agg(count(lit(1)).as("x")).select(lit("loc").as("iv"), col("x"))
+      .unionByName(
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .agg(count(lit(1)).as("x")).select(lit("ocn").as("iv"), col("x")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (exactLoc, exactOcn) = (exactRows("loc"), exactRows("ocn"))
     def row(name: String, exact: Long, e: BigInt) =
       (name, exact, e.toLong,
        if (exact == 0L) e.toLong * 1000L else ((e - exact) * 1000 / exact).toLong)
@@ -2349,22 +2369,41 @@ object Relational {
     * cardinality the advisor family ([[planAdvisor]], [[joinOrderDp]])
     * acts on. */
   def advisorRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val est = planAdvisor(spark, sfDir)
       .select(col("join_name"), col("est_pairs")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rows = AdvisorJoins.map { case (name, lt, lk, rt, rk) =>
-      val lc = advisorTable(spark, sfDir, lt)
-        .select(col(lk).as("lpk")).filter(col("lpk").isNotNull)
-        .groupBy("lpk").agg(count(lit(1)).as("cl"))
-      val rc = advisorTable(spark, sfDir, rt)
-        .select(col(rk).as("rpk")).filter(col("rpk").isNotNull)
-        .groupBy("rpk").agg(count(lit(1)).as("cr"))
-      lc.join(rc, col("lpk") === col("rpk"))
-        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("exact_pairs"))
-        .select(lit(name).as("join_name"), col("exact_pairs"),
-                lit(est(name)).as("est_pairs"))
-    }
-    rows.reduce(_ unionByName _)
+    // ONE aggregation pass for all five exact sides (r15 optimization —
+    // guide §2.4): the previous form ran 2 aggregates + 1 join + 1 final
+    // agg PER candidate (10 exchanges, ~40 AQE stage-jobs); but
+    // Σₖ cₗ(k)·cᵣ(k) only needs per-(candidate, key) counts of each side,
+    // so the ten tagged key streams union into ONE (join_name, key)
+    // aggregate (map-side combined) and the per-candidate sum is a 5-row
+    // second aggregate — grid-sized data crosses one exchange. A key on
+    // one side only yields cl·0 = 0, exactly the old inner join's absent
+    // row; the arithmetic (and the oracle hash) is unchanged.
+    val tagged = AdvisorJoins.flatMap { case (name, lt, lk, rt, rk) =>
+      Seq(
+        advisorTable(spark, sfDir, lt)
+          .select(col(lk).cast("long").as("k")).filter(col("k").isNotNull)
+          .select(lit(name).as("join_name"), col("k"), lit(1L).as("l"), lit(0L).as("r")),
+        advisorTable(spark, sfDir, rt)
+          .select(col(rk).cast("long").as("k")).filter(col("k").isNotNull)
+          .select(lit(name).as("join_name"), col("k"), lit(0L).as("l"), lit(1L).as("r")))
+    }.reduce(_ unionByName _)
+    val exact = tagged.groupBy("join_name", "k")
+      .agg(sum("l").as("cl"), sum("r").as("cr"))
+      .groupBy("join_name")
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("exact_pairs"))
+    // densify against the declared candidate list: an empty-sided
+    // candidate must still emit its row (the old per-candidate agg always
+    // produced one)
+    val names = AdvisorJoins.map(j => (j._1, est(j._1)))
+      .toDF("join_name", "est_pairs")
+    names.join(exact, Seq("join_name"), "left")
+      .select(col("join_name"),
+        coalesce(col("exact_pairs"), lit(0L)).as("exact_pairs"),
+        col("est_pairs"))
       .select(col("join_name"), col("exact_pairs"), col("est_pairs"),
         when(col("exact_pairs") === 0L, col("est_pairs") * 1000L)
           .otherwise(expr("(est_pairs - exact_pairs) * 1000 div exact_pairs"))

@@ -212,6 +212,24 @@ object EventStreams {
       cls.getMethod("unloadAll").invoke(obj)
     } catch { case _: Throwable => () }
 
+  /** Root for EPHEMERAL per-run checkpoints (offsets/commits/state of the
+    * bounded replays below — per-invocation scratch, deleted on
+    * completion, never reused across runs): checkpoint commits are
+    * fsync-bound small-file I/O, so they belong on the fastest NODE-LOCAL
+    * scratch available — the same reasoning as pointing a cluster's
+    * `spark.local.dir` at local NVMe (optimization guide §6). Tunable via
+    * `graft.stream.checkpointRoot`; the local default prefers /dev/shm
+    * (the image's RAM-backed scratch) and falls back to java.io.tmpdir.
+    * RESTARTABLE checkpoints (the crash-replay fixtures that pass an
+    * explicit `checkpointDir`) are untouched — durability is their point,
+    * so they stay on the durable store the caller chose. */
+  private[graft] def defaultCheckpointRoot: String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      "/dev/shm/graft_ckpt"
+    else sys.props("java.io.tmpdir") + "/graft_ckpt"
+  }
+
   /** Replay a bounded source through a streaming query to completion and
     * return the final memory-sink table.
     *
@@ -237,16 +255,36 @@ object EventStreams {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val streamParts = math.min(prevParts.toInt, widthOverride.getOrElse(
       spark.conf.get("graft.stream.shufflePartitions", "8").toInt))
+    // Fresh (createTempDirectory — never a resumable leftover: a stale
+    // same-name checkpoint would make the replay skip already-committed
+    // source files and materialize a PARTIAL table) ephemeral checkpoint
+    // on fast local scratch, deleted on completion.
+    val ckptRoot = java.nio.file.Paths.get(
+      spark.conf.get("graft.stream.checkpointRoot", defaultCheckpointRoot))
+    java.nio.file.Files.createDirectories(ckptRoot)
+    val ckptDir = java.nio.file.Files.createTempDirectory(ckptRoot, name)
     try {
       spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       val q = streamed.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", ckptDir.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // best-effort scratch delete; state-store providers may still hold
+      // open handles on failure paths — hygiene, not correctness
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                        catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }
     spark.table(name)
   }
 
@@ -2362,7 +2400,17 @@ object EventStreams {
     // replay a no-op (spec: injected crash via onBatchCommitted — the
     // fault-injection seam, called after state is applied but before the
     // engine records the batch — then restart from the same checkpoint).
-    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    // Without one, the checkpoint is per-run EPHEMERAL scratch, so it goes
+    // on the fast local root (fresh dir — see runToCompletion) instead of
+    // Spark's java.io.tmpdir temp default.
+    val ephemeralCkpt = if (checkpointDir.isEmpty) {
+      val root = java.nio.file.Paths.get(
+        spark.conf.get("graft.stream.checkpointRoot", defaultCheckpointRoot))
+      java.nio.file.Files.createDirectories(root)
+      Some(java.nio.file.Files.createTempDirectory(root, "ingest"))
+    } else None
+    checkpointDir.orElse(ephemeralCkpt.map(_.toString))
+      .foreach(d => writer.option("checkpointLocation", d))
     val q = writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the batch's localCheckpoint truncation blocks are released at
@@ -2425,6 +2473,15 @@ object EventStreams {
       }
       .start()
     q.awaitTermination()
+    ephemeralCkpt.foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                        catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }
     if (spark.catalog.tableExists(pairsTable)) {
       // the pair appends also happened under the cloned session; the
       // per-batch refresh above covers batches that fired, but a run whose
