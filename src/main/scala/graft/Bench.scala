@@ -82,6 +82,37 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed small-file I/O workload, timed — the I/O-SHAPED calib probe
+    * (r14 VERDICT task 1): the CPU busy-loop is blind to I/O pressure,
+    * and the r14 bench-of-record window ran 7/54 streaming queries
+    * 1.5–2.4× hot with calib16 reading QUIET — the streaming family is
+    * (was, before the r15 fast-scratch move) the checkpoint-I/O-bound
+    * cohort. This probe times the exact pattern a checkpoint commit pays
+    * — write + fsync + rename + delete of small files — on java.io.tmpdir
+    * (the VM-disk path whose latency was observed swinging 3–8× between
+    * windows), so BenchDiff can attribute an I/O-hot window instead of
+    * flagging phantoms. Quiet-host reference on this image: ~0.05–0.3s;
+    * a disturbed window reads seconds. */
+  private[graft] def calibrateIo(): Double = {
+    import java.nio.file.{Files, StandardOpenOption}
+    val dir = Files.createTempDirectory("graft_calib_io")
+    val buf = new Array[Byte](65536)
+    java.util.Arrays.fill(buf, 7.toByte)
+    val t0 = System.nanoTime()
+    (1 to 32).foreach { i =>
+      val p = dir.resolve(s"f$i")
+      val ch = java.nio.channels.FileChannel.open(p,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      ch.write(java.nio.ByteBuffer.wrap(buf)); ch.force(true); ch.close()
+      val q = dir.resolve(s"g$i")
+      Files.move(p, q)
+      Files.delete(q)
+    }
+    val t = (System.nanoTime() - t0) / 1e9
+    try Files.delete(dir) catch { case _: Throwable => () }
+    t
+  }
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -202,6 +233,7 @@ object Bench {
     if (isolate) isolateQueryState(spark)
     val calibStart1 = calibrate(1)
     val calibStart16 = calibrate(16)
+    val calibStartIo = calibrateIo()
     // A failing query must be VISIBLE in the output, not a fast time: its
     // entry becomes "err:<class>" and the failure count is reported at the
     // top level, so a regression can't masquerade as a speedup.
@@ -309,7 +341,18 @@ object Bench {
     val flaky = results.count(_._4)
     val total = results.collect { case (_, None, v, _) => v }.sum
     val calibEnd1 = calibrate(1)
-    val calib = f""""calib":{"start1":$calibStart1%.3f,"start16":$calibStart16%.3f,"end1":$calibEnd1%.3f}"""
+    val calibEndIo = calibrateIo()
+    val calib = f""""calib":{"start1":$calibStart1%.3f,"start16":$calibStart16%.3f,"start_io":$calibStartIo%.3f,"end1":$calibEnd1%.3f,"end_io":$calibEndIo%.3f}"""
+    // commit stamp computed up front so BOTH the artifact and the
+    // driver-facing trailer carry it (r14 VERDICT task 7: the driver's
+    // BENCH_r*.json keeps only a log tail — a tail-stable single-line
+    // summary with totals, calib and commit makes the cross-round record
+    // self-contained even when the full per-query line is truncated away)
+    val commit = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty) s""""commit":"$out",""" else ""
+    } catch { case _: Throwable => "" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,$calib,"queries":$qs,"sf":"$sfDir"}""")
     // The single-line map above can exceed a log tail's budget (r6 lost the
     // head of the per-query map: dedup_* through full_outer were
@@ -325,8 +368,8 @@ object Bench {
       println(s"""{"metric":"queries_chunk","chunk":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
     }
     // Compact trailer for harnesses that capture only the LAST lines of
-    // output.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,$calib,"sf":"$sfDir"}""")
+    // output — commit-stamped (task 7) so a tail alone identifies the run.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,$calib,${commit}"sf":"$sfDir"}""")
     // BUILDER-OWNED full artifact — the r9 lesson: the driver's BENCH_r*.json
     // keeps only a truncated log tail, so cross-round per-query comparison
     // required hand-recovering chunk lines and the 1.2× r9/r8 total turned
@@ -337,17 +380,17 @@ object Bench {
     // state-bound claims). Path override: SPARK_GRAFT_BENCH_FULL; tag a
     // sealed run `bench/full_r<N>.json` and commit it.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench/full_latest.json")
-    // Commit stamp — what lets BenchDiff's paired host estimator attribute
-    // carried queries to unchanged implementing files via `git diff`
-    // between the two artifacts' commits (r13 VERDICT task 1).
-    val commit = try {
-      val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-      if (p.waitFor() == 0 && out.nonEmpty) s""""commit":"$out",""" else ""
-    } catch { case _: Throwable => "" }
+    // (commit stamp computed above, shared with the trailer — it is what
+    // lets BenchDiff's paired host estimator attribute carried queries to
+    // unchanged implementing files via `git diff` between the two
+    // artifacts' commits, r13 VERDICT task 1)
     val perQuery = results.sortBy(_._1).map { case (k, e, v, _) =>
       val err = e.map(x => s""","err":"$x"""").getOrElse("")
-      val p3 = pass3.get(k).collect { case (None, t) => s""","p3":$t""" }.getOrElse("")
+      // rebuilds_p3 alongside p3 (r14 ADVICE): a pass-3 sample that paid a
+      // fingerprint-gated rebuild is excluded from sec, and the artifact
+      // must let a reader reconstruct which samples were clean
+      val p3 = pass3.get(k).collect { case (None, t) =>
+        s""","p3":$t,"rebuilds_p3":${rebuilds((k, 3))}""" }.getOrElse("")
       val rb = s""","rebuilds_p1":${rebuilds((k, 1))},"rebuilds_p2":${rebuilds((k, 2))},"artifacts_rebuilt":${if (rebuilds((k, 1)) + rebuilds((k, 2)) > 0) "true" else "false"}"""
       s""""$k":{"sec":$v,"p1":${pass1(k)._2},"p2":${pass2(k)._2}$p3,"peak_exec_mb":${peakExec(k) >> 20},"spill_mb":${spilled(k) >> 20},"peak_state_kb":${peakState(k) >> 10}$rb$err}"""
     }.mkString("{", ",", "}")

@@ -557,7 +557,7 @@ object Pipeline {
     * rectangle assignment itself is checked against the bytes on disk. */
   def exportZorder(spark: SparkSession, sfDir: String,
                    dimBits: Int = 4, bins: Int = 1024): DataFrame = {
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
+    val out = new java.io.File({ val r = Warehouse.fastScratchRoot; new java.io.File(r).mkdirs(); r },
       s"graft_zorder_${Warehouse.pathToken(sfDir)}_d${dimBits}x$bins").getPath
     writeZorderExport(spark, sfDir, out, dimBits, bins)
     spark.read.parquet(out)
@@ -590,7 +590,7 @@ object Pipeline {
   def zorderSkipping(spark: SparkSession, sfDir: String,
                      dimBits: Int = 4, bins: Int = 1024): DataFrame = {
     import spark.implicits._
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
+    val out = new java.io.File({ val r = Warehouse.fastScratchRoot; new java.io.File(r).mkdirs(); r },
       s"graft_zorder_${Warehouse.pathToken(sfDir)}_d${dimBits}x$bins").getPath
     writeZorderExport(spark, sfDir, out, dimBits, bins)
     val stats = spark.read.parquet(out)
@@ -636,7 +636,7 @@ object Pipeline {
     * against the bytes on disk. */
   def exportSorted(spark: SparkSession, sfDir: String,
                    buckets: Int = 8, bins: Int = 1024): DataFrame = {
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
+    val out = new java.io.File({ val r = Warehouse.fastScratchRoot; new java.io.File(r).mkdirs(); r },
       s"graft_sorted_${Warehouse.pathToken(sfDir)}_b${buckets}x$bins").getPath
     writeSortedExport(spark, sfDir, out, buckets, bins)
     spark.read.parquet(out)
@@ -804,7 +804,7 @@ object Pipeline {
   def exportWrite(spark: SparkSession, sfDir: String, nShards: Int = 16,
                   qualityMin: Double = 0.7): DataFrame = {
     import graft.functions.NumericFunctions.duckRound
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
+    val out = new java.io.File({ val r = Warehouse.fastScratchRoot; new java.io.File(r).mkdirs(); r },
       s"graft_export_${Warehouse.pathToken(sfDir)}_s${nShards}q${(qualityMin * 100).round}").getPath
     writeExportShards(spark, sfDir, out, nShards, qualityMin)
     spark.read.parquet(out)

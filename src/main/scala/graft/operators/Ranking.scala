@@ -571,14 +571,30 @@ object Ranking {
       .join(frame.select(col("v").as("vb")), col("kb") === col("vb"))
       .groupBy("ka").agg(count(lit(1)).as("d"))
     var removed: DataFrame = null
-    for (r <- 1 to rounds) {
-      val rem = ckpt(alive.join(degAmong(alive), col("v") === col("ka"), "left")
-        .filter(coalesce(col("d"), lit(0L)) < k)
-        .select(col("v"), lit(r.toLong).as("r")))
-      removed = if (removed == null) rem else removed.union(rem)
-      alive = ckpt(alive.join(rem.select(col("v").as("rv")),
-        col("v") === col("rv"), "left_anti"))
+    var fixpoint = false
+    for (r <- 1 to rounds if !fixpoint) {
+      // ONE materialization per round (r15 — guide §2.4): score every
+      // alive vertex's in-core degree once, then BOTH the peeled set and
+      // the survivor set are filters over that materialized frame — the
+      // old form paid a second checkpoint for an anti-join that computes
+      // exactly `coalesce(d, 0) ≥ k`.
+      val scored = ckpt(alive.join(degAmong(alive), col("v") === col("ka"), "left")
+        .select(col("v"), coalesce(col("d"), lit(0L)).as("d")))
+      val rem = scored.filter(col("d") < k)
+        .select(col("v"), lit(r.toLong).as("r"))
+      // EARLY EXIT at the peel fixpoint (guide §1.2, don't compute what
+      // you throw away): a round that removes nothing leaves `alive`
+      // unchanged, so every later round is a pure no-op pass; empty
+      // rounds contribute no output rows, so the result is untouched.
+      if (rem.isEmpty) fixpoint = true
+      else {
+        removed = if (removed == null) rem else removed.union(rem)
+        alive = scored.filter(col("d") >= k).select("v")
+      }
     }
+    if (removed == null)
+      removed = docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("v"), lit(0L).as("r")).limit(0)
     docs
       .join(removed.select(col("v").as("remv"), col("r")),
         col("doc_id") === col("remv"), "left")
@@ -950,14 +966,25 @@ object Ranking {
     var prevSum = labSum(lab)
     var converged = false
     var r = 0
+    // ONE message join per round instead of one per direction (r15 —
+    // guide §2.4): an edge (src, dst) sends src's f to dst and dst's b to
+    // src, so tagging each directed message with its kind lets a single
+    // edges⋈labels join + a single conditional-min aggregate replace the
+    // two per-direction joins and aggregates — half the per-round
+    // exchanges, same mins (min over the f-tagged messages IS the old
+    // fIn, ditto bIn; an absent group stays NULL exactly like the old
+    // left join's miss).
+    val msgs = ckpt(edges.select(col("src").as("s"), col("dst").as("rcv"),
+        lit("f").as("kind"))
+      .unionByName(edges.select(col("dst").as("s"), col("src").as("rcv"),
+        lit("b").as("kind"))))
     while (!converged && r < SccMaxRounds) {
-      val fIn = edges.join(lab, col("src") === col("v"))
-        .groupBy("dst").agg(min("f").as("fc"))
-      val bIn = edges.join(lab, col("dst") === col("v"))
-        .groupBy("src").agg(min("b").as("bc"))
+      val in = msgs.join(lab, col("s") === col("v"))
+        .groupBy("rcv")
+        .agg(min(when(col("kind") === "f", col("f"))).as("fc"),
+             min(when(col("kind") === "b", col("b"))).as("bc"))
       lab = ckpt(lab
-        .join(fIn, col("v") === col("dst"), "left")
-        .join(bIn, col("v") === col("src"), "left")
+        .join(in, col("v") === col("rcv"), "left")
         .select(col("v"),
           least(col("f"), coalesce(col("fc"), col("f"))).as("f"),
           least(col("b"), coalesce(col("bc"), col("b"))).as("b")))

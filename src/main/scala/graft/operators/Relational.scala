@@ -2087,6 +2087,11 @@ object Relational {
     val nDiv = Seq(verdicts("orders_customer_dim")._2,
                    verdicts("customer_nation_dim")._2)
     val (order, cost) = chainDpVerdict(est, nDiv)
+    // r14 ADVICE: a BigInt→Long wrap here would diverge from the oracle's
+    // HUGEINT (which errors on the CAST instead) — refuse loudly on the
+    // engine side too, keeping the overflow-alignment discipline symmetric
+    require(cost.isValidLong, s"joinOrderDp: cost $cost exceeds Long — " +
+      "align the oracle's HUGEINT cast before widening")
     val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
     val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
@@ -2216,6 +2221,9 @@ object Relational {
       v -> (if (row._2) verdicts(row._1)._2 else verdicts(row._1)._3)
     }
     val (order, cost) = graphDpVerdict(est, n)
+    // same overflow-alignment refusal as joinOrderDp (r14 ADVICE)
+    require(cost.isValidLong, s"joinGraphDp: cost $cost exceeds Long — " +
+      "align the oracle's HUGEINT cast before widening")
     val frames = Map(
       "lineitem" -> Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
       "orders"   -> Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),

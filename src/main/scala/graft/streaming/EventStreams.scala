@@ -152,7 +152,7 @@ object EventStreams {
     val dir = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(srcPath)))
       java.nio.file.Paths.get(srcPath)
     else streamDirs.computeIfAbsent(srcPath, { key =>
-      val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
+      val d = scratchTempDir(s"graft_stream_$name")
       val link = d.resolve(s"$name.parquet")
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(key))
       // deleteOnExit runs LIFO: register the dir first so the link (deleted
@@ -228,6 +228,21 @@ object EventStreams {
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
       "/dev/shm/graft_ckpt"
     else sys.props("java.io.tmpdir") + "/graft_ckpt"
+  }
+
+  /** Fresh ephemeral directory on the fast scratch root (same root as the
+    * checkpoints — see [[defaultCheckpointRoot]]) — the staging area for
+    * the bounded-replay fixtures' micro-batch drop files, which sit on the
+    * TIMED path of every multi-batch streaming query (written, mtime'd,
+    * then re-read by FileStreamSource): same small-file-latency argument
+    * as the checkpoints themselves. deleteOnExit, like the /tmp temp dirs
+    * it replaces. */
+  private[graft] def scratchTempDir(prefix: String): java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(defaultCheckpointRoot)
+    java.nio.file.Files.createDirectories(root)
+    val d = java.nio.file.Files.createTempDirectory(root, prefix)
+    d.toFile.deleteOnExit()
+    d
   }
 
   /** Replay a bounded source through a streaming query to completion and
@@ -353,7 +368,7 @@ object EventStreams {
   def streamLateAuditQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("ts"), col("event_type"), col("event_id"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_late_audit")
+    val dir = scratchTempDir("graft_late_audit")
     dir.toFile.deleteOnExit()
     stageStreamFile(ev.filter(col("event_id") % 8 =!= 0 && col("event_id") % 8 =!= 4),
                     dir, "b0", 1000000L)
@@ -614,13 +629,13 @@ object EventStreams {
       .select(col("doc_id"), col("fp"),
               timestamp_add("MINUTE", col("m").cast("int"), epoch).as("ts"),
               expr("m div 300").as("seg"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_bounded")
+    val dir = scratchTempDir("graft_dedup_bounded")
     dir.toFile.deleteOnExit()
-    val segs = uploads.select("seg").distinct().orderBy("seg").collect().map(_.getLong(0))
-    segs.foreach { s =>
-      stageStreamFile(uploads.filter(col("seg") === s).select("fp", "ts"),
-                      dir, f"seg$s%03d", 1000000L + s * 1000000L)
-    }
+    // all segment drop files staged in ONE write job (r15 — guide §1.2:
+    // the per-segment loop paid one collect + one job per segment, ~8
+    // sequential barriers before the stream even started)
+    stageStreamFilesBySeg(uploads.select(col("fp"), col("ts"), col("seg")),
+      "seg", dir, s => f"seg$s%03d", s => 1000000L + s * 1000000L)
     val stream = spark.readStream.schema("fp STRING, ts TIMESTAMP")
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val emitted = runToCompletion(spark,
@@ -2024,7 +2039,7 @@ object EventStreams {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("lang"), col("source"), col("doc_id"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_noised_stream")
+    val dir = scratchTempDir("graft_noised_stream")
     dir.toFile.deleteOnExit()
     for (e <- 0 until NoisedReleaseEpochs)
       stageStreamFile(docs.filter(col("doc_id") % NoisedReleaseEpochs === e),
@@ -2086,7 +2101,7 @@ object EventStreams {
       .unionByName(docs.filter(col("doc_id") % 11 === 2)
         .select((col("doc_id") + lit(mxk)).as("doc_id"),
                 md5(col("text")).as("sig_b")))
-    val dir = java.nio.file.Files.createTempDirectory("graft_snapdiff_stream")
+    val dir = scratchTempDir("graft_snapdiff_stream")
     dir.toFile.deleteOnExit()
     stageStreamFile(b.filter(col("doc_id") % 2 === 0), dir, "b0", 1000000L)
     stageStreamFile(b.filter(col("doc_id") % 2 === 1), dir, "b1", 2000000L)
@@ -2138,7 +2153,7 @@ object EventStreams {
     val b = ev.agg(coalesce(min("us"), lit(0L)).as("mn"),
                    coalesce(max("us"), lit(0L)).as("mx")).head()
     val split = (b.getLong(0) + b.getLong(1)) / 2
-    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_stream")
+    val dir = scratchTempDir("graft_scd2_stream")
     dir.toFile.deleteOnExit()
     stageStreamFile(ev.filter(col("us") <= split), dir, "b0", 1000000L)
     stageStreamFile(ev.filter(col("us") > split), dir, "b1", 2000000L)
@@ -2217,7 +2232,7 @@ object EventStreams {
     val chg1 = base.filter(col("k") % 13 =!= 5 && col("k") % 7 === 3 && col("k") % 2 === 0)
       .select(col("k"), lit("U").as("op"), col("st"),
               (col("c") + 200).as("c"), lit(3L).as("seq"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+    val dir = scratchTempDir("graft_cdc_stream")
     dir.toFile.deleteOnExit()
     stageStreamFile(chg0, dir, "b0", 1000000L)
     stageStreamFile(chg1, dir, "b1", 2000000L)
@@ -2293,7 +2308,7 @@ object EventStreams {
     val delta = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
     // two single-file parquet drops with ordered mtimes: FileStreamSource
     // processes oldest-first, maxFilesPerTrigger=1 cuts one batch per file
-    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_stream")
+    val dir = scratchTempDir("graft_ingest_stream")
     dir.toFile.deleteOnExit()
     stageStreamFile(delta.filter(expr("(doc_id div 10) % 2 = 0")), dir, "b0", 1000000L)
     stageStreamFile(delta.filter(expr("(doc_id div 10) % 2 = 1")), dir, "b1", 2000000L)
@@ -2322,6 +2337,36 @@ object EventStreams {
   /** Drop one single-file parquet batch into a file-stream directory with
     * a controlled modification time — FileStreamSource processes files
     * oldest-first, so staged mtimes define micro-batch order exactly. */
+  /** Stage EVERY micro-batch drop file of a segmented fixture in ONE
+    * write job: `repartition(segCol)` pins each segment to one task (equal
+    * keys hash together), `partitionBy(segCol)` writes one part file per
+    * segment directory, and the parts are renamed flat with ordered
+    * mtimes — the [[stageStreamFile]] contract (oldest-first listing =
+    * micro-batch order) at one scheduling barrier instead of one per
+    * segment. Partition columns are directory-encoded, so the part files
+    * carry exactly the non-seg columns, like the per-segment `select`
+    * they replace. Returns the staged segment ids, ascending. */
+  private[graft] def stageStreamFilesBySeg(rows: DataFrame, segCol: String,
+      dir: java.nio.file.Path, name: Long => String,
+      mtime: Long => Long): Seq[Long] = {
+    val tmp = dir.resolve("_stage")
+    rows.repartition(col(segCol)).write.partitionBy(segCol).parquet(tmp.toString)
+    val segs = tmp.toFile.listFiles()
+      .filter(_.getName.startsWith(s"$segCol="))
+      .map(_.getName.stripPrefix(s"$segCol=").toLong).sorted.toSeq
+    segs.foreach { s =>
+      val sd = tmp.resolve(s"$segCol=$s")
+      val part = sd.toFile.listFiles().find(_.getName.startsWith("part-")).get
+      val dest = dir.resolve(s"${name(s)}.parquet").toFile
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime(s))
+      dest.deleteOnExit()
+      sd.toFile.listFiles().foreach(_.delete()); sd.toFile.delete()
+    }
+    tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
+    segs
+  }
+
   private[graft] def stageStreamFile(df: DataFrame, dir: java.nio.file.Path,
                                      name: String, mtime: Long): Unit = {
     val tmp = dir.resolve(s"${name}_w")
