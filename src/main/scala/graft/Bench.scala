@@ -24,10 +24,13 @@ object Bench {
       // on a cluster): this image's /tmp sits on the VM disk, whose small-
       // file latency is both slow and VOLATILE (measured 3–8× swings on
       // identical code — the r14 record-window streaming phantoms), while
-      // /dev/shm is RAM-backed. Override: SPARK_GRAFT_LOCAL_DIR.
+      // /dev/shm is RAM-backed. Headroom-checked (r16): tmpfs only above a
+      // free-space floor (Warehouse.shmIfRoomy) — shuffle spill on a tight
+      // shm would compete with memory and ENOSPC. Override:
+      // SPARK_GRAFT_LOCAL_DIR (on a cluster: node-local NVMe).
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
-        if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft_local"
-        else System.getProperty("java.io.tmpdir")))
+        graft.sources.Warehouse.shmIfRoomy("graft_local")
+          .getOrElse(System.getProperty("java.io.tmpdir"))))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -93,9 +96,25 @@ object Bench {
     * windows), so BenchDiff can attribute an I/O-hot window instead of
     * flagging phantoms. Quiet-host reference on this image: ~0.05–0.3s;
     * a disturbed window reads seconds. */
-  private[graft] def calibrateIo(): Double = {
+  private[graft] def calibrateIo(): Double =
+    calibrateIoAt(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+
+  /** [[calibrateIo]] against the ACTIVE engine scratch root (r15 ADVICE):
+    * after the fast-scratch move, the timed engine I/O (shuffle scratch,
+    * stream checkpoints, staged fixtures) runs on the shm-backed root, so
+    * the tmpdir probe alone no longer samples any path the benchmarked
+    * queries touch — emit both, and BenchDiff can attribute disturbance on
+    * the path the engine actually uses. */
+  private[graft] def calibrateIoScratch(): Double = {
+    val root = java.nio.file.Paths.get(
+      graft.streaming.EventStreams.defaultCheckpointRoot)
+    java.nio.file.Files.createDirectories(root)
+    calibrateIoAt(root)
+  }
+
+  private def calibrateIoAt(base: java.nio.file.Path): Double = {
     import java.nio.file.{Files, StandardOpenOption}
-    val dir = Files.createTempDirectory("graft_calib_io")
+    val dir = Files.createTempDirectory(base, "graft_calib_io")
     val buf = new Array[Byte](65536)
     java.util.Arrays.fill(buf, 7.toByte)
     val t0 = System.nanoTime()
@@ -216,6 +235,14 @@ object Bench {
         (b, a)
       }
     }
+    // shm leak accounting (r15 ADVICE): the engine's ephemeral I/O roots
+    // moved to tmpfs, so the leak audit must watch tmpfs too — measured at
+    // run start and end (a leaked checkpoint of a failed stream shows as
+    // growth across the run). graft_local is excluded: it is the LIVE
+    // Spark blockmgr scratch, owned and shutdown-deleted by the context.
+    def shmAudit() = graft.sources.Warehouse.shmBytes("graft_ckpt") +
+      graft.sources.Warehouse.shmBytes("graft_scratch")
+    val shmBefore = shmAudit()
     val spark = localSession(cpus)
     // Warehouse-side twin of the /tmp sweep: derived tables whose ×10-probe
     // staged corpus is long gone accumulate ~18 MB per generation and are
@@ -234,6 +261,7 @@ object Bench {
     val calibStart1 = calibrate(1)
     val calibStart16 = calibrate(16)
     val calibStartIo = calibrateIo()
+    val calibStartIoScratch = calibrateIoScratch()
     // A failing query must be VISIBLE in the output, not a fast time: its
     // entry becomes "err:<class>" and the failure count is reported at the
     // top level, so a regression can't masquerade as a speedup.
@@ -342,7 +370,8 @@ object Bench {
     val total = results.collect { case (_, None, v, _) => v }.sum
     val calibEnd1 = calibrate(1)
     val calibEndIo = calibrateIo()
-    val calib = f""""calib":{"start1":$calibStart1%.3f,"start16":$calibStart16%.3f,"start_io":$calibStartIo%.3f,"end1":$calibEnd1%.3f,"end_io":$calibEndIo%.3f}"""
+    val calibEndIoScratch = calibrateIoScratch()
+    val calib = f""""calib":{"start1":$calibStart1%.3f,"start16":$calibStart16%.3f,"start_io":$calibStartIo%.3f,"start_io_scratch":$calibStartIoScratch%.3f,"end1":$calibEnd1%.3f,"end_io":$calibEndIo%.3f,"end_io_scratch":$calibEndIoScratch%.3f}"""
     // commit stamp computed up front so BOTH the artifact and the
     // driver-facing trailer carry it (r14 VERDICT task 7: the driver's
     // BENCH_r*.json keeps only a log tail — a tail-stable single-line
@@ -394,9 +423,11 @@ object Bench {
       val rb = s""","rebuilds_p1":${rebuilds((k, 1))},"rebuilds_p2":${rebuilds((k, 2))},"artifacts_rebuilt":${if (rebuilds((k, 1)) + rebuilds((k, 2)) > 0) "true" else "false"}"""
       s""""$k":{"sec":$v,"p1":${pass1(k)._2},"p2":${pass2(k)._2}$p3,"peak_exec_mb":${peakExec(k) >> 20},"spill_mb":${spilled(k) >> 20},"peak_state_kb":${peakState(k) >> 10}$rb$err}"""
     }.mkString("{", ",", "}")
+    val shmAfter = shmAudit()
     val fullJson =
       s"""{"sf":"$sfDir","cpus":$cpus,${commit}"total_sec":$total,"failed":$failed,"flaky":$flaky,$calib,
          |"tmp_bytes_before":$tmpBefore,"tmp_bytes_after":$tmpAfter,
+         |"shm_bytes_before":$shmBefore,"shm_bytes_after":$shmAfter,
          |"queries":$perQuery}""".stripMargin
     try {
       val p = java.nio.file.Paths.get(fullPath)

@@ -340,13 +340,25 @@ object Analytics {
   private[graft] def kllLevel(spark: SparkSession, hist0: DataFrame,
                               k: Int): DataFrame = {
     val js = spark.range(KllMaxLevel + 1).select(col("id").as("j"))
+    // EAGER truncation of the ≤49·|scopes|-row state (r16, guide §1.2):
+    // this plan references the histogram four times (scope list + range
+    // join, each under both cnts consumers), and when hist0 is the
+    // batch-side aggregate each reference re-ran the FULL stratification
+    // scan it summarizes — the sketch state is metadata-sized by
+    // contract, so materializing it once is exactly what "persist the
+    // cells, answer rollups without rescanning" promises.
+    val histM = hist0.localCheckpoint(false)
     // aliased column names, not plan aliases: the histogram may be a
     // materialized sink TABLE (the streaming twin), where a same-name
     // self-join trips attribute resolution
-    val hist = hist0.select(col("scope").as("hscope"), col("tz"), col("c"))
-    val scopes = hist0.select(col("scope")).distinct()
+    val hist = histM.select(col("scope").as("hscope"), col("tz"), col("c"))
+    val scopes = histM.select(col("scope")).distinct()
+    // broadcast EXPLICITLY (r16, guide §3.1): the state is ≤49·|scopes|
+    // rows BY CONTRACT, but the checkpoint above hides that from the
+    // planner's estimates (a LogicalRDD blocks column-pruned size
+    // estimation) and the range join would demote to sort-merge
     val cnts = scopes.crossJoin(js)
-      .join(hist, col("hscope") === col("scope") && col("tz") >= col("j"), "left")
+      .join(broadcast(hist), col("hscope") === col("scope") && col("tz") >= col("j"), "left")
       .groupBy("scope", "j")
       .agg(coalesce(sum("c"), lit(0L)).as("cnt"))
     val ns = cnts.filter(col("j") === 0L)
@@ -365,7 +377,12 @@ object Analytics {
     * (spec-gated). */
   private[graft] def kllSurvivors(stratified: DataFrame,
                                   levels: DataFrame): DataFrame =
-    stratified.join(levels, Seq("scope"))
+    // broadcast EXPLICITLY (r16, guide §3.1): levels is |scopes| rows by
+    // construction at ANY corpus size — shuffling the full stratified
+    // stream by scope (hot scopes included) to meet it would be the wrong
+    // plan at every scale, and kllLevel's checkpoint hides the size
+    // estimate that used to make the planner broadcast it on its own
+    stratified.join(broadcast(levels), Seq("scope"))
       .filter(col("tz") >= col("lvl"))
       .select(col("scope"), col("cents"), col("tz"), col("lvl"), col("n"))
 
@@ -468,9 +485,13 @@ object Analytics {
         col("event_id").cast("string").as("rkey"),
         round(col("value") * 100).cast("long").as("cents"))
     val strat = kllRows(rows)
-    val hist = kllHist(strat)
+    // Both state frames are referenced twice (cells + __all__ merge), and
+    // each un-truncated reference re-ran the stratification scan — the
+    // sketch state is metadata-sized, so one materialization each is the
+    // contract's own "persist the cells once" (r16, guide §1.2/§5).
+    val hist = kllHist(strat).localCheckpoint(false)
     val lvlCells = kllLevel(spark, hist, k)
-    val survCells = kllSurvivors(strat, lvlCells)
+    val survCells = kllSurvivors(strat, lvlCells).localCheckpoint(false)
     // ---- the __all__ cell: STATE-ONLY merge ----
     val histAll = hist.groupBy("tz").agg(sum("c").as("c"))
       .select(lit("__all__").as("scope"), col("tz"), col("c"))
@@ -480,7 +501,7 @@ object Analytics {
     // guarantees nothing is missing
     val survAll = survCells
       .select(lit("__all__").as("scope"), col("cents"), col("tz"))
-      .join(lvlAll, Seq("scope"))
+      .join(broadcast(lvlAll), Seq("scope"))
       .filter(col("tz") >= col("lvl"))
       .select(col("scope"), col("cents"), col("tz"), col("lvl"), col("n"))
     kllReadout(spark, survCells.unionByName(survAll), qs)
@@ -961,8 +982,12 @@ object Analytics {
     * pair, rounded at 4 dp. */
   def basketAffinity(spark: SparkSession, sfDir: String,
                      minSupport: Int = 3, k: Int = 50): DataFrame = {
+    // the distinct basket pass feeds FOUR references (item counts, order
+    // total, both pair-join sides) — truncate once or the scan+distinct
+    // shuffle runs four times (r16, guide §1.2)
     val baskets = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey").distinct()
+      .localCheckpoint(false)
     val itemCnt = baskets.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
     val totals = baskets.agg(countDistinct("l_orderkey").as("n_orders"))
     val pairs = baskets.as("a").join(baskets.as("b"),

@@ -143,8 +143,18 @@ object Dedup {
   private[graft] def ngramPairsUnordered(spark: SparkSession, sfDir: String, n: Int = 3,
                                          threshold: Double = 0.8): DataFrame = {
     val eps = 1e-9
-    val postings = shinglePostings(spark, sfDir, n)
+    // EAGER truncation at every reuse point (r16 — guide §1.2 don't
+    // recompute, §5 cache on reuse): the un-truncated plan referenced
+    // postings five times (sizes, df, prefix base, both verify probes)
+    // and each reference re-ran the tokenize+shingle explode scan —
+    // measured as the dominant cost of the whole family at bench scale
+    // and a full corpus re-scan each at 100 TB. postings materializes
+    // once (shingle mass, MEMORY_AND_DISK so it spills, never OOMs);
+    // sizes (doc-mass) and prefix (the blocker index, ~(1−t)·|x|+1 rows
+    // per doc by construction) are each read 2–3 times downstream.
+    val postings = shinglePostings(spark, sfDir, n).localCheckpoint(true)
     val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
     val df = postings.groupBy("s").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
     val prefix = postings
@@ -153,6 +163,7 @@ object Dedup {
       .join(sizes, "doc_id")
       .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - eps) + 1)
       .select("doc_id", "s", "n_sh")
+      .localCheckpoint(true)
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -300,7 +311,11 @@ object Dedup {
     * compositions (corpus_export) consume below further joins. */
   private[graft] def decontaminationUnordered(spark: SparkSession, sfDir: String,
                                               n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val postings = shinglePostings(spark, sfDir, n)
+    // ONE shingle explode (r16, guide §1.2): decontaminationFor references
+    // its eval side 3× and train side 3×, and each un-truncated reference
+    // re-ran the explode scan — six evaluations per query. Both sides are
+    // filters over one materialized postings frame (MEMORY_AND_DISK).
+    val postings = shinglePostings(spark, sfDir, n).localCheckpoint(true)
     decontaminationFor(
       postings.filter(col("doc_id") % 10 === 0),
       postings.filter(col("doc_id") % 10 =!= 0),
@@ -341,7 +356,10 @@ object Dedup {
   private[graft] def decontaminationFor(evalP: DataFrame, trainP: DataFrame,
                                         threshold: Double): DataFrame = {
     val eps = 1e-9
+    // doc-mass aggregate read twice (prefix length bound + the final
+    // containment denominator) — truncate once (r16, guide §1.2)
     val evalSizes = evalP.groupBy("doc_id").agg(count(lit(1)).as("n_ev"))
+      .localCheckpoint(true)
     val trainDf = trainP.groupBy("s").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
     val prefix = evalP
@@ -476,7 +494,14 @@ object Dedup {
   private[graft] def minhashPairsUnordered(spark: SparkSession, sfDir: String, n: Int = 3,
                       numBands: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
-    val postings = shinglePostings(spark, sfDir, n)
+    // EAGER truncation at every reuse point (r16 — guide §1.2/§5, the
+    // ngramPairsUnordered rationale): postings fed four plan references
+    // (bands, sizes, both verify probes) and bands fed three (the
+    // oversized-bucket count, the anti-join stream, both self-join sides
+    // via bounded) — so the MINHASH AGGREGATE, the most expensive stage
+    // of the pipeline, ran up to four times per query. Each frame now
+    // computes exactly once; every later reference is a cache read.
+    val postings = shinglePostings(spark, sfDir, n).localCheckpoint(true)
 
     // (band, bandHash, doc_id) — the LSH bucket stream, fully relational:
     // aggregate to signatures, band-hash with the compiled kernel, explode.
@@ -488,9 +513,10 @@ object Dedup {
               posexplode(call_function("graft_bands", col("sig"),
                 lit(numBands), lit(rowsPerBand))))
       .toDF("doc_id", "band", "bhash")
+      .localCheckpoint(true)
 
     // Guard against degenerate buckets before the self-join (skew control).
-    val bounded = dropOversizedBuckets(bands, maxBucket)
+    val bounded = dropOversizedBuckets(bands, maxBucket).localCheckpoint(true)
 
     val candidates = bounded.as("x")
       .join(bounded.as("y"),
@@ -500,6 +526,7 @@ object Dedup {
       .distinct()
 
     val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
     verifyByPostings(candidates, postings, sizes, threshold)
   }
 
@@ -552,6 +579,25 @@ object Dedup {
         df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       case _ => df.localCheckpoint(true)
     }
+
+    /** LAZY truncation: the Catalyst plan is cut immediately (the returned
+      * Dataset is backed by a LogicalRDD either way), but materialization is
+      * deferred to the FIRST action that touches the frame — so a round loop
+      * that was about to run an action anyway (a convergence count, the next
+      * round's probe) fuses the checkpoint job into it: ONE scheduling
+      * barrier per round instead of two (guide §1.2 — fewer passes). The
+      * caller must guarantee that first action evaluates EVERY partition
+      * (count/agg do; take/isEmpty do not) and that the frame is not raced
+      * from concurrent driver threads before materialization (concurrent
+      * first-uses would duplicate the compute). `reliable` mode stays eager:
+      * a lazy reliable checkpoint recomputes its RDD a second time to write
+      * it, which costs more than the barrier it saves. */
+    def lazily(df: DataFrame): DataFrame = mode match {
+      case "reliable" => apply(df)
+      case "disk" =>
+        df.localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case _ => df.localCheckpoint(false)
+    }
   }
 
   /** Connected components of an undirected edge list: every vertex labeled
@@ -577,7 +623,13 @@ object Dedup {
     // Materialized BEFORE the first round: every round references its input
     // twice (symmetrize + min-join), and without truncation the (possibly
     // expensive) upstream pair join would execute twice.
-    var cur = ckpt(edges
+    // Lazy truncation + count: the checkpoint materializes inside the count
+    // action it feeds — one scheduling barrier instead of two per step
+    // (guide §1.2; r16). The INNER largeStar checkpoint stays eager:
+    // smallStar references it twice (the symmetrize union), and a lazy
+    // frame raced by two same-stage task branches would duplicate the
+    // join compute before the cache lands.
+    var cur = ckpt.lazily(edges
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
               least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
@@ -586,7 +638,7 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = ckpt(smallStar(ckpt(largeStar(cur))))
+      val next = ckpt.lazily(smallStar(ckpt(largeStar(cur))))
       val nNext = next.count()
       // Both sides are distinct canonical sets: equal size + empty
       // left-anti difference ⟺ identical edge sets ⟺ star fixed point.
@@ -996,7 +1048,11 @@ object Dedup {
     * collectable at any corpus size. */
   def corpusOverlap(spark: SparkSession, sfDir: String, n: Int = 3,
                     threshold: Double = 0.8): DataFrame = {
+    // pair-mass truncation (r16, guide §1.2): the symmetrize union below
+    // references pairs twice, and without it the whole LSH+verify
+    // pipeline ran twice per invocation
     val pairs = minhashPairsUnordered(spark, sfDir, n = n, threshold = threshold)
+      .localCheckpoint(true)
     val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     // Symmetrize: a near-dup pair makes BOTH endpoints "a doc with a dup in
     // the other endpoint's source".

@@ -152,7 +152,12 @@ object IncrementalDedup {
   private def writeIndexTables(docs: DataFrame, prefix: String, p: IndexParams,
                                append: Boolean, cacheInput: Boolean): Unit = {
     val spark = docs.sparkSession
-    val d = if (cacheInput) docs.localCheckpoint(true) else docs
+    // LAZY input truncation (r16, guide §1.2): the signature checkpoint
+    // below is the first action to touch d — on this thread, before the
+    // concurrent table writes exist — so d's materialization fuses into
+    // the sigs job instead of being its own scheduling barrier; the
+    // writes then read d's cached blocks.
+    val d = if (cacheInput) docs.localCheckpoint(false) else docs
     val postings = postingsOf(d, p.n)
     val sigs = new Dedup.RoundCheckpointer(spark)(sigsOf(postings, p))
     def write(df: DataFrame, keys: Seq[String], table: String): Unit =

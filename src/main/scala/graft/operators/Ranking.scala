@@ -288,9 +288,15 @@ object Ranking {
   /** The oriented-count core over an explicit UNDIRECTED edge set
     * `(a, b)` with a < b, duplicate-free. */
   def triangleCountEdges(und: DataFrame): DataFrame = {
-    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+    // und feeds four references (both degree-union branches, the
+    // degree-attach join, the edge count) and oriented four more (both
+    // wedge sides, the closing semi-join, the wedge count) — truncate
+    // each once or the upstream edge derivation re-runs per reference
+    // (r16, guide §1.2)
+    val undM = und.localCheckpoint(false)
+    val deg = undM.select(col("a").as("v")).union(undM.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val withDeg = und
+    val withDeg = undM
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
@@ -298,6 +304,7 @@ object Ranking {
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("w"),
         when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+      .localCheckpoint(false)
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") &&
           (col("x.dw") < col("y.dw") ||
@@ -306,7 +313,7 @@ object Ranking {
     val tri = wedges
       .join(oriented.select(col("u").as("p"), col("w").as("q")), Seq("p", "q"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
-    val em = und.agg(count(lit(1)).as("n_edges"))
+    val em = undM.agg(count(lit(1)).as("n_edges"))
     val wm = oriented.groupBy("u").agg(count(lit(1)).as("dd"))
       .agg(sum(expr("dd * (dd - 1) div 2")).as("n_wedges"))
     em.crossJoin(wm).crossJoin(tri)
@@ -577,17 +584,21 @@ object Ranking {
       // alive vertex's in-core degree once, then BOTH the peeled set and
       // the survivor set are filters over that materialized frame — the
       // old form paid a second checkpoint for an anti-join that computes
-      // exactly `coalesce(d, 0) ≥ k`.
-      val scored = ckpt(alive.join(degAmong(alive), col("v") === col("ka"), "left")
+      // exactly `coalesce(d, 0) ≥ k`. ONE action per round (r16, guide
+      // §1.2): the checkpoint is lazy and the peel-fixpoint probe is an
+      // aggregate over it, so materialization and the emptiness check
+      // share a single job instead of a checkpoint job + an isEmpty job.
+      val scored = ckpt.lazily(alive.join(degAmong(alive), col("v") === col("ka"), "left")
         .select(col("v"), coalesce(col("d"), lit(0L)).as("d")))
-      val rem = scored.filter(col("d") < k)
-        .select(col("v"), lit(r.toLong).as("r"))
+      val nPeeled = scored.agg(count(when(col("d") < k, lit(1)))).head().getLong(0)
       // EARLY EXIT at the peel fixpoint (guide §1.2, don't compute what
       // you throw away): a round that removes nothing leaves `alive`
       // unchanged, so every later round is a pure no-op pass; empty
       // rounds contribute no output rows, so the result is untouched.
-      if (rem.isEmpty) fixpoint = true
+      if (nPeeled == 0L) fixpoint = true
       else {
+        val rem = scored.filter(col("d") < k)
+          .select(col("v"), lit(r.toLong).as("r"))
         removed = if (removed == null) rem else removed.union(rem)
         alive = scored.filter(col("d") >= k).select("v")
       }
@@ -637,10 +648,15 @@ object Ranking {
   def trianglesPerNodeFrom(docs: DataFrame): DataFrame = {
     val n = docs.count()
     require(n > 0, "trianglesPerNodeFrom: empty corpus")
+    // und feeds three references (both degree-union branches + the
+    // degree-attach join) and oriented three (both wedge sides + the
+    // closing join) — truncate each once or the distinct edge derivation
+    // re-runs per reference (r16, guide §1.2)
     val und = denseClassEdges(docs, n)
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint(false)
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val withDeg = und
@@ -654,6 +670,7 @@ object Ranking {
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint(false)
     val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
     val wedges = e1.join(e2,
         col("e1.src") === col("e2.src") &&
@@ -692,7 +709,9 @@ object Ranking {
   def cocitationFrom(docs: DataFrame, k: Int = 50): DataFrame = {
     val n = docs.count()
     require(n > 0, "cocitationFrom: empty corpus")
-    val edges = affineEdges(docs, n)
+    // edges feeds three references (in-degree + both pair-join sides) —
+    // truncate once (r16, guide §1.2)
+    val edges = affineEdges(docs, n).localCheckpoint(false)
     val inDeg = edges.groupBy("dst").agg(count(lit(1)).as("ind"))
     val pairs = edges.as("x").join(edges.as("y"),
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
@@ -764,25 +783,31 @@ object Ranking {
     require(maxHops >= 0, s"seedHopsFrom: negative horizon $maxHops")
     val ckpt = new graft.operators.Dedup.RoundCheckpointer(docs.sparkSession)
     val edges = ckpt(affineEdges(docs, n))
-    var dist = ckpt(docs.filter(col("doc_id") % SeedHopsSeedMod === 0)
+    // Lazy truncation + count (r16, guide §1.2): each round runs exactly
+    // ONE action — the count that materializes the round's checkpoint IS
+    // the exhaustion probe — where the r15 form paid a checkpoint job, an
+    // isEmpty job, AND a settled-set re-materialization per round. The
+    // settled set needs no checkpoint of its own: it is a union of
+    // already-materialized round frontiers (≤ maxHops of them, so the
+    // plan stays constant-depth), read from their cached blocks.
+    var dist = ckpt.lazily(docs.filter(col("doc_id") % SeedHopsSeedMod === 0)
       .select(col("doc_id").as("v"), lit(0L).as("hops")))
     var frontier = dist
     var r = 1
-    var exhausted = frontier.isEmpty
+    var exhausted = frontier.count() == 0L
     while (r <= maxHops && !exhausted) {
       // expand the frontier one hop, keep only first-time vertices: the
       // distinct collapses multi-inlink duplicates BEFORE the anti-join
       // so the settled-set probe sees each candidate once
-      val next = ckpt(frontier.join(edges, col("v") === col("src"))
+      val next = ckpt.lazily(frontier.join(edges, col("v") === col("src"))
         .select(col("dst").as("v")).distinct()
         .join(dist, Seq("v"), "left_anti")
         .select(col("v"), lit(r.toLong).as("hops")))
-      exhausted = next.isEmpty
-      // fold the round in only when it found anything: re-checkpointing
-      // the full settled set unioned with an empty frontier would be one
-      // wasted vertex-mass materialization on the terminal round
+      exhausted = next.count() == 0L
+      // fold the round in only when it found anything: unioning an empty
+      // frontier in would be a wasted plan node on the terminal round
       if (!exhausted) {
-        dist = ckpt(dist.unionByName(next))
+        dist = dist.unionByName(next)
         frontier = next
       }
       r += 1
@@ -841,24 +866,31 @@ object Ranking {
     val ckpt = new graft.operators.Dedup.RoundCheckpointer(docs.sparkSession)
     val edges = ckpt(affineEdges(docs, n)
       .withColumn("w", (col("src") + col("dst")) % SeedCostWeightMod + 1L))
-    var best = ckpt(docs.filter(col("doc_id") % SeedHopsSeedMod === 0)
+    // Lazy truncation + count (r16, guide §1.2): ONE action per round —
+    // the count materializing the improved set doubles as the exhaustion
+    // probe — where the r15 form paid a checkpoint job, an isEmpty job,
+    // and an eager settled-map re-aggregation per round. The settled map
+    // keeps its per-round min-collapse (it must stay vertex-mass) but
+    // checkpoints LAZILY: it materializes inside the next round's count
+    // (or the final label join), never as its own barrier.
+    var best = ckpt.lazily(docs.filter(col("doc_id") % SeedHopsSeedMod === 0)
       .select(col("doc_id").as("v"), lit(0L).as("cost")))
     var frontier = best
     var r = 1
-    var exhausted = frontier.isEmpty
+    var exhausted = frontier.count() == 0L
     while (r <= maxHops && !exhausted) {
       // relax one hop out of the improved frontier; collapse per-round
       // duplicates to one candidate per vertex before probing the map
       val cand = frontier.join(edges, col("v") === col("src"))
         .select(col("dst").as("v"), (col("cost") + col("w")).as("cost"))
         .groupBy("v").agg(min("cost").as("cost"))
-      val improved = ckpt(cand
+      val improved = ckpt.lazily(cand
         .join(best.toDF("v", "old"), Seq("v"), "left")
         .filter(col("old").isNull || col("cost") < col("old"))
         .select(col("v"), col("cost")))
-      exhausted = improved.isEmpty
+      exhausted = improved.count() == 0L
       if (!exhausted) {
-        best = ckpt(best.unionByName(improved)
+        best = ckpt.lazily(best.unionByName(improved)
           .groupBy("v").agg(min("cost").as("cost")))
         frontier = improved
       }
@@ -956,8 +988,11 @@ object Ranking {
     require(n > 0, "linkCyclesFrom: empty corpus")
     val ckpt = new graft.operators.Dedup.RoundCheckpointer(docs.sparkSession)
     val edges = ckpt(citationEdges(docs, n))
-    // labels (v, f, b): f = min known ancestor, b = min known descendant
-    var lab = ckpt(docs.select(col("doc_id").as("v"),
+    // labels (v, f, b): f = min known ancestor, b = min known descendant.
+    // LAZY checkpoint + fused probe (r16, guide §1.2): the label frame's
+    // materialization happens inside the labSum action, so each round is
+    // ONE job — the r15 form paid a checkpoint job plus the labSum job.
+    var lab = ckpt.lazily(docs.select(col("doc_id").as("v"),
       col("doc_id").as("f"), col("doc_id").as("b")))
     // labels only DECREASE, so Σ(f+b) strictly decreases iff any label
     // moved — one scalar action per round instead of a diff join
@@ -983,7 +1018,10 @@ object Ranking {
         .groupBy("rcv")
         .agg(min(when(col("kind") === "f", col("f"))).as("fc"),
              min(when(col("kind") === "b", col("b"))).as("bc"))
-      lab = ckpt(lab
+      // lab appears twice in this round's plan (message join + label
+      // update), but both references sit in the SAME job and the prior
+      // round's labSum already materialized it — cache hits, no race
+      lab = ckpt.lazily(lab
         .join(in, col("v") === col("rcv"), "left")
         .select(col("v"),
           least(col("f"), coalesce(col("fc"), col("f"))).as("f"),

@@ -616,6 +616,9 @@ object Relational {
       .select(col("id"), col("s"), col("pos"),
         concat(expr("substring(s, 1, pos - 1)"),
                expr("substring(s, pos + 1, length(s))")).as("key"))
+      // both self-join sides read this L-fold exploded stream — truncate
+      // once or the scan+explode runs twice (r16, guide §1.2)
+      .localCheckpoint(false)
     // The blocking is EXACT, not a candidate filter: equal length (same
     // positions masked), same masked position and same masked key mean the
     // strings can differ only at that position — hamming ≤ 1 by

@@ -260,12 +260,31 @@ object Similarity {
     * on executor-local blocks. */
   private[graft] def kmeansCodebook(e: DataFrame, numCentroids: Int,
                                     iters: Int, sampleStride: Int = 1): DataFrame = {
+    // The training sample is referenced once per Lloyd round (assignment)
+    // plus the seed selection and the explode below — each reference
+    // re-ran the upstream scan (for the TEXT codebook that scan re-hashes
+    // every document). Truncate LAZILY (r16, guide §1.2/§5): the seed
+    // collect below is the first action and evaluates every partition, so
+    // the sample materializes inside a job the loop was paying anyway,
+    // and the sequential per-round jobs then read the cache — same scan
+    // savings as an eager checkpoint, zero added barriers.
     val eTrain =
-      if (sampleStride > 1) e.filter(col("vec_id") % sampleStride === 0) else e
-    val iv = e.select(col("vec_id"), posexplode(col("embedding")))
+      (if (sampleStride > 1) e.filter(col("vec_id") % sampleStride === 0) else e)
+        .localCheckpoint(false)
+    // Exploded TRAINING coordinates (r16, guide §1.2): (a) over eTrain,
+    // not e — the per-round inner join with the sample's assignments
+    // drops every non-sample row anyway, so exploding the full corpus
+    // computed dim×(stride−1)/stride of the rows only to discard them
+    // (identical sums, provably); (b) truncated LAZILY — round 1's
+    // centroid collect is the first action (one reference, all
+    // partitions via the groupBy), so iv materializes inside a job the
+    // loop already pays and rounds 2+ read the cache instead of
+    // re-running the explode per iteration. Sample-mass × dim rows.
+    val iv = eTrain.select(col("vec_id"), posexplode(col("embedding")))
       .toDF("vec_id", "i", "x")
       .select(col("vec_id"), col("i"),
               floor(col("x").cast("double") * lit(KmeansScale)).cast("long").as("ivx"))
+      .localCheckpoint(false)
     var cents = driverLocal(
       eTrain.filter(col("vec_id") < numCentroids.toLong * sampleStride)
         .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cemb")))
@@ -659,7 +678,9 @@ object Similarity {
     * the same mutual join in SQL. */
   def mutualKnn(spark: SparkSession, sfDir: String, k: Int = 3,
                 numCentroids: Int = 0, iters: Int = 3): DataFrame = {
-    val kj = knnJoin(spark, sfDir, k, numCentroids, iters)
+    // the k-NN join feeds BOTH direction filters below — truncate once or
+    // the whole all-vector neighbor search runs twice (r16, guide §1.2)
+    val kj = knnJoin(spark, sfDir, k, numCentroids, iters).localCheckpoint(false)
     val fwd = kj.filter(col("vec_id") < col("neighbor_id"))
       .select(col("vec_id").as("a"), col("neighbor_id").as("b"),
               col("cos"), col("rnk").as("rank_ab"))
@@ -820,8 +841,12 @@ object Similarity {
       .select(col("cell").cast("int").as("cell"), col("vec_id").as("doc_id"))
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokenize(col("text"))).as("word"))
+    // |cells|×vocab aggregate referenced three times (idf, cell count,
+    // the scored read-out) — one truncation replaces three token-explode
+    // + join + aggregate passes (r16, guide §1.2)
     val ctf = toks.join(cells, Seq("doc_id"))
       .groupBy("cell", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val cdf = ctf.groupBy("word").agg(count(lit(1)).as("df"))
     val ncl = ctf.agg(countDistinct("cell").as("ncells"))
     val w = Window.partitionBy("cell").orderBy(col("score").desc, col("word").asc)
@@ -964,18 +989,33 @@ object Similarity {
     * shared by the vector instrument and its text twin. */
   private def semDedupRecallRows(e: DataFrame, threshold: Double,
                                  probed: DataFrame, blocked: DataFrame): DataFrame = {
+    // ONE plan, truth evaluated ONCE (r16, guide §1.2): the r15 form
+    // union'd two method rows that EACH embedded the all-pairs cosine
+    // truth join — the instrument's most expensive subtree, computed
+    // twice. Folding all three scalar aggregates (truth, probed count,
+    // blocked count) into a single 1-row frame and EXPLODING the two
+    // method rows out of it computes truth once while the three
+    // independent subtrees still run concurrently inside one job (an
+    // eager checkpoint would also deduplicate, but it serializes the
+    // truth join before the detector subtrees — measured 2× worse wall
+    // on this instrument).
     val truth = e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .filter(VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))
                 >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
       .agg(count(lit(1)).as("n_true"))
-    def row(method: String, drops: DataFrame): DataFrame =
-      truth.crossJoin(broadcast(drops.agg(count(lit(1)).as("n_detected"))))
-        .select(lit(method).as("method"), col("n_true"), col("n_detected"),
-          when(col("n_true") === 0L, lit(1000L))
-            .otherwise(expr("n_detected * 1000 div n_true")).as("recall_permille"))
-    row("probe2", probed).unionByName(row("same_cell", blocked))
+    val oneRow = truth
+      .crossJoin(broadcast(probed.agg(count(lit(1)).as("n_probed"))))
+      .crossJoin(broadcast(blocked.agg(count(lit(1)).as("n_blocked"))))
+    oneRow
+      .select(col("n_true"), explode(array(
+        struct(lit("probe2").as("method"), col("n_probed").as("n_detected")),
+        struct(lit("same_cell").as("method"), col("n_blocked").as("n_detected"))))
+        .as("r"))
+      .select(col("r.method").as("method"), col("n_true"), col("r.n_detected").as("n_detected"),
+        when(col("n_true") === 0L, lit(1000L))
+          .otherwise(expr("n_detected * 1000 div n_true")).as("recall_permille"))
       .orderBy("method")
   }
 

@@ -441,11 +441,23 @@ object TextAnalysis {
           |                         'w2', element_at(ws, CAST(i + 1 AS INT))))
           |ELSE array() END""".stripMargin)).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // Model assembled on BIGRAM-vocabulary mass, then attached to the
+    // token-mass pair stream ONCE (r16 — guide §2.3 shuffle fewer bytes,
+    // §2.4): the old form joined pairs⋈bigrams on (w1,w2) and re-shuffled
+    // that token-mass result by w1 for the context join — two full
+    // shuffles of every adjacent-pair row. Joining bigrams⋈contexts first
+    // costs one bigram-mass shuffle, and the pair stream is shuffled once.
+    // Inner joins both ways and every pair's (w1,w2) has exactly one model
+    // row whose w1 total always exists — identical rows out. bigrams is
+    // deliberately NOT checkpointed: truncation would hide its (small)
+    // size estimate from the planner and demote the model joins from
+    // broadcast to sort-merge (measured 4× on this query) — the duplicate
+    // bigram aggregation under `contexts` is the cheaper of the two.
     val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val contexts = bigrams.groupBy("w1").agg(sum("c2").as("c1"))
+    val model = bigrams.join(contexts, Seq("w1"))
     val perDoc = pairs
-      .join(bigrams, Seq("w1", "w2"))
-      .join(contexts, Seq("w1"))
+      .join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_big"),
            sum(length(bin(col("c1"))) - length(bin(col("c2")))).as("bits"))
@@ -926,9 +938,20 @@ object TextAnalysis {
 
   /** [[dsirWeights]] over an explicit `(doc_id, source, text)` frame. */
   def dsirWeightsFrom(docs: DataFrame): DataFrame = {
-    val feats = dsirFeatures(docs)
+    // ONE gram pass (r16 — guide §1.2 don't recompute, §5 cache on reuse):
+    // the plan references feats three times (Δ profile, calibration, the
+    // per-doc weights) and prof twice, and each un-truncated reference
+    // re-ran the tokenize+explode+hash scan — the expensive part of the
+    // whole operator. Checkpoint the compact (doc, source, bucket, count)
+    // frame once and the 1024-row profile once; every branch reads cache.
+    val feats = dsirFeatures(docs).localCheckpoint(false)
+    // prof truncates LAZILY: its two readers (Δ and cal) are broadcast
+    // futures that may race the first materialization, but the racing
+    // compute is a 1024-row aggregate over feats' CACHED blocks — benign —
+    // while an eager checkpoint would cost a scheduling barrier
     val prof = feats.groupBy("b").agg(sum("c").as("cp"),
       sum(when(col("source") === DsirTargetSource, col("c")).otherwise(0L)).as("cq"))
+      .localCheckpoint(false)
     val delta = prof.select(col("b"),
       (length(bin(col("cq") + 1)) - length(bin(col("cp") + 1))).cast("long").as("d"))
     val cal = prof.agg(
@@ -961,11 +984,22 @@ object TextAnalysis {
     * ship. 100 TB: the histogram is one partial-agg; the only window
     * orders ≤|distinct w_bits| sketch rows, never documents. */
   def dsirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    // The weight frame is read three times (histogram under the threshold
+    // broadcast, histogram again under the count broadcast, final filter)
+    // — one LAZY truncation lets the first of those materialize it and
+    // the rest read cache (r16, guide §1.2/§5). Racing broadcast futures
+    // can at worst duplicate the weight compute CONCURRENTLY — exactly
+    // the r15 behavior, with the cache winning whenever stages queue —
+    // while an eager checkpoint would serialize it ahead of everything
+    // (measured as a net loss at bench scale on sibling operators).
+    // n comes from the histogram itself (Σm ≡ count(*) over w, exactly),
+    // so no pass over raw documents remains beyond the weight computation.
     val w = dsirWeightsFrom(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("w_bits"))
+      .localCheckpoint(false)
     val hist = w.groupBy("w_bits").agg(count(lit(1)).as("m"))
       .withColumn("cum", sum("m").over(Window.orderBy(col("w_bits").desc)))
-    val n1 = w.agg(count(lit(1)).as("n"))
+    val n1 = hist.agg(sum("m").as("n"))
     val thr = hist.crossJoin(broadcast(n1))
       .filter(col("cum") >= expr(s"(n + ${DsirShareDiv - 1}) div $DsirShareDiv"))
       .agg(max("w_bits").as("t"))
@@ -1539,15 +1573,27 @@ object TextAnalysis {
   /** [[winnowMatches]] over an explicit `(doc_id, text)` frame. */
   def winnowMatchesFrom(docs: DataFrame, window: Int, w: Int,
                         maxDocFreq: Int, minShared: Int): DataFrame = {
+    // EAGER truncation at the reuse points (r16, guide §1.2/§5): sel fed
+    // two references (df count + anti-join stream), cold four (per-doc
+    // sizes, both self-join sides) and perDoc two — so the winnow explode
+    // ran ~5× per query. Each frame now computes once; the winnowed
+    // posting set is (w+1)/2× smaller than the chunk set by design, so
+    // caching it is cheap by construction.
     val sel = docs
       .select(col("doc_id"),
               explode(call_function("graft_winnow", col("text"), lit(window), lit(w))).as("s"))
       .select(col("doc_id"), col("s.fp").as("fp"))
       .distinct() // one posting per (doc, hash): a value re-selected at two positions counts once
+      .localCheckpoint(false)
+    // hot (the boilerplate list — hashes in > maxDocFreq docs) is tiny by
+    // construction at any corpus size: broadcast it explicitly, because
+    // sel's checkpoint hides the estimate that used to let the planner
+    // see that (r16, guide §3.1)
     val hot = sel.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select("fp")
-    val cold = sel.join(hot, Seq("fp"), "left_anti")
+    val cold = sel.join(broadcast(hot), Seq("fp"), "left_anti").localCheckpoint(false)
     val perDoc = cold.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      .localCheckpoint(false)
     val pairs = cold.as("a")
       .join(cold.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -1582,12 +1628,20 @@ object TextAnalysis {
       .distinct()
     val hot = chunks.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select("fp")
-    val cold = chunks.join(hot, Seq("fp"), "left_anti")
+    // LAZY truncation ×2 (r16, guide §1.2): cold feeds BOTH sides of the
+    // truth self-join and truth feeds BOTH output aggregates — without
+    // truncation the chunk explode ran three times and the self-join
+    // twice, all for two scalars. Lazy keeps the plan's subtree
+    // concurrency (a race costs at most the old duplicate compute) while
+    // sequential reuse hits the cache. hot is broadcast explicitly
+    // (boilerplate list — tiny by contract).
+    val cold = chunks.join(broadcast(hot), Seq("fp"), "left_anti").localCheckpoint(false)
     val truth = cold.as("a")
       .join(cold.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint(false)
     val approx = winnowMatchesFrom(Tables.documents(spark, sfDir),
         window, w, maxDocFreq, minShared = 1)
       .select("doc_a", "doc_b")

@@ -588,11 +588,44 @@ object Warehouse {
     * §6). FINGERPRINT-GATED staged roots (media, text formats) stay on
     * java.io.tmpdir: they persist across runs by design and the vacuum
     * tooling audits them there. Override: SPARK_GRAFT_SCRATCH. */
-  def fastScratchRoot: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", {
+  def fastScratchRoot: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+    shmIfRoomy("graft_scratch")
+      .getOrElse(System.getProperty("java.io.tmpdir")))
+
+  /** /dev/shm as an ephemeral-scratch root, ONLY when it has headroom —
+    * the production-shaped form of the r15 fast-scratch defaults (r15
+    * VERDICT): tmpfs is RAM, so shuffle spill/checkpoints placed there
+    * compete with executor memory exactly when memory is tight, and a
+    * small-shm host would hit ENOSPC mid-run. Explicit configuration
+    * always wins (SPARK_GRAFT_LOCAL_DIR / SPARK_GRAFT_SCRATCH /
+    * graft.stream.checkpointRoot); this fallback picks tmpfs only above a
+    * free-space floor, else the caller's durable tmpdir. ON A CLUSTER:
+    * point the overrides at node-local NVMe (spark.local.dir guidance,
+    * optimization guide §6) — tmpfs is a single-host bench fix, not a
+    * fleet default. */
+  private[graft] def shmIfRoomy(sub: String,
+                                minFreeBytes: Long = 8L << 30): Option[String] = {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_scratch"
-    else System.getProperty("java.io.tmpdir")
-  })
+    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minFreeBytes)
+      Some(new java.io.File(shm, sub).getPath)
+    else None
+  }
+
+  /** Bytes under /dev/shm roots this engine creates (graft_local /
+    * graft_ckpt / graft_scratch) — the shm twin of [[tmpBytes]], closing
+    * the r15 leak-audit gap: ephemeral engine I/O moved to tmpfs, so the
+    * leak accounting must watch tmpfs too. */
+  def shmBytes(prefix: String = "graft"): Long = {
+    val shm = new java.io.File("/dev/shm")
+    def size(f: java.io.File): Long =
+      if (java.nio.file.Files.isSymbolicLink(f.toPath)) 0L
+      else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(size).sum
+      else f.length()
+    if (!shm.isDirectory) 0L
+    else Option(shm.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(prefix)).map(size).sum
+  }
 
   /** Bytes under `java.io.tmpdir` entries whose name starts with `prefix`,
     * symlink entries counted as zero (a staged root's live symlink and its

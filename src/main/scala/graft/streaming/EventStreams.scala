@@ -223,12 +223,12 @@ object EventStreams {
     * RESTARTABLE checkpoints (the crash-replay fixtures that pass an
     * explicit `checkpointDir`) are untouched — durability is their point,
     * so they stay on the durable store the caller chose. */
-  private[graft] def defaultCheckpointRoot: String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      "/dev/shm/graft_ckpt"
-    else sys.props("java.io.tmpdir") + "/graft_ckpt"
-  }
+  private[graft] def defaultCheckpointRoot: String =
+    // headroom-checked (r16): tmpfs only above a free-space floor, else
+    // tmpdir — see [[graft.sources.Warehouse.shmIfRoomy]] for the cluster
+    // guidance (point graft.stream.checkpointRoot at node-local NVMe)
+    graft.sources.Warehouse.shmIfRoomy("graft_ckpt")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_ckpt")
 
   /** Fresh ephemeral directory on the fast scratch root (same root as the
     * checkpoints — see [[defaultCheckpointRoot]]) — the staging area for
@@ -2356,7 +2356,15 @@ object EventStreams {
       .map(_.getName.stripPrefix(s"$segCol=").toLong).sorted.toSeq
     segs.foreach { s =>
       val sd = tmp.resolve(s"$segCol=$s")
-      val part = sd.toFile.listFiles().find(_.getName.startsWith("part-")).get
+      // EXACTLY one part file per segment dir, asserted loudly (r15
+      // ADVICE): repartition(col(segCol)) guarantees it today, but a
+      // future writer/AQE change producing two parts would otherwise
+      // silently DROP rows from the staged stream — fail instead.
+      val parts = sd.toFile.listFiles().filter(_.getName.startsWith("part-"))
+      require(parts.length == 1,
+        s"stageStreamFilesBySeg: expected exactly 1 part file in $sd, " +
+          s"found ${parts.length} — the one-task-per-segment invariant broke")
+      val part = parts.head
       val dest = dir.resolve(s"${name(s)}.parquet").toFile
       java.nio.file.Files.move(part.toPath, dest.toPath)
       dest.setLastModified(mtime(s))
@@ -2456,7 +2464,7 @@ object EventStreams {
     } else None
     checkpointDir.orElse(ephemeralCkpt.map(_.toString))
       .foreach(d => writer.option("checkpointLocation", d))
-    val q = writer
+    val writerQ = writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the batch's localCheckpoint truncation blocks are released at
         // batch end — an unbounded stream must not accumulate one block
@@ -2473,18 +2481,28 @@ object EventStreams {
         // base and (if created yet) overlay — resolved per batch, because
         // the overlay typically comes into existence at batch 0's append
         val pfxs = readPrefixes
+        // fresh stays an EAGER checkpoint: the verify plan references it
+        // from several INDEPENDENT stages (postings, bands, sizes) that
+        // Spark runs concurrently within one job, and a lazy frame raced
+        // by concurrent first-uses would recompute the ledger anti-join —
+        // a corpus-store scan — once per branch.
         val fresh = timed("ledger-filter")(batch.join(
           pfxs.map(pfx => spark.table(s"${pfx}_sizes").select(col("doc_id")))
             .reduce(_ unionByName _),
           Seq("doc_id"), "left_anti")
           .localCheckpoint(true))
         // index pairs (batch vs each store) ∪ intra-batch pairs (batch vs
-        // itself, doc_a > doc_b so doc_a is the dropped side in both)
+        // itself, doc_a > doc_b so doc_a is the dropped side in both).
+        // LAZY truncation (r16, guide §1.2): pairs still cuts the plan (it
+        // is read three times downstream), but its materialization fuses
+        // into the pairs write — the first action to touch it, on this
+        // thread, with a single reference in that plan — instead of being
+        // its own scheduling barrier; the later reads hit the cache.
         val pairs = timed("verify-pairs")(pfxs
           .map(pfx => IncrementalDedup.deltaAgainst(spark, fresh, pfx, p, threshold))
           .reduce(_ unionByName _)
           .unionByName(IncrementalDedup.selfPairs(fresh, p, threshold))
-          .localCheckpoint(true))
+          .localCheckpoint(false))
         // IDEMPOTENT append: a replayed batch's documents fail the ledger
         // filter and never reach the index, but their pairs would be
         // re-verified and re-written — anti-join against the stored pair
@@ -2516,9 +2534,13 @@ object EventStreams {
             .get(id).foreach(_.unpersist(blocking = false)))
         onBatchCommitted(batchId)
       }
-      .start()
-    q.awaitTermination()
-    ephemeralCkpt.foreach { d =>
+    // cleanup in a FINALLY (r15 ADVICE): a failing stream must not leak
+    // its RAM-backed ephemeral checkpoint dir — leaked tmpfs bytes
+    // accumulate across failed runs on the shm-rooted default
+    try {
+      val q = writerQ.start()
+      q.awaitTermination()
+    } finally ephemeralCkpt.foreach { d =>
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(d).iterator().asScala.toSeq

@@ -553,12 +553,19 @@ class PlanSpec extends SparkSpecBase {
     val (fin, init) = bothPlans("winnow_recall")
     Seq(fin, init).foreach(p => assert(!p.contains("CartesianProduct"),
       s"winnow_recall plans a cartesian (the 1-row final stats crossJoin must broadcast):\n$p"))
-    assert(init.contains("partial_count"),
-      s"hot-hash document-frequency count lost its map-side combine:\n$init")
-    // boilerplate exclusion is an anti-join; detection is a semi-join —
-    // both must survive (a rewrite to inner joins would change semantics
-    // AND explode the pair mass at scale)
-    assert(init.contains("LeftAnti"), s"hot-hash exclusion lost its anti-join:\n$init")
+    // r16: the cold postings and the truth pair set are localCheckpoint-
+    // truncated (each fed 2-3 plan references that re-ran the chunk
+    // explode), so the hot-hash anti-join and its partial-agg'd df count
+    // now execute in the truncation's pre-job and are invisible in the
+    // returned frame's plan — the returned plan must instead show the
+    // truncated scans. The anti-join SEMANTICS stay gated by the DuckDB
+    // oracle differential (and the LeftAnti shape by the winnowRecall
+    // source, where the exclusion is a plain left_anti join).
+    assert(init.contains("ExistingRDD"),
+      s"winnow_recall lost its truth/cold truncation (expected LogicalRDD scans):\n$init")
+    // detection is a semi-join over the truncated truth — it must survive
+    // (a rewrite to an inner join would change semantics AND explode the
+    // pair mass at scale)
     assert(init.contains("LeftSemi"), s"detection lost its semi-join:\n$init")
   }
 
